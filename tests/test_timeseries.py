@@ -1,0 +1,309 @@
+"""Functional tests for the Timeseries facade — golden values follow the
+reference's functional helper suites (/root/reference/test/functional/
+{series,histogram,count,gauge,set}_helper.py): exact bucket contents,
+condense/collapse, transforms, multi-name joins, fan-out, retention.
+
+Fixture timestamps anchor at _time(0) = 500000*3600 like the reference
+(helper_helper.py:11-12) to stay clear of TTL interactions.
+"""
+
+import pytest
+
+from kairos_spark import Timeseries, UnknownInterval
+
+HOUR = 3600
+
+
+def _time(t: float = 0) -> float:
+    return 500000 * HOUR + t
+
+
+INTERVALS = {
+    "minute": {"step": 60, "steps": 5},
+    "hour": {"step": HOUR, "resolution": 60},
+}
+
+
+def make_ts(spark, type_, value_type="double", intervals=None):
+    return Timeseries(
+        spark, type=type_, intervals=intervals or INTERVALS, value_type=value_type
+    )
+
+
+# ----------------------------------------------------------------- series
+
+
+def test_series_get_coarse(spark):
+    t = make_ts(spark, "series")
+    t.insert("test", 32, timestamp=_time(0))
+    t.insert("test", 42, timestamp=_time(30))
+    t.insert("test", 11, timestamp=_time(70))
+    got = t.get("test", "minute", timestamp=_time(0))
+    assert got == {_time(0): [32.0, 42.0]}
+    got = t.get("test", "minute", timestamp=_time(70))
+    assert got == {_time(60): [11.0]}
+
+
+def test_series_get_fine_and_condense(spark):
+    t = make_ts(spark, "series")
+    t.insert("test", 1, timestamp=_time(0))
+    t.insert("test", 2, timestamp=_time(60))
+    t.insert("test", 3, timestamp=_time(3599))
+    got = t.get("test", "hour", timestamp=_time(0))
+    assert got == {
+        _time(0): [1.0],
+        _time(60): [2.0],
+        _time(3540): [3.0],
+    }
+    got = t.get("test", "hour", timestamp=_time(0), condense=True)
+    assert got == {_time(0): [1.0, 2.0, 3.0]}
+
+
+def test_series_get_empty(spark):
+    t = make_ts(spark, "series")
+    t.insert("test", 1, timestamp=_time(0))
+    assert t.get("test", "minute", timestamp=_time(600)) == {_time(600): []}
+    # fine grain: no rows at all
+    assert t.get("test", "hour", timestamp=_time(2 * HOUR)) == {}
+
+
+def test_series_transforms(spark):
+    t = make_ts(spark, "series")
+    for v in (5, 7, 9):
+        t.insert("test", v, timestamp=_time(10))
+    got = t.get("test", "minute", timestamp=_time(0), transform="mean")
+    assert got == {_time(0): 7.0}
+    got = t.get("test", "minute", timestamp=_time(0), transform=["count", "sum", "min", "max", "rate"])
+    assert got == {_time(0): {"count": 3, "sum": 21.0, "min": 5.0, "max": 9.0, "rate": 3 / 60}}
+
+
+def test_series_callable_transform(spark):
+    t = make_ts(spark, "series")
+    for v in (5, 7, 9):
+        t.insert("test", v, timestamp=_time(10))
+    got = t.get(
+        "test", "minute", timestamp=_time(0),
+        transform=lambda data, step: sorted(data)[len(data) // 2],
+    )
+    assert got == {_time(0): 7.0}
+
+
+def test_series_range_and_collapse(spark):
+    t = make_ts(spark, "series")
+    for m in range(5):
+        t.insert("test", m, timestamp=_time(60 * m))
+    got = t.series("test", "minute", start=_time(0), end=_time(240))
+    assert got == {_time(60 * m): [float(m)] for m in range(5)}
+    got = t.series("test", "minute", start=_time(0), end=_time(240), collapse=True)
+    assert got == {_time(0): [0.0, 1.0, 2.0, 3.0, 4.0]}
+    got = t.series(
+        "test", "minute", start=_time(0), end=_time(240), collapse=True, transform="sum"
+    )
+    assert got == {_time(0): 10.0}
+
+
+def test_series_gap_fill(spark):
+    t = make_ts(spark, "series")
+    t.insert("test", 1, timestamp=_time(0))
+    t.insert("test", 5, timestamp=_time(120))
+    got = t.series("test", "minute", start=_time(0), end=_time(120))
+    assert got == {_time(0): [1.0], _time(60): [], _time(120): [5.0]}
+
+
+def test_series_fine_nested(spark):
+    t = make_ts(spark, "series")
+    t.insert("test", 1, timestamp=_time(0))
+    t.insert("test", 2, timestamp=_time(90))
+    got = t.series("test", "hour", start=_time(0), end=_time(0))
+    assert got == {_time(0): {_time(0): [1.0], _time(60): [2.0]}}
+
+
+def test_multi_name_join(spark):
+    t = make_ts(spark, "series")
+    t.insert("a", 1, timestamp=_time(0))
+    t.insert("b", 2, timestamp=_time(10))
+    t.insert("a", 3, timestamp=_time(20))
+    got = t.get(["a", "b"], "minute", timestamp=_time(0))
+    # name-argument order: all of a's values, then b's
+    assert got == {_time(0): [1.0, 3.0, 2.0]}
+
+
+def test_insert_fanout(spark):
+    t = make_ts(spark, "count")
+    t.insert("test", 1, timestamp=_time(60), intervals=2)
+    got = t.series("test", "minute", start=_time(60), end=_time(180))
+    assert got == {_time(60): 1.0, _time(120): 1.0, _time(180): 1.0}
+    t2 = make_ts(spark, "count")
+    t2.insert("test", 1, timestamp=_time(120), intervals=-1)
+    got = t2.series("test", "minute", start=_time(60), end=_time(120))
+    assert got == {_time(60): 1.0, _time(120): 1.0}
+
+
+def test_unknown_interval(spark):
+    t = make_ts(spark, "series")
+    with pytest.raises(UnknownInterval):
+        t.get("test", "century")
+
+
+# ----------------------------------------------------------------- histogram
+
+
+def test_histogram_get(spark):
+    t = make_ts(spark, "histogram", value_type="long")
+    for v in (1, 1, 2, 3, 3, 3):
+        t.insert("test", v, timestamp=_time(5))
+    got = t.get("test", "minute", timestamp=_time(0))
+    assert got == {_time(0): {1: 2, 2: 1, 3: 3}}
+
+
+def test_histogram_transforms(spark):
+    t = make_ts(spark, "histogram", value_type="long")
+    for v in (1, 1, 2, 3, 3, 3):
+        t.insert("test", v, timestamp=_time(5))
+    got = t.get("test", "minute", timestamp=_time(0), transform=["mean", "count", "sum", "min", "max"])
+    # weighted: mean = (2*1+1*2+3*3)/6
+    assert got == {
+        _time(0): {"mean": 13 / 6, "count": 6, "sum": 13, "min": 1, "max": 3}
+    }
+
+
+def test_histogram_condense(spark):
+    t = make_ts(spark, "histogram", value_type="long")
+    t.insert("test", 1, timestamp=_time(0))
+    t.insert("test", 1, timestamp=_time(60))
+    t.insert("test", 2, timestamp=_time(60))
+    got = t.get("test", "hour", timestamp=_time(0), condense=True)
+    assert got == {_time(0): {1: 2, 2: 1}}
+
+
+# ----------------------------------------------------------------- count
+
+
+def test_count_get_and_rate(spark):
+    t = make_ts(spark, "count")
+    t.insert("test", 1, timestamp=_time(5))
+    t.insert("test", 1, timestamp=_time(10))
+    t.insert("test", 3, timestamp=_time(20))
+    t.insert("test", -1, timestamp=_time(30))
+    got = t.get("test", "minute", timestamp=_time(0))
+    assert got == {_time(0): 4.0}
+    got = t.get("test", "minute", timestamp=_time(0), transform="rate")
+    assert got == {_time(0): 4.0 / 60}
+
+
+def test_count_empty_bucket(spark):
+    t = make_ts(spark, "count")
+    t.insert("test", 1, timestamp=_time(0))
+    assert t.get("test", "minute", timestamp=_time(300)) == {_time(300): 0}
+
+
+# ----------------------------------------------------------------- gauge
+
+
+def test_gauge_last_write_wins(spark):
+    t = make_ts(spark, "gauge")
+    t.insert("test", 1, timestamp=_time(1))
+    t.insert("test", 9, timestamp=_time(2))
+    t.insert("test", 5, timestamp=_time(3))
+    got = t.get("test", "minute", timestamp=_time(0))
+    assert got == {_time(0): 5.0}
+
+
+def test_gauge_condense_skips_falsy(spark):
+    t = make_ts(spark, "gauge")
+    t.insert("test", 7, timestamp=_time(0))      # r bucket 0
+    t.insert("test", 0, timestamp=_time(70))     # r bucket 1 → falsy, skipped
+    got = t.get("test", "hour", timestamp=_time(0), condense=True)
+    assert got == {_time(0): 7.0}
+
+
+def test_gauge_multi_name_last_name_wins(spark):
+    t = make_ts(spark, "gauge")
+    t.insert("a", 1, timestamp=_time(0))
+    t.insert("b", 2, timestamp=_time(0))
+    got = t.get(["a", "b"], "minute", timestamp=_time(0))
+    assert got == {_time(0): 2.0}
+    got = t.get(["b", "a"], "minute", timestamp=_time(0))
+    assert got == {_time(0): 1.0}
+
+
+# ----------------------------------------------------------------- set
+
+
+def test_set_get(spark):
+    t = make_ts(spark, "set", value_type="long")
+    for v in (1, 2, 2, 3, 3, 3):
+        t.insert("test", v, timestamp=_time(5))
+    got = t.get("test", "minute", timestamp=_time(0))
+    assert got == {_time(0): {1, 2, 3}}
+
+
+def test_set_transforms(spark):
+    t = make_ts(spark, "set", value_type="long")
+    for v in (1, 2, 2, 3, 3, 3):
+        t.insert("test", v, timestamp=_time(5))
+    got = t.get("test", "minute", timestamp=_time(0), transform=["count", "sum", "mean"])
+    assert got == {_time(0): {"count": 3, "sum": 6, "mean": 2.0}}
+
+
+def test_set_condense_union(spark):
+    t = make_ts(spark, "set", value_type="long")
+    t.insert("test", 1, timestamp=_time(0))
+    t.insert("test", 2, timestamp=_time(70))
+    t.insert("test", 1, timestamp=_time(70))
+    got = t.get("test", "hour", timestamp=_time(0), condense=True)
+    assert got == {_time(0): {1, 2}}
+
+
+# ------------------------------------------------------------ lifecycle/meta
+
+
+def test_list_properties_delete(spark):
+    t = make_ts(spark, "count")
+    t.insert("a", 1, timestamp=_time(0))
+    t.insert("b", 1, timestamp=_time(120))
+    assert sorted(t.list()) == ["a", "b"]
+    props = t.properties("b")
+    assert props["minute"] == {"first": _time(120), "last": _time(120)}
+    t.delete("a")
+    assert t.list() == ["b"]
+    t.delete_all()
+    assert t.list() == []
+
+
+def test_iterate(spark):
+    t = make_ts(spark, "count")
+    t.insert("test", 1, timestamp=_time(0))
+    t.insert("test", 2, timestamp=_time(120))
+    got = list(t.iterate("test", "minute"))
+    assert got == [(_time(0), 1.0), (_time(60), 0), (_time(120), 2.0)]
+
+
+def test_bulk_insert(spark):
+    t = make_ts(spark, "count")
+    t.bulk_insert({_time(0): {"a": [1, 1], "b": [2]}, _time(60): {"a": [3]}})
+    assert t.get("a", "minute", timestamp=_time(0)) == {_time(0): 2.0}
+    assert t.get("a", "minute", timestamp=_time(60)) == {_time(60): 3.0}
+    assert t.get("b", "minute", timestamp=_time(0)) == {_time(0): 2.0}
+
+
+def test_ingest_df_scale_path(spark):
+    t = make_ts(spark, "count")
+    events = spark.createDataFrame(
+        [("a", float(_time(i)), 1.0) for i in range(0, 180, 10)],
+        "name string, ts_sec double, value double",
+    )
+    from pyspark.sql import functions as F
+
+    t.ingest_df(events.withColumn("ts", F.timestamp_seconds("ts_sec")))
+    got = t.series("a", "minute", start=_time(0), end=_time(120))
+    assert got == {_time(0): 6.0, _time(60): 6.0, _time(120): 6.0}
+
+
+def test_gregorian_daily(spark):
+    t = make_ts(spark, "count", intervals={"daily": {"step": "daily"}})
+    t.insert("test", 1, timestamp=_time(0))
+    t.insert("test", 1, timestamp=_time(0) + 86400)
+    day0 = (_time(0) // 86400) * 86400
+    got = t.series("test", "daily", start=_time(0), end=_time(0) + 86400)
+    assert got == {day0: 1.0, day0 + 86400: 1.0}
