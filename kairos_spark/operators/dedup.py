@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB):
+- exact: hash-groupBy on a digest column — one shuffle on a short key,
+  AQE handles skew (identical boilerplate docs are the classic skewed
+  key; the digest spreads them across partitions only after the
+  group-limit, so ``exact_dedup`` keeps min-id per digest rather than
+  collecting groups).
+- near-dup: the shuffle-safe path is MinHash signatures (map-only) →
+  LSH banding (explode B bands) → groupBy band-bucket → pairs only
+  within buckets. The all-pairs shingle join (``ngram_jaccard_pairs``)
+  is provided as the exact-verification oracle and for small candidate
+  sets — NOT the 100 TB path.
+- All hashing is md5-derived (deterministic, seed-free, reproducible
+  across engines — the DuckDB oracle computes the identical values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kairos_spark.operators.text import TOKEN_REGEX, char_shingles
+
+# Modulus for the double-hash MinHash family. 44-bit hash halves keep
+# a + i*b < 2^51 for i ≤ 64 — no signed-64 overflow in either Spark or
+# the DuckDB oracle's BIGINT math.
+MINHASH_PRIME = 17_592_186_044_399  # largest prime < 2^44
+
+
+def _md5_long(col: Column, skip: int = 0) -> Column:
+    """44-bit slice of md5 as a non-negative long (11 hex chars)."""
+    return F.conv(F.substring(F.md5(col), 1 + skip, 11), 16, 10).cast("long")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Digest → (n_docs, min doc id) for digests appearing more than
+    once. One hash-shuffle on the 32-byte digest."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text digest. Implemented as
+    min-id-per-digest + semi join back (no row-wide shuffle of the
+    payload; only (digest, id) pairs move)."""
+    keep = (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs — the exploded set representation."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(char_shingles(F.col(text_col), n))).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs via shingle self-join.
+
+    |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|. Correctness oracle and
+    small-set verifier; at 100 TB use minhash_lsh_pairs to generate
+    candidates and this only on the candidate pairs."""
+    sh = doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document, as ``sig: array<long>[num_hashes]``.
+
+    Hash family h_i(s) = (a + i·b) mod M61 with (a, b) the two md5
+    halves of the shingle — the standard double-hashing construction;
+    deterministic and engine-portable. Map-only: shingling, hashing and
+    the per-hash minima all happen inside one aggregate per doc."""
+    sh = F.array_distinct(char_shingles(F.col(text_col), n))
+    # per shingle: a + i*b precomputed as struct, then min per i
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: F.struct(_md5_long(s).alias("a"), _md5_long(s, 11).alias("b"))).alias("ab"),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("ab"),
+                lambda x: (x["a"] + i * x["b"]) % F.lit(MINHASH_PRIME),
+            )
+        ),
+    )
+    return hashed.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding — the 100 TB path.
+
+    Signature (map-only) → explode ``bands`` band-digests → groupBy
+    band bucket (shuffle on short digests) → within-bucket candidate
+    pairs → estimated Jaccard = fraction of agreeing signature
+    components ≥ threshold. With b=16, r=4 the S-curve midpoint is
+    (1/16)^(1/4) ≈ 0.5."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat(
+                        b.cast("string"),
+                        F.lit(":"),
+                        F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ","),
+                    )
+                ),
+            )
+        ).alias("bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes),
+        6,
+    )
+    return cands.withColumn("est_jaccard", est).where(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash fingerprint (60-bit, from the md5-long of each token):
+    bit j of the fingerprint is the sign of Σ_tokens (±1 per token's
+    hash bit j). Hamming-close fingerprints ≈ similar token bags.
+    Map-only per document."""
+    tokens = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), F.lit(0))
+    tok = df.select(F.col(id_col), F.explode(tokens).alias("__tok")).withColumn(
+        "__h", _md5_long(F.col("__tok"))
+    )
+    # one pass: per-doc signed sum of each hash bit (explode → groupBy
+    # with `bits` trivial aggregates; partial aggregation keeps the
+    # shuffle at one row per doc)
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"__b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-pairs by SimHash Hamming distance using the block trick:
+    split the fingerprint into ``blocks`` segments; any pair within
+    ``max_hamming < blocks`` must agree on ≥1 segment → groupBy segment
+    value generates candidates without an all-pairs join."""
+    seg_bits = bits // blocks
+    sh = simhash(df, text_col, id_col, bits)
+    banded = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(blocks - 1)),
+                lambda b: F.concat(
+                    b.cast("string"),
+                    F.lit(":"),
+                    F.shiftright("simhash", b * seg_bits)
+                    .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                    .cast("string"),
+                ),
+            )
+        ).alias("seg"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cands.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing (schemas, batch iteration, partition-size
+control) is real and tested; the actual media decode is STUBBED —
+decode libraries (PIL/ffmpeg/librosa) are not in this container. Each
+stub either raises ``NotImplementedError`` (``strict=True``) or
+computes a deterministic fake from the raw bytes so pipelines are
+end-to-end testable.
+
+Scale notes:
+- Payloads stay in executors; nothing collects. ``mapInPandas``
+  streams Arrow record batches, so peak memory is one batch of
+  payloads — cap ``spark.sql.files.maxPartitionBytes`` (and/or
+  ``maxRecordsPerBatch``) so batch_size × median_payload fits the
+  executor; for 100 TB of images that's the knob that matters.
+- Feature extraction is embarrassingly parallel (map-only); resize/
+  frame-sample keep binary in, binary out — no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table from any text source: payload =
+    utf8 bytes, mime tagged, synthetic dimensions derived from length.
+    (Real pipelines read payloads from object storage; this keeps the
+    column/typing contract identical.)"""
+    payload = F.encode(F.col(text_col), "utf-8")
+    n = F.length(payload)
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        n.cast("long").alias("n_bytes"),
+        (n % 640 + 16).cast("int").alias("width"),
+        (n % 480 + 16).cast("int").alias("height"),
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decoded-image feature vector:
+    bucketed byte-value histogram, L1-normalized."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for byte in payload:
+        counts[byte * FEATURE_DIM // 256] += 1
+    total = float(len(payload))
+    return [c / total for c in counts]
+
+
+def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode + featurize media payloads via Arrow-batched mapInPandas.
+
+    ``strict=True`` insists on a real decoder and raises
+    NotImplementedError (decoder libs absent in this container);
+    otherwise computes the deterministic byte-histogram fake. The UDF
+    signature, batch shape, and output schema are exactly what a real
+    decoder drops into."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg, not available here"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                    "features": pdf["payload"].map(
+                        lambda p: _fake_features(bytes(p)) if p is not None else [0.0] * FEATURE_DIM
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize plumbing: metadata transforms JVM-side; payload byte
+    truncation stands in for the recompressed image (same contract:
+    binary in → smaller binary out)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_dim)) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    new_bytes = F.greatest((F.col("n_bytes") * scale * scale).cast("long"), F.lit(1))
+    return df.select(
+        "media_id",
+        # deterministic stand-in for the recompressed payload
+        F.substring(F.col("payload"), 1, 1 << 20).alias("payload"),
+        "mime",
+        new_bytes.alias("n_bytes"),
+        (F.col("width") * scale).cast("int").alias("width"),
+        (F.col("height") * scale).cast("int").alias("height"),
+    )
+
+
+def frame_sample_stub(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled offset
+    (posexplode over a JVM-computed offset sequence); the 'frame'
+    payload is a deterministic byte slice. A real ffmpeg sampler swaps
+    into the same explode shape."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_bytes") - 1, F.lit(0)),
+        F.lit(every_n_bytes),
+    )
+    exploded = df.select(
+        "media_id",
+        "payload",
+        F.posexplode(offsets).alias("frame_idx", "offset"),
+    )
+    return exploded.select(
+        "media_id",
+        "frame_idx",
+        "offset",
+        F.substring(F.col("payload"), F.col("offset") + 1, 64).alias("frame"),
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Scale design (100 TB of vectors):
+- ``cosine_topk`` — brute-force scored scan + ``orderBy().limit(k)``.
+  Spark's TakeOrderedAndProject computes per-partition top-k then
+  merges k·partitions rows on the driver — no full sort, no shuffle of
+  the vectors themselves. This is the exact baseline.
+- ``lsh_topk`` — random-hyperplane LSH prefilter: H deterministic
+  (md5-derived) hyperplanes → sign-bit bucket per vector → score only
+  vectors whose bucket is within ``probe_hamming`` of the query's
+  bucket (multi-probe). Cuts the scored fraction ~2^-H per probe
+  level; recall/cost tunable with H and probes. The bucket is a plain
+  long column — at scale you'd partition/Z-order the table by it so
+  probes prune files.
+- ``ivf_topk`` — IVF-style coarse quantizer: k-means-lite centroids
+  chosen deterministically (first ``nlist`` vectors as seeds — real
+  deployments train centroids offline), assign each vector to nearest
+  centroid (one broadcast join), probe the ``nprobe`` nearest lists.
+
+Vector math uses ``zip_with``/``aggregate`` higher-order functions —
+JVM-side, no Python serialization per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_col(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = _query_col(query_vec)
+    vec = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(vec, q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_self_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force N²/2 — the
+    verification path; use lsh_topk buckets as candidates at scale)."""
+    base = df if max_rows is None else df.where(F.col(id_col) < max_rows)
+    vec = F.col(vec_col).cast("array<double>")
+    n = base.select(F.col(id_col), vec.alias("v"), norm(vec).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplane(h: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d is the
+    md5-derived value of (h, d), mapped into [-1, 1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"plane{h}:"), d.cast("string"))), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(float(1 << 32))
+        )
+        * 2.0
+        - 1.0,
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 12) -> Column:
+    """Random-hyperplane (SRP) bucket id: bit h = sign(vec · plane_h)."""
+    bucket = F.lit(0).cast("long")
+    for h in range(planes):
+        bit = F.when(dot(vec, _hyperplane(h, dim)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + F.shiftleft(bit.cast("long"), h)
+    return bucket
+
+
+def add_lsh_bucket(
+    df: DataFrame, dim: int, planes: int = 12, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the SRP bucket column (at scale: partition/Z-order by it)."""
+    vec = F.col(vec_col).cast("array<double>")
+    return df.withColumn("lsh_bucket", lsh_bucket(vec, dim, planes))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 12,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose SRP bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe LSH)."""
+    dim = len(query_vec)
+    bucketed = add_lsh_bucket(df, dim, planes, vec_col)
+    # query bucket computed with the same expressions on a 1-row frame —
+    # stays deterministic with the executor-side math
+    q = _query_col(query_vec)
+    probe = bucketed.where(
+        F.bit_count(F.col("lsh_bucket").bitwiseXOR(lsh_bucket(q, dim, planes))) <= probe_hamming
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        probe.select(F.col(id_col), F.round(cosine(vec, q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign vectors to the nearest of ``nlist`` coarse
+    centroids (deterministic seeds: the lowest-id vectors), then scan
+    only the ``nprobe`` centroid lists nearest the query.
+
+    The assignment is a broadcast join (centroids are tiny); the probe
+    is a partition-prunable equality filter on ``list_id``."""
+    centroids = (
+        df.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.monotonically_increasing_id().alias("list_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", F.negative(cosine(vec, F.col("cvec"))))
+        .withColumn("rn", F.row_number().over(Window.partitionBy(id_col).orderBy("dist")))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "list_id")
+    )
+    q = _query_col(query_vec)
+    probe_lists = (
+        centroids.select("list_id", F.round(cosine(F.col("cvec"), q), 6).alias("qc"))
+        .orderBy(F.col("qc").desc())
+        .limit(nprobe)
+        .select("list_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe_lists), "list_id")
+        .select(F.col(id_col), F.round(cosine(vec, q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

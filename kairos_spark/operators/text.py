@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is a narrow JVM-side projection (regex/string builtins,
+higher-order array functions) — map-only stages with no shuffle, which
+is exactly what you want when sweeping 100 TB of documents: the cost is
+one pass over the text bytes, Catalyst prunes unused columns, and the
+operators compose with any downstream filter/agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword panels for the n-gram/stopword heuristic.
+# Deliberately small and fixed so language_id is deterministic and
+# SQL-expressible (each panel becomes one regexp count).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "que", "es", "para", "con", "una"],
+}
+
+
+def _word_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def token_count(text: Column) -> Column:
+    """Number of BPE-ish tokens (letter runs / digit runs / punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: lengths, token/word counts,
+    punctuation/digit/whitespace ratios, stopword ratio, mean word
+    length. One narrow projection; no shuffle."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = word_count(t)
+    stop_hits = _count_matches(F.lower(t), _word_pattern(STOPWORDS["en"]))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        words.alias("n_words"),
+        token_count(t).alias("n_tokens"),
+        F.round(
+            _count_matches(t, r"[^A-Za-z0-9\s]") / F.greatest(n_chars, F.lit(1)), 6
+        ).alias("punct_ratio"),
+        F.round(
+            _count_matches(t, r"[0-9]") / F.greatest(n_chars, F.lit(1)), 6
+        ).alias("digit_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(t, r"\s", ""))) / F.greatest(n_chars, F.lit(1)), 6
+        ).alias("space_ratio"),
+        F.round(stop_hits / F.greatest(words, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.greatest(words, F.lit(1)), 6
+        ).alias("mean_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite 0-1 quality score from the stats (heuristic linear mix:
+    penalize extreme punctuation/digit density, reward stopword presence
+    and mid-range length)."""
+    s = text_stats(df, text_col, id_col)
+    length_term = F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * F.least(F.col("stopword_ratio") * 3, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(F.col("digit_ratio") * 5, F.lit(1.0)))
+    )
+    return s.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-panel language heuristic: per language, count panel hits
+    per word; predict argmax (ties → lexicographic language order,
+    'und' → no hits at all). Deterministic, expressible in ANSI SQL for
+    the oracle harness."""
+    t = F.lower(F.col(text_col))
+    words = F.greatest(word_count(F.col(text_col)), F.lit(1))
+    scores = [
+        (lang, _count_matches(t, _word_pattern(panel)) / words)
+        for lang, panel in sorted(STOPWORDS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang, s in scores:
+        pred = pred.when(s == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        F.round(best, 6).alias("lang_score"),
+    )
+
+
+def char_shingles(text: Column, n: int = 8) -> Column:
+    """Array of n-character shingles (whitespace-normalized), built with
+    sequence+transform — JVM higher-order functions, no UDF."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    length = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Document fingerprint: minimum md5 over n-char shingles (a 1-hash
+    MinHash — stable under small edits far from the minimizing shingle).
+    """
+    sh = F.array_distinct(char_shingles(F.col(text_col), n))
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
+    )

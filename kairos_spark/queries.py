@@ -1,0 +1,859 @@
+"""Driver-contract query pack: every operator from SURVEY.md §2 (plus
+the beyond-parity pipeline operators) expressed twice —
+
+- as a Spark query built from kairos_spark's own operator code
+  (``QUERIES[name](spark, sf_dir) -> DataFrame``), and
+- as ANSI SQL for the DuckDB oracle (``ORACLES[name]``), column
+  names/aliases matching exactly (the driver hash-compares values
+  with columns sorted by name).
+
+Numeric outputs are rounded to 6 decimals on BOTH sides so cross-engine
+floating-point accumulation order cannot flip the hash.
+
+Queries marked rows-only (present in QUERIES, absent from ORACLES) are
+the genuinely non-SQL-expressible ones (Arrow-batched media decode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from kairos_spark.config import parse_intervals
+from kairos_spark.ingest import bucketize
+from kairos_spark.operators import dedup, multimodal, similarity, text
+from kairos_spark.types import type_ops
+
+HOUR = 3600
+MINUTE = 60
+
+# one parse per import; these mirror a typical kairos interval config
+EVENT_INTERVALS = {
+    "hour": parse_intervals({"hour": {"step": HOUR}}),
+    "minute": parse_intervals({"minute": {"step": MINUTE}}),
+    "hour_fine": parse_intervals({"hour": {"step": HOUR, "resolution": MINUTE}}),
+    "daily": parse_intervals({"daily": {"step": "daily"}}),
+    "weekly": parse_intervals({"weekly": {"step": "weekly"}}),
+    "monthly": parse_intervals({"monthly": {"step": "monthly"}}),
+}
+
+
+def _utc(spark: SparkSession) -> None:
+    # bucket math and the oracle both assume UTC; events.parquet carries
+    # TIMESTAMP(NANOS) which Spark only reads as long with this legacy flag
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _utc(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long → microsecond timestamp
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def _events_long(spark, sf_dir, interval_key: str, value=None, fanout: int = 0) -> DataFrame:
+    """events → long-format rows through the engine's ingest operator.
+    name=event_type, insert order = event_id (deterministic)."""
+    ev = _tbl(spark, sf_dir, "events")
+    if value is not None:
+        ev = ev.withColumn("__value", value)
+    else:
+        ev = ev.withColumn("__value", F.col("value"))
+    return bucketize(
+        ev,
+        EVENT_INTERVALS[interval_key],
+        name_col="event_type",
+        ts_col="ts",
+        value_col="__value",
+        fanout=fanout,
+        seq_col="event_id",
+    )
+
+
+# =====================================================================
+# §2.1 core operators on the events table
+# =====================================================================
+
+
+def q_ts_count_series_hour(spark, sf_dir):
+    """L4 series + count type: per-name hourly counters
+    (ref: kairos/timeseries.py:619-719, count semantics :906-946)."""
+    long_df = _events_long(spark, sf_dir, "hour", value=F.lit(1.0))
+    ops = type_ops("count")
+    out = ops.container_agg(long_df, ["name", "i_time"], ["insert_seq"])
+    return out.select("name", "i_time", F.col("value").alias("cnt"))
+
+
+def q_ts_count_rate_minute(spark, sf_dir):
+    """count 'rate' transform at minute grain for one day
+    (ref: timeseries.py:917-920)."""
+    long_df = _events_long(spark, sf_dir, "minute", value=F.lit(1.0)).where(
+        (F.col("i_time") >= 1704412800) & (F.col("i_time") < 1704499200)  # 2024-01-05 UTC
+    )
+    ops = type_ops("count")
+    rate = ops.transform_expr("rate", F.lit(MINUTE))
+    return long_df.groupBy("name", "i_time").agg(F.round(rate, 6).alias("rate"))
+
+
+def q_ts_series_transforms_hour(spark, sf_dir):
+    """series-type named transforms mean/count/min/max/sum per hour for
+    one stat (ref: timeseries.py:800-820)."""
+    long_df = _events_long(spark, sf_dir, "hour").where(F.col("name") == "click")
+    ops = type_ops("series")
+    ex = ops.transform_exprs(F.lit(HOUR))
+    return long_df.groupBy("i_time").agg(
+        F.round(ex["mean"], 6).alias("mean_v"),
+        ex["count"].alias("count_v"),
+        F.round(ex["min"], 6).alias("min_v"),
+        F.round(ex["max"], 6).alias("max_v"),
+        F.round(ex["sum"], 6).alias("sum_v"),
+    )
+
+
+def q_ts_fine_hour_minute(spark, sf_dir):
+    """L3 get, fine resolution: (i_time hour, r_time minute) counters for
+    one day of one stat (ref: timeseries.py:547-611 fine branch)."""
+    long_df = _events_long(spark, sf_dir, "hour_fine").where(
+        (F.col("name") == "view")
+        & (F.col("i_time") >= 1704412800)
+        & (F.col("i_time") < 1704499200)
+    )
+    return (
+        type_ops("count")
+        .container_agg(long_df.withColumn("value", F.lit(1.0)), ["i_time", "r_time"], [])
+        .select("i_time", "r_time", F.col("value").alias("cnt"))
+    )
+
+
+def q_ts_condense_hour(spark, sf_dir):
+    """condense: resolution rows rolled up to interval grain — sum of the
+    minute sub-buckets equals the hour bucket (ref: timeseries.py:693-704,
+    count _condense :931-937)."""
+    long_df = _events_long(spark, sf_dir, "hour_fine").where(F.col("name") == "error")
+    return (
+        type_ops("count")
+        .container_agg(long_df, ["i_time"], [])
+        .select("i_time", F.round(F.col("value"), 6).alias("sum_v"))
+    )
+
+
+def q_ts_collapse_range(spark, sf_dir):
+    """collapse: all buckets merged to a single row keyed by the first
+    bucket (ref: timeseries.py:706-717)."""
+    long_df = _events_long(spark, sf_dir, "hour").where(F.col("name") == "click")
+    ops = type_ops("series")
+    ex = ops.transform_exprs(F.lit(HOUR))
+    return (
+        long_df.groupBy()
+        .agg(
+            F.min("i_time").alias("i_time"),
+            ex["count"].alias("count_v"),
+            F.round(ex["sum"], 6).alias("sum_v"),
+            F.round(ex["min"], 6).alias("min_v"),
+            F.round(ex["max"], 6).alias("max_v"),
+        )
+    )
+
+
+def q_ts_histogram_daily(spark, sf_dir):
+    """histogram type at daily Gregorian grain: {value→count} surfaced as
+    rows (ref: timeseries.py:845-904). value = event_type occurrences."""
+    long_df = _events_long(spark, sf_dir, "daily", value=F.col("event_type"))
+    return (
+        long_df.groupBy("i_time", "value")
+        .agg(F.count("*").alias("n"))
+        .select("i_time", F.col("value").alias("event_type"), "n")
+    )
+
+
+def q_ts_gauge_last_hour(spark, sf_dir):
+    """gauge last-write-wins per (name, hour); insert order = event_id
+    (ref: timeseries.py:948-988)."""
+    long_df = _events_long(spark, sf_dir, "hour")
+    out = type_ops("gauge").container_agg(long_df, ["name", "i_time"], ["insert_seq"])
+    return out.select("name", "i_time", F.round(F.col("value"), 6).alias("last_v"))
+
+
+def q_ts_set_hour(spark, sf_dir):
+    """set type: exact distinct cardinality + sum of distinct members per
+    hour (ref: timeseries.py:990-1016). members = user_id."""
+    long_df = _events_long(spark, sf_dir, "hour", value=F.col("user_id").cast("double"))
+    ops = type_ops("set")
+    ex = ops.transform_exprs(F.lit(HOUR))
+    return long_df.groupBy("name", "i_time").agg(
+        ex["count"].alias("n_distinct"),
+        F.round(ex["sum"], 6).alias("sum_distinct"),
+    )
+
+
+def q_ts_multi_name_merge(spark, sf_dir):
+    """L12 multi-name join-merge: ['click','view'] merged per hour — a
+    union + re-aggregate, not a relational join (ref:
+    timeseries.py:727-745)."""
+    long_df = _events_long(spark, sf_dir, "hour", value=F.lit(1.0)).where(
+        F.col("name").isin("click", "view")
+    )
+    out = type_ops("count").container_agg(long_df, ["i_time"], [])
+    return out.select("i_time", F.col("value").alias("cnt"))
+
+
+def q_ts_spine_gapfill(spark, sf_dir):
+    """L5 iterate / dense time spine: every minute bucket of one hour
+    (2024-01-03 00:00–01:00) including empties, count coalesced to 0
+    (ref: timeseries.py:521-545; mongo gap-fill :261-277)."""
+    start, end = 1704240000, 1704243540
+    long_df = _events_long(spark, sf_dir, "minute", value=F.lit(1.0)).where(
+        F.col("i_time").between(start, end)
+    )
+    counts = type_ops("count").container_agg(long_df, ["i_time"], [])
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit(start), F.lit(end), F.lit(MINUTE))).alias("i_time")
+    )
+    return spine.join(counts, "i_time", "left").select(
+        "i_time", F.coalesce(F.col("value"), F.lit(0.0)).alias("cnt")
+    )
+
+
+def q_ts_properties(spark, sf_dir):
+    """L7 properties: first/last hour bucket per stat
+    (ref: timeseries.py:401-405, sql_backend.py:134-159)."""
+    long_df = _events_long(spark, sf_dir, "hour", value=F.lit(1.0))
+    return long_df.groupBy("name").agg(
+        F.min("i_time").alias("first_t"), F.max("i_time").alias("last_t")
+    )
+
+
+def q_ts_list_names(spark, sf_dir):
+    """L6 list: distinct stat names (ref: timeseries.py:395-399)."""
+    return _events_long(spark, sf_dir, "hour", value=F.lit(1.0)).select("name").distinct()
+
+
+def q_ts_greg_daily(spark, sf_dir):
+    """Gregorian daily buckets as %Y%m%d ints
+    (ref: timeseries.py:135-189)."""
+    long_df = _events_long(spark, sf_dir, "daily", value=F.lit(1.0))
+    out = type_ops("count").container_agg(long_df, ["i_time"], [])
+    return out.select("i_time", F.col("value").alias("cnt"))
+
+
+def q_ts_greg_weekly(spark, sf_dir):
+    """Gregorian weekly %Y%U buckets (Sunday-start, week 00) — the
+    reference's documented strftime quirk (timeseries.py:139-150)."""
+    long_df = _events_long(spark, sf_dir, "weekly", value=F.lit(1.0))
+    out = type_ops("count").container_agg(long_df, ["i_time"], [])
+    return out.select("i_time", F.col("value").alias("cnt"))
+
+
+def q_ts_greg_monthly_rate(spark, sf_dir):
+    """Gregorian monthly buckets with variable step_size rate —
+    count / (days-in-month × 86400) (ref: timeseries.py:155-169)."""
+    from kairos_spark.functions.buckets import step_size_expr
+
+    long_df = _events_long(spark, sf_dir, "monthly", value=F.lit(1.0))
+    return long_df.groupBy("i_time").agg(
+        F.round(F.count("*") / step_size_expr(F.col("i_time"), "monthly"), 6).alias("rate")
+    )
+
+
+def q_ts_fanout_minute(spark, sf_dir):
+    """L1/L11 insert fan-out: intervals=+1 duplicates each event into the
+    following minute bucket (ref: timeseries.py:484-497)."""
+    long_df = _events_long(spark, sf_dir, "minute", value=F.lit(1.0), fanout=1)
+    out = type_ops("count").container_agg(long_df, ["i_time"], [])
+    return out.select("i_time", F.col("value").alias("cnt"))
+
+
+def q_ts_retention_filter(spark, sf_dir):
+    """L10 expire: keep only buckets within the last 48 hourly steps of
+    the data's max bucket (ref: sql_backend.py:161-178)."""
+    long_df = _events_long(spark, sf_dir, "hour", value=F.lit(1.0))
+    counts = type_ops("count").container_agg(long_df, ["name", "i_time"], [])
+    horizon = counts.groupBy().agg(F.max("i_time").alias("max_t"))
+    return (
+        counts.join(F.broadcast(horizon))
+        .where(F.col("i_time") > F.col("max_t") - 48 * HOUR)
+        .select("name", "i_time", F.col("value").alias("cnt"))
+    )
+
+
+_TS_ORACLES = {
+    "ts_count_series_hour": """
+        SELECT event_type AS name,
+               CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1, 2
+    """,
+    "ts_count_rate_minute": """
+        SELECT event_type AS name,
+               CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS i_time,
+               round(count(*) / 60.0, 6) AS rate
+        FROM events
+        WHERE floor(epoch(ts)/60)*60 >= 1704412800
+          AND floor(epoch(ts)/60)*60 < 1704499200
+        GROUP BY 1, 2
+    """,
+    "ts_series_transforms_hour": """
+        SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+               round(avg(value), 6) AS mean_v,
+               count(value) AS count_v,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v,
+               round(sum(value), 6) AS sum_v
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    """,
+    "ts_fine_hour_minute": """
+        SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+               CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS r_time,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events
+        WHERE event_type = 'view'
+          AND floor(epoch(ts)/3600)*3600 >= 1704412800
+          AND floor(epoch(ts)/3600)*3600 < 1704499200
+        GROUP BY 1, 2
+    """,
+    "ts_condense_hour": """
+        SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+               round(sum(value), 6) AS sum_v
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    """,
+    "ts_collapse_range": """
+        SELECT CAST(min(floor(epoch(ts)/3600)*3600) AS BIGINT) AS i_time,
+               count(value) AS count_v,
+               round(sum(value), 6) AS sum_v,
+               round(min(value), 6) AS min_v,
+               round(max(value), 6) AS max_v
+        FROM events WHERE event_type = 'click'
+    """,
+    "ts_histogram_daily": """
+        SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS i_time,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "ts_gauge_last_hour": """
+        SELECT event_type AS name,
+               CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+               round(arg_max(value, event_id), 6) AS last_v
+        FROM events GROUP BY 1, 2
+    """,
+    "ts_set_hour": """
+        SELECT event_type AS name,
+               CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+               count(DISTINCT CAST(user_id AS DOUBLE)) AS n_distinct,
+               round(sum(DISTINCT CAST(user_id AS DOUBLE)), 6) AS sum_distinct
+        FROM events GROUP BY 1, 2
+    """,
+    "ts_multi_name_merge": """
+        SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    """,
+    "ts_spine_gapfill": """
+        SELECT s.i_time,
+               coalesce(c.cnt, 0.0) AS cnt
+        FROM (SELECT unnest(generate_series(1704240000, 1704243540, 60)) AS i_time) s
+        LEFT JOIN (
+            SELECT CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS i_time,
+                   CAST(count(*) AS DOUBLE) AS cnt
+            FROM events GROUP BY 1
+        ) c USING (i_time)
+    """,
+    "ts_properties": """
+        SELECT event_type AS name,
+               CAST(min(floor(epoch(ts)/3600)*3600) AS BIGINT) AS first_t,
+               CAST(max(floor(epoch(ts)/3600)*3600) AS BIGINT) AS last_t
+        FROM events GROUP BY 1
+    """,
+    "ts_list_names": """
+        SELECT DISTINCT event_type AS name FROM events
+    """,
+    "ts_greg_daily": """
+        SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS i_time,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1
+    """,
+    "ts_greg_weekly": """
+        SELECT CAST(strftime(ts, '%Y%U') AS BIGINT) AS i_time,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1
+    """,
+    "ts_greg_monthly_rate": """
+        SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS i_time,
+               round(count(*) / (date_diff('day',
+                   date_trunc('month', ts),
+                   date_trunc('month', ts) + INTERVAL 1 MONTH) * 86400.0), 6) AS rate
+        FROM events GROUP BY 1, date_trunc('month', ts)
+    """,
+    "ts_fanout_minute": """
+        SELECT i_time, CAST(count(*) AS DOUBLE) AS cnt FROM (
+            SELECT CAST(floor(epoch(ts)/60)*60 AS BIGINT) AS i_time FROM events
+            UNION ALL
+            SELECT CAST(floor(epoch(ts)/60)*60 + 60 AS BIGINT) FROM events
+        ) GROUP BY 1
+    """,
+    "ts_retention_filter": """
+        WITH c AS (
+            SELECT event_type AS name,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+                   CAST(count(*) AS DOUBLE) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT name, i_time, cnt FROM c
+        WHERE i_time > (SELECT max(i_time) FROM c) - 48*3600
+    """,
+}
+
+# =====================================================================
+# Relational engine queries (TPC-H-style) — beyond the reference's
+# surface, showcasing scans/joins/windows the engine supports
+# =====================================================================
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape over lineitem: scan + pushdown filter + wide agg."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Star join: lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation) —
+    the dims are broadcast so only the fact side shuffles."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_window_top_orders(spark, sf_dir):
+    """Window function: top-3 orders by totalprice per orderpriority
+    (row_number with deterministic tie-break)."""
+    from pyspark.sql.window import Window
+
+    o = _tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# =====================================================================
+# Training-data pipeline operators (documents / embeddings)
+# =====================================================================
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ shifted-id copy — deterministic synthetic duplicates
+    (the corpus itself has no exact dups)."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return d.unionByName(dup)
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: md5-digest groups with >1 member
+    (hash-groupBy; one shuffle on the digest)."""
+    return dedup.exact_dup_groups(_docs_with_dups(spark, sf_dir)).select(
+        "digest", "n_docs", "keep_id"
+    )
+
+
+def q_dedup_exact_keep(spark, sf_dir):
+    """Exact dedup keep-set: lowest doc_id per digest survives."""
+    out = dedup.exact_dedup(_docs_with_dups(spark, sf_dir))
+    return out.select("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.25, 8-char
+    shingles) via shingle self-join."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.ngram_jaccard_pairs(d, n=8, threshold=0.25)
+
+
+def q_minhash_first_hashes(spark, sf_dir):
+    """MinHash signature spot-check: first two hash components per doc
+    (full signature is array-valued; h0/h1 are scalar and oracle-able)."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dedup.minhash_signatures(d, n=8, num_hashes=2)
+    return sig.select(
+        "doc_id",
+        F.col("sig")[0].alias("h0"),
+        F.col("sig")[1].alias("h1"),
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH banded near-dup pairs — the 100 TB dedup path.
+    Estimated Jaccard = signature agreement fraction."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_lsh_pairs(d, n=8, num_hashes=32, bands=16, threshold=0.2)
+
+
+def q_simhash_sample(spark, sf_dir):
+    """SimHash fingerprints for the first 100 docs (60-bit, md5-token
+    based)."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 100)
+    return dedup.simhash(d)
+
+
+def q_text_stats(spark, sf_dir):
+    """Per-doc quality metrics (lengths, token counts, ratios)."""
+    return text.text_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return text.quality_score(_tbl(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-panel language heuristic vs the labeled lang column."""
+    d = _tbl(spark, sf_dir, "documents")
+    pred = text.language_id(d)
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Min-md5-over-shingles document fingerprint."""
+    return text.fingerprint(_tbl(spark, sf_dir, "documents"), n=8)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 embedding —
+    the exact ANN baseline (TakeOrderedAndProject: per-partition top-k,
+    no global sort)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk(emb, [float(x) for x in qvec], k=10)
+
+
+def q_embed_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (≥0.8) among vec_id<200 —
+    brute-force verification path for the LSH variant."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.cosine_self_pairs(emb, threshold=0.8, max_rows=200)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-10 via random-hyperplane LSH multi-probe —
+    rows-only check (approximation has no SQL oracle); recall is
+    asserted against the brute-force baseline in tests."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_topk(emb, [float(x) for x in qvec], k=10, planes=8, probe_hamming=2)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media plumbing: attach payloads, extract features via
+    Arrow-batched mapInPandas (decode stubbed deterministically) —
+    rows-only check (mapInPandas is not SQL-expressible)."""
+    media = multimodal.attach_media(_tbl(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.col("features")[0], 6).alias("f0"),
+        F.round(F.col("features")[15], 6).alias("f15"),
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one row per 256-byte offset per payload."""
+    media = multimodal.attach_media(_tbl(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample_stub(media, every_n_bytes=256)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+QUERIES = {
+    "ts_count_series_hour": q_ts_count_series_hour,
+    "ts_count_rate_minute": q_ts_count_rate_minute,
+    "ts_series_transforms_hour": q_ts_series_transforms_hour,
+    "ts_fine_hour_minute": q_ts_fine_hour_minute,
+    "ts_condense_hour": q_ts_condense_hour,
+    "ts_collapse_range": q_ts_collapse_range,
+    "ts_histogram_daily": q_ts_histogram_daily,
+    "ts_gauge_last_hour": q_ts_gauge_last_hour,
+    "ts_set_hour": q_ts_set_hour,
+    "ts_multi_name_merge": q_ts_multi_name_merge,
+    "ts_spine_gapfill": q_ts_spine_gapfill,
+    "ts_properties": q_ts_properties,
+    "ts_list_names": q_ts_list_names,
+    "ts_greg_daily": q_ts_greg_daily,
+    "ts_greg_weekly": q_ts_greg_weekly,
+    "ts_greg_monthly_rate": q_ts_greg_monthly_rate,
+    "ts_fanout_minute": q_ts_fanout_minute,
+    "ts_retention_filter": q_ts_retention_filter,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "window_top_orders": q_window_top_orders,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "minhash_first_hashes": q_minhash_first_hashes,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_sample": q_simhash_sample,
+    "text_stats": q_text_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embed_near_pairs": q_embed_near_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
+}
+
+ORACLES = dict(_TS_ORACLES)
+ORACLES.update(
+    {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "window_top_orders": """
+            SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       round(o_totalprice, 2) AS o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "dedup_exact_groups": """
+            WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE (doc_id + 1000000) % 5 = 0
+            )
+            SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM docs GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_exact_keep": """
+            WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE (doc_id + 1000000) % 5 = 0
+            )
+            SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+                   round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round((length(text) - length(regexp_replace(text, '\\s', '', 'g'))) * 1.0
+                         / greatest(length(text), 1), 6) AS space_ratio,
+                   round(len(regexp_extract_all(lower(text),
+                         '\\b(the|and|of|to|in|is|that|for|with)\\b')) * 1.0
+                         / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                         AS stopword_ratio,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                         / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                         AS mean_word_len
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                   ), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "embed_near_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+              AND round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+        """,
+        "frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(floor(greatest(length(text) - 1, 0) / 256) + 1 AS BIGINT) AS n_frames
+            FROM documents
+        """,
+    }
+)
+
+# SQL twins of the md5-derived pipeline operators (DuckDB: hex → BIGINT
+# via '0x'||substr(md5(...))). Shingling/tokenization formulas mirror
+# kairos_spark.operators.text exactly.
+_SHINGLE_CTE = """
+    norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS n
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, n,
+               unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+        FROM norm
+    ),
+    sh AS (SELECT DISTINCT doc_id, substr(n, i, 8) AS s FROM idx)
+"""
+
+ORACLES.update(
+    {
+        "quality_scores": """
+            WITH stats AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                       round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+                             / greatest(length(text), 1), 6) AS digit_ratio,
+                       round(len(regexp_extract_all(lower(text),
+                             '\\b(the|and|of|to|in|is|that|for|with)\\b')) * 1.0
+                             / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                             AS stopword_ratio
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(0.4 * least(n_words / 100.0, 1.0)
+                       + 0.3 * least(stopword_ratio * 3, 1.0)
+                       + 0.2 * (1.0 - least(punct_ratio * 4, 1.0))
+                       + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality
+            FROM stats
+        """,
+        "lang_id": """
+            WITH scores AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(der|die|und|das|ist|nicht|mit|ein)\\b')) * 1.0
+                           / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS s_de,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(the|and|of|to|in|is|that|for|with)\\b')) * 1.0
+                           / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS s_en,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(el|la|los|que|es|para|con|una)\\b')) * 1.0
+                           / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS s_es,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(le|la|les|et|est|que|pour|dans)\\b')) * 1.0
+                           / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS s_fr
+                FROM documents
+            ),
+            pred AS (
+                SELECT doc_id, lang,
+                       CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM scores
+            )
+            SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
+        """,
+        "doc_fingerprint": """
+            WITH """ + _SHINGLE_CTE + """
+            SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1
+        """,
+        "minhash_first_hashes": """
+            WITH """ + _SHINGLE_CTE + """,
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(s), 1, 11))::BIGINT AS a,
+                       ('0x' || substr(md5(s), 12, 11))::BIGINT AS b
+                FROM sh
+            )
+            SELECT doc_id,
+                   min(a % 17592186044399) AS h0,
+                   min((a + b) % 17592186044399) AS h1
+            FROM h GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH """ + _SHINGLE_CTE + """,
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+            FROM shared
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.25
+        """,
+        "simhash_sample": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS t
+                FROM documents WHERE doc_id < 100
+            ),
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(t), 1, 11))::BIGINT AS h FROM tok
+            ),
+            bits AS (
+                SELECT doc_id, j.j,
+                       sum(CASE WHEN ((h >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+                GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+            FROM bits GROUP BY 1
+        """,
+    }
+)
