@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the BASELINE.md B1–B5 workloads mapped onto the query
+pack, plus the relational and pipeline operators that dominate real
+usage. Each timing includes full materialization (count/collect) of the
+query's result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from kairos_spark import queries as q
+from kairos_spark.ingest import bucketize
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def bench_ingest(spark, sf_dir):
+    """B1: bulk ingest — events fanned into 3 intervals (hour coarse,
+    hour/minute fine, daily Gregorian) as one map-only projection."""
+    intervals = {}
+    for key in ("hour", "hour_fine", "daily"):
+        intervals.update(
+            {f"{key}:{n}": c for n, c in q.EVENT_INTERVALS[key].items()}
+        )
+    ev = q._tbl(spark, sf_dir, "events")
+    long_df = bucketize(
+        ev, intervals, name_col="event_type", ts_col="ts", value_col="value",
+        seq_col="event_id",
+    )
+    return long_df.count()
+
+
+HEADLINE = {
+    "ingest_bucketize": bench_ingest,                     # B1
+    "get_fine_bucket": q.q_ts_fine_hour_minute,           # B2
+    "series_transforms": q.q_ts_series_transforms_hour,   # B3
+    "series_collapse": q.q_ts_collapse_range,             # B4
+    "iterate_spine": q.q_ts_spine_gapfill,                # B5
+    "count_series_hour": q.q_ts_count_series_hour,
+    "gauge_last_hour": q.q_ts_gauge_last_hour,
+    "set_distinct_hour": q.q_ts_set_hour,
+    "greg_weekly": q.q_ts_greg_weekly,
+    "q1_pricing_summary": q.q_q1_pricing_summary,
+    "revenue_by_nation": q.q_revenue_by_nation,
+    "window_top_orders": q.q_window_top_orders,
+    "dedup_exact_keep": q.q_dedup_exact_keep,
+    "text_stats": q.q_text_stats,
+    "minhash_first_hashes": q.q_minhash_first_hashes,
+    "ann_cosine_topk": q.q_ann_cosine_topk,
+}
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("kairos_spark-bench")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings = {}
+    for name, fn in HEADLINE.items():
+        t0 = time.time()
+        out = fn(spark, SF_DIR)
+        if hasattr(out, "collect"):
+            out.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,12 +30,13 @@ def _word_pattern(words: list[str]) -> str:
 
 
 def _count_matches(col: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+    # regexp_count: counts without materializing the match array
+    return F.regexp_count(col, F.lit(pattern))
 
 
 def token_count(text: Column) -> Column:
     """Number of BPE-ish tokens (letter runs / digit runs / punct)."""
-    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
 
 
 def word_count(text: Column) -> Column:

@@ -51,6 +51,11 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → microsecond timestamp
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    if name == "documents":
+        # text operators are CPU-bound per row; the corpus arrives as one
+        # small file (one partition), so spread it across the cluster —
+        # on a real deployment input splits already provide this
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
