@@ -231,22 +231,18 @@ def simhash_near_pairs(
     value generates candidates without an all-pairs join."""
     seg_bits = bits // blocks
     sh = simhash(df, text_col, id_col, bits)
-    banded = sh.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(blocks - 1)),
-                lambda b: F.concat(
-                    b.cast("string"),
-                    F.lit(":"),
-                    F.shiftright("simhash", b * seg_bits)
-                    .bitwiseAND(F.lit((1 << seg_bits) - 1))
-                    .cast("string"),
-                ),
+    segments = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.shiftright(F.col("simhash"), b * seg_bits)
+                .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                .cast("string"),
             )
-        ).alias("seg"),
+            for b in range(blocks)
+        ]
     )
+    banded = sh.select(F.col(id_col), "simhash", F.explode(segments).alias("seg"))
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

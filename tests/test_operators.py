@@ -1,0 +1,203 @@
+"""Operator tests: dedup (exact/minhash/simhash/jaccard), similarity
+(brute force vs LSH/IVF recall), text analysis, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kairos_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away quickly"),
+        (2, "completely different content about spark dataframes and aggregation"),
+        (3, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 0
+        (4, "numbers 123 and punctuation!!! mixed, with words."),
+        (5, "der hund läuft schnell und die katze ist nicht da mit ein"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rnd.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # vec 59 = near-copy of vec 0
+    rows[59] = (59, [x + 0.01 for x in rows[0][1]])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs).collect())
+    assert kept == [0, 1, 2, 4, 5]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0  # near dup
+    assert (0, 2) not in pairs
+
+
+def test_minhash_estimates_jaccard(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.05).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=5, num_hashes=128, bands=32, threshold=0.3
+        ).collect()
+    }
+    assert (0, 3) in est and est[(0, 3)] == 1.0
+    assert (0, 1) in est
+    # 128-hash estimate within 0.15 of exact
+    assert abs(est[(0, 1)] - exact[(0, 1)]) < 0.15
+
+
+def test_minhash_signature_shape(docs):
+    sig = dedup.minhash_signatures(docs, n=5, num_hashes=16).collect()
+    assert all(len(r["sig"]) == 16 for r in sig)
+    by_id = {r["doc_id"]: r["sig"] for r in sig}
+    assert by_id[0] == by_id[3]  # identical docs → identical signatures
+    assert by_id[0] != by_id[2]
+
+
+def test_simhash(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fp[0] == fp[3]
+    ham01 = bin(fp[0] ^ fp[1]).count("1")
+    ham02 = bin(fp[0] ^ fp[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert (0, 3) in pairs
+
+
+# -------------------------------------------------------------- similarity
+
+
+def _brute_top(vecs_rows, q, k):
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    scored = sorted(
+        ((round(cos(v, q), 6), i) for i, v in vecs_rows), key=lambda t: (-t[0], t[1])
+    )
+    return [i for _, i in scored[:k]]
+
+
+def test_cosine_topk_exact(vecs):
+    rows = [(r["vec_id"], r["embedding"]) for r in vecs.collect()]
+    q = dict(rows)[0]
+    expected = _brute_top(rows, q, 5)
+    got = [r["vec_id"] for r in similarity.cosine_topk(vecs, q, k=5).collect()]
+    assert got == expected
+    assert got[0] == 0 and 59 in got[:2]  # self first, near-copy next
+
+
+def test_lsh_topk_recall(vecs):
+    rows = [(r["vec_id"], r["embedding"]) for r in vecs.collect()]
+    q = dict(rows)[0]
+    exact = set(_brute_top(rows, q, 5))
+    got = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(vecs, q, k=5, planes=8, probe_hamming=3).collect()
+    }
+    # multi-probe LSH at these settings should recover most of top-5
+    assert len(exact & got) >= 3
+
+
+def test_ivf_topk_finds_near_copy(vecs):
+    rows = [(r["vec_id"], r["embedding"]) for r in vecs.collect()]
+    q = dict(rows)[0]
+    got = [r["vec_id"] for r in similarity.ivf_topk(vecs, q, k=3, nlist=8, nprobe=4).collect()]
+    assert 0 in got and 59 in got
+
+
+def test_cosine_self_pairs(vecs):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in similarity.cosine_self_pairs(vecs, 0.99).collect()}
+    assert (0, 59) in pairs
+
+
+# -------------------------------------------------------------------- text
+
+
+def test_text_stats(docs):
+    stats = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
+    r0 = stats[0]
+    assert r0["n_words"] == 13
+    assert r0["n_chars"] == len("the quick brown fox jumps over the lazy dog and runs away fast")
+    assert stats[4]["digit_ratio"] > 0
+    assert stats[4]["punct_ratio"] > 0
+    assert r0["stopword_ratio"] > 0
+
+
+def test_language_id(docs):
+    pred = {r["doc_id"]: r["lang_pred"] for r in text.language_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[5] == "de"
+
+
+def test_quality_score_range(docs):
+    scores = [r["quality"] for r in text.quality_score(docs).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_fingerprint_stability(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[3]
+    assert fp[0] != fp[2]
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features(docs):
+    media = multimodal.attach_media(docs)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert len(feats) == 6
+    r0 = feats[0]
+    assert r0["n_bytes"] == len(docs.collect()[0]["text"].encode())
+    assert len(r0["features"]) == multimodal.FEATURE_DIM
+    assert abs(sum(r0["features"]) - 1.0) < 1e-9  # L1-normalized histogram
+
+
+def test_multimodal_strict_raises(docs):
+    media = multimodal.attach_media(docs)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_resize_and_frames(docs):
+    media = multimodal.attach_media(docs)
+    resized = multimodal.resize_stub(media, max_dim=16).collect()
+    assert all(r["width"] <= 16 and r["height"] <= 16 for r in resized)
+    frames = multimodal.frame_sample_stub(media, every_n_bytes=16).collect()
+    n0 = [r for r in frames if r["media_id"] == 0]
+    text0 = docs.collect()[0]["text"]
+    assert len(n0) == (len(text0.encode()) - 1) // 16 + 1
