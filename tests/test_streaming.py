@@ -1,0 +1,132 @@
+"""Structured Streaming ingest tests: file-source micro-batches through
+the same bucketize path as batch, windowed rollups, foreachBatch
+partial-aggregate rollup table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kairos_spark.config import parse_intervals
+from kairos_spark.ingest import bucketize
+from kairos_spark.streaming import (
+    foreach_batch_rollup,
+    stream_ingest,
+    windowed_rollup,
+)
+
+BASE = 500000 * 3600
+INTERVALS = parse_intervals({"minute": {"step": 60}, "hour": {"step": 3600, "resolution": 60}})
+SCHEMA = "name string, ts timestamp, value double"
+
+
+@pytest.fixture()
+def input_dir(spark, tmp_path):
+    rows = [("a", float(BASE + i * 30), float(i)) for i in range(20)]
+    df = spark.createDataFrame(
+        [(n, t, v) for n, t, v in rows], "name string, ts_sec double, value double"
+    ).select("name", F.timestamp_seconds("ts_sec").alias("ts"), "value")
+    path = str(tmp_path / "in")
+    df.coalesce(2).write.parquet(path)
+    return path
+
+
+def _batch_df(spark, input_dir):
+    return spark.read.schema(SCHEMA).parquet(input_dir)
+
+
+def test_stream_ingest_matches_batch(spark, input_dir, tmp_path):
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    q = stream_ingest(
+        stream, out, chk, INTERVALS, watermark="1 hour", trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("interval", "i_time", "r_time")
+        .agg(F.sum("value").alias("v"), F.count("*").alias("n"))
+    )
+    expected = (
+        bucketize(_batch_df(spark, input_dir), INTERVALS)
+        .groupBy("interval", "i_time", "r_time")
+        .agg(F.sum("value").alias("v"), F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_windowed_rollup_memory_sink(spark, input_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    rollup = windowed_rollup(stream, series_type="count", step_seconds=60)
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["name"], r["i_time"]): r["value"]
+        for r in spark.sql("SELECT * FROM rollup_counts").collect()
+    }
+    expected = {
+        (r["name"], r["i_time"]): r["v"]
+        for r in _batch_df(spark, input_dir)
+        .groupBy(
+            F.col("name"),
+            (F.floor(F.unix_timestamp("ts") / 60) * 60).cast("long").alias("i_time"),
+        )
+        .agg(F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_foreach_batch_rollup(spark, input_dir, tmp_path):
+    out = str(tmp_path / "rollup")
+    chk = str(tmp_path / "chk2")
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    q = foreach_batch_rollup(stream, out, chk, INTERVALS, trigger_available_now=True)
+    q.awaitTermination(120)
+    # final aggregation over partials == batch aggregate
+    final = (
+        spark.read.parquet(out)
+        .groupBy("interval", "i_time", "r_time")
+        .agg(F.sum("value").alias("v"), F.sum("n").alias("n"))
+    )
+    expected = (
+        bucketize(_batch_df(spark, input_dir), INTERVALS)
+        .groupBy("interval", "i_time", "r_time")
+        .agg(F.sum("value").alias("v"), F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_windowed_rollup_gauge(spark, input_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    rollup = windowed_rollup(stream, series_type="gauge", step_seconds=60)
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_gauge")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["name"], r["i_time"]): r["value"]
+        for r in spark.sql("SELECT * FROM rollup_gauge").collect()
+    }
+    # last write per minute bucket (ts ascending == insert order here)
+    expected = {
+        (r["name"], r["i_time"]): r["v"]
+        for r in _batch_df(spark, input_dir)
+        .groupBy(
+            F.col("name"),
+            (F.floor(F.unix_timestamp("ts") / 60) * 60).cast("long").alias("i_time"),
+        )
+        .agg(F.max_by("value", F.unix_micros("ts")).alias("v"))
+        .collect()
+    }
+    assert got == expected
