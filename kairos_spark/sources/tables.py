@@ -1,0 +1,84 @@
+"""Sources & sinks.
+
+The reference dispatches on a client URL to one of four storage
+backends (``Timeseries(client, ...)`` factory, kairos/timeseries.py:
+266-297 + BACKENDS registry :1043-1066). Here the same idea maps to
+Spark data sources: a ``store://`` URL picks the physical layer for the
+long-format table, and generic readers cover file formats the reference
+never had (its only "formats" were Redis/Mongo/SQL/Cassandra layouts —
+SURVEY.md §2.3/§2.4).
+
+Scale notes:
+- the long table partitions by ``interval`` (small, fixed cardinality)
+  so every query's interval-equality predicate prunes whole partitions;
+  within files, parquet min/max stats on ``i_time`` skip row groups for
+  bucket-range scans (the reference's key-scheme equivalent, §4).
+- ``write_long_table`` sorts within partitions by (name, i_time) before
+  writing so those stats are tight (the poor man's Z-order; on Delta
+  use OPTIMIZE ZORDER).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = {"parquet", "orc", "json", "csv"}
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched reader. Always pass ``schema`` for csv/json in
+    production paths — inference is a full extra scan at 100 TB."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMATS)}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_long_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    fmt: str = "parquet",
+    target_partitions: int | None = None,
+) -> None:
+    """Append long-format rows partitioned by interval, sorted within
+    partitions by (name, i_time) for tight parquet min/max stats."""
+    out = df
+    if target_partitions:
+        out = out.repartition(target_partitions, "interval", "name")
+    out = out.sortWithinPartitions("interval", "name", "i_time")
+    out.write.mode(mode).partitionBy("interval").format(fmt).save(path)
+
+
+class ParquetStoreHandle:
+    """Resolved store handle: scheme + root path."""
+
+    def __init__(self, scheme: str, path: str):
+        self.scheme = scheme
+        self.path = path
+
+    def __repr__(self):
+        return f"ParquetStoreHandle({self.scheme}://{self.path})"
+
+
+def open_store(url: str) -> ParquetStoreHandle:
+    """kairos-style URL dispatch for the long-table store:
+    ``parquet:///abs/path``, ``memory://`` (tests), ``delta:///path``
+    (same layout; requires delta-spark at runtime)."""
+    parsed = urlparse(url)
+    scheme = parsed.scheme or "parquet"
+    if scheme not in ("parquet", "memory", "delta"):
+        raise ValueError(f"unsupported store scheme {scheme!r}")
+    return ParquetStoreHandle(scheme, parsed.path)

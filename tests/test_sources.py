@@ -1,0 +1,88 @@
+"""Sources/sinks + parquet-backed Timeseries store: round trip, partition
+pruning and predicate pushdown reaching the scan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kairos_spark import Timeseries
+from kairos_spark.sources import open_store, read_table, write_long_table
+
+BASE = 500000 * 3600
+
+
+def test_open_store_urls():
+    h = open_store("parquet:///data/ts")
+    assert h.scheme == "parquet" and h.path == "/data/ts"
+    assert open_store("memory://").scheme == "memory"
+    with pytest.raises(ValueError):
+        open_store("redis://localhost")
+
+
+def test_read_write_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "minute", BASE, -1, 0, 1.5), ("b", "minute", BASE + 60, -1, 1, 2.5)],
+        "name string, interval string, i_time long, r_time long, insert_seq long, value double",
+    )
+    path = str(tmp_path / "t")
+    write_long_table(df, path)
+    # partition column moves to the end on read-back; reorder explicitly
+    back = read_table(spark, path).select(*df.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    csv_path = str(tmp_path / "c")
+    df.write.option("header", "true").csv(csv_path)
+    back_csv = read_table(spark, csv_path, fmt="csv", schema=df.schema)
+    assert back_csv.count() == 2
+
+
+def test_parquet_backed_timeseries(spark, tmp_path):
+    t = Timeseries(
+        spark,
+        type="count",
+        intervals={"minute": {"step": 60}},
+        path=str(tmp_path / "store"),
+    )
+    t.insert("web", 1, timestamp=BASE)
+    t.insert("web", 2, timestamp=BASE)
+    t.insert("web", 5, timestamp=BASE + 60)
+    assert t.get("web", "minute", timestamp=BASE) == {BASE: 3.0}
+    assert t.series("web", "minute", start=BASE, end=BASE + 60) == {
+        BASE: 3.0,
+        BASE + 60: 5.0,
+    }
+    t.delete("web")
+    assert t.list() == []
+
+
+def test_parquet_scan_pushdown(spark, tmp_path):
+    t = Timeseries(
+        spark,
+        type="count",
+        intervals={"minute": {"step": 60}, "hour": {"step": 3600}},
+        path=str(tmp_path / "store"),
+    )
+    t.bulk_insert({BASE + i * 60: {"web": [1]} for i in range(10)})
+    df = t.get_df("web", "minute", timestamp=BASE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # interval partition pruning + name/i_time pushdown must reach the scan
+    assert "PushedFilters" in plan
+    assert "i_time" in plan and "name" in plan
+    got = df.collect()
+    assert len(got) == 1 and got[0]["value"] == 1.0
+
+
+def test_parquet_expire(spark, tmp_path):
+    t = Timeseries(
+        spark,
+        type="count",
+        intervals={"minute": {"step": 60, "steps": 5}},
+        path=str(tmp_path / "store"),
+    )
+    import time as _time
+
+    now = _time.time()
+    t.insert("web", 1, timestamp=now)
+    t.insert("web", 1, timestamp=now - 3600)  # far past retention
+    t.expire("web")
+    rows = t.scan().collect()
+    assert len(rows) == 1
