@@ -862,3 +862,41 @@ ORACLES.update(
         """,
     }
 )
+
+# MinHash+LSH pair oracle: the banding construction is deterministic
+# (md5 double-hashing, fixed band digests), so even the "approximate"
+# dedup path has an exact SQL twin.
+ORACLES["minhash_lsh_pairs"] = """
+    WITH """ + _SHINGLE_CTE + """,
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 11))::BIGINT AS a,
+               ('0x' || substr(md5(s), 12, 11))::BIGINT AS b
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, i.i AS i, min((a + i.i * b) % 17592186044399) AS hv
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(CAST(i // 2 AS VARCHAR) || ':' ||
+                   string_agg(CAST(hv AS VARCHAR), ',' ORDER BY i)) AS bucket
+        FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               round(sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) / 32.0, 6)
+                   AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2
+"""
