@@ -331,12 +331,50 @@ class Timeseries:
             transform=transform, step_size=self._step_size_col(cfg, "r"),
         )
 
-    def get(self, name, interval, timestamp=None, condense=False, transform=None) -> OrderedDict:
+    def get(
+        self, name, interval, timestamp=None, condense=False, transform=None,
+        join_rows=None,
+    ) -> OrderedDict:
         """Reference-shaped read: OrderedDict keyed by bucket timestamps
-        (kairos/timeseries.py:547-611)."""
+        (kairos/timeseries.py:547-611).
+
+        Customized-read hooks (parity: README.rst:623-749): ``condense``
+        may be a callable receiving the r-keyed OrderedDict of
+        containers; ``join_rows`` a callable merging the per-name
+        containers of one time slot (applied in name-argument order).
+        Hooks run driver-side over already-aggregated containers — the
+        cluster still does all scanning/aggregation."""
         cfg = require_interval(self.intervals, interval)
         if timestamp is None:
             timestamp = _time.time()
+        if callable(condense) and condense is not True:
+            fine = self.get(name, interval, timestamp, condense=False, join_rows=join_rows)
+            i_key, _ = self._stored_keys(cfg, timestamp)
+            data = condense(fine)
+            shaped = OrderedDict([(self._key_ts(cfg.i_calc, i_key), data)])
+            if transform:
+                step = cfg.i_calc.step_size(timestamp)
+                return OrderedDict(
+                    (k, _apply_callable_transforms(self.ops, v, transform, step))
+                    for k, v in shaped.items()
+                )
+            return shaped
+        if join_rows is not None and isinstance(name, (list, tuple, set)):
+            per_name = [
+                self.get(n, interval, timestamp, condense=condense) for n in name
+            ]
+            keys = sorted({k for res in per_name for k in res})
+            shaped = OrderedDict(
+                (k, join_rows([res.get(k) for res in per_name])) for k in keys
+            )
+            if transform:
+                coarse_like = cfg.coarse or bool(condense)
+                step = (cfg.i_calc if coarse_like else cfg.r_calc).step_size(timestamp)
+                shaped = OrderedDict(
+                    (k, _apply_callable_transforms(self.ops, v, transform, step))
+                    for k, v in shaped.items()
+                )
+            return shaped
         callables = _has_callables(transform)
         df_transform = None if callables else transform
         df = self.get_df(name, interval, timestamp, condense, df_transform)
@@ -454,8 +492,36 @@ class Timeseries:
         condense=False, collapse=False, transform=None,
     ) -> OrderedDict:
         """Reference-shaped range read: ``{i_ts: data}`` or nested
-        ``{i_ts: {r_ts: data}}`` (kairos/timeseries.py:619-719)."""
+        ``{i_ts: {r_ts: data}}`` (kairos/timeseries.py:619-719).
+
+        ``condense`` / ``collapse`` may be callables (customized-read
+        hooks, README.rst:623-749): condense maps one interval's
+        r-keyed dict to a single container; collapse maps the i-keyed
+        dict to one container keyed by the first bucket."""
         cfg = require_interval(self.intervals, interval)
+        if callable(condense) or callable(collapse):
+            base = self.series(name, interval, start, end, steps)
+            buckets = self._bucket_range(cfg, start, end, steps)
+            if callable(condense) and not cfg.coarse:
+                base = OrderedDict((k, condense(v)) for k, v in base.items())
+            if collapse:
+                fold = collapse if callable(collapse) else condense
+                data = fold(base)
+                first = self._key_ts(cfg.i_calc, self._stored_i_values(cfg, buckets)[0])
+                base = OrderedDict([(first, data)])
+            if transform:
+                first_ts = cfg.i_calc.from_bucket(buckets[0])
+                last_ts = cfg.i_calc.from_bucket(buckets[-1])
+                out = OrderedDict()
+                for k, v in base.items():
+                    step = (
+                        cfg.i_calc.step_size(first_ts, last_ts)
+                        if collapse
+                        else cfg.i_calc.step_size(k)
+                    )
+                    out[k] = _apply_callable_transforms(self.ops, v, transform, step)
+                return out
+            return base
         callables = _has_callables(transform)
         df_transform = None if callables else transform
         if collapse:

@@ -307,3 +307,41 @@ def test_gregorian_daily(spark):
     day0 = (_time(0) // 86400) * 86400
     got = t.series("test", "daily", start=_time(0), end=_time(0) + 86400)
     assert got == {day0: 1.0, day0 + 86400: 1.0}
+
+
+# ------------------------------------------------- customized-read hooks
+
+
+def test_callable_condense_get(spark):
+    t = make_ts(spark, "series")
+    t.insert("test", 1, timestamp=_time(0))
+    t.insert("test", 2, timestamp=_time(70))
+    # custom condense: count of resolution buckets with data
+    got = t.get(
+        "test", "hour", timestamp=_time(0),
+        condense=lambda fine: len(fine),
+    )
+    assert got == {_time(0): 2}
+
+
+def test_callable_join_rows(spark):
+    t = make_ts(spark, "series")
+    t.insert("a", 1, timestamp=_time(0))
+    t.insert("b", 2, timestamp=_time(0))
+    # custom join: elementwise sum of the per-name lists
+    got = t.get(
+        ["a", "b"], "minute", timestamp=_time(0),
+        join_rows=lambda rows: sum(sum(r or []) for r in rows),
+    )
+    assert got == {_time(0): 3.0}
+
+
+def test_callable_collapse_series(spark):
+    t = make_ts(spark, "series")
+    for m in range(3):
+        t.insert("test", m + 1, timestamp=_time(60 * m))
+    got = t.series(
+        "test", "minute", start=_time(0), end=_time(120),
+        collapse=lambda rv: max(max(v) for v in rv.values() if v),
+    )
+    assert got == {_time(0): 3.0}
