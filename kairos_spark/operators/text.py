@@ -109,6 +109,26 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def top_tokens(
+    df: DataFrame, k: int = 20, text_col: str = "text", pattern: str = "[a-z]+"
+) -> DataFrame:
+    """Corpus-wide top-k tokens: tokenize → explode → count → top-k.
+    The classic vocabulary/frequency sweep of a training-data pipeline.
+
+    Scale shape: the explode is map-side; the count aggregates partially
+    before the single shuffle on token; top-k is TakeOrderedAndProject
+    (per-partition heaps merged on the driver), never a global sort."""
+    tok = df.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(k)
+    )
+
+
 def char_shingles(text: Column, n: int = 8) -> Column:
     """Array of n-character shingles (whitespace-normalized), built with
     sequence+transform — JVM higher-order functions, no UDF."""

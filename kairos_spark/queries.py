@@ -284,6 +284,77 @@ def q_ts_retention_filter(spark, sf_dir):
     )
 
 
+def q_ts_histogram_transforms(spark, sf_dir):
+    """histogram named transforms: weighted mean Σk·v/Σv, count Σv,
+    min/max of keys, sum Σk·v — from raw rows the weights collapse to
+    plain aggregates (ref: timeseries.py:860-871). keys = user_id % 10."""
+    long_df = _events_long(spark, sf_dir, "daily", value=F.col("user_id") % 10)
+    ex = type_ops("histogram").transform_exprs(F.lit(86400))
+    return long_df.groupBy("i_time").agg(
+        F.round(ex["mean"], 6).alias("wmean"),
+        ex["count"].alias("total_n"),
+        ex["min"].alias("min_k"),
+        ex["max"].alias("max_k"),
+        ex["sum"].alias("wsum"),
+    )
+
+
+def q_ts_histogram_rate(spark, sf_dir):
+    """histogram map-valued 'rate' transform {k: count/step} surfaced as
+    (i_time, k, rate) rows (ref: timeseries.py:872-873)."""
+    long_df = _events_long(spark, sf_dir, "daily", value=F.col("event_type"))
+    rm = type_ops("histogram").rate_map(long_df, ["i_time"], F.lit(86400.0))
+    return rm.select("i_time", F.explode("value").alias("k", "rate")).select(
+        "i_time", "k", F.round("rate", 6).alias("rate")
+    )
+
+
+def q_ts_gauge_join(spark, sf_dir):
+    """gauge multi-name join: reading ['click','view'] per hour — the
+    LAST name in the argument list present in a slot wins (ref:
+    timeseries.py:981-988, dict-update order)."""
+    long_df = _events_long(spark, sf_dir, "hour").where(F.col("name").isin("click", "view"))
+    per_name = type_ops("gauge").container_agg(long_df, ["name", "i_time"], ["insert_seq"])
+    prio = F.when(F.col("name") == "view", F.lit(2)).otherwise(F.lit(1))
+    return per_name.groupBy("i_time").agg(
+        F.round(F.max_by("value", prio), 6).alias("last_v")
+    )
+
+
+def q_ts_series_condense_order(spark, sf_dir):
+    """series condense order: lists concatenated in (r_time, insert_seq)
+    order — insertion order inside each resolution bucket, resolution
+    order across them (ref: timeseries.py:828-834; insert_time column
+    sql_backend.py:268,312). Output joined to CSV so order is hashed."""
+    long_df = _events_long(spark, sf_dir, "hour_fine", value=F.col("user_id")).where(
+        (F.col("name") == "click")
+        & (F.col("i_time") >= 1704412800)
+        & (F.col("i_time") < 1704499200)
+    )
+    out = type_ops("series").container_agg(long_df, ["i_time"], ["r_time", "insert_seq"])
+    return out.select(
+        "i_time",
+        F.array_join(F.col("value").cast("array<string>"), ",").alias("vals"),
+    )
+
+
+def q_ts_iterate_full(spark, sf_dir):
+    """L5 iterate: dense hourly scan between one stat's first and last
+    known buckets (bounds derived from the data, not given), empty
+    buckets yielded as 0 (ref: timeseries.py:521-545)."""
+    long_df = _events_long(spark, sf_dir, "hour", value=F.lit(1.0)).where(
+        F.col("name") == "purchase"
+    )
+    counts = type_ops("count").container_agg(long_df, ["i_time"], [])
+    bounds = counts.groupBy().agg(F.min("i_time").alias("lo"), F.max("i_time").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(HOUR))).alias("i_time")
+    )
+    return spine.join(counts, "i_time", "left").select(
+        "i_time", F.coalesce(F.col("value"), F.lit(0.0)).alias("cnt")
+    )
+
+
 _TS_ORACLES = {
     "ts_count_series_hour": """
         SELECT event_type AS name,
@@ -407,6 +478,53 @@ _TS_ORACLES = {
         )
         SELECT name, i_time, cnt FROM c
         WHERE i_time > (SELECT max(i_time) FROM c) - 48*3600
+    """,
+    "ts_histogram_transforms": """
+        SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS i_time,
+               round(avg(user_id % 10), 6) AS wmean,
+               count(*) AS total_n,
+               min(user_id % 10) AS min_k,
+               max(user_id % 10) AS max_k,
+               sum(user_id % 10) AS wsum
+        FROM events GROUP BY 1
+    """,
+    "ts_histogram_rate": """
+        SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS i_time,
+               event_type AS k,
+               round(count(*) / 86400.0, 6) AS rate
+        FROM events GROUP BY 1, 2
+    """,
+    "ts_gauge_join": """
+        WITH g AS (
+            SELECT event_type AS name,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+                   arg_max(value, event_id) AS v
+            FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+        )
+        SELECT i_time,
+               round(arg_max(v, CASE name WHEN 'view' THEN 2 ELSE 1 END), 6) AS last_v
+        FROM g GROUP BY 1
+    """,
+    "ts_series_condense_order": """
+        SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+               string_agg(CAST(user_id AS VARCHAR), ','
+                   ORDER BY CAST(floor(epoch(ts)/60)*60 AS BIGINT), event_id) AS vals
+        FROM events
+        WHERE event_type = 'click'
+          AND floor(epoch(ts)/3600)*3600 >= 1704412800
+          AND floor(epoch(ts)/3600)*3600 < 1704499200
+        GROUP BY 1
+    """,
+    "ts_iterate_full": """
+        WITH c AS (
+            SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+                   CAST(count(*) AS DOUBLE) AS cnt
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        b AS (SELECT min(i_time) AS lo, max(i_time) AS hi FROM c),
+        s AS (SELECT unnest(generate_series(lo, hi, 3600)) AS i_time FROM b)
+        SELECT s.i_time, coalesce(c.cnt, 0.0) AS cnt
+        FROM s LEFT JOIN c USING (i_time)
     """,
 }
 
@@ -551,6 +669,11 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_token_topk(spark, sf_dir):
+    """Corpus-wide top-20 word tokens (vocabulary sweep)."""
+    return text.top_tokens(_tbl(spark, sf_dir, "documents"), k=20)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Min-md5-over-shingles document fingerprint."""
     return text.fingerprint(_tbl(spark, sf_dir, "documents"), n=8)
@@ -621,6 +744,11 @@ QUERIES = {
     "ts_greg_monthly_rate": q_ts_greg_monthly_rate,
     "ts_fanout_minute": q_ts_fanout_minute,
     "ts_retention_filter": q_ts_retention_filter,
+    "ts_histogram_transforms": q_ts_histogram_transforms,
+    "ts_histogram_rate": q_ts_histogram_rate,
+    "ts_gauge_join": q_ts_gauge_join,
+    "ts_series_condense_order": q_ts_series_condense_order,
+    "ts_iterate_full": q_ts_iterate_full,
     "q1_pricing_summary": q_q1_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "window_top_orders": q_window_top_orders,
@@ -633,6 +761,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
+    "token_topk": q_token_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
@@ -713,6 +842,12 @@ ORACLES.update(
                          / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
                          AS mean_word_len
             FROM documents
+        """,
+        "token_topk": """
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+                FROM documents
+            ) GROUP BY 1 ORDER BY n DESC, token LIMIT 20
         """,
         "ann_cosine_topk": """
             SELECT vec_id,
