@@ -79,6 +79,24 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
+    # JIT/codegen warm-up: run every headline query once at the smallest
+    # scale factor (sf0.001, ~1000× less data) before timing. The first
+    # execution of the regex/HOF/hash-heavy paths pays one-time tiered-JIT
+    # compilation (measured at ~10-30 s landing arbitrarily on whichever
+    # heavy query runs first); warming on tiny data makes the timed pass
+    # measure steady-state throughput — what actually predicts cluster
+    # performance — instead of JVM cold-start placement.
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for fn in HEADLINE.values():
+        try:
+            out = fn(spark, warm_dir)
+            if hasattr(out, "collect"):
+                out.collect()
+        except Exception:
+            pass  # warm-up must never fail the bench
+
     timings = {}
     for name, fn in HEADLINE.items():
         t0 = time.time()

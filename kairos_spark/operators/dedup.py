@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from kairos_spark.operators.text import TOKEN_REGEX, char_shingles
+from kairos_spark.operators.text import TOKEN_REGEX, normalize_ws, shingles_of_norm
 
 # Modulus for the double-hash MinHash family. 44-bit hash halves keep
 # a + i*b < 2^51 for i ≤ 64 — no signed-64 overflow in either Spark or
@@ -57,10 +57,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) distinct pairs — the exploded set representation."""
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(char_shingles(F.col(text_col), n))).alias("shingle"))
-        .distinct()
+    """(id, shingle) distinct pairs — the exploded set representation.
+
+    Two-stage projection (normalize, then shingle) so the whitespace
+    regex runs once per document, not once per shingle inside the
+    interpreted HOF lambda (see text.shingles_of_norm). array_distinct
+    already makes (id, shingle) pairs unique — no extra shuffle."""
+    normed = df.select(F.col(id_col), normalize_ws(F.col(text_col)).alias("__norm"))
+    return normed.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_of_norm(F.col("__norm"), n))).alias("shingle"),
     )
 
 
@@ -115,9 +121,8 @@ def minhash_signatures(
     partial (map-side) aggregation collapses each partition to one row
     per doc before the shuffle — ~20× faster than evaluating the same
     math through interpreted higher-order array lambdas."""
-    exploded = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(char_shingles(F.col(text_col), n))).alias("__s"))
-        .select(F.col(id_col), _md5_long(F.col("__s")).alias("__a"), _md5_long(F.col("__s"), 11).alias("__b"))
+    exploded = doc_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), _md5_long(F.col("shingle")).alias("__a"), _md5_long(F.col("shingle"), 11).alias("__b")
     )
     mins = exploded.groupBy(id_col).agg(
         *[

@@ -52,10 +52,27 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos-as-long → microsecond timestamp
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
     if name == "documents":
-        # text operators are CPU-bound per row; the corpus arrives as one
-        # small file (one partition), so spread it across the cluster —
-        # on a real deployment input splits already provide this
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        # Text operators are CPU-bound with heavy per-byte amplification
+        # (shingle explode ≈ 100× the input bytes), but the corpus
+        # arrives as one file = one input split. Spread it so each task
+        # gets ~64 KiB of text — enough work to amortize task overhead,
+        # small enough to use the cores. On a real deployment input
+        # splits / maxPartitionBytes provide this; the repartition is
+        # harness plumbing, not engine semantics.
+        try:
+            import pathlib
+
+            p = pathlib.Path(f"{sf_dir}/{name}.parquet")
+            nbytes = (
+                sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+                if p.is_dir()
+                else p.stat().st_size
+            )
+        except OSError:
+            nbytes = 0
+        want = max(1, min(spark.sparkContext.defaultParallelism, nbytes // (64 << 10)))
+        if want > 1:
+            df = df.repartition(want)
     return df
 
 
