@@ -160,26 +160,30 @@ def ivf_topk(
 
     The assignment is a broadcast join (centroids are tiny); the probe
     is a partition-prunable equality filter on ``list_id``."""
-    centroids = (
-        df.orderBy(id_col)
-        .limit(nlist)
-        .select(
-            F.monotonically_increasing_id().alias("list_id"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
-        )
+    # Deterministic coarse centroids: the nlist lowest-id vectors,
+    # numbered in id order (row_number over the nlist-row result, not
+    # monotonically_increasing_id, so list ids are reproducible).
+    small = df.orderBy(id_col).limit(nlist).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    centroids = small.select(
+        (F.row_number().over(Window.orderBy("__cid")) - 1).alias("list_id"), "cvec"
     )
     vec = F.col(vec_col).cast("array<double>")
     assigned = (
         df.crossJoin(F.broadcast(centroids))
         .withColumn("dist", F.negative(cosine(vec, F.col("cvec"))))
-        .withColumn("rn", F.row_number().over(Window.partitionBy(id_col).orderBy("dist")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("dist", "list_id")),
+        )
         .where(F.col("rn") == 1)
         .select(id_col, vec_col, "list_id")
     )
     q = _query_col(query_vec)
     probe_lists = (
-        centroids.select("list_id", F.round(cosine(F.col("cvec"), q), 6).alias("qc"))
-        .orderBy(F.col("qc").desc())
+        centroids.select("list_id", cosine(F.col("cvec"), q).alias("qc"))
+        .orderBy(F.col("qc").desc(), "list_id")
         .limit(nprobe)
         .select("list_id")
     )

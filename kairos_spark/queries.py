@@ -575,14 +575,22 @@ def q_revenue_by_nation(spark, sf_dir):
     o = _tbl(spark, sf_dir, "orders")
     c = _tbl(spark, sf_dir, "customer")
     n = _tbl(spark, sf_dir, "nation")
+    # Partial-aggregate lineitem onto its join key BEFORE the join
+    # (~4 rows/order in TPC-H): the orderkey shuffle then moves one
+    # pre-summed row per order instead of every line item — the
+    # dominant win when lineitem is the 100 TB fact table.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+        F.count("*").alias("__n"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
-            F.count("*").alias("n_items"),
+            F.round(F.sum("__rev"), 4).alias("revenue"),
+            F.sum("__n").alias("n_items"),
         )
     )
 
@@ -712,6 +720,20 @@ def q_embed_near_pairs(spark, sf_dir):
     return similarity.cosine_self_pairs(emb, threshold=0.8, max_rows=200)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN top-10: assign every vector to the nearest of 16
+    deterministic coarse centroids (the 16 lowest-id embeddings), probe
+    the 4 lists nearest the query. The scale path: the full corpus is
+    scanned once to build assignments; each query then touches only
+    nprobe/nlist of the data — and the whole construction is
+    deterministic, so it has an exact SQL oracle."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_topk(
+        emb, [float(x) for x in qvec], k=10, nlist=16, nprobe=4
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-10 via random-hyperplane LSH multi-probe —
     rows-only check (approximation has no SQL oracle); recall is
@@ -781,6 +803,7 @@ QUERIES = {
     "token_topk": q_token_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embed_near_pairs": q_embed_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
@@ -874,6 +897,35 @@ ORACLES.update(
                    ), 6) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+            ),
+            cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+                       CAST(embedding AS DOUBLE[]) AS cvec
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+            ),
+            assigned AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.list_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec),
+                                    c.list_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ),
+            probe AS (
+                SELECT c.list_id FROM cent c, q
+                ORDER BY list_cosine_similarity(c.cvec, q.v) DESC, c.list_id
+                LIMIT 4
+            )
+            SELECT a.vec_id, round(list_cosine_similarity(a.v, q.v), 6) AS cosine
+            FROM assigned a JOIN probe USING (list_id), q
+            WHERE a.rn = 1
+            ORDER BY cosine DESC, a.vec_id
             LIMIT 10
         """,
         "embed_near_pairs": """
