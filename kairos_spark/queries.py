@@ -211,6 +211,33 @@ def q_ts_set_hour(spark, sf_dir):
     )
 
 
+def q_ts_set_cross_series(spark, sf_dir):
+    """Cross-series set algebra per hour bucket — the ``join_rows`` user
+    extension the reference documents ("unions, intersections and
+    differentials", README.rst:712-715) over two set-type series
+    ('click' vs 'view' membership of user_id).
+
+    Spark-first shape: instead of a driver-side callable over
+    materialized set containers, membership stays EXPLODED — one row per
+    (bucket, member) with per-name indicator maxes, then one groupBy
+    sums the indicator combinations. Two hash-shuffles on compact keys,
+    no set container ever materializes, so a bucket with 10^9 members
+    costs the same per-row work as one with 10."""
+    long_df = _events_long(
+        spark, sf_dir, "hour", value=F.col("user_id").cast("double")
+    ).where(F.col("name").isin("click", "view"))
+    membership = long_df.groupBy("i_time", "value").agg(
+        F.max(F.when(F.col("name") == "click", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("name") == "view", 1).otherwise(0)).alias("in_b"),
+    )
+    one = F.lit(1)
+    return membership.groupBy("i_time").agg(
+        F.sum(F.when((F.col("in_a") == one) & (F.col("in_b") == one), 1).otherwise(0)).alias("n_intersect"),
+        F.sum(F.when((F.col("in_a") == one) & (F.col("in_b") == 0), 1).otherwise(0)).alias("n_click_only"),
+        F.sum(F.when((F.col("in_a") == 0) & (F.col("in_b") == one), 1).otherwise(0)).alias("n_view_only"),
+    )
+
+
 def q_ts_multi_name_merge(spark, sf_dir):
     """L12 multi-name join-merge: ['click','view'] merged per hour — a
     union + re-aggregate, not a relational join (ref:
@@ -442,6 +469,21 @@ _TS_ORACLES = {
         SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
                CAST(count(*) AS DOUBLE) AS cnt
         FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    """,
+    "ts_set_cross_series": """
+        WITH m AS (
+            SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+                   CAST(user_id AS DOUBLE) AS value,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_b
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY 1, 2
+        )
+        SELECT i_time,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only,
+               CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only
+        FROM m GROUP BY 1
     """,
     "ts_spine_gapfill": """
         SELECT s.i_time,
@@ -775,6 +817,7 @@ QUERIES = {
     "ts_gauge_last_hour": q_ts_gauge_last_hour,
     "ts_set_hour": q_ts_set_hour,
     "ts_multi_name_merge": q_ts_multi_name_merge,
+    "ts_set_cross_series": q_ts_set_cross_series,
     "ts_spine_gapfill": q_ts_spine_gapfill,
     "ts_properties": q_ts_properties,
     "ts_list_names": q_ts_list_names,
