@@ -715,6 +715,17 @@ def q_simhash_sample(spark, sf_dir):
     return dedup.simhash(d)
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs (Hamming ≤ 3 over 60-bit
+    fingerprints) via the block trick: a pair within Hamming 3 must
+    agree exactly on ≥1 of 4 fingerprint segments, so candidates come
+    from a groupBy on segment values — never an all-pairs join. The
+    trick is EXACT for max_hamming < blocks, so the DuckDB oracle can
+    brute-force all pairs and the results must agree."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_near_pairs(d, max_hamming=3, bits=60, blocks=4)
+
+
 def q_text_stats(spark, sf_dir):
     """Per-doc quality metrics (lengths, token counts, ratios)."""
     return text.text_stats(_tbl(spark, sf_dir, "documents"))
@@ -840,6 +851,7 @@ QUERIES = {
     "minhash_first_hashes": q_minhash_first_hashes,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_sample": q_simhash_sample,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "text_stats": q_text_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1071,6 +1083,32 @@ ORACLES.update(
                    min(a % 17592186044399) AS h0,
                    min((a + b) % 17592186044399) AS h1
             FROM h GROUP BY 1
+        """,
+        "simhash_near_pairs": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS t
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(t), 1, 11))::BIGINT AS h FROM tok
+            ),
+            bits AS (
+                SELECT doc_id, j.j,
+                       sum(CASE WHEN ((h >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+                GROUP BY 1, 2
+            ),
+            fp AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+                FROM bits GROUP BY 1
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "dedup_ngram_jaccard": """
             WITH """ + _SHINGLE_CTE + """,
