@@ -1,0 +1,123 @@
+"""Event-stream window operators: sessionization and as-of join.
+
+Neither exists in the reference (kairos has no window functions at all —
+SURVEY.md §2.4 "Window functions: none"); both are table stakes for the
+event/training-data pipelines this engine targets, and both are pure
+DataFrame window compositions — no UDFs, one key-shuffle each.
+
+Scale shape (100 TB):
+- Both operators shuffle ONCE on the entity key and then do an in-
+  partition sort (Spark window). That is the same physical plan any
+  warehouse uses for gaps-and-islands / ASOF; there is no cheaper
+  general shape.
+- Skewed keys (one user with 10^8 events) are the failure mode: the
+  per-key sort is single-task. Mitigate upstream by splitting hot keys
+  on a coarse time prefix (key, day) when key cardinality is known to
+  be skewed — sessions never span days in that variant, which is the
+  standard trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: float = 1800.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign gaps-and-islands session ids: a new session starts when
+    the time since the key's previous event exceeds ``gap_sec``.
+
+    Returns the input plus ``session_id`` (1-based, per key, in time
+    order). One shuffle on ``key_col``; both window passes reuse the
+    same sort order so Catalyst plans a single Exchange + Sort.
+    """
+    order = [ts_col] + ([order_col] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    secs = F.col(ts_col).cast("double")
+    prev = F.lag(secs).over(w)
+    new_sess = F.when(prev.isNull() | ((secs - prev) > gap_sec), 1).otherwise(0)
+    cum = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(new_sess).over(cum))
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: float = 1800.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-key session summary: session count, event count, and mean
+    events per session. Sessionize (one key-shuffle) then re-aggregate
+    on the same key — the second groupBy reuses the existing hash
+    partitioning, so no extra Exchange."""
+    s = sessionize(df, key_col, ts_col, gap_sec, order_col)
+    return s.groupBy(key_col).agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(F.count("*") / F.max("session_id"), 6).alias("events_per_session"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of (most-recent-prior) join: for every left row, attach the
+    right row with the greatest ``right_ts`` ≤ ``left_ts`` for the same
+    key (inclusive, matching DuckDB/QuestDB ASOF semantics).
+
+    Implementation is the union-and-carry pattern, NOT a range join:
+    tag both streams, union them, and carry the right payload forward
+    with last(..., ignorenulls=True) over (key ORDER BY ts, tag). At
+    equal timestamps the right row sorts first (tag 0 < 1) so the match
+    is inclusive. One shuffle on the key, one in-partition sort — no
+    candidate-pair blowup, which is what makes this the 100 TB shape
+    (a range join materializes |left|×|right-per-key| candidates).
+    """
+    right_cols = right_cols or []
+    rts = F.col(right_ts).cast("double")
+    lts = F.col(left_ts).cast("double")
+    r = right.select(
+        *[F.col(k) for k in key_cols],
+        rts.alias("__ats"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    l = left.select(
+        "*",
+        lts.alias("__ats"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__ats", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    drop = ["__ats", "__tag", "__r_ts"] + [f"__r_{c}" for c in right_cols]
+    return carried.where(F.col("__tag") == 1).drop(*drop)

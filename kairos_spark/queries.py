@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from kairos_spark.config import parse_intervals
 from kairos_spark.ingest import bucketize
-from kairos_spark.operators import dedup, multimodal, similarity, text
+from kairos_spark.operators import dedup, multimodal, similarity, text, windows
 from kairos_spark.types import type_ops
 
 HOUR = 3600
@@ -49,8 +49,10 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _utc(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long → microsecond timestamp
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # nanos-as-long → microsecond timestamp. Integer division (`div`),
+        # not float division + cast: double rounding of large nanos is off
+        # by ±1 µs, which DuckDB's exact integer truncation exposes.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if name == "documents":
         # Text operators are CPU-bound with heavy per-byte amplification
         # (shingle explode ≈ 100× the input bytes), but the corpus
@@ -593,6 +595,34 @@ _TS_ORACLES = {
 # =====================================================================
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gaps-and-islands sessionization: per-user sessions split at
+    30-minute gaps, summarized per user. One shuffle on user_id; the
+    summary groupBy reuses the window's partitioning."""
+    ev = _tbl(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return windows.session_stats(ev, "user_id", "ts", 1800.0, order_col="event_id")
+
+
+def q_asof_signup_purchase(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    signup at-or-before it (union-and-carry pattern — one key shuffle,
+    no range-join candidate blowup). Oracle: DuckDB's native ASOF
+    LEFT JOIN, which pins the exact most-recent-prior semantics."""
+    ev = _tbl(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    j = windows.asof_join(purchases, signups, ["user_id"], "ts", "ts")
+    # inner as-of: drop purchases with no prior signup (null-free output
+    # hashes identically across engines); integer microseconds are exact
+    # in both engines (float seconds round differently at the 6th
+    # decimal between Spark and DuckDB)
+    return j.where(F.col("ts_r").isNotNull()).select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("usec_since_signup"),
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape over lineitem: scan + pushdown filter + wide agg."""
     li = _tbl(spark, sf_dir, "lineitem")
@@ -845,6 +875,8 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "window_top_orders": q_window_top_orders,
+    "event_sessions": q_event_sessions,
+    "asof_signup_purchase": q_asof_signup_purchase,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_keep": q_dedup_exact_keep,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1083,6 +1115,32 @@ ORACLES.update(
                    min(a % 17592186044399) AS h0,
                    min((a + b) % 17592186044399) AS h1
             FROM h GROUP BY 1
+        """,
+        "event_sessions": """
+            WITH o AS (
+                SELECT user_id, event_id, epoch(ts) AS secs,
+                       lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS prev
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(CASE WHEN prev IS NULL OR secs - prev > 1800.0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY secs, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM o
+            )
+            SELECT user_id,
+                   CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events,
+                   round(count(*) * 1.0 / max(session_id), 6) AS events_per_session
+            FROM s GROUP BY 1
+        """,
+        "asof_signup_purchase": """
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) - epoch_us(s.ts) AS usec_since_signup
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
         """,
         "simhash_near_pairs": """
             WITH tok AS (
