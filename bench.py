@@ -57,6 +57,8 @@ HEADLINE = {
     "q1_pricing_summary": q.q_q1_pricing_summary,
     "revenue_by_nation": q.q_revenue_by_nation,
     "window_top_orders": q.q_window_top_orders,
+    "event_sessions": q.q_event_sessions,
+    "asof_join": q.q_asof_signup_purchase,
     "dedup_exact_keep": q.q_dedup_exact_keep,
     "text_stats": q.q_text_stats,
     "minhash_first_hashes": q.q_minhash_first_hashes,
