@@ -355,6 +355,40 @@ def q_ts_histogram_rate(spark, sf_dir):
     )
 
 
+def q_ts_histogram_percentiles(spark, sf_dir):
+    """histogram percentile transform (beyond the reference's named set,
+    via the same transform surface): exact inverse-CDF p50/p90/p99 over
+    daily {user_id%10: count} histograms. Integer-only arithmetic so
+    percentiles hash-match across engines — no interpolation."""
+    long_df = _events_long(spark, sf_dir, "daily", value=F.col("user_id") % 10)
+    return type_ops("histogram").percentiles(long_df, ["i_time"], [0.5, 0.9, 0.99])
+
+
+def q_ts_variance_collapse(spark, sf_dir):
+    """Custom collapse computing variance across a series — the use the
+    reference's README names for a callable collapse (README.rst:729-731).
+    Population variance of per-hour event counts per name, computed with
+    the exact integer identity (n·Σc² − (Σc)²)/n² so both engines divide
+    the same integers once at the end."""
+    hourly = _events_long(spark, sf_dir, "hour").groupBy("name", "i_time").agg(
+        F.count("*").alias("__c")
+    )
+    per = hourly.groupBy("name").agg(
+        F.count("*").alias("__n"),
+        F.sum("__c").alias("__s"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+    )
+    return per.select(
+        "name",
+        F.round(
+            (F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s"))
+            / (F.col("__n") * F.col("__n")),
+            6,
+        ).alias("var_hourly"),
+        F.col("__n").alias("n_buckets"),
+    )
+
+
 def q_ts_gauge_join(spark, sf_dir):
     """gauge multi-name join: reading ['click','view'] per hour — the
     LAST name in the argument list present in a slot wins (ref:
@@ -471,6 +505,37 @@ _TS_ORACLES = {
         SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
                CAST(count(*) AS DOUBLE) AS cnt
         FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    """,
+    "ts_histogram_percentiles": """
+        WITH c AS (
+            SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS i_time,
+                   user_id % 10 AS value, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT i_time, value,
+                   sum(n) OVER (PARTITION BY i_time ORDER BY value) AS cumn,
+                   sum(n) OVER (PARTITION BY i_time) AS tot
+            FROM c
+        )
+        SELECT i_time,
+               min(CASE WHEN cumn >= ceil(0.50 * tot) THEN value END) AS p50,
+               min(CASE WHEN cumn >= ceil(0.90 * tot) THEN value END) AS p90,
+               min(CASE WHEN cumn >= ceil(0.99 * tot) THEN value END) AS p99
+        FROM cum GROUP BY 1
+    """,
+    "ts_variance_collapse": """
+        WITH h AS (
+            SELECT event_type AS name,
+                   CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT name,
+               round((count(*) * sum(c*c) - sum(c) * sum(c)) * 1.0
+                     / (count(*) * count(*)), 6) AS var_hourly,
+               count(*) AS n_buckets
+        FROM h GROUP BY 1
     """,
     "ts_set_cross_series": """
         WITH m AS (
@@ -869,6 +934,8 @@ QUERIES = {
     "ts_retention_filter": q_ts_retention_filter,
     "ts_histogram_transforms": q_ts_histogram_transforms,
     "ts_histogram_rate": q_ts_histogram_rate,
+    "ts_histogram_percentiles": q_ts_histogram_percentiles,
+    "ts_variance_collapse": q_ts_variance_collapse,
     "ts_gauge_join": q_ts_gauge_join,
     "ts_series_condense_order": q_ts_series_condense_order,
     "ts_iterate_full": q_ts_iterate_full,

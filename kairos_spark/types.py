@@ -116,6 +116,33 @@ class HistogramOps(TypeOps):
             ).alias(VALUE)
         )
 
+    def percentiles(self, df, keys, ps):
+        """Exact weighted percentiles over the histogram (inverse CDF /
+        type-1 quantile): the smallest key whose cumulative occurrence
+        count reaches ceil(p × total). Integer-only arithmetic, so the
+        result is engine-exact — no interpolation ambiguity.
+
+        Scale shape: occurrences collapse to one row per (keys, value)
+        FIRST (partial agg before the shuffle); the cumulative window
+        then runs over distinct values per group — bounded by histogram
+        cardinality, never raw row count."""
+        from pyspark.sql.window import Window
+
+        counted = df.groupBy(*keys, VALUE).agg(F.count("*").alias("__n"))
+        w = Window.partitionBy(*keys).orderBy(VALUE)
+        cum = counted.withColumn("__cum", F.sum("__n").over(w)).withColumn(
+            "__tot", F.sum("__n").over(Window.partitionBy(*keys))
+        )
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.ceil(F.lit(p) * F.col("__tot")), F.col(VALUE)
+                )
+            ).alias(f"p{int(round(p * 100)):02d}")
+            for p in ps
+        ]
+        return cum.groupBy(*keys).agg(*aggs)
+
 
 class CountOps(TypeOps):
     """Running counter per bucket; insert defaults to +1, negatives

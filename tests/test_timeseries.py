@@ -345,3 +345,15 @@ def test_callable_collapse_series(spark):
         collapse=lambda rv: max(max(v) for v in rv.values() if v),
     )
     assert got == {_time(0): 3.0}
+
+
+def test_histogram_percentiles(spark):
+    # histogram {1:1, 2:2, 10:1}: total 4 → p50 at cum≥2 ⇒ 2; p75 at
+    # cum≥3 ⇒ 2; p99 at cum≥4 ⇒ 10 (inverse CDF, type-1)
+    from pyspark.sql import Row, functions as F
+    from kairos_spark.types import type_ops
+
+    rows = [Row(g=1, value=v) for v in [1, 2, 2, 10]]
+    df = spark.createDataFrame(rows)
+    out = type_ops("histogram").percentiles(df, ["g"], [0.5, 0.75, 0.99]).collect()[0]
+    assert (out["p50"], out["p75"], out["p99"]) == (2, 2, 10)
