@@ -4,10 +4,12 @@ from kairos_spark.streaming.ingest import (
     stream_ingest,
     windowed_rollup,
 )
+from kairos_spark.streaming.sessions import stateful_sessionize
 
 __all__ = [
     "stream_bucketize",
     "stream_ingest",
     "windowed_rollup",
     "foreach_batch_rollup",
+    "stateful_sessionize",
 ]

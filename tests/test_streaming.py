@@ -130,3 +130,44 @@ def test_windowed_rollup_gauge(spark, input_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stateful_sessionize_closes_on_gap(spark, tmp_path):
+    from kairos_spark.streaming import stateful_sessionize
+
+    # user 7: events at t, t+10, then a >gap jump (closes session 1,
+    # opens session 2 which stays open); user 8: one open session
+    rows = [
+        (7, float(BASE)), (7, float(BASE + 10)), (7, float(BASE + 5000)),
+        (8, float(BASE + 20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_sec double").select(
+        "user_id", F.timestamp_seconds("ts_sec").alias("ts")
+    )
+    path = str(tmp_path / "sess_in")
+    df.coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(path)
+    out = stateful_sessionize(stream, gap_sec=1800.0, watermark="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["n_events"]): (r["session_start"], r["session_end"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # user 7 session 1 closed by the in-stream gap; user 8's idle
+    # session closed by the event-time TIMEOUT (watermark = max_ts-10s
+    # passed its last+gap). user 7 session 2 (last+gap > watermark) is
+    # still open in state and must NOT be emitted.
+    assert set(got) == {(7, 2), (8, 1)}
+    start, end = got[(7, 2)]
+    assert (end - start).total_seconds() == 10.0
+    s8, e8 = got[(8, 1)]
+    assert s8 == e8
