@@ -197,7 +197,14 @@ class SetOps(TypeOps):
     empty: frozenset = frozenset()
 
     def container_agg(self, df, keys, order):
-        return df.groupBy(*keys).agg(F.array_sort(F.collect_set(VALUE)).alias(VALUE))
+        # Two-phase distinct, not a direct collect_set: a direct
+        # groupBy(keys).collect_set ships EVERY duplicate occurrence of a
+        # hot bucket to one task. Phase 1 groups by (keys, value) — the
+        # value component spreads a hot bucket across partitions and
+        # map-side partial aggregation drops duplicates before the
+        # shuffle; phase 2 collects only the distinct members.
+        distinct = df.groupBy(*keys, VALUE).agg(F.lit(1).alias("__d")).drop("__d")
+        return distinct.groupBy(*keys).agg(F.array_sort(F.collect_list(VALUE)).alias(VALUE))
 
     def transform_exprs(self, step_size):
         distinct_sum = F.sum_distinct(F.col(VALUE))
