@@ -333,7 +333,7 @@ class Timeseries:
 
     def get(
         self, name, interval, timestamp=None, condense=False, transform=None,
-        join_rows=None,
+        join_rows=None, condensed=None,
     ) -> OrderedDict:
         """Reference-shaped read: OrderedDict keyed by bucket timestamps
         (kairos/timeseries.py:547-611).
@@ -345,6 +345,8 @@ class Timeseries:
         Hooks run driver-side over already-aggregated containers — the
         cluster still does all scanning/aggregation."""
         cfg = require_interval(self.intervals, interval)
+        if condensed is not None:  # deprecated alias (kairos timeseries.py:583)
+            condense = condensed
         if timestamp is None:
             timestamp = _time.time()
         if callable(condense) and condense is not True:
@@ -489,7 +491,7 @@ class Timeseries:
 
     def series(
         self, name, interval, start=None, end=None, steps=None,
-        condense=False, collapse=False, transform=None,
+        condense=False, collapse=False, transform=None, condensed=None,
     ) -> OrderedDict:
         """Reference-shaped range read: ``{i_ts: data}`` or nested
         ``{i_ts: {r_ts: data}}`` (kairos/timeseries.py:619-719).
@@ -499,6 +501,8 @@ class Timeseries:
         r-keyed dict to a single container; collapse maps the i-keyed
         dict to one container keyed by the first bucket."""
         cfg = require_interval(self.intervals, interval)
+        if condensed is not None:  # deprecated alias (kairos timeseries.py:648)
+            condense = condensed
         if callable(condense) or callable(collapse):
             base = self.series(name, interval, start, end, steps)
             buckets = self._bucket_range(cfg, start, end, steps)

@@ -172,7 +172,10 @@ class GaugeOps(TypeOps):
     late in an interval does not shadow an earlier real reading."""
 
     name = "gauge"
-    empty = None
+    # reference _type_no_value is 0, not None (kairos/timeseries.py:953-955
+    # — "TODO: resolve this disconnect with redis backend" notwithstanding,
+    # the functional suite asserts 0 for an empty single-name get)
+    empty = 0
     named_transforms = ()
 
     def container_agg(self, df, keys, order):
