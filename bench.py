@@ -59,6 +59,9 @@ HEADLINE = {
     "window_top_orders": q.q_window_top_orders,
     "event_sessions": q.q_event_sessions,
     "asof_join": q.q_asof_signup_purchase,
+    "range_join": q.q_range_join_user_events,
+    "rollup_grouping_sets": q.q_rollup_revenue_region,
+    "multires_rollup": q.q_ts_multires_rollup,
     "dedup_exact_keep": q.q_dedup_exact_keep,
     "text_stats": q.q_text_stats,
     "minhash_first_hashes": q.q_minhash_first_hashes,
