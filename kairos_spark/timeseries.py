@@ -275,11 +275,14 @@ class Timeseries:
             return df.groupBy(*keys).agg(*exprs)
         if isinstance(ops, GaugeOps) and condense_gauge:
             # two-stage: per-resolution last write, falsy-filtered, then
-            # last resolution wins (kairos/timeseries.py:971-979)
+            # last resolution wins (kairos/timeseries.py:971-979). The
+            # reference joins names per SLOT before condensing
+            # (:588-605), so slot time dominates name priority: the last
+            # populated r_time wins, ties broken by name-argument order.
             fine = ops.container_agg(df, keys + ["r_time", "__prio"], ["insert_seq"])
             kept = fine.where(self._nonfalsy(F.col("value")))
             return kept.groupBy(*keys).agg(
-                F.max_by("value", F.struct("__prio", "r_time")).alias("value")
+                F.max_by("value", F.struct("r_time", "__prio")).alias("value")
             )
         return ops.container_agg(df, keys, order)
 

@@ -371,6 +371,190 @@ def test_histogram_get_golden(spark):
     assert all(condensed[k] == 2 for k in range(1, 1800))
 
 
+# ref: histogram_helper.py:196-247 (test_series)
+
+
+def test_histogram_series_golden(spark):
+    s = make(spark, "histogram")
+    fill(s, value=lambda t: t // 2)
+
+    interval = s.series("test", "minute", end=_time(250))
+    assert list(interval.keys()) == [_time(x) for x in (0, 60, 120, 180, 240)]
+    assert sorted(interval[_time(0)].keys()) == list(range(0, 30))
+    assert interval[_time(0)][0] == 1
+    assert all(interval[_time(0)][k] == 2 for k in range(1, 30))
+    assert sorted(interval[_time(240)].keys()) == list(range(120, 150))
+    assert all(interval[_time(240)][k] == 2 for k in range(120, 150))
+
+    interval = s.series("test", "minute", steps=2, end=_time(250))
+    assert list(interval.keys()) == [_time(180), _time(240)]
+    assert sorted(interval[_time(240)].keys()) == list(range(120, 150))
+
+    interval = s.series("test", "minute", end=_time(250), collapse=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert sorted(interval[_time(0)].keys()) == list(range(0, 150))
+    assert all(interval[_time(0)][k] == 2 for k in range(1, 150))
+
+    interval = s.series("test", "hour", end=_time(250))
+    assert len(interval) == 1
+    assert len(interval[_time(0)]) == 60
+    assert sorted(interval[_time(0)][_time(0)].keys()) == list(range(0, 30))
+
+    interval = s.series("test", "hour", condensed=True, end=_time(4200))
+    assert len(interval) == 1
+    assert len(interval[_time(3600)]) == 1800
+    assert sorted(interval[_time(3600)].keys()) == list(range(1800, 3600))
+
+    interval = s.series("test", "hour", condensed=True, end=_time(4200), steps=2)
+    assert list(interval.keys()) == [_time(0), _time(3600)]
+    assert len(interval[_time(0)]) == 1800
+    assert len(interval[_time(3600)]) == 1800
+
+    interval = s.series(
+        "test", "hour", condensed=True, end=_time(4200), steps=2, collapse=True
+    )
+    assert list(interval.keys()) == [_time(0)]
+    assert len(interval[_time(0)]) == 3600
+    assert sorted(interval[_time(0)].keys()) == list(range(0, 3600))
+
+
+# ref: histogram_helper.py:139-194 (test_get_joined), :249-331 (test_series_joined)
+
+
+@pytest.fixture(scope="module")
+def histogram_joined(spark):
+    s = make(spark, "histogram")
+    bulk = {}
+    for t in list(range(1, 240)) + list(range(3600, 3840)):
+        bulk.setdefault(_time(t), {}).setdefault("test1", []).append(t)
+    for t in list(range(1, 120)) + list(range(3600, 3720)):
+        bulk.setdefault(_time(t), {}).setdefault("test2", []).append(t)
+    s.bulk_insert(bulk)
+    return s
+
+
+def test_histogram_get_joined_golden(histogram_joined):
+    s = histogram_joined
+    interval = s.get(["test1", "test2"], "minute", timestamp=_time(100))
+    assert list(interval.keys()) == [_time(60)]
+    assert interval[_time(60)] == dict.fromkeys(range(60, 120), 2)
+
+    interval = s.get(["test1", "test2"], "minute", timestamp=_time(122))
+    assert interval[_time(120)] == dict.fromkeys(range(120, 180), 1)
+
+    interval = s.get(["test1", "test2"], "hour", timestamp=_time(100))
+    assert list(interval.keys()) == [_time(x) for x in (0, 60, 120, 180)]
+    assert interval[_time(0)] == dict.fromkeys(range(1, 60), 2)
+    assert interval[_time(60)] == dict.fromkeys(range(60, 120), 2)
+    assert interval[_time(120)] == dict.fromkeys(range(120, 180), 1)
+    assert interval[_time(180)] == dict.fromkeys(range(180, 240), 1)
+
+    data = dict.fromkeys(range(1, 120), 2)
+    data.update(dict.fromkeys(range(120, 240), 1))
+    interval = s.get(["test1", "test2"], "hour", timestamp=_time(100), condensed=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == data
+
+    interval = s.get(["test1", "test2"], "hour", timestamp=_time(100), transform="count")
+    assert interval[_time(60)] == 120
+
+    interval = s.get(
+        ["test1", "test2"], "hour", timestamp=_time(100),
+        transform=["min", "max", "count"], condensed=True,
+    )
+    assert interval[_time(0)] == {"min": 1, "max": 239, "count": 358}
+
+
+def test_histogram_series_joined_golden(histogram_joined):
+    s = histogram_joined
+    interval = s.series(["test1", "test2"], "minute", end=_time(250))
+    assert list(interval.keys()) == [_time(x) for x in (0, 60, 120, 180, 240)]
+    assert interval[_time(0)] == dict.fromkeys(range(1, 60), 2)
+    assert interval[_time(60)] == dict.fromkeys(range(60, 120), 2)
+    assert interval[_time(120)] == dict.fromkeys(range(120, 180), 1)
+    assert interval[_time(180)] == dict.fromkeys(range(180, 240), 1)
+    assert interval[_time(240)] == {}
+
+    interval = s.series(
+        ["test1", "test2"], "minute", end=_time(250), transform=["min", "count"]
+    )
+    assert interval[_time(0)] == {"min": 1, "count": 118}
+    assert interval[_time(60)] == {"min": 60, "count": 120}
+    assert interval[_time(120)] == {"min": 120, "count": 60}
+    assert interval[_time(180)] == {"min": 180, "count": 60}
+    assert interval[_time(240)] == {"min": 0, "count": 0}
+
+    data = dict.fromkeys(range(1, 120), 2)
+    data.update(dict.fromkeys(range(120, 240), 1))
+    interval = s.series(["test1", "test2"], "minute", end=_time(250), collapse=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == data
+
+    interval = s.series(
+        ["test1", "test2"], "minute", end=_time(250),
+        transform=["min", "max", "count"], collapse=True,
+    )
+    assert interval[_time(0)] == {"min": 1, "max": 239, "count": 358}
+
+    interval = s.series(["test1", "test2"], "hour", end=_time(250))
+    assert len(interval) == 1
+    assert list(interval[_time(0)].keys()) == [_time(x) for x in (0, 60, 120, 180)]
+    assert interval[_time(0)][_time(0)] == dict.fromkeys(range(1, 60), 2)
+    assert interval[_time(0)][_time(180)] == dict.fromkeys(range(180, 240), 1)
+
+    interval = s.series(["test1", "test2"], "hour", end=_time(250), condensed=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == data
+
+    full = dict(data)
+    full.update(dict.fromkeys(range(3600, 3720), 2))
+    full.update(dict.fromkeys(range(3720, 3840), 1))
+    interval = s.series(
+        ["test1", "test2"], "hour", condensed=True, end=_time(4200), steps=2,
+        collapse=True,
+    )
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == full
+
+    interval = s.series(
+        ["test1", "test2"], "hour", condensed=True, end=_time(4200), steps=2,
+        collapse=True, transform=["min", "max", "count"],
+    )
+    assert interval[_time(0)] == {"min": 1, "max": 3839, "count": 718}
+
+
+# ref: gauge_helper.py:137-183 (test_get_joined; last NAME in the argument
+# list wins a slot — test2 shadows test1 where both have data)
+
+
+def test_gauge_get_joined_golden(spark):
+    s = make(spark, "gauge")
+    bulk = {}
+    for t in list(range(1, 240)) + list(range(3600, 3721)) + list(range(3721, 3840)):
+        bulk.setdefault(_time(t), {}).setdefault("test1", []).append(t)
+    for t in list(range(1, 120)) + list(range(3600, 3720)):
+        bulk.setdefault(_time(t), {}).setdefault("test2", []).append(t)
+    s.bulk_insert(bulk)
+
+    interval = s.get(["test1", "test2"], "minute", timestamp=_time(100))
+    assert list(interval.keys()) == [_time(60)]
+    assert interval[_time(60)] == 119
+
+    interval = s.get(["test1", "test2"], "minute", timestamp=_time(122))
+    assert interval[_time(120)] == 179
+
+    interval = s.get(["test1", "test2"], "hour", timestamp=_time(100))
+    assert list(interval.keys()) == [_time(x) for x in (0, 60, 120, 180)]
+    assert interval[_time(0)] == 59
+    assert interval[_time(60)] == 119
+    assert interval[_time(120)] == 179
+    assert interval[_time(180)] == 239
+
+    interval = s.get(["test1", "test2"], "hour", timestamp=_time(100), condensed=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == 239
+
+
 # --------------------------------------------------------------- set type
 # ref: set_helper.py:104-136 (test_get), :138-184 (test_series); t/15 → t//15
 
@@ -429,3 +613,47 @@ def test_set_series_golden(set_full):
     )
     assert list(interval.keys()) == [_time(0)]
     assert interval[_time(0)] == set(range(0, 480))
+
+
+# ref: set_helper.py:186-240 (test_series_joined; t/15 → t//15)
+
+
+def test_set_series_joined_golden(spark):
+    s = make(spark, "set")
+    bulk = {}
+    for t in list(range(1, 240)) + list(range(3600, 3840)):
+        bulk.setdefault(_time(t), {}).setdefault("test1", []).append(t // 15)
+    for t in list(range(1, 120)) + list(range(3600, 3720)):
+        bulk.setdefault(_time(t), {}).setdefault("test2", []).append(t // 15)
+    s.bulk_insert(bulk)
+
+    interval = s.series(["test1", "test2"], "minute", end=_time(250))
+    assert list(interval.keys()) == [_time(x) for x in (0, 60, 120, 180, 240)]
+    assert interval[_time(0)] == {0, 1, 2, 3}
+    assert interval[_time(60)] == {4, 5, 6, 7}
+    assert interval[_time(120)] == {8, 9, 10, 11}
+    assert interval[_time(180)] == {12, 13, 14, 15}
+    assert interval[_time(240)] == set()
+
+    interval = s.series(["test1", "test2"], "minute", end=_time(250), collapse=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == set(range(0, 16))
+
+    interval = s.series(["test1", "test2"], "hour", end=_time(250))
+    assert len(interval) == 1
+    assert list(interval[_time(0)].keys()) == [_time(x) for x in (0, 60, 120, 180)]
+    assert interval[_time(0)][_time(0)] == {0, 1, 2, 3}
+    assert interval[_time(0)][_time(60)] == {4, 5, 6, 7}
+    assert interval[_time(0)][_time(120)] == {8, 9, 10, 11}
+    assert interval[_time(0)][_time(180)] == {12, 13, 14, 15}
+
+    interval = s.series(["test1", "test2"], "hour", end=_time(250), condensed=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == set(range(0, 16))
+
+    interval = s.series(
+        ["test1", "test2"], "hour", condensed=True, end=_time(4200), steps=2,
+        collapse=True,
+    )
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == set(range(0, 16)) | set(range(240, 256))
