@@ -263,3 +263,58 @@ def simhash_near_pairs(
     return cands.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components over a pair
+    graph, returning ``(node, cluster_id)`` with ``cluster_id`` = the
+    smallest node id reachable from ``node``. Nodes are the ids that
+    appear in at least one pair (singletons need no label).
+
+    HashMin label propagation: every node starts labeled with itself;
+    each round every node takes the min label over itself and its
+    neighbors; converged when no label changes. Rounds needed = graph
+    diameter (dup clusters are shallow — near-dup graphs are cliques
+    plus short chains, so typically 2-4 rounds).
+
+    Scale shape (100 TB): each round is ONE shuffle join of the edge
+    list against the label table on node id, then a min-aggregate —
+    the standard Pregel-style CC on DataFrames. ``localCheckpoint``
+    truncates the growing lineage each round so the plan stays flat;
+    convergence is checked with a count action per round (the driver
+    sees one scalar, never the data). Skewed hub nodes are handled by
+    AQE; for adversarial graphs swap in large-star/small-star
+    (alternating rounds), which this loop structure accommodates.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

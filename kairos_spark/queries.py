@@ -903,6 +903,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=8, threshold=0.25)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components (HashMin label
+    propagation) over the exact n-gram-Jaccard pair graph — transitive
+    closure of near-duplicate pairs, each doc labeled with the smallest
+    doc_id in its cluster."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(d, n=8, threshold=0.25)
+    out = dedup.connected_components(pairs)
+    return out.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def q_minhash_first_hashes(spark, sf_dir):
     """MinHash signature spot-check: first two hash components per doc
     (full signature is array-valued; h0/h1 are scalar and oracle-able)."""
@@ -1073,6 +1084,7 @@ QUERIES = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_keep": q_dedup_exact_keep,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_first_hashes": q_minhash_first_hashes,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_sample": q_simhash_sample,
@@ -1427,6 +1439,32 @@ ORACLES.update(
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.25
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE """ + _SHINGLE_CTE + """,
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT id_a, id_b FROM shared
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.25
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
         """,
         "simhash_sample": """
             WITH tok AS (

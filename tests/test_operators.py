@@ -201,3 +201,27 @@ def test_resize_and_frames(docs):
     n0 = [r for r in frames if r["media_id"] == 0]
     text0 = docs.collect()[0]["text"]
     assert len(n0) == (len(text0.encode()) - 1) // 16 + 1
+
+
+def test_connected_components_chain_and_clique(spark):
+    from kairos_spark.operators import dedup
+
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from kairos_spark.operators import dedup
+
+    # a 12-node path needs ~11 HashMin rounds; must still converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 13
