@@ -10,6 +10,7 @@ DataFrame aggregations. Storage is raw-append; reads aggregate.
 """
 
 from kairos_spark.exceptions import KairosSparkException, UnknownInterval
+from kairos_spark.session import configured_builder, default_shuffle_partitions
 from kairos_spark.timemath import GregorianTime, RelativeTime, resolve_time
 from kairos_spark.timeseries import Timeseries
 
@@ -22,5 +23,7 @@ __all__ = [
     "GregorianTime",
     "resolve_time",
     "Timeseries",
+    "configured_builder",
+    "default_shuffle_partitions",
     "__version__",
 ]

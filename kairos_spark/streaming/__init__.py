@@ -1,3 +1,4 @@
+from kairos_spark.streaming.dedup import stream_exact_dedup
 from kairos_spark.streaming.ingest import (
     foreach_batch_rollup,
     stream_bucketize,
@@ -12,4 +13,5 @@ __all__ = [
     "windowed_rollup",
     "foreach_batch_rollup",
     "stateful_sessionize",
+    "stream_exact_dedup",
 ]

@@ -86,3 +86,16 @@ def test_parquet_expire(spark, tmp_path):
     t.expire("web")
     rows = t.scan().collect()
     assert len(rows) == 1
+
+
+def test_configured_builder_defaults():
+    from kairos_spark import configured_builder, default_shuffle_partitions
+
+    b = configured_builder("t", cores=8)
+    opts = b._options
+    assert opts["spark.sql.session.timeZone"] == "UTC"
+    assert opts["spark.sql.adaptive.enabled"] == "true"
+    assert opts["spark.sql.shuffle.partitions"] == "8"
+    # 1 TB shuffle at 160 MB/partition ≈ 13k partitions (2x headroom)
+    assert default_shuffle_partitions(1 << 40) == 2 * ((1 << 40) // (160 << 20) + 1)
+    assert default_shuffle_partitions(0) == 8

@@ -171,3 +171,36 @@ def test_stateful_sessionize_closes_on_gap(spark, tmp_path):
     assert (end - start).total_seconds() == 10.0
     s8, e8 = got[(8, 1)]
     assert s8 == e8
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    from kairos_spark.streaming.dedup import stream_exact_dedup
+
+    # 6 rows, 3 distinct texts (each duplicated once, within watermark)
+    rows = [
+        ("doc-a", BASE + 0), ("doc-b", BASE + 10), ("doc-a", BASE + 20),
+        ("doc-c", BASE + 30), ("doc-b", BASE + 40), ("doc-c", BASE + 50),
+    ]
+    df = spark.createDataFrame(
+        [(t, float(s)) for t, s in rows], "text string, ts_sec double"
+    ).select("text", F.timestamp_seconds("ts_sec").alias("ts"))
+    src = str(tmp_path / "dedup_in")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("text string, ts timestamp").parquet(src)
+    deduped = stream_exact_dedup(stream, text_col="text", ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "dedup_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["text"] for r in spark.sql("SELECT text FROM dedup_sink").collect())
+    assert got == ["doc-a", "doc-b", "doc-c"]
+
+    # batch fallback keeps the same contract
+    batch = stream_exact_dedup(spark.read.schema("text string, ts timestamp").parquet(src))
+    assert batch.count() == 3
+    assert "__digest" not in batch.columns
