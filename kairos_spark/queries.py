@@ -844,26 +844,30 @@ def q_ts_multires_rollup(spark, sf_dir):
     pattern (compute fine once, derive coarse from it)."""
     ev = _tbl(spark, sf_dir, "events").select("ts", "value")
     sec = F.col("ts").cast("double")
+    # phase 1: ONE scan + ONE exchange to minute-grain partials
     minute = ev.groupBy(
-        (F.floor(sec / 60) * 60).cast("long").alias("i_time")
+        (F.floor(sec / 60) * 60).cast("long").alias("m_time")
     ).agg(F.count("*").alias("cnt"), F.sum("value").alias("__sum"))
-    hour = minute.groupBy(
-        (F.floor(F.col("i_time") / 3600) * 3600).cast("long").alias("i_time")
-    ).agg(F.sum("cnt").alias("cnt"), F.sum("__sum").alias("__sum"))
-    day = hour.groupBy(
-        (F.floor(F.col("i_time") / 86400) * 86400).cast("long").alias("i_time")
-    ).agg(F.sum("cnt").alias("cnt"), F.sum("__sum").alias("__sum"))
-
-    def shape(df, grain):
-        return df.select(
-            F.lit(grain).alias("grain"),
-            "i_time",
-            "cnt",
-            F.round("__sum", 4).alias("total"),
-        )
-
-    return shape(minute, "minute").unionByName(shape(hour, "hour")).unionByName(
-        shape(day, "day")
+    # phase 2: each minute partial fans out to its (grain, bucket) rows —
+    # a hand-rolled ROLLUP over the time hierarchy — and ONE more
+    # exchange merges them. A naive union of three groupBys would scan
+    # events three times and shuffle six times (the plan this replaced);
+    # here the coarser grains re-aggregate ~60x/1440x fewer partial rows.
+    grains = F.array(
+        F.struct(F.lit("minute").alias("grain"), F.col("m_time").alias("i_time")),
+        F.struct(
+            F.lit("hour").alias("grain"),
+            (F.floor(F.col("m_time") / 3600) * 3600).cast("long").alias("i_time"),
+        ),
+        F.struct(
+            F.lit("day").alias("grain"),
+            (F.floor(F.col("m_time") / 86400) * 86400).cast("long").alias("i_time"),
+        ),
+    )
+    return (
+        minute.select(F.explode(grains).alias("g"), "cnt", "__sum")
+        .groupBy(F.col("g.grain").alias("grain"), F.col("g.i_time").alias("i_time"))
+        .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("__sum"), 4).alias("total"))
     )
 
 
