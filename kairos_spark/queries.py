@@ -748,6 +748,27 @@ def q_window_top_orders(spark, sf_dir):
     )
 
 
+def q_ts_sliding_hour_15m(spark, sf_dir):
+    """Sliding-window aggregation: 1-hour windows every 15 minutes over
+    events (each row lands in 4 overlapping windows). The reference
+    approximates sliding aggregation with ±N insert fan-out
+    (timeseries.py:484-497, README.rst:428-432); F.window's
+    size/slide IS that fan-out done properly — Spark explodes each row
+    to its windows map-side, then one hash aggregate."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type").alias("name"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("w.start").cast("long").alias("w_start"),
+            "name",
+            "cnt",
+            "total",
+        )
+    )
+
+
 def q_range_join_user_events(spark, sf_dir):
     """Banded range join: every (error, click) event pair of the same
     user within ±300 s. The band predicate is rewritten to an equality
@@ -1078,6 +1099,7 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "window_top_orders": q_window_top_orders,
+    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
     "range_join_user_events": q_range_join_user_events,
     "rollup_revenue_region": q_rollup_revenue_region,
     "semi_join_urgent_custs": q_semi_join_urgent_custs,
@@ -1130,6 +1152,14 @@ ORACLES.update(
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
+        """,
+        "ts_sliding_hour_15m": """
+            SELECT CAST(floor(epoch(ts)/900)*900 - 900*k AS BIGINT) AS w_start,
+                   event_type AS name,
+                   count(*) AS cnt,
+                   round(sum(value), 4) AS total
+            FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+            GROUP BY 1, 2
         """,
         "range_join_user_events": """
             SELECT a.event_id AS error_id, b.event_id AS click_id,

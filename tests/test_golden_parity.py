@@ -286,6 +286,59 @@ def test_count_get_joined_golden(spark):
     assert interval[_time(0)] == (2 * sum(range(1, 120)) + sum(range(120, 240))) / 3600.0
 
 
+# ref: count_helper.py:254-314 (test_series_joined; count sums the VALUES)
+
+
+def test_count_series_joined_golden(spark):
+    s = make(spark, "count")
+    bulk = {}
+    for t in list(range(1, 240)) + list(range(3600, 3840)):
+        bulk.setdefault(_time(t), {}).setdefault("test1", []).append(t)
+    for t in list(range(1, 120)) + list(range(3600, 3720)):
+        bulk.setdefault(_time(t), {}).setdefault("test2", []).append(t)
+    s.bulk_insert(bulk)
+
+    interval = s.series(["test1", "test2"], "minute", end=_time(250))
+    assert list(interval.keys()) == [_time(x) for x in (0, 60, 120, 180, 240)]
+    assert interval[_time(0)] == 2 * sum(range(1, 60))
+    assert interval[_time(60)] == 2 * sum(range(60, 120))
+    assert interval[_time(120)] == sum(range(120, 180))
+    assert interval[_time(180)] == sum(range(180, 240))
+    assert interval[_time(240)] == 0
+
+    interval = s.series(["test1", "test2"], "minute", end=_time(250), transform="rate")
+    assert interval[_time(120)] == sum(range(120, 180)) / 60.0
+
+    interval = s.series(["test1", "test2"], "minute", end=_time(250), collapse=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == 2 * sum(range(1, 120)) + sum(range(120, 240))
+
+    interval = s.series(["test1", "test2"], "hour", end=_time(250))
+    assert len(interval) == 1
+    assert list(interval[_time(0)].keys()) == [_time(x) for x in (0, 60, 120, 180)]
+    assert interval[_time(0)][_time(0)] == 2 * sum(range(1, 60))
+    assert interval[_time(0)][_time(60)] == 2 * sum(range(60, 120))
+    assert interval[_time(0)][_time(120)] == sum(range(120, 180))
+    assert interval[_time(0)][_time(180)] == sum(range(180, 240))
+
+    interval = s.series(["test1", "test2"], "hour", end=_time(250), transform="rate")
+    assert interval[_time(0)][_time(180)] == sum(range(180, 240)) / 60.0
+
+    interval = s.series(["test1", "test2"], "hour", end=_time(250), condensed=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == 2 * sum(range(1, 120)) + sum(range(120, 240))
+
+    interval = s.series(
+        ["test1", "test2"], "hour", condensed=True, end=_time(4200), steps=2,
+        collapse=True,
+    )
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == (
+        2 * sum(range(1, 120)) + sum(range(120, 240))
+        + 2 * sum(range(3600, 3720)) + sum(range(3720, 3840))
+    )
+
+
 # ------------------------------------------------------------- gauge type
 # ref: gauge_helper.py:104-135 (test_get), :185-230 (test_series)
 
