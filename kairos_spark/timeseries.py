@@ -250,7 +250,10 @@ class Timeseries:
 
     # ------------------------------------------------------- aggregation core
 
-    def _aggregate(self, df, cfg, keys, order, condense_gauge=False, transform=None, step_size=None):
+    def _aggregate(
+        self, df, cfg, keys, order, condense_gauge=False, transform=None,
+        step_size=None, gauge_join=False,
+    ):
         """Aggregate raw rows at the requested grain, returning either the
         per-type container column or transform columns."""
         ops = self.ops
@@ -283,6 +286,16 @@ class Timeseries:
             kept = fine.where(self._nonfalsy(F.col("value")))
             return kept.groupBy(*keys).agg(
                 F.max_by("value", F.struct("r_time", "__prio")).alias("value")
+            )
+        if isinstance(ops, GaugeOps) and gauge_join:
+            # multi-name join without condense: the reference's _join
+            # (timeseries.py:981-988) takes the LAST NON-FALSY name's
+            # value per slot (`if row: rval = row`) — per-name last
+            # write first, then falsy-filter, then name-argument order
+            fine = ops.container_agg(df, keys + ["__prio"], ["insert_seq"])
+            kept = fine.where(self._nonfalsy(F.col("value")))
+            return kept.groupBy(*keys).agg(
+                F.max_by("value", F.col("__prio")).alias("value")
             )
         return ops.container_agg(df, keys, order)
 
@@ -317,10 +330,11 @@ class Timeseries:
             timestamp = _time.time()
         i_key, _ = self._stored_keys(cfg, timestamp)
         df = self._filtered(name, interval).where(F.col("i_time") == i_key)
+        multi = isinstance(name, (list, tuple, set))
 
         if cfg.coarse:
             return self._aggregate(
-                df, cfg, ["i_time"], ["__prio", "insert_seq"],
+                df, cfg, ["i_time"], ["__prio", "insert_seq"], gauge_join=multi,
                 transform=transform, step_size=self._step_size_col(cfg, "i"),
             )
         if condense:
@@ -330,7 +344,7 @@ class Timeseries:
                 transform=transform, step_size=self._step_size_col(cfg, "i"),
             )
         return self._aggregate(
-            df, cfg, ["r_time"], ["__prio", "insert_seq"],
+            df, cfg, ["r_time"], ["__prio", "insert_seq"], gauge_join=multi,
             transform=transform, step_size=self._step_size_col(cfg, "r"),
         )
 
@@ -393,7 +407,9 @@ class Timeseries:
             shaped[self._key_ts(calc, row[key_col])] = _row_payload(row, self.ops, df_transform)
         if coarse_like and not shaped:
             i_key, _ = self._stored_keys(cfg, timestamp)
-            shaped[self._key_ts(cfg.i_calc, i_key)] = _empty_payload(self.ops, df_transform)
+            shaped[self._key_ts(cfg.i_calc, i_key)] = _empty_payload(
+                self.ops, df_transform, multi=isinstance(name, (list, tuple, set))
+            )
         if callables:
             step = (cfg.i_calc if coarse_like else cfg.r_calc).step_size(timestamp)
             shaped = OrderedDict(
@@ -477,6 +493,7 @@ class Timeseries:
             agg = self._aggregate(
                 df, cfg, ["i_time"], ["r_time", "__prio", "insert_seq"],
                 condense_gauge=condense and not cfg.coarse,
+                gauge_join=cfg.coarse and isinstance(name, (list, tuple, set)),
                 transform=transform, step_size=self._step_size_col(cfg, "i"),
             )
             if cfg.coarse:
@@ -489,6 +506,7 @@ class Timeseries:
             return agg
         return self._aggregate(
             df, cfg, ["i_time", "r_time"], ["__prio", "insert_seq"],
+            gauge_join=isinstance(name, (list, tuple, set)),
             transform=transform, step_size=self._step_size_col(cfg, "r"),
         )
 
@@ -549,8 +567,9 @@ class Timeseries:
                         return True
                     return isinstance(v, dict) and v and all(x is None for x in v.values())
 
+                multi = isinstance(name, (list, tuple, set))
                 shaped = OrderedDict(
-                    (k, v if not _is_gap(v) else _empty_payload(self.ops, df_transform))
+                    (k, v if not _is_gap(v) else _empty_payload(self.ops, df_transform, multi=multi))
                     for k, v in shaped.items()
                 )
             if callables:
@@ -688,8 +707,14 @@ def _row_payload(row, ops, transform):
     return d
 
 
-def _empty_payload(ops, transform):
+def _empty_payload(ops, transform, multi=False):
     if transform is None:
+        if multi and isinstance(ops, GaugeOps):
+            # reference quirk: single-name empty gauge is 0
+            # (_type_no_value, timeseries.py:953-955) but a multi-name
+            # empty slot is None — gauge _join skips falsy rows and
+            # returns its None initial (timeseries.py:981-988)
+            return None
         e = ops.empty
         if isinstance(e, frozenset):
             return set()

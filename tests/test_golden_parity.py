@@ -399,6 +399,52 @@ def test_gauge_series_golden(gauge_full):
     assert interval[_time(0)] == 7199
 
 
+# ref: gauge_helper.py:228-284 (test_series_joined). An empty joined slot
+# is None, not 0: gauge _join skips falsy rows and returns its None
+# initial (timeseries.py:981-988) — unlike the single-name empty (0).
+
+
+def test_gauge_series_joined_golden(spark):
+    s = make(spark, "gauge")
+    bulk = {}
+    for t in list(range(1, 240)) + list(range(3600, 3840)):
+        bulk.setdefault(_time(t), {}).setdefault("test1", []).append(t)
+    for t in list(range(1, 120)) + list(range(3600, 3720)):
+        bulk.setdefault(_time(t), {}).setdefault("test2", []).append(t)
+    s.bulk_insert(bulk)
+
+    interval = s.series(["test1", "test2"], "minute", end=_time(250))
+    assert list(interval.keys()) == [_time(x) for x in (0, 60, 120, 180, 240)]
+    assert interval[_time(0)] == 59
+    assert interval[_time(60)] == 119
+    assert interval[_time(120)] == 179
+    assert interval[_time(180)] == 239
+    assert interval[_time(240)] is None
+
+    interval = s.series(["test1", "test2"], "minute", end=_time(250), collapse=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == 239
+
+    interval = s.series(["test1", "test2"], "hour", end=_time(250))
+    assert len(interval) == 1
+    assert list(interval[_time(0)].keys()) == [_time(x) for x in (0, 60, 120, 180)]
+    assert interval[_time(0)][_time(0)] == 59
+    assert interval[_time(0)][_time(60)] == 119
+    assert interval[_time(0)][_time(120)] == 179
+    assert interval[_time(0)][_time(180)] == 239
+
+    interval = s.series(["test1", "test2"], "hour", end=_time(250), condensed=True)
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == 239
+
+    interval = s.series(
+        ["test1", "test2"], "hour", condensed=True, end=_time(4200), steps=2,
+        collapse=True,
+    )
+    assert list(interval.keys()) == [_time(0)]
+    assert interval[_time(0)] == 3839
+
+
 # --------------------------------------------------------- histogram type
 # ref: histogram_helper.py:106-137 (test_get; Python-2 t/2 → t//2)
 
