@@ -748,6 +748,23 @@ def q_window_top_orders(spark, sf_dir):
     )
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated quantiles (p50/p95/p99) of event values per
+    name — Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    same linear-interpolation definition, so this is exactly
+    oracle-able. Exact percentile buffers each group's values in the
+    aggregation state; at 100 TB swap in ``percentile_approx``
+    (t-digest-style sketch, mergeable, bounded memory) — same query
+    shape, documented accuracy trade."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("name")).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_ts_sliding_hour_15m(spark, sf_dir):
     """Sliding-window aggregation: 1-hour windows every 15 minutes over
     events (each row lands in 4 overlapping windows). The reference
@@ -1100,6 +1117,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "window_top_orders": q_window_top_orders,
     "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
+    "value_percentiles": q_value_percentiles,
     "range_join_user_events": q_range_join_user_events,
     "rollup_revenue_region": q_rollup_revenue_region,
     "semi_join_urgent_custs": q_semi_join_urgent_custs,
@@ -1152,6 +1170,14 @@ ORACLES.update(
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
+        """,
+        "value_percentiles": """
+            SELECT event_type AS name,
+                   round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+                   round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95,
+                   round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
         "ts_sliding_hour_15m": """
             SELECT CAST(floor(epoch(ts)/900)*900 - 900*k AS BIGINT) AS w_start,

@@ -756,3 +756,59 @@ def test_set_series_joined_golden(spark):
     )
     assert list(interval.keys()) == [_time(0)]
     assert interval[_time(0)] == set(range(0, 16)) | set(range(240, 256))
+
+
+# ref: test/functional/api_helper.py:30-81 (list / properties / iterate)
+
+
+def test_api_golden(spark):
+    s = Timeseries(
+        spark,
+        type="series",
+        value_type="long",
+        intervals={
+            "minute": {"step": 60, "steps": 5},
+            "hour": {"step": HOUR, "resolution": 60},
+            "bulk-hour": {"step": HOUR},
+        },
+    )
+    # test_list
+    for name in ("test", "test1", "test2", "test"):
+        s.insert(name, 32, timestamp=_time(0))
+    assert sorted(s.list()) == ["test", "test1", "test2"]
+    s.delete("test1")
+    s.delete("test2")
+    assert sorted(s.list()) == ["test"]
+    s.delete("test")
+
+    # test_properties
+    s.insert("test", 32, timestamp=_time(0))
+    s.insert("test", 32, timestamp=_time(60))
+    s.insert("test", 32, timestamp=_time(600))
+    res = s.properties("test")
+    assert res["minute"]["first"] == _time(0)
+    assert res["minute"]["last"] == _time(600)
+    assert res["hour"]["first"] == _time(0)
+    assert res["hour"]["last"] == _time(0)
+    s.delete("test")
+
+    # test_iterate
+    s.insert("test", 32, timestamp=_time(0))
+    s.insert("test", 42, timestamp=_time(60))
+    s.insert("test", 52, timestamp=_time(600))
+
+    res = list(s.iterate("test", "minute"))
+    assert len(res) == 11
+    assert res[0] == (_time(0), [32])
+    assert res[1] == (_time(60), [42])
+    assert res[2] == (_time(120), [])
+    assert res[-1] == (_time(600), [52])
+
+    res = list(s.iterate("test", "hour"))
+    assert len(res) == 3
+    assert res[0] == (_time(0), [32])
+    assert res[1] == (_time(60), [42])
+    assert res[2] == (_time(600), [52])
+
+    res = list(s.iterate("test", "bulk-hour"))
+    assert res == [(_time(0), [32, 42, 52])]
