@@ -62,6 +62,8 @@ HEADLINE = {
     "range_join": q.q_range_join_user_events,
     "rollup_grouping_sets": q.q_rollup_revenue_region,
     "multires_rollup": q.q_ts_multires_rollup,
+    "sliding_window": q.q_ts_sliding_hour_15m,
+    "value_percentiles": q.q_value_percentiles,
     "dedup_exact_keep": q.q_dedup_exact_keep,
     "text_stats": q.q_text_stats,
     "minhash_first_hashes": q.q_minhash_first_hashes,
