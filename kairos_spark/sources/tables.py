@@ -82,3 +82,31 @@ def open_store(url: str) -> ParquetStoreHandle:
     if scheme not in ("parquet", "memory", "delta"):
         raise ValueError(f"unsupported store scheme {scheme!r}")
     return ParquetStoreHandle(scheme, parsed.path)
+
+
+def write_bucketed_long_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 32,
+    key: str = "name",
+) -> None:
+    """Bucketed variant of the long-table sink: hash-bucket by ``key``
+    and sort files by ``(key, i_time)``.
+
+    This is the co-located layout for read-mostly deployments: every
+    ``groupBy(name, ...)`` aggregation and every self-/cross-join of
+    two tables bucketed the same way runs with ZERO exchanges — the
+    bucket files ARE the shuffle output, paid once at write time. At
+    100 TB that converts the per-query name-shuffle (the engine's only
+    read-path shuffle) into a write-time cost amortized over every
+    subsequent query. On Delta the same role is played by OPTIMIZE
+    ZORDER/clustering; plain Spark bucketing needs a catalog table,
+    hence ``saveAsTable`` with an explicit path.
+    """
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key, "i_time")
+        .option("path", path)
+        .saveAsTable(table)
+    )

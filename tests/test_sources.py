@@ -99,3 +99,46 @@ def test_configured_builder_defaults():
     # 1 TB shuffle at 160 MB/partition ≈ 13k partitions (2x headroom)
     assert default_shuffle_partitions(1 << 40) == 2 * ((1 << 40) // (160 << 20) + 1)
     assert default_shuffle_partitions(0) == 8
+
+
+def test_bucketed_long_table_eliminates_shuffles(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kairos_spark.sources.tables import write_bucketed_long_table
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).cast("string").alias("name"),
+        (F.col("id") * 60).alias("i_time"),
+        F.lit(-1).alias("r_time"),
+        F.col("id").alias("insert_seq"),
+        F.rand(1).alias("value"),
+    )
+    write_bucketed_long_table(df, "tb_a", str(tmp_path / "a"), buckets=4)
+    write_bucketed_long_table(df, "tb_b", str(tmp_path / "b"), buckets=4)
+    try:
+        # aggregation on the bucket key: bucket files replace the shuffle
+        agg = spark.table("tb_a").groupBy("name").agg(F.sum("value").alias("v"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert agg.count() == 7
+
+        # co-bucketed join: no exchange on either side (forbid broadcast
+        # so the shuffle would otherwise be mandatory)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = (
+                spark.table("tb_a").groupBy("name").agg(F.sum("value").alias("va"))
+                .join(
+                    spark.table("tb_b").groupBy("name").agg(F.sum("value").alias("vb")),
+                    "name",
+                )
+            )
+            jplan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in jplan
+            assert j.count() == 7
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_a")
+        spark.sql("DROP TABLE IF EXISTS tb_b")
