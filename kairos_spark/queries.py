@@ -748,6 +748,25 @@ def q_window_top_orders(spark, sf_dir):
     )
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured column handling: extract a field from the JSON
+    ``props`` payload (JVM-side get_json_object — no Python in the
+    path) and aggregate it per event name. The reference has no scalar
+    function surface at all (SURVEY.md §2.4); JSON extraction is the
+    one every event pipeline needs first. At scale prefer from_json
+    with an explicit schema once the payload stabilizes — single parse,
+    columnar after."""
+    ev = _tbl(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy(F.col("event_type").alias("name")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 6).alias("k_mean"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        F.count_distinct(k).alias("k_distinct"),
+    )
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated quantiles (p50/p95/p99) of event values per
     name — Spark ``percentile`` and DuckDB ``quantile_cont`` share the
@@ -1118,6 +1137,7 @@ QUERIES = {
     "window_top_orders": q_window_top_orders,
     "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
     "value_percentiles": q_value_percentiles,
+    "json_props_stats": q_json_props_stats,
     "range_join_user_events": q_range_join_user_events,
     "rollup_revenue_region": q_rollup_revenue_region,
     "semi_join_urgent_custs": q_semi_join_urgent_custs,
@@ -1170,6 +1190,15 @@ ORACLES.update(
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
+        """,
+        "json_props_stats": """
+            SELECT event_type AS name,
+                   count(*) AS n,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_mean,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+                   count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
+            FROM events GROUP BY 1
         """,
         "value_percentiles": """
             SELECT event_type AS name,
