@@ -975,6 +975,19 @@ def q_dedup_clusters(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q_dedup_clusters_lsh(spark, sf_dir):
+    """The 100 TB dedup pipeline end-to-end: MinHash signatures →
+    LSH band buckets → candidate pairs (est. Jaccard ≥ 0.2) →
+    connected components. Unlike dedup_clusters (exact all-pairs edge
+    input, the verification path), every stage here is shuffle-safe:
+    signatures are map-only, banding shuffles short digests, and CC
+    shuffles the candidate edge list only."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(d, n=8, num_hashes=32, bands=16, threshold=0.2)
+    out = dedup.connected_components(pairs)
+    return out.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def q_minhash_first_hashes(spark, sf_dir):
     """MinHash signature spot-check: first two hash components per doc
     (full signature is array-valued; h0/h1 are scalar and oracle-able)."""
@@ -1149,6 +1162,7 @@ QUERIES = {
     "dedup_exact_keep": q_dedup_exact_keep,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_lsh": q_dedup_clusters_lsh,
     "minhash_first_hashes": q_minhash_first_hashes,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_sample": q_simhash_sample,
@@ -1615,3 +1629,26 @@ ORACLES["minhash_lsh_pairs"] = """
     )
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2
 """
+
+# Scale-path dup clustering = the LSH pair pipeline above + transitive
+# closure. The oracle reuses the minhash_lsh_pairs SQL verbatim,
+# swapping its final SELECT for a recursive reachability CTE.
+ORACLES["dedup_clusters_lsh"] = (
+    ORACLES["minhash_lsh_pairs"]
+    .replace("WITH ", "WITH RECURSIVE ", 1)
+    .replace(
+        "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2",
+        """, p AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.2),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""",
+    )
+)
