@@ -1074,6 +1074,25 @@ def q_embed_near_pairs(spark, sf_dir):
     return similarity.cosine_self_pairs(emb, threshold=0.4, max_rows=200)
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids as (label, dim, mean) rows —
+    the group-wise vector mean that IVF/k-means training is built
+    from. posexplode fans each vector to (label, dim, component)
+    triples (tiny payload, 64x rows) and one hash aggregate computes
+    the per-dimension means; partial aggregation collapses each
+    partition to #labels×#dims rows before the shuffle, so network
+    volume is independent of the vector count."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return ex.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
+        F.round(F.avg("x"), 6).alias("m"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN top-10: assign every vector to the nearest of 16
     deterministic coarse centroids (the 16 lowest-id embeddings), probe
@@ -1173,6 +1192,7 @@ QUERIES = {
     "token_topk": q_token_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "label_centroids": q_label_centroids,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_near_pairs": q_embed_near_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1374,6 +1394,17 @@ ORACLES.update(
             WHERE a.rn = 1
             ORDER BY cosine DESC, a.vec_id
             LIMIT 10
+        """,
+        "label_centroids": """
+            WITH u AS (
+                SELECT label,
+                       generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings
+            )
+            SELECT label, CAST(dim AS INT) AS dim,
+                   round(avg(x), 6) AS m, count(*) AS n_vecs
+            FROM u GROUP BY 1, 2
         """,
         "embed_near_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
