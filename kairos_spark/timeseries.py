@@ -236,6 +236,11 @@ class Timeseries:
 
     def _filtered(self, names, interval) -> DataFrame:
         df = self.scan().where(F.col("interval") == interval)
+        if self.read_func:
+            # read-side cast applied at scan, before any aggregation —
+            # the reference applies read_func per row read in every
+            # _process_row (kairos/timeseries.py:365, 823-826)
+            df = df.withColumn("value", self._read_cast(F.col("value")))
         if isinstance(names, (list, tuple, set)):
             names = list(names)
             df = df.where(F.col("name").isin(names))

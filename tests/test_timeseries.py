@@ -357,3 +357,50 @@ def test_histogram_percentiles(spark):
     df = spark.createDataFrame(rows)
     out = type_ops("histogram").percentiles(df, ["g"], [0.5, 0.75, 0.99]).collect()[0]
     assert (out["p50"], out["p75"], out["p99"]) == (2, 2, 10)
+
+
+# ---------------------------------------------- value typing (SURVEY §1.3)
+# The reference types values in three layers: write_func → physical
+# storage type (sql TYPE_MAP) → read_func. All three have Spark twins.
+
+
+def test_value_type_str_gauge(spark):
+    t = make_ts(spark, "gauge", value_type="str")
+    t.insert("s", "hello", timestamp=_time(0))
+    t.insert("s", "world", timestamp=_time(10))
+    assert t.get("s", "minute", timestamp=_time(0)) == {_time(0): "world"}
+
+
+def test_value_type_decimal_gauge(spark):
+    from decimal import Decimal
+
+    t = make_ts(spark, "gauge", value_type="decimal")
+    t.insert("d", Decimal("1.5"), timestamp=_time(0))
+    got = t.get("d", "minute", timestamp=_time(0))
+    assert got == {_time(0): Decimal("1.500000")}
+
+
+def test_write_func_applied_before_storage(spark):
+    # reference: write_func runs on every value before the physical
+    # write (timeseries.py:366, 458-464)
+    t = Timeseries(
+        spark, type="series", intervals=INTERVALS, value_type="long",
+        write_func=lambda v: v * 2,
+    )
+    t.insert("w", 21, timestamp=_time(0))
+    t.bulk_insert({_time(1): {"w": [5]}})
+    assert t.get("w", "minute", timestamp=_time(0)) == {_time(0): [42, 10]}
+
+
+def test_read_func_cast_on_read(spark):
+    # read_func is a Column→Column cast applied at scan (reference
+    # applies it per _process_row, timeseries.py:365)
+    from pyspark.sql import functions as F
+
+    t = Timeseries(
+        spark, type="series", intervals=INTERVALS, value_type="str",
+        read_func=lambda c: c.cast("long"),
+    )
+    t.insert("r", "32", timestamp=_time(0))
+    t.insert("r", "42", timestamp=_time(5))
+    assert t.get("r", "minute", timestamp=_time(0)) == {_time(0): [32, 42]}
