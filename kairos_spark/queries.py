@@ -988,6 +988,27 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def q_training_data_prep(spark, sf_dir):
+    """End-to-end training-data prep composition: exact dedup (keep
+    lowest id per digest) → quality scoring → language + quality
+    filter, in one DataFrame plan. Each stage is the already-verified
+    operator; this query checks they COMPOSE (the thing a real corpus
+    pipeline does) — Catalyst fuses the filters and prunes columns
+    across the whole chain."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dup = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+    ).where(F.col("doc_id") % 5 == 0)
+    u = d.unionByName(dup)
+    keep = dedup.exact_dedup(u)
+    scored = text.quality_score(keep)
+    return (
+        keep.join(scored, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+        .select("doc_id", "quality")
+    )
+
+
 def q_minhash_first_hashes(spark, sf_dir):
     """MinHash signature spot-check: first two hash components per doc
     (full signature is array-valued; h0/h1 are scalar and oracle-able)."""
@@ -1182,6 +1203,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "training_data_prep": q_training_data_prep,
     "minhash_first_hashes": q_minhash_first_hashes,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_sample": q_simhash_sample,
@@ -1599,6 +1621,39 @@ ORACLES.update(
                 SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
             )
             SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        """,
+        "training_data_prep": """
+            WITH u AS (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang FROM documents
+                WHERE doc_id % 5 = 0
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY md5(text)),
+            k AS (SELECT u.* FROM u JOIN keep USING (doc_id)),
+            stats AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                       round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+                             / greatest(length(text), 1), 6) AS digit_ratio,
+                       round(len(regexp_extract_all(lower(text),
+                             '\\b(the|and|of|to|in|is|that|for|with)\\b')) * 1.0
+                             / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                             AS stopword_ratio
+                FROM k
+            ),
+            scored AS (
+                SELECT doc_id, lang,
+                       round(0.4 * least(n_words / 100.0, 1.0)
+                           + 0.3 * least(stopword_ratio * 3, 1.0)
+                           + 0.2 * (1.0 - least(punct_ratio * 4, 1.0))
+                           + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality
+                FROM stats
+            )
+            SELECT doc_id, quality FROM scored
+            WHERE quality >= 0.5 AND lang = 'en'
         """,
         "simhash_sample": """
             WITH tok AS (

@@ -110,3 +110,53 @@ def write_bucketed_long_table(
         .option("path", path)
         .saveAsTable(table)
     )
+
+
+def compact_long_table(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 1,
+    fmt: str = "parquet",
+) -> dict:
+    """Compact a long-table directory in place: rewrite each
+    ``interval=`` partition into ``target_partitions`` files, sorted by
+    ``(name, i_time)`` so parquet min/max stats are tight again.
+
+    Streaming ingest appends one file set per micro-batch — after a day
+    of 10 s triggers a partition holds ~8,640 file groups and scan
+    planning degrades (the classic small-file problem). Compaction is
+    the batch companion job: read, re-sort, rewrite, swap. The swap is
+    local-filesystem rename (staging dir then replace) — on object
+    stores / production runs use Delta ``OPTIMIZE`` instead, which does
+    this transactionally; the read/sort/rewrite shape is identical.
+
+    Returns ``{"files_before": int, "files_after": int}``.
+    """
+    import pathlib
+    import shutil
+
+    root = pathlib.Path(path)
+
+    def _data_files(p):
+        return [
+            f for f in p.rglob("*")
+            if f.is_file() and not f.name.startswith(("_", "."))
+        ]
+
+    before = len(_data_files(root))
+    df = spark.read.format(fmt).load(path)
+    staging = str(root.with_name(root.name + ".__compact__"))
+    (
+        df.repartition(target_partitions, "interval")
+        .sortWithinPartitions("interval", "name", "i_time")
+        .write.mode("overwrite")
+        .partitionBy("interval")
+        .format(fmt)
+        .save(staging)
+    )
+    backup = str(root.with_name(root.name + ".__old__"))
+    shutil.move(str(root), backup)
+    shutil.move(staging, str(root))
+    shutil.rmtree(backup)
+    after = len(_data_files(root))
+    return {"files_before": before, "files_after": after}

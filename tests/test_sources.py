@@ -142,3 +142,32 @@ def test_bucketed_long_table_eliminates_shuffles(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_a")
         spark.sql("DROP TABLE IF EXISTS tb_b")
+
+
+def test_compact_long_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kairos_spark.sources.tables import compact_long_table
+
+    path = str(tmp_path / "store")
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("name"),
+        F.lit("minute").alias("interval"),
+        (F.col("id") * 60).alias("i_time"),
+        F.lit(-1).alias("r_time"),
+        F.col("id").alias("insert_seq"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    # simulate micro-batch appends: many small file sets
+    for i in range(5):
+        df.where(F.col("insert_seq") % 5 == i).repartition(4).write.mode(
+            "append"
+        ).partitionBy("interval").parquet(path)
+
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stats = compact_long_table(spark, path, target_partitions=1)
+    after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    assert after_rows == before_rows
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 2
