@@ -404,3 +404,17 @@ def test_read_func_cast_on_read(spark):
     t.insert("r", "32", timestamp=_time(0))
     t.insert("r", "42", timestamp=_time(5))
     assert t.get("r", "minute", timestamp=_time(0)) == {_time(0): [32, 42]}
+
+
+def test_dict_transforms_mixed_named_and_callable(spark):
+    # reference _process_transform dict form (timeseries.py:747-755):
+    # result per bucket is {dict_key: transform_result}, mixing named
+    # transforms with callables taking (data, step_size)
+    t = make_ts(spark, "series", value_type="long")
+    for i, v in enumerate([1, 2, 3]):
+        t.insert("d", v, timestamp=_time(i))
+    got = t.get(
+        "d", "minute", timestamp=_time(0),
+        transform={"lo": "min", "per_sec": lambda data, step: sum(data) / step},
+    )
+    assert got == {_time(0): {"lo": 1, "per_sec": 6 / 60}}
