@@ -134,6 +134,22 @@ class Timeseries:
         self.write_func = write_func
         self.value_type = value_type
         self.schema = long_schema(value_type)
+        if path and "://" in path:
+            # kairos 0.9.2 parity: construct from a store URL
+            # (CHANGELOG; factory dispatch timeseries.py:288-297) —
+            # here the URL picks the physical store layer
+            from kairos_spark.sources.tables import open_store
+
+            handle = open_store(path)
+            if handle.scheme == "memory":
+                path = None
+            elif handle.scheme == "delta":
+                raise NotImplementedError(
+                    "delta:// store requires delta-spark at runtime; "
+                    "use parquet:// (same long-table layout)"
+                )
+            else:
+                path = handle.path
         self._store = _ParquetStore(path) if path else _MemoryStore()
         self._seq = itertools.count()
 

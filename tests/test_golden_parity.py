@@ -812,3 +812,42 @@ def test_api_golden(spark):
 
     res = list(s.iterate("test", "bulk-hour"))
     assert res == [(_time(0), [32, 42, 52])]
+
+
+# ref: series_helper.py:106-151 (relative-time ±N insert fan-out; the
+# Gregorian twin lives in test_golden_gregorian.py)
+
+
+def test_insert_multiple_intervals_after_relative(spark):
+    s = make(spark, "series")
+    minute = s.intervals["minute"]
+    ts1 = _time(0)
+    ts2 = minute.i_calc.normalize(ts1, 1)
+    ts3 = minute.i_calc.normalize(ts1, 2)
+    assert ts1 != ts2
+
+    s.insert("test", 32, timestamp=ts1, intervals=1)
+    assert s.get("test", "minute", timestamp=ts1)[ts1] == [32]
+    assert s.get("test", "minute", timestamp=ts2)[ts2] == [32]
+
+    s.insert("test", 42, timestamp=ts1, intervals=2)
+    assert s.get("test", "minute", timestamp=ts1)[ts1] == [32, 42]
+    assert s.get("test", "minute", timestamp=ts2)[ts2] == [32, 42]
+    assert s.get("test", "minute", timestamp=ts3)[ts3] == [42]
+
+
+def test_insert_multiple_intervals_before_relative(spark):
+    s = make(spark, "series")
+    minute = s.intervals["minute"]
+    ts1 = _time(0)
+    ts2 = minute.i_calc.normalize(ts1, -1)
+    ts3 = minute.i_calc.normalize(ts1, -2)
+
+    s.insert("test", 32, timestamp=ts1, intervals=-1)
+    assert s.get("test", "minute", timestamp=ts1)[ts1] == [32]
+    assert s.get("test", "minute", timestamp=ts2)[ts2] == [32]
+
+    s.insert("test", 42, timestamp=ts1, intervals=-2)
+    assert s.get("test", "minute", timestamp=ts1)[ts1] == [32, 42]
+    assert s.get("test", "minute", timestamp=ts2)[ts2] == [32, 42]
+    assert s.get("test", "minute", timestamp=ts3)[ts3] == [42]

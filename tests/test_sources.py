@@ -171,3 +171,27 @@ def test_compact_long_table(spark, tmp_path):
     assert after_rows == before_rows
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] <= 2
+
+
+def test_timeseries_from_store_url(spark, tmp_path):
+    import pytest as _pytest
+
+    from kairos_spark import Timeseries
+
+    t = Timeseries(
+        spark, type="count", value_type="long",
+        intervals={"minute": {"step": 60}},
+        path=f"parquet://{tmp_path}/store",
+    )
+    t.insert("c", 1, timestamp=1800000000)
+    t.insert("c", 1, timestamp=1800000001)
+    assert t.get("c", "minute", timestamp=1800000000) == {1800000000: 2}
+
+    m = Timeseries(spark, type="count", value_type="long",
+                   intervals={"minute": {"step": 60}}, path="memory://")
+    m.insert("c", 5, timestamp=1800000000)
+    assert m.get("c", "minute", timestamp=1800000000) == {1800000000: 5}
+
+    with _pytest.raises(NotImplementedError):
+        Timeseries(spark, intervals={"minute": {"step": 60}},
+                   path="delta:///x")
