@@ -418,3 +418,14 @@ def test_dict_transforms_mixed_named_and_callable(spark):
         transform={"lo": "min", "per_sec": lambda data, step: sum(data) / step},
     )
     assert got == {_time(0): {"lo": 1, "per_sec": 6 / 60}}
+
+
+def test_set_callable_transform_single_arg(spark):
+    # reference quirk: set custom transforms are called transform(data)
+    # with NO step_size (timeseries.py:1017-1018), unlike every other
+    # type's transform(data, step_size) — both signatures accepted here
+    t = make_ts(spark, "set", value_type="long")
+    for v in (3, 3, 5, 7):
+        t.insert("s", v, timestamp=_time(0))
+    got = t.get("s", "minute", timestamp=_time(0), transform=lambda data: len(data))
+    assert got == {_time(0): 3}
