@@ -100,19 +100,29 @@ def windowed_rollup(
     name_col: str = "name",
     ts_col: str = "ts",
     value_col: str = "value",
+    slide_seconds: int | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregate — streaming get/series at
+    """Watermarked windowed aggregate — streaming get/series at
     interval grain. Window start == the relative bucket start, so
-    results align with the batch engine's i_time."""
+    results align with the batch engine's i_time. ``slide_seconds``
+    turns the tumbling window into a sliding one (each event lands in
+    step/slide overlapping windows — the streaming analog of the
+    reference's ±N insert fan-out, README.rst:428-432); state per key
+    grows by the same factor, bounded by the watermark as usual."""
     if series_type not in _ROLLUP_AGGS:
         raise ValueError(f"unsupported streaming rollup type {series_type!r}")
+    if slide_seconds is not None and step_seconds % slide_seconds != 0:
+        raise ValueError("step_seconds must be a multiple of slide_seconds")
     src = stream_df.withWatermark(ts_col, watermark).select(
         F.col(name_col).alias("name"),
         F.col(ts_col).alias("__ts"),
         F.col(value_col).alias("value"),
         F.unix_micros(F.col(ts_col)).alias("insert_seq"),
     )
-    win = F.window("__ts", f"{step_seconds} seconds")
+    if slide_seconds:
+        win = F.window("__ts", f"{step_seconds} seconds", f"{slide_seconds} seconds")
+    else:
+        win = F.window("__ts", f"{step_seconds} seconds")
     return (
         src.groupBy("name", win.alias("w"))
         .agg(_ROLLUP_AGGS[series_type]())

@@ -204,3 +204,33 @@ def test_stream_exact_dedup(spark, tmp_path):
     batch = stream_exact_dedup(spark.read.schema("text string, ts timestamp").parquet(src))
     assert batch.count() == 3
     assert "__digest" not in batch.columns
+
+
+def test_windowed_rollup_sliding(spark, input_dir):
+    # 1-minute windows sliding every 30 s: each event lands in 2 windows,
+    # so the total count across windows is 2x the event count
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    rolled = windowed_rollup(
+        stream, "count", step_seconds=60, watermark="1 hour", slide_seconds=30
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("slide_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM slide_sink").collect()
+    total = (
+        spark.read.schema(SCHEMA).parquet(input_dir)
+        .agg(F.sum("value")).collect()[0][0]
+    )
+    # count-type rollup sums the increments; each event lands in 2 windows
+    assert sum(r["value"] for r in rows) == 2 * total
+    # window starts align to the 30 s slide grid
+    assert all(r["i_time"] % 30 == 0 for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        windowed_rollup(stream, "count", step_seconds=60, slide_seconds=45)
