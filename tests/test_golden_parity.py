@@ -851,3 +851,60 @@ def test_insert_multiple_intervals_before_relative(spark):
     assert s.get("test", "minute", timestamp=ts1)[ts1] == [32, 42]
     assert s.get("test", "minute", timestamp=ts2)[ts2] == [32, 42]
     assert s.get("test", "minute", timestamp=ts3)[ts3] == [42]
+
+
+# ref: set_helper.py:27-103 (bulk_insert, incl. ±3 interval fan-out and
+# the None→now timestamp key)
+
+
+def test_set_bulk_insert_golden(spark):
+    s = make(spark, "set")
+    s.bulk_insert({
+        None: {"test1": [1, 2, 3], "test2": [4, 5, 6]},
+        _time(0): {"test1": [1, 2, 3], "test2": [4, 5, 6], "test3": [7, 8, 9]},
+        _time(30): {"test1": [1, 2, 3], "test2": [4, 5, 6]},
+        _time(60): {"test1": [1, 2, 3], "test3": [7, 8, 9]},
+    })
+    assert s.get("test1", "minute", timestamp=_time(0))[_time(0)] == {1, 2, 3}
+    assert s.get("test2", "minute", timestamp=_time(0))[_time(0)] == {4, 5, 6}
+    assert s.get("test3", "minute", timestamp=_time(0))[_time(0)] == {7, 8, 9}
+    assert s.get("test1", "minute", timestamp=_time(60))[_time(60)] == {1, 2, 3}
+
+
+def test_set_bulk_insert_intervals_after_golden(spark):
+    a, b, c, d, e, f = 10, 11, 12, 13, 14, 15
+    s = make(spark, "set")
+    s.bulk_insert(
+        {
+            None: {"test1": [1, 2, 3], "test2": [4, 5, 6]},
+            _time(0): {"test1": [1, 2, 3], "test2": [4, 5, 6], "test3": [7, 8, 9]},
+            _time(30): {"test1": [1, 2, 3], "test2": [4, 5, 6]},
+            _time(60): {"test1": [a, b, c], "test3": [d, e, f]},
+        },
+        intervals=3,
+    )
+    assert s.get("test1", "minute", timestamp=_time(0))[_time(0)] == {1, 2, 3}
+    assert s.get("test3", "minute", timestamp=_time(0))[_time(0)] == {7, 8, 9}
+    assert s.get("test1", "minute", timestamp=_time(60))[_time(60)] == {1, 2, 3, a, b, c}
+    assert s.get("test3", "minute", timestamp=_time(120))[_time(120)] == {7, 8, 9, d, e, f}
+    assert s.get("test3", "minute", timestamp=_time(180))[_time(180)] == {7, 8, 9, d, e, f}
+
+
+def test_set_bulk_insert_intervals_before_golden(spark):
+    a, b, c, d, e, f = 10, 11, 12, 13, 14, 15
+    s = make(spark, "set")
+    s.bulk_insert(
+        {
+            None: {"test1": [1, 2, 3], "test2": [4, 5, 6]},
+            _time(0): {"test1": [1, 2, 3], "test2": [4, 5, 6], "test3": [7, 8, 9]},
+            _time(30): {"test1": [1, 2, 3], "test2": [4, 5, 6]},
+            _time(60): {"test1": [a, b, c], "test3": [d, e, f]},
+        },
+        intervals=-3,
+    )
+    assert s.get("test1", "minute", timestamp=_time(0))[_time(0)] == {1, 2, 3, a, b, c}
+    assert s.get("test2", "minute", timestamp=_time(0))[_time(0)] == {4, 5, 6}
+    assert s.get("test3", "minute", timestamp=_time(0))[_time(0)] == {7, 8, 9, d, e, f}
+    assert s.get("test1", "minute", timestamp=_time(-60))[_time(-60)] == {1, 2, 3, a, b, c}
+    assert s.get("test3", "minute", timestamp=_time(-120))[_time(-120)] == {7, 8, 9, d, e, f}
+    assert s.get("test3", "minute", timestamp=_time(-180))[_time(-180)] == {7, 8, 9}
