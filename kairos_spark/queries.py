@@ -1129,9 +1129,11 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-10 via random-hyperplane LSH multi-probe —
-    rows-only check (approximation has no SQL oracle); recall is
-    asserted against the brute-force baseline in tests."""
+    """Approximate top-10 via random-hyperplane LSH multi-probe. The
+    whole path is deterministic md5 math, so even the approximation is
+    exactly oracle-able (the DuckDB twin rebuilds the hyperplanes,
+    buckets, and probe set); recall vs brute force is additionally
+    asserted in tests."""
     emb = _tbl(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.lsh_topk(emb, [float(x) for x in qvec], k=10, planes=8, probe_hamming=2)
@@ -1714,6 +1716,39 @@ ORACLES["minhash_lsh_pairs"] = """
         GROUP BY 1, 2
     )
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2
+"""
+
+ORACLES["ann_lsh_topk"] = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0),
+    dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+    hs AS (SELECT unnest(generate_series(0, 7)) AS h),
+    planes AS (
+      SELECT hs.h, dims.d,
+             (('0x' || substr(md5('plane' || hs.h || ':' || dims.d), 1, 8))::BIGINT
+              / 4294967296.0) * 2.0 - 1.0 AS c
+      FROM hs, dims
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    comp AS (SELECT vec_id, dims.d, v[dims.d + 1] AS x FROM e, dims),
+    dots AS (
+      SELECT comp.vec_id, p.h, sum(comp.x * p.c) AS dp
+      FROM comp JOIN planes p ON p.d = comp.d
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id, sum(CASE WHEN dp >= 0 THEN 1 << h ELSE 0 END) AS b
+      FROM dots GROUP BY 1
+    ),
+    qb AS (SELECT b AS qbucket FROM buckets WHERE vec_id = 0),
+    probe AS (
+      SELECT e.vec_id, e.v FROM e JOIN buckets USING (vec_id), qb
+      WHERE bit_count(xor(CAST(b AS BIGINT), CAST(qbucket AS BIGINT))) <= 2
+    ),
+    scored AS (
+      SELECT probe.vec_id, round(list_cosine_similarity(probe.v, q.v), 6) AS cosine
+      FROM probe, q
+    )
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 # Scale-path dup clustering = the LSH pair pipeline above + transitive
