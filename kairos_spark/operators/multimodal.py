@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -70,11 +71,12 @@ def _fake_features(payload: bytes) -> list[float]:
     bucketed byte-value histogram, L1-normalized."""
     if not payload:
         return [0.0] * FEATURE_DIM
-    counts = [0] * FEATURE_DIM
-    for byte in payload:
-        counts[byte * FEATURE_DIM // 256] += 1
-    total = float(len(payload))
-    return [c / total for c in counts]
+    # vectorized bucket histogram: byte * FEATURE_DIM // 256 == byte >> 4
+    # for FEATURE_DIM=16 — np.bincount over the uint8 view instead of a
+    # per-byte Python loop (the loop dominated the whole query runtime)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    counts = np.bincount(arr * FEATURE_DIM // 256, minlength=FEATURE_DIM)
+    return (counts / float(len(payload))).tolist()
 
 
 def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:

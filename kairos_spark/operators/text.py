@@ -177,10 +177,18 @@ def char_shingles(text: Column, n: int = 8) -> Column:
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8) -> DataFrame:
     """Document fingerprint: minimum md5 over n-char shingles (a 1-hash
     MinHash — stable under small edits far from the minimizing shingle).
+
+    Shape: explode shingles → md5 in whole-stage codegen → groupBy doc
+    with a single min() aggregate. Map-side partial aggregation collapses
+    each partition to one row per doc before the shuffle, and the md5
+    stays out of the interpreted HOF-lambda path (same ~20× trap the
+    MinHash operator engineered around — see dedup.minhash_signatures).
+    min over duplicates equals min over distinct, so no array_distinct
+    pass is needed either.
     """
     normed = df.select(F.col(id_col), normalize_ws(F.col(text_col)).alias("__norm"))
-    sh = F.array_distinct(shingles_of_norm(F.col("__norm"), n))
-    return normed.select(
+    exploded = normed.select(
         F.col(id_col),
-        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
+        F.explode(shingles_of_norm(F.col("__norm"), n)).alias("__sh"),
     )
+    return exploded.groupBy(id_col).agg(F.min(F.md5(F.col("__sh"))).alias("fingerprint"))

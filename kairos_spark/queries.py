@@ -611,7 +611,7 @@ _TS_ORACLES = {
                count(*) AS total_n,
                min(user_id % 10) AS min_k,
                max(user_id % 10) AS max_k,
-               sum(user_id % 10) AS wsum
+               CAST(sum(user_id % 10) AS BIGINT) AS wsum
         FROM events GROUP BY 1
     """,
     "ts_histogram_rate": """
@@ -1160,7 +1160,22 @@ def q_frame_sample(spark, sf_dir):
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
 
 
+# Registry order matters: the driver evaluates entries in order under a
+# time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
+# reached are listed FIRST so every query gets a CORRECTNESS row even if
+# the tail is cut again.
 QUERIES = {
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "token_topk": q_token_topk,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "label_centroids": q_label_centroids,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embed_near_pairs": q_embed_near_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
     "ts_count_series_hour": q_ts_count_series_hour,
     "ts_count_rate_minute": q_ts_count_rate_minute,
     "ts_series_transforms_hour": q_ts_series_transforms_hour,
@@ -1211,17 +1226,6 @@ QUERIES = {
     "simhash_sample": q_simhash_sample,
     "simhash_near_pairs": q_simhash_near_pairs,
     "text_stats": q_text_stats,
-    "quality_scores": q_quality_scores,
-    "lang_id": q_lang_id,
-    "token_topk": q_token_topk,
-    "doc_fingerprint": q_doc_fingerprint,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "label_centroids": q_label_centroids,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embed_near_pairs": q_embed_near_pairs,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "multimodal_features": q_multimodal_features,
-    "frame_sample": q_frame_sample,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -1285,7 +1289,7 @@ ORACLES.update(
             SELECT coalesce(r_name, 'ALL') AS region,
                    coalesce(n_name, 'ALL') AS nation,
                    round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
-                   sum(n) AS n_orders
+                   CAST(sum(n) AS BIGINT) AS n_orders
             FROM (
                 SELECT o_custkey,
                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
@@ -1575,7 +1579,7 @@ ORACLES.update(
             ),
             fp AS (
                 SELECT doc_id,
-                       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+                       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
                 FROM bits GROUP BY 1
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1674,7 +1678,7 @@ ORACLES.update(
                 GROUP BY 1, 2
             )
             SELECT doc_id,
-                   sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY 1
         """,
     }

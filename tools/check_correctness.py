@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
@@ -28,18 +30,22 @@ TABLES = [
 
 
 def canon(rows, cols):
+    # Type-tag numerics so int vs float skew fails here exactly like it
+    # fails the driver's value hash (DuckDB HUGEINT sums land in pandas
+    # as float64 "123.0" while Spark bigint is "123"; Python's 3 == 3.0
+    # would otherwise hide that). Bools are tagged separately because
+    # Python bool is Integral but np.bool_ is not.
     out = []
     for row in rows:
         vals = []
         for c in cols:
             v = row[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-                    if v == int(v):
-                        v = int(v)  # 3.0 vs 3 normalization
+            if isinstance(v, (bool, np.bool_)):
+                v = ("b", bool(v))
+            elif isinstance(v, float):  # covers np.float64
+                v = "NaN" if math.isnan(v) else ("f", round(float(v), 6))
+            elif isinstance(v, (int, np.integer)):
+                v = ("i", int(v))
             vals.append((c, v))
         out.append(tuple(vals))
     out.sort(key=lambda t: str(t))
