@@ -158,8 +158,15 @@ def ivf_topk(
     centroids (deterministic seeds: the lowest-id vectors), then scan
     only the ``nprobe`` centroid lists nearest the query.
 
-    The assignment is a broadcast join (centroids are tiny); the probe
-    is a partition-prunable equality filter on ``list_id``."""
+    Scale shape: the ``nlist`` centroids are packed into ONE array row
+    and attached to the corpus with a broadcast nested-loop join (1
+    row), so the nearest-centroid argmin is a single map-only
+    projection — ``array_min`` over ``struct(dist, list_id)`` gives the
+    min-distance list with a deterministic smallest-list-id tie-break.
+    No N×nlist row explosion and, critically, NO shuffle of the corpus
+    on vec_id (the earlier row_number-window formulation shuffled every
+    vector); the probe is then a broadcast filter and the final top-k
+    is TakeOrderedAndProject."""
     # Deterministic coarse centroids: the nlist lowest-id vectors,
     # numbered in id order (row_number over the nlist-row result, not
     # monotonically_increasing_id, so list ids are reproducible).
@@ -169,16 +176,36 @@ def ivf_topk(
     centroids = small.select(
         (F.row_number().over(Window.orderBy("__cid")) - 1).alias("list_id"), "cvec"
     )
+    # list_id is the FIRST struct field so array_sort orders by it —
+    # collect_list alone has no deterministic order.
+    packed = centroids.select(
+        F.struct(
+            F.col("list_id"), F.col("cvec"), norm(F.col("cvec")).alias("cnorm")
+        ).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("__cents"))
     vec = F.col(vec_col).cast("array<double>")
-    assigned = (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", F.negative(cosine(vec, F.col("cvec"))))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("dist", "list_id")),
+    vnorm = norm(vec)
+    # dist = -cosine, written with the same association as cosine() so
+    # the SQL oracle reproduces the floats bit-for-bit
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (-(dot(vec, c["cvec"]) / (vnorm * c["cnorm"]))).alias("dist"),
+                c["list_id"].alias("list_id"),
+            ),
         )
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "list_id")
+    )
+    # coalesce makes the join key provably non-nullable, so the inner
+    # probe join's IsNotNull filter constant-folds instead of
+    # re-evaluating the whole argmin expression in the join condition
+    assigned = (
+        df.join(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            vec.alias("__v"),
+            F.coalesce(best["list_id"], F.lit(-1)).alias("list_id"),
+        )
     )
     q = _query_col(query_vec)
     probe_lists = (
@@ -189,7 +216,7 @@ def ivf_topk(
     )
     return (
         assigned.join(F.broadcast(probe_lists), "list_id")
-        .select(F.col(id_col), F.round(cosine(vec, q), 6).alias("cosine"))
+        .select(F.col(id_col), F.round(cosine(F.col("__v"), q), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
