@@ -23,6 +23,7 @@ rewrites correspond to Delta ``DELETE WHERE`` / partition drops
 
 from __future__ import annotations
 
+import datetime as _dt
 import itertools
 import time as _time
 from collections import OrderedDict
@@ -52,6 +53,12 @@ VALUE_TYPES = {
     "datetime": T.TimestampType(),
     "decimal": T.DecimalType(24, 6),
     "blob": T.BinaryType(),
+    # reference TYPE_MAP includes sa.Time (sql_backend.py:29-65). Spark
+    # 4.1 has a TIME type but rejects it in every aggregate
+    # (UNSUPPORTED_TIME_TYPE from max_by/max/collect), so 'time' is
+    # stored as LongType microseconds-since-midnight and converted back
+    # to datetime.time when results are shaped driver-side.
+    "time": T.LongType(),
 }
 
 
@@ -181,8 +188,28 @@ class Timeseries:
         sql_backend.py:29-65 TYPE_MAP applied at write)."""
         if value is None:
             return None
+        if self.value_type == "time":
+            if isinstance(value, _dt.time):
+                return (
+                    (value.hour * 60 + value.minute) * 60 + value.second
+                ) * 1_000_000 + value.microsecond
+            return int(value)
         fn = self._PY_COERCE.get(type(VALUE_TYPES[self.value_type]))
         return fn(value) if fn else value
+
+    def _value_py(self):
+        """Storage value → python value mapper applied when shaping
+        untransformed containers (None = identity)."""
+        if self.value_type == "time":
+            def to_time(v):
+                if v is None or isinstance(v, _dt.time):
+                    return v
+                micros = int(v)
+                sec, us = divmod(micros, 1_000_000)
+                return _dt.time(sec // 3600, sec % 3600 // 60, sec % 60, us)
+
+            return to_time
+        return None
 
     def _rows_for(self, name, value, timestamp, fanout) -> list[tuple]:
         value = self._coerce(value)
@@ -200,9 +227,20 @@ class Timeseries:
                 rows.append((str(name), iname, i_time, r_time, next(self._seq), value))
         return rows
 
-    def insert(self, name, value, timestamp=None, intervals: int = 0):
+    _UNSET = object()
+
+    def insert(self, name, value=_UNSET, timestamp=None, intervals: int = 0):
         """Point write (kairos/timeseries.py:439-472). List values expand
-        to one row each; ``intervals=±N`` fans into neighbor buckets."""
+        to one row each; ``intervals=±N`` fans into neighbor buckets.
+        For count series the value defaults to 1 (``Count.insert``,
+        kairos/timeseries.py:925-926); other types require it."""
+        if value is self._UNSET:
+            if self.ops.name == "count":
+                value = 1
+            else:
+                raise TypeError(
+                    f"insert() requires a value for type {self.ops.name!r}"
+                )
         if timestamp is None:
             timestamp = _time.time()
         values = value if isinstance(value, (list, tuple, set)) else [value]
@@ -371,7 +409,7 @@ class Timeseries:
 
     def get(
         self, name, interval, timestamp=None, condense=False, transform=None,
-        join_rows=None, condensed=None,
+        join_rows=None, condensed=None, fetch=None, process_row=None,
     ) -> OrderedDict:
         """Reference-shaped read: OrderedDict keyed by bucket timestamps
         (kairos/timeseries.py:547-611).
@@ -379,14 +417,25 @@ class Timeseries:
         Customized-read hooks (parity: README.rst:623-749): ``condense``
         may be a callable receiving the r-keyed OrderedDict of
         containers; ``join_rows`` a callable merging the per-name
-        containers of one time slot (applied in name-argument order).
+        containers of one time slot (applied in name-argument order);
+        ``fetch(df, name, interval, i_bucket)`` replaces the engine's
+        scan+aggregate for the bucket (df = the raw long-format scan),
+        returning ``{r_bucket: data}`` (fine) or ``{None: data}``
+        (coarse); ``process_row(data)`` replaces the native cast +
+        read_func per container (sql_backend.py:189-212 threading).
         Hooks run driver-side over already-aggregated containers — the
-        cluster still does all scanning/aggregation."""
+        cluster still does all scanning/aggregation unless ``fetch``
+        takes over."""
         cfg = require_interval(self.intervals, interval)
         if condensed is not None:  # deprecated alias (kairos timeseries.py:583)
             condense = condensed
         if timestamp is None:
             timestamp = _time.time()
+        if fetch is not None or process_row is not None:
+            return self._get_hooked(
+                name, cfg, interval, timestamp, condense, transform,
+                join_rows, fetch, process_row,
+            )
         if callable(condense) and condense is not True:
             fine = self.get(name, interval, timestamp, condense=False, join_rows=join_rows)
             i_key, _ = self._stored_keys(cfg, timestamp)
@@ -425,7 +474,7 @@ class Timeseries:
         calc = cfg.i_calc if coarse_like else cfg.r_calc
         shaped = OrderedDict()
         for row in sorted(rows, key=lambda r: r[key_col]):
-            shaped[self._key_ts(calc, row[key_col])] = _row_payload(row, self.ops, df_transform)
+            shaped[self._key_ts(calc, row[key_col])] = _row_payload(row, self.ops, df_transform, self._value_py())
         if coarse_like and not shaped:
             i_key, _ = self._stored_keys(cfg, timestamp)
             shaped[self._key_ts(cfg.i_calc, i_key)] = _empty_payload(
@@ -444,6 +493,164 @@ class Timeseries:
         if is_gregorian(getattr(calc, "step", None)):
             return calc.from_bucket(stored_key)
         return stored_key
+
+    # --------------------------------------------- customized-read hooks
+
+    def _get_hooked(
+        self, name, cfg, interval, timestamp, condense, transform,
+        join_rows, fetch, process_row,
+    ) -> OrderedDict:
+        """`get` with fetch/process_row overrides — mirrors the
+        reference's threading (timeseries.py:576-611; hooks applied per
+        name, then join, then condense, then transform)."""
+        if isinstance(name, (list, tuple, set)):
+            per = [
+                self._get_hooked(
+                    n, cfg, interval, timestamp, False, None, None, fetch, process_row
+                )
+                for n in name
+            ]
+            join = join_rows or self.ops.py_join
+            # get results are flat even for fine data (timeseries.py:591-593)
+            rval = _join_results(per, True, join)
+        else:
+            rval = self._get_base_hooked(name, cfg, interval, timestamp, fetch, process_row)
+        step = (cfg.i_calc if cfg.coarse else cfg.r_calc).step_size(timestamp)
+        if condense and not cfg.coarse:
+            fold = condense if callable(condense) else self.ops.py_condense
+            i_key, _ = self._stored_keys(cfg, timestamp)
+            rval = OrderedDict([(self._key_ts(cfg.i_calc, i_key), fold(rval))])
+            step = cfg.i_calc.step_size(timestamp)
+        if transform:
+            rval = OrderedDict(
+                (k, _apply_callable_transforms(self.ops, v, transform, step))
+                for k, v in rval.items()
+            )
+        return rval
+
+    def _get_base_hooked(self, name, cfg, interval, timestamp, fetch, process_row):
+        """Single-name bucket acquisition under hooks (sql_backend.py:
+        189-212): custom fetch replaces the read entirely; otherwise the
+        cluster aggregates natively with read_func suppressed (the
+        process_row step owns cast + read_func)."""
+        proc = process_row or (lambda d: self.ops.py_process_row(d, self.read_func))
+        if fetch is not None:
+            i_bucket = cfg.i_calc.to_bucket(timestamp)
+            raw = fetch(self.scan(), str(name), interval, i_bucket)
+            if cfg.coarse:
+                data = next(iter(raw.values())) if raw else None
+                payload = proc(data) if data else _empty_payload(self.ops, None)
+                return OrderedDict([(cfg.i_calc.from_bucket(i_bucket), payload)])
+            out = OrderedDict()
+            for r_bucket in sorted(raw or {}):
+                out[cfg.r_calc.from_bucket(r_bucket)] = proc(raw[r_bucket])
+            return out
+        saved = self.read_func
+        self.read_func = None
+        try:
+            base = self.get(name, interval, timestamp=timestamp)
+        finally:
+            self.read_func = saved
+        # gap-filled empties skip process_row (reference _get applies it
+        # only to rows that exist, sql_backend.py:203-210)
+        return OrderedDict((k, proc(v) if v else v) for k, v in base.items())
+
+    def _series_hooked(
+        self, name, cfg, interval, start, end, steps, condense, collapse,
+        transform, join_rows, fetch, process_row,
+    ) -> OrderedDict:
+        """`series` with fetch/process_row/join_rows overrides — exact
+        port of the reference's sequencing (timeseries.py:640-722:
+        per-name base → join → per-interval condense → collapse →
+        transform, with the reference's step-size choices)."""
+        buckets = self._bucket_range(cfg, start, end, steps)
+        if collapse:
+            condense = condense or True
+        if isinstance(name, (list, tuple, set)):
+            per = [
+                self._series_base_hooked(n, cfg, interval, start, end, steps, buckets, fetch, process_row)
+                for n in name
+            ]
+            join = join_rows or self.ops.py_join
+            rval = _join_results(per, cfg.coarse, join)
+        else:
+            rval = self._series_base_hooked(
+                name, cfg, interval, start, end, steps, buckets, fetch, process_row
+            )
+        if not cfg.coarse:
+            if condense:
+                fold = condense if callable(condense) else self.ops.py_condense
+                for key in list(rval):
+                    data = fold(rval[key])
+                    if transform and not collapse:
+                        data = _apply_callable_transforms(
+                            self.ops, data, transform, cfg.i_calc.step_size(key)
+                        )
+                    rval[key] = data
+            elif transform:
+                for _i_ts, resolutions in rval.items():
+                    for r_ts in list(resolutions):
+                        resolutions[r_ts] = _apply_callable_transforms(
+                            self.ops, resolutions[r_ts], transform, cfg.r_calc.step_size(r_ts)
+                        )
+        if cfg.coarse or collapse:
+            if collapse:
+                fold = (
+                    collapse if callable(collapse)
+                    else condense if callable(condense)
+                    else self.ops.py_condense
+                )
+                data = fold(rval)
+                keys = list(rval) or [self._key_ts(cfg.i_calc, self._stored_i_values(cfg, buckets)[0])]
+                if transform:
+                    data = _apply_callable_transforms(
+                        self.ops, data, transform,
+                        cfg.i_calc.step_size(keys[0], keys[-1]),
+                    )
+                rval = OrderedDict([(keys[0], data)])
+            elif transform:
+                for key in list(rval):
+                    rval[key] = _apply_callable_transforms(
+                        self.ops, rval[key], transform, cfg.i_calc.step_size(key)
+                    )
+        return rval
+
+    def _series_base_hooked(
+        self, name, cfg, interval, start, end, steps, buckets, fetch, process_row
+    ) -> OrderedDict:
+        """Single-name range acquisition under hooks (sql_backend.py:
+        214-246): ``fetch(df, name, interval, start_bucket, end_bucket)``
+        returns ``{i_bucket: data}`` (coarse) or ``{i_bucket: {r_bucket:
+        data}}`` (fine); coarse results gap-fill every bucket."""
+        proc = process_row or (lambda d: self.ops.py_process_row(d, self.read_func))
+        if fetch is not None:
+            raw = fetch(self.scan(), str(name), interval, buckets[0], buckets[-1]) or {}
+            rval = OrderedDict()
+            if cfg.coarse:
+                for b in buckets:
+                    data = raw.get(b)
+                    rval[cfg.i_calc.from_bucket(b)] = (
+                        proc(data) if data else _empty_payload(self.ops, None)
+                    )
+            else:
+                for b in sorted(raw):
+                    inner = OrderedDict()
+                    for rb in sorted(raw[b] or {}):
+                        inner[cfg.r_calc.from_bucket(rb)] = proc(raw[b][rb])
+                    rval[cfg.i_calc.from_bucket(b)] = inner
+            return rval
+        saved = self.read_func
+        self.read_func = None
+        try:
+            base = self.series(name, interval, start, end, steps)
+        finally:
+            self.read_func = saved
+        if cfg.coarse:
+            return OrderedDict((k, proc(v) if v else v) for k, v in base.items())
+        return OrderedDict(
+            (i_ts, OrderedDict((r_ts, proc(v)) for r_ts, v in inner.items()))
+            for i_ts, inner in base.items()
+        )
 
     # ------------------------------------------------------------- series
 
@@ -534,6 +741,7 @@ class Timeseries:
     def series(
         self, name, interval, start=None, end=None, steps=None,
         condense=False, collapse=False, transform=None, condensed=None,
+        join_rows=None, fetch=None, process_row=None,
     ) -> OrderedDict:
         """Reference-shaped range read: ``{i_ts: data}`` or nested
         ``{i_ts: {r_ts: data}}`` (kairos/timeseries.py:619-719).
@@ -541,10 +749,19 @@ class Timeseries:
         ``condense`` / ``collapse`` may be callables (customized-read
         hooks, README.rst:623-749): condense maps one interval's
         r-keyed dict to a single container; collapse maps the i-keyed
-        dict to one container keyed by the first bucket."""
+        dict to one container keyed by the first bucket. ``join_rows``,
+        ``fetch(df, name, interval, start_bucket, end_bucket)`` and
+        ``process_row(data)`` follow the same contracts as in ``get``."""
         cfg = require_interval(self.intervals, interval)
         if condensed is not None:  # deprecated alias (kairos timeseries.py:648)
             condense = condensed
+        if fetch is not None or process_row is not None or (
+            join_rows is not None and isinstance(name, (list, tuple, set))
+        ):
+            return self._series_hooked(
+                name, cfg, interval, start, end, steps, condense, collapse,
+                transform, join_rows, fetch, process_row,
+            )
         if callable(condense) or callable(collapse):
             base = self.series(name, interval, start, end, steps)
             buckets = self._bucket_range(cfg, start, end, steps)
@@ -579,7 +796,7 @@ class Timeseries:
 
         if cfg.coarse or condense or collapse:
             for row in sorted(rows, key=lambda r: r["i_time"]):
-                shaped[self._key_ts(cfg.i_calc, row["i_time"])] = _row_payload(row, self.ops, df_transform)
+                shaped[self._key_ts(cfg.i_calc, row["i_time"])] = _row_payload(row, self.ops, df_transform, self._value_py())
             if cfg.coarse and not collapse:
                 # spine join already gap-filled; replace null containers /
                 # all-null transform rows with the type's empty defaults
@@ -609,7 +826,7 @@ class Timeseries:
         for row in sorted(rows, key=lambda r: (r["i_time"], r["r_time"])):
             i_ts = self._key_ts(cfg.i_calc, row["i_time"])
             r_ts = self._key_ts(cfg.r_calc, row["r_time"])
-            shaped.setdefault(i_ts, OrderedDict())[r_ts] = _row_payload(row, self.ops, df_transform)
+            shaped.setdefault(i_ts, OrderedDict())[r_ts] = _row_payload(row, self.ops, df_transform, self._value_py())
         if callables:
             for i_ts, inner in shaped.items():
                 for r_ts in inner:
@@ -697,6 +914,23 @@ class Timeseries:
 # --------------------------------------------------------------- shaping utils
 
 
+def _join_results(results, coarse, join):
+    """Join per-name result dicts (kairos/timeseries.py:726-744): union
+    of keys in sorted order; nested r-key join when not coarse."""
+    rval = OrderedDict()
+    i_keys = sorted({k for res in results for k in res})
+    for i_key in i_keys:
+        if coarse:
+            rval[i_key] = join([res.get(i_key) for res in results])
+        else:
+            inner = OrderedDict()
+            r_keys = sorted({rk for res in results for rk in res.get(i_key, {})})
+            for r_key in r_keys:
+                inner[r_key] = join([res.get(i_key, {}).get(r_key) for res in results])
+            rval[i_key] = inner
+    return rval
+
+
 def _has_callables(transform) -> bool:
     if transform is None:
         return False
@@ -709,7 +943,21 @@ def _has_callables(transform) -> bool:
     return False
 
 
-def _row_payload(row, ops, transform):
+def _map_container(v, fn):
+    """Apply a storage→python value mapper across a container's members
+    (histogram maps keys — the counted values — not counts)."""
+    if v is None:
+        return v
+    if isinstance(v, list):
+        return [fn(x) for x in v]
+    if isinstance(v, (set, frozenset)):
+        return {fn(x) for x in v}
+    if isinstance(v, dict):
+        return {fn(k): c for k, c in v.items()}
+    return fn(v)
+
+
+def _row_payload(row, ops, transform, value_py=None):
     """Extract the result payload from an aggregated row, converting the
     container to the reference's python shape (set type → set)."""
     d = row.asDict()
@@ -719,7 +967,9 @@ def _row_payload(row, ops, transform):
     if transform is None:
         v = d.get("value")
         if ops.name == "set" and v is not None:
-            return set(v)
+            v = set(v)
+        if value_py is not None:
+            v = _map_container(v, value_py)
         return v
     if isinstance(transform, (list, tuple)):
         return {t: d[t] for t in transform}

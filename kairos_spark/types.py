@@ -35,7 +35,16 @@ def _sorted_values(order_cols: list[str]):
 
 
 class TypeOps:
-    """Base: shared transform names mean/count/min/max/sum/rate."""
+    """Base: shared transform names mean/count/min/max/sum/rate.
+
+    The ``py_*`` methods are driver-side ports of the reference's
+    native container operators (``_process_row`` / ``_condense`` /
+    ``_join``, kairos/timeseries.py:757-1041). They exist for the
+    customized-read hooks (``fetch`` / ``process_row`` / callable
+    condense-collapse-join, README.rst:623-749): once a custom callable
+    enters the read path the containers live driver-side, so the native
+    fallbacks must too. The cluster-scale path never calls these — it
+    re-aggregates raw rows JVM-side via ``container_agg``."""
 
     name: str = ""
     empty = None
@@ -52,6 +61,18 @@ class TypeOps:
         if name not in exprs:
             raise ValueError(f"transform {name!r} not supported for type {self.name!r}")
         return exprs[name]
+
+    def py_process_row(self, data, read_func):
+        """Native cast + read_func application for one container."""
+        raise NotImplementedError
+
+    def py_condense(self, data: dict):
+        """Collapse one interval's {r_ts: container} into one container."""
+        raise NotImplementedError
+
+    def py_join(self, rows: list):
+        """Join per-name containers of one time slot."""
+        raise NotImplementedError
 
 
 class SeriesOps(TypeOps):
@@ -76,6 +97,25 @@ class SeriesOps(TypeOps):
             "sum": F.coalesce(F.sum(VALUE), F.lit(0)),
             "rate": F.count(VALUE) / step_size,
         }
+
+    def py_process_row(self, data, read_func):
+        # kairos/timeseries.py:823-826
+        return [read_func(v) for v in data] if read_func else data
+
+    def py_condense(self, data):
+        # kairos/timeseries.py:828-834 (reduce(operator.add))
+        out = []
+        for v in data.values():
+            out.extend(v)
+        return out
+
+    def py_join(self, rows):
+        # kairos/timeseries.py:836-843
+        out = []
+        for row in rows:
+            if row:
+                out.extend(row)
+        return out
 
 
 class HistogramOps(TypeOps):
@@ -143,6 +183,29 @@ class HistogramOps(TypeOps):
         ]
         return cum.groupBy(*keys).agg(*aggs)
 
+    def py_process_row(self, data, read_func):
+        # kairos/timeseries.py:878-883 (keys through read_func, counts int)
+        return {
+            (read_func(k) if read_func else k): int(v) for k, v in data.items()
+        }
+
+    def py_condense(self, data):
+        # kairos/timeseries.py:885-893
+        out: dict = {}
+        for hist in data.values():
+            for k, v in hist.items():
+                out[k] = v + out.get(k, 0)
+        return out
+
+    def py_join(self, rows):
+        # kairos/timeseries.py:895-904
+        out: dict = {}
+        for row in rows:
+            if row:
+                for k, v in row.items():
+                    out[k] = v + out.get(k, 0)
+        return out
+
 
 class CountOps(TypeOps):
     """Running counter per bucket; insert defaults to +1, negatives
@@ -159,6 +222,18 @@ class CountOps(TypeOps):
     def transform_exprs(self, step_size):
         return {"rate": F.coalesce(F.sum(VALUE), F.lit(0)) / step_size}
 
+    def py_process_row(self, data, read_func):
+        # kairos/timeseries.py:928-929 (read_func not applied to counts)
+        return int(data) if data else 0
+
+    def py_condense(self, data):
+        # kairos/timeseries.py:931-937
+        return sum(data.values()) if data else 0
+
+    def py_join(self, rows):
+        # kairos/timeseries.py:939-946
+        return sum(row for row in rows if row)
+
 
 class GaugeOps(TypeOps):
     """Last written value wins (kairos/timeseries.py:948-988). Named
@@ -168,7 +243,8 @@ class GaugeOps(TypeOps):
     caller-provided ``order`` columns (insert order; for multi-name
     reads, name-argument order — timeseries.py:981-988). The reference's
     gauge ``_condense`` drops falsy values (``filter(None, ...)``,
-    timeseries.py:976) — reproduced by ``condense_agg`` so a 0 written
+    timeseries.py:976) — reproduced by the facade's ``_nonfalsy``
+    condense path (kairos_spark/timeseries.py) so a 0 written
     late in an interval does not shadow an earlier real reading."""
 
     name = "gauge"
@@ -182,13 +258,27 @@ class GaugeOps(TypeOps):
         order_expr = F.struct(*[F.col(c) for c in order])
         return df.groupBy(*keys).agg(F.max_by(VALUE, order_expr).alias(VALUE))
 
-    def condense_agg(self, df, keys, order):
-        order_expr = F.struct(*[F.col(c) for c in order])
-        kept = df.where(F.col(VALUE).isNotNull() & (F.col(VALUE).cast("string") != "0"))
-        return kept.groupBy(*keys).agg(F.max_by(VALUE, order_expr).alias(VALUE))
-
     def transform_exprs(self, step_size):
         return {}
+
+    def py_process_row(self, data, read_func):
+        # kairos/timeseries.py:966-969 (read_func sees '' for falsy)
+        if read_func:
+            return read_func(data or "")
+        return data
+
+    def py_condense(self, data):
+        # kairos/timeseries.py:971-979: last non-falsy value, else None
+        kept = [v for v in data.values() if v]
+        return kept[-1] if kept else None
+
+    def py_join(self, rows):
+        # kairos/timeseries.py:981-988: last truthy row wins
+        out = None
+        for row in rows:
+            if row:
+                out = row
+        return out
 
 
 class SetOps(TypeOps):
@@ -220,6 +310,27 @@ class SetOps(TypeOps):
             "sum": F.coalesce(distinct_sum, F.lit(0)),
             "rate": distinct_n / step_size,
         }
+
+    def py_process_row(self, data, read_func):
+        # kairos/timeseries.py:1021-1024
+        if read_func:
+            return {read_func(d) for d in data}
+        return set(data)
+
+    def py_condense(self, data):
+        # kairos/timeseries.py:1026-1032 (reduce(operator.ior))
+        out: set = set()
+        for v in data.values():
+            out |= v
+        return out
+
+    def py_join(self, rows):
+        # kairos/timeseries.py:1034-1041
+        out: set = set()
+        for row in rows:
+            if row:
+                out |= row
+        return out
 
 
 TYPES: dict[str, TypeOps] = {

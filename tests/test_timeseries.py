@@ -429,3 +429,107 @@ def test_set_callable_transform_single_arg(spark):
         t.insert("s", v, timestamp=_time(0))
     got = t.get("s", "minute", timestamp=_time(0), transform=lambda data: len(data))
     assert got == {_time(0): 3}
+
+
+# --------------------------------- customized reads: fetch / process_row
+# (README.rst:623-749; threading parity with sql_backend.py:189-246)
+
+
+def test_count_insert_default_value(spark):
+    # Count.insert(name) defaults value to 1 (kairos/timeseries.py:925-926)
+    t = make_ts(spark, "count")
+    t.insert("c", timestamp=_time(0))
+    t.insert("c", timestamp=_time(10))
+    assert t.get("c", "minute", timestamp=_time(0)) == {_time(0): 2}
+    # other types keep requiring an explicit value
+    with pytest.raises(TypeError):
+        make_ts(spark, "series").insert("s")
+
+
+def test_process_row_override_get(spark):
+    t = make_ts(spark, "series")
+    t.insert("test", 1, timestamp=_time(0))
+    t.insert("test", 2, timestamp=_time(5))
+    got = t.get(
+        "test", "minute", timestamp=_time(0),
+        process_row=lambda row: [int(v) + 100 for v in row],
+    )
+    assert got == {_time(0): [101, 102]}
+
+
+def test_process_row_replaces_read_func(spark):
+    # reference: a custom process_row takes over cast + read_func
+    # application entirely (timeseries.py:577, 770-775)
+    t = Timeseries(
+        spark, type="series", intervals=INTERVALS,
+        read_func=lambda c: c.cast("long"),
+    )
+    t.insert("test", 1.7, timestamp=_time(0))
+    assert t.get("test", "minute", timestamp=_time(0)) == {_time(0): [1]}
+    got = t.get("test", "minute", timestamp=_time(0), process_row=lambda row: row)
+    assert got == {_time(0): [1.7]}
+
+
+def test_fetch_override_get_fine(spark):
+    # fetch(df, name, interval, i_bucket) -> {r_bucket: data}; the engine
+    # maps r_buckets to timestamps and runs process_row per container
+    t = make_ts(spark, "series")
+    rb = int(_time(0)) // 60
+
+    def fetch(df, name, interval, i_bucket):
+        assert name == "test" and interval == "hour"
+        assert i_bucket == int(_time(0)) // HOUR
+        return {rb: [5.0], rb + 1: [7.0]}
+
+    got = t.get("test", "hour", timestamp=_time(0), fetch=fetch)
+    assert got == {_time(0): [5.0], _time(60): [7.0]}
+    # condense runs after fetch + process_row, native py_condense
+    got = t.get("test", "hour", timestamp=_time(0), fetch=fetch, condense=True)
+    assert got == {_time(0): [5.0, 7.0]}
+
+
+def test_fetch_override_series_coarse_gapfill(spark):
+    # coarse series fetch: {i_bucket: data}; missing buckets gap-fill
+    # with the type's empty value (sql_backend.py:228-237)
+    t = make_ts(spark, "series")
+    b0 = int(_time(0)) // 60
+
+    def fetch(df, name, interval, start_bucket, end_bucket):
+        assert (start_bucket, end_bucket) == (b0, b0 + 2)
+        return {b0: [1.0], b0 + 2: [3.0]}
+
+    got = t.series("test", "minute", start=_time(0), end=_time(120), fetch=fetch)
+    assert got == {_time(0): [1.0], _time(60): [], _time(120): [3.0]}
+
+
+def test_hooked_multi_name_native_join(spark):
+    # multi-name under hooks falls back to the native per-type join
+    # (series extend in name-argument order, timeseries.py:836-843)
+    t = make_ts(spark, "series")
+    t.insert("a", 1, timestamp=_time(0))
+    t.insert("b", 2, timestamp=_time(0))
+    got = t.get(["a", "b"], "minute", timestamp=_time(0), process_row=lambda r: r)
+    assert got == {_time(0): [1.0, 2.0]}
+
+
+def test_series_join_rows_callable(spark):
+    # series() supports join_rows like get() (README.rst:700-718)
+    t = make_ts(spark, "series")
+    t.insert("a", 1, timestamp=_time(0))
+    t.insert("b", 2, timestamp=_time(60))
+    got = t.series(
+        ["a", "b"], "minute", start=_time(0), end=_time(60),
+        join_rows=lambda rows: [v for r in rows if r for v in r],
+    )
+    assert got == {_time(0): [1.0], _time(60): [2.0]}
+
+
+def test_value_type_time_roundtrip(spark):
+    # reference TYPE_MAP maps 'time' to sa.Time (sql_backend.py:29-65);
+    # Spark 4.1 TIME type round-trips datetime.time
+    import datetime
+
+    t = make_ts(spark, "gauge", value_type="time")
+    t.insert("g", datetime.time(12, 30, 15), timestamp=_time(0))
+    got = t.get("g", "minute", timestamp=_time(0))
+    assert got == {_time(0): datetime.time(12, 30, 15)}
