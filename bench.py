@@ -94,15 +94,18 @@ def main():
     # measure steady-state throughput — what actually predicts cluster
     # performance — instead of JVM cold-start placement.
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = SF_DIR
-    for fn in HEADLINE.values():
-        try:
-            out = fn(spark, warm_dir)
-            if hasattr(out, "collect"):
-                out.collect()
-        except Exception:
-            pass  # warm-up must never fail the bench
+    if os.path.isdir(warm_dir):
+        for name, fn in HEADLINE.items():
+            try:
+                out = fn(spark, warm_dir)
+                if hasattr(out, "collect"):
+                    out.collect()
+            except Exception as e:
+                # warm-up must never fail the bench, but breakage should
+                # be visible (stderr; stdout stays the one JSON line)
+                print(f"warm-up {name} failed: {e}", file=sys.stderr)
+    # else: no sf0.001 — skip query warm-up entirely rather than run the
+    # full SF twice (that would time a hot-page-cache second pass)
 
     timings = {}
     for name, fn in HEADLINE.items():

@@ -298,6 +298,7 @@ def connected_components(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -316,5 +317,14 @@ def connected_components(
         changed = new_labels.where(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # unconverged labels are WRONG (a component with diameter >
+        # max_iter would be split into multiple cluster ids) — fail loudly
+        # rather than return silently-incorrect clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "increase max_iter (rounds needed = graph diameter)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -50,7 +50,18 @@ def banded_range_join(
     rsec = F.col(right_ts).cast("double")
 
     lcols = set(left.columns)
-    renames = {c: f"r_{c}" for c in right.columns if c in lcols and c not in key_cols}
+    # rename targets must be free across BOTH sides (a right frame that
+    # already contains r_<c> would otherwise produce duplicate output
+    # columns) — suffix underscores until unique
+    taken = lcols | set(right.columns)
+    renames = {}
+    for c in right.columns:
+        if c in lcols and c not in key_cols:
+            target = f"r_{c}"
+            while target in taken:
+                target += "_"
+            renames[c] = target
+            taken.add(target)
     r = right.select(
         *[F.col(k) for k in key_cols],
         *[F.col(c).alias(renames.get(c, c)) for c in right.columns if c not in key_cols],

@@ -146,17 +146,29 @@ def compact_long_table(
     before = len(_data_files(root))
     df = spark.read.format(fmt).load(path)
     staging = str(root.with_name(root.name + ".__compact__"))
-    (
-        df.repartition(target_partitions, "interval")
-        .sortWithinPartitions("interval", "name", "i_time")
-        .write.mode("overwrite")
-        .partitionBy("interval")
-        .format(fmt)
-        .save(staging)
-    )
+    try:
+        (
+            df.repartition(target_partitions, "interval")
+            .sortWithinPartitions("interval", "name", "i_time")
+            .write.mode("overwrite")
+            .partitionBy("interval")
+            .format(fmt)
+            .save(staging)
+        )
+    except BaseException:
+        # failed compaction write: original untouched; drop the staging dir
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     backup = str(root.with_name(root.name + ".__old__"))
     shutil.move(str(root), backup)
-    shutil.move(staging, str(root))
+    try:
+        shutil.move(staging, str(root))
+    except BaseException:
+        # crash-safety: a failure between the two moves must not leave the
+        # table directory missing — restore the original from backup
+        shutil.move(backup, str(root))
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     shutil.rmtree(backup)
     after = len(_data_files(root))
     return {"files_before": before, "files_after": after}

@@ -111,8 +111,11 @@ def windowed_rollup(
     grows by the same factor, bounded by the watermark as usual."""
     if series_type not in _ROLLUP_AGGS:
         raise ValueError(f"unsupported streaming rollup type {series_type!r}")
-    if slide_seconds is not None and step_seconds % slide_seconds != 0:
-        raise ValueError("step_seconds must be a multiple of slide_seconds")
+    if slide_seconds is not None:
+        if slide_seconds <= 0:
+            raise ValueError("slide_seconds must be positive")
+        if step_seconds % slide_seconds != 0:
+            raise ValueError("step_seconds must be a multiple of slide_seconds")
     src = stream_df.withWatermark(ts_col, watermark).select(
         F.col(name_col).alias("name"),
         F.col(ts_col).alias("__ts"),

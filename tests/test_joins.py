@@ -91,3 +91,16 @@ def test_semi_and_anti_join(spark):
     assert anti == {0, 2, 4}
     # semi output never duplicates left rows even with dup matches
     assert joins.semi_join(left, right, cond).count() == 3
+
+
+def test_banded_range_join_rename_target_already_taken(spark):
+    # right side already has both ts and r_ts: the renamed ts must not
+    # collide with the pre-existing r_ts column
+    from kairos_spark.operators import joins
+
+    left = spark.createDataFrame([(1, 100.0)], "k long, ts double")
+    right = spark.createDataFrame([(1, 110.0, 7.0)], "k long, ts double, r_ts double")
+    out = joins.banded_range_join(left, right, ["k"], band_sec=300.0)
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    row = out.collect()[0]
+    assert row["r_ts"] == 7.0 and row["r_ts_"] == 110.0

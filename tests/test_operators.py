@@ -225,3 +225,15 @@ def test_connected_components_long_chain_converges(spark):
     out = {r["node"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
     assert set(out.values()) == {0}
     assert len(out) == 13
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # diameter > max_iter would silently mislabel — must raise instead
+    import pytest
+    from kairos_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1).collect()

@@ -234,3 +234,11 @@ def test_windowed_rollup_sliding(spark, input_dir):
 
     with _pytest.raises(ValueError):
         windowed_rollup(stream, "count", step_seconds=60, slide_seconds=45)
+
+
+def test_windowed_rollup_rejects_nonpositive_slide(spark, input_dir):
+    import pytest
+
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    with pytest.raises(ValueError, match="slide_seconds must be positive"):
+        windowed_rollup(stream, series_type="count", step_seconds=60, slide_seconds=0)
