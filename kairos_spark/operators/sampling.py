@@ -1,0 +1,90 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+Every selection here is a pure function of the row's id (md5-derived,
+seed-free), never of `rand()`: at 100 TB a training/val/test split must
+be reproducible across reruns, engines, and partitionings, and must
+stay stable when the corpus grows (adding documents never reshuffles
+existing assignments — the property random-split lacks). This is the
+standard hash-mod split used by large-scale data pipelines; DuckDB
+reproduces the exact same assignment for the oracle harness.
+
+All operators are map-only projections/filters — no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Bucket granularity for fraction thresholds: fractions are exact to
+# 1e-6, and thresholds stay far below 2^44 so the md5-slice math is
+# identical in Spark and DuckDB BIGINT arithmetic.
+BUCKETS = 1_000_000
+
+
+def hash_bucket(col: Column, buckets: int = BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from the md5 of the value's string
+    form — engine-portable (DuckDB: ('0x'||substr(md5(v),1,11))::BIGINT)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 11), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "",
+) -> DataFrame:
+    """Attach a deterministic `split` column partitioning rows by
+    cumulative fraction thresholds over the id hash. ``salt`` derives an
+    independent split family from the same ids."""
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key = (
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        if salt
+        else F.col(id_col)
+    )
+    b = hash_bucket(key)
+    expr = None
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        cut = int(round(acc * BUCKETS))
+        expr = F.when(b < cut, F.lit(name)) if expr is None else expr.when(b < cut, F.lit(name))
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (e.g. language
+    rebalancing: downsample dominant languages, keep the tail whole).
+    Strata absent from ``fractions`` get ``default_fraction``."""
+    key = (
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        if salt
+        else F.col(id_col)
+    )
+    b = hash_bucket(key)
+    thresh = None
+    for stratum, frac in sorted(fractions.items()):
+        cut = int(round(frac * BUCKETS))
+        cond = F.col(strata_col) == stratum
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    cut_default = int(round(default_fraction * BUCKETS))
+    thresh = F.lit(cut_default) if thresh is None else thresh.otherwise(cut_default)
+    return df.where(b < thresh)

@@ -144,6 +144,93 @@ def top_tokens(
     )
 
 
+def word_tokens(text: Column) -> Column:
+    """Whitespace word tokens over the normalized form (lowercase,
+    collapsed whitespace) — the shared base for word-n-gram operators."""
+    return F.split(F.trim(normalize_ws(text)), " ")
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a token array. Short
+    documents (< n words) yield their single partial gram, mirroring the
+    char-shingle convention in shingles_of_norm."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality
+    filters): fraction of duplicate word n-grams and the share of the
+    single most repeated n-gram.
+
+    Scale shape: explode grams → two-stage aggregate ((doc, gram)
+    counts, then per-doc stats). Partial aggregation bounds the shuffle
+    at distinct (doc, gram) pairs; no windows, no state."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(word_tokens(F.col(text_col)), n)).alias("__g"),
+    )
+    counted = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    return counted.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round((F.sum("__c") - F.count("*")) / F.sum("__c"), 6).alias("dup_frac"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_share"),
+    )
+
+
+def word_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy (bits) of the word distribution — a
+    cheap fluency/diversity signal (near-0 = degenerate repetition; high
+    = vocabulary-rich). Computed as log2(T) - Σ c·log2(c)/T so a single
+    two-stage aggregate suffices (no second pass for totals)."""
+    tok = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w")
+    )
+    counted = tok.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+    return counted.groupBy(id_col).agg(
+        F.round(
+            F.log2(F.sum("__c")) - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c"),
+            6,
+        ).alias("entropy")
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the number of
+    distinct word n-grams shared with a benchmark corpus — the standard
+    n-gram-overlap decontamination pass before training.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    and is broadcast, so the probe is a map-side hash join over the
+    exploded corpus grams; only matching (doc, gram) pairs reach the
+    final per-doc count."""
+
+    def grams(frame):
+        return frame.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(word_tokens(F.col(text_col)), n))
+            ).alias("__g"),
+        )
+
+    bench = grams(bench_df).select("__g").distinct()
+    return (
+        grams(df)
+        .join(F.broadcast(bench), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+
+
 def normalize_ws(text: Column) -> Column:
     """Lowercase + collapse whitespace runs to single spaces — the
     canonical form all shingle operators hash over."""

@@ -21,7 +21,15 @@ from pyspark.sql import types as T
 
 from kairos_spark.config import parse_intervals
 from kairos_spark.ingest import bucketize
-from kairos_spark.operators import dedup, joins, multimodal, similarity, text, windows
+from kairos_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+    windows,
+)
 from kairos_spark.types import type_ops
 
 HOUR = 3600
@@ -1051,6 +1059,59 @@ def q_text_stats(spark, sf_dir):
     return text.text_stats(_tbl(spark, sf_dir, "documents"))
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic hash train/val/test split (90/5/5) — per (split,
+    lang) document counts and char totals. Map-only assignment; the
+    same md5-mod math reruns identically on any engine, so the oracle
+    reproduces the exact assignment, not just the proportions."""
+    out = sampling.hash_split(_tbl(spark, sf_dir, "documents"))
+    return out.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (language rebalancing):
+    named strata keep different fractions, unnamed strata keep 10%."""
+    kept = sampling.stratified_sample(
+        _tbl(spark, sf_dir, "documents"),
+        {"en": 0.25, "es": 0.5, "zh": 1.0},
+        strata_col="lang",
+        default_fraction=0.1,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals for the first 100 docs: duplicate
+    word-3-gram fraction and top-gram share."""
+    d = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return text.repetition_stats(d, n=3)
+
+
+def q_word_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the word distribution (doc_id < 200)."""
+    d = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return text.word_entropy(d)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-decontamination pass: distinct word-5-gram overlap of
+    every document against a benchmark corpus (docs 0-2 stand in for
+    the held-out eval set)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 3)
+    # word 3-grams: the synthetic corpus has a ~30-word vocabulary, so
+    # 5-grams only ever match the bench docs themselves (vacuous);
+    # 3-grams flag a meaningful ~20% of docs
+    return text.contamination_overlap(docs, bench, n=3)
+
+
 def q_quality_scores(spark, sf_dir):
     return text.quality_score(_tbl(spark, sf_dir, "documents"))
 
@@ -1176,6 +1237,12 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
+    # round-2 additions (placed early for the same time-budget reason)
+    "sample_split": q_sample_split,
+    "stratified_sample": q_stratified_sample,
+    "repetition_stats": q_repetition_stats,
+    "word_entropy": q_word_entropy,
+    "contamination": q_contamination,
     "ts_count_series_hour": q_ts_count_series_hour,
     "ts_count_rate_minute": q_ts_count_rate_minute,
     "ts_series_transforms_hour": q_ts_series_transforms_hour,
@@ -1383,6 +1450,83 @@ ORACLES.update(
                 SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
                 FROM documents
             ) GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+        """,
+        "sample_split": """
+            WITH b AS (
+                SELECT *,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11))::BIGINT
+                           % 1000000 AS bkt
+                FROM documents
+            )
+            SELECT CASE WHEN bkt < 900000 THEN 'train'
+                        WHEN bkt < 950000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM b GROUP BY 1, 2
+        """,
+        "stratified_sample": """
+            WITH b AS (
+                SELECT *,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11))::BIGINT
+                           % 1000000 AS bkt
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM b
+            WHERE bkt < CASE lang WHEN 'en' THEN 250000
+                                  WHEN 'es' THEN 500000
+                                  WHEN 'zh' THEN 1000000
+                                  ELSE 100000 END
+            GROUP BY 1
+        """,
+        "repetition_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents WHERE doc_id < 100
+            ),
+            g AS (
+                SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+                FROM w, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS t(i)
+            ),
+            c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_frac,
+                   round(max(c) * 1.0 / sum(c), 6) AS top_share
+            FROM c GROUP BY 1
+        """,
+        "word_entropy": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+                FROM documents WHERE doc_id < 200
+            ),
+            c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
+            SELECT doc_id,
+                   round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+            FROM c GROUP BY 1
+        """,
+        "contamination": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+                FROM w, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 3)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM g JOIN bench USING (g)
+            GROUP BY 1
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

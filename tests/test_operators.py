@@ -237,3 +237,90 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=1).collect()
+
+
+# ----------------------------------- sampling / repetition / entropy
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from kairos_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = sampling.hash_split(df).groupBy("split").count().collect()
+    got = {r["split"]: r["count"] for r in out}
+    assert set(got) == {"train", "val", "test"}
+    assert sum(got.values()) == 1000
+    # 90/5/5 within loose tolerance, and rerun is bit-identical
+    assert 850 <= got["train"] <= 950
+    again = {r["split"]: r["count"] for r in sampling.hash_split(df).groupBy("split").count().collect()}
+    assert again == got
+    # salt derives an independent family
+    salted = sampling.hash_split(df, salt="v2")
+    diff = sampling.hash_split(df).alias("a").join(salted.alias("b"), "doc_id").where(
+        "a.split != b.split").count()
+    assert diff > 0
+
+
+def test_hash_split_growth_stability(spark):
+    # adding rows never reshuffles existing assignments
+    from kairos_spark.operators import sampling
+
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in sampling.hash_split(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.hash_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_stratified_sample_fractions(spark):
+    from kairos_spark.operators import sampling
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sampling.stratified_sample(df, {"en": 0.1, "de": 1.0}, strata_col="lang")
+    got = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert got["de"] == 1000          # fraction 1.0 keeps everything
+    assert 50 <= got["en"] <= 150     # ~10%
+    none_kept = sampling.stratified_sample(df, {}, strata_col="lang")
+    assert none_kept.count() == 0     # default_fraction 0
+
+
+def test_repetition_stats_known_doc(spark):
+    from kairos_spark.operators import text
+
+    # "a b c a b c a b c" → 7 word-3-grams, 3 distinct ("a b c" ×3,
+    # "b c a" ×2, "c a b" ×2) → dup_frac 4/7, top_share 3/7
+    df = spark.createDataFrame([(1, "a b c a b c a b c")], "doc_id long, text string")
+    r = text.repetition_stats(df, n=3).collect()[0]
+    assert (r["n_grams"], r["n_distinct"]) == (7, 3)
+    assert r["dup_frac"] == round(4 / 7, 6)
+    assert r["top_share"] == round(3 / 7, 6)
+
+
+def test_word_entropy_known_values(spark):
+    import math
+    from kairos_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["entropy"] for r in text.word_entropy(df).collect()}
+    assert got[1] == 0.0              # degenerate repetition
+    assert got[2] == round(math.log2(4), 6)  # uniform over 4 words
+
+
+def test_contamination_overlap_counts(spark):
+    from kairos_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a quick brown fox ran away"),
+            (3, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, "quick brown fox")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_overlap"] for r in
+           text.contamination_overlap(docs, bench, n=3).collect()}
+    assert got == {1: 1, 2: 1}  # both share "quick brown fox"; doc 3 clean
