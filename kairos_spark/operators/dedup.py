@@ -270,6 +270,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Duplicate-cluster labeling: connected components over a pair
     graph, returning ``(node, cluster_id)`` with ``cluster_id`` = the
@@ -278,9 +279,15 @@ def connected_components(
 
     HashMin label propagation: every node starts labeled with itself;
     each round every node takes the min label over itself and its
-    neighbors; converged when no label changes. Rounds needed = graph
-    diameter (dup clusters are shallow — near-dup graphs are cliques
-    plus short chains, so typically 2-4 rounds).
+    neighbors; converged when no label changes. With ``shortcut``
+    (default), each round also pointer-jumps — l(v) :=
+    min(l(v), l(l(v))) via one self-join of the label table — which
+    halves the remaining label-tree height per round, so convergence is
+    O(log diameter) instead of O(diameter) (the path-doubling trick from
+    the MapReduce-CC literature; a 300-node chain converges in ~9 rounds
+    instead of 300). Dup clusters are shallow anyway (cliques + short
+    chains, 2-4 rounds); shortcutting is what makes adversarially deep
+    graphs safe at the same max_iter.
 
     Scale shape (100 TB): each round is ONE shuffle join of the edge
     list against the label table on node id, then a min-aggregate —
@@ -305,15 +312,30 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("__changed"),
-            )
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            (F.col("nmin") < F.col("label")).alias("__changed"),
         )
+        if shortcut:
+            # pointer jump: follow each label to ITS label and take the
+            # min — one join of the (node, label) table against itself
+            hop = new_labels.select(
+                F.col("node").alias("__lnode"), F.col("label").alias("__ll")
+            )
+            new_labels = new_labels.join(
+                hop, new_labels.label == hop.__lnode, "left"
+            ).select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))).alias("label"),
+                (
+                    F.col("__changed")
+                    | (F.col("__ll") < F.col("label"))
+                ).alias("__changed"),
+            )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.where(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

@@ -227,6 +227,22 @@ def test_connected_components_long_chain_converges(spark):
     assert len(out) == 13
 
 
+def test_connected_components_shortcut_log_rounds(spark):
+    # pointer jumping converges a 300-node path in O(log d) rounds —
+    # max_iter=12 would be hopeless for plain HashMin (needs ~299)
+    from kairos_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, max_iter=12).collect()
+    }
+    assert set(out.values()) == {0}
+    assert len(out) == 301
+
+
 def test_connected_components_raises_when_unconverged(spark):
     # diameter > max_iter would silently mislabel — must raise instead
     import pytest
