@@ -56,6 +56,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental-crawl dedup: from a new batch, keep only documents
+    whose digest is not in the already-ingested ``seen_digests`` set AND
+    is not duplicated within the batch (min-id wins) — the standard
+    snapshot-over-snapshot ingestion filter.
+
+    Scale shape: the seen set is digests only (32 bytes/doc, no text),
+    so the anti join shuffles short keys; within-batch dedup reuses the
+    min-id-per-digest + semi-join-back shape of exact_dedup, so the
+    document payload itself never shuffles."""
+    withd = new_df.withColumn("__digest", F.md5(F.col(text_col)))
+    fresh = withd.join(
+        seen_digests.select(F.col(digest_col).alias("__digest")),
+        "__digest",
+        "left_anti",
+    )
+    keep = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return fresh.join(keep, id_col, "left_semi").drop("__digest")
+
+
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, shingle) distinct pairs — the exploded set representation.
 

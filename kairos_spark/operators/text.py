@@ -231,6 +231,36 @@ def contamination_overlap(
     )
 
 
+def top_tokens_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = 5,
+    text_col: str = "text",
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Per-group top-k tokens (e.g. per-language vocabulary heads).
+
+    Scale shape: explode → (group, token) hash aggregate with map-side
+    combine, then a rank window partitioned BY GROUP over the already-
+    aggregated counts — the window input is bounded by |groups| ×
+    |vocabulary|, never by corpus size."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+        ).alias("token"),
+    )
+    counts = tok.groupBy("grp", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "token", "n", "rank")
+    )
+
+
 def normalize_ws(text: Column) -> Column:
     """Lowercase + collapse whitespace runs to single spaces — the
     canonical form all shingle operators hash over."""

@@ -1100,6 +1100,22 @@ def q_word_entropy(spark, sf_dir):
     return text.word_entropy(d)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-crawl dedup: docs 250+ arriving as a new batch are
+    filtered against the digests of the already-ingested docs 0-249 and
+    against duplicates within the batch (min-id wins)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 250).select(F.md5("text").alias("digest"))
+    batch = docs.where(F.col("doc_id") >= 250)
+    out = dedup.exact_dedup_incremental(batch, seen)
+    return out.select("doc_id", "lang")
+
+
+def q_token_topk_by_lang(spark, sf_dir):
+    """Per-language top-5 tokens (grouped vocabulary heads)."""
+    return text.top_tokens_by_group(_tbl(spark, sf_dir, "documents"), k=5)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-decontamination pass: distinct word-5-gram overlap of
     every document against a benchmark corpus (docs 0-2 stand in for
@@ -1243,6 +1259,8 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "word_entropy": q_word_entropy,
     "contamination": q_contamination,
+    "dedup_incremental": q_dedup_incremental,
+    "token_topk_by_lang": q_token_topk_by_lang,
     "ts_count_series_hour": q_ts_count_series_hour,
     "ts_count_rate_minute": q_ts_count_rate_minute,
     "ts_series_transforms_hour": q_ts_series_transforms_hour,
@@ -1512,6 +1530,35 @@ ORACLES.update(
             SELECT doc_id,
                    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
             FROM c GROUP BY 1
+        """,
+        "dedup_incremental": """
+            WITH seen AS (
+                SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250
+            ),
+            batch AS (
+                SELECT doc_id, lang, md5(text) AS digest
+                FROM documents WHERE doc_id >= 250
+            ),
+            fresh AS (
+                SELECT * FROM batch WHERE digest NOT IN (SELECT digest FROM seen)
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY digest)
+            SELECT doc_id, lang FROM fresh
+            WHERE doc_id IN (SELECT doc_id FROM keep)
+        """,
+        "token_topk_by_lang": """
+            WITH tok AS (
+                SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+                FROM documents
+            ),
+            c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+            r AS (
+                SELECT lang, token, n,
+                       row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+                FROM c
+            )
+            SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "contamination": """
             WITH w AS (

@@ -340,3 +340,45 @@ def test_contamination_overlap_counts(spark):
     got = {r["doc_id"]: r["n_overlap"] for r in
            text.contamination_overlap(docs, bench, n=3).collect()}
     assert got == {1: 1, 2: 1}  # both share "quick brown fox"; doc 3 clean
+
+
+def test_exact_dedup_incremental(spark):
+    from pyspark.sql import functions as F
+    from kairos_spark.operators import dedup
+
+    seen_docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    seen = seen_docs.select(F.md5("text").alias("digest"))
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha"),   # already ingested -> dropped
+            (11, "gamma"),   # new
+            (12, "gamma"),   # within-batch dup -> min id wins
+            (13, "delta"),   # new
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup_incremental(batch, seen).collect())
+    assert kept == [11, 13]
+
+
+def test_top_tokens_by_group(spark):
+    from kairos_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            ("en", "cat cat dog"),
+            ("en", "cat bird"),
+            ("de", "hund hund katze"),
+        ],
+        "lang string, text string",
+    )
+    out = text.top_tokens_by_group(df, k=2)
+    got = {(r["lang"], r["rank"]): (r["token"], r["n"]) for r in out.collect()}
+    assert got == {
+        ("en", 1): ("cat", 3),
+        ("en", 2): ("bird", 1),  # dog/bird tie at n=1 → token asc wins
+        ("de", 1): ("hund", 2),
+        ("de", 2): ("katze", 1),
+    }

@@ -533,3 +533,13 @@ def test_value_type_time_roundtrip(spark):
     t.insert("g", datetime.time(12, 30, 15), timestamp=_time(0))
     got = t.get("g", "minute", timestamp=_time(0))
     assert got == {_time(0): datetime.time(12, 30, 15)}
+
+
+def test_iterate_passes_hooks_through(spark):
+    # iterate(**kwargs) threads fetch/process_row to get (reference
+    # iterate docs, README.rst:612-620)
+    t = make_ts(spark, "series")
+    t.insert("it", 1, timestamp=_time(0))
+    t.insert("it", 2, timestamp=_time(90))
+    got = dict(t.iterate("it", "minute", process_row=lambda row: [v * 10 for v in row]))
+    assert got == {_time(0): [10.0], _time(60): [20.0]}
