@@ -242,3 +242,30 @@ def test_windowed_rollup_rejects_nonpositive_slide(spark, input_dir):
     stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
     with pytest.raises(ValueError, match="slide_seconds must be positive"):
         windowed_rollup(stream, series_type="count", step_seconds=60, slide_seconds=0)
+
+
+def test_text_quality_ops_compose_with_streams(spark, tmp_path):
+    # the text operators are stateless narrow projections, so they run
+    # unchanged on a streaming DataFrame — the shape of a streaming
+    # training-data quality filter (score -> threshold -> sink)
+    from kairos_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox is here for the win with many fine words"),
+         (2, "zz!!")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    scored = text.quality_score(stream).where(F.col("quality") > 0.2)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("stream_quality")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id FROM stream_quality").collect()
+    assert [r["doc_id"] for r in got] == [1]
