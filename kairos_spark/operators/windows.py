@@ -121,3 +121,43 @@ def asof_join(
     )
     drop = ["__ats", "__tag", "__r_ts"] + [f"__r_{c}" for c in right_cols]
     return carried.where(F.col("__tag") == 1).drop(*drop)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    signup_type: str = "signup",
+    step_sec: int = 86400,
+) -> DataFrame:
+    """Cohort retention — the reference's home analytics domain (game
+    metrics): cohort each user by the bucket of their FIRST signup
+    event, then measure what fraction of each cohort is active N steps
+    later.
+
+    Returns (cohort, offset, n_active, cohort_size, retention) rows —
+    cohort = epoch bucket start, offset = whole steps since cohort,
+    n_active = distinct cohort users with ANY event in that step.
+
+    Scale shape: (user, day) activity pairs are distinct-ed FIRST
+    (two-phase, map-side combine), so the join against cohorts moves at
+    most |users| × |days| short rows; cohort sizes broadcast back. Only
+    per-day distinct user ids shuffle — never raw events."""
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long") * step_sec
+    cohorts = (
+        events.where(F.col(type_col) == signup_type)
+        .groupBy(user_col)
+        .agg(F.min(bucket).alias("cohort"))
+    )
+    activity = events.select(F.col(user_col), bucket.alias("__day")).distinct()
+    joined = activity.join(cohorts, user_col).where(F.col("__day") >= F.col("cohort"))
+    per = joined.groupBy(
+        "cohort",
+        ((F.col("__day") - F.col("cohort")) / step_sec).cast("long").alias("offset"),
+    ).agg(F.count_distinct(user_col).alias("n_active"))
+    sizes = cohorts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return (
+        per.join(F.broadcast(sizes), "cohort")
+        .withColumn("retention", F.round(F.col("n_active") / F.col("cohort_size"), 6))
+    )

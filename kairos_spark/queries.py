@@ -1100,6 +1100,12 @@ def q_word_entropy(spark, sf_dir):
     return text.word_entropy(d)
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Daily cohort retention over the events table (cohort = day of
+    first signup; active = any event that day)."""
+    return windows.cohort_retention(_tbl(spark, sf_dir, "events"))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental-crawl dedup: docs 250+ arriving as a new batch are
     filtered against the digests of the already-ingested docs 0-249 and
@@ -1261,6 +1267,7 @@ QUERIES = {
     "contamination": q_contamination,
     "dedup_incremental": q_dedup_incremental,
     "token_topk_by_lang": q_token_topk_by_lang,
+    "cohort_retention": q_cohort_retention,
     "ts_count_series_hour": q_ts_count_series_hour,
     "ts_count_rate_minute": q_ts_count_rate_minute,
     "ts_series_transforms_hour": q_ts_series_transforms_hour,
@@ -1530,6 +1537,34 @@ ORACLES.update(
             SELECT doc_id,
                    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
             FROM c GROUP BY 1
+        """,
+        "cohort_retention": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)/86400) AS BIGINT) * 86400 AS day
+                FROM events
+            ),
+            cohorts AS (
+                SELECT user_id, min(day) AS cohort
+                FROM e WHERE event_type = 'signup' GROUP BY 1
+            ),
+            activity AS (SELECT DISTINCT user_id, day FROM e),
+            j AS (
+                SELECT a.user_id, c.cohort,
+                       CAST((a.day - c.cohort) / 86400 AS BIGINT) AS "offset"
+                FROM activity a JOIN cohorts c USING (user_id)
+                WHERE a.day >= c.cohort
+            ),
+            per AS (
+                SELECT cohort, "offset", count(DISTINCT user_id) AS n_active
+                FROM j GROUP BY 1, 2
+            ),
+            sizes AS (SELECT cohort, count(*) AS cohort_size FROM cohorts GROUP BY 1)
+            SELECT cohort, "offset",
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(cohort_size AS BIGINT) AS cohort_size,
+                   round(n_active * 1.0 / cohort_size, 6) AS retention
+            FROM per JOIN sizes USING (cohort)
         """,
         "dedup_incremental": """
             WITH seen AS (

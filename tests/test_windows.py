@@ -75,3 +75,33 @@ def test_asof_join_inclusive_at_equal_ts(spark):
     right = spark.createDataFrame([Row(user_id=1, ts=_ts(5), v=42.0)])
     out = windows.asof_join(left, right, ["user_id"], "ts", "ts", right_cols=["v"]).collect()
     assert out[0]["v_r"] == 42.0
+
+
+def test_cohort_retention(spark):
+    from pyspark.sql import functions as F
+    from kairos_spark.operators import windows
+
+    DAY = 86400
+    rows = [
+        # u1 signs up day 0, active day 0 and day 1
+        (1, "signup", 10.0), (1, "click", DAY + 5.0),
+        # u2 signs up day 0, active day 0 only
+        (2, "signup", 20.0),
+        # u3 signs up day 1, active day 1 and day 2
+        (3, "signup", DAY + 9.0), (3, "view", 2 * DAY + 1.0),
+        # u4 never signs up -> excluded entirely
+        (4, "click", 30.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, sec double").select(
+        "user_id", "event_type", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = {
+        (r["cohort"], r["offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in windows.cohort_retention(ev).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1.0),          # both day-0 signups active day 0
+        (0, 1): (1, 2, 0.5),          # only u1 back on day 1
+        (DAY, 0): (1, 1, 1.0),
+        (DAY, 1): (1, 1, 1.0),
+    }
