@@ -86,6 +86,49 @@ def cosine_self_pairs(
     )
 
 
+def srp_near_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via SRP-LSH bucketing — the scale
+    path that replaces the N²/2 ``cosine_self_pairs`` sweep: vectors are
+    scored only against bucket-mates (same sign pattern on all
+    ``planes`` hyperplanes), cutting candidate pairs by ~2^planes for
+    random data while same-bucket probability for a pair at angle θ is
+    (1-θ/π)^planes — recall/cost tunes with ``planes``.
+
+    Deterministic md5 hyperplanes make the whole construction (including
+    its approximation) exactly reproducible by the SQL oracle. At 100 TB
+    the bucket column is also the partition key: bucket-mates co-locate,
+    so the pair join is shuffle-local."""
+    base = df if max_id is None else df.where(F.col(id_col) < max_id)
+    vec = F.col(vec_col).cast("array<double>")
+    n = add_lsh_bucket(base, dim, planes, vec_col).select(
+        F.col(id_col), vec.alias("v"), norm(vec).alias("nrm"), "lsh_bucket"
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplane(h: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane: component d is the
     md5-derived value of (h, d), mapped into [-1, 1)."""

@@ -1222,6 +1222,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, [float(x) for x in qvec], k=10, planes=8, probe_hamming=2)
 
 
+def q_embed_near_pairs_lsh(spark, sf_dir):
+    """SRP-bucketed embedding near-pairs (vec_id < 1000) — the LSH scale
+    path whose brute-force twin is embed_near_pairs; deterministic
+    hyperplanes make even the approximation exactly oracle-able."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.srp_near_pairs(
+        emb, dim=64, threshold=0.35, planes=6, max_id=1000
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media plumbing: attach payloads, extract features via
     Arrow-batched mapInPandas (decode stubbed deterministically) —
@@ -1268,6 +1278,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "token_topk_by_lang": q_token_topk_by_lang,
     "cohort_retention": q_cohort_retention,
+    "embed_near_pairs_lsh": q_embed_near_pairs_lsh,
     "ts_count_series_hour": q_ts_count_series_hour,
     "ts_count_rate_minute": q_ts_count_rate_minute,
     "ts_series_transforms_hour": q_ts_series_transforms_hour,
@@ -1946,6 +1957,39 @@ ORACLES["minhash_lsh_pairs"] = """
         GROUP BY 1, 2
     )
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2
+"""
+
+ORACLES["embed_near_pairs_lsh"] = """
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+    hs AS (SELECT unnest(generate_series(0, 5)) AS h),
+    planes AS (
+      SELECT hs.h, dims.d,
+             (('0x' || substr(md5('plane' || hs.h || ':' || dims.d), 1, 8))::BIGINT
+              / 4294967296.0) * 2.0 - 1.0 AS c
+      FROM hs, dims
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 1000
+    ),
+    comp AS (SELECT vec_id, dims.d, v[dims.d + 1] AS x FROM e, dims),
+    dots AS (
+      SELECT comp.vec_id, p.h, sum(comp.x * p.c) AS dp
+      FROM comp JOIN planes p ON p.d = comp.d
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id, sum(CASE WHEN dp >= 0 THEN 1 << h ELSE 0 END) AS b
+      FROM dots GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b ON a.b = b.b AND a.vec_id < b.vec_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+    FROM pairs p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
 """
 
 ORACLES["ann_lsh_topk"] = """

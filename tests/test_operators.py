@@ -382,3 +382,19 @@ def test_top_tokens_by_group(spark):
         ("de", 1): ("hund", 2),
         ("de", 2): ("katze", 1),
     }
+
+
+def test_srp_near_pairs_finds_near_copy(vecs):
+    # the (0, 59) near-copy pair agrees on every hyperplane sign, so
+    # SRP bucketing must surface it; every reported pair must also be
+    # confirmed by the brute-force verifier
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_self_pairs(vecs, 0.9).collect()
+    }
+    srp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.srp_near_pairs(vecs, dim=8, threshold=0.9, planes=4).collect()
+    }
+    assert (0, 59) in srp
+    assert set(srp) <= brute
