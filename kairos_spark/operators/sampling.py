@@ -14,6 +14,7 @@ All operators are map-only projections/filters — no shuffle, no state.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # Bucket granularity for fraction thresholds: fractions are exact to
 # 1e-6, and thresholds stay far below 2^44 so the md5-slice math is
@@ -61,6 +62,64 @@ def hash_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def pack_shards(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    coarse_buckets: int = 1024,
+) -> DataFrame:
+    """Assign rows to budget-bounded training shards: rows are laid out
+    in deterministic md5-hash order, sizes are prefix-summed, and
+    ``shard = floor(prefix_sum / budget)`` — the sequence-packing /
+    shard-manifest step of a training-data pipeline (consecutive shards
+    carry ~``budget`` units each, reproducibly).
+
+    Scale shape — a global cumulative sum WITHOUT a global window (a
+    bare ``Window.orderBy`` would drag the whole corpus into one task):
+    the hash keyspace is cut into ``coarse_buckets`` ordered ranges;
+    per-range totals (``coarse_buckets`` rows) are prefix-summed and
+    joined back as broadcast offsets; the within-range cumsum is a
+    window PARTITIONED by range — every task sorts only its slice. The
+    driver never sees more than ``coarse_buckets`` scalar rows.
+
+    Returns the input columns + ``shard`` (long, 0-based).
+    """
+    # 44-bit md5 key, split into [0, coarse_buckets) ordered ranges
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 11), 16, 10
+    ).cast("long")
+    span = (1 << 44) // coarse_buckets + 1
+    keyed = df.withColumn("__k", key).withColumn(
+        "__rng", (F.col("__k") / span).cast("long")
+    )
+    totals = keyed.groupBy("__rng").agg(F.sum(size_col).alias("__tot"))
+    # this global window runs over exactly coarse_buckets rows — the
+    # single-task sort is bounded by the constant, not the data
+    offsets = totals.select(
+        "__rng",
+        (
+            F.sum("__tot").over(
+                Window.orderBy("__rng").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("__tot")
+        ).alias("__off"),
+    )
+    w = (
+        Window.partitionBy("__rng")
+        .orderBy("__k", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = keyed.join(F.broadcast(offsets), "__rng").withColumn(
+        "__cum", F.sum(size_col).over(w) + F.col("__off")
+    )
+    return packed.withColumn(
+        "shard", ((F.col("__cum") - F.col(size_col)) / budget).cast("long")
+    ).drop("__k", "__rng", "__off", "__cum")
 
 
 def stratified_sample(

@@ -1100,6 +1100,19 @@ def q_word_entropy(spark, sf_dir):
     return text.word_entropy(d)
 
 
+def q_shard_packing(spark, sf_dir):
+    """Budget-bounded shard packing over documents (budget = 20k chars):
+    per-shard doc counts and char totals. The two-phase distributed
+    cumsum must agree exactly with the oracle's flat global cumsum."""
+    packed = sampling.pack_shards(
+        _tbl(spark, sf_dir, "documents"), size_col="n_chars", budget=20000
+    )
+    return packed.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Daily cohort retention over the events table (cohort = day of
     first signup; active = any event that day)."""
@@ -1279,6 +1292,7 @@ QUERIES = {
     "token_topk_by_lang": q_token_topk_by_lang,
     "cohort_retention": q_cohort_retention,
     "embed_near_pairs_lsh": q_embed_near_pairs_lsh,
+    "shard_packing": q_shard_packing,
     "ts_count_series_hour": q_ts_count_series_hour,
     "ts_count_rate_minute": q_ts_count_rate_minute,
     "ts_series_transforms_hour": q_ts_series_transforms_hour,
@@ -1547,6 +1561,22 @@ ORACLES.update(
             c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
             SELECT doc_id,
                    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+            FROM c GROUP BY 1
+        """,
+        "shard_packing": """
+            WITH k AS (
+                SELECT doc_id, n_chars,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11))::BIGINT AS k
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                FROM k
+            )
+            SELECT CAST(floor((cum - n_chars) * 1.0 / 20000) AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM c GROUP BY 1
         """,
         "cohort_retention": """

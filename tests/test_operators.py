@@ -398,3 +398,31 @@ def test_srp_near_pairs_finds_near_copy(vecs):
     }
     assert (0, 59) in srp
     assert set(srp) <= brute
+
+
+def test_pack_shards_matches_flat_cumsum(spark):
+    # the two-phase (range totals + within-range window) cumsum must be
+    # identical to a flat driver-side prefix sum in the same hash order
+    import hashlib
+    from kairos_spark.operators import sampling
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {r["doc_id"]: r["shard"] for r in
+           sampling.pack_shards(df, "n_chars", budget=5000).collect()}
+
+    def key(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:11], 16)
+
+    expected, cum = {}, 0
+    for i, size in sorted(rows, key=lambda t: (key(t[0]), t[0])):
+        expected[i] = cum // 5000
+        cum += size
+    assert got == expected
+    # every shard except the last carries ~budget units
+    by_shard = {}
+    for i, size in rows:
+        by_shard.setdefault(got[i], 0)
+        by_shard[got[i]] += size
+    full = [by_shard[s] for s in sorted(by_shard)[:-1]]
+    assert all(v >= 5000 - 500 for v in full)  # max row size is 499
