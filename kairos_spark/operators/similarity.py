@@ -60,21 +60,15 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
-def cosine_self_pairs(
-    df: DataFrame,
-    threshold: float = 0.9,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    max_rows: int | None = None,
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force N²/2 — the
-    verification path; use lsh_topk buckets as candidates at scale)."""
-    base = df if max_rows is None else df.where(F.col(id_col) < max_rows)
-    vec = F.col(vec_col).cast("array<double>")
-    n = base.select(F.col(id_col), vec.alias("v"), norm(vec).alias("nrm"))
+def _scored_pairs(n: DataFrame, join_cond, id_col: str, threshold: float) -> DataFrame:
+    """Shared pair-scoring tail for the exact and LSH near-dup variants:
+    join the prepared (id, v, nrm[, bucket]) frame against itself under
+    ``join_cond`` and keep (id_a, id_b, cosine ≥ threshold). One scoring
+    definition so the brute-force verifier and its bucketed twin can
+    never silently diverge."""
     a, b = n.alias("a"), n.alias("b")
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, join_cond(a, b) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -84,6 +78,21 @@ def cosine_self_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def cosine_self_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force N²/2 — the
+    verification path; use srp_near_pairs at scale)."""
+    base = df if max_rows is None else df.where(F.col(id_col) < max_rows)
+    vec = F.col(vec_col).cast("array<double>")
+    n = base.select(F.col(id_col), vec.alias("v"), norm(vec).alias("nrm"))
+    return _scored_pairs(n, lambda a, b: F.lit(True), id_col, threshold)
 
 
 def srp_near_pairs(
@@ -111,21 +120,11 @@ def srp_near_pairs(
     n = add_lsh_bucket(base, dim, planes, vec_col).select(
         F.col(id_col), vec.alias("v"), norm(vec).alias("nrm"), "lsh_bucket"
     )
-    a, b = n.alias("a"), n.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    return _scored_pairs(
+        n,
+        lambda a, b: F.col("a.lsh_bucket") == F.col("b.lsh_bucket"),
+        id_col,
+        threshold,
     )
 
 

@@ -124,21 +124,31 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _token_counts(
+    df: DataFrame, text_col: str, pattern: str, group_cols: list[str]
+) -> DataFrame:
+    """Shared tokenize → explode → count base: map-side explode, partial
+    aggregation before the single shuffle on (groups..., token)."""
+    tok = df.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+        ).alias("token"),
+    )
+    return tok.groupBy(*group_cols, "token").agg(F.count("*").alias("n"))
+
+
 def top_tokens(
     df: DataFrame, k: int = 20, text_col: str = "text", pattern: str = "[a-z]+"
 ) -> DataFrame:
     """Corpus-wide top-k tokens: tokenize → explode → count → top-k.
     The classic vocabulary/frequency sweep of a training-data pipeline.
 
-    Scale shape: the explode is map-side; the count aggregates partially
-    before the single shuffle on token; top-k is TakeOrderedAndProject
-    (per-partition heaps merged on the driver), never a global sort."""
-    tok = df.select(
-        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))).alias("token")
-    )
+    Scale shape: counts aggregate partially before the shuffle; top-k is
+    TakeOrderedAndProject (per-partition heaps merged on the driver),
+    never a global sort."""
     return (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("n"))
+        _token_counts(df, text_col, pattern, [])
         .orderBy(F.col("n").desc(), "token")
         .limit(k)
     )
@@ -240,24 +250,16 @@ def top_tokens_by_group(
 ) -> DataFrame:
     """Per-group top-k tokens (e.g. per-language vocabulary heads).
 
-    Scale shape: explode → (group, token) hash aggregate with map-side
+    Scale shape: the shared (group, token) hash aggregate with map-side
     combine, then a rank window partitioned BY GROUP over the already-
     aggregated counts — the window input is bounded by |groups| ×
     |vocabulary|, never by corpus size."""
     from pyspark.sql.window import Window
 
-    tok = df.select(
-        F.col(group_col).alias("grp"),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
-        ).alias("token"),
-    )
-    counts = tok.groupBy("grp", "token").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), "token")
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(F.col("grp").alias(group_col), "token", "n", "rank")
+    counts = _token_counts(df, text_col, pattern, [group_col])
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), "token")
+    return counts.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
     )
 
 

@@ -144,7 +144,9 @@ def cohort_retention(
     (two-phase, map-side combine), so the join against cohorts moves at
     most |users| × |days| short rows; cohort sizes broadcast back. Only
     per-day distinct user ids shuffle — never raw events."""
-    bucket = (F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long") * step_sec
+    # floor, not cast-truncation: pre-epoch timestamps must bucket DOWN
+    # (truncation rounds toward zero), matching the oracle's floor()
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long") * step_sec
     cohorts = (
         events.where(F.col(type_col) == signup_type)
         .groupBy(user_col)

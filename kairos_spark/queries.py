@@ -1136,7 +1136,7 @@ def q_token_topk_by_lang(spark, sf_dir):
 
 
 def q_contamination(spark, sf_dir):
-    """Benchmark-decontamination pass: distinct word-5-gram overlap of
+    """Benchmark-decontamination pass: distinct word-3-gram overlap of
     every document against a benchmark corpus (docs 0-2 stand in for
     the held-out eval set)."""
     docs = _tbl(spark, sf_dir, "documents")

@@ -165,7 +165,10 @@ def compact_long_table(
         shutil.move(staging, str(root))
     except BaseException:
         # crash-safety: a failure between the two moves must not leave the
-        # table directory missing — restore the original from backup
+        # table directory missing — clear any partially-created target
+        # first (shutil.move into an existing dir would NEST the backup
+        # inside it), then restore the original from backup
+        shutil.rmtree(str(root), ignore_errors=True)
         shutil.move(backup, str(root))
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -365,6 +365,11 @@ class Timeseries:
         falsy values: 0, 0.0, '', None — kairos/timeseries.py:976)."""
         dtype = VALUE_TYPES[self.value_type]
         base = col.isNotNull()
+        if self.value_type == "time":
+            # datetime.time(0, 0) is TRUTHY in python (3.5+), so the
+            # reference's filter(None, ...) keeps a midnight reading even
+            # though our storage encodes it as 0L — don't drop it
+            return base
         if isinstance(dtype, (T.DoubleType, T.LongType, T.DecimalType)):
             return base & (col != 0)
         if isinstance(dtype, T.StringType):
@@ -528,12 +533,27 @@ class Timeseries:
             )
         return rval
 
+    def _hook_proc(self, process_row):
+        """The per-container processing step under hooks. This port's
+        ``read_func`` is a Column→Column cast applied at scan (not a
+        Python scalar function like the reference's), so the native
+        ``py_process_row`` fallback never receives it: on the engine
+        path read_func has already run JVM-side; on the fetch path the
+        data never passed through the engine, so casting is the fetch
+        callable's responsibility."""
+        return process_row or (lambda d: self.ops.py_process_row(d, None))
+
     def _get_base_hooked(self, name, cfg, interval, timestamp, fetch, process_row):
         """Single-name bucket acquisition under hooks (sql_backend.py:
         189-212): custom fetch replaces the read entirely; otherwise the
-        cluster aggregates natively with read_func suppressed (the
-        process_row step owns cast + read_func)."""
-        proc = process_row or (lambda d: self.ops.py_process_row(d, self.read_func))
+        cluster aggregates natively — with the scan-side read_func
+        suppressed only when a custom process_row takes over that role.
+
+        NOTE: the suppression temporarily mutates ``self.read_func``
+        (restored in finally) — hooked reads on a shared Timeseries are
+        not reentrant/thread-safe, matching the reference library's
+        single-threaded facade contract."""
+        proc = self._hook_proc(process_row)
         if fetch is not None:
             i_bucket = cfg.i_calc.to_bucket(timestamp)
             raw = fetch(self.scan(), str(name), interval, i_bucket)
@@ -546,7 +566,8 @@ class Timeseries:
                 out[cfg.r_calc.from_bucket(r_bucket)] = proc(raw[r_bucket])
             return out
         saved = self.read_func
-        self.read_func = None
+        if process_row is not None:
+            self.read_func = None
         try:
             base = self.get(name, interval, timestamp=timestamp)
         finally:
@@ -621,8 +642,9 @@ class Timeseries:
         """Single-name range acquisition under hooks (sql_backend.py:
         214-246): ``fetch(df, name, interval, start_bucket, end_bucket)``
         returns ``{i_bucket: data}`` (coarse) or ``{i_bucket: {r_bucket:
-        data}}`` (fine); coarse results gap-fill every bucket."""
-        proc = process_row or (lambda d: self.ops.py_process_row(d, self.read_func))
+        data}}`` (fine); coarse results gap-fill every bucket. See
+        ``_get_base_hooked`` for the read_func / reentrancy contract."""
+        proc = self._hook_proc(process_row)
         if fetch is not None:
             raw = fetch(self.scan(), str(name), interval, buckets[0], buckets[-1]) or {}
             rval = OrderedDict()
@@ -640,7 +662,8 @@ class Timeseries:
                     rval[cfg.i_calc.from_bucket(b)] = inner
             return rval
         saved = self.read_func
-        self.read_func = None
+        if process_row is not None:
+            self.read_func = None
         try:
             base = self.series(name, interval, start, end, steps)
         finally:

@@ -543,3 +543,35 @@ def test_iterate_passes_hooks_through(spark):
     t.insert("it", 2, timestamp=_time(90))
     got = dict(t.iterate("it", "minute", process_row=lambda row: [v * 10 for v in row]))
     assert got == {_time(0): [10.0], _time(60): [20.0]}
+
+
+def test_fetch_with_column_read_func_does_not_crash(spark):
+    # read_func in this port is Column->Column and runs at scan; the
+    # hooked py_process_row fallback must never call it on python values
+    t = Timeseries(
+        spark, type="series", intervals=INTERVALS,
+        read_func=lambda c: c.cast("long"),
+    )
+    rb = int(_time(0)) // 60
+    got = t.get(
+        "x", "hour", timestamp=_time(0),
+        fetch=lambda df, n, i, b: {rb: [5.0]},
+    )
+    assert got == {_time(0): [5.0]}
+    # native acquisition WITHOUT process_row keeps the scan-side cast
+    t.insert("y", 1.7, timestamp=_time(0))
+    got = t.get(["y"], "minute", timestamp=_time(0), join_rows=lambda rows: rows[0])
+    assert got == {_time(0): [1]}
+
+
+def test_gauge_time_midnight_not_falsy(spark):
+    # datetime.time(0,0) is truthy in python, so the reference's
+    # filter(None, ...) KEEPS a midnight gauge reading even though our
+    # storage encodes it as 0L
+    import datetime
+
+    t = make_ts(spark, "gauge", value_type="time")
+    t.insert("g", datetime.time(6, 0), timestamp=_time(0))
+    t.insert("g", datetime.time(0, 0), timestamp=_time(70))
+    got = t.get("g", "hour", timestamp=_time(0), condense=True)
+    assert got == {_time(0): datetime.time(0, 0)}
