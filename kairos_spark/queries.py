@@ -27,6 +27,7 @@ from kairos_spark.operators import (
     multimodal,
     sampling,
     similarity,
+    sketches,
     text,
     windows,
 )
@@ -1100,6 +1101,24 @@ def q_word_entropy(spark, sf_dir):
     return text.word_entropy(d)
 
 
+def q_sketch_distinct(spark, sf_dir):
+    """Minhash cardinality sketch vs exact: estimated and exact distinct
+    user_id per event_type, plus rounded relative error. Deterministic
+    md5 double-hashing means the oracle reproduces the estimate (and
+    its error) exactly."""
+    ev = _tbl(spark, sf_dir, "events")
+    est = sketches.distinct_estimate(ev, ["event_type"], "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_distinct",
+        "n_exact",
+        F.round(F.abs(F.col("est_distinct") - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )
+
+
 def q_shard_packing(spark, sf_dir):
     """Budget-bounded shard packing over documents (budget = 20k chars):
     per-shard doc counts and char totals. The two-phase distributed
@@ -1293,6 +1312,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "embed_near_pairs_lsh": q_embed_near_pairs_lsh,
     "shard_packing": q_shard_packing,
+    "sketch_distinct": q_sketch_distinct,
     "ts_count_series_hour": q_ts_count_series_hour,
     "ts_count_rate_minute": q_ts_count_rate_minute,
     "ts_series_transforms_hour": q_ts_series_transforms_hour,
@@ -1562,6 +1582,32 @@ ORACLES.update(
             SELECT doc_id,
                    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
             FROM c GROUP BY 1
+        """,
+        "sketch_distinct": """
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 11))::BIGINT AS a,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 12, 11))::BIGINT AS b
+                FROM events
+            ),
+            i AS (SELECT unnest(generate_series(0, 63)) AS i),
+            mins AS (
+                SELECT event_type, i.i, min((a + i.i * b) % 17592186044399) AS m
+                FROM h, i GROUP BY 1, 2
+            ),
+            est AS (
+                SELECT event_type,
+                       round(1125899906841536.0 / CAST(sum(m) AS DOUBLE) - 1.0, 6)
+                           AS est_distinct
+                FROM mins GROUP BY 1
+            ),
+            exact AS (
+                SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+                FROM events GROUP BY 1
+            )
+            SELECT est.event_type, est_distinct, n_exact,
+                   round(abs(est_distinct - n_exact) / n_exact, 6) AS rel_err
+            FROM est JOIN exact USING (event_type)
         """,
         "shard_packing": """
             WITH k AS (

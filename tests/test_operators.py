@@ -426,3 +426,25 @@ def test_pack_shards_matches_flat_cumsum(spark):
         by_shard[got[i]] += size
     full = [by_shard[s] for s in sorted(by_shard)[:-1]]
     assert all(v >= 5000 - 500 for v in full)  # max row size is 499
+
+
+def test_sketch_distinct_accuracy_and_merge(spark):
+    from kairos_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i % 2, f"v{i % 700}") for i in range(5000)], "g int, v string"
+    )
+    est = {r["g"]: r["est_distinct"] for r in
+           sketches.distinct_estimate(df, ["g"], "v", k=64).collect()}
+    # parity of i%2 and i%700 correlate: each group sees 350 distinct
+    # values; ~1/sqrt(64) relative error
+    for g in (0, 1):
+        assert abs(est[g] - 350) / 350 < 0.4
+    # merge property: sketch(A ∪ B) == elementwise-min(sketch A, sketch B)
+    a = df.where("g = 0")
+    b = df.where("g = 1")
+    sk = lambda d: sketches.minhash_distinct_sketch(
+        d.withColumn("one", F.lit(1)), ["one"], "v", k=16
+    ).collect()[0]["sketch"]
+    merged = [min(x, y) for x, y in zip(sk(a), sk(b))]
+    assert merged == sk(df.withColumn("one", F.lit(1)))
