@@ -269,3 +269,30 @@ def test_text_quality_ops_compose_with_streams(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT doc_id FROM stream_quality").collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_streaming_sketch_distinct_matches_batch(spark, input_dir):
+    # the cardinality sketch is a plain (map-side-combinable) aggregate,
+    # so it runs as a watermarked streaming groupBy unchanged — bounded
+    # O(k) state per key, the streaming distinct-count path
+    from kairos_spark.operators import sketches
+
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    sk = sketches.minhash_distinct_sketch(
+        stream.withWatermark("ts", "1 hour"), ["name"], "value", k=16
+    )
+    q = (
+        sk.writeStream.format("memory")
+        .queryName("stream_sketch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stream_sketch").collect()
+    batch = sketches.minhash_distinct_sketch(
+        _batch_df(spark, input_dir), ["name"], "value", k=16
+    ).collect()
+    assert {r["name"]: r["sketch"] for r in got} == {
+        r["name"]: r["sketch"] for r in batch
+    }
