@@ -1,0 +1,85 @@
+"""PII detection / redaction operators for training-data pipelines.
+
+Before text reaches a training corpus it gets a PII scrub pass — the
+standard pattern families (emails, IPv4 addresses, phone-shaped and
+SSN-shaped digit groups) detected and replaced with typed placeholder
+tokens, with per-document counts kept for filtering and audit (the
+approach used by public corpus pipelines such as BigCode/StarCoder's
+PII pass — regex families for structured identifiers, ML only for
+names, which is out of scope here).
+
+Everything is a map-only JVM-side projection: `regexp_count` for the
+per-type counts and chained `regexp_replace` for the redaction — one
+pass over the text bytes, no shuffle, no UDF. The patterns are written
+in the common Java-regex / RE2 subset (character classes, bounded
+quantifiers, non-capturing groups, `\b`) so a DuckDB oracle reproduces
+the exact counts and redacted strings.
+
+Redaction order is fixed (email → ssn → phone → ipv4) and placeholder
+tokens contain no digits or `@`, so earlier replacements can neither
+create nor destroy later matches; the chained replace is therefore
+confluent and equals the "scan once, replace all non-overlapping
+matches" semantics a single-pass scrubber would produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Ordered: applied in this sequence during redaction. SSN before phone
+# so 123-45-6789 is never half-eaten by a phone-shaped prefix match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(text: Column) -> list[tuple[str, Column]]:
+    """[(type, count-column)] of match counts per PII family."""
+    return [(name, F.regexp_count(text, F.lit(pat))) for name, pat, _ in PII_PATTERNS]
+
+
+def redact(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder token.
+
+    Counts must be taken from the ORIGINAL column (see module note on
+    ordering): an SSN also shaped like a phone number is redacted once,
+    by the earlier family.
+    """
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document PII audit: one count column per family, total count,
+    and the redacted length delta (chars removed by scrubbing; negative
+    when placeholders are longer than the match). Single narrow
+    projection — Catalyst prunes every other column at the scan;
+    ``keep`` carries grouping columns (e.g. source/lang) through so a
+    downstream rollup needs no join back to the corpus."""
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    total = None
+    cols = [F.col(id_col), *[F.col(c) for c in keep]]
+    for name, c in counts:
+        c = c.cast("long")
+        cols.append(c.alias(f"n_{name}"))
+        total = c if total is None else total + c
+    cols.append(total.alias("n_pii"))
+    cols.append((F.length(t) - F.length(redact(t))).cast("long").alias("chars_removed"))
+    return df.select(*cols)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The scrub pass itself: ``text_col`` replaced by its redacted
+    form, all other columns untouched."""
+    return df.withColumn(text_col, redact(F.col(text_col)))

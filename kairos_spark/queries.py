@@ -25,6 +25,7 @@ from kairos_spark.operators import (
     dedup,
     joins,
     multimodal,
+    pii,
     sampling,
     similarity,
     sketches,
@@ -1166,6 +1167,72 @@ def q_contamination(spark, sf_dir):
     return text.contamination_overlap(docs, bench, n=3)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub audit: per (source, lang), counts of emails / SSNs /
+    phones / IPv4s detected, docs containing any PII, and total chars
+    removed by redaction.
+
+    The synthetic corpus contains no real PII, so the query first
+    decorates a deterministic subset of docs (doc_id % {3,5,7,11}) with
+    doc_id-derived email/IP/phone/SSN strings — a pure function of the
+    table that the oracle reproduces exactly, keeping the regex check
+    non-vacuous. Map-only detect+redact projection, one hash aggregate."""
+    d = _tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    deco = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), sid, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" call "),
+                    (did % 900 + 100).cast("string"),
+                    F.lit("-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" ssn "),
+                    (did % 900 + 100).cast("string"),
+                    F.lit("-"),
+                    F.lpad((did % 100).cast("string"), 2, "0"),
+                    F.lit("-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    stats = pii.pii_stats(deco, keep=("source", "lang"))
+    return stats.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_email").cast("long").alias("n_email"),
+        F.sum("n_ssn").cast("long").alias("n_ssn"),
+        F.sum("n_phone").cast("long").alias("n_phone"),
+        F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+        F.sum((F.col("n_pii") > 0).cast("long")).cast("long").alias("n_pii_docs"),
+        F.sum("chars_removed").cast("long").alias("chars_removed"),
+    )
+
+
 def q_quality_scores(spark, sf_dir):
     return text.quality_score(_tbl(spark, sf_dir, "documents"))
 
@@ -1290,6 +1357,8 @@ def q_frame_sample(spark, sf_dir):
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
 # the tail is cut again.
 QUERIES = {
+    # round-2 late additions first (newest = least driver-verified)
+    "pii_scrub": q_pii_scrub,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "token_topk": q_token_topk,
@@ -2123,3 +2192,56 @@ ORACLES["dedup_clusters_lsh"] = (
     SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""",
     )
 )
+
+# PII scrub: the decoration (a pure function of doc_id), the four
+# pattern families, and the redaction chain are mirrored expression for
+# expression; patterns stay inside the common Java-regex / RE2 subset
+# so both engines see identical matches (see operators/pii.py).
+ORACLES["pii_scrub"] = r"""
+    WITH deco AS (
+      SELECT doc_id, source, lang,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                       || (doc_id % 100)::VARCHAR
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' call ' || (doc_id % 900 + 100)::VARCHAR || '-555-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' ssn ' || (doc_id % 900 + 100)::VARCHAR || '-'
+                       || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE '' END
+             AS t
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source, lang,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+             len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS s,
+             len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS p,
+             len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS i,
+             length(t) - length(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS removed
+      FROM deco
+    )
+    SELECT source, lang,
+           count(*)::BIGINT AS n_docs,
+           sum(e)::BIGINT AS n_email,
+           sum(s)::BIGINT AS n_ssn,
+           sum(p)::BIGINT AS n_phone,
+           sum(i)::BIGINT AS n_ipv4,
+           sum(CASE WHEN e + s + p + i > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pii_docs,
+           sum(removed)::BIGINT AS chars_removed
+    FROM per_doc
+    GROUP BY source, lang
+"""
