@@ -122,6 +122,50 @@ def pack_shards(
     ).drop("__k", "__rng", "__off", "__cum")
 
 
+def sample_priority(id_col: Column, weight: Column, salt: str = "") -> Column:
+    """Efraimidis–Spirakis (A-ES) sampling priority ``-ln(u) / w`` with
+    ``u`` an md5-derived uniform in (0, 1] — selecting the k SMALLEST
+    priorities draws a weighted sample without replacement where
+    inclusion odds scale with ``w`` (equivalent to the textbook
+    ``u^(1/w)`` take-k-largest form, monotone-transformed to avoid the
+    pow). u is (h+1) / 2^44 from the 44-bit md5 slice: the +1 keeps
+    ln(0) out, and dividing by a power of two is exact in IEEE double,
+    so the only engine-sensitive step is ln itself (≤1 ulp; outputs are
+    rounded to 6 decimals before any hash comparison)."""
+    key = (
+        F.concat(F.lit(salt), id_col.cast("string")) if salt else id_col
+    )
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 11), 16, 10).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(1 << 44))
+    return -F.log(u) / weight
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows without replacement
+    (e.g. length-weighted document subsampling). Rows with non-positive
+    weight are excluded (their A-ES priority is undefined).
+
+    Scale shape: the priority is a map-only projection and the k-smallest
+    selection is ``orderBy().limit(k)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition top-k heaps merged on the
+    driver), so nothing global is ever sorted and only ``k`` rows move.
+    ``salt`` draws an independent sample family from the same ids.
+    """
+    pr = sample_priority(F.col(id_col), F.col(weight_col), salt)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("priority", pr)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -1167,6 +1167,19 @@ def q_contamination(spark, sf_dir):
     return text.contamination_overlap(docs, bench, n=3)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted 100-doc sample (A-ES priorities): long documents
+    are proportionally likelier to be drawn. Deterministic md5 uniforms
+    make the exact sample — not just its size — reproducible by the
+    oracle. TakeOrderedAndProject top-k; no global sort."""
+    out = sampling.weighted_sample(
+        _tbl(spark, sf_dir, "documents"), weight_col="n_chars", k=100
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.round("priority", 6).alias("priority")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub audit: per (source, lang), counts of emails / SSNs /
     phones / IPv4s detected, docs containing any PII, and total chars
@@ -1358,6 +1371,7 @@ def q_frame_sample(spark, sf_dir):
 # the tail is cut again.
 QUERIES = {
     # round-2 late additions first (newest = least driver-verified)
+    "weighted_sample": q_weighted_sample,
     "pii_scrub": q_pii_scrub,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -2244,4 +2258,21 @@ ORACLES["pii_scrub"] = r"""
            sum(removed)::BIGINT AS chars_removed
     FROM per_doc
     GROUP BY source, lang
+"""
+
+# A-ES weighted sample: md5 slice → uniform → -ln(u)/w is mirrored
+# term for term; 17592186044416 = 2^44 (the md5-slice keyspace), and
+# the power-of-two division is exact in IEEE double on both engines.
+ORACLES["weighted_sample"] = """
+    WITH pr AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 11))::BIGINT + 1)
+                 / 17592186044416.0) / n_chars AS priority
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, round(priority, 6) AS priority
+    FROM pr
+    ORDER BY priority, doc_id
+    LIMIT 100
 """

@@ -448,3 +448,47 @@ def test_sketch_distinct_accuracy_and_merge(spark):
     ).collect()[0]["sketch"]
     merged = [min(x, y) for x, y in zip(sk(a), sk(b))]
     assert merged == sk(df.withColumn("one", F.lit(1)))
+
+
+def test_weighted_sample_matches_reference_priorities(spark):
+    # the distributed top-k must equal a driver-side computation of the
+    # same A-ES priorities (md5 uniform -> -ln(u)/w, k smallest)
+    import hashlib
+    import math
+    from kairos_spark.operators import sampling
+
+    rows = [(i, 1 + (i * 13) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [r["doc_id"] for r in sampling.weighted_sample(df, "w", k=20, id_col="doc_id").collect()]
+
+    def priority(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:11], 16)
+        return -math.log((h + 1) / float(1 << 44)) / w
+
+    expected = sorted(rows, key=lambda t: (priority(*t), t[0]))[:20]
+    assert got == [i for i, _ in expected]
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from kairos_spark.operators import sampling
+
+    # one row with overwhelming weight is effectively always drawn
+    rows = [(i, 10**9 if i == 123 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    ids = {r["doc_id"] for r in sampling.weighted_sample(df, "w", k=10).collect()}
+    assert 123 in ids
+    # and equal-weight sampling with two salts draws different samples
+    a = {r["doc_id"] for r in sampling.weighted_sample(df, "w", k=10, salt="s1").collect()}
+    b = {r["doc_id"] for r in sampling.weighted_sample(df, "w", k=10, salt="s2").collect()}
+    assert a != b
+
+
+def test_weighted_sample_excludes_nonpositive_and_caps_k(spark):
+    from kairos_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, 2)], "doc_id long, w long"
+    )
+    out = sampling.weighted_sample(df, "w", k=10).collect()
+    assert {r["doc_id"] for r in out} == {1, 4}
+    assert all(r["priority"] > 0 for r in out)
