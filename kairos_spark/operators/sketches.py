@@ -1,4 +1,4 @@
-"""Cardinality sketches: bounded-state distinct counting.
+"""Mergeable sketches: bounded-state distinct counting and quantiles.
 
 At 100 TB an exact ``count_distinct`` shuffles every distinct value; a
 sketch keeps O(k) state per group, merges with elementwise min, and
@@ -17,6 +17,7 @@ identical rounded value. Relative error ~ 1/√k.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from kairos_spark.operators.dedup import MINHASH_PRIME, _md5_long
 
@@ -71,4 +72,91 @@ def distinct_estimate(
     sk = minhash_distinct_sketch(df, group_cols, value_col, k)
     return sk.select(
         *group_cols, sketch_estimate(F.col("sketch"), k).alias("est_distinct")
+    )
+
+
+def binned_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Per-group fixed-width bin counts over ``[lo, hi)`` (out-of-range
+    values clamp into the edge bins) — the bounded state that quantile
+    estimation reads from. Mergeable by summing counts per (group, bin),
+    so partial histograms roll up across partitions, days, or clusters.
+
+    Scale shape: map-side partial aggregation collapses each partition
+    to ≤ ``bins`` rows per group before the shuffle — network volume is
+    |groups| × bins regardless of row count. Pick ``lo``/``hi``/``bins``
+    so the bin width is a dyadic rational (e.g. 2.5) and the bucketing
+    arithmetic is bit-identical on every IEEE-754 engine.
+    """
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("long")
+    return df.groupBy(*group_cols, b.alias("bin")).agg(F.count("*").alias("c"))
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Per-group quantile estimates from a single-pass fixed-bin
+    histogram — the scale path for percentiles when exact
+    ``percentile_disc`` (a per-group sort) is too expensive and
+    ``approx_percentile`` is not reproducible across engines. Error is
+    bounded by one bin width; estimates interpolate linearly within the
+    quantile's bin. Every step (bin counts, cumulative sums, ceil
+    targets, interpolation) is deterministic integer/double arithmetic,
+    so a SQL oracle reproduces the estimate bit-for-bit.
+
+    Scale shape: after the bounded-size histogram aggregate, the rank
+    windows partition BY GROUP over ≤ ``bins`` rows each — window state
+    is capped by a constant, never by data size. Returns one row per
+    (group, quantile): ``q``, ``est_value``, ``n``.
+    """
+    width = (hi - lo) / bins
+    counts = binned_histogram(df, group_cols, value_col, lo, hi, bins)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = counts.select(
+        *group_cols,
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(*group_cols)).alias("total"),
+    )
+    qd = cums.select(
+        *group_cols,
+        "bin",
+        "c",
+        "cum",
+        "total",
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q"),
+    )
+    # rank of the q-th value (1-based); q=0 clamps to the first value
+    target = F.greatest(F.ceil(F.col("q") * F.col("total")), F.lit(1))
+    prev = F.col("cum") - F.col("c")
+    est = F.lit(lo) + F.lit(width) * (F.col("bin") + (target - prev) / F.col("c"))
+    return (
+        qd.where((F.col("cum") >= target) & (prev < target))
+        .select(
+            *group_cols,
+            "q",
+            F.round(est, 6).alias("est_value"),
+            F.col("total").cast("long").alias("n"),
+        )
     )

@@ -1167,6 +1167,23 @@ def q_contamination(spark, sf_dir):
     return text.contamination_overlap(docs, bench, n=3)
 
 
+def q_binned_quantiles(spark, sf_dir):
+    """Single-pass binned quantile estimates (p50/p90/p99 of event
+    value per event_type, 200 bins over [0, 500)) — the mergeable scale
+    path next to the exact value_percentiles query; estimation error is
+    bounded by the 2.5-unit bin width and the estimate itself is
+    reproduced exactly by the oracle."""
+    return sketches.binned_quantiles(
+        _tbl(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        quantiles=[0.5, 0.9, 0.99],
+        lo=0.0,
+        hi=500.0,
+        bins=200,
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Length-weighted 100-doc sample (A-ES priorities): long documents
     are proportionally likelier to be drawn. Deterministic md5 uniforms
@@ -1371,6 +1388,7 @@ def q_frame_sample(spark, sf_dir):
 # the tail is cut again.
 QUERIES = {
     # round-2 late additions first (newest = least driver-verified)
+    "binned_quantiles": q_binned_quantiles,
     "weighted_sample": q_weighted_sample,
     "pii_scrub": q_pii_scrub,
     "quality_scores": q_quality_scores,
@@ -2275,4 +2293,33 @@ ORACLES["weighted_sample"] = """
     FROM pr
     ORDER BY priority, doc_id
     LIMIT 100
+"""
+
+# Binned quantiles: bin counts, cumulative ranks, ceil targets, and the
+# within-bin interpolation are all deterministic IEEE arithmetic (bin
+# width 2.5 is dyadic), so the estimate matches bit for bit.
+ORACLES["binned_quantiles"] = """
+    WITH binned AS (
+      SELECT event_type,
+             CAST(least(greatest(floor((value - 0.0) / 2.5), 0), 199) AS BIGINT) AS bin,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cums AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total
+      FROM binned
+    ),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    hits AS (
+      SELECT event_type, q, bin, c, cum, total,
+             greatest(ceil(q * total), 1) AS target
+      FROM cums, qs
+    )
+    SELECT event_type, q,
+           round(0.0 + 2.5 * (bin + (target - (cum - c)) / c), 6) AS est_value,
+           total::BIGINT AS n
+    FROM hits
+    WHERE cum >= target AND cum - c < target
 """

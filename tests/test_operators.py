@@ -492,3 +492,52 @@ def test_weighted_sample_excludes_nonpositive_and_caps_k(spark):
     out = sampling.weighted_sample(df, "w", k=10).collect()
     assert {r["doc_id"] for r in out} == {1, 4}
     assert all(r["priority"] > 0 for r in out)
+
+
+def test_binned_quantiles_known_values(spark):
+    from kairos_spark.operators import sketches
+
+    df = spark.createDataFrame([("a", float(v)) for v in range(1, 101)], "g string, v double")
+    out = {
+        r["q"]: (r["est_value"], r["n"])
+        for r in sketches.binned_quantiles(df, ["g"], "v", [0.5, 0.99], 0.0, 100.0, bins=100).collect()
+    }
+    # values 1..100, unit bins: p50 target=rank 50 -> bin 50 holds it,
+    # interpolated to its upper edge; 100 clamps into bin 99 (count 2)
+    assert out[0.5] == (51.0, 100)
+    assert out[0.99] == (99.5, 100)
+
+
+def test_binned_quantiles_error_bounded_by_width(spark):
+    from kairos_spark.operators import sketches
+
+    vals = [((i * 37) % 500) / 1.0 for i in range(1000)]
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v double")
+    qs = [0.25, 0.5, 0.9, 0.99]
+    est = {
+        r["q"]: r["est_value"]
+        for r in sketches.binned_quantiles(df, ["g"], "v", qs, 0.0, 500.0, bins=200).collect()
+    }
+    sv = sorted(vals)
+    for q in qs:
+        exact = sv[max(0, -(-int(q * len(sv)) // 1) - 1)]
+        assert abs(est[q] - exact) <= 2.5 + 1e-9, (q, est[q], exact)
+
+
+def test_binned_histogram_merges_by_sum(spark):
+    from pyspark.sql import functions as F
+    from kairos_spark.operators import sketches
+
+    rows = [("a", float((i * 13) % 300)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    d1 = spark.createDataFrame(rows[:200], "g string, v double")
+    d2 = spark.createDataFrame(rows[200:], "g string, v double")
+    whole = sketches.binned_histogram(df, ["g"], "v", 0.0, 500.0, bins=50)
+    h1 = sketches.binned_histogram(d1, ["g"], "v", 0.0, 500.0, bins=50)
+    h2 = sketches.binned_histogram(d2, ["g"], "v", 0.0, 500.0, bins=50)
+    merged = (
+        h1.unionAll(h2).groupBy("g", "bin").agg(F.sum("c").alias("c"))
+    )
+    a = {(r["g"], r["bin"]): r["c"] for r in whole.collect()}
+    b = {(r["g"], r["bin"]): r["c"] for r in merged.collect()}
+    assert a == b

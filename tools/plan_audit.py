@@ -50,6 +50,7 @@ AUDITED = [
     "label_centroids",
     "pii_scrub",
     "weighted_sample",
+    "binned_quantiles",
 ]
 
 CHECKS = {
@@ -95,6 +96,9 @@ CHECKS = {
     # A-ES top-k must be TakeOrderedAndProject (partition heaps), never
     # a global sort, and the priority projection needs no join/exchange
     "weighted_sample": ["TakeOrderedAndProject", "!Sort ", "!Join"],
+    # histogram state is bounded (groups × bins) before the shuffle;
+    # quantile windows run per group over ≤bins rows; no join anywhere
+    "binned_quantiles": ["HashAggregate", "Window", "!Join"],
 }
 
 
