@@ -58,11 +58,21 @@ def _utc(spark: SparkSession) -> None:
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _utc(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long → microsecond timestamp. Integer division (`div`),
-        # not float division + cast: double rounding of large nanos is off
-        # by ±1 µs, which DuckDB's exact integer truncation exposes.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-as-long → microsecond timestamp. Integer division
+            # (`div`), not float division + cast: double rounding of large
+            # nanos is off by ±1 µs, which DuckDB's exact integer
+            # truncation exposes.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] parquet reads as TIMESTAMP_NTZ, which rejects
+            # direct casts to numeric (and misbehaves under tz functions).
+            # The session is pinned UTC, so NTZ→LTZ is an identity
+            # relabel; downstream epoch math then works for either
+            # physical encoding of the testdata.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name == "documents":
         # Text operators are CPU-bound with heavy per-byte amplification
         # (shingle explode ≈ 100× the input bytes), but the corpus
@@ -1387,7 +1397,37 @@ def q_frame_sample(spark, sf_dir):
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
 # the tail is cut again.
 QUERIES = {
-    # round-2 late additions first (newest = least driver-verified)
+    # --- registry order drives the driver's 50-entry correctness budget. ---
+    # Round-3 rotation: the 25 entries the r02 driver run never reached
+    # (it checks exactly the first 50) go first; new round-3 queries are
+    # inserted ahead of them as they land; the 50 entries that went green
+    # in CORRECTNESS_r02.json rotate to the tail.
+    "ts_iterate_full": q_ts_iterate_full,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "window_top_orders": q_window_top_orders,
+    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
+    "value_percentiles": q_value_percentiles,
+    "json_props_stats": q_json_props_stats,
+    "range_join_user_events": q_range_join_user_events,
+    "rollup_revenue_region": q_rollup_revenue_region,
+    "semi_join_urgent_custs": q_semi_join_urgent_custs,
+    "anti_join_quiet_custs": q_anti_join_quiet_custs,
+    "ts_multires_rollup": q_ts_multires_rollup,
+    "event_sessions": q_event_sessions,
+    "asof_signup_purchase": q_asof_signup_purchase,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "training_data_prep": q_training_data_prep,
+    "minhash_first_hashes": q_minhash_first_hashes,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_sample": q_simhash_sample,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "text_stats": q_text_stats,
+    # --- below here: driver-green in CORRECTNESS_r02.json ---
     "binned_quantiles": q_binned_quantiles,
     "weighted_sample": q_weighted_sample,
     "pii_scrub": q_pii_scrub,
@@ -1402,7 +1442,6 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
-    # round-2 additions (placed early for the same time-budget reason)
     "sample_split": q_sample_split,
     "stratified_sample": q_stratified_sample,
     "repetition_stats": q_repetition_stats,
@@ -1439,31 +1478,6 @@ QUERIES = {
     "ts_variance_collapse": q_ts_variance_collapse,
     "ts_gauge_join": q_ts_gauge_join,
     "ts_series_condense_order": q_ts_series_condense_order,
-    "ts_iterate_full": q_ts_iterate_full,
-    "q1_pricing_summary": q_q1_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "window_top_orders": q_window_top_orders,
-    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
-    "value_percentiles": q_value_percentiles,
-    "json_props_stats": q_json_props_stats,
-    "range_join_user_events": q_range_join_user_events,
-    "rollup_revenue_region": q_rollup_revenue_region,
-    "semi_join_urgent_custs": q_semi_join_urgent_custs,
-    "anti_join_quiet_custs": q_anti_join_quiet_custs,
-    "ts_multires_rollup": q_ts_multires_rollup,
-    "event_sessions": q_event_sessions,
-    "asof_signup_purchase": q_asof_signup_purchase,
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_exact_keep": q_dedup_exact_keep,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_clusters_lsh": q_dedup_clusters_lsh,
-    "training_data_prep": q_training_data_prep,
-    "minhash_first_hashes": q_minhash_first_hashes,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_sample": q_simhash_sample,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "text_stats": q_text_stats,
 }
 
 ORACLES = dict(_TS_ORACLES)
