@@ -376,3 +376,72 @@ def connected_components(
             "increase max_iter (rounds needed = graph diameter)"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def normalized_text(text: Column) -> Column:
+    """Aggressive canonical form for normalization-aware dedup:
+    lowercase, strip everything but [a-z0-9] and whitespace, collapse
+    whitespace runs, trim. Catches re-cased / re-punctuated /
+    re-wrapped copies that byte-exact digests miss."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+
+
+def normalized_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalization-aware exact dedup: md5 over ``normalized_text``,
+    groups with >1 member. Same scale shape as exact_dup_groups — the
+    normalization is a map-side projection, and only (digest, id)
+    pairs ever shuffle."""
+    return (
+        df.select(F.md5(normalized_text(F.col(text_col))).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by n-gram CONTAINMENT:
+    |A∩B| / min(|A|, |B|). Catches a document embedded in (or truncated
+    from) a larger one — the case where Jaccard dilutes below any
+    usable threshold as the size ratio grows.
+
+    Exact verification path (shingle self-join, same shape as
+    ngram_jaccard_pairs); at 100 TB generate candidates with
+    minhash_lsh_pairs and score containment only on the candidates."""
+    sh = doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("sz_a", "sz_b"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

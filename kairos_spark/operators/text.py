@@ -311,3 +311,99 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n
         F.explode(shingles_of_norm(F.col("__norm"), n)).alias("__sh"),
     )
     return exploded.groupBy(id_col).agg(F.min(F.md5(F.col("__sh"))).alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf = in-document term count,
+    idf = ln(N / df_t) over document frequency; ties break on the token
+    so the ranking is deterministic.
+
+    Scale shape: (doc, term) counts partial-aggregate map-side before
+    the single term shuffle; document frequency is an aggregate OF that
+    aggregate (the pairs are already distinct, so df_t is a plain
+    count); corpus size N joins as a broadcast scalar. The top-k window
+    partitions by document over already-aggregated rows — bounded by
+    distinct terms per document, never corpus volume, and no global
+    sort anywhere."""
+    from pyspark.sql.window import Window
+
+    tf = _token_counts(df, text_col, pattern, [id_col]).withColumnRenamed("n", "tf")
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
+    ndocs = df.groupBy().agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.col("tf") * F.log(F.col("__n") / F.col("__df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", F.round("score", 6).alias("score"))
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram language-model score: mean ln p(w2|w1) under
+    an add-one-smoothed bigram model fit on the corpus itself — the
+    classic perplexity-proxy quality filter (KenLM-style scoring with
+    the model reduced to corpus count tables).
+
+    p(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V), V = corpus vocabulary.
+
+    Scale shape: every join side is pre-aggregated — per-doc bigram
+    multiplicities join corpus bigram counts on the bigram key and
+    context counts on the first word; V broadcasts as a scalar. The
+    per-doc sum uses DECIMAL(28,12) so the grand total is associative
+    (bit-identical across engines/partitionings) before the final
+    round-6 division."""
+    words = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+    grams = words.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+                ),
+            )
+        ).alias("bg"),
+    )
+    per_doc = (
+        grams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("m"))
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+    )
+    corpus = per_doc.groupBy("bg").agg(F.sum("m").alias("__cbg"))
+    ctx = (
+        corpus.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("__cbg").alias("__cw1"))
+    )
+    vocab = (
+        words.select(F.explode("__w").alias("__t"))
+        .agg(F.count_distinct("__t").alias("__v"))
+    )
+    logp = F.log((F.col("__cbg") + 1) / (F.col("__cw1") + F.col("__v")))
+    return (
+        per_doc.join(corpus, "bg")
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.round(
+                (F.sum((F.col("m") * logp).cast("decimal(28,12)")).cast("double"))
+                / F.sum("m"),
+                6,
+            ).alias("lm_score"),
+        )
+    )

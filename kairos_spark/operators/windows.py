@@ -123,6 +123,185 @@ def asof_join(
     return carried.where(F.col("__tag") == 1).drop(*drop)
 
 
+def bucket_counts(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Per-key tumbling-bucket event counts — the shared base for the
+    trailing-window trend operators below. One partial-aggregated
+    shuffle on (key, bucket); floor() so pre-epoch timestamps bucket
+    down exactly like the oracle."""
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long") * step_sec
+    )
+    return df.groupBy(
+        F.col(key_col).alias("name"), bucket.alias("i_time")
+    ).agg(F.count("*").alias("n"))
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+    lookback: int = 24,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Trailing-window anomaly detection: per key, z-score each bucket's
+    count against the mean/stddev of the previous ``lookback`` buckets
+    (the current bucket excluded so an outlier can't mask itself). Only
+    buckets with a FULL trailing window are scored.
+
+    Scale shape: buckets pre-aggregate map-side, so the window input is
+    |keys| x |buckets| short rows, never raw events; the single window
+    pass shuffles once on the key and sorts in-partition. State per key
+    is one row per bucket — bounded by the retention horizon."""
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    w = (
+        Window.partitionBy("name")
+        .orderBy("i_time")
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    z = F.when(sd > 0, (F.col("n") - mu) / sd).otherwise(F.lit(0.0))
+    return (
+        counts.select(
+            "name",
+            "i_time",
+            "n",
+            F.count("n").over(w).alias("__seen"),
+            F.round(mu, 6).alias("mean_n"),
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > z_thresh).alias("is_anomaly"),
+        )
+        .where(F.col("__seen") == lookback)
+        .drop("__seen")
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+    alpha: float = 0.3,
+    k: int = 8,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average over per-key
+    bucket counts: y_t = sum_{j<k} w_j * x_{t-j} / sum_{j<k,avail} w_j
+    with w_j = (1-alpha)^j, renormalized over the lags that exist near
+    the series head.
+
+    The k-term truncation is deliberate: the exact recursive EWMA needs
+    either sequential state or (1-alpha)^(-i) window tricks that
+    overflow doubles for long series. k fixed lag() terms keep the whole
+    computation one window pass over pre-aggregated buckets —
+    whole-stage-codegen projections, no recursion, oracle-expressible."""
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    w = Window.partitionBy("name").orderBy("i_time")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(k):
+        x = F.col("n") if j == 0 else F.lag("n", j).over(w)
+        wj = F.lit((1.0 - alpha) ** j)
+        num = num + F.when(x.isNotNull(), wj * x).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), wj).otherwise(F.lit(0.0))
+    return counts.select(
+        "name", "i_time", "n", F.round(num / den, 6).alias("ewma")
+    )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_sec: int = 86400,
+    window_steps: int = 7,
+) -> DataFrame:
+    """Rolling N-step distinct entities (e.g. 7-day active users) per
+    step. COUNT(DISTINCT) over a sliding frame isn't a window function
+    in any engine, so this uses the contribution-explode shape: distinct
+    (entity, step) pairs each contribute to the ``window_steps`` window
+    ends they fall into, then one count-distinct per window end.
+
+    Scale shape: raw events collapse to distinct (entity, step) pairs
+    FIRST (two-phase distinct, map-side combine), so the explode
+    multiplies |entities| x |steps| short rows by window_steps — never
+    raw event volume. Window ends past the data's last step are dropped
+    (they'd be partial windows)."""
+    step = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long") * step_sec
+    )
+    pairs = df.select(F.col(user_col).alias("__u"), step.alias("__d")).distinct()
+    last_step = pairs.groupBy().agg(F.max("__d").alias("__last"))
+    contrib = pairs.select(
+        "__u",
+        F.explode(
+            F.sequence(F.lit(0), F.lit((window_steps - 1) * step_sec), F.lit(step_sec))
+        ).alias("__off"),
+        "__d",
+    ).select("__u", (F.col("__d") + F.col("__off")).alias("w_end"))
+    return (
+        contrib.join(F.broadcast(last_step), contrib.w_end <= F.col("__last"))
+        .groupBy("w_end")
+        .agg(F.count_distinct("__u").alias("n_users"))
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: stage i counts users whose earliest
+    qualifying step-i event happens strictly AFTER their stage-(i-1)
+    time (the classic strictly-ordered funnel, not a bag-of-events
+    count). Returns (stage, step_name, n_users, conversion-vs-stage-1).
+
+    Scale shape: each stage is a filter + per-user min-aggregate joined
+    to the previous stage's (user, time) table — every join is on the
+    user key against an already-aggregated, strictly shrinking side.
+    Nothing wider than (user, ts) ever shuffles."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached: DataFrame | None = None
+    stage_counts = []
+    for i, s in enumerate(steps):
+        ev = df.where(F.col(type_col) == s).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).cast("double").alias("__t")
+        )
+        if reached is None:
+            reached = ev.groupBy("__u").agg(F.min("__t").alias("__t"))
+        else:
+            reached = (
+                ev.join(reached.withColumnRenamed("__t", "__prev"), "__u")
+                .where(F.col("__t") > F.col("__prev"))
+                .groupBy("__u")
+                .agg(F.min("__t").alias("__t"))
+            )
+        stage_counts.append(
+            reached.groupBy().agg(
+                F.lit(i + 1).alias("stage"),
+                F.lit(s).alias("step_name"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    out = stage_counts[0]
+    for s in stage_counts[1:]:
+        out = out.unionByName(s)
+    w = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.withColumn(
+        "conversion", F.round(F.col("n_users") / F.first("n_users").over(w), 6)
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

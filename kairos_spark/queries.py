@@ -1392,6 +1392,65 @@ def q_frame_sample(spark, sf_dir):
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms over the corpus."""
+    return text.tfidf_top_terms(_tbl(spark, sf_dir, "documents"), k=3)
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    """Add-one-smoothed bigram LM score (mean ln p) per document."""
+    return text.bigram_lm_score(_tbl(spark, sf_dir, "documents"))
+
+
+def q_normalize_dedup(spark, sf_dir):
+    """Normalization-aware dedup: recased/re-punctuated/re-wrapped
+    copies collapse to the same canonical digest."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" !!! ")).alias("text"),
+    )
+    return dedup.normalized_dup_groups(d.unionByName(pert))
+
+
+def q_containment_pairs(spark, sf_dir):
+    """N-gram containment pairs: prefix-truncated copies (60% of each
+    7th document) are caught at containment ≥ 0.8 where Jaccard would
+    sit near 0.6 and below any safe threshold."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.6) as int))").alias(
+            "text"
+        ),
+    )
+    return dedup.containment_pairs(d.unionByName(trunc), n=8, threshold=0.8)
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Trailing-24h z-score anomaly flags over hourly event counts."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.anomaly_zscore(ev, step_sec=3600, lookback=24, z_thresh=2.0)
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Truncated EWMA (alpha=0.3, 8 lags) over hourly event counts."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.ewma_smooth(ev, step_sec=3600, alpha=0.3, k=8)
+
+
+def q_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per day."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.rolling_distinct(ev, step_sec=86400, window_steps=7)
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Strictly-ordered signup → click → purchase conversion funnel."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.funnel(ev, ["signup", "click", "purchase"])
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -1402,6 +1461,14 @@ QUERIES = {
     # (it checks exactly the first 50) go first; new round-3 queries are
     # inserted ahead of them as they land; the 50 entries that went green
     # in CORRECTNESS_r02.json rotate to the tail.
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bigram_lm_score": q_bigram_lm_score,
+    "normalize_dedup": q_normalize_dedup,
+    "containment_pairs": q_containment_pairs,
+    "anomaly_zscore": q_anomaly_zscore,
+    "ewma_smooth": q_ewma_smooth,
+    "rolling_distinct_users": q_rolling_distinct_users,
+    "funnel_conversion": q_funnel_conversion,
     "ts_iterate_full": q_ts_iterate_full,
     "q1_pricing_summary": q_q1_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2336,4 +2403,191 @@ ORACLES["binned_quantiles"] = """
            total::BIGINT AS n
     FROM hits
     WHERE cum >= target AND cum - c < target
+"""
+
+# Trailing-window trend operators: bucket counts, window frames, and the
+# z-score / EWMA arithmetic are identical IEEE double expressions in both
+# engines; EWMA weights are emitted as full-precision reprs so the SQL
+# literal parses back to the exact double Spark computes with.
+_BUCKET_COUNTS_SQL = """
+      SELECT event_type AS name,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS i_time,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+"""
+
+ORACLES["anomaly_zscore"] = f"""
+    WITH counts AS ({_BUCKET_COUNTS_SQL}),
+    scored AS (
+      SELECT name, i_time, n,
+             count(n) OVER w AS seen,
+             avg(n) OVER w AS mu,
+             stddev_samp(n) OVER w AS sd
+      FROM counts
+      WINDOW w AS (PARTITION BY name ORDER BY i_time
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT name, i_time, n,
+           round(mu, 6) AS mean_n,
+           round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 6) AS zscore,
+           (abs(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END) > 2.0) AS is_anomaly
+    FROM scored WHERE seen = 24
+"""
+
+_EWMA_W = [repr((1.0 - 0.3) ** j) for j in range(8)]
+ORACLES["ewma_smooth"] = f"""
+    WITH counts AS ({_BUCKET_COUNTS_SQL}),
+    lags AS (
+      SELECT name, i_time, n,
+             {", ".join(f"lag(n, {j}) OVER w AS x{j}" for j in range(1, 8))}
+      FROM counts WINDOW w AS (PARTITION BY name ORDER BY i_time)
+    )
+    SELECT name, i_time, n,
+           round((n * {_EWMA_W[0]}
+                  {" ".join(f"+ CASE WHEN x{j} IS NULL THEN 0.0 ELSE {_EWMA_W[j]} * x{j} END" for j in range(1, 8))})
+                 / ({_EWMA_W[0]}
+                  {" ".join(f"+ CASE WHEN x{j} IS NULL THEN 0.0 ELSE {_EWMA_W[j]} END" for j in range(1, 8))}),
+                 6) AS ewma
+    FROM lags
+"""
+
+ORACLES["rolling_distinct_users"] = """
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS d
+      FROM events
+    ),
+    contrib AS (
+      SELECT u, d + off * 86400 AS w_end
+      FROM pairs CROSS JOIN range(0, 7) t(off)
+    )
+    SELECT w_end, count(DISTINCT u) AS n_users
+    FROM contrib
+    WHERE w_end <= (SELECT max(d) FROM pairs)
+    GROUP BY 1
+"""
+
+ORACLES["funnel_conversion"] = """
+    WITH s1 AS (
+      SELECT user_id AS u, min(epoch(ts)) AS t
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, min(epoch(e.ts)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND epoch(e.ts) > s1.t GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, min(epoch(e.ts)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND epoch(e.ts) > s2.t GROUP BY 1
+    ),
+    c AS (
+      SELECT 1 AS stage, 'signup' AS step_name, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT stage, step_name, n_users,
+           round(n_users / first_value(n_users) OVER (
+             ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING), 6) AS conversion
+    FROM c
+"""
+
+ORACLES["tfidf_top_terms"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS dft FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    ranked AS (
+      SELECT doc_id, token, tf, tf * ln(n / dft) AS score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tf * ln(n / dft) DESC, token
+             ) AS rank
+      FROM tf JOIN dfreq USING (token), n
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+           CAST(tf AS BIGINT) AS tf, round(score, 6) AS score
+    FROM ranked WHERE rank <= 3
+"""
+
+ORACLES["bigram_lm_score"] = r"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM words WHERE len(w) >= 2
+    ),
+    grams AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg FROM idx),
+    per_doc AS (SELECT doc_id, bg, count(*) AS m FROM grams GROUP BY 1, 2),
+    corpus AS (SELECT bg, CAST(sum(m) AS BIGINT) AS cbg FROM per_doc GROUP BY 1),
+    ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cbg) AS BIGINT) AS cw1
+      FROM corpus GROUP BY 1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM words)
+    )
+    SELECT p.doc_id, CAST(sum(p.m) AS BIGINT) AS n_bigrams,
+           round(
+             CAST(sum(CAST(p.m * ln((c.cbg + 1) / (x.cw1 + vocab.v)) AS DECIMAL(28,12))) AS DOUBLE)
+             / sum(p.m), 6) AS lm_score
+    FROM per_doc p
+    JOIN corpus c USING (bg)
+    JOIN ctx x ON split_part(p.bg, ' ', 1) = x.w1, vocab
+    GROUP BY 1
+"""
+
+ORACLES["normalize_dedup"] = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, '  ' || upper(text) || ' !!! '
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g'))) AS digest
+      FROM docs
+    )
+    SELECT digest, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM norm GROUP BY 1 HAVING count(*) > 1
+"""
+
+ORACLES["containment_pairs"] = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, substr(text, 1, CAST(floor(length(text) * 0.6) AS INT))
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS n0 FROM docs
+    ),
+    idx AS (
+      SELECT doc_id, n0,
+             unnest(generate_series(1, greatest(length(n0) - 7, 1))) AS i
+      FROM norm
+    ),
+    sh AS (SELECT DISTINCT doc_id, substr(n0, i, 8) AS s FROM idx),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(shared / least(sa.sz, sb.sz), 6) AS containment
+    FROM shared
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE round(shared / least(sa.sz, sb.sz), 6) >= 0.8
 """

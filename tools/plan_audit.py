@@ -51,6 +51,14 @@ AUDITED = [
     "pii_scrub",
     "weighted_sample",
     "binned_quantiles",
+    "anomaly_zscore",
+    "ewma_smooth",
+    "rolling_distinct_users",
+    "funnel_conversion",
+    "tfidf_top_terms",
+    "bigram_lm_score",
+    "normalize_dedup",
+    "containment_pairs",
 ]
 
 CHECKS = {
@@ -99,6 +107,25 @@ CHECKS = {
     # histogram state is bounded (groups × bins) before the shuffle;
     # quantile windows run per group over ≤bins rows; no join anywhere
     "binned_quantiles": ["HashAggregate", "Window", "!Join"],
+    # trend operators: raw events collapse to per-key bucket counts
+    # (partial+final aggregate) BEFORE any window; no join anywhere
+    "anomaly_zscore": ["HashAggregate", "Window", "!Join"],
+    "ewma_smooth": ["HashAggregate", "Window", "!Join"],
+    # distinct pairs first; the window-end cap is a 1-row broadcast
+    # scalar (BroadcastNestedLoopJoin against one row is the intended
+    # shape); a true cartesian over data-sized sides is forbidden
+    "rolling_distinct_users": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # every stage joins per-user aggregates on the user key
+    "funnel_conversion": ["HashAggregate"],
+    # doc-frequency joins on the token key over aggregated sides; corpus
+    # size N broadcast; per-doc rank window over aggregated rows only
+    "tfidf_top_terms": ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+    "bigram_lm_score": ["HashAggregate", "!CartesianProduct"],
+    # digest groups: map-side normalize + one digest shuffle, no join
+    "normalize_dedup": ["HashAggregate", "!Join"],
+    # shingle self-join must be an equality hash/sort-merge join on the
+    # shingle with the id inequality as a filter, never a nested loop
+    "containment_pairs": ["Join", "!NestedLoop"],
 }
 
 
