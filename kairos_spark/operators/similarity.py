@@ -262,3 +262,104 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means over an embedding
+    column, returning (cluster_id, n_vecs, inertia) after ``iters``
+    update steps. The centroid-building block a training pipeline uses
+    for corpus clustering / diversity sampling.
+
+    Everything that affects the result is exact and seed-free so an
+    independent engine reproduces it bit-for-bit:
+    - init: the k vectors with the smallest md5(id) — a deterministic
+      "random" draw;
+    - assignment: nearest centroid by squared L2 with ties to the
+      smaller cluster id, computed per vector as a map-only projection
+      over ONE broadcast packed-centroid array row (array_min over
+      struct(dist, cid) — the same no-corpus-shuffle shape as
+      ivf_topk); distance terms fold left-to-right (F.aggregate),
+      which the oracle mirrors with list_reduce;
+    - update: per-(cluster, dim) means via DECIMAL(38,12) sums, so the
+      reduction is associative (identical across partitionings and
+      engines), reassembled into ordered centroid arrays.
+
+    Scale shape per iteration: k×dim doubles broadcast out, k×dim
+    aggregate rows shuffle back — corpus rows never shuffle, and the
+    per-vector work is one whole-stage-codegen projection. Empty
+    clusters drop out (both engines identically)."""
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
+    seeds = (
+        base.select("__id", "__v", F.md5(F.col("__id").cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(k)
+    )
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("__h")) - 1).cast("long").alias("cid"),
+        F.col("__v").alias("cvec"),
+    )
+
+    def sqdist(cvec: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("__v"), cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        packed = cents_df.select(
+            F.struct(F.col("cid"), F.col("cvec")).alias("c")
+        ).agg(F.array_sort(F.collect_list("c")).alias("__cents"))
+        best = F.array_min(
+            F.transform(
+                F.col("__cents"),
+                lambda c: F.struct(sqdist(c["cvec"]).alias("dist"), c["cid"].alias("cid")),
+            )
+        )
+        return base.join(F.broadcast(packed)).select(
+            "__id", "__v", best["cid"].alias("cid"), best["dist"].alias("dist")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        percell = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,12)")).alias("__s"),
+                F.count("*").alias("__n"),
+            )
+        )
+        cents = (
+            percell.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            (F.col("__s").cast("double") / F.col("__n")).alias("m"),
+                        )
+                    )
+                ).alias("__pm")
+            )
+            .select("cid", F.transform("__pm", lambda x: x["m"]).alias("cvec"))
+        )
+
+    final = assign(cents)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum(F.col("dist").cast("decimal(38,12)")).cast("double"), 6).alias(
+                "inertia"
+            ),
+        )
+        .select(F.col("cid").alias("cluster_id"), "n_vecs", "inertia")
+    )
