@@ -382,10 +382,20 @@ def normalized_text(text: Column) -> Column:
     """Aggressive canonical form for normalization-aware dedup:
     lowercase, strip everything but [a-z0-9] and whitespace, collapse
     whitespace runs, trim. Catches re-cased / re-punctuated /
-    re-wrapped copies that byte-exact digests miss."""
+    re-wrapped copies that byte-exact digests miss.
+
+    The whitespace class is spelled out explicitly (space, tab, LF, FF,
+    CR) instead of ``\\s`` because Java regex counts vertical tab
+    (\\x0B) as whitespace while DuckDB's RE2 does not — a document
+    containing VT would otherwise digest differently in the two
+    engines. VT therefore deliberately falls in the *strip* class on
+    both sides."""
+    ws = " \t\n\f\r"
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+            F.regexp_replace(F.lower(text), f"[^a-z0-9{ws}]", ""),
+            f"[{ws}]+",
+            " ",
         )
     )
 

@@ -154,6 +154,15 @@ def anomaly_zscore(
     (the current bucket excluded so an outlier can't mask itself). Only
     buckets with a FULL trailing window are scored.
 
+    Gap semantics: the window frame runs over NON-EMPTY buckets only.
+    A zero-event hour is simply absent from ``bucket_counts``, so on a
+    sparse key the "previous 24 buckets" can span more than 24 hours of
+    wall-clock — missing hours are skipped, not treated as 0. This is a
+    deliberate choice (gap-filling every key's full span would blow the
+    row count up to |keys| x |hours| regardless of activity); callers
+    that need calendar-dense semantics should left-join a time spine
+    first (see ``timeseries.iterate``'s spine join for the pattern).
+
     Scale shape: buckets pre-aggregate map-side, so the window input is
     |keys| x |buckets| short rows, never raw events; the single window
     pass shuffles once on the key and sorts in-partition. State per key
@@ -199,7 +208,13 @@ def ewma_smooth(
     either sequential state or (1-alpha)^(-i) window tricks that
     overflow doubles for long series. k fixed lag() terms keep the whole
     computation one window pass over pre-aggregated buckets —
-    whole-stage-codegen projections, no recursion, oracle-expressible."""
+    whole-stage-codegen projections, no recursion, oracle-expressible.
+
+    Gap semantics: lags step over NON-EMPTY buckets (same contract as
+    ``anomaly_zscore`` — see its docstring): on a sparse key, lag j is
+    the j-th previous bucket WITH data, not t − j·step. Zero-filling
+    would require a |keys| x |hours| spine; left-join one first if
+    calendar-dense decay is required."""
     counts = bucket_counts(df, key_col, ts_col, step_sec)
     w = Window.partitionBy("name").orderBy("i_time")
     num = F.lit(0.0)

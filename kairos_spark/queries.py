@@ -1463,61 +1463,10 @@ def q_funnel_conversion(spark, sf_dir):
 # the tail is cut again.
 QUERIES = {
     # --- registry order drives the driver's 50-entry correctness budget. ---
-    # Round-3 rotation: the 25 entries the r02 driver run never reached
-    # (it checks exactly the first 50) go first; new round-3 queries are
+    # Round-4 rotation: the 34 entries the r03 driver run never reached
+    # (it checks exactly the first 50) go first; new round-4 queries are
     # inserted ahead of them as they land; the 50 entries that went green
-    # in CORRECTNESS_r02.json rotate to the tail.
-    "kmeans_clusters": q_kmeans_clusters,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "bigram_lm_score": q_bigram_lm_score,
-    "normalize_dedup": q_normalize_dedup,
-    "containment_pairs": q_containment_pairs,
-    "anomaly_zscore": q_anomaly_zscore,
-    "ewma_smooth": q_ewma_smooth,
-    "rolling_distinct_users": q_rolling_distinct_users,
-    "funnel_conversion": q_funnel_conversion,
-    "ts_iterate_full": q_ts_iterate_full,
-    "q1_pricing_summary": q_q1_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "window_top_orders": q_window_top_orders,
-    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
-    "value_percentiles": q_value_percentiles,
-    "json_props_stats": q_json_props_stats,
-    "range_join_user_events": q_range_join_user_events,
-    "rollup_revenue_region": q_rollup_revenue_region,
-    "semi_join_urgent_custs": q_semi_join_urgent_custs,
-    "anti_join_quiet_custs": q_anti_join_quiet_custs,
-    "ts_multires_rollup": q_ts_multires_rollup,
-    "event_sessions": q_event_sessions,
-    "asof_signup_purchase": q_asof_signup_purchase,
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_exact_keep": q_dedup_exact_keep,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_clusters_lsh": q_dedup_clusters_lsh,
-    "training_data_prep": q_training_data_prep,
-    "minhash_first_hashes": q_minhash_first_hashes,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_sample": q_simhash_sample,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "text_stats": q_text_stats,
-    # --- below here: driver-green in CORRECTNESS_r02.json ---
-    "binned_quantiles": q_binned_quantiles,
-    "weighted_sample": q_weighted_sample,
-    "pii_scrub": q_pii_scrub,
-    "quality_scores": q_quality_scores,
-    "lang_id": q_lang_id,
-    "token_topk": q_token_topk,
-    "doc_fingerprint": q_doc_fingerprint,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "label_centroids": q_label_centroids,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embed_near_pairs": q_embed_near_pairs,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "multimodal_features": q_multimodal_features,
-    "frame_sample": q_frame_sample,
-    "sample_split": q_sample_split,
-    "stratified_sample": q_stratified_sample,
+    # in CORRECTNESS_r03.json rotate to the tail.
     "repetition_stats": q_repetition_stats,
     "word_entropy": q_word_entropy,
     "contamination": q_contamination,
@@ -1552,6 +1501,57 @@ QUERIES = {
     "ts_variance_collapse": q_ts_variance_collapse,
     "ts_gauge_join": q_ts_gauge_join,
     "ts_series_condense_order": q_ts_series_condense_order,
+    # --- below here: driver-green in CORRECTNESS_r03.json ---
+    "kmeans_clusters": q_kmeans_clusters,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bigram_lm_score": q_bigram_lm_score,
+    "normalize_dedup": q_normalize_dedup,
+    "containment_pairs": q_containment_pairs,
+    "anomaly_zscore": q_anomaly_zscore,
+    "ewma_smooth": q_ewma_smooth,
+    "rolling_distinct_users": q_rolling_distinct_users,
+    "funnel_conversion": q_funnel_conversion,
+    "ts_iterate_full": q_ts_iterate_full,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "window_top_orders": q_window_top_orders,
+    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
+    "value_percentiles": q_value_percentiles,
+    "json_props_stats": q_json_props_stats,
+    "range_join_user_events": q_range_join_user_events,
+    "rollup_revenue_region": q_rollup_revenue_region,
+    "semi_join_urgent_custs": q_semi_join_urgent_custs,
+    "anti_join_quiet_custs": q_anti_join_quiet_custs,
+    "ts_multires_rollup": q_ts_multires_rollup,
+    "event_sessions": q_event_sessions,
+    "asof_signup_purchase": q_asof_signup_purchase,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "training_data_prep": q_training_data_prep,
+    "minhash_first_hashes": q_minhash_first_hashes,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_sample": q_simhash_sample,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "text_stats": q_text_stats,
+    "binned_quantiles": q_binned_quantiles,
+    "weighted_sample": q_weighted_sample,
+    "pii_scrub": q_pii_scrub,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "token_topk": q_token_topk,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "label_centroids": q_label_centroids,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embed_near_pairs": q_embed_near_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
+    "sample_split": q_sample_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -2562,8 +2562,8 @@ ORACLES["normalize_dedup"] = r"""
     norm AS (
       SELECT doc_id,
              md5(trim(regexp_replace(
-               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-               '\s+', ' ', 'g'))) AS digest
+               regexp_replace(lower(text), '[^a-z0-9 \t\n\f\r]', '', 'g'),
+               '[ \t\n\f\r]+', ' ', 'g'))) AS digest
       FROM docs
     )
     SELECT digest, count(*) AS n_docs, min(doc_id) AS keep_id

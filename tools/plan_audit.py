@@ -59,6 +59,7 @@ AUDITED = [
     "bigram_lm_score",
     "normalize_dedup",
     "containment_pairs",
+    "kmeans_clusters",
 ]
 
 CHECKS = {
@@ -126,6 +127,11 @@ CHECKS = {
     # shingle self-join must be an equality hash/sort-merge join on the
     # shingle with the id inequality as a filter, never a nested loop
     "containment_pairs": ["Join", "!NestedLoop"],
+    # Lloyd iterations: centroid array rides along as a broadcast
+    # (1-row nested-loop is the intended shape); assignment is a
+    # map-only argmin projection — the corpus must never cartesian-join
+    # or hash-shuffle against a |corpus|-sized side
+    "kmeans_clusters": ["BroadcastNestedLoopJoin", "!CartesianProduct", "HashAggregate"],
 }
 
 
