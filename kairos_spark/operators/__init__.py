@@ -6,4 +6,10 @@ builtin pyspark.sql.functions (JVM-side) unless a Pandas UDF is
 genuinely required (vector math, media decode); none collect to the
 driver."""
 
-from kairos_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+from kairos_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    profiling,
+    similarity,
+    text,
+)

@@ -1,0 +1,99 @@
+"""Data-profiling operators: key-distribution diagnostics and count
+pivots.
+
+Neither exists in the reference (kairos profiles nothing; SURVEY.md
+§2.4 lists no grouping-set/reshape operators), but both are standing
+tools for running THIS engine at 100 TB: ``key_distribution`` is how
+you decide whether a join/groupBy key needs salting before you burn a
+cluster-day discovering it, and ``pivot_counts`` is the wide activity
+matrix (bucket × category) that dashboards and feature pipelines read.
+
+Scale shape:
+- key_distribution is two chained hash aggregates — (group, key) then
+  (group) — both with map-side partial aggregation. The first shuffle
+  moves at most |group × key| partial rows; the second moves |group|.
+  Raw rows never shuffle. Entropy/HHI fold per-key probabilities with
+  plain double sums (few-thousand terms per group: association error
+  ~1e-15, far inside the round-6 contract).
+- pivot_counts with an EXPLICIT category list is one hash aggregate —
+  each CASE-sum is a column, so the shuffle carries one row per bucket
+  with |categories| longs. Never call it category-discovering
+  (``df.pivot(col)`` without values) at scale: that adds a blocking
+  distinct scan before the plan can even be built.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def key_distribution(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-group key-skew diagnostics: row count, distinct keys, the
+    hottest key's share, Shannon entropy (nats) of the key
+    distribution, and the Herfindahl–Hirschman concentration index.
+
+    Reading it: top_share near 1 or HHI near 1 ⇒ one key dominates —
+    a groupBy/join on this key will bottleneck on one task (salt it,
+    or let AQE skew-join split it); entropy near ln(n_keys) ⇒ uniform,
+    shuffle-safe.
+    """
+    per_key = df.groupBy(group_col, key_col).agg(F.count("*").alias("__c"))
+    # Aggregate in one pass: Σc, max c, count keys, Σ c·ln c. With
+    # p_i = c_i/N:  entropy = ln N − Σ c·ln c / N;  HHI = Σ c² / N².
+    # This avoids a second window/join to get N before the fold.
+    return (
+        per_key.groupBy(group_col)
+        .agg(
+            F.sum("__c").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("__c").alias("top_key_n"),
+            F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clnc"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__c2"),
+        )
+        .select(
+            F.col(group_col).alias("name"),
+            "n_rows",
+            "n_keys",
+            F.round(F.col("top_key_n") / F.col("n_rows"), 6).alias("top_share"),
+            F.round(
+                F.log(F.col("n_rows")) - F.col("__clnc") / F.col("n_rows"), 6
+            ).alias("entropy"),
+            F.round(F.col("__c2") / (F.col("n_rows") * F.col("n_rows")), 6).alias(
+                "hhi"
+            ),
+        )
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    category_col: str = "event_type",
+    categories: list[str] | None = None,
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+    prefix: str = "n_",
+) -> DataFrame:
+    """Bucket × category count matrix: one row per time bucket, one
+    ``{prefix}{category}`` column per category, values = event counts
+    (0-filled). The long→wide reshape every activity dashboard wants.
+
+    ``categories`` MUST be passed at scale: an explicit list makes this
+    a single aggregate of CASE-sums with a statically-known schema. If
+    omitted, the list is discovered with a distinct scan first —
+    correct, but adds a blocking job (and an unstable schema), so the
+    discovering form is for exploration only.
+    """
+    if categories is None:
+        categories = [
+            r[0] for r in df.select(category_col).distinct().orderBy(category_col).collect()
+        ]
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long") * step_sec
+    aggs = [
+        F.sum(F.when(F.col(category_col) == c, 1).otherwise(0)).alias(f"{prefix}{c}")
+        for c in categories
+    ]
+    return df.groupBy(bucket.alias("i_time")).agg(*aggs)

@@ -357,3 +357,124 @@ def cohort_retention(
         per.join(F.broadcast(sizes), "cohort")
         .withColumn("retention", F.round(F.col("n_active") / F.col("cohort_size"), 6))
     )
+
+
+def session_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_sec: float = 1800.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Markov-style transition counts between consecutive event types
+    WITHIN a session: (from_type, to_type, n_transitions, share), where
+    share is the fraction of from_type's outgoing transitions — the raw
+    material for next-action prediction and funnel discovery.
+
+    Scale shape: sessionize already shuffles once on the key; the
+    lead() window reuses the same (key, ts) sort so Catalyst plans ONE
+    Exchange + Sort for both passes. The pair aggregation then moves
+    only (from, to, partial count) rows — at most |types|² per
+    partition after map-side combine, regardless of event volume. The
+    share window runs over |types|² rows on a single tiny partition.
+    """
+    order = [ts_col] + ([order_col] if order_col else [])
+    s = sessionize(df, key_col, ts_col, gap_sec, order_col)
+    w = Window.partitionBy(key_col, "session_id").orderBy(*order)
+    pairs = (
+        s.withColumn("__next", F.lead(type_col).over(w))
+        .where(F.col("__next").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), F.col("__next").alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    out_w = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "share",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(out_w), 6),
+    )
+
+
+def merged_activity_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    pad_sec: int = 300,
+) -> DataFrame:
+    """Interval union per key: pad each event to [ts−pad, ts+pad],
+    merge every overlapping/touching interval (classic
+    interval-scheduling islands), and summarize per key:
+    (key, n_intervals, covered_sec, longest_sec). "How much wall-clock
+    was this entity actually active, counting each moment once?" —
+    billing/abuse/engagement math that naive sum-of-durations
+    double-counts.
+
+    Scale shape: one shuffle on the key, then two window passes over
+    the SAME (key, start) sort (running-max end, then island cumsum) —
+    a single Exchange+Sort in the plan. The per-(key, island) and
+    per-key aggregates reuse that partitioning. Row count never
+    exceeds the event count; no joins, no explode.
+    """
+    secs = F.col(ts_col).cast("double")
+    iv = df.select(
+        F.col(key_col),
+        (secs - pad_sec).alias("__s"),
+        (secs + pad_sec).alias("__e"),
+    )
+    order = Window.partitionBy(key_col).orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "__new", F.when(prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1).otherwise(0)
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__new").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = islands.groupBy(key_col, "__island").agg(
+        F.min("__s").alias("__is"), F.max("__e").alias("__ie")
+    )
+    return merged.groupBy(key_col).agg(
+        F.count("*").alias("n_intervals"),
+        F.round(F.sum(F.col("__ie") - F.col("__is")), 6).alias("covered_sec"),
+        F.round(F.max(F.col("__ie") - F.col("__is")), 6).alias("longest_sec"),
+    )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+    period: int = 24,
+) -> DataFrame:
+    """Seasonal-naive baseline and deviation: each (key, bucket) count
+    is compared to the key's average count for the SAME slot-of-period
+    (hour-of-day for step=1h, period=24). Output: (name, i_time, n,
+    slot, baseline, ratio) — "is this hour's traffic unusual *for this
+    hour of the day*", the first question seasonality-aware alerting
+    asks (a plain trailing z-score flags every morning ramp-up).
+
+    Baselines average over NON-EMPTY buckets only (same gap contract
+    as anomaly_zscore — see its docstring).
+
+    Scale shape: raw events collapse to per-(key, bucket) counts with
+    map-side partial aggregation first; the baseline aggregate runs
+    over those short rows and produces ≤ |keys| × period rows, which
+    broadcast back onto the counts — no second shuffle of the data."""
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    slot = ((F.col("i_time") / step_sec).cast("long") % period).alias("slot")
+    counts = counts.withColumn("slot", slot)
+    base = counts.groupBy("name", "slot").agg(F.avg("n").alias("__b"))
+    return (
+        counts.join(F.broadcast(base), ["name", "slot"])
+        .select(
+            "name",
+            "i_time",
+            "n",
+            "slot",
+            F.round(F.col("__b"), 6).alias("baseline"),
+            F.round(F.col("n") / F.col("__b"), 6).alias("ratio"),
+        )
+    )

@@ -26,6 +26,7 @@ from kairos_spark.operators import (
     joins,
     multimodal,
     pii,
+    profiling,
     sampling,
     similarity,
     sketches,
@@ -1457,6 +1458,39 @@ def q_funnel_conversion(spark, sf_dir):
     return windows.funnel(ev, ["signup", "click", "purchase"])
 
 
+def q_session_transitions(spark, sf_dir):
+    """Within-session event-type transition matrix (30-min gap)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.session_transitions(ev, gap_sec=1800.0, order_col="event_id")
+
+
+def q_interval_coverage(spark, sf_dir):
+    """Per-user merged activity intervals (±300 s padding)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.merged_activity_intervals(ev, pad_sec=300)
+
+
+def q_seasonal_baseline(spark, sf_dir):
+    """Hour-of-day seasonal baseline and per-bucket deviation ratio."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.seasonal_baseline(ev, step_sec=3600, period=24)
+
+
+def q_key_skew_stats(spark, sf_dir):
+    """Per-event-type user-key skew diagnostics (top share, entropy, HHI)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.key_distribution(ev, "event_type", "user_id")
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark, sf_dir):
+    """Hourly bucket × event-type count matrix (explicit category list)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.pivot_counts(ev, "event_type", EVENT_TYPES, step_sec=3600)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -1467,6 +1501,11 @@ QUERIES = {
     # (it checks exactly the first 50) go first; new round-4 queries are
     # inserted ahead of them as they land; the 50 entries that went green
     # in CORRECTNESS_r03.json rotate to the tail.
+    "session_transitions": q_session_transitions,
+    "interval_coverage": q_interval_coverage,
+    "seasonal_baseline": q_seasonal_baseline,
+    "key_skew_stats": q_key_skew_stats,
+    "event_pivot": q_event_pivot,
     "repetition_stats": q_repetition_stats,
     "word_entropy": q_word_entropy,
     "contamination": q_contamination,
@@ -2667,4 +2706,105 @@ ORACLES["kmeans_clusters"] = f"""
     SELECT cid AS cluster_id, count(*) AS n_vecs,
            round(CAST(sum(CAST(dist AS DECIMAL(38,12))) AS DOUBLE), 6) AS inertia
     FROM a3 GROUP BY 1
+"""
+
+
+# --- round-4 event-profiling oracles ---
+
+ORACLES["session_transitions"] = """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, epoch(ts) AS t,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, t,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    ),
+    pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id, session_id
+                                    ORDER BY t, event_id) AS to_type
+      FROM sess
+    ),
+    cnt AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions * 1.0
+                 / sum(n_transitions) OVER (PARTITION BY from_type), 6) AS share
+    FROM cnt
+"""
+
+ORACLES["interval_coverage"] = """
+    WITH iv AS (
+      SELECT user_id, epoch(ts) - 300 AS s, epoch(ts) + 300 AS e FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+                  THEN 1 ELSE 0 END AS new_i
+      FROM iv
+      WINDOW pw AS (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(new_i) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_intervals,
+           round(sum(i_e - i_s), 6) AS covered_sec,
+           round(max(i_e - i_s), 6) AS longest_sec
+    FROM merged GROUP BY 1
+"""
+
+ORACLES["seasonal_baseline"] = f"""
+    WITH counts AS ({_BUCKET_COUNTS_SQL}),
+    slotted AS (
+      SELECT name, i_time, n,
+             CAST(floor(i_time / 3600.0) AS BIGINT) % 24 AS slot
+      FROM counts
+    ),
+    base AS (SELECT name, slot, avg(n) AS b FROM slotted GROUP BY 1, 2)
+    SELECT s.name, s.i_time, s.n, s.slot,
+           round(b, 6) AS baseline,
+           round(s.n / b, 6) AS ratio
+    FROM slotted s JOIN base USING (name, slot)
+"""
+
+ORACLES["key_skew_stats"] = """
+    WITH pk AS (
+      SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2
+    )
+    SELECT event_type AS name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           round(max(c) * 1.0 / sum(c), 6) AS top_share,
+           round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+           round(sum(c * c) * 1.0 / (sum(c) * sum(c)), 6) AS hhi
+    FROM pk GROUP BY 1
+"""
+
+ORACLES["event_pivot"] = """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS i_time,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY 1
 """

@@ -1,0 +1,184 @@
+"""Unit tests for the round-4 event-profiling operators:
+session transitions, merged activity intervals, seasonal baseline,
+key-skew diagnostics, pivot counts."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+
+from kairos_spark.operators import profiling, windows
+
+UTC = dt.timezone.utc
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, tzinfo=UTC)
+
+
+def _h(hour, day=1):
+    return dt.datetime(2024, 1, day, hour, 0, tzinfo=UTC)
+
+
+# --- session_transitions ---
+
+
+def test_session_transitions_counts_within_session(spark):
+    # one user, one session: a -> b -> a; plus a second session (b -> a)
+    # after a 2-hour gap — the cross-gap pair (a -> b) must NOT count
+    rows = [
+        Row(user_id=1, event_id=1, event_type="a", ts=_t(0)),
+        Row(user_id=1, event_id=2, event_type="b", ts=_t(1)),
+        Row(user_id=1, event_id=3, event_type="a", ts=_t(2)),
+        Row(user_id=1, event_id=4, event_type="b", ts=_h(3)),
+        Row(user_id=1, event_id=5, event_type="a", ts=_h(3) + dt.timedelta(minutes=1)),
+    ]
+    out = windows.session_transitions(
+        spark.createDataFrame(rows), gap_sec=1800.0, order_col="event_id"
+    ).collect()
+    got = {(r.from_type, r.to_type): r.n_transitions for r in out}
+    assert got == {("a", "b"): 1, ("b", "a"): 2}
+    shares = {(r.from_type, r.to_type): r.share for r in out}
+    assert shares[("a", "b")] == 1.0 and shares[("b", "a")] == 1.0
+
+
+def test_session_transitions_tie_broken_by_order_col(spark):
+    # two events at the same timestamp: event_id decides the direction
+    rows = [
+        Row(user_id=1, event_id=2, event_type="late", ts=_t(0)),
+        Row(user_id=1, event_id=1, event_type="early", ts=_t(0)),
+    ]
+    out = windows.session_transitions(
+        spark.createDataFrame(rows), gap_sec=60.0, order_col="event_id"
+    ).collect()
+    assert [(r.from_type, r.to_type) for r in out] == [("early", "late")]
+
+
+# --- merged_activity_intervals ---
+
+
+def test_merged_intervals_overlap_and_islands(spark):
+    # events at 0s and 400s with ±300s pad: [-300,300] and [100,700]
+    # overlap into one island [-300,700]; an event at 2000s is its own
+    # island [1700,2300]
+    rows = [
+        Row(user_id=1, ts=_t(0, 0)),
+        Row(user_id=1, ts=_t(6, 40)),
+        Row(user_id=1, ts=_t(33, 20)),
+    ]
+    out = windows.merged_activity_intervals(
+        spark.createDataFrame(rows), pad_sec=300
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_intervals == 2
+    assert r.covered_sec == 1000.0 + 600.0
+    assert r.longest_sec == 1000.0
+
+
+def test_merged_intervals_touching_intervals_merge(spark):
+    # ends exactly touching (gap == 2*pad): NOT s > prev_end, so merge
+    rows = [Row(user_id=1, ts=_t(0)), Row(user_id=1, ts=_t(10))]
+    out = windows.merged_activity_intervals(
+        spark.createDataFrame(rows), pad_sec=300
+    ).collect()
+    assert out[0].n_intervals == 1
+    assert out[0].covered_sec == 1200.0
+
+
+def test_merged_intervals_per_key_isolation(spark):
+    rows = [Row(user_id=1, ts=_t(0)), Row(user_id=2, ts=_t(1))]
+    out = {
+        r.user_id: r
+        for r in windows.merged_activity_intervals(
+            spark.createDataFrame(rows), pad_sec=60
+        ).collect()
+    }
+    assert out[1].n_intervals == 1 and out[2].n_intervals == 1
+    assert out[1].covered_sec == 120.0
+
+
+# --- seasonal_baseline ---
+
+
+def test_seasonal_baseline_same_hour_of_day(spark):
+    # hour 5 on two days: 2 and 4 events -> baseline 3.0, ratios 2/3, 4/3
+    rows = [Row(event_type="a", ts=_h(5, day=1))] * 2
+    rows += [Row(event_type="a", ts=_h(5, day=2))] * 4
+    out = windows.seasonal_baseline(
+        spark.createDataFrame(rows), step_sec=3600, period=24
+    ).collect()
+    assert {r.slot for r in out} == {5}
+    by_n = {r.n: r for r in out}
+    assert by_n[2].baseline == 3.0 and by_n[2].ratio == round(2 / 3, 6)
+    assert by_n[4].ratio == round(4 / 3, 6)
+
+
+def test_seasonal_baseline_slots_are_independent(spark):
+    rows = [Row(event_type="a", ts=_h(5))] * 2 + [Row(event_type="a", ts=_h(6))] * 8
+    out = {
+        r.slot: r
+        for r in windows.seasonal_baseline(
+            spark.createDataFrame(rows), step_sec=3600, period=24
+        ).collect()
+    }
+    assert out[5].ratio == 1.0 and out[6].ratio == 1.0
+    assert out[5].baseline == 2.0 and out[6].baseline == 8.0
+
+
+# --- key_distribution ---
+
+
+def test_key_distribution_uniform_vs_skewed(spark):
+    rows = [Row(g="uniform", k=i) for i in range(4)]
+    rows += [Row(g="skewed", k=0)] * 9 + [Row(g="skewed", k=1)]
+    out = {
+        r.name: r
+        for r in profiling.key_distribution(
+            spark.createDataFrame(rows), "g", "k"
+        ).collect()
+    }
+    u, s = out["uniform"], out["skewed"]
+    assert u.n_rows == 4 and u.n_keys == 4
+    assert u.top_share == 0.25 and u.hhi == 0.25
+    assert u.entropy == round(math.log(4), 6)
+    assert s.n_rows == 10 and s.n_keys == 2
+    assert s.top_share == 0.9
+    assert s.hhi == round(0.81 + 0.01, 6)
+    expect = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert abs(s.entropy - expect) < 1e-6
+
+
+def test_key_distribution_single_key_degenerate(spark):
+    rows = [Row(g="one", k=7)] * 5
+    r = profiling.key_distribution(spark.createDataFrame(rows), "g", "k").collect()[0]
+    assert r.top_share == 1.0 and r.entropy == 0.0 and r.hhi == 1.0
+
+
+# --- pivot_counts ---
+
+
+def test_pivot_counts_explicit_categories_zero_fill(spark):
+    rows = [
+        Row(event_type="a", ts=_h(0)),
+        Row(event_type="a", ts=_h(0)),
+        Row(event_type="b", ts=_h(1)),
+    ]
+    out = {
+        r.i_time: r
+        for r in profiling.pivot_counts(
+            spark.createDataFrame(rows), "event_type", ["a", "b", "c"], step_sec=3600
+        ).collect()
+    }
+    h0, h1 = int(_h(0).timestamp()), int(_h(1).timestamp())
+    assert (out[h0].n_a, out[h0].n_b, out[h0].n_c) == (2, 0, 0)
+    assert (out[h1].n_a, out[h1].n_b, out[h1].n_c) == (0, 1, 0)
+
+
+def test_pivot_counts_discovering_mode_matches_explicit(spark):
+    rows = [Row(event_type="x", ts=_h(0)), Row(event_type="y", ts=_h(0))]
+    df = spark.createDataFrame(rows)
+    auto = profiling.pivot_counts(df, "event_type", None, step_sec=3600)
+    assert set(auto.columns) == {"i_time", "n_x", "n_y"}
+    r = auto.collect()[0]
+    assert r.n_x == 1 and r.n_y == 1

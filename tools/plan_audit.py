@@ -60,6 +60,11 @@ AUDITED = [
     "normalize_dedup",
     "containment_pairs",
     "kmeans_clusters",
+    "session_transitions",
+    "interval_coverage",
+    "seasonal_baseline",
+    "key_skew_stats",
+    "event_pivot",
 ]
 
 CHECKS = {
@@ -132,6 +137,20 @@ CHECKS = {
     # map-only argmin projection — the corpus must never cartesian-join
     # or hash-shuffle against a |corpus|-sized side
     "kmeans_clusters": ["BroadcastNestedLoopJoin", "!CartesianProduct", "HashAggregate"],
+    # sessionize + lead share ONE (user) Exchange+Sort; pair counts are
+    # a partial+final aggregate; the share window runs over |types|²
+    # aggregated rows — no join anywhere
+    "session_transitions": ["Window", "HashAggregate", "!Join"],
+    # island flag + island cumsum share one (user, start) sort; both
+    # summaries reuse the key partitioning — no join, no explode
+    "interval_coverage": ["Window", "HashAggregate", "!Join"],
+    # per-slot baselines (≤ |keys|×24 rows) broadcast back onto counts
+    "seasonal_baseline": ["HashAggregate", "BroadcastHashJoin"],
+    # two chained aggregates, raw rows shuffle once at most — no join
+    "key_skew_stats": ["HashAggregate", "!Join"],
+    # explicit category list ⇒ single CASE-sum aggregate: no Expand
+    # (grouping-sets machinery) and no join
+    "event_pivot": ["HashAggregate", "!Expand", "!Join"],
 }
 
 
