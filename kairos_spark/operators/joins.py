@@ -92,3 +92,111 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Rows of ``left`` with no match in ``right`` (NOT EXISTS)."""
     return left.join(right, on=on, how="left_anti")
+
+
+def bloom_filter_stats(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Deterministic Bloom-filter pre-join: build an m-bit filter over
+    ``build``'s keys, probe it with ``probe``'s keys, and report the
+    quality of the filter against the exact semi-join in one summary
+    row: (n_build, n_probe, n_candidates, n_true, n_false_pos,
+    fp_rate).
+
+    This is the runtime-filter pattern a distributed engine uses to
+    cut a big-probe/small-build join's shuffle: the filter is ≤
+    m_bits/32 long words (16 KiB here) — broadcastable no matter how
+    large the build side's ROW count is — and every probe row that
+    fails it never enters the exchange. Spark's own Bloom runtime
+    filter (spark.sql.optimizer.runtime.bloomFilter.enabled) applies
+    the same idea planner-side; this operator makes it explicit,
+    deterministic (md5 bit positions, seed-free), and measurable
+    (fp_rate tells you whether m/k were sized right for |build|).
+
+    Scale shape: build keys distinct → k map-side bit positions →
+    bit_or aggregate to ≤ m/32 words (bounded state, mergeable like
+    any sketch). Probe keys distinct → k probes joined against the
+    BROADCAST word table → bool_and over the k hits. The exact
+    semi-join runs only to score the filter; a production pipeline
+    replaces it with the real join over survivors."""
+    words = m_bits // 32
+
+    def probes_of(df: DataFrame, key: str) -> DataFrame:
+        js = F.array(*[F.lit(j) for j in range(k_hashes)])
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("__j").cast("string"), F.lit(":"),
+                                   F.col("__k").cast("string"))),
+                    1,
+                    11,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        return (
+            df.select(F.col(key).alias("__k")).distinct()
+            .select("__k", F.explode(js).alias("__j"))
+            .select("__k", "__j", pos.alias("__pos"))
+            .select(
+                "__k",
+                (F.col("__pos") / 32).cast("long").alias("__w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").alias(
+                    "__mask"
+                ),
+            )
+        )
+
+    bloom = (
+        probes_of(build, build_key)
+        .groupBy("__w")
+        .agg(F.bit_or("__mask").alias("__bits"))
+    )
+    hits = (
+        probes_of(probe, probe_key)
+        .join(F.broadcast(bloom), "__w", "left")
+        .select(
+            "__k",
+            ((F.coalesce(F.col("__bits"), F.lit(0)).bitwiseAND(F.col("__mask"))) != 0).alias(
+                "__hit"
+            ),
+        )
+        .groupBy("__k")
+        .agg(F.bool_and("__hit").alias("__cand"))
+    )
+    truth = (
+        probe.select(F.col(probe_key).alias("__k")).distinct()
+        .join(
+            build.select(F.col(build_key).alias("__k")).distinct(),
+            "__k",
+            "left_semi",
+        )
+        .select(F.count("*").alias("n_true"))
+    )
+    n_build = (
+        build.select(build_key).distinct().select(F.count("*").alias("n_build"))
+    )
+    cand = hits.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.col("__cand").cast("long")).cast("long").alias("n_candidates"),
+    )
+    out = cand.crossJoin(F.broadcast(truth)).crossJoin(F.broadcast(n_build))
+    return out.select(
+        "n_build",
+        "n_probe",
+        "n_candidates",
+        "n_true",
+        (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
+        F.round(
+            (F.col("n_candidates") - F.col("n_true"))
+            / F.greatest(F.col("n_probe") - F.col("n_true"), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -160,3 +160,61 @@ def binned_quantiles(
             F.col("total").cast("long").alias("n"),
         )
     )
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame,
+    term_col: str = "term",
+    top_k: int = 20,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-``top_k``
+    terms, next to their true counts: (term, exact_n, est_n, overcount).
+    The CMS is the mergeable bounded-state structure a streaming /
+    federated pipeline keeps instead of a full term-count table; this
+    operator builds it AND quantifies its overcount against ground
+    truth in one query, which is exactly how you size (d, w) for a
+    corpus.
+
+    Sketch: d=4 rows × w=1024 counters; row j hashes a term to bucket
+    md5("j:" || term) % w (seed-free md5 family, engine-reproducible);
+    estimate = min over rows of the bucket counter — ≥ the true count
+    always, with collision overcount bounded by 2N/w at 1−(1/2)^d
+    confidence (Cormode & Muthukrishnan 2005).
+
+    Scale shape: counters aggregate with map-side combine to ≤ d×w
+    rows TOTAL regardless of corpus size — that is the whole point of
+    the sketch; the d×w table then broadcast-joins against the top-k
+    probes (top_k × d rows). The only unbounded aggregate is the exact
+    side used for ground truth, which a production pipeline omits."""
+    js = F.array(*[F.lit(j) for j in range(d)])
+    term = F.col(term_col)
+
+    def bucket(jcol: Column, tcol: Column) -> Column:
+        return _md5_long(F.concat(jcol.cast("string"), F.lit(":"), tcol)) % w
+
+    exact = tokens.groupBy(term.alias("term")).agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("term")).limit(top_k)
+
+    counters = (
+        tokens.select(term.alias("__t"), F.explode(js).alias("__j"))
+        .groupBy(
+            F.col("__j"), bucket(F.col("__j"), F.col("__t")).alias("__bkt")
+        )
+        .agg(F.count("*").alias("__c"))
+    )
+    probes = top.select(
+        "term", "exact_n", F.explode(js).alias("__j")
+    ).withColumn("__bkt", bucket(F.col("__j"), F.col("term")))
+    est = (
+        counters.join(F.broadcast(probes), ["__j", "__bkt"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("__c").alias("est_n"))
+    )
+    return est.select(
+        "term",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )

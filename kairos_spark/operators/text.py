@@ -407,3 +407,85 @@ def bigram_lm_score(
             ).alias("lm_score"),
         )
     )
+
+
+def chunk_words(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 24,
+    stride: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size word windows with overlap
+    (size−stride words shared between neighbors) — the
+    context-window packing step of a training pipeline. Output one row
+    per (doc, chunk): (doc_id, chunk_idx, n_words, digest) with digest
+    = md5 of the space-joined chunk, so downstream chunk-level dedup is
+    a plain digest groupBy.
+
+    Chunk count = 1 if the doc fits in one window, else
+    ceil((n_words − size)/stride) + 1 — the last window is the only
+    short one and always contains the document tail.
+
+    Scale shape: entirely map-side — tokenize, build the chunk index
+    array with sequence(), and explode; no shuffle at all (the plan is
+    Scan → Project → Generate). Output rows ≈ n_words/stride per doc,
+    a ~size/stride× byte amplification the caller pays knowingly."""
+    words = word_tokens(F.col(text_col))
+    n_words = F.size(words)
+    n_chunks = F.when(n_words <= size, F.lit(1)).otherwise(
+        F.ceil((n_words - F.lit(size)) / F.lit(float(stride))) + 1
+    )
+    idx = F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+    piece = F.slice(F.col("__ws"), F.col("chunk_idx").cast("int") * stride + 1, size)
+    return (
+        df.select(F.col(id_col), words.alias("__ws"), F.explode(idx).alias("chunk_idx"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.size(piece).alias("n_words"),
+            F.md5(F.concat_ws(" ", piece)).alias("digest"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+    k: int = 5,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Posting-list heads: for every term with document frequency ≥
+    ``min_df``, the exact doc frequency and the first ``k`` doc ids in
+    ascending order (comma-joined) — the retrieval-index building
+    block, and the exact answer an index probe would serve.
+
+    Scale shape: the naive form (collect_list of ALL postings per term)
+    explodes on stop words — a hot term's posting list is the whole
+    corpus. Instead the min-k merge is two-phase: stage 1 groups by
+    (term, doc_id % n_salt) and keeps only each salt's k smallest ids +
+    a partial count (bounded state k per group, map-side combined);
+    stage 2 merges n_salt partial lists per term (≤ n_salt·k ids) and
+    sums the counts. No task ever materializes an unbounded postings
+    array — the same mergeable-summary shape as sketches.py."""
+    pairs = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    ).distinct()
+    p1 = pairs.groupBy("term", (F.col("__d") % n_salt).alias("__s")).agg(
+        F.slice(F.sort_array(F.collect_list("__d")), 1, k).alias("__part"),
+        F.count("*").alias("__c"),
+    )
+    p2 = p1.groupBy("term").agg(
+        F.sum("__c").cast("long").alias("doc_freq"),
+        F.slice(F.sort_array(F.flatten(F.collect_list("__part"))), 1, k).alias("__top"),
+    )
+    return p2.where(F.col("doc_freq") >= min_df).select(
+        "term",
+        "doc_freq",
+        F.concat_ws(
+            ",", F.transform(F.col("__top"), lambda x: x.cast("string"))
+        ).alias("top_postings"),
+    )

@@ -1485,6 +1485,40 @@ def q_key_skew_stats(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch estimates vs exact counts for the top-20 terms.
+
+    w=16 is deliberately undersized for the 31-term synthetic vocabulary
+    so bucket collisions actually occur and the overcount column
+    exercises the estimator (w=1024 would be collision-free here)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(text.word_tokens(F.col("text"))).alias("term"))
+    return sketches.cms_heavy_hitters(tok, "term", top_k=20, d=4, w=16)
+
+
+def q_bloom_filter_join(spark, sf_dir):
+    """Bloom pre-join of customers against urgent-order custkeys: filter
+    quality (candidates / true matches / fp rate) in one summary row."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    return joins.bloom_filter_stats(
+        urgent, c, "o_custkey", "c_custkey", m_bits=16384, k_hashes=3
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping 24-word chunk windows (stride 16) with per-chunk digests."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.chunk_words(docs, size=24, stride=16)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Posting-list heads: doc frequency + first-5 postings per term (df >= 10)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.inverted_index(docs, min_df=10, k=5)
+
+
 def q_event_pivot(spark, sf_dir):
     """Hourly bucket × event-type count matrix (explicit category list)."""
     ev = _tbl(spark, sf_dir, "events")
@@ -1502,6 +1536,10 @@ QUERIES = {
     # inserted ahead of them as they land; the 50 entries that went green
     # in CORRECTNESS_r03.json rotate to the tail.
     "session_transitions": q_session_transitions,
+    "doc_chunks": q_doc_chunks,
+    "inverted_index": q_inverted_index,
+    "heavy_hitters": q_heavy_hitters,
+    "bloom_filter_join": q_bloom_filter_join,
     "interval_coverage": q_interval_coverage,
     "seasonal_baseline": q_seasonal_baseline,
     "key_skew_stats": q_key_skew_stats,
@@ -2807,4 +2845,107 @@ ORACLES["event_pivot"] = """
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
     FROM events GROUP BY 1
+"""
+
+ORACLES["doc_chunks"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) <= 24 THEN 1
+                  ELSE CAST(ceil((len(ws) - 24) / 16.0) AS BIGINT) + 1 END AS nc
+      FROM w
+    ),
+    x AS (
+      SELECT doc_id, ws, unnest(range(0, nc)) AS i FROM m
+    )
+    SELECT doc_id, i AS chunk_idx,
+           len(ws[(i*16+1):(i*16+24)]) AS n_words,
+           md5(array_to_string(ws[(i*16+1):(i*16+24)], ' ')) AS digest
+    FROM x
+"""
+
+ORACLES["inverted_index"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    pairs AS (SELECT DISTINCT doc_id, term FROM tok)
+    SELECT term, count(*) AS doc_freq,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',') AS top_postings
+    FROM pairs GROUP BY 1 HAVING count(*) >= 10
+"""
+
+ORACLES["heavy_hitters"] = r"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    exact AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY 1),
+    top AS (SELECT term, exact_n FROM exact ORDER BY exact_n DESC, term LIMIT 20),
+    js AS (SELECT unnest(range(0, 4)) AS j),
+    counters AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 11))::BIGINT % 16 AS bkt,
+             count(*) AS c
+      FROM tok CROSS JOIN js GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT term, exact_n, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 11))::BIGINT % 16 AS bkt
+      FROM top CROSS JOIN js
+    ),
+    est AS (
+      SELECT p.term, p.exact_n, min(c.c) AS est_n
+      FROM probes p JOIN counters c ON p.j = c.j AND p.bkt = c.bkt
+      GROUP BY 1, 2
+    )
+    SELECT term, exact_n, CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - exact_n AS BIGINT) AS overcount
+    FROM est
+"""
+
+ORACLES["bloom_filter_join"] = """
+    WITH bkeys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    pkeys AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    js AS (SELECT unnest(range(0, 3)) AS j),
+    bpos AS (
+      SELECT k, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 11))::BIGINT % 16384 AS pos
+      FROM bkeys CROSS JOIN js
+    ),
+    bloom AS (
+      SELECT pos // 32 AS w,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    ppos AS (
+      SELECT k, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 11))::BIGINT % 16384 AS pos
+      FROM pkeys CROSS JOIN js
+    ),
+    hits AS (
+      SELECT p.k,
+             bool_and((coalesce(b.bits, 0) & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0) AS cand
+      FROM (SELECT k, pos, pos // 32 AS w FROM ppos) p
+      LEFT JOIN bloom b ON p.w = b.w
+      GROUP BY 1
+    ),
+    truth AS (
+      SELECT count(*) AS n_true FROM pkeys WHERE k IN (SELECT k FROM bkeys)
+    ),
+    nb AS (SELECT count(*) AS n_build FROM bkeys),
+    cand AS (
+      SELECT count(*) AS n_probe,
+             CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+      FROM hits
+    )
+    SELECT n_build, n_probe, n_candidates, n_true,
+           CAST(n_candidates - n_true AS BIGINT) AS n_false_pos,
+           round((n_candidates - n_true) * 1.0 / greatest(n_probe - n_true, 1), 6) AS fp_rate
+    FROM cand, truth, nb
 """

@@ -65,6 +65,10 @@ AUDITED = [
     "seasonal_baseline",
     "key_skew_stats",
     "event_pivot",
+    "doc_chunks",
+    "inverted_index",
+    "heavy_hitters",
+    "bloom_filter_join",
 ]
 
 CHECKS = {
@@ -151,6 +155,21 @@ CHECKS = {
     # explicit category list ⇒ single CASE-sum aggregate: no Expand
     # (grouping-sets machinery) and no join
     "event_pivot": ["HashAggregate", "!Expand", "!Join"],
+    # chunking is map-only: tokenize → sequence → Generate; the only
+    # allowed exchange is _tbl's roundrobin split of the one-file
+    # corpus — never a hash shuffle, never a join
+    "doc_chunks": ["Generate", "!Exchange hashpartitioning", "!Join"],
+    # two-phase salted min-k merge: chained aggregates only — the
+    # naive single collect_list(all postings) would need no salt but
+    # unbounded state; no window, no join
+    "inverted_index": ["HashAggregate", "!Window", "!Join"],
+    # counters collapse to ≤ d×w rows (partial+final agg); probes
+    # broadcast; exact top-k must be TakeOrderedAndProject (partition
+    # heaps), never a global sort
+    "heavy_hitters": ["HashAggregate", "BroadcastHashJoin", "TakeOrderedAndProject"],
+    # the bloom word table must BROADCAST to the probe side (that is
+    # the entire point of the operator); truth check is a semi join
+    "bloom_filter_join": ["BroadcastHashJoin", "LeftSemi", "!SortMergeJoin"],
 }
 
 
