@@ -1,0 +1,91 @@
+"""Iterative graph operators beyond connected components (which lives
+in dedup.py as the duplicate-cluster labeler): fixed-iteration
+weighted PageRank.
+
+The reference has no graph operators at all; a training-data pipeline
+meets them constantly — ranking crawl hosts by link authority,
+weighting event-type transition graphs, scoring documents by citation
+structure. PageRank is the canonical one, and its Spark shape is the
+canonical iterative-join pattern (the same loop GraphX/Pregel run):
+
+Scale shape per iteration:
+- ranks live as one (node, rank) DataFrame — |V| rows;
+- contributions are one edges ⋈ ranks hash join on the source key +
+  one partial-aggregated groupBy on the destination key: the only
+  data-sized shuffles, both on short rows;
+- the dangling-rank mass and |V| are 1-row aggregates broadcast back
+  (BroadcastNestedLoopJoin against one row — never a data-sized
+  cartesian);
+- lineage grows linearly with iterations, so long runs should
+  localCheckpoint every few rounds exactly like
+  dedup.connected_components does (fixed small iteration counts, as
+  used here, don't need it).
+
+Determinism: given deterministic edges, every step is plain
+arithmetic — no seeds, no sampling — so a SQL engine reproduces the
+trajectory exactly (the oracle unrolls the loop); double addition
+across engines can differ only in association order, which at
+round-6 output precision is far below observability for realistic
+fan-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank after ``iters`` synchronous update steps:
+    r(v) = (1-d)/N + d·(Σ_{u→v} r(u)·w(u,v)/out_w(u) + dangling/N),
+    where dangling is the rank mass sitting on nodes with no outgoing
+    edges (redistributed uniformly, the standard correction). Returns
+    (node, rank) with rank rounded to 6 decimals; ranks sum to 1 at
+    every step. Unweighted graphs: omit ``weight_col`` (each edge
+    counts 1)."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__t"), w.alias("__w"))
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__t").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count("*").alias("__N"))
+    out_w = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
+    norm = e.join(out_w, "__s").select(
+        "__s", "__t", (F.col("__w") / F.col("__ow")).alias("__p")
+    )
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("__N")).alias("rank")
+    )
+    one_minus_d = 1.0 - damping
+    for _ in range(iters):
+        contrib = (
+            norm.join(ranks.withColumnRenamed("node", "__s"), "__s")
+            .groupBy("__t")
+            .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
+        )
+        dangling = (
+            ranks.join(out_w.withColumnRenamed("__s", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dangling))
+            .join(contrib.withColumnRenamed("__t", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(one_minus_d) / F.col("__N")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.col("__dm") / F.col("__N"))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

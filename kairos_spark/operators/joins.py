@@ -200,3 +200,42 @@ def bloom_filter_stats(
             6,
         ).alias("fp_rate"),
     )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key_cols: list[str],
+    n_salt: int = 8,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Skew-mitigating equi-join: the large side gets a deterministic
+    salt in [0, n_salt) (md5 of ``salt_col``, or of the key itself when
+    no finer-grained column is given), the small side is exploded
+    n_salt-fold so every (key, salt) pair exists, and the join runs on
+    (key..., salt). Result rows are EXACTLY the plain join's — the salt
+    only splits a hot key's probe rows across n_salt reducers instead
+    of one.
+
+    When to reach for it: a shuffled hash/sort-merge join where one key
+    holds a double-digit percent of the large side and AQE's skew-join
+    split (which splits by partition, not by key) still leaves a
+    straggler. Cost: n_salt-fold duplication of the SMALL side only —
+    pick the dimension side small enough that the duplicated side still
+    broadcasts or shuffles cheaply.
+
+    Salting on a per-row column (``salt_col``, e.g. the fact table's
+    line number) spreads a hot key uniformly; salting on the key alone
+    puts every copy of the hot key in the same bucket again — pass a
+    high-cardinality column whenever one exists.
+    """
+    basis = F.col(salt_col) if salt_col else F.concat_ws("", *key_cols)
+    salt = (
+        F.conv(F.substring(F.md5(basis.cast("string")), 1, 11), 16, 10).cast("long")
+        % n_salt
+    )
+    l = large.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salt)]))
+    )
+    return l.join(s, key_cols + ["__salt"]).drop("__salt")

@@ -97,3 +97,33 @@ def pivot_counts(
         for c in categories
     ]
     return df.groupBy(bucket.alias("i_time")).agg(*aggs)
+
+
+def unpivot_counts(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    prefix: str = "n_",
+    category_name: str = "name",
+    value_name: str = "n",
+    drop_zeros: bool = True,
+) -> DataFrame:
+    """Wide→long melt, the inverse of ``pivot_counts``: every
+    ``{prefix}*`` column becomes a (category, value) row pair; the
+    prefix is stripped back off the category. With ``drop_zeros`` the
+    round trip pivot→unpivot reproduces the original long counts
+    exactly (the pivot 0-filled the holes; the melt removes them).
+
+    Scale shape: unpivot is a map-only Expand (|categories| output rows
+    per input row, no shuffle) — the symmetric cost of the pivot's
+    CASE-sums. Melting is cheap; it is the PIVOT that needed the
+    explicit category list."""
+    if id_cols is None:
+        id_cols = [c for c in df.columns if not c.startswith(prefix)]
+    value_cols = [c for c in df.columns if c.startswith(prefix)]
+    out = df.unpivot(id_cols, value_cols, category_name, value_name)
+    out = out.withColumn(
+        category_name, F.col(category_name).substr(F.lit(len(prefix) + 1), F.lit(2048))
+    )
+    if drop_zeros:
+        out = out.where(F.col(value_name) != 0)
+    return out

@@ -363,3 +363,90 @@ def kmeans(
         )
         .select(F.col("cid").alias("cluster_id"), "n_vecs", "inertia")
     )
+
+
+def label_cluster_quality(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cohesion/separation diagnostics for a labeled embedding corpus:
+    per label, the mean squared L2 distance of members to their own
+    centroid (cohesion — lower is tighter) and the squared distance to
+    the NEAREST other centroid (separation — higher is better), plus
+    their ratio (a silhouette-style score: < 1 means the cluster is
+    tighter than its closest neighbor is near). The go/no-go check on
+    a labeling or clustering before it drives sampling decisions.
+
+    Everything is exact and engine-reproducible: centroid means and
+    the distance sums accumulate in DECIMAL(38,12) (associative, safe
+    under any partitioning); the per-vector distance fold runs
+    left-to-right over the zipped arrays (F.aggregate, mirrored by
+    DuckDB list_reduce).
+
+    Scale shape: centroids are a posexplode + hash aggregate
+    (#labels x #dims rows shuffle, independent of corpus size); they
+    broadcast back for the cohesion pass (map-only distance + one
+    aggregate); separation is an all-pairs join over #labels rows —
+    trivially small. Corpus vectors never shuffle."""
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(label_col).alias("lbl"), vec.alias("__v"))
+    percell = (
+        base.select("lbl", F.posexplode("__v").alias("pos", "val"))
+        .groupBy("lbl", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,12)")).alias("__s"),
+            F.count("*").alias("__n"),
+        )
+    )
+    cents = (
+        percell.groupBy("lbl")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("__s").cast("double") / F.col("__n")).alias("m"),
+                    )
+                )
+            ).alias("__pm")
+        )
+        .select("lbl", F.transform("__pm", lambda x: x["m"]).alias("cvec"))
+    )
+
+    def sqdist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    coh = (
+        base.join(F.broadcast(cents), "lbl")
+        .select("lbl", sqdist(F.col("__v"), F.col("cvec")).alias("__d"))
+        .groupBy("lbl")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (
+                F.sum(F.col("__d").cast("decimal(38,12)")).cast("double")
+                / F.count("*")
+            ).alias("__coh"),
+        )
+    )
+    other = cents.select(F.col("lbl").alias("__lb"), F.col("cvec").alias("__cb"))
+    sep = (
+        cents.join(F.broadcast(other), F.col("lbl") != F.col("__lb"))
+        .select("lbl", sqdist(F.col("cvec"), F.col("__cb")).alias("__pd"))
+        .groupBy("lbl")
+        .agg(F.min("__pd").alias("__sep"))
+    )
+    return (
+        coh.join(F.broadcast(sep), "lbl")
+        .select(
+            F.col("lbl").alias("label"),
+            "n_vecs",
+            F.round(F.col("__coh"), 6).alias("cohesion"),
+            F.round(F.col("__sep"), 6).alias("separation"),
+            F.round(F.col("__coh") / F.col("__sep"), 6).alias("quality_ratio"),
+        )
+    )

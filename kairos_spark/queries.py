@@ -23,6 +23,7 @@ from kairos_spark.config import parse_intervals
 from kairos_spark.ingest import bucketize
 from kairos_spark.operators import (
     dedup,
+    graph,
     joins,
     multimodal,
     pii,
@@ -1507,6 +1508,53 @@ def q_bloom_filter_join(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted fact⋈dim join (8 salts on a per-row basis),
+    aggregated to revenue per order priority — result provably equal to
+    the plain join (the oracle IS the plain join)."""
+    li = _tbl(spark, sf_dir, "lineitem").withColumn(
+        "__rid",
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
+    )
+    o = _tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = joins.salted_join(li, o, ["l_orderkey"], n_salt=8, salt_col="__rid")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+def q_unpivot_roundtrip(spark, sf_dir):
+    """pivot → unpivot round trip: melting the hourly×type matrix (zeros
+    dropped) must reproduce the long per-(type, hour) counts exactly."""
+    ev = _tbl(spark, sf_dir, "events")
+    wide = profiling.pivot_counts(ev, "event_type", EVENT_TYPES, step_sec=3600)
+    return profiling.unpivot_counts(wide, ["i_time"], prefix="n_")
+
+
+def q_cluster_quality(spark, sf_dir):
+    """Cohesion / nearest-centroid separation diagnostics per embedding label."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.label_cluster_quality(emb)
+
+
+def q_pagerank_transitions(spark, sf_dir):
+    """2-iteration weighted PageRank over the session transition graph."""
+    ev = _tbl(spark, sf_dir, "events")
+    trans = windows.session_transitions(
+        ev, gap_sec=1800.0, order_col="event_id"
+    ).select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n_transitions").alias("w"),
+    )
+    return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping 24-word chunk windows (stride 16) with per-chunk digests."""
     docs = _tbl(spark, sf_dir, "documents")
@@ -1540,6 +1588,10 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "heavy_hitters": q_heavy_hitters,
     "bloom_filter_join": q_bloom_filter_join,
+    "salted_join": q_salted_join,
+    "unpivot_roundtrip": q_unpivot_roundtrip,
+    "cluster_quality": q_cluster_quality,
+    "pagerank_transitions": q_pagerank_transitions,
     "interval_coverage": q_interval_coverage,
     "seasonal_baseline": q_seasonal_baseline,
     "key_skew_stats": q_key_skew_stats,
@@ -2948,4 +3000,124 @@ ORACLES["bloom_filter_join"] = """
            CAST(n_candidates - n_true AS BIGINT) AS n_false_pos,
            round((n_candidates - n_true) * 1.0 / greatest(n_probe - n_true, 1), 6) AS fp_rate
     FROM cand, truth, nb
+"""
+
+ORACLES["salted_join"] = """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
+
+ORACLES["unpivot_roundtrip"] = f"""
+    SELECT name, i_time, n FROM ({_BUCKET_COUNTS_SQL})
+"""
+
+ORACLES["cluster_quality"] = """
+    WITH base AS (
+      SELECT label AS lbl, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    percell AS (
+      SELECT lbl, pos,
+             CAST(sum(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+      FROM base CROSS JOIN range(1, 65) t(pos)
+      GROUP BY 1, 2
+    ),
+    cents AS (SELECT lbl, list(m ORDER BY pos) AS cvec FROM percell GROUP BY 1),
+    dists AS (
+      SELECT b.lbl, list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(b.v, c.cvec),
+                             s -> (s[1] - s[2]) * (s[1] - s[2]))),
+            (x, y) -> x + y) AS d
+      FROM base b JOIN cents c ON b.lbl = c.lbl
+    ),
+    coh AS (
+      SELECT lbl, count(*) AS n_vecs,
+             CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS coh
+      FROM dists GROUP BY 1
+    ),
+    sep AS (
+      SELECT a.lbl, min(list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(a.cvec, b.cvec),
+                             s -> (s[1] - s[2]) * (s[1] - s[2]))),
+            (x, y) -> x + y)) AS sep
+      FROM cents a JOIN cents b ON a.lbl <> b.lbl GROUP BY 1
+    )
+    SELECT coh.lbl AS label, n_vecs,
+           round(coh, 6) AS cohesion,
+           round(sep, 6) AS separation,
+           round(coh / sep, 6) AS quality_ratio
+    FROM coh JOIN sep ON coh.lbl = sep.lbl
+"""
+
+ORACLES["pagerank_transitions"] = """
+    WITH
+    ordered AS (
+      SELECT user_id, event_id, event_type, epoch(ts) AS t,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, t,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    ),
+    prs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id, session_id
+                                    ORDER BY t, event_id) AS to_type
+      FROM sess
+    ),
+    edges AS (
+      SELECT from_type AS s, to_type AS t2, count(*) AS w
+      FROM prs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS (SELECT s AS node FROM edges UNION SELECT t2 FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    ow AS (SELECT s, sum(w) AS ow FROM edges GROUP BY 1),
+    norm AS (SELECT s, t2, w / ow AS p FROM edges JOIN ow USING (s)),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+    ),
+    c1 AS (
+      SELECT t2, sum(r.rank * p) AS c
+      FROM norm JOIN r0 r ON norm.s = r.node GROUP BY 1
+    ),
+    d1 AS (
+      SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm
+      FROM r0 WHERE node NOT IN (SELECT s FROM ow)
+    ),
+    r1 AS (
+      SELECT node,
+             CAST(0.15000000000000002 AS DOUBLE) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * (coalesce(c, CAST(0 AS DOUBLE))
+                  + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS rank
+      FROM nodes LEFT JOIN c1 ON nodes.node = c1.t2
+    ),
+    c2 AS (
+      SELECT t2, sum(r.rank * p) AS c
+      FROM norm JOIN r1 r ON norm.s = r.node GROUP BY 1
+    ),
+    d2 AS (
+      SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm
+      FROM r1 WHERE node NOT IN (SELECT s FROM ow)
+    ),
+    r2 AS (
+      SELECT node,
+             CAST(0.15000000000000002 AS DOUBLE) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * (coalesce(c, CAST(0 AS DOUBLE))
+                  + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS rank
+      FROM nodes LEFT JOIN c2 ON nodes.node = c2.t2
+    )
+    SELECT node, round(rank, 6) AS rank FROM r2
 """

@@ -69,6 +69,10 @@ AUDITED = [
     "inverted_index",
     "heavy_hitters",
     "bloom_filter_join",
+    "salted_join",
+    "unpivot_roundtrip",
+    "cluster_quality",
+    "pagerank_transitions",
 ]
 
 CHECKS = {
@@ -170,6 +174,18 @@ CHECKS = {
     # the bloom word table must BROADCAST to the probe side (that is
     # the entire point of the operator); truth check is a semi join
     "bloom_filter_join": ["BroadcastHashJoin", "LeftSemi", "!SortMergeJoin"],
+    # dim side explodes (Generate) n_salt-fold and the join stays a
+    # real equality hash join on (key, salt) — never a nested loop
+    "salted_join": ["Generate", "HashJoin", "!NestedLoop"],
+    # unpivot is the map-only Expand; melt feeds no join
+    "unpivot_roundtrip": ["Expand", "!Join"],
+    # centroids aggregate from posexplode and BROADCAST back for the
+    # cohesion pass; corpus vectors never hash-shuffle
+    "cluster_quality": ["Generate", "HashAggregate", "BroadcastHashJoin"],
+    # per-iteration shape: edges-by-ranks hash join + dst aggregate;
+    # the |V| and dangling-mass scalars ride 1-row broadcasts (allowed
+    # BroadcastNestedLoopJoin); a data-sized cartesian is forbidden
+    "pagerank_transitions": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
 }
 
 
