@@ -127,3 +127,85 @@ def unpivot_counts(
     if drop_zeros:
         out = out.where(F.col(value_name) != 0)
     return out
+
+
+def distribution_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    bins: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift between the first and second
+    half of the time range, per group: bin the value column into
+    ``bins`` equal-width buckets over the GLOBAL min/max, compare each
+    group's early vs late bin distribution with
+    PSI = sum_bins (q2 - q1) * ln(q2 / q1) (add-one smoothed so empty
+    bins stay finite). Rule of thumb: PSI < 0.1 stable, > 0.25 the
+    upstream distribution moved — the standard data-quality tripwire
+    between pipeline runs.
+
+    Everything reduces before it shuffles: the global (min, max,
+    mid-time) scalars are one 1-row aggregate broadcast back; binning
+    is a map-side projection; the only data shuffle is the
+    (group, half, bin) count — at most |groups| x 2 x bins rows after
+    map-side combine. The PSI fold then runs over 2 x bins aggregated
+    rows per group. Split/edges use exact integer microseconds and
+    identical IEEE double ops so an independent engine reproduces
+    every bin assignment."""
+    scal = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("__vmin"),
+        F.max(F.col(value_col).cast("double")).alias("__vmax"),
+        # floor, not cast: Spark's double→long cast truncates while
+        # DuckDB's rounds — floor() is identical in both engines (the
+        # micros sum is < 2^53, so the double is exact)
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid"),
+    )
+    v = F.col(value_col).cast("double")
+    width = (F.col("__vmax") - F.col("__vmin")) / bins
+    bin_ = F.when(width <= 0, F.lit(0)).otherwise(
+        F.least(F.floor((v - F.col("__vmin")) / width), F.lit(bins - 1))
+    ).cast("long")
+    half = F.when(F.unix_micros(F.col(ts_col)) <= F.col("__mid"), 1).otherwise(2)
+    counts = (
+        df.crossJoin(F.broadcast(scal))
+        .select(F.col(group_col).alias("name"), half.alias("__h"), bin_.alias("__bin"))
+        .groupBy("name", "__h", "__bin")
+        .agg(F.count("*").alias("__c"))
+    )
+    tot = counts.groupBy("name", "__h").agg(F.sum("__c").alias("__n"))
+    # dense bins per (name, half): left join counts onto the full grid so
+    # empty bins contribute their smoothed mass
+    grid = (
+        tot.select("name", "__h", "__n")
+        .crossJoin(F.broadcast(
+            df.sparkSession.range(bins).select(F.col("id").alias("__bin"))
+        ))
+    )
+    dense = grid.join(counts, ["name", "__h", "__bin"], "left").select(
+        "name",
+        "__h",
+        "__bin",
+        "__n",
+        ((F.coalesce(F.col("__c"), F.lit(0)) + 1) / (F.col("__n") + bins)).alias("__q"),
+    )
+    q1 = dense.where(F.col("__h") == 1).select(
+        "name", "__bin", F.col("__q").alias("__q1"), F.col("__n").alias("n_first")
+    )
+    q2 = dense.where(F.col("__h") == 2).select(
+        "name", "__bin", F.col("__q").alias("__q2"), F.col("__n").alias("n_second")
+    )
+    per_bin = q1.join(q2, ["name", "__bin"]).select(
+        "name",
+        "n_first",
+        "n_second",
+        ((F.col("__q2") - F.col("__q1")) * F.log(F.col("__q2") / F.col("__q1"))).alias("__term"),
+    )
+    return per_bin.groupBy("name", "n_first", "n_second").agg(
+        F.round(F.sum("__term"), 6).alias("psi")
+    )

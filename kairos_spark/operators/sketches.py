@@ -162,6 +162,32 @@ def binned_quantiles(
     )
 
 
+def _cms_bucket(jcol: Column, tcol: Column, w: int) -> Column:
+    """Row-j counter bucket for a term: md5("j:" || term) % w — the
+    seed-free hash family shared by both engines."""
+    return _md5_long(F.concat(jcol.cast("string"), F.lit(":"), tcol)) % w
+
+
+def cms_counters(
+    tokens: DataFrame,
+    term_col: str = "term",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """The count-min counter table alone: (__j, __bkt, __c) with at most
+    d*w rows. A PLAIN aggregate — map-side combinable, mergeable by
+    summing counters elementwise, and therefore directly usable as a
+    watermarked Structured Streaming groupBy (bounded state d*w,
+    independent of stream length); the batch/stream parity is asserted
+    in tests/test_streaming.py."""
+    js = F.array(*[F.lit(j) for j in range(d)])
+    return (
+        tokens.select(F.col(term_col).alias("__t"), F.explode(js).alias("__j"))
+        .groupBy(F.col("__j"), _cms_bucket(F.col("__j"), F.col("__t"), w).alias("__bkt"))
+        .agg(F.count("*").alias("__c"))
+    )
+
+
 def cms_heavy_hitters(
     tokens: DataFrame,
     term_col: str = "term",
@@ -192,18 +218,12 @@ def cms_heavy_hitters(
     term = F.col(term_col)
 
     def bucket(jcol: Column, tcol: Column) -> Column:
-        return _md5_long(F.concat(jcol.cast("string"), F.lit(":"), tcol)) % w
+        return _cms_bucket(jcol, tcol, w)
 
     exact = tokens.groupBy(term.alias("term")).agg(F.count("*").alias("exact_n"))
     top = exact.orderBy(F.desc("exact_n"), F.asc("term")).limit(top_k)
 
-    counters = (
-        tokens.select(term.alias("__t"), F.explode(js).alias("__j"))
-        .groupBy(
-            F.col("__j"), bucket(F.col("__j"), F.col("__t")).alias("__bkt")
-        )
-        .agg(F.count("*").alias("__c"))
-    )
+    counters = cms_counters(tokens, term_col, d=d, w=w)
     probes = top.select(
         "term", "exact_n", F.explode(js).alias("__j")
     ).withColumn("__bkt", bucket(F.col("__j"), F.col("term")))

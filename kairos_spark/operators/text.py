@@ -489,3 +489,97 @@ def inverted_index(
             ",", F.transform(F.col("__top"), lambda x: x.cast("string"))
         ).alias("top_postings"),
     )
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate detection at chunk grain (the
+    CCNet-style dedup-within-corpus signal): split every doc into
+    NON-overlapping ``size``-word chunks, mark each chunk digest that
+    appears in >= ``min_docs`` distinct documents as boilerplate
+    (headers, footers, license blocks, templated spans), and score
+    each doc by its boilerplate fraction. Downstream filters drop
+    high-fraction docs or strip the flagged chunks.
+
+    Scale shape: chunking is map-only (see chunk_words); the digest
+    -> distinct-doc-count aggregate shuffles only (digest, doc_id)
+    pairs; the flagged-digest set (corpus-repeated chunks, tiny
+    relative to all chunks) broadcasts back onto the chunk stream; the
+    final per-doc score reuses one aggregate. Raw text shuffles
+    nowhere."""
+    chunks = chunk_words(df, text_col, id_col, size=size, stride=size)
+    boiler = (
+        chunks.groupBy("digest")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("digest", F.lit(1).alias("__b"))
+    )
+    marked = chunks.join(F.broadcast(boiler), "digest", "left")
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_boiler"),
+        F.round(
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))) / F.count("*"), 6
+        ).alias("boiler_frac"),
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over within-document term
+    co-occurrence: for term pairs (a < b) sharing >= ``min_pair_docs``
+    documents, pmi = ln(N * df_ab / (df_a * df_b)) with document
+    frequencies as the probability estimates. Positive = the pair
+    collocates (phrases, topics); ~0 = independent. The standard
+    collocation/phrase-mining primitive.
+
+    Scale shape: the quadratic step is the within-doc pair self-join —
+    bounded by (distinct terms per doc)^2, so PREFILTER the vocabulary
+    (drop ultra-rare terms below min support and stop words above a df
+    ceiling) before calling this on a web-scale corpus; the pair
+    aggregate then shuffles only (a, b, partial count). Per-term df
+    counts are vocabulary-sized and broadcast; N is a 1-row broadcast
+    scalar. No unbounded state."""
+    pairs_dt = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(word_tokens(F.col(text_col))).alias("__t"),
+    ).distinct()
+    n_docs = df.select(F.count_distinct(id_col).alias("__N"))
+    term_df = pairs_dt.groupBy(F.col("__t")).agg(F.count("*").alias("__tdf"))
+    a = pairs_dt.select("__d", F.col("__t").alias("ta"))
+    b = pairs_dt.select("__d", F.col("__t").alias("tb"))
+    co = (
+        a.join(b, "__d")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("pair_docs"))
+        .where(F.col("pair_docs") >= min_pair_docs)
+    )
+    dfa = term_df.select(F.col("__t").alias("ta"), F.col("__tdf").alias("__dfa"))
+    dfb = term_df.select(F.col("__t").alias("tb"), F.col("__tdf").alias("__dfb"))
+    return (
+        co.join(F.broadcast(dfa), "ta")
+        .join(F.broadcast(dfb), "tb")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "ta",
+            "tb",
+            "pair_docs",
+            F.round(
+                F.log(
+                    (F.col("pair_docs") * F.col("__N"))
+                    / (F.col("__dfa") * F.col("__dfb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

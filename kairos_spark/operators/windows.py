@@ -75,10 +75,18 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_r",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """As-of (most-recent-prior) join: for every left row, attach the
     right row with the greatest ``right_ts`` ≤ ``left_ts`` for the same
     key (inclusive, matching DuckDB/QuestDB ASOF semantics).
+
+    ``tolerance_sec`` bounds staleness (the feature-store point-in-time
+    contract): a carried match older than the bound is nulled out, as
+    if no right row existed — so "most recent signal, but never serve a
+    value staler than X" is one argument, not a post-hoc filter the
+    caller has to remember. The mask is a projection on the carried
+    columns; the join shape and cost are unchanged.
 
     Implementation is the union-and-carry pattern, NOT a range join:
     tag both streams, union them, and carry the right payload forward
@@ -120,7 +128,21 @@ def asof_join(
         ],
     )
     drop = ["__ats", "__tag", "__r_ts"] + [f"__r_{c}" for c in right_cols]
-    return carried.where(F.col("__tag") == 1).drop(*drop)
+    out = carried.where(F.col("__tag") == 1)
+    if tolerance_sec is not None:
+        fresh = (
+            F.col(left_ts).cast("double")
+            - F.col(f"{right_ts}{suffix}").cast("double")
+        ) <= tolerance_sec
+        out = out.select(
+            *[c for c in out.columns if not c.endswith(suffix)],
+            *[
+                F.when(fresh, F.col(c)).alias(c)
+                for c in out.columns
+                if c.endswith(suffix)
+            ],
+        )
+    return out.drop(*drop)
 
 
 def bucket_counts(

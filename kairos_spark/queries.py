@@ -1555,6 +1555,44 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a 7-day staleness bound: purchases matched to the
+    most recent prior signup only when it is at most 7 days old."""
+    ev = _tbl(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    j = windows.asof_join(
+        purchases, signups, ["user_id"], "ts", "ts", tolerance_sec=604800.0
+    )
+    return j.where(F.col("ts_r").isNotNull()).select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias(
+            "usec_since_signup"
+        ),
+    )
+
+
+def q_boilerplate_chunks(spark, sf_dir):
+    """Cross-doc boilerplate fraction from non-overlapping 8-word chunks."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.boilerplate_chunks(docs, size=8, min_docs=2)
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Within-document term co-occurrence PMI (pairs sharing >= 30 docs)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.pmi_pairs(docs, min_pair_docs=30)
+
+
+def q_value_drift(spark, sf_dir):
+    """PSI drift of the value distribution, first vs second half of time."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.distribution_drift(ev, bins=10)
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping 24-word chunk windows (stride 16) with per-chunk digests."""
     docs = _tbl(spark, sf_dir, "documents")
@@ -1592,6 +1630,10 @@ QUERIES = {
     "unpivot_roundtrip": q_unpivot_roundtrip,
     "cluster_quality": q_cluster_quality,
     "pagerank_transitions": q_pagerank_transitions,
+    "asof_tolerance": q_asof_tolerance,
+    "boilerplate_chunks": q_boilerplate_chunks,
+    "pmi_pairs": q_pmi_pairs,
+    "value_drift": q_value_drift,
     "interval_coverage": q_interval_coverage,
     "seasonal_baseline": q_seasonal_baseline,
     "key_skew_stats": q_key_skew_stats,
@@ -3120,4 +3162,98 @@ ORACLES["pagerank_transitions"] = """
       FROM nodes LEFT JOIN c2 ON nodes.node = c2.t2
     )
     SELECT node, round(rank, 6) AS rank FROM r2
+"""
+
+ORACLES["asof_tolerance"] = """
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) - epoch_us(s.ts) AS usec_since_signup
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    WHERE epoch(p.ts) - epoch(s.ts) <= 604800.0
+"""
+
+ORACLES["boilerplate_chunks"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) <= 8 THEN 1
+                  ELSE CAST(ceil((len(ws) - 8) / 8.0) AS BIGINT) + 1 END AS nc
+      FROM w
+    ),
+    x AS (SELECT doc_id, ws, unnest(range(0, nc)) AS i FROM m),
+    c AS (
+      SELECT doc_id, md5(array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS dg FROM x
+    ),
+    b AS (
+      SELECT dg FROM (
+        SELECT dg, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1
+      ) WHERE nd >= 2
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN dg IN (SELECT dg FROM b) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           round(sum(CASE WHEN dg IN (SELECT dg FROM b) THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS boiler_frac
+    FROM c GROUP BY 1
+"""
+
+ORACLES["pmi_pairs"] = r"""
+    WITH raw AS (
+      SELECT doc_id AS d,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ),
+    tok AS (SELECT DISTINCT d, t FROM raw),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    tdf AS (SELECT t, count(*) AS tdf FROM tok GROUP BY 1),
+    co AS (
+      SELECT a.t AS ta, b.t AS tb, count(*) AS pair_docs
+      FROM tok a JOIN tok b ON a.d = b.d AND a.t < b.t
+      GROUP BY 1, 2 HAVING count(*) >= 30
+    )
+    SELECT ta, tb, pair_docs,
+           round(ln((pair_docs * (SELECT nd FROM n)) * 1.0
+                    / (da.tdf * db.tdf)), 6) AS pmi
+    FROM co JOIN tdf da ON co.ta = da.t JOIN tdf db ON co.tb = db.t
+"""
+
+ORACLES["value_drift"] = """
+    WITH scal AS (
+      SELECT min(value) AS vmin, max(value) AS vmax,
+             CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type AS name,
+             CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 1 ELSE 2 END AS h,
+             CASE WHEN ((SELECT vmax FROM scal) - (SELECT vmin FROM scal)) / 10 <= 0
+                  THEN 0
+                  ELSE CAST(least(floor((value - (SELECT vmin FROM scal))
+                                 / (((SELECT vmax FROM scal) - (SELECT vmin FROM scal)) / 10)),
+                            9) AS BIGINT) END AS bin
+      FROM events
+    ),
+    counts AS (SELECT name, h, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3),
+    tot AS (SELECT name, h, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1, 2),
+    grid AS (
+      SELECT name, h, n, gs.bin
+      FROM tot CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gs
+    ),
+    dense AS (
+      SELECT g.name, g.h, g.bin, g.n,
+             (coalesce(c.c, 0) + 1) * 1.0 / (g.n + 10) AS q
+      FROM grid g LEFT JOIN counts c
+        ON g.name = c.name AND g.h = c.h AND g.bin = c.bin
+    ),
+    q1 AS (SELECT name, bin, q AS q1, n AS n_first FROM dense WHERE h = 1),
+    q2 AS (SELECT name, bin, q AS q2, n AS n_second FROM dense WHERE h = 2)
+    SELECT q1.name, n_first, n_second,
+           round(sum((q2 - q1.q1) * ln(q2 / q1.q1)), 6) AS psi
+    FROM q1 JOIN q2 ON q1.name = q2.name AND q1.bin = q2.bin
+    GROUP BY 1, 2, 3
 """

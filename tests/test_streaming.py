@@ -296,3 +296,38 @@ def test_streaming_sketch_distinct_matches_batch(spark, input_dir):
     assert {r["name"]: r["sketch"] for r in got} == {
         r["name"]: r["sketch"] for r in batch
     }
+
+
+def test_streaming_cms_counters_match_batch(spark, input_dir):
+    # the count-min counter table is a plain aggregate with bounded
+    # d*w state, so it runs as a streaming groupBy unchanged — the
+    # streaming heavy-hitter path
+    from kairos_spark.operators import sketches
+
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    counters = sketches.cms_counters(
+        stream.withWatermark("ts", "1 hour").select(F.col("name").alias("term")),
+        d=2,
+        w=32,
+    )
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("stream_cms")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["__j"], r["__bkt"]): r["__c"]
+        for r in spark.sql("SELECT * FROM stream_cms").collect()
+    }
+    batch = {
+        (r["__j"], r["__bkt"]): r["__c"]
+        for r in sketches.cms_counters(
+            _batch_df(spark, input_dir).select(F.col("name").alias("term")),
+            d=2,
+            w=32,
+        ).collect()
+    }
+    assert got == batch

@@ -73,6 +73,10 @@ AUDITED = [
     "unpivot_roundtrip",
     "cluster_quality",
     "pagerank_transitions",
+    "asof_tolerance",
+    "boilerplate_chunks",
+    "pmi_pairs",
+    "value_drift",
 ]
 
 CHECKS = {
@@ -186,6 +190,19 @@ CHECKS = {
     # the |V| and dangling-mass scalars ride 1-row broadcasts (allowed
     # BroadcastNestedLoopJoin); a data-sized cartesian is forbidden
     "pagerank_transitions": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # staleness bound is a projection on the carried columns — the
+    # union-and-carry shape (no join operator) must survive unchanged
+    "asof_tolerance": ["Window", "Union", "!SortMergeJoin"],
+    # map-only chunking; flagged digests broadcast back onto chunks
+    "boilerplate_chunks": ["Generate", "HashAggregate", "BroadcastHashJoin"],
+    # within-doc pair join is an equality hash join on the doc key
+    # (the a<b predicate is the join condition, not a loop); the 1-row
+    # corpus-size scalar rides a broadcast nested loop, which is fine —
+    # only a data-sized cartesian is forbidden
+    "pmi_pairs": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
+    # global scalars + bin grid ride 1-row/10-row broadcasts; the only
+    # data shuffle is the (group, half, bin) aggregate
+    "value_drift": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
 }
 
 
