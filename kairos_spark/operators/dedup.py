@@ -455,3 +455,77 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Estimator audit for the MinHash/LSH dedup path: every LSH
+    candidate pair with BOTH its signature-estimated Jaccard and the
+    exact shingle Jaccard, plus the signed error. This is how you pick
+    num_hashes/bands for a corpus from evidence instead of folklore —
+    the same measure-the-sketch pattern as cms_heavy_hitters
+    (overcount) and bloom_filter_stats (fp_rate).
+
+    Scale shape: candidates come from the bucketed LSH path; the exact
+    check then runs ONLY over documents that appear in some candidate
+    pair (semi-join reduction before the shingle self-join), so the
+    quadratic verification cost is bounded by the candidate set — the
+    corpus-wide all-pairs join never happens."""
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_hashes, bands, threshold
+    )
+    ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(F.broadcast(ids), id_col, "left_semi")
+    sh = doc_shingles(sub, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("__shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("__sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("__szb"))
+    exact = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__shared")
+                / (F.col("__sza") + F.col("__szb") - F.col("__shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        cands.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+            F.round(
+                F.col("est_jaccard") - F.coalesce(F.col("jaccard"), F.lit(0.0)), 6
+            ).alias("err"),
+        )
+    )

@@ -500,3 +500,35 @@ def seasonal_baseline(
             F.round(F.col("n") / F.col("__b"), 6).alias("ratio"),
         )
     )
+
+
+def period_delta(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 86400,
+) -> DataFrame:
+    """Period-over-period change per key: each bucket's count next to
+    the PREVIOUS bucket's, with absolute and relative deltas — the
+    day-over-day / week-over-week movement every operational report
+    leads with. pct_change is NULL on a key's first bucket (nothing to
+    compare against) rather than 0, so "new" and "flat" stay
+    distinguishable.
+
+    Gap semantics: lag steps over NON-EMPTY buckets (same contract as
+    anomaly_zscore); on a sparse key "previous period" means the
+    previous period WITH data.
+
+    Scale shape: raw events collapse to per-(key, bucket) counts
+    first; one window pass over those short rows, one shuffle total."""
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    w = Window.partitionBy("name").orderBy("i_time")
+    prev = F.lag("n").over(w)
+    return counts.select(
+        "name",
+        "i_time",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).alias("delta"),
+        F.round((F.col("n") - prev) / prev, 6).alias("pct_change"),
+    )

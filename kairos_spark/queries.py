@@ -25,6 +25,7 @@ from kairos_spark.operators import (
     dedup,
     graph,
     joins,
+    layout,
     multimodal,
     pii,
     profiling,
@@ -1555,6 +1556,31 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_period_delta(spark, sf_dir):
+    """Day-over-day event-count deltas and percent change per type.
+    First-bucket rows (no previous period) are filtered so both engines
+    hash a null-free frame — the operator itself keeps them as NULLs."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.period_delta(ev, step_sec=86400).where(
+        F.col("prev_n").isNotNull()
+    )
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Morton (Z-order) layout audit: per Z-range bucket, how many rows,
+    distinct users, and distinct hours it would co-locate. bucket_shift
+    is sized to the testdata span (150 users x ~1 month of hours) so the
+    Z ranges actually partition the variation."""
+    ev = _tbl(spark, sf_dir, "events")
+    return layout.zorder_stats(ev, "user_id", "ts", step_sec=3600, bits=16, bucket_shift=12)
+
+
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimator audit: est vs exact Jaccard per LSH candidate."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_calibration(d, n=8, num_hashes=32, bands=16, threshold=0.2)
+
+
 def q_asof_tolerance(spark, sf_dir):
     """As-of join with a 7-day staleness bound: purchases matched to the
     most recent prior signup only when it is at most 7 days old."""
@@ -1634,6 +1660,9 @@ QUERIES = {
     "boilerplate_chunks": q_boilerplate_chunks,
     "pmi_pairs": q_pmi_pairs,
     "value_drift": q_value_drift,
+    "period_delta": q_period_delta,
+    "zorder_layout": q_zorder_layout,
+    "minhash_calibration": q_minhash_calibration,
     "interval_coverage": q_interval_coverage,
     "seasonal_baseline": q_seasonal_baseline,
     "key_skew_stats": q_key_skew_stats,
@@ -3256,4 +3285,92 @@ ORACLES["value_drift"] = """
            round(sum((q2 - q1.q1) * ln(q2 / q1.q1)), 6) AS psi
     FROM q1 JOIN q2 ON q1.name = q2.name AND q1.bin = q2.bin
     GROUP BY 1, 2, 3
+"""
+
+ORACLES["period_delta"] = """
+    WITH counts AS (
+      SELECT event_type AS name,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS i_time,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT name, i_time, n,
+           lag(n) OVER w AS prev_n,
+           n - lag(n) OVER w AS delta,
+           round((n - lag(n) OVER w) * 1.0 / lag(n) OVER w, 6) AS pct_change
+    FROM counts WINDOW w AS (PARTITION BY name ORDER BY i_time)
+    QUALIFY lag(n) OVER w IS NOT NULL
+"""
+
+ORACLES["minhash_calibration"] = """
+    WITH """ + _SHINGLE_CTE + """,
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 11))::BIGINT AS a,
+               ('0x' || substr(md5(s), 12, 11))::BIGINT AS b
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, i.i AS i, min((a + i.i * b) % 17592186044399) AS hv
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(CAST(i // 2 AS VARCHAR) || ':' ||
+                   string_agg(CAST(hv AS VARCHAR), ',' ORDER BY i)) AS bucket
+        FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               round(sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) / 32.0, 6)
+                   AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        GROUP BY 1, 2
+    ),
+    filt AS (SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh_n
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT shared.id_a, shared.id_b,
+               round(sh_n * 1.0 / (sa.sz + sb.sz - sh_n), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON shared.id_a = sa.doc_id
+        JOIN sizes sb ON shared.id_b = sb.doc_id
+    )
+    SELECT f.id_a, f.id_b, f.est_jaccard,
+           coalesce(ex.jaccard, CAST(0.0 AS DOUBLE)) AS jaccard,
+           round(f.est_jaccard - coalesce(ex.jaccard, CAST(0.0 AS DOUBLE)), 6) AS err
+    FROM filt f LEFT JOIN ex ON f.id_a = ex.id_a AND f.id_b = ex.id_b
+"""
+
+ORACLES["zorder_layout"] = """
+    WITH base AS (
+      SELECT user_id % 65536 AS x,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 65536 AS y,
+             user_id AS k,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      FROM events
+    ),
+    z AS (
+      SELECT ((((x >> 0) & 1) << 0) + (((x >> 1) & 1) << 2) + (((x >> 2) & 1) << 4) + (((x >> 3) & 1) << 6) + (((x >> 4) & 1) << 8) + (((x >> 5) & 1) << 10) + (((x >> 6) & 1) << 12) + (((x >> 7) & 1) << 14) + (((x >> 8) & 1) << 16) + (((x >> 9) & 1) << 18) + (((x >> 10) & 1) << 20) + (((x >> 11) & 1) << 22) + (((x >> 12) & 1) << 24) + (((x >> 13) & 1) << 26) + (((x >> 14) & 1) << 28) + (((x >> 15) & 1) << 30)
+              + (((y >> 0) & 1) << 1) + (((y >> 1) & 1) << 3) + (((y >> 2) & 1) << 5) + (((y >> 3) & 1) << 7) + (((y >> 4) & 1) << 9) + (((y >> 5) & 1) << 11) + (((y >> 6) & 1) << 13) + (((y >> 7) & 1) << 15) + (((y >> 8) & 1) << 17) + (((y >> 9) & 1) << 19) + (((y >> 10) & 1) << 21) + (((y >> 11) & 1) << 23) + (((y >> 12) & 1) << 25) + (((y >> 13) & 1) << 27) + (((y >> 14) & 1) << 29) + (((y >> 15) & 1) << 31)) AS zv, k, h
+      FROM base
+    )
+    SELECT zv >> 12 AS z_bucket,
+           count(*) AS n_rows,
+           count(DISTINCT k) AS n_keys,
+           count(DISTINCT h) AS n_hours,
+           max(h) - min(h) AS hour_span
+    FROM z GROUP BY 1
 """

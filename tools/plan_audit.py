@@ -77,6 +77,9 @@ AUDITED = [
     "boilerplate_chunks",
     "pmi_pairs",
     "value_drift",
+    "period_delta",
+    "zorder_layout",
+    "minhash_calibration",
 ]
 
 CHECKS = {
@@ -203,6 +206,15 @@ CHECKS = {
     # global scalars + bin grid ride 1-row/10-row broadcasts; the only
     # data shuffle is the (group, half, bin) aggregate
     "value_drift": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # events collapse to per-(key, day) counts before the lag window
+    "period_delta": ["HashAggregate", "Window", "!Join"],
+    # the Morton key is pure projection bit math: one aggregate, no
+    # join, no window, no explode
+    "zorder_layout": ["HashAggregate", "!Join", "!Window", "!Generate"],
+    # candidates from the banded LSH path; the exact check is bounded
+    # by the candidate doc set (semi-join reduction) — the corpus-wide
+    # all-pairs cartesian must never appear
+    "minhash_calibration": ["HashAggregate", "LeftSemi", "!CartesianProduct"],
 }
 
 
