@@ -209,3 +209,54 @@ def distribution_drift(
     return per_bin.groupBy("name", "n_first", "n_second").agg(
         F.round(F.sum("__term"), 6).alias("psi")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier scoring per group via median absolute deviation:
+    a value is an outlier when |v - median| > k * 1.4826 * MAD (1.4826
+    scales MAD to sigma-equivalent under normality). Unlike the z-score
+    path, one wild value cannot inflate its own threshold — the
+    breakdown point is 50%, which is why data-quality gates prefer MAD
+    over stddev on untrusted feeds.
+
+    Exactness: medians are exact interpolated percentiles (Spark
+    ``percentile`` = DuckDB ``quantile_cont``), so every number here is
+    engine-reproducible. Scale note: exact percentiles sort per group
+    — at 100 TB swap in ``percentile_approx`` (same plan shape, fixed
+    sketch memory) and accept approximate medians; the operator keeps
+    the exact form because this is the audited-correctness path.
+
+    Shape: two grouped percentile aggregates with a broadcast join
+    between (groups are small); one final count aggregate. Raw rows
+    shuffle once per aggregate on the group key."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(g.alias("name")).agg(
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)").alias("__med")
+    )
+    j1 = df.select(g.alias("name"), v.alias("__v")).join(F.broadcast(med), "name")
+    mad = j1.groupBy("name").agg(
+        F.expr("percentile(abs(__v - __med), 0.5)").alias("__mad"),
+        F.first("__med").alias("__med2"),
+    )
+    j2 = df.select(g.alias("name"), v.alias("__v")).join(F.broadcast(mad), "name")
+    flagged = j2.select(
+        "name",
+        "__med2",
+        "__mad",
+        (F.abs(F.col("__v") - F.col("__med2")) > k * 1.4826 * F.col("__mad")).cast(
+            "int"
+        ).alias("__out"),
+    )
+    return flagged.groupBy("name").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("__med2"), 6).alias("median"),
+        F.round(F.first("__mad"), 6).alias("mad"),
+        F.sum("__out").cast("long").alias("n_outliers"),
+        F.round(F.sum("__out") / F.count("*"), 6).alias("outlier_frac"),
+    )

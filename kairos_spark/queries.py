@@ -1556,6 +1556,46 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, orderpriority): all four grouping sets in
+    one pass (the grouping-sets family's other half next to ROLLUP).
+    Lineitem pre-aggregates onto the order key in DECIMAL before the
+    broadcast dim join, so the cube re-groups ~|orders| rows."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("__rev"),
+        F.count("*").alias("__n"),
+    )
+    j = per_order.join(
+        F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+        per_order.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        j.cube("l_returnflag", "o_orderpriority")
+        .agg(
+            F.round(F.sum("__rev").cast("double"), 2).alias("revenue"),
+            F.sum("__n").cast("long").alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier audit of event values per type."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.mad_outliers(ev, "event_type", "value", k=3.0)
+
+
 def q_period_delta(spark, sf_dir):
     """Day-over-day event-count deltas and percent change per type.
     First-bucket rows (no previous period) are filtered so both engines
@@ -1663,6 +1703,8 @@ QUERIES = {
     "period_delta": q_period_delta,
     "zorder_layout": q_zorder_layout,
     "minhash_calibration": q_minhash_calibration,
+    "cube_revenue": q_cube_revenue,
+    "mad_outliers": q_mad_outliers,
     "interval_coverage": q_interval_coverage,
     "seasonal_baseline": q_seasonal_baseline,
     "key_skew_stats": q_key_skew_stats,
@@ -3373,4 +3415,46 @@ ORACLES["zorder_layout"] = """
            count(DISTINCT h) AS n_hours,
            max(h) - min(h) AS hour_span
     FROM z GROUP BY 1
+"""
+
+ORACLES["cube_revenue"] = """
+    WITH per_order AS (
+      SELECT l_orderkey, l_returnflag,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev,
+             count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
+           CAST(sum(n) AS BIGINT) AS n_items
+    FROM per_order JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY CUBE (l_returnflag, o_orderpriority)
+"""
+
+ORACLES["mad_outliers"] = """
+    WITH med AS (
+      SELECT event_type AS name,
+             quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type AS name,
+             quantile_cont(abs(CAST(e.value AS DOUBLE) - med.m), 0.5) AS d,
+             any_value(med.m) AS m
+      FROM events e JOIN med ON e.event_type = med.name
+      GROUP BY 1
+    )
+    SELECT e.event_type AS name,
+           count(*) AS n,
+           round(any_value(mad.m), 6) AS median,
+           round(any_value(mad.d), 6) AS mad,
+           CAST(sum(CASE WHEN abs(CAST(e.value AS DOUBLE) - mad.m)
+                              > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN abs(CAST(e.value AS DOUBLE) - mad.m)
+                               > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.d
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_frac
+    FROM events e JOIN mad ON e.event_type = mad.name
+    GROUP BY 1
 """

@@ -182,3 +182,36 @@ def test_pivot_counts_discovering_mode_matches_explicit(spark):
     assert set(auto.columns) == {"i_time", "n_x", "n_y"}
     r = auto.collect()[0]
     assert r.n_x == 1 and r.n_y == 1
+
+
+# --- mad_outliers ---
+
+
+def test_mad_outliers_flags_only_the_wild_value(spark):
+    import datetime as dt
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    rows = [
+        Row(event_type="a", value=v, ts=dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))
+        for v in vals
+    ]
+    r = profiling.mad_outliers(spark.createDataFrame(rows), k=3.0).collect()[0]
+    assert r.n == 6
+    assert r.median == 12.5
+    # deviations from 12.5: [2.5, 1.5, 0.5, 0.5, 1.5, 987.5] -> MAD 1.5
+    assert r.mad == 1.5
+    assert r.n_outliers == 1 and r.outlier_frac == round(1 / 6, 6)
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    import datetime as dt
+
+    # stddev-based z would be dragged by the outliers; MAD is not
+    vals = [5.0] * 8 + [500.0, 600.0]
+    rows = [
+        Row(event_type="a", value=v, ts=dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))
+        for v in vals
+    ]
+    r = profiling.mad_outliers(spark.createDataFrame(rows), k=3.0).collect()[0]
+    assert r.median == 5.0 and r.mad == 0.0
+    assert r.n_outliers == 2  # mad=0 -> any deviation is an outlier

@@ -331,3 +331,52 @@ def test_streaming_cms_counters_match_batch(spark, input_dir):
         ).collect()
     }
     assert got == batch
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    # stream-stream inner join with watermarks + time-range condition:
+    # each "click" joined to "purchase" rows of the same user within
+    # [click, click + 10 min] — the Structured Streaming join the
+    # banded batch range-join corresponds to
+    rows = [
+        ("click", 1, float(BASE + 0)),
+        ("purchase", 1, float(BASE + 300)),     # within 10 min -> match
+        ("purchase", 1, float(BASE + 3000)),    # outside -> no match
+        ("click", 2, float(BASE + 100)),
+        ("purchase", 3, float(BASE + 200)),     # other user -> no match
+    ]
+    src = str(tmp_path / "ss_in")
+    spark.createDataFrame(
+        rows, "etype string, user bigint, ts_sec double"
+    ).select("etype", "user", F.timestamp_seconds("ts_sec").alias("ts")).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "etype string, user bigint, ts timestamp"
+    ).parquet(src)
+    clicks = (
+        stream.where("etype = 'click'")
+        .select("user", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.where("etype = 'purchase'")
+        .select(F.col("user").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user, p_ts FROM ss_join").collect()
+    assert len(got) == 1
+    assert got[0]["user"] == 1

@@ -80,6 +80,8 @@ AUDITED = [
     "period_delta",
     "zorder_layout",
     "minhash_calibration",
+    "cube_revenue",
+    "mad_outliers",
 ]
 
 CHECKS = {
@@ -215,6 +217,13 @@ CHECKS = {
     # by the candidate doc set (semi-join reduction) — the corpus-wide
     # all-pairs cartesian must never appear
     "minhash_calibration": ["HashAggregate", "LeftSemi", "!CartesianProduct"],
+    # all four grouping sets in ONE pass (Expand), fact pre-aggregated
+    # in DECIMAL before the broadcast dim join
+    "cube_revenue": ["Expand", "BroadcastHashJoin", "HashAggregate"],
+    # group medians broadcast back onto the stream twice; exact
+    # percentile aggregates (ObjectHashAggregate) per group; no
+    # cartesian anywhere
+    "mad_outliers": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
 }
 
 
