@@ -260,3 +260,80 @@ def mad_outliers(
         F.sum("__out").cast("long").alias("n_outliers"),
         F.round(F.sum("__out") / F.count("*"), 6).alias("outlier_frac"),
     )
+
+
+def schema_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """One-pass column profile: per column, row count, null count and
+    rate, exact distinct count, and min/max rendered as strings (so
+    heterogeneous column types share one output schema). The first
+    query run against ANY new table — nullability and cardinality
+    decide join strategies, bucketing keys, and whether a column can
+    partition.
+
+    Scale shape: all per-column aggregates evaluate in ONE aggregate
+    pass over the data (no per-column scans); the count_distinct terms
+    make it a multi-distinct Expand plan — at 100 TB swap those for
+    approx_count_distinct (same single-pass shape, sketch state)."""
+    columns = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.round(F.col(f"__null_{c}") / F.col("__n"), 6).alias("null_rate"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_str"),
+            F.col(f"__max_{c}").alias("max_str"),
+        )
+        for c in columns
+    ]
+    return one.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def fk_conformance(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    fk_name: str,
+) -> DataFrame:
+    """Referential-integrity audit for one foreign key: how many child
+    rows, how many dangle (no matching parent), and how many distinct
+    orphan key values — the conformance gate a pipeline runs after
+    every load before letting joins assume the key holds.
+
+    Scale shape: the anti join shuffles only the key columns of both
+    sides (child projected to its key first); counts aggregate to one
+    row. Orphan DETAIL is deliberately not returned — at scale you
+    re-run the anti join with payload only after this summary says
+    n_orphans > 0."""
+    ck = child.select(F.col(child_key).alias("__k"))
+    pk = parent.select(F.col(parent_key).alias("__k")).distinct()
+    orphans = ck.join(pk, "__k", "left_anti")
+    totals = ck.agg(F.count("*").alias("n_child"))
+    bad = orphans.agg(
+        F.count("*").alias("n_orphans"),
+        F.count_distinct("__k").alias("n_orphan_keys"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(bad))
+        .select(
+            F.lit(fk_name).alias("fk"),
+            "n_child",
+            "n_orphans",
+            "n_orphan_keys",
+            F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_rate"),
+        )
+    )

@@ -583,3 +583,40 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def frequency_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-of-counts (frequency spectrum): how many distinct tokens
+    occur exactly f times in the corpus, with the cumulative share of
+    all token mass held at or below each f. The Zipf/Heaps fingerprint
+    of a corpus — the curve you compare before/after a dedup or filter
+    run to see whether you removed tail vocabulary or just boilerplate
+    mass (and the input Good-Turing smoothing needs).
+
+    Scale shape: two chained aggregates (token counts, then spectrum)
+    plus one window over the spectrum rows only — |distinct
+    frequencies| rows, thousands at most even at corpus scale. Token
+    counts partial-aggregate map-side; raw text never shuffles."""
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.explode(word_tokens(F.col(text_col))).alias("__t"))
+    counts = tok.groupBy("__t").agg(F.count("*").alias("__f"))
+    spec = counts.groupBy(F.col("__f").alias("freq")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    w = Window.orderBy("freq").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mass = F.col("freq") * F.col("n_tokens")
+    return spec.select(
+        "freq",
+        "n_tokens",
+        F.round(
+            F.sum(mass).over(w) / F.sum(mass).over(total), 6
+        ).alias("cum_mass_share"),
+    )

@@ -1556,6 +1556,30 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_freq_spectrum(spark, sf_dir):
+    """Token frequency spectrum (count-of-counts) with cumulative mass."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.frequency_spectrum(docs)
+
+
+def q_schema_profile(spark, sf_dir):
+    """One-pass column profile of events (null rates, cardinality,
+    min/max). Timestamp/double columns are excluded from the min/max
+    string rendering because the engines format them differently."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.schema_profile(ev, ["event_id", "user_id", "event_type", "props"])
+
+
+def q_fk_conformance(spark, sf_dir):
+    """Referential-integrity audit of the star schema's two core FKs."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    li = _tbl(spark, sf_dir, "lineitem")
+    a = profiling.fk_conformance(o, c, "o_custkey", "c_custkey", "orders.o_custkey")
+    b = profiling.fk_conformance(li, o, "l_orderkey", "o_orderkey", "lineitem.l_orderkey")
+    return a.unionByName(b)
+
+
 def q_cube_revenue(spark, sf_dir):
     """CUBE over (returnflag, orderpriority): all four grouping sets in
     one pass (the grouping-sets family's other half next to ROLLUP).
@@ -1705,6 +1729,9 @@ QUERIES = {
     "minhash_calibration": q_minhash_calibration,
     "cube_revenue": q_cube_revenue,
     "mad_outliers": q_mad_outliers,
+    "freq_spectrum": q_freq_spectrum,
+    "schema_profile": q_schema_profile,
+    "fk_conformance": q_fk_conformance,
     "interval_coverage": q_interval_coverage,
     "seasonal_baseline": q_seasonal_baseline,
     "key_skew_stats": q_key_skew_stats,
@@ -3457,4 +3484,72 @@ ORACLES["mad_outliers"] = """
                           THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_frac
     FROM events e JOIN mad ON e.event_type = mad.name
     GROUP BY 1
+"""
+
+ORACLES["freq_spectrum"] = r"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ),
+    counts AS (SELECT t, count(*) AS f FROM tok GROUP BY 1),
+    spec AS (SELECT f AS freq, count(*) AS n_tokens FROM counts GROUP BY 1)
+    SELECT freq, n_tokens,
+           round(sum(freq * n_tokens) OVER (ORDER BY freq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0
+                 / sum(freq * n_tokens) OVER (), 6) AS cum_mass_share
+    FROM spec
+"""
+
+ORACLES["schema_profile"] = """
+    SELECT 'event_id' AS column_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           round(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_rate,
+           count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_str,
+           CAST(max(event_id) AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           count(DISTINCT user_id),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           count(DISTINCT event_type),
+           CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'props', count(*),
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           count(DISTINCT props),
+           CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR)
+    FROM events
+"""
+
+ORACLES["fk_conformance"] = """
+    WITH o_orph AS (
+      SELECT count(*) AS n_orphans, count(DISTINCT o_custkey) AS n_orphan_keys
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    li_orph AS (
+      SELECT count(*) AS n_orphans, count(DISTINCT l_orderkey) AS n_orphan_keys
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT 'orders.o_custkey' AS fk,
+           (SELECT count(*) FROM orders) AS n_child,
+           n_orphans, n_orphan_keys,
+           round(n_orphans * 1.0 / (SELECT count(*) FROM orders), 6) AS orphan_rate
+    FROM o_orph
+    UNION ALL
+    SELECT 'lineitem.l_orderkey',
+           (SELECT count(*) FROM lineitem),
+           n_orphans, n_orphan_keys,
+           round(n_orphans * 1.0 / (SELECT count(*) FROM lineitem), 6)
+    FROM li_orph
 """

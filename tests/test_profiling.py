@@ -215,3 +215,55 @@ def test_mad_outliers_robust_to_contamination(spark):
     r = profiling.mad_outliers(spark.createDataFrame(rows), k=3.0).collect()[0]
     assert r.median == 5.0 and r.mad == 0.0
     assert r.n_outliers == 2  # mad=0 -> any deviation is an outlier
+
+
+# --- schema_profile / fk_conformance / frequency_spectrum ---
+
+
+def test_schema_profile_nulls_and_cardinality(spark):
+    rows = [
+        Row(a=1, b="x"),
+        Row(a=2, b=None),
+        Row(a=2, b="y"),
+    ]
+    out = {
+        r.column_name: r
+        for r in profiling.schema_profile(spark.createDataFrame(rows)).collect()
+    }
+    assert out["a"].n_rows == 3 and out["a"].n_null == 0
+    assert out["a"].n_distinct == 2
+    assert (out["a"].min_str, out["a"].max_str) == ("1", "2")
+    assert out["b"].n_null == 1 and out["b"].null_rate == round(1 / 3, 6)
+    assert out["b"].n_distinct == 2  # nulls not counted as distinct
+
+
+def test_fk_conformance_counts_orphans(spark):
+    child = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=2), Row(k=9)])
+    parent = spark.createDataFrame([Row(p=1), Row(p=2)])
+    r = profiling.fk_conformance(child, parent, "k", "p", "child.k").collect()[0]
+    assert r.fk == "child.k"
+    assert r.n_child == 4 and r.n_orphans == 1 and r.n_orphan_keys == 1
+    assert r.orphan_rate == 0.25
+
+
+def test_fk_conformance_clean_key_zeroes(spark):
+    child = spark.createDataFrame([Row(k=1), Row(k=1)])
+    parent = spark.createDataFrame([Row(p=1), Row(p=2)])
+    r = profiling.fk_conformance(child, parent, "k", "p", "fk").collect()[0]
+    assert r.n_orphans == 0 and r.orphan_rate == 0.0
+
+
+def test_frequency_spectrum_zipf_counts(spark):
+    from kairos_spark.operators import text as text_ops
+
+    # tokens: a x3, b x2, c x2, d x1 -> spectrum: f=1:1, f=2:2, f=3:1
+    rows = [Row(doc_id=1, text="a a a b b"), Row(doc_id=2, text="c c d")]
+    out = {
+        r.freq: r
+        for r in text_ops.frequency_spectrum(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1].n_tokens == 1 and out[2].n_tokens == 2 and out[3].n_tokens == 1
+    # mass: f1=1, f2=4, f3=3, total 8; cumulative shares 1/8, 5/8, 1.0
+    assert out[1].cum_mass_share == 0.125
+    assert out[2].cum_mass_share == 0.625
+    assert out[3].cum_mass_share == 1.0

@@ -82,6 +82,9 @@ AUDITED = [
     "minhash_calibration",
     "cube_revenue",
     "mad_outliers",
+    "freq_spectrum",
+    "schema_profile",
+    "fk_conformance",
 ]
 
 CHECKS = {
@@ -224,6 +227,15 @@ CHECKS = {
     # percentile aggregates (ObjectHashAggregate) per group; no
     # cartesian anywhere
     "mad_outliers": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+    # token counts then spectrum: chained aggregates; the window runs
+    # over |distinct frequencies| rows only
+    "freq_spectrum": ["HashAggregate", "Window", "!Join"],
+    # ONE aggregate pass over the table (multi-distinct Expand; plans
+    # as SortAggregate because of the string min/max) — per-column
+    # scans would show as multiple parquet reads
+    "schema_profile": ["Expand", "SortAggregate", "!Join"],
+    # anti join on projected keys; summary scalars broadcast
+    "fk_conformance": ["LeftAnti", "!CartesianProduct"],
 }
 
 
