@@ -337,3 +337,42 @@ def fk_conformance(
             F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_rate"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Dataset-version diff: classify every key across two snapshots as
+    added / removed / changed / unchanged and count each class — the
+    audit a training pipeline runs between crawl snapshots before
+    deciding whether downstream caches and dedup state can be reused.
+    "Changed" compares an md5 digest over ``compare_cols`` (cast to
+    string, unit-separator joined), not the full payload equality, so
+    wide rows diff at digest cost. Columns with NULLs: concat_ws skips
+    them, so NULL and '' collide — digest columns should be non-null
+    (or coalesce them explicitly first).
+
+    Scale shape: each side reduces to (key, digest) before the full
+    outer join — two short-row shuffles on the key, one count
+    aggregate of 4 groups. Payloads never move."""
+    sep = "\x1f"
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        digest = F.md5(
+            F.concat_ws(sep, *[F.col(c).cast("string") for c in compare_cols])
+        )
+        return df.select(
+            F.col(key_col).alias("__k"), digest.alias(f"__d_{side}")
+        )
+
+    j = keyed(old, "old").join(keyed(new, "new"), "__k", "full_outer")
+    status = (
+        F.when(F.col("__d_old").isNull(), F.lit("added"))
+        .when(F.col("__d_new").isNull(), F.lit("removed"))
+        .when(F.col("__d_old") != F.col("__d_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(status.alias("status")).agg(F.count("*").alias("n_keys"))

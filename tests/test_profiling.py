@@ -267,3 +267,29 @@ def test_frequency_spectrum_zipf_counts(spark):
     assert out[1].cum_mass_share == 0.125
     assert out[2].cum_mass_share == 0.625
     assert out[3].cum_mass_share == 1.0
+
+
+# --- snapshot_diff ---
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="B"), Row(k=4, v="d")]
+    )
+    out = {
+        r.status: r.n_keys
+        for r in profiling.snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    assert out == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_multi_column_digest(spark):
+    old = spark.createDataFrame([Row(k=1, a="x", b="y")])
+    new = spark.createDataFrame([Row(k=1, a="x", b="z")])
+    out = profiling.snapshot_diff(old, new, "k", ["a", "b"]).collect()
+    assert out[0].status == "changed"
+    same = profiling.snapshot_diff(old, old, "k", ["a", "b"]).collect()
+    assert same[0].status == "unchanged"

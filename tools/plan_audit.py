@@ -85,6 +85,7 @@ AUDITED = [
     "freq_spectrum",
     "schema_profile",
     "fk_conformance",
+    "snapshot_diff",
 ]
 
 CHECKS = {
@@ -236,6 +237,9 @@ CHECKS = {
     "schema_profile": ["Expand", "SortAggregate", "!Join"],
     # anti join on projected keys; summary scalars broadcast
     "fk_conformance": ["LeftAnti", "!CartesianProduct"],
+    # each side reduces to (key, digest) BEFORE the full outer join;
+    # payload columns must not cross the exchange
+    "snapshot_diff": ["FullOuter", "HashAggregate", "!CartesianProduct"],
 }
 
 
