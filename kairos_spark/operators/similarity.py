@@ -450,3 +450,62 @@ def label_cluster_quality(
             F.round(F.col("__coh") / F.col("__sep"), 6).alias("quality_ratio"),
         )
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Bulk exact kNN join: for EVERY query vector, the top-k corpus
+    neighbors by cosine — (q_id, rank, vec_id, cosine). The batch
+    companion to cosine_topk: labeling, retrieval-eval, and dedup
+    pipelines ask for neighbors of thousands of vectors at once, not
+    one.
+
+    Scale shape: the query block broadcasts (Q × dim doubles) and
+    scoring is a map-only projection over the corpus — corpus vectors
+    never shuffle. The per-query top-k then uses the SAME two-phase
+    salted min-k merge as inverted_index: stage 1 keeps each
+    (query, salt)'s k best as a sorted array slice (bounded state,
+    map-side combined), stage 2 merges n_salt partial lists per query.
+    No per-query global sort, no window over |corpus| rows — the
+    worst task holds k·n_salt structs per query. Self-matches
+    (q_id == vec_id) are excluded.
+
+    Ranking uses the ROUNDED cosine (6 decimals) with vec_id as the
+    tiebreak, so the result order is engine-exact, not
+    float-ulp-dependent."""
+    qv = F.col(vec_col).cast("array<double>")
+    qdf = queries.select(F.col(q_id_col).alias("__q"), qv.alias("__qv"))
+    cv = F.col(vec_col).cast("array<double>")
+    scored = (
+        corpus.select(F.col(id_col).alias("__id"), cv.alias("__v"))
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("__id") != F.col("__q"))
+        .select(
+            "__q",
+            "__id",
+            F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("__cos"),
+        )
+    )
+    item = F.struct((-F.col("__cos")).alias("nc"), F.col("__id").alias("id"))
+    p1 = scored.groupBy("__q", (F.col("__id") % n_salt).alias("__s")).agg(
+        F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("__part")
+    )
+    p2 = p1.groupBy("__q").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("__part"))), 1, k).alias("__top")
+    )
+    return p2.select(
+        F.col("__q").alias("q_id"),
+        F.posexplode("__top").alias("__pos", "__t"),
+    ).select(
+        "q_id",
+        (F.col("__pos") + 1).cast("long").alias("rank"),
+        F.col("__t.id").alias(id_col),
+        (-F.col("__t.nc")).alias("cosine"),
+    )

@@ -1556,6 +1556,16 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_knn_join(spark, sf_dir):
+    """Bulk exact kNN join: top-10 cosine neighbors for every query
+    vector (vec_id % 100 == 0), via the two-phase salted top-k merge."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.knn_join(qs, emb, k=10)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl-snapshot diff: documents vs a deterministically perturbed
     next snapshot (some ids removed, some texts edited, some added) —
@@ -1754,6 +1764,7 @@ QUERIES = {
     "schema_profile": q_schema_profile,
     "fk_conformance": q_fk_conformance,
     "snapshot_diff": q_snapshot_diff,
+    "knn_join": q_knn_join,
     "interval_coverage": q_interval_coverage,
     "seasonal_baseline": q_seasonal_baseline,
     "key_skew_stats": q_key_skew_stats,
@@ -3597,4 +3608,24 @@ ORACLES["snapshot_diff"] = """
                 ELSE 'unchanged' END AS status,
            count(*) AS n_keys
     FROM j GROUP BY 1
+"""
+
+ORACLES["knn_join"] = """
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q_id, vec_id,
+             round(list_cosine_similarity(v, qv), 6) AS cosine
+      FROM q CROSS JOIN c WHERE vec_id <> q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """

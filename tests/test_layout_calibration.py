@@ -109,3 +109,75 @@ def test_minhash_calibration_err_is_est_minus_exact(spark):
         r = out[0]
         assert 0.0 < r.jaccard < 1.0
         assert r.err == round(r.est_jaccard - r.jaccard, 6)
+
+
+# --- knn_join ---
+
+
+def test_knn_join_exact_neighbors_ranked(spark):
+    from kairos_spark.operators import similarity
+
+    # corpus on a line: q=[1,0]; neighbors by cosine: all positive-x
+    # vectors tie at cos=1 -> vec_id tiebreak; negative-x sorts last
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[2.0, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+            Row(vec_id=4, embedding=[-1.0, 0.0]),
+        ]
+    )
+    qs = spark.createDataFrame([Row(q_id=100, embedding=[1.0, 0.0])])
+    out = sorted(
+        similarity.knn_join(qs, corpus, k=3).collect(), key=lambda r: r.rank
+    )
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].cosine == 1.0 and out[1].cosine == 1.0
+    assert out[2].cosine == 0.0
+
+
+def test_knn_join_excludes_self_and_handles_many_queries(spark):
+    from kairos_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i + 1), 1.0]) for i in range(20)]
+    )
+    qs = corpus.where("vec_id IN (0, 7)").selectExpr("vec_id AS q_id", "embedding")
+    out = similarity.knn_join(qs, corpus, k=5, n_salt=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 7}
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(r.vec_id != q for r in rows)
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_knn_join_salted_merge_matches_bruteforce(spark):
+    import math
+
+    from kairos_spark.operators import similarity
+
+    vecs = {i: [math.cos(i * 0.37), math.sin(i * 0.37)] for i in range(30)}
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()]
+    )
+    qs = spark.createDataFrame([Row(q_id=0, embedding=vecs[0])])
+    out = sorted(
+        similarity.knn_join(qs, corpus, k=6, n_salt=8).collect(),
+        key=lambda r: r.rank,
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    brute = sorted(
+        ((cos(vecs[0], v), i) for i, v in vecs.items() if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:6]
+    assert [(r.vec_id, r.cosine) for r in out] == [(i, c) for c, i in brute]

@@ -86,6 +86,7 @@ AUDITED = [
     "schema_profile",
     "fk_conformance",
     "snapshot_diff",
+    "knn_join",
 ]
 
 CHECKS = {
@@ -240,6 +241,10 @@ CHECKS = {
     # each side reduces to (key, digest) BEFORE the full outer join;
     # payload columns must not cross the exchange
     "snapshot_diff": ["FullOuter", "HashAggregate", "!CartesianProduct"],
+    # query block broadcasts; per-query top-k is the two-phase salted
+    # merge (chained aggregates) — no per-query Window sort over the
+    # corpus and no shuffled join
+    "knn_join": ["HashAggregate", "BroadcastNestedLoopJoin", "!Window", "!SortMergeJoin"],
 }
 
 
