@@ -239,3 +239,57 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salt)]))
     )
     return l.join(s, key_cols + ["__salt"]).drop("__salt")
+
+
+def fuzzy_blocked_match(
+    dirty: DataFrame,
+    clean: DataFrame,
+    dirty_id: str,
+    dirty_text: str,
+    clean_id: str,
+    clean_text: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate pairs come ONLY from
+    equality on ``block_cols`` (the blocking key), then survive a
+    Levenshtein filter, and each dirty record keeps its best match
+    (smallest distance, smallest clean id on ties) plus its candidate
+    count — n_candidates > 1 is the ambiguity signal a human review
+    queue keys on.
+
+    Scale shape: blocking turns the quadratic all-pairs comparison
+    into a plain equality hash join — cost is sum over blocks of
+    |dirty_b| x |clean_b| distance evaluations, so CHOOSE BLOCKS THAT
+    BOUND THE SKEW (e.g. region + name-prefix, never a constant). The
+    best-match reduction is a single min(struct) aggregate — no
+    window, no second shuffle beyond the dirty id."""
+    d = dirty.select(
+        F.col(dirty_id).alias("__did"),
+        F.col(dirty_text).alias("__dt"),
+        *[F.col(c) for c in block_cols],
+    )
+    c = clean.select(
+        F.col(clean_id).alias("__cid"),
+        F.col(clean_text).alias("__ct"),
+        *[F.col(col) for col in block_cols],
+    )
+    cand = (
+        d.join(c, block_cols)
+        .select(
+            "__did",
+            "__cid",
+            F.levenshtein(F.col("__dt"), F.col("__ct")).alias("__dist"),
+        )
+        .where(F.col("__dist") <= max_dist)
+    )
+    best = F.min(F.struct(F.col("__dist"), F.col("__cid")))
+    return cand.groupBy("__did").agg(
+        F.count("*").alias("n_candidates"),
+        best.alias("__best"),
+    ).select(
+        F.col("__did").alias("dirty_id"),
+        "n_candidates",
+        F.col("__best.__dist").alias("best_dist"),
+        F.col("__best.__cid").alias("best_id"),
+    )

@@ -509,3 +509,40 @@ def knn_join(
         F.col("__t.id").alias(id_col),
         (-F.col("__t.nc")).alias("cosine"),
     )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise screen by neighbor voting: every vector queries its
+    k nearest neighbors (exact cosine, self excluded) and counts how
+    many share its label; per label the mean agreement and the number
+    of SUSPECT vectors (fewer than half the neighbors agree) come
+    back. Low agreement concentrated in one label = mislabeled or
+    heterogeneous class — triage before training, not after.
+
+    All aggregation is integer until the final division
+    (sum of matches / (k * n_vecs)), so the result is exact.
+
+    Scale shape: reuses knn_join — query block broadcast, salted
+    two-phase top-k. Using the full corpus as the query set makes this
+    O(N²) scoring: at 100 TB run it on a stratified sample per label
+    or swap the exact kNN for the LSH-bucketed candidates; the voting
+    logic is unchanged."""
+    qs = df.select(F.col(id_col).alias("q_id"), F.col(vec_col))
+    nn = knn_join(qs, df, k=k, id_col=id_col, vec_col=vec_col)
+    own = df.select(F.col(id_col).alias("q_id"), F.col(label_col).alias("__ql"))
+    other = df.select(F.col(id_col), F.col(label_col).alias("__nl"))
+    j = nn.join(F.broadcast(own), "q_id").join(F.broadcast(other), id_col)
+    per_vec = j.groupBy("q_id", "__ql").agg(
+        F.sum((F.col("__nl") == F.col("__ql")).cast("long")).alias("__m")
+    )
+    return per_vec.groupBy(F.col("__ql").alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("__m") / (F.lit(k) * F.count("*")), 6).alias("mean_agreement"),
+        F.sum((F.col("__m") * 2 < k).cast("long")).alias("n_suspect"),
+    )

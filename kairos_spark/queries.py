@@ -1556,6 +1556,38 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy record linkage: customer names with one character
+    deterministically deleted, matched back against the clean table
+    blocked on nation, Levenshtein <= 2, best match + ambiguity count."""
+    c = _tbl(spark, sf_dir, "customer")
+    dirty = c.select(
+        (F.col("c_custkey") + 1000000).alias("d_id"),
+        F.expr(
+            "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+            " substring(c_name, 11 + c_custkey % 8))"
+        ).alias("d_name"),
+        "c_nationkey",
+    )
+    return joins.fuzzy_blocked_match(
+        dirty, c, "d_id", "d_name", "c_custkey", "c_name",
+        ["c_nationkey"], max_dist=2,
+    )
+
+
+def q_interarrival(spark, sf_dir):
+    """Per-user inter-arrival gap distribution (median/p90/max seconds)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.interarrival_stats(ev, "user_id", "ts", order_col="event_id")
+
+
+def q_label_agreement(spark, sf_dir):
+    """kNN label-noise screen: per label, mean 10-NN label agreement and
+    suspect (minority-agreement) vector count."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.knn_label_agreement(emb, k=10)
+
+
 def q_knn_join(spark, sf_dir):
     """Bulk exact kNN join: top-10 cosine neighbors for every query
     vector (vec_id % 100 == 0), via the two-phase salted top-k merge."""
@@ -1765,6 +1797,9 @@ QUERIES = {
     "fk_conformance": q_fk_conformance,
     "snapshot_diff": q_snapshot_diff,
     "knn_join": q_knn_join,
+    "fuzzy_match": q_fuzzy_match,
+    "interarrival": q_interarrival,
+    "label_agreement": q_label_agreement,
     "interval_coverage": q_interval_coverage,
     "seasonal_baseline": q_seasonal_baseline,
     "key_skew_stats": q_key_skew_stats,
@@ -3628,4 +3663,69 @@ ORACLES["knn_join"] = """
       FROM scored
     )
     SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+"""
+
+ORACLES["fuzzy_match"] = """
+    WITH dirty AS (
+      SELECT c_custkey + 1000000 AS d_id,
+             substring(c_name, 1, 9 + c_custkey % 8)
+               || substring(c_name, 11 + c_custkey % 8) AS d_name,
+             c_nationkey
+      FROM customer
+    ),
+    cand AS (
+      SELECT d_id, c.c_custkey AS cid, levenshtein(d_name, c.c_name) AS dist
+      FROM dirty JOIN customer c USING (c_nationkey)
+      WHERE levenshtein(d_name, c.c_name) <= 2
+    ),
+    agg AS (
+      SELECT d_id, count(*) AS n_candidates, min(dist) AS best_dist
+      FROM cand GROUP BY 1
+    ),
+    best AS (
+      SELECT cand.d_id, min(cid) AS best_id
+      FROM cand JOIN agg ON cand.d_id = agg.d_id AND cand.dist = agg.best_dist
+      GROUP BY 1
+    )
+    SELECT agg.d_id AS dirty_id, n_candidates, best_dist, best_id
+    FROM agg JOIN best ON agg.d_id = best.d_id
+"""
+
+ORACLES["interarrival"] = """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS g
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_gaps,
+           round(quantile_cont(g, 0.5), 6) AS median_gap,
+           round(quantile_cont(g, 0.9), 6) AS p90_gap,
+           round(max(g), 6) AS max_gap
+    FROM gaps WHERE g IS NOT NULL GROUP BY 1
+"""
+
+ORACLES["label_agreement"] = """
+    WITH c AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS ql, c.vec_id AS nid, c.label AS nl,
+             round(list_cosine_similarity(c.v, q.v), 6) AS cosine
+      FROM c q JOIN c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, ql, nl,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nid) AS rnk
+      FROM scored
+    ),
+    per AS (
+      SELECT q_id, ql,
+             CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM ranked WHERE rnk <= 10 GROUP BY 1, 2
+    )
+    SELECT ql AS label, count(*) AS n_vecs,
+           round(sum(m) * 1.0 / (10 * count(*)), 6) AS mean_agreement,
+           CAST(sum(CASE WHEN m * 2 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+    FROM per GROUP BY 1
 """

@@ -150,3 +150,104 @@ def test_pagerank_weights_shift_rank(spark):
     )
     out = {r.node: r.rank for r in graph.pagerank(edges, weight_col="w", iters=2).collect()}
     assert out["b"] > out["c"]
+
+
+# --- fuzzy_blocked_match ---
+
+
+def test_fuzzy_match_finds_best_and_counts_ambiguity(spark):
+    clean = spark.createDataFrame(
+        [
+            Row(cid=1, name="alpha", blk=1),
+            Row(cid=2, name="alphz", blk=1),
+            Row(cid=3, name="zzzzz", blk=1),
+            Row(cid=4, name="alpha", blk=2),  # other block: unreachable
+        ]
+    )
+    dirty = spark.createDataFrame([Row(did=100, name="alphq", blk=1)])
+    out = joins.fuzzy_blocked_match(
+        dirty, clean, "did", "name", "cid", "name", ["blk"], max_dist=1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # candidates: cid 1 (dist 1) and cid 2 (dist 1); zzzzz filtered
+    assert r.n_candidates == 2
+    assert r.best_dist == 1 and r.best_id == 1  # tie -> min id
+
+
+def test_fuzzy_match_blocking_prevents_cross_block(spark):
+    clean = spark.createDataFrame([Row(cid=1, name="same", blk=1)])
+    dirty = spark.createDataFrame([Row(did=9, name="same", blk=2)])
+    out = joins.fuzzy_blocked_match(
+        dirty, clean, "did", "name", "cid", "name", ["blk"], max_dist=2
+    ).collect()
+    assert out == []
+
+
+def test_fuzzy_match_exact_dup_distance_zero(spark):
+    clean = spark.createDataFrame([Row(cid=7, name="hello world", blk=0)])
+    dirty = spark.createDataFrame([Row(did=1, name="hello world", blk=0)])
+    r = joins.fuzzy_blocked_match(
+        dirty, clean, "did", "name", "cid", "name", ["blk"]
+    ).collect()[0]
+    assert r.best_dist == 0 and r.best_id == 7
+
+
+# --- interarrival_stats ---
+
+
+def test_interarrival_gaps_and_percentiles(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    offs = [0, 10, 30, 70]  # gaps 10, 20, 40
+    rows = [
+        Row(user_id=1, event_id=i, ts=base + dt.timedelta(seconds=o))
+        for i, o in enumerate(offs)
+    ]
+    from kairos_spark.operators import windows as w
+
+    r = w.interarrival_stats(
+        spark.createDataFrame(rows), "user_id", "ts", order_col="event_id"
+    ).collect()[0]
+    assert r.n_gaps == 3
+    assert r.median_gap == 20.0
+    assert r.max_gap == 40.0
+    # percentile(0.9) over [10,20,40]: interpolated = 20 + 0.8*20 = 36
+    assert r.p90_gap == 36.0
+
+
+def test_interarrival_single_event_user_excluded(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [Row(user_id=1, event_id=1, ts=base)]
+    from kairos_spark.operators import windows as w
+
+    assert (
+        w.interarrival_stats(spark.createDataFrame(rows), "user_id", "ts").collect()
+        == []
+    )
+
+
+# --- knn_label_agreement ---
+
+
+def test_label_agreement_clean_vs_noisy_cluster(spark):
+    from kairos_spark.operators import similarity
+
+    # two tight clusters far apart; one vector of label 1 sits inside
+    # cluster 0 -> its neighbors all disagree -> suspect
+    rows = [Row(vec_id=i, label=0, embedding=[0.0 + i * 1e-3, 1.0]) for i in range(4)]
+    rows += [Row(vec_id=10 + i, label=1, embedding=[1.0, -1.0 + i * 1e-3]) for i in range(4)]
+    rows += [Row(vec_id=99, label=1, embedding=[0.002, 1.0])]  # mislabeled
+    out = {
+        r.label: r
+        for r in similarity.knn_label_agreement(
+            spark.createDataFrame(rows), k=3
+        ).collect()
+    }
+    assert out[0].n_vecs == 4 and out[1].n_vecs == 5
+    # label-0 vectors neighbor each other (and the intruder) — high agreement
+    assert out[0].mean_agreement > 0.5
+    assert out[1].n_suspect >= 1  # the intruder's neighbors are label 0

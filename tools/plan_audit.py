@@ -87,6 +87,9 @@ AUDITED = [
     "fk_conformance",
     "snapshot_diff",
     "knn_join",
+    "fuzzy_match",
+    "interarrival",
+    "label_agreement",
 ]
 
 CHECKS = {
@@ -245,6 +248,16 @@ CHECKS = {
     # merge (chained aggregates) — no per-query Window sort over the
     # corpus and no shuffled join
     "knn_join": ["HashAggregate", "BroadcastNestedLoopJoin", "!Window", "!SortMergeJoin"],
+    # blocking must plan as an EQUALITY hash join (the whole point);
+    # best-match is one min(struct) aggregate (SortAggregate — struct
+    # min has no hash form), no window
+    "fuzzy_match": ["HashJoin", "SortAggregate", "!NestedLoop", "!Window"],
+    # one key shuffle for the lag window; exact-percentile aggregate
+    # (ObjectHashAggregate) reuses it — no join
+    "interarrival": ["Window", "Aggregate", "!Join"],
+    # voting rides the salted knn shape + broadcast label joins — no
+    # per-query window, no shuffled join of the N x N scored pairs
+    "label_agreement": ["HashAggregate", "BroadcastNestedLoopJoin", "!Window", "!SortMergeJoin"],
 }
 
 
