@@ -493,13 +493,7 @@ def knn_join(
             F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("__cos"),
         )
     )
-    item = F.struct((-F.col("__cos")).alias("nc"), F.col("__id").alias("id"))
-    p1 = scored.groupBy("__q", (F.col("__id") % n_salt).alias("__s")).agg(
-        F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("__part")
-    )
-    p2 = p1.groupBy("__q").agg(
-        F.slice(F.sort_array(F.flatten(F.collect_list("__part"))), 1, k).alias("__top")
-    )
+    p2 = _grouped_topk(scored, k, n_salt)
     return p2.select(
         F.col("__q").alias("q_id"),
         F.posexplode("__top").alias("__pos", "__t"),
@@ -508,6 +502,93 @@ def knn_join(
         (F.col("__pos") + 1).cast("long").alias("rank"),
         F.col("__t.id").alias(id_col),
         (-F.col("__t.nc")).alias("cosine"),
+    )
+
+
+def _grouped_topk(scored: DataFrame, k: int, n_salt: int) -> DataFrame:
+    """Two-phase salted top-k over (__q, __id, __cos) rows: stage 1
+    keeps each (query, id % n_salt)'s k best as a sorted slice
+    (bounded state, map-side combined), stage 2 merges the n_salt
+    partial lists. Returns (__q, __top: array<struct<nc, id>>) with nc
+    = negated rounded cosine, so ascending sort = best first. Shared by
+    knn_join and lsh_recall so exact and approximate paths rank
+    identically."""
+    item = F.struct((-F.col("__cos")).alias("nc"), F.col("__id").alias("id"))
+    p1 = scored.groupBy("__q", (F.col("__id") % n_salt).alias("__s")).agg(
+        F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("__part")
+    )
+    return p1.groupBy("__q").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("__part"))), 1, k).alias("__top")
+    )
+
+
+def lsh_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 8,
+    probe_hamming: int = 2,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salt: int = 16,
+) -> DataFrame:
+    """ANN recall audit: per query, the SRP-LSH multi-probe top-k
+    against the EXACT top-k — (q_id, n_candidates, recall). The last
+    member of the measure-the-approximation family (cms overcount,
+    bloom fp_rate, minhash err): this is the number that justifies a
+    planes/probe_hamming choice before you commit a cluster to the
+    bucketed path.
+
+    Scale shape: both paths broadcast the query block and never
+    shuffle corpus vectors; the LSH path scores only the
+    hamming-probed candidate fraction (~C(planes, <=probe)/2^planes of
+    the corpus), which is exactly the cost saving being measured.
+    Top-k for both paths goes through the same salted merge, so exact
+    and approximate ranking tie-break identically."""
+    vec = F.col(vec_col).cast("array<double>")
+    exact = knn_join(
+        queries, corpus, k=k, q_id_col=q_id_col, id_col=id_col,
+        vec_col=vec_col, n_salt=n_salt,
+    ).select(F.col("q_id").alias("__q"), F.col(id_col).alias("__id"))
+    qb = queries.select(
+        F.col(q_id_col).alias("__q"),
+        vec.alias("__qv"),
+        lsh_bucket(vec, dim, planes).alias("__qb"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("__id"),
+        vec.alias("__v"),
+        lsh_bucket(vec, dim, planes).alias("__cb"),
+    )
+    cand = (
+        cb.crossJoin(F.broadcast(qb))
+        .where(
+            (F.bit_count(F.col("__cb").bitwiseXOR(F.col("__qb"))) <= probe_hamming)
+            & (F.col("__id") != F.col("__q"))
+        )
+        .select(
+            "__q",
+            "__id",
+            F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("__cos"),
+        )
+    )
+    ncand = cand.groupBy("__q").agg(F.count("*").alias("n_candidates"))
+    atop = (
+        _grouped_topk(cand, k, n_salt)
+        .select("__q", F.explode("__top").alias("__t"))
+        .select("__q", F.col("__t.id").alias("__id"))
+    )
+    # both sides of the scoring joins are k x |queries| audit rows —
+    # broadcast them so no sort-merge exchange appears for 50-row frames
+    hits = atop.join(F.broadcast(exact), ["__q", "__id"]).groupBy("__q").agg(
+        F.count("*").alias("__h")
+    )
+    return ncand.join(F.broadcast(hits), "__q", "left").select(
+        F.col("__q").alias("q_id"),
+        "n_candidates",
+        F.round(F.coalesce(F.col("__h"), F.lit(0)) / F.lit(k), 6).alias("recall"),
     )
 
 

@@ -1556,6 +1556,16 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_lsh_recall(spark, sf_dir):
+    """ANN recall audit: SRP-LSH multi-probe top-10 vs exact top-10
+    recall per query vector (8 planes, hamming probe 2)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.lsh_recall(qs, emb, dim=64, k=10, planes=8, probe_hamming=2)
+
+
 def q_fuzzy_match(spark, sf_dir):
     """Blocked fuzzy record linkage: customer names with one character
     deterministically deleted, matched back against the clean table
@@ -1768,12 +1778,13 @@ def q_event_pivot(spark, sf_dir):
 # the tail is cut again.
 QUERIES = {
     # --- registry order drives the driver's 50-entry correctness budget. ---
-    # Round-4 rotation: the 26 NEW round-4 queries lead (never
-    # driver-checked), then the 34 entries the r03 run never reached;
-    # the r03-green 50 rotate to the tail. With >50 candidates the last
-    # few pre-r4 ts_* entries fall past the budget — all were
-    # driver-green in CORRECTNESS_r01/r02 and stay covered by the local
-    # mirror (tools/check_correctness.py, 0 failures across all 110).
+    # Round-4 rotation: the 30 NEW round-4 queries lead (never
+    # driver-checked), then the entries the r03 run never reached —
+    # reference-parity ts_* rows ahead of pipeline re-checks — and the
+    # r03-green 50 rotate to the tail. With >50 candidates the oldest
+    # re-checks fall past the budget; all were driver-green in
+    # CORRECTNESS_r01/r02 and stay covered by the local mirror
+    # (tools/check_correctness.py, 0 failures across the full registry).
     "session_transitions": q_session_transitions,
     "doc_chunks": q_doc_chunks,
     "inverted_index": q_inverted_index,
@@ -1797,6 +1808,7 @@ QUERIES = {
     "fk_conformance": q_fk_conformance,
     "snapshot_diff": q_snapshot_diff,
     "knn_join": q_knn_join,
+    "lsh_recall": q_lsh_recall,
     "fuzzy_match": q_fuzzy_match,
     "interarrival": q_interarrival,
     "label_agreement": q_label_agreement,
@@ -1804,15 +1816,6 @@ QUERIES = {
     "seasonal_baseline": q_seasonal_baseline,
     "key_skew_stats": q_key_skew_stats,
     "event_pivot": q_event_pivot,
-    "repetition_stats": q_repetition_stats,
-    "word_entropy": q_word_entropy,
-    "contamination": q_contamination,
-    "dedup_incremental": q_dedup_incremental,
-    "token_topk_by_lang": q_token_topk_by_lang,
-    "cohort_retention": q_cohort_retention,
-    "embed_near_pairs_lsh": q_embed_near_pairs_lsh,
-    "shard_packing": q_shard_packing,
-    "sketch_distinct": q_sketch_distinct,
     "ts_count_series_hour": q_ts_count_series_hour,
     "ts_count_rate_minute": q_ts_count_rate_minute,
     "ts_series_transforms_hour": q_ts_series_transforms_hour,
@@ -1838,7 +1841,17 @@ QUERIES = {
     "ts_variance_collapse": q_ts_variance_collapse,
     "ts_gauge_join": q_ts_gauge_join,
     "ts_series_condense_order": q_ts_series_condense_order,
-    # --- below here: driver-green in CORRECTNESS_r03.json ---
+    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
+    "ts_multires_rollup": q_ts_multires_rollup,
+    "repetition_stats": q_repetition_stats,
+    "word_entropy": q_word_entropy,
+    "contamination": q_contamination,
+    "dedup_incremental": q_dedup_incremental,
+    "token_topk_by_lang": q_token_topk_by_lang,
+    "cohort_retention": q_cohort_retention,
+    "embed_near_pairs_lsh": q_embed_near_pairs_lsh,
+    "shard_packing": q_shard_packing,
+    "sketch_distinct": q_sketch_distinct,
     "kmeans_clusters": q_kmeans_clusters,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_lm_score": q_bigram_lm_score,
@@ -1852,14 +1865,12 @@ QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "window_top_orders": q_window_top_orders,
-    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
     "value_percentiles": q_value_percentiles,
     "json_props_stats": q_json_props_stats,
     "range_join_user_events": q_range_join_user_events,
     "rollup_revenue_region": q_rollup_revenue_region,
     "semi_join_urgent_custs": q_semi_join_urgent_custs,
     "anti_join_quiet_custs": q_anti_join_quiet_custs,
-    "ts_multires_rollup": q_ts_multires_rollup,
     "event_sessions": q_event_sessions,
     "asof_signup_purchase": q_asof_signup_purchase,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -3728,4 +3739,64 @@ ORACLES["label_agreement"] = """
            round(sum(m) * 1.0 / (10 * count(*)), 6) AS mean_agreement,
            CAST(sum(CASE WHEN m * 2 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
     FROM per GROUP BY 1
+"""
+
+ORACLES["lsh_recall"] = """
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+    hs AS (SELECT unnest(generate_series(0, 7)) AS h),
+    planes AS (
+      SELECT hs.h, dims.d,
+             (('0x' || substr(md5('plane' || hs.h || ':' || dims.d), 1, 8))::BIGINT
+              / 4294967296.0) * 2.0 - 1.0 AS c
+      FROM hs, dims
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    comp AS (SELECT vec_id, dims.d, v[dims.d + 1] AS x FROM e, dims),
+    dots AS (
+      SELECT comp.vec_id, p.h, sum(comp.x * p.c) AS dp
+      FROM comp JOIN planes p ON p.d = comp.d
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id, sum(CASE WHEN dp >= 0 THEN 1 << h ELSE 0 END) AS b
+      FROM dots GROUP BY 1
+    ),
+    qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    qb AS (
+      SELECT q_id, qv, b AS qbucket
+      FROM qs JOIN buckets ON buckets.vec_id = qs.q_id
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT qs.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY qs.q_id
+                                  ORDER BY round(list_cosine_similarity(e.v, qs.qv), 6) DESC,
+                                           e.vec_id) AS rnk
+        FROM qs JOIN e ON e.vec_id <> qs.q_id
+      ) WHERE rnk <= 10
+    ),
+    cand AS (
+      SELECT qb.q_id, e.vec_id, qb.qv, e.v
+      FROM qb, e JOIN buckets bk ON e.vec_id = bk.vec_id
+      WHERE bit_count(xor(CAST(bk.b AS BIGINT), CAST(qb.qbucket AS BIGINT))) <= 2
+        AND e.vec_id <> qb.q_id
+    ),
+    napprox AS (SELECT q_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+    atop AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+                                           vec_id) AS rnk
+        FROM cand
+      ) WHERE rnk <= 10
+    ),
+    hits AS (
+      SELECT a.q_id, CAST(count(*) AS BIGINT) AS h
+      FROM atop a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+      GROUP BY 1
+    )
+    SELECT n.q_id, n.n_candidates,
+           round(coalesce(h, 0) / 10.0, 6) AS recall
+    FROM napprox n LEFT JOIN hits ON n.q_id = hits.q_id
 """

@@ -181,3 +181,46 @@ def test_knn_join_salted_merge_matches_bruteforce(spark):
         key=lambda t: (-t[0], t[1]),
     )[:6]
     assert [(r.vec_id, r.cosine) for r in out] == [(i, c) for c, i in brute]
+
+
+# --- lsh_recall ---
+
+
+def test_lsh_recall_full_probe_is_exact(spark):
+    import math
+
+    from kairos_spark.operators import similarity
+
+    vecs = {i: [math.cos(i * 0.5), math.sin(i * 0.5)] for i in range(12)}
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()]
+    )
+    qs = spark.createDataFrame([Row(q_id=0, embedding=vecs[0])])
+    # probe_hamming >= planes: every bucket probed -> candidates = all,
+    # recall must be exactly 1
+    r = similarity.lsh_recall(
+        qs, corpus, dim=2, k=5, planes=4, probe_hamming=4
+    ).collect()[0]
+    assert r.n_candidates == 11  # all but self
+    assert r.recall == 1.0
+
+
+def test_lsh_recall_restricted_probe_bounded(spark):
+    import math
+
+    from kairos_spark.operators import similarity
+
+    vecs = {i: [math.cos(i * 0.23), math.sin(i * 0.23)] for i in range(40)}
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()]
+    )
+    qs = spark.createDataFrame(
+        [Row(q_id=0, embedding=vecs[0]), Row(q_id=20, embedding=vecs[20])]
+    )
+    out = similarity.lsh_recall(
+        qs, corpus, dim=2, k=5, planes=6, probe_hamming=1
+    ).collect()
+    assert {r.q_id for r in out} == {0, 20}
+    for r in out:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_candidates <= 39

@@ -90,6 +90,7 @@ AUDITED = [
     "fuzzy_match",
     "interarrival",
     "label_agreement",
+    "lsh_recall",
 ]
 
 CHECKS = {
@@ -258,6 +259,9 @@ CHECKS = {
     # voting rides the salted knn shape + broadcast label joins — no
     # per-query window, no shuffled join of the N x N scored pairs
     "label_agreement": ["HashAggregate", "BroadcastNestedLoopJoin", "!Window", "!SortMergeJoin"],
+    # both exact and probed paths broadcast the query block and rank
+    # via the salted merge — no per-query window over corpus rows
+    "lsh_recall": ["HashAggregate", "BroadcastNestedLoopJoin", "!Window", "!SortMergeJoin"],
 }
 
 
