@@ -561,3 +561,66 @@ def interarrival_stats(
         F.round(F.expr("percentile(__gap, 0.9)"), 6).alias("p90_gap"),
         F.round(F.max("__gap"), 6).alias("max_gap"),
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Per-key least-squares trend over bucket counts: slope (events
+    per bucket-step), intercept, and R² from the closed-form OLS sums
+    — "is this metric actually growing, and how well does a line
+    explain it" without leaving SQL-exact arithmetic.
+
+    Exactness: x is the bucket index OFFSET FROM THE KEY'S FIRST
+    BUCKET (not the raw epoch — raw-epoch x² sums cancel
+    catastrophically in doubles), so every Σx, Σy, Σxy, Σx², Σy² is
+    exact int64; the final slope/intercept/R² are single double
+    divisions over exact integers — engine-reproducible to the bit.
+    Keys with fewer than 2 buckets (or zero x-variance) are dropped.
+
+    Scale shape: events collapse to per-(key, bucket) counts first;
+    the per-key mins broadcast back; one more aggregate computes the
+    five sums. Raw events shuffle once."""
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    mins = counts.groupBy("name").agg(F.min("i_time").alias("__m"))
+    xy = counts.join(F.broadcast(mins), "name").select(
+        "name",
+        ((F.col("i_time") - F.col("__m")) / step_sec).cast("long").alias("__x"),
+        F.col("n").alias("__y"),
+    )
+    s = xy.groupBy("name").agg(
+        F.count("*").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    den1 = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    den2 = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    inum = (F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")).cast(
+        "double"
+    )
+    return (
+        s.where((F.col("__n") >= 2) & (den1 > 0))
+        .select(
+            "name",
+            F.col("__n").alias("n_buckets"),
+            F.round(num / den1, 6).alias("slope"),
+            F.round(inum / den1, 6).alias("intercept"),
+            F.round(
+                F.when(den2 > 0, (num * num) / (den1 * den2)).otherwise(F.lit(1.0)),
+                6,
+            ).alias("r2"),
+        )
+    )

@@ -1556,6 +1556,12 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_trend_slope(spark, sf_dir):
+    """Per-type OLS trend over daily event counts (slope/intercept/R²)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.trend_slope(ev, step_sec=86400)
+
+
 def q_lsh_recall(spark, sf_dir):
     """ANN recall audit: SRP-LSH multi-probe top-10 vs exact top-10
     recall per query vector (8 planes, hamming probe 2)."""
@@ -1809,6 +1815,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "knn_join": q_knn_join,
     "lsh_recall": q_lsh_recall,
+    "trend_slope": q_trend_slope,
     "fuzzy_match": q_fuzzy_match,
     "interarrival": q_interarrival,
     "label_agreement": q_label_agreement,
@@ -3799,4 +3806,43 @@ ORACLES["lsh_recall"] = """
     SELECT n.q_id, n.n_candidates,
            round(coalesce(h, 0) / 10.0, 6) AS recall
     FROM napprox n LEFT JOIN hits ON n.q_id = hits.q_id
+"""
+
+ORACLES["trend_slope"] = """
+    WITH counts AS (
+      SELECT event_type AS name,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS i_time,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    mins AS (SELECT name, min(i_time) AS m FROM counts GROUP BY 1),
+    xy AS (
+      SELECT counts.name,
+             CAST((i_time - m) / 86400 AS BIGINT) AS x,
+             y
+      FROM counts JOIN mins ON counts.name = mins.name
+    ),
+    s AS (
+      SELECT name,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM xy GROUP BY 1
+    )
+    SELECT name, n AS n_buckets,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
+           round(CASE WHEN n * syy - sy * sy > 0
+                      THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                            * CAST(n * sxy - sx * sy AS DOUBLE))
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                      ELSE 1.0 END, 6) AS r2
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0
 """

@@ -150,3 +150,32 @@ def test_containment_catches_prefix_truncation(spark):
     out = dedup.containment_pairs(docs, n=8, threshold=0.8).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
     assert out[0]["containment"] >= 0.9
+
+
+def test_trend_slope_exact_line(spark):
+    # counts 2, 4, 6 on consecutive days: slope 2/day, intercept 2, R²=1
+    rows = []
+    for d, n in ((1, 2), (2, 4), (3, 6)):
+        rows += [Row(event_type="a", ts=dt.datetime(2024, 1, d, tzinfo=UTC))] * n
+    out = windows.trend_slope(
+        spark.createDataFrame(rows), step_sec=86400
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_buckets == 3
+    assert r.slope == 2.0 and r.intercept == 2.0 and r.r2 == 1.0
+
+
+def test_trend_slope_flat_series(spark):
+    rows = [
+        Row(event_type="a", ts=dt.datetime(2024, 1, d, tzinfo=UTC))
+        for d in (1, 2, 3)
+    ]
+    r = windows.trend_slope(spark.createDataFrame(rows), step_sec=86400).collect()[0]
+    # constant y: slope 0; zero y-variance -> r2 defined as 1.0
+    assert r.slope == 0.0 and r.intercept == 1.0 and r.r2 == 1.0
+
+
+def test_trend_slope_single_bucket_dropped(spark):
+    rows = [Row(event_type="a", ts=dt.datetime(2024, 1, 1, tzinfo=UTC))]
+    assert windows.trend_slope(spark.createDataFrame(rows), step_sec=86400).collect() == []

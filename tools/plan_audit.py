@@ -91,6 +91,7 @@ AUDITED = [
     "interarrival",
     "label_agreement",
     "lsh_recall",
+    "trend_slope",
 ]
 
 CHECKS = {
@@ -262,6 +263,9 @@ CHECKS = {
     # both exact and probed paths broadcast the query block and rank
     # via the salted merge — no per-query window over corpus rows
     "lsh_recall": ["HashAggregate", "BroadcastNestedLoopJoin", "!Window", "!SortMergeJoin"],
+    # per-key mins broadcast back onto aggregated counts; the OLS sums
+    # are one more aggregate — no window, no sort-merge join
+    "trend_slope": ["HashAggregate", "BroadcastHashJoin", "!Window", "!SortMergeJoin"],
 }
 
 
