@@ -376,3 +376,74 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.groupBy(status.alias("status")).agg(F.count("*").alias("n_keys"))
+
+
+def fd_check(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate (lhs → rhs)
+    column pair, does every lhs value map to exactly one rhs value?
+    Output per pair: distinct lhs count, distinct (lhs, rhs) count,
+    the number of violating lhs values (those with >1 rhs), and
+    whether the FD holds. Schema-discovery bread and butter — FDs
+    decide which columns are denormalizable, which "id" columns are
+    actually keys, and which joins cannot fan out.
+
+    Scale shape: per pair, one distinct-pair aggregate then one lhs
+    aggregate — both map-side combinable, shuffling only the pair's
+    columns. Pairs evaluate independently and union at the end."""
+    outs = []
+    for lhs, rhs in pairs:
+        per_lhs = (
+            df.select(F.col(lhs).alias("__l"), F.col(rhs).alias("__r"))
+            .distinct()
+            .groupBy("__l")
+            .agg(F.count("*").alias("__nr"))
+        )
+        outs.append(
+            per_lhs.agg(
+                F.lit(f"{lhs}->{rhs}").alias("fd"),
+                F.count("*").alias("n_lhs"),
+                F.sum("__nr").cast("long").alias("n_pairs"),
+                F.sum((F.col("__nr") > 1).cast("long")).alias("n_violating"),
+                (F.sum((F.col("__nr") > 1).cast("long")) == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def tile_summary(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Quantile-tile (decile) assignment summary: rank rows by value
+    (ties broken by id for determinism), NTILE them into ``n_tiles``
+    even groups, and summarize each tile — n rows, min/max/sum of the
+    value. The segmentation cut every "top decile of customers"
+    analysis starts from.
+
+    Scale note: NTILE needs a TOTAL order — this plans a single-
+    partition sort, which is fine for dimension-sized inputs (the
+    intended use: per-entity aggregates, not raw events). For
+    fact-scale tiling, compute approx percentile cutpoints first and
+    assign tiles with a broadcast range lookup instead."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col(value_col).desc(), F.col(id_col))
+    tiled = df.select(
+        F.col(id_col), F.col(value_col), F.ntile(n_tiles).over(w).alias("tile")
+    )
+    # cast to double AFTER the (possibly DECIMAL-exact) aggregation so
+    # the output schema matches engines that surface doubles
+    return tiled.groupBy("tile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min(value_col).cast("double"), 2).alias("min_value"),
+        F.round(F.max(value_col).cast("double"), 2).alias("max_value"),
+        F.round(F.sum(value_col).cast("double"), 2).alias("sum_value"),
+    )

@@ -624,3 +624,94 @@ def trend_slope(
             ).alias("r2"),
         )
     )
+
+
+def debounce_stats(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    min_gap_sec: float = 5.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Debounce audit: per key-group, how many events survive a
+    "drop anything closer than min_gap_sec to the PREVIOUS event"
+    filter — the double-click / retry / sensor-chatter cleanup every
+    event pipeline runs before counting anything. Output per first
+    key column: n_events, n_kept, drop_rate.
+
+    Semantics note (deliberate, SQL-exact): the gap is measured to the
+    previous RAW event, not the previous kept one — a burst of events
+    each 1 s apart keeps only the first-of-run under chained-debounce
+    semantics but drops all-but-first here too; the two differ only
+    when bursts outlast min_gap_sec. Chained debounce is inherently
+    sequential (each decision depends on the previous decision);
+    this lag form is the distributable one-window-pass variant.
+
+    One key shuffle; the count aggregate reuses the partitioning."""
+    key_cols = key_cols or ["user_id", "event_type"]
+    order = [ts_col] + ([order_col] if order_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    secs = F.col(ts_col).cast("double")
+    gap = secs - F.lag(secs).over(w)
+    kept = (gap.isNull() | (gap >= min_gap_sec)).cast("long")
+    flagged = df.select(*[F.col(c) for c in key_cols], kept.alias("__k"))
+    return flagged.groupBy(key_cols[0]).agg(
+        F.count("*").alias("n_events"),
+        F.sum("__k").cast("long").alias("n_kept"),
+        F.round((F.count("*") - F.sum("__k")) / F.count("*"), 6).alias("drop_rate"),
+    )
+
+
+def count_correlation(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Pearson correlation between every PAIR of keys' bucket counts
+    over their SHARED buckets — "do errors spike when views spike?"
+    Output (key_a, key_b, n_buckets, corr) for key_a < key_b.
+
+    Exactness: counts are integers, so all five correlation sums are
+    exact int64 and the final r is one double expression over exact
+    integers (same discipline as trend_slope) — engine-exact. Pairs
+    with zero variance on either side are dropped.
+
+    Shared-bucket semantics: the inner join means an hour where one
+    key is silent is EXCLUDED, not zero-filled — correlation of
+    activity levels when both are active. Zero-filling would need the
+    dense spine (|keys| × |hours|); left-join one first if you want
+    absence to count as 0.
+
+    Scale shape: events collapse to per-(key, bucket) counts first;
+    the pair join is on the bucket key over those short rows
+    (|keys|² pair rows per bucket worst case); one aggregate per pair.
+    """
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    a = counts.select(
+        F.col("i_time"), F.col("name").alias("key_a"), F.col("n").alias("__x")
+    )
+    b = counts.select(
+        F.col("i_time"), F.col("name").alias("key_b"), F.col("n").alias("__y")
+    )
+    pairs = a.join(b, "i_time").where(F.col("key_a") < F.col("key_b"))
+    s = pairs.groupBy("key_a", "key_b").agg(
+        F.count("*").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    return (
+        s.where((vx > 0) & (vy > 0))
+        .select(
+            "key_a",
+            "key_b",
+            F.col("__n").alias("n_buckets"),
+            F.round(num / F.sqrt(vx * vy), 6).alias("corr"),
+        )
+    )

@@ -1556,6 +1556,45 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency audit: true FDs (orderkey→custkey) next to
+    a deliberately false candidate (custkey→orderpriority)."""
+    o = _tbl(spark, sf_dir, "orders")
+    return profiling.fd_check(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_orderkey", "o_orderpriority"),
+            ("o_custkey", "o_orderpriority"),
+        ],
+    )
+
+
+def q_event_debounce(spark, sf_dir):
+    """Debounce audit: per user drop rate of events within 60 s of the
+    previous (user, type) event."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.debounce_stats(
+        ev, ["user_id", "event_type"], "ts", min_gap_sec=60.0, order_col="event_id"
+    )
+
+
+def q_count_correlation(spark, sf_dir):
+    """Pearson correlation of hourly counts between event-type pairs."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.count_correlation(ev, step_sec=3600)
+
+
+def q_revenue_deciles(spark, sf_dir):
+    """Customer revenue deciles: NTILE(10) over per-customer order
+    totals (DECIMAL-exact), summarized per tile."""
+    o = _tbl(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    return profiling.tile_summary(per_cust, "revenue", "o_custkey", n_tiles=10)
+
+
 def q_trend_slope(spark, sf_dir):
     """Per-type OLS trend over daily event counts (slope/intercept/R²)."""
     ev = _tbl(spark, sf_dir, "events")
@@ -1816,6 +1855,10 @@ QUERIES = {
     "knn_join": q_knn_join,
     "lsh_recall": q_lsh_recall,
     "trend_slope": q_trend_slope,
+    "fd_check": q_fd_check,
+    "event_debounce": q_event_debounce,
+    "count_correlation": q_count_correlation,
+    "revenue_deciles": q_revenue_deciles,
     "fuzzy_match": q_fuzzy_match,
     "interarrival": q_interarrival,
     "label_agreement": q_label_agreement,
@@ -3845,4 +3888,97 @@ ORACLES["trend_slope"] = """
                       ELSE 1.0 END, 6) AS r2
     FROM s
     WHERE n >= 2 AND n * sxx - sx * sx > 0
+"""
+
+ORACLES["fd_check"] = """
+    WITH p1 AS (
+      SELECT o_orderkey AS l, o_custkey AS r FROM orders GROUP BY 1, 2
+    ),
+    g1 AS (SELECT l, count(*) AS nr FROM p1 GROUP BY 1),
+    p2 AS (
+      SELECT o_orderkey AS l, o_orderpriority AS r FROM orders GROUP BY 1, 2
+    ),
+    g2 AS (SELECT l, count(*) AS nr FROM p2 GROUP BY 1),
+    p3 AS (
+      SELECT o_custkey AS l, o_orderpriority AS r FROM orders GROUP BY 1, 2
+    ),
+    g3 AS (SELECT l, count(*) AS nr FROM p3 GROUP BY 1)
+    SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_lhs,
+           CAST(sum(nr) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM g1
+    UNION ALL
+    SELECT 'o_orderkey->o_orderpriority', count(*),
+           CAST(sum(nr) AS BIGINT),
+           CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+    FROM g2
+    UNION ALL
+    SELECT 'o_custkey->o_orderpriority', count(*),
+           CAST(sum(nr) AS BIGINT),
+           CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0
+    FROM g3
+"""
+
+ORACLES["event_debounce"] = """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w >= 60.0
+                  THEN 1 ELSE 0 END AS k
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS n_kept,
+           round((count(*) - sum(k)) * 1.0 / count(*), 6) AS drop_rate
+    FROM flagged GROUP BY 1
+"""
+
+ORACLES["count_correlation"] = """
+    WITH counts AS (
+      SELECT event_type AS name,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS i_time,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.name AS key_a, b.name AS key_b, a.n AS x, b.n AS y
+      FROM counts a JOIN counts b
+        ON a.i_time = b.i_time AND a.name < b.name
+    ),
+    s AS (
+      SELECT key_a, key_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT key_a, key_b, n AS n_buckets,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+ORACLES["revenue_deciles"] = """
+    WITH per_cust AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    tiled AS (
+      SELECT o_custkey, revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS tile
+      FROM per_cust
+    )
+    SELECT tile, count(*) AS n,
+           round(CAST(min(revenue) AS DOUBLE), 2) AS min_value,
+           round(CAST(max(revenue) AS DOUBLE), 2) AS max_value,
+           round(CAST(sum(revenue) AS DOUBLE), 2) AS sum_value
+    FROM tiled GROUP BY 1
 """

@@ -293,3 +293,36 @@ def test_snapshot_diff_multi_column_digest(spark):
     assert out[0].status == "changed"
     same = profiling.snapshot_diff(old, old, "k", ["a", "b"]).collect()
     assert same[0].status == "unchanged"
+
+
+# --- fd_check / tile_summary ---
+
+
+def test_fd_check_true_and_violated(spark):
+    rows = [
+        Row(a=1, b="x", c="p"),
+        Row(a=2, b="y", c="p"),
+        Row(a=2, b="y", c="q"),  # a=2 maps to two c values
+    ]
+    out = {
+        r.fd: r
+        for r in profiling.fd_check(
+            spark.createDataFrame(rows), [("a", "b"), ("a", "c")]
+        ).collect()
+    }
+    assert out["a->b"].holds and out["a->b"].n_violating == 0
+    assert not out["a->c"].holds
+    assert out["a->c"].n_violating == 1
+    assert out["a->c"].n_lhs == 2 and out["a->c"].n_pairs == 3
+
+
+def test_tile_summary_even_split_and_order(spark):
+    rows = [Row(id=i, v=float(100 - i)) for i in range(10)]
+    out = sorted(
+        profiling.tile_summary(spark.createDataFrame(rows), "v", "id", n_tiles=5).collect(),
+        key=lambda r: r.tile,
+    )
+    assert [r.n for r in out] == [2, 2, 2, 2, 2]
+    # tile 1 holds the LARGEST values
+    assert out[0].max_value == 100.0 and out[0].min_value == 99.0
+    assert out[-1].min_value == 91.0

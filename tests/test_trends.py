@@ -179,3 +179,49 @@ def test_trend_slope_flat_series(spark):
 def test_trend_slope_single_bucket_dropped(spark):
     rows = [Row(event_type="a", ts=dt.datetime(2024, 1, 1, tzinfo=UTC))]
     assert windows.trend_slope(spark.createDataFrame(rows), step_sec=86400).collect() == []
+
+
+def test_debounce_drops_rapid_repeats(spark):
+    base = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        Row(user_id=1, event_type="a", event_id=i,
+            ts=base + dt.timedelta(seconds=s))
+        for i, s in enumerate([0, 2, 4, 100, 101])
+    ]
+    r = windows.debounce_stats(
+        spark.createDataFrame(rows), ["user_id", "event_type"], "ts",
+        min_gap_sec=5.0, order_col="event_id",
+    ).collect()[0]
+    # kept: t=0 (first), t=100 (gap 96); dropped: 2, 4, 101
+    assert r.n_events == 5 and r.n_kept == 2
+    assert r.drop_rate == 0.6
+
+
+def test_debounce_keys_isolated(spark):
+    base = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        Row(user_id=1, event_type="a", event_id=1, ts=base),
+        Row(user_id=1, event_type="b", event_id=2, ts=base + dt.timedelta(seconds=1)),
+    ]
+    r = windows.debounce_stats(
+        spark.createDataFrame(rows), ["user_id", "event_type"], "ts", min_gap_sec=5.0
+    ).collect()[0]
+    # different event_type -> both are firsts of their group
+    assert r.n_kept == 2 and r.drop_rate == 0.0
+
+
+def test_count_correlation_perfect_and_inverse(spark):
+    rows = []
+    for h, (na, nb, nc) in enumerate([(1, 2, 3), (2, 4, 2), (3, 6, 1)]):
+        t = dt.datetime(2024, 1, 1, h, tzinfo=UTC)
+        rows += [Row(event_type="a", ts=t)] * na
+        rows += [Row(event_type="b", ts=t)] * nb
+        rows += [Row(event_type="c", ts=t)] * nc
+    out = {
+        (r.key_a, r.key_b): r.corr
+        for r in windows.count_correlation(
+            spark.createDataFrame(rows), step_sec=3600
+        ).collect()
+    }
+    assert out[("a", "b")] == 1.0   # b = 2a
+    assert out[("a", "c")] == -1.0  # c = 4 - a

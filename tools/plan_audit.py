@@ -92,6 +92,10 @@ AUDITED = [
     "label_agreement",
     "lsh_recall",
     "trend_slope",
+    "fd_check",
+    "event_debounce",
+    "count_correlation",
+    "revenue_deciles",
 ]
 
 CHECKS = {
@@ -266,6 +270,16 @@ CHECKS = {
     # per-key mins broadcast back onto aggregated counts; the OLS sums
     # are one more aggregate — no window, no sort-merge join
     "trend_slope": ["HashAggregate", "BroadcastHashJoin", "!Window", "!SortMergeJoin"],
+    # each FD candidate is two chained aggregates; no join anywhere
+    "fd_check": ["HashAggregate", "Union", "!Join"],
+    # one lag window on the (user, type) key, then a count aggregate
+    "event_debounce": ["Window", "HashAggregate", "!Join"],
+    # pair join runs over AGGREGATED bucket counts on the bucket key;
+    # correlation sums are one aggregate — no window
+    "count_correlation": ["HashAggregate", "Join", "!Window"],
+    # NTILE needs the single-partition sort (documented small-dim use);
+    # no join
+    "revenue_deciles": ["Window", "HashAggregate", "!Join"],
 }
 
 
