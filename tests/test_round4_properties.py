@@ -109,3 +109,38 @@ def test_merged_intervals_match_bruteforce(spark, offsets):
     assert out.n_intervals == len(merged)
     assert out.covered_sec == float(sum(e - s for s, e in merged))
     assert out.longest_sec == float(max(e - s for s, e in merged))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.sets(st.integers(0, 10_000), min_size=1, max_size=30),
+    st.sets(st.integers(0, 10_000), min_size=1, max_size=40),
+)
+def test_bloom_never_false_negative(spark, build_keys, probe_keys):
+    from kairos_spark.operators import joins
+
+    build = spark.createDataFrame([Row(k=k) for k in build_keys])
+    probe = spark.createDataFrame([Row(k=k) for k in probe_keys])
+    r = joins.bloom_filter_stats(build, probe, "k", "k", m_bits=2048, k_hashes=3).collect()[0]
+    n_true = len(build_keys & probe_keys)
+    assert r.n_true == n_true
+    # every true member must be a candidate (no false negatives, ever)
+    assert r.n_candidates >= n_true
+    assert r.n_false_pos >= 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60),
+)
+def test_cms_never_undercounts(spark, terms):
+    from collections import Counter
+
+    from kairos_spark.operators import sketches
+
+    df = spark.createDataFrame([Row(term=t) for t in terms])
+    out = sketches.cms_heavy_hitters(df, top_k=4, d=3, w=4).collect()
+    truth = Counter(terms)
+    for r in out:
+        assert r.exact_n == truth[r.term]
+        assert r.est_n >= r.exact_n  # CMS one-sided error guarantee

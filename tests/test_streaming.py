@@ -380,3 +380,52 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = spark.sql("SELECT user, p_ts FROM ss_join").collect()
     assert len(got) == 1
     assert got[0]["user"] == 1
+
+
+def test_streaming_bloom_filter_maintenance(spark, tmp_path):
+    # the bloom word table is a bit_or aggregate -> mergeable, so a
+    # stream can maintain it incrementally in complete mode; the
+    # resulting filter must equal the batch-built filter over the same
+    # keys (and therefore keep the no-false-negative guarantee)
+    from pyspark.sql import functions as SF
+
+    rows = [(i,) for i in range(200)]
+    src = str(tmp_path / "bloom_in")
+    spark.createDataFrame(rows, "k bigint").write.parquet(src)
+
+    def probes(df):
+        js = SF.array(*[SF.lit(j) for j in range(3)])
+        pos = (
+            SF.conv(
+                SF.substring(
+                    SF.md5(SF.concat(SF.col("__j").cast("string"), SF.lit(":"),
+                                     SF.col("k").cast("string"))),
+                    1, 11,
+                ), 16, 10,
+            ).cast("long") % 4096
+        )
+        return (
+            df.select("k", SF.explode(js).alias("__j"))
+            .select(pos.alias("__pos"))
+            .select(
+                (SF.col("__pos") / 32).cast("long").alias("w"),
+                SF.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").alias("m"),
+            )
+        )
+
+    stream = spark.readStream.schema("k bigint").parquet(src)
+    q = (
+        probes(stream).groupBy("w").agg(SF.bit_or("m").alias("bits"))
+        .writeStream.format("memory").queryName("stream_bloom")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["w"]: r["bits"] for r in spark.sql("SELECT * FROM stream_bloom").collect()
+    }
+    batch = {
+        r["w"]: r["bits"]
+        for r in probes(spark.read.parquet(src)).groupBy("w")
+        .agg(SF.bit_or("m").alias("bits")).collect()
+    }
+    assert got == batch
