@@ -447,3 +447,86 @@ def tile_summary(
         F.round(F.max(value_col).cast("double"), 2).alias("max_value"),
         F.round(F.sum(value_col).cast("double"), 2).alias("sum_value"),
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Winsorization audit per group: clip values to the exact
+    [p_lo, p_hi] interpolated percentiles and report what changed —
+    (name, n, lo_cut, hi_cut, n_clipped_lo, n_clipped_hi, mean_raw,
+    mean_winsorized). The robust-preprocessing companion to
+    mad_outliers: instead of FLAGGING the tails it caps them, and the
+    before/after means show exactly how much the tails were steering
+    the aggregate.
+
+    Means accumulate in DECIMAL(28,10) (associative, partitioning- and
+    engine-independent); percentiles are exact interpolated (swap for
+    percentile_approx at 100 TB, same plan shape).
+
+    Shape: one percentile aggregate per group, broadcast back, one
+    clip projection, one final aggregate."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    cuts = df.groupBy(g.alias("name")).agg(
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {p_lo!r})").alias("__lo"),
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {p_hi!r})").alias("__hi"),
+    )
+    j = df.select(g.alias("name"), v.alias("__v")).join(F.broadcast(cuts), "name")
+    clipped = F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi"))
+    dec = "decimal(28,10)"
+    return j.groupBy("name").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("__lo"), 6).alias("lo_cut"),
+        F.round(F.first("__hi"), 6).alias("hi_cut"),
+        F.sum((F.col("__v") < F.col("__lo")).cast("long")).alias("n_clipped_lo"),
+        F.sum((F.col("__v") > F.col("__hi")).cast("long")).alias("n_clipped_hi"),
+        # cast the DECIMAL sum to double BEFORE dividing — decimal/long
+        # division has its own scale rules that need not match the
+        # oracle's double division
+        F.round(
+            F.sum(F.col("__v").cast(dec)).cast("double") / F.count("*"), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(clipped.cast(dec)).cast("double") / F.count("*"), 6
+        ).alias("mean_winsorized"),
+    )
+
+
+def impute_group_median(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Missing-value repair audit: fill NULLs in ``value_col`` with the
+    group's exact median (computed over the non-null values) and report
+    per group — (name, n, n_imputed, median_used, mean_after). The
+    baseline imputation every feature pipeline needs before models that
+    can't take NULLs; the audit columns are what you log so the repair
+    is visible, not silent.
+
+    mean_after accumulates in DECIMAL(28,10); median is the exact
+    interpolated percentile (ignores NULLs in both engines).
+
+    Shape: one percentile aggregate per group, broadcast back, one
+    coalesce projection, one final aggregate — NULL payloads never
+    shuffle twice."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(g.alias("name")).agg(
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)").alias("__med")
+    )
+    j = df.select(g.alias("name"), v.alias("__v")).join(F.broadcast(med), "name")
+    filled = F.coalesce(F.col("__v"), F.col("__med"))
+    return j.groupBy("name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__v").isNull().cast("long")).alias("n_imputed"),
+        F.round(F.first("__med"), 6).alias("median_used"),
+        F.round(
+            F.sum(filled.cast("decimal(28,10)")).cast("double") / F.count("*"), 6
+        ).alias("mean_after"),
+    )

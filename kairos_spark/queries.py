@@ -1556,6 +1556,22 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_winsorize(spark, sf_dir):
+    """Winsorization audit of event values per type (p5/p95 caps)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.winsorize_stats(ev, "event_type", "value", 0.05, 0.95)
+
+
+def q_impute_median(spark, sf_dir):
+    """Group-median imputation audit: values nulled deterministically
+    (event_id % 13 == 0) then repaired with the per-type median."""
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    return profiling.impute_group_median(ev, "event_type", "value")
+
+
 def q_fd_check(spark, sf_dir):
     """Functional-dependency audit: true FDs (orderkey→custkey) next to
     a deliberately false candidate (custkey→orderpriority)."""
@@ -1859,6 +1875,8 @@ QUERIES = {
     "event_debounce": q_event_debounce,
     "count_correlation": q_count_correlation,
     "revenue_deciles": q_revenue_deciles,
+    "winsorize": q_winsorize,
+    "impute_median": q_impute_median,
     "fuzzy_match": q_fuzzy_match,
     "interarrival": q_interarrival,
     "label_agreement": q_label_agreement,
@@ -3981,4 +3999,47 @@ ORACLES["revenue_deciles"] = """
            round(CAST(max(revenue) AS DOUBLE), 2) AS max_value,
            round(CAST(sum(revenue) AS DOUBLE), 2) AS sum_value
     FROM tiled GROUP BY 1
+"""
+
+ORACLES["winsorize"] = """
+    WITH cuts AS (
+      SELECT event_type AS cname,
+             quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type AS name, count(*) AS n,
+           round(any_value(lo), 6) AS lo_cut,
+           round(any_value(hi), 6) AS hi_cut,
+           CAST(sum(CASE WHEN CAST(value AS DOUBLE) < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN CAST(value AS DOUBLE) > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+             AS mean_raw,
+           round(CAST(sum(CAST(least(greatest(CAST(value AS DOUBLE), lo), hi)
+                               AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+             AS mean_winsorized
+    FROM events e JOIN cuts ON e.event_type = cuts.cname
+    GROUP BY 1
+"""
+
+ORACLES["impute_median"] = """
+    WITH nulled AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE CAST(value AS DOUBLE) END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type AS mname, quantile_cont(v, 0.5) AS m
+      FROM nulled GROUP BY 1
+    )
+    SELECT n.event_type AS name, count(*) AS n,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           round(any_value(m), 6) AS median_used,
+           round(CAST(sum(CAST(coalesce(v, m) AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*), 6) AS mean_after
+    FROM nulled n JOIN med ON n.event_type = med.mname
+    GROUP BY 1
 """

@@ -326,3 +326,55 @@ def test_tile_summary_even_split_and_order(spark):
     # tile 1 holds the LARGEST values
     assert out[0].max_value == 100.0 and out[0].min_value == 99.0
     assert out[-1].min_value == 91.0
+
+
+# --- winsorize_stats / impute_group_median ---
+
+
+def test_winsorize_caps_tails(spark):
+    import datetime as dtm
+
+    ts = dtm.datetime(2024, 1, 1, tzinfo=dtm.timezone.utc)
+    vals = [float(i) for i in range(1, 11)]  # 1..10
+    rows = [Row(event_type="a", value=v, ts=ts) for v in vals]
+    r = profiling.winsorize_stats(
+        spark.createDataFrame(rows), "event_type", "value", 0.1, 0.9
+    ).collect()[0]
+    # interpolated p10 of 1..10 = 1.9, p90 = 9.1
+    assert r.lo_cut == 1.9 and r.hi_cut == 9.1
+    assert r.n_clipped_lo == 1 and r.n_clipped_hi == 1
+    assert r.mean_raw == 5.5
+    # clipped: [1.9, 2..9, 9.1] -> mean 5.5 (symmetric)
+    assert r.mean_winsorized == 5.5
+
+
+def test_winsorize_no_clipping_within_range(spark):
+    import datetime as dtm
+
+    ts = dtm.datetime(2024, 1, 1, tzinfo=dtm.timezone.utc)
+    rows = [Row(event_type="a", value=5.0, ts=ts)] * 4
+    r = profiling.winsorize_stats(
+        spark.createDataFrame(rows), "event_type", "value"
+    ).collect()[0]
+    assert r.n_clipped_lo == 0 and r.n_clipped_hi == 0
+    assert r.mean_raw == r.mean_winsorized == 5.0
+
+
+def test_impute_median_fills_only_nulls(spark):
+    rows = [
+        Row(g="a", v=1.0),
+        Row(g="a", v=3.0),
+        Row(g="a", v=None),
+        Row(g="b", v=10.0),
+    ]
+    out = {
+        r.name: r
+        for r in profiling.impute_group_median(
+            spark.createDataFrame(rows), "g", "v"
+        ).collect()
+    }
+    a = out["a"]
+    assert a.n == 3 and a.n_imputed == 1
+    assert a.median_used == 2.0  # median of [1, 3]
+    assert a.mean_after == 2.0  # (1 + 3 + 2) / 3
+    assert out["b"].n_imputed == 0 and out["b"].mean_after == 10.0

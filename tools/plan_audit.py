@@ -96,6 +96,8 @@ AUDITED = [
     "event_debounce",
     "count_correlation",
     "revenue_deciles",
+    "winsorize",
+    "impute_median",
 ]
 
 CHECKS = {
@@ -280,6 +282,10 @@ CHECKS = {
     # NTILE needs the single-partition sort (documented small-dim use);
     # no join
     "revenue_deciles": ["Window", "HashAggregate", "!Join"],
+    # per-group cut/median aggregates broadcast back; clip/fill is a
+    # projection; no window, no cartesian
+    "winsorize": ["BroadcastHashJoin", "Aggregate", "!Window", "!CartesianProduct"],
+    "impute_median": ["BroadcastHashJoin", "Aggregate", "!Window", "!CartesianProduct"],
 }
 
 
