@@ -1839,7 +1839,7 @@ def q_event_pivot(spark, sf_dir):
 # the tail is cut again.
 QUERIES = {
     # --- registry order drives the driver's 50-entry correctness budget. ---
-    # Round-4 rotation: the 36 NEW round-4 queries lead (never
+    # Round-4 rotation: the 38 NEW round-4 queries lead (never
     # driver-checked), then the entries the r03 run never reached —
     # reference-parity ts_* rows ahead of pipeline re-checks — and the
     # r03-green 50 rotate to the tail. With >50 candidates the oldest
