@@ -620,3 +620,45 @@ def frequency_spectrum(
             F.sum(mass).over(w) / F.sum(mass).over(total), 6
         ).alias("cum_mass_share"),
     )
+
+
+def source_scorecard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source crawl scorecard: document count, mean length,
+    corpus-duplicate fraction (share of the source's docs whose exact
+    digest appears more than once ANYWHERE in the corpus), and mean
+    heuristic quality. The table a data-acquisition team reads to
+    decide which feeds to keep, throttle, or renegotiate — low quality
+    + high dup rate = a source paying rent with someone else's
+    content.
+
+    Scale shape: digests aggregate globally (short-key shuffle) and
+    join back on the digest; quality is the map-only quality_score
+    projection joined on the doc id; the scorecard itself is one
+    aggregate over |sources| groups. The DECIMAL quality sum keeps the
+    mean engine-exact."""
+    dg = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__d"),
+        F.length(F.col(text_col)).alias("__nc"),
+    )
+    cnts = dg.groupBy("__d").agg(F.count("*").alias("__c"))
+    qual = quality_score(df, text_col, id_col)
+    j = dg.join(cnts, "__d").join(qual, id_col)
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("__nc").cast("double") / F.count("*"), 6).alias("mean_chars"),
+        F.round(
+            F.sum((F.col("__c") > 1).cast("long")) / F.count("*"), 6
+        ).alias("dup_frac"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(28,10)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+    )

