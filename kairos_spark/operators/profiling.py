@@ -530,3 +530,50 @@ def impute_group_median(
             F.sum(filled.cast("decimal(28,10)")).cast("double") / F.count("*"), 6
         ).alias("mean_after"),
     )
+
+
+def revenue_pareto(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    name_col: str,
+    revenue_expr,
+    top_share: float = 0.8,
+) -> DataFrame:
+    """Pareto (cumulative-contribution) analysis: entities ranked by
+    their revenue with each one's cumulative share of the total and a
+    flag for the head that delivers ``top_share`` of it — the 80/20
+    table behind "how few suppliers cover 80% of spend".
+
+    Revenue accumulates in DECIMAL (exact, associative); the running
+    total is a window over |entities| AGGREGATED rows (single tiny
+    partition by design — this is a dimension-grain report, like
+    tile_summary); shares divide doubles cast from exact decimals.
+
+    Shape: fact pre-aggregates to the key (map-side combined), dim
+    broadcasts in for names, one ordered window pass."""
+    from pyspark.sql.window import Window
+
+    per = fact.groupBy(F.col(fact_key).alias("__k")).agg(
+        F.sum(revenue_expr.cast("decimal(18,4)")).alias("__rev")
+    )
+    named = per.join(
+        F.broadcast(dim.select(F.col(dim_key).alias("__k"), F.col(name_col))),
+        "__k",
+    )
+    w = Window.orderBy(F.col("__rev").desc(), F.col("__k"))
+    cum = F.sum("__rev").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("__rev").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    share = cum.cast("double") / tot.cast("double")
+    return named.select(
+        F.col("__k").alias("entity_key"),
+        F.col(name_col).alias("entity_name"),
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        (share <= top_share).alias("in_head"),
+    )

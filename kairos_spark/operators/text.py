@@ -662,3 +662,65 @@ def source_scorecard(
             6,
         ).alias("mean_quality"),
     )
+
+
+def language_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    truth_col: str = "lang",
+) -> DataFrame:
+    """Classifier scorecard for the language-id heuristic against
+    labeled ground truth: per true language, support, prediction
+    count, true positives, precision, recall, F1. The evaluation
+    operator that turns "we have a language detector" into a number —
+    and the template for scoring ANY categorical labeler the pipeline
+    runs (all counts integer, ratios single divisions, engine-exact).
+
+    Shape: one prediction projection (map-only), one confusion
+    aggregate (|langs|² rows), then per-language row/column sums
+    joined back — everything after the first aggregate is
+    metrics-table sized."""
+    pred = language_id(df, text_col, id_col).select(
+        F.col(id_col), F.col("lang_pred")
+    )
+    truth = df.select(F.col(id_col), F.col(truth_col).alias("__t"))
+    conf = (
+        truth.join(pred, id_col)
+        .groupBy("__t", "lang_pred")
+        .agg(F.count("*").alias("__n"))
+    )
+    row = conf.groupBy("__t").agg(F.sum("__n").cast("long").alias("n_true"))
+    col = conf.groupBy(F.col("lang_pred").alias("__t")).agg(
+        F.sum("__n").cast("long").alias("n_pred")
+    )
+    diag = conf.where(F.col("__t") == F.col("lang_pred")).select(
+        "__t", F.col("__n").alias("tp")
+    )
+    j = (
+        row.join(col, "__t", "left")
+        .join(diag, "__t", "left")
+        .select(
+            F.col("__t").alias("lang"),
+            "n_true",
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(
+        F.lit(0.0)
+    )
+    r = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(
+            F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
+        ).alias("f1"),
+    )

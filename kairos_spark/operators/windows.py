@@ -715,3 +715,57 @@ def count_correlation(
             F.round(num / F.sqrt(vx * vy), 6).alias("corr"),
         )
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "signup",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Time-to-convert summary: per user take the FIRST ``from_type``
+    event and the first ``to_type`` event strictly after it; report
+    one row — how many users started, how many converted, the
+    conversion rate, and the latency distribution (p50/p90/mean
+    seconds). The "how long does signup→purchase take" number product
+    reviews run on; pairs with ``funnel`` (which counts stages but
+    not durations).
+
+    Mean latency accumulates in DECIMAL(28,6); percentiles are exact
+    interpolated. Two per-user min-aggregates and one scalar summary —
+    raw events shuffle once per aggregate on the user key."""
+    secs = F.col(ts_col).cast("double")
+    first_a = (
+        df.where(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(secs).alias("__ta"))
+    )
+    joined = (
+        df.where(F.col(type_col) == to_type)
+        .select(F.col(user_col), secs.alias("__tb"))
+        .join(first_a, user_col)
+        .where(F.col("__tb") > F.col("__ta"))
+        .groupBy(user_col)
+        .agg((F.min("__tb") - F.first("__ta")).alias("__lat"))
+    )
+    n_started = first_a.agg(F.count("*").alias("n_started"))
+    conv = joined.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(__lat, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(__lat, 0.9)"), 6).alias("p90_sec"),
+        F.round(
+            F.sum(F.col("__lat").cast("decimal(28,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_sec"),
+    )
+    return n_started.crossJoin(F.broadcast(conv)).select(
+        "n_started",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_started"), 6).alias("conv_rate"),
+        "p50_sec",
+        "p90_sec",
+        "mean_sec",
+    )

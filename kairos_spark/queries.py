@@ -1562,6 +1562,28 @@ def q_source_scorecard(spark, sf_dir):
     return text.source_scorecard(docs)
 
 
+def q_langid_metrics(spark, sf_dir):
+    """Language-id precision/recall/F1 against the labeled lang column."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.language_metrics(docs)
+
+
+def q_conversion_latency(spark, sf_dir):
+    """Signup→purchase time-to-convert summary (rate + latency percentiles)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.conversion_latency(ev)
+
+
+def q_supplier_pareto(spark, sf_dir):
+    """Supplier revenue Pareto: cumulative share + 80% head flag."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    s = _tbl(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return profiling.revenue_pareto(
+        li, s, "l_suppkey", "s_suppkey", "s_name", rev, top_share=0.8
+    )
+
+
 def q_winsorize(spark, sf_dir):
     """Winsorization audit of event values per type (p5/p95 caps)."""
     ev = _tbl(spark, sf_dir, "events")
@@ -1906,6 +1928,9 @@ QUERIES = {
     # window on purpose — locally oracle-verified now, rotated to the
     # FRONT of the round-5 window for driver verification. ---
     "source_scorecard": q_source_scorecard,
+    "langid_metrics": q_langid_metrics,
+    "conversion_latency": q_conversion_latency,
+    "supplier_pareto": q_supplier_pareto,
     "ts_properties": q_ts_properties,
     "ts_list_names": q_ts_list_names,
     "ts_greg_daily": q_ts_greg_daily,
@@ -4089,4 +4114,113 @@ ORACLES["source_scorecard"] = r"""
                  / count(*), 6) AS mean_quality
     FROM dg JOIN cnts USING (d) JOIN q USING (doc_id)
     GROUP BY 1
+"""
+
+ORACLES["langid_metrics"] = r"""
+    WITH pred AS (
+      SELECT doc_id, lang AS t, lang_pred FROM (
+            WITH scores AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(lower(text),
+                           '\b(der|die|und|das|ist|nicht|mit|ein)\b')) * 1.0
+                           / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_de,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|in|is|that|for|with)\b')) * 1.0
+                           / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_en,
+                       len(regexp_extract_all(lower(text),
+                           '\b(el|la|los|que|es|para|con|una)\b')) * 1.0
+                           / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_es,
+                       len(regexp_extract_all(lower(text),
+                           '\b(le|la|les|et|est|que|pour|dans)\b')) * 1.0
+                           / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_fr
+                FROM documents
+            ),
+            pred AS (
+                SELECT doc_id, lang,
+                       CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM scores
+            )
+            SELECT doc_id, lang, lang_pred FROM pred
+        )
+    ),
+    conf AS (SELECT t, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+    row_s AS (SELECT t, CAST(sum(n) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+    col_s AS (SELECT lang_pred AS t, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+    diag AS (SELECT t, n AS tp FROM conf WHERE t = lang_pred)
+    SELECT row_s.t AS lang, n_true,
+           coalesce(n_pred, 0) AS n_pred,
+           coalesce(tp, 0) AS tp,
+           round(CASE WHEN coalesce(n_pred, 0) > 0
+                      THEN coalesce(tp, 0) * 1.0 / n_pred ELSE 0.0 END, 6) AS precision,
+           round(CASE WHEN n_true > 0
+                      THEN coalesce(tp, 0) * 1.0 / n_true ELSE 0.0 END, 6) AS recall,
+           round(CASE WHEN (CASE WHEN coalesce(n_pred, 0) > 0
+                                 THEN coalesce(tp, 0) * 1.0 / n_pred ELSE 0.0 END)
+                         + (CASE WHEN n_true > 0
+                                 THEN coalesce(tp, 0) * 1.0 / n_true ELSE 0.0 END) > 0
+                      THEN 2 * (CASE WHEN coalesce(n_pred, 0) > 0
+                                     THEN coalesce(tp, 0) * 1.0 / n_pred ELSE 0.0 END)
+                             * (CASE WHEN n_true > 0
+                                     THEN coalesce(tp, 0) * 1.0 / n_true ELSE 0.0 END)
+                           / ((CASE WHEN coalesce(n_pred, 0) > 0
+                                    THEN coalesce(tp, 0) * 1.0 / n_pred ELSE 0.0 END)
+                              + (CASE WHEN n_true > 0
+                                      THEN coalesce(tp, 0) * 1.0 / n_true ELSE 0.0 END))
+                      ELSE 0.0 END, 6) AS f1
+    FROM row_s LEFT JOIN col_s ON row_s.t = col_s.t
+    LEFT JOIN diag ON row_s.t = diag.t
+"""
+
+ORACLES["conversion_latency"] = """
+    WITH first_a AS (
+      SELECT user_id, min(epoch(ts)) AS ta FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    lat AS (
+      SELECT e.user_id, min(epoch(e.ts)) - any_value(ta) AS l
+      FROM events e JOIN first_a USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch(e.ts) > ta
+      GROUP BY 1
+    ),
+    ns AS (SELECT count(*) AS n_started FROM first_a),
+    c AS (
+      SELECT count(*) AS n_converted,
+             round(quantile_cont(l, 0.5), 6) AS p50_sec,
+             round(quantile_cont(l, 0.9), 6) AS p90_sec,
+             round(CAST(sum(CAST(l AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+               AS mean_sec
+      FROM lat
+    )
+    SELECT n_started, n_converted,
+           round(n_converted * 1.0 / n_started, 6) AS conv_rate,
+           p50_sec, p90_sec, mean_sec
+    FROM ns, c
+"""
+
+ORACLES["supplier_pareto"] = """
+    WITH per AS (
+      SELECT l_suppkey AS k,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    named AS (
+      SELECT k, s_name, rev FROM per JOIN supplier ON k = s_suppkey
+    ),
+    ranked AS (
+      SELECT k, s_name, rev,
+             sum(rev) OVER (ORDER BY rev DESC, k
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(rev) OVER () AS tot
+      FROM named
+    )
+    SELECT k AS entity_key, s_name AS entity_name,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 AS in_head
+    FROM ranked
 """

@@ -147,3 +147,67 @@ def test_psi_groups_isolated(spark):
     }
     assert out["stable"].psi < 0.05
     assert out["moved"].psi > out["stable"].psi
+
+
+# --- language_metrics / conversion_latency / revenue_pareto ---
+
+
+def test_language_metrics_perfect_and_confused(spark):
+    from kairos_spark.operators import text as text_ops
+
+    rows = [
+        Row(doc_id=1, text="the quick and brown fox of the hill", lang="en"),
+        Row(doc_id=2, text="der hund ist nicht mit das ein und", lang="de"),
+        Row(doc_id=3, text="el perro es para los que una con", lang="es"),
+        # labeled fr but written with English stopwords -> predicted en
+        Row(doc_id=4, text="the and of to in is that for with", lang="fr"),
+    ]
+    out = {
+        r.lang: r
+        for r in text_ops.language_metrics(spark.createDataFrame(rows)).collect()
+    }
+    assert out["de"].precision == 1.0 and out["de"].recall == 1.0 and out["de"].f1 == 1.0
+    assert out["fr"].recall == 0.0 and out["fr"].f1 == 0.0
+    # en: 1 true positive, but 2 predicted en -> precision 0.5, recall 1
+    assert out["en"].precision == 0.5 and out["en"].recall == 1.0
+
+
+def test_conversion_latency_first_pair_semantics(spark):
+    base = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def ev(u, t, s):
+        return Row(user_id=u, event_type=t, ts=base + dt.timedelta(seconds=s))
+
+    rows = [
+        ev(1, "signup", 0), ev(1, "purchase", 100), ev(1, "purchase", 50_000),
+        ev(2, "signup", 0),                    # never converts
+        ev(3, "purchase", 10), ev(3, "signup", 20), ev(3, "purchase", 80),
+    ]
+    r = windows.conversion_latency(spark.createDataFrame(rows)).collect()[0]
+    assert r.n_started == 3 and r.n_converted == 2
+    assert r.conv_rate == round(2 / 3, 6)
+    # latencies: user1 -> 100 (first purchase AFTER signup), user3 -> 60
+    assert r.p50_sec == 80.0  # interpolated median of [60, 100]
+    assert r.mean_sec == 80.0
+
+
+def test_revenue_pareto_cumulative_and_head(spark):
+    from kairos_spark.operators import profiling
+    from pyspark.sql import functions as SF
+
+    fact = spark.createDataFrame(
+        [Row(k=1, amt=70.0), Row(k=1, amt=10.0), Row(k=2, amt=15.0), Row(k=3, amt=5.0)]
+    )
+    dim = spark.createDataFrame(
+        [Row(dk=1, nm="big"), Row(dk=2, nm="mid"), Row(dk=3, nm="small")]
+    )
+    out = sorted(
+        profiling.revenue_pareto(
+            fact, dim, "k", "dk", "nm", SF.col("amt"), top_share=0.8
+        ).collect(),
+        key=lambda r: -r.revenue,
+    )
+    assert [r.entity_name for r in out] == ["big", "mid", "small"]
+    assert [r.revenue for r in out] == [80.0, 15.0, 5.0]
+    assert [r.cum_share for r in out] == [0.8, 0.95, 1.0]
+    assert [r.in_head for r in out] == [True, False, False]

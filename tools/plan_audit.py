@@ -99,6 +99,9 @@ AUDITED = [
     "winsorize",
     "impute_median",
     "source_scorecard",
+    "langid_metrics",
+    "conversion_latency",
+    "supplier_pareto",
 ]
 
 CHECKS = {
@@ -291,6 +294,15 @@ CHECKS = {
     # map-only projection joined on the doc id — no window, no
     # cartesian
     "source_scorecard": ["HashAggregate", "Join", "!Window", "!CartesianProduct"],
+    # prediction is map-only; everything after the confusion aggregate
+    # is metrics-table sized
+    "langid_metrics": ["HashAggregate", "!CartesianProduct", "!Window"],
+    # two per-user min aggregates; the summary scalars ride a 1-row
+    # broadcast — no data-sized cartesian
+    "conversion_latency": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # fact pre-aggregates to the supplier key before the broadcast dim
+    # join; the Pareto window runs over |suppliers| aggregated rows
+    "supplier_pareto": ["HashAggregate", "BroadcastHashJoin", "Window"],
 }
 
 
