@@ -529,3 +529,65 @@ def minhash_calibration(
             ).alias("err"),
         )
     )
+
+
+def dedup_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_offset: int = 4_000_000,
+    mod: int = 4,
+    keep_frac: float = 0.6,
+    n: int = 8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """End-to-end audit of the MinHash/LSH near-dup pipeline against
+    INJECTED ground truth: every ``mod``-th document gets a truncated
+    copy (first ``keep_frac`` of its text, id + ``id_offset``) planted
+    in the corpus; the LSH path then has to find the (original, copy)
+    pairs. One summary row: n_truth, n_found, n_hit, recall,
+    precision_lb.
+
+    recall is exact (hits / planted pairs). precision_lb is a LOWER
+    bound — found pairs outside the planted set may be genuine
+    near-dups already present in the corpus, so treat it as "at least
+    this precise". This is the capstone of the calibration family:
+    cms/bloom/minhash audit the SKETCHES, this audits the PIPELINE.
+
+    Scale shape: identical to minhash_lsh_pairs (the injection is a
+    map-only union); the truth join moves (id_a, id_b) pairs only."""
+    copies = df.where(F.col(id_col) % mod == 0).select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        # floor before the int cast: Spark's double->int cast truncates
+        # while DuckDB's rounds; floor() is identical in both
+        F.substring(
+            F.col(text_col), 1, F.floor(F.length(text_col) * keep_frac).cast("int")
+        ).alias(text_col),
+    )
+    corpus = df.select(id_col, text_col).unionByName(copies)
+    found = minhash_lsh_pairs(
+        corpus, text_col, id_col, n=n, num_hashes=num_hashes,
+        bands=bands, threshold=threshold,
+    ).select("id_a", "id_b")
+    truth = df.where(F.col(id_col) % mod == 0).select(
+        F.col(id_col).alias("id_a"),
+        (F.col(id_col) + id_offset).alias("id_b"),
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    hits = found.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_found"), F.lit(1)), 6
+            ).alias("precision_lb"),
+        )
+    )

@@ -577,3 +577,44 @@ def revenue_pareto(
         F.round(share, 6).alias("cum_share"),
         (share <= top_share).alias("in_head"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gini coefficient of per-key activity within each group — the
+    inequality companion to key_distribution's top-share/HHI: 0 =
+    every key contributes equally, →1 = one key owns nearly all rows.
+    Computed from the sorted-rank identity
+    G = 2·Σ(i·c_i)/(n·Σc) − (n+1)/n with counts ascending (ties broken
+    by key id), which keeps every sum exact int64 — the final G is one
+    double expression over exact integers, engine-exact.
+
+    Shape: per-(group, key) counts first (map-side combined); the rank
+    window then runs over |keys-per-group| AGGREGATED rows; one final
+    aggregate. Raw rows shuffle once."""
+    from pyspark.sql.window import Window
+
+    per_key = df.groupBy(
+        F.col(group_col).alias("name"), F.col(key_col).alias("__k")
+    ).agg(F.count("*").alias("__c"))
+    w = Window.partitionBy("name").orderBy(F.col("__c").asc(), F.col("__k").asc())
+    ranked = per_key.withColumn("__i", F.row_number().over(w))
+    s = ranked.groupBy("name").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("__c").alias("__sc"),
+        F.sum(F.col("__i").cast("long") * F.col("__c")).alias("__sic"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("__sic").cast("double")
+        / (F.col("n_keys") * F.col("__sc")).cast("double")
+        - (F.col("n_keys") + 1).cast("double") / F.col("n_keys").cast("double")
+    )
+    return s.select(
+        "name",
+        "n_keys",
+        F.col("__sc").cast("long").alias("n_rows"),
+        F.round(gini, 6).alias("gini"),
+    )

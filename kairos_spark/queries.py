@@ -1584,6 +1584,21 @@ def q_supplier_pareto(spark, sf_dir):
     )
 
 
+def q_gini_activity(spark, sf_dir):
+    """Gini coefficient of per-user activity concentration by type."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.gini_concentration(ev, "event_type", "user_id")
+
+
+def q_dedup_recall(spark, sf_dir):
+    """End-to-end LSH dedup audit: recall/precision against planted
+    truncated-copy near-dups."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.dedup_recall_audit(
+        docs, mod=4, keep_frac=0.6, n=8, num_hashes=32, bands=16, threshold=0.2
+    )
+
+
 def q_winsorize(spark, sf_dir):
     """Winsorization audit of event values per type (p5/p95 caps)."""
     ev = _tbl(spark, sf_dir, "events")
@@ -1931,6 +1946,8 @@ QUERIES = {
     "langid_metrics": q_langid_metrics,
     "conversion_latency": q_conversion_latency,
     "supplier_pareto": q_supplier_pareto,
+    "gini_activity": q_gini_activity,
+    "dedup_recall": q_dedup_recall,
     "ts_properties": q_ts_properties,
     "ts_list_names": q_ts_list_names,
     "ts_greg_daily": q_ts_greg_daily,
@@ -4223,4 +4240,92 @@ ORACLES["supplier_pareto"] = """
            round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
            CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 AS in_head
     FROM ranked
+"""
+
+ORACLES["gini_activity"] = """
+    WITH per_key AS (
+      SELECT event_type AS name, user_id AS k, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT name, c,
+             row_number() OVER (PARTITION BY name ORDER BY c ASC, k ASC) AS i
+      FROM per_key
+    ),
+    s AS (
+      SELECT name,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(i * c) AS BIGINT) AS sic
+      FROM ranked GROUP BY 1
+    )
+    SELECT name, n_keys, sc AS n_rows,
+           round(2.0 * CAST(sic AS DOUBLE) / CAST(n_keys * sc AS DOUBLE)
+                 - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 6) AS gini
+    FROM s
+"""
+
+ORACLES["dedup_recall"] = r"""
+    WITH corpus2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000,
+             substring(text, 1, CAST(floor(length(text) * 0.6) AS INT))
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS n
+      FROM corpus2
+    ),
+    idx AS (
+      SELECT doc_id, n,
+             unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+      FROM norm
+    ),
+    sh AS (SELECT DISTINCT doc_id, substr(n, i, 8) AS s FROM idx),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 11))::BIGINT AS a,
+             ('0x' || substr(md5(s), 12, 11))::BIGINT AS b
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i.i AS i, min((a + i.i * b) % 17592186044399) AS hv
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             md5(CAST(i // 2 AS VARCHAR) || ':' ||
+                 string_agg(CAST(hv AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             round(sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) / 32.0, 6)
+                 AS ej
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY 1, 2
+    ),
+    found AS (SELECT id_a, id_b FROM est WHERE ej >= 0.2),
+    truth AS (
+      SELECT doc_id AS id_a, doc_id + 4000000 AS id_b
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    nf AS (SELECT count(*) AS n_found FROM found),
+    nh AS (
+      SELECT count(*) AS n_hit
+      FROM found JOIN truth ON found.id_a = truth.id_a AND found.id_b = truth.id_b
+    )
+    SELECT n_truth, n_found, n_hit,
+           round(n_hit * 1.0 / n_truth, 6) AS recall,
+           round(n_hit * 1.0 / greatest(n_found, 1), 6) AS precision_lb
+    FROM nt, nf, nh
 """

@@ -154,3 +154,21 @@ def test_bloom_disjoint_sets_low_fp(spark):
     assert r.n_true == 0
     # 20*3 bits in 16384: fp probability ~ (60/16384)^3 ~ 5e-8
     assert r.n_candidates == 0
+
+
+# --- dedup_recall_audit ---
+
+
+def test_dedup_recall_finds_planted_copies(spark):
+    from kairos_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [Row(doc_id=i, text=base + f"variant {i} " + base) for i in range(8)]
+    r = dd.dedup_recall_audit(
+        spark.createDataFrame(rows), id_offset=1000, mod=2, keep_frac=0.7,
+        n=8, num_hashes=16, bands=8, threshold=0.2,
+    ).collect()[0]
+    assert r.n_truth == 4
+    assert r.n_hit >= 3  # a 70% truncation keeps high jaccard; near-total recall
+    assert r.recall == round(r.n_hit / 4, 6)
+    assert 0.0 <= r.precision_lb <= 1.0

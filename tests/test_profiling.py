@@ -401,3 +401,27 @@ def test_source_scorecard_dup_and_length(spark):
     assert out["s2"].dup_frac == 1.0
     assert out["s1"].mean_chars == round((21 + 10) / 2, 6)
     assert 0.0 <= out["s1"].mean_quality <= 1.0
+
+
+# --- gini_concentration ---
+
+
+def test_gini_uniform_is_zero(spark):
+    rows = [Row(g="u", k=i) for i in range(5)]  # each key exactly once
+    r = profiling.gini_concentration(spark.createDataFrame(rows), "g", "k").collect()[0]
+    assert r.gini == 0.0 and r.n_keys == 5 and r.n_rows == 5
+
+
+def test_gini_concentrated_near_one(spark):
+    rows = [Row(g="c", k=0)] * 96 + [Row(g="c", k=1), Row(g="c", k=2),
+                                     Row(g="c", k=3), Row(g="c", k=4)]
+    r = profiling.gini_concentration(spark.createDataFrame(rows), "g", "k").collect()[0]
+    # one key holds 96% of rows across 5 keys -> gini close to (n-1)/n * share
+    assert r.gini > 0.7
+
+
+def test_gini_exact_small_case(spark):
+    # counts [1, 3]: sorted asc ranks (1,2); G = 2*(1*1+2*3)/(2*4) - 3/2 = 0.25
+    rows = [Row(g="x", k=1)] + [Row(g="x", k=2)] * 3
+    r = profiling.gini_concentration(spark.createDataFrame(rows), "g", "k").collect()[0]
+    assert r.gini == 0.25

@@ -102,6 +102,8 @@ AUDITED = [
     "langid_metrics",
     "conversion_latency",
     "supplier_pareto",
+    "gini_activity",
+    "dedup_recall",
 ]
 
 CHECKS = {
@@ -303,6 +305,11 @@ CHECKS = {
     # fact pre-aggregates to the supplier key before the broadcast dim
     # join; the Pareto window runs over |suppliers| aggregated rows
     "supplier_pareto": ["HashAggregate", "BroadcastHashJoin", "Window"],
+    # rank window runs over per-(group, key) AGGREGATED counts only
+    "gini_activity": ["HashAggregate", "Window", "!Join"],
+    # injection is a map-only union feeding the banded LSH path; the
+    # truth join moves id pairs only — never a corpus cartesian
+    "dedup_recall": ["Union", "HashAggregate", "!CartesianProduct"],
 }
 
 
