@@ -618,3 +618,55 @@ def gini_concentration(
         F.col("__sc").cast("long").alias("n_rows"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Audience overlap between every pair of groups: exact Jaccard
+    and containment of their distinct-key sets — "how much of the
+    purchase audience also clicks", the product-analytics staple that
+    decides whether two funnels share a population or live in
+    different worlds. Output (group_a, group_b, n_a, n_b, n_shared,
+    jaccard, containment_a_in_b) for group_a < group_b; every number
+    is an exact integer or one division over exact integers.
+
+    Scale shape: (group, key) pairs are distinct-ed FIRST (map-side
+    combined two-phase distinct), so the pair self-join runs on the
+    key over short rows — at most |groups|² candidate rows per key —
+    and set sizes broadcast back onto |groups|² aggregate rows."""
+    pairs = df.select(
+        F.col(group_col).alias("__g"), F.col(key_col).alias("__k")
+    ).distinct()
+    sizes = pairs.groupBy("__g").agg(F.count("*").alias("__n"))
+    a = pairs.select(F.col("__g").alias("group_a"), "__k")
+    b = pairs.select(F.col("__g").alias("group_b"), "__k")
+    shared = (
+        a.join(b, "__k")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("n_shared") / F.col("n_a"), 6).alias(
+                "containment_a_in_b"
+            ),
+        )
+    )

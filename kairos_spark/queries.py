@@ -1584,6 +1584,12 @@ def q_supplier_pareto(spark, sf_dir):
     )
 
 
+def q_audience_overlap(spark, sf_dir):
+    """Exact Jaccard/containment of user audiences between event types."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.audience_overlap(ev, "event_type", "user_id")
+
+
 def q_gini_activity(spark, sf_dir):
     """Gini coefficient of per-user activity concentration by type."""
     ev = _tbl(spark, sf_dir, "events")
@@ -1948,6 +1954,7 @@ QUERIES = {
     "supplier_pareto": q_supplier_pareto,
     "gini_activity": q_gini_activity,
     "dedup_recall": q_dedup_recall,
+    "audience_overlap": q_audience_overlap,
     "ts_properties": q_ts_properties,
     "ts_list_names": q_ts_list_names,
     "ts_greg_daily": q_ts_greg_daily,
@@ -4328,4 +4335,23 @@ ORACLES["dedup_recall"] = r"""
            round(n_hit * 1.0 / n_truth, 6) AS recall,
            round(n_hit * 1.0 / greatest(n_found, 1), 6) AS precision_lb
     FROM nt, nf, nh
+"""
+
+ORACLES["audience_overlap"] = """
+    WITH pairs AS (
+      SELECT DISTINCT event_type AS g, user_id AS k FROM events
+    ),
+    sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1),
+    shared AS (
+      SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_shared
+      FROM pairs a JOIN pairs b ON a.k = b.k AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b,
+           sa.n AS n_a, sb.n AS n_b, n_shared,
+           round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard,
+           round(n_shared * 1.0 / sa.n, 6) AS containment_a_in_b
+    FROM shared
+    JOIN sizes sa ON shared.group_a = sa.g
+    JOIN sizes sb ON shared.group_b = sb.g
 """

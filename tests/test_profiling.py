@@ -425,3 +425,25 @@ def test_gini_exact_small_case(spark):
     rows = [Row(g="x", k=1)] + [Row(g="x", k=2)] * 3
     r = profiling.gini_concentration(spark.createDataFrame(rows), "g", "k").collect()[0]
     assert r.gini == 0.25
+
+
+# --- audience_overlap ---
+
+
+def test_audience_overlap_jaccard_and_containment(spark):
+    rows = [Row(g="a", k=i) for i in (1, 2, 3)]
+    rows += [Row(g="b", k=i) for i in (2, 3, 4, 5)]
+    rows += [Row(g="a", k=2)]  # duplicate event: distinct-ed away
+    out = profiling.audience_overlap(spark.createDataFrame(rows), "g", "k").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("a", "b")
+    assert (r.n_a, r.n_b, r.n_shared) == (3, 4, 2)
+    assert r.jaccard == 0.4          # 2 / (3 + 4 - 2)
+    assert r.containment_a_in_b == round(2 / 3, 6)
+
+
+def test_audience_overlap_disjoint_pair_absent(spark):
+    rows = [Row(g="a", k=1), Row(g="b", k=2)]
+    # no shared keys -> no output row for the pair (inner join semantics)
+    assert profiling.audience_overlap(spark.createDataFrame(rows), "g", "k").collect() == []

@@ -104,6 +104,7 @@ AUDITED = [
     "supplier_pareto",
     "gini_activity",
     "dedup_recall",
+    "audience_overlap",
 ]
 
 CHECKS = {
@@ -310,6 +311,9 @@ CHECKS = {
     # injection is a map-only union feeding the banded LSH path; the
     # truth join moves id pairs only — never a corpus cartesian
     "dedup_recall": ["Union", "HashAggregate", "!CartesianProduct"],
+    # distinct (group, key) pairs first; the pair self-join is an
+    # equality hash join on the key; set sizes broadcast back
+    "audience_overlap": ["HashAggregate", "Join", "!CartesianProduct", "!Window"],
 }
 
 
