@@ -145,6 +145,12 @@ def distribution_drift(
     upstream distribution moved — the standard data-quality tripwire
     between pipeline runs.
 
+    A group whose rows all fall in ONE time half is omitted from the
+    output (the early/late inner join produces no row for it): PSI
+    against an empty half is ill-defined, and a group that only exists
+    in one half is a presence change, not a drift — detect those with
+    snapshot_diff, not PSI.
+
     Everything reduces before it shuffles: the global (min, max,
     mid-time) scalars are one 1-row aggregate broadcast back; binning
     is a map-side projection; the only data shuffle is the

@@ -460,6 +460,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_salt: int = 16,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Bulk exact kNN join: for EVERY query vector, the top-k corpus
     neighbors by cosine — (q_id, rank, vec_id, cosine). The batch
@@ -474,8 +475,13 @@ def knn_join(
     (query, salt)'s k best as a sorted array slice (bounded state,
     map-side combined), stage 2 merges n_salt partial lists per query.
     No per-query global sort, no window over |corpus| rows — the
-    worst task holds k·n_salt structs per query. Self-matches
-    (q_id == vec_id) are excluded.
+    worst task holds k·n_salt structs per query. With
+    ``exclude_self`` (the default) rows where q_id == vec_id are
+    dropped — this assumes queries and corpus share ONE id space
+    (queries drawn from the corpus, as in dedup/recall audits). When
+    the two sides have independent id spaces, pass
+    ``exclude_self=False`` or a coincidental id collision would
+    silently drop a legitimate neighbor.
 
     Ranking uses the ROUNDED cosine (6 decimals) with vec_id as the
     tiebreak, so the result order is engine-exact, not
@@ -483,11 +489,13 @@ def knn_join(
     qv = F.col(vec_col).cast("array<double>")
     qdf = queries.select(F.col(q_id_col).alias("__q"), qv.alias("__qv"))
     cv = F.col(vec_col).cast("array<double>")
+    scored = corpus.select(F.col(id_col).alias("__id"), cv.alias("__v")).crossJoin(
+        F.broadcast(qdf)
+    )
+    if exclude_self:
+        scored = scored.where(F.col("__id") != F.col("__q"))
     scored = (
-        corpus.select(F.col(id_col).alias("__id"), cv.alias("__v"))
-        .crossJoin(F.broadcast(qdf))
-        .where(F.col("__id") != F.col("__q"))
-        .select(
+        scored.select(
             "__q",
             "__id",
             F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("__cos"),

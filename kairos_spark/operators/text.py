@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Whitespace spelled out ([ \t\n\f\r]) rather than \s: Java regex \s
+# includes vertical tab (\x0B), RE2 (DuckDB) \s does not — explicit
+# classes keep Spark and every oracle byte-identical on VT input.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0c\r]"
 
 # Tiny per-language stopword panels for the n-gram/stopword heuristic.
 # Deliberately small and fixed so language_id is deterministic and
@@ -40,7 +43,8 @@ def token_count(text: Column) -> Column:
 
 
 def word_count(text: Column) -> Column:
-    return F.size(F.split(F.trim(text), r"\s+"))
+    # explicit whitespace class — see TOKEN_REGEX note on Java-vs-RE2 \s
+    return F.size(F.split(F.trim(text), "[ \t\n\x0c\r]+"))
 
 
 # Character classes as literal alphabets for translate()-based counting.
@@ -265,8 +269,13 @@ def top_tokens_by_group(
 
 def normalize_ws(text: Column) -> Column:
     """Lowercase + collapse whitespace runs to single spaces — the
-    canonical form all shingle operators hash over."""
-    return F.regexp_replace(F.lower(text), r"\s+", " ")
+    canonical form all shingle operators hash over.
+
+    The whitespace class is spelled out explicitly ([ \\t\\n\\f\\r])
+    instead of ``\\s`` because Java regex ``\\s`` includes vertical tab
+    (\\x0B) while RE2 (DuckDB's engine, used by every oracle) does not —
+    the same divergence fixed in dedup.normalized_text."""
+    return F.regexp_replace(F.lower(text), "[ \t\n\x0c\r]+", " ")
 
 
 def shingles_of_norm(norm: Column, n: int = 8) -> Column:

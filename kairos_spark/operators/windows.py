@@ -134,12 +134,16 @@ def asof_join(
             F.col(left_ts).cast("double")
             - F.col(f"{right_ts}{suffix}").cast("double")
         ) <= tolerance_sec
+        # Mask exactly the columns this join carried over — never a
+        # suffix match over out.columns, which would null a left-side
+        # column that happens to end with the suffix.
+        carried_names = {f"{right_ts}{suffix}"} | {f"{c}{suffix}" for c in right_cols}
         out = out.select(
-            *[c for c in out.columns if not c.endswith(suffix)],
+            *[c for c in out.columns if c not in carried_names],
             *[
                 F.when(fresh, F.col(c)).alias(c)
                 for c in out.columns
-                if c.endswith(suffix)
+                if c in carried_names
             ],
         )
     return out.drop(*drop)
