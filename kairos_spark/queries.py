@@ -1376,14 +1376,22 @@ def q_embed_near_pairs_lsh(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary media plumbing: attach payloads, extract features via
-    Arrow-batched mapInPandas (decode stubbed deterministically) —
-    rows-only check (mapInPandas is not SQL-expressible)."""
+    Arrow-batched mapInPandas. The featurization is a deterministic
+    byte-level stand-in (high-nibble histogram, L1-normalized) chosen
+    so DuckDB can reproduce it exactly from hex(encode(text)) — this
+    graduates the mapInPandas path from rows-only to hash-matched
+    while keeping the Arrow batch plumbing (the thing being proven)
+    untouched. Fixed-stride samples of the 16-dim vector are
+    projected as scalar columns."""
     media = multimodal.attach_media(_tbl(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
     return feats.select(
         "media_id",
         "n_bytes",
         F.round(F.col("features")[0], 6).alias("f0"),
+        F.round(F.col("features")[3], 6).alias("f3"),
+        F.round(F.col("features")[7], 6).alias("f7"),
+        F.round(F.col("features")[11], 6).alias("f11"),
         F.round(F.col("features")[15], 6).alias("f15"),
     )
 
@@ -2424,6 +2432,26 @@ ORACLES.update(
             SELECT doc_id AS media_id,
                    CAST(floor(greatest(length(text) - 1, 0) / 256) + 1 AS BIGINT) AS n_frames
             FROM documents
+        """,
+        # bucket b of the L1-normalized byte histogram counts bytes with
+        # high nibble b: exactly the odd-position chars of hex(payload).
+        # regexp_replace('(.).','\1') keeps the first char of each hex
+        # pair, then per-digit counting is length arithmetic.
+        "multimodal_features": r"""
+            WITH h AS (
+                SELECT doc_id AS media_id,
+                       octet_length(encode(text)) AS n_bytes,
+                       regexp_replace(hex(encode(text)), '(.).', '\1', 'g') AS nib
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(n_bytes AS BIGINT) AS n_bytes,
+                   round((length(nib) - length(replace(nib, '0', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f0,
+                   round((length(nib) - length(replace(nib, '3', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f3,
+                   round((length(nib) - length(replace(nib, '7', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f7,
+                   round((length(nib) - length(replace(nib, 'B', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f11,
+                   round((length(nib) - length(replace(nib, 'F', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f15
+            FROM h
         """,
     }
 )
