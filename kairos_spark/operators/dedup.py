@@ -591,3 +591,82 @@ def dedup_recall_audit(
             ).alias("precision_lb"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    min_len: int = 40,
+    max_occ: int = 200,
+) -> DataFrame:
+    """Exact duplicated-span detection across documents: every maximal
+    run of whitespace-normalized text of length >= ``min_len`` shared
+    verbatim between two documents at one alignment, as
+    (id_a, id_b, a_start, b_start, span_len). The substring-grain
+    complement to doc-grain MinHash (reference dedup works at whole-doc
+    grain; training pipelines also need "page B embeds paragraph from
+    page A"; cf. suffix-array dedup in Lee et al., "Deduplicating
+    Training Data Makes Language Models Better").
+
+    Algorithm (anti-diagonal islands — all relational, no suffix
+    array): explode every k-char gram with its position; equi-join
+    grams across documents (id_a < id_b); a shared span of length S
+    yields S-k+1 consecutive matches on one alignment diagonal
+    (pa - pb constant), so row_number per (pair, diagonal) turns
+    consecutive positions into islands (pa - row_number constant), and
+    each island IS a maximal span with span_len = matches + k - 1.
+
+    Scale shape: the only data-sized shuffle is the gram equi-join —
+    grams hash-partition by content, never all-pairs
+    (!CartesianProduct). Windows run per (pair, diagonal) — candidate
+    groups, not the corpus. ``max_occ`` drops grams occurring more
+    than that many times corpus-wide (the stop-gram guard): at 100 TB
+    ubiquitous boilerplate grams would otherwise make single join
+    buckets quadratic. Spans consisting ONLY of such ubiquitous text
+    are deliberately not reported here — that is boilerplate, surfaced
+    by ``boilerplate_chunks``. The filter is mirrored in the oracle, so
+    parity is exact."""
+    from pyspark.sql.window import Window
+
+    norm = df.select(
+        F.col(id_col), normalize_ws(F.col(text_col)).alias("__n")
+    )
+    idx = F.when(
+        F.length("__n") >= k, F.sequence(F.lit(1), F.length("__n") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = norm.select(
+        id_col,
+        F.posexplode(F.transform(idx, lambda i: F.col("__n").substr(i, F.lit(k)))).alias(
+            "__pos0", "__g"
+        ),
+    ).select(id_col, (F.col("__pos0") + 1).alias("__p"), "__g")
+    rare = (
+        grams.groupBy("__g")
+        .agg(F.count("*").alias("__occ"))
+        .where(F.col("__occ") <= max_occ)
+        .select("__g")
+    )
+    fg = grams.join(rare, "__g")
+    a = fg.select(
+        F.col(id_col).alias("id_a"), F.col("__p").alias("__pa"), "__g"
+    )
+    b = fg.select(
+        F.col(id_col).alias("id_b"), F.col("__p").alias("__pb"), "__g"
+    )
+    pairs = a.join(b, "__g").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "__pa", "__pb", (F.col("__pa") - F.col("__pb")).alias("__diag")
+    )
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("__pa")
+    runs = pairs.withColumn("__island", F.col("__pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("id_a", "id_b", "__diag", "__island")
+        .agg(
+            F.min("__pa").cast("long").alias("a_start"),
+            F.min("__pb").cast("long").alias("b_start"),
+            (F.count("*") + k - 1).cast("long").alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_len)
+        .select("id_a", "id_b", "a_start", "b_start", "span_len")
+    )

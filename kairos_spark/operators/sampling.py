@@ -191,3 +191,55 @@ def stratified_sample(
     cut_default = int(round(default_fraction * BUCKETS))
     thresh = F.lit(cut_default) if thresh is None else thresh.otherwise(cut_default)
     return df.where(b < thresh)
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    caps: dict[str, int] | None = None,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` rows per group
+    (``caps`` overrides per group — the domain-mix rebalancing form:
+    derive per-domain budgets from a target mix, pass them here).
+    Selection is deterministic: best ``priority_col`` first (ties by
+    hash) or, with no priority, md5-hash order — a uniform, seed-free
+    per-domain subsample that never reshuffles when the corpus grows.
+    Real crawls cap per source domain so no single site dominates the
+    training mix, independent of dedup.
+
+    Scale shape: rows shuffle once on the group key, but the window
+    sort only ever runs on over-cap domains — per-domain counts are
+    aggregated first (map-side combined) and under-cap domains pass
+    through with no sort at all. The classic mega-domain skew therefore
+    costs one sorted partition per over-cap domain, and every other row
+    takes the sort-free branch. (At extreme skew, pre-filter a
+    mega-domain with an approximate priority-threshold from
+    ``percentile_approx`` before the exact window.)
+
+    Returns the input columns unchanged, capped."""
+    from pyspark.sql.window import Window
+
+    cap_expr = F.lit(cap)
+    if caps:
+        for dom, c in sorted(caps.items()):
+            cap_expr = F.when(F.col(group_col) == dom, F.lit(c)).otherwise(cap_expr)
+    hash_ord = F.md5(F.col(id_col).cast("string"))
+    order = (
+        [F.col(priority_col).desc(), hash_ord, F.col(id_col)]
+        if priority_col
+        else [hash_ord, F.col(id_col)]
+    )
+    counts = df.groupBy(F.col(group_col)).agg(F.count("*").alias("__gn"))
+    tagged = df.join(counts, group_col)
+    under = tagged.where(F.col("__gn") <= cap_expr).drop("__gn")
+    w = Window.partitionBy(group_col).orderBy(*order)
+    over = (
+        tagged.where(F.col("__gn") > cap_expr)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap_expr)
+        .drop("__rn", "__gn")
+    )
+    return under.unionByName(over)

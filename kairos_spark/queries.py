@@ -1613,6 +1613,29 @@ def q_dedup_recall(spark, sf_dir):
     )
 
 
+def q_duplicated_spans(spark, sf_dir):
+    """Substring-grain exact dedup: maximal verbatim spans >= 40 chars
+    shared between documents (16-gram anti-diagonal islands)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, k=16, min_len=40, max_occ=200)
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain cap with a rebalance override: keep the 10 longest
+    docs per source (deterministic hash tiebreak), src0 exempted at
+    100 — summarized as per-domain kept counts + id checksum."""
+    docs = _tbl(spark, sf_dir, "documents")
+    capped = sampling.domain_cap(
+        docs, cap=10, group_col="source", id_col="doc_id",
+        caps={"src0": 100}, priority_col="n_chars",
+    )
+    return capped.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+
+
 def q_winsorize(spark, sf_dir):
     """Winsorization audit of event values per type (p5/p95 caps)."""
     ev = _tbl(spark, sf_dir, "events")
@@ -1896,13 +1919,98 @@ def q_event_pivot(spark, sf_dir):
 # the tail is cut again.
 QUERIES = {
     # --- registry order drives the driver's 50-entry correctness budget. ---
-    # Round-4 rotation: the 38 NEW round-4 queries lead (never
-    # driver-checked), then the entries the r03 run never reached —
-    # reference-parity ts_* rows ahead of pipeline re-checks — and the
-    # r03-green 50 rotate to the tail. With >50 candidates the oldest
-    # re-checks fall past the budget; all were driver-green in
-    # CORRECTNESS_r01/r02 and stay covered by the local mirror
-    # (tools/check_correctness.py, 0 failures across the full registry).
+    # Round-5 rotation (CLAUDE.md rule): (1) queries NEW this round lead
+    # (never driver-checked), then the 7 round-4 tail-new entries and
+    # multimodal_features (oracle-less in r1-r4, now exact); (2) the
+    # reference-parity ts_* rows last driver-checked in r2 (testdata ts
+    # encoding churns between rounds — re-verify ahead of pipeline
+    # re-checks); (3) pipeline entries CORRECTNESS_r04 did not reach;
+    # (4) the r4-green 50 rotate to the tail, covered by the local
+    # mirror (tools/check_correctness.py, 0 failures full-registry).
+    "duplicated_spans": q_duplicated_spans,
+    "domain_cap": q_domain_cap,
+    "source_scorecard": q_source_scorecard,
+    "langid_metrics": q_langid_metrics,
+    "conversion_latency": q_conversion_latency,
+    "supplier_pareto": q_supplier_pareto,
+    "gini_activity": q_gini_activity,
+    "dedup_recall": q_dedup_recall,
+    "audience_overlap": q_audience_overlap,
+    "multimodal_features": q_multimodal_features,
+    # --- (2) ts_* parity re-checks, driver-stale since r2 ---
+    "ts_properties": q_ts_properties,
+    "ts_list_names": q_ts_list_names,
+    "ts_greg_daily": q_ts_greg_daily,
+    "ts_greg_weekly": q_ts_greg_weekly,
+    "ts_greg_monthly_rate": q_ts_greg_monthly_rate,
+    "ts_fanout_minute": q_ts_fanout_minute,
+    "ts_retention_filter": q_ts_retention_filter,
+    "ts_histogram_transforms": q_ts_histogram_transforms,
+    "ts_histogram_rate": q_ts_histogram_rate,
+    "ts_histogram_percentiles": q_ts_histogram_percentiles,
+    "ts_variance_collapse": q_ts_variance_collapse,
+    "ts_gauge_join": q_ts_gauge_join,
+    "ts_series_condense_order": q_ts_series_condense_order,
+    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
+    "ts_multires_rollup": q_ts_multires_rollup,
+    "ts_iterate_full": q_ts_iterate_full,
+    # --- (3) pipeline entries the r4 window did not reach ---
+    "repetition_stats": q_repetition_stats,
+    "word_entropy": q_word_entropy,
+    "contamination": q_contamination,
+    "dedup_incremental": q_dedup_incremental,
+    "token_topk_by_lang": q_token_topk_by_lang,
+    "cohort_retention": q_cohort_retention,
+    "embed_near_pairs_lsh": q_embed_near_pairs_lsh,
+    "shard_packing": q_shard_packing,
+    "sketch_distinct": q_sketch_distinct,
+    "kmeans_clusters": q_kmeans_clusters,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bigram_lm_score": q_bigram_lm_score,
+    "normalize_dedup": q_normalize_dedup,
+    "containment_pairs": q_containment_pairs,
+    "anomaly_zscore": q_anomaly_zscore,
+    "ewma_smooth": q_ewma_smooth,
+    "rolling_distinct_users": q_rolling_distinct_users,
+    "funnel_conversion": q_funnel_conversion,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "window_top_orders": q_window_top_orders,
+    "value_percentiles": q_value_percentiles,
+    "json_props_stats": q_json_props_stats,
+    "range_join_user_events": q_range_join_user_events,
+    "rollup_revenue_region": q_rollup_revenue_region,
+    "semi_join_urgent_custs": q_semi_join_urgent_custs,
+    "anti_join_quiet_custs": q_anti_join_quiet_custs,
+    "event_sessions": q_event_sessions,
+    "asof_signup_purchase": q_asof_signup_purchase,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_lsh": q_dedup_clusters_lsh,
+    "training_data_prep": q_training_data_prep,
+    "minhash_first_hashes": q_minhash_first_hashes,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_sample": q_simhash_sample,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "text_stats": q_text_stats,
+    "binned_quantiles": q_binned_quantiles,
+    "weighted_sample": q_weighted_sample,
+    "pii_scrub": q_pii_scrub,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "token_topk": q_token_topk,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "label_centroids": q_label_centroids,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embed_near_pairs": q_embed_near_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "frame_sample": q_frame_sample,
+    "sample_split": q_sample_split,
+    "stratified_sample": q_stratified_sample,
+    # --- (4) r4-green, rotated to the tail (local-mirror covered) ---
     "session_transitions": q_session_transitions,
     "doc_chunks": q_doc_chunks,
     "inverted_index": q_inverted_index,
@@ -1953,88 +2061,6 @@ QUERIES = {
     "ts_multi_name_merge": q_ts_multi_name_merge,
     "ts_set_cross_series": q_ts_set_cross_series,
     "ts_spine_gapfill": q_ts_spine_gapfill,
-    # --- tail-new: added late in round 4, past the driver's 50-entry
-    # window on purpose — locally oracle-verified now, rotated to the
-    # FRONT of the round-5 window for driver verification. ---
-    "source_scorecard": q_source_scorecard,
-    "langid_metrics": q_langid_metrics,
-    "conversion_latency": q_conversion_latency,
-    "supplier_pareto": q_supplier_pareto,
-    "gini_activity": q_gini_activity,
-    "dedup_recall": q_dedup_recall,
-    "audience_overlap": q_audience_overlap,
-    "ts_properties": q_ts_properties,
-    "ts_list_names": q_ts_list_names,
-    "ts_greg_daily": q_ts_greg_daily,
-    "ts_greg_weekly": q_ts_greg_weekly,
-    "ts_greg_monthly_rate": q_ts_greg_monthly_rate,
-    "ts_fanout_minute": q_ts_fanout_minute,
-    "ts_retention_filter": q_ts_retention_filter,
-    "ts_histogram_transforms": q_ts_histogram_transforms,
-    "ts_histogram_rate": q_ts_histogram_rate,
-    "ts_histogram_percentiles": q_ts_histogram_percentiles,
-    "ts_variance_collapse": q_ts_variance_collapse,
-    "ts_gauge_join": q_ts_gauge_join,
-    "ts_series_condense_order": q_ts_series_condense_order,
-    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
-    "ts_multires_rollup": q_ts_multires_rollup,
-    "repetition_stats": q_repetition_stats,
-    "word_entropy": q_word_entropy,
-    "contamination": q_contamination,
-    "dedup_incremental": q_dedup_incremental,
-    "token_topk_by_lang": q_token_topk_by_lang,
-    "cohort_retention": q_cohort_retention,
-    "embed_near_pairs_lsh": q_embed_near_pairs_lsh,
-    "shard_packing": q_shard_packing,
-    "sketch_distinct": q_sketch_distinct,
-    "kmeans_clusters": q_kmeans_clusters,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "bigram_lm_score": q_bigram_lm_score,
-    "normalize_dedup": q_normalize_dedup,
-    "containment_pairs": q_containment_pairs,
-    "anomaly_zscore": q_anomaly_zscore,
-    "ewma_smooth": q_ewma_smooth,
-    "rolling_distinct_users": q_rolling_distinct_users,
-    "funnel_conversion": q_funnel_conversion,
-    "ts_iterate_full": q_ts_iterate_full,
-    "q1_pricing_summary": q_q1_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "window_top_orders": q_window_top_orders,
-    "value_percentiles": q_value_percentiles,
-    "json_props_stats": q_json_props_stats,
-    "range_join_user_events": q_range_join_user_events,
-    "rollup_revenue_region": q_rollup_revenue_region,
-    "semi_join_urgent_custs": q_semi_join_urgent_custs,
-    "anti_join_quiet_custs": q_anti_join_quiet_custs,
-    "event_sessions": q_event_sessions,
-    "asof_signup_purchase": q_asof_signup_purchase,
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_exact_keep": q_dedup_exact_keep,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_clusters_lsh": q_dedup_clusters_lsh,
-    "training_data_prep": q_training_data_prep,
-    "minhash_first_hashes": q_minhash_first_hashes,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_sample": q_simhash_sample,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "text_stats": q_text_stats,
-    "binned_quantiles": q_binned_quantiles,
-    "weighted_sample": q_weighted_sample,
-    "pii_scrub": q_pii_scrub,
-    "quality_scores": q_quality_scores,
-    "lang_id": q_lang_id,
-    "token_topk": q_token_topk,
-    "doc_fingerprint": q_doc_fingerprint,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "label_centroids": q_label_centroids,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embed_near_pairs": q_embed_near_pairs,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "multimodal_features": q_multimodal_features,
-    "frame_sample": q_frame_sample,
-    "sample_split": q_sample_split,
-    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -2452,6 +2478,55 @@ ORACLES.update(
                    round((length(nib) - length(replace(nib, 'B', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f11,
                    round((length(nib) - length(replace(nib, 'F', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f15
             FROM h
+        """,
+        # anti-diagonal islands: a shared span of length S produces
+        # S-k+1 consecutive gram matches at one alignment (pa-pb
+        # constant); pa - row_number() is constant within each run.
+        "duplicated_spans": r"""
+            WITH norm AS (
+                SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS n
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i AS p, substr(n, i, 16) AS g
+                FROM (SELECT doc_id, n,
+                             unnest(generate_series(1, greatest(length(n) - 15, 0))) AS i
+                      FROM norm)
+            ),
+            occ AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 200),
+            fg AS (SELECT grams.* FROM grams JOIN occ USING (g)),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.p AS pa, b.p AS pb, a.p - b.p AS diag
+                FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            runs AS (
+                SELECT id_a, id_b, diag, pa, pb,
+                       pa - row_number() OVER (
+                           PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
+                FROM pairs
+            )
+            SELECT id_a, id_b,
+                   CAST(min(pa) AS BIGINT) AS a_start,
+                   CAST(min(pb) AS BIGINT) AS b_start,
+                   CAST(count(*) + 15 AS BIGINT) AS span_len
+            FROM runs GROUP BY id_a, id_b, diag, island
+            HAVING count(*) + 15 >= 40
+        """,
+        "domain_cap": """
+            WITH ranked AS (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM ranked
+            WHERE rn <= CASE WHEN source = 'src0' THEN 100 ELSE 10 END
+            GROUP BY source
         """,
     }
 )

@@ -541,3 +541,90 @@ def test_binned_histogram_merges_by_sum(spark):
     a = {(r["g"], r["bin"]): r["c"] for r in whole.collect()}
     b = {(r["g"], r["bin"]): r["c"] for r in merged.collect()}
     assert a == b
+
+
+# --------------------------------------------------- duplicated spans
+
+
+def test_duplicated_spans_finds_planted_span(spark):
+    shared = "this exact paragraph is repeated verbatim across documents"
+    rows = [
+        (1, "alpha opening words " + shared + " alpha closing words"),
+        (2, "beta prelude text " + shared + " beta epilogue text"),
+        (3, "unrelated content with no overlap whatsoever in this doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicated_spans(df, k=16, min_len=40, max_occ=50).collect()
+    spans = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in spans
+    r = spans[(1, 2)]
+    # maximal run includes the space on each side of the planted
+    # sentence (both docs have ' ' there; the letters beyond differ)
+    assert r.span_len == len(shared) + 2
+    # positions are 1-based into the normalized (lowercased,
+    # ws-collapsed) text: the span starts AT the shared space
+    assert r.a_start == len("alpha opening words ")
+    assert r.b_start == len("beta prelude text ")
+    assert not any(3 in (a, b) for (a, b) in spans)
+
+
+def test_duplicated_spans_min_len_and_normalization(spark):
+    # same span, different case + whitespace runs: still detected
+    shared = "case and   WHITESPACE insensitive span detection works here"
+    norm_len = len("case and whitespace insensitive span detection works here")
+    rows = [
+        (1, shared.upper()),
+        (2, shared.replace("   ", " \t ")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicated_spans(df, k=16, min_len=40, max_occ=50).collect()
+    assert len(out) == 1 and out[0].span_len == norm_len
+    # raising min_len above the span suppresses it
+    assert (
+        dedup.duplicated_spans(df, k=16, min_len=norm_len + 1, max_occ=50).count() == 0
+    )
+
+
+def test_duplicated_spans_short_docs_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
+    )
+    assert dedup.duplicated_spans(df, k=16, min_len=40).count() == 0
+
+
+# --------------------------------------------------------- domain cap
+
+
+def test_domain_cap_deterministic_and_capped(spark):
+    from kairos_spark.operators import sampling
+
+    rows = [(i, f"d{i % 3}", i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = sampling.domain_cap(df, cap=4, group_col="source", id_col="doc_id")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"d0": 4, "d1": 4, "d2": 4}
+    # deterministic: a second run keeps the identical ids
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in sampling.domain_cap(df, cap=4, group_col="source", id_col="doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_domain_cap_priority_and_overrides(spark):
+    from kairos_spark.operators import sampling
+
+    rows = [(i, f"d{i % 2}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = sampling.domain_cap(
+        df, cap=3, group_col="source", id_col="doc_id",
+        caps={"d1": 100}, priority_col="n_chars",
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # d1 is under its override cap: passes through whole (no sort branch)
+    assert sorted(by_src["d1"]) == list(range(1, 20, 2))
+    # d0 keeps its 3 LARGEST n_chars docs (priority desc)
+    assert sorted(by_src["d0"]) == [14, 16, 18]

@@ -105,6 +105,53 @@ AUDITED = [
     "gini_activity",
     "dedup_recall",
     "audience_overlap",
+    "duplicated_spans",
+    "domain_cap",
+    "multimodal_features",
+    "ts_properties",
+    "ts_list_names",
+    "ts_greg_daily",
+    "ts_greg_weekly",
+    "ts_greg_monthly_rate",
+    "ts_fanout_minute",
+    "ts_retention_filter",
+    "ts_histogram_transforms",
+    "ts_histogram_rate",
+    "ts_variance_collapse",
+    "ts_gauge_join",
+    "ts_series_condense_order",
+    "ts_iterate_full",
+    "word_entropy",
+    "dedup_incremental",
+    "token_topk_by_lang",
+    "sketch_distinct",
+    "window_top_orders",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "training_data_prep",
+    "minhash_lsh_pairs",
+    "simhash_sample",
+    "simhash_near_pairs",
+    "text_stats",
+    "quality_scores",
+    "lang_id",
+    "token_topk",
+    "doc_fingerprint",
+    "embed_near_pairs",
+    "ann_lsh_topk",
+    "frame_sample",
+    "stratified_sample",
+    "ts_count_rate_minute",
+    "ts_series_transforms_hour",
+    "ts_condense_hour",
+    "ts_collapse_range",
+    "ts_histogram_daily",
+    "ts_gauge_last_hour",
+    "ts_set_hour",
+    "ts_multi_name_merge",
+    "ts_set_cross_series",
 ]
 
 CHECKS = {
@@ -314,6 +361,86 @@ CHECKS = {
     # distinct (group, key) pairs first; the pair self-join is an
     # equality hash join on the key; set sizes broadcast back
     "audience_overlap": ["HashAggregate", "Join", "!CartesianProduct", "!Window"],
+    # --- round-5 additions: full-registry audit coverage ---
+    # gram equi-join (hash-partitioned by content; broadcast at test
+    # scale) with islands windows over candidate (pair, diag) groups
+    # only — never a nested loop or corpus cartesian
+    "duplicated_spans": ["Join", "Window", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # per-domain counts aggregate + join back; the row_number sort runs
+    # ONLY on the over-cap branch; under-cap rows union through sortless
+    "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
+    # Arrow-batched media featurization is map-only: payloads must not
+    # shuffle or join
+    "multimodal_features": ["MapInPandas", "!Join", "!Exchange hashpartitioning"],
+    # reference-parity facade queries: ±N fan-out is the Generate, the
+    # bucket rollup the partial+final HashAggregate; single-series paths
+    # must not join
+    "ts_properties": ["Generate", "HashAggregate", "!Join"],
+    "ts_list_names": ["Generate", "HashAggregate", "!Join"],
+    "ts_greg_daily": ["Generate", "HashAggregate", "!Join"],
+    "ts_greg_weekly": ["Generate", "HashAggregate", "!Join"],
+    "ts_greg_monthly_rate": ["Generate", "HashAggregate", "!Join"],
+    "ts_fanout_minute": ["Generate", "HashAggregate", "!Join"],
+    # retention cutoff is a 1-row max-ts scalar riding a broadcast
+    "ts_retention_filter": ["Generate", "HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    "ts_histogram_transforms": ["Generate", "HashAggregate", "!Join"],
+    # map-valued histogram rate: percentile state is the ObjectHashAggregate
+    "ts_histogram_rate": ["Generate", "HashAggregate", "ObjectHashAggregate", "!Join"],
+    "ts_variance_collapse": ["Generate", "HashAggregate", "!Join"],
+    # gauge multi-name join-merge runs as grouped map-merge aggregates,
+    # not a row join — no join operator may appear
+    "ts_gauge_join": ["Generate", "HashAggregate", "!Join", "!CartesianProduct"],
+    "ts_series_condense_order": ["Generate", "HashAggregate", "ObjectHashAggregate", "!Join"],
+    # iterate spine join is broadcast (bucket-count sized spine)
+    "ts_iterate_full": ["Generate", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+    "word_entropy": ["Generate", "HashAggregate", "!Join"],
+    # new-batch digests semi/anti-join the seen set on the short digest key
+    "dedup_incremental": ["LeftSemi", "LeftAnti", "!CartesianProduct"],
+    # rank window runs over per-(lang, token) AGGREGATED counts
+    "token_topk_by_lang": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
+    "sketch_distinct": ["HashAggregate", "!CartesianProduct"],
+    # per-customer rank window (hash-partitioned by the key, never global)
+    "window_top_orders": ["Window", "!Join"],
+    "dedup_exact_groups": ["HashAggregate", "!CartesianProduct"],
+    # shingle equality join (broadcast at test scale, SMJ at 100 TB) —
+    # the all-pairs oracle shape is quarantined; no nested loop
+    "dedup_ngram_jaccard": ["Generate", "HashAggregate", "Join", "!NestedLoop", "!CartesianProduct"],
+    "training_data_prep": ["LeftSemi", "Union", "HashAggregate", "!CartesianProduct"],
+    "minhash_lsh_pairs": ["Generate", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    "simhash_sample": ["Generate", "HashAggregate", "!Join"],
+    "simhash_near_pairs": ["Generate", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # per-doc stat projections are map-only: no join, no hash shuffle
+    # (the only allowed exchange is _tbl's roundrobin corpus split)
+    "text_stats": ["!Join", "!Exchange hashpartitioning"],
+    "quality_scores": ["!Join", "!Exchange hashpartitioning"],
+    "lang_id": ["!CartesianProduct", "!Exchange hashpartitioning"],
+    # exact top-k must be partition heaps, never a global sort
+    "token_topk": ["Generate", "HashAggregate", "TakeOrderedAndProject", "!Sort ", "!Join"],
+    # 1-hash MinHash: struct min has no hash form -> SortAggregate
+    "doc_fingerprint": ["Generate", "SortAggregate", "!Join"],
+    # bounded exact pair check: the id-capped block broadcasts and the
+    # inequality predicate rides the BNLJ — a data-sized cartesian is
+    # forbidden (the cap is what makes this the oracle path)
+    "embed_near_pairs": ["BroadcastNestedLoopJoin", "!CartesianProduct"],
+    "ann_lsh_topk": ["TakeOrderedAndProject", "!Sort ", "!CartesianProduct"],
+    "frame_sample": ["Generate", "HashAggregate", "!Join"],
+    "stratified_sample": ["HashAggregate", "!Join", "!Window"],
+    "ts_count_rate_minute": ["Generate", "HashAggregate", "!Join"],
+    "ts_series_transforms_hour": ["Generate", "HashAggregate", "!Join"],
+    "ts_condense_hour": ["Generate", "HashAggregate", "!Join"],
+    "ts_collapse_range": ["Generate", "HashAggregate", "!Join"],
+    "ts_histogram_daily": ["Generate", "HashAggregate", "!Join"],
+    # last-write-wins = max_by over (ts, value) structs -> SortAggregate
+    "ts_gauge_last_hour": ["Generate", "SortAggregate", "!Join"],
+    "ts_set_hour": ["Generate", "HashAggregate", "!Join"],
+    "ts_multi_name_merge": ["Generate", "HashAggregate", "!Join"],
+    "ts_set_cross_series": ["Generate", "HashAggregate", "!Join"],
+    # dedup_clusters / dedup_clusters_lsh: EXEMPT from plan assertions —
+    # the returned DataFrame is the post-convergence result of the
+    # pointer-jumping loop (per-iteration plans are the thing with
+    # structure; their shape — band-bucket join, no cartesian — is
+    # asserted by the operator design and the dedup unit tests, and the
+    # convergence driver sees one scalar per round).
 }
 
 
