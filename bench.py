@@ -70,6 +70,19 @@ HEADLINE = {
     "ann_cosine_topk": q.q_ann_cosine_topk,
 }
 
+# Pipeline-scale section (added round 5): the heavy training-data
+# operators, benched SEPARATELY so scale regressions in the pipeline
+# layer are visible round-over-round. The 23-query HEADLINE set above
+# is frozen (BASELINE.md freeze rule) and its total is unchanged by
+# this section; BASELINE.md records the round-5 numbers as this
+# section's own baseline.
+PIPELINE = {
+    "dedup_clusters_lsh": q.q_dedup_clusters_lsh,
+    "knn_join": q.q_knn_join,
+    "tfidf_top_terms": q.q_tfidf_top_terms,
+    "duplicated_spans": q.q_duplicated_spans,
+}
+
 
 def main():
     spark = (
@@ -95,7 +108,7 @@ def main():
     # performance — instead of JVM cold-start placement.
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir):
-        for name, fn in HEADLINE.items():
+        for name, fn in {**HEADLINE, **PIPELINE}.items():
             try:
                 out = fn(spark, warm_dir)
                 if hasattr(out, "collect"):
@@ -116,6 +129,15 @@ def main():
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    pipe_timings = {}
+    for name, fn in PIPELINE.items():
+        t0 = time.time()
+        out = fn(spark, SF_DIR)
+        if hasattr(out, "collect"):
+            out.collect()
+        pipe_timings[name] = round(time.time() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -124,6 +146,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pipeline": pipe_timings,
+                "pipeline_total": round(sum(pipe_timings.values()), 3),
                 "sf": float(sf),
             }
         )
