@@ -635,3 +635,48 @@ def knn_label_agreement(
         F.round(F.sum("__m") / (F.lit(k) * F.count("*")), 6).alias("mean_agreement"),
         F.sum((F.col("__m") * 2 < k).cast("long")).alias("n_suspect"),
     )
+
+
+def quantize_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    levels: int = 255,
+) -> DataFrame:
+    """Int8-style uniform quantization audit for an embedding column:
+    quantize each dimension to ``levels`` steps over its corpus-wide
+    [min, max], dequantize, and report per-label reconstruction error
+    (RMSE, max |err|, mean |err|). The go/no-go report before shipping
+    a quantized ANN index — 4× memory cut for ~1e-3 error is the usual
+    trade, and this measures it on YOUR vectors.
+
+    Determinism: the quantized level is floor(x * levels + 0.5) —
+    floor is engine-identical where Spark/DuckDB round() half-case
+    rules differ. Constant dimensions (max == min) dequantize to the
+    constant with zero error.
+
+    Shape: posexplode to (vec, dim, value) — map-only; per-dim min/max
+    aggregate to |dims| rows that BROADCAST back; per-label error
+    rollup is the only other shuffle. Vectors never join vectors."""
+    v = F.col(vec_col).cast("array<double>")
+    comp = df.select(
+        F.col(id_col), F.col(label_col), F.posexplode(v).alias("__d", "__v")
+    )
+    rng = comp.groupBy("__d").agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    width = F.col("__hi") - F.col("__lo")
+    q = F.floor(((F.col("__v") - F.col("__lo")) / width) * levels + 0.5)
+    deq = F.when(width == 0, F.col("__lo")).otherwise(
+        F.col("__lo") + q * width / levels
+    )
+    err = comp.join(F.broadcast(rng), "__d").select(
+        label_col, (F.col("__v") - deq).alias("__e")
+    )
+    return err.groupBy(label_col).agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.round(F.sqrt(F.avg(F.col("__e") * F.col("__e"))), 6).alias("rmse"),
+        F.round(F.max(F.abs("__e")), 6).alias("max_abs_err"),
+        F.round(F.avg(F.abs("__e")), 6).alias("mean_abs_err"),
+    )

@@ -733,3 +733,46 @@ def language_metrics(
             F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
         ).alias("f1"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document novelty score: the fraction of the document's
+    DISTINCT n-char shingles that appear in no other document —
+    the memorization/novelty signal data-mixing pipelines weight by
+    (high novelty = unique content; low = the corpus already says
+    this). Complements repetition_stats (within-doc redundancy) and
+    contamination (overlap vs a benchmark set) with a corpus-wide
+    uniqueness measure.
+
+    Shape: distinct (doc, gram) pairs shuffle once partitioned by
+    content; gram document-frequencies aggregate on the gram key and
+    join straight back to the same partitioning; the per-doc rollup is
+    the only other shuffle. No all-pairs anything — cost is linear in
+    total distinct grams."""
+    norm = df.select(F.col(id_col), normalize_ws(F.col(text_col)).alias("__n"))
+    grams = (
+        norm.select(
+            id_col, F.explode(shingles_of_norm(F.col("__n"), n)).alias("__g")
+        )
+        .where(F.length("__g") == n)
+        .distinct()
+    )
+    gdf = grams.groupBy("__g").agg(F.count("*").alias("__df"))
+    return (
+        grams.join(gdf, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )

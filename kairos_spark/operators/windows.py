@@ -773,3 +773,99 @@ def conversion_latency(
         "p90_sec",
         "mean_sec",
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "signup",
+    to_type: str = "purchase",
+    step_sec: int = 86400,
+) -> DataFrame:
+    """Discrete Kaplan-Meier survival curve for time-to-convert with
+    right-censoring: per user, duration = periods from the FIRST
+    ``from_type`` event to the first ``to_type`` event strictly after
+    it; users who never convert are CENSORED at the end of observation
+    (the global max timestamp) instead of being dropped — the
+    correction ``conversion_latency`` (converters only) cannot make.
+    One row per period k: n_at_risk, n_events, n_censored, and
+    S(k) = prod_{j<=k} (1 - d_j / n_j) — the standard product-limit
+    estimator (Kaplan & Meier 1958), the churn/retention curve product
+    analytics runs on.
+
+    Exactness: durations are integer-microsecond arithmetic (`div`, no
+    float epoch); the survival product runs as exp(cumsum(ln(1-d/n)))
+    over the period-grain rows, rounded to 6 — engine-reproducible.
+
+    Scale shape: two per-user min-aggregates (events shuffle once per
+    aggregate on the user key), the observation end rides a 1-row
+    broadcast, and every window runs over the PERIOD-grain table
+    (|periods| rows, never events)."""
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    step_us = step_sec * 1_000_000
+    first_a = (
+        df.where(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(us).alias("__ta"))
+    )
+    conv = (
+        df.where(F.col(type_col) == to_type)
+        .select(F.col(user_col), us.alias("__tb"))
+        .join(first_a, user_col)
+        .where(F.col("__tb") > F.col("__ta"))
+        .groupBy(user_col)
+        .agg(F.min(F.expr(f"(__tb - __ta) div {step_us}")).alias("__dur"))
+    )
+    end = df.agg(F.max(us).alias("__end"))
+    per_user = (
+        first_a.join(conv, user_col, "left")
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.coalesce(
+                F.col("__dur"), F.expr(f"(__end - __ta) div {step_us}")
+            ).alias("period"),
+            F.col("__dur").isNotNull().alias("__obs"),
+        )
+    )
+    grid = per_user.groupBy("period").agg(
+        F.sum(F.when(F.col("__obs"), 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(F.col("__obs"), 0).otherwise(1)).alias("n_censored"),
+    )
+    w = Window.orderBy("period").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the global-ordered windows run over |periods| aggregated rows
+    # (days, not events) — bounded state by construction
+    out = grid.withColumn(
+        "n_at_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(
+            Window.orderBy(F.col("period").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    # d == n (everyone remaining converts) would be ln(0): Spark log
+    # returns NULL there while DuckDB returns -inf — compute that case
+    # as an explicit 0.0 so both engines agree bit-for-bit.
+    dead = F.max(
+        F.when(F.col("n_events") == F.col("n_at_risk"), 1).otherwise(0)
+    ).over(w)
+    term = F.when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.log(1.0 - F.col("n_events") / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0))
+    out = out.withColumn(
+        "survival",
+        F.when(dead == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum(term).over(w)), 6)
+        ),
+    )
+    return out.select(
+        F.col("period").cast("long").alias("period"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        "survival",
+    )

@@ -1613,6 +1613,24 @@ def q_dedup_recall(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc corpus-wide novelty: fraction of distinct 8-gram
+    shingles appearing in no other document."""
+    return text.ngram_novelty(_tbl(spark, sf_dir, "documents"), n=8)
+
+
+def q_quantize_audit(spark, sf_dir):
+    """Int8-style quantization go/no-go: per-label reconstruction
+    error of 255-level uniform quantization over per-dim [min,max]."""
+    return similarity.quantize_audit(_tbl(spark, sf_dir, "embeddings"))
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier signup→purchase survival curve (day grain) with
+    right-censoring at the observation end."""
+    return windows.kaplan_meier(_tbl(spark, sf_dir, "events"))
+
+
 def q_duplicated_spans(spark, sf_dir):
     """Substring-grain exact dedup: maximal verbatim spans >= 40 chars
     shared between documents (16-gram anti-diagonal islands)."""
@@ -1929,6 +1947,9 @@ QUERIES = {
     # mirror (tools/check_correctness.py, 0 failures full-registry).
     "duplicated_spans": q_duplicated_spans,
     "domain_cap": q_domain_cap,
+    "ngram_novelty": q_ngram_novelty,
+    "quantize_audit": q_quantize_audit,
+    "kaplan_meier": q_kaplan_meier,
     "source_scorecard": q_source_scorecard,
     "langid_metrics": q_langid_metrics,
     "conversion_latency": q_conversion_latency,
@@ -2512,6 +2533,95 @@ ORACLES.update(
                    CAST(count(*) + 15 AS BIGINT) AS span_len
             FROM runs GROUP BY id_a, id_b, diag, island
             HAVING count(*) + 15 >= 40
+        """,
+        "ngram_novelty": r"""
+            WITH norm AS (
+                SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS n
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id, substr(n, i, 8) AS g
+                    FROM (SELECT doc_id, n,
+                                 unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+                          FROM norm)
+                ) WHERE length(g) = 8
+            ),
+            gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                   round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+            FROM grams JOIN gdf USING (g)
+            GROUP BY doc_id
+        """,
+        # parenthesization mirrors the Spark expressions exactly:
+        # ((v-lo)/(hi-lo))*255 + 0.5 floored, then (q*(hi-lo))/255
+        "quantize_audit": """
+            WITH comp AS (
+                SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+                FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS embedding,
+                             unnest(generate_series(1, len(embedding))) AS i
+                      FROM embeddings)
+            ),
+            rng AS (SELECT i, min(v) AS lo, max(v) AS hi FROM comp GROUP BY i),
+            err AS (
+                SELECT label,
+                       v - (CASE WHEN hi = lo THEN lo
+                                 ELSE lo + floor((v - lo) / (hi - lo) * 255 + 0.5) * (hi - lo) / 255
+                            END) AS e
+                FROM comp JOIN rng USING (i)
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_components,
+                   round(sqrt(avg(e * e)), 6) AS rmse,
+                   round(max(abs(e)), 6) AS max_abs_err,
+                   round(avg(abs(e)), 6) AS mean_abs_err
+            FROM err GROUP BY label
+        """,
+        "kaplan_meier": """
+            WITH a AS (
+                SELECT user_id, min(epoch_us(ts)) AS ta
+                FROM events WHERE event_type = 'signup' GROUP BY 1
+            ),
+            conv AS (
+                SELECT e.user_id,
+                       min((epoch_us(e.ts) - a.ta) // 86400000000) AS dur
+                FROM events e JOIN a USING (user_id)
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > a.ta
+                GROUP BY 1
+            ),
+            endt AS (SELECT max(epoch_us(ts)) AS e FROM events),
+            per_user AS (
+                SELECT coalesce(c.dur, (endt.e - a.ta) // 86400000000) AS period,
+                       c.dur IS NOT NULL AS obs
+                FROM a LEFT JOIN conv c USING (user_id), endt
+            ),
+            grid AS (
+                SELECT period,
+                       sum(CASE WHEN obs THEN 1 ELSE 0 END) AS n_events,
+                       sum(CASE WHEN obs THEN 0 ELSE 1 END) AS n_censored
+                FROM per_user GROUP BY 1
+            ),
+            risk AS (
+                SELECT period, n_events, n_censored,
+                       sum(n_events + n_censored)
+                           OVER (ORDER BY period DESC) AS n_at_risk
+                FROM grid
+            )
+            SELECT CAST(period AS BIGINT) AS period,
+                   CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_censored AS BIGINT) AS n_censored,
+                   CASE WHEN max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+                             OVER (ORDER BY period) = 1
+                        THEN 0.0
+                        ELSE round(exp(sum(CASE WHEN n_events < n_at_risk
+                                                THEN ln(1 - n_events * 1.0 / n_at_risk)
+                                                ELSE 0.0 END)
+                                       OVER (ORDER BY period)), 6)
+                   END AS survival
+            FROM risk
         """,
         "domain_cap": """
             WITH ranked AS (

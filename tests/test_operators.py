@@ -628,3 +628,109 @@ def test_domain_cap_priority_and_overrides(spark):
     assert sorted(by_src["d1"]) == list(range(1, 20, 2))
     # d0 keeps its 3 LARGEST n_chars docs (priority desc)
     assert sorted(by_src["d0"]) == [14, 16, 18]
+
+
+# ------------------------------------------------------- ngram novelty
+
+
+def test_ngram_novelty_unique_vs_shared(spark):
+    rows = [
+        (1, "aaaaaaaaaaaaaaaa"),          # grams shared with doc 2
+        (2, "aaaaaaaaaaaaaaaa"),          # exact copy: novelty 0
+        (3, "zqxwvutsrqponmlk"),          # all grams unique: novelty 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.ngram_novelty(df, n=8).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    # doc 1: only ONE distinct gram ("aaaaaaaa")
+    assert out[1].n_grams == 1 and out[1].n_unique == 0
+
+
+def test_ngram_novelty_short_docs_excluded(spark):
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    # doc shorter than n yields no full-length grams -> no output row
+    assert text.ngram_novelty(df, n=8).count() == 0
+
+
+# ------------------------------------------------------ quantize audit
+
+
+def test_quantize_audit_error_bounds(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(4)], i % 2) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.quantize_audit(df, levels=255).collect()
+    assert {r.label for r in out} == {0, 1}
+    for r in out:
+        assert r.n_components == 25 * 4
+        # uniform quantization error is bounded by half a step:
+        # step = range/255 <= 2/255 -> half-step ~ 0.0040
+        assert 0 < r.rmse <= r.max_abs_err <= (2.0 / 255) / 2 + 1e-9
+
+
+def test_quantize_audit_constant_dim_zero_error(spark):
+    df = spark.createDataFrame(
+        [(1, [5.0, 1.0], 0), (2, [5.0, 3.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    r = similarity.quantize_audit(df, levels=255).collect()[0]
+    # dim 0 is constant -> exact; dim 1 endpoints land on levels 0/255
+    assert r.max_abs_err == 0.0 and r.rmse == 0.0
+
+
+# -------------------------------------------------------- kaplan-meier
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    from datetime import datetime, timezone
+
+    from kairos_spark.operators import windows
+
+    def ev(u, t, day, hour=12):
+        return (u, t, datetime(2024, 1, 1 + day, hour, 0, tzinfo=timezone.utc))
+
+    rows = [
+        # u1 converts day 0 (one hour after signup), u2 day 1, u3 never
+        # (censored), u4 never (censored); observation ends at the last
+        # event below
+        ev(1, "signup", 0), ev(1, "purchase", 0, hour=13),
+        ev(2, "signup", 0), ev(2, "purchase", 1, hour=13),
+        ev(3, "signup", 0),
+        ev(4, "signup", 1),
+        ev(5, "purchase", 3),  # purchase-only: excluded; also sets end
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.period: r for r in windows.kaplan_meier(df).collect()}
+    # period 0: 4 at risk, 1 event -> S = 0.75
+    assert out[0].n_at_risk == 4 and out[0].n_events == 1
+    assert out[0].survival == 0.75
+    # period 1: 3 at risk, 1 event -> S = 0.75 * 2/3 = 0.5
+    assert out[1].n_at_risk == 3 and out[1].n_events == 1
+    assert out[1].survival == 0.5
+    # u3 censored at day 3, u4 censored at day 2 (end - its signup)
+    assert out[3].n_censored == 1 and out[2].n_censored == 1
+    # censoring does not change S
+    assert out[2].survival == 0.5 and out[3].survival == 0.5
+
+
+def test_kaplan_meier_all_convert_hits_zero(spark):
+    from datetime import datetime, timezone
+
+    from kairos_spark.operators import windows
+
+    def ev(u, t, day):
+        return (u, t, datetime(2024, 1, 1 + day, tzinfo=timezone.utc))
+
+    rows = [
+        ev(1, "signup", 0), ev(1, "purchase", 1),
+        ev(2, "signup", 0), ev(2, "purchase", 1),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.period: r for r in windows.kaplan_meier(df).collect()}
+    assert out[1].n_events == 2 and out[1].n_at_risk == 2
+    assert out[1].survival == 0.0

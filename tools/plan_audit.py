@@ -105,6 +105,9 @@ AUDITED = [
     "gini_activity",
     "dedup_recall",
     "audience_overlap",
+    "ngram_novelty",
+    "quantize_audit",
+    "kaplan_meier",
     "duplicated_spans",
     "domain_cap",
     "multimodal_features",
@@ -362,6 +365,15 @@ CHECKS = {
     # equality hash join on the key; set sizes broadcast back
     "audience_overlap": ["HashAggregate", "Join", "!CartesianProduct", "!Window"],
     # --- round-5 additions: full-registry audit coverage ---
+    # distinct (doc, gram) pairs partition by content; the gram-df join
+    # is an equality join straight back on the same key
+    "ngram_novelty": ["Generate", "HashAggregate", "Join", "!NestedLoop", "!CartesianProduct"],
+    # per-dim ranges aggregate to |dims| rows and BROADCAST back; the
+    # component explode is map-only — vectors never join vectors
+    "quantize_audit": ["Generate", "HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
+    # two per-user min-aggregates; observation end rides a 1-row
+    # broadcast; windows run over the period-grain table only
+    "kaplan_meier": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # gram equi-join (hash-partitioned by content; broadcast at test
     # scale) with islands windows over candidate (pair, diag) groups
     # only — never a nested loop or corpus cartesian
