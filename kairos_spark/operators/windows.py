@@ -869,3 +869,81 @@ def kaplan_meier(
         F.col("n_censored").cast("long").alias("n_censored"),
         "survival",
     )
+
+
+def mean_shift_changepoints(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 86400,
+    window: int = 7,
+    min_score: float = 2.0,
+) -> DataFrame:
+    """Changepoint detection on per-key bucket counts: score every
+    bucket by the standardized mean shift between the ``window``
+    buckets before it and the ``window`` starting at it —
+    |mean_after - mean_before| / pooled_std — and report each key's
+    strongest changepoint plus how many buckets cross ``min_score``.
+    The two-sample mean-shift scan is the window-expressible form of
+    CUSUM-style level-shift detection (an exact running CUSUM is a
+    clamped recurrence neither Catalyst windows nor ANSI SQL express;
+    the two-window scan is the standard scan-statistic equivalent).
+
+    Exactness: means/variances come from integer sum/sum-of-squares
+    window aggregates (exact in double below 2^53) rather than
+    engine-specific stddev streaming kernels, so every score is
+    bit-reproducible. Only buckets with BOTH windows full are scored.
+
+    Shape: raw events collapse to (key, bucket) counts first; every
+    window after that runs over the bucket-grain table partitioned by
+    key — bounded rows, one key shuffle."""
+    from pyspark.sql.window import Window
+
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    wb = (
+        Window.partitionBy("name")
+        .orderBy("i_time")
+        .rowsBetween(-window, -1)
+    )
+    wa = (
+        Window.partitionBy("name")
+        .orderBy("i_time")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    n = F.col("n").cast("double")
+    scored = (
+        counts.withColumn("__cb", F.count("n").over(wb))
+        .withColumn("__sb", F.sum(n).over(wb))
+        .withColumn("__qb", F.sum(n * n).over(wb))
+        .withColumn("__ca", F.count("n").over(wa))
+        .withColumn("__sa", F.sum(n).over(wa))
+        .withColumn("__qa", F.sum(n * n).over(wa))
+        .where((F.col("__cb") == window) & (F.col("__ca") == window))
+    )
+    mb = F.col("__sb") / window
+    ma = F.col("__sa") / window
+    vb = F.col("__qb") / window - mb * mb
+    va = F.col("__qa") / window - ma * ma
+    pooled = F.sqrt((vb + va) / 2)
+    score = F.when(pooled > 0, F.abs(ma - mb) / pooled).otherwise(
+        # identical windows -> no shift; any difference with zero
+        # pooled variance is an infinite-confidence shift
+        F.when(F.abs(ma - mb) > 0, F.lit(float("inf"))).otherwise(F.lit(0.0))
+    )
+    per_bucket = scored.select(
+        "name", "i_time", F.round(score, 6).alias("__score")
+    )
+    wr = Window.partitionBy("name").orderBy(
+        F.col("__score").desc(), "i_time"
+    )
+    return (
+        per_bucket.withColumn("__rn", F.row_number().over(wr))
+        .groupBy("name")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("i_time"))).alias("cp_time"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__score"))).alias("cp_score"),
+            F.sum(F.when(F.col("__score") >= min_score, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shifts"),
+        )
+    )

@@ -1631,6 +1631,14 @@ def q_kaplan_meier(spark, sf_dir):
     return windows.kaplan_meier(_tbl(spark, sf_dir, "events"))
 
 
+def q_changepoints(spark, sf_dir):
+    """Per-type strongest mean-shift changepoint over daily counts
+    (7-before vs 7-after standardized shift scan)."""
+    return windows.mean_shift_changepoints(
+        _tbl(spark, sf_dir, "events"), step_sec=86400, window=7, min_score=2.0
+    )
+
+
 def q_duplicated_spans(spark, sf_dir):
     """Substring-grain exact dedup: maximal verbatim spans >= 40 chars
     shared between documents (16-gram anti-diagonal islands)."""
@@ -1950,6 +1958,7 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "quantize_audit": q_quantize_audit,
     "kaplan_meier": q_kaplan_meier,
+    "changepoints": q_changepoints,
     "source_scorecard": q_source_scorecard,
     "langid_metrics": q_langid_metrics,
     "conversion_latency": q_conversion_latency,
@@ -4567,4 +4576,47 @@ ORACLES["audience_overlap"] = """
     FROM shared
     JOIN sizes sa ON shared.group_a = sa.g
     JOIN sizes sb ON shared.group_b = sb.g
+"""
+
+ORACLES["changepoints"] = """
+    WITH counts AS (
+      SELECT event_type AS name,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS i_time,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT name, i_time,
+             count(n) OVER wb AS cb,
+             sum(CAST(n AS DOUBLE)) OVER wb AS sb,
+             sum(CAST(n AS DOUBLE) * n) OVER wb AS qb,
+             count(n) OVER wa AS ca,
+             sum(CAST(n AS DOUBLE)) OVER wa AS sa,
+             sum(CAST(n AS DOUBLE) * n) OVER wa AS qa
+      FROM counts
+      WINDOW wb AS (PARTITION BY name ORDER BY i_time
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+             wa AS (PARTITION BY name ORDER BY i_time
+                    ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+    ),
+    scored AS (
+      SELECT name, i_time,
+             round(CASE
+               WHEN sqrt(((qb/7 - (sb/7)*(sb/7)) + (qa/7 - (sa/7)*(sa/7))) / 2) > 0
+                 THEN abs(sa/7 - sb/7)
+                      / sqrt(((qb/7 - (sb/7)*(sb/7)) + (qa/7 - (sa/7)*(sa/7))) / 2)
+               WHEN abs(sa/7 - sb/7) > 0 THEN CAST('infinity' AS DOUBLE)
+               ELSE 0.0 END, 6) AS score
+      FROM win WHERE cb = 7 AND ca = 7
+    ),
+    ranked AS (
+      SELECT name, i_time, score,
+             row_number() OVER (PARTITION BY name ORDER BY score DESC, i_time) AS rn
+      FROM scored
+    )
+    SELECT name,
+           max(CASE WHEN rn = 1 THEN i_time END) AS cp_time,
+           max(CASE WHEN rn = 1 THEN score END) AS cp_score,
+           CAST(sum(CASE WHEN score >= 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shifts
+    FROM ranked GROUP BY name
 """

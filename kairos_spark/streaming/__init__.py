@@ -5,6 +5,7 @@ from kairos_spark.streaming.ingest import (
     stream_ingest,
     windowed_rollup,
 )
+from kairos_spark.streaming.joins import interval_attribution_join
 from kairos_spark.streaming.sessions import stateful_sessionize
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "foreach_batch_rollup",
     "stateful_sessionize",
     "stream_exact_dedup",
+    "interval_attribution_join",
 ]

@@ -429,3 +429,42 @@ def test_streaming_bloom_filter_maintenance(spark, tmp_path):
         .agg(SF.bit_or("m").alias("bits")).collect()
     }
     assert got == batch
+
+
+def test_interval_attribution_join_stream_and_batch_agree(spark, tmp_path):
+    from kairos_spark.streaming import interval_attribution_join
+
+    rows = [
+        ("click", 1, float(BASE + 0)),
+        ("purchase", 1, float(BASE + 300)),   # within 10 min -> match
+        ("purchase", 1, float(BASE + 3000)),  # outside -> no match
+        ("click", 2, float(BASE + 100)),
+        ("purchase", 3, float(BASE + 200)),   # other user -> no match
+    ]
+    src = str(tmp_path / "attr_in")
+    spark.createDataFrame(
+        rows, "etype string, user_id bigint, ts_sec double"
+    ).select("etype", "user_id", F.timestamp_seconds("ts_sec").alias("ts")).write.parquet(src)
+
+    def split(df):
+        clicks = df.where("etype = 'click'").select("user_id", "ts")
+        buys = df.where("etype = 'purchase'").select("user_id", "ts", "etype")
+        return clicks, buys
+
+    # batch path: same operator, same condition
+    bdf = spark.read.parquet(src)
+    bc, bp = split(bdf)
+    batch = interval_attribution_join(bc, bp, horizon_sec=600).collect()
+    assert len(batch) == 1 and batch[0]["user_id"] == 1
+
+    stream = spark.readStream.schema("etype string, user_id bigint, ts timestamp").parquet(src)
+    sc, sp = split(stream)
+    out = interval_attribution_join(sc, sp, horizon_sec=600)
+    q = (
+        out.writeStream.format("memory").queryName("attr_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, ts, ts_r FROM attr_join").collect()
+    assert len(got) == 1 and got[0]["user_id"] == 1
+    assert (got[0]["ts_r"] - got[0]["ts"]).total_seconds() == 300.0

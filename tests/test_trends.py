@@ -225,3 +225,46 @@ def test_count_correlation_perfect_and_inverse(spark):
     }
     assert out[("a", "b")] == 1.0   # b = 2a
     assert out[("a", "c")] == -1.0  # c = 4 - a
+
+
+def test_mean_shift_changepoints_detects_level_shift(spark):
+    from datetime import datetime, timezone
+
+    from kairos_spark.operators import windows
+
+    rows = []
+    # 20 days of counts: days 0-9 one event/day, days 10-19 five/day —
+    # the shift lands exactly at day 10
+    for d in range(20):
+        per_day = 1 if d < 10 else 5
+        for i in range(per_day):
+            rows.append(
+                ("load", datetime(2024, 3, 1 + d, 6 + i, 0, tzinfo=timezone.utc))
+            )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = windows.mean_shift_changepoints(
+        df, step_sec=86400, window=7, min_score=2.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    shift_day = datetime(2024, 3, 11, tzinfo=timezone.utc)
+    assert r.cp_time == int(shift_day.timestamp())
+    # constant 1s vs constant 5s windows -> zero pooled variance ->
+    # infinite-confidence shift
+    assert r.cp_score == float("inf")
+    assert r.n_shifts >= 1
+
+
+def test_mean_shift_changepoints_flat_series_quiet(spark):
+    from datetime import datetime, timezone
+
+    from kairos_spark.operators import windows
+
+    rows = [
+        ("flat", datetime(2024, 3, 1 + d, 6, 0, tzinfo=timezone.utc))
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = windows.mean_shift_changepoints(df, window=7, min_score=2.0).collect()
+    assert len(out) == 1
+    assert out[0].cp_score == 0.0 and out[0].n_shifts == 0

@@ -106,6 +106,7 @@ AUDITED = [
     "dedup_recall",
     "audience_overlap",
     "ngram_novelty",
+    "changepoints",
     "quantize_audit",
     "kaplan_meier",
     "duplicated_spans",
@@ -365,6 +366,9 @@ CHECKS = {
     # equality hash join on the key; set sizes broadcast back
     "audience_overlap": ["HashAggregate", "Join", "!CartesianProduct", "!Window"],
     # --- round-5 additions: full-registry audit coverage ---
+    # events collapse to (key, day) counts before ANY window; both
+    # scan windows and the rank window run over bucket-grain rows
+    "changepoints": ["HashAggregate", "Window", "!Join"],
     # distinct (doc, gram) pairs partition by content; the gram-df join
     # is an equality join straight back on the same key
     "ngram_novelty": ["Generate", "HashAggregate", "Join", "!NestedLoop", "!CartesianProduct"],
