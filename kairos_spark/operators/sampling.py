@@ -243,3 +243,86 @@ def domain_cap(
         .drop("__rn", "__gn")
     )
     return under.unionByName(over)
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled sampling plan per group: target counts
+    proportional to share^alpha (alpha < 1 flattens the mix toward the
+    tail — the standard multilingual rebalance from the XLM/mT5 data
+    recipes; alpha=1 keeps natural proportions, alpha=0 is uniform).
+    Returns one row per group: observed n and share, the temperature
+    probability p_target, the integer target_n (largest-remainder
+    rounding, so sum(target_n) == budget exactly), feasible_n =
+    min(target, available), and the sample_rate to feed
+    ``stratified_sample`` / ``domain_cap`` with.
+
+    Determinism: alpha=0.5 runs as sqrt() — IEEE-exact in both engines
+    — and other alphas round the scaled weight to 6 decimals before
+    the floor/rank so pow() last-ulp differences cannot flip a count.
+    Largest-remainder ties break lexicographically.
+
+    Shape: one group aggregate; the corpus-wide scalars ride a 1-row
+    broadcast; ranking windows run over the |groups|-grain plan table
+    only. This operator PLANS the mix — the map-only hash filters
+    (stratified_sample) execute it without ever shuffling documents."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(group_col).alias("name")).agg(
+        F.count("*").alias("n")
+    )
+    share = F.col("n") / F.col("__total")
+    if alpha == 0.5:
+        w_expr = F.sqrt(share)
+    else:
+        w_expr = F.pow(share, F.lit(float(alpha)))
+    tot = counts.agg(F.sum("n").alias("__total"))
+    weighted = counts.crossJoin(F.broadcast(tot)).select(
+        "name", "n", F.round(share, 6).alias("share"), w_expr.alias("__w")
+    )
+    wsum = weighted.agg(F.sum("__w").alias("__wsum"))
+    planned = weighted.crossJoin(F.broadcast(wsum)).select(
+        "name",
+        "n",
+        "share",
+        F.round(F.col("__w") / F.col("__wsum"), 6).alias("p_target"),
+        F.round(budget * F.col("__w") / F.col("__wsum"), 6).alias("__raw"),
+    )
+    base = planned.select(
+        "*",
+        F.floor("__raw").cast("long").alias("__base"),
+        (F.col("__raw") - F.floor("__raw")).alias("__frac"),
+    )
+    short = base.agg((budget - F.sum("__base")).alias("__short"))
+    wr = Window.orderBy(F.col("__frac").desc(), "name")
+    out = (
+        base.crossJoin(F.broadcast(short))
+        .withColumn("__rk", F.row_number().over(wr))
+        .select(
+            "name",
+            F.col("n").cast("long").alias("n"),
+            "share",
+            "p_target",
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__short"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("target_n"),
+        )
+    )
+    return out.select(
+        "name",
+        "n",
+        "share",
+        "p_target",
+        "target_n",
+        F.least(F.col("target_n"), F.col("n")).cast("long").alias("feasible_n"),
+        F.round(F.least(F.col("target_n"), F.col("n")) / F.col("n"), 6).alias(
+            "sample_rate"
+        ),
+    )

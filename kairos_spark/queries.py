@@ -1639,6 +1639,14 @@ def q_changepoints(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-0.5 language-mix sampling plan over documents:
+    per-lang target counts summing exactly to the 1000 budget."""
+    return sampling.temperature_mix(
+        _tbl(spark, sf_dir, "documents"), group_col="lang", alpha=0.5, budget=1000
+    )
+
+
 def q_duplicated_spans(spark, sf_dir):
     """Substring-grain exact dedup: maximal verbatim spans >= 40 chars
     shared between documents (16-gram anti-diagonal islands)."""
@@ -1959,6 +1967,7 @@ QUERIES = {
     "quantize_audit": q_quantize_audit,
     "kaplan_meier": q_kaplan_meier,
     "changepoints": q_changepoints,
+    "temperature_mix": q_temperature_mix,
     "source_scorecard": q_source_scorecard,
     "langid_metrics": q_langid_metrics,
     "conversion_latency": q_conversion_latency,
@@ -4619,4 +4628,44 @@ ORACLES["changepoints"] = """
            max(CASE WHEN rn = 1 THEN score END) AS cp_score,
            CAST(sum(CASE WHEN score >= 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shifts
     FROM ranked GROUP BY name
+"""
+
+ORACLES["temperature_mix"] = """
+    WITH counts AS (
+      SELECT lang AS name, count(*) AS n FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    weighted AS (
+      SELECT name, n,
+             round(n * 1.0 / total, 6) AS share,
+             sqrt(n * 1.0 / total) AS w
+      FROM counts, tot
+    ),
+    wsum AS (SELECT sum(w) AS ws FROM weighted),
+    planned AS (
+      SELECT name, n, share,
+             round(w / ws, 6) AS p_target,
+             round(1000 * w / ws, 6) AS raw
+      FROM weighted, wsum
+    ),
+    base AS (
+      SELECT name, n, share, p_target,
+             CAST(floor(raw) AS BIGINT) AS b,
+             raw - floor(raw) AS frac
+      FROM planned
+    ),
+    short AS (SELECT 1000 - sum(b) AS s FROM base),
+    ranked AS (
+      SELECT base.*, s,
+             row_number() OVER (ORDER BY frac DESC, name) AS rk
+      FROM base, short
+    )
+    SELECT name,
+           CAST(n AS BIGINT) AS n,
+           share,
+           p_target,
+           CAST(b + CASE WHEN rk <= s THEN 1 ELSE 0 END AS BIGINT) AS target_n,
+           CAST(least(b + CASE WHEN rk <= s THEN 1 ELSE 0 END, n) AS BIGINT) AS feasible_n,
+           round(least(b + CASE WHEN rk <= s THEN 1 ELSE 0 END, n) * 1.0 / n, 6) AS sample_rate
+    FROM ranked
 """

@@ -734,3 +734,36 @@ def test_kaplan_meier_all_convert_hits_zero(spark):
     out = {r.period: r for r in windows.kaplan_meier(df).collect()}
     assert out[1].n_events == 2 and out[1].n_at_risk == 2
     assert out[1].survival == 0.0
+
+
+# ------------------------------------------------------ temperature mix
+
+
+def test_temperature_mix_budget_and_flattening(spark):
+    from kairos_spark.operators import sampling
+
+    rows = (
+        [(i, "en") for i in range(900)]
+        + [(i + 1000, "de") for i in range(90)]
+        + [(i + 2000, "fr") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r.name: r for r in sampling.temperature_mix(df, budget=100).collect()}
+    # largest-remainder rounding: targets sum to the budget exactly
+    assert sum(r.target_n for r in out.values()) == 100
+    # alpha=0.5 flattens: tail languages get MORE than natural share,
+    # the head gets less
+    assert out["fr"].target_n > 1          # natural share would give 1
+    assert out["en"].target_n < 90         # natural share would give 90
+    # feasible never exceeds availability, rate in (0, 1]
+    for r in out.values():
+        assert r.feasible_n <= r.n and 0 < r.sample_rate <= 1.0
+
+
+def test_temperature_mix_alpha_one_keeps_proportions(spark):
+    from kairos_spark.operators import sampling
+
+    rows = [(i, "a") for i in range(60)] + [(i + 100, "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r.name: r.target_n for r in sampling.temperature_mix(df, alpha=1.0, budget=10).collect()}
+    assert out == {"a": 6, "b": 4}

@@ -107,6 +107,7 @@ AUDITED = [
     "audience_overlap",
     "ngram_novelty",
     "changepoints",
+    "temperature_mix",
     "quantize_audit",
     "kaplan_meier",
     "duplicated_spans",
@@ -366,6 +367,9 @@ CHECKS = {
     # equality hash join on the key; set sizes broadcast back
     "audience_overlap": ["HashAggregate", "Join", "!CartesianProduct", "!Window"],
     # --- round-5 additions: full-registry audit coverage ---
+    # one group aggregate; corpus scalars ride 1-row broadcasts; the
+    # remainder-rank window runs over the |groups|-grain plan table
+    "temperature_mix": ["HashAggregate", "BroadcastNestedLoopJoin", "Window", "!CartesianProduct"],
     # events collapse to (key, day) counts before ANY window; both
     # scan windows and the rank window run over bucket-grain rows
     "changepoints": ["HashAggregate", "Window", "!Join"],
