@@ -83,3 +83,39 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The scrub pass itself: ``text_col`` replaced by its redacted
     form, all other columns untouched."""
     return df.withColumn(text_col, redact(F.col(text_col)))
+
+
+def pseudonymize(
+    df: DataFrame, id_col: str, salt: str = "", bits: int = 64
+) -> DataFrame:
+    """Replace an identifier with a stable salted-md5 surrogate
+    (``bits``-wide hex): joins on the id keep working across tables
+    pseudonymized with the same salt, while the raw identifier never
+    leaves the cluster — the standard de-identification step before
+    events land in a training corpus. Map-only projection.
+
+    NOT encryption: surrogates resist casual re-identification, not a
+    brute-force of a small id space; rotate ``salt`` per release."""
+    sur = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, bits // 4
+    )
+    return df.withColumn(id_col, sur)
+
+
+def pseudonym_audit(
+    df: DataFrame, id_col: str, salt: str = "", bits: int = 64
+) -> DataFrame:
+    """One-row collision audit for ``pseudonymize`` at a given width:
+    distinct ids vs distinct surrogates and the collision count —
+    the evidence that the surrogate space is wide enough for THIS id
+    population. Two aggregates over (id, surrogate) pairs; nothing
+    re-identifiable is returned."""
+    sur = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, bits // 4
+    )
+    pairs = df.select(F.col(id_col).alias("__id"), sur.alias("__sur")).distinct()
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_ids"),
+        F.countDistinct("__sur").cast("long").alias("n_surrogates"),
+        (F.count("*") - F.countDistinct("__sur")).cast("long").alias("n_collisions"),
+    )

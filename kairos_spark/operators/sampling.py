@@ -326,3 +326,37 @@ def temperature_mix(
             "sample_rate"
         ),
     )
+
+
+def grouped_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic weighted sample: within every group keep
+    the ``k`` best A-ES priorities (see ``sample_priority``) — the
+    stratified companion to ``weighted_sample`` (global) and
+    ``domain_cap`` (unweighted). "20 length-weighted docs per language"
+    is one call, reproducible across engines and reruns.
+
+    Shape: priority is a map-only projection; the top-k is a
+    row_number window per group — rows shuffle once on the group key.
+    A group with fewer than k positive-weight rows keeps them all.
+    Skewed mega-groups pay one sorted partition each; at extreme skew
+    pre-filter with a per-group approximate priority cutoff
+    (percentile_approx) before the exact window, same trade as
+    domain_cap."""
+    from pyspark.sql.window import Window
+
+    pr = sample_priority(F.col(id_col), F.col(weight_col), salt)
+    w = Window.partitionBy(group_col).orderBy("priority", id_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("priority", pr)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

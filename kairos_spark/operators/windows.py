@@ -947,3 +947,44 @@ def mean_shift_changepoints(
             .alias("n_shifts"),
         )
     )
+
+
+def decayed_topk(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    half_life_sec: float = 86400.0 * 7,
+    k: int = 20,
+) -> DataFrame:
+    """Exponentially-decayed leaderboard: per key, the half-life-decayed
+    activity score sum(v * 2^(-(end - t) / half_life)) anchored at the
+    global max timestamp, then the top ``k`` keys. The
+    recency-weighted ranking feature stores and leaderboards serve —
+    a plain count window forgets nothing, decay forgets smoothly.
+
+    Shape: the anchor scalar rides a 1-row broadcast; the decay factor
+    is a map-side projection; scores partial-aggregate on the key; the
+    top-k is orderBy().limit() — TakeOrderedAndProject partition heaps,
+    never a global sort. Ranking compares the ROUNDED score (6 dp) with
+    the key as tiebreak so result order is engine-exact."""
+    import math as _math
+
+    v = F.lit(1.0) if value_col is None else F.col(value_col).cast("double")
+    end = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__end"))
+    lam = _math.log(2.0) / (half_life_sec * 1_000_000.0)
+    scored = df.crossJoin(F.broadcast(end)).select(
+        F.col(key_col),
+        (
+            v
+            * F.exp(
+                (F.unix_micros(F.col(ts_col)) - F.col("__end")).cast("double")
+                * F.lit(lam)
+            )
+        ).alias("__s"),
+    )
+    agg = scored.groupBy(key_col).agg(
+        F.round(F.sum("__s"), 6).alias("decayed_score"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return agg.orderBy(F.col("decayed_score").desc(), key_col).limit(k)

@@ -1647,6 +1647,34 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_grouped_weighted_sample(spark, sf_dir):
+    """Per-language 20-doc length-weighted A-ES sample (deterministic
+    md5 uniforms; exact sample reproduced by the oracle)."""
+    out = sampling.grouped_weighted_sample(
+        _tbl(spark, sf_dir, "documents"), weight_col="n_chars", k=20,
+        group_col="lang",
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.round("priority", 6).alias("priority")
+    )
+
+
+def q_decayed_topk(spark, sf_dir):
+    """7-day-half-life decayed activity leaderboard: top-20 users."""
+    return windows.decayed_topk(
+        _tbl(spark, sf_dir, "events"), key_col="user_id",
+        half_life_sec=86400.0 * 7, k=20,
+    )
+
+
+def q_pseudonym_audit(spark, sf_dir):
+    """Surrogate-id collision audit: 64-bit salted-md5 pseudonyms over
+    event user ids."""
+    return pii.pseudonym_audit(
+        _tbl(spark, sf_dir, "events"), "user_id", salt="r5", bits=64
+    )
+
+
 def q_duplicated_spans(spark, sf_dir):
     """Substring-grain exact dedup: maximal verbatim spans >= 40 chars
     shared between documents (16-gram anti-diagonal islands)."""
@@ -1968,6 +1996,9 @@ QUERIES = {
     "kaplan_meier": q_kaplan_meier,
     "changepoints": q_changepoints,
     "temperature_mix": q_temperature_mix,
+    "grouped_weighted_sample": q_grouped_weighted_sample,
+    "decayed_topk": q_decayed_topk,
+    "pseudonym_audit": q_pseudonym_audit,
     "source_scorecard": q_source_scorecard,
     "langid_metrics": q_langid_metrics,
     "conversion_latency": q_conversion_latency,
@@ -4668,4 +4699,48 @@ ORACLES["temperature_mix"] = """
            CAST(least(b + CASE WHEN rk <= s THEN 1 ELSE 0 END, n) AS BIGINT) AS feasible_n,
            round(least(b + CASE WHEN rk <= s THEN 1 ELSE 0 END, n) * 1.0 / n, 6) AS sample_rate
     FROM ranked
+"""
+
+ORACLES["grouped_weighted_sample"] = """
+    WITH pr AS (
+      SELECT doc_id, lang, n_chars,
+             -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 11))::BIGINT + 1)
+                 / 17592186044416.0) / n_chars AS priority
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, priority,
+             row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+      FROM pr
+    )
+    SELECT doc_id, lang, n_chars, round(priority, 6) AS priority
+    FROM ranked WHERE rn <= 20
+"""
+
+ORACLES["decayed_topk"] = """
+    WITH endt AS (SELECT max(epoch_us(ts)) AS e FROM events),
+    scored AS (
+      SELECT user_id,
+             exp((epoch_us(ts) - e) * (ln(2) / (86400.0 * 7 * 1000000.0))) AS s
+      FROM events, endt
+    )
+    SELECT user_id,
+           round(sum(s), 6) AS decayed_score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM scored GROUP BY user_id
+    ORDER BY decayed_score DESC, user_id
+    LIMIT 20
+"""
+
+ORACLES["pseudonym_audit"] = """
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS id,
+             substr(md5('r5' || user_id::VARCHAR), 1, 16) AS sur
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ids,
+           CAST(count(DISTINCT sur) AS BIGINT) AS n_surrogates,
+           CAST(count(*) - count(DISTINCT sur) AS BIGINT) AS n_collisions
+    FROM pairs
 """

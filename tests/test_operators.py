@@ -767,3 +767,67 @@ def test_temperature_mix_alpha_one_keeps_proportions(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string")
     out = {r.name: r.target_n for r in sampling.temperature_mix(df, alpha=1.0, budget=10).collect()}
     assert out == {"a": 6, "b": 4}
+
+
+# ------------------------------------- grouped sample / decay / pseudonym
+
+
+def test_grouped_weighted_sample_per_group_k(spark):
+    from kairos_spark.operators import sampling
+
+    rows = [(i, "a" if i < 50 else "b", 10 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = sampling.grouped_weighted_sample(df, "n_chars", k=5, group_col="lang").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by["a"]) == 5
+    # group b has 10 rows -> exactly 5 kept; deterministic across runs
+    assert len(by["b"]) == 5
+    again = sampling.grouped_weighted_sample(df, "n_chars", k=5, group_col="lang").collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
+def test_decayed_topk_recency_beats_count(spark):
+    from datetime import datetime, timezone
+
+    from kairos_spark.operators import windows
+
+    def ev(u, day):
+        return (u, datetime(2024, 1, 1 + day, tzinfo=timezone.utc))
+
+    # u1: 3 ancient events; u2: 2 recent events. With a 1-day half
+    # life, u2 outscores u1 despite fewer events.
+    rows = [ev(1, 0), ev(1, 0), ev(1, 0), ev(2, 19), ev(2, 20)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = windows.decayed_topk(df, half_life_sec=86400.0, k=10).collect()
+    assert [r.user_id for r in out] == [2, 1]
+    assert out[0].decayed_score > out[1].decayed_score
+    assert out[1].n_events == 3
+
+
+def test_pseudonymize_stable_and_joinable(spark):
+    from kairos_spark.operators import pii
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "user_id long, p string")
+    b = spark.createDataFrame([(1, "z")], "user_id long, q string")
+    pa = pii.pseudonymize(a, "user_id", salt="s")
+    pb = pii.pseudonymize(b, "user_id", salt="s")
+    joined = pa.join(pb, "user_id").collect()
+    # same salt -> surrogates still join; raw id gone
+    assert len(joined) == 1 and joined[0]["p"] == "x" and joined[0]["q"] == "z"
+    assert not any(r["user_id"] in ("1", "2", 1, 2) for r in joined)
+    # different salt -> different surrogate family
+    pc = pii.pseudonymize(b, "user_id", salt="other")
+    assert pc.collect()[0]["user_id"] != pb.collect()[0]["user_id"]
+
+
+def test_pseudonym_audit_collision_free_at_64_bits(spark):
+    from kairos_spark.operators import pii
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "user_id long")
+    r = pii.pseudonym_audit(df, "user_id", bits=64).collect()[0]
+    assert r.n_ids == 1000 and r.n_collisions == 0
+    # 4-bit surrogates MUST collide on 1000 ids (16 buckets)
+    r4 = pii.pseudonym_audit(df, "user_id", bits=4).collect()[0]
+    assert r4.n_surrogates <= 16 and r4.n_collisions == 1000 - r4.n_surrogates

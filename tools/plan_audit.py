@@ -108,6 +108,9 @@ AUDITED = [
     "ngram_novelty",
     "changepoints",
     "temperature_mix",
+    "grouped_weighted_sample",
+    "decayed_topk",
+    "pseudonym_audit",
     "quantize_audit",
     "kaplan_meier",
     "duplicated_spans",
@@ -367,6 +370,14 @@ CHECKS = {
     # equality hash join on the key; set sizes broadcast back
     "audience_overlap": ["HashAggregate", "Join", "!CartesianProduct", "!Window"],
     # --- round-5 additions: full-registry audit coverage ---
+    # A-ES priority is a projection; per-group top-k is the rank
+    # window on the group key — one shuffle, no join
+    "grouped_weighted_sample": ["Window", "!Join"],
+    # anchor scalar on a 1-row broadcast; partial-agg on the key; top-k
+    # is partition heaps, never a global sort
+    "decayed_topk": ["HashAggregate", "BroadcastNestedLoopJoin", "TakeOrderedAndProject", "!Sort ", "!CartesianProduct"],
+    # distinct (id, surrogate) pairs then one scalar aggregate; no join
+    "pseudonym_audit": ["HashAggregate", "!Join"],
     # one group aggregate; corpus scalars ride 1-row broadcasts; the
     # remainder-rank window runs over the |groups|-grain plan table
     "temperature_mix": ["HashAggregate", "BroadcastNestedLoopJoin", "Window", "!CartesianProduct"],
