@@ -670,3 +670,151 @@ def duplicated_spans(
         .where(F.col("span_len") >= min_len)
         .select("id_a", "id_b", "a_start", "b_start", "span_len")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every k-char gram of the whitespace-normalized text,
+    slide a window of ``w`` consecutive gram hashes, and keep each
+    window's minimum. Guarantee: any verbatim match of length
+    >= w + k - 1 chars shares at least one fingerprint; expected
+    fingerprint density is 2/(w+1) of the gram count.
+
+    The selected set here is the set of window-minimum HASHES per
+    document (classic winnowing also records positions and breaks ties
+    rightmost; with 44-bit md5 slices ties are vanishing and the hash
+    set — what pair scoring consumes — is identical).
+
+    Scale shape: grams explode map-side with the md5 inside whole-stage
+    codegen (the interpreted-HOF trap documented at
+    minhash_signatures); the sliding min is a window partitioned by
+    document, so each doc's grams sort locally and the shuffle moves
+    fixed-width (doc, pos, hash-long) rows — independent of k, unlike
+    the k× text amplification of a raw shingle join. Docs shorter than
+    w grams emit their single truncated-window minimum, mirrored in the
+    oracle. Returns distinct (id, fp) rows.
+    """
+    from pyspark.sql.window import Window
+
+    norm = df.select(F.col(id_col), normalize_ws(F.col(text_col)).alias("__n"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__n") - F.lit(k - 1), F.lit(1)))
+    grams = norm.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(idx, lambda i: F.col("__n").substr(i, F.lit(k)))
+        ).alias("__p0", "__g"),
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("__p"), _md5_long(F.col("__g")).alias("__h"))
+    frame = Window.partitionBy(id_col).orderBy("__p").rowsBetween(Window.currentRow, w - 1)
+    part = Window.partitionBy(id_col)
+    sel = grams.select(
+        F.col(id_col),
+        F.min("__h").over(frame).alias("fp"),
+        F.col("__p"),
+        F.count("*").over(part).alias("__cnt"),
+    ).where(F.col("__p") <= F.greatest(F.col("__cnt") - F.lit(w - 1), F.lit(1)))
+    return sel.select(id_col, "fp").distinct()
+
+
+def winnow_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_occ: int = 50,
+    min_shared: int = 3,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Document near-pairs by shared winnowing fingerprints: Jaccard
+    over the (stop-fingerprint-filtered) fingerprint sets, reported as
+    (id_a, id_b, n_shared, score).
+
+    ``max_occ`` drops fingerprints present in more than that many
+    documents BEFORE the self-join (the stop-gram guard duplicated_spans
+    uses): at 100 TB a boilerplate fingerprint shared by millions of
+    docs would otherwise form a quadratic join bucket. Per-doc set
+    sizes are counted over the KEPT fingerprints so the score is an
+    exact Jaccard of the filtered sets — mirrored in the oracle.
+
+    Scale shape: fingerprints are ~2/(w+1) of gram count; the only
+    data-sized shuffle is the fp equi-join (hash-partitioned by
+    fingerprint, never all-pairs)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__occ"))
+        .where(F.col("__occ") <= max_occ)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("__sb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "score",
+            F.round(F.col("n_shared") / (F.col("__sa") + F.col("__sb") - F.col("n_shared")), 6),
+        )
+        .where(F.col("score") >= min_score)
+        .select("id_a", "id_b", "n_shared", "score")
+    )
+
+
+def editdist_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 20,
+    prefix_chars: int = 160,
+    bits: int = 60,
+    blocks: int = 4,
+    max_hamming: int = 12,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: SimHash block
+    candidates → exact Levenshtein distance over a bounded prefix of
+    the normalized text, kept when <= ``max_dist``. The
+    verify-with-an-exact-metric stage a production dedup pipeline runs
+    after LSH candidate generation (MinHash/SimHash estimate set
+    overlap; Levenshtein certifies the actual character-level edit
+    budget).
+
+    Scale shape: candidates come from the SimHash segment groupBy
+    (never all-pairs — the same block trick as simhash_near_pairs, with
+    a generous ``max_hamming`` pre-filter so the expensive Levenshtein
+    runs only on plausible pairs); the O(prefix²) dynamic program is
+    bounded by ``prefix_chars`` per comparison regardless of document
+    length, and text reaches the verifier by two id equi-joins of the
+    candidate list back to the corpus — the full corpus never
+    self-joins on text."""
+    cands = simhash_near_pairs(df, text_col, id_col, max_hamming, bits, blocks)
+    norm = df.select(
+        F.col(id_col),
+        F.substring(normalize_ws(F.col(text_col)), 1, prefix_chars).alias("__pref"),
+    )
+    na = norm.select(F.col(id_col).alias("id_a"), F.col("__pref").alias("__ta"))
+    nb = norm.select(F.col(id_col).alias("id_b"), F.col("__pref").alias("__tb"))
+    return (
+        cands.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("__ta", "__tb").cast("long"))
+        .where(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "hamming", "edit_dist")
+    )

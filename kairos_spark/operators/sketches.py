@@ -238,3 +238,73 @@ def cms_heavy_hitters(
         "est_n",
         (F.col("est_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog registers (Flajolet et al. 2007), built
+    from the repo's seed-free md5 hash so both engines materialize the
+    IDENTICAL register table: register index = first p bits of
+    md5(value) (p must be a multiple of 4 — whole hex nibbles), rho =
+    position of the leading 1-bit in the next 40 bits (41 - bit-length,
+    41 when the word is all zeros).
+
+    Mergeable with elementwise max per (group, register) — the property
+    that lets register tables roll up across partitions, days, or
+    clusters with ≤ 2^p rows of state per group.
+
+    Scale shape: map-side partial max collapses each partition to
+    ≤ 2^p rows per group before the shuffle; network volume is
+    |groups| × 2^p regardless of row count."""
+    if p % 4 != 0:
+        raise ValueError("p must be a multiple of 4 (whole hex nibbles)")
+    nib = p // 4
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, nib), 16, 10).cast("long")
+    v = F.conv(F.substring(h, nib + 1, 10), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(41)).otherwise(F.lit(41) - F.length(F.bin(v)))
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("__rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("__rho").cast("long").alias("rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate from the register
+    table: E = alpha_m · m² / Σ_j 2^(−M_j) with the small-range
+    correction E ≤ 2.5m ∧ zero-registers V>0 → m·ln(m/V) (the original
+    Flajolet/Fusy/Gandouet/Meunier estimator; alpha_m =
+    0.7213/(1+1.079/m) for m ≥ 128).
+
+    Determinism: every 2^(−M_j) term is a dyadic rational that is a
+    multiple of 2^(−41) and the running sum stays under 2^p ≤ 2^8, so
+    all partial sums fit a 53-bit mantissa EXACTLY — the float sum is
+    associativity-proof and the DuckDB oracle reproduces the estimate
+    (including its error vs the exact count) bit-for-bit.
+
+    Returns (group..., n_registers, est_distinct)."""
+    m = float(1 << p)
+    regs = hll_registers(df, group_cols, value_col, p)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    zeros = F.lit(m) - F.col("n_registers")
+    raw = F.lit(alpha * m * m) / (F.col("__s") + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, "n_registers", F.round(est, 6).alias("est_distinct")
+    )

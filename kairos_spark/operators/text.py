@@ -776,3 +776,43 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    pattern: str = "[a-z]+",
+    k: int = 50,
+) -> DataFrame:
+    """First-iteration byte-pair-encoding merge statistics: the
+    adjacent-symbol-pair counts a BPE tokenizer trainer (Sennrich et
+    al. 2016) computes before its first merge, over the corpus's word
+    frequency table. Returns the top-``k`` candidate merges as
+    (pair, n_positions, weight) — n_positions counts the pair's
+    occurrence positions across the distinct vocabulary, weight is its
+    corpus frequency (occurrences within a word × that word's corpus
+    count), deterministic tiebreak by pair text.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (token
+    groupBy-count with map-side partial aggregation — the shuffle is one
+    row per distinct token), and the quadratic-ish pair explode runs
+    over distinct words only, so its cost is bounded by vocabulary size
+    × word length, never by corpus size. Top-k is
+    TakeOrderedAndProject, never a global sort."""
+    vocab = _token_counts(df, text_col, pattern, [])
+    idx = F.sequence(F.lit(1), F.length("token") - 1)
+    pairs = vocab.where(F.length("token") >= 2).select(
+        "n",
+        F.explode(
+            F.transform(idx, lambda i: F.col("token").substr(i, F.lit(2)))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count("*").cast("long").alias("n_positions"),
+            F.sum("n").cast("long").alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), "pair")
+        .limit(k)
+    )

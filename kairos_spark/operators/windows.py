@@ -988,3 +988,63 @@ def decayed_topk(
         F.count("*").cast("long").alias("n_events"),
     )
     return agg.orderBy(F.col("decayed_score").desc(), key_col).limit(k)
+
+
+def spearman_correlation(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Spearman rank correlation between every pair of keys' bucket
+    counts — the robust (monotone-invariant) sibling of
+    count_correlation, insensitive to the heavy-tailed magnitudes that
+    dominate a Pearson r on raw counts.
+
+    Ranks are tie-averaged and computed once per key over that key's
+    FULL bucket history (one window per key — the scale-friendly
+    order), then Pearson-correlated over the pair's shared buckets;
+    this equals textbook Spearman whenever the two keys share all
+    buckets, and is documented as the per-series-rank variant when they
+    don't. Exactness: tie-averaged ranks are half-integers, so the
+    DOUBLED rank 2·rank_min + ties − 1 is an exact int64 and all five
+    correlation sums stay integer until the final double expression
+    (doubling both sides leaves r unchanged) — engine-exact, same
+    discipline as count_correlation.
+
+    Scale shape: events collapse to per-(key, bucket) counts first;
+    the rank window partitions by key over those short rows; the pair
+    join is on the bucket key."""
+    from pyspark.sql.window import Window
+
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    wr = Window.partitionBy("name").orderBy("n")
+    wt = Window.partitionBy("name", "n")
+    ranked = counts.select(
+        "name",
+        "i_time",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("__r2"),
+    )
+    a = ranked.select(F.col("i_time"), F.col("name").alias("key_a"), F.col("__r2").alias("__x"))
+    b = ranked.select(F.col("i_time"), F.col("name").alias("key_b"), F.col("__r2").alias("__y"))
+    pairs = a.join(b, "i_time").where(F.col("key_a") < F.col("key_b"))
+    s = pairs.groupBy("key_a", "key_b").agg(
+        F.count("*").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    return (
+        s.where((vx > 0) & (vy > 0))
+        .select(
+            "key_a",
+            "key_b",
+            F.col("__n").alias("n_buckets"),
+            F.round(num / F.sqrt(vx * vy), 6).alias("spearman"),
+        )
+    )

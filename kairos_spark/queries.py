@@ -1975,6 +1975,66 @@ def q_event_pivot(spark, sf_dir):
     return profiling.pivot_counts(ev, "event_type", EVENT_TYPES, step_sec=3600)
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint near-pairs (SIGMOD'03 local fingerprinting):
+    8-gram hashes, window w=4, stop-fingerprint cap 50, Jaccard over
+    the kept fingerprint sets >= 0.2 for pairs sharing >= 3."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.winnow_near_pairs(
+        docs, k=8, w=4, max_occ=50, min_shared=3, min_score=0.2
+    )
+
+
+def q_editdist_pairs(spark, sf_dir):
+    """Levenshtein-certified near-dups: SimHash block candidates
+    (6 blocks, hamming <= 5 — complete by pigeonhole), then exact edit
+    distance over the 160-char normalized prefix, kept <= 40."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.editdist_near_pairs(
+        docs, max_dist=40, prefix_chars=160, bits=60, blocks=6, max_hamming=5
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct users per event type (p=8, md5 registers)
+    next to the exact count and the sketch's realized relative error."""
+    ev = _tbl(spark, sf_dir, "events")
+    est = sketches.hll_distinct(ev, ["event_type"], "user_id", p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").withColumn(
+        "rel_err",
+        F.round(
+            (F.col("est_distinct") - F.col("exact_distinct")) / F.col("exact_distinct"),
+            6,
+        ),
+    )
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """First-iteration BPE merge candidates: top-50 adjacent character
+    pairs by corpus frequency over the vocabulary table."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.bpe_pair_stats(docs, pattern="[a-z]+", k=50)
+
+
+def q_spearman_activity(spark, sf_dir):
+    """Spearman rank correlation between event types' hourly activity
+    (tie-averaged doubled ranks — integer-exact)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.spearman_correlation(ev, step_sec=3600)
+
+
+def q_quality_auc(spark, sf_dir):
+    """Mann-Whitney AUC of document length as a predictor of
+    English-language docs, per source — the heuristic-filter scorecard."""
+    docs = _tbl(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
+    return profiling.rank_auc(docs, "n_chars", "__is_en", ["source"])
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -1989,6 +2049,12 @@ QUERIES = {
     # re-checks); (3) pipeline entries CORRECTNESS_r04 did not reach;
     # (4) the r4-green 50 rotate to the tail, covered by the local
     # mirror (tools/check_correctness.py, 0 failures full-registry).
+    "winnow_pairs": q_winnow_pairs,
+    "editdist_pairs": q_editdist_pairs,
+    "hll_distinct": q_hll_distinct,
+    "bpe_pairs": q_bpe_pairs,
+    "spearman_activity": q_spearman_activity,
+    "quality_auc": q_quality_auc,
     "duplicated_spans": q_duplicated_spans,
     "domain_cap": q_domain_cap,
     "ngram_novelty": q_ngram_novelty,
@@ -4743,4 +4809,203 @@ ORACLES["pseudonym_audit"] = """
            CAST(count(DISTINCT sur) AS BIGINT) AS n_surrogates,
            CAST(count(*) - count(DISTINCT sur) AS BIGINT) AS n_collisions
     FROM pairs
+"""
+
+ORACLES["winnow_pairs"] = r"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g') AS n
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS p,
+             ('0x' || substr(md5(substr(n, i, 8)), 1, 11))::BIGINT AS h
+      FROM (SELECT doc_id, n,
+                   unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+            FROM norm)
+    ),
+    win AS (
+      SELECT doc_id, p,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS cnt
+      FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE p <= greatest(cnt - 3, 1)),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+    kept AS (SELECT fps.* FROM fps JOIN rare USING (fp)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS score
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) >= 0.2
+"""
+
+ORACLES["editdist_pairs"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 11))::BIGINT AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, j.j,
+             sum(CASE WHEN ((h >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY 1
+    ),
+    norm AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'), 1, 160) AS pref
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+    )
+    SELECT id_a, id_b, hamming,
+           CAST(levenshtein(na.pref, nb.pref) AS BIGINT) AS edit_dist
+    FROM cand
+    JOIN norm na ON na.doc_id = id_a
+    JOIN norm nb ON nb.doc_id = id_b
+    WHERE levenshtein(na.pref, nb.pref) <= 40
+"""
+
+ORACLES["hll_distinct"] = """
+    WITH h AS (
+      SELECT event_type, md5(user_id::VARCHAR) AS m FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             ('0x' || substr(m, 1, 2))::BIGINT AS reg,
+             ('0x' || substr(m, 3, 10))::BIGINT AS v
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, reg,
+             max(CASE WHEN v = 0 THEN 41 ELSE 41 - length(bin(v)) END) AS rho
+      FROM r GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             count(*) AS present,
+             sum(pow(2.0, -rho)) AS s
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, present,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                 / (s + (256.0 - present)) AS raw,
+             256.0 - present AS zeros
+      FROM agg
+    ),
+    fin AS (
+      SELECT event_type,
+             CAST(present AS BIGINT) AS n_registers,
+             round(CASE WHEN raw <= 2.5 * 256.0 AND zeros > 0
+                        THEN 256.0 * ln(256.0 / zeros)
+                        ELSE raw END, 6) AS est_distinct
+      FROM est
+    ),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT fin.event_type, n_registers, est_distinct, exact_distinct,
+           round((est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+    FROM fin JOIN ex ON fin.event_type = ex.event_type
+"""
+
+ORACLES["bpe_pairs"] = """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+    pairs AS (
+      SELECT n, substr(token, i, 2) AS pair
+      FROM (SELECT token, n, unnest(generate_series(1, length(token) - 1)) AS i
+            FROM vocab WHERE length(token) >= 2)
+    )
+    SELECT pair,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(sum(n) AS BIGINT) AS weight
+    FROM pairs GROUP BY 1
+    ORDER BY weight DESC, pair
+    LIMIT 50
+"""
+
+ORACLES["spearman_activity"] = """
+    WITH counts AS (
+      SELECT event_type AS name,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS i_time,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT name, i_time,
+             2 * rank() OVER (PARTITION BY name ORDER BY n)
+                 + count(*) OVER (PARTITION BY name, n) - 1 AS r2
+      FROM counts
+    ),
+    pairs AS (
+      SELECT a.name AS key_a, b.name AS key_b, a.r2 AS x, b.r2 AS y
+      FROM ranked a JOIN ranked b
+        ON a.i_time = b.i_time AND a.name < b.name
+    ),
+    s AS (
+      SELECT key_a, key_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT key_a, key_b, n AS n_buckets,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+ORACLES["quality_auc"] = """
+    WITH d AS (
+      SELECT source, n_chars, (lang = 'en') AS pos FROM documents
+    ),
+    r AS (
+      SELECT source, pos,
+             2 * rank() OVER (PARTITION BY source ORDER BY n_chars)
+                 + count(*) OVER (PARTITION BY source, n_chars) - 1 AS r2
+      FROM d
+    ),
+    a AS (
+      SELECT source,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg,
+             sum(CASE WHEN pos THEN r2 ELSE 0 END) AS r2pos
+      FROM r GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round((r2pos - n_pos * (n_pos + 1)) * 1.0 / (2 * n_pos * n_neg), 6) AS auc
+    FROM a WHERE n_pos > 0 AND n_neg > 0
 """

@@ -1,0 +1,215 @@
+"""Unit tests for the round-5 operator batch: winnowing fingerprints,
+edit-distance-verified near-dups, HyperLogLog registers, BPE pair
+statistics, Spearman rank correlation, and rank-sum AUC."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from kairos_spark.operators import dedup, profiling, sketches, text, windows
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_winnow_guarantee_long_match_shares_fingerprint(spark):
+    # winnowing guarantee: any verbatim match of length >= w + k - 1
+    # (= 11 chars at k=8, w=4) shares at least one fingerprint
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(
+        spark,
+        [(1, "AAA " + common + " xyz"), (2, "BBBBB " + common + " qqq third")],
+    )
+    fps = dedup.winnow_fingerprints(df, k=8, w=4)
+    a = {r.fp for r in fps.where(F.col("doc_id") == 1).collect()}
+    b = {r.fp for r in fps.where(F.col("doc_id") == 2).collect()}
+    assert a & b
+
+
+def test_winnow_density_roughly_two_over_w_plus_one(spark):
+    # density of selected positions ~2/(w+1); as a set of distinct
+    # hashes it can only be smaller — sanity-bound it
+    txt = " ".join(f"tok{i}abc" for i in range(200))
+    df = _docs(spark, [(1, txt)])
+    n_grams = len(" ".join(f"tok{i}abc" for i in range(200))) - 7
+    n_fp = dedup.winnow_fingerprints(df, k=8, w=4).count()
+    assert 0.2 * n_grams < n_fp <= math.ceil(2 / (4 + 1) * n_grams) + 8
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    # shorter than one full window: one truncated-window minimum
+    df = _docs(spark, [(1, "abcdefgh")])
+    assert dedup.winnow_fingerprints(df, k=8, w=4).count() == 1
+
+
+def test_winnow_pairs_score_and_stopfp(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [(1, base), (2, base + " extra"), (3, "totally different words here")])
+    pairs = dedup.winnow_near_pairs(df, k=8, w=4, max_occ=50, min_shared=1).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    for r in pairs:
+        if (r.id_a, r.id_b) == (1, 2):
+            assert r.score > 0.5
+    # with max_occ=0 every fingerprint is a stop-fingerprint: no pairs
+    assert dedup.winnow_near_pairs(df, max_occ=0, min_shared=1).count() == 0
+
+
+# ---------------------------------------------------------- edit distance
+
+
+def test_editdist_pairs_certifies_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = _docs(spark, [(1, base + "ending one"), (2, base + "ending two"),
+                       (3, "completely unrelated content " * 6)])
+    out = dedup.editdist_near_pairs(
+        df, max_dist=15, prefix_chars=160, bits=60, blocks=6, max_hamming=20
+    ).collect()
+    got = {(r.id_a, r.id_b): r.edit_dist for r in out}
+    assert set(got) == {(1, 2)}
+    # identical 160-char prefixes -> distance 0
+    assert got[(1, 2)] == 0
+
+
+def test_editdist_threshold_excludes(spark):
+    df = _docs(spark, [(1, "aaaa bbbb cccc dddd"), (2, "aaaa bbbb cccc eeee")])
+    strict = dedup.editdist_near_pairs(df, max_dist=1, max_hamming=59, blocks=6)
+    loose = dedup.editdist_near_pairs(df, max_dist=10, max_hamming=59, blocks=6)
+    assert strict.count() == 0 and loose.count() == 1
+
+
+# ------------------------------------------------------------------- HLL
+
+
+def test_hll_registers_shape_and_merge(spark):
+    df = spark.createDataFrame([Row(g="a", v=i) for i in range(500)])
+    regs = sketches.hll_registers(df, ["g"], "v", p=8)
+    rows = regs.collect()
+    assert all(0 <= r.reg < 256 and 1 <= r.rho <= 41 for r in rows)
+    # registers are distinct per (group, reg)
+    assert len({r.reg for r in rows}) == len(rows)
+
+
+def test_hll_estimate_within_sketch_error(spark):
+    n = 2000
+    df = spark.createDataFrame([Row(g="a", v=i) for i in range(n)] * 3)
+    est = sketches.hll_distinct(df, ["g"], "v", p=8).collect()[0]
+    # 1.04/sqrt(256) ~ 6.5% standard error; allow 4 sigma
+    assert abs(est.est_distinct - n) / n < 0.26
+    # duplicates must not change the estimate (set semantics)
+    est2 = sketches.hll_distinct(
+        spark.createDataFrame([Row(g="a", v=i) for i in range(n)]), ["g"], "v", p=8
+    ).collect()[0]
+    assert est.est_distinct == est2.est_distinct
+
+
+def test_hll_small_range_correction_exactish(spark):
+    # tiny cardinality hits the linear-counting branch: m ln(m/V) is
+    # very accurate for n << m
+    df = spark.createDataFrame([Row(g="a", v=i) for i in range(10)])
+    est = sketches.hll_distinct(df, ["g"], "v", p=8).collect()[0]
+    assert abs(est.est_distinct - 10) < 2
+
+
+def test_hll_p_must_be_nibble_aligned(spark):
+    df = spark.createDataFrame([Row(g="a", v=1)])
+    with pytest.raises(ValueError):
+        sketches.hll_registers(df, ["g"], "v", p=10)
+
+
+# ------------------------------------------------------------------- BPE
+
+
+def test_bpe_pair_weights_use_corpus_frequency(spark):
+    df = spark.createDataFrame(
+        [Row(text="abab abab abab"), Row(text="abab zz")]
+    )
+    out = {r.pair: (r.n_positions, r.weight) for r in
+           text.bpe_pair_stats(df, pattern="[a-z]+", k=10).collect()}
+    # vocab: abab (n=4), zz (n=1); pairs of 'abab': ab,ba,ab
+    assert out["ab"] == (2, 8)   # two positions in one vocab word × 4
+    assert out["ba"] == (1, 4)
+    assert out["zz"] == (1, 1)
+
+
+def test_bpe_single_char_words_excluded(spark):
+    df = spark.createDataFrame([Row(text="a b c ab")])
+    pairs = {r.pair for r in text.bpe_pair_stats(df).collect()}
+    assert pairs == {"ab"}
+
+
+# -------------------------------------------------------------- Spearman
+
+
+def test_spearman_perfect_monotone(spark):
+    # key b counts are a monotone (nonlinear) function of key a counts
+    # over shared buckets -> spearman exactly 1, pearson would be < 1
+    rows = []
+    for h, na in enumerate([1, 2, 3, 4, 5]):
+        for i in range(na):
+            rows.append(Row(ts=f"2024-01-01 0{h}:00:{i:02d}", event_type="a"))
+        for i in range(na * na):  # nonlinear but monotone
+            rows.append(Row(ts=f"2024-01-01 0{h}:00:{i:02d}", event_type="b"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.spearman_correlation(df, step_sec=3600).collect()
+    assert len(out) == 1
+    assert out[0].spearman == 1.0
+
+
+def test_spearman_reversed_is_minus_one(spark):
+    rows = []
+    for h, na in enumerate([1, 2, 3, 4]):
+        for i in range(na):
+            rows.append(Row(ts=f"2024-01-01 0{h}:00:{i:02d}", event_type="a"))
+        for i in range(5 - na):
+            rows.append(Row(ts=f"2024-01-01 0{h}:00:{i:02d}", event_type="b"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.spearman_correlation(df, step_sec=3600).collect()
+    assert out[0].spearman == -1.0
+
+
+# ------------------------------------------------------------------- AUC
+
+
+def test_auc_perfect_separation(spark):
+    df = spark.createDataFrame(
+        [Row(g="x", s=float(i), y=i >= 5) for i in range(10)]
+    )
+    out = profiling.rank_auc(df, "s", "y", ["g"]).collect()[0]
+    assert out.auc == 1.0 and out.n_pos == 5 and out.n_neg == 5
+
+
+def test_auc_random_is_half_with_ties(spark):
+    # constant score: every comparison is a tie -> AUC exactly 0.5
+    df = spark.createDataFrame([Row(g="x", s=1.0, y=(i % 2 == 0)) for i in range(10)])
+    assert profiling.rank_auc(df, "s", "y", ["g"]).collect()[0].auc == 0.5
+
+
+def test_auc_reversed_is_zero_and_single_class_dropped(spark):
+    df = spark.createDataFrame(
+        [Row(g="x", s=float(i), y=i < 5) for i in range(10)]
+        + [Row(g="allpos", s=1.0, y=True)]
+    )
+    rows = profiling.rank_auc(df, "s", "y", ["g"]).collect()
+    assert {r.g for r in rows} == {"x"}
+    assert rows[0].auc == 0.0
+
+
+def test_auc_matches_pairwise_definition(spark):
+    import itertools
+
+    data = [(0.3, True), (0.1, False), (0.4, True), (0.4, False), (0.2, False), (0.9, True)]
+    df = spark.createDataFrame([Row(g="x", s=s, y=y) for s, y in data])
+    got = profiling.rank_auc(df, "s", "y", ["g"]).collect()[0].auc
+    pos = [s for s, y in data if y]
+    neg = [s for s, y in data if not y]
+    want = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0)
+        for p, q in itertools.product(pos, neg)
+    ) / (len(pos) * len(neg))
+    assert got == round(want, 6)

@@ -115,6 +115,12 @@ AUDITED = [
     "kaplan_meier",
     "duplicated_spans",
     "domain_cap",
+    "winnow_pairs",
+    "editdist_pairs",
+    "hll_distinct",
+    "bpe_pairs",
+    "spearman_activity",
+    "quality_auc",
     "multimodal_features",
     "ts_properties",
     "ts_list_names",
@@ -400,6 +406,23 @@ CHECKS = {
     # per-domain counts aggregate + join back; the row_number sort runs
     # ONLY on the over-cap branch; under-cap rows union through sortless
     "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
+    # winnowing: per-doc sliding-min window over exploded gram hashes,
+    # fp self-join must be an equality join — never nested loop/cartesian
+    "winnow_pairs": ["Window", "Join", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # candidates from the simhash segment equality join; the O(prefix²)
+    # levenshtein runs on candidate rows only — no all-pairs operator
+    "editdist_pairs": ["Join", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # registers collapse with map-side partial max (≤ groups × 2^p rows
+    # before the shuffle); the exact side joins on the group key only
+    "hll_distinct": ["HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # corpus collapses to vocabulary first; pair explode runs over
+    # distinct tokens; top-k is a partition-heap merge, never global sort
+    "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
+    # per-key rank windows over aggregated bucket counts; pair join on
+    # the bucket key over short rows
+    "spearman_activity": ["HashAggregate", "Window", "Join", "!NestedLoop", "!CartesianProduct"],
+    # one rank window per source over aggregation-grain rows; no join
+    "quality_auc": ["Window", "HashAggregate", "!Join"],
     # Arrow-batched media featurization is map-only: payloads must not
     # shuffle or join
     "multimodal_features": ["MapInPandas", "!Join", "!Exchange hashpartitioning"],
