@@ -89,3 +89,85 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def cooccurrence_triangles(
+    df: DataFrame,
+    node_col: str = "user_id",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+    min_shared: int = 2,
+    max_bucket_nodes: int = 200,
+) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    co-activity graph: nodes are users, an edge connects two users who
+    share >= ``min_shared`` distinct (key, time-bucket) activity cells.
+    Returns (node, degree, triangles, clustering) with clustering =
+    2T / (deg·(deg−1)) — the standard graph-quality signal for
+    community structure (bot rings and scripted cohorts show near-1
+    coefficients; organic activity is sparse).
+
+    Scale shape (the three classic distributed-triangle steps):
+    1. pair generation is BUCKET-bounded — users explode per activity
+       cell and self-join per cell, with cells holding more than
+       ``max_bucket_nodes`` users dropped first (the stop-bucket guard:
+       a viral cell would otherwise create a quadratic join bucket);
+    2. edges aggregate with map-side combine to one row per pair;
+    3. triangles enumerate each once via the ordered wedge join
+       (a<b, b<c wedge at b... joined against the a<c closing edge) —
+       the node-order trick that avoids counting each triangle 6× and
+       keeps every join an equality hash join (!CartesianProduct)."""
+    cell = F.concat_ws(
+        ":",
+        F.col(key_col),
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec)).cast("long").cast("string"),
+    )
+    occ = df.select(F.col(node_col).alias("__u"), cell.alias("__cell")).distinct()
+    small = (
+        occ.groupBy("__cell")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") <= max_bucket_nodes)
+        .select("__cell")
+    )
+    occ = occ.join(small, "__cell")
+    a = occ.select(F.col("__u").alias("a"), "__cell")
+    b = occ.select(F.col("__u").alias("b"), "__cell")
+    edges = (
+        a.join(b, "__cell")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__w"))
+        .where(F.col("__w") >= min_shared)
+        .select("a", "b")
+    )
+    # wedges a<b<c centered at b, closed by the (a, c) edge
+    e1 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = edges.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = e1.join(e2, "tb").join(e3, ["ta", "tc"])
+    per_node = (
+        tris.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0)).cast("long"))
+        .withColumn(
+            "clustering",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("node", "degree", "triangles", "clustering")
+    )

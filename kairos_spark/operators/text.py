@@ -816,3 +816,133 @@ def bpe_pair_stats(
         .orderBy(F.col("weight").desc(), "pair")
         .limit(k)
     )
+
+
+def context_budget(
+    df: DataFrame,
+    cutoffs: list[int],
+    text_col: str = "text",
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Context-length truncation audit: for each candidate context
+    cutoff (in tokens), how many documents overflow it and what
+    fraction of corpus tokens a hard truncation would discard — the
+    numbers that pick a training sequence length. Returns one row per
+    cutoff: (cutoff, n_docs_over, frac_docs_over, tokens_lost,
+    frac_tokens_lost).
+
+    Scale shape: one map-only token count per document, partially
+    aggregated per cutoff (the cutoff explode multiplies the per-DOC
+    count rows, not the corpus text); totals ride a 1-row broadcast.
+    All counts are exact int64; fractions are single divisions round-6."""
+    toks = df.select(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+        ).cast("long").alias("__t")
+    )
+    per_cut = toks.select(
+        "__t",
+        F.explode(F.array(*[F.lit(int(c)) for c in cutoffs])).alias("cutoff"),
+    )
+    agg = per_cut.groupBy("cutoff").agg(
+        F.sum(F.when(F.col("__t") > F.col("cutoff"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_over"),
+        F.sum(F.greatest(F.col("__t") - F.col("cutoff"), F.lit(0)))
+        .cast("long")
+        .alias("tokens_lost"),
+    )
+    totals = toks.agg(
+        F.count("*").cast("long").alias("__nd"),
+        F.sum("__t").cast("long").alias("__nt"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("cutoff").cast("long").alias("cutoff"),
+            "n_docs_over",
+            F.round(F.col("n_docs_over") / F.col("__nd"), 6).alias("frac_docs_over"),
+            "tokens_lost",
+            F.round(F.col("tokens_lost") / F.col("__nt"), 6).alias("frac_tokens_lost"),
+        )
+    )
+
+
+def bigram_holdout_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_buckets: int = 10,
+    train_cut: int = 8,
+) -> DataFrame:
+    """Held-out bigram LM evaluation — the honest version of
+    bigram_lm_score: the add-one-smoothed bigram model is fit ONLY on
+    the deterministic md5 train split (hash bucket < ``train_cut`` of
+    ``train_buckets``), then scores the held-out documents it never
+    saw. Unseen-in-train bigrams back off to the smoothing floor
+    (C=0), and unseen contexts to C(w1·)=0 — both via coalesce, and
+    the out-of-vocabulary bigram count is reported per document:
+    (doc_id, n_bigrams, oov_bigrams, lm_score).
+
+    p(w2|w1) = (C_train(w1 w2) + 1) / (C_train(w1 ·) + V_train).
+
+    Scale shape: identical to bigram_lm_score (pre-aggregated join
+    sides, scalar V broadcast, DECIMAL(28,12) per-doc sums) plus the
+    map-only hash-split predicate; train tables join the held-out
+    grams with LEFT joins so scoring never drops a document."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 11), 16, 10)
+        .cast("long")
+        % train_buckets
+    )
+    train = df.where(bucket < train_cut)
+    test = df.where(bucket >= train_cut)
+
+    def grams(frame):
+        words = frame.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__w"))
+        return words.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("__w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__w") - 1),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+                    ),
+                )
+            ).alias("bg"),
+        )
+
+    corpus = grams(train).groupBy("bg").agg(F.count("*").alias("__cbg"))
+    ctx = corpus.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("__cbg").alias("__cw1")
+    )
+    vocab = (
+        train.select(F.explode(word_tokens(F.col(text_col))).alias("__t"))
+        .agg(F.count_distinct("__t").alias("__v"))
+    )
+    per_doc = (
+        grams(test)
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("m"))
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+    )
+    joined = (
+        per_doc.join(corpus, "bg", "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("__cbg", F.coalesce("__cbg", F.lit(0)))
+        .withColumn("__cw1", F.coalesce("__cw1", F.lit(0)))
+    )
+    logp = F.log((F.col("__cbg") + 1) / (F.col("__cw1") + F.col("__v")))
+    return joined.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("__cbg") == 0, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("oov_bigrams"),
+        F.round(
+            (F.sum((F.col("m") * logp).cast("decimal(28,12)")).cast("double"))
+            / F.sum("m"),
+            6,
+        ).alias("lm_score"),
+    )

@@ -213,3 +213,112 @@ def test_auc_matches_pairwise_definition(spark):
         for p, q in itertools.product(pos, neg)
     ) / (len(pos) * len(neg))
     assert got == round(want, 6)
+
+
+# ------------------------------------------------------------- triangles
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        [Row(user_id=u, event_type=t, ts=ts) for u, t, ts in rows]
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_triangle_complete_graph(spark):
+    from kairos_spark.operators import graph
+
+    # three users share two cells -> K3: each node 1 triangle, C=1
+    rows = []
+    for u in [1, 2, 3]:
+        rows.append((u, "a", "2024-01-01 00:10:00"))
+        rows.append((u, "a", "2024-01-01 01:10:00"))
+    out = graph.cooccurrence_triangles(_events(spark, rows), min_shared=2).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r.degree, r.triangles, r.clustering) == (2, 1, 1.0)
+
+
+def test_triangle_path_graph_no_triangle(spark):
+    from kairos_spark.operators import graph
+
+    # 1-2 and 2-3 co-occur (twice each), 1-3 never: open wedge
+    rows = []
+    for cell_h, us in [(0, (1, 2)), (1, (1, 2)), (2, (2, 3)), (3, (2, 3))]:
+        for u in us:
+            rows.append((u, "a", f"2024-01-01 0{cell_h}:00:00"))
+    out = {r.node: r for r in graph.cooccurrence_triangles(
+        _events(spark, rows), min_shared=2).collect()}
+    assert out[2].degree == 2 and out[2].triangles == 0 and out[2].clustering == 0.0
+    assert out[1].degree == 1 and out[1].clustering == 0.0
+
+
+def test_triangle_stop_cell_guard(spark):
+    from kairos_spark.operators import graph
+
+    # a single shared cell with 3 users, but the cell is over the cap:
+    # no edges at all
+    rows = [(u, "a", "2024-01-01 00:00:00") for u in [1, 2, 3]]
+    assert graph.cooccurrence_triangles(
+        _events(spark, rows), min_shared=1, max_bucket_nodes=2
+    ).count() == 0
+
+
+# -------------------------------------------------------- context budget
+
+
+def test_context_budget_exact_counts(spark):
+    from kairos_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [Row(text="a b c d"), Row(text="a b"), Row(text="a")]
+    )  # token counts 4, 2, 1 (total 7)
+    out = {r.cutoff: r for r in t.context_budget(df, [2, 4]).collect()}
+    assert out[2].n_docs_over == 1 and out[2].tokens_lost == 2
+    assert out[2].frac_docs_over == round(1 / 3, 6)
+    assert out[2].frac_tokens_lost == round(2 / 7, 6)
+    assert out[4].n_docs_over == 0 and out[4].tokens_lost == 0
+
+
+# ------------------------------------------------------- bigram holdout
+
+
+def test_bigram_holdout_scores_only_heldout_docs(spark):
+    from kairos_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat on the mat") for i in range(40)]
+    )
+    out = t.bigram_holdout_score(df, train_buckets=10, train_cut=8)
+    rows = out.collect()
+    assert 0 < len(rows) < 40
+    # every held-out doc's bigrams were seen in train (identical docs):
+    # zero OOV, and lm_score is finite negative
+    for r in rows:
+        assert r.oov_bigrams == 0 and r.n_bigrams == 5 and r.lm_score < 0
+
+
+def test_bigram_holdout_oov_floor(spark):
+    from kairos_spark.operators import text as t
+
+    # force a doc into the held-out split whose bigrams never occur in
+    # train: find an id with md5 bucket >= 8 and give it unique text
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="common shared words here") for i in range(40)]
+    )
+    probe = None
+    import hashlib
+
+    for i in range(40):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:11], 16) % 10
+        if b >= 8:
+            probe = i
+            break
+    df = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == probe, F.lit("zzz qqq xxx www")).otherwise(
+            F.col("text")
+        ),
+    )
+    out = {r.doc_id: r for r in t.bigram_holdout_score(df).collect()}
+    assert out[probe].oov_bigrams == out[probe].n_bigrams == 3

@@ -115,6 +115,9 @@ AUDITED = [
     "kaplan_meier",
     "duplicated_spans",
     "domain_cap",
+    "triangle_cooccurrence",
+    "context_budget",
+    "bigram_holdout",
     "winnow_pairs",
     "editdist_pairs",
     "hll_distinct",
@@ -406,6 +409,15 @@ CHECKS = {
     # per-domain counts aggregate + join back; the row_number sort runs
     # ONLY on the over-cap branch; under-cap rows union through sortless
     "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
+    # pair generation bucket-bounded (stop-cell guard), edges aggregate
+    # before the wedge joins; every join is an equality join
+    "triangle_cooccurrence": ["Join", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # per-doc token count is map-only; totals ride a 1-row broadcast
+    # (BroadcastNestedLoopJoin against one row is the intended shape)
+    "context_budget": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # train tables pre-aggregate before the LEFT joins; the scalar V
+    # rides a 1-row broadcast (BroadcastNestedLoopJoin is that shape)
+    "bigram_holdout": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # winnowing: per-doc sliding-min window over exploded gram hashes,
     # fp self-join must be an equality join — never nested loop/cartesian
     "winnow_pairs": ["Window", "Join", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
