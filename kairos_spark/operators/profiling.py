@@ -728,3 +728,115 @@ def rank_auc(
     return agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
         *gcols, "n_pos", "n_neg", F.round(auc, 6).alias("auc")
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benford's-law first-digit audit: observed vs expected leading
+    significant digit distribution of a positive numeric column — the
+    standard screen for fabricated or truncated numeric data (organic
+    multiplicative quantities follow P(d) = log10(1 + 1/d)).
+
+    The leading digit is taken from the DECIMAL(18,2) string form, not
+    from floor(v / 10^floor(log10 v)) — the log10 route is off-by-one
+    at exact powers of ten under IEEE rounding and is NOT identical
+    across engines; the decimal string is. Values < 1 are excluded
+    (their leading SIGNIFICANT digit is past the decimal point, which
+    the string route would misread as 0; scale sub-unit data up
+    before auditing).
+
+    Returns one row per (group..., digit 1-9): n, obs_freq, exp_freq,
+    deviation (obs − exp, round-6). Map-only projection + one
+    partially-aggregated groupBy; expected frequencies are constants."""
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols or [])
+    digit = F.substring(
+        F.col(value_col).cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("long")
+    base = (
+        df.where(F.col(value_col) >= 1)
+        .select(*gcols, digit.alias("digit"))
+        .groupBy(*gcols, "digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    exp_freq = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs = F.col("n") / F.sum("n").over(tot)
+    return base.select(
+        *gcols,
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_freq"),
+        F.round(exp_freq, 6).alias("exp_freq"),
+        F.round(obs - exp_freq, 6).alias("deviation"),
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiles: int = 3,
+) -> DataFrame:
+    """RFM segmentation: every user scored into recency / frequency /
+    monetary ``tiles``-tiles (1 = best), then segment-level counts and
+    averages — the classic audience-mix read. Tiles use the
+    deterministic (metric, user id) tiebreak so the split reproduces
+    exactly. Returns one row per populated (r_tile, f_tile, m_tile):
+    n_users, avg_recency_days, avg_frequency, avg_monetary (round-6;
+    monetary sums in DECIMAL(18,6) so the averages are associative).
+
+    Scale shape: events collapse to ONE row per user first (the only
+    data-sized aggregate); the three ntile windows then run over
+    |users| aggregated rows — the documented bounded-window pattern of
+    revenue_deciles, with percentile-cut assignment as the fact-scale
+    alternative; the corpus end rides a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    # exact integer microseconds (unix_timestamp would TRUNCATE
+    # sub-second parts — not what DuckDB's fractional epoch computes)
+    endt = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__end"))
+    per_user = (
+        df.groupBy(user_col)
+        .agg(
+            F.max(F.unix_micros(F.col(ts_col))).alias("__last"),
+            F.count("*").cast("long").alias("__freq"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__mon"),
+        )
+        .crossJoin(F.broadcast(endt))
+        .withColumn(
+            "__rec_days", ((F.col("__end") - F.col("__last")) / F.lit(86400e6))
+        )
+    )
+    wr = Window.orderBy(F.col("__rec_days").asc(), F.col(user_col))
+    wf = Window.orderBy(F.col("__freq").desc(), F.col(user_col))
+    wm = Window.orderBy(F.col("__mon").desc(), F.col(user_col))
+    tiled = per_user.select(
+        F.col(user_col),
+        (F.col("__end") - F.col("__last")).alias("__rec_sec"),
+        "__rec_days",
+        "__freq",
+        "__mon",
+        F.ntile(tiles).over(wr).cast("long").alias("r_tile"),
+        F.ntile(tiles).over(wf).cast("long").alias("f_tile"),
+        F.ntile(tiles).over(wm).cast("long").alias("m_tile"),
+    )
+    # integer/DECIMAL sums + ONE double division per metric, so the
+    # segment averages are associativity-proof round-6
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(
+            F.sum("__rec_sec").cast("double") / F.count("*") / 86400e6, 6
+        ).alias("avg_recency_days"),
+        F.round(F.sum("__freq").cast("double") / F.count("*"), 6).alias(
+            "avg_frequency"
+        ),
+        F.round(F.sum("__mon").cast("double") / F.count("*"), 6).alias(
+            "avg_monetary"
+        ),
+    )

@@ -1048,3 +1048,87 @@ def spearman_correlation(
             F.round(num / F.sqrt(vx * vy), 6).alias("spearman"),
         )
     )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Theil–Sen robust trend estimate per key: the MEDIAN of all
+    pairwise slopes between the key's bucket counts — tolerates up to
+    ~29% outlier buckets where the OLS slope (trend_slope) is dragged
+    arbitrarily by one spike. Returns (name, n_buckets, n_pairs,
+    slope_per_hour).
+
+    Exactness: each pairwise slope is one double division of exact
+    int64 differences, so both engines materialize the identical slope
+    multiset; the exact median (linear interpolation at even counts)
+    then agrees bit-for-bit.
+
+    Scale shape: events collapse to per-(key, bucket) counts FIRST, so
+    the quadratic pair join is over B = time-range/step rows per key —
+    bounded by the calendar (e.g. 8 760 hourly buckets/year → ≤ 38M
+    pairs per key), never by event volume; the median is a per-key
+    exact percentile over those pairs."""
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    a = counts.select(F.col("name"), F.col("i_time").alias("__ta"), F.col("n").alias("__na"))
+    b = counts.select(F.col("name"), F.col("i_time").alias("__tb"), F.col("n").alias("__nb"))
+    pairs = a.join(b, "name").where(F.col("__ta") < F.col("__tb"))
+    slope = (F.col("__nb") - F.col("__na")).cast("double") / (
+        F.col("__tb") - F.col("__ta")
+    ).cast("double")
+    sizes = counts.groupBy("name").agg(F.count("*").cast("long").alias("n_buckets"))
+    med = pairs.groupBy("name").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.percentile(slope, F.lit(0.5)) * 3600.0, 6).alias("slope_per_hour"),
+    )
+    return sizes.join(med, "name").select(
+        "name", "n_buckets", "n_pairs", "slope_per_hour"
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    gap_sec: float = 1800.0,
+    depth: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k behavioral paths: the most frequent ``depth``-step
+    event-type sequences occurring INSIDE sessions (30-min default
+    gap) — the path-mining read behind funnel discovery ("what do
+    users actually do, in order?"). Returns (path, n) with the
+    deterministic (count desc, path) tiebreak.
+
+    Scale shape: sessionization and the ``depth-1`` leads share ONE
+    per-user Exchange+Sort (identical window partitioning/ordering);
+    path counts aggregate with map-side combine on the path string;
+    top-k is TakeOrderedAndProject. Sequences crossing a session
+    boundary are excluded by requiring all steps in one session."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - prev) > F.lit(gap_sec)),
+        1,
+    ).otherwise(0)
+    sess = df.select(
+        F.col(user_col), F.col(ts_col), F.col(seq_col), F.col(type_col)
+    ).withColumn("__sess", F.sum(new_sess).over(w))
+    ws = Window.partitionBy(user_col, "__sess").orderBy(ts_col, seq_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(ws) for i in range(1, depth)
+    ]
+    paths = sess.select(F.concat_ws(" > ", *steps).alias("path"), steps[-1].alias("__last"))
+    return (
+        paths.where(F.col("__last").isNotNull())
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(k)
+    )

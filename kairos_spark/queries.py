@@ -2035,6 +2035,31 @@ def q_quality_auc(spark, sf_dir):
     return profiling.rank_auc(docs, "n_chars", "__is_en", ["source"])
 
 
+def q_theilsen_trend(spark, sf_dir):
+    """Theil-Sen robust hourly activity trend per event type (median
+    of pairwise bucket-count slopes)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.theilsen_trend(ev, step_sec=3600)
+
+
+def q_session_paths(spark, sf_dir):
+    """Top-20 3-step event-type paths inside 30-minute sessions."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.session_paths(ev, depth=3, k=20)
+
+
+def q_benford_totalprice(spark, sf_dir):
+    """Benford first-digit audit of order totals (obs vs log10(1+1/d))."""
+    o = _tbl(spark, sf_dir, "orders")
+    return profiling.benford_audit(o, "o_totalprice")
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM tercile segmentation of users with per-segment averages."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.rfm_segments(ev, tiles=3)
+
+
 def q_triangle_cooccurrence(spark, sf_dir):
     """Triangles + clustering coefficient over the user co-activity
     graph (shared (event_type, hour) cells, stop-bucket cap 200)."""
@@ -2072,6 +2097,10 @@ QUERIES = {
     # re-checks); (3) pipeline entries CORRECTNESS_r04 did not reach;
     # (4) the r4-green 50 rotate to the tail, covered by the local
     # mirror (tools/check_correctness.py, 0 failures full-registry).
+    "theilsen_trend": q_theilsen_trend,
+    "session_paths": q_session_paths,
+    "benford_totalprice": q_benford_totalprice,
+    "rfm_segments": q_rfm_segments,
     "triangle_cooccurrence": q_triangle_cooccurrence,
     "context_budget": q_context_budget,
     "bigram_holdout": q_bigram_holdout,
@@ -5140,4 +5169,96 @@ ORACLES["bigram_holdout"] = r"""
              / sum(m), 6) AS lm_score
     FROM j, vocab
     GROUP BY 1
+"""
+
+ORACLES["theilsen_trend"] = """
+    WITH counts AS (
+      SELECT event_type AS name,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS i_time,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.name,
+             CAST(b.n - a.n AS DOUBLE) / CAST(b.i_time - a.i_time AS DOUBLE) AS s
+      FROM counts a JOIN counts b
+        ON a.name = b.name AND a.i_time < b.i_time
+    ),
+    sz AS (SELECT name, CAST(count(*) AS BIGINT) AS n_buckets FROM counts GROUP BY 1),
+    med AS (
+      SELECT name, CAST(count(*) AS BIGINT) AS n_pairs,
+             quantile_cont(s, 0.5) AS m
+      FROM pairs GROUP BY 1
+    )
+    SELECT sz.name, n_buckets, n_pairs, round(m * 3600.0, 6) AS slope_per_hour
+    FROM sz JOIN med USING (name)
+"""
+
+ORACLES["session_paths"] = """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type, epoch(ts) AS secs,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, secs, event_type,
+             sum(CASE WHEN prev IS NULL OR secs - prev > 1800.0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY secs, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM o
+    ),
+    p AS (
+      SELECT event_type || ' > ' ||
+                 lead(event_type, 1) OVER w || ' > ' ||
+                 lead(event_type, 2) OVER w AS path,
+             lead(event_type, 2) OVER w AS last3
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, sess ORDER BY secs, event_id)
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE last3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+"""
+
+ORACLES["benford_totalprice"] = """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    base AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM base)
+    SELECT digit, n,
+           round(n * 1.0 / t, 6) AS obs_freq,
+           round(log10(1.0 + 1.0 / digit), 6) AS exp_freq,
+           round(n * 1.0 / t - log10(1.0 + 1.0 / digit), 6) AS deviation
+    FROM base, tot
+"""
+
+ORACLES["rfm_segments"] = """
+    WITH endt AS (SELECT max(epoch_us(ts)) AS e FROM events),
+    per_user AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_s,
+             count(*) AS freq,
+             sum(CAST(value AS DECIMAL(18,6))) AS mon
+      FROM events GROUP BY 1
+    ),
+    tiled AS (
+      SELECT user_id,
+             e - last_s AS rec_sec,
+             freq, mon,
+             ntile(3) OVER (ORDER BY (e - last_s) / 86400000000.0 ASC, user_id) AS r_tile,
+             ntile(3) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+             ntile(3) OVER (ORDER BY mon DESC, user_id) AS m_tile
+      FROM per_user, endt
+    )
+    SELECT CAST(r_tile AS BIGINT) AS r_tile,
+           CAST(f_tile AS BIGINT) AS f_tile,
+           CAST(m_tile AS BIGINT) AS m_tile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(rec_sec) AS DOUBLE) / count(*) / 86400000000.0, 6) AS avg_recency_days,
+           round(CAST(sum(freq) AS DOUBLE) / count(*), 6) AS avg_frequency,
+           round(CAST(sum(mon) AS DOUBLE) / count(*), 6) AS avg_monetary
+    FROM tiled GROUP BY 1, 2, 3
 """

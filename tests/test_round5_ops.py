@@ -322,3 +322,116 @@ def test_bigram_holdout_oov_floor(spark):
     )
     out = {r.doc_id: r for r in t.bigram_holdout_score(df).collect()}
     assert out[probe].oov_bigrams == out[probe].n_bigrams == 3
+
+
+# ------------------------------------------------------------ Theil-Sen
+
+
+def test_theilsen_robust_to_outlier_bucket(spark):
+    # steady +1/hour trend with one huge spike: OLS is dragged, the
+    # pairwise-slope median stays ~1/hour
+    rows = []
+    counts = [1, 2, 3, 4, 100, 6, 7, 8, 9]
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append(Row(ts=f"2024-01-01 0{h}:{i // 60:02d}:{i % 60:02d}",
+                            event_type="a"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.theilsen_trend(df, step_sec=3600).collect()[0]
+    assert out.n_buckets == 9 and out.n_pairs == 36
+    assert abs(out.slope_per_hour - 1.0) < 0.3
+
+
+def test_theilsen_exact_linear(spark):
+    rows = []
+    for h, n in enumerate([2, 4, 6, 8]):
+        for i in range(n):
+            rows.append(Row(ts=f"2024-01-01 0{h}:00:{i:02d}", event_type="a"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.theilsen_trend(df, step_sec=3600).collect()[0]
+    assert out.slope_per_hour == 2.0
+
+
+# --------------------------------------------------------- session paths
+
+
+def test_session_paths_counts_within_session_only(spark):
+    rows = [
+        # user 1, one session: a b c d -> paths "a>b>c", "b>c>d"
+        Row(user_id=1, event_id=1, ts="2024-01-01 00:00:00", event_type="a"),
+        Row(user_id=1, event_id=2, ts="2024-01-01 00:01:00", event_type="b"),
+        Row(user_id=1, event_id=3, ts="2024-01-01 00:02:00", event_type="c"),
+        Row(user_id=1, event_id=4, ts="2024-01-01 00:03:00", event_type="d"),
+        # user 1, second session after 2h gap: x y (too short for depth 3)
+        Row(user_id=1, event_id=5, ts="2024-01-01 02:30:00", event_type="x"),
+        Row(user_id=1, event_id=6, ts="2024-01-01 02:31:00", event_type="y"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.path: r.n for r in windows.session_paths(df, depth=3, k=10).collect()}
+    assert out == {"a > b > c": 1, "b > c > d": 1}
+
+
+def test_session_paths_no_cross_session_path(spark):
+    # 3 events but a session break between 2nd and 3rd: no path at all
+    rows = [
+        Row(user_id=1, event_id=1, ts="2024-01-01 00:00:00", event_type="a"),
+        Row(user_id=1, event_id=2, ts="2024-01-01 00:01:00", event_type="b"),
+        Row(user_id=1, event_id=3, ts="2024-01-01 03:00:00", event_type="c"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert windows.session_paths(df, depth=3).count() == 0
+
+
+# -------------------------------------------------------------- Benford
+
+
+def test_benford_digit_extraction_and_expectation(spark):
+    import math as m
+
+    df = spark.createDataFrame(
+        [Row(v=float(x)) for x in [1.0, 19.5, 100.0, 950.0, 2.5, 0.4, -3.0]]
+    )
+    out = {r.digit: r for r in profiling.benford_audit(df, "v").collect()}
+    # 0.4 and -3.0 excluded; digits: 1,1,1,9,2
+    assert out[1].n == 3 and out[9].n == 1 and out[2].n == 1
+    assert out[1].obs_freq == 0.6
+    assert out[1].exp_freq == round(m.log10(2), 6)
+    assert out[1].deviation == round(0.6 - m.log10(2), 6)
+
+
+def test_benford_power_of_ten_boundary(spark):
+    # exactly 10.0 / 1000.0 must land on digit 1 (the log10 route is
+    # unreliable here; the decimal-string route is what we assert)
+    df = spark.createDataFrame([Row(v=10.0), Row(v=1000.0), Row(v=999.99)])
+    out = {r.digit: r.n for r in profiling.benford_audit(df, "v").collect()}
+    assert out == {1: 2, 9: 1}
+
+
+# ------------------------------------------------------------------ RFM
+
+
+def test_rfm_tiles_partition_users(spark):
+    rows = []
+    for u in range(9):
+        for i in range(u + 1):  # frequency 1..9
+            rows.append(Row(user_id=u, ts=f"2024-01-0{u % 3 + 1} 00:00:{i:02d}",
+                            value=float(u)))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = profiling.rfm_segments(df, tiles=3).collect()
+    assert sum(r.n_users for r in out) == 9
+    for r in out:
+        assert 1 <= r.r_tile <= 3 and 1 <= r.f_tile <= 3 and 1 <= r.m_tile <= 3
+
+
+def test_rfm_best_segment_is_heavy_recent_user(spark):
+    rows = []
+    # user 0: recent, frequent, high value; user 1 and 2: old, light
+    for i in range(10):
+        rows.append(Row(user_id=0, ts=f"2024-01-09 00:00:{i:02d}", value=100.0))
+    rows.append(Row(user_id=1, ts="2024-01-01 00:00:00", value=1.0))
+    rows.append(Row(user_id=2, ts="2024-01-02 00:00:00", value=2.0))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.r_tile, r.f_tile, r.m_tile): r for r in
+           profiling.rfm_segments(df, tiles=3).collect()}
+    best = out[(1, 1, 1)]
+    assert best.n_users == 1 and best.avg_monetary == 1000.0

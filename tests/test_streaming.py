@@ -468,3 +468,35 @@ def test_interval_attribution_join_stream_and_batch_agree(spark, tmp_path):
     got = spark.sql("SELECT user_id, ts, ts_r FROM attr_join").collect()
     assert len(got) == 1 and got[0]["user_id"] == 1
     assert (got[0]["ts_r"] - got[0]["ts"]).total_seconds() == 300.0
+
+
+def test_streaming_hll_registers_match_batch(spark, input_dir):
+    # HLL registers are a plain max-aggregate with <= groups x 2^p
+    # state, so they run as a streaming groupBy unchanged — the
+    # streaming approximate-distinct path; registers (and therefore the
+    # estimate) agree with batch exactly
+    from kairos_spark.operators import sketches
+
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    regs = sketches.hll_registers(
+        stream.withWatermark("ts", "1 hour"), ["name"], "value", p=8
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("stream_hll")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["name"], r["reg"]): r["rho"]
+        for r in spark.sql("SELECT * FROM stream_hll").collect()
+    }
+    batch = {
+        (r["name"], r["reg"]): r["rho"]
+        for r in sketches.hll_registers(
+            _batch_df(spark, input_dir), ["name"], "value", p=8
+        ).collect()
+    }
+    assert got == batch

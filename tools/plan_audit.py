@@ -115,6 +115,10 @@ AUDITED = [
     "kaplan_meier",
     "duplicated_spans",
     "domain_cap",
+    "theilsen_trend",
+    "session_paths",
+    "benford_totalprice",
+    "rfm_segments",
     "triangle_cooccurrence",
     "context_budget",
     "bigram_holdout",
@@ -409,6 +413,17 @@ CHECKS = {
     # per-domain counts aggregate + join back; the row_number sort runs
     # ONLY on the over-cap branch; under-cap rows union through sortless
     "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
+    # events collapse to bucket counts BEFORE the calendar-bounded
+    # quadratic pair join (equality on the key, never nested loop)
+    "theilsen_trend": ["HashAggregate", "Join", "!NestedLoop", "!CartesianProduct"],
+    # sessionize + leads share per-user sorts; counts aggregate with
+    # map-side combine; top-k is a partition-heap merge, no join
+    "session_paths": ["Window", "HashAggregate", "TakeOrderedAndProject", "!Join"],
+    # map-only digit projection + one aggregate; totals via window
+    "benford_totalprice": ["HashAggregate", "Window", "!Join"],
+    # per-user aggregate first; corpus end rides a 1-row broadcast;
+    # ntile windows run over |users| aggregated rows (documented)
+    "rfm_segments": ["HashAggregate", "BroadcastNestedLoopJoin", "Window", "!CartesianProduct"],
     # pair generation bucket-bounded (stop-cell guard), edges aggregate
     # before the wedge joins; every join is an equality join
     "triangle_cooccurrence": ["Join", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
