@@ -818,3 +818,45 @@ def editdist_near_pairs(
         .where(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "hamming", "edit_dist")
     )
+
+
+def dup_inflation(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Token-weighted duplication inflation per group: how much LARGER
+    the raw corpus is than its exact-deduped form, in documents and in
+    tokens — the number that tells you what a dedup pass actually buys
+    at training time (docs overstate it when duplicates are short,
+    tokens don't). Returns (group, n_docs, n_unique, tokens_total,
+    tokens_unique, inflation = tokens_total / tokens_unique, round-6).
+
+    Scale shape: one map-only projection to (group, digest, token
+    count); duplicates collapse per (group, digest) with map-side
+    combine (identical text ⇒ identical token count, so any
+    representative's count stands for the group — min() keeps it
+    deterministic); per-group totals are a second bounded aggregate.
+    The document payload never shuffles — only digests and counts."""
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+    ).cast("long")
+    d = df.select(
+        F.col(group_col).alias("group"),
+        F.md5(F.col(text_col)).alias("__digest"),
+        toks.alias("__tok"),
+    )
+    per_digest = d.groupBy("group", "__digest").agg(
+        F.count("*").alias("__n"), F.min("__tok").alias("__t")
+    )
+    return per_digest.groupBy("group").agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(F.col("__n") * F.col("__t")).cast("long").alias("tokens_total"),
+        F.sum("__t").cast("long").alias("tokens_unique"),
+        F.round(
+            F.sum(F.col("__n") * F.col("__t")).cast("double") / F.sum("__t"), 6
+        ).alias("inflation"),
+    )

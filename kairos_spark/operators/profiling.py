@@ -840,3 +840,81 @@ def rfm_segments(
             "avg_monetary"
         ),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between the first and second
+    time half, per group: KS = max over sample values of
+    |ECDF_early(v) − ECDF_late(v)| — the nonparametric sibling of the
+    binned PSI (distribution_drift): no bin choice, sensitive to any
+    distributional change, with the familiar √((n1+n2)/(n1·n2))
+    critical-value scale. Groups with an empty half are omitted (same
+    contract as distribution_drift). Returns (name, n1, n2, ks).
+
+    Exactness: the ECDF steps are exact integer cumulative counts over
+    the per-(group, value, half) count table; each |c1/n1 − c2/n2| is
+    two double divisions of exact ints — both engines materialize the
+    identical step set, so the max agrees bit-for-bit.
+
+    Scale shape: rows collapse to per-(group, value) counts before any
+    window; the cumulative window then sorts at VALUE grain per group
+    (distinct values, not rows). For groups whose distinct-value count
+    itself is data-sized, bin first (binned_histogram) and accept bin
+    resolution — that variant is distribution_drift's territory."""
+    from pyspark.sql.window import Window
+
+    scal = df.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    half = F.when(F.unix_micros(F.col(ts_col)) <= F.col("__mid"), 1).otherwise(2)
+    counts = (
+        df.crossJoin(F.broadcast(scal))
+        .select(
+            F.col(group_col).alias("name"),
+            F.col(value_col).cast("double").alias("__v"),
+            half.alias("__h"),
+        )
+        .groupBy("name", "__v")
+        .agg(
+            F.sum(F.when(F.col("__h") == 1, 1).otherwise(0)).alias("__c1"),
+            F.sum(F.when(F.col("__h") == 2, 1).otherwise(0)).alias("__c2"),
+        )
+    )
+    w = (
+        Window.partitionBy("name")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("name")
+    stepped = counts.select(
+        "name",
+        F.sum("__c1").over(w).alias("__cum1"),
+        F.sum("__c2").over(w).alias("__cum2"),
+        F.sum("__c1").over(tot).alias("__n1"),
+        F.sum("__c2").over(tot).alias("__n2"),
+    )
+    return (
+        stepped.where((F.col("__n1") > 0) & (F.col("__n2") > 0))
+        .groupBy("name")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("__cum1").cast("double") / F.col("__n1")
+                    - F.col("__cum2").cast("double") / F.col("__n2")
+                )
+            ).alias("__ks"),
+            F.min("__n1").cast("long").alias("n1"),
+            F.min("__n2").cast("long").alias("n2"),
+        )
+        .select("name", "n1", "n2", F.round("__ks", 6).alias("ks"))
+    )

@@ -680,3 +680,69 @@ def quantize_audit(
         F.round(F.max(F.abs("__e")), 6).alias("max_abs_err"),
         F.round(F.avg(F.abs("__e")), 6).alias("mean_abs_err"),
     )
+
+
+def norm_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    z: float = 2.0,
+) -> DataFrame:
+    """Embedding L2-norm health audit per label: (label, n_vecs,
+    mean_norm, std_norm, n_outliers) with outliers = vectors whose norm
+    is more than ``z`` standard deviations from their label's mean —
+    the cheap screen for collapsed/exploded embeddings and mislabeled
+    batches before any ANN index is built over them.
+
+    Determinism: each norm folds left-to-right over the vector
+    (F.aggregate — fixed order, engine-identical) and is then ROUNDED
+    to 6 decimals before any statistics: a round-6 double casts to
+    DECIMAL(38,12) exactly on every engine, so the per-label mean and
+    (population) std accumulate associativity-proof decimals and every
+    downstream double — including the z-threshold comparison — is
+    derived from bit-identical inputs. (Raw double→DECIMAL casts
+    differ between engines in the last internal digit, which on a
+    degenerate distribution flips threshold comparisons at noise
+    scale; the 1e-6 norm resolution is the documented price.)
+
+    Scale shape: pass 1 is a map-only norm projection + per-label
+    DECIMAL aggregate (|labels| rows); the tiny moment table broadcasts
+    back for the outlier count — corpus vectors never shuffle."""
+    vec = F.col(vec_col).cast("array<double>")
+    nr = df.select(
+        F.col(label_col).alias("label"), F.round(norm(vec), 6).alias("__nrm")
+    )
+    mom = nr.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.col("__nrm").cast("decimal(38,12)")).alias("__s1"),
+        F.sum((F.col("__nrm") * F.col("__nrm")).cast("decimal(38,12)")).alias("__s2"),
+    )
+    mom = mom.select(
+        "label",
+        "n_vecs",
+        (F.col("__s1").cast("double") / F.col("n_vecs")).alias("__mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("__s2").cast("double") / F.col("n_vecs")
+                - (F.col("__s1").cast("double") / F.col("n_vecs"))
+                * (F.col("__s1").cast("double") / F.col("n_vecs")),
+                F.lit(0.0),
+            )
+        ).alias("__std"),
+    )
+    out = (
+        nr.join(F.broadcast(mom), "label")
+        .where(F.abs(F.col("__nrm") - F.col("__mean")) > F.lit(z) * F.col("__std"))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_outliers"))
+    )
+    return (
+        mom.join(out, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            F.round("__mean", 6).alias("mean_norm"),
+            F.round("__std", 6).alias("std_norm"),
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )

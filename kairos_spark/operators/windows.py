@@ -1132,3 +1132,50 @@ def session_paths(
         .orderBy(F.col("n").desc(), "path")
         .limit(k)
     )
+
+
+def lateness_audit(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Event-time out-of-orderness audit: per key, how late events
+    arrive relative to the running event-time high-water mark in
+    ARRIVAL order (``seq_col``) — exactly the distribution that picks a
+    Structured Streaming watermark delay (an event with lateness L is
+    dropped by ``withWatermark(ts, < L)``). Returns (name, n_events,
+    n_late, max_late_sec, p95_late_sec, p99_late_sec).
+
+    Scale shape: the running max is a window per key in arrival order —
+    each key's stream sorts within its partition, the same per-key
+    discipline as sessionization (a production audit runs it per
+    shard/partition, which is what a real watermark tracks anyway);
+    lateness percentiles are exact per-key percentiles over the derived
+    lateness column. Exactness: lateness is integer microseconds;
+    percentile interpolation and the /1e6 rescale are single double
+    ops, identical across engines."""
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = df.select(
+        F.col(key_col).alias("name"),
+        (F.max(us).over(w) - us).alias("__late_us"),
+    )
+    sec = F.col("__late_us") / 1e6
+    return late.groupBy("name").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("__late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(F.max(sec), 6).alias("max_late_sec"),
+        F.round(F.percentile(F.col("__late_us"), F.lit(0.95)) / 1e6, 6).alias(
+            "p95_late_sec"
+        ),
+        F.round(F.percentile(F.col("__late_us"), F.lit(0.99)) / 1e6, 6).alias(
+            "p99_late_sec"
+        ),
+    )

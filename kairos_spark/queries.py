@@ -2035,6 +2035,32 @@ def q_quality_auc(spark, sf_dir):
     return profiling.rank_auc(docs, "n_chars", "__is_en", ["source"])
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample KS drift of event values, first vs second time half."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.ks_drift(ev)
+
+
+def q_lateness_audit(spark, sf_dir):
+    """Event-time out-of-orderness vs arrival order — the watermark
+    sizing distribution per event type."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.lateness_audit(ev)
+
+
+def q_dup_inflation(spark, sf_dir):
+    """Token-weighted duplication inflation per source (docs vs exact
+    digest-deduped docs and tokens)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.dup_inflation(docs)
+
+
+def q_norm_outliers(spark, sf_dir):
+    """Embedding L2-norm health audit per label (2-sigma outliers)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.norm_outliers(emb, z=2.0)
+
+
 def q_theilsen_trend(spark, sf_dir):
     """Theil-Sen robust hourly activity trend per event type (median
     of pairwise bucket-count slopes)."""
@@ -2097,6 +2123,10 @@ QUERIES = {
     # re-checks); (3) pipeline entries CORRECTNESS_r04 did not reach;
     # (4) the r4-green 50 rotate to the tail, covered by the local
     # mirror (tools/check_correctness.py, 0 failures full-registry).
+    "ks_drift": q_ks_drift,
+    "lateness_audit": q_lateness_audit,
+    "dup_inflation": q_dup_inflation,
+    "norm_outliers": q_norm_outliers,
     "theilsen_trend": q_theilsen_trend,
     "session_paths": q_session_paths,
     "benford_totalprice": q_benford_totalprice,
@@ -5261,4 +5291,101 @@ ORACLES["rfm_segments"] = """
            round(CAST(sum(freq) AS DOUBLE) / count(*), 6) AS avg_frequency,
            round(CAST(sum(mon) AS DOUBLE) / count(*), 6) AS avg_monetary
     FROM tiled GROUP BY 1, 2, 3
+"""
+
+ORACLES["ks_drift"] = """
+    WITH scal AS (
+      SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS name, CAST(value AS DOUBLE) AS v,
+             sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 0 ELSE 1 END) AS c2
+      FROM events GROUP BY 1, 2
+    ),
+    stepped AS (
+      SELECT name,
+             sum(c1) OVER (PARTITION BY name ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (PARTITION BY name ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             sum(c1) OVER (PARTITION BY name) AS n1,
+             sum(c2) OVER (PARTITION BY name) AS n2
+      FROM counts
+    )
+    SELECT name,
+           CAST(min(n1) AS BIGINT) AS n1,
+           CAST(min(n2) AS BIGINT) AS n2,
+           round(max(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)), 6) AS ks
+    FROM stepped
+    WHERE n1 > 0 AND n2 > 0
+    GROUP BY 1
+"""
+
+ORACLES["lateness_audit"] = """
+    WITH late AS (
+      SELECT event_type AS name,
+             max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - epoch_us(ts) AS late_us
+      FROM events
+    )
+    SELECT name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(max(late_us / 1e6), 6) AS max_late_sec,
+           round(quantile_cont(late_us, 0.95) / 1e6, 6) AS p95_late_sec,
+           round(quantile_cont(late_us, 0.99) / 1e6, 6) AS p99_late_sec
+    FROM late GROUP BY 1
+"""
+
+ORACLES["dup_inflation"] = """
+    WITH d AS (
+      SELECT source AS "group", md5(text) AS digest,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    per_digest AS (
+      SELECT "group", digest, count(*) AS n, min(tok) AS t
+      FROM d GROUP BY 1, 2
+    )
+    SELECT "group",
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(n * t) AS BIGINT) AS tokens_total,
+           CAST(sum(t) AS BIGINT) AS tokens_unique,
+           round(CAST(sum(n * t) AS DOUBLE) / sum(t), 6) AS inflation
+    FROM per_digest GROUP BY 1
+"""
+
+ORACLES["norm_outliers"] = """
+    WITH nr AS (
+      SELECT label,
+             round(sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                                    (a, b) -> a + b)), 6) AS nrm
+      FROM embeddings
+    ),
+    mom AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean_n,
+             sqrt(greatest(
+               CAST(sum(CAST(nrm * nrm AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+                 - (CAST(sum(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) / count(*))
+                 * (CAST(sum(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) / count(*)),
+               0.0)) AS std_n
+      FROM nr GROUP BY 1
+    ),
+    outs AS (
+      SELECT nr.label, count(*) AS n_outliers
+      FROM nr JOIN mom USING (label)
+      WHERE abs(nrm - mean_n) > 2.0 * std_n
+      GROUP BY 1
+    )
+    SELECT mom.label, n_vecs,
+           round(mean_n, 6) AS mean_norm,
+           round(std_n, 6) AS std_norm,
+           CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers
+    FROM mom LEFT JOIN outs ON mom.label = outs.label
 """

@@ -435,3 +435,100 @@ def test_rfm_best_segment_is_heavy_recent_user(spark):
            profiling.rfm_segments(df, tiles=3).collect()}
     best = out[(1, 1, 1)]
     assert best.n_users == 1 and best.avg_monetary == 1000.0
+
+
+# ------------------------------------------------------------------- KS
+
+
+def test_ks_identical_halves_is_zero(spark):
+    # same value multiset in both halves -> ECDFs identical -> KS 0
+    rows = []
+    for h in (0, 12):  # first/second half of the day
+        for v in [1.0, 2.0, 3.0, 3.0]:
+            rows.append(Row(event_type="a", value=v, ts=f"2024-01-01 {h:02d}:00:00"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = profiling.ks_drift(df).collect()[0]
+    assert out.ks == 0.0 and out.n1 == 4 and out.n2 == 4
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    rows = [Row(event_type="a", value=float(v), ts="2024-01-01 00:00:00") for v in (1, 2)]
+    rows += [Row(event_type="a", value=float(v), ts="2024-01-01 23:00:00") for v in (10, 20)]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert profiling.ks_drift(df).collect()[0].ks == 1.0
+
+
+def test_ks_one_sided_group_omitted(spark):
+    rows = [Row(event_type="only_early", value=1.0, ts="2024-01-01 00:00:00"),
+            Row(event_type="both", value=1.0, ts="2024-01-01 00:00:00"),
+            Row(event_type="both", value=2.0, ts="2024-01-01 23:00:00")]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert {r.name for r in profiling.ks_drift(df).collect()} == {"both"}
+
+
+# -------------------------------------------------------------- lateness
+
+
+def test_lateness_in_order_stream_is_zero(spark):
+    rows = [Row(event_id=i, event_type="a", ts=f"2024-01-01 00:00:{i:02d}")
+            for i in range(5)]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.lateness_audit(df).collect()[0]
+    assert out.n_late == 0 and out.max_late_sec == 0.0
+
+
+def test_lateness_measures_event_time_regression(spark):
+    # arrival order 1,2,3 but event 2's timestamp is 10s behind event 1
+    rows = [Row(event_id=1, event_type="a", ts="2024-01-01 00:00:20"),
+            Row(event_id=2, event_type="a", ts="2024-01-01 00:00:10"),
+            Row(event_id=3, event_type="a", ts="2024-01-01 00:00:30")]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.lateness_audit(df).collect()[0]
+    assert out.n_late == 1 and out.max_late_sec == 10.0
+
+
+# --------------------------------------------------------- dup inflation
+
+
+def test_dup_inflation_counts_tokens_once_per_digest(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text="a b c"),       # 3 tokens
+         Row(doc_id=2, source="s", text="a b c"),       # exact dup
+         Row(doc_id=3, source="s", text="d d d d")]     # 4 tokens, unique
+    )
+    out = dedup.dup_inflation(df).collect()[0]
+    assert (out.n_docs, out.n_unique) == (3, 2)
+    assert (out.tokens_total, out.tokens_unique) == (10, 7)
+    assert out.inflation == round(10 / 7, 6)
+
+
+def test_dup_inflation_no_dups_is_one(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=f"unique text {i} body") for i in range(4)]
+    )
+    assert dedup.dup_inflation(df).collect()[0].inflation == 1.0
+
+
+# ---------------------------------------------------------- norm outliers
+
+
+def test_norm_outliers_flags_scaled_vector(spark):
+    vecs = [Row(vec_id=i, label=0, embedding=[1.0, 0.0]) for i in range(20)]
+    vecs.append(Row(vec_id=99, label=0, embedding=[10.0, 0.0]))
+    df = spark.createDataFrame(vecs)
+    out = profiling_norm = __import__(
+        "kairos_spark.operators.similarity", fromlist=["similarity"]
+    ).norm_outliers(df, z=2.0).collect()[0]
+    assert out.n_vecs == 21 and out.n_outliers == 1
+    assert abs(out.mean_norm - (20 * 1.0 + 10.0) / 21) < 1e-6
+
+
+def test_norm_outliers_degenerate_distribution_no_outliers(spark):
+    # all-identical norms: std 0, |x - mean| == 0 -> no outliers
+    df = spark.createDataFrame(
+        [Row(vec_id=i, label=1, embedding=[0.6, 0.8]) for i in range(10)]
+    )
+    from kairos_spark.operators import similarity
+
+    out = similarity.norm_outliers(df).collect()[0]
+    assert out.std_norm == 0.0 and out.n_outliers == 0

@@ -115,6 +115,10 @@ AUDITED = [
     "kaplan_meier",
     "duplicated_spans",
     "domain_cap",
+    "ks_drift",
+    "lateness_audit",
+    "dup_inflation",
+    "norm_outliers",
     "theilsen_trend",
     "session_paths",
     "benford_totalprice",
@@ -413,6 +417,16 @@ CHECKS = {
     # per-domain counts aggregate + join back; the row_number sort runs
     # ONLY on the over-cap branch; under-cap rows union through sortless
     "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
+    # rows collapse to per-(group, value) counts before the ECDF
+    # window; the mid-time scalar rides a 1-row broadcast
+    "ks_drift": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # per-key running max + exact percentiles; no join anywhere
+    "lateness_audit": ["Window", "HashAggregate", "!Join"],
+    # digest projection + two bounded aggregates; payload never joins
+    "dup_inflation": ["HashAggregate", "!Join"],
+    # map-only norms + per-label DECIMAL aggregate; the tiny moment
+    # table broadcasts back for the outlier count
+    "norm_outliers": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
     # events collapse to bucket counts BEFORE the calendar-bounded
     # quadratic pair join (equality on the key, never nested loop)
     "theilsen_trend": ["HashAggregate", "Join", "!NestedLoop", "!CartesianProduct"],
