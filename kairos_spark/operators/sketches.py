@@ -308,3 +308,57 @@ def hll_distinct(
     return agg.select(
         *group_cols, "n_registers", F.round(est, 6).alias("est_distinct")
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Equi-join output-cardinality estimate from two count-min
+    sketches, WITHOUT running the join: the CMS inner product
+    min_j Σ_bkt cA_j·cB_j is the classic AMS/CMS join-size estimator
+    (Cormode & Muthukrishnan 2005, §4.2) — always ≥ the true size
+    |A ⋈ B| = Σ_k cA(k)·cB(k), overcount bounded by ‖A‖₁‖B‖₁/w per
+    row. This is the pre-flight a planner runs before committing to a
+    shuffle join at 100 TB: each side collapses to a d×w counter table
+    (bounded state, mergeable, buildable incrementally as data lands).
+
+    The exact size is computed alongside from per-key counts (the
+    ground truth a production pre-flight would skip). All counters are
+    exact int64 and the estimate is integer — the oracle reproduces it
+    exactly. Returns one row: (est_size, exact_size, overcount).
+
+    Scale shape: two bounded d×w aggregates + a d×w-row equality join
+    for the inner product; the exact side joins per-key COUNT tables
+    (aggregated), never raw rows."""
+    ca = cms_counters(left.select(F.col(left_key).cast("string").alias("term")), d=d, w=w)
+    cb = cms_counters(right.select(F.col(right_key).cast("string").alias("term")), d=d, w=w)
+    inner = (
+        ca.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.__j") == F.col("b.__j")) & (F.col("a.__bkt") == F.col("b.__bkt")),
+        )
+        .groupBy(F.col("a.__j"))
+        .agg(F.sum(F.col("a.__c") * F.col("b.__c")).alias("__dot"))
+        .agg(F.min("__dot").cast("long").alias("est_size"))
+    )
+    ka = left.groupBy(F.col(left_key).cast("string").alias("__k")).agg(
+        F.count("*").alias("__ca")
+    )
+    kb = right.groupBy(F.col(right_key).cast("string").alias("__k")).agg(
+        F.count("*").alias("__cb")
+    )
+    exact = ka.join(kb, "__k").agg(
+        F.coalesce(F.sum(F.col("__ca") * F.col("__cb")), F.lit(0))
+        .cast("long")
+        .alias("exact_size")
+    )
+    return (
+        inner.crossJoin(F.broadcast(exact))
+        .withColumn("overcount", (F.col("est_size") - F.col("exact_size")).cast("long"))
+    )

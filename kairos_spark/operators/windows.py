@@ -1179,3 +1179,107 @@ def lateness_audit(
             "p99_late_sec"
         ),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+    lag: int = 1,
+) -> DataFrame:
+    """Lag-``lag`` autocorrelation of each key's bucket-count series —
+    the persistence/seasonality diagnostic (r₁ near 1: momentum; r₂₄
+    on hourly buckets: daily cycle). Computed as the Pearson r between
+    the series and itself shifted by ``lag`` buckets over ALIGNED
+    bucket pairs (t, t+lag·step both present). Returns
+    (name, n_pairs, autocorr).
+
+    Exactness: counts are integers, so all five sums are exact int64
+    and r is one double expression — engine-exact, same discipline as
+    count_correlation. Pairs with zero variance on either side drop.
+
+    Scale shape: events collapse to per-(key, bucket) counts first;
+    the self-join matches on (key, bucket+lag·step) — equality join on
+    short aggregated rows, no window needed."""
+    counts = bucket_counts(df, key_col, ts_col, step_sec)
+    a = counts.select(
+        F.col("name"),
+        (F.col("i_time") + lag * step_sec).alias("__t"),
+        F.col("n").alias("__x"),
+    )
+    b = counts.select(F.col("name"), F.col("i_time").alias("__t"), F.col("n").alias("__y"))
+    pairs = a.join(b, ["name", "__t"])
+    s = pairs.groupBy("name").agg(
+        F.count("*").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    return (
+        s.where((vx > 0) & (vy > 0))
+        .select(
+            "name",
+            F.col("__n").cast("long").alias("n_pairs"),
+            F.round(num / F.sqrt(vx * vy), 6).alias("autocorr"),
+        )
+    )
+
+
+def transition_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    gap_sec: float = 1800.0,
+) -> DataFrame:
+    """Per-state entropy of the in-session next-event distribution —
+    how PREDICTABLE behavior is after each event type (0 bits: always
+    the same next step; log₂|types|: uniform). The Markov-chain
+    sibling of session_transitions. Returns (from_type, n_transitions,
+    entropy_bits, top_next).
+
+    Exactness: probabilities are exact integer ratios n_ij/n_i; each
+    −p·log2(p) term is cast to DECIMAL(28,12) before the per-state sum
+    so accumulation order cannot flip the round-6 hash; top_next
+    breaks ties lexicographically via min-by on (−count, type).
+
+    Scale shape: sessionize + lead share one per-user sort (the
+    session_paths discipline); transitions aggregate to |types|² rows
+    with map-side combine; entropy folds over those aggregated rows."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - prev) > F.lit(gap_sec)),
+        1,
+    ).otherwise(0)
+    sess = df.select(
+        F.col(user_col), F.col(ts_col), F.col(seq_col), F.col(type_col)
+    ).withColumn("__sess", F.sum(new_sess).over(w))
+    ws = Window.partitionBy(user_col, "__sess").orderBy(ts_col, seq_col)
+    steps = sess.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(ws).alias("__to"),
+    ).where(F.col("__to").isNotNull())
+    counts = steps.groupBy("from_type", "__to").agg(F.count("*").alias("__c"))
+    tot = counts.groupBy("from_type").agg(F.sum("__c").alias("__n"))
+    p = F.col("__c").cast("double") / F.col("__n")
+    term = (-p * F.log2(p)).cast("decimal(28,12)")
+    return (
+        counts.join(tot, "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.min("__n").cast("long").alias("n_transitions"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
+            F.min_by("__to", F.struct((-F.col("__c")).alias("c"), F.col("__to"))).alias(
+                "top_next"
+            ),
+        )
+    )

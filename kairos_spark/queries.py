@@ -2035,6 +2035,26 @@ def q_quality_auc(spark, sf_dir):
     return profiling.rank_auc(docs, "n_chars", "__is_en", ["source"])
 
 
+def q_autocorr_hourly(spark, sf_dir):
+    """Lag-1 autocorrelation of hourly activity per event type."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.autocorrelation(ev, step_sec=3600, lag=1)
+
+
+def q_transition_entropy(spark, sf_dir):
+    """Markov next-event entropy per event type (in-session)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.transition_entropy(ev)
+
+
+def q_join_size_est(spark, sf_dir):
+    """CMS inner-product pre-flight estimate of |orders ⋈ customer|
+    next to the exact join cardinality."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    return sketches.join_size_estimate(o, c, "o_custkey", "c_custkey")
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample KS drift of event values, first vs second time half."""
     ev = _tbl(spark, sf_dir, "events")
@@ -2175,6 +2195,12 @@ QUERIES = {
     "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
     "ts_multires_rollup": q_ts_multires_rollup,
     "ts_iterate_full": q_ts_iterate_full,
+    # --- r5 tail-new (positions 51+): local-oracle green, first driver
+    # check lands in round 6 — placed BELOW the stale ts_* parity block
+    # so new entries don't push parity re-checks out of the 50-window ---
+    "autocorr_hourly": q_autocorr_hourly,
+    "transition_entropy": q_transition_entropy,
+    "join_size_est": q_join_size_est,
     # --- (3) pipeline entries the r4 window did not reach ---
     "repetition_stats": q_repetition_stats,
     "word_entropy": q_word_entropy,
@@ -5388,4 +5414,107 @@ ORACLES["norm_outliers"] = """
            round(std_n, 6) AS std_norm,
            CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers
     FROM mom LEFT JOIN outs ON mom.label = outs.label
+"""
+
+ORACLES["autocorr_hourly"] = """
+    WITH counts AS (
+      SELECT event_type AS name,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS i_time,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.name, a.n AS x, b.n AS y
+      FROM counts a JOIN counts b
+        ON a.name = b.name AND a.i_time + 3600 = b.i_time
+    ),
+    s AS (
+      SELECT name,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT name, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+ORACLES["transition_entropy"] = """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch(ts) AS secs,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, secs, event_type,
+             sum(CASE WHEN prev IS NULL OR secs - prev > 1800.0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY secs, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM o
+    ),
+    steps AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id, sess
+                                    ORDER BY secs, event_id) AS to_t
+      FROM s
+    ),
+    counts AS (
+      SELECT from_type, to_t, count(*) AS c
+      FROM steps WHERE to_t IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(c) AS n FROM counts GROUP BY 1),
+    ent AS (
+      SELECT counts.from_type,
+             CAST(min(n) AS BIGINT) AS n_transitions,
+             round(CAST(sum(CAST(-(c * 1.0 / n) * log2(c * 1.0 / n)
+                                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy_bits
+      FROM counts JOIN tot USING (from_type)
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT from_type, to_t AS top_next FROM (
+        SELECT from_type, to_t,
+               row_number() OVER (PARTITION BY from_type ORDER BY c DESC, to_t) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT ent.from_type, n_transitions, entropy_bits, top_next
+    FROM ent JOIN top USING (from_type)
+"""
+
+ORACLES["join_size_est"] = """
+    WITH ja AS (SELECT unnest(generate_series(0, 3)) AS j),
+    ca AS (
+      SELECT j,
+             ('0x' || substr(md5(j::VARCHAR || ':' || CAST(o_custkey AS VARCHAR)), 1, 11))::BIGINT % 1024 AS bkt,
+             count(*) AS c
+      FROM orders CROSS JOIN ja GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT j,
+             ('0x' || substr(md5(j::VARCHAR || ':' || CAST(c_custkey AS VARCHAR)), 1, 11))::BIGINT % 1024 AS bkt,
+             count(*) AS c
+      FROM customer CROSS JOIN ja GROUP BY 1, 2
+    ),
+    dot AS (
+      SELECT ca.j, sum(ca.c * cb.c) AS dotp
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.bkt = cb.bkt
+      GROUP BY 1
+    ),
+    est AS (SELECT CAST(min(dotp) AS BIGINT) AS est_size FROM dot),
+    ka AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c FROM orders GROUP BY 1),
+    kb AS (SELECT CAST(c_custkey AS VARCHAR) AS k, count(*) AS c FROM customer GROUP BY 1),
+    ex AS (
+      SELECT CAST(coalesce(sum(ka.c * kb.c), 0) AS BIGINT) AS exact_size
+      FROM ka JOIN kb USING (k)
+    )
+    SELECT est_size, exact_size,
+           CAST(est_size - exact_size AS BIGINT) AS overcount
+    FROM est, ex
 """

@@ -532,3 +532,88 @@ def test_norm_outliers_degenerate_distribution_no_outliers(spark):
 
     out = similarity.norm_outliers(df).collect()[0]
     assert out.std_norm == 0.0 and out.n_outliers == 0
+
+
+# -------------------------------------------------------- autocorrelation
+
+
+def test_autocorr_alternating_series_is_minus_one(spark):
+    # counts 1,3,1,3,... -> lag-1 pairs are perfectly anti-correlated
+    rows = []
+    for h in range(6):
+        for i in range(1 if h % 2 == 0 else 3):
+            rows.append(Row(event_type="a", ts=f"2024-01-01 0{h}:00:{i:02d}"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.autocorrelation(df, step_sec=3600, lag=1).collect()[0]
+    assert out.autocorr == -1.0 and out.n_pairs == 5
+
+
+def test_autocorr_lag_skips_missing_buckets(spark):
+    # buckets at hours 0,1,3: only the (0,1) pair aligns at lag 1
+    rows = []
+    for h, n in [(0, 1), (1, 2), (3, 5)]:
+        for i in range(n):
+            rows.append(Row(event_type="a", ts=f"2024-01-01 0{h}:00:{i:02d}"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    # single aligned pair -> zero variance -> dropped
+    assert windows.autocorrelation(df, step_sec=3600, lag=1).count() == 0
+
+
+# ---------------------------------------------------- transition entropy
+
+
+def test_transition_entropy_deterministic_chain_zero_bits(spark):
+    rows = []
+    for u in range(4):
+        for i, t in enumerate(["a", "b", "a", "b", "a"]):
+            rows.append(Row(user_id=u, event_id=i, event_type=t,
+                            ts=f"2024-01-01 00:0{i}:00"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.from_type: r for r in windows.transition_entropy(df).collect()}
+    # after 'a' always 'b', after 'b' always 'a' -> 0 bits, top_next fixed
+    assert out["a"].entropy_bits == 0.0 and out["a"].top_next == "b"
+    assert out["b"].entropy_bits == 0.0 and out["b"].top_next == "a"
+
+
+def test_transition_entropy_uniform_two_choices_one_bit(spark):
+    rows = []
+    eid = 0
+    for u in range(8):
+        nxt = "b" if u % 2 == 0 else "c"
+        for i, t in enumerate(["a", nxt]):
+            rows.append(Row(user_id=u, event_id=eid, event_type=t,
+                            ts=f"2024-01-01 00:0{i}:00"))
+            eid += 1
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.from_type: r for r in windows.transition_entropy(df).collect()}
+    assert out["a"].entropy_bits == 1.0  # 50/50 between b and c
+    assert out["a"].top_next == "b"      # tie broken lexicographically
+
+
+def test_transition_entropy_session_gap_breaks_chain(spark):
+    rows = [
+        Row(user_id=1, event_id=1, event_type="a", ts="2024-01-01 00:00:00"),
+        Row(user_id=1, event_id=2, event_type="b", ts="2024-01-01 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert windows.transition_entropy(df).count() == 0
+
+
+# ------------------------------------------------------ join size estimate
+
+
+def test_join_size_estimate_is_upper_bound_and_exact_matches(spark):
+    left = spark.createDataFrame([Row(k=i % 5) for i in range(50)])
+    right = spark.createDataFrame([Row(k=i % 7) for i in range(21)])
+    out = sketches.join_size_estimate(left, right, "k", "k", d=4, w=1024).collect()[0]
+    # exact: keys 0..4 have 10 each on the left; right keys 0..6 have 3
+    assert out.exact_size == 5 * 10 * 3
+    assert out.est_size >= out.exact_size            # CMS never undercounts
+    assert out.overcount == out.est_size - out.exact_size
+
+
+def test_join_size_estimate_disjoint_keys(spark):
+    left = spark.createDataFrame([Row(k=i) for i in range(10)])
+    right = spark.createDataFrame([Row(k=i + 1000) for i in range(10)])
+    out = sketches.join_size_estimate(left, right, "k", "k").collect()[0]
+    assert out.exact_size == 0 and out.est_size >= 0

@@ -115,6 +115,9 @@ AUDITED = [
     "kaplan_meier",
     "duplicated_spans",
     "domain_cap",
+    "autocorr_hourly",
+    "transition_entropy",
+    "join_size_est",
     "ks_drift",
     "lateness_audit",
     "dup_inflation",
@@ -417,6 +420,13 @@ CHECKS = {
     # per-domain counts aggregate + join back; the row_number sort runs
     # ONLY on the over-cap branch; under-cap rows union through sortless
     "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
+    # counts aggregate before the lag self-join (equality, short rows)
+    "autocorr_hourly": ["HashAggregate", "Join", "!NestedLoop", "!CartesianProduct"],
+    # sessionize + lead share one per-user sort; |types|^2 aggregate
+    "transition_entropy": ["Window", "HashAggregate", "!CartesianProduct"],
+    # two bounded d*w counter tables + their equality join; the exact
+    # side joins per-key COUNT tables; 1-row scalars broadcast
+    "join_size_est": ["HashAggregate", "Join", "!CartesianProduct"],
     # rows collapse to per-(group, value) counts before the ECDF
     # window; the mid-time scalar rides a 1-row broadcast
     "ks_drift": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
