@@ -918,3 +918,97 @@ def ks_drift(
         )
         .select("name", "n1", "n2", F.round("__ks", 6).alias("ks"))
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, maximize both axes): rows no other
+    row dominates (≥ on both, > on at least one) — "which documents are
+    on the quality-vs-length frontier", the classic multi-criteria
+    shortlist. Returns the frontier rows (id, x, y).
+
+    Algorithm (the textbook sort-scan at DISTINCT-x grain): per
+    distinct x take max y; running max of that over strictly-greater
+    x (rows frame ending at -1 — exact for any numeric type, unlike a
+    range frame with a unit offset); a row survives iff its y strictly
+    exceeds every greater-x max. Rows tied on x keep their x-group's
+    frontier test, so double-ties survive together (neither strictly
+    dominates).
+
+    Scale shape: the fact table collapses to one row per distinct x
+    before the only sort (the running-max window over distinct-x
+    rows); survivors come back via an equality join on x. For
+    continuous x where distinct-x ~ row count, pre-filter with a
+    coarse grid-max (groupBy floor(x/g), max y) before this exact
+    pass."""
+    from pyspark.sql.window import Window
+
+    gx = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(F.col(y_col)).alias("__gymax")
+    )
+    w = Window.orderBy(F.col("__x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresh = gx.select(
+        "__x", F.max("__gymax").over(w).alias("__ymax_gt")
+    )
+    return (
+        df.select(F.col(id_col), F.col(x_col), F.col(y_col))
+        .join(thresh, F.col(x_col) == F.col("__x"))
+        .where(
+            F.col("__ymax_gt").isNull() | (F.col(y_col) > F.col("__ymax_gt"))
+        )
+        .select(id_col, x_col, y_col)
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total — "the document
+    length at which half the corpus TOKENS sit below", which is what
+    length planning actually needs (the unweighted median over-counts
+    short docs). Returns (group..., total_weight, wmedian).
+
+    Determinism: weights accumulate as exact int64 in value order with
+    (value, then insertion-stable count) — the crossing row is unique;
+    the 2·cum ≥ total comparison is pure integer math, so both engines
+    select the identical row.
+
+    Scale shape: rows collapse to per-(group, value) weight sums
+    before the cumulative window (value grain, not row grain) — the
+    same discipline as ks_drift; totals ride the same partition
+    window."""
+    from pyspark.sql.window import Window
+
+    agg = df.groupBy(*group_cols, F.col(value_col).alias("__v")).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("__w")
+    )
+    wc = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    stepped = agg.select(
+        *group_cols,
+        "__v",
+        F.sum("__w").over(wc).alias("__cum"),
+        F.sum("__w").over(wt).alias("__tot"),
+    )
+    crossed = stepped.where(2 * F.col("__cum") >= F.col("__tot"))
+    return (
+        crossed.groupBy(*group_cols)
+        .agg(
+            F.min("__tot").cast("long").alias("total_weight"),
+            F.min("__v").alias("wmedian"),
+        )
+    )

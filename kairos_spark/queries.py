@@ -2035,6 +2035,32 @@ def q_quality_auc(spark, sf_dir):
     return profiling.rank_auc(docs, "n_chars", "__is_en", ["source"])
 
 
+def q_skyline_docs(spark, sf_dir):
+    """Pareto frontier of documents on (token count, unique-token
+    ratio) — the multi-criteria shortlist no other doc dominates."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks_arr = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks = F.size(toks_arr).cast("long")
+    uniq = F.size(F.array_distinct(toks_arr))
+    d = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.round(uniq / F.greatest(toks, F.lit(1)), 6).alias("uniq_ratio"),
+    )
+    return profiling.skyline_2d(d, "toks", "uniq_ratio", "doc_id")
+
+
+def q_weighted_median_len(spark, sf_dir):
+    """Token-weighted median document length per language (the length
+    at which half the corpus TOKENS sit below)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    wt = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    ).cast("long")
+    d = docs.select("lang", "n_chars", wt.alias("__wt"))
+    return profiling.weighted_median(d, ["lang"], "n_chars", "__wt")
+
+
 def q_autocorr_hourly(spark, sf_dir):
     """Lag-1 autocorrelation of hourly activity per event type."""
     ev = _tbl(spark, sf_dir, "events")
@@ -2201,6 +2227,8 @@ QUERIES = {
     "autocorr_hourly": q_autocorr_hourly,
     "transition_entropy": q_transition_entropy,
     "join_size_est": q_join_size_est,
+    "skyline_docs": q_skyline_docs,
+    "weighted_median_len": q_weighted_median_len,
     # --- (3) pipeline entries the r4 window did not reach ---
     "repetition_stats": q_repetition_stats,
     "word_entropy": q_word_entropy,
@@ -5517,4 +5545,44 @@ ORACLES["join_size_est"] = """
     SELECT est_size, exact_size,
            CAST(est_size - exact_size AS BIGINT) AS overcount
     FROM est, ex
+"""
+
+ORACLES["skyline_docs"] = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS toks,
+             round(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) * 1.0
+                   / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS uniq_ratio
+      FROM documents
+    ),
+    gx AS (SELECT toks AS x, max(uniq_ratio) AS gymax FROM d GROUP BY 1),
+    th AS (
+      SELECT x,
+             max(gymax) OVER (ORDER BY x DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ymax_gt
+      FROM gx
+    )
+    SELECT d.doc_id, d.toks, d.uniq_ratio
+    FROM d JOIN th ON d.toks = th.x
+    WHERE ymax_gt IS NULL OR d.uniq_ratio > ymax_gt
+"""
+
+ORACLES["weighted_median_len"] = """
+    WITH d AS (
+      SELECT lang, n_chars AS v,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    agg AS (SELECT lang, v, CAST(sum(w) AS BIGINT) AS w FROM d GROUP BY 1, 2),
+    st AS (
+      SELECT lang, v,
+             sum(w) OVER (PARTITION BY lang ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY lang) AS tot
+      FROM agg
+    )
+    SELECT lang,
+           CAST(min(tot) AS BIGINT) AS total_weight,
+           CAST(min(v) AS BIGINT) AS wmedian
+    FROM st WHERE 2 * cum >= tot GROUP BY 1
 """

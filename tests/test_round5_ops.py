@@ -617,3 +617,56 @@ def test_join_size_estimate_disjoint_keys(spark):
     right = spark.createDataFrame([Row(k=i + 1000) for i in range(10)])
     out = sketches.join_size_estimate(left, right, "k", "k").collect()[0]
     assert out.exact_size == 0 and out.est_size >= 0
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def test_skyline_keeps_only_undominated(spark):
+    rows = [
+        Row(id=1, x=10, y=1.0),   # frontier (max x)
+        Row(id=2, x=5, y=5.0),    # frontier
+        Row(id=3, x=4, y=4.0),    # dominated by id=2
+        Row(id=4, x=1, y=9.0),    # frontier
+        Row(id=5, x=1, y=2.0),    # dominated by id=4 (same x, lower y)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.id for r in profiling.skyline_2d(df, "x", "y", "id").collect()}
+    assert got == {1, 2, 4}
+
+
+def test_skyline_double_ties_survive_together(spark):
+    df = spark.createDataFrame([Row(id=1, x=5, y=5.0), Row(id=2, x=5, y=5.0)])
+    got = {r.id for r in profiling.skyline_2d(df, "x", "y", "id").collect()}
+    assert got == {1, 2}
+
+
+def test_skyline_non_integer_x(spark):
+    # the rows-frame formulation must be exact for fractional x too:
+    # x=2.5 strictly exceeds x=2.4, so id=2 is dominated
+    df = spark.createDataFrame([Row(id=1, x=2.5, y=3.0), Row(id=2, x=2.4, y=2.0)])
+    got = {r.id for r in profiling.skyline_2d(df, "x", "y", "id").collect()}
+    assert got == {1}
+
+
+# --------------------------------------------------------- weighted median
+
+
+def test_weighted_median_crossing_value(spark):
+    # values 1,2,3 with weights 1,1,10: half of 12 is 6 -> median 3
+    df = spark.createDataFrame(
+        [Row(g="a", v=1, w=1), Row(g="a", v=2, w=1), Row(g="a", v=3, w=10)]
+    )
+    out = profiling.weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert out.wmedian == 3 and out.total_weight == 12
+
+
+def test_weighted_median_equals_plain_median_with_unit_weights(spark):
+    df = spark.createDataFrame([Row(g="a", v=v, w=1) for v in [1, 7, 3, 9, 5]])
+    assert profiling.weighted_median(df, ["g"], "v", "w").collect()[0].wmedian == 5
+
+
+def test_weighted_median_exact_half_boundary(spark):
+    # cum weight hits exactly tot/2 at v=1 (2*2 >= 4) -> v=1 selected
+    df = spark.createDataFrame([Row(g="a", v=1, w=2), Row(g="a", v=2, w=2)])
+    assert profiling.weighted_median(df, ["g"], "v", "w").collect()[0].wmedian == 1

@@ -118,6 +118,8 @@ AUDITED = [
     "autocorr_hourly",
     "transition_entropy",
     "join_size_est",
+    "skyline_docs",
+    "weighted_median_len",
     "ks_drift",
     "lateness_audit",
     "dup_inflation",
@@ -420,6 +422,11 @@ CHECKS = {
     # per-domain counts aggregate + join back; the row_number sort runs
     # ONLY on the over-cap branch; under-cap rows union through sortless
     "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
+    # fact collapses to distinct-x rows before the only sort; frontier
+    # rows return via an equality join on x
+    "skyline_docs": ["HashAggregate", "Window", "Join", "!NestedLoop", "!CartesianProduct"],
+    # per-(group, value) weight sums before the cumulative window
+    "weighted_median_len": ["HashAggregate", "Window", "!Join"],
     # counts aggregate before the lag self-join (equality, short rows)
     "autocorr_hourly": ["HashAggregate", "Join", "!NestedLoop", "!CartesianProduct"],
     # sessionize + lead share one per-user sort; |types|^2 aggregate
