@@ -1283,3 +1283,54 @@ def transition_entropy(
             ),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event log: per
+    key, consecutive runs of the same state collapse to one validity
+    interval [valid_from_us, valid_to_us) — the standard warehouse
+    shape for "what was this entity's state at time T" (as-of joins
+    then hit these intervals with a plain BETWEEN). The current run
+    closes at the 9999-12-31 high-date sentinel (the SCD2 convention;
+    a non-null close also keeps the column integer-typed end to end).
+    Returns (key, state, valid_from_us, valid_to_us, n_events).
+
+    Exactness: run boundaries come from the gaps-and-islands cumsum
+    (lag + running sum — pure integer logic over the deterministic
+    (ts, seq) order); interval edges are exact integer microseconds.
+
+    Scale shape: the change-flag window and the run cumsum share ONE
+    per-key sort; runs aggregate with map-side combine; valid_to is a
+    lead over the RUN-grain rows (already collapsed), not raw events."""
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    chg = F.when(
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col)),
+        1,
+    ).otherwise(0)
+    runs = df.select(
+        F.col(key_col), F.col(state_col), F.col(ts_col), F.col(seq_col), us.alias("__us")
+    ).withColumn("__run", F.sum(chg).over(w))
+    per_run = runs.groupBy(key_col, "__run").agg(
+        F.min(state_col).alias("state"),
+        F.min("__us").alias("valid_from_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    wr = Window.partitionBy(key_col).orderBy("__run")
+    high_date_us = 253402300799999999  # 9999-12-31T23:59:59.999999Z
+    return per_run.select(
+        F.col(key_col),
+        "state",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(wr), F.lit(high_date_us)
+        ).alias("valid_to_us"),
+        "n_events",
+    )

@@ -2035,6 +2035,26 @@ def q_quality_auc(spark, sf_dir):
     return profiling.rank_auc(docs, "n_chars", "__is_en", ["source"])
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: true label × predicted counts —
+    the error-structure view behind langid_metrics' P/R/F1."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pred = text.language_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred.select("doc_id", "lang_pred"), "doc_id")
+        .groupBy("true_lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """Type-2 SCD state history: per-user event-type validity
+    intervals from the event log (gaps-and-islands runs)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.scd2_intervals(ev)
+
+
 def q_skyline_docs(spark, sf_dir):
     """Pareto frontier of documents on (token count, unique-token
     ratio) — the multi-criteria shortlist no other doc dominates."""
@@ -2229,6 +2249,8 @@ QUERIES = {
     "join_size_est": q_join_size_est,
     "skyline_docs": q_skyline_docs,
     "weighted_median_len": q_weighted_median_len,
+    "langid_confusion": q_langid_confusion,
+    "scd2_intervals": q_scd2_intervals,
     # --- (3) pipeline entries the r4 window did not reach ---
     "repetition_stats": q_repetition_stats,
     "word_entropy": q_word_entropy,
@@ -5585,4 +5607,63 @@ ORACLES["weighted_median_len"] = """
            CAST(min(tot) AS BIGINT) AS total_weight,
            CAST(min(v) AS BIGINT) AS wmedian
     FROM st WHERE 2 * cum >= tot GROUP BY 1
+"""
+
+ORACLES["langid_confusion"] = r"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text),
+                   '\b(der|die|und|das|ist|nicht|mit|ein)\b')) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_de,
+               len(regexp_extract_all(lower(text),
+                   '\b(the|and|of|to|in|is|that|for|with)\b')) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_en,
+               len(regexp_extract_all(lower(text),
+                   '\b(el|la|los|que|es|para|con|una)\b')) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_es,
+               len(regexp_extract_all(lower(text),
+                   '\b(le|la|les|et|est|que|pour|dans)\b')) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS true_lang,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scores
+    )
+    SELECT true_lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+"""
+
+ORACLES["scd2_intervals"] = """
+    WITH o AS (
+      SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_state
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_type, us,
+             sum(CASE WHEN prev_state IS NULL OR prev_state <> event_type
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM o
+    ),
+    per_run AS (
+      SELECT user_id, run,
+             min(event_type) AS state,
+             CAST(min(us) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM r GROUP BY 1, 2
+    )
+    SELECT user_id, state, valid_from_us,
+           coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run),
+                    253402300799999999) AS valid_to_us,
+           n_events
+    FROM per_run
 """

@@ -670,3 +670,55 @@ def test_weighted_median_exact_half_boundary(spark):
     # cum weight hits exactly tot/2 at v=1 (2*2 >= 4) -> v=1 selected
     df = spark.createDataFrame([Row(g="a", v=1, w=2), Row(g="a", v=2, w=2)])
     assert profiling.weighted_median(df, ["g"], "v", "w").collect()[0].wmedian == 1
+
+
+# ------------------------------------------------------------------ SCD2
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    rows = [
+        Row(user_id=1, event_id=1, event_type="trial", ts="2024-01-01 00:00:00"),
+        Row(user_id=1, event_id=2, event_type="trial", ts="2024-01-02 00:00:00"),
+        Row(user_id=1, event_id=3, event_type="paid", ts="2024-01-03 00:00:00"),
+        Row(user_id=1, event_id=4, event_type="trial", ts="2024-01-04 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(windows.scd2_intervals(df).collect(), key=lambda r: r.valid_from_us)
+    HIGH = 253402300799999999
+    assert [r.state for r in out] == ["trial", "paid", "trial"]
+    assert [r.n_events for r in out] == [2, 1, 1]
+    # each interval closes where the next opens; last is open (high date)
+    assert out[0].valid_to_us == out[1].valid_from_us
+    assert out[1].valid_to_us == out[2].valid_from_us
+    assert out[2].valid_to_us == HIGH
+
+
+def test_scd2_single_state_one_open_interval(spark):
+    rows = [Row(user_id=7, event_id=i, event_type="x",
+                ts=f"2024-01-01 00:0{i}:00") for i in range(3)]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.scd2_intervals(df).collect()
+    assert len(out) == 1 and out[0].n_events == 3
+    assert out[0].valid_to_us == 253402300799999999
+
+
+# -------------------------------------------------------- langid confusion
+
+
+def test_langid_confusion_diagonal_for_clear_text(spark):
+    from kairos_spark.operators import text as t
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, lang="en", text="the cat and the dog of the house"),
+        Row(doc_id=2, lang="de", text="der hund und die katze ist nicht da"),
+    ])
+    pred = t.language_id(df)
+    conf = (
+        df.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred.select("doc_id", "lang_pred"), "doc_id")
+        .groupBy("true_lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {(r.true_lang, r.lang_pred): r.n for r in conf}
+    assert got == {("en", "en"): 1, ("de", "de"): 1}

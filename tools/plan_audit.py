@@ -120,6 +120,8 @@ AUDITED = [
     "join_size_est",
     "skyline_docs",
     "weighted_median_len",
+    "langid_confusion",
+    "scd2_intervals",
     "ks_drift",
     "lateness_audit",
     "dup_inflation",
@@ -422,6 +424,13 @@ CHECKS = {
     # per-domain counts aggregate + join back; the row_number sort runs
     # ONLY on the over-cap branch; under-cap rows union through sortless
     "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
+    # map-only prediction projection, id equi-join, |langs|^2 aggregate
+    "langid_confusion": ["HashAggregate", "Join", "!NestedLoop", "!CartesianProduct"],
+    # change-flag + run cumsum share one per-key sort; the close-time
+    # lead runs over run-grain aggregated rows; no join anywhere
+    # (Spark picks SortAggregate here — inputs arrive pre-sorted from
+    # the window, so the bare "Aggregate" needle accepts either)
+    "scd2_intervals": ["Window", "Aggregate", "!Join"],
     # fact collapses to distinct-x rows before the only sort; frontier
     # rows return via an equality join on x
     "skyline_docs": ["HashAggregate", "Window", "Join", "!NestedLoop", "!CartesianProduct"],
