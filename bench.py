@@ -81,6 +81,19 @@ PIPELINE = {
     "knn_join": q.q_knn_join,
     "tfidf_top_terms": q.q_tfidf_top_terms,
     "duplicated_spans": q.q_duplicated_spans,
+    # added later in round 5 alongside their operators; BASELINE.md's
+    # pipeline table records the same round's numbers as their baseline
+    "winnow_pairs": q.q_winnow_pairs,
+    # minute-grain cells: on this uniform synthetic data the HOURLY
+    # graph is near-complete (1500 mutually-connected users at sf0.1 →
+    # degenerate O(U³) triangle enumeration that measures the data, not
+    # the operator); minute cells keep the graph sparse so the timing
+    # tracks the real costs — cell-bounded pair generation + wedge join
+    "triangle_cooccurrence_minute": lambda s, d: __import__(
+        "kairos_spark.operators.graph", fromlist=["graph"]
+    ).cooccurrence_triangles(
+        q._tbl(s, d, "events"), step_sec=60, min_shared=2, max_bucket_nodes=200
+    ),
 }
 
 

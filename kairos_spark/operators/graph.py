@@ -99,6 +99,7 @@ def cooccurrence_triangles(
     step_sec: int = 3600,
     min_shared: int = 2,
     max_bucket_nodes: int = 200,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Triangle counting + local clustering coefficient over the
     co-activity graph: nodes are users, an edge connects two users who
@@ -117,7 +118,17 @@ def cooccurrence_triangles(
     3. triangles enumerate each once via the ordered wedge join
        (a<b, b<c wedge at b... joined against the a<c closing edge) —
        the node-order trick that avoids counting each triangle 6× and
-       keeps every join an equality hash join (!CartesianProduct)."""
+       keeps every join an equality hash join (!CartesianProduct).
+
+    ``max_degree`` (optional) is the hub guard for the wedge stage: on
+    a power-law or pathologically dense graph the wedge count is
+    Σ deg(b)², dominated by a few hubs; setting a cap drops every edge
+    incident to a node whose degree exceeds it BEFORE enumeration,
+    bounding wedges at |E|·max_degree. Capped-out hubs disappear from
+    the output entirely (their clustering coefficient over millions of
+    neighbors is not a meaningful number anyway — surface hubs with
+    key_distribution/key_skew instead). None (default) disables the
+    guard."""
     cell = F.concat_ws(
         ":",
         F.col(key_col),
@@ -141,6 +152,17 @@ def cooccurrence_triangles(
         .where(F.col("__w") >= min_shared)
         .select("a", "b")
     )
+    if max_degree is not None:
+        deg0 = (
+            edges.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("__d"))
+            .where(F.col("__d") <= max_degree)
+            .select("node")
+        )
+        edges = edges.join(
+            deg0.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(deg0.withColumnRenamed("node", "b"), "b", "left_semi")
     # wedges a<b<c centered at b, closed by the (a, c) edge
     e1 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e2 = edges.select(F.col("a").alias("tb"), F.col("b").alias("tc"))

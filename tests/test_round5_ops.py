@@ -722,3 +722,20 @@ def test_langid_confusion_diagonal_for_clear_text(spark):
     )
     got = {(r.true_lang, r.lang_pred): r.n for r in conf}
     assert got == {("en", "en"): 1, ("de", "de"): 1}
+
+
+def test_triangle_max_degree_hub_guard(spark):
+    from kairos_spark.operators import graph
+
+    # K4 among users 1-4 (all share two cells): unguarded -> 4 nodes,
+    # each in C(3,2)=3 triangles; with max_degree=2 every node has
+    # degree 3 > 2 -> all edges dropped, empty output
+    rows = []
+    for u in [1, 2, 3, 4]:
+        rows.append((u, "a", "2024-01-01 00:10:00"))
+        rows.append((u, "a", "2024-01-01 01:10:00"))
+    ev = _events(spark, rows)
+    full = graph.cooccurrence_triangles(ev, min_shared=2)
+    assert {(r.degree, r.triangles) for r in full.collect()} == {(3, 3)}
+    capped = graph.cooccurrence_triangles(ev, min_shared=2, max_degree=2)
+    assert capped.count() == 0
