@@ -946,3 +946,62 @@ def bigram_holdout_score(
             6,
         ).alias("lm_score"),
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    pattern: str = "[a-z]+",
+    alpha: float = 1.0,
+    k: int = 5,
+    min_count: int = 3,
+) -> DataFrame:
+    """Per-group distinctive vocabulary by Dirichlet-smoothed log-odds
+    against the rest of the corpus (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words") — what a domain/source actually talks about,
+    where TF-IDF answers the per-document question. delta(w, g) =
+    ln[(c_g+α)/(n_g−c_g+α)] − ln[(c_r+α)/(n_r−c_r+α)] with r = corpus
+    minus g; top-``k`` terms per group by (delta desc, term), terms
+    with fewer than ``min_count`` in-group occurrences excluded (tiny
+    counts have huge noisy odds).
+
+    Exactness: all counts are exact int64 (rest-of-corpus counts are
+    global − in-group differences, not a second scan); delta is a pure
+    double expression over those ints — engine-exact, round-6.
+
+    Scale shape: ONE tokenize-explode pass → per-(group, term) counts
+    with map-side combine; global term counts derive from those rows
+    (second bounded aggregate), group totals likewise; the rank window
+    runs per group over vocabulary-grain rows."""
+    from pyspark.sql.window import Window
+
+    cnt = _token_counts(df, text_col, pattern, [group_col])
+    gterm = cnt.groupBy("token").agg(F.sum("n").alias("__gn"))
+    gtot = cnt.groupBy(group_col).agg(F.sum("n").alias("__ng"))
+    tot = cnt.agg(F.sum("n").alias("__N"))
+    j = (
+        cnt.join(gterm, "token")
+        .join(gtot, group_col)
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n") >= min_count)
+    )
+    c_g = F.col("n").cast("double")
+    n_g = F.col("__ng").cast("double")
+    c_r = (F.col("__gn") - F.col("n")).cast("double")
+    n_r = (F.col("__N") - F.col("__ng")).cast("double")
+    delta = (
+        F.log((c_g + alpha) / (n_g - c_g + alpha))
+        - F.log((c_r + alpha) / (n_r - c_r + alpha))
+    )
+    scored = j.select(
+        F.col(group_col),
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.round(delta, 6).alias("log_odds"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("log_odds").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -2035,6 +2035,13 @@ def q_quality_auc(spark, sf_dir):
     return profiling.rank_auc(docs, "n_chars", "__is_en", ["source"])
 
 
+def q_distinctive_terms(spark, sf_dir):
+    """Top-5 distinctive terms per source by Dirichlet-smoothed
+    log-odds vs the rest of the corpus (Fightin' Words)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.distinctive_terms(docs, group_col="source", k=5, min_count=3)
+
+
 def q_langid_confusion(spark, sf_dir):
     """Language-ID confusion matrix: true label × predicted counts —
     the error-structure view behind langid_metrics' P/R/F1."""
@@ -2251,6 +2258,7 @@ QUERIES = {
     "weighted_median_len": q_weighted_median_len,
     "langid_confusion": q_langid_confusion,
     "scd2_intervals": q_scd2_intervals,
+    "distinctive_terms": q_distinctive_terms,
     # --- (3) pipeline entries the r4 window did not reach ---
     "repetition_stats": q_repetition_stats,
     "word_entropy": q_word_entropy,
@@ -5666,4 +5674,32 @@ ORACLES["scd2_intervals"] = """
                     253402300799999999) AS valid_to_us,
            n_events
     FROM per_run
+"""
+
+ORACLES["distinctive_terms"] = """
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT source, token, count(*) AS n FROM toks GROUP BY 1, 2),
+    gterm AS (SELECT token, CAST(sum(n) AS BIGINT) AS gn FROM cnt GROUP BY 1),
+    gtot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ng FROM cnt GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM cnt),
+    scored AS (
+      SELECT cnt.source, cnt.token, CAST(cnt.n AS BIGINT) AS n,
+             round(
+               ln((cnt.n + 1.0) / (gtot.ng - cnt.n + 1.0))
+               - ln((gterm.gn - cnt.n + 1.0) / (tot.N - gtot.ng - (gterm.gn - cnt.n) + 1.0)),
+               6) AS log_odds
+      FROM cnt
+      JOIN gterm USING (token)
+      JOIN gtot USING (source), tot
+      WHERE cnt.n >= 3
+    )
+    SELECT source, token, n, log_odds, rank FROM (
+      SELECT scored.*,
+             CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY log_odds DESC, token) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
 """

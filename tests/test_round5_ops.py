@@ -739,3 +739,29 @@ def test_triangle_max_degree_hub_guard(spark):
     assert {(r.degree, r.triangles) for r in full.collect()} == {(3, 3)}
     capped = graph.cooccurrence_triangles(ev, min_shared=2, max_degree=2)
     assert capped.count() == 0
+
+
+# ------------------------------------------------------ distinctive terms
+
+
+def test_distinctive_terms_surfaces_group_specific_vocab(spark):
+    rows = (
+        [Row(source="tech", text="kernel kernel kernel shared shared words")] * 3
+        + [Row(source="food", text="recipe recipe recipe shared shared words")] * 3
+    )
+    df = spark.createDataFrame(rows)
+    out = text.distinctive_terms(df, group_col="source", k=1, min_count=3).collect()
+    got = {r.source: r.token for r in out}
+    assert got == {"tech": "kernel", "food": "recipe"}
+    for r in out:
+        assert r.log_odds > 0
+
+
+def test_distinctive_terms_min_count_filters_rare(spark):
+    df = spark.createDataFrame(
+        [Row(source="a", text="rare common common common"),
+         Row(source="b", text="common common common other other other")]
+    )
+    toks = {(r.source, r.token) for r in
+            text.distinctive_terms(df, group_col="source", k=5, min_count=3).collect()}
+    assert ("a", "rare") not in toks

@@ -122,6 +122,7 @@ AUDITED = [
     "weighted_median_len",
     "langid_confusion",
     "scd2_intervals",
+    "distinctive_terms",
     "ks_drift",
     "lateness_audit",
     "dup_inflation",
@@ -426,6 +427,9 @@ CHECKS = {
     "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
     # map-only prediction projection, id equi-join, |langs|^2 aggregate
     "langid_confusion": ["HashAggregate", "Join", "!NestedLoop", "!CartesianProduct"],
+    # one tokenize pass; all joins are over vocabulary-grain aggregates;
+    # the corpus total rides a 1-row broadcast; rank window per group
+    "distinctive_terms": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # change-flag + run cumsum share one per-key sort; the close-time
     # lead runs over run-grain aggregated rows; no join anywhere
     # (Spark picks SortAggregate here — inputs arrive pre-sorted from
