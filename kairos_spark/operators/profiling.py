@@ -1012,3 +1012,69 @@ def weighted_median(
             F.min("__v").alias("wmedian"),
         )
     )
+
+
+def categorical_drift(
+    df: DataFrame,
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sample chi-square drift of a CATEGORICAL column between the
+    first and second time half — the companion to the numeric drift
+    pair (binned PSI in distribution_drift, ECDF KS in ks_drift) for
+    event-mix shifts ("did the click/purchase ratio move?"). Returns
+    one row per category: (category, c1, c2, contrib, chi2) where
+    contrib is the category's (o−e)²/e summed over both halves and
+    chi2 the statistic (same value on every row; compare against the
+    χ²(k−1) critical value).
+
+    Exactness: counts and totals are exact int64; expected counts and
+    contributions are double expressions over those ints; the
+    cross-category chi2 sum accumulates DECIMAL(28,12)-cast
+    contributions so association order cannot flip round-6.
+
+    Scale shape: one partially-aggregated (category, half) count —
+    |categories|×2 rows after map-side combine; everything downstream
+    (totals window, expected, contributions, the chi2 window) runs at
+    category grain."""
+    from pyspark.sql.window import Window
+
+    scal = df.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    half = F.when(F.unix_micros(F.col(ts_col)) <= F.col("__mid"), 1).otherwise(2)
+    counts = (
+        df.crossJoin(F.broadcast(scal))
+        .select(F.col(cat_col).alias("category"), half.alias("__h"))
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(F.col("__h") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+            F.sum(F.when(F.col("__h") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+        )
+    )
+    all_w = Window.partitionBy()
+    n1 = F.sum("c1").over(all_w)
+    n2 = F.sum("c2").over(all_w)
+    rowt = (F.col("c1") + F.col("c2")).cast("double")
+    e1 = n1.cast("double") * rowt / (n1 + n2).cast("double")
+    e2 = n2.cast("double") * rowt / (n1 + n2).cast("double")
+    contrib = (
+        (F.col("c1") - e1) * (F.col("c1") - e1) / e1
+        + (F.col("c2") - e2) * (F.col("c2") - e2) / e2
+    )
+    stepped = counts.select(
+        "category", "c1", "c2", F.round(contrib, 6).alias("contrib"),
+        contrib.cast("decimal(28,12)").alias("__dc"),
+    )
+    return stepped.select(
+        "category",
+        "c1",
+        "c2",
+        "contrib",
+        F.round(F.sum("__dc").over(all_w).cast("double"), 6).alias("chi2"),
+    )

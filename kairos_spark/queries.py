@@ -2035,6 +2035,13 @@ def q_quality_auc(spark, sf_dir):
     return profiling.rank_auc(docs, "n_chars", "__is_en", ["source"])
 
 
+def q_categorical_drift(spark, sf_dir):
+    """Chi-square event-mix drift between the first and second time
+    half, with per-category contributions."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.categorical_drift(ev)
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Top-5 distinctive terms per source by Dirichlet-smoothed
     log-odds vs the rest of the corpus (Fightin' Words)."""
@@ -2259,6 +2266,7 @@ QUERIES = {
     "langid_confusion": q_langid_confusion,
     "scd2_intervals": q_scd2_intervals,
     "distinctive_terms": q_distinctive_terms,
+    "categorical_drift": q_categorical_drift,
     # --- (3) pipeline entries the r4 window did not reach ---
     "repetition_stats": q_repetition_stats,
     "word_entropy": q_word_entropy,
@@ -5702,4 +5710,34 @@ ORACLES["distinctive_terms"] = """
                  ORDER BY log_odds DESC, token) AS BIGINT) AS rank
       FROM scored
     ) WHERE rank <= 5
+"""
+
+ORACLES["categorical_drift"] = """
+    WITH scal AS (
+      SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS category,
+             CAST(sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM counts),
+    contribs AS (
+      SELECT category, c1, c2,
+             (c1 - n1 * (c1 + c2) * 1.0 / (n1 + n2))
+                 * (c1 - n1 * (c1 + c2) * 1.0 / (n1 + n2))
+                 / (n1 * (c1 + c2) * 1.0 / (n1 + n2))
+             + (c2 - n2 * (c1 + c2) * 1.0 / (n1 + n2))
+                 * (c2 - n2 * (c1 + c2) * 1.0 / (n1 + n2))
+                 / (n2 * (c1 + c2) * 1.0 / (n1 + n2)) AS contrib_raw
+      FROM counts, tot
+    )
+    SELECT category, c1, c2,
+           round(contrib_raw, 6) AS contrib,
+           round(CAST(sum(CAST(contrib_raw AS DECIMAL(28,12))) OVER () AS DOUBLE), 6) AS chi2
+    FROM contribs
 """

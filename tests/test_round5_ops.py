@@ -765,3 +765,30 @@ def test_distinctive_terms_min_count_filters_rare(spark):
     toks = {(r.source, r.token) for r in
             text.distinctive_terms(df, group_col="source", k=5, min_count=3).collect()}
     assert ("a", "rare") not in toks
+
+
+# ------------------------------------------------------ categorical drift
+
+
+def test_categorical_drift_zero_when_mix_stable(spark):
+    rows = []
+    for h in (0, 20):
+        for t, n in [("a", 4), ("b", 2)]:
+            for i in range(n):
+                rows.append(Row(event_type=t, ts=f"2024-01-01 {h:02d}:00:{i:02d}"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = profiling.categorical_drift(df).collect()
+    assert all(r.contrib == 0.0 and r.chi2 == 0.0 for r in out)
+
+
+def test_categorical_drift_detects_mix_shift(spark):
+    rows = []
+    for i in range(8):
+        rows.append(Row(event_type="a", ts=f"2024-01-01 00:00:{i:02d}"))
+    for i in range(8):
+        rows.append(Row(event_type="b", ts=f"2024-01-01 23:00:{i:02d}"))
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.category: r for r in profiling.categorical_drift(df).collect()}
+    # complete swap: chi2 = N = 16 for a 2x2 with full separation
+    assert out["a"].chi2 == 16.0
+    assert out["a"].c1 == 8 and out["a"].c2 == 0

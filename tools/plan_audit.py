@@ -123,6 +123,7 @@ AUDITED = [
     "langid_confusion",
     "scd2_intervals",
     "distinctive_terms",
+    "categorical_drift",
     "ks_drift",
     "lateness_audit",
     "dup_inflation",
@@ -430,6 +431,9 @@ CHECKS = {
     # one tokenize pass; all joins are over vocabulary-grain aggregates;
     # the corpus total rides a 1-row broadcast; rank window per group
     "distinctive_terms": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # category-grain counts after map-side combine; mid-time scalar
+    # broadcast; chi2 window runs over |categories| rows
+    "categorical_drift": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # change-flag + run cumsum share one per-key sort; the close-time
     # lead runs over run-grain aggregated rows; no join anywhere
     # (Spark picks SortAggregate here — inputs arrive pre-sorted from
