@@ -119,3 +119,94 @@ def pseudonym_audit(
         F.countDistinct("__sur").cast("long").alias("n_surrogates"),
         (F.count("*") - F.countDistinct("__sur")).cast("long").alias("n_collisions"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k_thresholds: list[int] = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity audit over a chosen quasi-identifier tuple: one row
+    per equivalence class (the distinct quasi-identifier combination)
+    with its size, plus corpus-level re-identification exposure — the
+    minimum class size and, for each threshold k, the fraction of
+    RECORDS sitting in classes smaller than k (the population share an
+    attacker can narrow below k candidates). This is the release-gate
+    check a privacy review runs before sharing a derived table; the
+    reference engine has no privacy layer, so this extends the
+    pipeline surface (Sweeney's k-anonymity definition, applied at
+    table grain).
+
+    Output: quasi_cols..., class_size, min_k, pct_lt_<k> per threshold
+    (record-weighted, rounded 6).
+
+    Scale shape: ONE hash aggregation on the quasi-identifier key
+    (map-side combined), then the corpus scalars ride an empty-key
+    window over class-grain rows (|classes| << |records|). Nothing
+    row-level leaves the aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    classes = df.groupBy(*quasi_cols).agg(F.count("*").cast("long").alias("class_size"))
+    w = Window.partitionBy()
+    total = F.sum("class_size").over(w)
+    out = classes.select(
+        *quasi_cols,
+        "class_size",
+        F.min("class_size").over(w).alias("min_k"),
+        *[
+            F.round(
+                F.sum(
+                    F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0)
+                ).over(w)
+                / total.cast("double"),
+                6,
+            ).alias(f"pct_lt_{k}")
+            for k in k_thresholds
+        ],
+    )
+    return out
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private-STYLE noisy group counts with
+    DETERMINISTIC hash-derived Laplace noise: count per group plus
+    Laplace(1/epsilon) noise where the uniform draw is
+    md5(salt || group key) mapped to (-0.5, 0.5) — the standard
+    inverse-CDF transform noise = -(1/eps)*sign(u)*ln(1-2|u|).
+
+    The determinism is the point for THIS engine: the same release is
+    reproducible across engines (the DuckDB oracle reproduces it
+    bit-for-bit from the same md5), auditable, and idempotent across
+    reruns — but it is NOT a DP mechanism in the formal sense (noise
+    must be unpredictable to the adversary; a salt the adversary knows
+    voids the guarantee). Production use swaps the md5 draw for a
+    sealed-seed PRNG and keeps everything else; the operator documents
+    the sensitivity-1 count query shape, the noise scale, and the
+    post-processing (round, clamp at 0).
+
+    Output: group_cols..., n (true, for audit), noisy_n (clamped >= 0,
+    rounded 6). Scale shape: one map-side-combined count aggregation;
+    the noise is a scalar expression over the group key — no second
+    pass, no shuffle beyond the count itself.
+    """
+    counts = df.groupBy(*group_cols).agg(F.count("*").cast("long").alias("n"))
+    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in group_cols])
+    # first 12 hex chars -> 48-bit integer; +0.5 centers the draw inside
+    # the cell so u lands strictly inside (-0.5, 0.5) and ln(1-2|u|) is
+    # always finite (the raw 0x000000000000 draw would hit ln(0)).
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(2**48)) - F.lit(0.5)
+    mag = -(1.0 / epsilon) * F.log(1.0 - 2.0 * F.abs(u))
+    noise = F.when(u < 0, -mag).otherwise(mag)
+    return counts.select(
+        *group_cols,
+        "n",
+        F.round(F.greatest(F.col("n") + noise, F.lit(0.0)), 6).alias("noisy_n"),
+    )

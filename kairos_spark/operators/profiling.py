@@ -1078,3 +1078,112 @@ def categorical_drift(
         "contrib",
         F.round(F.sum("__dc").over(all_w).cast("double"), 6).alias("chi2"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a [0,1]
+    score against a boolean label — the companion to ``rank_auc``:
+    AUC says the score RANKS positives above negatives; calibration
+    says the score's VALUE means what it claims (0.8 ⇒ ~80% positive).
+    A quality-filter score that ranks well but is miscalibrated makes
+    every threshold-based retention estimate wrong, which is why a
+    corpus pipeline checks both before committing to a cutoff.
+
+    Equal-width bins over [0,1): bin i covers [i/n, (i+1)/n), score
+    1.0 folds into the top bin. Output one row per NON-EMPTY bin:
+    (bin, n, mean_score, frac_pos, gap = frac_pos - mean_score) and
+    the record-weighted ECE = sum(n_b/N * |gap_b|) repeated on every
+    row (rounded 6; the per-bin means are exact sums over doubles
+    rounded at the end).
+
+    Scale shape: one map-side-combined aggregation on the bin id
+    (n_bins partial rows per task), then scalar windows over bin-grain
+    rows. Empty bins are omitted — document readers should treat
+    missing bins as "no support", not "perfectly calibrated".
+    """
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    bins = (
+        df.select(b.alias("bin"), s.alias("__s"), F.col(label_col).cast("int").alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__s").alias("__ssum"),
+            F.sum("__y").cast("long").alias("__pos"),
+        )
+    )
+    w = Window.partitionBy()
+    total = F.sum("n").over(w).cast("double")
+    mean_score = F.col("__ssum") / F.col("n")
+    frac_pos = F.col("__pos").cast("double") / F.col("n")
+    gap = frac_pos - mean_score
+    stepped = bins.select(
+        "bin",
+        "n",
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(frac_pos, 6).alias("frac_pos"),
+        F.round(gap, 6).alias("gap"),
+        (F.abs(gap) * F.col("n").cast("double")).cast("decimal(28,12)").alias("__w"),
+    )
+    return stepped.select(
+        "bin",
+        "n",
+        "mean_score",
+        "frac_pos",
+        "gap",
+        F.round((F.sum("__w").over(w) / total).cast("double"), 6).alias("ece"),
+    )
+
+
+def filter_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Threshold retention curve for a quality filter: for each
+    candidate cutoff t, how many records (and how much weight — e.g.
+    tokens) survive ``score >= t``, as counts and fractions. This is
+    the tuning table a pipeline owner reads before picking the cutoff:
+    "0.5 keeps 90% of tokens, 0.7 keeps 60%" — computed in ONE pass
+    instead of one job per threshold.
+
+    Output: (threshold, n_kept, pct_kept, w_kept, pct_w_kept), one row
+    per threshold, fractions of the TOTAL corpus (rounded 6).
+
+    Scale shape: each record emits |thresholds| (threshold, kept)
+    tuples via a generated-column explode, then one map-side-combined
+    aggregation on threshold — the explode never shuffles (the
+    aggregate collapses it inside the task), so the cost is
+    |thresholds| cheap comparisons per record, not |thresholds| scans.
+    """
+    s = F.col(score_col).cast("double")
+    wcol = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    pairs = df.select(
+        s.alias("__s"),
+        wcol.alias("__w"),
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+        ).alias("threshold"),
+    )
+    kept = F.col("__s") >= F.col("threshold")
+    agg = pairs.groupBy("threshold").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.when(kept, F.col("__w")).otherwise(0.0)).alias("__wk"),
+        F.sum("__w").alias("__wt"),
+    )
+    return agg.select(
+        "threshold",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("__n").cast("double"), 6).alias("pct_kept"),
+        F.round("__wk", 6).alias("w_kept"),
+        F.round(F.col("__wk") / F.col("__wt"), 6).alias("pct_w_kept"),
+    )

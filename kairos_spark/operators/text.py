@@ -1005,3 +1005,145 @@ def distinctive_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct
+    vocabulary vs cumulative token volume at ``n_buckets`` checkpoints
+    along the corpus in ``id_col`` order. A corpus whose V(N) curve
+    flattens early is repetitive (template/boilerplate heavy); one that
+    keeps the Heaps power-law slope is still contributing novelty —
+    the macro view that complements per-document ``ngram_novelty``.
+
+    The naive formulation (running distinct over an ordered stream) is
+    sequential; the distributed one is the FIRST-OCCURRENCE trick: a
+    term contributes its +1 to the bucket containing its first
+    occurrence, so cum_vocab(b) = sum over buckets <= b of |terms first
+    seen in that bucket| — two map-side-combined aggregations, no
+    ordered scan. Buckets are equal-width id ranges over [min_id,
+    max_id] (deterministic, not ntile — no global sort).
+
+    Output: (bucket, n_docs, bucket_tokens, new_terms, cum_tokens,
+    cum_vocab), bucket in 1..n_buckets, cumulative sums via a window
+    over bucket-grain rows.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+        ).alias("token"),
+    )
+    scal = df.agg(
+        F.min(id_col).cast("long").alias("__lo"), F.max(id_col).cast("long").alias("__hi")
+    )
+    # integer `div`, never float-divide-then-cast: Spark's double→long
+    # cast truncates while DuckDB's rounds, so only exact integer
+    # arithmetic keeps the bucket id engine-portable.
+    bucket = F.least(
+        F.expr(
+            f"((__id - __lo) * {int(n_buckets)}) div greatest(__hi - __lo + 1, 1)"
+        )
+        + 1,
+        F.lit(n_buckets),
+    ).cast("long")
+    tb = toks.crossJoin(F.broadcast(scal)).select(bucket.alias("bucket"), "token", "__id")
+    per_bucket = tb.groupBy("bucket").agg(
+        F.countDistinct("__id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("bucket_tokens"),
+    )
+    first_seen = (
+        tb.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    joined = per_bucket.join(first_seen, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+    )
+    w = Window.partitionBy().orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        "new_terms",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+def burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_docs: int = 5,
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Per-term burstiness: the Fano factor (variance-to-mean ratio of
+    the per-document count, zeros included) for the top-``k`` terms by
+    document frequency. Function words spread evenly (Fano ≈ 1,
+    Poisson-like); topical/template terms clump (Fano >> 1) — the
+    dispersion signal behind keyword extraction and boilerplate
+    triage, orthogonal to plain frequency (Church & Gale's burstiness
+    observation).
+
+    Zeros matter: a term absent from a document is a 0 draw, so with N
+    total docs and per-doc counts x_i over the n_docs containing the
+    term, mean = sum(x)/N and var uses sum(x²) with N - n_docs zero
+    terms — computed from the (term, doc) aggregate alone, never a
+    dense N×V matrix.
+
+    Output: (token, n_docs, total_n, fano, rank) — rank by df desc
+    (ties lexicographic), sample variance (N-1 denominator, exact
+    integer sums), rounded 6.
+
+    Scale shape: one (token, doc) count aggregation, one token-grain
+    rollup carrying (sum, sumsq, n_docs) — both map-side combined; the
+    corpus size is one broadcast scalar; top-k via a single window
+    over token-grain rows (swap for TakeOrderedAndProject via orderBy
+    + limit when k is small and ties don't need determinism).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("token", "__id").agg(F.count("*").cast("long").alias("x"))
+    per_term = per_doc.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("total_n"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("__sumsq"),
+    )
+    ndocs = df.agg(F.count("*").cast("long").alias("__N"))
+    w = Window.partitionBy().orderBy(F.col("n_docs").desc(), "token")
+    ranked = (
+        per_term.where(F.col("n_docs") >= min_docs)
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+    mean = F.col("total_n").cast("double") / F.col("__N")
+    var = (
+        F.col("__sumsq").cast("double") - F.col("__N") * mean * mean
+    ) / (F.col("__N") - 1).cast("double")
+    return ranked.select(
+        "token",
+        "n_docs",
+        "total_n",
+        F.round(var / mean, 6).alias("fano"),
+        "rank",
+    )

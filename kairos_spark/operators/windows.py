@@ -1334,3 +1334,79 @@ def scd2_intervals(
         ).alias("valid_to_us"),
         "n_events",
     )
+
+
+def forecast_eval(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    season_lag: int = 24,
+) -> DataFrame:
+    """Backtest of the two standard zero-parameter forecasters on the
+    hourly count series of each group: PERSISTENCE (ŷ_t = y_{t-1}) and
+    SEASONAL-NAIVE (ŷ_t = y_{t-season_lag}), scored with MAE and RMSE
+    over every hour where the forecast is defined. These are the
+    baselines any capacity/anomaly model must beat — and the seasonal
+    one usually wins on diurnal event traffic, which is itself the
+    diagnostic ("this series is seasonal, model accordingly").
+
+    Lags are over the OBSERVED hourly grid (missing hours are skipped,
+    not zero-filled — compose with the iterate/gap-fill spine first for
+    zero-filled semantics; documented rather than defaulted because
+    zero-filling is wrong for sparse series where absence means "no
+    traffic recorded", e.g. partial retention windows).
+
+    Output: (group, n_eval_naive, mae_naive, rmse_naive,
+    n_eval_seasonal, mae_seasonal, rmse_seasonal), errors rounded 6,
+    RMSE from exact integer squared-error sums.
+
+    Scale shape: one map-side-combined (group, hour) count aggregate;
+    the lag windows then run per-group over hour-grain rows (≤ a few
+    thousand per group-year) — the window input is the AGGREGATE, so
+    partition skew is bounded by the calendar, not the traffic.
+    """
+    from pyspark.sql.window import Window
+
+    hourly = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .groupBy("grp", "hour")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w = Window.partitionBy("grp").orderBy("hour")
+    with_lags = hourly.select(
+        "grp",
+        "y",
+        F.lag("y", 1).over(w).alias("p1"),
+        F.lag("y", season_lag).over(w).alias("ps"),
+    )
+    def _err(pred):
+        d = (F.col("y") - pred).cast("long")
+        return d
+
+    e1, es = _err(F.col("p1")), _err(F.col("ps"))
+    agg = with_lags.groupBy("grp").agg(
+        F.count("p1").cast("long").alias("n_eval_naive"),
+        F.sum(F.abs(e1)).cast("long").alias("__ae1"),
+        F.sum(e1 * e1).cast("long").alias("__se1"),
+        F.count("ps").cast("long").alias("n_eval_seasonal"),
+        F.sum(F.abs(es)).cast("long").alias("__aes"),
+        F.sum(es * es).cast("long").alias("__ses"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_eval_naive",
+        F.round(F.col("__ae1") / F.col("n_eval_naive").cast("double"), 6).alias("mae_naive"),
+        F.round(F.sqrt(F.col("__se1") / F.col("n_eval_naive").cast("double")), 6).alias(
+            "rmse_naive"
+        ),
+        "n_eval_seasonal",
+        F.round(F.col("__aes") / F.col("n_eval_seasonal").cast("double"), 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(F.sqrt(F.col("__ses") / F.col("n_eval_seasonal").cast("double")), 6).alias(
+            "rmse_seasonal"
+        ),
+    )

@@ -2189,6 +2189,70 @@ def q_bigram_holdout(spark, sf_dir):
     return text.bigram_holdout_score(docs, train_buckets=10, train_cut=8)
 
 
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit of (mktsegment, nationkey) as quasi-identifiers
+    over customer: per-equivalence-class sizes plus at-risk record
+    fractions below k in {2, 5, 10}."""
+    c = _tbl(spark, sf_dir, "customer")
+    return pii.k_anonymity(c, ["c_mktsegment", "c_nationkey"], [2, 5, 10])
+
+
+def q_dp_noisy_counts(spark, sf_dir):
+    """Deterministic hash-derived Laplace-noised event-type counts
+    (epsilon = 0.5) — reproducible noisy-release shape."""
+    ev = _tbl(spark, sf_dir, "events")
+    return pii.dp_noisy_counts(ev, ["event_type"], epsilon=0.5, salt="dp")
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram + ECE of a length-based [0,1] score against
+    the English-language label, 10 equal-width bins."""
+    docs = _tbl(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.least(
+            F.greatest((F.col("n_chars") - 50) / 550.0, F.lit(0.0)), F.lit(1.0)
+        ).alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return profiling.calibration_bins(scored, "score", "is_en", n_bins=10)
+
+
+def q_filter_sweep(spark, sf_dir):
+    """Quality-filter retention curve: docs and chars kept at nine
+    length-score cutoffs, one pass."""
+    docs = _tbl(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.least(F.col("n_chars") / 500.0, F.lit(1.0)).alias("score"),
+        F.col("n_chars"),
+    )
+    return profiling.filter_sweep(
+        scored, "score", [round(0.1 * i, 1) for i in range(1, 10)], weight_col="n_chars"
+    )
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth: cumulative distinct vocabulary vs
+    cumulative tokens at 10 doc-id-range checkpoints."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.vocab_growth(docs, n_buckets=10)
+
+
+def q_burstiness(spark, sf_dir):
+    """Per-term Fano factor (zeros included) for the top-40 terms by
+    document frequency — bursty topical terms vs even function words."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.burstiness(docs, k=40, min_docs=5)
+
+
+def q_forecast_eval(spark, sf_dir):
+    """Persistence and seasonal-naive (lag-24h) forecast backtest on
+    hourly event counts per event type: MAE and RMSE."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.forecast_eval(ev, ts_col="ts", group_col="event_type", season_lag=24)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2374,6 +2438,16 @@ QUERIES = {
     "ts_multi_name_merge": q_ts_multi_name_merge,
     "ts_set_cross_series": q_ts_set_cross_series,
     "ts_spine_gapfill": q_ts_spine_gapfill,
+    # --- round-5 TAIL-new (second wave): never driver-checked; rotate to
+    # the FRONT in round 6 per the CLAUDE.md rule. Covered by the local
+    # mirror until then.
+    "k_anonymity": q_k_anonymity,
+    "dp_noisy_counts": q_dp_noisy_counts,
+    "calibration_bins": q_calibration_bins,
+    "filter_sweep": q_filter_sweep,
+    "vocab_growth": q_vocab_growth,
+    "burstiness": q_burstiness,
+    "forecast_eval": q_forecast_eval,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -5740,4 +5814,163 @@ ORACLES["categorical_drift"] = """
            round(contrib_raw, 6) AS contrib,
            round(CAST(sum(CAST(contrib_raw AS DECIMAL(28,12))) OVER () AS DOUBLE), 6) AS chi2
     FROM contribs
+"""
+
+ORACLES["k_anonymity"] = """
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, class_size,
+           min(class_size) OVER () AS min_k,
+           round(sum(CASE WHEN class_size < 2 THEN class_size ELSE 0 END) OVER ()
+                 * 1.0 / sum(class_size) OVER (), 6) AS pct_lt_2,
+           round(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) OVER ()
+                 * 1.0 / sum(class_size) OVER (), 6) AS pct_lt_5,
+           round(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) OVER ()
+                 * 1.0 / sum(class_size) OVER (), 6) AS pct_lt_10
+    FROM classes
+"""
+
+ORACLES["dp_noisy_counts"] = """
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+    ),
+    draw AS (
+      SELECT event_type, n,
+             (CAST(concat('0x', substr(md5('dp' || chr(31) || event_type), 1, 12))
+                   AS BIGINT) + 0.5) / 281474976710656.0 - 0.5 AS u
+      FROM counts
+    )
+    SELECT event_type, n,
+           round(greatest(
+             n + (CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END)
+                 * (-(1.0 / 0.5)) * ln(1.0 - 2.0 * abs(u)),
+             0.0), 6) AS noisy_n
+    FROM draw
+"""
+
+ORACLES["calibration_bins"] = """
+    WITH scored AS (
+      SELECT least(greatest((n_chars - 50) / 550.0, 0.0), 1.0) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bins AS (
+      SELECT CAST(least(floor(s * 10), 9) AS INTEGER) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(s) AS ssum,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    g AS (
+      SELECT bin, n, ssum / n AS mean_score, pos * 1.0 / n AS frac_pos,
+             pos * 1.0 / n - ssum / n AS gap_raw
+      FROM bins
+    )
+    SELECT bin, n,
+           round(mean_score, 6) AS mean_score,
+           round(frac_pos, 6) AS frac_pos,
+           round(gap_raw, 6) AS gap,
+           round(CAST(sum(CAST(abs(gap_raw) * n AS DECIMAL(28,12))) OVER ()
+                 AS DOUBLE) / sum(n) OVER (), 6) AS ece
+    FROM g
+"""
+
+ORACLES["filter_sweep"] = """
+    WITH scored AS (
+      SELECT least(n_chars / 500.0, 1.0) AS s, CAST(n_chars AS DOUBLE) AS w
+      FROM documents
+    ),
+    t AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+    pairs AS (SELECT CAST(threshold AS DOUBLE) AS threshold, s, w FROM scored CROSS JOIN t)
+    SELECT threshold,
+           CAST(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS pct_kept,
+           round(sum(CASE WHEN s >= threshold THEN w ELSE 0.0 END), 6) AS w_kept,
+           round(sum(CASE WHEN s >= threshold THEN w ELSE 0.0 END) / sum(w), 6)
+               AS pct_w_kept
+    FROM pairs GROUP BY 1
+"""
+
+ORACLES["vocab_growth"] = """
+    WITH scal AS (
+      SELECT CAST(min(doc_id) AS BIGINT) AS lo, CAST(max(doc_id) AS BIGINT) AS hi
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    tb AS (
+      SELECT CAST(least(((doc_id - lo) * 10) // greatest(hi - lo + 1, 1) + 1, 10)
+                  AS BIGINT) AS bucket,
+             token, doc_id
+      FROM toks, scal
+    ),
+    pb AS (
+      SELECT bucket, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS bucket_tokens
+      FROM tb GROUP BY 1
+    ),
+    fs AS (SELECT token, min(bucket) AS bucket FROM tb GROUP BY 1),
+    nf AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms FROM fs GROUP BY 1)
+    SELECT pb.bucket, n_docs, bucket_tokens,
+           CAST(coalesce(new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(sum(bucket_tokens) OVER (ORDER BY pb.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(new_terms, 0)) OVER (ORDER BY pb.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM pb LEFT JOIN nf USING (bucket)
+"""
+
+ORACLES["burstiness"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT token, doc_id, CAST(count(*) AS BIGINT) AS x FROM toks GROUP BY 1, 2
+    ),
+    per_term AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(x) AS BIGINT) AS total_n,
+             CAST(sum(x * x) AS BIGINT) AS sumsq
+      FROM per_doc GROUP BY 1
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    ranked AS (
+      SELECT token, n_docs, total_n, sumsq, N,
+             CAST(row_number() OVER (ORDER BY n_docs DESC, token) AS BIGINT) AS rank
+      FROM per_term, nd
+      WHERE n_docs >= 5
+    )
+    SELECT token, n_docs, total_n,
+           round(((sumsq - N * (total_n * 1.0 / N) * (total_n * 1.0 / N))
+                  / (N - 1)) / (total_n * 1.0 / N), 6) AS fano,
+           rank
+    FROM ranked WHERE rank <= 40
+"""
+
+ORACLES["forecast_eval"] = """
+    WITH hourly AS (
+      SELECT event_type AS grp, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT grp, y,
+             lag(y, 1) OVER (PARTITION BY grp ORDER BY hour) AS p1,
+             lag(y, 24) OVER (PARTITION BY grp ORDER BY hour) AS ps
+      FROM hourly
+    )
+    SELECT grp AS event_type,
+           CAST(count(p1) AS BIGINT) AS n_eval_naive,
+           round(sum(abs(y - p1)) * 1.0 / count(p1), 6) AS mae_naive,
+           round(sqrt(sum((y - p1) * (y - p1)) * 1.0 / count(p1)), 6) AS rmse_naive,
+           CAST(count(ps) AS BIGINT) AS n_eval_seasonal,
+           round(sum(abs(y - ps)) * 1.0 / count(ps), 6) AS mae_seasonal,
+           round(sqrt(sum((y - ps) * (y - ps)) * 1.0 / count(ps)), 6) AS rmse_seasonal
+    FROM l GROUP BY grp
 """

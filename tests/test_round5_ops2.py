@@ -1,0 +1,225 @@
+"""Unit tests for the round-5 second operator wave: k-anonymity audit,
+deterministic noisy counts, calibration bins / ECE, filter threshold
+sweep, Heaps'-law vocabulary growth, term burstiness (Fano factor),
+and the naive/seasonal forecast backtest."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row, functions as F
+
+from kairos_spark.operators import pii, profiling, text, windows
+
+UTC = dt.timezone.utc
+
+
+def _h(hour, day=1):
+    return dt.datetime(2024, 1, day, hour, 0, tzinfo=UTC)
+
+
+# ---------------------------------------------------------------- k_anonymity
+
+
+def test_k_anonymity_class_sizes_and_risk(spark):
+    # classes: (a, 1) x 1 row, (a, 2) x 3 rows, (b, 1) x 6 rows
+    rows = (
+        [Row(seg="a", nat=1)]
+        + [Row(seg="a", nat=2)] * 3
+        + [Row(seg="b", nat=1)] * 6
+    )
+    out = pii.k_anonymity(spark.createDataFrame(rows), ["seg", "nat"], [2, 5])
+    got = {(r.seg, r.nat): r for r in out.collect()}
+    assert got[("a", 1)].class_size == 1
+    assert got[("a", 2)].class_size == 3
+    assert got[("b", 1)].class_size == 6
+    r = got[("a", 1)]
+    assert r.min_k == 1
+    # k=2: only the singleton class (1 of 10 records); k=5: 1+3 of 10
+    assert r.pct_lt_2 == 0.1
+    assert r.pct_lt_5 == 0.4
+
+
+# ------------------------------------------------------------ dp_noisy_counts
+
+
+def test_dp_noisy_counts_deterministic_and_clamped(spark):
+    rows = [Row(g="x")] * 50 + [Row(g="y")] * 3
+    df = spark.createDataFrame(rows)
+    a = {r.g: r for r in pii.dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    b = {r.g: r for r in pii.dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    # deterministic: identical across runs
+    assert a["x"].noisy_n == b["x"].noisy_n
+    assert a["x"].n == 50 and a["y"].n == 3
+    # clamped at 0 and noise bounded in probability ~1 for eps=1
+    for r in a.values():
+        assert r.noisy_n >= 0.0
+
+
+def test_dp_noisy_counts_epsilon_scales_noise(spark):
+    rows = [Row(g="x")] * 100
+    df = spark.createDataFrame(rows)
+    tight = pii.dp_noisy_counts(df, ["g"], epsilon=10.0).collect()[0]
+    loose = pii.dp_noisy_counts(df, ["g"], epsilon=0.1).collect()[0]
+    # same uniform draw -> noise magnitude scales exactly by eps ratio
+    assert abs(loose.noisy_n - 100) >= abs(tight.noisy_n - 100)
+    d_tight = tight.noisy_n - 100
+    d_loose = loose.noisy_n - 100
+    if d_tight != 0:
+        assert math.isclose(d_loose / d_tight, 100.0, rel_tol=1e-3)
+
+
+# ----------------------------------------------------------- calibration_bins
+
+
+def test_calibration_bins_perfectly_calibrated_score(spark):
+    # bin [0.0, 0.1): score 0.05, 20 rows, 1 positive -> frac 0.05 == score
+    rows = [Row(s=0.05, y=(i == 0)) for i in range(20)] + [
+        Row(s=0.75, y=(i < 15)) for i in range(20)
+    ]
+    out = profiling.calibration_bins(
+        spark.createDataFrame(rows), "s", "y", n_bins=10
+    ).collect()
+    got = {r.bin: r for r in out}
+    assert set(got) == {0, 7}
+    assert got[0].n == 20 and got[0].frac_pos == 0.05
+    assert got[7].frac_pos == 0.75 and got[7].gap == 0.0
+    # ECE = weighted |gap| = (20*0 + 20*0)/40 = 0
+    assert got[0].gap == 0.0
+    assert got[0].ece == 0.0
+
+
+def test_calibration_bins_top_edge_folds_into_last_bin(spark):
+    rows = [Row(s=1.0, y=True), Row(s=0.999, y=False)]
+    out = profiling.calibration_bins(
+        spark.createDataFrame(rows), "s", "y", n_bins=10
+    ).collect()
+    assert [r.bin for r in out] == [9]
+    assert out[0].n == 2
+
+
+def test_calibration_bins_ece_weighted(spark):
+    # bin 0: 30 rows gap -0.1; bin 9: 10 rows gap +0.3
+    rows = [Row(s=0.0, y=(i < 0)) for i in range(30)]  # frac 0, mean 0 -> gap 0
+    rows = [Row(s=0.1 / 2, y=False) for _ in range(30)] + [
+        Row(s=0.95, y=True) for _ in range(10)
+    ]
+    out = profiling.calibration_bins(
+        spark.createDataFrame(rows), "s", "y", n_bins=10
+    ).collect()
+    got = {r.bin: r for r in out}
+    # bin0 gap = 0 - 0.05 = -0.05 ; bin9 gap = 1 - 0.95 = 0.05
+    assert math.isclose(got[0].gap, -0.05, abs_tol=1e-9)
+    assert math.isclose(got[9].gap, 0.05, abs_tol=1e-9)
+    ece = (30 * 0.05 + 10 * 0.05) / 40
+    assert math.isclose(got[0].ece, round(ece, 6), abs_tol=1e-9)
+
+
+# --------------------------------------------------------------- filter_sweep
+
+
+def test_filter_sweep_retention_counts(spark):
+    rows = [Row(s=0.2, w=10.0), Row(s=0.5, w=20.0), Row(s=0.9, w=30.0)]
+    out = profiling.filter_sweep(
+        spark.createDataFrame(rows), "s", [0.1, 0.5, 0.8], weight_col="w"
+    ).collect()
+    got = {r.threshold: r for r in out}
+    assert got[0.1].n_kept == 3 and got[0.1].pct_kept == 1.0
+    assert got[0.5].n_kept == 2  # >= is inclusive
+    assert got[0.5].w_kept == 50.0
+    assert got[0.8].n_kept == 1 and got[0.8].pct_w_kept == 0.5
+
+
+def test_filter_sweep_unweighted_defaults_to_count(spark):
+    rows = [Row(s=0.3), Row(s=0.7)]
+    out = profiling.filter_sweep(spark.createDataFrame(rows), "s", [0.5]).collect()
+    assert out[0].n_kept == 1 and out[0].w_kept == 1.0
+
+
+# --------------------------------------------------------------- vocab_growth
+
+
+def test_vocab_growth_first_occurrence_counting(spark):
+    # ids 1..10, 2 buckets at n_buckets=2: ids 1-5 bucket 1, 6-10 bucket 2
+    rows = [Row(doc_id=i, text="alpha beta") for i in range(1, 6)] + [
+        Row(doc_id=i, text="alpha gamma") for i in range(6, 11)
+    ]
+    out = text.vocab_growth(
+        spark.createDataFrame(rows), n_buckets=2
+    ).orderBy("bucket").collect()
+    assert [r.bucket for r in out] == [1, 2]
+    # bucket 1 introduces alpha+beta, bucket 2 only gamma
+    assert out[0].new_terms == 2 and out[1].new_terms == 1
+    assert out[0].cum_vocab == 2 and out[1].cum_vocab == 3
+    assert out[0].bucket_tokens == 10 and out[1].cum_tokens == 20
+    assert out[0].n_docs == 5
+
+
+def test_vocab_growth_monotone_cumulative(spark):
+    # chr-suffix ids: the [a-z]+ tokenizer keeps them distinct
+    rows = [
+        Row(doc_id=i, text=f"tok{chr(97 + i)} common word") for i in range(20)
+    ]
+    out = text.vocab_growth(spark.createDataFrame(rows), n_buckets=5).orderBy(
+        "bucket"
+    ).collect()
+    vocab = [r.cum_vocab for r in out]
+    toks = [r.cum_tokens for r in out]
+    assert vocab == sorted(vocab) and toks == sorted(toks)
+    assert vocab[-1] == 22  # 20 unique + common + word
+
+
+# ----------------------------------------------------------------- burstiness
+
+
+def test_burstiness_even_vs_bursty(spark):
+    # "even" appears once in every doc (Fano ~ 0 since variance 0);
+    # "burst" appears 10 times in one doc only (Fano >> 1)
+    rows = [Row(doc_id=i, text="even " + ("burst " * 10 if i == 0 else "")) for i in range(10)]
+    out = text.burstiness(
+        spark.createDataFrame(rows), k=10, min_docs=1
+    ).collect()
+    got = {r.token: r for r in out}
+    assert got["even"].fano == 0.0  # constant count -> zero variance
+    assert got["burst"].fano > 5.0
+    assert got["even"].n_docs == 10 and got["burst"].total_n == 10
+
+
+def test_burstiness_min_docs_filters_before_rank(spark):
+    rows = [Row(doc_id=i, text="common rare" if i == 0 else "common") for i in range(6)]
+    out = text.burstiness(spark.createDataFrame(rows), k=5, min_docs=2).collect()
+    assert [r.token for r in out] == ["common"]
+    assert out[0].rank == 1
+
+
+# -------------------------------------------------------------- forecast_eval
+
+
+def test_forecast_eval_persistence_exact(spark):
+    # counts per hour: 1, 2, 4, 8 -> |e| = 1, 2, 4 ; mae = 7/3
+    rows = []
+    eid = 0
+    for h, n in enumerate([1, 2, 4, 8]):
+        for _ in range(n):
+            rows.append(Row(event_id=eid, ts=_h(h), event_type="a"))
+            eid += 1
+    out = windows.forecast_eval(
+        spark.createDataFrame(rows), group_col="event_type", season_lag=2
+    ).collect()[0]
+    assert out.n_eval_naive == 3
+    assert math.isclose(out.mae_naive, round(7 / 3, 6), abs_tol=1e-9)
+    assert math.isclose(out.rmse_naive, round(math.sqrt(21 / 3), 6), abs_tol=1e-9)
+    # seasonal lag 2: e = 4-1, 8-2 -> mae 4.5
+    assert out.n_eval_seasonal == 2
+    assert out.mae_seasonal == 4.5
+
+
+def test_forecast_eval_skips_missing_hours_not_zero_fill(spark):
+    # hours 0 and 5 only: persistence error |3-1| over the observed grid
+    rows = [Row(event_id=0, ts=_h(0), event_type="a")] + [
+        Row(event_id=i, ts=_h(5), event_type="a") for i in range(1, 4)
+    ]
+    out = windows.forecast_eval(
+        spark.createDataFrame(rows), group_col="event_type"
+    ).collect()[0]
+    assert out.n_eval_naive == 1 and out.mae_naive == 2.0
+    assert out.n_eval_seasonal == 0

@@ -138,6 +138,13 @@ AUDITED = [
     "winnow_pairs",
     "editdist_pairs",
     "hll_distinct",
+    "k_anonymity",
+    "dp_noisy_counts",
+    "calibration_bins",
+    "filter_sweep",
+    "vocab_growth",
+    "burstiness",
+    "forecast_eval",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -490,6 +497,28 @@ CHECKS = {
     # registers collapse with map-side partial max (≤ groups × 2^p rows
     # before the shuffle); the exact side joins on the group key only
     "hll_distinct": ["HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # one QI-key hash aggregate; the exposure scalars are empty-key
+    # windows over class-grain rows — raw records never re-shuffle
+    "k_anonymity": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
+    # single count aggregate; the Laplace draw is a scalar md5
+    # expression over the group key — no second pass, no join
+    "dp_noisy_counts": ["HashAggregate", "!Join", "!Window", "!CartesianProduct"],
+    # bin-id hash aggregate with map-side combine; ECE rides empty-key
+    # windows over <= n_bins rows
+    "calibration_bins": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
+    # threshold explode collapses inside the task (map-side combine on
+    # the generated column); one shuffle of |thresholds| partial rows
+    "filter_sweep": ["Generate", "HashAggregate", "!Join", "!CartesianProduct"],
+    # tokenize explode -> two bounded aggregates (bucket grain, token
+    # first-occurrence); cumsums run over <= n_buckets rows; the id
+    # range is a 1-row broadcast
+    "vocab_growth": ["Generate", "HashAggregate", "BroadcastNestedLoopJoin", "Window", "!CartesianProduct"],
+    # (token, doc) then token-grain aggregates, both map-side combined;
+    # N rides a 1-row broadcast; rank window over vocabulary-grain rows
+    "burstiness": ["Generate", "HashAggregate", "BroadcastNestedLoopJoin", "Window", "!CartesianProduct"],
+    # (group, hour) count aggregate feeds per-group lag windows over
+    # hour-grain rows; final rollup per group — no join
+    "forecast_eval": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
