@@ -293,3 +293,59 @@ def fuzzy_blocked_match(
         F.col("__best.__dist").alias("best_dist"),
         F.col("__best.__cid").alias("best_id"),
     )
+
+
+def entity_clusters(
+    dirty: DataFrame,
+    clean: DataFrame,
+    dirty_id: str,
+    dirty_text: str,
+    clean_id: str,
+    clean_text: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity resolution on top of blocked fuzzy matching: where
+    ``fuzzy_blocked_match`` keeps each dirty record's single best
+    match, this keeps EVERY candidate pair within ``max_dist`` as an
+    edge and resolves the transitive closure — records a↔b and b↔c
+    land in one entity even when a and c never matched directly (the
+    chain-merge semantics record-linkage literature calls transitive
+    linkage, and the only semantics that survive multi-source merges).
+
+    Ids must share one key space; callers with colliding id ranges
+    offset one side first (the harness query offsets dirty ids by 1e6,
+    same convention as ``fuzzy_match``).
+
+    Output: (node, entity_id) for every record that appears in at
+    least one edge — entity_id = smallest reachable id, exactly the
+    ``dedup.connected_components`` contract. Singletons (no match at
+    all) need no row; readers treat absence as "its own entity".
+
+    Scale shape: the edge list costs one blocked equality join (see
+    fuzzy_blocked_match's skew note); the closure is HashMin label
+    propagation with pointer-jumping — O(log diameter) rounds, one
+    edge-vs-label join per round, only a convergence scalar reaches
+    the driver. Linkage graphs are shallow (near-cliques per entity),
+    so 2-4 rounds in practice.
+    """
+    from kairos_spark.operators.dedup import connected_components
+
+    d = dirty.select(
+        F.col(dirty_id).alias("__did"),
+        F.col(dirty_text).alias("__dt"),
+        *[F.col(c) for c in block_cols],
+    )
+    c = clean.select(
+        F.col(clean_id).alias("__cid"),
+        F.col(clean_text).alias("__ct"),
+        *[F.col(col) for col in block_cols],
+    )
+    edges = (
+        d.join(c, block_cols)
+        .where(F.levenshtein(F.col("__dt"), F.col("__ct")) <= max_dist)
+        .select(F.col("__did").alias("id_a"), F.col("__cid").alias("id_b"))
+    )
+    return connected_components(edges, "id_a", "id_b").select(
+        "node", F.col("cluster_id").alias("entity_id")
+    )

@@ -2253,6 +2253,35 @@ def q_forecast_eval(spark, sf_dir):
     return windows.forecast_eval(ev, ts_col="ts", group_col="event_type", season_lag=24)
 
 
+
+
+def q_prefix_jaccard_pairs(spark, sf_dir):
+    """Exact Jaccard >= 0.95 near-dup pairs over word-token sets via
+    AllPairs/ppjoin prefix filtering (df-ascending prefix candidates,
+    true-overlap verification) — lossless, no all-pairs stage."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_pairs(docs, threshold=0.95)
+
+
+def q_entity_clusters(spark, sf_dir):
+    """Entity resolution: transitive closure over blocked fuzzy-match
+    edges (Levenshtein <= 2, nation-blocked perturbed customer names)
+    — (node, entity_id) labels via HashMin connected components."""
+    c = _tbl(spark, sf_dir, "customer")
+    dirty = c.select(
+        (F.col("c_custkey") + 1000000).alias("d_id"),
+        F.expr(
+            "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+            " substring(c_name, 11 + c_custkey % 8))"
+        ).alias("d_name"),
+        "c_nationkey",
+    )
+    return joins.entity_clusters(
+        dirty, c, "d_id", "d_name", "c_custkey", "c_name",
+        ["c_nationkey"], max_dist=2,
+    )
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2448,6 +2477,8 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "burstiness": q_burstiness,
     "forecast_eval": q_forecast_eval,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "entity_clusters": q_entity_clusters,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -5973,4 +6004,46 @@ ORACLES["forecast_eval"] = """
            round(sum(abs(y - ps)) * 1.0 / count(ps), 6) AS mae_seasonal,
            round(sqrt(sum((y - ps) * (y - ps)) * 1.0 / count(ps)), 6) AS rmse_seasonal
     FROM l GROUP BY grp
+"""
+ORACLES["prefix_jaccard_pairs"] = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM toks GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS overlap
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, sa.s AS size_a, sb.s AS size_b, overlap,
+           round(overlap * 1.0 / (sa.s + sb.s - overlap), 6) AS jaccard
+    FROM shared
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE overlap * 1.0 / (sa.s + sb.s - overlap) >= 0.95
+"""
+
+ORACLES["entity_clusters"] = """
+    WITH RECURSIVE dirty AS (
+      SELECT c_custkey + 1000000 AS d_id,
+             substring(c_name, 1, 9 + c_custkey % 8)
+               || substring(c_name, 11 + c_custkey % 8) AS d_name,
+             c_nationkey
+      FROM customer
+    ),
+    p AS (
+      SELECT d_id AS a, c.c_custkey AS b
+      FROM dirty JOIN customer c USING (c_nationkey)
+      WHERE levenshtein(d_name, c.c_name) <= 2
+    ),
+    edges AS (
+      SELECT a, b FROM p UNION SELECT b, a FROM p
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    )
+    SELECT node, min(r) AS entity_id FROM reach GROUP BY 1
 """

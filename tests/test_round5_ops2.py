@@ -223,3 +223,91 @@ def test_forecast_eval_skips_missing_hours_not_zero_fill(spark):
     ).collect()[0]
     assert out.n_eval_naive == 1 and out.mae_naive == 2.0
     assert out.n_eval_seasonal == 0
+
+
+# ------------------------------------------------------- prefix_jaccard_pairs
+
+
+def test_prefix_jaccard_exact_pair(spark):
+    from kairos_spark.operators import dedup
+
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon"),  # J = 1.0
+        Row(doc_id=3, text="alpha beta gamma delta zeta"),  # J(1,3) = 4/6
+        Row(doc_id=4, text="totally different words here now"),
+    ]
+    out = dedup.prefix_jaccard_pairs(
+        spark.createDataFrame(rows), threshold=0.9
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].jaccard == 1.0 and out[0].overlap == 5
+
+
+def test_prefix_jaccard_complete_at_threshold(spark):
+    # completeness vs the quadratic truth at a mid threshold
+    from itertools import combinations
+
+    from kairos_spark.operators import dedup
+
+    texts = {
+        1: "a b c d e f g h i j",
+        2: "a b c d e f g h i k",  # J(1,2)=9/11
+        3: "a b c d e f g h x y",  # J(1,3)=8/12
+        4: "z q w r t u v m n o",
+        5: "a b c d e f g h i j",  # dup of 1
+    }
+    rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+    out = dedup.prefix_jaccard_pairs(
+        spark.createDataFrame(rows), threshold=0.8
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out}
+
+    def jac(x, y):
+        sx, sy = set(texts[x].split()), set(texts[y].split())
+        return len(sx & sy) / len(sx | sy)
+
+    want = {
+        (x, y): round(jac(x, y), 6)
+        for x, y in combinations(sorted(texts), 2)
+        if jac(x, y) >= 0.8
+    }
+    assert got == want  # no misses AND no spurious pairs
+
+
+# ------------------------------------------------------------ entity_clusters
+
+
+def test_entity_clusters_transitive_chain(spark):
+    from kairos_spark.operators import joins
+
+    # dirty 101 matches clean 1 and clean 2; dirty 102 matches clean 2
+    # -> one entity {1, 2, 101, 102} despite 102 never matching 1
+    dirty = spark.createDataFrame(
+        [Row(d_id=101, d_name="smith", blk=1), Row(d_id=102, d_name="smyth", blk=1),
+         Row(d_id=103, d_name="zzzzz", blk=1)]
+    )
+    clean = spark.createDataFrame(
+        [Row(c_id=1, c_name="smith", blk=1), Row(c_id=2, c_name="smithe", blk=1),
+         Row(c_id=3, c_name="qqqqq", blk=1)]
+    )
+    out = joins.entity_clusters(
+        dirty, clean, "d_id", "d_name", "c_id", "c_name", ["blk"], max_dist=2
+    ).collect()
+    got = {r.node: r.entity_id for r in out}
+    assert got[101] == 1 and got[102] == 1 and got[1] == 1 and got[2] == 1
+    assert 103 not in got and 3 not in got  # no-match records get no row
+
+
+def test_entity_clusters_blocking_prevents_cross_block_edges(spark):
+    from kairos_spark.operators import joins
+
+    dirty = spark.createDataFrame([Row(d_id=101, d_name="same", blk=1)])
+    clean = spark.createDataFrame(
+        [Row(c_id=1, c_name="same", blk=1), Row(c_id=2, c_name="same", blk=2)]
+    )
+    out = joins.entity_clusters(
+        dirty, clean, "d_id", "d_name", "c_id", "c_name", ["blk"], max_dist=0
+    ).collect()
+    got = {r.node: r.entity_id for r in out}
+    assert got == {101: 1, 1: 1}  # block 2's identical name never linked

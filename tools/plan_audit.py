@@ -145,6 +145,8 @@ AUDITED = [
     "vocab_growth",
     "burstiness",
     "forecast_eval",
+    "prefix_jaccard_pairs",
+    "entity_clusters",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -519,6 +521,13 @@ CHECKS = {
     # (group, hour) count aggregate feeds per-group lag windows over
     # hour-grain rows; final rollup per group — no join
     "forecast_eval": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
+    # candidates from PREFIX-token equality joins only; verify join is
+    # candidate-bounded; the all-pairs shape must never appear
+    "prefix_jaccard_pairs": ["Join", "HashAggregate", "!CartesianProduct", "!NestedLoop"],
+    # the returned plan reads the CONVERGED localCheckpoint (the CC
+    # rounds executed eagerly), so only the absence checks are
+    # meaningful here — the per-round join shape is dedup_clusters'
+    "entity_clusters": ["!CartesianProduct", "!NestedLoop"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
