@@ -1187,3 +1187,216 @@ def filter_sweep(
         F.round("__wk", 6).alias("w_kept"),
         F.round(F.col("__wk") / F.col("__wt"), 6).alias("pct_w_kept"),
     )
+
+
+def merge_rollup(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    measures: dict[str, str],
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance: merge a new
+    partial-aggregate ``delta`` into an existing aggregate ``state``
+    without touching the raw history — the pattern that keeps a
+    100-TB rollup fresh with day-sized work (recomputing from raw is
+    the thing this exists to avoid; kairos hand-materialized exactly
+    these per-resolution partials, reference timeseries.py condense
+    path).
+
+    Both inputs carry ``keys`` plus one column per ``measures`` entry;
+    each measure merges by its algebra: 'sum'/'count' add, 'min'/'max'
+    take the extremum. Only ALGEBRAIC measures belong here (sums,
+    counts, min/max, and sketches with a merge — HLL registers, CMS
+    counters); a non-mergeable measure (exact median, exact distinct)
+    must stay a recompute, and composing avg as sum/count is the
+    caller's job. The defining invariant — merge(agg(A), agg(B)) ==
+    agg(A ∪ B) — is what the oracle checks.
+
+    Scale shape: ONE full-outer hash join on the rollup key between
+    two already-aggregated tables (each << raw), then per-measure
+    coalesce expressions. In a table-maintenance loop this is the
+    MERGE INTO shape: the join cost is |state| + |delta|, never |raw|.
+    """
+    s = state.select(
+        *[F.col(k) for k in keys],
+        *[F.col(m).alias(f"__s_{m}") for m in measures],
+    )
+    d = delta.select(
+        *[F.col(k) for k in keys],
+        *[F.col(m).alias(f"__d_{m}") for m in measures],
+    )
+    j = s.join(d, keys, "full_outer")
+    outs = []
+    for m, how in measures.items():
+        a, b = F.col(f"__s_{m}"), F.col(f"__d_{m}")
+        if how in ("sum", "count"):
+            merged = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        elif how == "min":
+            merged = F.least(F.coalesce(a, b), F.coalesce(b, a))
+        elif how == "max":
+            merged = F.greatest(F.coalesce(a, b), F.coalesce(b, a))
+        else:
+            raise ValueError(f"non-mergeable measure algebra: {how}")
+        outs.append(merged.alias(m))
+    return j.select(*[F.col(k) for k in keys], *outs)
+
+
+def corr_matrix(df: DataFrame, cols: list[str], scale: int = 6) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE aggregation
+    pass — the numeric-profiling companion to ``schema_profile``:
+    which measures move together (collinearity for feature pruning,
+    sanity checks like price ≈ quantity × unit price).
+
+    Exactness: every sum (x, x², xy) accumulates decimals of exact
+    DECIMAL(18,``scale``)-cast operands — exact for fixed-point
+    business measures — so
+    r = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²)) is a pure
+    double expression over exact integers-scaled values. The naive
+    formula's catastrophic cancellation is harmless HERE because the
+    inputs to it are exact (the cancellation risk in floating-point
+    one-pass corr comes from inexact partial sums, which decimal
+    removes); engines therefore agree bit-for-bit before the round-6.
+
+    Output: (col_x, col_y, n, r) for the upper triangle (col_x <
+    col_y lexically). Scale shape: one map-side-combined global
+    aggregate of k + k(k+1)/2 decimal sums; output is k(k-1)/2 rows
+    assembled driver-side from the single aggregate row via a
+    stack/unpivot projection — nothing data-sized moves.
+    """
+    # operands are cast to DECIMAL(18,scale) BEFORE multiplying: the
+    # decimal x decimal product is exact, whereas double-multiply-then-
+    # cast would hand each engine its own last-bit rounding to disagree
+    # over. scale=6 comfortably covers fixed-point business measures.
+    op = f"decimal(18,{scale})"
+    xd = {c: F.col(c).cast(op) for c in cols}
+    aggs = [F.count("*").cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(xd[c]).alias(f"__s_{c}"))
+        aggs.append(F.sum(xd[c] * xd[c]).alias(f"__q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(xd[a] * xd[b]).alias(f"__p_{a}_{b}"))
+    g = df.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        n = F.col("__n").cast("double")
+        sx, sy = F.col(f"__s_{a}").cast("double"), F.col(f"__s_{b}").cast("double")
+        qx, qy = F.col(f"__q_{a}").cast("double"), F.col(f"__q_{b}").cast("double")
+        pxy = F.col(f"__p_{a}_{b}").cast("double")
+        r = (n * pxy - sx * sy) / F.sqrt((n * qx - sx * sx) * (n * qy - sy * sy))
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("__n").alias("n"),
+                F.round(r, 6).alias("r"),
+            )
+        )
+    return g.select(F.explode(F.array(*rows)).alias("__e")).select(
+        "__e.col_x", "__e.col_y", "__e.n", "__e.r"
+    )
+
+
+def mutual_info(
+    df: DataFrame,
+    x_col,
+    y_col,
+    x_name: str = "x",
+    y_name: str = "y",
+) -> DataFrame:
+    """Mutual information between two categorical columns (or column
+    expressions), in nats, with per-cell pointwise MI — the
+    dependence audit that catches "this feature is just a renamed
+    copy of that one" and quantifies how much a partition key tells
+    you about a value. I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))); 0 ⇔
+    independent; per-cell pmi = ln(p(x,y)/(p(x)p(y))) localizes WHICH
+    combinations carry the dependence (the categorical analogue of
+    ``categorical_drift``'s per-category chi-square contributions).
+
+    Output: one row per observed (x, y) cell — (x_name, y_name, n,
+    pmi, mi) with mi the total repeated per row; exact integer
+    counts, DECIMAL(28,12) accumulation of the cell terms so
+    association order cannot flip round-6.
+
+    Scale shape: one (x, y) hash aggregate with map-side combine;
+    marginals derive from cell-grain rows via two windows; the mi
+    total is an empty-key window over |X|·|Y| observed cells.
+    """
+    from pyspark.sql.window import Window
+
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    cells = (
+        df.select(xc.alias(x_name), yc.alias(y_name))
+        .groupBy(x_name, y_name)
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wx = Window.partitionBy(x_name)
+    wy = Window.partitionBy(y_name)
+    wall = Window.partitionBy()
+    total = F.sum("n").over(wall).cast("double")
+    pxy = F.col("n") / total
+    px = F.sum("n").over(wx) / total
+    py = F.sum("n").over(wy) / total
+    pmi = F.log(pxy / (px * py))
+    stepped = cells.select(
+        x_name,
+        y_name,
+        "n",
+        F.round(pmi, 6).alias("pmi"),
+        (pxy * pmi).cast("decimal(28,12)").alias("__term"),
+    )
+    return stepped.select(
+        x_name,
+        y_name,
+        "n",
+        "pmi",
+        F.round(F.sum("__term").over(wall).cast("double"), 6).alias("mi"),
+    )
+
+
+def lift_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table for a score against a boolean
+    label, by DESCENDING equal-width score bin — "contacting the top
+    two bins captures 55% of positives at 2.1× random", the business
+    reading of a ranking model that AUC (``quality_auc``) and
+    calibration (``calibration_bins``) don't give directly.
+
+    Equal-width [0,1) bins (score 1.0 folds into the top bin), walked
+    from the top: per NON-EMPTY bin — (bin, n, pos, cum_n, cum_pos,
+    capture = cum_pos/total_pos, lift = (cum_pos/cum_n)/(total_pos/N)).
+    Equal-width rather than NTILE deciles on purpose: the bin id is a
+    map-side expression (no global sort of record-grain data); the
+    cumulative walk runs over ≤ n_bins aggregated rows.
+    """
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    bins = (
+        df.select(b.alias("bin"), F.col(label_col).cast("int").alias("__y"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("__y").cast("long").alias("pos"))
+    )
+    wcum = Window.partitionBy().orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum_n = F.sum("n").over(wcum)
+    cum_pos = F.sum("pos").over(wcum)
+    tot_n = F.sum("n").over(wall).cast("double")
+    tot_pos = F.sum("pos").over(wall).cast("double")
+    return bins.select(
+        "bin",
+        "n",
+        "pos",
+        cum_n.cast("long").alias("cum_n"),
+        cum_pos.cast("long").alias("cum_pos"),
+        F.round(cum_pos / tot_pos, 6).alias("capture"),
+        F.round((cum_pos / cum_n.cast("double")) / (tot_pos / tot_n), 6).alias("lift"),
+    )

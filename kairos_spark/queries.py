@@ -2282,6 +2282,82 @@ def q_entity_clusters(spark, sf_dir):
     )
 
 
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental rollup maintenance: per-(event_type, day) aggregates
+    of the first time half merged with the second half's delta via
+    merge_rollup — the oracle recomputes from raw, so the PASS is the
+    merge(agg(A), agg(B)) == agg(A∪B) invariant itself. Value sums ride
+    DECIMAL(28,10) so merge addition is associative-exact."""
+    ev = _tbl(spark, sf_dir, "events")
+    scal = ev.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col("ts"))) + F.max(F.unix_micros(F.col("ts")))) / 2
+        ).cast("long").alias("__mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(scal)).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("decimal(28,10)").alias("__v"),
+        (F.unix_micros(F.col("ts")) <= F.col("__mid")).alias("__first"),
+    )
+
+    def _agg(part):
+        return part.groupBy("event_type", "day").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("__v").alias("sum_value"),
+            F.min("__v").alias("min_value"),
+            F.max("__v").alias("max_value"),
+        )
+
+    state = _agg(tagged.where(F.col("__first")))
+    delta = _agg(tagged.where(~F.col("__first")))
+    merged = profiling.merge_rollup(
+        state, delta, ["event_type", "day"],
+        {"cnt": "sum", "sum_value": "sum", "min_value": "min", "max_value": "max"},
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round(F.col("min_value").cast("double"), 6).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 6).alias("max_value"),
+    )
+
+
+def q_corr_matrix(spark, sf_dir):
+    """One-pass pairwise Pearson correlation matrix over the four
+    lineitem measures, DECIMAL-exact sums."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return profiling.corr_matrix(
+        li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    )
+
+
+def q_mutual_info(spark, sf_dir):
+    """Mutual information (nats) between event type and hour-of-day,
+    with per-cell pointwise MI contributions."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.mutual_info(
+        ev, "event_type", F.hour(F.col("ts")).cast("long"), "event_type", "hod"
+    )
+
+
+def q_lift_curve(spark, sf_dir):
+    """Cumulative gains/lift by descending length-score bin against the
+    English-language label."""
+    docs = _tbl(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.least(
+            F.greatest((F.col("n_chars") - 50) / 550.0, F.lit(0.0)), F.lit(1.0)
+        ).alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return profiling.lift_curve(scored, "score", "is_en", n_bins=10)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2479,6 +2555,10 @@ QUERIES = {
     "forecast_eval": q_forecast_eval,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "entity_clusters": q_entity_clusters,
+    "incremental_rollup": q_incremental_rollup,
+    "corr_matrix": q_corr_matrix,
+    "mutual_info": q_mutual_info,
+    "lift_curve": q_lift_curve,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -6046,4 +6126,101 @@ ORACLES["entity_clusters"] = """
       SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
     )
     SELECT node, min(r) AS entity_id FROM reach GROUP BY 1
+"""
+ORACLES["incremental_rollup"] = """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_value,
+           round(CAST(min(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS min_value,
+           round(CAST(max(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS max_value
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLES["corr_matrix"] = """
+    WITH d AS (
+      SELECT CAST(l_discount AS DECIMAL(19,6)) AS a,
+             CAST(l_extendedprice AS DECIMAL(19,6)) AS b,
+             CAST(l_quantity AS DECIMAL(19,6)) AS c,
+             CAST(l_tax AS DECIMAL(19,6)) AS t
+      FROM lineitem
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(a) AS sa, sum(b) AS sb, sum(c) AS sc, sum(t) AS st,
+             sum(a*a) AS qa, sum(b*b) AS qb, sum(c*c) AS qc, sum(t*t) AS qt,
+             sum(a*b) AS pab, sum(a*c) AS pac, sum(a*t) AS pat,
+             sum(b*c) AS pbc, sum(b*t) AS pbt, sum(c*t) AS pct
+      FROM d
+    ),
+    pairs AS (
+      SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y, n,
+             CAST(pab AS DOUBLE) AS pxy, CAST(sa AS DOUBLE) AS sx, CAST(sb AS DOUBLE) AS sy,
+             CAST(qa AS DOUBLE) AS qx, CAST(qb AS DOUBLE) AS qy FROM g
+      UNION ALL
+      SELECT 'l_discount', 'l_quantity', n, CAST(pac AS DOUBLE), CAST(sa AS DOUBLE),
+             CAST(sc AS DOUBLE), CAST(qa AS DOUBLE), CAST(qc AS DOUBLE) FROM g
+      UNION ALL
+      SELECT 'l_discount', 'l_tax', n, CAST(pat AS DOUBLE), CAST(sa AS DOUBLE),
+             CAST(st AS DOUBLE), CAST(qa AS DOUBLE), CAST(qt AS DOUBLE) FROM g
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_quantity', n, CAST(pbc AS DOUBLE), CAST(sb AS DOUBLE),
+             CAST(sc AS DOUBLE), CAST(qb AS DOUBLE), CAST(qc AS DOUBLE) FROM g
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax', n, CAST(pbt AS DOUBLE), CAST(sb AS DOUBLE),
+             CAST(st AS DOUBLE), CAST(qb AS DOUBLE), CAST(qt AS DOUBLE) FROM g
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax', n, CAST(pct AS DOUBLE), CAST(sc AS DOUBLE),
+             CAST(st AS DOUBLE), CAST(qc AS DOUBLE), CAST(qt AS DOUBLE) FROM g
+    )
+    SELECT col_x, col_y, n,
+           round((n * pxy - sx * sy)
+                 / sqrt((n * qx - sx * sx) * (n * qy - sy * sy)), 6) AS r
+    FROM pairs
+"""
+
+ORACLES["mutual_info"] = """
+    WITH cells AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hod, n,
+             sum(n) OVER () AS tot,
+             sum(n) OVER (PARTITION BY event_type) AS nx,
+             sum(n) OVER (PARTITION BY hod) AS ny
+      FROM cells
+    ),
+    p AS (
+      SELECT event_type, hod, n,
+             ln((n / (tot * 1.0)) / ((nx / (tot * 1.0)) * (ny / (tot * 1.0)))) AS pmi_raw,
+             (n / (tot * 1.0)) AS pxy
+      FROM w
+    )
+    SELECT event_type, hod, n,
+           round(pmi_raw, 6) AS pmi,
+           round(CAST(sum(CAST(pxy * pmi_raw AS DECIMAL(28,12))) OVER () AS DOUBLE), 6) AS mi
+    FROM p
+"""
+
+ORACLES["lift_curve"] = """
+    WITH scored AS (
+      SELECT least(greatest((n_chars - 50) / 550.0, 0.0), 1.0) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    bins AS (
+      SELECT CAST(least(floor(s * 10), 9) AS INTEGER) AS bin,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, n, pos,
+           CAST(sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+           CAST(sum(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+           round(sum(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+                 / (sum(pos) OVER () * 1.0), 6) AS capture,
+           round((sum(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+                  / (sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) * 1.0))
+                 / (sum(pos) OVER () / (sum(n) OVER () * 1.0)), 6) AS lift
+    FROM bins
 """

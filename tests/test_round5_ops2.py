@@ -311,3 +311,110 @@ def test_entity_clusters_blocking_prevents_cross_block_edges(spark):
     ).collect()
     got = {r.node: r.entity_id for r in out}
     assert got == {101: 1, 1: 1}  # block 2's identical name never linked
+
+
+# --------------------------------------------------------------- merge_rollup
+
+
+def test_merge_rollup_equals_batch_recompute(spark):
+    rows_a = [Row(k="x", v=1.0), Row(k="x", v=2.0), Row(k="y", v=5.0)]
+    rows_b = [Row(k="x", v=4.0), Row(k="z", v=7.0)]
+
+    def agg(rows):
+        return (
+            spark.createDataFrame(rows)
+            .groupBy("k")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("v").alias("sv"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+        )
+
+    merged = profiling.merge_rollup(
+        agg(rows_a), agg(rows_b), ["k"],
+        {"cnt": "sum", "sv": "sum", "mn": "min", "mx": "max"},
+    ).collect()
+    full = {r.k: r for r in agg(rows_a + rows_b).collect()}
+    got = {r.k: r for r in merged}
+    assert set(got) == set(full)
+    for k in full:
+        assert got[k].cnt == full[k].cnt
+        assert got[k].sv == full[k].sv
+        assert got[k].mn == full[k].mn and got[k].mx == full[k].mx
+
+
+def test_merge_rollup_state_only_and_delta_only_keys(spark):
+    s = spark.createDataFrame([Row(k="only_s", cnt=3)])
+    d = spark.createDataFrame([Row(k="only_d", cnt=4)])
+    got = {
+        r.k: r.cnt
+        for r in profiling.merge_rollup(s, d, ["k"], {"cnt": "sum"}).collect()
+    }
+    assert got == {"only_s": 3, "only_d": 4}
+
+
+def test_merge_rollup_rejects_non_mergeable(spark):
+    import pytest
+
+    s = spark.createDataFrame([Row(k="a", med=1.0)])
+    with pytest.raises(ValueError):
+        profiling.merge_rollup(s, s, ["k"], {"med": "median"})
+
+
+# ---------------------------------------------------------------- corr_matrix
+
+
+def test_corr_matrix_known_correlations(spark):
+    # y = 2x exactly -> r = 1 ; z anti-correlates with x -> r = -1
+    rows = [Row(x=float(i), y=2.0 * i, z=float(10 - i)) for i in range(1, 9)]
+    out = profiling.corr_matrix(spark.createDataFrame(rows), ["x", "y", "z"])
+    got = {(r.col_x, r.col_y): r.r for r in out.collect()}
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0
+
+
+def test_corr_matrix_independent_near_zero(spark):
+    rows = [
+        Row(a=float(v), b=float(w))
+        for v, w in [(1, 5), (2, 5), (1, 9), (2, 9)]  # orthogonal design
+    ]
+    out = profiling.corr_matrix(spark.createDataFrame(rows), ["a", "b"]).collect()
+    assert out[0].r == 0.0 and out[0].n == 4
+
+
+# ---------------------------------------------------------------- mutual_info
+
+
+def test_mutual_info_independent_is_zero(spark):
+    rows = [
+        Row(x=x, y=y) for x in ["a", "b"] for y in ["p", "q"] for _ in range(5)
+    ]
+    out = profiling.mutual_info(spark.createDataFrame(rows), "x", "y").collect()
+    assert all(r.mi == 0.0 and r.pmi == 0.0 for r in out)
+
+
+def test_mutual_info_deterministic_dependence(spark):
+    # y fully determined by x over 2 symbols -> MI = ln 2
+    rows = [Row(x="a", y="p")] * 10 + [Row(x="b", y="q")] * 10
+    out = profiling.mutual_info(spark.createDataFrame(rows), "x", "y").collect()
+    assert all(math.isclose(r.mi, round(math.log(2), 6), abs_tol=1e-9) for r in out)
+    assert all(math.isclose(r.pmi, round(math.log(2), 6), abs_tol=1e-6) for r in out)
+
+
+# ----------------------------------------------------------------- lift_curve
+
+
+def test_lift_curve_top_bin_captures_concentrated_positives(spark):
+    # positives all score high: top bin lift = (5/5)/(5/20) = 4
+    rows = [Row(s=0.95, y=True)] * 5 + [Row(s=0.05, y=False)] * 15
+    out = profiling.lift_curve(spark.createDataFrame(rows), "s", "y").collect()
+    got = {r.bin: r for r in out}
+    top = got[9]
+    assert top.pos == 5 and top.cum_pos == 5 and top.capture == 1.0
+    assert top.lift == 4.0
+    bottom = got[0]
+    assert bottom.cum_n == 20 and bottom.cum_pos == 5
+    assert bottom.lift == 1.0  # full population -> lift 1 by definition

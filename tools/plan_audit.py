@@ -147,6 +147,10 @@ AUDITED = [
     "forecast_eval",
     "prefix_jaccard_pairs",
     "entity_clusters",
+    "incremental_rollup",
+    "corr_matrix",
+    "mutual_info",
+    "lift_curve",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -528,6 +532,19 @@ CHECKS = {
     # rounds executed eagerly), so only the absence checks are
     # meaningful here — the per-round join shape is dedup_clusters'
     "entity_clusters": ["!CartesianProduct", "!NestedLoop"],
+    # two half-aggregates merge through ONE full-outer hash join on the
+    # rollup key (SortMergeJoin acceptable: both sides are aggregate-
+    # grain); the mid scalar rides a 1-row broadcast
+    "incremental_rollup": ["HashAggregate", "Join", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # ONE global aggregate row carries every decimal sum; pair rows are
+    # unpacked from it via a generated-array explode — no joins at all
+    "corr_matrix": ["HashAggregate", "Generate", "!Join", "!CartesianProduct"],
+    # (x, y) cell aggregate; marginals + total are windows over
+    # cell-grain rows — raw events shuffle once
+    "mutual_info": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
+    # bin-grain aggregate; cumulative walk + totals are windows over
+    # <= n_bins rows
+    "lift_curve": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
