@@ -1400,3 +1400,75 @@ def lift_curve(
         F.round(cum_pos / tot_pos, 6).alias("capture"),
         F.round((cum_pos / cum_n.cast("double")) / (tot_pos / tot_n), 6).alias("lift"),
     )
+
+
+def topk_churn(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter churn between the first and second time half: who
+    is in the top-``k`` by activity in each period, with ranks, counts
+    and an entered/exited/stayed status — the leaderboard-stability
+    view behind "did our heaviest users/domains change this week?"
+    (complements ``key_skew_stats``' static skew and ``decayed_topk``'s
+    single smoothed ranking).
+
+    Ranks tie-break by (count desc, key) so the cut at k is
+    deterministic. Output: one row per key in EITHER half's top-k —
+    (key, n_1, n_2, rank_1, rank_2, status); ranks are null for a
+    half where the key missed the top-k (their counts still show).
+
+    Scale shape: one (key) aggregate with conditional half counts
+    (map-side combined), then two rank windows over KEY-GRAIN
+    aggregate rows. The empty-partition window is the honest cost of
+    exact global ranks at audit grain; for fact-scale key spaces,
+    pre-filter with an approximate count threshold (CMS heavy_hitters)
+    and rank only survivors — same output for any threshold below the
+    true k-th count.
+    """
+    from pyspark.sql.window import Window
+
+    scal = df.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    half1 = F.unix_micros(F.col(ts_col)) <= F.col("__mid")
+    counts = (
+        df.crossJoin(F.broadcast(scal))
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.sum(F.when(half1, 1).otherwise(0)).cast("long").alias("n_1"),
+            F.sum(F.when(half1, 0).otherwise(1)).cast("long").alias("n_2"),
+        )
+    )
+    w1 = Window.partitionBy().orderBy(F.col("n_1").desc(), "key")
+    w2 = Window.partitionBy().orderBy(F.col("n_2").desc(), "key")
+    ranked = counts.select(
+        "key",
+        "n_1",
+        "n_2",
+        F.row_number().over(w1).cast("long").alias("__r1"),
+        F.row_number().over(w2).cast("long").alias("__r2"),
+    )
+    in1 = (F.col("__r1") <= k) & (F.col("n_1") > 0)
+    in2 = (F.col("__r2") <= k) & (F.col("n_2") > 0)
+    return ranked.where(in1 | in2).select(
+        "key",
+        "n_1",
+        "n_2",
+        # rank 0 = "not in this half's top-k": nullable numerics round-trip
+        # as NaN-bearing float64 through pandas/Arrow and break cross-engine
+        # hashing, so absence is encoded in-band
+        F.coalesce(F.when(in1, F.col("__r1")), F.lit(0)).cast("long").alias("rank_1"),
+        F.coalesce(F.when(in2, F.col("__r2")), F.lit(0)).cast("long").alias("rank_2"),
+        F.when(in1 & in2, F.lit("stayed"))
+        .when(in2, F.lit("entered"))
+        .otherwise(F.lit("exited"))
+        .alias("status"),
+    )

@@ -746,3 +746,66 @@ def norm_outliers(
             F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
         )
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding-distribution drift between two
+    deterministic halves (even vs odd ``id_col``): cosine similarity
+    between the half mean vectors and the L2 shift between them —
+    the representation-stability check run when an embedding model is
+    re-versioned ("did class centroids move?"), the vector analogue of
+    the scalar drift family (PSI / KS / chi-square).
+
+    Everything reduces to per-(label, dim) sums: with half sums
+    s_a[d], s_b[d] and counts n_a, n_b, the mean-vector dot, norms and
+    the L2 shift are all Σ over dims of products of those sums divided
+    by counts — two hash aggregations, no vector ever compared
+    pairwise. Float32 components are cast to double BEFORE summing
+    (both engines widen identically; dim-grain sums keep association
+    error orders below the round-6 contract).
+
+    Output: (label, n_a, n_b, cos_means, l2_shift) rounded 6.
+
+    Scale shape: posexplode is map-side (dim fan-out inside the
+    task); the only shuffles carry (label, dim) and (label) partial
+    sums — bounded by |labels|·dim, independent of corpus size.
+    """
+    half_a = (F.col(id_col) % 2 == 0).alias("__a")
+    dims = df.select(
+        F.col(label_col).alias("label"),
+        half_a,
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).select("label", "__a", "dim", F.col("__v").cast("double").alias("__v"))
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("__a"), F.col("__v")).otherwise(0.0)).alias("sa"),
+        F.sum(F.when(F.col("__a"), 0.0).otherwise(F.col("__v"))).alias("sb"),
+    )
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.sum(F.when(F.col(id_col) % 2 == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col(id_col) % 2 == 0, 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.sum(F.col("sa") * F.col("sb")).alias("__dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("__na2"),
+        F.sum(F.col("sb") * F.col("sb")).alias("__nb2"),
+    )
+    j = per_label.join(counts, "label")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    cos = F.col("__dot") / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")))
+    shift = F.sqrt(
+        F.col("__na2") / (na * na)
+        - 2.0 * F.col("__dot") / (na * nb)
+        + F.col("__nb2") / (nb * nb)
+    )
+    return j.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(cos, 6).alias("cos_means"),
+        F.round(shift, 6).alias("l2_shift"),
+    )

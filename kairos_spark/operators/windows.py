@@ -1410,3 +1410,93 @@ def forecast_eval(
             "rmse_seasonal"
         ),
     )
+
+
+def ols2_fit(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group TWO-feature least squares y = b0 + b1·x1 + b2·x2 via
+    the closed-form normal equations — the multivariate extension of
+    ``trend_slope``'s single-x OLS, solved distributed-style: ONE hash
+    aggregation collects the nine sufficient statistics (n, Σx1, Σx2,
+    Σx1², Σx2², Σx1x2, Σy, Σx1y, Σx2y, Σy²) and Cramer's rule on the
+    3×3 system runs as scalar expressions over group-grain rows. This
+    is how regression works at 100 TB: the data pass is a map-side-
+    combined aggregate; the algebra never sees a record.
+
+    Exactness: operands cast to DECIMAL(18,``scale``) before
+    multiplying (exact fixed-point products, engine-identical sums —
+    same discipline as ``corr_matrix``); the determinant arithmetic
+    is then a pure double expression over exact inputs. Singular or
+    near-singular groups (determinant 0 — e.g. constant x) yield null
+    coefficients rather than garbage.
+
+    Output: (group, n, b0, b1, b2, r2) rounded 6; r2 = 1 − SSE/SST
+    from the same sums.
+    """
+    dec = f"decimal(18,{scale})"
+    y = F.col(y_col).cast(dec)
+    x1 = F.col(x1_col).cast(dec)
+    x2 = F.col(x2_col).cast(dec)
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x1).alias("__s1"),
+        F.sum(x2).alias("__s2"),
+        F.sum(x1 * x1).alias("__s11"),
+        F.sum(x2 * x2).alias("__s22"),
+        F.sum(x1 * x2).alias("__s12"),
+        F.sum(y).alias("__sy"),
+        F.sum(x1 * y).alias("__s1y"),
+        F.sum(x2 * y).alias("__s2y"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("__s1").cast("double"), F.col("__s2").cast("double")
+    s11, s22 = F.col("__s11").cast("double"), F.col("__s22").cast("double")
+    s12 = F.col("__s12").cast("double")
+    sy = F.col("__sy").cast("double")
+    s1y, s2y = F.col("__s1y").cast("double"), F.col("__s2y").cast("double")
+    syy = F.col("__syy").cast("double")
+    # | n   s1   s2  | b0   sy
+    # | s1  s11  s12 | b1 = s1y
+    # | s2  s12  s22 | b2   s2y
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    safe = F.abs(det) > 0
+    b0 = F.when(safe, det0 / det)
+    b1 = F.when(safe, det1 / det)
+    b2 = F.when(safe, det2 / det)
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    r2 = F.when(safe & (sst > 0), 1.0 - sse / sst)
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -8,7 +8,7 @@ import math
 
 from pyspark.sql import Row, functions as F
 
-from kairos_spark.operators import pii, profiling, text, windows
+from kairos_spark.operators import pii, profiling, similarity, text, windows
 
 UTC = dt.timezone.utc
 
@@ -418,3 +418,83 @@ def test_lift_curve_top_bin_captures_concentrated_positives(spark):
     bottom = got[0]
     assert bottom.cum_n == 20 and bottom.cum_pos == 5
     assert bottom.lift == 1.0  # full population -> lift 1 by definition
+
+
+# ----------------------------------------------------------------- topk_churn
+
+
+def test_topk_churn_enter_exit_stay(spark):
+    # first half (hour 0): A x 5, B x 3 ; second half (hour 10): A x 4, C x 6
+    rows = []
+    eid = 0
+
+    def add(u, h, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(Row(event_id=eid, user_id=u, ts=_h(h)))
+            eid += 1
+
+    add(1, 0, 5); add(2, 0, 3); add(1, 10, 4); add(3, 10, 6)
+    out = profiling.topk_churn(
+        spark.createDataFrame(rows), "user_id", k=2
+    ).collect()
+    got = {r.key: r for r in out}
+    assert got[1].status == "stayed" and got[1].rank_1 == 1 and got[1].rank_2 == 2
+    assert got[2].status == "exited" and got[2].rank_2 == 0
+    assert got[3].status == "entered" and got[3].rank_1 == 0 and got[3].rank_2 == 1
+    assert got[2].n_2 == 0 and got[3].n_1 == 0
+
+
+def test_topk_churn_rank_zero_means_absent_not_rank(spark):
+    rows = [Row(event_id=0, user_id=1, ts=_h(0)), Row(event_id=1, user_id=2, ts=_h(10))]
+    out = profiling.topk_churn(spark.createDataFrame(rows), "user_id", k=1).collect()
+    got = {r.key: (r.rank_1, r.rank_2) for r in out}
+    assert got[1] == (1, 0) and got[2] == (0, 1)
+
+
+# ------------------------------------------------------------ embedding_drift
+
+
+def test_embedding_drift_identical_halves(spark):
+    # even and odd ids carry the same vectors -> cos 1, shift 0
+    rows = [
+        Row(vec_id=i, embedding=[1.0, 2.0, 3.0], label=0) for i in range(4)
+    ]
+    out = similarity.embedding_drift(spark.createDataFrame(rows)).collect()
+    assert out[0].cos_means == 1.0 and out[0].l2_shift == 0.0
+    assert out[0].n_a == 2 and out[0].n_b == 2
+
+
+def test_embedding_drift_orthogonal_means(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.0, 2.0], label=0),
+    ]
+    out = similarity.embedding_drift(spark.createDataFrame(rows)).collect()
+    assert out[0].cos_means == 0.0
+    # means: (1,0) vs (0,2) -> shift sqrt(1+4)
+    assert math.isclose(out[0].l2_shift, round(math.sqrt(5), 6), abs_tol=1e-9)
+
+
+# ------------------------------------------------------------------- ols2_fit
+
+
+def test_ols2_fit_recovers_exact_plane(spark):
+    # y = 2 + 3*x1 - 0.5*x2 exactly -> coefficients recovered, r2 = 1
+    pts = [(1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (3.0, 2.0), (2.0, 4.0), (4.0, 3.0)]
+    rows = [
+        Row(g="a", y=2.0 + 3.0 * x1 - 0.5 * x2, x1=x1, x2=x2) for x1, x2 in pts
+    ]
+    out = windows.ols2_fit(spark.createDataFrame(rows), "g", "y", "x1", "x2").collect()[0]
+    assert math.isclose(out.b0, 2.0, abs_tol=1e-6)
+    assert math.isclose(out.b1, 3.0, abs_tol=1e-6)
+    assert math.isclose(out.b2, -0.5, abs_tol=1e-6)
+    assert out.r2 == 1.0 and out.n == 6
+
+
+def test_ols2_fit_singular_yields_nulls(spark):
+    # x2 constant -> singular normal matrix -> null coefficients
+    rows = [Row(g="a", y=float(i), x1=float(i), x2=1.0) for i in range(5)]
+    out = windows.ols2_fit(spark.createDataFrame(rows), "g", "y", "x1", "x2").collect()[0]
+    assert out.b0 is None and out.b1 is None and out.b2 is None and out.r2 is None

@@ -151,6 +151,9 @@ AUDITED = [
     "corr_matrix",
     "mutual_info",
     "lift_curve",
+    "topk_churn",
+    "embedding_drift",
+    "ols2_fit",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -545,6 +548,15 @@ CHECKS = {
     # bin-grain aggregate; cumulative walk + totals are windows over
     # <= n_bins rows
     "lift_curve": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
+    # key-grain conditional-half aggregate; rank windows run over the
+    # aggregate only; mid scalar rides a 1-row broadcast
+    "topk_churn": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # map-side posexplode; (label, dim) then label-grain aggregates;
+    # the counts join is label-grain — no pairwise vector compare
+    "embedding_drift": ["Generate", "HashAggregate", "Join", "!CartesianProduct", "!NestedLoop"],
+    # ONE sufficient-statistics aggregate per group; Cramer algebra is
+    # scalar projection over group-grain rows — no join, no window
+    "ols2_fit": ["HashAggregate", "!Join", "!Window", "!CartesianProduct"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
