@@ -297,6 +297,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     shortcut: bool = True,
+    local_finish_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate-cluster labeling: connected components over a pair
     graph, returning ``(node, cluster_id)`` with ``cluster_id`` = the
@@ -323,10 +324,55 @@ def connected_components(
     sees one scalar, never the data). Skewed hub nodes are handled by
     AQE; for adversarial graphs swap in large-star/small-star
     (alternating rounds), which this loop structure accommodates.
+
+    Small-graph finish: when the DEDUPLICATED edge list is at most
+    ``local_finish_max_edges`` (counted with one scalar job — at two
+    longs per edge the default 2M cap is ~32 MB of driver memory,
+    explicitly size-gated), the closure is solved with a driver-side
+    union-find instead of the round loop. This is the standard endgame
+    in the MapReduce-CC literature (iterate/contract until the graph
+    fits one machine, finish locally): the distributed loop's cost at
+    small sizes is pure per-round job overhead, not data. The loop
+    path remains the behavior for anything above the gate, and
+    ``local_finish_max_edges=0`` forces it (used by tests to assert
+    both paths agree). The label contract is identical either way.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().localCheckpoint(eager=True)
+
+    if local_finish_max_edges and edges.count() <= local_finish_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out_rows = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        node_type = edges.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", node_type, False),
+                StructField("cluster_id", node_type, False),
+            ]
+        )
+        return spark.createDataFrame(out_rows, schema)
 
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")

@@ -251,8 +251,12 @@ def test_connected_components_raises_when_unconverged(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "id_a long, id_b long"
     )
+    # force the distributed loop (the local union-find finish has no
+    # convergence limit to hit)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=1).collect()
+        dedup.connected_components(
+            pairs, max_iter=1, local_finish_max_edges=0
+        ).collect()
 
 
 # ----------------------------------- sampling / repetition / entropy

@@ -498,3 +498,28 @@ def test_ols2_fit_singular_yields_nulls(spark):
     rows = [Row(g="a", y=float(i), x1=float(i), x2=1.0) for i in range(5)]
     out = windows.ols2_fit(spark.createDataFrame(rows), "g", "y", "x1", "x2").collect()[0]
     assert out.b0 is None and out.b1 is None and out.b2 is None and out.r2 is None
+
+
+# ---------------------------------------- connected_components local finish
+
+
+def test_cc_local_finish_matches_distributed_loop(spark):
+    from kairos_spark.operators import dedup
+
+    # chain + clique + pair: local union-find and the HashMin loop must
+    # produce identical labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    local = {(r.node, r.cluster_id) for r in dedup.connected_components(pairs).collect()}
+    loop = {
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components(pairs, local_finish_max_edges=0).collect()
+    }
+    assert local == loop
+    assert local == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
