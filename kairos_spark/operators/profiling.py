@@ -1472,3 +1472,161 @@ def topk_churn(
         .otherwise(F.lit("exited"))
         .alias("status"),
     )
+
+
+def json_schema_profile(
+    df: DataFrame,
+    json_col: str = "props",
+) -> DataFrame:
+    """Schema discovery over a semi-structured JSON string column: per
+    observed top-level key — presence coverage, null-literal rate,
+    numeric-parse rate, and distinct-value count. This is the scouting
+    pass before committing to a ``from_json`` schema ("which keys are
+    real, which are junk, which are numbers"): the reference has no
+    semi-structured surface at all, and event pipelines hit this on
+    day one.
+
+    All JVM-side: ONE ``from_json`` parse per row into
+    map<string,string>, then a map explode (map-side generate). At
+    100 TB, run it on a SAMPLE (compose with ``sample_split``) and
+    then freeze the from_json schema; the profile's cost model is
+    |rows|·|keys|.
+
+    Output: (key, n_present, pct_present, n_null, n_numeric,
+    n_distinct) — coverage fractions of total rows, rounded 6.
+    """
+    from pyspark.sql.window import Window
+
+    total = df.count()
+    # ONE parse per row: from_json into map<string,string> then a
+    # map explode — get_json_object would need a literal path per key
+    pairs = df.select(
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "key", "__v"
+        )
+    )
+    return (
+        pairs.groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_present"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(
+                F.when(F.col("__v").try_cast("double").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_numeric"),
+            F.countDistinct("__v").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "key",
+            "n_present",
+            F.round(F.col("n_present") / F.lit(float(total)), 6).alias("pct_present"),
+            "n_null",
+            "n_numeric",
+            "n_distinct",
+        )
+    )
+
+
+def expectations_audit(
+    df: DataFrame,
+    expectations: list,
+) -> DataFrame:
+    """Declarative data-contract audit (the Great-Expectations shape,
+    engine-side): each expectation is ``(name, predicate Column)`` that
+    must hold row-wise; ONE aggregation pass evaluates all of them and
+    reports violations — the CI gate a table owner runs before
+    publishing a snapshot, and the complement of ``fk_conformance``
+    (cross-table) and ``schema_profile`` (descriptive, not asserted).
+
+    Output: (constraint, n_violations, n_rows, pct_violated) per
+    expectation, in one map-side-combined aggregate; the per-row cost
+    is |expectations| boolean expressions inside whole-stage codegen.
+    Null predicate results count as violations (a constraint that
+    cannot be evaluated is not satisfied) — spell out null-tolerance
+    inside the predicate when nulls are legal.
+    """
+    aggs = [F.count("*").cast("long").alias("__n")]
+    for name, pred in expectations:
+        aggs.append(
+            F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1))
+            .cast("long")
+            .alias(f"__v_{name}")
+        )
+    g = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            F.col(f"__v_{name}").alias("n_violations"),
+            F.col("__n").alias("n_rows"),
+            F.round(F.col(f"__v_{name}") / F.col("__n").cast("double"), 6).alias(
+                "pct_violated"
+            ),
+        )
+        for name, _ in expectations
+    ]
+    return g.select(F.explode(F.array(*rows)).alias("__e")).select(
+        "__e.constraint", "__e.n_violations", "__e.n_rows", "__e.pct_violated"
+    )
+
+
+def grouped_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-group equal-width histogram over the GLOBAL value range —
+    small-multiples distributions ("does purchase value look like view
+    value?") on shared axes, which per-group ranges would break.
+    Complements ``binned_quantiles`` (global, quantile-focused) and
+    ``distribution_drift`` (two-slice comparison).
+
+    Bin edges: [lo + i·w, lo + (i+1)·w) over [global min, max], top
+    value folded into the last bin; empty (group, bin) cells are
+    omitted (readers zero-fill). Output: (group, bin, bin_lo, bin_hi,
+    n) with edges rounded 6.
+
+    Scale shape: the global range is one 2-scalar aggregate riding a
+    1-row broadcast; the histogram is ONE (group, bin) map-side-
+    combined count — bin assignment is a pure scalar expression, so
+    the shuffle carries |groups|·n_bins partial rows.
+    """
+    scal = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("__lo"),
+        F.max(F.col(value_col).cast("double")).alias("__hi"),
+    )
+    v = F.col(value_col).cast("double")
+    span = F.col("__hi") - F.col("__lo")
+    bin_expr = F.when(span > 0,
+        F.least(
+            F.floor((v - F.col("__lo")) * n_bins / span).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    binned = (
+        df.crossJoin(F.broadcast(scal))
+        .select(
+            F.col(group_col).alias("grp"),
+            bin_expr.alias("bin"),
+            F.col("__lo"),
+            span.alias("__w"),
+        )
+        .groupBy("grp", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.first("__lo").alias("__lo"),
+            F.first("__w").alias("__w"),
+        )
+    )
+    return binned.select(
+        F.col("grp").alias(group_col),
+        "bin",
+        F.round(F.col("__lo") + F.col("bin") * F.col("__w") / n_bins, 6).alias("bin_lo"),
+        F.round(F.col("__lo") + (F.col("bin") + 1) * F.col("__w") / n_bins, 6).alias(
+            "bin_hi"
+        ),
+        "n",
+    )

@@ -1500,3 +1500,47 @@ def ols2_fit(
         F.round(b2, 6).alias("b2"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key_col: str,
+    probe_us_col: str,
+    valid_from_col: str = "valid_from_us",
+    valid_to_col: str = "valid_to_us",
+) -> DataFrame:
+    """Point-in-time (temporal) join of a fact stream against an SCD2
+    dimension history: each fact row picks up the dimension columns of
+    the version whose [valid_from, valid_to) interval contains the
+    fact's probe time — the join every warehouse runs to answer "what
+    was the customer's segment WHEN the order happened" without
+    leaking future versions (the lookahead bug an equality join on the
+    current version silently commits). Composes with
+    ``scd2_intervals``: build the history once, probe it from any
+    fact table.
+
+    Semantics: inner join; intervals are half-open, so probes on a
+    boundary hit the NEWER version; probes before a key's first
+    version or for unknown keys drop (pair with an anti-join audit to
+    count them). Assumes non-overlapping intervals per key —
+    guaranteed by construction from scd2_intervals.
+
+    Scale shape: the equality key drives a plain HASH join (facts
+    shuffle on key, history broadcast when it is dim-sized); the
+    interval predicate is a residual filter evaluated inside the join
+    — never a range-only nested loop. Per-key version counts are
+    small by nature (state changes, not events), so the residual
+    fan-out is bounded.
+    """
+    f = facts
+    d = dim_history.select(
+        F.col(key_col).alias("__k"),
+        *[c for c in dim_history.columns if c != key_col],
+    )
+    cond = (
+        (f[key_col] == d["__k"])
+        & (f[probe_us_col] >= d[valid_from_col])
+        & (f[probe_us_col] < d[valid_to_col])
+    )
+    return f.join(d, cond, "inner").drop("__k")

@@ -2381,6 +2381,51 @@ def q_ols2_fit(spark, sf_dir):
     return windows.ols2_fit(li, "l_returnflag", "l_extendedprice", "l_quantity", "l_discount")
 
 
+
+
+def q_json_schema_profile(spark, sf_dir):
+    """JSON key discovery over events.props: coverage, null-literal
+    rate, numeric-parse rate, distinct values per top-level key."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.json_schema_profile(ev, "props")
+
+
+def q_expectations_audit(spark, sf_dir):
+    """Declarative data-contract audit over orders: four expectations
+    evaluated in one aggregation pass."""
+    o = _tbl(spark, sf_dir, "orders")
+    return profiling.expectations_audit(o, [
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        ("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+        ("priority_format", F.col("o_orderpriority").rlike("^[1-5]-")),
+    ])
+
+
+def q_grouped_histogram(spark, sf_dir):
+    """Per-event-type 20-bin histogram of value over the global range
+    (shared axes for small-multiples reading)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.grouped_histogram(ev, "event_type", "value", n_bins=20)
+
+
+def q_pit_state_join(spark, sf_dir):
+    """Point-in-time join: probe each sampled event 30 minutes into the
+    future against the user's SCD2 state history — the state that WILL
+    be valid then (exercises version selection, not identity)."""
+    ev = _tbl(spark, sf_dir, "events")
+    hist = windows.scd2_intervals(ev)
+    probes = ev.where(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) + 1800 * 1000000).alias("probe_us"),
+    )
+    out = windows.pit_join(probes, hist, "user_id", "probe_us")
+    return out.select(
+        "event_id", "user_id", "probe_us", "state", "valid_from_us", "n_events"
+    )
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2585,6 +2630,10 @@ QUERIES = {
     "topk_churn": q_topk_churn,
     "embedding_drift": q_embedding_drift,
     "ols2_fit": q_ols2_fit,
+    "json_schema_profile": q_json_schema_profile,
+    "expectations_audit": q_expectations_audit,
+    "grouped_histogram": q_grouped_histogram,
+    "pit_state_join": q_pit_state_join,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -6357,4 +6406,104 @@ ORACLES["ols2_fit"] = """
            round(CASE WHEN ok AND sst > 0
                  THEN 1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / sst END, 6) AS r2
     FROM coef
+"""
+ORACLES["json_schema_profile"] = """
+    WITH tot AS (SELECT count(*) AS n FROM events),
+    pairs AS (
+      SELECT unnest(json_keys(props)) AS key, props FROM events
+    ),
+    ext AS (
+      SELECT key, json_extract_string(props, '$.' || key) AS v FROM pairs
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_present,
+           round(count(*) / ((SELECT n FROM tot) * 1.0), 6) AS pct_present,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_numeric,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM ext GROUP BY 1
+"""
+
+ORACLES["expectations_audit"] = """
+    WITH g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v3,
+             CAST(sum(CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'),
+                  FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v4
+      FROM orders
+    )
+    SELECT 'totalprice_positive' AS constraint, v1 AS n_violations, n AS n_rows,
+           round(v1 * 1.0 / n, 6) AS pct_violated FROM g
+    UNION ALL
+    SELECT 'status_in_domain', v2, n, round(v2 * 1.0 / n, 6) FROM g
+    UNION ALL
+    SELECT 'orderdate_not_null', v3, n, round(v3 * 1.0 / n, 6) FROM g
+    UNION ALL
+    SELECT 'priority_format', v4, n, round(v4 * 1.0 / n, 6) FROM g
+"""
+
+ORACLES["grouped_histogram"] = """
+    WITH scal AS (
+      SELECT min(CAST(value AS DOUBLE)) AS lo, max(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type AS grp,
+             CASE WHEN hi - lo > 0 THEN
+               CAST(least(floor((CAST(value AS DOUBLE) - lo) * 20 / (hi - lo)),
+                          19) AS INTEGER)
+             ELSE 0 END AS bin,
+             lo, hi - lo AS w
+      FROM events, scal
+    )
+    SELECT grp AS event_type, bin,
+           round(min(lo) + bin * min(w) / 20, 6) AS bin_lo,
+           round(min(lo) + (bin + 1) * min(w) / 20, 6) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY 1, 2
+"""
+
+ORACLES["pit_state_join"] = """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_state IS NULL OR prev_state <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ),
+    runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM flagged
+    ),
+    per_run AS (
+      SELECT user_id, run, min(event_type) AS state,
+             min(us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT user_id, state, valid_from_us,
+             coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run),
+                      253402300799999999) AS valid_to_us,
+             n_events
+      FROM per_run
+    ),
+    probes AS (
+      SELECT event_id, user_id, epoch_us(ts) + 1800 * 1000000 AS probe_us
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT p.event_id, p.user_id, p.probe_us, h.state, h.valid_from_us, h.n_events
+    FROM probes p JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.probe_us >= h.valid_from_us AND p.probe_us < h.valid_to_us
 """

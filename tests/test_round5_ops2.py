@@ -523,3 +523,83 @@ def test_cc_local_finish_matches_distributed_loop(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+# -------------------------------------------------------- json_schema_profile
+
+
+def test_json_schema_profile_key_coverage(spark):
+    rows = [
+        Row(props='{"a": 1, "b": "x"}'),
+        Row(props='{"a": 2.5}'),
+        Row(props='{"a": null, "c": "y"}'),
+    ]
+    out = profiling.json_schema_profile(spark.createDataFrame(rows)).collect()
+    got = {r.key: r for r in out}
+    assert got["a"].n_present == 3 and got["a"].pct_present == 1.0
+    assert got["a"].n_null == 1  # JSON null literal
+    assert got["a"].n_numeric == 2
+    assert got["b"].n_present == 1 and got["b"].n_numeric == 0
+    assert got["c"].n_distinct == 1
+
+
+# --------------------------------------------------------- expectations_audit
+
+
+def test_expectations_audit_counts_violations(spark):
+    rows = [Row(x=5, s="ok"), Row(x=-1, s="ok"), Row(x=None, s="bad")]
+    out = profiling.expectations_audit(
+        spark.createDataFrame(rows),
+        [
+            ("x_positive", F.col("x") > 0),
+            ("s_in_domain", F.col("s").isin("ok")),
+        ],
+    ).collect()
+    got = {r.constraint: r for r in out}
+    # null x -> unevaluable -> violation
+    assert got["x_positive"].n_violations == 2
+    assert got["s_in_domain"].n_violations == 1
+    assert got["x_positive"].n_rows == 3
+    assert got["s_in_domain"].pct_violated == round(1 / 3, 6)
+
+
+# --------------------------------------------------------- grouped_histogram
+
+
+def test_grouped_histogram_shared_axes(spark):
+    rows = [Row(g="a", v=0.0), Row(g="a", v=10.0), Row(g="b", v=5.0)]
+    out = profiling.grouped_histogram(spark.createDataFrame(rows), "g", "v", n_bins=10)
+    got = {(r.g, r.bin): r for r in out.collect()}
+    # global range [0, 10]: v=0 -> bin 0, v=10 -> folds into bin 9, v=5 -> bin 5
+    assert got[("a", 0)].n == 1 and got[("a", 9)].n == 1
+    assert got[("b", 5)].n == 1
+    assert got[("b", 5)].bin_lo == 5.0 and got[("b", 5)].bin_hi == 6.0
+
+
+def test_grouped_histogram_degenerate_range(spark):
+    rows = [Row(g="a", v=3.0), Row(g="a", v=3.0)]
+    out = profiling.grouped_histogram(spark.createDataFrame(rows), "g", "v").collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0].n == 2
+
+
+# ----------------------------------------------------------------- pit_join
+
+
+def test_pit_join_selects_version_at_probe_time(spark):
+    hist = spark.createDataFrame(
+        [
+            Row(k=1, state="bronze", valid_from_us=0, valid_to_us=100),
+            Row(k=1, state="gold", valid_from_us=100, valid_to_us=253402300799999999),
+        ]
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(fid=1, k=1, probe_us=50),    # bronze era
+            Row(fid=2, k=1, probe_us=100),   # boundary -> NEWER version
+            Row(fid=3, k=1, probe_us=5000),  # gold era
+            Row(fid=4, k=2, probe_us=50),    # unknown key -> dropped
+        ]
+    )
+    out = windows.pit_join(facts, hist, "k", "probe_us").collect()
+    got = {r.fid: r.state for r in out}
+    assert got == {1: "bronze", 2: "gold", 3: "gold"}

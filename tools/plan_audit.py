@@ -154,6 +154,10 @@ AUDITED = [
     "topk_churn",
     "embedding_drift",
     "ols2_fit",
+    "json_schema_profile",
+    "expectations_audit",
+    "grouped_histogram",
+    "pit_state_join",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -557,6 +561,16 @@ CHECKS = {
     # ONE sufficient-statistics aggregate per group; Cramer algebra is
     # scalar projection over group-grain rows — no join, no window
     "ols2_fit": ["HashAggregate", "!Join", "!Window", "!CartesianProduct"],
+    # one from_json parse + map explode; key-grain aggregate
+    "json_schema_profile": ["Generate", "HashAggregate", "!Join", "!CartesianProduct"],
+    # all expectations fold into ONE aggregate row; constraint rows
+    # unpack via a generated array — no join, no second scan
+    "expectations_audit": ["HashAggregate", "Generate", "!Join", "!CartesianProduct"],
+    # global range rides a 1-row broadcast; ONE (group, bin) aggregate
+    "grouped_histogram": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # SCD2 build (shared per-key sort) + an EQUALITY hash join on the
+    # key with the interval predicate as residual — never range-only
+    "pit_state_join": ["Window", "Join", "!CartesianProduct", "!NestedLoop"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
