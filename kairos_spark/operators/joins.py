@@ -349,3 +349,48 @@ def entity_clusters(
     return connected_components(edges, "id_a", "id_b").select(
         "node", F.col("cluster_id").alias("entity_id")
     )
+
+
+def cdc_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Change-data-capture merge: apply a changelog (insert/update/
+    delete rows tagged by ``op_col``, ordered per key by ``seq_col``)
+    to a base snapshot and return the new snapshot — the batch MERGE
+    INTO every lakehouse table maintenance job runs, expressed as
+    pure DataFrame algebra (latest-change-wins per key, then base
+    rows survive only where no change touched the key).
+
+    Semantics: for each key, the change with the highest ``seq_col``
+    wins (ties broken by preferring the delete — a delete and upsert
+    at the same sequence is an ill-formed feed; deterministic either
+    way); winners with ``op != delete_op`` replace/insert their row,
+    delete-winners remove the key; untouched base rows pass through.
+    Payload columns are taken from the change row for upserts.
+
+    Scale shape: ONE window (per-key max-seq pick) over the CHANGELOG
+    only — day-sized, not table-sized — then one left-anti hash join
+    (base vs touched keys) and a union. The base table never sorts
+    and never shuffles beyond the anti-join on its key; this is why
+    CDC merge stays day-cost on a 100-TB table.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(),
+        F.when(F.col(op_col) == delete_op, 0).otherwise(1),
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    touched = latest.select(*key_cols)
+    survivors = base.join(touched, key_cols, "left_anti")
+    upserts = latest.where(F.col(op_col) != delete_op).drop(op_col).drop(seq_col)
+    return survivors.unionByName(upserts)

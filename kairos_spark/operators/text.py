@@ -1147,3 +1147,98 @@ def burstiness(
         F.round(var / mean, 6).alias("fano"),
         "rank",
     )
+
+
+def encoding_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source text-encoding health: rates of the damage signatures
+    a crawl picks up — U+FFFD replacement characters (decode
+    failures), C0 control characters (binary bleed-through), and the
+    classic UTF-8-read-as-Latin-1 mojibake digraphs (U+00C2/U+00C3
+    followed by a continuation-range char U+0080-00BF). Corpus
+    pipelines gate sources on exactly these before any content-quality
+    scoring — a 1% replacement-char rate means the fetcher, not the
+    writer, is the problem.
+
+    Output per group: (group, n_docs, pct_repl_docs, pct_ctrl_docs,
+    pct_mojibake_docs, repl_per_10k_chars) — document-grain incident
+    rates plus a char-grain density, rounded 6.
+
+    Scale shape: map-only char-class counts (regexp inside codegen)
+    folded by one group aggregate; no UDF, no second scan.
+    """
+    t = F.col(text_col)
+    repl = "\ufffd"
+    n_repl = F.length(t) - F.length(F.regexp_replace(t, repl, ""))
+    has_ctrl = t.rlike("[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]")
+    has_moji = t.rlike("[\u00c2\u00c3][\u0080-\u00bf]")
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        n_repl.alias("__r"),
+        has_ctrl.cast("int").alias("__c"),
+        has_moji.cast("int").alias("__m"),
+        F.length(t).alias("__len"),
+    )
+    g = per_doc.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__r") > 0, 1).otherwise(0)).cast("long").alias("__rd"),
+        F.sum("__c").cast("long").alias("__cd"),
+        F.sum("__m").cast("long").alias("__md"),
+        F.sum("__r").cast("long").alias("__rn"),
+        F.sum("__len").cast("long").alias("__chars"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.round(F.col("__rd") / nd, 6).alias("pct_repl_docs"),
+        F.round(F.col("__cd") / nd, 6).alias("pct_ctrl_docs"),
+        F.round(F.col("__md") / nd, 6).alias("pct_mojibake_docs"),
+        F.round(F.col("__rn") * 10000.0 / F.greatest(F.col("__chars"), F.lit(1)), 6)
+        .alias("repl_per_10k_chars"),
+    )
+
+
+def token_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-fertility audit per language: tokens per whitespace
+    word, characters per token, and token volume — the budget number
+    multilingual pipelines watch, because a tokenizer with fertility
+    2.8 on one language and 1.3 on another silently halves the
+    effective context and doubles the cost of the first (the fertility
+    metric from the multilingual-tokenizer literature, computed here
+    with the engine's regex token model over exact integer counts).
+
+    Output: (lang, n_docs, tokens, words, fertility = tokens/words,
+    chars_per_token), rounded 6; one map-side projection + one
+    aggregate.
+    """
+    toks = token_count(F.col(text_col))
+    words = word_count(F.col(text_col))
+    g = df.select(
+        F.col(lang_col).alias("lang"),
+        toks.alias("__t"),
+        words.alias("__w"),
+        F.length(F.col(text_col)).alias("__c"),
+    ).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("tokens"),
+        F.sum("__w").cast("long").alias("words"),
+        F.sum("__c").cast("long").alias("__chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        "words",
+        F.round(F.col("tokens") / F.col("words").cast("double"), 6).alias("fertility"),
+        F.round(F.col("__chars") / F.col("tokens").cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+    )

@@ -1544,3 +1544,39 @@ def pit_join(
         & (f[probe_us_col] < d[valid_to_col])
     )
     return f.join(d, cond, "inner").drop("__k")
+
+
+def calendar_heatmap(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Day-of-week × hour-of-day traffic profile: counts and share per
+    cell (optionally per group) — the calendar heatmap behind capacity
+    planning and the denominator ``seasonal_baseline`` deviates
+    against. dow follows the ISO convention via dayofweek (1=Sunday …
+    7=Saturday, Spark's convention, mirrored in the oracle).
+
+    Output: (group?, dow, hod, n, share) with share = cell/total
+    (per group when grouped), rounded 6. One map-side-combined
+    aggregate over at most |groups|·168 cells; the share rides a
+    window over cell-grain rows.
+    """
+    from pyspark.sql.window import Window
+
+    keys = ([group_col] if group_col else []) + ["dow", "hod"]
+    cells = (
+        df.select(
+            *([F.col(group_col)] if group_col else []),
+            F.dayofweek(F.col(ts_col)).cast("int").alias("dow"),
+            F.hour(F.col(ts_col)).cast("int").alias("hod"),
+        )
+        .groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy(*([group_col] if group_col else []))
+    return cells.select(
+        *keys,
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share"),
+    )

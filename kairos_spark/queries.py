@@ -2426,6 +2426,49 @@ def q_pit_state_join(spark, sf_dir):
     )
 
 
+
+
+def q_cdc_upsert(spark, sf_dir):
+    """CDC merge: base = even-key customer snapshot; changelog derived
+    from odd/even rules (updates rename, deletes drop key%10==3);
+    latest-change-wins then anti-join survivors union upserts."""
+    c = _tbl(spark, sf_dir, "customer")
+    base = c.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("upd_"), F.col("c_name")).alias("c_name"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        (F.col("c_custkey") % 6).alias("seq"),
+        F.when(F.col("c_custkey") % 10 == 3, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    out = joins.cdc_upsert(base, changes, ["c_custkey"], "seq")
+    return out.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 6).alias("c_acctbal")
+    )
+
+
+def q_encoding_audit(spark, sf_dir):
+    """Per-source encoding-damage rates: replacement chars, control
+    chars, Latin-1 mojibake digraphs."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.encoding_audit(docs)
+
+
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: tokens/word, chars/token."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.token_fertility(docs)
+
+
+def q_calendar_heatmap(spark, sf_dir):
+    """Per-event-type day-of-week x hour-of-day traffic heatmap with
+    within-group shares."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.calendar_heatmap(ev, group_col="event_type")
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2634,6 +2677,10 @@ QUERIES = {
     "expectations_audit": q_expectations_audit,
     "grouped_histogram": q_grouped_histogram,
     "pit_state_join": q_pit_state_join,
+    "cdc_upsert": q_cdc_upsert,
+    "encoding_audit": q_encoding_audit,
+    "token_fertility": q_token_fertility,
+    "calendar_heatmap": q_calendar_heatmap,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -6506,4 +6553,81 @@ ORACLES["pit_state_join"] = """
     FROM probes p JOIN hist h
       ON p.user_id = h.user_id
      AND p.probe_us >= h.valid_from_us AND p.probe_us < h.valid_to_us
+"""
+ORACLES["cdc_upsert"] = """
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+    ),
+    changes AS (
+      SELECT c_custkey, 'upd_' || c_name AS c_name, c_acctbal + 100 AS c_acctbal,
+             c_custkey % 6 AS seq,
+             CASE WHEN c_custkey % 10 = 3 THEN 'D' ELSE 'U' END AS op
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT c_custkey, c_name, c_acctbal, op,
+               row_number() OVER (PARTITION BY c_custkey
+                   ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ),
+    survivors AS (
+      SELECT b.* FROM base b ANTI JOIN latest l ON b.c_custkey = l.c_custkey
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal FROM survivors
+    UNION ALL
+    SELECT c_custkey, c_name, round(c_acctbal, 6) FROM latest WHERE op <> 'D'
+"""
+
+ORACLES["encoding_audit"] = """
+    WITH per_doc AS (
+      SELECT source AS grp,
+             length(text) - length(replace(text, chr(65533), '')) AS r,
+             CASE WHEN regexp_matches(text,
+                  '[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]') THEN 1 ELSE 0 END AS c,
+             CASE WHEN regexp_matches(text,
+                  '[' || chr(194) || chr(195) || '][' || chr(128) || '-' || chr(191) || ']')
+                  THEN 1 ELSE 0 END AS m,
+             length(text) AS len
+      FROM documents
+    )
+    SELECT grp AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS pct_repl_docs,
+           round(sum(c) * 1.0 / count(*), 6) AS pct_ctrl_docs,
+           round(sum(m) * 1.0 / count(*), 6) AS pct_mojibake_docs,
+           round(sum(r) * 10000.0 / greatest(sum(len), 1), 6) AS repl_per_10k_chars
+    FROM per_doc GROUP BY 1
+"""
+
+ORACLES["token_fertility"] = """
+    WITH per_doc AS (
+      SELECT lang,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS t,
+             len(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) AS w,
+             length(text) AS c
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS tokens,
+           CAST(sum(w) AS BIGINT) AS words,
+           round(sum(t) * 1.0 / sum(w), 6) AS fertility,
+           round(sum(c) * 1.0 / sum(t), 6) AS chars_per_token
+    FROM per_doc GROUP BY 1
+"""
+
+ORACLES["calendar_heatmap"] = """
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow, hod, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS share
+    FROM cells
 """

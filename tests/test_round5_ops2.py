@@ -603,3 +603,91 @@ def test_pit_join_selects_version_at_probe_time(spark):
     out = windows.pit_join(facts, hist, "k", "probe_us").collect()
     got = {r.fid: r.state for r in out}
     assert got == {1: "bronze", 2: "gold", 3: "gold"}
+
+
+# ----------------------------------------------------------------- cdc_upsert
+
+
+def test_cdc_upsert_latest_wins_and_delete(spark):
+    from kairos_spark.operators import joins
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="old1"), Row(k=2, v="old2"), Row(k=3, v="old3")]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, v="upd1a", seq=1, op="U"),
+            Row(k=1, v="upd1b", seq=2, op="U"),  # latest wins
+            Row(k=2, v=None, seq=1, op="D"),     # delete
+            Row(k=4, v="new4", seq=1, op="U"),   # insert
+        ]
+    )
+    out = joins.cdc_upsert(base, changes, ["k"], "seq").collect()
+    got = {r.k: r.v for r in out}
+    assert got == {1: "upd1b", 3: "old3", 4: "new4"}
+
+
+def test_cdc_upsert_delete_beats_update_at_same_seq(spark):
+    from kairos_spark.operators import joins
+
+    base = spark.createDataFrame([Row(k=1, v="old")])
+    changes = spark.createDataFrame(
+        [Row(k=1, v="upd", seq=5, op="U"), Row(k=1, v=None, seq=5, op="D")]
+    )
+    out = joins.cdc_upsert(base, changes, ["k"], "seq").collect()
+    assert out == []
+
+
+# ------------------------------------------------------------- encoding_audit
+
+
+def test_encoding_audit_detects_damage(spark):
+    rows = [
+        Row(source="clean", text="perfectly fine text"),
+        Row(source="bad", text="broken �� here"),
+        Row(source="bad", text="ctrl\x01char"),
+        Row(source="bad", text="moji Ã© bake"),  # Ã© = UTF-8 é read as Latin-1
+    ]
+    out = text.encoding_audit(spark.createDataFrame(rows)).collect()
+    got = {r.source: r for r in out}
+    assert got["clean"].pct_repl_docs == 0.0
+    assert got["clean"].pct_ctrl_docs == 0.0
+    assert got["bad"].pct_repl_docs == round(1 / 3, 6)
+    assert got["bad"].pct_ctrl_docs == round(1 / 3, 6)
+    assert got["bad"].pct_mojibake_docs == round(1 / 3, 6)
+    assert got["bad"].repl_per_10k_chars > 0
+
+
+# ------------------------------------------------------------ token_fertility
+
+
+def test_token_fertility_punctuation_raises_fertility(spark):
+    rows = [
+        Row(lang="plain", text="three simple words"),
+        Row(lang="punct", text="it's half-baked, no?"),
+    ]
+    out = text.token_fertility(spark.createDataFrame(rows)).collect()
+    got = {r.lang: r for r in out}
+    assert got["plain"].fertility == 1.0  # 3 tokens / 3 words
+    assert got["punct"].fertility > 1.5  # apostrophes/hyphens split tokens
+    assert got["plain"].words == 3
+
+
+# ----------------------------------------------------------- calendar_heatmap
+
+
+def test_calendar_heatmap_shares_sum_to_one_per_group(spark):
+    rows = [
+        Row(event_type="a", ts=_h(0)),  # Mon 2024-01-01
+        Row(event_type="a", ts=_h(0)),
+        Row(event_type="a", ts=_h(13, day=2)),
+        Row(event_type="b", ts=_h(5)),
+    ]
+    out = windows.calendar_heatmap(
+        spark.createDataFrame(rows), group_col="event_type"
+    ).collect()
+    a = [r for r in out if r.event_type == "a"]
+    assert sum(r.share for r in a) == 1.0
+    cell = {(r.dow, r.hod): r.n for r in a}
+    assert cell[(2, 0)] == 2  # 2024-01-01 is a Monday -> Spark dow=2
+    assert cell[(3, 13)] == 1

@@ -158,6 +158,10 @@ AUDITED = [
     "expectations_audit",
     "grouped_histogram",
     "pit_state_join",
+    "cdc_upsert",
+    "encoding_audit",
+    "token_fertility",
+    "calendar_heatmap",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -571,6 +575,16 @@ CHECKS = {
     # SCD2 build (shared per-key sort) + an EQUALITY hash join on the
     # key with the interval predicate as residual — never range-only
     "pit_state_join": ["Window", "Join", "!CartesianProduct", "!NestedLoop"],
+    # latest-wins window over the CHANGELOG only; base survives via a
+    # left-anti hash join; union — the base never sorts
+    "cdc_upsert": ["Window", "Join", "Union", "!CartesianProduct", "!NestedLoop"],
+    # map-only char-class counts folded by one group aggregate
+    "encoding_audit": ["HashAggregate", "!Join", "!Window", "!CartesianProduct"],
+    # map-only token/word counts folded by one language aggregate
+    "token_fertility": ["HashAggregate", "!Join", "!Window", "!CartesianProduct"],
+    # <= |groups|x168 cells after map-side combine; share is a window
+    # over cell-grain rows
+    "calendar_heatmap": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
