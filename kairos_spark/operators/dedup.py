@@ -1021,3 +1021,49 @@ def prefix_jaccard_pairs(
         "overlap",
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+def split_leakage_audit(
+    splits: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test contamination check for a split assignment: classify
+    every near-duplicate pair by the (lexicographically ordered) split
+    pair of its two members and count — a near-dup spanning train and
+    test IS evaluation leakage, the failure mode that silently
+    inflates benchmark scores after an otherwise-clean dedup
+    (the reason Lee et al. dedup the eval sets against train).
+    Compose with any pair source — ``prefix_jaccard_pairs`` for the
+    exact path, ``minhash_lsh_pairs`` at recall-tolerant scale.
+
+    Output: (split_a, split_b, n_pairs, cross_split, pct_of_pairs) —
+    split_a <= split_b, cross_split = the leakage rows, shares over
+    all near-dup pairs (rounded 6; an all-clear audit shows every
+    pair on the diagonal).
+
+    Scale shape: two hash joins of the PAIR list (already subquadratic
+    by construction) against the (id, split) projection, then a
+    |splits|² aggregate; the split table never self-joins.
+    """
+    from pyspark.sql.window import Window
+
+    sa = splits.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("__sa"))
+    sb = splits.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("__sb"))
+    tagged = pairs.join(sa, "id_a").join(sb, "id_b")
+    lo = F.least(F.col("__sa"), F.col("__sb"))
+    hi = F.greatest(F.col("__sa"), F.col("__sb"))
+    cells = tagged.groupBy(lo.alias("split_a"), hi.alias("split_b")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        (F.col("split_a") != F.col("split_b")).alias("cross_split"),
+        F.round(F.col("n_pairs") / F.sum("n_pairs").over(w).cast("double"), 6).alias(
+            "pct_of_pairs"
+        ),
+    )

@@ -1630,3 +1630,93 @@ def grouped_histogram(
         ),
         "n",
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group EXACT quantiles (linear interpolation at (n−1)·p,
+    the R-7/SQL quantile_cont definition both engines share) — the
+    grouped companion to the global ``value_percentiles``. Exact, so
+    it shuffles each group's values to its reducer; at fact scale
+    swap in ``percentile_approx`` (documented trade, same output
+    shape) — the audit-grain default favors reproducibility.
+
+    Output: (group, p, q) one row per (group, probability).
+    """
+    qs = F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(float(p)) for p in probs]))
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(qs.alias("__qs"))
+    pairs = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(float(p)) for p in probs]).alias("p"),
+            F.col("__qs").alias("q"),
+        )
+    )
+    return g.select(F.col("grp").alias(group_col), pairs.alias("__e")).select(
+        group_col,
+        F.col("__e.p").alias("p"),
+        F.round(F.col("__e.q"), 6).alias("q"),
+    )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    min_pair_baskets: int = 1,
+) -> DataFrame:
+    """Association rules over baskets: for each ORDERED item pair
+    (a → b), support / confidence / lift from distinct-item basket
+    co-occurrence — the market-basket view of event mixes ("users who
+    search also purchase, 3× over independence"), complementing
+    ``mutual_info`` (global dependence, no direction) and ``pmi_pairs``
+    (token windows). lift > 1 ⇒ positive association; confidence is
+    P(b ∈ basket | a ∈ basket).
+
+    Output: (item_a, item_b, n_ab, support, confidence, lift),
+    rounded 6, pairs below ``min_pair_baskets`` dropped.
+
+    Scale shape: baskets collapse to DISTINCT (basket, item) first
+    (map-side), so the within-basket self-join fans out at
+    |items-per-basket|² with items a small closed set — never raw
+    rows; item and total-basket counts ride bounded aggregates and a
+    1-row broadcast.
+    """
+    items = df.select(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in basket_cols]).alias(
+            "__b"
+        ),
+        F.col(item_col).alias("item"),
+    ).distinct()
+    tot = items.select("__b").distinct().agg(F.count("*").cast("long").alias("__n"))
+    item_counts = items.groupBy(F.col("item")).agg(
+        F.count("*").cast("long").alias("__ni")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pair_counts = (
+        a.join(b, "__b")
+        .where(F.col("a.item") != F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_baskets)
+    )
+    ca = item_counts.select(F.col("item").alias("item_a"), F.col("__ni").alias("__na"))
+    cb = item_counts.select(F.col("item").alias("item_b"), F.col("__ni").alias("__nb"))
+    j = pair_counts.join(ca, "item_a").join(cb, "item_b").crossJoin(F.broadcast(tot))
+    n = F.col("__n").cast("double")
+    supp = F.col("n_ab") / n
+    conf = F.col("n_ab") / F.col("__na").cast("double")
+    lift = supp / ((F.col("__na") / n) * (F.col("__nb") / n))
+    return j.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        F.round(supp, 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(lift, 6).alias("lift"),
+    )

@@ -1580,3 +1580,63 @@ def calendar_heatmap(
         "n",
         F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share"),
     )
+
+
+def attribution_split(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    conversion_type: str = "purchase",
+    lookback_sec: int = 86400,
+) -> DataFrame:
+    """Multi-touch conversion attribution: for every conversion event,
+    the non-conversion touches in the preceding ``lookback_sec``
+    window share the credit three ways at once — FIRST-touch (the
+    opener), LAST-touch (the closer), and LINEAR (1/n each) — the
+    three standard models a growth team compares before arguing about
+    Shapley. Output per touch type: (touch_type, n_touches,
+    conv_first, conv_last, credit_linear) with linear credit summed
+    DECIMAL(28,12)-exact (1/n terms are rationals; decimal
+    accumulation keeps engine association irrelevant), rounded 6.
+
+    Scale shape: conversions and touches join on USER equality with
+    the time window as residual (hash join, never range-only); per-
+    conversion first/last/n come from windows over the JOINED rows
+    partitioned by conversion id — fan-out bounded by touches-per-
+    window, the quantity the lookback cap exists to bound.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    conv = df.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(seq_col).alias("__cid"),
+        us.alias("__cus"),
+    )
+    touch = df.where(F.col(type_col) != conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("touch_type"),
+        F.col(seq_col).alias("__tid"),
+        us.alias("__tus"),
+    )
+    j = conv.join(touch, "__u").where(
+        (F.col("__tus") < F.col("__cus"))
+        & (F.col("__tus") >= F.col("__cus") - lookback_sec * 1000000)
+    )
+    wc = Window.partitionBy("__cid")
+    w_first = Window.partitionBy("__cid").orderBy("__tus", "__tid")
+    w_last = Window.partitionBy("__cid").orderBy(
+        F.col("__tus").desc(), F.col("__tid").desc()
+    )
+    scored = j.select(
+        "touch_type",
+        (F.row_number().over(w_first) == 1).cast("int").alias("__f"),
+        (F.row_number().over(w_last) == 1).cast("int").alias("__l"),
+        (F.lit(1.0) / F.count("*").over(wc)).cast("decimal(28,12)").alias("__lin"),
+    )
+    return scored.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("__f").cast("long").alias("conv_first"),
+        F.sum("__l").cast("long").alias("conv_last"),
+        F.round(F.sum("__lin").cast("double"), 6).alias("credit_linear"),
+    )

@@ -2469,6 +2469,42 @@ def q_calendar_heatmap(spark, sf_dir):
     return windows.calendar_heatmap(ev, group_col="event_type")
 
 
+
+
+def q_attribution_split(spark, sf_dir):
+    """First/last/linear-touch attribution of purchases to the touch
+    types seen in the preceding 24 h, per touch type."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.attribution_split(ev, conversion_type="purchase", lookback_sec=86400)
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Eval-leakage audit: exact Jaccard >= 0.95 near-dup pairs
+    classified by the train/val/test hash-split pair of their members."""
+    docs = _tbl(spark, sf_dir, "documents")
+    splits = sampling.hash_split(docs).select("doc_id", "split")
+    pairs = dedup.prefix_jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    return dedup.split_leakage_audit(splits, pairs)
+
+
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-event-type value quantiles (p25/50/75/90/99)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.group_quantiles(ev, "event_type", "value")
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Association rules over (user, day) baskets of event types:
+    support, confidence, lift per ordered pair."""
+    ev = _tbl(spark, sf_dir, "events")
+    basketed = ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    )
+    return profiling.assoc_rules(basketed, ["user_id", "day"], "event_type")
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2681,6 +2717,10 @@ QUERIES = {
     "encoding_audit": q_encoding_audit,
     "token_fertility": q_token_fertility,
     "calendar_heatmap": q_calendar_heatmap,
+    "attribution_split": q_attribution_split,
+    "split_leakage_audit": q_split_leakage_audit,
+    "group_quantiles": q_group_quantiles,
+    "assoc_rules": q_assoc_rules,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -6630,4 +6670,110 @@ ORACLES["calendar_heatmap"] = """
     SELECT event_type, dow, hod, n,
            round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS share
     FROM cells
+"""
+ORACLES["attribution_split"] = """
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS u, event_type AS touch_type, event_id AS tid,
+             epoch_us(ts) AS tus
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT cid, touch_type, tid, tus
+      FROM conv JOIN touch USING (u)
+      WHERE tus < cus AND tus >= cus - 86400000000
+    ),
+    scored AS (
+      SELECT touch_type,
+             CASE WHEN row_number() OVER (PARTITION BY cid ORDER BY tus, tid) = 1
+                  THEN 1 ELSE 0 END AS f,
+             CASE WHEN row_number() OVER (PARTITION BY cid ORDER BY tus DESC, tid DESC) = 1
+                  THEN 1 ELSE 0 END AS l,
+             CAST(1.0 / count(*) OVER (PARTITION BY cid) AS DECIMAL(28,12)) AS lin
+      FROM j
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(f) AS BIGINT) AS conv_first,
+           CAST(sum(l) AS BIGINT) AS conv_last,
+           round(CAST(sum(lin) AS DOUBLE), 6) AS credit_linear
+    FROM scored GROUP BY 1
+"""
+
+ORACLES["split_leakage_audit"] = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM toks GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ov
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE ov * 1.0 / (sa.s + sb.s - ov) >= 0.95
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11))::BIGINT
+                       % 1000000 < 900000 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11))::BIGINT
+                       % 1000000 < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    cells AS (
+      SELECT least(a.split, b.split) AS split_a,
+             greatest(a.split, b.split) AS split_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT split_a, split_b, n_pairs,
+           split_a <> split_b AS cross_split,
+           round(n_pairs * 1.0 / sum(n_pairs) OVER (), 6) AS pct_of_pairs
+    FROM cells
+"""
+
+ORACLES["group_quantiles"] = """
+    WITH cells AS (
+      SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE), [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p,
+           round(unnest(qs), 6) AS q
+    FROM cells
+"""
+
+ORACLES["assoc_rules"] = """
+    WITH items AS (
+      SELECT DISTINCT
+             CAST(user_id AS VARCHAR) || chr(31)
+               || strftime(date_trunc('day', ts), '%Y-%m-%d') AS b,
+             event_type AS item
+      FROM events
+    ),
+    tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+    ic AS (SELECT item, CAST(count(*) AS BIGINT) AS ni FROM items GROUP BY 1),
+    pc AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b ON a.b = b.b AND a.item <> b.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_ab,
+           round(n_ab / (tot.n * 1.0), 6) AS support,
+           round(n_ab / (ca.ni * 1.0), 6) AS confidence,
+           round((n_ab / (tot.n * 1.0))
+                 / ((ca.ni / (tot.n * 1.0)) * (cb.ni / (tot.n * 1.0))), 6) AS lift
+    FROM pc
+    JOIN ic ca ON pc.item_a = ca.item
+    JOIN ic cb ON pc.item_b = cb.item, tot
 """

@@ -691,3 +691,90 @@ def test_calendar_heatmap_shares_sum_to_one_per_group(spark):
     cell = {(r.dow, r.hod): r.n for r in a}
     assert cell[(2, 0)] == 2  # 2024-01-01 is a Monday -> Spark dow=2
     assert cell[(3, 13)] == 1
+
+
+# ---------------------------------------------------------- attribution_split
+
+
+def test_attribution_split_first_last_linear(spark):
+    # user 1: view(t0) -> search(t1) -> purchase(t2)
+    # first = view, last = search, linear = 0.5 each
+    rows = [
+        Row(event_id=1, user_id=1, event_type="view", ts=_h(0)),
+        Row(event_id=2, user_id=1, event_type="search", ts=_h(1)),
+        Row(event_id=3, user_id=1, event_type="purchase", ts=_h(2)),
+    ]
+    out = windows.attribution_split(
+        spark.createDataFrame(rows), conversion_type="purchase", lookback_sec=86400
+    ).collect()
+    got = {r.touch_type: r for r in out}
+    assert got["view"].conv_first == 1 and got["view"].conv_last == 0
+    assert got["search"].conv_first == 0 and got["search"].conv_last == 1
+    assert got["view"].credit_linear == 0.5 and got["search"].credit_linear == 0.5
+
+
+def test_attribution_split_lookback_excludes_old_touches(spark):
+    rows = [
+        Row(event_id=1, user_id=1, event_type="view", ts=_h(0)),
+        Row(event_id=2, user_id=1, event_type="purchase", ts=_h(0, day=5)),
+    ]
+    out = windows.attribution_split(
+        spark.createDataFrame(rows), conversion_type="purchase", lookback_sec=3600
+    ).collect()
+    assert out == []  # the only touch is outside the 1 h lookback
+
+
+# -------------------------------------------------------- split_leakage_audit
+
+
+def test_split_leakage_audit_classifies_pairs(spark):
+    from kairos_spark.operators import dedup
+
+    splits = spark.createDataFrame(
+        [Row(doc_id=1, split="train"), Row(doc_id=2, split="train"),
+         Row(doc_id=3, split="test")]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=1, id_b=3)]
+    )
+    out = dedup.split_leakage_audit(splits, pairs).collect()
+    got = {(r.split_a, r.split_b): r for r in out}
+    assert got[("train", "train")].n_pairs == 1
+    assert not got[("train", "train")].cross_split
+    assert got[("test", "train")].n_pairs == 1  # ordered lexicographically
+    assert got[("test", "train")].cross_split
+    assert got[("test", "train")].pct_of_pairs == 0.5
+
+
+# ------------------------------------------------------------ group_quantiles
+
+
+def test_group_quantiles_exact_interpolation(spark):
+    rows = [Row(g="a", v=float(x)) for x in [1, 2, 3, 4]]
+    out = profiling.group_quantiles(
+        spark.createDataFrame(rows), "g", "v", probs=[0.5]
+    ).collect()
+    # (n-1)*p = 1.5 -> 2 + 0.5*(3-2) = 2.5
+    assert out[0].q == 2.5 and out[0].p == 0.5
+
+
+# ---------------------------------------------------------------- assoc_rules
+
+
+def test_assoc_rules_lift_and_confidence(spark):
+    # 4 baskets: {a,b} x2, {a} x1, {c} x1
+    rows = [
+        Row(b=1, item="a"), Row(b=1, item="b"),
+        Row(b=2, item="a"), Row(b=2, item="b"),
+        Row(b=3, item="a"), Row(b=4, item="c"),
+    ]
+    out = profiling.assoc_rules(spark.createDataFrame(rows), ["b"], "item").collect()
+    got = {(r.item_a, r.item_b): r for r in out}
+    ab = got[("a", "b")]
+    assert ab.n_ab == 2
+    assert ab.support == 0.5  # 2 of 4 baskets
+    assert ab.confidence == round(2 / 3, 6)  # a in 3 baskets
+    # lift = supp / (pa * pb) = 0.5 / (0.75 * 0.5)
+    assert ab.lift == round(0.5 / (0.75 * 0.5), 6)
+    ba = got[("b", "a")]
+    assert ba.confidence == 1.0  # every b basket has a

@@ -162,6 +162,10 @@ AUDITED = [
     "encoding_audit",
     "token_fertility",
     "calendar_heatmap",
+    "attribution_split",
+    "split_leakage_audit",
+    "group_quantiles",
+    "assoc_rules",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -585,6 +589,18 @@ CHECKS = {
     # <= |groups|x168 cells after map-side combine; share is a window
     # over cell-grain rows
     "calendar_heatmap": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
+    # conversions x touches join on USER equality with the lookback as
+    # residual; credit windows over conversion-grain joined rows
+    "attribution_split": ["Join", "Window", "HashAggregate", "!CartesianProduct", "!NestedLoop"],
+    # pair list (prefix-filtered, subquadratic) joins the split
+    # projection twice on id equality; |splits|^2 cells
+    "split_leakage_audit": ["Join", "HashAggregate", "!CartesianProduct", "!NestedLoop"],
+    # one exact-percentile aggregate per group; array unzip is a
+    # generated projection
+    "group_quantiles": ["Generate", "!Join", "!CartesianProduct"],
+    # distinct (basket, item) first; within-basket self-join fans out
+    # at |items-per-basket|^2; totals ride a 1-row broadcast
+    "assoc_rules": ["HashAggregate", "Join", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
