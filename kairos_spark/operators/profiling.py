@@ -1720,3 +1720,66 @@ def assoc_rules(
         F.round(conf, 6).alias("confidence"),
         F.round(lift, 6).alias("lift"),
     )
+
+
+def dist_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Pairwise distribution-overlap matrix between groups: the
+    histogram intersection Σ min(p_a, p_b) over shared equal-width
+    bins (1 = identical binned distributions, 0 = disjoint support) —
+    the symmetric, bounded cousin of PSI/KS drift for MANY groups at
+    once ("which event types have interchangeable value profiles?").
+
+    Output: (group_a, group_b, overlap) for the lexical upper
+    triangle, rounded 6; bins span the global range (same convention
+    as ``grouped_histogram``) so groups are comparable.
+
+    Scale shape: one (group, bin) count aggregate (map-side combined)
+    + per-group totals via a window; the pairwise step joins the
+    BIN-GRAIN table with itself on bin — |groups|²·n_bins rows, a
+    profiling-size intermediate independent of fact cardinality. The
+    min() inside the sum handles missing bins through the inner join:
+    a bin absent from either group contributes min(p, 0) = 0, exactly
+    the intersection semantics.
+    """
+    from pyspark.sql.window import Window
+
+    scal = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("__lo"),
+        F.max(F.col(value_col).cast("double")).alias("__hi"),
+    )
+    v = F.col(value_col).cast("double")
+    span = F.col("__hi") - F.col("__lo")
+    bin_expr = F.when(
+        span > 0,
+        F.least(
+            F.floor((v - F.col("__lo")) * n_bins / span).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    cells = (
+        df.crossJoin(F.broadcast(scal))
+        .select(F.col(group_col).alias("grp"), bin_expr.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wg = Window.partitionBy("grp")
+    probs = cells.select(
+        "grp", "bin", (F.col("n") / F.sum("n").over(wg).cast("double")).alias("p")
+    )
+    a, b = probs.alias("a"), probs.alias("b")
+    pairs = (
+        a.join(b, "bin")
+        .where(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b"))
+        .agg(
+            F.round(
+                F.sum(F.least(F.col("a.p"), F.col("b.p"))), 6
+            ).alias("overlap")
+        )
+    )
+    return pairs

@@ -809,3 +809,60 @@ def embedding_drift(
         F.round(cos, 6).alias("cos_means"),
         F.round(shift, 6).alias("l2_shift"),
     )
+
+
+def label_centroid_dists(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise cosine similarity between LABEL CENTROIDS — the
+    class-geometry audit ("which classes sit on top of each other?")
+    that predicts classifier confusions and flags mislabeled clusters
+    before any model trains. Complements ``embedding_drift`` (same
+    centroid machinery, across-time instead of across-class) and
+    ``cluster_quality`` (assignment-grain).
+
+    Everything reduces to per-(label, dim) sums: cos(c_a, c_b) =
+    Σ s_a·s_b / (‖s_a‖‖s_b‖) — the counts cancel, so the centroid
+    similarity is computable from sums alone. Output: (label_a,
+    label_b, n_a, n_b, cos) for label_a < label_b, rounded 6.
+
+    Scale shape: map-side posexplode → (label, dim) sums → the
+    pairwise step joins the |labels|·dim table with itself on dim —
+    profiling-sized, never corpus-sized.
+    """
+    dims = df.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).select("lbl", "dim", F.col("__v").cast("double").alias("__v"))
+    sums = dims.groupBy("lbl", "dim").agg(F.sum("__v").alias("s"))
+    counts = df.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a, b = sums.alias("a"), sums.alias("b")
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("a.lbl") < F.col("b.lbl"))
+        .groupBy(F.col("a.lbl").alias("label_a"), F.col("b.lbl").alias("label_b"))
+        .agg(
+            F.sum(F.col("a.s") * F.col("b.s")).alias("__dot"),
+            F.sum(F.col("a.s") * F.col("a.s")).alias("__na2"),
+            F.sum(F.col("b.s") * F.col("b.s")).alias("__nb2"),
+        )
+    )
+    ca = counts.select(F.col("lbl").alias("label_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("lbl").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(ca, "label_a")
+        .join(cb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("__dot") / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2"))), 6
+            ).alias("cos"),
+        )
+    )

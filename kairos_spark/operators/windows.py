@@ -1640,3 +1640,66 @@ def attribution_split(
         F.sum("__l").cast("long").alias("conv_last"),
         F.round(F.sum("__lin").cast("double"), 6).alias("credit_linear"),
     )
+
+
+def session_entry_exit(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    gap_sec: float = 1800.0,
+) -> DataFrame:
+    """Landing/exit analysis over gap-based sessions: per event type —
+    how many sessions ENTER through it (first event), how many EXIT
+    through it (last event), and how many of its entries BOUNCE
+    (single-event sessions) — the session-shape scorecard behind
+    "which surface do people arrive on, and does it hold them".
+
+    Output: (event_type, n_entries, n_exits, n_bounces, bounce_rate =
+    bounces/entries, exit_rate = exits/total sessions), rounded 6.
+
+    Scale shape: sessionization is the standard gaps-and-islands
+    cumsum (one per-user sort, shared by the id and the first/last
+    windows); per-session first/last/size collapse via ONE
+    min_by/max_by aggregate at session grain; the final table is
+    |event types| rows. Total-session count rides a 1-row broadcast.
+    """
+    base = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(seq_col).alias("__seq"),
+    )
+    w = Window.partitionBy("__u").orderBy("__us", "__seq")
+    new_sess = F.when(
+        F.lag("__us").over(w).isNull()
+        | ((F.col("__us") - F.lag("__us").over(w)) > int(gap_sec * 1000000)),
+        1,
+    ).otherwise(0)
+    sess = base.withColumn("__sid", F.sum(new_sess).over(w))
+    per_sess = sess.groupBy("__u", "__sid").agg(
+        F.min_by("__t", F.struct("__us", "__seq")).alias("entry_type"),
+        F.max_by("__t", F.struct("__us", "__seq")).alias("exit_type"),
+        F.count("*").cast("long").alias("__n"),
+    )
+    tot = per_sess.agg(F.count("*").cast("long").alias("__total"))
+    entries = per_sess.groupBy(F.col("entry_type").alias("event_type")).agg(
+        F.count("*").cast("long").alias("n_entries"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).cast("long").alias("n_bounces"),
+    )
+    exits = per_sess.groupBy(F.col("exit_type").alias("event_type")).agg(
+        F.count("*").cast("long").alias("n_exits")
+    )
+    j = entries.join(exits, "event_type", "full_outer").crossJoin(F.broadcast(tot))
+    ne = F.coalesce(F.col("n_entries"), F.lit(0)).cast("long")
+    nx = F.coalesce(F.col("n_exits"), F.lit(0)).cast("long")
+    nb = F.coalesce(F.col("n_bounces"), F.lit(0)).cast("long")
+    return j.select(
+        "event_type",
+        ne.alias("n_entries"),
+        nx.alias("n_exits"),
+        nb.alias("n_bounces"),
+        F.round(nb / F.greatest(ne, F.lit(1)).cast("double"), 6).alias("bounce_rate"),
+        F.round(nx / F.col("__total").cast("double"), 6).alias("exit_rate"),
+    )

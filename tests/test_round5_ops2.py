@@ -778,3 +778,59 @@ def test_assoc_rules_lift_and_confidence(spark):
     assert ab.lift == round(0.5 / (0.75 * 0.5), 6)
     ba = got[("b", "a")]
     assert ba.confidence == 1.0  # every b basket has a
+
+
+# --------------------------------------------------------- session_entry_exit
+
+
+def test_session_entry_exit_bounce_and_rates(spark):
+    rows = [
+        # user 1, session 1: view -> purchase (enters view, exits purchase)
+        Row(event_id=1, user_id=1, event_type="view", ts=_h(0)),
+        Row(event_id=2, user_id=1, event_type="purchase", ts=_h(0) + dt.timedelta(minutes=5)),
+        # user 1, session 2 after 3 h gap: single view (bounce)
+        Row(event_id=3, user_id=1, event_type="view", ts=_h(4)),
+        # user 2: single search session (bounce)
+        Row(event_id=4, user_id=2, event_type="search", ts=_h(0)),
+    ]
+    out = windows.session_entry_exit(
+        spark.createDataFrame(rows), gap_sec=1800.0
+    ).collect()
+    got = {r.event_type: r for r in out}
+    assert got["view"].n_entries == 2 and got["view"].n_bounces == 1
+    assert got["view"].bounce_rate == 0.5
+    assert got["purchase"].n_entries == 0 and got["purchase"].n_exits == 1
+    assert got["search"].n_bounces == 1
+    # 3 sessions total; view exits the bounce session
+    assert got["view"].exit_rate == round(1 / 3, 6)
+
+
+# ---------------------------------------------------------------- dist_overlap
+
+
+def test_dist_overlap_identical_and_disjoint(spark):
+    rows = (
+        [Row(g="a", v=float(i)) for i in range(10)]
+        + [Row(g="b", v=float(i)) for i in range(10)]     # identical to a
+        + [Row(g="c", v=float(i + 100)) for i in range(10)]  # disjoint
+    )
+    out = profiling.dist_overlap(spark.createDataFrame(rows), "g", "v", n_bins=10)
+    got = {(r.group_a, r.group_b): r.overlap for r in out.collect()}
+    assert got[("a", "b")] == 1.0
+    # disjoint supports share no bin -> pair row absent or ~0
+    assert got.get(("a", "c"), 0.0) == 0.0
+
+
+# -------------------------------------------------------- label_centroid_dists
+
+
+def test_label_centroid_dists_orthogonal_and_identical(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[1.0, 0.0], label=1),   # same centroid as 0
+        Row(vec_id=3, embedding=[0.0, 1.0], label=2),   # orthogonal
+    ]
+    out = similarity.label_centroid_dists(spark.createDataFrame(rows)).collect()
+    got = {(r.label_a, r.label_b): r.cos for r in out}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0

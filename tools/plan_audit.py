@@ -166,6 +166,9 @@ AUDITED = [
     "split_leakage_audit",
     "group_quantiles",
     "assoc_rules",
+    "session_entry_exit",
+    "dist_overlap",
+    "label_centroid_dists",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -601,6 +604,15 @@ CHECKS = {
     # distinct (basket, item) first; within-basket self-join fans out
     # at |items-per-basket|^2; totals ride a 1-row broadcast
     "assoc_rules": ["HashAggregate", "Join", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # gaps-and-islands cumsum shares one per-user sort; entry/exit via
+    # min_by/max_by at session grain; total rides a 1-row broadcast
+    "session_entry_exit": ["Window", "HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # (group, bin) aggregate; probs via per-group window; pairwise join
+    # runs on BIN-GRAIN rows only (the range scalar rides a 1-row
+    # BroadcastNestedLoopJoin, so the bare !NestedLoop needle is off)
+    "dist_overlap": ["HashAggregate", "Window", "Join", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # (label, dim) sums; pairwise join on dim over label-grain sums
+    "label_centroid_dists": ["Generate", "HashAggregate", "Join", "!CartesianProduct", "!NestedLoop"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
