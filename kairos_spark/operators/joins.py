@@ -394,3 +394,50 @@ def cdc_upsert(
     survivors = base.join(touched, key_cols, "left_anti")
     upserts = latest.where(F.col(op_col) != delete_op).drop(op_col).drop(seq_col)
     return survivors.unionByName(upserts)
+
+
+def reconciliation_audit(
+    header: DataFrame,
+    lines: DataFrame,
+    key_col: str,
+    header_amount: str,
+    line_amount_expr,
+    group_col: str | None = None,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Header-vs-detail financial reconciliation: per header key, the
+    DECIMAL-exact sum of a line-level amount expression compared to
+    the header's recorded amount; rolled up (optionally per group) to
+    match counts and error magnitudes — the daily close-of-books
+    audit ("do the order totals equal their line items?"), and the
+    join-integrity cousin of ``fk_conformance``.
+
+    Output: (group?, n_headers, n_matched, n_mismatched, pct_matched,
+    mean_abs_diff, max_abs_diff), rounded 6; a header with no lines
+    counts as mismatched with its full amount as the diff.
+
+    Scale shape: the line expression pre-aggregates per key (map-side
+    combine) BEFORE joining the header — the join moves |headers|
+    rows, never |lines|; the rollup is group-grain.
+    """
+    per_key = lines.groupBy(F.col(key_col)).agg(
+        F.sum(line_amount_expr.cast("decimal(28,8)")).alias("__lsum")
+    )
+    j = header.join(per_key, key_col, "left")
+    diff = F.abs(
+        F.col(header_amount).cast("decimal(28,8)")
+        - F.coalesce(F.col("__lsum"), F.lit(0).cast("decimal(28,8)"))
+    )
+    matched = diff <= tolerance
+    keys = [F.col(group_col)] if group_col else []
+    g = j.select(
+        *keys, diff.alias("__d"), matched.cast("long").alias("__m")
+    ).groupBy(*([group_col] if group_col else [])).agg(
+        F.count("*").cast("long").alias("n_headers"),
+        F.sum("__m").cast("long").alias("n_matched"),
+        (F.count("*") - F.sum("__m")).cast("long").alias("n_mismatched"),
+        F.round(F.sum("__m") / F.count("*").cast("double"), 6).alias("pct_matched"),
+        F.round(F.avg(F.col("__d").cast("double")), 6).alias("mean_abs_diff"),
+        F.round(F.max(F.col("__d").cast("double")), 6).alias("max_abs_diff"),
+    )
+    return g

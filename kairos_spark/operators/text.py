@@ -1242,3 +1242,40 @@ def token_fertility(
             "chars_per_token"
         ),
     )
+
+
+def hapax_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Per-group lexical richness: vocabulary size, hapax legomena
+    (terms occurring exactly once IN THE GROUP), hapax share of the
+    vocabulary, and the type-token ratio — the fast screen for
+    template spam (TTR collapses when a source repeats itself) and
+    OCR noise (hapax share spikes when garbage tokens flood the
+    vocabulary). The per-group view of what ``freq_spectrum`` shows
+    globally.
+
+    Output: (group, tokens, vocab, hapax, hapax_share = hapax/vocab,
+    ttr = vocab/tokens), rounded 6.
+
+    Scale shape: one tokenize-explode → (group, token) count with
+    map-side combine, then a group-grain rollup — vocabulary-sized
+    intermediates only.
+    """
+    cnt = _token_counts(df, text_col, pattern, [group_col])
+    g = cnt.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum("n").cast("long").alias("tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        "tokens",
+        "vocab",
+        "hapax",
+        F.round(F.col("hapax") / F.col("vocab").cast("double"), 6).alias("hapax_share"),
+        F.round(F.col("vocab") / F.col("tokens").cast("double"), 6).alias("ttr"),
+    )

@@ -1703,3 +1703,57 @@ def session_entry_exit(
         F.round(nb / F.greatest(ne, F.lit(1)).cast("double"), 6).alias("bounce_rate"),
         F.round(nx / F.col("__total").cast("double"), 6).alias("exit_rate"),
     )
+
+
+def burst_windows(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_sec: int = 300,
+    k: int = 20,
+) -> DataFrame:
+    """Per-key burst detection: the densest ``window_sec`` sliding
+    window of activity for each key, ranked to the global top-``k``
+    burstiest keys — the bot/scraper/incident screen ("who fired 400
+    events in five minutes"), complementing ``interarrival_stats``
+    (steady cadence) and ``debounce_stats`` (duplicate squelch).
+
+    Implementation is a RANGE-frame window — count over
+    [current_ts, current_ts + window_sec] per key on the event-time
+    axis — so each event learns the size of the burst it STARTS; the
+    per-key max then collapses at key grain and the global top-k
+    ranks key-grain rows. Output: (key, max_burst, burst_start_us,
+    rank) — burst_start_us = the earliest start among ties.
+
+    Scale shape: the range frame needs one per-key time sort (the
+    same sort every sessionization already pays); no self-join, no
+    explode — the frame is evaluated incrementally by the window
+    operator. Top-k runs over |keys| aggregated rows.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    base = df.select(F.col(user_col).alias("key"), us.alias("__us"))
+    wr = (
+        Window.partitionBy("key")
+        .orderBy("__us")
+        .rangeBetween(0, window_sec * 1000000)
+    )
+    sized = base.select(
+        "key", "__us", F.count("*").over(wr).cast("long").alias("__burst")
+    )
+    # per-key max, then the earliest start among rows achieving it
+    # (deterministic earliest-tie)
+    mx = sized.groupBy("key").agg(F.max("__burst").alias("max_burst"))
+    starts = (
+        sized.join(mx, ["key"])
+        .where(F.col("__burst") == F.col("max_burst"))
+        .groupBy("key", "max_burst")
+        .agg(F.min("__us").alias("burst_start_us"))
+    )
+    w = Window.partitionBy().orderBy(
+        F.col("max_burst").desc(), "key"
+    )
+    return (
+        starts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("key", "max_burst", "burst_start_us", "rank")
+    )

@@ -2527,6 +2527,44 @@ def q_label_centroid_dists(spark, sf_dir):
     return similarity.label_centroid_dists(emb)
 
 
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """Per-event-type 5% trimmed mean of value (robust location)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.trimmed_mean(ev, "event_type", "value", trim=0.05)
+
+
+def q_hapax_rate(spark, sf_dir):
+    """Per-source lexical richness: vocab, hapax share, type-token
+    ratio."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.hapax_rate(docs)
+
+
+def q_reconciliation_audit(spark, sf_dir):
+    """Order-total vs line-sum reconciliation per order priority:
+    match counts under a 1-cent tolerance plus error magnitudes."""
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    return joins.reconciliation_audit(
+        o.select(F.col("o_orderkey").alias("okey"), "o_totalprice", "o_orderpriority"),
+        li.select(F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount", "l_tax"),
+        "okey",
+        "o_totalprice",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        group_col="o_orderpriority",
+        tolerance=0.01,
+    )
+
+
+def q_burst_windows(spark, sf_dir):
+    """Top-20 burstiest users: densest 5-minute sliding event window
+    per user via a RANGE frame."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.burst_windows(ev, window_sec=300, k=20)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2746,6 +2784,10 @@ QUERIES = {
     "session_entry_exit": q_session_entry_exit,
     "dist_overlap": q_dist_overlap,
     "label_centroid_dists": q_label_centroid_dists,
+    "trimmed_mean": q_trimmed_mean,
+    "hapax_rate": q_hapax_rate,
+    "reconciliation_audit": q_reconciliation_audit,
+    "burst_windows": q_burst_windows,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -6896,4 +6938,91 @@ ORACLES["label_centroid_dists"] = """
     FROM dots
     JOIN counts ca ON dots.label_a = ca.lbl
     JOIN counts cb ON dots.label_b = cb.lbl
+"""
+ORACLES["trimmed_mean"] = """
+    WITH cuts AS (
+      SELECT event_type AS g,
+             quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi
+      FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, c.lo, c.hi
+      FROM events e JOIN cuts c ON e.event_type = c.g
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_used,
+           round(min(lo), 6) AS lo_cut,
+           round(min(hi), 6) AS hi_cut,
+           round(CAST(sum(CASE WHEN v >= lo AND v <= hi
+                          THEN CAST(v AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / sum(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END), 6)
+               AS mean_trimmed
+    FROM j GROUP BY 1
+"""
+
+ORACLES["hapax_rate"] = """
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS hapax_share,
+           round(count(*) * 1.0 / sum(n), 6) AS ttr
+    FROM cnt GROUP BY 1
+"""
+
+ORACLES["reconciliation_audit"] = """
+    WITH per_key AS (
+      SELECT l_orderkey AS okey,
+             sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      AS DECIMAL(28,8))) AS lsum
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderpriority,
+             abs(CAST(o.o_totalprice AS DECIMAL(28,8))
+                 - coalesce(lsum, CAST(0 AS DECIMAL(28,8)))) AS d
+      FROM orders o LEFT JOIN per_key p ON o.o_orderkey = p.okey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_headers,
+           CAST(sum(CASE WHEN d <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN d <= 0.01 THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatched,
+           round(sum(CASE WHEN d <= 0.01 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS pct_matched,
+           round(avg(CAST(d AS DOUBLE)), 6) AS mean_abs_diff,
+           round(max(CAST(d AS DOUBLE)), 6) AS max_abs_diff
+    FROM j GROUP BY 1
+"""
+
+ORACLES["burst_windows"] = """
+    WITH base AS (
+      SELECT user_id AS key, epoch_us(ts) AS us FROM events
+    ),
+    sized AS (
+      SELECT key, us,
+             CAST(count(*) OVER (PARTITION BY key ORDER BY us
+                  RANGE BETWEEN CURRENT ROW AND 300000000 FOLLOWING) AS BIGINT)
+               AS burst
+      FROM base
+    ),
+    mx AS (SELECT key, max(burst) AS max_burst FROM sized GROUP BY 1),
+    starts AS (
+      SELECT s.key, m.max_burst, min(s.us) AS burst_start_us
+      FROM sized s JOIN mx m ON s.key = m.key AND s.burst = m.max_burst
+      GROUP BY 1, 2
+    )
+    SELECT key, max_burst, burst_start_us, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY max_burst DESC, key) AS BIGINT)
+             AS rank
+      FROM starts
+    ) WHERE rank <= 20
 """

@@ -834,3 +834,84 @@ def test_label_centroid_dists_orthogonal_and_identical(spark):
     got = {(r.label_a, r.label_b): r.cos for r in out}
     assert got[(0, 1)] == 1.0
     assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0
+
+
+# ---------------------------------------------------------------- trimmed_mean
+
+
+def test_trimmed_mean_drops_outlier(spark):
+    # values 1..9 plus a 1000 outlier; 10% trim cuts both tails
+    rows = [Row(g="a", v=float(x)) for x in range(1, 10)] + [Row(g="a", v=1000.0)]
+    out = profiling.trimmed_mean(
+        spark.createDataFrame(rows), "g", "v", trim=0.1
+    ).collect()[0]
+    assert out.n == 10
+    assert out.mean_trimmed < 10  # the 1000 is outside the p90 cut
+    assert out.n_used < 10
+
+
+def test_trimmed_mean_no_trim_equals_mean(spark):
+    rows = [Row(g="a", v=float(x)) for x in [2, 4, 6]]
+    out = profiling.trimmed_mean(
+        spark.createDataFrame(rows), "g", "v", trim=0.0
+    ).collect()[0]
+    assert out.mean_trimmed == 4.0 and out.n_used == 3
+
+
+# ------------------------------------------------------------------ hapax_rate
+
+
+def test_hapax_rate_counts(spark):
+    rows = [
+        Row(source="s", text="alpha alpha beta"),
+        Row(source="s", text="gamma"),
+    ]
+    out = text.hapax_rate(spark.createDataFrame(rows)).collect()[0]
+    assert out.tokens == 4 and out.vocab == 3
+    assert out.hapax == 2  # beta, gamma
+    assert out.hapax_share == round(2 / 3, 6)
+    assert out.ttr == 0.75
+
+
+# -------------------------------------------------------- reconciliation_audit
+
+
+def test_reconciliation_audit_matches_and_mismatches(spark):
+    from kairos_spark.operators import joins
+
+    header = spark.createDataFrame(
+        [Row(k=1, amt=30.0, g="x"), Row(k=2, amt=99.0, g="x"), Row(k=3, amt=5.0, g="y")]
+    )
+    lines = spark.createDataFrame(
+        [Row(k=1, a=10.0), Row(k=1, a=20.0), Row(k=2, a=50.0)]
+    )
+    out = joins.reconciliation_audit(
+        header, lines, "k", "amt", F.col("a"), group_col="g", tolerance=0.01
+    ).collect()
+    got = {r.g: r for r in out}
+    assert got["x"].n_matched == 1 and got["x"].n_mismatched == 1
+    assert got["x"].max_abs_diff == 49.0
+    # header 3 has no lines -> full amount is the diff
+    assert got["y"].n_mismatched == 1 and got["y"].mean_abs_diff == 5.0
+
+
+# --------------------------------------------------------------- burst_windows
+
+
+def test_burst_windows_range_frame(spark):
+    # user 1: 3 events within 5 min starting at t0; user 2: spread out
+    t0 = _h(0)
+    rows = [
+        Row(user_id=1, ts=t0),
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=2)),
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=4)),
+        Row(user_id=1, ts=t0 + dt.timedelta(hours=2)),
+        Row(user_id=2, ts=t0),
+        Row(user_id=2, ts=t0 + dt.timedelta(hours=1)),
+    ]
+    out = windows.burst_windows(spark.createDataFrame(rows), window_sec=300).collect()
+    got = {r.key: r for r in out}
+    assert got[1].max_burst == 3
+    assert got[1].burst_start_us == int(t0.timestamp()) * 1000000
+    assert got[2].max_burst == 1
+    assert got[1].rank == 1

@@ -169,6 +169,10 @@ AUDITED = [
     "session_entry_exit",
     "dist_overlap",
     "label_centroid_dists",
+    "trimmed_mean",
+    "hapax_rate",
+    "reconciliation_audit",
+    "burst_windows",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -613,6 +617,17 @@ CHECKS = {
     "dist_overlap": ["HashAggregate", "Window", "Join", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
     # (label, dim) sums; pairwise join on dim over label-grain sums
     "label_centroid_dists": ["Generate", "HashAggregate", "Join", "!CartesianProduct", "!NestedLoop"],
+    # group-grain quantile cuts broadcast back onto the fact scan; the
+    # conditional mean folds in one aggregate
+    "trimmed_mean": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # tokenize explode -> (group, token) counts -> group rollup
+    "hapax_rate": ["Generate", "HashAggregate", "!Join", "!CartesianProduct"],
+    # lines pre-aggregate per key BEFORE the header join; rollup at
+    # group grain
+    "reconciliation_audit": ["HashAggregate", "Join", "!CartesianProduct", "!NestedLoop"],
+    # RANGE-frame window per key (one time sort), key-grain max + tie
+    # resolve join, global top-k over key-grain rows
+    "burst_windows": ["Window", "HashAggregate", "Join", "!CartesianProduct", "!NestedLoop"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
