@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from kairos_spark import queries as q
 from kairos_spark.ingest import bucketize
@@ -93,6 +93,17 @@ PIPELINE = {
         "kairos_spark.operators.graph", fromlist=["graph"]
     ).cooccurrence_triangles(
         q._tbl(s, d, "events"), step_sec=60, min_shared=2, max_bucket_nodes=200
+    ),
+    # lossless AllPairs/ppjoin prefix-filtered exact Jaccard join.
+    # Benched on a deterministic 1-in-5 doc sample: this synthetic
+    # corpus is adversarially dup-heavy (190k TRUE pairs >= 0.95 among
+    # 5k docs at sf0.1 — near-clique components), so the full-corpus
+    # number times the OUTPUT, not the operator; the sample keeps the
+    # candidate volume representative of a deduplicated crawl
+    "prefix_jaccard_sample": lambda s, d: __import__(
+        "kairos_spark.operators.dedup", fromlist=["dedup"]
+    ).prefix_jaccard_pairs(
+        q._tbl(s, d, "documents").where(F.col("doc_id") % 5 == 0), threshold=0.95
     ),
 }
 

@@ -1830,3 +1830,83 @@ def trimmed_mean(
             (F.col("__s") / F.col("n_used")).cast("double"), 6
         ).alias("mean_trimmed"),
     )
+
+
+def target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    target_col,
+    m: float = 10.0,
+) -> DataFrame:
+    """m-estimate target encoding: per category, the smoothed target
+    mean (n·mean + m·prior)/(n + m) — the classic high-cardinality
+    categorical feature that plain one-hot can't handle, with the
+    smoothing that keeps rare categories from memorizing their few
+    labels (leakage discipline — fit on train only, join onto the
+    rest — is the caller's job; pair with ``hash_split``).
+
+    Exactness: sums accumulate DECIMAL(28,10); the prior is the
+    global mean from the same aggregate pass (windowed over
+    category-grain rows), so the whole table derives from one scan.
+
+    Output: (category, n, raw_mean, encoded), rounded 6.
+    """
+    from pyspark.sql.window import Window
+
+    tgt = (F.col(target_col) if isinstance(target_col, str) else target_col).cast(
+        "decimal(28,10)"
+    )
+    cats = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(tgt).alias("__s"),
+    )
+    w = Window.partitionBy()
+    prior = (F.sum("__s").over(w) / F.sum("n").over(w)).cast("double")
+    raw = (F.col("__s") / F.col("n")).cast("double")
+    enc = (F.col("__s").cast("double") + m * prior) / (F.col("n") + F.lit(m))
+    return cats.select(
+        "category",
+        "n",
+        F.round(raw, 6).alias("raw_mean"),
+        F.round(enc, 6).alias("encoded"),
+    )
+
+
+def hierarchical_shares(
+    df: DataFrame,
+    level1_col: str,
+    level2_col: str,
+    measure_col,
+) -> DataFrame:
+    """Two-level contribution analysis: per (parent, child) — the
+    measure total, its share of the PARENT, and the parent's share of
+    the GRAND total — the drill-down table every revenue dashboard
+    opens with, derived from one aggregate plus two windows (no
+    second scan, no self-join).
+
+    Exactness: DECIMAL(28,8) measure sums; shares are double ratios
+    of exact decimals, rounded 6.
+
+    Output: (level1, level2, total, share_of_parent, parent_total,
+    parent_share).
+    """
+    from pyspark.sql.window import Window
+
+    msr = (F.col(measure_col) if isinstance(measure_col, str) else measure_col).cast(
+        "decimal(28,8)"
+    )
+    cells = df.groupBy(
+        F.col(level1_col).alias("level1"), F.col(level2_col).alias("level2")
+    ).agg(F.sum(msr).alias("__t"))
+    wp = Window.partitionBy("level1")
+    wall = Window.partitionBy()
+    parent = F.sum("__t").over(wp)
+    grand = F.sum("__t").over(wall)
+    return cells.select(
+        "level1",
+        "level2",
+        F.round(F.col("__t").cast("double"), 6).alias("total"),
+        F.round((F.col("__t") / parent).cast("double"), 6).alias("share_of_parent"),
+        F.round(parent.cast("double"), 6).alias("parent_total"),
+        F.round((parent / grand).cast("double"), 6).alias("parent_share"),
+    )

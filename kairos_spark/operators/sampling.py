@@ -360,3 +360,59 @@ def grouped_weighted_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def negative_pairs(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 3,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive/ranking
+    training pairs: for every observed (user, positive item), emit
+    ``k`` negatives drawn from the item vocabulary by salted md5 over
+    (user, item, slot) — reproducible across runs and engines (no
+    RNG), with draws that collide with ANY of the user's positives
+    filtered out (a "negative" the user actually interacted with is
+    a false negative).
+
+    The vocabulary is collected once (items are a category set, not a
+    fact table — document the assumption; for billion-item catalogs
+    swap the array lookup for a hash-bucket join against an items
+    table). Output: (user, pos_item, slot, neg_item).
+
+    Scale shape: map-only — the vocab rides a literal array into the
+    hash-index expression; the false-negative filter is a left-anti
+    join of (user, candidate) against the user's positive set (short
+    keys only).
+    """
+    vocab = sorted(
+        r[0] for r in positives.select(F.col(item_col)).distinct().collect()
+    )
+    varr = F.array(*[F.lit(v) for v in vocab])
+    base = positives.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("pos_item")
+    ).distinct()
+    slots = base.select(
+        "user",
+        "pos_item",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("slot"),
+    )
+    key = F.concat_ws(
+        "\x1f", F.lit(salt), F.col("user").cast("string"),
+        F.col("pos_item").cast("string"), F.col("slot").cast("string"),
+    )
+    idx = (
+        F.conv(F.substring(F.md5(key), 1, 11), 16, 10).cast("long")
+        % F.lit(len(vocab))
+    ).cast("int")
+    cand = slots.select(
+        "user", "pos_item", "slot", F.element_at(varr, idx + 1).alias("neg_item")
+    )
+    pos_set = base.select(
+        F.col("user"), F.col("pos_item").alias("neg_item")
+    ).distinct()
+    return cand.join(pos_set, ["user", "neg_item"], "left_anti").select(
+        "user", "pos_item", "slot", "neg_item"
+    )

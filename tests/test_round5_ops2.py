@@ -915,3 +915,69 @@ def test_burst_windows_range_frame(spark):
     assert got[1].burst_start_us == int(t0.timestamp()) * 1000000
     assert got[2].max_burst == 1
     assert got[1].rank == 1
+
+
+# ------------------------------------------------------------- target_encoding
+
+
+def test_target_encoding_smoothing_pulls_to_prior(spark):
+    # prior = (10*1 + 2*100) / 12 = 17.5 ; rare category pulled toward it
+    rows = [Row(c="common", t=1.0)] * 10 + [Row(c="rare", t=100.0)] * 2
+    out = profiling.target_encoding(spark.createDataFrame(rows), "c", "t", m=10.0)
+    got = {r.category: r for r in out.collect()}
+    prior = (10 * 1.0 + 2 * 100.0) / 12
+    assert got["rare"].raw_mean == 100.0
+    expected = (200.0 + 10 * prior) / (2 + 10)
+    assert math.isclose(got["rare"].encoded, round(expected, 6), abs_tol=1e-9)
+    # encoded sits strictly between prior and raw mean
+    assert prior < got["rare"].encoded < 100.0
+
+
+# --------------------------------------------------------- hierarchical_shares
+
+
+def test_hierarchical_shares_sum_to_one(spark):
+    rows = [
+        Row(r="east", n="a", m=10.0), Row(r="east", n="b", m=30.0),
+        Row(r="west", n="c", m=60.0),
+    ]
+    out = profiling.hierarchical_shares(spark.createDataFrame(rows), "r", "n", "m")
+    got = {(r.level1, r.level2): r for r in out.collect()}
+    assert got[("east", "a")].share_of_parent == 0.25
+    assert got[("east", "b")].share_of_parent == 0.75
+    assert got[("east", "a")].parent_share == 0.4
+    assert got[("west", "c")].parent_share == 0.6
+    assert got[("west", "c")].share_of_parent == 1.0
+
+
+# -------------------------------------------------------------- negative_pairs
+
+
+def test_negative_pairs_deterministic_and_filtered(spark):
+    from kairos_spark.operators import sampling
+
+    rows = [
+        Row(u=1, it="a"), Row(u=1, it="b"),
+        Row(u=2, it="a"),
+        Row(u=3, it="c"),
+    ]
+    df = spark.createDataFrame(rows)
+    out1 = sorted(
+        (r.user, r.pos_item, r.slot, r.neg_item)
+        for r in sampling.negative_pairs(df, "u", "it", k=6).collect()
+    )
+    out2 = sorted(
+        (r.user, r.pos_item, r.slot, r.neg_item)
+        for r in sampling.negative_pairs(df, "u", "it", k=6).collect()
+    )
+    assert out1 == out2  # deterministic
+    assert out1  # vocab {a,b,c}: every user has a valid negative
+    for u, pos, slot, neg in out1:
+        assert neg != pos
+        # no false negatives against the user's FULL positive set
+        if u == 1:
+            assert neg == "c"
+        if u == 2:
+            assert neg in ("b", "c")
+        if u == 3:
+            assert neg in ("a", "b")

@@ -173,6 +173,9 @@ AUDITED = [
     "hapax_rate",
     "reconciliation_audit",
     "burst_windows",
+    "target_encoding",
+    "hierarchical_shares",
+    "negative_pairs",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -628,6 +631,15 @@ CHECKS = {
     # RANGE-frame window per key (one time sort), key-grain max + tie
     # resolve join, global top-k over key-grain rows
     "burst_windows": ["Window", "HashAggregate", "Join", "!CartesianProduct", "!NestedLoop"],
+    # one category aggregate; prior + encoding via windows over
+    # category-grain rows
+    "target_encoding": ["HashAggregate", "Window", "!Join", "!CartesianProduct"],
+    # dims broadcast onto the fact join; one (l1, l2) aggregate; share
+    # windows over cell-grain rows
+    "hierarchical_shares": ["BroadcastHashJoin", "HashAggregate", "Window", "!CartesianProduct"],
+    # map-only hash-indexed vocab lookup + slot explode; the false-
+    # negative filter is a left-anti hash join on short keys
+    "negative_pairs": ["Generate", "Join", "!CartesianProduct", "!SortMergeJoin"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
