@@ -1910,3 +1910,70 @@ def hierarchical_shares(
         F.round(parent.cast("double"), 6).alias("parent_total"),
         F.round((parent / grand).cast("double"), 6).alias("parent_share"),
     )
+
+
+def delta_attribution(
+    df: DataFrame,
+    key_col: str,
+    measure_col,
+    ts_col: str = "ts",
+    k: int = 20,
+) -> DataFrame:
+    """Period-over-period delta decomposition: the change in a measure
+    between the first and second time half, attributed to the keys
+    that moved it — "revenue fell 3%; these ten customers explain
+    80% of the drop". Complements ``topk_churn`` (rank/count churn)
+    with measure-weighted attribution and ``period_delta`` (per-key
+    deltas) with contribution shares against the GLOBAL delta.
+
+    Output: top-``k`` keys by |delta| — (key, m1, m2, delta,
+    pct_of_total_delta = delta / Σdelta, rank); share is signed (a
+    key moving against the aggregate direction shows a negative
+    share), DECIMAL-exact sums, rounded 6. When the total delta is 0
+    the share column is null.
+
+    Scale shape: one key-grain conditional-half aggregate (map-side
+    combined); the total delta and ranks ride windows over KEY-GRAIN
+    rows; the mid scalar is a 1-row broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    msr = (F.col(measure_col) if isinstance(measure_col, str) else measure_col).cast(
+        "decimal(28,8)"
+    )
+    scal = df.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    half1 = F.unix_micros(F.col(ts_col)) <= F.col("__mid")
+    keys = (
+        df.crossJoin(F.broadcast(scal))
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.sum(F.when(half1, msr).otherwise(F.lit(0).cast("decimal(28,8)"))).alias(
+                "__m1"
+            ),
+            F.sum(F.when(half1, F.lit(0).cast("decimal(28,8)")).otherwise(msr)).alias(
+                "__m2"
+            ),
+        )
+    )
+    delta = F.col("__m2") - F.col("__m1")
+    w = Window.partitionBy()
+    wr = Window.partitionBy().orderBy(F.abs(delta).desc(), "key")
+    total = F.sum(delta).over(w)
+    ranked = keys.select(
+        "key",
+        F.round(F.col("__m1").cast("double"), 6).alias("m1"),
+        F.round(F.col("__m2").cast("double"), 6).alias("m2"),
+        F.round(delta.cast("double"), 6).alias("delta"),
+        F.round(
+            F.when(total != 0, (delta / total).cast("double")), 6
+        ).alias("pct_of_total_delta"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= k)

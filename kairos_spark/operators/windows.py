@@ -1757,3 +1757,127 @@ def burst_windows(
         .where(F.col("rank") <= k)
         .select("key", "max_burst", "burst_start_us", "rank")
     )
+
+
+def mrr_sessions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    target_type: str = "purchase",
+    gap_sec: float = 1800.0,
+) -> DataFrame:
+    """Mean reciprocal rank of the first ``target_type`` within each
+    gap-based session — the IR-style answer to "how deep into a
+    session does the conversion sit": MRR 1.0 means sessions open
+    with it, 1/n means it arrives at position n; sessions without the
+    target contribute 0 (standard MRR convention). One summary row:
+    (n_sessions, n_with_target, mrr, mean_first_pos).
+
+    Exactness: reciprocal ranks accumulate DECIMAL(28,12) (sums of
+    1/k rationals), mean position from exact integer sums.
+
+    Scale shape: sessionization + position = ONE per-user sort shared
+    by both windows; the first-target pick is a min-aggregate at
+    session grain; the final row folds session-grain rows.
+    """
+    base = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(seq_col).alias("__seq"),
+    )
+    w = Window.partitionBy("__u").orderBy("__us", "__seq")
+    new_sess = F.when(
+        F.lag("__us").over(w).isNull()
+        | ((F.col("__us") - F.lag("__us").over(w)) > int(gap_sec * 1000000)),
+        1,
+    ).otherwise(0)
+    sess = base.withColumn("__sid", F.sum(new_sess).over(w))
+    ws = Window.partitionBy("__u", "__sid").orderBy("__us", "__seq")
+    pos = sess.withColumn("__pos", F.row_number().over(ws))
+    per_sess = pos.groupBy("__u", "__sid").agg(
+        F.min(F.when(F.col("__t") == target_type, F.col("__pos"))).alias("__first")
+    )
+    return per_sess.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count("__first").cast("long").alias("n_with_target"),
+        F.round(
+            (
+                F.sum(
+                    F.coalesce(
+                        (F.lit(1.0) / F.col("__first")).cast("decimal(28,12)"),
+                        F.lit(0).cast("decimal(28,12)"),
+                    )
+                )
+                / F.count("*")
+            ).cast("double"),
+            6,
+        ).alias("mrr"),
+        F.round(F.avg(F.col("__first").cast("double")), 6).alias("mean_first_pos"),
+    )
+
+
+def crosscorr_series(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged cross-correlation between two event types' hourly count
+    series: Pearson r of (a_t, b_{t+lag}) for lag in [−max_lag,
+    +max_lag] — the lead/lag detector ("views lead purchases by two
+    hours") that single-series ``autocorrelation`` can't see.
+    Positive lag = a leads b.
+
+    Both series live on the SHARED observed hourly grid (inner join
+    on hour; hours missing from either series are skipped — compose
+    with the gap-fill spine for zero-filled semantics). Sums are
+    exact integers, r a pure double expression over them.
+
+    Output: (lag, n, r), rounded 6; |lags| ≤ 7 rows.
+
+    Scale shape: one (type, hour) count aggregate; the lag shift is a
+    lead window over HOUR-GRAIN rows of b; each lag's fold is a
+    conditional aggregate over the joined hour table.
+    """
+    hourly = (
+        df.where(F.col(type_col).isin(type_a, type_b))
+        .select(
+            F.col(type_col).alias("__t"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .groupBy("__t", "hour")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    a = hourly.where(F.col("__t") == type_a).select("hour", F.col("y").alias("ya"))
+    b = hourly.where(F.col("__t") == type_b).select("hour", F.col("y").alias("yb"))
+    out = None
+    for lag in range(-max_lag, max_lag + 1):
+        shifted = b.select(
+            (F.col("hour") - F.expr(f"INTERVAL {lag} HOUR")).alias("hour"),
+            F.col("yb"),
+        )
+        j = a.join(shifted, "hour")
+        n = F.count("*").cast("long")
+        sx, sy = F.sum("ya"), F.sum("yb")
+        sxx = F.sum(F.col("ya") * F.col("ya"))
+        syy = F.sum(F.col("yb") * F.col("yb"))
+        sxy = F.sum(F.col("ya") * F.col("yb"))
+        r = (
+            (n.cast("double") * sxy - sx * sy)
+            / F.sqrt(
+                (n.cast("double") * sxx - sx * sx)
+                * (n.cast("double") * syy - sy * sy)
+            )
+        )
+        row = j.agg(
+            F.lit(lag).cast("int").alias("lag"),
+            n.alias("n"),
+            F.round(r, 6).alias("r"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -981,3 +981,62 @@ def test_negative_pairs_deterministic_and_filtered(spark):
             assert neg in ("b", "c")
         if u == 3:
             assert neg in ("a", "b")
+
+
+# ---------------------------------------------------------------- mrr_sessions
+
+
+def test_mrr_sessions_positions(spark):
+    # session 1 (user 1): view, purchase -> first pos 2
+    # session 2 (user 2): purchase first -> pos 1
+    # session 3 (user 3): no purchase -> contributes 0
+    rows = [
+        Row(event_id=1, user_id=1, event_type="view", ts=_h(0)),
+        Row(event_id=2, user_id=1, event_type="purchase", ts=_h(0) + dt.timedelta(minutes=1)),
+        Row(event_id=3, user_id=2, event_type="purchase", ts=_h(0)),
+        Row(event_id=4, user_id=3, event_type="view", ts=_h(0)),
+    ]
+    out = windows.mrr_sessions(spark.createDataFrame(rows)).collect()[0]
+    assert out.n_sessions == 3 and out.n_with_target == 2
+    assert out.mrr == round((0.5 + 1.0 + 0.0) / 3, 6)
+    assert out.mean_first_pos == 1.5
+
+
+# -------------------------------------------------------------- crosscorr_types
+
+
+def test_crosscorr_perfect_lead(spark):
+    # purchase counts = view counts shifted +1 hour -> r = 1 at lag 1
+    rows = []
+    eid = 0
+    for h, n in enumerate([1, 3, 2, 5, 4]):
+        for _ in range(n):
+            rows.append(Row(event_id=eid, event_type="view", ts=_h(h))); eid += 1
+        for _ in range(n):
+            rows.append(Row(event_id=eid, event_type="purchase", ts=_h(h + 1))); eid += 1
+    out = windows.crosscorr_series(
+        spark.createDataFrame(rows), "ts", "event_type", "view", "purchase", max_lag=2
+    ).collect()
+    got = {r.lag: r.r for r in out}
+    assert got[1] == 1.0  # view leads purchase by exactly one hour
+
+
+# ------------------------------------------------------------ delta_attribution
+
+
+def test_delta_attribution_signed_shares(spark):
+    # half split at midpoint of [h0, h10]: user 1 +10, user 2 -4 -> total +6
+    rows = [
+        Row(event_id=1, user_id=1, ts=_h(0), value=0.0),
+        Row(event_id=2, user_id=1, ts=_h(10), value=10.0),
+        Row(event_id=3, user_id=2, ts=_h(0), value=5.0),
+        Row(event_id=4, user_id=2, ts=_h(10), value=1.0),
+    ]
+    out = profiling.delta_attribution(
+        spark.createDataFrame(rows), "user_id", "value", k=10
+    ).collect()
+    got = {r.key: r for r in out}
+    assert got[1].delta == 10.0 and got[2].delta == -4.0
+    assert got[1].pct_of_total_delta == round(10 / 6, 6)
+    assert got[2].pct_of_total_delta == round(-4 / 6, 6)
+    assert got[1].rank == 1  # largest |delta|

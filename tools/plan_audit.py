@@ -176,6 +176,9 @@ AUDITED = [
     "target_encoding",
     "hierarchical_shares",
     "negative_pairs",
+    "mrr_sessions",
+    "crosscorr_types",
+    "delta_attribution",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -640,6 +643,15 @@ CHECKS = {
     # map-only hash-indexed vocab lookup + slot explode; the false-
     # negative filter is a left-anti hash join on short keys
     "negative_pairs": ["Generate", "Join", "!CartesianProduct", "!SortMergeJoin"],
+    # sessionize + position share ONE per-user sort; session-grain
+    # min-aggregate; single summary row
+    "mrr_sessions": ["Window", "HashAggregate", "!Join", "!CartesianProduct"],
+    # (type, hour) aggregate; each lag folds the hour-grain join; the
+    # 7-row union is plan-level, not data-level
+    "crosscorr_types": ["HashAggregate", "Join", "Union", "!CartesianProduct", "!NestedLoop"],
+    # key-grain conditional-half DECIMAL sums; total + rank windows
+    # over key-grain rows; mid scalar on a 1-row broadcast
+    "delta_attribution": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
