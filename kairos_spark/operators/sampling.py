@@ -416,3 +416,67 @@ def negative_pairs(
     return cand.join(pos_set, ["user", "neg_item"], "left_anti").select(
         "user", "pos_item", "slot", "neg_item"
     )
+
+
+def bernoulli_ht_audit(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    value_col,
+    rates: dict,
+    salt: str = "ht",
+) -> DataFrame:
+    """Horvitz–Thompson estimator audit for deterministic Bernoulli
+    sampling: each stratum is hash-sampled at its own rate p
+    (membership = md5(salt, row id) threshold — reproducible across
+    engines and reruns), the stratum total is estimated as
+    (sampled sum)/p, and BOTH the estimate and the exact truth are
+    reported with the relative error — the calibration loop that
+    tells you whether the survey-sampling shortcut ("profile 1% of
+    the crawl") is tight enough to trust for THIS measure, and a
+    template for unequal-probability designs (rare strata sampled
+    harder).
+
+    Output per stratum: (stratum, rate, n, n_sampled, true_total,
+    ht_estimate, rel_err), DECIMAL-exact sums, rounded 6.
+
+    Scale shape: one pass — membership is a scalar predicate and
+    truth + sampled sums fold in the SAME aggregate, so the audit
+    costs one scan, not two."""
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "decimal(28,8)"
+    )
+    rate = None
+    for s, p in rates.items():
+        cond = F.col(strata_col) == s
+        rate = F.when(cond, F.lit(float(p))) if rate is None else rate.when(
+            cond, F.lit(float(p))
+        )
+    rate = rate.otherwise(F.lit(1.0))
+    bkt = hash_bucket(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    sampled = bkt < (rate * BUCKETS).cast("long")
+    g = df.select(
+        F.col(strata_col).alias("stratum"),
+        rate.alias("__p"),
+        v.alias("__v"),
+        sampled.cast("int").alias("__in"),
+    ).groupBy("stratum").agg(
+        F.first("__p").alias("__p"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("__in").cast("long").alias("n_sampled"),
+        F.sum("__v").alias("__true"),
+        F.sum(F.when(F.col("__in") == 1, F.col("__v"))).alias("__ssum"),
+    )
+    est = F.coalesce(F.col("__ssum").cast("double"), F.lit(0.0)) / F.col("__p")
+    truth = F.col("__true").cast("double")
+    return g.select(
+        "stratum",
+        F.round(F.col("__p"), 6).alias("rate"),
+        "n",
+        "n_sampled",
+        F.round(truth, 6).alias("true_total"),
+        F.round(est, 6).alias("ht_estimate"),
+        F.round(F.abs(est - truth) / F.abs(truth), 6).alias("rel_err"),
+    )

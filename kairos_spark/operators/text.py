@@ -1279,3 +1279,80 @@ def hapax_rate(
         F.round(F.col("hapax") / F.col("vocab").cast("double"), 6).alias("hapax_share"),
         F.round(F.col("vocab") / F.col("tokens").cast("double"), 6).alias("ttr"),
     )
+
+
+def vocab_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "[a-z]+",
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Vocabulary drift between the first and second half of the
+    corpus (by ``id_col`` range): per-token probability in each half,
+    the token's contribution to the Jensen–Shannon divergence, and
+    the top-``k`` movers by |Δp| — "which words took over the crawl"
+    at corpus grain, the vocabulary analogue of the scalar drift
+    family (PSI / KS / chi-square) and of ``distinctive_terms``'
+    cross-GROUP comparison. JS (base-e, against the mixture M =
+    (P+Q)/2) is symmetric and finite even for tokens private to one
+    half — the reason it beats KL here.
+
+    Output: (token, n1, n2, p1, p2, js_term, rank), probabilities and
+    terms rounded 6; tokens with fewer than ``min_count`` total
+    occurrences are dropped before ranking (noise floor). js_term =
+    0.5·(p1·ln(p1/m) [if p1>0] + p2·ln(p2/m) [if p2>0]).
+
+    Scale shape: one tokenize pass with the half tag as a generated
+    column → (token) aggregate with conditional half counts
+    (map-side combined); totals + ranks ride windows over
+    VOCABULARY-grain rows; the id midpoint is a 1-row broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    scal = df.agg(
+        F.floor(
+            (F.min(F.col(id_col)).cast("long") + F.max(F.col(id_col)).cast("long")) / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    toks = (
+        df.crossJoin(F.broadcast(scal))
+        .select(
+            (F.col(id_col) <= F.col("__mid")).alias("__h1"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+            ).alias("token"),
+        )
+    )
+    cnt = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("__h1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("__h1"), 0).otherwise(1)).cast("long").alias("n2"),
+    )
+    w = Window.partitionBy()
+    t1 = F.sum("n1").over(w).cast("double")
+    t2 = F.sum("n2").over(w).cast("double")
+    p1 = F.col("n1") / t1
+    p2 = F.col("n2") / t2
+    m = (p1 + p2) / 2
+    js = 0.5 * (
+        F.when(F.col("n1") > 0, p1 * F.log(p1 / m)).otherwise(0.0)
+        + F.when(F.col("n2") > 0, p2 * F.log(p2 / m)).otherwise(0.0)
+    )
+    wr = Window.partitionBy().orderBy(F.abs(p1 - p2).desc(), "token")
+    ranked = (
+        cnt.where(F.col("n1") + F.col("n2") >= min_count)
+        .select(
+            "token",
+            "n1",
+            "n2",
+            F.round(p1, 6).alias("p1"),
+            F.round(p2, 6).alias("p2"),
+            F.round(js, 6).alias("js_term"),
+            F.row_number().over(wr).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+    return ranked

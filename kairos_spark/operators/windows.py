@@ -1881,3 +1881,73 @@ def crosscorr_series(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def markov_accuracy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor: fit
+    argmax transition targets on the FIRST time half, score hit-rate
+    on the second — the baseline any sequence model must beat, and
+    the quantitative summary of how much signal ``transition_entropy``
+    says exists. Prediction for state s = the most frequent successor
+    of s in training (ties → lexicographically smallest successor, so
+    the model is deterministic); test transitions whose source state
+    never appeared in training count as unpredicted misses (reported
+    separately).
+
+    Output: one row — (n_train, n_test, n_covered, n_hits, accuracy =
+    hits/test, covered_accuracy = hits/covered), rounded 6.
+
+    Scale shape: successor pairs come from one per-user lag window
+    (shared sort); the model is a |states|² aggregate reduced to
+    |states| argmax rows (broadcast-sized); scoring is one hash join
+    of test transitions against the model.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    scal = df.agg(
+        F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("__mid")
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    pairs = (
+        df.crossJoin(F.broadcast(scal))
+        .select(
+            F.col(type_col).alias("__from"),
+            F.lead(type_col).over(w).alias("__to"),
+            # a transition belongs to the half its SOURCE event is in
+            (us <= F.col("__mid")).alias("__train"),
+        )
+        .where(F.col("__to").isNotNull())
+    )
+    train = pairs.where(F.col("__train"))
+    test = pairs.where(~F.col("__train"))
+    counts = train.groupBy("__from", "__to").agg(F.count("*").alias("__n"))
+    wm = Window.partitionBy("__from").orderBy(F.col("__n").desc(), "__to")
+    model = (
+        counts.withColumn("__rn", F.row_number().over(wm))
+        .where(F.col("__rn") == 1)
+        .select(F.col("__from"), F.col("__to").alias("__pred"))
+    )
+    scored = test.join(F.broadcast(model), "__from", "left")
+    tr = train.agg(F.count("*").cast("long").alias("n_train"))
+    sc = scored.agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.count("__pred").cast("long").alias("n_covered"),
+        F.sum((F.col("__pred") == F.col("__to")).cast("int"))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return tr.crossJoin(F.broadcast(sc)).select(
+        "n_train",
+        "n_test",
+        "n_covered",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_test").cast("double"), 6).alias("accuracy"),
+        F.round(F.col("n_hits") / F.col("n_covered").cast("double"), 6).alias(
+            "covered_accuracy"
+        ),
+    )

@@ -1040,3 +1040,68 @@ def test_delta_attribution_signed_shares(spark):
     assert got[1].pct_of_total_delta == round(10 / 6, 6)
     assert got[2].pct_of_total_delta == round(-4 / 6, 6)
     assert got[1].rank == 1  # largest |delta|
+
+
+# ---------------------------------------------------------- bernoulli_ht_audit
+
+
+def test_bernoulli_ht_rate_one_is_exact(spark):
+    from kairos_spark.operators import sampling
+
+    rows = [Row(id=i, s="full", v=float(i)) for i in range(20)]
+    out = sampling.bernoulli_ht_audit(
+        spark.createDataFrame(rows), "id", "s", "v", {"full": 1.0}
+    ).collect()[0]
+    assert out.n_sampled == 20
+    assert out.ht_estimate == out.true_total
+    assert out.rel_err == 0.0
+
+
+def test_bernoulli_ht_deterministic_membership(spark):
+    from kairos_spark.operators import sampling
+
+    rows = [Row(id=i, s="half", v=1.0) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    a = sampling.bernoulli_ht_audit(df, "id", "s", "v", {"half": 0.5}).collect()[0]
+    b = sampling.bernoulli_ht_audit(df, "id", "s", "v", {"half": 0.5}).collect()[0]
+    assert a.n_sampled == b.n_sampled and a.ht_estimate == b.ht_estimate
+    # roughly half sampled; HT unbiasedness shows in the scale
+    assert 60 <= a.n_sampled <= 140
+    assert a.ht_estimate == a.n_sampled / 0.5
+
+
+# ------------------------------------------------------------- markov_accuracy
+
+
+def test_markov_accuracy_learnable_sequence(spark):
+    # deterministic a->b->a->b... on both halves -> model predicts
+    # perfectly on covered transitions
+    rows = []
+    for i in range(40):
+        rows.append(
+            Row(event_id=i, user_id=1, event_type="a" if i % 2 == 0 else "b",
+                ts=_h(0) + dt.timedelta(minutes=i))
+        )
+    out = windows.markov_accuracy(spark.createDataFrame(rows)).collect()[0]
+    assert out.covered_accuracy == 1.0
+    assert out.n_covered == out.n_test
+    assert out.n_train + out.n_test == 39  # 40 events -> 39 transitions
+
+
+# ----------------------------------------------------------------- vocab_drift
+
+
+def test_vocab_drift_detects_mover(spark):
+    # "old" dominates the first half, "new" the second; "stable" even
+    rows = [
+        Row(doc_id=i, text="old old stable") for i in range(10)
+    ] + [Row(doc_id=i, text="new new stable") for i in range(10, 20)]
+    out = text.vocab_drift(
+        spark.createDataFrame(rows), k=5, min_count=3
+    ).collect()
+    got = {r.token: r for r in out}
+    assert got["old"].n2 == 0 and got["new"].n1 == 0
+    assert {out[0].token, out[1].token} == {"old", "new"}  # top movers
+    assert got["stable"].js_term < got["old"].js_term
+    # JS terms are finite and non-negative even for one-sided tokens
+    assert all(r.js_term >= 0 for r in out)

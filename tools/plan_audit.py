@@ -179,6 +179,9 @@ AUDITED = [
     "mrr_sessions",
     "crosscorr_types",
     "delta_attribution",
+    "bernoulli_ht_audit",
+    "markov_accuracy",
+    "vocab_drift",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -652,6 +655,15 @@ CHECKS = {
     # key-grain conditional-half DECIMAL sums; total + rank windows
     # over key-grain rows; mid scalar on a 1-row broadcast
     "delta_attribution": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # membership is a scalar md5 predicate; truth + sample fold in ONE
+    # stratum aggregate — single scan, no join
+    "bernoulli_ht_audit": ["HashAggregate", "!Join", "!Window", "!CartesianProduct"],
+    # successor pairs from one per-user lag window; model reduces to
+    # |states| argmax rows and BROADCASTS onto the test join
+    "markov_accuracy": ["Window", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # one tokenize pass with the half tag generated; vocabulary-grain
+    # aggregate; totals + ranks as windows over vocab rows
+    "vocab_drift": ["Generate", "HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
