@@ -1977,3 +1977,84 @@ def delta_attribution(
         F.row_number().over(wr).cast("long").alias("rank"),
     )
     return ranked.where(F.col("rank") <= k)
+
+
+# Poisson(1) CDF thresholds (12 dp) for the deterministic inverse-CDF
+# draw shared by bootstrap_ci_mean and its oracle — identical literals
+# on both engines, so the resample weights match bit-for-bit.
+POISSON1_CDF = (
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
+    0.999998874797,
+)
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    id_col: str,
+    value_col,
+    n_resamples: int = 50,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — the
+    distributed bootstrap (Chamandy et al., Google's "Estimating
+    uncertainty for massive data streams"): instead of the
+    multinomial resample (which needs global coordination), every row
+    draws an independent Poisson(1) weight per resample, which
+    approximates the multinomial to O(1/n) and folds in ONE pass. The
+    draw is md5(salt, id, b) → uniform → inverse-CDF, so the entire
+    CI is deterministic and engine-reproducible (no RNG).
+
+    Output: one row — (n, mean, se = sd of resample means, ci_lo,
+    ci_hi) with the CI as the [alpha/2, 1−alpha/2] exact quantiles of
+    the ``n_resamples`` resample means, rounded 6.
+
+    Scale shape: the explode factor is ``n_resamples`` (bounded,
+    default 50) and the (b) aggregate is map-side combined — the cost
+    is B cheap expressions per row and a B-row shuffle; the quantile
+    runs over B rows on one reducer. Never materializes a resampled
+    dataset.
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("double")
+    base = df.select(F.col(id_col).cast("string").alias("__id"), v.alias("__v"))
+    b_arr = F.array(*[F.lit(i) for i in range(n_resamples)])
+    rows = base.select(
+        "__id", "__v", F.explode(b_arr).alias("b")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.lit(salt), F.col("__id"), F.col("b").cast("string"))),
+                1,
+                11,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**44))
+    w = None
+    for k, c in enumerate(POISSON1_CDF):
+        cond = u < F.lit(c)
+        w = F.when(cond, F.lit(k)) if w is None else w.when(cond, F.lit(k))
+    w = w.otherwise(F.lit(len(POISSON1_CDF)))
+    per_b = rows.select("b", w.alias("__w"), "__v").groupBy("b").agg(
+        (
+            F.sum(F.col("__w") * F.col("__v"))
+            / F.sum(F.col("__w")).cast("double")
+        ).alias("__mean_b")
+    )
+    lo, hi = alpha / 2, 1 - alpha / 2
+    stats = per_b.agg(
+        F.round(F.stddev_samp("__mean_b"), 6).alias("se"),
+        F.round(F.percentile(F.col("__mean_b"), F.lit(lo)), 6).alias("ci_lo"),
+        F.round(F.percentile(F.col("__mean_b"), F.lit(hi)), 6).alias("ci_hi"),
+    )
+    overall = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("__v"), 6).alias("mean"),
+    )
+    return overall.crossJoin(F.broadcast(stats)).select(
+        "n", "mean", "se", "ci_lo", "ci_hi"
+    )

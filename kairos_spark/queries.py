@@ -2653,6 +2653,23 @@ def q_vocab_drift(spark, sf_dir):
     return text.vocab_drift(docs, k=20, min_count=5)
 
 
+
+
+def q_bootstrap_ci_mean(spark, sf_dir):
+    """Deterministic Poisson-bootstrap 95% CI for the mean event value
+    (50 hash-seeded resamples, one pass)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.bootstrap_ci_mean(ev, "event_id", "value", n_resamples=50)
+
+
+def q_seasonal_quantile_bands(spark, sf_dir):
+    """Hour-of-day percentile envelope (p10/p50/p90) of event value —
+    the quantile companion to the mean-based seasonal baseline."""
+    ev = _tbl(spark, sf_dir, "events")
+    hod = ev.select(F.hour(F.col("ts")).cast("long").alias("hod"), "value")
+    return profiling.group_quantiles(hod, "hod", "value", probs=[0.1, 0.5, 0.9])
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2885,6 +2902,8 @@ QUERIES = {
     "bernoulli_ht_audit": q_bernoulli_ht_audit,
     "markov_accuracy": q_markov_accuracy,
     "vocab_drift": q_vocab_drift,
+    "bootstrap_ci_mean": q_bootstrap_ci_mean,
+    "seasonal_quantile_bands": q_seasonal_quantile_bands,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -7379,4 +7398,57 @@ ORACLES["vocab_drift"] = """
              AS rank
       FROM scored
     ) WHERE rank <= 20
+"""
+ORACLES["bootstrap_ci_mean"] = """
+    WITH rows_b AS (
+      SELECT CAST(event_id AS VARCHAR) AS id, CAST(value AS DOUBLE) AS v,
+             unnest(range(50)) AS b
+      FROM events
+    ),
+    drawn AS (
+      SELECT b, v,
+             (CAST(('0x' || substr(md5('boot' || chr(31) || id || chr(31)
+                   || CAST(b AS VARCHAR)), 1, 11)) AS BIGINT) + 0.5)
+               / 17592186044416.0 AS u
+      FROM rows_b
+    ),
+    weighted AS (
+      SELECT b, v,
+             CASE WHEN u < 0.367879441171 THEN 0
+                  WHEN u < 0.735758882343 THEN 1
+                  WHEN u < 0.919698602929 THEN 2
+                  WHEN u < 0.981011843124 THEN 3
+                  WHEN u < 0.996340153173 THEN 4
+                  WHEN u < 0.999405815182 THEN 5
+                  WHEN u < 0.999916758851 THEN 6
+                  WHEN u < 0.999989750803 THEN 7
+                  WHEN u < 0.999998874797 THEN 8
+                  ELSE 9 END AS w
+      FROM drawn
+    ),
+    per_b AS (
+      SELECT b, sum(w * v) / (sum(w) * 1.0) AS mean_b FROM weighted GROUP BY 1
+    ),
+    stats AS (
+      SELECT round(stddev_samp(mean_b), 6) AS se,
+             round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+             round(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+      FROM per_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n,
+           (SELECT round(avg(CAST(value AS DOUBLE)), 6) FROM events) AS mean,
+           se, ci_lo, ci_hi
+    FROM stats
+"""
+
+ORACLES["seasonal_quantile_bands"] = """
+    WITH cells AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hod,
+             quantile_cont(CAST(value AS DOUBLE), [0.1, 0.5, 0.9]) AS qs
+      FROM events GROUP BY 1
+    )
+    SELECT hod,
+           CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS p,
+           round(unnest(qs), 6) AS q
+    FROM cells
 """

@@ -1105,3 +1105,26 @@ def test_vocab_drift_detects_mover(spark):
     assert got["stable"].js_term < got["old"].js_term
     # JS terms are finite and non-negative even for one-sided tokens
     assert all(r.js_term >= 0 for r in out)
+
+
+# ------------------------------------------------------------ bootstrap_ci_mean
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    rows = [Row(id=i, v=float(i % 10)) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    a = profiling.bootstrap_ci_mean(df, "id", "v", n_resamples=30).collect()[0]
+    b = profiling.bootstrap_ci_mean(df, "id", "v", n_resamples=30).collect()[0]
+    assert (a.ci_lo, a.ci_hi, a.se) == (b.ci_lo, b.ci_hi, b.se)  # deterministic
+    assert a.ci_lo <= a.mean <= a.ci_hi
+    assert a.se > 0
+    # CI width shrinks like 1/sqrt(n): a crude sanity bound
+    assert (a.ci_hi - a.ci_lo) < 1.0
+
+
+def test_bootstrap_ci_tightens_with_n(spark):
+    small = spark.createDataFrame([Row(id=i, v=float(i % 10)) for i in range(50)])
+    big = spark.createDataFrame([Row(id=i, v=float(i % 10)) for i in range(2000)])
+    cs = profiling.bootstrap_ci_mean(small, "id", "v", n_resamples=30).collect()[0]
+    cb = profiling.bootstrap_ci_mean(big, "id", "v", n_resamples=30).collect()[0]
+    assert (cb.ci_hi - cb.ci_lo) < (cs.ci_hi - cs.ci_lo)

@@ -182,6 +182,8 @@ AUDITED = [
     "bernoulli_ht_audit",
     "markov_accuracy",
     "vocab_drift",
+    "bootstrap_ci_mean",
+    "seasonal_quantile_bands",
     "bpe_pairs",
     "spearman_activity",
     "quality_auc",
@@ -664,6 +666,13 @@ CHECKS = {
     # one tokenize pass with the half tag generated; vocabulary-grain
     # aggregate; totals + ranks as windows over vocab rows
     "vocab_drift": ["Generate", "HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # bounded B-way explode folds straight into the (b) aggregate; the
+    # CI quantile runs over B rows; overall stats join via a 1-row
+    # broadcast — the resampled dataset never materializes
+    "bootstrap_ci_mean": ["Generate", "HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # one exact-percentile aggregate per hour-of-day; array unzip is a
+    # generated projection
+    "seasonal_quantile_bands": ["Generate", "HashAggregate", "!Join", "!CartesianProduct"],
     # corpus collapses to vocabulary first; pair explode runs over
     # distinct tokens; top-k is a partition-heap merge, never global sort
     "bpe_pairs": ["HashAggregate", "TakeOrderedAndProject", "!Join"],
