@@ -264,36 +264,19 @@ def ivf_topk(
     )
 
 
-def kmeans(
+def _kmeans_final_assign(
     df: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Deterministic fixed-iteration Lloyd k-means over an embedding
-    column, returning (cluster_id, n_vecs, inertia) after ``iters``
-    update steps. The centroid-building block a training pipeline uses
-    for corpus clustering / diversity sampling.
-
-    Everything that affects the result is exact and seed-free so an
-    independent engine reproduces it bit-for-bit:
-    - init: the k vectors with the smallest md5(id) — a deterministic
-      "random" draw;
-    - assignment: nearest centroid by squared L2 with ties to the
-      smaller cluster id, computed per vector as a map-only projection
-      over ONE broadcast packed-centroid array row (array_min over
-      struct(dist, cid) — the same no-corpus-shuffle shape as
-      ivf_topk); distance terms fold left-to-right (F.aggregate),
-      which the oracle mirrors with list_reduce;
-    - update: per-(cluster, dim) means via DECIMAL(38,12) sums, so the
-      reduction is associative (identical across partitionings and
-      engines), reassembled into ordered centroid arrays.
-
-    Scale shape per iteration: k×dim doubles broadcast out, k×dim
-    aggregate rows shuffle back — corpus rows never shuffle, and the
-    per-vector work is one whole-stage-codegen projection. Empty
-    clusters drop out (both engines identically)."""
+    """Shared deterministic Lloyd assignment loop: ``iters`` centroid
+    updates from md5-seeded init, then the final nearest-centroid
+    assignment. Returns (__id, __v, cid, dist) — the building block
+    behind both ``kmeans`` (cluster summary) and ``semdedup``
+    (within-cluster near-dup pruning), factored out so the two can
+    never diverge on seeding/tie rules."""
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("__id"), vec.alias("__v"))
     seeds = (
@@ -352,7 +335,40 @@ def kmeans(
             .select("cid", F.transform("__pm", lambda x: x["m"]).alias("cvec"))
         )
 
-    final = assign(cents)
+    return assign(cents)
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means over an embedding
+    column, returning (cluster_id, n_vecs, inertia) after ``iters``
+    update steps. The centroid-building block a training pipeline uses
+    for corpus clustering / diversity sampling.
+
+    Everything that affects the result is exact and seed-free so an
+    independent engine reproduces it bit-for-bit:
+    - init: the k vectors with the smallest md5(id) — a deterministic
+      "random" draw;
+    - assignment: nearest centroid by squared L2 with ties to the
+      smaller cluster id, computed per vector as a map-only projection
+      over ONE broadcast packed-centroid array row (array_min over
+      struct(dist, cid) — the same no-corpus-shuffle shape as
+      ivf_topk); distance terms fold left-to-right (F.aggregate),
+      which the oracle mirrors with list_reduce;
+    - update: per-(cluster, dim) means via DECIMAL(38,12) sums, so the
+      reduction is associative (identical across partitionings and
+      engines), reassembled into ordered centroid arrays.
+
+    Scale shape per iteration: k×dim doubles broadcast out, k×dim
+    aggregate rows shuffle back — corpus rows never shuffle, and the
+    per-vector work is one whole-stage-codegen projection. Empty
+    clusters drop out (both engines identically)."""
+    final = _kmeans_final_assign(df, k, iters, id_col, vec_col)
     return (
         final.groupBy("cid")
         .agg(
@@ -362,6 +378,159 @@ def kmeans(
             ),
         )
         .select(F.col("cid").alias("cluster_id"), "n_vecs", "inertia")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with deterministic k-means,
+    then inside each cluster drop every vector whose cosine similarity
+    to a SMALLER-id cluster-mate is ≥ ``threshold`` (the keep-first
+    greedy rule — deterministic, no transitive closure needed).
+    Returns per-cluster (cluster_id, n_vecs, n_dropped, n_kept).
+
+    Scale shape: the clustering is the map-only broadcast-centroid
+    loop from ``kmeans`` (corpus never shuffles); the pair scoring is
+    a hash self-join ON cid — candidate pairs are bounded by
+    Σ|cluster|², exactly the blowup k-means clustering exists to
+    bound (that is the published algorithm's core trick; raise k to
+    tighten it). No cartesian/nested-loop join appears in the plan.
+    Cosines are rounded to 6 decimals BEFORE the threshold compare so
+    an independent engine lands on the identical drop set."""
+    a = _kmeans_final_assign(df, k, iters, id_col, vec_col)
+    n = a.select(
+        "cid",
+        F.col("__id").alias("id"),
+        F.col("__v").alias("v"),
+        norm(F.col("__v")).alias("nrm"),
+    )
+    l, r = n.alias("l"), n.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.cid") == F.col("r.cid")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.cid").alias("cid"),
+            F.col("r.id").alias("id"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    dropped = pairs.select("cid", "id").distinct().groupBy("cid").agg(
+        F.count("*").alias("n_dropped")
+    )
+    sizes = n.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    return (
+        sizes.join(dropped, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
+def rrf_fusion(
+    df: DataFrame,
+    n_queries: int = 4,
+    top_n: int = 50,
+    k_rrf: int = 60,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    retrieval rankings — cosine similarity and (negated) squared L2 —
+    for a deterministic query set (the ``n_queries`` vectors with the
+    smallest md5(id), the same seed rule as k-means init). Each ranker
+    contributes 1/(k_rrf + rank) for its top ``top_n``; candidates are
+    fused with a full-outer merge (a hit on one list only still
+    scores) and the fused top ``topk`` per query is returned as
+    (query_id, rank, vec_id, rrf_score, rank_cos, rank_l2).
+
+    Determinism across engines: both rankers order by the ROUND-6
+    score with id as tiebreak, and the fused ordering uses the round-6
+    RRF score (a sum of exactly ≤2 doubles — IEEE addition of two
+    terms is order-exact) with id tiebreak.
+
+    Scale shape: queries broadcast against a map-only scored scan; the
+    per-query ranking here is the exact brute-force window (the
+    verification path) — ``knn_join``'s salted two-phase top-k is the
+    scale path for large corpora, and the fusion step is unchanged
+    under it."""
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+    qs = (
+        base.select("id", "v", F.md5(F.col("id").cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(n_queries)
+        .select(
+            (F.row_number().over(Window.orderBy("__h")) - 1).cast("long").alias("query_id"),
+            F.col("id").alias("q_id"),
+            F.col("v").alias("qv"),
+        )
+    )
+    scored = (
+        base.join(F.broadcast(qs), F.col("id") != F.col("q_id"))
+        .select(
+            "query_id",
+            "id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                6,
+            ).alias("l2"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id"))
+    w_l2 = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col("id"))
+    ranked = scored.select(
+        "query_id",
+        "id",
+        F.row_number().over(w_cos).cast("long").alias("rank_cos"),
+        F.row_number().over(w_l2).cast("long").alias("rank_l2"),
+    )
+    cos_list = ranked.where(F.col("rank_cos") <= top_n).select("query_id", "id", "rank_cos")
+    l2_list = ranked.where(F.col("rank_l2") <= top_n).select("query_id", "id", "rank_l2")
+    fused = (
+        cos_list.join(l2_list, ["query_id", "id"], "full_outer")
+        .select(
+            "query_id",
+            "id",
+            "rank_cos",
+            "rank_l2",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_cos")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_l2")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col("id"))
+    return (
+        fused.select(
+            "query_id",
+            F.row_number().over(w_f).cast("long").alias("rank"),
+            F.col("id").alias("vec_id"),
+            "rrf_score",
+            "rank_cos",
+            "rank_l2",
+        )
+        .where(F.col("rank") <= topk)
     )
 
 

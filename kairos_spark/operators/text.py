@@ -1356,3 +1356,91 @@ def vocab_drift(
         .where(F.col("rank") <= k)
     )
     return ranked
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Spärck Jones probabilistic weighting,
+    the Lucene ``k1``/``b`` parameterization with the +1-smoothed IDF
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` so scores stay positive) of
+    the corpus against a literal set of term queries. Returns the top
+    ``topk`` docs per query as (query_id, rank, doc_id, score).
+
+    Scale shape: the query vocabulary broadcasts and semi-filters the
+    exploded token stream BEFORE any aggregation, so only postings of
+    query terms ever shuffle — (doc, term) tf rows, not the corpus
+    text. Corpus stats (N, avgdl) ride a 1-row broadcast; df-per-term
+    and idf ride a query-vocabulary-sized broadcast. Per-(query, doc)
+    scores sum term contributions in DECIMAL(38,12) (associative —
+    identical under any partitioning and in the oracle), and the
+    per-query top-k window partitions by query_id over candidate docs
+    only (docs containing ≥1 query term).
+
+    Doc length is the whitespace token count of the normalized text —
+    the same tokenizer every other word-grain operator uses
+    (``word_tokens``), so BM25 lengths agree with shingle/LM ops."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    ).select("doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    qrows = [(int(qid), t) for qid, terms in queries for t in terms]
+    qterms = spark.createDataFrame(qrows, "query_id long, term string")
+    vocab = qterms.select("term").distinct()
+
+    stats = df.select(F.size(word_tokens(F.col(text_col))).alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        # integer token counts sum exactly in long; one double division
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+    )
+    scored = (
+        contrib.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("w").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return scored.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "score",
+    ).where(F.col("rank") <= topk)

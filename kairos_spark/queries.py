@@ -2670,6 +2670,35 @@ def q_seasonal_quantile_bands(spark, sf_dir):
     return profiling.group_quantiles(hod, "hod", "value", probs=[0.1, 0.5, 0.9])
 
 
+_BM25_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["window", "agg", "sort"]),
+    (2, ["vector", "scan"]),
+    (3, ["stream", "batch", "merge"]),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval: top-10 docs per term query (4 literal queries),
+    Lucene k1/b parameterization, query-vocab broadcast prefilter."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, _BM25_QUERIES, k1=1.2, b=0.75, topk=10)
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of cosine and L2 rankings for 4
+    md5-seeded query vectors: top-10 fused neighbors each."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.rrf_fusion(emb, n_queries=4, top_n=50, k_rrf=60, topk=10)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup: k-means clusters (k=8, 2 iters) then
+    greedy keep-first pruning of within-cluster cosine ≥ 0.35 mates."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, k=8, iters=2, threshold=0.35)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2684,6 +2713,11 @@ QUERIES = {
     # re-checks); (3) pipeline entries CORRECTNESS_r04 did not reach;
     # (4) the r4-green 50 rotate to the tail, covered by the local
     # mirror (tools/check_correctness.py, 0 failures full-registry).
+    # --- (0) newest this session: never checked anywhere but the local
+    # mirror — they outrank even the earlier r5 batch. ---
+    "bm25_topk": q_bm25_topk,
+    "rrf_fusion": q_rrf_fusion,
+    "semdedup": q_semdedup,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -7451,4 +7485,165 @@ ORACLES["seasonal_quantile_bands"] = """
            CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS p,
            round(unnest(qs), 6) AS q
     FROM cells
+"""
+
+
+ORACLES["bm25_topk"] = """
+    WITH q(query_id, term) AS (
+      VALUES (CAST(0 AS BIGINT), 'hash'), (0, 'join'),
+             (1, 'window'), (1, 'agg'), (1, 'sort'),
+             (2, 'vector'), (2, 'scan'),
+             (3, 'stream'), (3, 'batch'), (3, 'merge')
+    ),
+    toks AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS dl,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM (SELECT doc_id, any_value(dl) AS dl FROM toks GROUP BY 1)
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+      FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT doc_id, tf.term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+      FROM contrib JOIN q ON contrib.term = q.term
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rank, doc_id, score FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
+
+ORACLES["rrf_fusion"] = """
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qs AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS query_id,
+             id AS q_id, v AS qv
+      FROM base ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 4
+    ),
+    scored AS (
+      SELECT query_id, b.id,
+             round(list_cosine_similarity(b.v, qv), 6) AS cos,
+             round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(list_zip(b.v, qv),
+                                s -> (s[1] - s[2]) * (s[1] - s[2]))),
+               (x, y) -> x + y), 6) AS l2
+      FROM base b CROSS JOIN qs WHERE b.id <> q_id
+    ),
+    ranked AS (
+      SELECT query_id, id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, id) AS BIGINT) AS rank_cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY l2 ASC, id) AS BIGINT) AS rank_l2
+      FROM scored
+    ),
+    cl AS (SELECT query_id, id, rank_cos FROM ranked WHERE rank_cos <= 50),
+    ll AS (SELECT query_id, id, rank_l2 FROM ranked WHERE rank_l2 <= 50),
+    fused AS (
+      SELECT COALESCE(cl.query_id, ll.query_id) AS query_id,
+             COALESCE(cl.id, ll.id) AS id,
+             rank_cos, rank_l2,
+             round(COALESCE(1.0 / (60 + rank_cos), 0.0)
+                   + COALESCE(1.0 / (60 + rank_l2), 0.0), 6) AS rrf_score
+      FROM cl FULL OUTER JOIN ll
+        ON cl.query_id = ll.query_id AND cl.id = ll.id
+    )
+    SELECT query_id, rank, vec_id, rrf_score, rank_cos, rank_l2 FROM (
+      SELECT query_id, id AS vec_id, rrf_score, rank_cos, rank_l2,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_score DESC, id) AS BIGINT) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+"""
+
+ORACLES["semdedup"] = f"""
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT id, v, md5(CAST(id AS VARCHAR)) AS h
+      FROM base ORDER BY h LIMIT 8
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS cvec FROM seeds
+    ),
+    d1 AS (
+      SELECT b.id, b.v, c.cid, {_KM_DIST} AS dist
+      FROM base b CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    u1 AS (
+      SELECT cid, pos,
+             CAST(sum(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+      FROM a1 CROSS JOIN range(1, 65) t(pos)
+      GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM u1 GROUP BY 1),
+    d2 AS (
+      SELECT b.id, b.v, c.cid, {_KM_DIST} AS dist
+      FROM base b CROSS JOIN c1 c
+    ),
+    a2 AS (
+      SELECT id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    u2 AS (
+      SELECT cid, pos,
+             CAST(sum(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+      FROM a2 CROSS JOIN range(1, 65) t(pos)
+      GROUP BY 1, 2
+    ),
+    c2 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM u2 GROUP BY 1),
+    d3 AS (
+      SELECT b.id, b.v, c.cid, {_KM_DIST} AS dist
+      FROM base b CROSS JOIN c2 c
+    ),
+    a3 AS (
+      SELECT id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        FROM d3
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT l.cid, r.id AS id,
+             round(list_cosine_similarity(l.v, r.v), 6) AS cos
+      FROM a3 l JOIN a3 r ON l.cid = r.cid AND l.id < r.id
+    ),
+    drop0 AS (SELECT DISTINCT cid, id FROM pairs WHERE cos >= 0.35),
+    dropped AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped FROM drop0 GROUP BY 1),
+    sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM a3 GROUP BY 1)
+    SELECT s.cid AS cluster_id, n_vecs,
+           COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+           n_vecs - COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_kept
+    FROM sizes s LEFT JOIN dropped d ON s.cid = d.cid
 """

@@ -1,0 +1,109 @@
+"""Round-5 third-wave operators: BM25 retrieval, reciprocal-rank
+fusion, and SemDeDup-style semantic dedup."""
+
+from pyspark.sql import Row
+
+from kairos_spark.operators import similarity, text
+
+# --------------------------------------------------------------- bm25_topk
+
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id=0, text="rare common common filler filler"),
+        Row(doc_id=1, text="common filler filler filler filler"),
+        Row(doc_id=2, text="common filler filler filler filler filler filler filler"),
+        Row(doc_id=3, text="filler filler filler filler"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_bm25_rare_term_dominates(spark):
+    out = text.bm25_topk(_corpus(spark), [(0, ["rare", "common"])], topk=4).collect()
+    assert out[0].doc_id == 0 and out[0].rank == 1
+    # doc 3 has no query term at all -> not a candidate
+    assert all(r.doc_id != 3 for r in out)
+
+
+def test_bm25_length_normalization(spark):
+    # docs 1 and 2 have identical tf("common")=1; doc 1 is shorter, so
+    # the b-weighted length norm must score it higher
+    out = text.bm25_topk(_corpus(spark), [(0, ["common"])], topk=4).collect()
+    by_id = {r.doc_id: r.score for r in out}
+    assert by_id[1] > by_id[2]
+
+
+def test_bm25_rank_contract(spark):
+    out = text.bm25_topk(
+        _corpus(spark), [(0, ["common"]), (1, ["rare"])], topk=10
+    ).collect()
+    for qid in (0, 1):
+        rows = sorted([r for r in out if r.query_id == qid], key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+# -------------------------------------------------------------- rrf_fusion
+
+
+def _vecs(spark):
+    # 2-d points on a line: cosine and L2 orderings agree
+    rows = [Row(vec_id=i, embedding=[float(i + 1), float(2 * i + 1)]) for i in range(12)]
+    return spark.createDataFrame(rows)
+
+
+def test_rrf_deterministic_and_ranked(spark):
+    a = similarity.rrf_fusion(_vecs(spark), n_queries=2, top_n=5, topk=5).collect()
+    b = similarity.rrf_fusion(_vecs(spark), n_queries=2, top_n=5, topk=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(a, key=key) == sorted(b, key=key)
+    for qid in {r.query_id for r in a}:
+        rows = sorted([r for r in a if r.query_id == qid], key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.rrf_score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_both_lists_beat_one(spark):
+    # an item present on both rankers' lists at rank r scores strictly
+    # more than 1/(60+1) can ever contribute from a single list when
+    # its two ranks are both <= top_n
+    out = similarity.rrf_fusion(_vecs(spark), n_queries=1, top_n=12, topk=11).collect()
+    top = [r for r in out if r.rank == 1][0]
+    assert top.rank_cos is not None and top.rank_l2 is not None
+    assert top.rrf_score > 1.0 / 61.0
+
+
+# ---------------------------------------------------------------- semdedup
+
+
+def _clustered(spark):
+    # two tight, well-separated clusters; ids 0/1 and 10/11 are exact
+    # duplicates within their clusters
+    rows = (
+        [Row(vec_id=0, embedding=[10.0, 0.0]), Row(vec_id=1, embedding=[10.0, 0.0])]
+        + [Row(vec_id=i, embedding=[10.0 + i * 0.01, float(i) * 0.01]) for i in range(2, 6)]
+        + [Row(vec_id=10, embedding=[0.0, 10.0]), Row(vec_id=11, embedding=[0.0, 10.0])]
+        + [Row(vec_id=i, embedding=[float(i - 10) * 0.01, 10.0 + i * 0.01]) for i in range(12, 16)]
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_semdedup_drops_exact_dups(spark):
+    out = similarity.semdedup(_clustered(spark), k=2, iters=2, threshold=0.999999).collect()
+    assert sum(r.n_vecs for r in out) == 12
+    # at cosine ~1 threshold only exact-duplicate mates drop: one per pair
+    assert sum(r.n_dropped for r in out) >= 2
+    for r in out:
+        assert r.n_kept + r.n_dropped == r.n_vecs
+
+
+def test_semdedup_threshold_monotone(spark):
+    df = _clustered(spark)
+    hi = similarity.semdedup(df, k=2, iters=2, threshold=0.999999).collect()
+    lo = similarity.semdedup(df, k=2, iters=2, threshold=0.5).collect()
+    assert sum(r.n_dropped for r in lo) >= sum(r.n_dropped for r in hi)
+    # above any attainable cosine nothing drops
+    none = similarity.semdedup(df, k=2, iters=2, threshold=1.5).collect()
+    assert sum(r.n_dropped for r in none) == 0

@@ -21,6 +21,9 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "bm25_topk",
+    "rrf_fusion",
+    "semdedup",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -235,6 +238,16 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # query vocabulary + per-term stats broadcast; only postings of
+    # query terms shuffle — the corpus text must never hit a sort-merge
+    "bm25_topk": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    # 4-row query side broadcasts against the map-only scored scan; the
+    # candidate fusion join is bounded by 2·top_n rows per query
+    "rrf_fusion": ["BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # clustering is the broadcast-centroid kmeans loop (corpus never
+    # shuffles for assignment); pair scoring joins ON cid — hash, never
+    # cartesian: candidate pairs bounded by Σ|cluster|²
+    "semdedup": ["BroadcastNestedLoopJoin", "!CartesianProduct", "HashAggregate"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
