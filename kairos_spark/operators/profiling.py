@@ -2058,3 +2058,158 @@ def bootstrap_ci_mean(
     return overall.crossJoin(F.broadcast(stats)).select(
         "n", "mean", "se", "ci_lo", "ci_hi"
     )
+
+
+def conformal_coverage(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction audit (Vovk et al.; the split recipe
+    of Lei et al. 2018): hash-partition rows into train/calibration/
+    test by md5(id) (8/4/4 sixteenths — deterministic, seed-free), fit
+    the trivial per-group mean model on train, take the conformal
+    quantile q̂ of absolute calibration residuals (the ⌈(n+1)(1−α)⌉-th
+    smallest, capped at the max), and report the TEST-set coverage of
+    the interval pred ± q̂ per group. A well-calibrated split yields
+    coverage ≳ 1−α; a drifted or heteroscedastic group under-covers —
+    this is the go/no-go check before shipping model-based filters.
+
+    Returns (group, n_cal, n_test, pred, qhat, coverage).
+
+    Determinism across engines: the split is the first hex digit of
+    md5(id); the train mean accumulates in DECIMAL(38,12); residuals
+    are rounded to 6 decimals BEFORE both the order statistic and the
+    coverage compare, so engines agree at interval boundaries.
+
+    Scale shape: one shuffle per aggregation on the group key; the
+    order statistic uses a per-group sort window over CALIBRATION
+    rows only (a fixed fraction of the data — for huge groups swap in
+    percentile_approx and accept approximate q̂)."""
+    from pyspark.sql.window import Window
+
+    digit = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    split = (
+        F.when(digit.isin(*"01234567"), F.lit("train"))
+        .when(digit.isin(*"89ab"), F.lit("cal"))
+        .otherwise(F.lit("test"))
+    )
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("double").alias("v"),
+        split.alias("split"),
+    )
+    pred = (
+        base.where(F.col("split") == "train")
+        .groupBy("group")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*")
+            ).alias("pred")
+        )
+    )
+    cal = (
+        base.where(F.col("split") == "cal")
+        .join(F.broadcast(pred), "group")
+        .select("group", F.round(F.abs(F.col("v") - F.col("pred")), 6).alias("resid"))
+    )
+    w = Window.partitionBy("group").orderBy(F.col("resid"))
+    ranked = cal.select(
+        "group",
+        "resid",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy("group")).cast("long").alias("n_cal"),
+    )
+    k = F.least(F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)), F.col("n_cal"))
+    qhat = ranked.where(F.col("rn") == k).select(
+        "group", F.col("resid").alias("qhat"), "n_cal"
+    )
+    test = base.where(F.col("split") == "test").join(F.broadcast(pred), "group")
+    return (
+        test.join(F.broadcast(qhat), "group")
+        .groupBy("group")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count("*").cast("long").alias("n_test"),
+            F.round(F.max("pred"), 6).alias("pred"),
+            F.max("qhat").alias("qhat"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.round(F.abs(F.col("v") - F.col("pred")), 6) <= F.col("qhat"), 1
+                    ).otherwise(0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+def quantile_normalize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups (the batch-effect
+    correction standard in bioinformatics, Bolstad et al. 2003): map
+    each group's values onto the POOLED distribution by rank — value →
+    percent_rank within group → the pooled order statistic at that
+    rank — so every group ends up with (nearly) the same marginal
+    distribution. Reports per-group moments of the mapped values
+    (group, n, mean_raw, mean_mapped, var_mapped): groups whose
+    mean_mapped still diverge are too small for rank alignment.
+
+    Determinism: percent_rank ties follow SQL semantics identically in
+    any engine; the pooled index is floor(r·(N−1) + 0.5) — explicit
+    floor, not round, so no half-even/half-up divergence; moment sums
+    are exact (DECIMAL) before one final double division.
+
+    Scale shape: one window per group for percent_rank (shuffle on
+    group), one GLOBAL row_number to index the pooled distribution —
+    a single-partition sort acceptable for lookup-table-sized pools;
+    at fact scale replace the pooled index with percentile_approx
+    cutpoints (documented trade: exactness for one global sort)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("group"), F.col(value_col).cast("double").alias("v")
+    )
+    n_pool = base.agg(F.count("*").cast("long").alias("n_pool"))
+    pooled = base.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("v"), F.col("group")))
+        .cast("long")
+        .alias("idx"),
+        F.col("v").alias("pooled_v"),
+    )
+    r = F.percent_rank().over(Window.partitionBy("group").orderBy("v"))
+    idxed = base.crossJoin(F.broadcast(n_pool)).select(
+        "group",
+        "v",
+        (F.floor(r * (F.col("n_pool") - 1).cast("double") + F.lit(0.5)) + 1)
+        .cast("long")
+        .alias("idx"),
+    )
+    mapped = idxed.join(pooled, "idx")
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,12)")).cast("double")
+    return (
+        mapped.groupBy("group")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(dec("v") / F.count("*"), 6).alias("mean_raw"),
+            F.round(dec("pooled_v") / F.count("*"), 6).alias("mean_mapped"),
+            F.round(
+                (
+                    F.sum((F.col("pooled_v") * F.col("pooled_v")).cast("decimal(38,12)")).cast(
+                        "double"
+                    )
+                    - dec("pooled_v") * dec("pooled_v") / F.count("*")
+                )
+                / F.count("*"),
+                6,
+            ).alias("var_mapped"),
+        )
+    )

@@ -1951,3 +1951,58 @@ def markov_accuracy(
             "covered_accuracy"
         ),
     )
+
+
+def interval_allocate(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Prorate an interval-shaped value across the fixed-width time
+    buckets the interval overlaps — the warehouse allocation pattern
+    (spread a session's revenue across the hours it spanned, a
+    subscription across months, a shift across days). Each interval
+    row (start, end, value) explodes into one row per overlapped
+    bucket, weighted by overlap seconds / interval length;
+    zero-length intervals (point events) allocate fully to their
+    bucket. Returns (bucket_start, allocated, n_intervals) where
+    ``bucket_start`` is the bucket's epoch-second start, ``allocated``
+    sums prorated values in DECIMAL(38,12) (associative — identical
+    under any partitioning) rounded to 6, and ``n_intervals`` counts
+    contributing intervals.
+
+    Scale shape: the explode is bounded by interval span /
+    ``bucket_seconds`` (sessions spanning hours → a handful of rows),
+    then one hash aggregation on the bucket key. No join, no window,
+    no driver loop; degenerate multi-year intervals should be clamped
+    upstream — the generate is linear in the TRUE output size."""
+    s = F.col(start_col).cast("double")
+    e = F.col(end_col).cast("double")
+    v = F.col(value_col).cast("double")
+    b = F.lit(float(bucket_seconds))
+    first_b = F.floor(s / b).cast("long")
+    last_b = F.floor(e / b).cast("long")
+    rows = df.select(
+        s.alias("__s"), e.alias("__e"), v.alias("__v"),
+        F.explode(F.sequence(first_b, last_b)).alias("__bkt"),
+    )
+    lo = F.greatest(F.col("__s"), F.col("__bkt") * b)
+    hi = F.least(F.col("__e"), (F.col("__bkt") + 1) * b)
+    frac = F.when(F.col("__e") == F.col("__s"), F.lit(1.0)).otherwise(
+        (hi - lo) / (F.col("__e") - F.col("__s"))
+    )
+    return (
+        rows.select(
+            (F.col("__bkt") * F.lit(bucket_seconds)).cast("long").alias("bucket_start"),
+            (F.col("__v") * frac).alias("__alloc"),
+        )
+        .groupBy("bucket_start")
+        .agg(
+            F.round(
+                F.sum(F.col("__alloc").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("allocated"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+    )

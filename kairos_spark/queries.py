@@ -2699,6 +2699,33 @@ def q_semdedup(spark, sf_dir):
     return similarity.semdedup(emb, k=8, iters=2, threshold=0.35)
 
 
+def q_interval_proration(spark, sf_dir):
+    """Prorate each session's value across the hour buckets it spans
+    (overlap-weighted interval allocation)."""
+    ev = _tbl(spark, sf_dir, "events")
+    s = windows.sessionize(ev, "user_id", "ts", 1800.0, order_col="event_id")
+    ivs = s.groupBy("user_id", "session_id").agg(
+        F.min(F.col("ts").cast("double")).alias("s"),
+        F.max(F.col("ts").cast("double")).alias("e"),
+        F.sum(F.col("value").cast("decimal(38,12)")).cast("double").alias("v"),
+    )
+    return windows.interval_allocate(ivs, "s", "e", "v", bucket_seconds=3600)
+
+
+def q_conformal_coverage(spark, sf_dir):
+    """Split-conformal coverage audit of the per-type mean model on
+    event values (hash split, alpha=0.1)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.conformal_coverage(ev, "event_id", "event_type", "value", alpha=0.1)
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile-normalize per-language doc lengths onto the pooled
+    length distribution; report mapped moments per language."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return profiling.quantile_normalize_stats(docs, "lang", "n_chars")
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2718,6 +2745,9 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "semdedup": q_semdedup,
+    "interval_proration": q_interval_proration,
+    "conformal_coverage": q_conformal_coverage,
+    "quantile_normalize": q_quantile_normalize,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -7646,4 +7676,117 @@ ORACLES["semdedup"] = f"""
            COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
            n_vecs - COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_kept
     FROM sizes s LEFT JOIN dropped d ON s.cid = d.cid
+"""
+
+
+ORACLES["interval_proration"] = """
+    WITH ordered AS (
+      SELECT user_id, event_id, value, epoch(ts) AS t,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, value, t,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    ),
+    ivs AS (
+      SELECT user_id, session_id, min(t) AS s, max(t) AS e,
+             CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS v
+      FROM sess GROUP BY 1, 2
+    ),
+    bk AS (
+      SELECT s, e, v,
+             unnest(generate_series(CAST(floor(s / 3600.0) AS BIGINT),
+                                    CAST(floor(e / 3600.0) AS BIGINT))) AS bkt
+      FROM ivs
+    ),
+    al AS (
+      SELECT CAST(bkt * 3600 AS BIGINT) AS bucket_start,
+             CASE WHEN e = s THEN v * 1.0
+                  ELSE v * ((least(e, (bkt + 1) * 3600.0) - greatest(s, bkt * 3600.0))
+                            / (e - s))
+             END AS alloc
+      FROM bk
+    )
+    SELECT bucket_start,
+           round(CAST(sum(CAST(alloc AS DECIMAL(38,12))) AS DOUBLE), 6) AS allocated,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM al GROUP BY 1
+"""
+
+ORACLES["conformal_coverage"] = """
+    WITH base AS (
+      SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') THEN 'train'
+                  WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                       IN ('8','9','a','b') THEN 'cal'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    pred AS (
+      SELECT grp,
+             CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS pred
+      FROM base WHERE split = 'train' GROUP BY 1
+    ),
+    cal AS (
+      SELECT base.grp, round(abs(v - pred), 6) AS resid
+      FROM base JOIN pred ON base.grp = pred.grp WHERE split = 'cal'
+    ),
+    ranked AS (
+      SELECT grp, resid,
+             row_number() OVER (PARTITION BY grp ORDER BY resid) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n_cal
+      FROM cal
+    ),
+    qh AS (
+      SELECT grp, resid AS qhat, CAST(n_cal AS BIGINT) AS n_cal
+      FROM ranked
+      WHERE rn = least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+    ),
+    test AS (
+      SELECT base.grp, v, pred
+      FROM base JOIN pred ON base.grp = pred.grp WHERE split = 'test'
+    )
+    SELECT t.grp AS "group", max(n_cal) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(max(pred), 6) AS pred, max(qhat) AS qhat,
+           round(sum(CASE WHEN round(abs(v - pred), 6) <= qhat
+                          THEN 1 ELSE 0 END) / (count(*) * 1.0), 6) AS coverage
+    FROM test t JOIN qh ON t.grp = qh.grp GROUP BY 1
+"""
+
+ORACLES["quantile_normalize"] = """
+    WITH base AS (
+      SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS v FROM documents
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM base),
+    pooled AS (
+      SELECT CAST(row_number() OVER (ORDER BY v, grp) AS BIGINT) AS idx,
+             v AS pooled_v
+      FROM base
+    ),
+    idxed AS (
+      SELECT grp, v,
+             CAST(floor(percent_rank() OVER (PARTITION BY grp ORDER BY v)
+                        * (n_pool - 1) + 0.5) AS BIGINT) + 1 AS idx
+      FROM base CROSS JOIN np
+    ),
+    mapped AS (SELECT grp, v, pooled_v FROM idxed JOIN pooled USING (idx))
+    SELECT grp AS "group", CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+             AS mean_raw,
+           round(CAST(sum(CAST(pooled_v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+             AS mean_mapped,
+           round((CAST(sum(CAST(pooled_v * pooled_v AS DECIMAL(38,12))) AS DOUBLE)
+                  - CAST(sum(CAST(pooled_v AS DECIMAL(38,12))) AS DOUBLE)
+                    * CAST(sum(CAST(pooled_v AS DECIMAL(38,12))) AS DOUBLE) / count(*))
+                 / count(*), 6) AS var_mapped
+    FROM mapped GROUP BY 1
 """

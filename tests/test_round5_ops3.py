@@ -107,3 +107,76 @@ def test_semdedup_threshold_monotone(spark):
     # above any attainable cosine nothing drops
     none = similarity.semdedup(df, k=2, iters=2, threshold=1.5).collect()
     assert sum(r.n_dropped for r in none) == 0
+
+
+# -------------------------------------------------------- interval_allocate
+
+from kairos_spark.operators import profiling, windows
+
+
+def test_interval_allocate_splits_proportionally(spark):
+    # interval t=1800..7200 (5400s): 1800s in hour 0 (1/3 of the
+    # value), 3600s in hour 1 (2/3), zero-width touch of hour 2
+    df = spark.createDataFrame([(1800.0, 7200.0, 9.0)], "s double, e double, v double")
+    out = {r.bucket_start: r.allocated for r in
+           windows.interval_allocate(df, "s", "e", "v").collect()}
+    assert out[0] == 3.0
+    assert out[3600] == 6.0
+    assert out.get(7200, 0.0) == 0.0  # boundary bucket gets nothing
+    assert abs(sum(out.values()) - 9.0) < 1e-9
+
+
+def test_interval_allocate_point_interval(spark):
+    df = spark.createDataFrame([(5000.0, 5000.0, 7.0)], "s double, e double, v double")
+    out = windows.interval_allocate(df, "s", "e", "v").collect()
+    assert len(out) == 1 and out[0].bucket_start == 3600 and out[0].allocated == 7.0
+
+
+def test_interval_allocate_conserves_total(spark):
+    rows = [(float(i * 997), float(i * 997 + i * 131), float(i)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "s double, e double, v double")
+    out = windows.interval_allocate(df, "s", "e", "v").collect()
+    assert abs(sum(r.allocated for r in out) - sum(v for _, _, v in rows)) < 1e-4
+
+
+# ------------------------------------------------------- conformal_coverage
+
+
+def test_conformal_coverage_on_constant_noise(spark):
+    # value = group mean + bounded noise: the conformal interval at
+    # alpha=0.1 must cover >= ~90% of test points
+    rows = [(i, "a", 10.0 + ((i * 7) % 5 - 2) * 0.1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = profiling.conformal_coverage(df, "event_id", "event_type", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_cal > 0 and r.n_test > 0
+    assert abs(r.pred - 10.0) < 0.1
+    assert r.coverage >= 0.85
+    assert 0.0 <= r.qhat <= 0.21
+
+
+def test_conformal_qhat_grows_with_noise(spark):
+    lo = [(i, "g", 5.0 + (i % 3) * 0.01) for i in range(1000)]
+    hi = [(i, "g", 5.0 + (i % 3) * 1.0) for i in range(1000)]
+    mk = lambda rows: spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    q_lo = profiling.conformal_coverage(mk(lo), "event_id", "event_type", "value").collect()[0].qhat
+    q_hi = profiling.conformal_coverage(mk(hi), "event_id", "event_type", "value").collect()[0].qhat
+    assert q_hi > q_lo
+
+
+# --------------------------------------------------- quantile_normalize_stats
+
+
+def test_quantile_normalize_aligns_groups(spark):
+    # two groups with the same shape but shifted location: after
+    # quantile normalization the mapped means must (nearly) coincide
+    rows = [("a", float(i)) for i in range(100)] + [("b", float(i + 500)) for i in range(100)]
+    df = spark.createDataFrame(rows, "lang string, n_chars double")
+    out = {r.group: r for r in
+           profiling.quantile_normalize_stats(df, "lang", "n_chars").collect()}
+    raw_gap = abs(out["a"].mean_raw - out["b"].mean_raw)
+    mapped_gap = abs(out["a"].mean_mapped - out["b"].mean_mapped)
+    assert raw_gap == 500.0
+    assert mapped_gap < raw_gap / 10
+    assert out["a"].var_mapped >= 0 and out["b"].var_mapped >= 0

@@ -24,6 +24,9 @@ AUDITED = [
     "bm25_topk",
     "rrf_fusion",
     "semdedup",
+    "interval_proration",
+    "conformal_coverage",
+    "quantile_normalize",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -248,6 +251,14 @@ CHECKS = {
     # shuffles for assignment); pair scoring joins ON cid — hash, never
     # cartesian: candidate pairs bounded by Σ|cluster|²
     "semdedup": ["BroadcastNestedLoopJoin", "!CartesianProduct", "HashAggregate"],
+    # sessionize windows share one exchange; bucket explode is a
+    # Generate feeding one hash agg — no join anywhere
+    "interval_proration": ["Generate", "HashAggregate", "Window", "!Join"],
+    # per-group pred/qhat scalars broadcast back onto cal/test rows
+    "conformal_coverage": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    # pool count rides a 1-row broadcast; the idx lookup join may
+    # legitimately shuffle (pool-sized), but never degenerate
+    "quantile_normalize": ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
