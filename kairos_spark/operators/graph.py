@@ -91,6 +91,99 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def coactivity_edges(
+    df: DataFrame,
+    node_col: str = "user_id",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    step_sec: int = 3600,
+    min_shared: int = 2,
+    max_bucket_nodes: int = 200,
+) -> DataFrame:
+    """Undirected co-activity edge list (a < b): two nodes connect when
+    they share >= ``min_shared`` distinct (key, time-bucket) activity
+    cells. The shared edge-construction front half of
+    ``cooccurrence_triangles`` and ``kcore_peel`` — factored out so
+    every graph operator sees the identical graph. Pair generation is
+    bounded by the ``max_bucket_nodes`` stop-bucket guard (a viral cell
+    would otherwise create a quadratic join bucket)."""
+    cell = F.concat_ws(
+        ":",
+        F.col(key_col),
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec)).cast("long").cast("string"),
+    )
+    occ = df.select(F.col(node_col).alias("__u"), cell.alias("__cell")).distinct()
+    small = (
+        occ.groupBy("__cell")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") <= max_bucket_nodes)
+        .select("__cell")
+    )
+    occ = occ.join(small, "__cell")
+    a = occ.select(F.col("__u").alias("a"), "__cell")
+    b = occ.select(F.col("__u").alias("b"), "__cell")
+    return (
+        a.join(b, "__cell")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__w"))
+        .where(F.col("__w") >= min_shared)
+        .select("a", "b")
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983; the distributed
+    peel-by-rounds variant of Montresor et al.): each round drops every
+    node whose CURRENT degree is below ``k`` together with its incident
+    edges, then recomputes degrees. After enough rounds the survivor
+    set is exactly the k-core; a fixed ``rounds`` keeps the plan static
+    (and an independent engine reproduces it as ``rounds`` chained
+    subqueries). Returns one row per round: (round, n_nodes, n_edges)
+    AFTER that round's peel — the convergence trace a pipeline uses to
+    find the cohesive subgraph (bot rings, dense communities) and to
+    decide whether more rounds are needed (n_nodes stops moving ⇒
+    converged).
+
+    Scale shape per round: one degree aggregation (map-side combined)
+    + two semi-joins of the edge list against the surviving-node set —
+    all equality hash joins on node ids; nothing quadratic, no driver
+    iteration over rows. Edge count per round only shrinks. Each
+    round's surviving edge list is persisted (MEMORY_AND_DISK): the
+    convergence-trace union references every round, and without the
+    persist Spark would re-derive round i's lineage once per later
+    round — the classic iterative-algorithm cache point (same reason
+    pagerank persists ranks per iteration)."""
+    out_rows = []
+    cur = edges.select("a", "b").persist()
+    for rnd in range(1, rounds + 1):
+        deg = (
+            cur.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("__d"))
+        )
+        keep = deg.where(F.col("__d") >= k).select("node")
+        cur = cur.join(
+            keep.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi").persist()
+        nodes_left = cur.select(F.col("a").alias("node")).union(
+            cur.select(F.col("b").alias("node"))
+        ).distinct()
+        out_rows.append(
+            nodes_left.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(cur.agg(F.count("*").cast("long").alias("n_edges")))
+            .select(F.lit(rnd).cast("long").alias("round"), "n_nodes", "n_edges")
+        )
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.union(r)
+    return res
+
+
 def cooccurrence_triangles(
     df: DataFrame,
     node_col: str = "user_id",
@@ -129,28 +222,8 @@ def cooccurrence_triangles(
     neighbors is not a meaningful number anyway — surface hubs with
     key_distribution/key_skew instead). None (default) disables the
     guard."""
-    cell = F.concat_ws(
-        ":",
-        F.col(key_col),
-        (F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec)).cast("long").cast("string"),
-    )
-    occ = df.select(F.col(node_col).alias("__u"), cell.alias("__cell")).distinct()
-    small = (
-        occ.groupBy("__cell")
-        .agg(F.count("*").alias("__n"))
-        .where(F.col("__n") <= max_bucket_nodes)
-        .select("__cell")
-    )
-    occ = occ.join(small, "__cell")
-    a = occ.select(F.col("__u").alias("a"), "__cell")
-    b = occ.select(F.col("__u").alias("b"), "__cell")
-    edges = (
-        a.join(b, "__cell")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("__w"))
-        .where(F.col("__w") >= min_shared)
-        .select("a", "b")
+    edges = coactivity_edges(
+        df, node_col, key_col, ts_col, step_sec, min_shared, max_bucket_nodes
     )
     if max_degree is not None:
         deg0 = (

@@ -148,3 +148,52 @@ def frame_sample_stub(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "offset",
         F.substring(F.col("payload"), F.col("offset") + 1, 64).alias("frame"),
     )
+
+
+def signature_buckets(df: DataFrame) -> DataFrame:
+    """pHash-style coarse perceptual bucketing of media payloads: the
+    16-dim byte-histogram feature vector (``extract_features`` — the
+    Arrow mapInPandas path) quantizes to one bit per dimension by
+    comparing against the CORPUS mean of that dimension (exactly the
+    pHash recipe: block statistic vs global statistic → sign bit),
+    packing a 16-bit integer signature. Media sharing a signature are
+    coarse perceptual near-neighbors — the candidate-blocking front of
+    an image-dedup pipeline (a real decoder swaps into the same
+    shape). Returns (signature, n_media, min_media_id) per bucket.
+
+    Determinism: features are exact byte-count ratios; per-dim means
+    accumulate in DECIMAL(38,12) (associative) and the bit compare is
+    strict ``>`` — an independent engine reproduces every bit from
+    hex(payload).
+
+    Scale shape: one map-only feature pass, a 16-row per-dim mean
+    aggregate broadcast back onto the exploded (media, dim) rows,
+    then two hash aggregations (bit-pack per media, census per
+    signature). Nothing quadratic — pair enumeration within buckets
+    is the (separate) downstream step and stays bounded by bucket
+    sizes."""
+    feats = extract_features(df)
+    exploded = feats.select("media_id", F.posexplode("features").alias("pos", "fv"))
+    per_dim = exploded.groupBy("pos").agg(
+        (
+            F.sum(F.col("fv").cast("decimal(38,12)")).cast("double") / F.count("*")
+        ).alias("mv")
+    )
+    sigs = (
+        exploded.join(F.broadcast(per_dim), "pos")
+        .groupBy("media_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("fv") > F.col("mv"),
+                    F.pow(F.lit(2.0), F.col("pos")).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("signature")
+        )
+    )
+    return sigs.groupBy("signature").agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.min("media_id").cast("long").alias("min_media_id"),
+    )

@@ -480,3 +480,47 @@ def bernoulli_ht_audit(
         F.round(est, 6).alias("ht_estimate"),
         F.round(F.abs(est - truth) / F.abs(truth), 6).alias("rel_err"),
     )
+
+
+def weight_diagnostics(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Importance/sampling-weight health check per stratum (the Kish
+    effective-sample-size diagnostics every weighted estimator should
+    ship with): ESS = (Σw)²/Σw², its ratio to n (1.0 = uniform
+    weights, → 1/n = one weight dominates), the max single-weight
+    share of the total, and the coefficient of variation of the
+    weights. Degenerate strata (ESS ratio near 0, max share near 1)
+    mean the weighted estimate is really a one-sample estimate —
+    reweight or cap before trusting downstream numbers.
+
+    All moment sums accumulate in DECIMAL(38,12) (associative — exact
+    under any partitioning and bit-reproducible in the oracle); the
+    final ratios are a handful of double ops. One map-side-combined
+    aggregation per stratum, no join, no window."""
+    w = F.col(weight_col).cast("double")
+    base = df.select(F.col(group_col).alias("group"), w.alias("w"))
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    return base.groupBy("group").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            dec(F.col("w")) * dec(F.col("w")) / dec(F.col("w") * F.col("w")), 6
+        ).alias("ess"),
+        F.round(
+            dec(F.col("w")) * dec(F.col("w"))
+            / dec(F.col("w") * F.col("w"))
+            / F.count("*"),
+            6,
+        ).alias("ess_ratio"),
+        F.round(F.max("w") / dec(F.col("w")), 6).alias("max_share"),
+        F.round(
+            F.sqrt(
+                (dec(F.col("w") * F.col("w")) - dec(F.col("w")) * dec(F.col("w")) / F.count("*"))
+                / F.count("*")
+            )
+            / (dec(F.col("w")) / F.count("*")),
+            6,
+        ).alias("weight_cv"),
+    )

@@ -2726,6 +2726,31 @@ def q_quantile_normalize(spark, sf_dir):
     return profiling.quantile_normalize_stats(docs, "lang", "n_chars")
 
 
+def q_media_signature_buckets(spark, sf_dir):
+    """pHash-style coarse media bucketing: 16-bit sign quantization of
+    the byte-histogram features vs corpus means, bucket census."""
+    media = multimodal.attach_media(_tbl(spark, sf_dir, "documents"))
+    return multimodal.signature_buckets(media)
+
+
+def q_coactivity_kcore(spark, sf_dir):
+    """3-round k-core peel (k=40, just under the median degree so the
+    cascade is non-trivial) of the user co-activity graph —
+    convergence trace (round, n_nodes, n_edges)."""
+    ev = _tbl(spark, sf_dir, "events")
+    edges = graph.coactivity_edges(
+        ev, step_sec=3600, min_shared=2, max_bucket_nodes=200
+    )
+    return graph.kcore_peel(edges, k=40, rounds=3)
+
+
+def q_weight_ess(spark, sf_dir):
+    """Kish effective-sample-size diagnostics of doc-length weights
+    per language stratum."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return sampling.weight_diagnostics(docs, "lang", "n_chars")
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2748,6 +2773,9 @@ QUERIES = {
     "interval_proration": q_interval_proration,
     "conformal_coverage": q_conformal_coverage,
     "quantile_normalize": q_quantile_normalize,
+    "media_signature_buckets": q_media_signature_buckets,
+    "coactivity_kcore": q_coactivity_kcore,
+    "weight_ess": q_weight_ess,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -7789,4 +7817,100 @@ ORACLES["quantile_normalize"] = """
                     * CAST(sum(CAST(pooled_v AS DECIMAL(38,12))) AS DOUBLE) / count(*))
                  / count(*), 6) AS var_mapped
     FROM mapped GROUP BY 1
+"""
+
+
+ORACLES["media_signature_buckets"] = r"""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n,
+             regexp_replace(hex(encode(text)), '(.).', '\1', 'g') AS nib
+      FROM documents
+    ),
+    f AS (
+      SELECT media_id, pos,
+             (length(nib) - length(replace(nib, substr('0123456789ABCDEF', CAST(pos AS INTEGER) + 1, 1), '')))
+               / CAST(greatest(n, 1) AS DOUBLE) AS fv
+      FROM h CROSS JOIN range(0, 16) t(pos)
+    ),
+    m AS (
+      SELECT pos,
+             CAST(sum(CAST(fv AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mv
+      FROM f GROUP BY 1
+    ),
+    sigs AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN fv > mv
+                           THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS signature
+      FROM f JOIN m USING (pos) GROUP BY 1
+    )
+    SELECT signature, CAST(count(*) AS BIGINT) AS n_media,
+           CAST(min(media_id) AS BIGINT) AS min_media_id
+    FROM sigs GROUP BY 1
+"""
+
+ORACLES["coactivity_kcore"] = """
+    WITH occ AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u,
+             event_type || ':' ||
+                 CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) AS VARCHAR) AS cell
+      FROM events
+    ),
+    small AS (SELECT cell FROM occ GROUP BY cell HAVING count(*) <= 200),
+    edges AS MATERIALIZED (
+      SELECT a.u AS a, b.u AS b
+      FROM (SELECT occ.* FROM occ JOIN small USING (cell)) a
+      JOIN (SELECT occ.* FROM occ JOIN small USING (cell)) b
+        ON a.cell = b.cell AND a.u < b.u
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    d1 AS (SELECT node, count(*) AS d FROM (
+             SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1),
+    k1 AS (SELECT node FROM d1 WHERE d >= 40),
+    e1 AS MATERIALIZED (
+      SELECT e.a, e.b FROM edges e
+      JOIN k1 ka ON e.a = ka.node JOIN k1 kb ON e.b = kb.node),
+    d2 AS (SELECT node, count(*) AS d FROM (
+             SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+    k2 AS (SELECT node FROM d2 WHERE d >= 40),
+    e2 AS MATERIALIZED (
+      SELECT e.a, e.b FROM e1 e
+      JOIN k2 ka ON e.a = ka.node JOIN k2 kb ON e.b = kb.node),
+    d3 AS (SELECT node, count(*) AS d FROM (
+             SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+    k3 AS (SELECT node FROM d3 WHERE d >= 40),
+    e3 AS MATERIALIZED (
+      SELECT e.a, e.b FROM e2 e
+      JOIN k3 ka ON e.a = ka.node JOIN k3 kb ON e.b = kb.node)
+    SELECT CAST(1 AS BIGINT) AS round,
+           CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+           CAST(count(*) // 2 AS BIGINT) AS n_edges
+    FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+    UNION ALL
+    SELECT 2, CAST(count(DISTINCT node) AS BIGINT), CAST(count(*) // 2 AS BIGINT)
+    FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+    UNION ALL
+    SELECT 3, CAST(count(DISTINCT node) AS BIGINT), CAST(count(*) // 2 AS BIGINT)
+    FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+"""
+
+ORACLES["weight_ess"] = """
+    WITH base AS (
+      SELECT lang AS "group", CAST(n_chars AS DOUBLE) AS w FROM documents
+    ),
+    agg AS (
+      SELECT "group",
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE) AS q,
+             max(w) AS mx
+      FROM base GROUP BY 1
+    )
+    SELECT "group", n,
+           round(s * s / q, 6) AS ess,
+           round(s * s / q / n, 6) AS ess_ratio,
+           round(mx / s, 6) AS max_share,
+           round(sqrt((q - s * s / n) / n) / (s / n), 6) AS weight_cv
+    FROM agg
 """

@@ -180,3 +180,69 @@ def test_quantile_normalize_aligns_groups(spark):
     assert raw_gap == 500.0
     assert mapped_gap < raw_gap / 10
     assert out["a"].var_mapped >= 0 and out["b"].var_mapped >= 0
+
+
+# ------------------------------------------------------------- kcore_peel
+
+from kairos_spark.operators import graph, multimodal, sampling
+
+
+def test_kcore_path_graph_dissolves(spark):
+    # path a-b-c-d: endpoints have degree 1 -> peel; the surviving
+    # b-c edge leaves both with degree 1 -> second peel empties it
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    out = {r.round: r for r in graph.kcore_peel(edges, k=2, rounds=3).collect()}
+    assert (out[1].n_nodes, out[1].n_edges) == (2, 1)
+    assert (out[2].n_nodes, out[2].n_edges) == (0, 0)
+    assert (out[3].n_nodes, out[3].n_edges) == (0, 0)
+
+
+def test_kcore_triangle_survives(spark):
+    # triangle 1-2-3 plus pendant 4: the pendant peels off, the
+    # triangle is the stable 2-core
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    out = {r.round: r for r in graph.kcore_peel(edges, k=2, rounds=3).collect()}
+    for rnd in (1, 2, 3):
+        assert (out[rnd].n_nodes, out[rnd].n_edges) == (3, 3)
+
+
+# ------------------------------------------------------ signature_buckets
+
+
+def test_signature_buckets_group_identical_payloads(spark):
+    rows = [
+        (0, "aaaa aaaa aaaa"),
+        (1, "aaaa aaaa aaaa"),
+        (2, "ZZZZ!!!! 0099 ~~~~"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = multimodal.attach_media(docs)
+    out = multimodal.signature_buckets(media).collect()
+    assert sum(r.n_media for r in out) == 3
+    by_n = sorted(r.n_media for r in out)
+    assert by_n == [1, 2]  # the identical pair shares a bucket
+    dup = [r for r in out if r.n_media == 2][0]
+    assert dup.min_media_id == 0
+
+
+# ----------------------------------------------------- weight_diagnostics
+
+
+def test_weight_diagnostics_uniform_weights(spark):
+    df = spark.createDataFrame([("a", 5.0)] * 10, "lang string, w double")
+    r = sampling.weight_diagnostics(df, "lang", "w").collect()[0]
+    assert r.n == 10
+    assert r.ess == 10.0 and r.ess_ratio == 1.0
+    assert r.max_share == 0.1 and r.weight_cv == 0.0
+
+
+def test_weight_diagnostics_dominant_weight(spark):
+    rows = [("a", 1.0)] * 9 + [("a", 1000.0)]
+    r = sampling.weight_diagnostics(
+        spark.createDataFrame(rows, "lang string, w double"), "lang", "w"
+    ).collect()[0]
+    assert r.ess_ratio < 0.2
+    assert r.max_share > 0.95
+    assert r.weight_cv > 1.0

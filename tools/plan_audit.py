@@ -27,6 +27,9 @@ AUDITED = [
     "interval_proration",
     "conformal_coverage",
     "quantile_normalize",
+    "media_signature_buckets",
+    "coactivity_kcore",
+    "weight_ess",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -259,6 +262,13 @@ CHECKS = {
     # pool count rides a 1-row broadcast; the idx lookup join may
     # legitimately shuffle (pool-sized), but never degenerate
     "quantile_normalize": ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct"],
+    # Arrow-batched feature pass; 16 per-dim means broadcast back onto
+    # the exploded (media, dim) rows — a hash join, nothing quadratic
+    "media_signature_buckets": ["MapInPandas", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+    # each peel round = degree agg + two semi-joins on node ids
+    "coactivity_kcore": ["LeftSemi", "HashAggregate", "!CartesianProduct"],
+    # pure per-stratum moment aggregation: no join at all
+    "weight_ess": ["HashAggregate", "!Join"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
