@@ -2213,3 +2213,190 @@ def quantile_normalize_stats(
             ).alias("var_mapped"),
         )
     )
+
+
+def cvm_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sample Cramér-von Mises drift between the first and second
+    time half, per group — the integral companion to ``ks_drift``:
+    where KS reacts to the single largest ECDF gap, CvM accumulates
+    the SQUARED gap over the whole distribution
+    (T = n1·n2/(n1+n2)² · Σ_points (F1−F2)², the Anderson 1962
+    two-sample form summed over all pooled observations with
+    multiplicity), so broad low-amplitude shifts that KS underweights
+    show up. Same half-split, same empty-half omission contract, same
+    (name, n1, n2, stat) shape as ks_drift — run both and alert when
+    either trips.
+
+    Exactness: ECDF steps are exact integer cumulative counts; each
+    squared gap is a handful of double ops on exact ints; the
+    per-group weighted sum accumulates in DECIMAL(38,12)
+    (associative — identical under any partitioning and in the
+    oracle). Scale shape: identical to ks_drift — value-grain count
+    table, one cumulative window per group."""
+    from pyspark.sql.window import Window
+
+    scal = df.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    half = F.when(F.unix_micros(F.col(ts_col)) <= F.col("__mid"), 1).otherwise(2)
+    counts = (
+        df.crossJoin(F.broadcast(scal))
+        .select(
+            F.col(group_col).alias("name"),
+            F.col(value_col).cast("double").alias("__v"),
+            half.alias("__h"),
+        )
+        .groupBy("name", "__v")
+        .agg(
+            F.sum(F.when(F.col("__h") == 1, 1).otherwise(0)).alias("__c1"),
+            F.sum(F.when(F.col("__h") == 2, 1).otherwise(0)).alias("__c2"),
+        )
+    )
+    w = (
+        Window.partitionBy("name")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("name")
+    stepped = counts.select(
+        "name",
+        (F.col("__c1") + F.col("__c2")).alias("__m"),
+        F.sum("__c1").over(w).alias("__cum1"),
+        F.sum("__c2").over(w).alias("__cum2"),
+        F.sum("__c1").over(tot).alias("__n1"),
+        F.sum("__c2").over(tot).alias("__n2"),
+    )
+    gap = (
+        F.col("__cum1").cast("double") / F.col("__n1")
+        - F.col("__cum2").cast("double") / F.col("__n2")
+    )
+    return (
+        stepped.where((F.col("__n1") > 0) & (F.col("__n2") > 0))
+        .groupBy("name")
+        .agg(
+            F.sum((F.col("__m") * gap * gap).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("__s"),
+            F.min("__n1").cast("long").alias("n1"),
+            F.min("__n2").cast("long").alias("n2"),
+        )
+        .select(
+            "name",
+            "n1",
+            "n2",
+            F.round(
+                F.col("n1")
+                * F.col("n2")
+                / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2")))
+                * F.col("__s"),
+                6,
+            ).alias("cvm"),
+        )
+    )
+
+
+_FP_PRIME = 2305843009213693951  # 2^61 - 1
+
+
+def group_fingerprint(
+    df: DataFrame,
+    group_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Order-independent content fingerprint per group: each row hashes
+    to a 44-bit integer (md5 of the '|'-joined column values — the
+    same seed-free md5-derived hashing every operator here uses), and
+    the group checksum is the SUM of row hashes mod 2^61−1. Addition
+    is commutative/associative, so the fingerprint is independent of
+    row order, partitioning, and engine — two snapshots of a table
+    agree iff (up to hash collision) their row multisets agree, which
+    makes this the cheap first-line reconciliation check before a
+    row-level diff (``snapshot_diff``) is worth running. NULL columns
+    hash as the empty string (concat_ws skips them) — two rows
+    differing only in NULL vs '' collide by design; include an
+    explicit sentinel upstream if that distinction matters.
+
+    Returns (group, n_rows, fingerprint). Sums accumulate in
+    DECIMAL(38,0) (exact); one map-side-combined aggregation, no
+    join, no window, no sort."""
+    basis = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(basis), 1, 11), 16, 10).cast("long")
+    return (
+        df.select(F.col(group_col).alias("group"), h.alias("__h"))
+        .groupBy("group")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.sum(F.col("__h").cast("decimal(38,0)")) % F.lit(_FP_PRIME))
+            .cast("long")
+            .alias("fingerprint"),
+        )
+    )
+
+
+def ipf_raking(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    iters: int = 2,
+) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming & Stephan 1940):
+    reweight the (row, col) contingency cells so both marginals match
+    UNIFORM targets — the survey-weighting / data-mix-balancing
+    primitive (e.g. equalize language and source shares
+    simultaneously without changing cell structure). Each iteration
+    scales every cell by target/current row marginal, then by
+    target/current column marginal; ``iters`` is fixed so the plan is
+    static and an independent engine reproduces it as chained
+    aggregations. Returns (row, col, n, weight) with weight the
+    per-cell multiplier after ``iters`` iterations (round-6).
+
+    Exactness: cell counts are exact ints; marginal sums of weighted
+    counts accumulate in DECIMAL(38,12); each scaling is one double
+    division in a fixed order. Scale shape per iteration: two
+    marginal aggregations + two broadcast joins back onto the cell
+    table (cells ≈ |rows|×|cols| — tiny relative to the fact table;
+    the single fact-scale stage is the initial cell count)."""
+    cells = (
+        df.groupBy(F.col(row_col).alias("row"), F.col(col_col).alias("col"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # uniform targets: total/n_rows per row marginal, total/n_cols per col
+    tot = cells.agg(
+        F.sum("n").cast("double").alias("__tot"),
+        F.countDistinct("row").cast("double").alias("__nr"),
+        F.countDistinct("col").cast("double").alias("__nc"),
+    )
+    cur = cells.crossJoin(F.broadcast(tot)).select(
+        "row", "col", "n", "__tot", "__nr", "__nc",
+        (F.col("n") * F.lit(1.0)).alias("__w"),
+    )
+    for _ in range(iters):
+        rm = cur.groupBy("row").agg(
+            F.sum(F.col("__w").cast("decimal(38,12)")).cast("double").alias("__rm")
+        )
+        cur = (
+            cur.join(F.broadcast(rm), "row")
+            .withColumn("__w", F.col("__w") * (F.col("__tot") / F.col("__nr")) / F.col("__rm"))
+            .drop("__rm")
+        )
+        cm = cur.groupBy("col").agg(
+            F.sum(F.col("__w").cast("decimal(38,12)")).cast("double").alias("__cm")
+        )
+        cur = (
+            cur.join(F.broadcast(cm), "col")
+            .withColumn("__w", F.col("__w") * (F.col("__tot") / F.col("__nc")) / F.col("__cm"))
+            .drop("__cm")
+        )
+    return cur.select(
+        "row", "col", "n", F.round(F.col("__w") / F.col("n"), 6).alias("weight")
+    )

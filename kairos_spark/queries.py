@@ -2751,6 +2751,27 @@ def q_weight_ess(spark, sf_dir):
     return sampling.weight_diagnostics(docs, "lang", "n_chars")
 
 
+def q_cvm_drift(spark, sf_dir):
+    """Cramér-von Mises drift between event-time halves per type —
+    the integral companion to ks_drift."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.cvm_drift(ev)
+
+
+def q_table_fingerprint(spark, sf_dir):
+    """Order-independent per-source content checksums of the documents
+    table (additive md5 row hashes mod 2^61−1)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return profiling.group_fingerprint(docs, "source", ["doc_id", "lang", "n_chars"])
+
+
+def q_ipf_raking(spark, sf_dir):
+    """2-iteration IPF raking of lang×source doc counts toward uniform
+    marginals — per-cell balancing weights."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return profiling.ipf_raking(docs, "lang", "source", iters=2)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2776,6 +2797,9 @@ QUERIES = {
     "media_signature_buckets": q_media_signature_buckets,
     "coactivity_kcore": q_coactivity_kcore,
     "weight_ess": q_weight_ess,
+    "cvm_drift": q_cvm_drift,
+    "table_fingerprint": q_table_fingerprint,
+    "ipf_raking": q_ipf_raking,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -7913,4 +7937,86 @@ ORACLES["weight_ess"] = """
            round(mx / s, 6) AS max_share,
            round(sqrt((q - s * s / n) / n) / (s / n), 6) AS weight_cv
     FROM agg
+"""
+
+
+ORACLES["cvm_drift"] = """
+    WITH scal AS (
+      SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS name, CAST(value AS DOUBLE) AS v,
+             sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 0 ELSE 1 END) AS c2
+      FROM events GROUP BY 1, 2
+    ),
+    stepped AS (
+      SELECT name, c1 + c2 AS m,
+             sum(c1) OVER (PARTITION BY name ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (PARTITION BY name ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             sum(c1) OVER (PARTITION BY name) AS n1,
+             sum(c2) OVER (PARTITION BY name) AS n2
+      FROM counts
+    ),
+    agg AS (
+      SELECT name,
+             CAST(sum(CAST(m * (CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)
+                              * (CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(min(n1) AS BIGINT) AS n1,
+             CAST(min(n2) AS BIGINT) AS n2
+      FROM stepped WHERE n1 > 0 AND n2 > 0
+      GROUP BY 1
+    )
+    SELECT name, n1, n2,
+           round(n1 * n2 / ((n1 + n2) * (n1 + n2)) * s, 6) AS cvm
+    FROM agg
+"""
+
+ORACLES["table_fingerprint"] = """
+    WITH h AS (
+      SELECT source AS "group",
+             ('0x' || substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR),
+                                           CAST(lang AS VARCHAR),
+                                           CAST(n_chars AS VARCHAR))), 1, 11))::BIGINT AS rh
+      FROM documents
+    )
+    SELECT "group", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(rh AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)
+             AS fingerprint
+    FROM h GROUP BY 1
+"""
+
+ORACLES["ipf_raking"] = """
+    WITH cells AS (
+      SELECT lang AS row, source AS col, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t,
+             CAST(count(DISTINCT row) AS DOUBLE) AS nr,
+             CAST(count(DISTINCT col) AS DOUBLE) AS nc
+      FROM cells
+    ),
+    w0 AS (SELECT row, col, n, n * 1.0 AS w FROM cells),
+    rm1 AS (SELECT row, CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS rm
+            FROM w0 GROUP BY 1),
+    w1 AS (SELECT w0.row, col, n, w * ((t / nr) / rm) AS w
+           FROM w0 JOIN rm1 ON w0.row = rm1.row CROSS JOIN tot),
+    cm1 AS (SELECT col, CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS cm
+            FROM w1 GROUP BY 1),
+    w2 AS (SELECT row, w1.col, n, w * ((t / nc) / cm) AS w
+           FROM w1 JOIN cm1 ON w1.col = cm1.col CROSS JOIN tot),
+    rm2 AS (SELECT row, CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS rm
+            FROM w2 GROUP BY 1),
+    w3 AS (SELECT w2.row, col, n, w * ((t / nr) / rm) AS w
+           FROM w2 JOIN rm2 ON w2.row = rm2.row CROSS JOIN tot),
+    cm2 AS (SELECT col, CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS cm
+            FROM w3 GROUP BY 1),
+    w4 AS (SELECT row, w3.col, n, w * ((t / nc) / cm) AS w
+           FROM w3 JOIN cm2 ON w3.col = cm2.col CROSS JOIN tot)
+    SELECT row, col, n, round(w / n, 6) AS weight FROM w4
 """

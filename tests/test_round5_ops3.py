@@ -246,3 +246,85 @@ def test_weight_diagnostics_dominant_weight(spark):
     assert r.ess_ratio < 0.2
     assert r.max_share > 0.95
     assert r.weight_cv > 1.0
+
+
+# --------------------------------------------------------------- cvm_drift
+
+import datetime as _dt
+
+
+def _halves(spark, first, second):
+    base = _dt.datetime(2024, 1, 1)
+    rows = [(i, "t", float(v), base + _dt.timedelta(hours=i))
+            for i, v in enumerate(first)]
+    rows += [(1000 + i, "t", float(v), base + _dt.timedelta(days=300, hours=i))
+             for i, v in enumerate(second)]
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    )
+
+
+def test_cvm_zero_for_identical_halves(spark):
+    df = _halves(spark, [1, 2, 3, 4] * 5, [1, 2, 3, 4] * 5)
+    r = profiling.cvm_drift(df).collect()[0]
+    assert r.cvm == 0.0 and r.n1 == 20 and r.n2 == 20
+
+
+def test_cvm_detects_broad_shift(spark):
+    shifted = profiling.cvm_drift(
+        _halves(spark, list(range(20)), [v + 5 for v in range(20)])
+    ).collect()[0]
+    same = profiling.cvm_drift(
+        _halves(spark, list(range(20)), list(range(20)))
+    ).collect()[0]
+    assert shifted.cvm > same.cvm
+    assert shifted.cvm > 0.5  # strong shift trips the statistic
+
+
+# --------------------------------------------------------- group_fingerprint
+
+
+def test_fingerprint_order_and_partition_independent(spark):
+    rows = [("a", i, f"x{i}") for i in range(50)]
+    df1 = spark.createDataFrame(rows, "g string, id long, s string")
+    df2 = spark.createDataFrame(list(reversed(rows)), "g string, id long, s string") \
+        .repartition(7)
+    f1 = profiling.group_fingerprint(df1, "g", ["id", "s"]).collect()[0]
+    f2 = profiling.group_fingerprint(df2, "g", ["id", "s"]).collect()[0]
+    assert f1.fingerprint == f2.fingerprint and f1.n_rows == f2.n_rows == 50
+
+
+def test_fingerprint_detects_single_row_change(spark):
+    rows = [("a", i, f"x{i}") for i in range(50)]
+    mutated = rows[:49] + [("a", 49, "CHANGED")]
+    f1 = profiling.group_fingerprint(
+        spark.createDataFrame(rows, "g string, id long, s string"), "g", ["id", "s"]
+    ).collect()[0]
+    f2 = profiling.group_fingerprint(
+        spark.createDataFrame(mutated, "g string, id long, s string"), "g", ["id", "s"]
+    ).collect()[0]
+    assert f1.fingerprint != f2.fingerprint
+
+
+# --------------------------------------------------------------- ipf_raking
+
+
+def test_ipf_balances_marginals(spark):
+    # skewed 2x2 table: after 2 iterations the weighted row and column
+    # marginals should be close to uniform (total/2 each)
+    rows = (
+        [("en", "s0")] * 70 + [("en", "s1")] * 10
+        + [("fr", "s0")] * 10 + [("fr", "s1")] * 10
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = profiling.ipf_raking(df, "lang", "source", iters=2).collect()
+    cells = {(r.row, r.col): r.n * r.weight for r in out}
+    total = sum(cells.values())
+    row_m = {g: sum(v for (r, _), v in cells.items() if r == g) for g in ("en", "fr")}
+    col_m = {g: sum(v for (_, c), v in cells.items() if c == g) for g in ("s0", "s1")}
+    for m in row_m.values():
+        assert abs(m - total / 2) / total < 0.02
+    for m in col_m.values():
+        assert abs(m - total / 2) / total < 0.05  # col pass ran last... row pass first
+    # weights stay positive and finite
+    assert all(r.weight > 0 for r in out)

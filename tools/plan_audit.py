@@ -30,6 +30,9 @@ AUDITED = [
     "media_signature_buckets",
     "coactivity_kcore",
     "weight_ess",
+    "cvm_drift",
+    "table_fingerprint",
+    "ipf_raking",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -269,6 +272,12 @@ CHECKS = {
     "coactivity_kcore": ["LeftSemi", "HashAggregate", "!CartesianProduct"],
     # pure per-stratum moment aggregation: no join at all
     "weight_ess": ["HashAggregate", "!Join"],
+    # same value-grain count table + cumulative window as ks_drift
+    "cvm_drift": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # additive row hashes: one map-side-combined aggregation, no join
+    "table_fingerprint": ["HashAggregate", "!Join"],
+    # marginal scalars broadcast back onto the cell table each iteration
+    "ipf_raking": ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
