@@ -2400,3 +2400,132 @@ def ipf_raking(
     return cur.select(
         "row", "col", "n", F.round(F.col("__w") / F.col("n"), 6).alias("weight")
     )
+
+
+def srm_audit(
+    df: DataFrame,
+    unit_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Sample-ratio-mismatch audit (the first gate of any hash-split
+    experiment): assign each unit to A/B by md5 half-range (the same
+    seed-free split rule as hash_split/conformal_coverage), then per
+    group compare observed counts against the expected 50/50 with a
+    1-dof chi-square. A tripped flag (χ² > 3.841, the 95% critical
+    value) means the split is biased for that slice — randomization
+    bug, bot traffic, or id-space structure — and any downstream
+    lift number is untrustworthy. Doubles as an A/A sanity harness:
+    on healthy data nothing should flag.
+
+    Counts are exact ints; χ² is three double ops on them — identical
+    in any engine. One aggregation, no join, no window."""
+    variant = F.when(
+        F.substring(F.md5(F.col(unit_col).cast("string")), 1, 1).isin(*"01234567"),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    agg = (
+        df.select(F.col(group_col).alias("group"), variant.alias("__v"))
+        .groupBy("group")
+        .agg(
+            F.sum(F.when(F.col("__v") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("__v") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    e = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (F.col("n_a") - e) * (F.col("n_a") - e) / e + (
+        F.col("n_b") - e
+    ) * (F.col("n_b") - e) / e
+    return agg.select(
+        "group",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("long").alias("srm_flag"),
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    key_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a (small) family of
+    per-group p-values: rank ascending, p_adj(i) = min_{j>=i} m·p(j)/j
+    capped at 1 — the standard multiple-testing control before acting
+    on a dashboard of drift/SRM tests (running 50 drift tests at 0.05
+    each false-alarms weekly; BH keeps the FALSE DISCOVERY rate at
+    alpha). Returns the input keys with (p, rank, p_adj, reject).
+
+    The suffix-min is a reversed cumulative window; ranks break ties
+    by key so both engines agree. The family is group-grain (one row
+    per tested slice) — a global window over it is lookup-table-sized
+    by construction."""
+    from pyspark.sql.window import Window
+
+    w_rank = Window.orderBy(F.col(p_col), F.col(key_col))
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(p_col).alias("p"),
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("__m"),
+    )
+    w_suffix = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranked.select(
+        "key",
+        F.round("p", 6).alias("p"),
+        "rank",
+        F.round(
+            F.least(F.min(F.col("__m") * F.col("p") / F.col("rank")).over(w_suffix), F.lit(1.0)),
+            6,
+        ).alias("p_adj"),
+    ).withColumn(
+        "reject", F.when(F.col("p_adj") <= alpha, 1).otherwise(0).cast("long")
+    )
+
+
+def freshness_audit(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    window_sec: int = 86400,
+) -> DataFrame:
+    """Per-group data-freshness audit anchored to the GLOBAL max
+    timestamp (no wall clock — deterministic and replayable): how far
+    each group's latest event lags the table's latest, and how many
+    events the group produced in the trailing ``window_sec`` before
+    that global anchor. A feed whose staleness grows or whose trailing
+    count collapses has stopped ingesting — the cheapest upstream-arm
+    tripwire a pipeline dashboard runs per table per slice.
+
+    Returns (group, n_events, staleness_sec, n_window). The global
+    anchor rides a 1-row broadcast; one aggregation per group."""
+    t = F.unix_micros(F.col(ts_col))
+    anchor = df.agg(F.max(t).alias("__gmax"))
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .select(
+            F.col(group_col).alias("group"),
+            t.alias("__t"),
+            F.col("__gmax"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round((F.max("__gmax") - F.max("__t")) / 1000000.0, 6).alias(
+                "staleness_sec"
+            ),
+            F.sum(
+                F.when(
+                    # micros literal built in Python: an INT*INT Spark
+                    # expression would overflow 32 bits at 86400s
+                    F.col("__t") > F.col("__gmax") - F.lit(int(window_sec) * 1000000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_window"),
+        )
+    )

@@ -2772,6 +2772,32 @@ def q_ipf_raking(spark, sf_dir):
     return profiling.ipf_raking(docs, "lang", "source", iters=2)
 
 
+def q_srm_audit(spark, sf_dir):
+    """Sample-ratio-mismatch chi-square per event type for the
+    md5-half A/B unit split (A/A harness: nothing should flag)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.srm_audit(ev, "user_id", "event_type")
+
+
+def q_drift_fdr(spark, sf_dir):
+    """BH-FDR-adjusted KS drift flags per event type: asymptotic
+    Kolmogorov p from ks_drift, then Benjamini-Hochberg control."""
+    ev = _tbl(spark, sf_dir, "events")
+    ks = profiling.ks_drift(ev)
+    m_eff = F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    p = F.least(
+        F.lit(1.0), 2.0 * F.exp(-2.0 * m_eff * F.col("ks") * F.col("ks"))
+    )
+    return profiling.bh_adjust(ks.select("name", p.alias("p_raw")), "p_raw", "name")
+
+
+def q_freshness_audit(spark, sf_dir):
+    """Per-type staleness vs the global max timestamp + trailing-24h
+    event counts (deterministic, no wall clock)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.freshness_audit(ev, "event_type", "ts", window_sec=86400)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2800,6 +2826,9 @@ QUERIES = {
     "cvm_drift": q_cvm_drift,
     "table_fingerprint": q_table_fingerprint,
     "ipf_raking": q_ipf_raking,
+    "srm_audit": q_srm_audit,
+    "drift_fdr": q_drift_fdr,
+    "freshness_audit": q_freshness_audit,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -8019,4 +8048,97 @@ ORACLES["ipf_raking"] = """
     w4 AS (SELECT row, w3.col, n, w * ((t / nc) / cm) AS w
            FROM w3 JOIN cm2 ON w3.col = cm2.col CROSS JOIN tot)
     SELECT row, col, n, round(w / n, 6) AS weight FROM w4
+"""
+
+
+ORACLES["srm_audit"] = """
+    WITH v AS (
+      SELECT event_type AS "group",
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS vr
+      FROM events
+    ),
+    agg AS (
+      SELECT "group",
+             CAST(sum(CASE WHEN vr = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vr = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM v GROUP BY 1
+    )
+    SELECT "group", n_a, n_b,
+           round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                   / ((n_a + n_b) / 2.0)
+                 + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+                   / ((n_a + n_b) / 2.0), 6) AS chi2,
+           CAST(CASE WHEN (n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                            / ((n_a + n_b) / 2.0)
+                          + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+                            / ((n_a + n_b) / 2.0) > 3.841
+                     THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM agg
+"""
+
+ORACLES["drift_fdr"] = """
+    WITH scal AS (
+      SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS name, CAST(value AS DOUBLE) AS v,
+             sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 0 ELSE 1 END) AS c2
+      FROM events GROUP BY 1, 2
+    ),
+    stepped AS (
+      SELECT name,
+             sum(c1) OVER (PARTITION BY name ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (PARTITION BY name ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             sum(c1) OVER (PARTITION BY name) AS n1,
+             sum(c2) OVER (PARTITION BY name) AS n2
+      FROM counts
+    ),
+    ksq AS (
+      SELECT name,
+             CAST(min(n1) AS BIGINT) AS n1,
+             CAST(min(n2) AS BIGINT) AS n2,
+             round(max(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)), 6) AS ks
+      FROM stepped WHERE n1 > 0 AND n2 > 0
+      GROUP BY 1
+    ),
+    withp AS (
+      SELECT name AS key,
+             least(1.0, 2.0 * exp(-2.0 * (n1 * n2 / (n1 + n2)) * ks * ks)) AS p
+      FROM ksq
+    ),
+    ranked AS (
+      SELECT key, p,
+             CAST(row_number() OVER (ORDER BY p, key) AS BIGINT) AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM withp
+    ),
+    adj AS (
+      SELECT key, p, rank,
+             least(min(m * p / rank) OVER (ORDER BY rank DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS pa
+      FROM ranked
+    )
+    SELECT key, round(p, 6) AS p, rank, round(pa, 6) AS p_adj,
+           CAST(CASE WHEN round(pa, 6) <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS reject
+    FROM adj
+"""
+
+ORACLES["freshness_audit"] = """
+    WITH anchor AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+    r AS (
+      SELECT event_type AS grp, epoch_us(ts) AS t, gmax
+      FROM events CROSS JOIN anchor
+    )
+    SELECT grp AS "group",
+           CAST(count(*) AS BIGINT) AS n_events,
+           round((max(gmax) - max(t)) / 1000000.0, 6) AS staleness_sec,
+           CAST(sum(CASE WHEN t > gmax - 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_window
+    FROM r GROUP BY 1
 """

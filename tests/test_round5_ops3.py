@@ -328,3 +328,66 @@ def test_ipf_balances_marginals(spark):
         assert abs(m - total / 2) / total < 0.05  # col pass ran last... row pass first
     # weights stay positive and finite
     assert all(r.weight > 0 for r in out)
+
+
+# ---------------------------------------------------------------- srm_audit
+
+
+def test_srm_clean_split_does_not_flag(spark):
+    rows = [(i, "t") for i in range(4000)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = profiling.srm_audit(df, "user_id", "event_type").collect()[0]
+    assert r.n_a + r.n_b == 4000
+    assert r.srm_flag == 0  # md5 half-split on sequential ids is fair
+
+
+def test_srm_biased_split_flags(spark):
+    # fabricate bias: only keep ids whose md5 first digit is 0-7 (all A)
+    # plus a few B units -> massive mismatch must flag
+    import hashlib
+    a_ids = [i for i in range(4000)
+             if hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567"][:500]
+    b_ids = [i for i in range(4000)
+             if hashlib.md5(str(i).encode()).hexdigest()[0] not in "01234567"][:20]
+    df = spark.createDataFrame([(i, "t") for i in a_ids + b_ids],
+                               "user_id long, event_type string")
+    r = profiling.srm_audit(df, "user_id", "event_type").collect()[0]
+    assert (r.n_a, r.n_b) == (500, 20)
+    assert r.srm_flag == 1
+
+
+# ---------------------------------------------------------------- bh_adjust
+
+
+def test_bh_adjust_monotone_and_capped(spark):
+    rows = [("a", 0.001), ("b", 0.01), ("c", 0.02), ("d", 0.5), ("e", 0.9)]
+    out = {r.key: r for r in profiling.bh_adjust(
+        spark.createDataFrame(rows, "key string, p double"), "p", "key"
+    ).collect()}
+    # adjusted p never below raw, never above 1, non-decreasing in rank
+    by_rank = sorted(out.values(), key=lambda r: r.rank)
+    for r in by_rank:
+        assert r.p_adj >= r.p - 1e-9 and r.p_adj <= 1.0
+    for x, y in zip(by_rank, by_rank[1:]):
+        assert y.p_adj >= x.p_adj - 1e-9
+    # textbook: p_adj(a) = 5 * 0.001 / 1 = 0.005 -> reject
+    assert out["a"].p_adj == 0.005 and out["a"].reject == 1
+    assert out["e"].reject == 0
+
+
+# ----------------------------------------------------------- freshness_audit
+
+
+def test_freshness_lag_and_window(spark):
+    base = _dt.datetime(2024, 1, 1)
+    rows = [("live", base + _dt.timedelta(hours=h)) for h in range(48)]
+    rows += [("stale", base + _dt.timedelta(hours=h)) for h in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.group: r for r in
+           profiling.freshness_audit(df, "event_type", "ts").collect()}
+    assert out["live"].staleness_sec == 0.0
+    # stale feed stopped at hour 9; live ran to hour 47 -> 38h behind
+    assert out["stale"].staleness_sec == 38 * 3600.0
+    # trailing 24h before the global anchor: live has hours 24..47
+    assert out["live"].n_window == 24
+    assert out["stale"].n_window == 0

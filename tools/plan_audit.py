@@ -33,6 +33,9 @@ AUDITED = [
     "cvm_drift",
     "table_fingerprint",
     "ipf_raking",
+    "srm_audit",
+    "drift_fdr",
+    "freshness_audit",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -278,6 +281,12 @@ CHECKS = {
     "table_fingerprint": ["HashAggregate", "!Join"],
     # marginal scalars broadcast back onto the cell table each iteration
     "ipf_raking": ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
+    # split counts: one aggregation, no join
+    "srm_audit": ["HashAggregate", "!Join"],
+    # ks count table + global BH rank window over group-grain rows
+    "drift_fdr": ["Window", "HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # global-max anchor rides a 1-row broadcast
+    "freshness_audit": ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
