@@ -2529,3 +2529,65 @@ def freshness_audit(
             .alias("n_window"),
         )
     )
+
+
+def policy_replay(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """Offline policy evaluation by replay (Li et al., WSDM 2011): a
+    deterministic target policy assigns each unit an arm by hash
+    (md5(unit) mod n_arms over the sorted arm vocabulary); logged
+    events whose arm MATCHES the target's choice are replayed, and
+    their mean reward is an unbiased estimate of the target policy's
+    value when the logging policy chose arms uniformly at random.
+    Returns per arm (arm, n_logged, n_matched, replay_mean) — the
+    match rate also audits the logging policy (n_matched/n_logged far
+    from 1/n_arms means non-uniform logging and a biased estimate).
+
+    The arm index rides a broadcast (arm-vocabulary-sized); matching
+    is a map-side projection; reward means accumulate in
+    DECIMAL(38,12). One fact-scale pass, no window."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(unit_col).cast("string").alias("u"),
+        F.col(arm_col).alias("arm"),
+        F.col(reward_col).cast("double").alias("r"),
+    )
+    arms_idx = (
+        base.select("arm")
+        .distinct()
+        .select(
+            "arm",
+            (F.row_number().over(Window.orderBy("arm")) - 1).cast("long").alias("idx"),
+        )
+    )
+    n_arms = arms_idx.agg(F.count("*").cast("long").alias("n_arms"))
+    tgt = arms_idx.select(F.col("arm").alias("target_arm"), "idx")
+    h = F.conv(F.substring(F.md5(F.col("u")), 1, 11), 16, 10).cast("long")
+    matched = (
+        base.crossJoin(F.broadcast(n_arms))
+        .withColumn("t_idx", h % F.col("n_arms"))
+        .join(F.broadcast(tgt), F.col("t_idx") == F.col("idx"))
+        .select(
+            "arm",
+            "r",
+            F.when(F.col("arm") == F.col("target_arm"), 1).otherwise(0).alias("m"),
+        )
+    )
+    return (
+        matched.groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_logged"),
+            F.sum("m").cast("long").alias("n_matched"),
+            F.round(
+                F.sum(F.when(F.col("m") == 1, F.col("r")).otherwise(F.lit(0.0)).cast("decimal(38,12)"))
+                .cast("double")
+                / F.sum("m"),
+                6,
+            ).alias("replay_mean"),
+        )
+    )

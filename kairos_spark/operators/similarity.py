@@ -511,8 +511,11 @@ def rrf_fusion(
         .select(
             "query_id",
             "id",
-            "rank_cos",
-            "rank_l2",
+            # 0 = "absent from this ranker's top_n" — a sentinel, not a
+            # rank (ranks are 1-based). NULLs canonicalize differently
+            # across engines (None vs NaN), so the contract avoids them.
+            F.coalesce(F.col("rank_cos"), F.lit(0)).cast("long").alias("rank_cos"),
+            F.coalesce(F.col("rank_l2"), F.lit(0)).cast("long").alias("rank_l2"),
             F.round(
                 F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_cos")), F.lit(0.0))
                 + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_l2")), F.lit(0.0)),

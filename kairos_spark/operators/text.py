@@ -1444,3 +1444,50 @@ def bm25_topk(
         "doc_id",
         "score",
     ).where(F.col("rank") <= topk)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    ks: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary head-coverage curve: for each cutoff k, the share of
+    ALL corpus token occurrences covered by the k most frequent
+    tokens — the number that sizes a tokenizer vocabulary (99% at
+    k=30k on one corpus vs k=80k on another is a different model) and
+    flags token-mass drift between crawls. Returns (k, vocab_size,
+    coverage) with coverage rounded to 6.
+
+    Ranking ties break by token string so both engines pick the same
+    head set. Scale shape: tokens collapse to vocabulary-grain counts
+    first (one shuffle); the rank window and cumulative sum then run
+    over the VOCABULARY (≪ corpus), with total mass as exact integer
+    sums — only cutoff rows survive to the output."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("token"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    ranked = cnt.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(tot).alias("total"),
+        F.count("*").over(tot).cast("long").alias("vocab_size"),
+    )
+    cuts = ranked.sparkSession.createDataFrame([(int(k),) for k in ks], "k long")
+    # k may exceed vocab: clamp to the last rank (coverage 1.0). The
+    # cutoff list broadcasts (a handful of rows) against the ranked
+    # vocabulary — never the other way around.
+    return (
+        ranked.join(
+            F.broadcast(cuts),
+            (F.col("rank") == F.least(F.col("k"), F.col("vocab_size"))),
+        )
+        .select(
+            "k",
+            "vocab_size",
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias("coverage"),
+        )
+    )

@@ -2006,3 +2006,68 @@ def interval_allocate(
             F.count("*").cast("long").alias("n_intervals"),
         )
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_sec: int = 604800,
+) -> DataFrame:
+    """Growth accounting (the new/retained/resurrected/churned ledger
+    every product-analytics stack reports): bucket activity into
+    fixed periods, then classify each active (user, period) by its
+    previous activity — NEW (first period ever), RETAINED (active the
+    immediately preceding period), RESURRECTED (active before, but
+    not the preceding period) — and derive CHURNED(p) as the users
+    active in p−1 who did not return in p (= active(p−1) −
+    retained(p), an identity that needs no extra scan). Returns one
+    row per period: (period_start, n_active, n_new, n_retained,
+    n_resurrected, n_churned).
+
+    Scale shape: rows collapse to the distinct (user, period) grid
+    first (one shuffle), classification is a lag window per user over
+    that grid (period-grain, not event-grain), and the churn identity
+    joins the period summary against its own lag — a period-count
+    table, tiny by construction."""
+    p = F.floor(F.col(ts_col).cast("double") / period_sec).cast("long")
+    grid = df.select(F.col(key_col).alias("u"), p.alias("p")).distinct()
+    w = Window.partitionBy("u").orderBy("p")
+    classified = grid.select(
+        "u",
+        "p",
+        F.lag("p").over(w).alias("prev_p"),
+    ).select(
+        "p",
+        F.when(F.col("prev_p").isNull(), "new")
+        .when(F.col("prev_p") == F.col("p") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    )
+    per_period = classified.groupBy("p").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum(F.when(F.col("cls") == "new", 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    wp = Window.orderBy("p")
+    return per_period.select(
+        (F.col("p") * period_sec).cast("long").alias("period_start"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        # churned(p) = active(p-1) - retained(p); when the preceding
+        # calendar period is absent nobody was active to churn -> 0
+        F.when(
+            F.lag("p").over(wp) == F.col("p") - 1,
+            F.lag("n_active").over(wp) - F.col("n_retained"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_churned"),
+    )

@@ -71,7 +71,7 @@ def test_rrf_both_lists_beat_one(spark):
     # its two ranks are both <= top_n
     out = similarity.rrf_fusion(_vecs(spark), n_queries=1, top_n=12, topk=11).collect()
     top = [r for r in out if r.rank == 1][0]
-    assert top.rank_cos is not None and top.rank_l2 is not None
+    assert top.rank_cos > 0 and top.rank_l2 > 0  # 0 = absent sentinel
     assert top.rrf_score > 1.0 / 61.0
 
 
@@ -391,3 +391,66 @@ def test_freshness_lag_and_window(spark):
     # trailing 24h before the global anchor: live has hours 24..47
     assert out["live"].n_window == 24
     assert out["stale"].n_window == 0
+
+
+# ------------------------------------------------------------- policy_replay
+
+
+def test_policy_replay_match_rate_and_mean(spark):
+    # uniform logging over 2 arms: match rate ~1/2; arm rewards are
+    # constant so the replay mean per arm equals that constant
+    rows = [(i, "x" if i % 2 == 0 else "y", 1.0 if i % 2 == 0 else 3.0)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    out = {r.arm: r for r in
+           profiling.policy_replay(df, "user_id", "event_type", "value").collect()}
+    assert out["x"].replay_mean == 1.0 and out["y"].replay_mean == 3.0
+    for r in out.values():
+        assert 0.3 < r.n_matched / r.n_logged < 0.7  # ~1/2 with 2 arms
+        assert r.n_matched > 0
+
+
+def test_policy_replay_deterministic(spark):
+    rows = [(i, "abc"[i % 3], float(i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    a = sorted(profiling.policy_replay(df, "user_id", "event_type", "value").collect())
+    b = sorted(profiling.policy_replay(df, "user_id", "event_type", "value").collect())
+    assert a == b
+
+
+# --------------------------------------------------------- growth_accounting
+
+
+def test_growth_accounting_ledger(spark):
+    # periods are 10s; u1 active p0,p1,p2; u2 active p0 then gone;
+    # u3 active p0, skips p1, returns p2 (resurrected)
+    rows = [(1, 5.0), (1, 15.0), (1, 25.0),
+            (2, 5.0),
+            (3, 5.0), (3, 25.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts double")
+    out = {r.period_start: r for r in
+           windows.growth_accounting(df, "user_id", "ts", period_sec=10).collect()}
+    p0, p1, p2 = out[0], out[10], out[20]
+    assert (p0.n_active, p0.n_new) == (3, 3) and p0.n_churned == 0
+    assert (p1.n_active, p1.n_retained) == (1, 1)
+    assert p1.n_churned == 2  # u2 and u3 left after p0
+    assert p2.n_resurrected == 1  # u3 came back
+    assert p2.n_churned == 0  # u1 stayed
+    # ledger identity: active = new + retained + resurrected
+    for r in out.values():
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+
+
+# ------------------------------------------------------------ vocab_coverage
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    # 'a' x6, 'b' x3, 'c' x1 -> top-1 covers 0.6, top-2 covers 0.9
+    docs = spark.createDataFrame(
+        [(0, "a a a a a a b b"), (1, "b c")], "doc_id long, text string"
+    )
+    out = {r.k: r for r in text.vocab_coverage(docs, ks=[1, 2, 100]).collect()}
+    assert out[1].coverage == 0.6
+    assert out[2].coverage == 0.9
+    assert out[100].coverage == 1.0  # clamped to vocab size
+    assert out[100].vocab_size == 3

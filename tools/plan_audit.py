@@ -36,6 +36,9 @@ AUDITED = [
     "srm_audit",
     "drift_fdr",
     "freshness_audit",
+    "policy_replay",
+    "growth_accounting",
+    "vocab_coverage",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -287,6 +290,12 @@ CHECKS = {
     "drift_fdr": ["Window", "HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # global-max anchor rides a 1-row broadcast
     "freshness_audit": ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
+    # arm index broadcast onto the fact scan; matching is map-side
+    "policy_replay": ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
+    # distinct (user, period) grid, then period-grain lag windows only
+    "growth_accounting": ["HashAggregate", "Window", "!Join"],
+    # vocabulary-grain rank/cum windows; tiny cutoff list broadcasts
+    "vocab_coverage": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
