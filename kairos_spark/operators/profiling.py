@@ -2591,3 +2591,157 @@ def policy_replay(
             ).alias("replay_mean"),
         )
     )
+
+
+def ab_lift(
+    df: DataFrame,
+    unit_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-slice A/B lift with a Welch t statistic: units split A/B by
+    the same md5-half rule as ``srm_audit`` (run that first — a tripped
+    SRM voids these numbers), then per group the two variant means are
+    compared with the unequal-variance t
+    (t = (μ_A−μ_B)/√(s²_A/n_A + s²_B/n_B)). On hash-split A/A data the
+    lift should hover near 0 with |t| < 2 — any slice that trips on an
+    A/A run exposes id-space structure, not a treatment effect.
+
+    Exactness: all moments accumulate in DECIMAL(38,12) (count, sum,
+    sum-of-squares per variant — associative, engine-identical); the
+    final t is a fixed sequence of double ops. One aggregation, no
+    join, no window."""
+    variant = F.when(
+        F.substring(F.md5(F.col(unit_col).cast("string")), 1, 1).isin(*"01234567"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(group_col).alias("group"), variant.alias("a"), v.alias("v")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    agg = base.groupBy("group").agg(
+        F.sum("a").cast("long").alias("n_a"),
+        (F.count("*") - F.sum("a")).cast("long").alias("n_b"),
+        dec(F.when(F.col("a") == 1, F.col("v")).otherwise(0.0)).alias("s_a"),
+        dec(F.when(F.col("a") == 0, F.col("v")).otherwise(0.0)).alias("s_b"),
+        dec(F.when(F.col("a") == 1, F.col("v") * F.col("v")).otherwise(0.0)).alias("q_a"),
+        dec(F.when(F.col("a") == 0, F.col("v") * F.col("v")).otherwise(0.0)).alias("q_b"),
+    )
+    ma = F.col("s_a") / F.col("n_a")
+    mb = F.col("s_b") / F.col("n_b")
+    va = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (F.col("n_a") - 1)
+    vb = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (F.col("n_b") - 1)
+    return agg.where((F.col("n_a") > 1) & (F.col("n_b") > 1)).select(
+        "group",
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("lift"),
+        F.round(
+            (ma - mb) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")), 6
+        ).alias("t_welch"),
+    )
+
+
+def simpson_check(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Simpson's-paradox detector: the OLS slope of y on x within each
+    group versus the POOLED slope over all rows. A group whose slope
+    sign disagrees with the pooled sign (flip=1) marks a relationship
+    that inverts under aggregation — acting on the pooled number would
+    point the wrong way for that segment. Returns one row per group:
+    (group, n, slope, pooled_slope, flip).
+
+    Exactness: slopes are the closed form (nΣxy − ΣxΣy)/(nΣx² −
+    (Σx)²) over DECIMAL(38,12) moment sums; the pooled moments are the
+    SAME per-group sums re-aggregated (one extra tiny aggregation, no
+    second fact scan) and ride a 1-row broadcast."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.select(F.col(group_col).alias("group"), x.alias("x"), y.alias("y"))
+    dec = lambda c: F.sum(c.cast("decimal(38,12)"))
+    per = base.groupBy("group").agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    def slope(n, sx, sy, sxy, sxx):
+        return (
+            n * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+        ) / (n * sxx.cast("double") - sx.cast("double") * sx.cast("double"))
+
+    pooled = per.agg(
+        F.sum("n").cast("long").alias("pn"),
+        F.sum("sx").alias("px"),
+        F.sum("sy").alias("py"),
+        F.sum("sxy").alias("pxy"),
+        F.sum("sxx").alias("pxx"),
+    )
+    g_slope = slope(F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx"))
+    p_slope = slope(F.col("pn"), F.col("px"), F.col("py"), F.col("pxy"), F.col("pxx"))
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            "group",
+            "n",
+            F.round(g_slope, 6).alias("slope"),
+            F.round(p_slope, 6).alias("pooled_slope"),
+            F.when(F.round(g_slope, 6) * F.round(p_slope, 6) < 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("flip"),
+        )
+    )
+
+
+def post_stratified_mean(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Post-stratification estimator: the overall mean re-weighted so
+    every stratum contributes EQUALLY (uniform target shares) — the
+    correction applied when a feed over/under-samples segments and the
+    raw mean would inherit that skew. Returns ONE row: (n, n_strata,
+    raw_mean, post_mean, max_stratum_share) — a raw-vs-corrected gap
+    that exceeds tolerance is the tripwire that the mix shifted.
+
+    Per-stratum sums in DECIMAL(38,12); the estimator is
+    (1/H)·Σ_h mean_h — per-stratum means averaged in a second tiny
+    aggregation (stratum-grain). No join, no window."""
+    v = F.col(value_col).cast("double")
+    per = (
+        df.select(F.col(stratum_col).alias("h"), v.alias("v"))
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("n_h"),
+            F.sum(F.col("v").cast("decimal(38,12)")).alias("s_h"),
+        )
+    )
+    return per.agg(
+        F.sum("n_h").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.round(
+            F.sum("s_h").cast("double") / F.sum("n_h"), 6
+        ).alias("raw_mean"),
+        F.round(
+            # per-stratum means re-cast to DECIMAL before the cross-
+            # stratum sum so the reduction stays associative
+            F.sum(
+                (F.col("s_h").cast("double") / F.col("n_h")).cast("decimal(38,12)")
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("post_mean"),
+        F.round(F.max("n_h") / F.sum("n_h").cast("double"), 6).alias(
+            "max_stratum_share"
+        ),
+    )

@@ -2819,6 +2819,27 @@ def q_vocab_coverage(spark, sf_dir):
     return text.vocab_coverage(docs, ks=[10, 100, 1000])
 
 
+def q_ab_lift(spark, sf_dir):
+    """Welch-t A/B lift per event type under the md5-half unit split
+    (A/A harness: lifts should hover near 0)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.ab_lift(ev, "user_id", "event_type", "value")
+
+
+def q_simpson_check(spark, sf_dir):
+    """Per-returnflag vs pooled OLS slope of extendedprice on quantity
+    — Simpson's-paradox sign-flip detector."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return profiling.simpson_check(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def q_post_stratified_mean(spark, sf_dir):
+    """Post-stratified mean event value with uniform stratum targets
+    vs the raw mean."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.post_stratified_mean(ev, "event_type", "value")
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2853,6 +2874,9 @@ QUERIES = {
     "policy_replay": q_policy_replay,
     "growth_accounting": q_growth_accounting,
     "vocab_coverage": q_vocab_coverage,
+    "ab_lift": q_ab_lift,
+    "simpson_check": q_simpson_check,
+    "post_stratified_mean": q_post_stratified_mean,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -8244,4 +8268,86 @@ ORACLES["vocab_coverage"] = """
     SELECT k, vocab_size,
            round(CAST(cum AS DOUBLE) / total, 6) AS coverage
     FROM ranked JOIN cuts ON rank = least(k, vocab_size)
+"""
+
+
+ORACLES["ab_lift"] = """
+    WITH base AS (
+      SELECT event_type AS "group",
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS a,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+    ),
+    agg AS (
+      SELECT "group",
+             CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(a) AS BIGINT) AS n_b,
+             CAST(sum(CAST(CASE WHEN a = 1 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS s_a,
+             CAST(sum(CAST(CASE WHEN a = 0 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS s_b,
+             CAST(sum(CAST(CASE WHEN a = 1 THEN v * v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS q_a,
+             CAST(sum(CAST(CASE WHEN a = 0 THEN v * v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS q_b
+      FROM base GROUP BY 1
+    )
+    SELECT "group", n_a, n_b,
+           round(s_a / n_a, 6) AS mean_a,
+           round(s_b / n_b, 6) AS mean_b,
+           round(s_a / n_a - s_b / n_b, 6) AS lift,
+           round((s_a / n_a - s_b / n_b)
+                 / sqrt(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                        + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6) AS t_welch
+    FROM agg WHERE n_a > 1 AND n_b > 1
+"""
+
+ORACLES["simpson_check"] = """
+    WITH base AS (
+      SELECT l_returnflag AS "group",
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    per AS (
+      SELECT "group",
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS DECIMAL(38,12))) AS sx,
+             sum(CAST(y AS DECIMAL(38,12))) AS sy,
+             sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM base GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(sum(n) AS BIGINT) AS pn,
+             sum(sx) AS px, sum(sy) AS py, sum(sxy) AS pxy, sum(sxx) AS pxx
+      FROM per
+    )
+    SELECT "group", n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope,
+           round((pn * CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+                 / (pn * CAST(pxx AS DOUBLE) - CAST(px AS DOUBLE) * CAST(px AS DOUBLE)), 6)
+             AS pooled_slope,
+           CAST(CASE WHEN
+                 round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 * round((pn * CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+                         / (pn * CAST(pxx AS DOUBLE) - CAST(px AS DOUBLE) * CAST(px AS DOUBLE)), 6)
+                 < 0 THEN 1 ELSE 0 END AS BIGINT) AS flip
+    FROM per CROSS JOIN pooled
+"""
+
+ORACLES["post_stratified_mean"] = """
+    WITH per AS (
+      SELECT event_type AS h,
+             CAST(count(*) AS BIGINT) AS n_h,
+             sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS s_h
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(sum(n_h) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_strata,
+           round(CAST(sum(s_h) AS DOUBLE) / sum(n_h), 6) AS raw_mean,
+           round(CAST(sum(CAST(CAST(s_h AS DOUBLE) / n_h AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 6) AS post_mean,
+           round(max(n_h) / CAST(sum(n_h) AS DOUBLE), 6) AS max_stratum_share
+    FROM per
 """

@@ -454,3 +454,66 @@ def test_vocab_coverage_monotone_and_exact(spark):
     assert out[2].coverage == 0.9
     assert out[100].coverage == 1.0  # clamped to vocab size
     assert out[100].vocab_size == 3
+
+
+# ------------------------------------------------------------------ ab_lift
+
+
+def test_ab_lift_aa_near_zero(spark):
+    # A/A: same distribution both variants -> small |t|
+    rows = [(i, "t", float(i % 10)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    r = profiling.ab_lift(df, "user_id", "event_type", "value").collect()[0]
+    assert abs(r.t_welch) < 2.5
+    assert abs(r.lift) < 0.5
+
+
+def test_ab_lift_detects_true_effect(spark):
+    # inject a real treatment effect aligned with the hash split
+    import hashlib
+    rows = []
+    for i in range(3000):
+        is_a = hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567"
+        rows.append((i, "t", 10.0 + (5.0 if is_a else 0.0) + (i % 3)))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    r = profiling.ab_lift(df, "user_id", "event_type", "value").collect()[0]
+    assert abs(r.lift - 5.0) < 0.2
+    assert r.t_welch > 10
+
+
+# ------------------------------------------------------------- simpson_check
+
+
+def test_simpson_detects_sign_flip(spark):
+    # classic construction: within each group y DECREASES with x, but
+    # the groups are offset so the pooled slope is positive
+    rows = []
+    for i in range(50):
+        rows.append(("g1", float(i % 5), 10.0 - (i % 5)))          # x 0-4, y ~10
+        rows.append(("g2", 10.0 + (i % 5), 30.0 - (i % 5)))        # x 10-14, y ~30
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.group: r for r in profiling.simpson_check(df, "g", "x", "y").collect()}
+    assert out["g1"].slope < 0 and out["g2"].slope < 0
+    assert out["g1"].pooled_slope > 0
+    assert out["g1"].flip == 1 and out["g2"].flip == 1
+
+
+def test_simpson_no_flip_when_consistent(spark):
+    rows = [("g%d" % (i % 2), float(i), 2.0 * i + (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    assert all(r.flip == 0 for r in profiling.simpson_check(df, "g", "x", "y").collect())
+
+
+# ------------------------------------------------------ post_stratified_mean
+
+
+def test_post_stratification_corrects_skewed_mix(spark):
+    # stratum a (value 1) oversampled 9:1 vs stratum b (value 3):
+    # raw mean ~1.2, post-stratified mean = (1+3)/2 = 2
+    rows = [("a", 1.0)] * 900 + [("b", 3.0)] * 100
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = profiling.post_stratified_mean(df, "event_type", "value").collect()[0]
+    assert r.raw_mean == 1.2
+    assert r.post_mean == 2.0
+    assert r.max_stratum_share == 0.9
+    assert r.n == 1000 and r.n_strata == 2

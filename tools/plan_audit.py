@@ -39,6 +39,9 @@ AUDITED = [
     "policy_replay",
     "growth_accounting",
     "vocab_coverage",
+    "ab_lift",
+    "simpson_check",
+    "post_stratified_mean",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -296,6 +299,12 @@ CHECKS = {
     "growth_accounting": ["HashAggregate", "Window", "!Join"],
     # vocabulary-grain rank/cum windows; tiny cutoff list broadcasts
     "vocab_coverage": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # one moment aggregation per slice: no join, no window
+    "ab_lift": ["HashAggregate", "!Join"],
+    # pooled moments re-aggregate the per-group sums and broadcast back
+    "simpson_check": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # two chained aggregations (stratum grain then scalar): no join
+    "post_stratified_mean": ["HashAggregate", "!Join"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
