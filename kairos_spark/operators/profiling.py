@@ -2745,3 +2745,149 @@ def post_stratified_mean(
             "max_stratum_share"
         ),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lincoln-Petersen capture-recapture estimate of the TRUE
+    population behind a feed: units "captured" in the first time
+    quarter form sample 1, units in the last quarter form sample 2,
+    and the overlap m estimates total population N̂ = n1·n2/m (the
+    Chapman small-sample correction (n1+1)(n2+1)/(m+1) − 1 is
+    reported alongside). Comparing N̂ to the distinct units actually
+    observed answers "what fraction of the universe does this feed
+    see?" — the coverage question behind every crawl/telemetry
+    completeness debate. Returns ONE row: (n1, n2, m, n_observed,
+    chapman_est, coverage).
+
+    Quarter boundaries derive from global min/max timestamps (1-row
+    broadcast); membership is two distinct-aggregations plus one
+    intersection count — all unit-grain, no window."""
+    t = F.unix_micros(F.col(ts_col))
+    scal = df.agg(
+        F.min(t).alias("__lo"), F.max(t).alias("__hi")
+    )
+    base = df.crossJoin(F.broadcast(scal)).select(
+        F.col(unit_col).alias("u"),
+        (t <= F.col("__lo") + (F.col("__hi") - F.col("__lo")) / 4).alias("in1"),
+        (t >= F.col("__hi") - (F.col("__hi") - F.col("__lo")) / 4).alias("in2"),
+    )
+    per_unit = base.groupBy("u").agg(
+        F.max(F.col("in1").cast("int")).alias("s1"),
+        F.max(F.col("in2").cast("int")).alias("s2"),
+    )
+    return per_unit.agg(
+        F.sum("s1").cast("long").alias("n1"),
+        F.sum("s2").cast("long").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("n_observed"),
+    ).select(
+        "n1",
+        "n2",
+        "m",
+        "n_observed",
+        F.round(
+            (F.col("n1") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1.0, 6
+        ).alias("chapman_est"),
+        F.round(
+            F.col("n_observed")
+            / ((F.col("n1") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1.0),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def powerlaw_alpha(
+    df: DataFrame,
+    count_col: str,
+    xmin: int = 5,
+) -> DataFrame:
+    """Hill maximum-likelihood estimate of a power-law tail exponent
+    (Clauset-Shalizi-Newman 2009, eq. 3.1 for discrete-ish tails):
+    α̂ = 1 + n_tail / Σ ln(x_i / (xmin − 0.5)) over observations with
+    x ≥ xmin. Run over token frequencies it checks Zipf behaviour (α
+    ≈ 2 for natural text — flatter tails mean templated/duplicated
+    content); over degree or activity counts it grades hubbiness.
+    Returns ONE row: (n_tail, xmin, alpha, tail_mass_share).
+
+    The log terms accumulate in DECIMAL(38,12); everything else is
+    exact integer sums. One filter + one aggregation over an already
+    count-grain table."""
+    x = F.col(count_col).cast("double")
+    tail = F.when(x >= float(xmin), 1).otherwise(0)
+    return df.agg(
+        F.sum(tail).cast("long").alias("n_tail"),
+        F.lit(int(xmin)).cast("long").alias("xmin"),
+        F.round(
+            1.0
+            + F.sum(tail).cast("double")
+            / F.sum(
+                F.when(x >= float(xmin), F.log(x / (float(xmin) - 0.5)))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,12)")
+            ).cast("double"),
+            6,
+        ).alias("alpha"),
+        F.round(
+            F.sum(F.when(x >= float(xmin), x).otherwise(0.0).cast("decimal(38,12)"))
+            .cast("double")
+            / F.sum(x.cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("tail_mass_share"),
+    )
+
+
+def scale_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Variance-ratio drift between the first and second time half,
+    per group — the SCALE companion to the location-sensitive
+    ks/cvm/psi family: a feed whose mean holds but whose spread
+    doubles (sensor degradation, mixed populations, unit changes)
+    sails through mean-drift checks and trips this one. Reports the
+    per-group F ratio var₁/var₂ and its log (symmetric around 0).
+    Same half-split and empty-half omission contract as ks_drift.
+    Returns (name, n1, n2, var_ratio, log_ratio).
+
+    Variances come from DECIMAL moment sums (count/sum/sum-of-squares
+    per half — associative); one aggregation, no window, no join
+    beyond the 1-row midpoint broadcast."""
+    scal = df.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    h1 = F.unix_micros(F.col(ts_col)) <= F.col("__mid")
+    v = F.col(value_col).cast("double")
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    agg = (
+        df.crossJoin(F.broadcast(scal))
+        .select(F.col(group_col).alias("name"), h1.cast("int").alias("h"), v.alias("v"))
+        .groupBy("name")
+        .agg(
+            F.sum("h").cast("long").alias("n1"),
+            (F.count("*") - F.sum("h")).cast("long").alias("n2"),
+            dec(F.when(F.col("h") == 1, F.col("v")).otherwise(0.0)).alias("s1"),
+            dec(F.when(F.col("h") == 0, F.col("v")).otherwise(0.0)).alias("s2"),
+            dec(F.when(F.col("h") == 1, F.col("v") * F.col("v")).otherwise(0.0)).alias("q1"),
+            dec(F.when(F.col("h") == 0, F.col("v") * F.col("v")).otherwise(0.0)).alias("q2"),
+        )
+    )
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+    return agg.where((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        "name",
+        "n1",
+        "n2",
+        F.round(v1 / v2, 6).alias("var_ratio"),
+        F.round(F.log(v1 / v2), 6).alias("log_ratio"),
+    )

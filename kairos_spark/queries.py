@@ -2840,6 +2840,29 @@ def q_post_stratified_mean(spark, sf_dir):
     return profiling.post_stratified_mean(ev, "event_type", "value")
 
 
+def q_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen/Chapman population estimate from first-quarter
+    vs last-quarter user captures — feed coverage."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.capture_recapture(ev, "user_id", "ts")
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    """Hill tail-exponent estimate over token frequencies (xmin=5) —
+    the Zipf-exponent check on corpus naturalness."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.word_tokens(F.col("text"))).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    return profiling.powerlaw_alpha(cnt, "n", xmin=5)
+
+
+def q_scale_drift(spark, sf_dir):
+    """Variance-ratio (scale) drift between event-time halves per type
+    — the spread companion to ks/cvm drift."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.scale_drift(ev)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2877,6 +2900,9 @@ QUERIES = {
     "ab_lift": q_ab_lift,
     "simpson_check": q_simpson_check,
     "post_stratified_mean": q_post_stratified_mean,
+    "capture_recapture": q_capture_recapture,
+    "powerlaw_alpha": q_powerlaw_alpha,
+    "scale_drift": q_scale_drift,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -8350,4 +8376,83 @@ ORACLES["post_stratified_mean"] = """
                  / count(*), 6) AS post_mean,
            round(max(n_h) / CAST(sum(n_h) AS DOUBLE), 6) AS max_stratum_share
     FROM per
+"""
+
+
+ORACLES["capture_recapture"] = """
+    WITH scal AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    base AS (
+      SELECT user_id AS u,
+             epoch_us(ts) <= lo + (hi - lo) / 4 AS in1,
+             epoch_us(ts) >= hi - (hi - lo) / 4 AS in2
+      FROM events CROSS JOIN scal
+    ),
+    per_unit AS (
+      SELECT u,
+             max(CASE WHEN in1 THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN in2 THEN 1 ELSE 0 END) AS s2
+      FROM base GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(s2) AS BIGINT) AS n2,
+             CAST(sum(s1 * s2) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n_observed
+      FROM per_unit
+    )
+    SELECT n1, n2, m, n_observed,
+           round((n1 + 1) * (n2 + 1) / (m + 1) - 1.0, 6) AS chapman_est,
+           round(n_observed / ((n1 + 1) * (n2 + 1) / (m + 1) - 1.0), 6) AS coverage
+    FROM agg
+"""
+
+ORACLES["powerlaw_alpha"] = """
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    base AS (SELECT CAST(n AS DOUBLE) AS x FROM cnt)
+    SELECT CAST(sum(CASE WHEN x >= 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+           CAST(5 AS BIGINT) AS xmin,
+           round(1.0 + sum(CASE WHEN x >= 5.0 THEN 1 ELSE 0 END)
+                         / CAST(sum(CAST(CASE WHEN x >= 5.0 THEN ln(x / 4.5)
+                                              ELSE 0.0 END AS DECIMAL(38,12)))
+                                AS DOUBLE), 6) AS alpha,
+           round(CAST(sum(CAST(CASE WHEN x >= 5.0 THEN x ELSE 0.0 END
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS tail_mass_share
+    FROM base
+"""
+
+ORACLES["scale_drift"] = """
+    WITH scal AS (
+      SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid
+      FROM events
+    ),
+    base AS (
+      SELECT event_type AS name,
+             CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 1 ELSE 0 END AS h,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+    ),
+    agg AS (
+      SELECT name,
+             CAST(sum(h) AS BIGINT) AS n1,
+             CAST(count(*) - sum(h) AS BIGINT) AS n2,
+             CAST(sum(CAST(CASE WHEN h = 1 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(CASE WHEN h = 0 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(CASE WHEN h = 1 THEN v * v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS q1,
+             CAST(sum(CAST(CASE WHEN h = 0 THEN v * v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS q2
+      FROM base GROUP BY 1
+    )
+    SELECT name, n1, n2,
+           round(((q1 - s1 * s1 / n1) / (n1 - 1)) / ((q2 - s2 * s2 / n2) / (n2 - 1)), 6)
+             AS var_ratio,
+           round(ln(((q1 - s1 * s1 / n1) / (n1 - 1)) / ((q2 - s2 * s2 / n2) / (n2 - 1))), 6)
+             AS log_ratio
+    FROM agg WHERE n1 > 1 AND n2 > 1
 """

@@ -517,3 +517,87 @@ def test_post_stratification_corrects_skewed_mix(spark):
     assert r.post_mean == 2.0
     assert r.max_stratum_share == 0.9
     assert r.n == 1000 and r.n_strata == 2
+
+
+# --------------------------------------------------------- capture_recapture
+
+
+def test_capture_recapture_estimates_population(spark):
+    # 100 users; first quarter sees users 0-59, last quarter 40-99:
+    # n1=60, n2=60, m=20 -> Chapman (61*61/21)-1 = 176.2 (upward-biased
+    # here because capture isn't independent, but the arithmetic is
+    # what's under test)
+    rows = [(u, float(u)) for u in range(60)]                 # t 0..59 (q1 cutoff 24.75)
+    rows += [(u, float(40 + (u - 40) + 40)) for u in range(40, 100)]
+    df = spark.createDataFrame(rows, "user_id long, t double").selectExpr(
+        "user_id", "timestamp_seconds(t) AS ts"
+    )
+    r = profiling.capture_recapture(df, "user_id", "ts").collect()[0]
+    assert r.n_observed == 100
+    assert r.n1 > 0 and r.n2 > 0 and r.m >= 0
+    assert r.chapman_est > 0
+    assert abs(r.coverage - r.n_observed / r.chapman_est) < 1e-6
+
+
+def test_capture_recapture_full_overlap(spark):
+    # every user active in both windows -> m = n1 = n2 = N, coverage ~1
+    rows = [(u, t) for u in range(50) for t in (0.0, 1000.0)]
+    df = spark.createDataFrame(rows, "user_id long, t double").selectExpr(
+        "user_id", "timestamp_seconds(t) AS ts"
+    )
+    r = profiling.capture_recapture(df, "user_id", "ts").collect()[0]
+    assert r.n1 == r.n2 == r.m == 50
+    assert abs(r.chapman_est - (51 * 51 / 51 - 1)) < 1e-6  # = 50
+    assert abs(r.coverage - 1.0) < 1e-6
+
+
+# ------------------------------------------------------------ powerlaw_alpha
+
+
+def test_powerlaw_alpha_recovers_exponent(spark):
+    # counts drawn from an exact Zipf tail x = round(C * r^(-1/(a-1)))
+    # with a=2: alpha-hat should land near 2
+    import math
+    rows = [(i, max(5, int(10000 / (i + 1)))) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    r = profiling.powerlaw_alpha(df, "n", xmin=5).collect()[0]
+    assert r.n_tail == 500
+    # continuous-Hill on a truncated discrete Zipf tail lands a bit
+    # under the ideal alpha=2; the point is the right neighbourhood
+    assert 1.2 < r.alpha < 2.5
+    assert r.tail_mass_share == 1.0  # all rows in tail
+
+
+def test_powerlaw_alpha_flat_counts_give_large_alpha(spark):
+    # near-constant counts just above xmin -> tiny log terms -> huge alpha
+    flat = spark.createDataFrame([(i, 6) for i in range(100)], "id long, n long")
+    zipf = spark.createDataFrame(
+        [(i, max(5, int(10000 / (i + 1)))) for i in range(100)], "id long, n long"
+    )
+    a_flat = profiling.powerlaw_alpha(flat, "n").collect()[0].alpha
+    a_zipf = profiling.powerlaw_alpha(zipf, "n").collect()[0].alpha
+    assert a_flat > a_zipf
+
+
+# --------------------------------------------------------------- scale_drift
+
+
+def test_scale_drift_detects_spread_change(spark):
+    # same mean both halves, 3x the spread in the second half
+    rows = [(i, "t", 10.0 + (i % 5 - 2) * 0.5, float(i)) for i in range(500)]
+    rows += [(1000 + i, "t", 10.0 + (i % 5 - 2) * 1.5, float(100000 + i)) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, t double"
+    ).selectExpr("event_id", "event_type", "value", "timestamp_seconds(t) AS ts")
+    r = profiling.scale_drift(df).collect()[0]
+    assert r.var_ratio < 0.5  # first half much tighter
+    assert r.log_ratio < -0.5
+
+
+def test_scale_drift_stable_near_one(spark):
+    rows = [(i, "t", float(i % 7), float(i)) for i in range(1000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, t double"
+    ).selectExpr("event_id", "event_type", "value", "timestamp_seconds(t) AS ts")
+    r = profiling.scale_drift(df).collect()[0]
+    assert 0.8 < r.var_ratio < 1.25

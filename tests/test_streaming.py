@@ -500,3 +500,35 @@ def test_streaming_hll_registers_match_batch(spark, input_dir):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_fingerprint_matches_batch(spark, input_dir):
+    # the additive-mod-prime table fingerprint is a plain sum
+    # aggregate, so it streams unchanged with bounded per-group state;
+    # checksums agree with batch exactly (order independence is the
+    # whole point of the additive construction)
+    from kairos_spark.operators import profiling
+
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    fp = profiling.group_fingerprint(
+        stream.withWatermark("ts", "1 hour"), "name", ["ts", "value"]
+    )
+    q = (
+        fp.writeStream.format("memory")
+        .queryName("stream_fp")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["group"]: (r["n_rows"], r["fingerprint"])
+        for r in spark.sql("SELECT * FROM stream_fp").collect()
+    }
+    batch = {
+        r["group"]: (r["n_rows"], r["fingerprint"])
+        for r in profiling.group_fingerprint(
+            _batch_df(spark, input_dir), "name", ["ts", "value"]
+        ).collect()
+    }
+    assert got == batch and got  # non-empty agreement

@@ -42,6 +42,9 @@ AUDITED = [
     "ab_lift",
     "simpson_check",
     "post_stratified_mean",
+    "capture_recapture",
+    "powerlaw_alpha",
+    "scale_drift",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -305,6 +308,12 @@ CHECKS = {
     "simpson_check": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # two chained aggregations (stratum grain then scalar): no join
     "post_stratified_mean": ["HashAggregate", "!Join"],
+    # quarter bounds ride a 1-row broadcast; unit-grain aggregations
+    "capture_recapture": ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
+    # count-grain input, single scalar aggregation
+    "powerlaw_alpha": ["HashAggregate", "Generate", "!CartesianProduct"],
+    # midpoint broadcast + one moment aggregation per group
+    "scale_drift": ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
