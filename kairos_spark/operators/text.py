@@ -1491,3 +1491,65 @@ def vocab_coverage(
             F.round(F.col("cum").cast("double") / F.col("total"), 6).alias("coverage"),
         )
     )
+
+
+def rbo_rankings(
+    df: DataFrame,
+    k: int = 50,
+    p: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between two
+    token rankings of the same corpus — by total term frequency and
+    by document frequency. RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·(|S1_d ∩
+    S2_d|/d) weights agreement at the TOP of the lists, exactly what
+    "did the head of the vocabulary change?" monitoring needs (plain
+    set overlap treats rank 1 and rank k alike). tf-vs-df divergence
+    specifically surfaces burstiness: tokens frequent by repetition
+    in few documents rank high on tf but low on df.
+
+    ``p`` defaults to 0.5 so every geometric weight is an exact
+    dyadic double — bit-identical across engines (p=0.9's powers are
+    libm-dependent). Ties in either ranking break by token string.
+
+    Returns ONE row: (k, rbo, overlap_at_k). Scale shape: one
+    vocabulary-grain aggregation (tf, df per token), two rank
+    windows over the vocabulary, then all depth arithmetic happens on
+    ≤ k² tiny rows (the k-row depth spine joined to per-max-rank
+    counts)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col("doc_id"), F.explode(word_tokens(F.col(text_col))).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    r1 = F.row_number().over(Window.orderBy(F.col("tf").desc(), F.col("token")))
+    r2 = F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("token")))
+    ranked = cnt.select(
+        "token", r1.cast("long").alias("r1"), r2.cast("long").alias("r2")
+    )
+    both = ranked.where((F.col("r1") <= k) & (F.col("r2") <= k)).select(
+        F.greatest("r1", "r2").alias("mx")
+    )
+    per_mx = both.groupBy("mx").agg(F.count("*").cast("long").alias("c"))
+    spine = df.sparkSession.range(1, k + 1).select(F.col("id").alias("d"))
+    overlap = (
+        spine.join(F.broadcast(per_mx), F.col("mx") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("ov"))
+    )
+    term = F.pow(F.lit(float(p)), F.col("d") - 1) * (
+        F.col("ov").cast("double") / F.col("d")
+    )
+    return overlap.agg(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.round(
+            (1.0 - float(p))
+            * F.sum(term.cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("rbo"),
+        F.max(F.when(F.col("d") == k, F.col("ov"))).cast("long").alias("overlap_at_k"),
+    )

@@ -2071,3 +2071,98 @@ def growth_accounting(
         .cast("long")
         .alias("n_churned"),
     )
+
+
+def churn_baseline_auc(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Recency-baseline churn backtest: split event time at the global
+    midpoint, score every user active in the first half by the
+    RECENCY of their last first-half event (more recent → more likely
+    to return), label them by whether they actually returned in the
+    second half, and report the ROC AUC of that score via the exact
+    rank-sum identity (``profiling.rank_auc``). This is the
+    never-skip baseline any churn model must beat — if a trained
+    model's AUC is below recency's, ship the heuristic.
+
+    Returns ONE row (n_pos, n_neg, auc): pos = returned. Scale shape:
+    one user-grain aggregation each side of the midpoint (1-row
+    broadcast), a user-grain join, then rank_auc's single window over
+    the USER table (not events)."""
+    from kairos_spark.operators.profiling import rank_auc
+
+    # NTZ→TIMESTAMP is an identity relabel under the UTC session and
+    # lets unix_micros accept either physical encoding (o_orderdate
+    # reads as TIMESTAMP_NTZ; events.ts as TIMESTAMP)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    scal = df.agg(
+        F.floor((F.min(t) + F.max(t)) / 2).cast("long").alias("__mid")
+    )
+    base = df.crossJoin(F.broadcast(scal)).select(
+        F.col(key_col).alias("u"), t.alias("__t"), F.col("__mid")
+    )
+    before = (
+        base.where(F.col("__t") <= F.col("__mid"))
+        .groupBy("u")
+        .agg(
+            # score = last pre-midpoint activity time: later == more
+            # recent == higher score (recency baseline)
+            F.max("__t").cast("double").alias("score")
+        )
+    )
+    after = base.where(F.col("__t") > F.col("__mid")).select("u").distinct()
+    labeled = before.join(
+        after.withColumn("returned", F.lit(1)), "u", "left"
+    ).select("score", F.coalesce(F.col("returned"), F.lit(0)).alias("returned"))
+    return rank_auc(labeled, "score", "returned")
+
+
+def session_gap_sweep(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gaps_sec: list[int] = (900, 1800, 3600),
+) -> DataFrame:
+    """Sessionization-threshold sensitivity sweep in ONE pass: for a
+    grid of gap thresholds, how many sessions the corpus splits into
+    and the mean events per session. A session count that swings
+    sharply between adjacent thresholds means the inter-event gap
+    distribution has mass right at the cut — pick a threshold on a
+    plateau, not a cliff (this audit finds the plateau without
+    re-running sessionize per candidate). Returns one row per
+    threshold: (gap_sec, n_sessions, n_events, events_per_session).
+
+    Scale shape: ONE lag window per user computes each event's
+    inter-arrival gap; every threshold is then a conditional count
+    over the same gap column — adding thresholds costs a when(),
+    not a pass. n_sessions(g) = n_users + #{gaps > g}."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    secs = F.col(ts_col).cast("double")
+    gap = (secs - F.lag(secs).over(w)).alias("__gap")
+    gaps = df.select(F.col(key_col).alias("__u"), gap)
+    agg = gaps.agg(
+        F.countDistinct("__u").cast("long").alias("__n_users"),
+        F.count("*").cast("long").alias("__n_events"),
+        *[
+            F.sum(F.when(F.col("__gap") > float(g), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__x{g}")
+            for g in gaps_sec
+        ],
+    )
+    rows = None
+    for g in gaps_sec:
+        one = agg.select(
+            F.lit(int(g)).cast("long").alias("gap_sec"),
+            (F.col("__n_users") + F.col(f"__x{g}")).alias("n_sessions"),
+            F.col("__n_events").alias("n_events"),
+            F.round(
+                F.col("__n_events")
+                / (F.col("__n_users") + F.col(f"__x{g}")).cast("double"),
+                6,
+            ).alias("events_per_session"),
+        )
+        rows = one if rows is None else rows.union(one)
+    return rows

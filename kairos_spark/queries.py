@@ -2863,6 +2863,29 @@ def q_scale_drift(spark, sf_dir):
     return profiling.scale_drift(ev)
 
 
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap between tf- and df-rankings of the top-50
+    vocabulary (p=0.5, exact dyadic weights)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.rbo_rankings(docs, k=50, p=0.5)
+
+
+def q_churn_auc(spark, sf_dir):
+    """Recency-baseline churn backtest on customers: AUC of last-order
+    recency for predicting second-half reorders (the events table has
+    no churners — every synthetic user stays active — so the sparse
+    order history is the non-vacuous surface)."""
+    orders = _tbl(spark, sf_dir, "orders")
+    return windows.churn_baseline_auc(orders, "o_custkey", "o_orderdate")
+
+
+def q_session_gap_sweep(spark, sf_dir):
+    """One-pass sessionization-threshold sweep (15/30/60 min):
+    session counts and densities per candidate gap."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.session_gap_sweep(ev, "user_id", "ts", gaps_sec=[900, 1800, 3600])
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2903,6 +2926,9 @@ QUERIES = {
     "capture_recapture": q_capture_recapture,
     "powerlaw_alpha": q_powerlaw_alpha,
     "scale_drift": q_scale_drift,
+    "rbo_rankings": q_rbo_rankings,
+    "churn_auc": q_churn_auc,
+    "session_gap_sweep": q_session_gap_sweep,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -8455,4 +8481,94 @@ ORACLES["scale_drift"] = """
            round(ln(((q1 - s1 * s1 / n1) / (n1 - 1)) / ((q2 - s2 * s2 / n2) / (n2 - 1))), 6)
              AS log_ratio
     FROM agg WHERE n1 > 1 AND n2 > 1
+"""
+
+
+ORACLES["rbo_rankings"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY 1
+    ),
+    ranked AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS r1,
+             CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT) AS r2
+      FROM cnt
+    ),
+    bth AS (SELECT greatest(r1, r2) AS mx FROM ranked WHERE r1 <= 50 AND r2 <= 50),
+    per_mx AS (SELECT mx, CAST(count(*) AS BIGINT) AS c FROM bth GROUP BY 1),
+    spine AS (SELECT unnest(range(1, 51)) AS d),
+    ov AS (
+      SELECT d, CAST(COALESCE(sum(c), 0) AS BIGINT) AS ov
+      FROM spine LEFT JOIN per_mx ON mx <= d GROUP BY 1
+    )
+    SELECT CAST(50 AS BIGINT) AS k,
+           round((1.0 - 0.5)
+                 * CAST(sum(CAST(pow(0.5, d - 1) * (CAST(ov AS DOUBLE) / d)
+                                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS rbo,
+           CAST(max(CASE WHEN d = 50 THEN ov END) AS BIGINT) AS overlap_at_k
+    FROM ov
+"""
+
+ORACLES["churn_auc"] = """
+    WITH scal AS (
+      SELECT CAST(floor((min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) / 2) AS BIGINT) AS mid
+      FROM orders
+    ),
+    before AS (
+      SELECT o_custkey AS u, CAST(max(epoch_us(o_orderdate)) AS DOUBLE) AS score
+      FROM orders CROSS JOIN scal WHERE epoch_us(o_orderdate) <= mid GROUP BY 1
+    ),
+    aft AS (
+      SELECT DISTINCT o_custkey AS u
+      FROM orders CROSS JOIN scal WHERE epoch_us(o_orderdate) > mid
+    ),
+    labeled AS (
+      SELECT score, CASE WHEN aft.u IS NULL THEN 0 ELSE 1 END = 1 AS pos
+      FROM before LEFT JOIN aft ON before.u = aft.u
+    ),
+    r AS (
+      SELECT pos,
+             2 * rank() OVER (ORDER BY score)
+                 + count(*) OVER (PARTITION BY score) - 1 AS r2
+      FROM labeled
+    ),
+    a AS (
+      SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg,
+             sum(CASE WHEN pos THEN r2 ELSE 0 END) AS r2pos
+      FROM r
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round((r2pos - n_pos * (n_pos + 1)) * 1.0 / (2 * n_pos * n_neg), 6) AS auc
+    FROM a WHERE n_pos > 0 AND n_neg > 0
+"""
+
+ORACLES["session_gap_sweep"] = """
+    WITH gaps AS (
+      SELECT user_id AS u,
+             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+      FROM events
+    ),
+    agg AS (
+      SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu,
+             CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum(CASE WHEN gap > 900.0 THEN 1 ELSE 0 END) AS BIGINT) AS x900,
+             CAST(sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS x1800,
+             CAST(sum(CASE WHEN gap > 3600.0 THEN 1 ELSE 0 END) AS BIGINT) AS x3600
+      FROM gaps
+    )
+    SELECT CAST(900 AS BIGINT) AS gap_sec, nu + x900 AS n_sessions, ne AS n_events,
+           round(ne / CAST(nu + x900 AS DOUBLE), 6) AS events_per_session FROM agg
+    UNION ALL
+    SELECT 1800, nu + x1800, ne, round(ne / CAST(nu + x1800 AS DOUBLE), 6) FROM agg
+    UNION ALL
+    SELECT 3600, nu + x3600, ne, round(ne / CAST(nu + x3600 AS DOUBLE), 6) FROM agg
 """

@@ -1,7 +1,7 @@
 """Round-5 third-wave operators: BM25 retrieval, reciprocal-rank
 fusion, and SemDeDup-style semantic dedup."""
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from kairos_spark.operators import similarity, text
 
@@ -601,3 +601,82 @@ def test_scale_drift_stable_near_one(spark):
     ).selectExpr("event_id", "event_type", "value", "timestamp_seconds(t) AS ts")
     r = profiling.scale_drift(df).collect()[0]
     assert 0.8 < r.var_ratio < 1.25
+
+
+# --------------------------------------------------------------- rbo_rankings
+
+
+def test_rbo_identical_rankings_give_one(spark):
+    # every token appears once per doc -> tf == df -> identical lists
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    r = text.rbo_rankings(docs, k=5, p=0.5).collect()[0]
+    assert r.rbo == 1.0 - 0.5 ** 5  # truncated-RBO max at k=5, p=0.5
+    assert r.overlap_at_k == 5
+
+
+def test_rbo_tf_df_divergence_lowers_score(spark):
+    # 'bursty' dominates tf via repetition in one doc but has df=1;
+    # compare against a corpus where rankings agree
+    agree = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    diverge = spark.createDataFrame(
+        [(0, "bursty " * 200), (1, "w0 w1 w2 w3 w4"), (2, "w0 w1 w2 w3"),
+         (3, "w0 w1 w2"), (4, "w0 w1"), (5, "w0")],
+        "doc_id long, text string",
+    )
+    r_a = text.rbo_rankings(agree, k=5, p=0.5).collect()[0].rbo
+    r_d = text.rbo_rankings(diverge, k=5, p=0.5).collect()[0].rbo
+    assert r_d < r_a
+
+
+# ----------------------------------------------------------------- churn_auc
+
+
+def test_churn_recency_baseline_beats_coin(spark):
+    # users 0-49 active early only (churn); users 50-99 active early
+    # AND late (return); returners' last early event is later ->
+    # recency perfectly separates -> AUC == 1
+    rows = [(u, float(u % 10)) for u in range(50)]            # churners: t 0..9
+    rows += [(u, float(100 + u % 10)) for u in range(50, 100)]  # returners: later
+    rows += [(u, 100000.0) for u in range(50, 100)]           # their return visit
+    df = spark.createDataFrame(rows, "user_id long, t double").selectExpr(
+        "user_id", "timestamp_seconds(t) AS ts"
+    )
+    r = windows.churn_baseline_auc(df, "user_id", "ts").collect()[0]
+    assert (r.n_pos, r.n_neg) == (50, 50)
+    assert r.auc == 1.0
+
+
+# ---------------------------------------------------------- session_gap_sweep
+
+
+def test_session_gap_sweep_monotone(spark):
+    # gaps of 10 and 100 seconds: threshold below 10 -> 3 sessions,
+    # between -> 2, above 100 -> 1
+    rows = [(1, 0.0), (1, 10.0), (1, 110.0)]
+    df = spark.createDataFrame(rows, "user_id long, t double").selectExpr(
+        "user_id", "timestamp_seconds(t) AS ts"
+    )
+    out = {r.gap_sec: r.n_sessions for r in
+           windows.session_gap_sweep(df, "user_id", "ts", gaps_sec=[5, 50, 500]).collect()}
+    assert out == {5: 3, 50: 2, 500: 1}
+
+
+def test_session_gap_sweep_matches_sessionize(spark):
+    # the sweep's session count at gap g must equal sessionize's
+    rows = [(u, float(u * 1000 + i * 40)) for u in range(5) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, t double").selectExpr(
+        "user_id", "timestamp_seconds(t) AS ts"
+    )
+    sweep = {r.gap_sec: r.n_sessions for r in
+             windows.session_gap_sweep(df, "user_id", "ts", gaps_sec=[30, 60]).collect()}
+    for g in (30, 60):
+        s = windows.sessionize(df, "user_id", "ts", float(g))
+        n = s.groupBy("user_id").agg(F.max("session_id").alias("m")) \
+             .agg(F.sum("m")).collect()[0][0]
+        assert sweep[g] == n

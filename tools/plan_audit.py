@@ -45,6 +45,9 @@ AUDITED = [
     "capture_recapture",
     "powerlaw_alpha",
     "scale_drift",
+    "rbo_rankings",
+    "churn_auc",
+    "session_gap_sweep",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -314,6 +317,12 @@ CHECKS = {
     "powerlaw_alpha": ["HashAggregate", "Generate", "!CartesianProduct"],
     # midpoint broadcast + one moment aggregation per group
     "scale_drift": ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
+    # vocabulary-grain rank windows; depth arithmetic on <= k^2 rows
+    "rbo_rankings": ["HashAggregate", "Window", "!CartesianProduct"],
+    # user-grain join of before/after activity, one rank window
+    "churn_auc": ["HashAggregate", "Window", "!CartesianProduct"],
+    # ONE lag window; every threshold is a conditional count over it
+    "session_gap_sweep": ["Window", "HashAggregate", "!Join"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
