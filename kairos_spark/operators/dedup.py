@@ -1067,3 +1067,50 @@ def split_leakage_audit(
             "pct_of_pairs"
         ),
     )
+
+
+def jaccard_threshold_sweep(
+    pairs: DataFrame,
+    thresholds: list[float],
+) -> DataFrame:
+    """Dedup-threshold sensitivity sweep over an existing scored pair
+    table (id_a, id_b, jaccard): for each candidate threshold, how
+    many pairs survive and how many documents the keep-first rule
+    would DROP (a doc drops iff its best as-id_b jaccard clears the
+    bar). The first question every dedup rollout asks — "how much do
+    we lose at 0.7 vs 0.8?" — answered from ONE pass over the pair
+    table instead of re-running the pipeline per candidate.
+
+    Returns one row per threshold: (threshold, n_pairs, n_dropped).
+    Scale shape: pair-grain conditional counts for n_pairs; a doc-
+    grain max-jaccard aggregation for n_dropped — thresholds add
+    when() terms, not passes. Compose with ngram_jaccard_pairs (exact,
+    small corpora) or the banded LSH pair tables (scale path)."""
+    ts = sorted(float(t) for t in thresholds)
+    pair_agg = pairs.agg(
+        *[
+            F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__p{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    best = pairs.groupBy("id_b").agg(F.max("jaccard").alias("__bj"))
+    drop_agg = best.agg(
+        *[
+            F.sum(F.when(F.col("__bj") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__d{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    joined = pair_agg.crossJoin(F.broadcast(drop_agg))
+    rows = None
+    for i, t in enumerate(ts):
+        one = joined.select(
+            F.lit(t).alias("threshold"),
+            F.col(f"__p{i}").alias("n_pairs"),
+            F.col(f"__d{i}").alias("n_dropped"),
+        )
+        rows = one if rows is None else rows.union(one)
+    return rows

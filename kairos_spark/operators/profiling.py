@@ -2891,3 +2891,57 @@ def scale_drift(
         F.round(v1 / v2, 6).alias("var_ratio"),
         F.round(F.log(v1 / v2), 6).alias("log_ratio"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical labelings of the same
+    rows (Cohen 1960) — chance-corrected agreement: κ = (p_o −
+    p_e)/(1 − p_e) with p_o the observed agreement rate and p_e the
+    agreement expected from the two marginal distributions alone.
+    The one-number upgrade over raw accuracy for judging a classifier
+    against ground truth (a majority-class predictor scores high
+    accuracy but κ ≈ 0) or two annotators against each other.
+    Returns ONE row: (n, po, pe, kappa).
+
+    Exactness: p_o and every marginal are ratios of exact integer
+    counts; p_e sums exact integer PRODUCTS (n_a(c)·n_b(c)) before a
+    single division — no float accumulation anywhere. Scale shape:
+    one row-grain aggregation to class-marginal counts, then
+    class-grain arithmetic (a full-outer join of two tiny marginal
+    tables)."""
+    base = df.select(
+        F.col(label_a).cast("string").alias("a"),
+        F.col(label_b).cast("string").alias("b"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = base.groupBy(F.col("a").alias("cls")).agg(F.count("*").cast("long").alias("na"))
+    mb = base.groupBy(F.col("b").alias("cls")).agg(F.count("*").cast("long").alias("nb"))
+    cross = (
+        ma.join(mb, "cls", "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("na"), F.lit(0)) * F.coalesce(F.col("nb"), F.lit(0))
+            ).alias("prod")
+        )
+        .agg(F.sum("prod").cast("decimal(38,0)").alias("sum_prod"))
+    )
+    po = F.col("agree") / F.col("n").cast("double")
+    pe = F.col("sum_prod").cast("double") / (F.col("n").cast("double") * F.col("n"))
+    return (
+        tot.crossJoin(F.broadcast(cross))
+        .select(
+            "n",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+        )
+    )

@@ -2166,3 +2166,51 @@ def session_gap_sweep(
         )
         rows = one if rows is None else rows.union(one)
     return rows
+
+
+def event_study(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    anchor_type: str = "purchase",
+    value_col: str = "value",
+    window_days: int = 5,
+) -> DataFrame:
+    """Event-study alignment (the difference-in-timing workhorse of
+    applied analytics): anchor every user at their FIRST
+    ``anchor_type`` event, re-index all their activity as whole-day
+    offsets from that anchor, and aggregate within ±``window_days``.
+    The resulting offset curve (activity/value before vs after the
+    anchor) is how "what changes after first purchase/signup/upgrade"
+    questions are answered without a model. Users who never hit the
+    anchor drop out. Returns one row per offset: (offset_day,
+    n_events, n_users, mean_value).
+
+    Scale shape: one filtered aggregation finds per-user anchors
+    (user-grain), one hash join re-attaches them to the fact stream,
+    then a bounded-range filter and one aggregation. Value means
+    accumulate in DECIMAL(38,12)."""
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    anchors = (
+        df.where(F.col(type_col) == anchor_type)
+        .groupBy(F.col(key_col).alias("__u"))
+        .agg(F.min(t).alias("__t0"))
+    )
+    joined = df.select(
+        F.col(key_col).alias("__u"), t.alias("__t"), F.col(value_col).cast("double").alias("__v")
+    ).join(anchors, "__u")
+    off = F.floor((F.col("__t") - F.col("__t0")) / 86400000000).cast("long")
+    return (
+        joined.select("__u", off.alias("offset_day"), "__v")
+        .where((F.col("offset_day") >= -window_days) & (F.col("offset_day") <= window_days))
+        .groupBy("offset_day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("__u").cast("long").alias("n_users"),
+            F.round(
+                F.sum(F.col("__v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_value"),
+        )
+    )

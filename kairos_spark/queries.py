@@ -2886,6 +2886,31 @@ def q_session_gap_sweep(spark, sf_dir):
     return windows.session_gap_sweep(ev, "user_id", "ts", gaps_sec=[900, 1800, 3600])
 
 
+def q_langid_kappa(spark, sf_dir):
+    """Cohen's kappa of the stopword-panel language heuristic against
+    the labeled lang column — chance-corrected agreement. The true
+    label rides through language_id's id_col slot, so prediction and
+    truth stay in ONE map-only projection (no doc-grain self-join)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pred = text.language_id(docs, id_col="lang")
+    return profiling.cohens_kappa(pred, "lang", "lang_pred")
+
+
+def q_event_study(spark, sf_dir):
+    """Activity/value aligned to each user's first purchase (±5-day
+    offsets) — the event-study curve."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.event_study(ev, "user_id", "ts", "event_type", "purchase", "value")
+
+
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """One-pass dedup-threshold sweep over exact n-gram Jaccard pairs:
+    surviving pairs and keep-first drops at 0.1/0.2/0.3."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(d, n=8, threshold=0.05)
+    return dedup.jaccard_threshold_sweep(pairs, [0.1, 0.2, 0.3])
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2929,6 +2954,9 @@ QUERIES = {
     "rbo_rankings": q_rbo_rankings,
     "churn_auc": q_churn_auc,
     "session_gap_sweep": q_session_gap_sweep,
+    "langid_kappa": q_langid_kappa,
+    "event_study": q_event_study,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -8571,4 +8599,108 @@ ORACLES["session_gap_sweep"] = """
     SELECT 1800, nu + x1800, ne, round(ne / CAST(nu + x1800 AS DOUBLE), 6) FROM agg
     UNION ALL
     SELECT 3600, nu + x3600, ne, round(ne / CAST(nu + x3600 AS DOUBLE), 6) FROM agg
+"""
+
+
+ORACLES["langid_kappa"] = r"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text),
+                   '\b(der|die|und|das|ist|nicht|mit|ein)\b')) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_de,
+               len(regexp_extract_all(lower(text),
+                   '\b(the|and|of|to|in|is|that|for|with)\b')) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_en,
+               len(regexp_extract_all(lower(text),
+                   '\b(el|la|los|que|es|para|con|una)\b')) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_es,
+               len(regexp_extract_all(lower(text),
+                   '\b(le|la|les|et|est|que|pour|dans)\b')) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS a,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS b
+        FROM scores
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      FROM pred
+    ),
+    ma AS (SELECT a AS cls, CAST(count(*) AS BIGINT) AS na FROM pred GROUP BY 1),
+    mb AS (SELECT b AS cls, CAST(count(*) AS BIGINT) AS nb FROM pred GROUP BY 1),
+    cr AS (
+      SELECT CAST(sum(COALESCE(na, 0) * COALESCE(nb, 0)) AS DECIMAL(38,0)) AS sp
+      FROM ma FULL OUTER JOIN mb USING (cls)
+    )
+    SELECT n,
+           round(agree / CAST(n AS DOUBLE), 6) AS po,
+           round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           round((agree / CAST(n AS DOUBLE)
+                  - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM tot CROSS JOIN cr
+"""
+
+ORACLES["event_study"] = """
+    WITH anchors AS (
+      SELECT user_id AS u, min(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (
+      SELECT e.user_id AS u, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v, t0
+      FROM events e JOIN anchors a ON e.user_id = a.u
+    ),
+    o AS (
+      SELECT u, CAST(floor((t - t0) / 86400000000) AS BIGINT) AS offset_day, v
+      FROM j
+    )
+    SELECT offset_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+             AS mean_value
+    FROM o WHERE offset_day BETWEEN -5 AND 5 GROUP BY 1
+"""
+
+ORACLES["dedup_threshold_sweep"] = """
+    WITH """ + _SHINGLE_CTE + """,
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+        FROM shared
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.05
+    ),
+    pa AS (
+      SELECT CAST(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+             CAST(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+             CAST(sum(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS p2
+      FROM pairs
+    ),
+    best AS (SELECT id_b, max(jaccard) AS bj FROM pairs GROUP BY 1),
+    da AS (
+      SELECT CAST(sum(CASE WHEN bj >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN bj >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN bj >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM best
+    )
+    SELECT 0.1 AS threshold, p0 AS n_pairs, d0 AS n_dropped FROM pa CROSS JOIN da
+    UNION ALL
+    SELECT 0.2, p1, d1 FROM pa CROSS JOIN da
+    UNION ALL
+    SELECT 0.3, p2, d2 FROM pa CROSS JOIN da
 """

@@ -680,3 +680,70 @@ def test_session_gap_sweep_matches_sessionize(spark):
         n = s.groupBy("user_id").agg(F.max("session_id").alias("m")) \
              .agg(F.sum("m")).collect()[0][0]
         assert sweep[g] == n
+
+
+# --------------------------------------------------------------- cohens_kappa
+
+from kairos_spark.operators import dedup
+
+
+def test_kappa_perfect_and_chance(spark):
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 30 + [("y", "y")] * 30, "a string, b string"
+    )
+    r = profiling.cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r.kappa == 1.0 and r.po == 1.0
+    # b constant while a is split: po equals pe -> kappa 0
+    chance = spark.createDataFrame(
+        [("x", "x")] * 30 + [("y", "x")] * 30, "a string, b string"
+    )
+    r2 = profiling.cohens_kappa(chance, "a", "b").collect()[0]
+    assert r2.kappa == 0.0
+    assert r2.po == 0.5 and r2.pe == 0.5
+
+
+def test_kappa_penalizes_majority_class_predictor(spark):
+    # 90/10 class skew, predictor always says majority: accuracy 0.9
+    # but kappa must be 0
+    rows = [("maj", "maj")] * 90 + [("min", "maj")] * 10
+    r = profiling.cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r.po == 0.9 and r.kappa == 0.0
+
+
+# ---------------------------------------------------------------- event_study
+
+
+def test_event_study_alignment(spark):
+    # user 1 purchases at day 2 (t=2d); events on days 0..4 -> offsets
+    # -2..2; user 2 never purchases -> excluded
+    day = 86400.0
+    rows = [(1, "view", 1.0, d * day) for d in range(5)]
+    rows += [(1, "purchase", 10.0, 2 * day)]
+    rows += [(2, "view", 99.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, t double"
+    ).selectExpr("user_id", "event_type", "value", "timestamp_seconds(t) AS ts")
+    out = {r.offset_day: r for r in
+           windows.event_study(df, window_days=5).collect()}
+    assert set(out) == {-2, -1, 0, 1, 2}
+    assert out[0].n_events == 2  # the day-2 view + the purchase itself
+    assert out[0].mean_value == 5.5
+    assert all(r.n_users == 1 for r in out.values())
+
+
+# ------------------------------------------------------ jaccard_threshold_sweep
+
+
+def test_threshold_sweep_monotone_and_exact(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (1, 3, 0.55), (2, 3, 0.15), (4, 5, 0.55)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {r.threshold: r for r in
+           dedup.jaccard_threshold_sweep(pairs, [0.1, 0.5, 0.9]).collect()}
+    assert (out[0.1].n_pairs, out[0.5].n_pairs, out[0.9].n_pairs) == (4, 3, 1)
+    # drops: id_b with best jaccard >= t: {2,3,5} at 0.1; {2,3,5} at 0.5
+    # (3's best is 0.55); {2} at 0.9
+    assert (out[0.1].n_dropped, out[0.5].n_dropped, out[0.9].n_dropped) == (3, 3, 1)

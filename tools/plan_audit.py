@@ -48,6 +48,9 @@ AUDITED = [
     "rbo_rankings",
     "churn_auc",
     "session_gap_sweep",
+    "langid_kappa",
+    "event_study",
+    "dedup_threshold_sweep",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -323,6 +326,14 @@ CHECKS = {
     "churn_auc": ["HashAggregate", "Window", "!CartesianProduct"],
     # ONE lag window; every threshold is a conditional count over it
     "session_gap_sweep": ["Window", "HashAggregate", "!Join"],
+    # map-only prediction projection; the only joins left are the
+    # class-grain marginal merge + 1-row scalar merges
+    "langid_kappa": ["HashAggregate", "!CartesianProduct"],
+    # user-grain anchor join onto the fact stream, one aggregation
+    "event_study": ["HashAggregate", "!CartesianProduct"],
+    # shingle equality self-join (hash family, never cartesian);
+    # thresholds are conditional counts over ONE pair table
+    "dedup_threshold_sweep": ["HashAggregate", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
