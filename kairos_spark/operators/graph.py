@@ -266,3 +266,72 @@ def cooccurrence_triangles(
         )
         .select("node", "degree", "triangles", "clustering")
     )
+
+
+def absorption_prob(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    target: str = "purchase",
+    steps: int = 3,
+) -> DataFrame:
+    """Probability of reaching an absorbing target state within
+    ``steps`` transitions, per starting state, under the first-order
+    Markov chain fit to per-user event successions — "how likely is a
+    user on a view/click/error to hit purchase in the next k events?"
+    The funnel question session path counting can't answer (paths
+    enumerate, this marginalizes). The target is absorbing: r₀ =
+    1{s=target}; r_k(s) = Σ_s' P(s→s')·r_{k-1}(s') for s ≠ target.
+    Returns (state, p_reach) after ``steps`` iterations.
+
+    Scale shape: the ONLY fact-scale stage is the lead-window
+    transition count (one shuffle on the user key); every iteration
+    is a join between state-grain tables (|states|² rows). Per-state
+    sums accumulate in DECIMAL(38,12) — ≤|states| terms, associative."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(type_col))
+    trans = (
+        df.select(
+            F.col(key_col).alias("__u"),
+            F.col(ts_col),
+            F.col(type_col).alias("s"),
+            F.lead(F.col(type_col)).over(w).alias("s2"),
+        )
+        .where(F.col("s2").isNotNull())
+        .groupBy("s", "s2")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = trans.groupBy("s").agg(F.sum("n").cast("long").alias("tot"))
+    P = trans.join(totals, "s").select(
+        "s", "s2", (F.col("n") / F.col("tot").cast("double")).alias("p")
+    )
+    # terminal states (no outgoing transitions — including an absorbing
+    # target at the end of every path) must still appear in the output
+    states = (
+        trans.select("s").union(trans.select(F.col("s2").alias("s"))).distinct()
+    )
+    r = states.select(
+        "s", F.when(F.col("s") == target, 1.0).otherwise(0.0).alias("r")
+    )
+    for _ in range(steps):
+        stepped = (
+            P.join(r.select(F.col("s").alias("s2"), F.col("r")), "s2")
+            .groupBy("s")
+            .agg(
+                F.sum((F.col("p") * F.col("r")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("__acc")
+            )
+        )
+        r = (
+            states.join(stepped, "s", "left")
+            .select(
+                "s",
+                F.when(F.col("s") == target, F.lit(1.0))
+                .otherwise(F.coalesce(F.col("__acc"), F.lit(0.0)))
+                .alias("r"),
+            )
+        )
+    return r.select(F.col("s").alias("state"), F.round("r", 6).alias("p_reach"))

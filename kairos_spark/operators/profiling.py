@@ -2945,3 +2945,62 @@ def cohens_kappa(
             F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
         )
     )
+
+
+def did_estimate(
+    df: DataFrame,
+    unit_col: str,
+    treated_units: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Difference-in-differences estimator: split time at the global
+    midpoint, compare the before→after change in mean outcome for
+    TREATED units against the change for controls —
+    DiD = (T₂−T₁) − (C₂−C₁) nets out both the level difference
+    between groups and the common time trend (the parallel-trends
+    workhorse of applied causal analysis). ``treated_units`` is a
+    one-column DataFrame of treated unit ids (broadcast). Returns ONE
+    row: (n_treated, n_control, t_pre, t_post, c_pre, c_post, did).
+
+    All four cell means come from DECIMAL(38,12) sums over exact
+    splits; one fact-scale aggregation after a broadcast semi-mark
+    join, no window."""
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    scal = df.agg(F.floor((F.min(t) + F.max(t)) / 2).cast("long").alias("__mid"))
+    tu = treated_units.select(
+        F.col(treated_units.columns[0]).alias("__tu"), F.lit(1).alias("__is_t")
+    )
+    base = (
+        df.crossJoin(F.broadcast(scal))
+        .join(F.broadcast(tu), F.col(unit_col) == F.col("__tu"), "left")
+        .select(
+            F.coalesce(F.col("__is_t"), F.lit(0)).alias("g"),
+            (t > F.col("__mid")).cast("int").alias("p"),
+            F.col(value_col).cast("double").alias("v"),
+            F.col(unit_col).alias("u"),
+        )
+    )
+    dec = lambda cond: F.sum(
+        F.when(cond, F.col("v")).otherwise(0.0).cast("decimal(38,12)")
+    ).cast("double")
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+    agg = base.agg(
+        F.countDistinct(F.when(F.col("g") == 1, F.col("u"))).cast("long").alias("n_treated"),
+        F.countDistinct(F.when(F.col("g") == 0, F.col("u"))).cast("long").alias("n_control"),
+        (dec((F.col("g") == 1) & (F.col("p") == 0)) / cnt((F.col("g") == 1) & (F.col("p") == 0))).alias("t_pre"),
+        (dec((F.col("g") == 1) & (F.col("p") == 1)) / cnt((F.col("g") == 1) & (F.col("p") == 1))).alias("t_post"),
+        (dec((F.col("g") == 0) & (F.col("p") == 0)) / cnt((F.col("g") == 0) & (F.col("p") == 0))).alias("c_pre"),
+        (dec((F.col("g") == 0) & (F.col("p") == 1)) / cnt((F.col("g") == 0) & (F.col("p") == 1))).alias("c_post"),
+    )
+    return agg.select(
+        "n_treated",
+        "n_control",
+        F.round("t_pre", 6).alias("t_pre"),
+        F.round("t_post", 6).alias("t_post"),
+        F.round("c_pre", 6).alias("c_pre"),
+        F.round("c_post", 6).alias("c_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
+        ).alias("did"),
+    )

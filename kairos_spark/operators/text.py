@@ -1553,3 +1553,69 @@ def rbo_rankings(
         ).alias("rbo"),
         F.max(F.when(F.col("d") == k, F.col("ov"))).cast("long").alias("overlap_at_k"),
     )
+
+
+def source_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group TF-IDF term
+    profiles — "which crawl sources publish the same kind of text?".
+    Each group gets a sparse vector w(g, t) = tf(g,t) ·
+    ln(1 + G/df(t)) over its tokens (G = group count, df = groups
+    containing t); pairs score dot(w_a, w_b)/(‖w_a‖‖w_b‖). The
+    source-clustering / near-mirror-detection signal at the SOURCE
+    grain (doc-grain near-mirrors are dedup's job). Returns
+    (src_a, src_b, cosine) for a < b.
+
+    Scale shape: one (group, token) aggregation, a token-grain
+    equality self-join for the dot products (never cartesian — only
+    shared tokens pair), DECIMAL(38,12) sums for dots and norms, one
+    final broadcast-sized merge of the group-norm table."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(group_col).alias("g"), F.explode(word_tokens(F.col(text_col))).alias("t")
+    )
+    tf = toks.groupBy("g", "t").agg(F.count("*").cast("long").alias("tf"))
+    # NB: named "n_groups", not "G" — Spark resolves case-insensitively
+    # and "G" would collide with the group column "g"
+    gcount = tf.agg(F.countDistinct("g").cast("double").alias("n_groups"))
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    w = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(gcount))
+        .select(
+            "g",
+            "t",
+            (F.col("tf") * F.log(1.0 + F.col("n_groups") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("g").agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast("double")).alias(
+            "nrm"
+        )
+    )
+    a = w.select(F.col("g").alias("ga"), F.col("t").alias("ta"), F.col("w").alias("wa"))
+    b = w.select(F.col("g").alias("gb"), F.col("t").alias("tb"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, (F.col("ta") == F.col("tb")) & (F.col("ga") < F.col("gb")))
+        .groupBy(F.col("ga").alias("src_a"), F.col("gb").alias("src_b"))
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("g").alias("src_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("g").alias("src_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )

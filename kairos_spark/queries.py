@@ -2911,6 +2911,36 @@ def q_dedup_threshold_sweep(spark, sf_dir):
     return dedup.jaccard_threshold_sweep(pairs, [0.1, 0.2, 0.3])
 
 
+def q_did_estimate(spark, sf_dir):
+    """Difference-in-differences: heavily-error-affected users (>= 15
+    error events — every synthetic user has SOME errors, so the
+    threshold carves a real control group) vs controls, before/after
+    the event-time midpoint."""
+    ev = _tbl(spark, sf_dir, "events")
+    treated = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= 15)
+        .select("user_id")
+    )
+    return profiling.did_estimate(ev, "user_id", treated, "value", "ts")
+
+
+def q_source_similarity(spark, sf_dir):
+    """Pairwise TF-IDF cosine between source term profiles — the
+    near-mirror detector at source grain."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.source_similarity(docs, "source", "text")
+
+
+def q_absorption_prob(spark, sf_dir):
+    """P(reach 'purchase' within 3 transitions) per starting state
+    under the fitted first-order Markov chain."""
+    ev = _tbl(spark, sf_dir, "events")
+    return graph.absorption_prob(ev, "user_id", "ts", "event_type", "purchase", steps=3)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2957,6 +2987,9 @@ QUERIES = {
     "langid_kappa": q_langid_kappa,
     "event_study": q_event_study,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "did_estimate": q_did_estimate,
+    "source_similarity": q_source_similarity,
+    "absorption_prob": q_absorption_prob,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -8703,4 +8736,101 @@ ORACLES["dedup_threshold_sweep"] = """
     SELECT 0.2, p1, d1 FROM pa CROSS JOIN da
     UNION ALL
     SELECT 0.3, p2, d2 FROM pa CROSS JOIN da
+"""
+
+
+ORACLES["did_estimate"] = """
+    WITH scal AS (
+      SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid
+      FROM events
+    ),
+    tset AS (SELECT user_id AS tu FROM events WHERE event_type = 'error'
+             GROUP BY 1 HAVING count(*) >= 15),
+    base AS (
+      SELECT CASE WHEN tu IS NULL THEN 0 ELSE 1 END AS g,
+             CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END AS p,
+             CAST(value AS DOUBLE) AS v, user_id AS u
+      FROM events CROSS JOIN scal LEFT JOIN tset ON user_id = tu
+    ),
+    agg AS (
+      SELECT
+        CAST(count(DISTINCT CASE WHEN g = 1 THEN u END) AS BIGINT) AS n_treated,
+        CAST(count(DISTINCT CASE WHEN g = 0 THEN u END) AS BIGINT) AS n_control,
+        CAST(sum(CAST(CASE WHEN g = 1 AND p = 0 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+          / sum(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS t_pre,
+        CAST(sum(CAST(CASE WHEN g = 1 AND p = 1 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+          / sum(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS t_post,
+        CAST(sum(CAST(CASE WHEN g = 0 AND p = 0 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+          / sum(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS c_pre,
+        CAST(sum(CAST(CASE WHEN g = 0 AND p = 1 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+          / sum(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS c_post
+      FROM base
+    )
+    SELECT n_treated, n_control,
+           round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
+           round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did
+    FROM agg
+"""
+
+ORACLES["source_similarity"] = """
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT g, t, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    gc AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS ng FROM tf),
+    dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.g, tf.t, tf * ln(1.0 + ng / df) AS w
+      FROM tf JOIN dfq ON tf.t = dfq.t CROSS JOIN gc
+    ),
+    norms AS (
+      SELECT g, sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.g AS src_a, b.g AS src_b,
+             CAST(sum(CAST(a.w * b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.t = b.t AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON na.g = src_a JOIN norms nb ON nb.g = src_b
+"""
+
+ORACLES["absorption_prob"] = """
+    WITH ordered AS (
+      SELECT user_id AS u, event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_type) AS s2
+      FROM events
+    ),
+    trans AS (
+      SELECT s, s2, CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE s2 IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT s, CAST(sum(n) AS BIGINT) AS t FROM trans GROUP BY 1),
+    P AS (SELECT trans.s, s2, n / CAST(t AS DOUBLE) AS p
+          FROM trans JOIN tot ON trans.s = tot.s),
+    sts AS (SELECT DISTINCT s FROM (SELECT s FROM trans UNION SELECT s2 FROM trans)),
+    r0 AS (SELECT s, CASE WHEN s = 'purchase' THEN 1.0 ELSE 0.0 END AS r FROM sts),
+    a1 AS (SELECT P.s, CAST(sum(CAST(p * r AS DECIMAL(38,12))) AS DOUBLE) AS acc
+           FROM P JOIN r0 ON P.s2 = r0.s GROUP BY 1),
+    r1 AS (SELECT sts.s, CASE WHEN sts.s = 'purchase' THEN 1.0
+                              ELSE COALESCE(acc, 0.0) END AS r
+           FROM sts LEFT JOIN a1 ON sts.s = a1.s),
+    a2 AS (SELECT P.s, CAST(sum(CAST(p * r AS DECIMAL(38,12))) AS DOUBLE) AS acc
+           FROM P JOIN r1 ON P.s2 = r1.s GROUP BY 1),
+    r2 AS (SELECT sts.s, CASE WHEN sts.s = 'purchase' THEN 1.0
+                              ELSE COALESCE(acc, 0.0) END AS r
+           FROM sts LEFT JOIN a2 ON sts.s = a2.s),
+    a3 AS (SELECT P.s, CAST(sum(CAST(p * r AS DECIMAL(38,12))) AS DOUBLE) AS acc
+           FROM P JOIN r2 ON P.s2 = r2.s GROUP BY 1),
+    r3 AS (SELECT sts.s, CASE WHEN sts.s = 'purchase' THEN 1.0
+                              ELSE COALESCE(acc, 0.0) END AS r
+           FROM sts LEFT JOIN a3 ON sts.s = a3.s)
+    SELECT s AS state, round(r, 6) AS p_reach FROM r3
 """

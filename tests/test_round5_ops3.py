@@ -747,3 +747,73 @@ def test_threshold_sweep_monotone_and_exact(spark):
     # drops: id_b with best jaccard >= t: {2,3,5} at 0.1; {2,3,5} at 0.5
     # (3's best is 0.55); {2} at 0.9
     assert (out[0.1].n_dropped, out[0.5].n_dropped, out[0.9].n_dropped) == (3, 3, 1)
+
+
+# --------------------------------------------------------------- did_estimate
+
+
+def test_did_nets_out_common_trend(spark):
+    # both groups drift +2 after midpoint; treated gets an EXTRA +3:
+    # DiD must recover 3 exactly, ignoring the shared trend
+    rows = []
+    for u in range(20):
+        treated = u < 10
+        for i in range(10):
+            rows.append((u, 5.0 + (3.0 if treated else 0.0) * 0, float(i)))          # pre
+            rows.append((u, 7.0 + (3.0 if treated else 0.0), float(100000 + i)))     # post
+    df = spark.createDataFrame(rows, "user_id long, value double, t double") \
+        .selectExpr("user_id", "value", "timestamp_seconds(t) AS ts")
+    treated_units = spark.createDataFrame([(u,) for u in range(10)], "user_id long")
+    r = profiling.did_estimate(df, "user_id", treated_units, "value", "ts").collect()[0]
+    assert (r.n_treated, r.n_control) == (10, 10)
+    assert r.did == 3.0
+    assert r.c_post - r.c_pre == 2.0  # the common trend
+
+
+# ---------------------------------------------------------- source_similarity
+
+
+def test_source_similarity_identical_vs_disjoint(spark):
+    rows = [(0, "alpha beta gamma", "s1"), (1, "alpha beta gamma", "s2"),
+            (2, "delta epsilon zeta", "s3")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.src_a, r.src_b): r.cosine for r in
+           text.source_similarity(docs).collect()}
+    assert out[("s1", "s2")] == 1.0       # identical profiles
+    assert ("s1", "s3") not in out        # zero shared tokens -> no pair row
+    assert ("s2", "s3") not in out
+
+
+# ------------------------------------------------------------ absorption_prob
+
+from kairos_spark.operators import graph
+
+
+def test_absorption_linear_chain(spark):
+    # deterministic chain a -> b -> c (target): P(reach c | a, 2 steps)=1,
+    # 1 step short from a -> only via full 3-step run still 1 at steps>=2
+    rows = [(u, float(i), "abc"[i]) for u in range(10) for i in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, t double, event_type string") \
+        .selectExpr("user_id", "timestamp_seconds(t) AS ts", "event_type")
+    out = {r.state: r.p_reach for r in
+           graph.absorption_prob(df, target="c", steps=2).collect()}
+    assert out["c"] == 1.0
+    assert out["b"] == 1.0   # one hop
+    assert out["a"] == 1.0   # two hops
+    one = {r.state: r.p_reach for r in
+           graph.absorption_prob(df, target="c", steps=1).collect()}
+    assert one["a"] == 0.0   # can't reach in one hop
+    assert one["b"] == 1.0
+
+
+def test_absorption_probabilistic_split(spark):
+    # from 'a' half the users go to target 'c', half to dead-end 'd'
+    rows = []
+    for u in range(10):
+        rows.append((u, 0.0, "a"))
+        rows.append((u, 1.0, "c" if u % 2 == 0 else "d"))
+    df = spark.createDataFrame(rows, "user_id long, t double, event_type string") \
+        .selectExpr("user_id", "timestamp_seconds(t) AS ts", "event_type")
+    out = {r.state: r.p_reach for r in
+           graph.absorption_prob(df, target="c", steps=3).collect()}
+    assert out["a"] == 0.5

@@ -51,6 +51,9 @@ AUDITED = [
     "langid_kappa",
     "event_study",
     "dedup_threshold_sweep",
+    "did_estimate",
+    "source_similarity",
+    "absorption_prob",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -334,6 +337,12 @@ CHECKS = {
     # shingle equality self-join (hash family, never cartesian);
     # thresholds are conditional counts over ONE pair table
     "dedup_threshold_sweep": ["HashAggregate", "!CartesianProduct"],
+    # treated set + midpoint ride broadcasts; ONE fact aggregation
+    "did_estimate": ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
+    # token-grain equality self-join for dots — only shared tokens pair
+    "source_similarity": ["HashAggregate", "!CartesianProduct"],
+    # fact-scale lead window once; iterations join state-grain tables
+    "absorption_prob": ["Window", "HashAggregate", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
