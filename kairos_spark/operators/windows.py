@@ -2214,3 +2214,99 @@ def event_study(
             ).alias("mean_value"),
         )
     )
+
+
+def audience_stability(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_sec: int = 86400,
+) -> DataFrame:
+    """Audience-stability curve: Jaccard overlap of the active-unit
+    set between each period and the NEXT one — |A_p ∩ A_{p+1}| /
+    |A_p ∪ A_{p+1}|. A healthy product shows a stable plateau; a
+    bot-inflated or paid-burst feed shows near-zero overlap (fresh
+    "users" every day). Complementary to growth_accounting: that
+    ledger counts states, this scores set identity. Returns one row
+    per consecutive period pair: (period_start, next_start, n_active,
+    n_next, n_overlap, jaccard).
+
+    Scale shape: rows collapse to the distinct (unit, period) grid;
+    the overlap is a self-join of the grid on (unit, period+1) —
+    equality hash join, aggregated per period. No window, no
+    cartesian."""
+    p = F.floor(F.col(ts_col).cast("double") / period_sec).cast("long")
+    grid = df.select(F.col(key_col).alias("u"), p.alias("p")).distinct()
+    sizes = grid.groupBy("p").agg(F.count("*").cast("long").alias("n_active"))
+    nxt = grid.select("u", (F.col("p") - 1).alias("p"))
+    overlap = (
+        grid.join(nxt, ["u", "p"])
+        .groupBy("p")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    s2 = sizes.select((F.col("p") - 1).alias("p"), F.col("n_active").alias("n_next"))
+    joined = (
+        sizes.join(s2, "p")
+        .join(overlap, "p", "left")
+        .select(
+            (F.col("p") * period_sec).cast("long").alias("period_start"),
+            ((F.col("p") + 1) * period_sec).cast("long").alias("next_start"),
+            "n_active",
+            "n_next",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / (
+                    F.col("n_active") + F.col("n_next")
+                    - F.coalesce(F.col("n_overlap"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return joined
+
+
+def max_drawdown(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """Maximum drawdown of the cumulative value series at bucket
+    grain: cum(t) = Σ value up to bucket t, drawdown(t) = running
+    peak − cum(t), MDD = max over t. The risk metric finance runs on
+    P&L applies verbatim to any cumulative KPI (net credits, revenue
+    net of refunds, token budget burn): "how far below its best has
+    this series fallen?". Returns ONE row: (n_buckets, final_cum,
+    peak, max_drawdown).
+
+    Exactness: per-bucket sums and the cumulative/peak windows all
+    accumulate in DECIMAL(38,12) (associative; the window order is
+    the bucket order — identical in any engine). One aggregation to
+    bucket grain, then two windows over the BUCKET series (tiny)."""
+    from pyspark.sql.window import Window
+
+    b = F.floor(F.col(ts_col).cast("double") / bucket_sec).cast("long")
+    per = (
+        df.select(b.alias("bkt"), F.col(value_col).cast("double").alias("v"))
+        .groupBy("bkt")
+        .agg(F.sum(F.col("v").cast("decimal(38,12)")).alias("s"))
+    )
+    w_cum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = per.select(
+        "bkt",
+        F.sum("s").over(w_cum).alias("cum"),
+    ).select(
+        "bkt",
+        "cum",
+        F.max("cum").over(w_cum).alias("peak"),
+    )
+    return stepped.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.round(F.max_by(F.col("cum"), F.col("bkt")).cast("double"), 6).alias("final_cum"),
+        F.round(F.max("cum").cast("double"), 6).alias("peak"),
+        F.round(F.max(F.col("peak") - F.col("cum")).cast("double"), 6).alias(
+            "max_drawdown"
+        ),
+    )

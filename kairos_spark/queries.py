@@ -2941,6 +2941,29 @@ def q_absorption_prob(spark, sf_dir):
     return graph.absorption_prob(ev, "user_id", "ts", "event_type", "purchase", steps=3)
 
 
+def q_bfs_reach(spark, sf_dir):
+    """Landmark BFS: nodes reachable within 1..3 hops of the 3
+    md5-smallest users on the co-activity graph."""
+    ev = _tbl(spark, sf_dir, "events")
+    edges = graph.coactivity_edges(
+        ev, step_sec=3600, min_shared=2, max_bucket_nodes=200
+    )
+    return graph.bfs_reach(edges, n_seeds=3, hops=3)
+
+
+def q_audience_stability(spark, sf_dir):
+    """Day-over-day Jaccard of the active-user set — audience
+    stability curve."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.audience_stability(ev, "user_id", "ts", period_sec=86400)
+
+
+def q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the cumulative daily event-value series."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.max_drawdown(ev, "value", "ts", bucket_sec=86400)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -2990,6 +3013,9 @@ QUERIES = {
     "did_estimate": q_did_estimate,
     "source_similarity": q_source_similarity,
     "absorption_prob": q_absorption_prob,
+    "bfs_reach": q_bfs_reach,
+    "audience_stability": q_audience_stability,
+    "max_drawdown": q_max_drawdown,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -8833,4 +8859,97 @@ ORACLES["absorption_prob"] = """
                               ELSE COALESCE(acc, 0.0) END AS r
            FROM sts LEFT JOIN a3 ON sts.s = a3.s)
     SELECT s AS state, round(r, 6) AS p_reach FROM r3
+"""
+
+
+ORACLES["bfs_reach"] = """
+    WITH occ AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u,
+             event_type || ':' ||
+                 CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) AS VARCHAR) AS cell
+      FROM events
+    ),
+    small AS (SELECT cell FROM occ GROUP BY cell HAVING count(*) <= 200),
+    edges AS MATERIALIZED (
+      SELECT a.u AS a, b.u AS b
+      FROM (SELECT occ.* FROM occ JOIN small USING (cell)) a
+      JOIN (SELECT occ.* FROM occ JOIN small USING (cell)) b
+        ON a.cell = b.cell AND a.u < b.u
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT a AS node FROM edges UNION SELECT b FROM edges)),
+    seeds AS (SELECT node AS seed FROM nodes
+              ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 3),
+    und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+    v0 AS (SELECT seed, seed AS node FROM seeds),
+    x1 AS (SELECT DISTINCT v0.seed, und.v AS node FROM v0 JOIN und ON v0.node = und.u),
+    n1 AS MATERIALIZED (SELECT seed, node FROM x1
+          WHERE NOT EXISTS (SELECT 1 FROM v0 WHERE v0.seed = x1.seed AND v0.node = x1.node)),
+    v1 AS MATERIALIZED (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+    x2 AS (SELECT DISTINCT n1.seed, und.v AS node FROM n1 JOIN und ON n1.node = und.u),
+    n2 AS MATERIALIZED (SELECT seed, node FROM x2
+          WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.seed = x2.seed AND v1.node = x2.node)),
+    v2 AS MATERIALIZED (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+    x3 AS (SELECT DISTINCT n2.seed, und.v AS node FROM n2 JOIN und ON n2.node = und.u),
+    n3 AS MATERIALIZED (SELECT seed, node FROM x3
+          WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.seed = x3.seed AND v2.node = x3.node)),
+    v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+    SELECT seed, CAST(1 AS BIGINT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM v1 WHERE node <> seed GROUP BY 1
+    UNION ALL
+    SELECT seed, 2, CAST(count(*) AS BIGINT)
+    FROM v2 WHERE node <> seed GROUP BY 1
+    UNION ALL
+    SELECT seed, 3, CAST(count(*) AS BIGINT)
+    FROM v3 WHERE node <> seed GROUP BY 1
+"""
+
+ORACLES["audience_stability"] = """
+    WITH grid AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS p
+      FROM events
+    ),
+    sizes AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM grid GROUP BY 1),
+    ov AS (
+      SELECT g.p, CAST(count(*) AS BIGINT) AS o
+      FROM grid g JOIN grid g2 ON g.u = g2.u AND g2.p = g.p + 1
+      GROUP BY 1
+    )
+    SELECT CAST(s.p * 86400 AS BIGINT) AS period_start,
+           CAST((s.p + 1) * 86400 AS BIGINT) AS next_start,
+           s.n AS n_active, s2.n AS n_next,
+           COALESCE(o, 0) AS n_overlap,
+           round(COALESCE(o, 0)
+                 / CAST(s.n + s2.n - COALESCE(o, 0) AS DOUBLE), 6) AS jaccard
+    FROM sizes s JOIN sizes s2 ON s2.p = s.p + 1
+    LEFT JOIN ov ON ov.p = s.p
+"""
+
+ORACLES["max_drawdown"] = """
+    WITH per AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bkt,
+             sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS s
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT bkt,
+             sum(s) OVER (ORDER BY bkt
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per
+    ),
+    st2 AS (
+      SELECT bkt, cum,
+             max(cum) OVER (ORDER BY bkt
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM st
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           round(CAST(arg_max(cum, bkt) AS DOUBLE), 6) AS final_cum,
+           round(CAST(max(cum) AS DOUBLE), 6) AS peak,
+           round(CAST(max(peak - cum) AS DOUBLE), 6) AS max_drawdown
+    FROM st2
 """

@@ -817,3 +817,76 @@ def test_absorption_probabilistic_split(spark):
     out = {r.state: r.p_reach for r in
            graph.absorption_prob(df, target="c", steps=3).collect()}
     assert out["a"] == 0.5
+
+
+# ------------------------------------------------------------------ bfs_reach
+
+
+def test_bfs_reach_path_graph(spark):
+    # path 1-2-3-4-5: per-hop reach from any seed grows by adjacency
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    out = {(r.seed, r.hop): r.n_reached for r in
+           graph.bfs_reach(edges, n_seeds=1, hops=3).collect()}
+    seed = next(s for s, _ in out)
+    # cumulative reach is monotone in hops
+    assert out[(seed, 1)] <= out[(seed, 2)] <= out[(seed, 3)]
+    # on a 5-path every node reaches everything within 4 hops; 3 hops
+    # reach at least 3 others from any seed
+    assert out[(seed, 3)] >= 3
+
+
+def test_bfs_reach_disconnected(spark):
+    # two components: a seed can never cross
+    edges = spark.createDataFrame([(1, 2), (10, 11)], "a long, b long")
+    out = graph.bfs_reach(edges, n_seeds=4, hops=2).collect()
+    for r in out:
+        assert r.n_reached == 1  # each node reaches only its partner
+
+
+# --------------------------------------------------------- audience_stability
+
+
+def test_audience_stability_jaccard(spark):
+    # day0 users {1,2,3}, day1 {2,3,4}: overlap 2, union 4 -> 0.5
+    rows = [(1, 0.0), (2, 0.0), (3, 0.0), (2, 86400.0), (3, 86400.0), (4, 86400.0)]
+    df = spark.createDataFrame(rows, "user_id long, t double").selectExpr(
+        "user_id", "timestamp_seconds(t) AS ts"
+    )
+    r = windows.audience_stability(df).collect()[0]
+    assert (r.n_active, r.n_next, r.n_overlap) == (3, 3, 2)
+    assert r.jaccard == 0.5
+
+
+def test_audience_stability_disjoint_days(spark):
+    rows = [(1, 0.0), (2, 0.0), (10, 86400.0), (11, 86400.0)]
+    df = spark.createDataFrame(rows, "user_id long, t double").selectExpr(
+        "user_id", "timestamp_seconds(t) AS ts"
+    )
+    r = windows.audience_stability(df).collect()[0]
+    assert r.n_overlap == 0 and r.jaccard == 0.0
+
+
+# --------------------------------------------------------------- max_drawdown
+
+
+def test_max_drawdown_exact(spark):
+    # daily sums: +10, -4, -3, +20 -> cum 10,6,3,23; peak 10,10,10,23
+    # drawdowns 0,4,7,0 -> MDD 7
+    rows = [(10.0, 0.0), (-4.0, 86400.0), (-3.0, 2 * 86400.0), (20.0, 3 * 86400.0)]
+    df = spark.createDataFrame(rows, "value double, t double").selectExpr(
+        "value", "timestamp_seconds(t) AS ts"
+    )
+    r = windows.max_drawdown(df).collect()[0]
+    assert r.n_buckets == 4
+    assert r.final_cum == 23.0 and r.peak == 23.0
+    assert r.max_drawdown == 7.0
+
+
+def test_max_drawdown_monotone_series_is_zero(spark):
+    rows = [(5.0, float(d * 86400)) for d in range(10)]
+    df = spark.createDataFrame(rows, "value double, t double").selectExpr(
+        "value", "timestamp_seconds(t) AS ts"
+    )
+    assert windows.max_drawdown(df).collect()[0].max_drawdown == 0.0

@@ -54,6 +54,9 @@ AUDITED = [
     "did_estimate",
     "source_similarity",
     "absorption_prob",
+    "bfs_reach",
+    "audience_stability",
+    "max_drawdown",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -343,6 +346,12 @@ CHECKS = {
     "source_similarity": ["HashAggregate", "!CartesianProduct"],
     # fact-scale lead window once; iterations join state-grain tables
     "absorption_prob": ["Window", "HashAggregate", "!CartesianProduct"],
+    # frontier expansion: equality hash joins + anti-joins per hop
+    "bfs_reach": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
+    # distinct (unit, period) grid self-joined on (unit, period+1)
+    "audience_stability": ["HashAggregate", "!CartesianProduct"],
+    # bucket-grain cumulative/peak windows over one aggregation
+    "max_drawdown": ["Window", "HashAggregate", "!Join"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
