@@ -441,3 +441,53 @@ def reconciliation_audit(
         F.round(F.max(F.col("__d").cast("double")), 6).alias("max_abs_diff"),
     )
     return g
+
+
+def incremental_join_audit(
+    left_base: DataFrame,
+    left_delta: DataFrame,
+    right_base: DataFrame,
+    right_delta: DataFrame,
+    key: str,
+    value_col: str,
+) -> DataFrame:
+    """Incremental view maintenance audit for JOIN views: the delta
+    rule Δ(L ⋈ R) = ΔL⋈R₀ ∪ L₀⋈ΔR ∪ ΔL⋈ΔR means a materialized join
+    can absorb new data without re-joining history. This operator
+    computes all four components plus the full recompute and reports
+    per-component row counts and DECIMAL value checksums — the
+    invariant full = base + Σ deltas (verified by the caller/oracle)
+    is the proof the incremental pipeline can be trusted. Returns one
+    row per component: (component, n_rows, value_sum) for
+    'base', 'delta_l', 'delta_r', 'delta_both', 'full'.
+
+    Scale shape: five equality joins on the key; the three delta
+    components touch only delta-sized inputs on at least one side —
+    exactly the economy IVM exists for. No window, no cartesian."""
+    def piece(name: str, l: DataFrame, r: DataFrame) -> DataFrame:
+        return (
+            l.join(r, key)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.round(
+                    F.coalesce(
+                        F.sum(F.col(value_col).cast("decimal(38,12)")).cast("double"),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("value_sum"),
+            )
+            .select(F.lit(name).alias("component"), "n_rows", "value_sum")
+        )
+
+    full_l = left_base.union(left_delta)
+    full_r = right_base.union(right_delta)
+    out = piece("base", left_base, right_base)
+    for name, l, r in (
+        ("delta_l", left_delta, right_base),
+        ("delta_r", left_base, right_delta),
+        ("delta_both", left_delta, right_delta),
+        ("full", full_l, full_r),
+    ):
+        out = out.union(piece(name, l, r))
+    return out

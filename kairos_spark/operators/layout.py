@@ -74,3 +74,65 @@ def zorder_stats(
             (F.max("__h") - F.min("__h")).alias("hour_span"),
         )
     )
+
+
+def zonemap_prune_audit(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str,
+    chunk_rows: int = 64,
+    lo: float = 0.0,
+    hi: float = 0.0,
+) -> DataFrame:
+    """Zone-map (min/max statistics) pruning effectiveness audit: chunk
+    the table two ways — natural order (by ``id_col``, standing in for
+    ingestion order) and sorted by ``sort_col`` — compute each chunk's
+    [min, max] of ``sort_col``, and count the chunks a range predicate
+    ``lo <= x <= hi`` could SKIP. This is the number that justifies a
+    layout rewrite: parquet/Delta/Iceberg file skipping only prunes
+    when the sort key clusters values into files, and this audit
+    measures exactly how much a re-sort would buy for a given
+    predicate before anyone pays for the rewrite. Returns one row per
+    layout: (layout, n_chunks, n_pruned, prune_rate).
+
+    Scale shape: each layout needs one global row_number to simulate
+    chunk assignment (at real scale the chunk id comes free from the
+    file layout itself — the window here is audit plumbing), then a
+    chunk-grain min/max aggregation. Chunk stats, not rows, drive the
+    final counts."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(sort_col).cast("double").alias("__x"), F.col(id_col).alias("__id")
+    )
+    rows = None
+    for layout, order in (
+        ("natural", [F.col("__id")]),
+        ("sorted", [F.col("__x"), F.col("__id")]),
+    ):
+        chunk = F.floor(
+            (F.row_number().over(Window.orderBy(*order)) - 1) / chunk_rows
+        ).cast("long")
+        stats = (
+            base.select("__x", chunk.alias("__c"))
+            .groupBy("__c")
+            .agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
+        )
+        agg = stats.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(
+                F.when((F.col("__hi") < lo) | (F.col("__lo") > hi), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pruned"),
+        ).select(
+            "layout",
+            "n_chunks",
+            "n_pruned",
+            F.round(F.col("n_pruned") / F.col("n_chunks").cast("double"), 6).alias(
+                "prune_rate"
+            ),
+        )
+        rows = agg if rows is None else rows.union(agg)
+    return rows

@@ -3004,3 +3004,92 @@ def did_estimate(
             (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
         ).alias("did"),
     )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-T inequality index with its exact between/within
+    decomposition (the property Gini lacks): T = Σᵢ (xᵢ/(Nμ))·ln(xᵢ/μ)
+    splits ADDITIVELY into T_between (inequality of group means) +
+    Σ_g s_g·T_g (share-weighted within-group inequality), answering
+    "is the concentration across sources or inside them?" — the
+    actionable version of a single concentration number. Requires
+    positive values (zero/negative rows are dropped, count reported).
+    Returns ONE row: (n, n_dropped, theil_total, theil_between,
+    theil_within).
+
+    Exactness: value sums are DECIMAL; each ln term is a fixed double
+    expression over exact sums; per-group ln-term sums accumulate in
+    DECIMAL before the final share-weighted merge (group-grain). Two
+    aggregations (rows → groups → scalar), no window, no join beyond
+    1-row broadcasts."""
+    v = F.col(value_col).cast("double")
+    base = df.select(F.col(group_col).alias("g"), v.alias("v"))
+    dropped = base.where(~(F.col("v") > 0)).agg(
+        F.count("*").cast("long").alias("n_dropped")
+    )
+    pos = base.where(F.col("v") > 0)
+    per = pos.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(F.col("v").cast("decimal(38,12)")).alias("s_g"),
+    )
+    tot = per.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+    )
+    # per-row term needs the global mean; ride it in via broadcast
+    withmu = pos.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "v",
+        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        F.col("n"),
+    )
+    within_g = (
+        withmu.select(
+            "g",
+            ((F.col("v") / F.col("mu")) * F.log(F.col("v") / F.col("mu"))).alias("t"),
+            F.col("n"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("t").cast("decimal(38,12)")).cast("double").alias("tsum"),
+            F.max("n").alias("n"),
+        )
+    )
+    total_t = within_g.agg(
+        (
+            F.sum(F.col("tsum").cast("decimal(38,12)")).cast("double") / F.max("n")
+        ).alias("theil_total")
+    )
+    between = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("s_g").cast("double") / F.col("s").cast("double"))
+                * F.log(
+                    (F.col("s_g").cast("double") / F.col("n_g"))
+                    / (F.col("s").cast("double") / F.col("n"))
+                )
+            ).alias("tb")
+        )
+        .agg(
+            F.sum(F.col("tb").cast("decimal(38,12)")).cast("double").alias("theil_between")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(dropped))
+        .crossJoin(F.broadcast(total_t))
+        .crossJoin(F.broadcast(between))
+        .select(
+            "n",
+            "n_dropped",
+            F.round("theil_total", 6).alias("theil_total"),
+            F.round("theil_between", 6).alias("theil_between"),
+            F.round(F.col("theil_total") - F.col("theil_between"), 6).alias(
+                "theil_within"
+            ),
+        )
+    )

@@ -2964,6 +2964,41 @@ def q_max_drawdown(spark, sf_dir):
     return windows.max_drawdown(ev, "value", "ts", bucket_sec=86400)
 
 
+def q_zonemap_prune(spark, sf_dir):
+    """Zone-map pruning effectiveness: natural vs sorted chunk layouts
+    of orders under a totalprice range predicate."""
+    orders = _tbl(spark, sf_dir, "orders")
+    return layout.zonemap_prune_audit(
+        orders, "o_totalprice", "o_orderkey", chunk_rows=64, lo=50000.0, hi=100000.0
+    )
+
+
+def q_incremental_join(spark, sf_dir):
+    """Incremental join-view maintenance audit: orders x lineitem split
+    at a key cutoff; delta components vs full recompute."""
+    orders = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    # deterministic split on the join key itself: low keys = base
+    cutoff = 30000
+    ob = orders.where(F.col("o_orderkey") <= cutoff)
+    od = orders.where(F.col("o_orderkey") > cutoff)
+    lb = li.where(F.col("o_orderkey") <= cutoff)
+    ld = li.where(F.col("o_orderkey") > cutoff)
+    return joins.incremental_join_audit(
+        ob.select("o_orderkey"), od.select("o_orderkey"),
+        lb, ld, "o_orderkey", "l_extendedprice",
+    )
+
+
+def q_theil_decomposition(spark, sf_dir):
+    """Theil-T inequality of doc lengths decomposed into between- and
+    within-source components."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return profiling.theil_decomposition(docs, "source", "n_chars")
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -3016,6 +3051,9 @@ QUERIES = {
     "bfs_reach": q_bfs_reach,
     "audience_stability": q_audience_stability,
     "max_drawdown": q_max_drawdown,
+    "zonemap_prune": q_zonemap_prune,
+    "incremental_join": q_incremental_join,
+    "theil_decomposition": q_theil_decomposition,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -8952,4 +8990,104 @@ ORACLES["max_drawdown"] = """
            round(CAST(max(cum) AS DOUBLE), 6) AS peak,
            round(CAST(max(peak - cum) AS DOUBLE), 6) AS max_drawdown
     FROM st2
+"""
+
+
+ORACLES["zonemap_prune"] = """
+    WITH base AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x, o_orderkey AS id FROM orders
+    ),
+    nat AS (
+      SELECT x, CAST(floor((row_number() OVER (ORDER BY id) - 1) / 64) AS BIGINT) AS c
+      FROM base
+    ),
+    nstats AS (SELECT c, min(x) AS lo, max(x) AS hi FROM nat GROUP BY 1),
+    srt AS (
+      SELECT x, CAST(floor((row_number() OVER (ORDER BY x, id) - 1) / 64) AS BIGINT) AS c
+      FROM base
+    ),
+    sstats AS (SELECT c, min(x) AS lo, max(x) AS hi FROM srt GROUP BY 1)
+    SELECT 'natural' AS layout,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           round(sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS prune_rate
+    FROM nstats
+    UNION ALL
+    SELECT 'sorted',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6)
+    FROM sstats
+"""
+
+ORACLES["incremental_join"] = """
+    WITH ob AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 30000),
+    od AS (SELECT o_orderkey FROM orders WHERE o_orderkey > 30000),
+    lb AS (SELECT l_orderkey AS o_orderkey, l_extendedprice FROM lineitem
+           WHERE l_orderkey <= 30000),
+    ld AS (SELECT l_orderkey AS o_orderkey, l_extendedprice FROM lineitem
+           WHERE l_orderkey > 30000),
+    fo AS (SELECT * FROM ob UNION ALL SELECT * FROM od),
+    fl AS (SELECT * FROM lb UNION ALL SELECT * FROM ld)
+    SELECT 'base' AS component, CAST(count(*) AS BIGINT) AS n_rows,
+           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6) AS value_sum
+    FROM ob JOIN lb USING (o_orderkey)
+    UNION ALL
+    SELECT 'delta_l', CAST(count(*) AS BIGINT),
+           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6)
+    FROM od JOIN lb USING (o_orderkey)
+    UNION ALL
+    SELECT 'delta_r', CAST(count(*) AS BIGINT),
+           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6)
+    FROM ob JOIN ld USING (o_orderkey)
+    UNION ALL
+    SELECT 'delta_both', CAST(count(*) AS BIGINT),
+           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6)
+    FROM od JOIN ld USING (o_orderkey)
+    UNION ALL
+    SELECT 'full', CAST(count(*) AS BIGINT),
+           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6)
+    FROM fo JOIN fl USING (o_orderkey)
+"""
+
+ORACLES["theil_decomposition"] = """
+    WITH base AS (
+      SELECT source AS g, CAST(n_chars AS DOUBLE) AS v FROM documents
+    ),
+    dropped AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM base WHERE NOT (v > 0)
+    ),
+    pos AS (SELECT * FROM base WHERE v > 0),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             sum(CAST(v AS DECIMAL(38,12))) AS s_g
+      FROM pos GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s FROM per),
+    wg AS (
+      SELECT g,
+             CAST(sum(CAST((v / (CAST(s AS DOUBLE) / n))
+                           * ln(v / (CAST(s AS DOUBLE) / n))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS tsum,
+             max(n) AS n
+      FROM pos CROSS JOIN tot GROUP BY 1
+    ),
+    tt AS (
+      SELECT CAST(sum(CAST(tsum AS DECIMAL(38,12))) AS DOUBLE) / max(n) AS theil_total
+      FROM wg
+    ),
+    tb AS (
+      SELECT CAST(sum(CAST(
+               (CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+               * ln((CAST(s_g AS DOUBLE) / n_g) / (CAST(s AS DOUBLE) / n))
+             AS DECIMAL(38,12))) AS DOUBLE) AS theil_between
+      FROM per CROSS JOIN tot
+    )
+    SELECT n, n_dropped,
+           round(theil_total, 6) AS theil_total,
+           round(theil_between, 6) AS theil_between,
+           round(theil_total - theil_between, 6) AS theil_within
+    FROM tot CROSS JOIN dropped CROSS JOIN tt CROSS JOIN tb
 """

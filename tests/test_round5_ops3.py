@@ -890,3 +890,81 @@ def test_max_drawdown_monotone_series_is_zero(spark):
         "value", "timestamp_seconds(t) AS ts"
     )
     assert windows.max_drawdown(df).collect()[0].max_drawdown == 0.0
+
+
+# ------------------------------------------------------- zonemap_prune_audit
+
+from kairos_spark.operators import layout
+
+
+def test_zonemap_sorted_layout_prunes_more(spark):
+    # values 0..999 shuffled by hash order in "natural" layout; a
+    # narrow predicate prunes almost everything under the sorted
+    # layout and nearly nothing under a scrambled natural order
+    import hashlib
+    rows = sorted(
+        [(i, float(i)) for i in range(1000)],
+        key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
+    )
+    rows = [(i, v) for i, (_, v) in enumerate(rows)]  # ids follow scrambled order
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = {r.layout: r for r in
+           layout.zonemap_prune_audit(df, "x", "id", chunk_rows=50,
+                                      lo=100.0, hi=150.0).collect()}
+    assert out["sorted"].n_chunks == out["natural"].n_chunks == 20
+    assert out["sorted"].prune_rate > out["natural"].prune_rate
+    assert out["sorted"].n_pruned >= 17  # ~2 of 20 chunks overlap [100,150]
+
+
+def test_zonemap_conservation(spark):
+    df = spark.createDataFrame([(i, float(i % 7)) for i in range(100)], "id long, x double")
+    out = layout.zonemap_prune_audit(df, "x", "id", chunk_rows=10, lo=0.0, hi=10.0).collect()
+    for r in out:
+        assert 0 <= r.n_pruned <= r.n_chunks
+        assert r.prune_rate == r.n_pruned / r.n_chunks
+
+
+# ------------------------------------------------------ incremental_join_audit
+
+from kairos_spark.operators import joins
+
+
+def test_incremental_join_identity(spark):
+    lbase = spark.createDataFrame([(1,), (2,)], "k long")
+    ldelta = spark.createDataFrame([(3,)], "k long")
+    rbase = spark.createDataFrame([(1, 10.0), (3, 30.0)], "k long, v double")
+    rdelta = spark.createDataFrame([(2, 20.0), (3, 33.0)], "k long, v double")
+    out = {r.component: r for r in joins.incremental_join_audit(
+        lbase, ldelta, rbase, rdelta, "k", "v").collect()}
+    # IVM identity: full = base + delta_l + delta_r + delta_both
+    parts = ["base", "delta_l", "delta_r", "delta_both"]
+    assert out["full"].n_rows == sum(out[p].n_rows for p in parts)
+    assert abs(out["full"].value_sum - sum(out[p].value_sum for p in parts)) < 1e-6
+    assert out["base"].n_rows == 1      # (1,10)
+    assert out["delta_l"].n_rows == 1   # (3,30)
+    assert out["delta_both"].n_rows == 1  # (3,33)
+
+
+# -------------------------------------------------------- theil_decomposition
+
+
+def test_theil_zero_for_equal_values(spark):
+    df = spark.createDataFrame([("a", 5.0)] * 10 + [("b", 5.0)] * 10,
+                               "source string, n_chars double")
+    r = profiling.theil_decomposition(df, "source", "n_chars").collect()[0]
+    assert r.theil_total == 0.0 and r.theil_between == 0.0 and r.theil_within == 0.0
+
+
+def test_theil_between_captures_group_gap(spark):
+    # equal within groups, unequal between: all inequality is BETWEEN
+    df = spark.createDataFrame([("a", 1.0)] * 10 + [("b", 9.0)] * 10,
+                               "source string, n_chars double")
+    r = profiling.theil_decomposition(df, "source", "n_chars").collect()[0]
+    assert r.theil_total > 0
+    assert abs(r.theil_within) < 1e-6
+    assert abs(r.theil_between - r.theil_total) < 1e-6
+    # zero/negative rows are dropped and counted
+    df2 = spark.createDataFrame([("a", 1.0), ("a", 0.0), ("a", -3.0)],
+                                "source string, n_chars double")
+    r2 = profiling.theil_decomposition(df2, "source", "n_chars").collect()[0]
+    assert r2.n == 1 and r2.n_dropped == 2

@@ -57,6 +57,9 @@ AUDITED = [
     "bfs_reach",
     "audience_stability",
     "max_drawdown",
+    "zonemap_prune",
+    "incremental_join",
+    "theil_decomposition",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -352,6 +355,12 @@ CHECKS = {
     "audience_stability": ["HashAggregate", "!CartesianProduct"],
     # bucket-grain cumulative/peak windows over one aggregation
     "max_drawdown": ["Window", "HashAggregate", "!Join"],
+    # chunk-simulation windows + chunk-grain min/max aggregations
+    "zonemap_prune": ["Window", "HashAggregate", "!Join"],
+    # five equality joins on the key; delta components stay delta-sized
+    "incremental_join": ["HashAggregate", "!CartesianProduct", "!NestedLoop"],
+    # rows -> groups -> scalar aggregations; scalars ride broadcasts
+    "theil_decomposition": ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
