@@ -105,6 +105,11 @@ PIPELINE = {
     ).prefix_jaccard_pairs(
         q._tbl(s, d, "documents").where(F.col("doc_id") % 5 == 0), threshold=0.95
     ),
+    # late-round-5 additions; BASELINE.md's pipeline table records the
+    # same round's numbers as their baseline
+    "bm25_topk": q.q_bm25_topk,
+    "semdedup": q.q_semdedup,
+    "bfs_reach": q.q_bfs_reach,
 }
 
 

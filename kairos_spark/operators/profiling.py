@@ -3093,3 +3093,169 @@ def theil_decomposition(
             ),
         )
     )
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein (earth-mover) distance between the
+    first and second time half, per group: W₁ = ∫|F₁−F₂| dx over the
+    pooled value axis — the third member of the drift family (KS =
+    the SUP of the ECDF gap, CvM = the integral of its SQUARE, W₁ =
+    its integral in VALUE units, so "the mean shifted by ~0.3 units"
+    reads straight off the statistic). Same half-split/omission
+    contract and (name, n1, n2, stat) shape as ks/cvm_drift.
+
+    Exactness: between consecutive distinct values the ECDF gap is
+    constant, so W₁ is exactly Σ_steps |gap|·Δvalue — cumulative
+    integer counts, one lead() for Δvalue, DECIMAL accumulation of
+    the products. Scale shape identical to ks_drift: value-grain
+    count table + one window per group."""
+    from pyspark.sql.window import Window
+
+    scal = df.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    half = F.when(F.unix_micros(F.col(ts_col)) <= F.col("__mid"), 1).otherwise(2)
+    counts = (
+        df.crossJoin(F.broadcast(scal))
+        .select(
+            F.col(group_col).alias("name"),
+            F.col(value_col).cast("double").alias("__v"),
+            half.alias("__h"),
+        )
+        .groupBy("name", "__v")
+        .agg(
+            F.sum(F.when(F.col("__h") == 1, 1).otherwise(0)).alias("__c1"),
+            F.sum(F.when(F.col("__h") == 2, 1).otherwise(0)).alias("__c2"),
+        )
+    )
+    w = (
+        Window.partitionBy("name")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("name").orderBy("__v")
+    tot = Window.partitionBy("name")
+    stepped = counts.select(
+        "name",
+        "__v",
+        F.sum("__c1").over(w).alias("__cum1"),
+        F.sum("__c2").over(w).alias("__cum2"),
+        F.sum("__c1").over(tot).alias("__n1"),
+        F.sum("__c2").over(tot).alias("__n2"),
+        (F.lead("__v").over(w_lead) - F.col("__v")).alias("__dv"),
+    )
+    gap = F.abs(
+        F.col("__cum1").cast("double") / F.col("__n1")
+        - F.col("__cum2").cast("double") / F.col("__n2")
+    )
+    return (
+        stepped.where(
+            (F.col("__n1") > 0) & (F.col("__n2") > 0) & F.col("__dv").isNotNull()
+        )
+        .groupBy("name")
+        .agg(
+            F.round(
+                F.sum((gap * F.col("__dv")).cast("decimal(38,12)")).cast("double"), 6
+            ).alias("w1"),
+            F.min("__n1").cast("long").alias("n1"),
+            F.min("__n2").cast("long").alias("n2"),
+        )
+        .select("name", "n1", "n2", "w1")
+    )
+
+
+def variance_decomposition(
+    df: DataFrame,
+    factor_a: str,
+    factor_b: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-factor variance decomposition (the ANOVA sums-of-squares
+    identity as an EDA tool): how much of a metric's variance do two
+    categorical factors explain, alone and together? Reports
+    η²(A) = SS_A/SS_total, η²(B), η²(A×B cells) and the residual
+    share — the 10-second answer to "is value driven by event type,
+    by hour of day, both, or neither". SS_A = Σ_a n_a(μ_a−μ)²
+    computed from exact per-cell DECIMAL moment sums; cell grain =
+    |A|×|B|, tiny. Returns ONE row: (n, eta2_a, eta2_b, eta2_cells,
+    residual_share).
+
+    One fact-scale aggregation to (a, b) cells; everything after is
+    cell-grain arithmetic with 1-row broadcast totals."""
+    v = F.col(value_col).cast("double")
+    cells = (
+        df.select(
+            F.col(factor_a).alias("a"), F.col(factor_b).alias("b"), v.alias("v")
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_c"),
+            F.sum(F.col("v").cast("decimal(38,12)")).alias("s_c"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).alias("q_c"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_c").cast("long").alias("n"),
+        F.sum("s_c").alias("s"),
+        F.sum("q_c").alias("q"),
+    )
+    # SS helpers: group sums over cells, then Σ n_g(μ_g − μ)² =
+    # Σ s_g²/n_g − s²/N (the computational ANOVA form — exact sums)
+    def ss_between(grouped):
+        return grouped.agg(
+            F.sum(
+                (
+                    F.col("s_g").cast("double")
+                    * F.col("s_g").cast("double")
+                    / F.col("n_g")
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("ssq")
+        )
+
+    ga = ss_between(
+        cells.groupBy("a").agg(
+            F.sum("n_c").cast("long").alias("n_g"), F.sum("s_c").alias("s_g")
+        )
+    ).select(F.col("ssq").alias("ssq_a"))
+    gb = ss_between(
+        cells.groupBy("b").agg(
+            F.sum("n_c").cast("long").alias("n_g"), F.sum("s_c").alias("s_g")
+        )
+    ).select(F.col("ssq").alias("ssq_b"))
+    gc = cells.agg(
+        F.sum(
+            (
+                F.col("s_c").cast("double") * F.col("s_c").cast("double") / F.col("n_c")
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("ssq_c")
+    )
+    base = (
+        tot.crossJoin(F.broadcast(ga))
+        .crossJoin(F.broadcast(gb))
+        .crossJoin(F.broadcast(gc))
+    )
+    corr = F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ss_tot = F.col("q").cast("double") - corr
+    return base.select(
+        "n",
+        F.round((F.col("ssq_a") - corr) / ss_tot, 6).alias("eta2_a"),
+        F.round((F.col("ssq_b") - corr) / ss_tot, 6).alias("eta2_b"),
+        F.round((F.col("ssq_c") - corr) / ss_tot, 6).alias("eta2_cells"),
+        F.round(
+            (F.col("q").cast("double") - F.col("ssq_c")) / ss_tot, 6
+        ).alias("residual_share"),
+    )

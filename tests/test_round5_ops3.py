@@ -968,3 +968,45 @@ def test_theil_between_captures_group_gap(spark):
                                 "source string, n_chars double")
     r2 = profiling.theil_decomposition(df2, "source", "n_chars").collect()[0]
     assert r2.n == 1 and r2.n_dropped == 2
+
+
+# ---------------------------------------------------------- wasserstein_drift
+
+
+def test_wasserstein_recovers_shift(spark):
+    # second half = first half + 5: W1 must equal 5 exactly
+    first = [float(v) for v in range(20)]
+    second = [v + 5.0 for v in first]
+    df = _halves(spark, first, second)
+    r = profiling.wasserstein_drift(df).collect()[0]
+    assert r.w1 == 5.0
+
+
+def test_wasserstein_zero_for_identical(spark):
+    df = _halves(spark, [1, 2, 3, 4] * 5, [1, 2, 3, 4] * 5)
+    assert profiling.wasserstein_drift(df).collect()[0].w1 == 0.0
+
+
+# ------------------------------------------------------ variance_decomposition
+
+
+def test_variance_decomposition_factor_a_dominates(spark):
+    # value fully determined by factor a; b is noise-free constant
+    rows = [("x", i % 4, 10.0) for i in range(40)]
+    rows += [("y", i % 4, 20.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "a string, b long, v double")
+    r = profiling.variance_decomposition(df, "a", "b", "v").collect()[0]
+    assert r.eta2_a == 1.0
+    assert r.eta2_b == 0.0
+    assert r.residual_share == 0.0
+
+
+def test_variance_decomposition_shares_bounded(spark):
+    rows = [("ab"[i % 2], i % 3, float((i * 7) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "a string, b long, v double")
+    r = profiling.variance_decomposition(df, "a", "b", "v").collect()[0]
+    for x in (r.eta2_a, r.eta2_b, r.eta2_cells, r.residual_share):
+        assert -1e-9 <= x <= 1.0 + 1e-9
+    # cells explain at least as much as either factor alone
+    assert r.eta2_cells >= max(r.eta2_a, r.eta2_b) - 1e-9
+    assert abs(r.eta2_cells + r.residual_share - 1.0) < 1e-6

@@ -60,6 +60,9 @@ AUDITED = [
     "zonemap_prune",
     "incremental_join",
     "theil_decomposition",
+    "wasserstein_drift",
+    "variance_decomposition",
+    "ship_lag_percentiles",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -361,6 +364,12 @@ CHECKS = {
     "incremental_join": ["HashAggregate", "!CartesianProduct", "!NestedLoop"],
     # rows -> groups -> scalar aggregations; scalars ride broadcasts
     "theil_decomposition": ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
+    # value-grain count table + per-group cumulative/lead windows
+    "wasserstein_drift": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # one fact aggregation to (a,b) cells; cell-grain arithmetic after
+    "variance_decomposition": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # orders dim broadcasts onto lineitem; exact per-group percentile
+    "ship_lag_percentiles": ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
