@@ -3259,3 +3259,170 @@ def variance_decomposition(
             (F.col("q").cast("double") - F.col("ssq_c")) / ss_tot, 6
         ).alias("residual_share"),
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Wilson score interval for a per-group proportion (Wilson 1927)
+    — the binomial CI that actually behaves at small n and extreme
+    p, unlike the naive Wald interval every dashboard starts with
+    (Wald collapses to zero width at p̂∈{0,1}; Wilson doesn't).
+    ``success_col`` is a 0/1 column. Returns (group, n, p_hat, ci_lo,
+    ci_hi) at the z-quantile supplied (default two-sided 95%).
+
+    Counts are exact ints; the interval is a fixed double formula on
+    them — identical in any engine. One aggregation, no join."""
+    s = F.col(success_col).cast("long")
+    agg = (
+        df.select(F.col(group_col).alias("group"), s.alias("s"))
+        .groupBy("group")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("k"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k") / n
+    z2 = float(z) * float(z)
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return agg.select(
+        "group",
+        "n",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per group over the
+    bucket-grain value series: S = Σ_{i<j} sign(x_j − x_i), with the
+    normal approximation z = (S∓1)/√Var(S) (continuity-corrected; the
+    tie adjustment is omitted — bucket sums of continuous values tie
+    with measure zero). The distribution-free companion to the
+    Theil-Sen slope: MK answers IS there a monotone trend, Theil-Sen
+    says how steep. Returns (group, n_buckets, s_stat, z).
+
+    Scale shape: the fact table collapses to per-(group, bucket) sums
+    first; the O(b²) pair comparison then runs on the BUCKET series
+    (days, not rows) via a within-group self-join — bounded by
+    (series length)², never by data size."""
+    b = F.floor(F.col(ts_col).cast("double") / bucket_sec).cast("long")
+    per = (
+        df.select(
+            F.col(group_col).alias("g"), b.alias("b"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("g", "b")
+        .agg(F.sum(F.col("v").cast("decimal(38,12)")).cast("double").alias("x"))
+    )
+    l = per.select(F.col("g"), F.col("b").alias("bi"), F.col("x").alias("xi"))
+    r = per.select(F.col("g").alias("g2"), F.col("b").alias("bj"), F.col("x").alias("xj"))
+    pairs = l.join(r, (F.col("g") == F.col("g2")) & (F.col("bi") < F.col("bj")))
+    s_terms = F.when(F.col("xj") > F.col("xi"), 1).when(
+        F.col("xj") < F.col("xi"), -1
+    ).otherwise(0)
+    agg = pairs.groupBy("g").agg(
+        F.sum(s_terms).cast("long").alias("s_stat"),
+        (F.countDistinct("bi") + 1).cast("long").alias("n_buckets"),
+    )
+    nn = F.col("n_buckets").cast("double")
+    var = nn * (nn - 1.0) * (2.0 * nn + 5.0) / 18.0
+    zc = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        F.col("g").alias("group"),
+        "n_buckets",
+        "s_stat",
+        F.round(zc, 6).alias("z"),
+    )
+
+
+def peak_detection(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_sec: int = 3600,
+    min_prominence: float = 1.5,
+) -> DataFrame:
+    """Local-peak census over per-group bucket counts: a bucket is a
+    peak when its count strictly exceeds BOTH neighbours and clears
+    ``min_prominence`` × the smaller neighbour — the load-spike /
+    incident-detection primitive a monitoring stack runs per metric.
+    (Neighbours step over NON-EMPTY buckets, the same gap contract as
+    ewma_smooth/anomaly_zscore.) Returns per group: (group, n_buckets,
+    n_peaks, max_peak, max_peak_bucket).
+
+    One aggregation to bucket counts, one lag/lead window per group
+    over the BUCKET series."""
+    from pyspark.sql.window import Window
+
+    b = F.floor(F.col(ts_col).cast("double") / bucket_sec).cast("long")
+    per = (
+        df.select(F.col(group_col).alias("g"), b.alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("g").orderBy("b")
+    flagged = per.select(
+        "g",
+        "b",
+        "n",
+        F.lag("n").over(w).alias("prev"),
+        F.lead("n").over(w).alias("nxt"),
+    ).select(
+        "g",
+        "b",
+        "n",
+        (
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("n") > F.col("prev"))
+            & (F.col("n") > F.col("nxt"))
+            & (
+                F.col("n").cast("double")
+                >= F.lit(float(min_prominence)) * F.least("prev", "nxt").cast("double")
+            )
+        ).cast("int").alias("is_peak"),
+    )
+    return flagged.groupBy(F.col("g").alias("group")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("is_peak").cast("long").alias("n_peaks"),
+        # -1 sentinels for peakless groups: NULLs canonicalize
+        # differently across engines (None vs NaN)
+        F.coalesce(
+            F.max(F.when(F.col("is_peak") == 1, F.col("n"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("max_peak"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("is_peak") == 1,
+                    F.struct(F.col("n").alias("n"), F.col("b").alias("b")),
+                )
+            )["b"],
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("max_peak_bucket"),
+    )

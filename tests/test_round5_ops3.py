@@ -1010,3 +1010,64 @@ def test_variance_decomposition_shares_bounded(spark):
     # cells explain at least as much as either factor alone
     assert r.eta2_cells >= max(r.eta2_a, r.eta2_b) - 1e-9
     assert abs(r.eta2_cells + r.residual_share - 1.0) < 1e-6
+
+
+# ------------------------------------------------------------------ wilson_ci
+
+
+def test_wilson_brackets_and_beats_wald_at_extremes(spark):
+    rows = [("a", 1)] * 50 + [("a", 0)] * 50 + [("b", 1)] * 20  # b: p_hat = 1
+    df = spark.createDataFrame(rows, "g string, s long")
+    out = {r.group: r for r in profiling.wilson_ci(df, "g", "s").collect()}
+    a = out["a"]
+    assert a.ci_lo < a.p_hat < a.ci_hi
+    assert abs(a.p_hat - 0.5) < 1e-9
+    b = out["b"]
+    # Wald would give zero width at p_hat=1; Wilson keeps a real lower bound
+    assert b.p_hat == 1.0 and b.ci_lo < 1.0 and b.ci_hi <= 1.0 + 1e-9
+    assert b.ci_lo > 0.8  # n=20 all successes -> tight but nonzero
+
+
+# --------------------------------------------------------------- mann_kendall
+
+
+def test_mann_kendall_direction(spark):
+    day = 86400.0
+    rows = [("up", float(d + 1), d * day) for d in range(15)]
+    rows += [("down", float(30 - d), d * day) for d in range(15)]
+    rows += [("flat", 5.0 + (1.0 if d % 2 == 0 else -1.0), d * day) for d in range(15)]
+    df = spark.createDataFrame(rows, "event_type string, value double, t double") \
+        .selectExpr("event_type", "value", "timestamp_seconds(t) AS ts")
+    out = {r.group: r for r in profiling.mann_kendall(df, "event_type", "value").collect()}
+    assert out["up"].s_stat == 15 * 14 // 2        # every pair increases
+    assert out["up"].z > 2
+    assert out["down"].s_stat == -(15 * 14 // 2)
+    assert out["down"].z < -2
+    assert abs(out["flat"].z) < 2
+
+
+# ------------------------------------------------------------- peak_detection
+
+
+def test_peak_detection_counts_prominent_peaks(spark):
+    hour = 3600.0
+    # counts per hour: 2, 10, 2, 3, 4, 3  -> one prominent peak (10)
+    # and one non-prominent local max (4 vs neighbours 3,3: 4 < 1.5*3)
+    counts = [2, 10, 2, 3, 4, 3]
+    rows = [("t", h * hour + i) for h, c in enumerate(counts) for i in range(c)]
+    df = spark.createDataFrame(rows, "event_type string, t double").selectExpr(
+        "event_type", "timestamp_seconds(t) AS ts"
+    )
+    r = profiling.peak_detection(df, min_prominence=1.5).collect()[0]
+    assert r.n_buckets == 6
+    assert r.n_peaks == 1
+    assert r.max_peak == 10 and r.max_peak_bucket == 1
+
+
+def test_peak_detection_no_peaks_sentinel(spark):
+    rows = [("t", float(h * 3600)) for h in range(5)]  # one event/hour: flat
+    df = spark.createDataFrame(rows, "event_type string, t double").selectExpr(
+        "event_type", "timestamp_seconds(t) AS ts"
+    )
+    r = profiling.peak_detection(df).collect()[0]
+    assert r.n_peaks == 0 and r.max_peak == -1 and r.max_peak_bucket == -1

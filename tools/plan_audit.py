@@ -63,6 +63,9 @@ AUDITED = [
     "wasserstein_drift",
     "variance_decomposition",
     "ship_lag_percentiles",
+    "wilson_ci",
+    "mann_kendall",
+    "peak_detection",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -370,6 +373,12 @@ CHECKS = {
     "variance_decomposition": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # orders dim broadcasts onto lineitem; exact per-group percentile
     "ship_lag_percentiles": ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
+    # closed-form interval over exact counts: one aggregation, no join
+    "wilson_ci": ["HashAggregate", "!Join"],
+    # pair comparison runs on the BUCKET series, not rows
+    "mann_kendall": ["HashAggregate", "!CartesianProduct"],
+    # bucket counts + one lag/lead window per group
+    "peak_detection": ["HashAggregate", "Window", "!Join"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
