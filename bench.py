@@ -108,8 +108,27 @@ PIPELINE = {
     # late-round-5 additions; BASELINE.md's pipeline table records the
     # same round's numbers as their baseline
     "bm25_topk": q.q_bm25_topk,
-    "semdedup": q.q_semdedup,
-    "bfs_reach": q.q_bfs_reach,
+    # k=32 at sf0.1: SemDeDup's pair blowup is Σ|cluster|², and the
+    # whole point of the clustering is to keep clusters small — k=8 on
+    # 5k vectors times the data shape, not the operator
+    "semdedup_k32": lambda s, d: __import__(
+        "kairos_spark.operators.similarity", fromlist=["similarity"]
+    ).semdedup(q._tbl(s, d, "embeddings"), k=32, iters=2, threshold=0.35),
+    # minute cells for the same reason as triangle_cooccurrence_minute:
+    # the hourly co-activity graph on this uniform synthetic data is
+    # near-complete, so hourly BFS times the degenerate frontier, not
+    # the traversal machinery
+    "bfs_reach_minute": lambda s, d: __import__(
+        "kairos_spark.operators.graph", fromlist=["graph"]
+    ).bfs_reach(
+        __import__(
+            "kairos_spark.operators.graph", fromlist=["graph"]
+        ).coactivity_edges(
+            q._tbl(s, d, "events"), step_sec=60, min_shared=2, max_bucket_nodes=200
+        ),
+        n_seeds=3,
+        hops=3,
+    ),
 }
 
 

@@ -3426,3 +3426,58 @@ def peak_detection(
         .cast("long")
         .alias("max_peak_bucket"),
     )
+
+
+def schema_drift(
+    df: DataFrame,
+    json_col: str = "props",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Semi-structured schema drift between the first and second time
+    half: which JSON keys appeared, vanished, or changed prevalence —
+    the event-payload evolution tripwire (a key silently renamed
+    upstream shows up here before any consumer breaks). Returns one
+    row per key ever seen: (key, n1, n2, share1, share2, status) with
+    status ∈ {new, dropped, stable} (new = absent in half 1, dropped
+    = absent in half 2).
+
+    Keys come from json_object_keys (JVM builtin, map-only); counts
+    are exact ints; shares divide by each half's ROW count so
+    prevalence is comparable across halves of different sizes."""
+    scal = df.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    half = F.when(F.unix_micros(F.col(ts_col)) <= F.col("__mid"), 1).otherwise(2)
+    base = df.crossJoin(F.broadcast(scal)).select(
+        half.alias("h"), F.col(json_col).alias("j")
+    )
+    rows = base.agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.col("h") == 2, 1).otherwise(0)).cast("long").alias("r2"),
+    )
+    keys = base.select(
+        "h", F.explode(F.json_object_keys(F.col("j"))).alias("key")
+    )
+    cnt = keys.groupBy("key").agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("h") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(rows))
+        .select(
+            "key",
+            "n1",
+            "n2",
+            F.round(F.col("n1") / F.col("r1").cast("double"), 6).alias("share1"),
+            F.round(F.col("n2") / F.col("r2").cast("double"), 6).alias("share2"),
+            F.when(F.col("n1") == 0, "new")
+            .when(F.col("n2") == 0, "dropped")
+            .otherwise("stable")
+            .alias("status"),
+        )
+    )

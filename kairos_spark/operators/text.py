@@ -1619,3 +1619,53 @@ def source_similarity(
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
+
+
+def hashing_trick_audit(
+    df: DataFrame,
+    bits: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: hash the
+    vocabulary into 2^bits buckets (md5-derived, seed-free) and
+    measure what the dimensionality squeeze costs — the share of
+    distinct tokens that share a bucket with another token, and the
+    share of total token MASS sitting in collided buckets (mass is
+    what actually distorts a hashed bag-of-words model; a rare token
+    colliding costs ~nothing, a head token colliding poisons the
+    bucket). Run before committing to a hashed feature space size.
+    Returns ONE row: (bits, n_tokens, n_buckets_used, collision_rate,
+    collided_mass_share).
+
+    Scale shape: one vocabulary-grain aggregation, one bucket-grain
+    aggregation; exact integer counts and DECIMAL mass sums."""
+    n_buckets = 1 << bits
+    toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    bucketed = vocab.select(
+        "token",
+        "n",
+        (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 11), 16, 10).cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    per_bucket = bucketed.groupBy("b").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("mass"),
+    )
+    return per_bucket.agg(
+        F.lit(int(bits)).cast("long").alias("bits"),
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_buckets_used"),
+        F.round(
+            F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(0))
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("collision_rate"),
+        F.round(
+            F.sum(F.when(F.col("k") > 1, F.col("mass")).otherwise(0))
+            / F.sum("mass").cast("double"),
+            6,
+        ).alias("collided_mass_share"),
+    )

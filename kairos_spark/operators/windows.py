@@ -2310,3 +2310,58 @@ def max_drawdown(
             "max_drawdown"
         ),
     )
+
+
+def path_conformance(
+    df: DataFrame,
+    canonical: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_sec: float = 1800.0,
+    max_len: int = 20,
+) -> DataFrame:
+    """Process-mining conformance check: encode each session's
+    event-type sequence as a string of single-letter codes (first
+    letter of each type, the same encoding ``session_paths`` uses for
+    display), then score its Levenshtein edit distance to the
+    ``canonical`` path — "how far from the designed flow do real
+    sessions run?". Sessions longer than ``max_len`` steps truncate
+    (their distance is a lower bound; count reported separately by
+    the histogram's top bucket semantics). Returns the distance
+    histogram: (edit_distance, n_sessions, share).
+
+    Scale shape: sessionize (one key shuffle) → per-session string
+    aggregation (concat of ordered codes via collect_list over the
+    session window) → map-only levenshtein → one histogram
+    aggregation. The per-session state is ≤ max_len chars."""
+    # type_col as the order tiebreak: equal-ts events would otherwise
+    # concatenate in nondeterministic order across engines
+    s = sessionize(df, key_col, ts_col, gap_sec, order_col=type_col)
+    w = (
+        Window.partitionBy(key_col, "session_id")
+        .orderBy(F.col(ts_col), F.col(type_col))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    coded = s.select(
+        F.col(key_col).alias("u"),
+        F.col("session_id"),
+        F.concat_ws(
+            "", F.collect_list(F.substring(F.col(type_col), 1, 1)).over(w)
+        ).alias("path"),
+    ).distinct()
+    dist = coded.select(
+        F.levenshtein(
+            F.substring(F.col("path"), 1, max_len), F.lit(canonical)
+        ).alias("edit_distance")
+    )
+    hist = dist.groupBy("edit_distance").agg(F.count("*").cast("long").alias("n_sessions"))
+    tot = hist.agg(F.sum("n_sessions").cast("long").alias("__t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("edit_distance").cast("long").alias("edit_distance"),
+            "n_sessions",
+            F.round(F.col("n_sessions") / F.col("__t").cast("double"), 6).alias("share"),
+        )
+    )

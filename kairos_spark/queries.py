@@ -3061,6 +3061,27 @@ def q_peak_detection(spark, sf_dir):
     return profiling.peak_detection(ev, "event_type", "ts", 3600, 1.5)
 
 
+def q_hashing_trick_audit(spark, sf_dir):
+    """Feature-hashing collision audit at 2^10 buckets: token and
+    mass collision shares."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.hashing_trick_audit(docs, bits=10)
+
+
+def q_path_conformance(spark, sf_dir):
+    """Process-mining conformance: Levenshtein distance histogram of
+    session paths vs the canonical view->click->purchase flow."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.path_conformance(ev, canonical="vcp")
+
+
+def q_schema_drift(spark, sf_dir):
+    """JSON key drift between event-time halves: new/dropped/stable
+    keys with per-half prevalence."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.schema_drift(ev, "props", "ts")
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -3075,8 +3096,10 @@ QUERIES = {
     # re-checks); (3) pipeline entries CORRECTNESS_r04 did not reach;
     # (4) the r4-green 50 rotate to the tail, covered by the local
     # mirror (tools/check_correctness.py, 0 failures full-registry).
-    # --- (0) newest this session: never checked anywhere but the local
-    # mirror — they outrank even the earlier r5 batch. ---
+    # --- (0) newest (late-r5 session): never checked anywhere but the
+    # local mirror — they outrank even the earlier r5 batch. 45 entries
+    # bm25_topk..schema_drift; the driver's 50-entry window therefore
+    # covers these plus the first ~5 of the earlier batch. ---
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "semdedup": q_semdedup,
@@ -3122,6 +3145,9 @@ QUERIES = {
     "wilson_ci": q_wilson_ci,
     "mann_kendall": q_mann_kendall,
     "peak_detection": q_peak_detection,
+    "hashing_trick_audit": q_hashing_trick_audit,
+    "path_conformance": q_path_conformance,
+    "schema_drift": q_schema_drift,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -9339,4 +9365,96 @@ ORACLES["peak_detection"] = """
                                  CASE WHEN is_peak = 1 THEN n * 1000000000 + b END), -1) AS BIGINT)
              AS max_peak_bucket
     FROM flagged GROUP BY 1
+"""
+
+
+ORACLES["hashing_trick_audit"] = """
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    bucketed AS (
+      SELECT token, n,
+             ('0x' || substr(md5(token), 1, 11))::BIGINT % 1024 AS b
+      FROM vocab
+    ),
+    per_bucket AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS mass
+      FROM bucketed GROUP BY 1
+    )
+    SELECT CAST(10 AS BIGINT) AS bits,
+           CAST(sum(k) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           round(sum(CASE WHEN k > 1 THEN k ELSE 0 END)
+                 / CAST(sum(k) AS DOUBLE), 6) AS collision_rate,
+           round(sum(CASE WHEN k > 1 THEN mass ELSE 0 END)
+                 / CAST(sum(mass) AS DOUBLE), 6) AS collided_mass_share
+    FROM per_bucket
+"""
+
+ORACLES["path_conformance"] = """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, epoch(ts) AS t,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    sess AS (
+      SELECT user_id, event_type, t,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_type
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    ),
+    coded AS (
+      SELECT user_id, session_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY t, event_type) AS path
+      FROM sess GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT levenshtein(substr(path, 1, 20), 'vcp') AS edit_distance FROM coded
+    ),
+    hist AS (
+      SELECT CAST(edit_distance AS BIGINT) AS edit_distance,
+             CAST(count(*) AS BIGINT) AS n_sessions
+      FROM dist GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS t FROM hist)
+    SELECT edit_distance, n_sessions,
+           round(n_sessions / CAST(t AS DOUBLE), 6) AS share
+    FROM hist CROSS JOIN tot
+"""
+
+ORACLES["schema_drift"] = """
+    WITH scal AS (
+      SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid
+      FROM events
+    ),
+    base AS (
+      SELECT CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 1 ELSE 2 END AS h,
+             props AS j
+      FROM events
+    ),
+    rows_ AS (
+      SELECT CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2
+      FROM base
+    ),
+    keys_ AS (SELECT h, unnest(json_keys(j)) AS key FROM base),
+    cnt AS (
+      SELECT key,
+             CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM keys_ GROUP BY 1
+    )
+    SELECT key, n1, n2,
+           round(n1 / CAST(r1 AS DOUBLE), 6) AS share1,
+           round(n2 / CAST(r2 AS DOUBLE), 6) AS share2,
+           CASE WHEN n1 = 0 THEN 'new'
+                WHEN n2 = 0 THEN 'dropped'
+                ELSE 'stable' END AS status
+    FROM cnt CROSS JOIN rows_
 """

@@ -1071,3 +1071,59 @@ def test_peak_detection_no_peaks_sentinel(spark):
     )
     r = profiling.peak_detection(df).collect()[0]
     assert r.n_peaks == 0 and r.max_peak == -1 and r.max_peak_bucket == -1
+
+
+# -------------------------------------------------------- hashing_trick_audit
+
+
+def test_hashing_trick_more_bits_fewer_collisions(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i, i + 20))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    lo = text.hashing_trick_audit(docs, bits=4).collect()[0]
+    hi = text.hashing_trick_audit(docs, bits=12).collect()[0]
+    assert lo.n_tokens == hi.n_tokens
+    assert lo.collision_rate >= hi.collision_rate
+    assert lo.n_buckets_used <= 16
+    assert 0.0 <= hi.collided_mass_share <= 1.0
+
+
+def test_hashing_trick_tiny_vocab_no_collisions(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    r = text.hashing_trick_audit(docs, bits=12).collect()[0]
+    assert r.n_tokens == 3 and r.collision_rate == 0.0
+
+
+# ----------------------------------------------------------- path_conformance
+
+
+def test_path_conformance_exact_and_deviant(spark):
+    # user 1 follows the canonical view->click->purchase exactly;
+    # user 2 runs view->view->error
+    rows = [(1, "view", 0.0), (1, "click", 10.0), (1, "purchase", 20.0),
+            (2, "view", 0.0), (2, "view", 10.0), (2, "error", 20.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, t double") \
+        .selectExpr("user_id", "event_type", "timestamp_seconds(t) AS ts")
+    out = {r.edit_distance: r for r in
+           windows.path_conformance(df, canonical="vcp").collect()}
+    assert out[0].n_sessions == 1          # the conformant session
+    assert sum(r.n_sessions for r in out.values()) == 2
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-6
+    # "vve" vs "vcp": substitutions at positions 2 and 3 -> distance 2
+    assert out[2].n_sessions == 1
+
+
+# --------------------------------------------------------------- schema_drift
+
+
+def test_schema_drift_flags_new_and_dropped_keys(spark):
+    rows = [(i, '{"old_key": 1, "stable": 2}', float(i)) for i in range(10)]
+    rows += [(100 + i, '{"new_key": 3, "stable": 2}', float(100000 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, props string, t double") \
+        .selectExpr("event_id", "props", "timestamp_seconds(t) AS ts")
+    out = {r.key: r for r in profiling.schema_drift(df, "props", "ts").collect()}
+    assert out["old_key"].status == "dropped" and out["old_key"].n2 == 0
+    assert out["new_key"].status == "new" and out["new_key"].n1 == 0
+    assert out["stable"].status == "stable"
+    assert out["stable"].share1 == 1.0 and out["stable"].share2 == 1.0

@@ -66,6 +66,9 @@ AUDITED = [
     "wilson_ci",
     "mann_kendall",
     "peak_detection",
+    "hashing_trick_audit",
+    "path_conformance",
+    "schema_drift",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -379,6 +382,12 @@ CHECKS = {
     "mann_kendall": ["HashAggregate", "!CartesianProduct"],
     # bucket counts + one lag/lead window per group
     "peak_detection": ["HashAggregate", "Window", "!Join"],
+    # vocab-grain then bucket-grain aggregations; no join
+    "hashing_trick_audit": ["HashAggregate", "!Join"],
+    # sessionize windows + map-only levenshtein + histogram agg
+    "path_conformance": ["Window", "HashAggregate", "!CartesianProduct"],
+    # map-only json_object_keys explode; key-grain counts
+    "schema_drift": ["Generate", "HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
