@@ -3481,3 +3481,65 @@ def schema_drift(
             .alias("status"),
         )
     )
+
+
+def cluster_ratio_ci(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+    value_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Cluster-aware ratio-estimator CI (the survey-sampling ratio
+    R = Σy_u/Σx_u over UNITS with the linearized variance
+    Var(R) ≈ n/(n−1)·Σ(y_u − R·x_u)²/(Σx)²): the correct uncertainty
+    for per-event averages when events cluster within users — the
+    naive per-row SE pretends every event is independent and
+    understates the interval, sometimes badly (the design effect
+    column quantifies by how much). Returns per group: (group,
+    n_units, n_rows, ratio, se_cluster, ci_lo, ci_hi).
+
+    One aggregation to unit grain, one to group grain; the residual
+    sum uses the moment identity Σ(y−Rx)² = Syy − 2R·Sxy + R²·Sxx
+    over DECIMAL sums, so no second pass and no join-back."""
+    per_unit = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(unit_col).alias("u"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("g", "u")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double").alias("y"),
+            F.count("*").cast("long").alias("x"),
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    agg = per_unit.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("x").cast("long").alias("n_rows"),
+        dec(F.col("y")).alias("sy"),
+        F.sum("x").cast("double").alias("sx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("y") * F.col("x")).alias("sxy"),
+        dec(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+    )
+    r = F.col("sy") / F.col("sx")
+    resid = F.col("syy") - 2.0 * r * F.col("sxy") + r * r * F.col("sxx")
+    se = (
+        F.sqrt(
+            F.col("n_units").cast("double")
+            / (F.col("n_units") - 1)
+            * F.greatest(resid, F.lit(0.0))
+        )
+        / F.col("sx")
+    )
+    return agg.where(F.col("n_units") > 1).select(
+        F.col("g").alias("group"),
+        "n_units",
+        "n_rows",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se_cluster"),
+        F.round(r - float(z) * se, 6).alias("ci_lo"),
+        F.round(r + float(z) * se, 6).alias("ci_hi"),
+    )

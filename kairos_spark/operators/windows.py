@@ -2365,3 +2365,109 @@ def path_conformance(
             F.round(F.col("n_sessions") / F.col("__t").cast("double"), 6).alias("share"),
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "signup",
+    to_type: str = "purchase",
+    step_sec: int = 86400,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966) on the same
+    time-to-convert construction as ``kaplan_meier`` (first
+    ``from_type`` → first later ``to_type``, right-censored at the
+    global observation end), with groups assigned by the md5-half
+    unit split (A/A harness by default — wire in a real cohort
+    column upstream to compare treatments): at each period with
+    pooled conversions, compare group A's observed conversions to
+    its at-risk-share expectation; χ² = (ΣO−ΣE)²/ΣV. The KM curve
+    says WHAT each cohort's survival looks like; log-rank says
+    whether the difference is real. Returns ONE row:
+    (n_a, n_b, obs_a, exp_a, chi2).
+
+    Scale shape: per-user durations (two min-aggregates on the user
+    key, same as KM), then all test arithmetic on PERIOD-grain rows —
+    the at-risk counts come from one bounded non-equi join of the
+    user table against the period list (|periods| rows, broadcast)."""
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(user_col).alias("u"), t.alias("t"), F.col(type_col).alias("ty")
+    )
+    endo = base.agg(F.max("t").alias("__end"))
+    starts = base.where(F.col("ty") == from_type).groupBy("u").agg(
+        F.min("t").alias("t0")
+    )
+    convs = (
+        base.where(F.col("ty") == to_type)
+        .join(starts, "u")
+        .where(F.col("t") > F.col("t0"))
+        .groupBy("u")
+        .agg(F.min("t").alias("t1"))
+    )
+    step_us = int(step_sec) * 1000000
+    users = (
+        starts.join(convs, "u", "left")
+        .crossJoin(F.broadcast(endo))
+        .select(
+            "u",
+            F.substring(F.md5(F.col("u").cast("string")), 1, 1)
+            .isin(*"01234567")
+            .cast("int")
+            .alias("a"),
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.floor(
+                (F.coalesce(F.col("t1"), F.col("__end")) - F.col("t0")) / step_us
+            )
+            .cast("long")
+            .alias("dur"),
+        )
+    )
+    periods = (
+        users.where(F.col("ev") == 1).select(F.col("dur").alias("tt")).distinct()
+    )
+    at = users.join(F.broadcast(periods), F.col("dur") >= F.col("tt"))
+    per_t = at.groupBy("tt").agg(
+        F.sum(F.when(F.col("a") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("a") == 0, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("ev") == 1) & (F.col("dur") == F.col("tt")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d1"),
+        F.sum(
+            F.when((F.col("a") == 0) & (F.col("ev") == 1) & (F.col("dur") == F.col("tt")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d2"),
+    )
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    e1 = d * F.col("n1") / n
+    v = F.when(
+        n > 1,
+        d * (F.col("n1") / n) * (1.0 - F.col("n1") / n) * (n - d) / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    sums = per_t.agg(
+        F.sum(F.col("d1").cast("decimal(38,12)")).cast("double").alias("obs_a"),
+        F.sum(e1.cast("decimal(38,12)")).cast("double").alias("exp_a"),
+        F.sum(v.cast("decimal(38,12)")).cast("double").alias("var_a"),
+    )
+    counts = users.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        (F.count("*") - F.sum("a")).cast("long").alias("n_b"),
+    )
+    return counts.crossJoin(F.broadcast(sums)).select(
+        "n_a",
+        "n_b",
+        F.round("obs_a", 6).alias("obs_a"),
+        F.round("exp_a", 6).alias("exp_a"),
+        F.round(
+            (F.col("obs_a") - F.col("exp_a"))
+            * (F.col("obs_a") - F.col("exp_a"))
+            / F.col("var_a"),
+            6,
+        ).alias("chi2"),
+    )

@@ -3082,6 +3082,20 @@ def q_schema_drift(spark, sf_dir):
     return profiling.schema_drift(ev, "props", "ts")
 
 
+def q_ratio_ci(spark, sf_dir):
+    """Cluster-aware CI for mean value per event with users as
+    sampling units (delta-method ratio estimator)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.cluster_ratio_ci(ev, "event_type", "user_id", "value")
+
+
+def q_logrank_test(spark, sf_dir):
+    """Log-rank test of signup→purchase conversion between md5-half
+    user cohorts (A/A harness: chi2 should be small)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.logrank_test(ev)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -3097,9 +3111,9 @@ QUERIES = {
     # (4) the r4-green 50 rotate to the tail, covered by the local
     # mirror (tools/check_correctness.py, 0 failures full-registry).
     # --- (0) newest (late-r5 session): never checked anywhere but the
-    # local mirror — they outrank even the earlier r5 batch. 45 entries
-    # bm25_topk..schema_drift; the driver's 50-entry window therefore
-    # covers these plus the first ~5 of the earlier batch. ---
+    # local mirror — they outrank even the earlier r5 batch. 47 entries
+    # bm25_topk..logrank_test; the driver's 50-entry window therefore
+    # covers these plus the first 3 of the earlier batch. ---
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "semdedup": q_semdedup,
@@ -3148,6 +3162,8 @@ QUERIES = {
     "hashing_trick_audit": q_hashing_trick_audit,
     "path_conformance": q_path_conformance,
     "schema_drift": q_schema_drift,
+    "ratio_ci": q_ratio_ci,
+    "logrank_test": q_logrank_test,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -9457,4 +9473,95 @@ ORACLES["schema_drift"] = """
                 WHEN n2 = 0 THEN 'dropped'
                 ELSE 'stable' END AS status
     FROM cnt CROSS JOIN rows_
+"""
+
+
+ORACLES["ratio_ci"] = """
+    WITH per_unit AS (
+      SELECT event_type AS g, user_id AS u,
+             CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS y,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g,
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(x) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(y * x AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(CAST(x AS DOUBLE) * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM per_unit GROUP BY 1
+    )
+    SELECT g AS "group", n_units, n_rows,
+           round(sy / sx, 6) AS ratio,
+           round(sqrt(CAST(n_units AS DOUBLE) / (n_units - 1)
+                      * greatest(syy - 2.0 * (sy / sx) * sxy
+                                 + (sy / sx) * (sy / sx) * sxx, 0.0)) / sx, 6)
+             AS se_cluster,
+           round(sy / sx - 1.959964
+                 * sqrt(CAST(n_units AS DOUBLE) / (n_units - 1)
+                        * greatest(syy - 2.0 * (sy / sx) * sxy
+                                   + (sy / sx) * (sy / sx) * sxx, 0.0)) / sx, 6)
+             AS ci_lo,
+           round(sy / sx + 1.959964
+                 * sqrt(CAST(n_units AS DOUBLE) / (n_units - 1)
+                        * greatest(syy - 2.0 * (sy / sx) * sxy
+                                   + (sy / sx) * (sy / sx) * sxx, 0.0)) / sx, 6)
+             AS ci_hi
+    FROM agg WHERE n_units > 1
+"""
+
+ORACLES["logrank_test"] = """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ty FROM events
+    ),
+    endo AS (SELECT max(t) AS e FROM base),
+    starts AS (SELECT u, min(t) AS t0 FROM base WHERE ty = 'signup' GROUP BY 1),
+    convs AS (
+      SELECT b.u, min(t) AS t1
+      FROM base b JOIN starts s ON b.u = s.u
+      WHERE ty = 'purchase' AND t > t0 GROUP BY 1
+    ),
+    users AS (
+      SELECT starts.u,
+             CASE WHEN substring(md5(CAST(starts.u AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS a,
+             CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST(floor((COALESCE(t1, e) - t0) / 86400000000) AS BIGINT) AS dur
+      FROM starts LEFT JOIN convs ON starts.u = convs.u CROSS JOIN endo
+    ),
+    periods AS (SELECT DISTINCT dur AS tt FROM users WHERE ev = 1),
+    at_risk AS (SELECT users.*, tt FROM users JOIN periods ON dur >= tt),
+    per_t AS (
+      SELECT tt,
+             CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN a = 1 AND ev = 1 AND dur = tt THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN a = 0 AND ev = 1 AND dur = tt THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM at_risk GROUP BY 1
+    ),
+    sums AS (
+      SELECT CAST(sum(CAST(d1 AS DECIMAL(38,12))) AS DOUBLE) AS obs_a,
+             CAST(sum(CAST((d1 + d2) * CAST(n1 AS DOUBLE) / (n1 + n2)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS exp_a,
+             CAST(sum(CAST(CASE WHEN n1 + n2 > 1
+                                THEN (d1 + d2) * (CAST(n1 AS DOUBLE) / (n1 + n2))
+                                     * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n2))
+                                     * (CAST(n1 + n2 AS DOUBLE) - (d1 + d2))
+                                     / (CAST(n1 + n2 AS DOUBLE) - 1.0)
+                                ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS var_a
+      FROM per_t
+    ),
+    counts AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(a) AS BIGINT) AS n_b
+      FROM users
+    )
+    SELECT n_a, n_b,
+           round(obs_a, 6) AS obs_a,
+           round(exp_a, 6) AS exp_a,
+           round((obs_a - exp_a) * (obs_a - exp_a) / var_a, 6) AS chi2
+    FROM counts CROSS JOIN sums
 """

@@ -1127,3 +1127,56 @@ def test_schema_drift_flags_new_and_dropped_keys(spark):
     assert out["new_key"].status == "new" and out["new_key"].n1 == 0
     assert out["stable"].status == "stable"
     assert out["stable"].share1 == 1.0 and out["stable"].share2 == 1.0
+
+
+# ------------------------------------------------------------ cluster_ratio_ci
+
+
+def test_ratio_ci_zero_se_for_constant_per_unit_ratio(spark):
+    # every user contributes value == 2 per event: residuals vanish
+    rows = [(u, "t", 2.0) for u in range(20) for _ in range(u % 3 + 1)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    r = profiling.cluster_ratio_ci(df, "event_type", "user_id", "value").collect()[0]
+    assert r.ratio == 2.0 and r.se_cluster == 0.0
+    assert r.ci_lo == 2.0 and r.ci_hi == 2.0
+
+
+def test_ratio_ci_widens_with_cluster_heterogeneity(spark):
+    homog = [(u, "t", 5.0) for u in range(20) for _ in range(3)]
+    heterog = [(u, "t", 10.0 if u % 2 == 0 else 0.0) for u in range(20) for _ in range(3)]
+    mk = lambda rows: spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    se_h = profiling.cluster_ratio_ci(mk(homog), "event_type", "user_id", "value").collect()[0].se_cluster
+    se_x = profiling.cluster_ratio_ci(mk(heterog), "event_type", "user_id", "value").collect()[0].se_cluster
+    assert se_x > se_h
+
+
+# ---------------------------------------------------------------- logrank_test
+
+
+def test_logrank_identical_cohorts_small_chi2(spark):
+    # every user signs up at t=0 and converts after (u % 5 + 1) days —
+    # conversion time independent of the hash split -> tiny chi2
+    day = 86400.0
+    rows = [(u, "signup", 0.0) for u in range(60)]
+    rows += [(u, "purchase", (u % 5 + 1) * day) for u in range(60)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, t double") \
+        .selectExpr("user_id", "event_type", "timestamp_seconds(t) AS ts")
+    r = windows.logrank_test(df).collect()[0]
+    assert r.n_a + r.n_b == 60
+    assert r.obs_a + 0 >= 0 and r.chi2 < 4.0  # no real difference
+
+
+def test_logrank_detects_separated_cohorts(spark):
+    # conversion time ALIGNED with the hash split: A converts day 1,
+    # B converts day 10 -> large chi2
+    import hashlib
+    day = 86400.0
+    rows = []
+    for u in range(80):
+        is_a = hashlib.md5(str(u).encode()).hexdigest()[0] in "01234567"
+        rows.append((u, "signup", 0.0))
+        rows.append((u, "purchase", (1.0 if is_a else 10.0) * day))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, t double") \
+        .selectExpr("user_id", "event_type", "timestamp_seconds(t) AS ts")
+    r = windows.logrank_test(df).collect()[0]
+    assert r.chi2 > 10.0

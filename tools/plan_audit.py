@@ -69,6 +69,8 @@ AUDITED = [
     "hashing_trick_audit",
     "path_conformance",
     "schema_drift",
+    "ratio_ci",
+    "logrank_test",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -388,6 +390,10 @@ CHECKS = {
     "path_conformance": ["Window", "HashAggregate", "!CartesianProduct"],
     # map-only json_object_keys explode; key-grain counts
     "schema_drift": ["Generate", "HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # unit-grain then group-grain moment aggregations; no join
+    "ratio_ci": ["HashAggregate", "!Join"],
+    # per-user durations + bounded non-equi join against period list
+    "logrank_test": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
