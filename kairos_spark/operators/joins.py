@@ -469,12 +469,15 @@ def incremental_join_audit(
             l.join(r, key)
             .agg(
                 F.count("*").cast("long").alias("n_rows"),
-                F.round(
-                    F.coalesce(
-                        F.sum(F.col(value_col).cast("decimal(38,12)")).cast("double"),
-                        F.lit(0.0),
-                    ),
-                    6,
+                # round the exact DECIMAL, THEN cast: at grand-total
+                # magnitude (1e9+) round-6 exceeds double precision and
+                # engines disagree on the post-cast rounding; rounding
+                # the decimal keeps both engines on one exact value
+                F.coalesce(
+                    F.round(
+                        F.sum(F.col(value_col).cast("decimal(38,12)")), 6
+                    ).cast("double"),
+                    F.lit(0.0),
                 ).alias("value_sum"),
             )
             .select(F.lit(name).alias("component"), "n_rows", "value_sum")

@@ -2905,8 +2905,17 @@ def q_event_study(spark, sf_dir):
 
 def q_dedup_threshold_sweep(spark, sf_dir):
     """One-pass dedup-threshold sweep over exact n-gram Jaccard pairs:
-    surviving pairs and keep-first drops at 0.1/0.2/0.3."""
-    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    surviving pairs and keep-first drops at 0.1/0.2/0.3. Runs on a
+    deterministic 1-in-5 doc sample — the same guard as
+    prefix_jaccard_sample (BASELINE.md): this synthetic corpus is
+    adversarially dup-heavy, and at a 0.05 capture threshold the FULL
+    sf0.1 pair table is near-clique-quadratic in the OUTPUT (measured:
+    >10 min on both engines), a property of the data, not the sweep."""
+    d = (
+        _tbl(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
     pairs = dedup.ngram_jaccard_pairs(d, n=8, threshold=0.05)
     return dedup.jaccard_threshold_sweep(pairs, [0.1, 0.2, 0.3])
 
@@ -8877,7 +8886,16 @@ ORACLES["event_study"] = """
 """
 
 ORACLES["dedup_threshold_sweep"] = """
-    WITH """ + _SHINGLE_CTE + """,
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS n
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    idx AS (
+        SELECT doc_id, n,
+               unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+        FROM norm
+    ),
+    sh AS (SELECT DISTINCT doc_id, substr(n, i, 8) AS s FROM idx),
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -9142,23 +9160,23 @@ ORACLES["incremental_join"] = """
     fo AS (SELECT * FROM ob UNION ALL SELECT * FROM od),
     fl AS (SELECT * FROM lb UNION ALL SELECT * FROM ld)
     SELECT 'base' AS component, CAST(count(*) AS BIGINT) AS n_rows,
-           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6) AS value_sum
+           CAST(COALESCE(round(sum(CAST(l_extendedprice AS DECIMAL(38,12))), 6), 0) AS DOUBLE) AS value_sum
     FROM ob JOIN lb USING (o_orderkey)
     UNION ALL
     SELECT 'delta_l', CAST(count(*) AS BIGINT),
-           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6)
+           CAST(COALESCE(round(sum(CAST(l_extendedprice AS DECIMAL(38,12))), 6), 0) AS DOUBLE)
     FROM od JOIN lb USING (o_orderkey)
     UNION ALL
     SELECT 'delta_r', CAST(count(*) AS BIGINT),
-           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6)
+           CAST(COALESCE(round(sum(CAST(l_extendedprice AS DECIMAL(38,12))), 6), 0) AS DOUBLE)
     FROM ob JOIN ld USING (o_orderkey)
     UNION ALL
     SELECT 'delta_both', CAST(count(*) AS BIGINT),
-           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6)
+           CAST(COALESCE(round(sum(CAST(l_extendedprice AS DECIMAL(38,12))), 6), 0) AS DOUBLE)
     FROM od JOIN ld USING (o_orderkey)
     UNION ALL
     SELECT 'full', CAST(count(*) AS BIGINT),
-           round(COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE), 0.0), 6)
+           CAST(COALESCE(round(sum(CAST(l_extendedprice AS DECIMAL(38,12))), 6), 0) AS DOUBLE)
     FROM fo JOIN fl USING (o_orderkey)
 """
 
