@@ -3543,3 +3543,104 @@ def cluster_ratio_ci(
         F.round(r - float(z) * se, 6).alias("ci_lo"),
         F.round(r + float(z) * se, 6).alias("ci_hi"),
     )
+
+
+def qq_shift_fit(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Quantile-quantile drift fit between the first and second time
+    half, per group: regress the second half's deciles on the first's
+    (OLS over the 9 matched quantile pairs). Where KS/CvM/W₁ say HOW
+    MUCH the distribution moved, the QQ line says HOW — slope ≈ scale
+    ratio, intercept ≈ location shift (slope 1/intercept 0 = no
+    drift; slope 1/intercept 5 = pure +5 shift; slope 2/intercept 0 =
+    pure spread doubling). Returns (name, slope, intercept).
+
+    Exactness: deciles are the shared R-7 interpolated percentile;
+    the 9-point OLS uses DECIMAL moment sums. Scale shape: exact
+    per-half percentiles per group (one aggregation), then all
+    fitting on 9-row-per-group tables."""
+    scal = df.agg(
+        F.floor(
+            (F.min(F.unix_micros(F.col(ts_col))) + F.max(F.unix_micros(F.col(ts_col))))
+            / 2
+        )
+        .cast("long")
+        .alias("__mid")
+    )
+    half = F.when(F.unix_micros(F.col(ts_col)) <= F.col("__mid"), 1).otherwise(2)
+    probs = [i / 10.0 for i in range(1, 10)]
+    parr = F.array(*[F.lit(p) for p in probs])
+    base = df.crossJoin(F.broadcast(scal)).select(
+        F.col(group_col).alias("name"),
+        half.alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    qs = base.groupBy("name", "h").agg(F.percentile(F.col("v"), parr).alias("q"))
+    pairs = (
+        qs.where(F.col("h") == 1)
+        .select("name", F.posexplode("q").alias("i", "q1"))
+        .join(
+            qs.where(F.col("h") == 2).select(
+                "name", F.posexplode("q").alias("i", "q2")
+            ),
+            ["name", "i"],
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    agg = pairs.groupBy("name").agg(
+        F.count("*").cast("double").alias("n"),
+        dec(F.col("q1")).alias("sx"),
+        dec(F.col("q2")).alias("sy"),
+        dec(F.col("q1") * F.col("q2")).alias("sxy"),
+        dec(F.col("q1") * F.col("q1")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "name",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )
+
+
+def chao1_richness(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary
+    (Chao 1984): V̂ = V_obs + F₁²/(2·F₂), where F₁/F₂ are the counts
+    of tokens seen exactly once/twice. The ecology estimator applied
+    to corpora answers "how much vocabulary would more crawling
+    surface?" — the budget question Heaps-law extrapolation
+    (vocab_growth) fits from the curve and Chao1 answers from one
+    snapshot. Returns ONE row: (v_obs, f1, f2, chao1,
+    unseen_share).
+
+    One vocabulary-grain aggregation, one frequency-of-frequency
+    aggregation; exact integer counts, one closed-form double."""
+    from kairos_spark.operators.text import word_tokens
+
+    toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
+    agg = vocab.agg(
+        F.count("*").cast("long").alias("v_obs"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    # bias-corrected form when F2 = 0: F1(F1-1)/2 (Chao 1987)
+    extra = F.when(
+        F.col("f2") > 0,
+        F.col("f1").cast("double") * F.col("f1") / (2.0 * F.col("f2")),
+    ).otherwise(F.col("f1").cast("double") * (F.col("f1") - 1) / 2.0)
+    return agg.select(
+        "v_obs",
+        "f1",
+        "f2",
+        F.round(F.col("v_obs") + extra, 6).alias("chao1"),
+        F.round(extra / (F.col("v_obs") + extra), 6).alias("unseen_share"),
+    )

@@ -3105,6 +3105,20 @@ def q_logrank_test(spark, sf_dir):
     return windows.logrank_test(ev)
 
 
+def q_qq_shift_fit(spark, sf_dir):
+    """QQ line between event-time halves per type: slope = scale
+    ratio, intercept = location shift (drift decomposition)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return profiling.qq_shift_fit(ev)
+
+
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 unseen-vocabulary estimate from singleton/doubleton token
+    counts — coverage from one snapshot."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return profiling.chao1_richness(docs)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
@@ -3120,9 +3134,9 @@ QUERIES = {
     # (4) the r4-green 50 rotate to the tail, covered by the local
     # mirror (tools/check_correctness.py, 0 failures full-registry).
     # --- (0) newest (late-r5 session): never checked anywhere but the
-    # local mirror — they outrank even the earlier r5 batch. 47 entries
-    # bm25_topk..logrank_test; the driver's 50-entry window therefore
-    # covers these plus the first 3 of the earlier batch. ---
+    # local mirror — they outrank even the earlier r5 batch. 49 entries
+    # bm25_topk..chao1_richness; the driver's 50-entry window therefore
+    # covers these plus ks_drift from the earlier batch. ---
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "semdedup": q_semdedup,
@@ -3173,6 +3187,8 @@ QUERIES = {
     "schema_drift": q_schema_drift,
     "ratio_ci": q_ratio_ci,
     "logrank_test": q_logrank_test,
+    "qq_shift_fit": q_qq_shift_fit,
+    "chao1_richness": q_chao1_richness,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
     "dup_inflation": q_dup_inflation,
@@ -9582,4 +9598,72 @@ ORACLES["logrank_test"] = """
            round(exp_a, 6) AS exp_a,
            round((obs_a - exp_a) * (obs_a - exp_a) / var_a, 6) AS chi2
     FROM counts CROSS JOIN sums
+"""
+
+
+ORACLES["qq_shift_fit"] = """
+    WITH scal AS (
+      SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid
+      FROM events
+    ),
+    base AS (
+      SELECT event_type AS name,
+             CASE WHEN epoch_us(ts) <= (SELECT mid FROM scal) THEN 1 ELSE 2 END AS h,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+    ),
+    qs AS (
+      SELECT name, h,
+             quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+      FROM base GROUP BY 1, 2
+    ),
+    e1 AS (
+      SELECT name, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS q1
+      FROM qs WHERE h = 1
+    ),
+    e2 AS (
+      SELECT name, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS q2
+      FROM qs WHERE h = 2
+    ),
+    pairs AS (SELECT e1.name, q1, q2 FROM e1 JOIN e2 ON e1.name = e2.name AND e1.i = e2.i),
+    agg AS (
+      SELECT name,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(q1 AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(q2 AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(q1 * q2 AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(q1 * q1 AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM pairs GROUP BY 1
+    )
+    SELECT name,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM agg
+"""
+
+ORACLES["chao1_richness"] = """
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS v_obs,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM vocab
+    )
+    SELECT v_obs, f1, f2,
+           round(v_obs + CASE WHEN f2 > 0
+                              THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+                              ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END, 6) AS chao1,
+           round(CASE WHEN f2 > 0
+                      THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+                      ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END
+                 / (v_obs + CASE WHEN f2 > 0
+                                 THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+                                 ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END), 6)
+             AS unseen_share
+    FROM agg
 """

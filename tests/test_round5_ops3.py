@@ -1180,3 +1180,45 @@ def test_logrank_detects_separated_cohorts(spark):
         .selectExpr("user_id", "event_type", "timestamp_seconds(t) AS ts")
     r = windows.logrank_test(df).collect()[0]
     assert r.chi2 > 10.0
+
+
+# ---------------------------------------------------------------- qq_shift_fit
+
+
+def test_qq_recovers_pure_shift_and_scale(spark):
+    base_vals = [float(v) for v in range(1, 41)]
+    shift = profiling.qq_shift_fit(
+        _halves(spark, base_vals, [v + 7.0 for v in base_vals])
+    ).collect()[0]
+    assert abs(shift.slope - 1.0) < 1e-6 and abs(shift.intercept - 7.0) < 1e-6
+    scale = profiling.qq_shift_fit(
+        _halves(spark, base_vals, [v * 3.0 for v in base_vals])
+    ).collect()[0]
+    assert abs(scale.slope - 3.0) < 1e-6 and abs(scale.intercept) < 1e-6
+
+
+def test_qq_identity_for_identical_halves(spark):
+    vals = [float((v * 7) % 23) for v in range(40)]
+    r = profiling.qq_shift_fit(_halves(spark, vals, vals)).collect()[0]
+    assert abs(r.slope - 1.0) < 1e-6 and abs(r.intercept) < 1e-6
+
+
+# -------------------------------------------------------------- chao1_richness
+
+
+def test_chao1_exact_formula(spark):
+    # vocabulary: a x3, b x1, c x1, d x2 -> V=4, F1=2, F2=1
+    # chao1 = 4 + 2^2/(2*1) = 6
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "c d d")], "doc_id long, text string"
+    )
+    r = profiling.chao1_richness(docs).collect()[0]
+    assert (r.v_obs, r.f1, r.f2) == (4, 2, 1)
+    assert r.chao1 == 6.0
+    assert abs(r.unseen_share - 2.0 / 6.0) < 1e-6
+
+
+def test_chao1_no_singletons_means_no_unseen(spark):
+    docs = spark.createDataFrame([(0, "a a b b c c")], "doc_id long, text string")
+    r = profiling.chao1_richness(docs).collect()[0]
+    assert r.f1 == 0 and r.chao1 == float(r.v_obs) and r.unseen_share == 0.0

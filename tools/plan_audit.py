@@ -71,6 +71,8 @@ AUDITED = [
     "schema_drift",
     "ratio_ci",
     "logrank_test",
+    "qq_shift_fit",
+    "chao1_richness",
     "ts_count_series_hour",
     "ts_fine_hour_minute",
     "ts_spine_gapfill",
@@ -394,6 +396,10 @@ CHECKS = {
     "ratio_ci": ["HashAggregate", "!Join"],
     # per-user durations + bounded non-equi join against period list
     "logrank_test": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # exact per-half percentiles; fit on 9-row-per-group tables
+    "qq_shift_fit": ["HashAggregate", "Generate", "!CartesianProduct"],
+    # vocab-grain then frequency-of-frequency aggregation; no join
+    "chao1_richness": ["HashAggregate", "!Join"],
     "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual", "HashAggregate"],
     "revenue_by_nation": ["BroadcastHashJoin"],
     "ts_count_series_hour": ["HashAggregate"],
