@@ -3133,10 +3133,10 @@ QUERIES = {
     # re-checks); (3) pipeline entries CORRECTNESS_r04 did not reach;
     # (4) the r4-green 50 rotate to the tail, covered by the local
     # mirror (tools/check_correctness.py, 0 failures full-registry).
-    # --- (0) newest (late-r5 session): never checked anywhere but the
-    # local mirror — they outrank even the earlier r5 batch. 49 entries
-    # bm25_topk..chao1_richness; the driver's 50-entry window therefore
-    # covers these plus ks_drift from the earlier batch. ---
+    # --- (0) late-r5 session: 36 never-driver-checked entries lead,
+    # then the 14 ts_* reference-parity re-checks fill the 50-entry
+    # window (VERDICT r4 item 3); the remaining 16 late-r5 statistical
+    # entries sit just below the window, mirror-green at both SFs. ---
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "semdedup": q_semdedup,
@@ -3158,12 +3158,6 @@ QUERIES = {
     "ab_lift": q_ab_lift,
     "simpson_check": q_simpson_check,
     "post_stratified_mean": q_post_stratified_mean,
-    "capture_recapture": q_capture_recapture,
-    "powerlaw_alpha": q_powerlaw_alpha,
-    "scale_drift": q_scale_drift,
-    "rbo_rankings": q_rbo_rankings,
-    "churn_auc": q_churn_auc,
-    "session_gap_sweep": q_session_gap_sweep,
     "langid_kappa": q_langid_kappa,
     "event_study": q_event_study,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
@@ -3179,6 +3173,34 @@ QUERIES = {
     "wasserstein_drift": q_wasserstein_drift,
     "variance_decomposition": q_variance_decomposition,
     "ship_lag_percentiles": q_ship_lag_percentiles,
+    # --- ts_* reference-parity re-checks (VERDICT r4 item 3): last
+    # driver-green in r2; re-slotted INSIDE the 50-entry window ahead
+    # of the newest statistical entries so CORRECTNESS_r05 carries
+    # fresh rows for the 2.1/2.2 core on this round's testdata. ---
+    "ts_properties": q_ts_properties,
+    "ts_list_names": q_ts_list_names,
+    "ts_greg_daily": q_ts_greg_daily,
+    "ts_greg_weekly": q_ts_greg_weekly,
+    "ts_greg_monthly_rate": q_ts_greg_monthly_rate,
+    "ts_fanout_minute": q_ts_fanout_minute,
+    "ts_retention_filter": q_ts_retention_filter,
+    "ts_histogram_transforms": q_ts_histogram_transforms,
+    "ts_histogram_rate": q_ts_histogram_rate,
+    "ts_histogram_percentiles": q_ts_histogram_percentiles,
+    "ts_variance_collapse": q_ts_variance_collapse,
+    "ts_gauge_join": q_ts_gauge_join,
+    "ts_series_condense_order": q_ts_series_condense_order,
+    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
+    "ts_multires_rollup": q_ts_multires_rollup,
+    "ts_iterate_full": q_ts_iterate_full,
+    # --- late-r5 statistical entries deferred below the window
+    # (mirror-green at sf0.01 AND sf0.1; first driver check in r6) ---
+    "capture_recapture": q_capture_recapture,
+    "powerlaw_alpha": q_powerlaw_alpha,
+    "scale_drift": q_scale_drift,
+    "rbo_rankings": q_rbo_rankings,
+    "churn_auc": q_churn_auc,
+    "session_gap_sweep": q_session_gap_sweep,
     "wilson_ci": q_wilson_ci,
     "mann_kendall": q_mann_kendall,
     "peak_detection": q_peak_detection,
@@ -3224,23 +3246,6 @@ QUERIES = {
     "dedup_recall": q_dedup_recall,
     "audience_overlap": q_audience_overlap,
     "multimodal_features": q_multimodal_features,
-    # --- (2) ts_* parity re-checks, driver-stale since r2 ---
-    "ts_properties": q_ts_properties,
-    "ts_list_names": q_ts_list_names,
-    "ts_greg_daily": q_ts_greg_daily,
-    "ts_greg_weekly": q_ts_greg_weekly,
-    "ts_greg_monthly_rate": q_ts_greg_monthly_rate,
-    "ts_fanout_minute": q_ts_fanout_minute,
-    "ts_retention_filter": q_ts_retention_filter,
-    "ts_histogram_transforms": q_ts_histogram_transforms,
-    "ts_histogram_rate": q_ts_histogram_rate,
-    "ts_histogram_percentiles": q_ts_histogram_percentiles,
-    "ts_variance_collapse": q_ts_variance_collapse,
-    "ts_gauge_join": q_ts_gauge_join,
-    "ts_series_condense_order": q_ts_series_condense_order,
-    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
-    "ts_multires_rollup": q_ts_multires_rollup,
-    "ts_iterate_full": q_ts_iterate_full,
     # --- r5 tail-new (positions 51+): local-oracle green, first driver
     # check lands in round 6 — placed BELOW the stale ts_* parity block
     # so new entries don't push parity re-checks out of the 50-window ---
