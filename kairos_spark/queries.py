@@ -3124,77 +3124,22 @@ def q_chao1_richness(spark, sf_dir):
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
 # the tail is cut again.
 QUERIES = {
-    # --- registry order drives the driver's 50-entry correctness budget. ---
-    # Round-5 rotation (CLAUDE.md rule): (1) queries NEW this round lead
-    # (never driver-checked), then the 7 round-4 tail-new entries and
-    # multimodal_features (oracle-less in r1-r4, now exact); (2) the
-    # reference-parity ts_* rows last driver-checked in r2 (testdata ts
-    # encoding churns between rounds — re-verify ahead of pipeline
-    # re-checks); (3) pipeline entries CORRECTNESS_r04 did not reach;
-    # (4) the r4-green 50 rotate to the tail, covered by the local
-    # mirror (tools/check_correctness.py, 0 failures full-registry).
-    # --- (0) late-r5 session: 36 never-driver-checked entries lead,
-    # then the 14 ts_* reference-parity re-checks fill the 50-entry
-    # window (VERDICT r4 item 3); the remaining 16 late-r5 statistical
-    # entries sit just below the window, mirror-green at both SFs. ---
-    "bm25_topk": q_bm25_topk,
-    "rrf_fusion": q_rrf_fusion,
-    "semdedup": q_semdedup,
-    "interval_proration": q_interval_proration,
-    "conformal_coverage": q_conformal_coverage,
-    "quantile_normalize": q_quantile_normalize,
-    "media_signature_buckets": q_media_signature_buckets,
-    "coactivity_kcore": q_coactivity_kcore,
-    "weight_ess": q_weight_ess,
-    "cvm_drift": q_cvm_drift,
-    "table_fingerprint": q_table_fingerprint,
-    "ipf_raking": q_ipf_raking,
-    "srm_audit": q_srm_audit,
-    "drift_fdr": q_drift_fdr,
-    "freshness_audit": q_freshness_audit,
-    "policy_replay": q_policy_replay,
-    "growth_accounting": q_growth_accounting,
-    "vocab_coverage": q_vocab_coverage,
-    "ab_lift": q_ab_lift,
-    "simpson_check": q_simpson_check,
-    "post_stratified_mean": q_post_stratified_mean,
-    "langid_kappa": q_langid_kappa,
-    "event_study": q_event_study,
-    "dedup_threshold_sweep": q_dedup_threshold_sweep,
-    "did_estimate": q_did_estimate,
-    "source_similarity": q_source_similarity,
-    "absorption_prob": q_absorption_prob,
-    "bfs_reach": q_bfs_reach,
-    "audience_stability": q_audience_stability,
-    "max_drawdown": q_max_drawdown,
-    "zonemap_prune": q_zonemap_prune,
-    "incremental_join": q_incremental_join,
-    "theil_decomposition": q_theil_decomposition,
-    "wasserstein_drift": q_wasserstein_drift,
-    "variance_decomposition": q_variance_decomposition,
-    "ship_lag_percentiles": q_ship_lag_percentiles,
-    # --- ts_* reference-parity re-checks (VERDICT r4 item 3): last
-    # driver-green in r2; re-slotted INSIDE the 50-entry window ahead
-    # of the newest statistical entries so CORRECTNESS_r05 carries
-    # fresh rows for the 2.1/2.2 core on this round's testdata. ---
-    "ts_properties": q_ts_properties,
-    "ts_list_names": q_ts_list_names,
-    "ts_greg_daily": q_ts_greg_daily,
-    "ts_greg_weekly": q_ts_greg_weekly,
-    "ts_greg_monthly_rate": q_ts_greg_monthly_rate,
-    "ts_fanout_minute": q_ts_fanout_minute,
-    "ts_retention_filter": q_ts_retention_filter,
-    "ts_histogram_transforms": q_ts_histogram_transforms,
-    "ts_histogram_rate": q_ts_histogram_rate,
-    "ts_histogram_percentiles": q_ts_histogram_percentiles,
-    "ts_variance_collapse": q_ts_variance_collapse,
-    "ts_gauge_join": q_ts_gauge_join,
-    "ts_series_condense_order": q_ts_series_condense_order,
-    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
-    "ts_multires_rollup": q_ts_multires_rollup,
-    "ts_iterate_full": q_ts_iterate_full,
-    # --- late-r5 statistical entries deferred below the window
-    # (mirror-green at sf0.01 AND sf0.1; first driver check in r6) ---
+    # --- Round-6 rotation (CLAUDE.md rule + VERDICT r5 item 1): ZERO new
+    # queries this round; the 50-slot driver window is filled entirely from
+    # the 106-entry never-driver-checked backlog. Order: (a) the 7 round-4
+    # tail-new entries (two rounds stale, r4 verdict item 1); (b)
+    # multimodal_features (exact byte-featurization oracle since r5, first
+    # driver check); (c) the 16 deferred late-r5 statistical entries; (d) 26
+    # of the 27 earlier-r5 entries (pseudonym_audit spills to position 51).
+    # All are local-mirror green at sf0.01 AND sf0.1. ---
+    "source_scorecard": q_source_scorecard,
+    "langid_metrics": q_langid_metrics,
+    "conversion_latency": q_conversion_latency,
+    "supplier_pareto": q_supplier_pareto,
+    "gini_activity": q_gini_activity,
+    "dedup_recall": q_dedup_recall,
+    "audience_overlap": q_audience_overlap,
+    "multimodal_features": q_multimodal_features,
     "capture_recapture": q_capture_recapture,
     "powerlaw_alpha": q_powerlaw_alpha,
     "scale_drift": q_scale_drift,
@@ -3237,18 +3182,10 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,
     "grouped_weighted_sample": q_grouped_weighted_sample,
     "decayed_topk": q_decayed_topk,
+    # --- positions 51+: the 56-entry never-driver-checked remainder
+    # (pseudonym_audit + the 55 r5 tail-new) queued for the r7 window;
+    # covered by the local mirror (tools/check_correctness.py) until then ---
     "pseudonym_audit": q_pseudonym_audit,
-    "source_scorecard": q_source_scorecard,
-    "langid_metrics": q_langid_metrics,
-    "conversion_latency": q_conversion_latency,
-    "supplier_pareto": q_supplier_pareto,
-    "gini_activity": q_gini_activity,
-    "dedup_recall": q_dedup_recall,
-    "audience_overlap": q_audience_overlap,
-    "multimodal_features": q_multimodal_features,
-    # --- r5 tail-new (positions 51+): local-oracle green, first driver
-    # check lands in round 6 — placed BELOW the stale ts_* parity block
-    # so new entries don't push parity re-checks out of the 50-window ---
     "autocorr_hourly": q_autocorr_hourly,
     "transition_entropy": q_transition_entropy,
     "join_size_est": q_join_size_est,
@@ -3258,7 +3195,55 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "distinctive_terms": q_distinctive_terms,
     "categorical_drift": q_categorical_drift,
-    # --- (3) pipeline entries the r4 window did not reach ---
+    "k_anonymity": q_k_anonymity,
+    "dp_noisy_counts": q_dp_noisy_counts,
+    "calibration_bins": q_calibration_bins,
+    "filter_sweep": q_filter_sweep,
+    "vocab_growth": q_vocab_growth,
+    "burstiness": q_burstiness,
+    "forecast_eval": q_forecast_eval,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "entity_clusters": q_entity_clusters,
+    "incremental_rollup": q_incremental_rollup,
+    "corr_matrix": q_corr_matrix,
+    "mutual_info": q_mutual_info,
+    "lift_curve": q_lift_curve,
+    "topk_churn": q_topk_churn,
+    "embedding_drift": q_embedding_drift,
+    "ols2_fit": q_ols2_fit,
+    "json_schema_profile": q_json_schema_profile,
+    "expectations_audit": q_expectations_audit,
+    "grouped_histogram": q_grouped_histogram,
+    "pit_state_join": q_pit_state_join,
+    "cdc_upsert": q_cdc_upsert,
+    "encoding_audit": q_encoding_audit,
+    "token_fertility": q_token_fertility,
+    "calendar_heatmap": q_calendar_heatmap,
+    "attribution_split": q_attribution_split,
+    "split_leakage_audit": q_split_leakage_audit,
+    "group_quantiles": q_group_quantiles,
+    "assoc_rules": q_assoc_rules,
+    "session_entry_exit": q_session_entry_exit,
+    "dist_overlap": q_dist_overlap,
+    "label_centroid_dists": q_label_centroid_dists,
+    "trimmed_mean": q_trimmed_mean,
+    "hapax_rate": q_hapax_rate,
+    "reconciliation_audit": q_reconciliation_audit,
+    "burst_windows": q_burst_windows,
+    "target_encoding": q_target_encoding,
+    "hierarchical_shares": q_hierarchical_shares,
+    "negative_pairs": q_negative_pairs,
+    "mrr_sessions": q_mrr_sessions,
+    "crosscorr_types": q_crosscorr_types,
+    "delta_attribution": q_delta_attribution,
+    "bernoulli_ht_audit": q_bernoulli_ht_audit,
+    "markov_accuracy": q_markov_accuracy,
+    "vocab_drift": q_vocab_drift,
+    "bootstrap_ci_mean": q_bootstrap_ci_mean,
+    "seasonal_quantile_bands": q_seasonal_quantile_bands,
+    # --- r2-r4 driver-green entries, mirror-covered ---
+    "ts_multires_rollup": q_ts_multires_rollup,
+    "ts_iterate_full": q_ts_iterate_full,
     "repetition_stats": q_repetition_stats,
     "word_entropy": q_word_entropy,
     "contamination": q_contamination,
@@ -3314,7 +3299,6 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "sample_split": q_sample_split,
     "stratified_sample": q_stratified_sample,
-    # --- (4) r4-green, rotated to the tail (local-mirror covered) ---
     "session_transitions": q_session_transitions,
     "doc_chunks": q_doc_chunks,
     "inverted_index": q_inverted_index,
@@ -3365,55 +3349,58 @@ QUERIES = {
     "ts_multi_name_merge": q_ts_multi_name_merge,
     "ts_set_cross_series": q_ts_set_cross_series,
     "ts_spine_gapfill": q_ts_spine_gapfill,
-    # --- round-5 TAIL-new (second wave): never driver-checked; rotate to
-    # the FRONT in round 6 per the CLAUDE.md rule. Covered by the local
-    # mirror until then.
-    "k_anonymity": q_k_anonymity,
-    "dp_noisy_counts": q_dp_noisy_counts,
-    "calibration_bins": q_calibration_bins,
-    "filter_sweep": q_filter_sweep,
-    "vocab_growth": q_vocab_growth,
-    "burstiness": q_burstiness,
-    "forecast_eval": q_forecast_eval,
-    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
-    "entity_clusters": q_entity_clusters,
-    "incremental_rollup": q_incremental_rollup,
-    "corr_matrix": q_corr_matrix,
-    "mutual_info": q_mutual_info,
-    "lift_curve": q_lift_curve,
-    "topk_churn": q_topk_churn,
-    "embedding_drift": q_embedding_drift,
-    "ols2_fit": q_ols2_fit,
-    "json_schema_profile": q_json_schema_profile,
-    "expectations_audit": q_expectations_audit,
-    "grouped_histogram": q_grouped_histogram,
-    "pit_state_join": q_pit_state_join,
-    "cdc_upsert": q_cdc_upsert,
-    "encoding_audit": q_encoding_audit,
-    "token_fertility": q_token_fertility,
-    "calendar_heatmap": q_calendar_heatmap,
-    "attribution_split": q_attribution_split,
-    "split_leakage_audit": q_split_leakage_audit,
-    "group_quantiles": q_group_quantiles,
-    "assoc_rules": q_assoc_rules,
-    "session_entry_exit": q_session_entry_exit,
-    "dist_overlap": q_dist_overlap,
-    "label_centroid_dists": q_label_centroid_dists,
-    "trimmed_mean": q_trimmed_mean,
-    "hapax_rate": q_hapax_rate,
-    "reconciliation_audit": q_reconciliation_audit,
-    "burst_windows": q_burst_windows,
-    "target_encoding": q_target_encoding,
-    "hierarchical_shares": q_hierarchical_shares,
-    "negative_pairs": q_negative_pairs,
-    "mrr_sessions": q_mrr_sessions,
-    "crosscorr_types": q_crosscorr_types,
-    "delta_attribution": q_delta_attribution,
-    "bernoulli_ht_audit": q_bernoulli_ht_audit,
-    "markov_accuracy": q_markov_accuracy,
-    "vocab_drift": q_vocab_drift,
-    "bootstrap_ci_mean": q_bootstrap_ci_mean,
-    "seasonal_quantile_bands": q_seasonal_quantile_bands,
+    # --- r5 driver-green window (CORRECTNESS_r05: 50/50 exact), rotated
+    # to the tail per the CLAUDE.md rule; mirror-covered ---
+    "bm25_topk": q_bm25_topk,
+    "rrf_fusion": q_rrf_fusion,
+    "semdedup": q_semdedup,
+    "interval_proration": q_interval_proration,
+    "conformal_coverage": q_conformal_coverage,
+    "quantile_normalize": q_quantile_normalize,
+    "media_signature_buckets": q_media_signature_buckets,
+    "coactivity_kcore": q_coactivity_kcore,
+    "weight_ess": q_weight_ess,
+    "cvm_drift": q_cvm_drift,
+    "table_fingerprint": q_table_fingerprint,
+    "ipf_raking": q_ipf_raking,
+    "srm_audit": q_srm_audit,
+    "drift_fdr": q_drift_fdr,
+    "freshness_audit": q_freshness_audit,
+    "policy_replay": q_policy_replay,
+    "growth_accounting": q_growth_accounting,
+    "vocab_coverage": q_vocab_coverage,
+    "ab_lift": q_ab_lift,
+    "simpson_check": q_simpson_check,
+    "post_stratified_mean": q_post_stratified_mean,
+    "langid_kappa": q_langid_kappa,
+    "event_study": q_event_study,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "did_estimate": q_did_estimate,
+    "source_similarity": q_source_similarity,
+    "absorption_prob": q_absorption_prob,
+    "bfs_reach": q_bfs_reach,
+    "audience_stability": q_audience_stability,
+    "max_drawdown": q_max_drawdown,
+    "zonemap_prune": q_zonemap_prune,
+    "incremental_join": q_incremental_join,
+    "theil_decomposition": q_theil_decomposition,
+    "wasserstein_drift": q_wasserstein_drift,
+    "variance_decomposition": q_variance_decomposition,
+    "ship_lag_percentiles": q_ship_lag_percentiles,
+    "ts_properties": q_ts_properties,
+    "ts_list_names": q_ts_list_names,
+    "ts_greg_daily": q_ts_greg_daily,
+    "ts_greg_weekly": q_ts_greg_weekly,
+    "ts_greg_monthly_rate": q_ts_greg_monthly_rate,
+    "ts_fanout_minute": q_ts_fanout_minute,
+    "ts_retention_filter": q_ts_retention_filter,
+    "ts_histogram_transforms": q_ts_histogram_transforms,
+    "ts_histogram_rate": q_ts_histogram_rate,
+    "ts_histogram_percentiles": q_ts_histogram_percentiles,
+    "ts_variance_collapse": q_ts_variance_collapse,
+    "ts_gauge_join": q_ts_gauge_join,
+    "ts_series_condense_order": q_ts_series_condense_order,
+    "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
 }
 
 ORACLES = dict(_TS_ORACLES)
