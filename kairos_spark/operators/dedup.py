@@ -1087,9 +1087,14 @@ def jaccard_threshold_sweep(
     when() terms, not passes. Compose with ngram_jaccard_pairs (exact,
     small corpora) or the banded LSH pair tables (scale path)."""
     ts = sorted(float(t) for t in thresholds)
+    # coalesce: F.sum over an EMPTY pair table is NULL in both engines;
+    # the repo's no-NULL output invariant wants an explicit 0 (the
+    # oracle mirrors with COALESCE).
     pair_agg = pairs.agg(
         *[
-            F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"__p{i}")
             for i, t in enumerate(ts)
@@ -1098,7 +1103,9 @@ def jaccard_threshold_sweep(
     best = pairs.groupBy("id_b").agg(F.max("jaccard").alias("__bj"))
     drop_agg = best.agg(
         *[
-            F.sum(F.when(F.col("__bj") >= t, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("__bj") >= t, 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"__d{i}")
             for i, t in enumerate(ts)

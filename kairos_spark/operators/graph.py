@@ -152,36 +152,53 @@ def kcore_peel(
     Scale shape per round: one degree aggregation (map-side combined)
     + two semi-joins of the edge list against the surviving-node set —
     all equality hash joins on node ids; nothing quadratic, no driver
-    iteration over rows. Edge count per round only shrinks. Each
-    round's surviving edge list is persisted (MEMORY_AND_DISK): the
-    convergence-trace union references every round, and without the
-    persist Spark would re-derive round i's lineage once per later
-    round — the classic iterative-algorithm cache point (same reason
-    pagerank persists ranks per iteration)."""
-    out_rows = []
+    iteration over rows. Edge count per round only shrinks. Each round
+    is materialized EAGERLY (the standard iterative-algorithm pattern
+    — GraphX/GraphFrames do the same per superstep): the surviving
+    edge list is persisted, its two trace scalars collected, and the
+    superseded round's cache dropped immediately, so at most two
+    rounds' edge lists are cached at any moment and nothing stays
+    cached after return (ADVICE r5: the lazy variant leaked every
+    round's cache into long-lived sessions). The returned trace is a
+    rounds-row local DataFrame; all heavy lifting runs distributed
+    during the eager pass."""
+    spark = edges.sparkSession
+    trace = []
     cur = edges.select("a", "b").persist()
-    for rnd in range(1, rounds + 1):
-        deg = (
-            cur.select(F.explode(F.array("a", "b")).alias("node"))
-            .groupBy("node")
-            .agg(F.count("*").alias("__d"))
-        )
-        keep = deg.where(F.col("__d") >= k).select("node")
-        cur = cur.join(
-            keep.withColumnRenamed("node", "a"), "a", "left_semi"
-        ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi").persist()
-        nodes_left = cur.select(F.col("a").alias("node")).union(
-            cur.select(F.col("b").alias("node"))
-        ).distinct()
-        out_rows.append(
-            nodes_left.agg(F.count("*").cast("long").alias("n_nodes"))
-            .crossJoin(cur.agg(F.count("*").cast("long").alias("n_edges")))
-            .select(F.lit(rnd).cast("long").alias("round"), "n_nodes", "n_edges")
-        )
-    res = out_rows[0]
-    for r in out_rows[1:]:
-        res = res.union(r)
-    return res
+    try:
+        for rnd in range(1, rounds + 1):
+            nxt = _peel_round(cur, k).persist()
+            n_edges = nxt.count()
+            cur.unpersist()
+            cur = nxt
+            n_nodes = (
+                cur.select(F.explode(F.array("a", "b")).alias("node"))
+                .distinct()
+                .count()
+            )
+            trace.append((rnd, n_nodes, n_edges))
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        trace, "round long, n_nodes long, n_edges long"
+    )
+
+
+def _peel_round(cur: DataFrame, k: int) -> DataFrame:
+    """One k-core peel round: degree aggregation (map-side combined) +
+    two LeftSemi hash joins of the edge list against the surviving-node
+    set. Factored out so tests can assert the per-round plan shape
+    (LeftSemi, HashAggregate, no CartesianProduct) that plan_audit.py
+    cannot see on the eager operator's local-relation result."""
+    deg = (
+        cur.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("__d"))
+    )
+    keep = deg.where(F.col("__d") >= k).select("node")
+    return cur.join(
+        keep.withColumnRenamed("node", "a"), "a", "left_semi"
+    ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
 
 
 def cooccurrence_triangles(
@@ -356,9 +373,13 @@ def bfs_reach(
     set — all equality hash joins; frontier size is bounded by the
     reachable set. Seeds are a broadcast-sized dimension carried as a
     column, so all seeds expand in the SAME joins (one pass per hop,
-    not per seed)."""
-    from pyspark.sql.window import Window
-
+    not per seed). Each hop is materialized EAGERLY: the hop's
+    (seed, n_reached) rows — at most ``n_seeds`` of them — are
+    collected and the superseded hop's visited/frontier caches dropped
+    immediately, so at most two hops' state is cached at any moment
+    and nothing stays cached after return (ADVICE r5). The returned
+    trace is a small local DataFrame; the joins run distributed during
+    the eager pass."""
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -375,23 +396,46 @@ def bfs_reach(
     )
     visited = seeds.select("seed", F.col("seed").alias("node"))
     frontier = visited
-    out = []
-    for hop in range(1, hops + 1):
-        nxt = (
-            frontier.join(und, frontier["node"] == und["u"])
-            .select("seed", F.col("v").alias("node"))
-            .distinct()
-            .join(visited, ["seed", "node"], "left_anti")
-        ).persist()
-        visited = visited.union(nxt).persist()
-        out.append(
-            visited.where(F.col("node") != F.col("seed"))
-            .groupBy("seed")
-            .agg(F.count("*").cast("long").alias("n_reached"))
-            .select("seed", F.lit(hop).cast("long").alias("hop"), "n_reached")
-        )
-        frontier = nxt
-    res = out[0]
-    for o in out[1:]:
-        res = res.union(o)
-    return res
+    spark = edges.sparkSession
+    rows = []
+    schema = None
+    cached = []
+    try:
+        for hop in range(1, hops + 1):
+            nxt = _bfs_hop(frontier, und, visited).persist()
+            new_visited = visited.union(nxt).persist()
+            hop_counts = (
+                new_visited.where(F.col("node") != F.col("seed"))
+                .groupBy("seed")
+                .agg(F.count("*").cast("long").alias("n_reached"))
+                .select(
+                    "seed", F.lit(hop).cast("long").alias("hop"), "n_reached"
+                )
+            )
+            schema = hop_counts.schema
+            rows.extend(hop_counts.collect())
+            # new_visited (and nxt inside it) are materialized now;
+            # the superseded hop's caches can go.
+            for df in cached:
+                df.unpersist()
+            cached = [nxt, new_visited]
+            visited = new_visited
+            frontier = nxt
+    finally:
+        for df in cached:
+            df.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+def _bfs_hop(frontier: DataFrame, und: DataFrame, visited: DataFrame) -> DataFrame:
+    """One BFS expansion: frontier ⋈ undirected edges, distinct, then
+    LeftAnti against the visited set. Factored out so tests can assert
+    the per-hop plan shape (LeftAnti, HashAggregate for the distinct,
+    no CartesianProduct) that plan_audit.py cannot see on the eager
+    operator's local-relation result."""
+    return (
+        frontier.join(und, frontier["node"] == und["u"])
+        .select("seed", F.col("v").alias("node"))
+        .distinct()
+        .join(visited, ["seed", "node"], "left_anti")
+    )

@@ -2583,12 +2583,21 @@ def policy_replay(
         .agg(
             F.count("*").cast("long").alias("n_logged"),
             F.sum("m").cast("long").alias("n_matched"),
-            F.round(
-                F.sum(F.when(F.col("m") == 1, F.col("r")).otherwise(F.lit(0.0)).cast("decimal(38,12)"))
-                .cast("double")
-                / F.sum("m"),
-                6,
-            ).alias("replay_mean"),
+            # an arm the hash rule never targets has sum(m)=0; the
+            # unguarded division is NULL in both engines — sentinel
+            # -1.0 keeps the no-NULL output invariant (oracle mirrors
+            # with CASE).
+            F.when(
+                F.sum("m") > 0,
+                F.round(
+                    F.sum(F.when(F.col("m") == 1, F.col("r")).otherwise(F.lit(0.0)).cast("decimal(38,12)"))
+                    .cast("double")
+                    / F.sum("m"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("replay_mean"),
         )
     )
 

@@ -1967,7 +1967,7 @@ def interval_allocate(
     row (start, end, value) explodes into one row per overlapped
     bucket, weighted by overlap seconds / interval length;
     zero-length intervals (point events) allocate fully to their
-    bucket. Returns (bucket_start, allocated, n_intervals) where
+    bucket; malformed intervals (end before start) are dropped. Returns (bucket_start, allocated, n_intervals) where
     ``bucket_start`` is the bucket's epoch-second start, ``allocated``
     sums prorated values in DECIMAL(38,12) (associative — identical
     under any partitioning) rounded to 6, and ``n_intervals`` counts
@@ -1984,7 +1984,11 @@ def interval_allocate(
     b = F.lit(float(bucket_seconds))
     first_b = F.floor(s / b).cast("long")
     last_b = F.floor(e / b).cast("long")
-    rows = df.select(
+    # drop malformed intervals (end before start): Spark's
+    # F.sequence(first, last) would generate a DESCENDING bucket list
+    # (rows with negative fractions) while DuckDB's generate_series
+    # returns empty — filtering makes both engines agree (row vanishes).
+    rows = df.where(e >= s).select(
         s.alias("__s"), e.alias("__e"), v.alias("__v"),
         F.explode(F.sequence(first_b, last_b)).alias("__bkt"),
     )

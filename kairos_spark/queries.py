@@ -8519,9 +8519,10 @@ ORACLES["policy_replay"] = """
     SELECT arm,
            CAST(count(*) AS BIGINT) AS n_logged,
            CAST(sum(m) AS BIGINT) AS n_matched,
-           round(CAST(sum(CAST(CASE WHEN m = 1 THEN r ELSE 0.0 END
-                               AS DECIMAL(38,12))) AS DOUBLE) / sum(m), 6)
-             AS replay_mean
+           CASE WHEN sum(m) > 0 THEN
+             round(CAST(sum(CAST(CASE WHEN m = 1 THEN r ELSE 0.0 END
+                                 AS DECIMAL(38,12))) AS DOUBLE) / sum(m), 6)
+           ELSE -1.0 END AS replay_mean
     FROM matched GROUP BY 1
 """
 
@@ -8919,16 +8920,16 @@ ORACLES["dedup_threshold_sweep"] = """
         WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.05
     ),
     pa AS (
-      SELECT CAST(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
-             CAST(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
-             CAST(sum(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS p2
+      SELECT CAST(COALESCE(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p0,
+             CAST(COALESCE(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p1,
+             CAST(COALESCE(sum(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p2
       FROM pairs
     ),
     best AS (SELECT id_b, max(jaccard) AS bj FROM pairs GROUP BY 1),
     da AS (
-      SELECT CAST(sum(CASE WHEN bj >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
-             CAST(sum(CASE WHEN bj >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
-             CAST(sum(CASE WHEN bj >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      SELECT CAST(COALESCE(sum(CASE WHEN bj >= 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d0,
+             CAST(COALESCE(sum(CASE WHEN bj >= 0.2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d1,
+             CAST(COALESCE(sum(CASE WHEN bj >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d2
       FROM best
     )
     SELECT 0.1 AS threshold, p0 AS n_pairs, d0 AS n_dropped FROM pa CROSS JOIN da

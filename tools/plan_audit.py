@@ -308,8 +308,11 @@ CHECKS = {
     # Arrow-batched feature pass; 16 per-dim means broadcast back onto
     # the exploded (media, dim) rows — a hash join, nothing quadratic
     "media_signature_buckets": ["MapInPandas", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
-    # each peel round = degree agg + two semi-joins on node ids
-    "coactivity_kcore": ["LeftSemi", "HashAggregate", "!CartesianProduct"],
+    # coactivity_kcore: the operator runs eagerly (per-round persist →
+    # collect 2 scalars → unpersist superseded, ADVICE r5) so the
+    # returned trace is a local relation; the per-round plan shape
+    # (LeftSemi + HashAggregate, no cartesian) is asserted by
+    # tests/test_round6_fixes.py on graph._peel_round.
     # pure per-stratum moment aggregation: no join at all
     "weight_ess": ["HashAggregate", "!Join"],
     # same value-grain count table + cumulative window as ks_drift
@@ -362,8 +365,10 @@ CHECKS = {
     "source_similarity": ["HashAggregate", "!CartesianProduct"],
     # fact-scale lead window once; iterations join state-grain tables
     "absorption_prob": ["Window", "HashAggregate", "!CartesianProduct"],
-    # frontier expansion: equality hash joins + anti-joins per hop
-    "bfs_reach": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
+    # bfs_reach: eager per-hop materialization (same ADVICE-r5 cache
+    # fix as coactivity_kcore) returns a local trace; the per-hop
+    # LeftAnti + HashAggregate shape is asserted by
+    # tests/test_round6_fixes.py on graph._bfs_hop.
     # distinct (unit, period) grid self-joined on (unit, period+1)
     "audience_stability": ["HashAggregate", "!CartesianProduct"],
     # bucket-grain cumulative/peak windows over one aggregation
@@ -912,6 +917,26 @@ CHECKS = {
     "ts_set_hour": ["Generate", "HashAggregate", "!Join"],
     "ts_multi_name_merge": ["Generate", "HashAggregate", "!Join"],
     "ts_set_cross_series": ["Generate", "HashAggregate", "!Join"],
+    # bucket-explode Generate + per-bucket window ranks, no join
+    "ts_histogram_percentiles": ["Generate", "Window", "HashAggregate", "!Join"],
+    # two resolutions aggregate from one bucketized scan union — no join
+    "ts_multires_rollup": ["Generate", "HashAggregate", "!Join"],
+    # exact typed percentiles: one aggregation pass, no join/window
+    "value_percentiles": ["HashAggregate", "!Join", "!Window"],
+    # keeper choice joins digest-grain winners back — hash semi path,
+    # small side broadcast; payload never sort-merges
+    "dedup_exact_keep": ["LeftSemi", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    # shingle explode + per-doc min-hash aggregation, no join
+    "minhash_first_hashes": ["Generate", "HashAggregate", "!Join"],
+    # brute-force scorer is map-only scan + global top-k: no sort of
+    # the full table, no join anywhere
+    "ann_cosine_topk": ["TakeOrderedAndProject", "!Sort ", "!Join"],
+    # fine-grain read re-bucketizes the coarse scan: Generate + agg,
+    # interval filter pushed to the parquet scan
+    "ts_fine_hour_minute": ["Generate", "HashAggregate", "PushedFilters", "!Join"],
+    # spine join fills gaps: bucket spine broadcasts against the agg —
+    # hash join, never degenerate
+    "ts_spine_gapfill": ["Generate", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
     # dedup_clusters / dedup_clusters_lsh: EXEMPT from plan assertions —
     # the returned DataFrame is the post-convergence result of the
     # pointer-jumping loop (per-iteration plans are the thing with
