@@ -27,13 +27,13 @@ def spark():
 
 @pytest.fixture(autouse=True)
 def _clear_spark_cache(request):
-    """Evict persisted DataFrames after every test. The iterative
-    operators (kcore_peel, bfs_reach) persist intermediate snapshots
-    by design — correct within one query, but across 500+ tests the
-    un-evicted blocks accumulate until the shared 4g test JVM's
-    SparkContext dies mid-suite (observed: everything after the
-    property file failing with 'stopped SparkContext'). One cheap
-    clearCache RPC per test keeps the session bounded."""
+    """Evict persisted DataFrames after every test. The iterative graph
+    operators now unpersist their own intermediates (round-6 ADVICE
+    fix), but this stays as a backstop: across 500+ tests any leaked
+    block accumulates until the shared test JVM's SparkContext dies
+    mid-suite (observed pre-fix: everything after the property file
+    failing with 'stopped SparkContext'). One cheap clearCache RPC per
+    test keeps the session bounded regardless."""
     yield
     if "spark" in request.fixturenames:
         request.getfixturevalue("spark").catalog.clearCache()

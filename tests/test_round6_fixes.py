@@ -128,6 +128,38 @@ def test_interval_allocate_drops_end_before_start(spark):
     assert all(r.n_intervals == 1 for r in out.values())
 
 
+# -------------------------------------------- injectable media decoder
+
+
+def test_extract_features_custom_decoder_plumbs_through(spark):
+    # a decoder callable ships to executors inside the mapInPandas
+    # closure — the exact seam a real Pillow/ffmpeg decode drops into
+    from kairos_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "zzzzzzzz")], "doc_id long, text string"
+    )
+    media = multimodal.attach_media(docs)
+    out = {r.media_id: r for r in multimodal.extract_features(
+        media, decoder=lambda p: [float(len(p))] + [0.0] * 15
+    ).collect()}
+    assert out[1].features[0] == 4.0 and out[2].features[0] == 8.0
+    assert all(len(r.features) == 16 for r in out.values())
+
+
+def test_extract_features_strict_still_raises_without_pil(spark):
+    from kairos_spark.operators import multimodal
+
+    if multimodal._HAS_PIL:  # container gained Pillow: strict decodes
+        return
+    import pytest
+
+    docs = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    media = multimodal.attach_media(docs)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, strict=True).collect()
+
+
 def test_interval_allocate_zero_length_point(spark):
     df = spark.createDataFrame([(3700.0, 3700.0, 4.0)], "s double, e double, v double")
     out = windows.interval_allocate(df, "s", "e", "v", 3600).collect()
