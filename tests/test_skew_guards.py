@@ -184,6 +184,52 @@ def test_winnow_pairs_boilerplate_bucket_killed(spark):
     assert pairs == {(900, 901)}
 
 
+# ------------------------------------------------- salted top-k merge
+
+
+def test_knn_salted_topk_exact_under_candidate_skew(spark):
+    # every query scores against the WHOLE 1200-vector corpus (the
+    # hot-key worst case the two-phase salted merge exists for),
+    # with deliberate cosine ties so the id tiebreak is exercised;
+    # result must equal brute force computed in plain Python
+    from kairos_spark.operators import similarity
+
+    n = 1200
+    vecs = []
+    for i in range(n):
+        th = (i % 40) * math.pi / 80  # 30 duplicates of each angle
+        vecs.append((i, [math.cos(th), math.sin(th)]))
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = corpus.select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    ).where(F.col("vec_id") < 3)
+    res = similarity.knn_join(queries, corpus, k=5, n_salt=8)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.cosine))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    vd = dict(vecs)
+    for q in (0, 1, 2):
+        exp = sorted(
+            ((-cos(vd[q], v), i) for i, v in vecs if i != q)
+        )[:5]
+        assert got[q] == [(r + 1, i, -nc) for r, (nc, i) in enumerate(exp)]
+    # structural guard: no per-query window / global sort of the corpus
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.explain("formatted")
+    t = buf.getvalue()
+    assert "Window" not in t and "CartesianProduct" not in t
+
+
 # --------------------------------------------- prefix-filter structure
 
 
