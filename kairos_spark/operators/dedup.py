@@ -631,7 +631,10 @@ def dedup_recall_audit(
             "n_truth",
             "n_found",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+            # greatest(.., 1): zero planted pairs (corpus with no ids
+            # divisible by mod) must yield recall 0, not NULL — same
+            # guard precision_lb already uses
+            F.round(F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6).alias("recall"),
             F.round(
                 F.col("n_hit") / F.greatest(F.col("n_found"), F.lit(1)), 6
             ).alias("precision_lb"),

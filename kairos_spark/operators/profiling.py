@@ -340,7 +340,11 @@ def fk_conformance(
             "n_child",
             "n_orphans",
             "n_orphan_keys",
-            F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_rate"),
+            # greatest(.., 1): an empty child table must report rate 0,
+            # not NULL (no-NULL output invariant)
+            F.round(
+                F.col("n_orphans") / F.greatest(F.col("n_child"), F.lit(1)), 6
+            ).alias("orphan_rate"),
         )
     )
 

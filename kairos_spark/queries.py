@@ -5282,13 +5282,13 @@ ORACLES["fk_conformance"] = """
     SELECT 'orders.o_custkey' AS fk,
            (SELECT count(*) FROM orders) AS n_child,
            n_orphans, n_orphan_keys,
-           round(n_orphans * 1.0 / (SELECT count(*) FROM orders), 6) AS orphan_rate
+           round(n_orphans * 1.0 / greatest((SELECT count(*) FROM orders), 1), 6) AS orphan_rate
     FROM o_orph
     UNION ALL
     SELECT 'lineitem.l_orderkey',
            (SELECT count(*) FROM lineitem),
            n_orphans, n_orphan_keys,
-           round(n_orphans * 1.0 / (SELECT count(*) FROM lineitem), 6)
+           round(n_orphans * 1.0 / greatest((SELECT count(*) FROM lineitem), 1), 6)
     FROM li_orph
 """
 
@@ -5864,7 +5864,7 @@ ORACLES["dedup_recall"] = r"""
       FROM found JOIN truth ON found.id_a = truth.id_a AND found.id_b = truth.id_b
     )
     SELECT n_truth, n_found, n_hit,
-           round(n_hit * 1.0 / n_truth, 6) AS recall,
+           round(n_hit * 1.0 / greatest(n_truth, 1), 6) AS recall,
            round(n_hit * 1.0 / greatest(n_found, 1), 6) AS precision_lb
     FROM nt, nf, nh
 """

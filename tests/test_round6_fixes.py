@@ -128,6 +128,25 @@ def test_interval_allocate_drops_end_before_start(spark):
     assert all(r.n_intervals == 1 for r in out.values())
 
 
+def test_dedup_recall_audit_zero_truth_yields_zero(spark):
+    # no doc_id divisible by mod -> zero planted pairs -> recall 0.0
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (3, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_recall_audit(docs, mod=4).collect()
+    assert len(out) == 1
+    assert out[0].n_truth == 0
+    assert out[0].recall == 0.0 and out[0].recall is not None
+
+
+def test_fk_conformance_empty_child_yields_zero_rate(spark):
+    child = spark.createDataFrame([], "k long")
+    parent = spark.createDataFrame([(1,)], "k long")
+    out = profiling.fk_conformance(child, parent, "k", "k", "t.k").collect()
+    assert out[0].n_child == 0 and out[0].orphan_rate == 0.0
+
+
 # -------------------------------------------- injectable media decoder
 
 
