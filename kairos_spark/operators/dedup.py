@@ -32,6 +32,23 @@ def _md5_long(col: Column, skip: int = 0) -> Column:
     return F.conv(F.substring(F.md5(col), 1 + skip, 11), 16, 10).cast("long")
 
 
+def _round6_ratio(num: Column, den: Column) -> Column:
+    """round-half-up(num/den, 6) via exact integer arithmetic:
+    floor((2·num·10^6 + den) / (2·den)) / 10^6. Set-overlap ratios are
+    exact rationals that can land EXACTLY on a 7th-decimal midpoint
+    (e.g. 41/640 = 0.0640625), where Spark's shortest-string round and
+    DuckDB's multiply-round disagree; integer math is engine-identical.
+    Safe while num < 2^33 (numerator stays under 2^53) and den ≥ 1 —
+    true for every set-cardinality ratio here. The float division's
+    error (~1 ulp) is far below the ≥ 1/(2·den) gap to the nearest
+    wrong integer, so the floor is exact. Oracles mirror with
+    floor((2000000*n + d) / (2.0*d)) / 1000000.0."""
+    return (
+        F.floor((F.lit(2_000_000) * num + den) / (F.lit(2) * den)).cast("long")
+        / F.lit(1_000_000.0)
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Digest → (n_docs, min doc id) for digests appearing more than
     once. One hash-shuffle on the 32-byte digest."""
@@ -122,7 +139,12 @@ def ngram_jaccard_pairs(
     return (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6))
+        .withColumn(
+            "jaccard",
+            _round6_ratio(
+                F.col("shared"), F.col("sz_a") + F.col("sz_b") - F.col("shared")
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -496,7 +518,7 @@ def containment_pairs(
         .join(sb, "id_b")
         .withColumn(
             "containment",
-            F.round(F.col("shared") / F.least("sz_a", "sz_b"), 6),
+            _round6_ratio(F.col("shared"), F.least("sz_a", "sz_b")),
         )
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
@@ -550,17 +572,23 @@ def minhash_calibration(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("__sza"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("__szb"))
+    # integer round-half-up: shared/union can land EXACTLY on a 7th-
+    # decimal midpoint (e.g. 41/640 = 0.0640625) where Spark's
+    # shortest-string round goes up and DuckDB's multiply-round goes
+    # down; floor((2·s·10^6 + u) / (2u)) is exact int64 math in both
+    # engines (numerator < 2^32, and the float quotient is > 1/(2u)
+    # away from any wrong integer, so floor is safe)
+    union = F.col("__sza") + F.col("__szb") - F.col("__shared")
+    j6 = F.floor(
+        (F.lit(2_000_000) * F.col("__shared") + union) / (F.lit(2) * union)
+    ).cast("long")
     exact = (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("__shared")
-                / (F.col("__sza") + F.col("__szb") - F.col("__shared")),
-                6,
-            ).alias("jaccard"),
+            (j6 / F.lit(1_000_000.0)).alias("jaccard"),
         )
     )
     return (
@@ -820,7 +848,10 @@ def winnow_near_pairs(
         .join(sb, "id_b")
         .withColumn(
             "score",
-            F.round(F.col("n_shared") / (F.col("__sa") + F.col("__sb") - F.col("n_shared")), 6),
+            _round6_ratio(
+                F.col("n_shared"),
+                F.col("__sa") + F.col("__sb") - F.col("n_shared"),
+            ),
         )
         .where(F.col("score") >= min_score)
         .select("id_a", "id_b", "n_shared", "score")
@@ -1022,7 +1053,10 @@ def prefix_jaccard_pairs(
         "size_a",
         "size_b",
         "overlap",
-        F.round(jac, 6).alias("jaccard"),
+        _round6_ratio(
+            F.col("overlap"),
+            F.col("size_a") + F.col("size_b") - F.col("overlap"),
+        ).alias("jaccard"),
     )
 
 

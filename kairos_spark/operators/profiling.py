@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from kairos_spark.operators.dedup import _round6_ratio
+
 
 def key_distribution(
     df: DataFrame,
@@ -670,12 +672,14 @@ def audience_overlap(
             "n_a",
             "n_b",
             "n_shared",
-            F.round(
-                F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-                6,
+            # integer half-up round (dedup._round6_ratio): set-overlap
+            # rationals on a 7th-decimal midpoint round differently
+            # across engines with a bare round(double, 6)
+            _round6_ratio(
+                F.col("n_shared"),
+                F.col("n_a") + F.col("n_b") - F.col("n_shared"),
             ).alias("jaccard"),
-            F.round(F.col("n_shared") / F.col("n_a"), 6).alias(
+            _round6_ratio(F.col("n_shared"), F.col("n_a")).alias(
                 "containment_a_in_b"
             ),
         )
@@ -1909,9 +1913,12 @@ def hierarchical_shares(
     return cells.select(
         "level1",
         "level2",
-        F.round(F.col("__t").cast("double"), 6).alias("total"),
+        # round the DECIMAL first, cast after: these totals reach 1e9+
+        # where round-6 needs 16 significant digits — not
+        # double-representable, and engines disagree post-cast
+        F.round(F.col("__t"), 6).cast("double").alias("total"),
         F.round((F.col("__t") / parent).cast("double"), 6).alias("share_of_parent"),
-        F.round(parent.cast("double"), 6).alias("parent_total"),
+        F.round(parent, 6).cast("double").alias("parent_total"),
         F.round((parent / grand).cast("double"), 6).alias("parent_share"),
     )
 

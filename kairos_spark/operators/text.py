@@ -103,7 +103,16 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.lit(0.2) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0)))
         + F.lit(0.1) * (F.lit(1.0) - F.least(F.col("digit_ratio") * 5, F.lit(1.0)))
     )
-    return s.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    # the mix of 6dp ratios with 1dp coefficients is an EXACT 7-decimal
+    # rational; the double sum lands within ~1e-15 of it, so casting to
+    # decimal(18,7) recovers the exact value and the final 6dp round
+    # happens on identical decimals in every engine — a bare double
+    # round(x, 6) straddles the frequent ...5 midpoints differently
+    # across engines (observed at sf0.1)
+    return s.select(
+        F.col(id_col),
+        F.round(score.cast("decimal(18,7)"), 6).cast("double").alias("quality"),
+    )
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

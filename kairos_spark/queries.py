@@ -3993,10 +3993,11 @@ ORACLES.update(
                 FROM documents
             )
             SELECT doc_id,
-                   round(0.4 * least(n_words / 100.0, 1.0)
+                   CAST(round(CAST(0.4 * least(n_words / 100.0, 1.0)
                        + 0.3 * least(stopword_ratio * 3, 1.0)
                        + 0.2 * (1.0 - least(punct_ratio * 4, 1.0))
-                       + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality
+                       + 0.1 * (1.0 - least(digit_ratio * 5, 1.0))
+                       AS DECIMAL(18,7)), 6) AS DOUBLE) AS quality
             FROM stats
         """,
         "lang_id": """
@@ -4105,11 +4106,11 @@ ORACLES.update(
                 GROUP BY 1, 2
             )
             SELECT id_a, id_b,
-                   round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+                   floor((2000000 * shared + (sa.sz + sb.sz - shared)) / (2.0 * (sa.sz + sb.sz - shared))) / 1000000.0 AS jaccard
             FROM shared
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
-            WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.25
+            WHERE floor((2000000 * shared + (sa.sz + sb.sz - shared)) / (2.0 * (sa.sz + sb.sz - shared))) / 1000000.0 >= 0.25
         """,
         "dedup_clusters": """
             WITH RECURSIVE """ + _SHINGLE_CTE + """,
@@ -4123,7 +4124,7 @@ ORACLES.update(
                 SELECT id_a, id_b FROM shared
                 JOIN sz sa ON sa.doc_id = id_a
                 JOIN sz sb ON sb.doc_id = id_b
-                WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.25
+                WHERE floor((2000000 * shared + (sa.sz + sb.sz - shared)) / (2.0 * (sa.sz + sb.sz - shared))) / 1000000.0 >= 0.25
             ),
             edges AS (
                 SELECT id_a AS a, id_b AS b FROM p
@@ -4161,10 +4162,11 @@ ORACLES.update(
             ),
             scored AS (
                 SELECT doc_id, lang,
-                       round(0.4 * least(n_words / 100.0, 1.0)
+                       CAST(round(CAST(0.4 * least(n_words / 100.0, 1.0)
                            + 0.3 * least(stopword_ratio * 3, 1.0)
                            + 0.2 * (1.0 - least(punct_ratio * 4, 1.0))
-                           + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality
+                           + 0.1 * (1.0 - least(digit_ratio * 5, 1.0))
+                           AS DECIMAL(18,7)), 6) AS DOUBLE) AS quality
                 FROM stats
             )
             SELECT doc_id, quality FROM scored
@@ -4386,7 +4388,10 @@ ORACLES["weighted_sample"] = """
     )
     SELECT doc_id, lang, n_chars, round(priority, 6) AS priority
     FROM pr
-    ORDER BY priority, doc_id
+    -- pr.priority (qualified): bare "priority" resolves to the ROUNDED
+    -- select alias, which ties at 6dp and picks a different top-100
+    -- near the boundary than Spark's raw-priority TakeOrdered
+    ORDER BY pr.priority, doc_id
     LIMIT 100
 """
 
@@ -4599,11 +4604,11 @@ ORACLES["containment_pairs"] = r"""
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT id_a, id_b, round(shared / least(sa.sz, sb.sz), 6) AS containment
+    SELECT id_a, id_b, floor((2000000 * shared + (least(sa.sz, sb.sz))) / (2.0 * (least(sa.sz, sb.sz)))) / 1000000.0 AS containment
     FROM shared
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
-    WHERE round(shared / least(sa.sz, sb.sz), 6) >= 0.8
+    WHERE floor((2000000 * shared + (least(sa.sz, sb.sz))) / (2.0 * (least(sa.sz, sb.sz)))) / 1000000.0 >= 0.8
 """
 
 # K-means: every stage is exact — md5 seed draw, left-to-right float
@@ -5149,8 +5154,12 @@ ORACLES["minhash_calibration"] = """
         GROUP BY 1, 2
     ),
     ex AS (
+        -- integer round-half-up (mirrors the Spark side): exact-rational
+        -- jaccards on a 7th-decimal midpoint round differently between
+        -- engines with a bare round(double, 6)
         SELECT shared.id_a, shared.id_b,
-               round(sh_n * 1.0 / (sa.sz + sb.sz - sh_n), 6) AS jaccard
+               floor((2000000 * sh_n + (sa.sz + sb.sz - sh_n))
+                     / (2.0 * (sa.sz + sb.sz - sh_n))) / 1000000.0 AS jaccard
         FROM shared
         JOIN sizes sa ON shared.id_a = sa.doc_id
         JOIN sizes sb ON shared.id_b = sb.doc_id
@@ -5656,10 +5665,11 @@ ORACLES["source_scorecard"] = r"""
                 FROM documents
             )
             SELECT doc_id,
-                   round(0.4 * least(n_words / 100.0, 1.0)
+                   CAST(round(CAST(0.4 * least(n_words / 100.0, 1.0)
                        + 0.3 * least(stopword_ratio * 3, 1.0)
                        + 0.2 * (1.0 - least(punct_ratio * 4, 1.0))
-                       + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality
+                       + 0.1 * (1.0 - least(digit_ratio * 5, 1.0))
+                       AS DECIMAL(18,7)), 6) AS DOUBLE) AS quality
             FROM stats
         )
     SELECT dg.source, count(*) AS n_docs,
@@ -5881,8 +5891,8 @@ ORACLES["audience_overlap"] = """
     )
     SELECT group_a, group_b,
            sa.n AS n_a, sb.n AS n_b, n_shared,
-           round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard,
-           round(n_shared * 1.0 / sa.n, 6) AS containment_a_in_b
+           floor((2000000 * n_shared + (sa.n + sb.n - n_shared)) / (2.0 * (sa.n + sb.n - n_shared))) / 1000000.0 AS jaccard,
+           floor((2000000 * n_shared + (sa.n)) / (2.0 * (sa.n))) / 1000000.0 AS containment_a_in_b
     FROM shared
     JOIN sizes sa ON shared.group_a = sa.g
     JOIN sizes sb ON shared.group_b = sb.g
@@ -6044,11 +6054,11 @@ ORACLES["winnow_pairs"] = r"""
       GROUP BY 1, 2 HAVING count(*) >= 3
     )
     SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
-           round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS score
+           floor((2000000 * n_shared + (sa.sz + sb.sz - n_shared)) / (2.0 * (sa.sz + sb.sz - n_shared))) / 1000000.0 AS score
     FROM shared
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) >= 0.2
+    WHERE floor((2000000 * n_shared + (sa.sz + sb.sz - n_shared)) / (2.0 * (sa.sz + sb.sz - n_shared))) / 1000000.0 >= 0.2
 """
 
 ORACLES["editdist_pairs"] = r"""
@@ -6939,7 +6949,7 @@ ORACLES["prefix_jaccard_pairs"] = """
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, sa.s AS size_a, sb.s AS size_b, overlap,
-           round(overlap * 1.0 / (sa.s + sb.s - overlap), 6) AS jaccard
+           floor((2000000 * overlap + (sa.s + sb.s - overlap)) / (2.0 * (sa.s + sb.s - overlap))) / 1000000.0 AS jaccard
     FROM shared
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
@@ -7663,10 +7673,10 @@ ORACLES["hierarchical_shares"] = """
       GROUP BY 1, 2
     )
     SELECT level1, level2,
-           round(CAST(t AS DOUBLE), 6) AS total,
+           CAST(round(t, 6) AS DOUBLE) AS total,
            round(CAST(t / sum(t) OVER (PARTITION BY level1) AS DOUBLE), 6)
                AS share_of_parent,
-           round(CAST(sum(t) OVER (PARTITION BY level1) AS DOUBLE), 6)
+           CAST(round(sum(t) OVER (PARTITION BY level1), 6) AS DOUBLE)
                AS parent_total,
            round(CAST(sum(t) OVER (PARTITION BY level1) / sum(t) OVER ()
                  AS DOUBLE), 6) AS parent_share
@@ -8913,11 +8923,11 @@ ORACLES["dedup_threshold_sweep"] = """
     ),
     pairs AS (
         SELECT id_a, id_b,
-               round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+               floor((2000000 * shared + (sa.sz + sb.sz - shared)) / (2.0 * (sa.sz + sb.sz - shared))) / 1000000.0 AS jaccard
         FROM shared
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
-        WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= 0.05
+        WHERE floor((2000000 * shared + (sa.sz + sb.sz - shared)) / (2.0 * (sa.sz + sb.sz - shared))) / 1000000.0 >= 0.05
     ),
     pa AS (
       SELECT CAST(COALESCE(sum(CASE WHEN jaccard >= 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p0,
