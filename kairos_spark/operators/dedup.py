@@ -32,21 +32,9 @@ def _md5_long(col: Column, skip: int = 0) -> Column:
     return F.conv(F.substring(F.md5(col), 1 + skip, 11), 16, 10).cast("long")
 
 
-def _round6_ratio(num: Column, den: Column) -> Column:
-    """round-half-up(num/den, 6) via exact integer arithmetic:
-    floor((2·num·10^6 + den) / (2·den)) / 10^6. Set-overlap ratios are
-    exact rationals that can land EXACTLY on a 7th-decimal midpoint
-    (e.g. 41/640 = 0.0640625), where Spark's shortest-string round and
-    DuckDB's multiply-round disagree; integer math is engine-identical.
-    Safe while num < 2^33 (numerator stays under 2^53) and den ≥ 1 —
-    true for every set-cardinality ratio here. The float division's
-    error (~1 ulp) is far below the ≥ 1/(2·den) gap to the nearest
-    wrong integer, so the floor is exact. Oracles mirror with
-    floor((2000000*n + d) / (2.0*d)) / 1000000.0."""
-    return (
-        F.floor((F.lit(2_000_000) * num + den) / (F.lit(2) * den)).cast("long")
-        / F.lit(1_000_000.0)
-    )
+# re-export: lives in text.py (dedup already imports text, so the
+# integer-ratio helper sits below both in the import graph)
+from kairos_spark.operators.text import _round6_ratio  # noqa: E402,F401
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -17,6 +17,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 # classes keep Spark and every oracle byte-identical on VT input.
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0c\r]"
 
+
+def _round6_ratio(num: Column, den: Column) -> Column:
+    """round-half-up(num/den, 6) via exact integer arithmetic:
+    floor((2·num·10^6 + den) / (2·den)) / 10^6. Integer-count ratios
+    are exact rationals that can land EXACTLY on a 7th-decimal midpoint
+    (e.g. 41/640 = 0.0640625, or 4 puncts in 512 chars = 0.0078125),
+    where Spark's shortest-string round and DuckDB's multiply-round
+    disagree; integer math is engine-identical. Safe while num < 2^33
+    (numerator stays under 2^53) and den ≥ 1 — true for every count
+    ratio here. The float division's error (~1 ulp) is far below the
+    ≥ 1/(2·den) gap to the nearest wrong integer, so the floor is
+    exact. Oracles mirror with
+    floor((2000000*n + d) / (2.0*d)) / 1000000.0."""
+    return (
+        F.floor((F.lit(2_000_000) * num + den) / (F.lit(2) * den)).cast("long")
+        / F.lit(1_000_000.0)
+    )
+
 # Tiny per-language stopword panels for the n-gram/stopword heuristic.
 # Deliberately small and fixed so language_id is deterministic and
 # SQL-expressible (each panel becomes one regexp count).
@@ -82,12 +100,14 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         words.alias("n_words"),
         token_count(t).alias("n_tokens"),
         # punct = anything that is not letter/digit/\s — same set as
-        # the regex class [^A-Za-z0-9\s]
-        F.round((n_chars - n_letters - n_digits - n_spaces) / denom, 6).alias("punct_ratio"),
-        F.round(n_digits / denom, 6).alias("digit_ratio"),
-        F.round(n_spaces / denom, 6).alias("space_ratio"),
-        F.round(stop_hits / F.greatest(words, F.lit(1)), 6).alias("stopword_ratio"),
-        F.round(n_letters / F.greatest(words, F.lit(1)), 6).alias("mean_word_len"),
+        # the regex class [^A-Za-z0-9\s]. Integer half-up rounding
+        # (_round6_ratio): count ratios land on exact 7th-decimal
+        # midpoints (4 puncts / 512 chars) where engine round() splits
+        _round6_ratio(n_chars - n_letters - n_digits - n_spaces, denom).alias("punct_ratio"),
+        _round6_ratio(n_digits, denom).alias("digit_ratio"),
+        _round6_ratio(n_spaces, denom).alias("space_ratio"),
+        _round6_ratio(stop_hits, F.greatest(words, F.lit(1))).alias("stopword_ratio"),
+        _round6_ratio(n_letters, F.greatest(words, F.lit(1))).alias("mean_word_len"),
     )
 
 

@@ -3538,18 +3538,17 @@ ORACLES.update(
                    length(text) AS n_chars,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
-                   round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
-                         / greatest(length(text), 1), 6) AS punct_ratio,
-                   round(len(regexp_extract_all(text, '[0-9]')) * 1.0
-                         / greatest(length(text), 1), 6) AS digit_ratio,
-                   round((length(text) - length(regexp_replace(text, '\\s', '', 'g'))) * 1.0
-                         / greatest(length(text), 1), 6) AS space_ratio,
-                   round(len(regexp_extract_all(lower(text),
-                         '\\b(the|and|of|to|in|is|that|for|with)\\b')) * 1.0
-                         / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                   floor((2000000 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) + greatest(length(text), 1))
+                         / (2.0 * greatest(length(text), 1))) / 1000000.0 AS punct_ratio,
+                   floor((2000000 * len(regexp_extract_all(text, '[0-9]')) + greatest(length(text), 1))
+                         / (2.0 * greatest(length(text), 1))) / 1000000.0 AS digit_ratio,
+                   floor((2000000 * (length(text) - length(regexp_replace(text, '\\s', '', 'g'))) + greatest(length(text), 1))
+                         / (2.0 * greatest(length(text), 1))) / 1000000.0 AS space_ratio,
+                   floor((2000000 * len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with)\\b')) + greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+                         / (2.0 * greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))) / 1000000.0
                          AS stopword_ratio,
-                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-                         / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                   floor((2000000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) + greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+                         / (2.0 * greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))) / 1000000.0
                          AS mean_word_len
             FROM documents
         """,
@@ -3982,13 +3981,12 @@ ORACLES.update(
             WITH stats AS (
                 SELECT doc_id,
                        len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-                       round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
-                             / greatest(length(text), 1), 6) AS punct_ratio,
-                       round(len(regexp_extract_all(text, '[0-9]')) * 1.0
-                             / greatest(length(text), 1), 6) AS digit_ratio,
-                       round(len(regexp_extract_all(lower(text),
-                             '\\b(the|and|of|to|in|is|that|for|with)\\b')) * 1.0
-                             / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                       floor((2000000 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) + greatest(length(text), 1))
+                             / (2.0 * greatest(length(text), 1))) / 1000000.0 AS punct_ratio,
+                       floor((2000000 * len(regexp_extract_all(text, '[0-9]')) + greatest(length(text), 1))
+                             / (2.0 * greatest(length(text), 1))) / 1000000.0 AS digit_ratio,
+                       floor((2000000 * len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with)\\b')) + greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+                             / (2.0 * greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))) / 1000000.0
                              AS stopword_ratio
                 FROM documents
             )
@@ -4150,13 +4148,12 @@ ORACLES.update(
             stats AS (
                 SELECT doc_id, lang,
                        len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-                       round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
-                             / greatest(length(text), 1), 6) AS punct_ratio,
-                       round(len(regexp_extract_all(text, '[0-9]')) * 1.0
-                             / greatest(length(text), 1), 6) AS digit_ratio,
-                       round(len(regexp_extract_all(lower(text),
-                             '\\b(the|and|of|to|in|is|that|for|with)\\b')) * 1.0
-                             / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                       floor((2000000 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) + greatest(length(text), 1))
+                             / (2.0 * greatest(length(text), 1))) / 1000000.0 AS punct_ratio,
+                       floor((2000000 * len(regexp_extract_all(text, '[0-9]')) + greatest(length(text), 1))
+                             / (2.0 * greatest(length(text), 1))) / 1000000.0 AS digit_ratio,
+                       floor((2000000 * len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with)\\b')) + greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+                             / (2.0 * greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))) / 1000000.0
                              AS stopword_ratio
                 FROM k
             ),
@@ -5654,13 +5651,12 @@ ORACLES["source_scorecard"] = r"""
             WITH stats AS (
                 SELECT doc_id,
                        len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
-                       round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0
-                             / greatest(length(text), 1), 6) AS punct_ratio,
-                       round(len(regexp_extract_all(text, '[0-9]')) * 1.0
-                             / greatest(length(text), 1), 6) AS digit_ratio,
-                       round(len(regexp_extract_all(lower(text),
-                             '\b(the|and|of|to|in|is|that|for|with)\b')) * 1.0
-                             / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+                       floor((2000000 * len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) + greatest(length(text), 1))
+                             / (2.0 * greatest(length(text), 1))) / 1000000.0 AS punct_ratio,
+                       floor((2000000 * len(regexp_extract_all(text, '[0-9]')) + greatest(length(text), 1))
+                             / (2.0 * greatest(length(text), 1))) / 1000000.0 AS digit_ratio,
+                       floor((2000000 * len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with)\b')) + greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+                             / (2.0 * greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))) / 1000000.0
                              AS stopword_ratio
                 FROM documents
             )
@@ -6626,8 +6622,8 @@ ORACLES["skyline_docs"] = """
     WITH d AS (
       SELECT doc_id,
              CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS toks,
-             round(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) * 1.0
-                   / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS uniq_ratio
+             floor((2000000 * len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) + greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1))
+                   / (2.0 * greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1))) / 1000000.0 AS uniq_ratio
       FROM documents
     ),
     gx AS (SELECT toks AS x, max(uniq_ratio) AS gymax FROM d GROUP BY 1),
@@ -7512,8 +7508,8 @@ ORACLES["session_entry_exit"] = """
            CAST(coalesce(n_entries, 0) AS BIGINT) AS n_entries,
            CAST(coalesce(n_exits, 0) AS BIGINT) AS n_exits,
            CAST(coalesce(n_bounces, 0) AS BIGINT) AS n_bounces,
-           round(coalesce(n_bounces, 0) * 1.0
-                 / greatest(coalesce(n_entries, 0), 1), 6) AS bounce_rate,
+           floor((2000000 * coalesce(n_bounces, 0) + greatest(coalesce(n_entries, 0), 1))
+                 / (2.0 * greatest(coalesce(n_entries, 0), 1))) / 1000000.0 AS bounce_rate,
            round(coalesce(n_exits, 0) * 1.0 / (SELECT total FROM tot), 6) AS exit_rate
     FROM entries en FULL OUTER JOIN exits ex USING (event_type), tot
 """
