@@ -35,6 +35,17 @@ def _round6_ratio(num: Column, den: Column) -> Column:
         / F.lit(1_000_000.0)
     )
 
+
+def _round6_ratio_signed(num: Column, den: Column) -> Column:
+    """_round6_ratio for a numerator that can be NEGATIVE (den > 0):
+    round half AWAY FROM ZERO, matching what both engines' round()
+    does on negative doubles — sign(num) · half-up(|num|/den). Oracles
+    mirror with
+    CASE WHEN n >= 0 THEN  floor(( 2000000*n + d) / (2.0*d)) / 1000000.0
+         ELSE              -floor((-2000000*n + d) / (2.0*d)) / 1000000.0 END."""
+    mag = _round6_ratio(F.abs(num), den)
+    return F.when(num >= 0, mag).otherwise(-mag)
+
 # Tiny per-language stopword panels for the n-gram/stopword heuristic.
 # Deliberately small and fixed so language_id is deterministic and
 # SQL-expressible (each panel becomes one regexp count).

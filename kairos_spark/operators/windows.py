@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from kairos_spark.operators.text import _round6_ratio, _round6_ratio_signed
+
 
 def sessionize(
     df: DataFrame,
@@ -63,7 +65,10 @@ def session_stats(
     return s.groupBy(key_col).agg(
         F.max("session_id").alias("n_sessions"),
         F.count("*").alias("n_events"),
-        F.round(F.count("*") / F.max("session_id"), 6).alias("events_per_session"),
+        # integer half-up (_round6_ratio): count ratios are exact
+        # rationals that can land on round-6 midpoints where the two
+        # engines' double round() diverge (CLAUDE.md invariant)
+        _round6_ratio(F.count("*"), F.max("session_id")).alias("events_per_session"),
     )
 
 
@@ -339,7 +344,7 @@ def funnel(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     return out.withColumn(
-        "conversion", F.round(F.col("n_users") / F.first("n_users").over(w), 6)
+        "conversion", _round6_ratio(F.col("n_users"), F.first("n_users").over(w))
     )
 
 
@@ -381,7 +386,7 @@ def cohort_retention(
     sizes = cohorts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
     return (
         per.join(F.broadcast(sizes), "cohort")
-        .withColumn("retention", F.round(F.col("n_active") / F.col("cohort_size"), 6))
+        .withColumn("retention", _round6_ratio(F.col("n_active"), F.col("cohort_size")))
     )
 
 
@@ -417,7 +422,7 @@ def session_transitions(
     out_w = Window.partitionBy("from_type")
     return pairs.withColumn(
         "share",
-        F.round(F.col("n_transitions") / F.sum("n_transitions").over(out_w), 6),
+        _round6_ratio(F.col("n_transitions"), F.sum("n_transitions").over(out_w)),
     )
 
 
@@ -534,7 +539,7 @@ def period_delta(
         "n",
         prev.alias("prev_n"),
         (F.col("n") - prev).alias("delta"),
-        F.round((F.col("n") - prev) / prev, 6).alias("pct_change"),
+        _round6_ratio_signed(F.col("n") - prev, prev).alias("pct_change"),
     )
 
 
@@ -662,7 +667,7 @@ def debounce_stats(
     return flagged.groupBy(key_cols[0]).agg(
         F.count("*").alias("n_events"),
         F.sum("__k").cast("long").alias("n_kept"),
-        F.round((F.count("*") - F.sum("__k")) / F.count("*"), 6).alias("drop_rate"),
+        _round6_ratio(F.count("*") - F.sum("__k"), F.count("*")).alias("drop_rate"),
     )
 
 
@@ -768,7 +773,7 @@ def conversion_latency(
     return n_started.crossJoin(F.broadcast(conv)).select(
         "n_started",
         "n_converted",
-        F.round(F.col("n_converted") / F.col("n_started"), 6).alias("conv_rate"),
+        _round6_ratio(F.col("n_converted"), F.col("n_started")).alias("conv_rate"),
         "p50_sec",
         "p90_sec",
         "mean_sec",
@@ -1398,12 +1403,12 @@ def forecast_eval(
     return agg.select(
         F.col("grp").alias(group_col),
         "n_eval_naive",
-        F.round(F.col("__ae1") / F.col("n_eval_naive").cast("double"), 6).alias("mae_naive"),
+        _round6_ratio(F.col("__ae1"), F.col("n_eval_naive")).alias("mae_naive"),
         F.round(F.sqrt(F.col("__se1") / F.col("n_eval_naive").cast("double")), 6).alias(
             "rmse_naive"
         ),
         "n_eval_seasonal",
-        F.round(F.col("__aes") / F.col("n_eval_seasonal").cast("double"), 6).alias(
+        _round6_ratio(F.col("__aes"), F.col("n_eval_seasonal")).alias(
             "mae_seasonal"
         ),
         F.round(F.sqrt(F.col("__ses") / F.col("n_eval_seasonal").cast("double")), 6).alias(
@@ -1578,7 +1583,7 @@ def calendar_heatmap(
     return cells.select(
         *keys,
         "n",
-        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share"),
+        _round6_ratio(F.col("n"), F.sum("n").over(w)).alias("share"),
     )
 
 
@@ -1700,8 +1705,8 @@ def session_entry_exit(
         ne.alias("n_entries"),
         nx.alias("n_exits"),
         nb.alias("n_bounces"),
-        F.round(nb / F.greatest(ne, F.lit(1)).cast("double"), 6).alias("bounce_rate"),
-        F.round(nx / F.col("__total").cast("double"), 6).alias("exit_rate"),
+        _round6_ratio(nb, F.greatest(ne, F.lit(1))).alias("bounce_rate"),
+        _round6_ratio(nx, F.col("__total")).alias("exit_rate"),
     )
 
 
@@ -1946,8 +1951,8 @@ def markov_accuracy(
         "n_test",
         "n_covered",
         "n_hits",
-        F.round(F.col("n_hits") / F.col("n_test").cast("double"), 6).alias("accuracy"),
-        F.round(F.col("n_hits") / F.col("n_covered").cast("double"), 6).alias(
+        _round6_ratio(F.col("n_hits"), F.col("n_test")).alias("accuracy"),
+        _round6_ratio(F.col("n_hits"), F.col("n_covered")).alias(
             "covered_accuracy"
         ),
     )
@@ -2162,10 +2167,8 @@ def session_gap_sweep(
             F.lit(int(g)).cast("long").alias("gap_sec"),
             (F.col("__n_users") + F.col(f"__x{g}")).alias("n_sessions"),
             F.col("__n_events").alias("n_events"),
-            F.round(
-                F.col("__n_events")
-                / (F.col("__n_users") + F.col(f"__x{g}")).cast("double"),
-                6,
+            _round6_ratio(
+                F.col("__n_events"), F.col("__n_users") + F.col(f"__x{g}")
             ).alias("events_per_session"),
         )
         rows = one if rows is None else rows.union(one)
@@ -2366,7 +2369,7 @@ def path_conformance(
         .select(
             F.col("edit_distance").cast("long").alias("edit_distance"),
             "n_sessions",
-            F.round(F.col("n_sessions") / F.col("__t").cast("double"), 6).alias("share"),
+            _round6_ratio(F.col("n_sessions"), F.col("__t")).alias("share"),
         )
     )
 

@@ -3687,7 +3687,8 @@ ORACLES.update(
             SELECT cohort, "offset",
                    CAST(n_active AS BIGINT) AS n_active,
                    CAST(cohort_size AS BIGINT) AS cohort_size,
-                   round(n_active * 1.0 / cohort_size, 6) AS retention
+                   floor((2000000 * n_active + cohort_size)
+                         / (2.0 * cohort_size)) / 1000000.0 AS retention
             FROM per JOIN sizes USING (cohort)
         """,
         "dedup_incremental": """
@@ -4059,7 +4060,8 @@ ORACLES.update(
             SELECT user_id,
                    CAST(max(session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events,
-                   round(count(*) * 1.0 / max(session_id), 6) AS events_per_session
+                   floor((2000000 * count(*) + max(session_id))
+                         / (2.0 * max(session_id))) / 1000000.0 AS events_per_session
             FROM s GROUP BY 1
         """,
         "asof_signup_purchase": """
@@ -4504,10 +4506,11 @@ ORACLES["funnel_conversion"] = """
       UNION ALL SELECT 3, 'purchase', count(*) FROM s3
     )
     SELECT stage, step_name, n_users,
-           round(n_users / first_value(n_users) OVER (
-             ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND UNBOUNDED FOLLOWING), 6) AS conversion
+           floor((2000000 * n_users + first_value(n_users) OVER w0)
+                 / (2.0 * first_value(n_users) OVER w0)) / 1000000.0 AS conversion
     FROM c
+    WINDOW w0 AS (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING)
 """
 
 ORACLES["tfidf_top_terms"] = """
@@ -4708,9 +4711,10 @@ ORACLES["session_transitions"] = """
       FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
     )
     SELECT from_type, to_type, n_transitions,
-           round(n_transitions * 1.0
-                 / sum(n_transitions) OVER (PARTITION BY from_type), 6) AS share
+           floor((2000000 * n_transitions + sum(n_transitions) OVER w0)
+                 / (2.0 * sum(n_transitions) OVER w0)) / 1000000.0 AS share
     FROM cnt
+    WINDOW w0 AS (PARTITION BY from_type)
 """
 
 ORACLES["interval_coverage"] = """
@@ -5103,12 +5107,18 @@ ORACLES["period_delta"] = """
              count(*) AS n
       FROM events GROUP BY 1, 2
     )
-    SELECT name, i_time, n,
-           lag(n) OVER w AS prev_n,
-           n - lag(n) OVER w AS delta,
-           round((n - lag(n) OVER w) * 1.0 / lag(n) OVER w, 6) AS pct_change
-    FROM counts WINDOW w AS (PARTITION BY name ORDER BY i_time)
-    QUALIFY lag(n) OVER w IS NOT NULL
+    , d AS (
+      SELECT name, i_time, n, lag(n) OVER w AS prev_n
+      FROM counts WINDOW w AS (PARTITION BY name ORDER BY i_time)
+    )
+    SELECT name, i_time, n, prev_n,
+           n - prev_n AS delta,
+           CASE WHEN n - prev_n >= 0
+                THEN  floor(( 2000000 * (n - prev_n) + prev_n)
+                            / (2.0 * prev_n)) / 1000000.0
+                ELSE -floor((-2000000 * (n - prev_n) + prev_n)
+                            / (2.0 * prev_n)) / 1000000.0 END AS pct_change
+    FROM d WHERE prev_n IS NOT NULL
 """
 
 ORACLES["minhash_calibration"] = """
@@ -5548,7 +5558,8 @@ ORACLES["event_debounce"] = """
     )
     SELECT user_id, count(*) AS n_events,
            CAST(sum(k) AS BIGINT) AS n_kept,
-           round((count(*) - sum(k)) * 1.0 / count(*), 6) AS drop_rate
+           floor((2000000 * (count(*) - sum(k)) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS drop_rate
     FROM flagged GROUP BY 1
 """
 
@@ -5758,7 +5769,8 @@ ORACLES["conversion_latency"] = """
       FROM lat
     )
     SELECT n_started, n_converted,
-           round(n_converted * 1.0 / n_started, 6) AS conv_rate,
+           floor((2000000 * n_converted + n_started)
+                 / (2.0 * n_started)) / 1000000.0 AS conv_rate,
            p50_sec, p90_sec, mean_sec
     FROM ns, c
 """
@@ -6926,10 +6938,12 @@ ORACLES["forecast_eval"] = """
     )
     SELECT grp AS event_type,
            CAST(count(p1) AS BIGINT) AS n_eval_naive,
-           round(sum(abs(y - p1)) * 1.0 / count(p1), 6) AS mae_naive,
+           floor((2000000 * sum(abs(y - p1)) + count(p1))
+                 / (2.0 * count(p1))) / 1000000.0 AS mae_naive,
            round(sqrt(sum((y - p1) * (y - p1)) * 1.0 / count(p1)), 6) AS rmse_naive,
            CAST(count(ps) AS BIGINT) AS n_eval_seasonal,
-           round(sum(abs(y - ps)) * 1.0 / count(ps), 6) AS mae_seasonal,
+           floor((2000000 * sum(abs(y - ps)) + count(ps))
+                 / (2.0 * count(ps))) / 1000000.0 AS mae_seasonal,
            round(sqrt(sum((y - ps) * (y - ps)) * 1.0 / count(ps)), 6) AS rmse_seasonal
     FROM l GROUP BY grp
 """
@@ -7354,8 +7368,10 @@ ORACLES["calendar_heatmap"] = """
       FROM events GROUP BY 1, 2, 3
     )
     SELECT event_type, dow, hod, n,
-           round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS share
+           floor((2000000 * n + sum(n) OVER w0)
+                 / (2.0 * sum(n) OVER w0)) / 1000000.0 AS share
     FROM cells
+    WINDOW w0 AS (PARTITION BY event_type)
 """
 ORACLES["attribution_split"] = """
     WITH conv AS (
@@ -7510,7 +7526,8 @@ ORACLES["session_entry_exit"] = """
            CAST(coalesce(n_bounces, 0) AS BIGINT) AS n_bounces,
            floor((2000000 * coalesce(n_bounces, 0) + greatest(coalesce(n_entries, 0), 1))
                  / (2.0 * greatest(coalesce(n_entries, 0), 1))) / 1000000.0 AS bounce_rate,
-           round(coalesce(n_exits, 0) * 1.0 / (SELECT total FROM tot), 6) AS exit_rate
+           floor((2000000 * coalesce(n_exits, 0) + (SELECT total FROM tot))
+                 / (2.0 * (SELECT total FROM tot))) / 1000000.0 AS exit_rate
     FROM entries en FULL OUTER JOIN exits ex USING (event_type), tot
 """
 
@@ -7856,10 +7873,10 @@ ORACLES["markov_accuracy"] = """
            CAST(count(*) AS BIGINT) AS n_test,
            CAST(count(pred) AS BIGINT) AS n_covered,
            CAST(sum(CASE WHEN pred = t THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           round(sum(CASE WHEN pred = t THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-               AS accuracy,
-           round(sum(CASE WHEN pred = t THEN 1 ELSE 0 END) * 1.0 / count(pred), 6)
-               AS covered_accuracy
+           floor((2000000 * sum(CASE WHEN pred = t THEN 1 ELSE 0 END) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS accuracy,
+           floor((2000000 * sum(CASE WHEN pred = t THEN 1 ELSE 0 END) + count(pred))
+                 / (2.0 * count(pred))) / 1000000.0 AS covered_accuracy
     FROM scored
 """
 
@@ -8825,11 +8842,16 @@ ORACLES["session_gap_sweep"] = """
       FROM gaps
     )
     SELECT CAST(900 AS BIGINT) AS gap_sec, nu + x900 AS n_sessions, ne AS n_events,
-           round(ne / CAST(nu + x900 AS DOUBLE), 6) AS events_per_session FROM agg
+           floor((2000000 * ne + (nu + x900))
+                 / (2.0 * (nu + x900))) / 1000000.0 AS events_per_session FROM agg
     UNION ALL
-    SELECT 1800, nu + x1800, ne, round(ne / CAST(nu + x1800 AS DOUBLE), 6) FROM agg
+    SELECT 1800, nu + x1800, ne,
+           floor((2000000 * ne + (nu + x1800)) / (2.0 * (nu + x1800))) / 1000000.0
+    FROM agg
     UNION ALL
-    SELECT 3600, nu + x3600, ne, round(ne / CAST(nu + x3600 AS DOUBLE), 6) FROM agg
+    SELECT 3600, nu + x3600, ne,
+           floor((2000000 * ne + (nu + x3600)) / (2.0 * (nu + x3600))) / 1000000.0
+    FROM agg
 """
 
 
@@ -9473,7 +9495,7 @@ ORACLES["path_conformance"] = """
     ),
     tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS t FROM hist)
     SELECT edit_distance, n_sessions,
-           round(n_sessions / CAST(t AS DOUBLE), 6) AS share
+           floor((2000000 * n_sessions + t) / (2.0 * t)) / 1000000.0 AS share
     FROM hist CROSS JOIN tot
 """
 
