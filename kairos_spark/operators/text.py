@@ -230,8 +230,8 @@ def repetition_stats(
     return counted.groupBy(id_col).agg(
         F.sum("__c").cast("long").alias("n_grams"),
         F.count("*").cast("long").alias("n_distinct"),
-        F.round((F.sum("__c") - F.count("*")) / F.sum("__c"), 6).alias("dup_frac"),
-        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_share"),
+        _round6_ratio(F.sum("__c") - F.count("*"), F.sum("__c")).alias("dup_frac"),
+        _round6_ratio(F.max("__c"), F.sum("__c")).alias("top_share"),
     )
 
 
@@ -701,9 +701,9 @@ def source_scorecard(
     j = dg.join(cnts, "__d").join(qual, id_col)
     return j.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.sum("__nc").cast("double") / F.count("*"), 6).alias("mean_chars"),
-        F.round(
-            F.sum((F.col("__c") > 1).cast("long")) / F.count("*"), 6
+        _round6_ratio(F.sum("__nc"), F.count("*")).alias("mean_chars"),
+        _round6_ratio(
+            F.sum((F.col("__c") > 1).cast("long")), F.count("*")
         ).alias("dup_frac"),
         F.round(
             F.sum(F.col("quality").cast("decimal(28,10)")).cast("double")
@@ -901,9 +901,9 @@ def context_budget(
         .select(
             F.col("cutoff").cast("long").alias("cutoff"),
             "n_docs_over",
-            F.round(F.col("n_docs_over") / F.col("__nd"), 6).alias("frac_docs_over"),
+            _round6_ratio(F.col("n_docs_over"), F.col("__nd")).alias("frac_docs_over"),
             "tokens_lost",
-            F.round(F.col("tokens_lost") / F.col("__nt"), 6).alias("frac_tokens_lost"),
+            _round6_ratio(F.col("tokens_lost"), F.col("__nt")).alias("frac_tokens_lost"),
         )
     )
 
@@ -1230,15 +1230,15 @@ def encoding_audit(
         F.sum("__r").cast("long").alias("__rn"),
         F.sum("__len").cast("long").alias("__chars"),
     )
-    nd = F.col("n_docs").cast("double")
     return g.select(
         F.col("grp").alias(group_col),
         "n_docs",
-        F.round(F.col("__rd") / nd, 6).alias("pct_repl_docs"),
-        F.round(F.col("__cd") / nd, 6).alias("pct_ctrl_docs"),
-        F.round(F.col("__md") / nd, 6).alias("pct_mojibake_docs"),
-        F.round(F.col("__rn") * 10000.0 / F.greatest(F.col("__chars"), F.lit(1)), 6)
-        .alias("repl_per_10k_chars"),
+        _round6_ratio(F.col("__rd"), F.col("n_docs")).alias("pct_repl_docs"),
+        _round6_ratio(F.col("__cd"), F.col("n_docs")).alias("pct_ctrl_docs"),
+        _round6_ratio(F.col("__md"), F.col("n_docs")).alias("pct_mojibake_docs"),
+        _round6_ratio(
+            F.col("__rn") * F.lit(10000), F.greatest(F.col("__chars"), F.lit(1))
+        ).alias("repl_per_10k_chars"),
     )
 
 
@@ -1277,8 +1277,8 @@ def token_fertility(
         "n_docs",
         "tokens",
         "words",
-        F.round(F.col("tokens") / F.col("words").cast("double"), 6).alias("fertility"),
-        F.round(F.col("__chars") / F.col("tokens").cast("double"), 6).alias(
+        _round6_ratio(F.col("tokens"), F.col("words")).alias("fertility"),
+        _round6_ratio(F.col("__chars"), F.col("tokens")).alias(
             "chars_per_token"
         ),
     )
@@ -1316,8 +1316,8 @@ def hapax_rate(
         "tokens",
         "vocab",
         "hapax",
-        F.round(F.col("hapax") / F.col("vocab").cast("double"), 6).alias("hapax_share"),
-        F.round(F.col("vocab") / F.col("tokens").cast("double"), 6).alias("ttr"),
+        _round6_ratio(F.col("hapax"), F.col("vocab")).alias("hapax_share"),
+        _round6_ratio(F.col("vocab"), F.col("tokens")).alias("ttr"),
     )
 
 
@@ -1528,7 +1528,7 @@ def vocab_coverage(
         .select(
             "k",
             "vocab_size",
-            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias("coverage"),
+            _round6_ratio(F.col("cum"), F.col("total")).alias("coverage"),
         )
     )
 

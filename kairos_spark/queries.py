@@ -3605,8 +3605,10 @@ ORACLES.update(
             SELECT doc_id,
                    CAST(sum(c) AS BIGINT) AS n_grams,
                    CAST(count(*) AS BIGINT) AS n_distinct,
-                   round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_frac,
-                   round(max(c) * 1.0 / sum(c), 6) AS top_share
+                   floor((2000000 * (sum(c) - count(*)) + sum(c))
+                         / (2.0 * sum(c))) / 1000000.0 AS dup_frac,
+                   floor((2000000 * max(c) + sum(c))
+                         / (2.0 * sum(c))) / 1000000.0 AS top_share
             FROM c GROUP BY 1
         """,
         "word_entropy": """
@@ -5680,9 +5682,10 @@ ORACLES["source_scorecard"] = r"""
             FROM stats
         )
     SELECT dg.source, count(*) AS n_docs,
-           round(CAST(sum(nc) AS DOUBLE) / count(*), 6) AS mean_chars,
-           round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-             AS dup_frac,
+           floor((2000000 * sum(nc) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS mean_chars,
+           floor((2000000 * sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS dup_frac,
            round(CAST(sum(CAST(quality AS DECIMAL(28,10))) AS DOUBLE)
                  / count(*), 6) AS mean_quality
     FROM dg JOIN cnts USING (d) JOIN q USING (doc_id)
@@ -6287,9 +6290,11 @@ ORACLES["context_budget"] = """
     )
     SELECT CAST(cutoff AS BIGINT) AS cutoff,
            CAST(n_docs_over AS BIGINT) AS n_docs_over,
-           round(n_docs_over * 1.0 / nd, 6) AS frac_docs_over,
+           floor((2000000 * n_docs_over + nd) / (2.0 * nd)) / 1000000.0
+               AS frac_docs_over,
            CAST(tokens_lost AS BIGINT) AS tokens_lost,
-           round(tokens_lost * 1.0 / nt, 6) AS frac_tokens_lost
+           floor((2000000 * tokens_lost + nt) / (2.0 * nt)) / 1000000.0
+               AS frac_tokens_lost
     FROM agg, tot
 """
 
@@ -7334,11 +7339,14 @@ ORACLES["encoding_audit"] = """
     )
     SELECT grp AS source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-               AS pct_repl_docs,
-           round(sum(c) * 1.0 / count(*), 6) AS pct_ctrl_docs,
-           round(sum(m) * 1.0 / count(*), 6) AS pct_mojibake_docs,
-           round(sum(r) * 10000.0 / greatest(sum(len), 1), 6) AS repl_per_10k_chars
+           floor((2000000 * sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS pct_repl_docs,
+           floor((2000000 * sum(c) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS pct_ctrl_docs,
+           floor((2000000 * sum(m) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS pct_mojibake_docs,
+           floor((2000000 * sum(r) * 10000 + greatest(sum(len), 1))
+                 / (2.0 * greatest(sum(len), 1))) / 1000000.0 AS repl_per_10k_chars
     FROM per_doc GROUP BY 1
 """
 
@@ -7355,8 +7363,10 @@ ORACLES["token_fertility"] = """
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(t) AS BIGINT) AS tokens,
            CAST(sum(w) AS BIGINT) AS words,
-           round(sum(t) * 1.0 / sum(w), 6) AS fertility,
-           round(sum(c) * 1.0 / sum(t), 6) AS chars_per_token
+           floor((2000000 * sum(t) + sum(w)) / (2.0 * sum(w))) / 1000000.0
+               AS fertility,
+           floor((2000000 * sum(c) + sum(t)) / (2.0 * sum(t))) / 1000000.0
+               AS chars_per_token
     FROM per_doc GROUP BY 1
 """
 
@@ -7609,9 +7619,9 @@ ORACLES["hapax_rate"] = """
            CAST(sum(n) AS BIGINT) AS tokens,
            CAST(count(*) AS BIGINT) AS vocab,
            CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
-           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-               AS hapax_share,
-           round(count(*) * 1.0 / sum(n), 6) AS ttr
+           floor((2000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS hapax_share,
+           floor((2000000 * count(*) + sum(n)) / (2.0 * sum(n))) / 1000000.0 AS ttr
     FROM cnt GROUP BY 1
 """
 
@@ -8594,7 +8604,7 @@ ORACLES["vocab_coverage"] = """
     ),
     cuts(k) AS (VALUES (CAST(10 AS BIGINT)), (100), (1000))
     SELECT k, vocab_size,
-           round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+           floor((2000000 * cum + total) / (2.0 * total)) / 1000000.0 AS coverage
     FROM ranked JOIN cuts ON rank = least(k, vocab_size)
 """
 
