@@ -60,13 +60,13 @@ def key_distribution(
             F.col(group_col).alias("name"),
             "n_rows",
             "n_keys",
-            F.round(F.col("top_key_n") / F.col("n_rows"), 6).alias("top_share"),
+            _round6_ratio(F.col("top_key_n"), F.col("n_rows")).alias("top_share"),
             F.round(
                 F.log(F.col("n_rows")) - F.col("__clnc") / F.col("n_rows"), 6
             ).alias("entropy"),
-            F.round(F.col("__c2") / (F.col("n_rows") * F.col("n_rows")), 6).alias(
-                "hhi"
-            ),
+            _round6_ratio(
+                F.col("__c2"), F.col("n_rows") * F.col("n_rows")
+            ).alias("hhi"),
         )
     )
 
@@ -266,7 +266,7 @@ def mad_outliers(
         F.round(F.first("__med2"), 6).alias("median"),
         F.round(F.first("__mad"), 6).alias("mad"),
         F.sum("__out").cast("long").alias("n_outliers"),
-        F.round(F.sum("__out") / F.count("*"), 6).alias("outlier_frac"),
+        _round6_ratio(F.sum("__out"), F.count("*")).alias("outlier_frac"),
     )
 
 
@@ -300,7 +300,7 @@ def schema_profile(
             F.lit(c).alias("column_name"),
             F.col("__n").alias("n_rows"),
             F.col(f"__null_{c}").alias("n_null"),
-            F.round(F.col(f"__null_{c}") / F.col("__n"), 6).alias("null_rate"),
+            _round6_ratio(F.col(f"__null_{c}"), F.col("__n")).alias("null_rate"),
             F.col(f"__nd_{c}").alias("n_distinct"),
             F.col(f"__min_{c}").alias("min_str"),
             F.col(f"__max_{c}").alias("max_str"),
@@ -841,7 +841,7 @@ def rfm_segments(
         F.round(
             F.sum("__rec_sec").cast("double") / F.count("*") / 86400e6, 6
         ).alias("avg_recency_days"),
-        F.round(F.sum("__freq").cast("double") / F.count("*"), 6).alias(
+        _round6_ratio(F.sum("__freq"), F.count("*")).alias(
             "avg_frequency"
         ),
         F.round(F.sum("__mon").cast("double") / F.count("*"), 6).alias(
@@ -1191,7 +1191,7 @@ def filter_sweep(
     return agg.select(
         "threshold",
         "n_kept",
-        F.round(F.col("n_kept") / F.col("__n").cast("double"), 6).alias("pct_kept"),
+        _round6_ratio(F.col("n_kept"), F.col("__n")).alias("pct_kept"),
         F.round("__wk", 6).alias("w_kept"),
         F.round(F.col("__wk") / F.col("__wt"), 6).alias("pct_w_kept"),
     )
@@ -1397,16 +1397,19 @@ def lift_curve(
     wall = Window.partitionBy()
     cum_n = F.sum("n").over(wcum)
     cum_pos = F.sum("pos").over(wcum)
-    tot_n = F.sum("n").over(wall).cast("double")
-    tot_pos = F.sum("pos").over(wall).cast("double")
+    tot_n = F.sum("n").over(wall)
+    tot_pos = F.sum("pos").over(wall)
+    # lift restructured to ONE exact integer ratio,
+    # (cum_pos·tot_n)/(cum_n·tot_pos), so the half-up round is
+    # engine-exact; magnitudes stay < 2^53 for count data
     return bins.select(
         "bin",
         "n",
         "pos",
         cum_n.cast("long").alias("cum_n"),
         cum_pos.cast("long").alias("cum_pos"),
-        F.round(cum_pos / tot_pos, 6).alias("capture"),
-        F.round((cum_pos / cum_n.cast("double")) / (tot_pos / tot_n), 6).alias("lift"),
+        _round6_ratio(cum_pos, tot_pos).alias("capture"),
+        _round6_ratio(cum_pos * tot_n, cum_n * tot_pos).alias("lift"),
     )
 
 
@@ -1530,7 +1533,7 @@ def json_schema_profile(
         .select(
             "key",
             "n_present",
-            F.round(F.col("n_present") / F.lit(float(total)), 6).alias("pct_present"),
+            _round6_ratio(F.col("n_present"), F.lit(int(total))).alias("pct_present"),
             "n_null",
             "n_numeric",
             "n_distinct",
@@ -1569,7 +1572,7 @@ def expectations_audit(
             F.lit(name).alias("constraint"),
             F.col(f"__v_{name}").alias("n_violations"),
             F.col("__n").alias("n_rows"),
-            F.round(F.col(f"__v_{name}") / F.col("__n").cast("double"), 6).alias(
+            _round6_ratio(F.col(f"__v_{name}"), F.col("__n")).alias(
                 "pct_violated"
             ),
         )
@@ -2761,7 +2764,7 @@ def post_stratified_mean(
             / F.count("*"),
             6,
         ).alias("post_mean"),
-        F.round(F.max("n_h") / F.sum("n_h").cast("double"), 6).alias(
+        _round6_ratio(F.max("n_h"), F.sum("n_h")).alias(
             "max_stratum_share"
         ),
     )
@@ -3493,8 +3496,8 @@ def schema_drift(
             "key",
             "n1",
             "n2",
-            F.round(F.col("n1") / F.col("r1").cast("double"), 6).alias("share1"),
-            F.round(F.col("n2") / F.col("r2").cast("double"), 6).alias("share2"),
+            _round6_ratio(F.col("n1"), F.col("r1")).alias("share1"),
+            _round6_ratio(F.col("n2"), F.col("r2")).alias("share2"),
             F.when(F.col("n1") == 0, "new")
             .when(F.col("n2") == 0, "dropped")
             .otherwise("stable")

@@ -4769,9 +4769,11 @@ ORACLES["key_skew_stats"] = """
     SELECT event_type AS name,
            CAST(sum(c) AS BIGINT) AS n_rows,
            count(*) AS n_keys,
-           round(max(c) * 1.0 / sum(c), 6) AS top_share,
+           floor((2000000 * max(c) + sum(c)) / (2.0 * sum(c))) / 1000000.0
+               AS top_share,
            round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
-           round(sum(c * c) * 1.0 / (sum(c) * sum(c)), 6) AS hhi
+           floor((2000000 * sum(c * c) + sum(c) * sum(c))
+                 / (2.0 * sum(c) * sum(c))) / 1000000.0 AS hhi
     FROM pk GROUP BY 1
 """
 
@@ -5235,9 +5237,10 @@ ORACLES["mad_outliers"] = """
            CAST(sum(CASE WHEN abs(CAST(e.value AS DOUBLE) - mad.m)
                               > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.d
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           round(sum(CASE WHEN abs(CAST(e.value AS DOUBLE) - mad.m)
+           floor((2000000 * sum(CASE WHEN abs(CAST(e.value AS DOUBLE) - mad.m)
                                > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.d
-                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_frac
+                          THEN 1 ELSE 0 END) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS outlier_frac
     FROM events e JOIN mad ON e.event_type = mad.name
     GROUP BY 1
 """
@@ -5260,7 +5263,8 @@ ORACLES["freq_spectrum"] = r"""
 ORACLES["schema_profile"] = """
     SELECT 'event_id' AS column_name, count(*) AS n_rows,
            CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           round(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_rate,
+           floor((2000000 * sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                  + count(*)) / (2.0 * count(*))) / 1000000.0 AS null_rate,
            count(DISTINCT event_id) AS n_distinct,
            CAST(min(event_id) AS VARCHAR) AS min_str,
            CAST(max(event_id) AS VARCHAR) AS max_str
@@ -5268,21 +5272,24 @@ ORACLES["schema_profile"] = """
     UNION ALL
     SELECT 'user_id', count(*),
            CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           floor((2000000 * sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  + count(*)) / (2.0 * count(*))) / 1000000.0,
            count(DISTINCT user_id),
            CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
     FROM events
     UNION ALL
     SELECT 'event_type', count(*),
            CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           round(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           floor((2000000 * sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                  + count(*)) / (2.0 * count(*))) / 1000000.0,
            count(DISTINCT event_type),
            CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
     FROM events
     UNION ALL
     SELECT 'props', count(*),
            CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           floor((2000000 * sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                  + count(*)) / (2.0 * count(*))) / 1000000.0,
            count(DISTINCT props),
            CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR)
     FROM events
@@ -6430,7 +6437,8 @@ ORACLES["rfm_segments"] = """
            CAST(m_tile AS BIGINT) AS m_tile,
            CAST(count(*) AS BIGINT) AS n_users,
            round(CAST(sum(rec_sec) AS DOUBLE) / count(*) / 86400000000.0, 6) AS avg_recency_days,
-           round(CAST(sum(freq) AS DOUBLE) / count(*), 6) AS avg_frequency,
+           floor((2000000 * sum(freq) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS avg_frequency,
            round(CAST(sum(mon) AS DOUBLE) / count(*), 6) AS avg_monetary
     FROM tiled GROUP BY 1, 2, 3
 """
@@ -6862,8 +6870,8 @@ ORACLES["filter_sweep"] = """
     pairs AS (SELECT CAST(threshold AS DOUBLE) AS threshold, s, w FROM scored CROSS JOIN t)
     SELECT threshold,
            CAST(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           round(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-               AS pct_kept,
+           floor((2000000 * sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END)
+                  + count(*)) / (2.0 * count(*))) / 1000000.0 AS pct_kept,
            round(sum(CASE WHEN s >= threshold THEN w ELSE 0.0 END), 6) AS w_kept,
            round(sum(CASE WHEN s >= threshold THEN w ELSE 0.0 END) / sum(w), 6)
                AS pct_w_kept
@@ -7084,12 +7092,13 @@ ORACLES["lift_curve"] = """
     SELECT bin, n, pos,
            CAST(sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
            CAST(sum(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
-           round(sum(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
-                 / (sum(pos) OVER () * 1.0), 6) AS capture,
-           round((sum(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
-                  / (sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) * 1.0))
-                 / (sum(pos) OVER () / (sum(n) OVER () * 1.0)), 6) AS lift
+           floor((2000000 * sum(pos) OVER wc + sum(pos) OVER wt)
+                 / (2.0 * sum(pos) OVER wt)) / 1000000.0 AS capture,
+           floor((2000000 * sum(pos) OVER wc * sum(n) OVER wt
+                  + sum(n) OVER wc * sum(pos) OVER wt)
+                 / (2.0 * sum(n) OVER wc * sum(pos) OVER wt)) / 1000000.0 AS lift
     FROM bins
+    WINDOW wc AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING), wt AS ()
 """
 ORACLES["topk_churn"] = """
     WITH scal AS (
@@ -7209,7 +7218,8 @@ ORACLES["json_schema_profile"] = """
     )
     SELECT key,
            CAST(count(*) AS BIGINT) AS n_present,
-           round(count(*) / ((SELECT n FROM tot) * 1.0), 6) AS pct_present,
+           floor((2000000 * count(*) + (SELECT n FROM tot))
+                 / (2.0 * (SELECT n FROM tot))) / 1000000.0 AS pct_present,
            CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_numeric,
@@ -7231,13 +7241,13 @@ ORACLES["expectations_audit"] = """
       FROM orders
     )
     SELECT 'totalprice_positive' AS constraint, v1 AS n_violations, n AS n_rows,
-           round(v1 * 1.0 / n, 6) AS pct_violated FROM g
+           floor((2000000 * v1 + n) / (2.0 * n)) / 1000000.0 AS pct_violated FROM g
     UNION ALL
-    SELECT 'status_in_domain', v2, n, round(v2 * 1.0 / n, 6) FROM g
+    SELECT 'status_in_domain', v2, n, floor((2000000 * v2 + n) / (2.0 * n)) / 1000000.0 FROM g
     UNION ALL
-    SELECT 'orderdate_not_null', v3, n, round(v3 * 1.0 / n, 6) FROM g
+    SELECT 'orderdate_not_null', v3, n, floor((2000000 * v3 + n) / (2.0 * n)) / 1000000.0 FROM g
     UNION ALL
-    SELECT 'priority_format', v4, n, round(v4 * 1.0 / n, 6) FROM g
+    SELECT 'priority_format', v4, n, floor((2000000 * v4 + n) / (2.0 * n)) / 1000000.0 FROM g
 """
 
 ORACLES["grouped_histogram"] = """
@@ -8686,7 +8696,8 @@ ORACLES["post_stratified_mean"] = """
            round(CAST(sum(s_h) AS DOUBLE) / sum(n_h), 6) AS raw_mean,
            round(CAST(sum(CAST(CAST(s_h AS DOUBLE) / n_h AS DECIMAL(38,12))) AS DOUBLE)
                  / count(*), 6) AS post_mean,
-           round(max(n_h) / CAST(sum(n_h) AS DOUBLE), 6) AS max_stratum_share
+           floor((2000000 * max(n_h) + sum(n_h))
+                 / (2.0 * sum(n_h))) / 1000000.0 AS max_stratum_share
     FROM per
 """
 
@@ -9532,8 +9543,8 @@ ORACLES["schema_drift"] = """
       FROM keys_ GROUP BY 1
     )
     SELECT key, n1, n2,
-           round(n1 / CAST(r1 AS DOUBLE), 6) AS share1,
-           round(n2 / CAST(r2 AS DOUBLE), 6) AS share2,
+           floor((2000000 * n1 + r1) / (2.0 * r1)) / 1000000.0 AS share1,
+           floor((2000000 * n2 + r2) / (2.0 * r2)) / 1000000.0 AS share2,
            CASE WHEN n1 = 0 THEN 'new'
                 WHEN n2 = 0 THEN 'dropped'
                 ELSE 'stable' END AS status
