@@ -650,9 +650,11 @@ def dedup_recall_audit(
             # greatest(.., 1): zero planted pairs (corpus with no ids
             # divisible by mod) must yield recall 0, not NULL — same
             # guard precision_lb already uses
-            F.round(F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6).alias("recall"),
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_found"), F.lit(1)), 6
+            _round6_ratio(
+                F.col("n_hit"), F.greatest(F.col("n_truth"), F.lit(1))
+            ).alias("recall"),
+            _round6_ratio(
+                F.col("n_hit"), F.greatest(F.col("n_found"), F.lit(1))
             ).alias("precision_lb"),
         )
     )
@@ -1088,7 +1090,7 @@ def split_leakage_audit(
         "split_b",
         "n_pairs",
         (F.col("split_a") != F.col("split_b")).alias("cross_split"),
-        F.round(F.col("n_pairs") / F.sum("n_pairs").over(w).cast("double"), 6).alias(
+        _round6_ratio(F.col("n_pairs"), F.sum("n_pairs").over(w)).alias(
             "pct_of_pairs"
         ),
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from kairos_spark.operators.text import _round6_ratio
+
 # Bucket granularity for fraction thresholds: fractions are exact to
 # 1e-6, and thresholds stay far below 2^44 so the md5-slice math is
 # identical in Spark and DuckDB BIGINT arithmetic.
@@ -282,7 +284,10 @@ def temperature_mix(
         w_expr = F.pow(share, F.lit(float(alpha)))
     tot = counts.agg(F.sum("n").alias("__total"))
     weighted = counts.crossJoin(F.broadcast(tot)).select(
-        "name", "n", F.round(share, 6).alias("share"), w_expr.alias("__w")
+        "name",
+        "n",
+        _round6_ratio(F.col("n"), F.col("__total")).alias("share"),
+        w_expr.alias("__w"),
     )
     wsum = weighted.agg(F.sum("__w").alias("__wsum"))
     planned = weighted.crossJoin(F.broadcast(wsum)).select(
@@ -322,7 +327,7 @@ def temperature_mix(
         "p_target",
         "target_n",
         F.least(F.col("target_n"), F.col("n")).cast("long").alias("feasible_n"),
-        F.round(F.least(F.col("target_n"), F.col("n")) / F.col("n"), 6).alias(
+        _round6_ratio(F.least(F.col("target_n"), F.col("n")), F.col("n")).alias(
             "sample_rate"
         ),
     )

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from kairos_spark.operators.text import _round6_ratio
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -768,7 +770,7 @@ def lsh_recall(
     return ncand.join(F.broadcast(hits), "__q", "left").select(
         F.col("__q").alias("q_id"),
         "n_candidates",
-        F.round(F.coalesce(F.col("__h"), F.lit(0)) / F.lit(k), 6).alias("recall"),
+        _round6_ratio(F.coalesce(F.col("__h"), F.lit(0)), F.lit(int(k))).alias("recall"),
     )
 
 
@@ -804,7 +806,7 @@ def knn_label_agreement(
     )
     return per_vec.groupBy(F.col("__ql").alias("label")).agg(
         F.count("*").alias("n_vecs"),
-        F.round(F.sum("__m") / (F.lit(k) * F.count("*")), 6).alias("mean_agreement"),
+        _round6_ratio(F.sum("__m"), F.lit(int(k)) * F.count("*")).alias("mean_agreement"),
         F.sum((F.col("__m") * 2 < k).cast("long")).alias("n_suspect"),
     )
 

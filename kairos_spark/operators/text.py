@@ -756,21 +756,24 @@ def language_metrics(
             F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
         )
     )
-    p = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(
-        F.lit(0.0)
-    )
-    r = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(
-        F.lit(0.0)
-    )
+    p = F.when(
+        F.col("n_pred") > 0, _round6_ratio(F.col("tp"), F.col("n_pred"))
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("n_true") > 0, _round6_ratio(F.col("tp"), F.col("n_true"))
+    ).otherwise(F.lit(0.0))
+    # f1 = 2PR/(P+R) simplifies EXACTLY to 2·tp/(n_pred+n_true) for
+    # unrounded P, R (and both sides are 0 when tp = 0), so the
+    # harmonic mean rounds as one integer ratio
     return j.select(
         "lang",
         "n_true",
         "n_pred",
         "tp",
-        F.round(p, 6).alias("precision"),
-        F.round(r, 6).alias("recall"),
-        F.round(
-            F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)), 6
+        p.alias("precision"),
+        r.alias("recall"),
+        _round6_ratio(
+            F.lit(2) * F.col("tp"), F.col("n_pred") + F.col("n_true")
         ).alias("f1"),
     )
 

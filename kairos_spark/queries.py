@@ -5420,7 +5420,8 @@ ORACLES["label_agreement"] = """
       FROM ranked WHERE rnk <= 10 GROUP BY 1, 2
     )
     SELECT ql AS label, count(*) AS n_vecs,
-           round(sum(m) * 1.0 / (10 * count(*)), 6) AS mean_agreement,
+           floor((2000000 * sum(m) + 10 * count(*))
+                 / (2.0 * 10 * count(*))) / 1000000.0 AS mean_agreement,
            CAST(sum(CASE WHEN m * 2 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
     FROM per GROUP BY 1
 """
@@ -5481,7 +5482,7 @@ ORACLES["lsh_recall"] = """
       GROUP BY 1
     )
     SELECT n.q_id, n.n_candidates,
-           round(coalesce(h, 0) / 10.0, 6) AS recall
+           floor((2000000 * coalesce(h, 0) + 10) / (2.0 * 10)) / 1000000.0 AS recall
     FROM napprox n LEFT JOIN hits ON n.q_id = hits.q_id
 """
 
@@ -5737,23 +5738,14 @@ ORACLES["langid_metrics"] = r"""
     SELECT row_s.t AS lang, n_true,
            coalesce(n_pred, 0) AS n_pred,
            coalesce(tp, 0) AS tp,
-           round(CASE WHEN coalesce(n_pred, 0) > 0
-                      THEN coalesce(tp, 0) * 1.0 / n_pred ELSE 0.0 END, 6) AS precision,
-           round(CASE WHEN n_true > 0
-                      THEN coalesce(tp, 0) * 1.0 / n_true ELSE 0.0 END, 6) AS recall,
-           round(CASE WHEN (CASE WHEN coalesce(n_pred, 0) > 0
-                                 THEN coalesce(tp, 0) * 1.0 / n_pred ELSE 0.0 END)
-                         + (CASE WHEN n_true > 0
-                                 THEN coalesce(tp, 0) * 1.0 / n_true ELSE 0.0 END) > 0
-                      THEN 2 * (CASE WHEN coalesce(n_pred, 0) > 0
-                                     THEN coalesce(tp, 0) * 1.0 / n_pred ELSE 0.0 END)
-                             * (CASE WHEN n_true > 0
-                                     THEN coalesce(tp, 0) * 1.0 / n_true ELSE 0.0 END)
-                           / ((CASE WHEN coalesce(n_pred, 0) > 0
-                                    THEN coalesce(tp, 0) * 1.0 / n_pred ELSE 0.0 END)
-                              + (CASE WHEN n_true > 0
-                                      THEN coalesce(tp, 0) * 1.0 / n_true ELSE 0.0 END))
-                      ELSE 0.0 END, 6) AS f1
+           CASE WHEN coalesce(n_pred, 0) > 0
+                THEN floor((2000000 * coalesce(tp, 0) + n_pred)
+                           / (2.0 * n_pred)) / 1000000.0 ELSE 0.0 END AS precision,
+           CASE WHEN n_true > 0
+                THEN floor((2000000 * coalesce(tp, 0) + n_true)
+                           / (2.0 * n_true)) / 1000000.0 ELSE 0.0 END AS recall,
+           floor((2000000 * 2 * coalesce(tp, 0) + coalesce(n_pred, 0) + n_true)
+                 / (2.0 * (coalesce(n_pred, 0) + n_true))) / 1000000.0 AS f1
     FROM row_s LEFT JOIN col_s ON row_s.t = col_s.t
     LEFT JOIN diag ON row_s.t = diag.t
 """
@@ -5892,8 +5884,10 @@ ORACLES["dedup_recall"] = r"""
       FROM found JOIN truth ON found.id_a = truth.id_a AND found.id_b = truth.id_b
     )
     SELECT n_truth, n_found, n_hit,
-           round(n_hit * 1.0 / greatest(n_truth, 1), 6) AS recall,
-           round(n_hit * 1.0 / greatest(n_found, 1), 6) AS precision_lb
+           floor((2000000 * n_hit + greatest(n_truth, 1))
+                 / (2.0 * greatest(n_truth, 1))) / 1000000.0 AS recall,
+           floor((2000000 * n_hit + greatest(n_found, 1))
+                 / (2.0 * greatest(n_found, 1))) / 1000000.0 AS precision_lb
     FROM nt, nf, nh
 """
 
@@ -5966,7 +5960,7 @@ ORACLES["temperature_mix"] = """
     tot AS (SELECT sum(n) AS total FROM counts),
     weighted AS (
       SELECT name, n,
-             round(n * 1.0 / total, 6) AS share,
+             floor((2000000 * n + total) / (2.0 * total)) / 1000000.0 AS share,
              sqrt(n * 1.0 / total) AS w
       FROM counts, tot
     ),
@@ -5995,7 +5989,8 @@ ORACLES["temperature_mix"] = """
            p_target,
            CAST(b + CASE WHEN rk <= s THEN 1 ELSE 0 END AS BIGINT) AS target_n,
            CAST(least(b + CASE WHEN rk <= s THEN 1 ELSE 0 END, n) AS BIGINT) AS feasible_n,
-           round(least(b + CASE WHEN rk <= s THEN 1 ELSE 0 END, n) * 1.0 / n, 6) AS sample_rate
+           floor((2000000 * least(b + CASE WHEN rk <= s THEN 1 ELSE 0 END, n) + n)
+                 / (2.0 * n)) / 1000000.0 AS sample_rate
     FROM ranked
 """
 
@@ -7459,7 +7454,8 @@ ORACLES["split_leakage_audit"] = """
     )
     SELECT split_a, split_b, n_pairs,
            split_a <> split_b AS cross_split,
-           round(n_pairs * 1.0 / sum(n_pairs) OVER (), 6) AS pct_of_pairs
+           floor((2000000 * n_pairs + sum(n_pairs) OVER ())
+                 / (2.0 * sum(n_pairs) OVER ())) / 1000000.0 AS pct_of_pairs
     FROM cells
 """
 
