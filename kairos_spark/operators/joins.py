@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from kairos_spark.operators.text import _round6_ratio
+
 
 def banded_range_join(
     left: DataFrame,
@@ -194,10 +196,9 @@ def bloom_filter_stats(
         "n_candidates",
         "n_true",
         (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
-        F.round(
-            (F.col("n_candidates") - F.col("n_true"))
-            / F.greatest(F.col("n_probe") - F.col("n_true"), F.lit(1)),
-            6,
+        _round6_ratio(
+            F.col("n_candidates") - F.col("n_true"),
+            F.greatest(F.col("n_probe") - F.col("n_true"), F.lit(1)),
         ).alias("fp_rate"),
     )
 
@@ -436,7 +437,7 @@ def reconciliation_audit(
         F.count("*").cast("long").alias("n_headers"),
         F.sum("__m").cast("long").alias("n_matched"),
         (F.count("*") - F.sum("__m")).cast("long").alias("n_mismatched"),
-        F.round(F.sum("__m") / F.count("*").cast("double"), 6).alias("pct_matched"),
+        _round6_ratio(F.sum("__m"), F.count("*")).alias("pct_matched"),
         F.round(F.avg(F.col("__d").cast("double")), 6).alias("mean_abs_diff"),
         F.round(F.max(F.col("__d").cast("double")), 6).alias("max_abs_diff"),
     )

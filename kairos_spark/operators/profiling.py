@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kairos_spark.operators.dedup import _round6_ratio
+from kairos_spark.operators.text import _round6_ratio_signed
 
 
 def key_distribution(
@@ -344,8 +345,8 @@ def fk_conformance(
             "n_orphan_keys",
             # greatest(.., 1): an empty child table must report rate 0,
             # not NULL (no-NULL output invariant)
-            F.round(
-                F.col("n_orphans") / F.greatest(F.col("n_child"), F.lit(1)), 6
+            _round6_ratio(
+                F.col("n_orphans"), F.greatest(F.col("n_child"), F.lit(1))
             ).alias("orphan_rate"),
         )
     )
@@ -729,12 +730,12 @@ def rank_auc(
         F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("long").alias("n_neg"),
         F.sum(F.when(F.col("__pos"), F.col("__r2")).otherwise(0)).cast("long").alias("__r2pos"),
     )
-    auc = (
-        (F.col("__r2pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
-        / (2.0 * F.col("n_pos") * F.col("n_neg"))
+    auc = _round6_ratio(
+        F.col("__r2pos") - F.col("n_pos") * (F.col("n_pos") + 1),
+        F.lit(2) * F.col("n_pos") * F.col("n_neg"),
     )
     return agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
-        *gcols, "n_pos", "n_neg", F.round(auc, 6).alias("auc")
+        *gcols, "n_pos", "n_neg", auc.alias("auc")
     )
 
 
@@ -778,7 +779,7 @@ def benford_audit(
         *gcols,
         "digit",
         "n",
-        F.round(obs, 6).alias("obs_freq"),
+        _round6_ratio(F.col("n"), F.sum("n").over(tot)).alias("obs_freq"),
         F.round(exp_freq, 6).alias("exp_freq"),
         F.round(obs - exp_freq, 6).alias("deviation"),
     )
@@ -2957,15 +2958,19 @@ def cohens_kappa(
         )
         .agg(F.sum("prod").cast("decimal(38,0)").alias("sum_prod"))
     )
-    po = F.col("agree") / F.col("n").cast("double")
-    pe = F.col("sum_prod").cast("double") / (F.col("n").cast("double") * F.col("n"))
+    # kappa = (po-pe)/(1-pe) restructured to ONE exact signed integer
+    # ratio (agree·n − Σnₐn_b)/(n² − Σnₐn_b); magnitudes stay < 2^53
+    # for document-grain label tables
+    sp = F.col("sum_prod").cast("long")
     return (
         tot.crossJoin(F.broadcast(cross))
         .select(
             "n",
-            F.round(po, 6).alias("po"),
-            F.round(pe, 6).alias("pe"),
-            F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+            _round6_ratio(F.col("agree"), F.col("n")).alias("po"),
+            _round6_ratio(sp, F.col("n") * F.col("n")).alias("pe"),
+            _round6_ratio_signed(
+                F.col("agree") * F.col("n") - sp, F.col("n") * F.col("n") - sp
+            ).alias("kappa"),
         )
     )
 
@@ -3321,7 +3326,7 @@ def wilson_ci(
     return agg.select(
         "group",
         "n",
-        F.round(p, 6).alias("p_hat"),
+        _round6_ratio(F.col("k"), F.col("n")).alias("p_hat"),
         F.round(center - half, 6).alias("ci_lo"),
         F.round(center + half, 6).alias("ci_hi"),
     )

@@ -814,8 +814,8 @@ def ngram_novelty(
             F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
             .cast("long")
             .alias("n_unique"),
-            F.round(
-                F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)) / F.count("*"), 6
+            _round6_ratio(
+                F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)), F.count("*")
             ).alias("novelty"),
         )
     )

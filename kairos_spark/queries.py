@@ -1385,14 +1385,23 @@ def q_multimodal_features(spark, sf_dir):
     projected as scalar columns."""
     media = multimodal.attach_media(_tbl(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
+
+    # features[i] is fl(count/n_bytes); count is recovered exactly by
+    # rint (error << 0.5 for count < 2^31), so the round-6 can run as
+    # the engine-exact integer half-up instead of a double round that
+    # splits on 7th-decimal midpoints (e.g. 41/640)
+    def _f(i):
+        cnt = F.rint(F.col("features")[i] * F.col("n_bytes")).cast("long")
+        return text._round6_ratio(cnt, F.greatest(F.col("n_bytes"), F.lit(1)))
+
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round(F.col("features")[0], 6).alias("f0"),
-        F.round(F.col("features")[3], 6).alias("f3"),
-        F.round(F.col("features")[7], 6).alias("f7"),
-        F.round(F.col("features")[11], 6).alias("f11"),
-        F.round(F.col("features")[15], 6).alias("f15"),
+        _f(0).alias("f0"),
+        _f(3).alias("f3"),
+        _f(7).alias("f7"),
+        _f(11).alias("f11"),
+        _f(15).alias("f15"),
     )
 
 
@@ -3814,11 +3823,16 @@ ORACLES.update(
             )
             SELECT media_id,
                    CAST(n_bytes AS BIGINT) AS n_bytes,
-                   round((length(nib) - length(replace(nib, '0', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f0,
-                   round((length(nib) - length(replace(nib, '3', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f3,
-                   round((length(nib) - length(replace(nib, '7', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f7,
-                   round((length(nib) - length(replace(nib, 'B', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f11,
-                   round((length(nib) - length(replace(nib, 'F', ''))) / CAST(greatest(n_bytes, 1) AS DOUBLE), 6) AS f15
+                   floor((2000000 * (length(nib) - length(replace(nib, '0', ''))) + greatest(n_bytes, 1))
+                         / (2.0 * greatest(n_bytes, 1))) / 1000000.0 AS f0,
+                   floor((2000000 * (length(nib) - length(replace(nib, '3', ''))) + greatest(n_bytes, 1))
+                         / (2.0 * greatest(n_bytes, 1))) / 1000000.0 AS f3,
+                   floor((2000000 * (length(nib) - length(replace(nib, '7', ''))) + greatest(n_bytes, 1))
+                         / (2.0 * greatest(n_bytes, 1))) / 1000000.0 AS f7,
+                   floor((2000000 * (length(nib) - length(replace(nib, 'B', ''))) + greatest(n_bytes, 1))
+                         / (2.0 * greatest(n_bytes, 1))) / 1000000.0 AS f11,
+                   floor((2000000 * (length(nib) - length(replace(nib, 'F', ''))) + greatest(n_bytes, 1))
+                         / (2.0 * greatest(n_bytes, 1))) / 1000000.0 AS f15
             FROM h
         """,
         # anti-diagonal islands: a shared span of length S produces
@@ -3872,7 +3886,8 @@ ORACLES.update(
             SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_grams,
                    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-                   round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+                   floor((2000000 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) + count(*))
+                         / (2.0 * count(*))) / 1000000.0 AS novelty
             FROM grams JOIN gdf USING (g)
             GROUP BY doc_id
         """,
@@ -4886,7 +4901,8 @@ ORACLES["bloom_filter_join"] = """
     )
     SELECT n_build, n_probe, n_candidates, n_true,
            CAST(n_candidates - n_true AS BIGINT) AS n_false_pos,
-           round((n_candidates - n_true) * 1.0 / greatest(n_probe - n_true, 1), 6) AS fp_rate
+           floor((2000000 * (n_candidates - n_true) + greatest(n_probe - n_true, 1))
+                 / (2.0 * greatest(n_probe - n_true, 1))) / 1000000.0 AS fp_rate
     FROM cand, truth, nb
 """
 
@@ -5307,13 +5323,15 @@ ORACLES["fk_conformance"] = """
     SELECT 'orders.o_custkey' AS fk,
            (SELECT count(*) FROM orders) AS n_child,
            n_orphans, n_orphan_keys,
-           round(n_orphans * 1.0 / greatest((SELECT count(*) FROM orders), 1), 6) AS orphan_rate
+           floor((2000000 * n_orphans + greatest((SELECT count(*) FROM orders), 1))
+                 / (2.0 * greatest((SELECT count(*) FROM orders), 1))) / 1000000.0 AS orphan_rate
     FROM o_orph
     UNION ALL
     SELECT 'lineitem.l_orderkey',
            (SELECT count(*) FROM lineitem),
            n_orphans, n_orphan_keys,
-           round(n_orphans * 1.0 / greatest((SELECT count(*) FROM lineitem), 1), 6)
+           floor((2000000 * n_orphans + greatest((SELECT count(*) FROM lineitem), 1))
+                 / (2.0 * greatest((SELECT count(*) FROM lineitem), 1))) / 1000000.0
     FROM li_orph
 """
 
@@ -6233,7 +6251,8 @@ ORACLES["quality_auc"] = """
     SELECT source,
            CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
-           round((r2pos - n_pos * (n_pos + 1)) * 1.0 / (2 * n_pos * n_neg), 6) AS auc
+           floor((2000000 * (r2pos - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
+                 / (2.0 * 2 * n_pos * n_neg)) / 1000000.0 AS auc
     FROM a WHERE n_pos > 0 AND n_neg > 0
 """
 
@@ -6403,7 +6422,7 @@ ORACLES["benford_totalprice"] = """
     base AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
     tot AS (SELECT sum(n) AS t FROM base)
     SELECT digit, n,
-           round(n * 1.0 / t, 6) AS obs_freq,
+           floor((2000000 * n + t) / (2.0 * t)) / 1000000.0 AS obs_freq,
            round(log10(1.0 + 1.0 / digit), 6) AS exp_freq,
            round(n * 1.0 / t - log10(1.0 + 1.0 / digit), 6) AS deviation
     FROM base, tot
@@ -7648,8 +7667,8 @@ ORACLES["reconciliation_audit"] = """
            CAST(count(*) AS BIGINT) AS n_headers,
            CAST(sum(CASE WHEN d <= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
            CAST(sum(CASE WHEN d <= 0.01 THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatched,
-           round(sum(CASE WHEN d <= 0.01 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-               AS pct_matched,
+           floor((2000000 * sum(CASE WHEN d <= 0.01 THEN 1 ELSE 0 END) + count(*))
+                 / (2.0 * count(*))) / 1000000.0 AS pct_matched,
            round(avg(CAST(d AS DOUBLE)), 6) AS mean_abs_diff,
            round(max(CAST(d AS DOUBLE)), 6) AS max_abs_diff
     FROM j GROUP BY 1
@@ -8840,7 +8859,8 @@ ORACLES["churn_auc"] = """
     )
     SELECT CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
-           round((r2pos - n_pos * (n_pos + 1)) * 1.0 / (2 * n_pos * n_neg), 6) AS auc
+           floor((2000000 * (r2pos - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
+                 / (2.0 * 2 * n_pos * n_neg)) / 1000000.0 AS auc
     FROM a WHERE n_pos > 0 AND n_neg > 0
 """
 
@@ -8910,11 +8930,17 @@ ORACLES["langid_kappa"] = r"""
       FROM ma FULL OUTER JOIN mb USING (cls)
     )
     SELECT n,
-           round(agree / CAST(n AS DOUBLE), 6) AS po,
-           round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
-           round((agree / CAST(n AS DOUBLE)
-                  - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * n))
-                 / (1.0 - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+           floor((2000000 * agree + n) / (2.0 * n)) / 1000000.0 AS po,
+           floor((2000000 * CAST(sp AS BIGINT) + n * n)
+                 / (2.0 * n * n)) / 1000000.0 AS pe,
+           CASE WHEN agree * n - CAST(sp AS BIGINT) >= 0
+                THEN  floor(( 2000000 * (agree * n - CAST(sp AS BIGINT))
+                              + (n * n - CAST(sp AS BIGINT)))
+                            / (2.0 * (n * n - CAST(sp AS BIGINT)))) / 1000000.0
+                ELSE -floor((-2000000 * (agree * n - CAST(sp AS BIGINT))
+                              + (n * n - CAST(sp AS BIGINT)))
+                            / (2.0 * (n * n - CAST(sp AS BIGINT)))) / 1000000.0
+                END AS kappa
     FROM tot CROSS JOIN cr
 """
 
@@ -9382,7 +9408,7 @@ ORACLES["wilson_ci"] = """
       FROM events GROUP BY 1
     )
     SELECT "group", n,
-           round(k / CAST(n AS DOUBLE), 6) AS p_hat,
+           floor((2000000 * k + n) / (2.0 * n)) / 1000000.0 AS p_hat,
            round((k / CAST(n AS DOUBLE) + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE)))
                    / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
                  - 1.959964
