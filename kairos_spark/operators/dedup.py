@@ -217,10 +217,9 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(num_hashes),
-        6,
+    est = _round6_ratio(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)),
+        F.lit(int(num_hashes)),
     )
     return cands.withColumn("est_jaccard", est).where(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b", "est_jaccard"
@@ -926,8 +925,8 @@ def dup_inflation(
         F.count("*").cast("long").alias("n_unique"),
         F.sum(F.col("__n") * F.col("__t")).cast("long").alias("tokens_total"),
         F.sum("__t").cast("long").alias("tokens_unique"),
-        F.round(
-            F.sum(F.col("__n") * F.col("__t")).cast("double") / F.sum("__t"), 6
+        _round6_ratio(
+            F.sum(F.col("__n") * F.col("__t")), F.sum("__t")
         ).alias("inflation"),
     )
 

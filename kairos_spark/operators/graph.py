@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from kairos_spark.operators.text import _round6_ratio
+
 
 def pagerank(
     edges: DataFrame,
@@ -275,9 +277,9 @@ def cooccurrence_triangles(
             "clustering",
             F.when(
                 F.col("degree") >= 2,
-                F.round(
-                    2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
-                    6,
+                _round6_ratio(
+                    F.lit(2) * F.col("triangles"),
+                    F.col("degree") * (F.col("degree") - 1),
                 ),
             ).otherwise(F.lit(0.0)),
         )

@@ -20,6 +20,8 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kairos_spark.operators.text import _round6_ratio
+
 
 def morton_z(x: Column, y: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative integer
@@ -130,7 +132,7 @@ def zonemap_prune_audit(
             "layout",
             "n_chunks",
             "n_pruned",
-            F.round(F.col("n_pruned") / F.col("n_chunks").cast("double"), 6).alias(
+            _round6_ratio(F.col("n_pruned"), F.col("n_chunks")).alias(
                 "prune_rate"
             ),
         )

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kairos_spark.operators.text import _round6_ratio
+
 # Ordered: applied in this sequence during redaction. SSN before phone
 # so 123-45-6789 is never half-eaten by a phone-shaped prefix match.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
@@ -155,12 +157,11 @@ def k_anonymity(
         "class_size",
         F.min("class_size").over(w).alias("min_k"),
         *[
-            F.round(
+            _round6_ratio(
                 F.sum(
                     F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0)
-                ).over(w)
-                / total.cast("double"),
-                6,
+                ).over(w),
+                total,
             ).alias(f"pct_lt_{k}")
             for k in k_thresholds
         ],

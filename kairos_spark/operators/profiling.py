@@ -1137,7 +1137,7 @@ def calibration_bins(
         "bin",
         "n",
         F.round(mean_score, 6).alias("mean_score"),
-        F.round(frac_pos, 6).alias("frac_pos"),
+        _round6_ratio(F.col("__pos"), F.col("n")).alias("frac_pos"),
         F.round(gap, 6).alias("gap"),
         (F.abs(gap) * F.col("n").cast("double")).cast("decimal(28,12)").alias("__w"),
     )
@@ -1720,17 +1720,16 @@ def assoc_rules(
     ca = item_counts.select(F.col("item").alias("item_a"), F.col("__ni").alias("__na"))
     cb = item_counts.select(F.col("item").alias("item_b"), F.col("__ni").alias("__nb"))
     j = pair_counts.join(ca, "item_a").join(cb, "item_b").crossJoin(F.broadcast(tot))
-    n = F.col("__n").cast("double")
-    supp = F.col("n_ab") / n
-    conf = F.col("n_ab") / F.col("__na").cast("double")
-    lift = supp / ((F.col("__na") / n) * (F.col("__nb") / n))
+    # lift restructured to ONE exact integer ratio n_ab·n/(nₐ·n_b)
     return j.select(
         "item_a",
         "item_b",
         "n_ab",
-        F.round(supp, 6).alias("support"),
-        F.round(conf, 6).alias("confidence"),
-        F.round(lift, 6).alias("lift"),
+        _round6_ratio(F.col("n_ab"), F.col("__n")).alias("support"),
+        _round6_ratio(F.col("n_ab"), F.col("__na")).alias("confidence"),
+        _round6_ratio(
+            F.col("n_ab") * F.col("__n"), F.col("__na") * F.col("__nb")
+        ).alias("lift"),
     )
 
 

@@ -4239,8 +4239,8 @@ ORACLES["minhash_lsh_pairs"] = """
     ),
     est AS (
         SELECT c.id_a, c.id_b,
-               round(sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) / 32.0, 6)
-                   AS est_jaccard
+               floor((2000000 * sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) + 32)
+                     / (2.0 * 32)) / 1000000.0 AS est_jaccard
         FROM cand c
         JOIN sig sa ON sa.doc_id = c.id_a
         JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
@@ -5166,8 +5166,8 @@ ORACLES["minhash_calibration"] = """
     ),
     est AS (
         SELECT c.id_a, c.id_b,
-               round(sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) / 32.0, 6)
-                   AS est_jaccard
+               floor((2000000 * sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) + 32)
+                     / (2.0 * 32)) / 1000000.0 AS est_jaccard
         FROM cand c
         JOIN sig sa ON sa.doc_id = c.id_a
         JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
@@ -6292,7 +6292,8 @@ ORACLES["triangle_cooccurrence"] = """
            CAST(degree AS BIGINT) AS degree,
            CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
            CASE WHEN degree >= 2
-                THEN round(2.0 * coalesce(triangles, 0) / (degree * (degree - 1)), 6)
+                THEN floor((2000000 * 2 * coalesce(triangles, 0) + degree * (degree - 1))
+                           / (2.0 * degree * (degree - 1))) / 1000000.0
                 ELSE 0.0 END AS clustering
     FROM deg LEFT JOIN pn ON deg.node = pn.node
 """
@@ -6519,7 +6520,7 @@ ORACLES["dup_inflation"] = """
            CAST(count(*) AS BIGINT) AS n_unique,
            CAST(sum(n * t) AS BIGINT) AS tokens_total,
            CAST(sum(t) AS BIGINT) AS tokens_unique,
-           round(CAST(sum(n * t) AS DOUBLE) / sum(t), 6) AS inflation
+           floor((2000000 * sum(n * t) + sum(t)) / (2.0 * sum(t))) / 1000000.0 AS inflation
     FROM per_digest GROUP BY 1
 """
 
@@ -6821,12 +6822,15 @@ ORACLES["k_anonymity"] = """
     )
     SELECT c_mktsegment, c_nationkey, class_size,
            min(class_size) OVER () AS min_k,
-           round(sum(CASE WHEN class_size < 2 THEN class_size ELSE 0 END) OVER ()
-                 * 1.0 / sum(class_size) OVER (), 6) AS pct_lt_2,
-           round(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) OVER ()
-                 * 1.0 / sum(class_size) OVER (), 6) AS pct_lt_5,
-           round(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) OVER ()
-                 * 1.0 / sum(class_size) OVER (), 6) AS pct_lt_10
+           floor((2000000 * sum(CASE WHEN class_size < 2 THEN class_size ELSE 0 END) OVER ()
+                  + sum(class_size) OVER ())
+                 / (2.0 * sum(class_size) OVER ())) / 1000000.0 AS pct_lt_2,
+           floor((2000000 * sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) OVER ()
+                  + sum(class_size) OVER ())
+                 / (2.0 * sum(class_size) OVER ())) / 1000000.0 AS pct_lt_5,
+           floor((2000000 * sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) OVER ()
+                  + sum(class_size) OVER ())
+                 / (2.0 * sum(class_size) OVER ())) / 1000000.0 AS pct_lt_10
     FROM classes
 """
 
@@ -6862,13 +6866,13 @@ ORACLES["calibration_bins"] = """
       FROM scored GROUP BY 1
     ),
     g AS (
-      SELECT bin, n, ssum / n AS mean_score, pos * 1.0 / n AS frac_pos,
+      SELECT bin, n, pos, ssum / n AS mean_score, pos * 1.0 / n AS frac_pos,
              pos * 1.0 / n - ssum / n AS gap_raw
       FROM bins
     )
     SELECT bin, n,
            round(mean_score, 6) AS mean_score,
-           round(frac_pos, 6) AS frac_pos,
+           floor((2000000 * pos + n) / (2.0 * n)) / 1000000.0 AS frac_pos,
            round(gap_raw, 6) AS gap,
            round(CAST(sum(CAST(abs(gap_raw) * n AS DECIMAL(28,12))) OVER ()
                  AS DOUBLE) / sum(n) OVER (), 6) AS ece
@@ -7506,10 +7510,10 @@ ORACLES["assoc_rules"] = """
       GROUP BY 1, 2
     )
     SELECT item_a, item_b, n_ab,
-           round(n_ab / (tot.n * 1.0), 6) AS support,
-           round(n_ab / (ca.ni * 1.0), 6) AS confidence,
-           round((n_ab / (tot.n * 1.0))
-                 / ((ca.ni / (tot.n * 1.0)) * (cb.ni / (tot.n * 1.0))), 6) AS lift
+           floor((2000000 * n_ab + tot.n) / (2.0 * tot.n)) / 1000000.0 AS support,
+           floor((2000000 * n_ab + ca.ni) / (2.0 * ca.ni)) / 1000000.0 AS confidence,
+           floor((2000000 * n_ab * tot.n + ca.ni * cb.ni)
+                 / (2.0 * ca.ni * cb.ni)) / 1000000.0 AS lift
     FROM pc
     JOIN ic ca ON pc.item_a = ca.item
     JOIN ic cb ON pc.item_b = cb.item, tot
@@ -9218,15 +9222,15 @@ ORACLES["zonemap_prune"] = """
     SELECT 'natural' AS layout,
            CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
-           round(sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS prune_rate
+           floor((2000000 * sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END)
+                  + count(*)) / (2.0 * count(*))) / 1000000.0 AS prune_rate
     FROM nstats
     UNION ALL
     SELECT 'sorted',
            CAST(count(*) AS BIGINT),
            CAST(sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END) AS BIGINT),
-           round(sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6)
+           floor((2000000 * sum(CASE WHEN hi < 50000.0 OR lo > 100000.0 THEN 1 ELSE 0 END)
+                  + count(*)) / (2.0 * count(*))) / 1000000.0
     FROM sstats
 """
 
