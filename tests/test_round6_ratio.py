@@ -1,0 +1,97 @@
+"""Engine-agreement lock for the integer half-up ratio helpers.
+
+`_round6_ratio` / `_round6_ratio_signed` exist because rounding an
+exact-rational double with Spark's round() and DuckDB's round() can
+split on 7th-decimal midpoints (41/640 = 0.0640625). These tests pin:
+
+1. the Spark helper equals the oracle-side floor formula evaluated in
+   DuckDB, fraction for fraction, over an adversarial grid (every
+   denominator that can produce a 7th-decimal midpoint, plus primes);
+2. exact known midpoints round HALF UP (and half AWAY FROM ZERO when
+   signed);
+3. the NULL-propagation contract (NULL den → NULL, matching the old
+   F.round behavior so no-NULL guards stay the callers' job).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kairos_spark.operators.text import _round6_ratio, _round6_ratio_signed
+
+
+def _grid():
+    # denominators whose 1/d terminates with >= 7 decimals (2^a*5^b
+    # forms) hit true midpoints; primes and composites cover the
+    # non-terminating cases where the two engines' double rounds used
+    # to drift. Numerators sweep the full [0, d] range coarsely plus
+    # the exact-midpoint neighborhood.
+    dens = [640, 1280, 12800, 512, 2560, 160, 3, 7, 11, 13, 97, 997, 640_000]
+    cases = []
+    for d in dens:
+        step = max(1, d // 13)
+        ns = set(range(0, d + 1, step)) | {1, d - 1, d, 41 % d}
+        for n in ns:
+            cases.append((n, d))
+    return cases
+
+
+def test_round6_ratio_matches_duckdb_floor_formula(spark):
+    cases = _grid()
+    sdf = spark.createDataFrame(cases, "n long, d long").select(
+        "n", "d", _round6_ratio(F.col("n"), F.col("d")).alias("r")
+    )
+    got = {(r["n"], r["d"]): r["r"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for n, d in cases:
+        want = con.execute(
+            f"SELECT floor((2000000 * CAST({n} AS BIGINT) + {d}) / (2.0 * {d})) / 1000000.0"
+        ).fetchone()[0]
+        assert got[(n, d)] == want, (n, d, got[(n, d)], want)
+
+
+def test_known_midpoints_round_half_up(spark):
+    rows = spark.range(1).select(
+        _round6_ratio(F.lit(41), F.lit(640)).alias("a"),       # 0.0640625
+        _round6_ratio(F.lit(1), F.lit(1280)).alias("b"),       # 0.00078125
+        _round6_ratio(F.lit(5), F.lit(640)).alias("c"),        # 0.0078125
+        _round6_ratio_signed(F.lit(-41), F.lit(640)).alias("d"),
+        _round6_ratio_signed(F.lit(41), F.lit(640)).alias("e"),
+        _round6_ratio_signed(F.lit(0), F.lit(7)).alias("z"),
+    ).collect()[0]
+    assert rows["a"] == 0.064063          # up, not 0.064062
+    assert rows["b"] == 0.000781
+    assert rows["c"] == 0.007813
+    assert rows["d"] == -0.064063         # half AWAY FROM ZERO
+    assert rows["e"] == 0.064063
+    assert rows["z"] == 0.0
+
+
+def test_signed_matches_duckdb_case_mirror(spark):
+    cases = [(n, d) for n, d in _grid() if d <= 1280] + [(-41, 640), (-5, 640)]
+    cases = [(n, d) for n, d in cases] + [(-n, d) for n, d in cases if n]
+    sdf = spark.createDataFrame(cases, "n long, d long").select(
+        "n", "d", _round6_ratio_signed(F.col("n"), F.col("d")).alias("r")
+    )
+    got = {(r["n"], r["d"]): r["r"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for n, d in set(cases):
+        want = con.execute(
+            f"""SELECT CASE WHEN {n} >= 0
+                 THEN  floor(( 2000000 * CAST({n} AS BIGINT) + {d})
+                             / (2.0 * {d})) / 1000000.0
+                 ELSE -floor((-2000000 * CAST({n} AS BIGINT) + {d})
+                             / (2.0 * {d})) / 1000000.0 END"""
+        ).fetchone()[0]
+        assert got[(n, d)] == want, (n, d, got[(n, d)], want)
+
+
+def test_null_denominator_propagates(spark):
+    row = (
+        spark.createDataFrame([(1, None)], "n long, d long")
+        .select(_round6_ratio(F.col("n"), F.col("d")).alias("r"))
+        .collect()[0]
+    )
+    assert row["r"] is None
