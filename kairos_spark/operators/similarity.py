@@ -375,9 +375,12 @@ def kmeans(
         final.groupBy("cid")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.sum(F.col("dist").cast("decimal(38,12)")).cast("double"), 6).alias(
-                "inertia"
-            ),
+            # round the DECIMAL first, cast after: at corpus scale the
+            # inertia sum reaches magnitudes where round-6 post-cast is
+            # not double-representable and engines disagree
+            F.round(F.sum(F.col("dist").cast("decimal(38,12)")), 6)
+            .cast("double")
+            .alias("inertia"),
         )
         .select(F.col("cid").alias("cluster_id"), "n_vecs", "inertia")
     )

@@ -2311,9 +2311,10 @@ def max_drawdown(
     )
     return stepped.agg(
         F.count("*").cast("long").alias("n_buckets"),
-        F.round(F.max_by(F.col("cum"), F.col("bkt")).cast("double"), 6).alias("final_cum"),
-        F.round(F.max("cum").cast("double"), 6).alias("peak"),
-        F.round(F.max(F.col("peak") - F.col("cum")).cast("double"), 6).alias(
+        # round the DECIMALs first, cast after (1e9+-magnitude rule)
+        F.round(F.max_by(F.col("cum"), F.col("bkt")), 6).cast("double").alias("final_cum"),
+        F.round(F.max("cum"), 6).cast("double").alias("peak"),
+        F.round(F.max(F.col("peak") - F.col("cum")), 6).cast("double").alias(
             "max_drawdown"
         ),
     )

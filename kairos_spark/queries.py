@@ -4694,7 +4694,7 @@ ORACLES["kmeans_clusters"] = f"""
       ) WHERE rn = 1
     )
     SELECT cid AS cluster_id, count(*) AS n_vecs,
-           round(CAST(sum(CAST(dist AS DECIMAL(38,12))) AS DOUBLE), 6) AS inertia
+           CAST(round(sum(CAST(dist AS DECIMAL(38,12))), 6) AS DOUBLE) AS inertia
     FROM a3 GROUP BY 1
 """
 
@@ -9198,9 +9198,9 @@ ORACLES["max_drawdown"] = """
       FROM st
     )
     SELECT CAST(count(*) AS BIGINT) AS n_buckets,
-           round(CAST(arg_max(cum, bkt) AS DOUBLE), 6) AS final_cum,
-           round(CAST(max(cum) AS DOUBLE), 6) AS peak,
-           round(CAST(max(peak - cum) AS DOUBLE), 6) AS max_drawdown
+           CAST(round(arg_max(cum, bkt), 6) AS DOUBLE) AS final_cum,
+           CAST(round(max(cum), 6) AS DOUBLE) AS peak,
+           CAST(round(max(peak - cum), 6) AS DOUBLE) AS max_drawdown
     FROM st2
 """
 
