@@ -1391,7 +1391,11 @@ def q_multimodal_features(spark, sf_dir):
     # the engine-exact integer half-up instead of a double round that
     # splits on 7th-decimal midpoints (e.g. 41/640)
     def _f(i):
-        cnt = F.rint(F.col("features")[i] * F.col("n_bytes")).cast("long")
+        # n_bytes = 0 → the UDF's count/len is NaN; the oracle's
+        # greatest(n_bytes, 1) denominator yields 0.0 — match it
+        cnt = F.coalesce(
+            F.rint(F.col("features")[i] * F.col("n_bytes")).cast("long"), F.lit(0)
+        )
         return text._round6_ratio(cnt, F.greatest(F.col("n_bytes"), F.lit(1)))
 
     return feats.select(
