@@ -1780,16 +1780,20 @@ def dist_overlap(
     )
     wg = Window.partitionBy("grp")
     probs = cells.select(
-        "grp", "bin", (F.col("n") / F.sum("n").over(wg).cast("double")).alias("p")
+        "grp", "bin", "n", F.sum("n").over(wg).alias("t")
     )
     a, b = probs.alias("a"), probs.alias("b")
+    # Σ min(pa, pb) = Σ min(na·Tb, nb·Ta) / (Ta·Tb) — ONE exact integer
+    # ratio, so the round-6 is engine-exact (the double form landed
+    # exactly on a 7th-decimal midpoint on real count data)
     pairs = (
         a.join(b, "bin")
         .where(F.col("a.grp") < F.col("b.grp"))
         .groupBy(F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b"))
         .agg(
-            F.round(
-                F.sum(F.least(F.col("a.p"), F.col("b.p"))), 6
+            _round6_ratio(
+                F.sum(F.least(F.col("a.n") * F.col("b.t"), F.col("b.n") * F.col("a.t"))),
+                F.max(F.col("a.t")) * F.max(F.col("b.t")),
             ).alias("overlap")
         )
     )
@@ -2662,9 +2666,14 @@ def ab_lift(
         F.round(ma, 6).alias("mean_a"),
         F.round(mb, 6).alias("mean_b"),
         F.round(ma - mb, 6).alias("lift"),
-        F.round(
-            (ma - mb) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")), 6
-        ).alias("t_welch"),
+        # both arms constant → zero standard error → t undefined; 0.0
+        # sentinel on BOTH sides (ANSI divide would error)
+        F.when(
+            va / F.col("n_a") + vb / F.col("n_b") > 0,
+            F.round((ma - mb) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("t_welch"),
     )
 
 
@@ -2907,7 +2916,12 @@ def scale_drift(
     )
     v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
     v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
-    return agg.where((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+    # constant windows (zero variance) make the ratio undefined — and
+    # Spark's ANSI divide ERRORS on them where DuckDB would NULL; drop
+    # those groups on BOTH sides
+    return agg.where(
+        (F.col("n1") > 1) & (F.col("n2") > 1) & (v1 > 0) & (v2 > 0)
+    ).select(
         "name",
         "n1",
         "n2",
@@ -3012,13 +3026,19 @@ def did_estimate(
         F.when(cond, F.col("v")).otherwise(0.0).cast("decimal(38,12)")
     ).cast("double")
     cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+    # an EMPTY cell (e.g. no control-period rows) makes its mean
+    # undefined: 0.0 sentinel on BOTH sides instead of the ANSI
+    # divide error / NULL split
+    cell = lambda cond: F.when(cnt(cond) > 0, dec(cond) / cnt(cond)).otherwise(
+        F.lit(0.0)
+    )
     agg = base.agg(
         F.countDistinct(F.when(F.col("g") == 1, F.col("u"))).cast("long").alias("n_treated"),
         F.countDistinct(F.when(F.col("g") == 0, F.col("u"))).cast("long").alias("n_control"),
-        (dec((F.col("g") == 1) & (F.col("p") == 0)) / cnt((F.col("g") == 1) & (F.col("p") == 0))).alias("t_pre"),
-        (dec((F.col("g") == 1) & (F.col("p") == 1)) / cnt((F.col("g") == 1) & (F.col("p") == 1))).alias("t_post"),
-        (dec((F.col("g") == 0) & (F.col("p") == 0)) / cnt((F.col("g") == 0) & (F.col("p") == 0))).alias("c_pre"),
-        (dec((F.col("g") == 0) & (F.col("p") == 1)) / cnt((F.col("g") == 0) & (F.col("p") == 1))).alias("c_post"),
+        cell((F.col("g") == 1) & (F.col("p") == 0)).alias("t_pre"),
+        cell((F.col("g") == 1) & (F.col("p") == 1)).alias("t_post"),
+        cell((F.col("g") == 0) & (F.col("p") == 0)).alias("c_pre"),
+        cell((F.col("g") == 0) & (F.col("p") == 1)).alias("c_post"),
     )
     return agg.select(
         "n_treated",
@@ -3625,10 +3645,11 @@ def qq_shift_fit(
         dec(F.col("q1") * F.col("q2")).alias("sxy"),
         dec(F.col("q1") * F.col("q1")).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return agg.select(
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    # all-equal quantiles (zero spread) make the fit undefined — drop
+    # the group on BOTH sides rather than hit the ANSI divide error
+    return agg.where(den > 0).select(
         "name",
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),

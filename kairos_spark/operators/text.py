@@ -83,7 +83,10 @@ def word_count(text: Column) -> Column:
 # same text column feeds many ratio columns.
 _LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 _DIGITS = "0123456789"
-_SPACES = " \t\n\x0b\f\r"  # java regex \s = [ \t\n\x0B\f\r]
+# RE2-compatible whitespace (NO \x0b): Java \s includes vertical tab,
+# RE2 (the oracle engine) does not — VT must count as punctuation on
+# both sides or a VT-bearing document splits the ratio columns
+_SPACES = " \t\n\f\r"
 
 
 def _class_count(t: Column, alphabet: str) -> Column:

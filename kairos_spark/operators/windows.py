@@ -1400,20 +1400,26 @@ def forecast_eval(
         F.sum(F.abs(es)).cast("long").alias("__aes"),
         F.sum(es * es).cast("long").alias("__ses"),
     )
+    # -1.0 sentinels: a group with no evaluable lags (fewer rows than
+    # the lag) must not emit NULL (None vs NaN hash split)
     return agg.select(
         F.col("grp").alias(group_col),
         "n_eval_naive",
-        _round6_ratio(F.col("__ae1"), F.col("n_eval_naive")).alias("mae_naive"),
-        F.round(F.sqrt(F.col("__se1") / F.col("n_eval_naive").cast("double")), 6).alias(
-            "rmse_naive"
-        ),
+        F.coalesce(
+            _round6_ratio(F.col("__ae1"), F.col("n_eval_naive")), F.lit(-1.0)
+        ).alias("mae_naive"),
+        F.coalesce(
+            F.round(F.sqrt(F.col("__se1") / F.col("n_eval_naive").cast("double")), 6),
+            F.lit(-1.0),
+        ).alias("rmse_naive"),
         "n_eval_seasonal",
-        _round6_ratio(F.col("__aes"), F.col("n_eval_seasonal")).alias(
-            "mae_seasonal"
-        ),
-        F.round(F.sqrt(F.col("__ses") / F.col("n_eval_seasonal").cast("double")), 6).alias(
-            "rmse_seasonal"
-        ),
+        F.coalesce(
+            _round6_ratio(F.col("__aes"), F.col("n_eval_seasonal")), F.lit(-1.0)
+        ).alias("mae_seasonal"),
+        F.coalesce(
+            F.round(F.sqrt(F.col("__ses") / F.col("n_eval_seasonal").cast("double")), 6),
+            F.lit(-1.0),
+        ).alias("rmse_seasonal"),
     )
 
 
@@ -1490,20 +1496,27 @@ def ols2_fit(
         - s1 * (s1 * s2y - s1y * s2)
         + sy * (s1 * s12 - s11 * s2)
     )
-    safe = F.abs(det) > 0
-    b0 = F.when(safe, det0 / det)
-    b1 = F.when(safe, det1 / det)
-    b2 = F.when(safe, det2 / det)
+    # RELATIVE singularity threshold: an exactly-collinear design (e.g.
+    # a constant predictor) has det = 0 mathematically but ulp-level
+    # noise numerically — and the noise DIFFERS between engines, so the
+    # coefficients would explode differently. 1e-9·scale sits far above
+    # ulp noise (~1e-16·scale), so both engines take the same branch;
+    # singular groups are DROPPED on both sides (NULL columns would
+    # split as None vs NaN in the hash).
+    scale = F.greatest(F.abs(n * s11 * s22), F.lit(1.0))
+    safe = F.abs(det) > F.lit(1e-9) * scale
+    b0 = det0 / det
+    b1 = det1 / det
+    b2 = det2 / det
     sse = syy - b0 * sy - b1 * s1y - b2 * s2y
     sst = syy - sy * sy / n
-    r2 = F.when(safe & (sst > 0), 1.0 - sse / sst)
-    return g.select(
+    return g.where(safe & (sst > 0)).select(
         F.col("grp").alias(group_col),
         "n",
         F.round(b0, 6).alias("b0"),
         F.round(b1, 6).alias("b1"),
         F.round(b2, 6).alias("b2"),
-        F.round(r2, 6).alias("r2"),
+        F.round(1.0 - sse / sst, 6).alias("r2"),
     )
 
 
@@ -1872,20 +1885,23 @@ def crosscorr_series(
         sxx = F.sum(F.col("ya") * F.col("ya"))
         syy = F.sum(F.col("yb") * F.col("yb"))
         sxy = F.sum(F.col("ya") * F.col("yb"))
-        r = (
-            (n.cast("double") * sxy - sx * sy)
-            / F.sqrt(
-                (n.cast("double") * sxx - sx * sx)
-                * (n.cast("double") * syy - sy * sy)
-            )
-        )
+        denx = n.cast("double") * sxx - sx * sx
+        deny = n.cast("double") * syy - sy * sy
+        # a constant series has no defined correlation: 0.0 sentinel on
+        # BOTH sides (Spark ANSI divide would error, DuckDB would NULL)
+        r = F.when(
+            (denx > 0) & (deny > 0),
+            (n.cast("double") * sxy - sx * sy) / F.sqrt(denx * deny),
+        ).otherwise(F.lit(0.0))
         row = j.agg(
             F.lit(lag).cast("int").alias("lag"),
             n.alias("n"),
             F.round(r, 6).alias("r"),
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    # a lag with NO overlapping hours has no correlation row at all
+    # (the oracle's GROUP BY simply produces none for it)
+    return out.where(F.col("n") > 0)
 
 
 def markov_accuracy(

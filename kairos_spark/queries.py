@@ -781,11 +781,13 @@ def q_json_props_stats(spark, sf_dir):
     columnar after."""
     ev = _tbl(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # -1 sentinels: a group whose props all lack "$.k" must not emit
+    # NULL (Spark None vs DuckDB/pandas NaN hash differently)
     return ev.groupBy(F.col("event_type").alias("name")).agg(
         F.count("*").alias("n"),
-        F.round(F.avg(k), 6).alias("k_mean"),
-        F.min(k).alias("k_min"),
-        F.max(k).alias("k_max"),
+        F.coalesce(F.round(F.avg(k), 6), F.lit(-1.0)).alias("k_mean"),
+        F.coalesce(F.min(k), F.lit(-1)).alias("k_min"),
+        F.coalesce(F.max(k), F.lit(-1)).alias("k_max"),
         F.count_distinct(k).alias("k_distinct"),
     )
 
@@ -2001,8 +2003,16 @@ def q_winnow_pairs(spark, sf_dir):
 def q_editdist_pairs(spark, sf_dir):
     """Levenshtein-certified near-dups: SimHash block candidates
     (6 blocks, hamming <= 5 — complete by pigeonhole), then exact edit
-    distance over the 160-char normalized prefix, kept <= 40."""
-    docs = _tbl(spark, sf_dir, "documents")
+    distance over the 160-char normalized prefix, kept <= 40.
+
+    ASCII-only scope for the cross-engine check: Spark's levenshtein
+    counts CODE POINTS, DuckDB's counts BYTES — they disagree on any
+    multi-byte text (levenshtein('中','文') = 1 vs 3). The operator
+    keeps the correct code-point semantics; this query certifies it on
+    the subset where both engines define the same metric."""
+    docs = _tbl(spark, sf_dir, "documents").where(
+        ~F.col("text").rlike("[^\\x00-\\x7F]")
+    )
     return dedup.editdist_near_pairs(
         docs, max_dist=40, prefix_chars=160, bits=60, blocks=6, max_hamming=5
     )
@@ -3444,9 +3454,10 @@ ORACLES.update(
         "json_props_stats": """
             SELECT event_type AS name,
                    count(*) AS n,
-                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_mean,
-                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+                   coalesce(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6),
+                            -1.0) AS k_mean,
+                   coalesce(min(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS k_min,
+                   coalesce(max(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS k_max,
                    count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
             FROM events GROUP BY 1
         """,
@@ -6097,11 +6108,16 @@ ORACLES["winnow_pairs"] = r"""
 """
 
 ORACLES["editdist_pairs"] = r"""
-    WITH tok AS (
+    WITH ascii_docs AS (
+      -- byte-based DuckDB levenshtein == code-point Spark levenshtein
+      -- only on ASCII text; scope the certification accordingly
+      SELECT * FROM documents WHERE NOT regexp_matches(text, '[^\x00-\x7F]')
+    ),
+    tok AS (
       SELECT doc_id,
              unnest(regexp_extract_all(lower(text),
                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t
-      FROM documents
+      FROM ascii_docs
     ),
     h AS (
       SELECT doc_id, ('0x' || substr(md5(t), 1, 11))::BIGINT AS h FROM tok
@@ -6120,7 +6136,7 @@ ORACLES["editdist_pairs"] = r"""
     norm AS (
       SELECT doc_id,
              substr(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'), 1, 160) AS pref
-      FROM documents
+      FROM ascii_docs
     ),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6973,13 +6989,15 @@ ORACLES["forecast_eval"] = """
     )
     SELECT grp AS event_type,
            CAST(count(p1) AS BIGINT) AS n_eval_naive,
-           floor((2000000 * sum(abs(y - p1)) + count(p1))
-                 / (2.0 * count(p1))) / 1000000.0 AS mae_naive,
-           round(sqrt(sum((y - p1) * (y - p1)) * 1.0 / count(p1)), 6) AS rmse_naive,
+           coalesce(floor((2000000 * sum(abs(y - p1)) + count(p1))
+                 / (2.0 * count(p1))) / 1000000.0, -1.0) AS mae_naive,
+           coalesce(round(sqrt(sum((y - p1) * (y - p1)) * 1.0 / count(p1)), 6), -1.0)
+               AS rmse_naive,
            CAST(count(ps) AS BIGINT) AS n_eval_seasonal,
-           floor((2000000 * sum(abs(y - ps)) + count(ps))
-                 / (2.0 * count(ps))) / 1000000.0 AS mae_seasonal,
-           round(sqrt(sum((y - ps) * (y - ps)) * 1.0 / count(ps)), 6) AS rmse_seasonal
+           coalesce(floor((2000000 * sum(abs(y - ps)) + count(ps))
+                 / (2.0 * count(ps))) / 1000000.0, -1.0) AS mae_seasonal,
+           coalesce(round(sqrt(sum((y - ps) * (y - ps)) * 1.0 / count(ps)), 6), -1.0)
+               AS rmse_seasonal
     FROM l GROUP BY grp
 """
 ORACLES["prefix_jaccard_pairs"] = """
@@ -7201,7 +7219,7 @@ ORACLES["ols2_fit"] = """
       FROM d GROUP BY 1
     ),
     solved AS (
-      SELECT grp, n, sy, s1y, s2y, syy, s1, s2,
+      SELECT grp, n, sy, s1y, s2y, syy, s1, s2, s11, s22,
              n * (s11 * s22 - s12 * s12)
                - s1 * (s1 * s22 - s12 * s2)
                + s2 * (s1 * s12 - s11 * s2) AS det,
@@ -7218,17 +7236,17 @@ ORACLES["ols2_fit"] = """
     ),
     coef AS (
       SELECT grp, n, sy, s1y, s2y, syy,
-             CASE WHEN abs(det) > 0 THEN det0 / det END AS b0,
-             CASE WHEN abs(det) > 0 THEN det1 / det END AS b1,
-             CASE WHEN abs(det) > 0 THEN det2 / det END AS b2,
-             syy - sy * sy / n AS sst, abs(det) > 0 AS ok
+             det0 / det AS b0,
+             det1 / det AS b1,
+             det2 / det AS b2,
+             syy - sy * sy / n AS sst,
+             abs(det) > 1e-9 * greatest(abs(n * s11 * s22), 1.0) AS ok
       FROM solved
     )
     SELECT grp AS l_returnflag, n,
            round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
-           round(CASE WHEN ok AND sst > 0
-                 THEN 1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / sst END, 6) AS r2
-    FROM coef
+           round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / sst, 6) AS r2
+    FROM coef WHERE ok AND sst > 0
 """
 ORACLES["json_schema_profile"] = """
     WITH tot AS (SELECT count(*) AS n FROM events),
@@ -7589,10 +7607,11 @@ ORACLES["dist_overlap"] = """
       FROM events, scal GROUP BY 1, 2
     ),
     probs AS (
-      SELECT grp, bin, n * 1.0 / sum(n) OVER (PARTITION BY grp) AS p FROM cells
+      SELECT grp, bin, n, sum(n) OVER (PARTITION BY grp) AS t FROM cells
     )
     SELECT a.grp AS group_a, b.grp AS group_b,
-           round(sum(least(a.p, b.p)), 6) AS overlap
+           floor((2000000 * sum(least(a.n * b.t, b.n * a.t)) + max(a.t) * max(b.t))
+                 / (2.0 * max(a.t) * max(b.t))) / 1000000.0 AS overlap
     FROM probs a JOIN probs b ON a.bin = b.bin AND a.grp < b.grp
     GROUP BY 1, 2
 """
@@ -7818,9 +7837,12 @@ ORACLES["crosscorr_types"] = """
       JOIN b ON b.hour = a.hour + to_hours(l.lag)
     )
     SELECT lag, CAST(count(*) AS BIGINT) AS n,
-           round((count(*) * sum(ya * yb) - sum(ya) * sum(yb))
-                 / sqrt((count(*) * sum(ya * ya) - sum(ya) * sum(ya))
-                        * (count(*) * sum(yb * yb) - sum(yb) * sum(yb))), 6) AS r
+           CASE WHEN count(*) * sum(ya * ya) - sum(ya) * sum(ya) > 0
+                 AND count(*) * sum(yb * yb) - sum(yb) * sum(yb) > 0
+                THEN round((count(*) * sum(ya * yb) - sum(ya) * sum(yb))
+                           / sqrt((count(*) * sum(ya * ya) - sum(ya) * sum(ya))
+                                  * (count(*) * sum(yb * yb) - sum(yb) * sum(yb))), 6)
+                ELSE 0.0 END AS r
     FROM j GROUP BY 1
 """
 
@@ -8664,9 +8686,12 @@ ORACLES["ab_lift"] = """
            round(s_a / n_a, 6) AS mean_a,
            round(s_b / n_b, 6) AS mean_b,
            round(s_a / n_a - s_b / n_b, 6) AS lift,
-           round((s_a / n_a - s_b / n_b)
-                 / sqrt(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
-                        + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6) AS t_welch
+           CASE WHEN ((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                      + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b > 0
+                THEN round((s_a / n_a - s_b / n_b)
+                           / sqrt(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                                  + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6)
+                ELSE 0.0 END AS t_welch
     FROM agg WHERE n_a > 1 AND n_b > 1
 """
 
@@ -8801,6 +8826,8 @@ ORACLES["scale_drift"] = """
            round(ln(((q1 - s1 * s1 / n1) / (n1 - 1)) / ((q2 - s2 * s2 / n2) / (n2 - 1))), 6)
              AS log_ratio
     FROM agg WHERE n1 > 1 AND n2 > 1
+      AND (q1 - s1 * s1 / n1) / (n1 - 1) > 0
+      AND (q2 - s2 * s2 / n2) / (n2 - 1) > 0
 """
 
 
@@ -9036,14 +9063,22 @@ ORACLES["did_estimate"] = """
       SELECT
         CAST(count(DISTINCT CASE WHEN g = 1 THEN u END) AS BIGINT) AS n_treated,
         CAST(count(DISTINCT CASE WHEN g = 0 THEN u END) AS BIGINT) AS n_control,
-        CAST(sum(CAST(CASE WHEN g = 1 AND p = 0 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
-          / sum(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS t_pre,
-        CAST(sum(CAST(CASE WHEN g = 1 AND p = 1 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
-          / sum(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS t_post,
-        CAST(sum(CAST(CASE WHEN g = 0 AND p = 0 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
-          / sum(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS c_pre,
-        CAST(sum(CAST(CASE WHEN g = 0 AND p = 1 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
-          / sum(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS c_post
+        CASE WHEN sum(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CAST(CASE WHEN g = 1 AND p = 0 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+                  / sum(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END)
+             ELSE 0.0 END AS t_pre,
+        CASE WHEN sum(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CAST(CASE WHEN g = 1 AND p = 1 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+                  / sum(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END)
+             ELSE 0.0 END AS t_post,
+        CASE WHEN sum(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CAST(CASE WHEN g = 0 AND p = 0 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+                  / sum(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END)
+             ELSE 0.0 END AS c_pre,
+        CASE WHEN sum(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CAST(CASE WHEN g = 0 AND p = 1 THEN v ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE)
+                  / sum(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END)
+             ELSE 0.0 END AS c_post
       FROM base
     )
     SELECT n_treated, n_control,
@@ -9711,7 +9746,7 @@ ORACLES["qq_shift_fit"] = """
            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
              AS intercept
-    FROM agg
+    FROM agg WHERE n * sxx - sx * sx > 0
 """
 
 ORACLES["chao1_richness"] = """

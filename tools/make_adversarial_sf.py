@@ -1,0 +1,394 @@
+"""Generate an ADVERSARIAL testdata variant and (optionally) run the
+full oracle mirror against it.
+
+Every driver round regenerates the synthetic tables, and every round
+so far the regeneration has exposed at least one latent
+engine-divergence (round 6: five of them, all invisible at the
+previous round's data). This tool front-runs that: a deterministic
+dataset with the same schemas as /root/testdata/sf* but engineered to
+maximize the known divergence classes —
+
+- integer-count groups sized 640/1280 so count ratios land EXACTLY on
+  7th-decimal round-6 midpoints (41/640 = 0.0640625);
+- ties everywhere (duplicate timestamps, equal scores, equal counts)
+  so every rank/top-k tiebreaker is load-bearing;
+- session gaps exactly at the 1800.0 s boundary (> vs >= semantics);
+- bucket-edge timestamps (00:00:00.000000, .999999 microseconds) and
+  a %Y%U week-00 window;
+- unicode hazards in text: vertical tab (Java \\s vs RE2 \\s), mojibake
+  (Â + continuation byte), control chars, CJK, emoji;
+- exact + near duplicate documents, stopword-only and single-word
+  docs;
+- gauge/count falsy values (value = 0.0), negative values;
+- referential-integrity holes (orphan orders/lineitems), orders with
+  no lineitems, exact header==Σlines reconciliation matches, NULL
+  order dates, malformed priorities, non-positive totals;
+- duplicate/zero/opposite embedding vectors, a single-member label.
+
+Usage:
+  python tools/make_adversarial_sf.py           # writes .adversarial_sf/
+  SPARK_GRAFT_SF_DIR=$PWD/.adversarial_sf python tools/check_correctness.py
+
+Deterministic (seeded); writes only inside the repo.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".adversarial_sf")
+
+EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+rng = random.Random(20240640)
+
+
+def us(sec: float) -> int:
+    return int(round(sec * 1_000_000))
+
+
+def make_events():
+    rows = []
+    eid = 0
+
+    def add(ts_us, user, etype, value, props):
+        nonlocal eid
+        rows.append((eid, ts_us, user, etype, value, props))
+        eid += 1
+
+    # --- the 640-group: event_type 'view' gets EXACTLY 640 events,
+    # 41 of them from user 1 (top_share = 41/640, a round-6 midpoint);
+    # 41 of them have value > 0 from... no: wilson p_hat per type =
+    # (#value>0)/n — make exactly 41 of the 640 have value > 0.
+    t = EPOCH_2024
+    for i in range(640):
+        user = 1 if i < 41 else 2 + (i % 13)
+        value = 3.0 if i < 41 else 0.0  # 41/640 positives; 0.0 = falsy
+        # duplicate timestamps in runs of 4 → rank ties
+        ts = t + (i // 4) * 137
+        add(us(ts), user, "view", value, '{"k": %d}' % (i % 7))
+
+    # --- funnel chain with boundary gaps: signup → click → purchase
+    for u in range(20, 40):
+        base = EPOCH_2024 + 86400 + (u - 20) * 1000
+        add(us(base), u, "signup", 1.0, '{"k": 1}')
+        # click EXACTLY 1800.0 s later (session-gap boundary)
+        add(us(base + 1800.0), u, "click", 2.5, '{"k": 2}')
+        if u % 2 == 0:
+            add(us(base + 1800.0 + 0.000001), u, "purchase", 99.99, '{"k": 3}')
+    # users who click but never signup (funnel/asof edge)
+    for u in range(40, 45):
+        add(us(EPOCH_2024 + 200000 + u), u, "click", 1.0, "{}")
+
+    # --- errors with negative and integer-valued doubles, bucket-edge ts
+    for i in range(160):
+        ts = EPOCH_2024 + 3600 * i  # EXACTLY on hour boundaries
+        add(us(ts), 50 + (i % 5), "error", float(i - 80), '{"k": null}')
+    # .999999-microsecond stragglers just before a day boundary
+    for i in range(8):
+        add(us(EPOCH_2024 + 86400 * (i + 1)) - 1, 60, "error", 0.5, "{}")
+
+    # --- purchases across a %Y%U week-00 window (late Dec / early Jan)
+    for i in range(64):
+        ts = EPOCH_2024 - 5 * 86400 + i * 43200.0  # spans year boundary
+        add(us(ts), 70 + (i % 3), "purchase", 10.0 + (i % 4) * 0.25, '{"k": %d}' % i)
+
+    # --- signup bursts: same user, same second (order_col tiebreaker)
+    for i in range(12):
+        add(us(EPOCH_2024 + 7 * 86400), 80, "signup", 1.0, '{"k": %d}' % i)
+
+    # sessionization midpoint fuel: user 90 with 640 clicks in 41 sessions
+    # (events_per_session = 640/41 — not a midpoint, but ties the rank)
+    sess_ts = EPOCH_2024 + 10 * 86400
+    for s in range(41):
+        n_in_sess = 16 if s < 25 else 15  # 25*16 + 16*15 = 640
+        for j in range(n_in_sess):
+            add(us(sess_ts + j * 10), 90, "click", 1.25, "{}")
+        sess_ts += n_in_sess * 10 + 3601  # clear gap
+    rows.sort(key=lambda r: (r[1], r[0]))
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
+WORDS = (
+    "the fast key order sort table scan merge part window small hash "
+    "join group query row data slow filter customer line batch value"
+).split()
+
+
+def make_documents():
+    rows = []
+    did = 0
+
+    def add(text, lang, source):
+        nonlocal did
+        rows.append((did, text, lang, source, len(text)))
+        did += 1
+
+    # length-640 docs with 41 punctuation chars → punct_ratio midpoint
+    base = ("word " * 120)[:599]  # 599 chars
+    add(base + "!" * 41, "en", "src1")
+    # length-1280 with 1 digit → digit_ratio = 1/1280 = 0.00078125
+    add(("data " * 256)[:1279] + "7", "en", "src1")
+    # exact duplicates across sources (dedup groups, keep-first)
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    for s in ("src1", "src2", "src3"):
+        add(dup, "en", s)
+    # near-duplicate (one token changed) — MinHash/SimHash candidates
+    add(dup.replace("lazy", "sleepy"), "en", "src2")
+    # shingle-heavy self-repetition (duplicated_spans, repetition_stats)
+    add(("alpha beta gamma delta " * 40).strip(), "en", "src4")
+    # stopword-only and single-word docs
+    add("the and of to in is that for with the and of", "en", "src4")
+    add("supercalifragilistic", "en", "src5")
+    # unicode hazards
+    add("tab\x0bseparated\x0bvalues with vertical tabs", "en", "src5")
+    add("mojibake: cafÃ© naÃ¯ve Â  broken", "en", "src5")
+    add("control\x01chars\x1fin\x7ftext here", "en", "src5")
+    add("中文文本测试 空格 与 标点。数据 管道 去重 测试。", "zh", "src6")
+    add("emoji 🚀 in 🚀 text 🚀 tokens", "en", "src6")
+    # per-language fleets so langid/fertility groups are non-degenerate
+    de = "der die und das ist nicht mit ein werte daten tabelle"
+    fr = "le la les et est que pour dans donnees table jointure"
+    es = "el la los que es para con una datos tabla consulta"
+    for i in range(20):
+        add(de + " " + " ".join(rng.choices(WORDS, k=8)), "de", f"src{1 + i % 4}")
+        add(fr + " " + " ".join(rng.choices(WORDS, k=8)), "fr", f"src{1 + i % 4}")
+        add(es + " " + " ".join(rng.choices(WORDS, k=8)), "es", f"src{1 + i % 4}")
+        add(" ".join(rng.choices(WORDS, k=30)), "en", f"src{1 + i % 8}")
+        add("".join(rng.choices("的一是了我不人在他有这上们来", k=25)), "zh", f"src{5 + i % 3}")
+    # a source whose docs are ALL duplicates of each other (dup_frac 1-ish)
+    for i in range(16):
+        add("identical boilerplate footer text for every page", "en", "src7")
+    # docs sharing long spans at different offsets (span dedup)
+    span = " ".join(WORDS) + " " + " ".join(reversed(WORDS))
+    add("prefix junk " + span, "en", "src8")
+    add(span + " suffix junk", "en", "src8")
+    rows.sort(key=lambda r: r[0])
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def make_embeddings():
+    dim = 64
+    vecs, labels = [], []
+
+    def unit(i):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    for i in range(40):  # axis-aligned, many exact ties in cosine
+        vecs.append(unit(i))
+        labels.append(i % 10)
+    # exact duplicates
+    for i in range(10):
+        vecs.append(unit(3))
+        labels.append(3)
+    # opposite vector
+    neg = [0.0] * dim
+    neg[3] = -1.0
+    vecs.append(neg)
+    labels.append(4)
+    # dense deterministic vectors with duplicates
+    for i in range(60):
+        v = [round(((i * 31 + j * 17) % 13 - 6) / 7.0, 6) for j in range(dim)]
+        vecs.append(v)
+        labels.append(i % 10)
+    vecs.append(vecs[-1][:])  # duplicate of the last dense vector
+    labels.append(9)
+    # single-member label: give label 10 exactly one vector? labels are
+    # 0-9 in real data; stay in-domain but make label 7 rare
+    return pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+NATIONS = [
+    "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+    "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
+    "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA",
+    "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA", "UNITED KINGDOM",
+    "UNITED STATES",
+]
+
+
+def make_tpch():
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(range(5), pa.int32()),
+            "r_name": pa.array(REGIONS, pa.string()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": pa.array(NATIONS, pa.string()),
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        }
+    )
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    n_cust = 60
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(1, n_cust + 1)]),
+            "c_nationkey": pa.array([i % 25 for i in range(n_cust)], pa.int32()),
+            # ties and negatives in acctbal
+            "c_acctbal": pa.array(
+                [(-999.99 if i % 17 == 0 else round((i % 7) * 111.11, 2)) for i in range(n_cust)],
+                pa.float64(),
+            ),
+            "c_mktsegment": pa.array([segs[i % 5] for i in range(n_cust)]),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(range(1, 11), pa.int64()),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(1, 11)]),
+            "s_nationkey": pa.array([i % 25 for i in range(10)], pa.int32()),
+            "s_acctbal": pa.array([round(i * 100.5, 2) for i in range(10)], pa.float64()),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array(range(1, 31), pa.int64()),
+            "p_name": pa.array([f"part metal {i}" for i in range(1, 31)]),
+            "p_brand": pa.array([f"Brand#{(i % 5) + 1}{(i % 4) + 1}" for i in range(30)]),
+            "p_type": pa.array([f"STANDARD {('ANODIZED','BURNISHED','PLATED')[i % 3]} TIN" for i in range(30)]),
+            "p_size": pa.array([(i % 10) + 1 for i in range(30)], pa.int32()),
+            "p_retailprice": pa.array([round(900 + i * 1.01, 2) for i in range(30)], pa.float64()),
+        }
+    )
+    # orders: engineered reconciliation + integrity edges
+    n_ord = 200
+    statuses = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    okeys, ocust, ostat, oprice, odate, oprio = [], [], [], [], [], []
+    li = []  # (okey, partkey, suppkey, linenum, qty, extprice, disc, tax, rf, ls, shipdate)
+    for i in range(1, n_ord + 1):
+        okeys.append(i)
+        # orphan orders: custkey beyond customer table for a few
+        ocust.append(1000 + i if i % 37 == 0 else (i % n_cust) + 1)
+        ostat.append(statuses[i % 3])
+        prio = prios[i % 5]
+        if i == 7:
+            prio = "9-BOGUS"  # malformed priority (expectations violation)
+        oprio.append(prio)
+        odate.append(None if i == 11 else us(EPOCH_2024 - 200 * 86400 + i * 86400 // 2))
+        if i % 29 == 0:
+            # order with NO lineitems → reconciliation mismatch by full amount
+            oprice.append(123.45 if i != 58 else -5.0)  # one non-positive total
+            continue
+        n_lines = (i % 4) + 1
+        total = 0.0
+        for ln in range(1, n_lines + 1):
+            qty = float((i + ln) % 9 + 1)
+            ep = round(qty * (100 + (i % 13) * 7) * 1.0, 2)
+            disc = [0.0, 0.05, 0.1][(i + ln) % 3]
+            tax = [0.0, 0.04, 0.08][(i + ln * 2) % 3]
+            li.append(
+                (
+                    i, (i + ln) % 30 + 1, (i + ln) % 10 + 1, ln, qty, ep, disc, tax,
+                    ["A", "N", "R"][(i + ln) % 3], ["F", "O"][(i + ln) % 2],
+                    us(EPOCH_2024 - 150 * 86400 + (i * 3 + ln) * 86400 // 4),
+                )
+            )
+            total += ep * (1 - disc) * (1 + tax)
+        # half the orders reconcile EXACTLY; half are off by one cent
+        oprice.append(round(total, 2) if i % 2 == 0 else round(total + 0.011, 2))
+    # orphan lineitems referencing a non-existent order
+    for ln in range(1, 4):
+        li.append((9999, ln, 1, ln, 1.0, 50.0, 0.0, 0.0, "N", "O", us(EPOCH_2024)))
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(okeys, pa.int64()),
+            "o_custkey": pa.array(ocust, pa.int64()),
+            "o_orderstatus": pa.array(ostat, pa.string()),
+            "o_totalprice": pa.array(oprice, pa.float64()),
+            "o_orderdate": pa.array(odate, pa.timestamp("us")),
+            "o_orderpriority": pa.array(oprio, pa.string()),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+            "l_linenumber": pa.array([r[3] for r in li], pa.int32()),
+            "l_quantity": pa.array([r[4] for r in li], pa.float64()),
+            "l_extendedprice": pa.array([r[5] for r in li], pa.float64()),
+            "l_discount": pa.array([r[6] for r in li], pa.float64()),
+            "l_tax": pa.array([r[7] for r in li], pa.float64()),
+            "l_returnflag": pa.array([r[8] for r in li], pa.string()),
+            "l_linestatus": pa.array([r[9] for r in li], pa.string()),
+            "l_shipdate": pa.array([r[10] for r in li], pa.timestamp("us")),
+        }
+    )
+    return region, nation, customer, supplier, part, orders, lineitem
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    region, nation, customer, supplier, part, orders, lineitem = make_tpch()
+    tables = {
+        "region": region,
+        "nation": nation,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+        "orders": orders,
+        "lineitem": lineitem,
+        "events": make_events(),
+        "documents": make_documents(),
+        "embeddings": make_embeddings(),
+    }
+    for name, tbl in tables.items():
+        pq.write_table(tbl, os.path.join(OUT, f"{name}.parquet"))
+        print(f"{name}: {tbl.num_rows} rows")
+    # sanity: schemas must match the driver's
+    con = duckdb.connect()
+    for name in tables:
+        ref = con.execute(
+            f"DESCRIBE SELECT * FROM '/root/testdata/sf0.001/{name}.parquet'"
+        ).fetchall()
+        got = con.execute(
+            f"DESCRIBE SELECT * FROM '{OUT}/{name}.parquet'"
+        ).fetchall()
+        ref_s = [(c[0], c[1]) for c in ref]
+        got_s = [(c[0], c[1]) for c in got]
+        if ref_s != got_s:
+            print(f"SCHEMA MISMATCH {name}:\n  ref={ref_s}\n  got={got_s}")
+            return 1
+    print(f"\nwritten to {OUT}; schemas match the driver's")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
