@@ -38,7 +38,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm convention: cosine = -1.0 ("maximally dissimilar" —
+    # never enters a near-pair or a top-k), matching DuckDB's
+    # list_cosine_similarity on a zero vector exactly; Spark 4 ANSI
+    # division would otherwise ERROR
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(-1.0))
 
 
 def _query_col(query_vec: list[float]) -> Column:
@@ -74,9 +79,16 @@ def _scored_pairs(n: DataFrame, join_cond, id_col: str, threshold: float) -> Dat
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-            ).alias("cosine"),
+            F.when(
+                F.col("a.nrm") * F.col("b.nrm") > 0,
+                F.round(
+                    dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -235,7 +247,12 @@ def ivf_topk(
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                (-(dot(vec, c["cvec"]) / (vnorm * c["cnorm"]))).alias("dist"),
+                F.when(
+                    vnorm * c["cnorm"] > 0,
+                    -(dot(vec, c["cvec"]) / (vnorm * c["cnorm"])),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("dist"),
                 c["list_id"].alias("list_id"),
             ),
         )
@@ -422,9 +439,16 @@ def semdedup(
         .select(
             F.col("l.cid").alias("cid"),
             F.col("r.id").alias("id"),
-            F.round(
-                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
-            ).alias("cosine"),
+            F.when(
+                F.col("l.nrm") * F.col("r.nrm") > 0,
+                F.round(
+                    dot(F.col("l.v"), F.col("r.v"))
+                    / (F.col("l.nrm") * F.col("r.nrm")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -973,13 +997,19 @@ def embedding_drift(
     )
     j = per_label.join(counts, "label")
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    cos = F.col("__dot") / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")))
+    cos = F.when(
+        F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")) > 0,
+        F.col("__dot") / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2"))),
+    ).otherwise(F.lit(-1.0))
     shift = F.sqrt(
         F.col("__na2") / (na * na)
         - 2.0 * F.col("__dot") / (na * nb)
         + F.col("__nb2") / (nb * nb)
     )
-    return j.select(
+    # a label present in only ONE half has no drift to measure — drop
+    # it on BOTH sides (the mean division would hit the ANSI
+    # divide-by-zero error)
+    return j.where((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
         "label",
         "n_a",
         "n_b",
@@ -1038,8 +1068,15 @@ def label_centroid_dists(
             "label_b",
             "n_a",
             "n_b",
-            F.round(
-                F.col("__dot") / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2"))), 6
-            ).alias("cos"),
+            F.when(
+                F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")) > 0,
+                F.round(
+                    F.col("__dot")
+                    / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2"))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cos"),
         )
     )

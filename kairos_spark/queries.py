@@ -7193,11 +7193,14 @@ ORACLES["embedding_drift"] = """
       FROM per_dim GROUP BY 1
     )
     SELECT p.label, n_a, n_b,
-           round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos_means,
+           CASE WHEN sqrt(na2) * sqrt(nb2) > 0
+                THEN round(dot / (sqrt(na2) * sqrt(nb2)), 6)
+                ELSE -1.0 END AS cos_means,
            round(sqrt(na2 / (n_a * 1.0 * n_a)
                       - 2.0 * dot / (n_a * 1.0 * n_b)
                       + nb2 / (n_b * 1.0 * n_b)), 6) AS l2_shift
     FROM per_label p JOIN counts c ON p.label = c.label
+    WHERE n_a > 0 AND n_b > 0
 """
 
 ORACLES["ols2_fit"] = """
@@ -7632,7 +7635,9 @@ ORACLES["label_centroid_dists"] = """
       GROUP BY 1, 2
     )
     SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
-           round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos
+           CASE WHEN sqrt(na2) * sqrt(nb2) > 0
+                THEN round(dot / (sqrt(na2) * sqrt(nb2)), 6)
+                ELSE -1.0 END AS cos
     FROM dots
     JOIN counts ca ON dots.label_a = ca.lbl
     JOIN counts cb ON dots.label_b = cb.lbl

@@ -103,6 +103,9 @@ def make_events():
     for i in range(12):
         add(us(EPOCH_2024 + 7 * 86400), 80, "signup", 1.0, '{"k": %d}' % i)
 
+    # single-member groups: one user with exactly one event, and a
+    # burst of identical values for a zero-variance slice
+    add(us(EPOCH_2024 + 11 * 86400), 95, "view", 7.0, '{"k": 5}')
     # sessionization midpoint fuel: user 90 with 640 clicks in 41 sessions
     # (events_per_session = 640/41 — not a midpoint, but ties the rank)
     sess_ts = EPOCH_2024 + 10 * 86400
@@ -178,6 +181,12 @@ def make_documents():
     span = " ".join(WORDS) + " " + " ".join(reversed(WORDS))
     add("prefix junk " + span, "en", "src8")
     add(span + " suffix junk", "en", "src8")
+    # degenerate shapes: digit-only, single-char, punctuation-only,
+    # heavy consecutive whitespace
+    add("1234567890 24680 13579", "en", "src8")
+    add("x", "en", "src8")
+    add("!!! ??? ... ;;; :::", "en", "src8")
+    add("a     b\t\t\tc\n\n\nd", "en", "src8")
     rows.sort(key=lambda r: r[0])
     return pa.table(
         {
@@ -211,6 +220,18 @@ def make_embeddings():
     neg[3] = -1.0
     vecs.append(neg)
     labels.append(4)
+    # a ZERO vector (norm 0 — cosine undefined; the zero-norm guard
+    # must behave identically in both engines)
+    vecs.append([0.0] * dim)
+    labels.append(5)
+    # two labels with IDENTICAL centroids: label 6 = two copies of the
+    # same pair of vectors as label 8 (centroid separation exactly 0)
+    twin_a, twin_b = unit(6), unit(7)
+    for lbl in (6, 8):
+        vecs.append(twin_a[:])
+        labels.append(lbl)
+        vecs.append(twin_b[:])
+        labels.append(lbl)
     # dense deterministic vectors with duplicates
     for i in range(60):
         v = [round(((i * 31 + j * 17) % 13 - 6) / 7.0, 6) for j in range(dim)]
@@ -218,8 +239,6 @@ def make_embeddings():
         labels.append(i % 10)
     vecs.append(vecs[-1][:])  # duplicate of the last dense vector
     labels.append(9)
-    # single-member label: give label 10 exactly one vector? labels are
-    # 0-9 in real data; stay in-domain but make label 7 rare
     return pa.table(
         {
             "vec_id": pa.array(range(len(vecs)), pa.int64()),
