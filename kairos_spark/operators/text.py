@@ -708,10 +708,12 @@ def source_scorecard(
         _round6_ratio(
             F.sum((F.col("__c") > 1).cast("long")), F.count("*")
         ).alias("dup_frac"),
-        F.round(
-            F.sum(F.col("quality").cast("decimal(28,10)")).cast("double")
-            / F.count("*"),
-            6,
+        # quality values are exact 6dp — recover integer micro-units
+        # (rint is exact for q < 2^32 µ) so the mean is ONE exact
+        # integer ratio Σµ/(n·10^6) and rounds engine-identically
+        _round6_ratio(
+            F.sum(F.rint(F.col("quality") * F.lit(1_000_000.0)).cast("long")),
+            F.count("*") * F.lit(1_000_000),
         ).alias("mean_quality"),
     )
 

@@ -780,7 +780,10 @@ def q_json_props_stats(spark, sf_dir):
     with an explicit schema once the payload stabilizes — single parse,
     columnar after."""
     ev = _tbl(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # try_cast: a non-scalar "$.k" (nested object/array) extracts as its
+    # JSON text, which a plain ANSI cast would ERROR on; NULL on both
+    # sides instead (oracle uses TRY_CAST)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     # -1 sentinels: a group whose props all lack "$.k" must not emit
     # NULL (Spark None vs DuckDB/pandas NaN hash differently)
     return ev.groupBy(F.col("event_type").alias("name")).agg(
@@ -3454,11 +3457,11 @@ ORACLES.update(
         "json_props_stats": """
             SELECT event_type AS name,
                    count(*) AS n,
-                   coalesce(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6),
+                   coalesce(round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6),
                             -1.0) AS k_mean,
-                   coalesce(min(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS k_min,
-                   coalesce(max(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS k_max,
-                   count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
+                   coalesce(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS k_min,
+                   coalesce(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS k_max,
+                   count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
             FROM events GROUP BY 1
         """,
         "value_percentiles": """
@@ -5727,8 +5730,9 @@ ORACLES["source_scorecard"] = r"""
                  / (2.0 * count(*))) / 1000000.0 AS mean_chars,
            floor((2000000 * sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) + count(*))
                  / (2.0 * count(*))) / 1000000.0 AS dup_frac,
-           round(CAST(sum(CAST(quality AS DECIMAL(28,10))) AS DOUBLE)
-                 / count(*), 6) AS mean_quality
+           floor((2000000 * sum(CAST(round(quality * 1000000) AS BIGINT))
+                  + count(*) * 1000000)
+                 / (2.0 * count(*) * 1000000)) / 1000000.0 AS mean_quality
     FROM dg JOIN cnts USING (d) JOIN q USING (doc_id)
     GROUP BY 1
 """

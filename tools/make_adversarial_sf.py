@@ -87,9 +87,18 @@ def make_events():
         add(us(EPOCH_2024 + 200000 + u), u, "click", 1.0, "{}")
 
     # --- errors with negative and integer-valued doubles, bucket-edge ts
+    # props exercise the JSON edge set: null, nested object, array,
+    # string-typed number, bare junk
+    props_cycle = [
+        '{"k": null}',
+        '{"k": {"m": 1}}',
+        '{"k": [1, 2]}',
+        '{"k": "12"}',
+        '{"j": 5}',
+    ]
     for i in range(160):
         ts = EPOCH_2024 + 3600 * i  # EXACTLY on hour boundaries
-        add(us(ts), 50 + (i % 5), "error", float(i - 80), '{"k": null}')
+        add(us(ts), 50 + (i % 5), "error", float(i - 80), props_cycle[i % 5])
     # .999999-microsecond stragglers just before a day boundary
     for i in range(8):
         add(us(EPOCH_2024 + 86400 * (i + 1)) - 1, 60, "error", 0.5, "{}")
@@ -187,6 +196,15 @@ def make_documents():
     add("x", "en", "src8")
     add("!!! ??? ... ;;; :::", "en", "src8")
     add("a     b\t\t\tc\n\n\nd", "en", "src8")
+    # prefix-boundary twins: identical first 160 chars, divergent tails
+    head160 = ("boundary test " * 12)[:160]
+    add(head160 + " tail one ends here", "en", "src2")
+    add(head160 + " a completely different continuation", "en", "src2")
+    # case-only and trailing-whitespace-only near-duplicates
+    add("Case Sensitive Duplicate Text Sample", "en", "src3")
+    add("case sensitive duplicate text sample", "en", "src3")
+    add("trailing whitespace doc", "en", "src3")
+    add("trailing whitespace doc   ", "en", "src3")
     rows.sort(key=lambda r: r[0])
     return pa.table(
         {
@@ -330,7 +348,8 @@ def make_tpch():
         for ln in range(1, n_lines + 1):
             qty = float((i + ln) % 9 + 1)
             ep = round(qty * (100 + (i % 13) * 7) * 1.0, 2)
-            disc = [0.0, 0.05, 0.1][(i + ln) % 3]
+            # one fully-discounted (net-zero) line family
+            disc = 1.0 if i % 41 == 0 else [0.0, 0.05, 0.1][(i + ln) % 3]
             tax = [0.0, 0.04, 0.08][(i + ln * 2) % 3]
             li.append(
                 (
