@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from kairos_spark.operators.text import TOKEN_REGEX, normalize_ws, shingles_of_norm
+from kairos_spark.operators.text import (
+    TOKEN_REGEX,
+    agree_lower,
+    normalize_ws,
+    shingles_of_norm,
+)
 
 # Modulus for the double-hash MinHash family. 44-bit hash halves keep
 # a + i*b < 2^51 for i ≤ 64 — no signed-64 overflow in either Spark or
@@ -236,7 +241,7 @@ def simhash(
     bit j of the fingerprint is the sign of Σ_tokens (±1 per token's
     hash bit j). Hamming-close fingerprints ≈ similar token bags.
     Map-only per document."""
-    tokens = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), F.lit(0))
+    tokens = F.regexp_extract_all(agree_lower(F.col(text_col)), F.lit(TOKEN_REGEX), F.lit(0))
     tok = df.select(F.col(id_col), F.explode(tokens).alias("__tok")).withColumn(
         "__h", _md5_long(F.col("__tok"))
     )
@@ -448,7 +453,7 @@ def normalized_text(text: Column) -> Column:
     ws = " \t\n\f\r"
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(text), f"[^a-z0-9{ws}]", ""),
+            F.regexp_replace(agree_lower(text), f"[^a-z0-9{ws}]", ""),
             f"[{ws}]+",
             " ",
         )
@@ -910,7 +915,7 @@ def dup_inflation(
     deterministic); per-group totals are a second bounded aggregate.
     The document payload never shuffles — only digests and counts."""
     toks = F.size(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+        F.regexp_extract_all(agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0))
     ).cast("long")
     d = df.select(
         F.col(group_col).alias("group"),
@@ -981,7 +986,7 @@ def prefix_jaccard_pairs(
             F.explode(
                 F.array_distinct(
                     F.regexp_extract_all(
-                        F.lower(F.col(text_col)), F.lit(pattern), F.lit(0)
+                        agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0)
                     )
                 )
             ).alias("token"),

@@ -17,6 +17,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 # classes keep Spark and every oracle byte-identical on VT input.
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0c\r]"
 
+# The ONLY two code points where Java's full-Unicode lower() (what
+# Spark executes) disagrees with the one-to-one simple mapping DuckDB's
+# utf8proc applies: U+0130 İ expands to "i"+U+0307 under SpecialCasing,
+# and Σ maps context-sensitively to final ς. Verified by an engine
+# battery over the SpecialCasing.txt set — every other lowercase mapping
+# agrees byte-for-byte. Pre-translating the two hazards to their
+# simple-mapped forms makes Spark's lower() identical to DuckDB's, so
+# oracles keep plain lower(text).
+_LOWER_HAZ_SRC = "İΣ"  # İ Σ
+_LOWER_HAZ_DST = "iσ"  # i σ
+
+
+def agree_lower(col: Column) -> Column:
+    """Lowercase that agrees with DuckDB's simple case mapping (the
+    canonical lowercase for every tokenizer/normalizer in the repo)."""
+    return F.lower(F.translate(col, _LOWER_HAZ_SRC, _LOWER_HAZ_DST))
+
 
 def _round6_ratio(num: Column, den: Column) -> Column:
     """round-half-up(num/den, 6) via exact integer arithmetic:
@@ -103,7 +120,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     t = F.col(text_col)
     n_chars = F.length(t)
     words = word_count(t)
-    stop_hits = _count_matches(F.lower(t), _word_pattern(STOPWORDS["en"]))
+    stop_hits = _count_matches(agree_lower(t), _word_pattern(STOPWORDS["en"]))
     n_letters = _class_count(t, _LETTERS)
     n_digits = _class_count(t, _DIGITS)
     n_spaces = _class_count(t, _SPACES)
@@ -154,7 +171,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     per word; predict argmax (ties → lexicographic language order,
     'und' → no hits at all). Deterministic, expressible in ANSI SQL for
     the oracle harness."""
-    t = F.lower(F.col(text_col))
+    t = agree_lower(F.col(text_col))
     words = F.greatest(word_count(F.col(text_col)), F.lit(1))
     scores = [
         (lang, _count_matches(t, _word_pattern(panel)) / words)
@@ -179,7 +196,7 @@ def _token_counts(
     tok = df.select(
         *[F.col(c) for c in group_cols],
         F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+            F.regexp_extract_all(agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0))
         ).alias("token"),
     )
     return tok.groupBy(*group_cols, "token").agg(F.count("*").alias("n"))
@@ -318,7 +335,7 @@ def normalize_ws(text: Column) -> Column:
     instead of ``\\s`` because Java regex ``\\s`` includes vertical tab
     (\\x0B) while RE2 (DuckDB's engine, used by every oracle) does not —
     the same divergence fixed in dedup.normalized_text."""
-    return F.regexp_replace(F.lower(text), "[ \t\n\x0c\r]+", " ")
+    return F.regexp_replace(agree_lower(text), "[ \t\n\x0c\r]+", " ")
 
 
 def shingles_of_norm(norm: Column, n: int = 8) -> Column:
@@ -885,7 +902,7 @@ def context_budget(
     All counts are exact int64; fractions are single divisions round-6."""
     toks = df.select(
         F.size(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+            F.regexp_extract_all(agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0))
         ).cast("long").alias("__t")
     )
     per_cut = toks.select(
@@ -1086,7 +1103,7 @@ def vocab_growth(
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+            F.regexp_extract_all(agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0))
         ).alias("token"),
     )
     scal = df.agg(
@@ -1167,7 +1184,7 @@ def burstiness(
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+            F.regexp_extract_all(agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0))
         ).alias("token"),
     )
     per_doc = toks.groupBy("token", "__id").agg(F.count("*").cast("long").alias("x"))
@@ -1371,7 +1388,7 @@ def vocab_drift(
         .select(
             (F.col(id_col) <= F.col("__mid")).alias("__h1"),
             F.explode(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+                F.regexp_extract_all(agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0))
             ).alias("token"),
         )
     )

@@ -1443,7 +1443,20 @@ def q_normalize_dedup(spark, sf_dir):
     d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
     pert = d.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 3_000_000).alias("doc_id"),
-        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" !!! ")).alias("text"),
+        F.concat(
+            F.lit("  "),
+            # ASCII-only recasing on BOTH sides: Java upper() applies
+            # SpecialCasing expansions (ß→SS, ligature ﬁ→FI, ᾈ→ἈΙ, …)
+            # that DuckDB's simple mapping does not — translate() is
+            # codepoint 1:1 in both engines, so the perturbed copies
+            # are byte-identical regardless of input script.
+            F.translate(
+                F.col("text"),
+                "abcdefghijklmnopqrstuvwxyz",
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            ),
+            F.lit(" !!! "),
+        ).alias("text"),
     )
     return dedup.normalized_dup_groups(d.unionByName(pert))
 
@@ -2099,7 +2112,7 @@ def q_skyline_docs(spark, sf_dir):
     """Pareto frontier of documents on (token count, unique-token
     ratio) — the multi-criteria shortlist no other doc dominates."""
     docs = _tbl(spark, sf_dir, "documents")
-    toks_arr = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    toks_arr = F.regexp_extract_all(text.agree_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     toks = F.size(toks_arr).cast("long")
     uniq = F.size(F.array_distinct(toks_arr))
     d = docs.select(
@@ -2115,7 +2128,7 @@ def q_weighted_median_len(spark, sf_dir):
     at which half the corpus TOKENS sit below)."""
     docs = _tbl(spark, sf_dir, "documents")
     wt = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        F.regexp_extract_all(text.agree_lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
     ).cast("long")
     d = docs.select("lang", "n_chars", wt.alias("__wt"))
     return profiling.weighted_median(d, ["lang"], "n_chars", "__wt")
@@ -4603,7 +4616,7 @@ ORACLES["normalize_dedup"] = r"""
     WITH docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 3000000, '  ' || upper(text) || ' !!! '
+      SELECT doc_id + 3000000, '  ' || translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!! '
       FROM documents WHERE doc_id % 5 = 0
     ),
     norm AS (

@@ -16,7 +16,11 @@ maximize the known divergence classes —
 - bucket-edge timestamps (00:00:00.000000, .999999 microseconds) and
   a %Y%U week-00 window;
 - unicode hazards in text: vertical tab (Java \\s vs RE2 \\s), mojibake
-  (Â + continuation byte), control chars, CJK, emoji;
+  (Â + continuation byte), control chars, CJK, emoji; round 4 adds the
+  case-mapping hazard set (İ, word-final Σ, ß/ẞ, ligatures, combining
+  dot, µ) where Java's full SpecialCasing lower()/upper() diverges from
+  DuckDB's simple mapping — all case-mapping must go through
+  text.agree_lower (or ASCII translate for upper);
 - exact + near duplicate documents, stopword-only and single-word
   docs;
 - gauge/count falsy values (value = 0.0), negative values;
@@ -205,6 +209,20 @@ def make_documents():
     add("case sensitive duplicate text sample", "en", "src3")
     add("trailing whitespace doc", "en", "src3")
     add("trailing whitespace doc   ", "en", "src3")
+    # --- round 4: Unicode case-mapping hazards. Java (Spark) applies
+    # full SpecialCasing in lower()/upper(): İ → "i"+U+0307, word-final
+    # Σ → ς, ß → SS; DuckDB's utf8proc applies the 1:1 simple mapping
+    # (İ→i, Σ→σ always, ß→ẞ). Every tokenizer/normalizer must case-map
+    # through text.agree_lower so both engines see identical bytes.
+    add("İstanbul İZMİR the İİİ city", "tr", "src9")
+    add("ΟΔΥΣΣΕΥΣ ΚΑΙ Η ΣΟΦΙΑ Σ ΤΕΛΟΣ", "el", "src9")
+    add("weiß Straße GROSS ẞETA ß end", "de", "src9")
+    add("oﬃce ﬁne ﬂow ligature stuﬀ", "en", "src9")
+    add("pre-dotted i̇dot and micro µ vs mu μ", "en", "src9")
+    # case-only duplicate pair THROUGH the hazard mapping: both must
+    # normalize to the same digest in both engines
+    add("ΣΙΣΥΦΟΣ the stone test", "el", "src9")
+    add("σισυφος the stone test", "el", "src9")
     rows.sort(key=lambda r: r[0])
     return pa.table(
         {
