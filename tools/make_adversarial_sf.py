@@ -223,6 +223,10 @@ def make_documents():
     # normalize to the same digest in both engines
     add("ΣΙΣΥΦΟΣ the stone test", "el", "src9")
     add("σισυφος the stone test", "el", "src9")
+    # grapheme clusters: ZWJ family, flag pair, NBSP, ideographic
+    # space, astral math letters — length/substr are codepoint-based
+    # in BOTH engines (probed), this pins it end to end
+    add("family 👨‍👩‍👧 flag 🇺🇸 nb sp wide　space 𝕊𝕡𝕒𝕣𝕜", "en", "src9")
     rows.sort(key=lambda r: r[0])
     return pa.table(
         {
