@@ -20,11 +20,14 @@ TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0c\r]"
 # The ONLY two code points where Java's full-Unicode lower() (what
 # Spark executes) disagrees with the one-to-one simple mapping DuckDB's
 # utf8proc applies: U+0130 İ expands to "i"+U+0307 under SpecialCasing,
-# and Σ maps context-sensitively to final ς. Verified by an engine
-# battery over the SpecialCasing.txt set — every other lowercase mapping
-# agrees byte-for-byte. Pre-translating the two hazards to their
-# simple-mapped forms makes Spark's lower() identical to DuckDB's, so
-# oracles keep plain lower(text).
+# and Σ maps context-sensitively to final ς. Verified by an EXHAUSTIVE
+# sweep over every assigned codepoint (tests/test_agree_lower.py) —
+# every other lowercase mapping agrees byte-for-byte except a pinned
+# 43-codepoint Unicode-VERSION residue (Vithkuqi/Latin-Ext-D/Glagolitic
+# additions the container's DuckDB doesn't know yet; deliberately NOT
+# compensated — see KNOWN_VERSION_SKEW in the test). Pre-translating
+# the two hazards to their simple-mapped forms makes Spark's lower()
+# identical to DuckDB's, so oracles keep plain lower(text).
 _LOWER_HAZ_SRC = "İΣ"  # İ Σ
 _LOWER_HAZ_DST = "iσ"  # i σ
 

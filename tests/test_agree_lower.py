@@ -64,6 +64,48 @@ def test_plain_lower_still_diverges(spark):
     assert got["ΑΣ"] != con.execute("SELECT lower('ΑΣ')").fetchone()[0]
 
 
+# Unicode-VERSION skew (distinct from the SpecialCasing divergence):
+# 43 codepoints added in Unicode 14 (Vithkuqi U+10570-95, Latin Ext-D
+# capitals U+A7C0…, Glagolitic U+2C2F) that this container's Java
+# lowercases but DuckDB's older utf8proc leaves as-is. All are rare
+# historic/phonetic scripts with zero realistic exposure in generated
+# corpora, and the "right" compensation flips whenever either engine
+# bumps its Unicode table — so agree_lower deliberately does NOT
+# compensate; this audit pins the residual surface instead. If it
+# fails after a container upgrade, re-run the audit and re-decide.
+KNOWN_VERSION_SKEW = {
+    0x2C2F, 0xA7C0, 0xA7C7, 0xA7C9, 0xA7D0, 0xA7D6, 0xA7D8, 0xA7F5,
+    *range(0x10570, 0x1057B), *range(0x1057C, 0x10593), 0x10594, 0x10595,
+} - {0x1058B}
+
+
+def test_full_codepoint_audit_matches_known_skew(spark):
+    """Exhaustive agree_lower-vs-DuckDB sweep over every assigned
+    codepoint: the divergent set must be EXACTLY the pinned
+    version-skew set (and must stay outside Latin-1/Greek/Cyrillic/CJK
+    — any new divergence in a realistic script is a release blocker
+    for the oracle gate)."""
+    import unicodedata
+
+    chars = [
+        chr(cp)
+        for cp in range(0x110000)
+        if not (0xD800 <= cp <= 0xDFFF) and unicodedata.category(chr(cp)) != "Cn"
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(cp INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(ord(c), c) for c in chars])
+    duck = dict(con.execute("SELECT cp, lower(s) FROM t").fetchall())
+    df = spark.createDataFrame([(ord(c), c) for c in chars], "cp int, s string")
+    rows = df.select("cp", agree_lower(F.col("s")).alias("lo")).collect()
+    bad = {r["cp"] for r in rows if r["lo"] != duck[r["cp"]]}
+    assert bad == KNOWN_VERSION_SKEW, (
+        f"divergence surface changed: new={sorted(map(hex, bad - KNOWN_VERSION_SKEW))} "
+        f"resolved={sorted(map(hex, KNOWN_VERSION_SKEW - bad))}"
+    )
+    assert all(cp >= 0x2C2F for cp in bad)  # nothing in common scripts
+
+
 def test_ascii_translate_upper_matches(spark):
     """The recasing used by q_normalize_dedup: ASCII-only translate is
     codepoint-1:1 in both engines, immune to SpecialCasing expansions
