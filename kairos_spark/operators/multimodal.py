@@ -2,11 +2,14 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition-size
-control) is real and tested; the actual media decode is STUBBED —
-decode libraries (PIL/ffmpeg/librosa) are not in this container. Each
-stub either raises ``NotImplementedError`` (``strict=True``) or
-computes a deterministic fake from the raw bytes so pipelines are
-end-to-end testable.
+control) is real and tested. Decode: ``strict=True`` performs REAL
+decoded-domain featurization — Pillow when importable, else the
+zero-dependency stdlib decoders in ``media_codecs`` (PNG via zlib,
+BMP, PCM WAV), raising ``NotImplementedError`` only for formats
+neither path can handle (JPEG/WebP/MP3 need Pillow/ffmpeg, absent in
+this container). ``strict=False`` computes a deterministic fake from
+the raw bytes (the oracle-matched default) so pipelines stay
+end-to-end testable on any payload.
 
 Scale notes:
 - Payloads stay in executors; nothing collects. ``mapInPandas``
@@ -109,21 +112,23 @@ def extract_features(df: DataFrame, strict: bool = False, decoder=None) -> DataF
     Decoder resolution: an explicit ``decoder`` callable (bytes ->
     FEATURE_DIM floats, shipped to executors inside the closure) wins;
     otherwise ``strict=True`` uses the real Pillow grayscale-histogram
-    decode when the library is importable and raises
-    NotImplementedError when it isn't (decoder libs are absent in this
-    container); ``strict=False`` computes the deterministic
-    byte-histogram fake (the oracle-matched default). The UDF
-    signature, batch shape, and output schema are identical on every
-    path."""
-    if decoder is None and strict and _HAS_PIL:
-        decoder = _pil_features
+    decode when the library is importable, else the zero-dependency
+    stdlib decoders (PNG via zlib, BMP, PCM WAV — see
+    ``media_codecs``), which still raise NotImplementedError for
+    formats neither can handle (JPEG/WebP/MP3 need Pillow/ffmpeg);
+    ``strict=False`` computes the deterministic byte-histogram fake
+    (the oracle-matched default). The UDF signature, batch shape, and
+    output schema are identical on every path."""
+    if decoder is None and strict:
+        if _HAS_PIL:
+            decoder = _pil_features
+        else:
+            from kairos_spark.operators.media_codecs import stdlib_features
+
+            decoder = stdlib_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder is None and strict:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg, not available here"
-                )
             featurize = decoder if decoder is not None else _fake_features
             yield pd.DataFrame(
                 {

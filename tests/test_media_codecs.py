@@ -1,0 +1,214 @@
+"""Tests for the zero-dependency media decoders (media_codecs).
+
+The encoders here are written IN THE TEST from the format specs
+(PNG forward filtering, BMP layout, stdlib wave writer), so the
+product decoders are checked against an independent implementation,
+not against themselves.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from kairos_spark.operators import multimodal
+from kairos_spark.operators.media_codecs import (
+    decode_bmp_gray,
+    decode_gray_levels,
+    decode_png_gray,
+    decode_wav_levels,
+    stdlib_features,
+)
+
+# ------------------------------------------------------ test encoders
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def encode_png(px: np.ndarray, color_type: int, filters: list[int]) -> bytes:
+    """Forward-filter PNG encoder (spec §6, independent of the
+    decoder): px is (h, w) for gray or (h, w, c) for RGB/RGBA."""
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, c = px.shape
+    bpp = c
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = cur & 0xFF
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) & 0xFF
+        else:
+            raise AssertionError(f)
+        raw.extend(int(v) for v in enc)
+        prev = cur
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_bmp24(px_rgb: np.ndarray, top_down: bool = False) -> bytes:
+    h, w, _ = px_rgb.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    rows = px_rgb if top_down else px_rgb[::-1]
+    for row in rows:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])
+        line += b"\x00" * (row_bytes - len(line))
+        body += line
+    data_off = 14 + 40
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    )
+    return hdr + bytes(body)
+
+
+def encode_wav16(samples: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _hist16(levels: np.ndarray) -> list[float]:
+    counts = np.bincount(levels.astype(np.int64) * 16 // 256, minlength=16)
+    return (counts / float(levels.size)).tolist()
+
+
+# ------------------------------------------------------------- decode
+
+
+def test_png_gray_all_filters_roundtrip():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(10, 13), dtype=np.uint8)
+    # one row of every filter type, cycling
+    payload = encode_png(px, color_type=0, filters=[0, 1, 2, 3, 4])
+    got = decode_png_gray(payload)
+    assert np.array_equal(got, px.ravel())
+
+
+def test_png_rgb_luma_matches_bt601():
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    payload = encode_png(px, color_type=2, filters=[4, 3, 1, 2, 0])
+    got = decode_png_gray(payload)
+    r, g, b = (px[..., i].astype(np.int64) for i in range(3))
+    want = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8).ravel()
+    assert np.array_equal(got, want)
+
+
+def test_png_rgba_ignores_alpha():
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    payload = encode_png(px, color_type=6, filters=[2, 4])
+    got = decode_png_gray(payload)
+    r, g, b = (px[..., i].astype(np.int64) for i in range(3))
+    want = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8).ravel()
+    assert np.array_equal(got, want)
+
+
+def test_bmp24_bottom_up_and_top_down():
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(7, 3, 3), dtype=np.uint8)
+    want = (
+        (px[..., 0].astype(np.int64) * 299
+         + px[..., 1].astype(np.int64) * 587
+         + px[..., 2].astype(np.int64) * 114) // 1000
+    ).astype(np.uint8).ravel()
+    for top_down in (False, True):
+        got = decode_bmp_gray(encode_bmp24(px, top_down=top_down))
+        assert np.array_equal(got, want), f"top_down={top_down}"
+
+
+def test_wav16_maps_to_unsigned_levels():
+    samples = np.array([-32768, -1, 0, 1, 32767, 256, -256], dtype=np.int64)
+    got = decode_wav_levels(encode_wav16(samples))
+    want = ((samples + 32768) >> 8).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_dispatch_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_gray_levels(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError):
+        stdlib_features(b"just some text bytes")
+
+
+# -------------------------------------------------------- end to end
+
+
+def test_extract_features_strict_decodes_real_media(spark):
+    """strict=True on a media table of REAL payloads (PNG + BMP + WAV)
+    returns decoded-domain histograms — no decoder libs installed."""
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(9, 9), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(5, 8, 3), dtype=np.uint8)
+    samples = rng.randint(-32768, 32768, size=400).astype(np.int64)
+    payloads = {
+        1: encode_png(gray, color_type=0, filters=[0, 1, 2, 3, 4]),
+        2: encode_bmp24(rgb),
+        3: encode_wav16(samples),
+    }
+    want = {
+        1: _hist16(gray.ravel()),
+        2: _hist16(
+            ((rgb[..., 0].astype(np.int64) * 299
+              + rgb[..., 1].astype(np.int64) * 587
+              + rgb[..., 2].astype(np.int64) * 114) // 1000).ravel()
+        ),
+        3: _hist16(((samples + 32768) >> 8)),
+    }
+    media = spark.createDataFrame(
+        [(k, bytearray(v), "media/mixed", len(v), 0, 0) for k, v in payloads.items()],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in multimodal.extract_features(media, strict=True).collect()}
+    for k in payloads:
+        assert out[k].n_bytes == len(payloads[k])
+        assert out[k].features == pytest.approx(want[k], abs=1e-12)
+    # and the features differ from the raw-byte fake (decode is real)
+    fake = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert fake[1].features != out[1].features
