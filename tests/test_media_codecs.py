@@ -177,6 +177,35 @@ def test_dispatch_unknown_format_raises():
         stdlib_features(b"just some text bytes")
 
 
+def test_png_property_roundtrip():
+    """Property: any (h, w, channels) uint8 image with any filter
+    assignment round-trips exactly through encode (in-test, forward
+    spec) -> decode (product)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ct=st.sampled_from([0, 2, 6]),
+        seed=st.integers(0, 2**31 - 1),
+        f0=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    )
+    def check(h, w, ct, seed, f0):
+        c = {0: 1, 2: 3, 6: 4}[ct]
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+        got = decode_png_gray(encode_png(px, color_type=ct, filters=f0))
+        if ct == 0:
+            want = px[..., 0].ravel()
+        else:
+            r, g, b = (px[..., i].astype(np.int64) for i in range(3))
+            want = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8).ravel()
+        assert np.array_equal(got, want)
+
+    check()
+
+
 # -------------------------------------------------------- end to end
 
 
