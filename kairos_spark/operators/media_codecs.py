@@ -232,6 +232,86 @@ def decode_gray_levels(payload: bytes) -> np.ndarray:
     )
 
 
+def encode_png_gray(px: np.ndarray) -> bytes:
+    """(h, w) uint8 -> grayscale PNG (bit depth 8, color type 0,
+    filter 0 rows). A spec-minimal writer: zlib-deflated scanlines
+    with CRC'd chunks — round-trips exactly through decode_png_gray."""
+    h, w = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].astype(np.uint8).tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_image(payload: bytes, max_dim: int) -> tuple[bytes, int, int]:
+    """REAL image resize for the stdlib-decodable formats: decode
+    (PNG/BMP) -> luma plane -> nearest-neighbor downsample so the
+    longer side is <= max_dim -> re-encode as grayscale PNG. Returns
+    (new_payload, new_width, new_height). Upscaling never happens
+    (scale capped at 1). The zero-dep path resizes via the luma plane;
+    a Pillow deployment swaps a color-preserving callable into the
+    same seam. Nearest-neighbor is chosen for exactness: every output
+    pixel is an input pixel, no rounding-mode ambiguity across
+    implementations."""
+    if payload.startswith(PNG_MAGIC):
+        # decode keeps only the luma plane; recover dims from IHDR
+        for ctype, body in _png_chunks(payload):
+            if ctype == b"IHDR":
+                w, h = struct.unpack(">II", body[:8])
+                break
+        levels = decode_png_gray(payload).reshape(h, w)
+    elif payload.startswith(b"BM"):
+        width, height = struct.unpack("<ii", payload[18:26])
+        w, h = width, abs(height)
+        levels = decode_bmp_gray(payload).reshape(h, w)
+    else:
+        raise NotImplementedError("resize supports PNG/BMP payloads")
+    scale = min(1.0, float(max_dim) / float(max(w, h)))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    out = levels[np.ix_(ys, xs)]
+    return encode_png_gray(out), nw, nh
+
+
+def wav_frame_slices(
+    payload: bytes, frame_len: int = 1024, hop: int | None = None
+) -> list[tuple[int, int, bytes]]:
+    """REAL audio frame sampling: decode the PCM stream and return
+    (frame_idx, offset_samples, frame_bytes) windows over the decoded
+    sample domain — not raw file-byte offsets, which would slice
+    through the RIFF header and split samples. frame_bytes is the raw
+    little-endian PCM slice at the file's native sample width."""
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        raise NotImplementedError("not a WAV payload")
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        width = w.getsampwidth()
+        nch = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    step = width * nch
+    n_samples = len(frames) // step
+    hop = frame_len if hop is None else hop
+    out = []
+    idx = 0
+    for off in range(0, max(n_samples, 1), hop):
+        out.append((idx, off, frames[off * step : (off + frame_len) * step]))
+        idx += 1
+    return out
+
+
 def stdlib_features(payload: bytes, feature_dim: int = 16) -> list[float]:
     """Decoded-domain featurization, identical recipe to the Pillow
     path: intensity histogram in ``feature_dim`` buckets,

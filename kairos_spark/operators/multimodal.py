@@ -186,6 +186,90 @@ def frame_sample_stub(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     )
 
 
+def resize_media(df: DataFrame, max_dim: int = 256, resizer=None) -> DataFrame:
+    """REAL image resize via Arrow-batched mapInPandas: decode ->
+    downsample so the longer side is <= max_dim -> re-encode. The
+    default resizer is the zero-dep ``media_codecs.resize_image``
+    (PNG/BMP in, grayscale PNG out, nearest-neighbor); a Pillow/ffmpeg
+    deployment ships a color-preserving callable through the same
+    seam. Unknown formats raise inside the batch (fail loudly — use
+    ``resize_stub`` for metadata-only plumbing on opaque payloads).
+    Same scale shape as extract_features: map-only, payloads never
+    leave executors, batch size is the memory knob."""
+    if resizer is None:
+        from kairos_spark.operators.media_codecs import resize_image
+
+        resizer = resize_image
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [resizer(bytes(p), max_dim) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [o[0] for o in outs],
+                    "mime": ["image/png"] * len(outs),
+                    "n_bytes": [len(o[0]) for o in outs],
+                    "width": [o[1] for o in outs],
+                    "height": [o[2] for o in outs],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
+_AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("offset_samples", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def audio_frame_sample(
+    df: DataFrame, frame_len: int = 1024, hop: int | None = None
+) -> DataFrame:
+    """REAL audio frame sampling over decoded PCM (stdlib wave): one
+    output row per window of ``frame_len`` samples every ``hop``
+    samples — sample-domain offsets, unlike ``frame_sample_stub``'s
+    raw byte slices which cut through the RIFF header. Map-only
+    explode; a 100 TB audio sweep shuffles nothing."""
+    from kairos_spark.operators.media_codecs import wav_frame_slices
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for idx, off, frame in wav_frame_slices(bytes(p), frame_len, hop):
+                    ids.append(mid)
+                    idxs.append(idx)
+                    offs.append(off)
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "offset_samples": pd.Series(offs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=_AUDIO_FRAME_SCHEMA)
+
+
 def signature_buckets(df: DataFrame) -> DataFrame:
     """pHash-style coarse perceptual bucketing of media payloads: the
     16-dim byte-histogram feature vector (``extract_features`` — the

@@ -209,6 +209,58 @@ def test_png_property_roundtrip():
 # -------------------------------------------------------- end to end
 
 
+def test_resize_image_nearest_neighbor_exact():
+    from kairos_spark.operators.media_codecs import resize_image
+
+    px = np.arange(12 * 8, dtype=np.uint8).reshape(12, 8)
+    payload = encode_png(px, color_type=0, filters=[0, 2, 1])
+    out, nw, nh = resize_image(payload, max_dim=6)
+    assert (nw, nh) == (4, 6)  # 8x12 scaled by 6/12
+    got = decode_png_gray(out).reshape(nh, nw)
+    ys, xs = (np.arange(6) * 12) // 6, (np.arange(4) * 8) // 4
+    assert np.array_equal(got, px[np.ix_(ys, xs)])
+    # no upscaling: already-small image passes through at same dims
+    _, w2, h2 = resize_image(payload, max_dim=100)
+    assert (w2, h2) == (8, 12)
+
+
+def test_resize_media_spark_path(spark):
+    from kairos_spark.operators import multimodal
+
+    rng = np.random.RandomState(2)
+    px = rng.randint(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    payload = encode_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [(7, bytearray(payload), "image/png", len(payload), 30, 20)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.resize_media(media, max_dim=10).collect()[0]
+    assert row.width == 10 and row.height == 6  # 30x20 * (10/30)
+    got = decode_png_gray(bytes(row.payload))
+    assert got.size == 60 and row.mime == "image/png"
+
+
+def test_audio_frame_sample_sample_domain(spark):
+    from kairos_spark.operators import multimodal
+
+    samples = np.arange(-100, 150, dtype=np.int64)  # 250 samples
+    payload = encode_wav16(samples)
+    media = spark.createDataFrame(
+        [(3, bytearray(payload), "audio/wav", len(payload), 0, 0)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        multimodal.audio_frame_sample(media, frame_len=100, hop=100).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.offset_samples for r in rows] == [0, 100, 200]
+    # frames are exact PCM slices in the decoded sample domain
+    for r in rows:
+        got = np.frombuffer(bytes(r.frame), dtype="<i2").astype(np.int64)
+        want = samples[r.offset_samples : r.offset_samples + 100]
+        assert np.array_equal(got, want)
+
+
 def test_extract_features_strict_decodes_real_media(spark):
     """strict=True on a media table of REAL payloads (PNG + BMP + WAV)
     returns decoded-domain histograms — no decoder libs installed."""
