@@ -3670,8 +3670,18 @@ def chao1_richness(
     unseen_share).
 
     One vocabulary-grain aggregation, one frequency-of-frequency
-    aggregation; exact integer counts, one closed-form double."""
-    from kairos_spark.operators.text import word_tokens
+    aggregation; exact integer counts. Both outputs are exact rationals
+    of integer counts with a SMALL denominator (2·F₂, or 2), so they
+    land exactly on 7th-decimal round midpoints (any odd F₁ with
+    F₂ = 320 does it) — rounded via the single-integer-ratio
+    restructure, never F.round on the double:
+    F₂>0: chao1 = (2·F₂·V + F₁²)/(2·F₂), unseen = F₁²/(2·F₂·V + F₁²);
+    F₂=0 (Chao 1987 bias-corrected): chao1 = (2·V + F₁(F₁−1))/2,
+    unseen = F₁(F₁−1)/(2·V + F₁(F₁−1)). The 2·F₂·V product can pass
+    the BIGINT·2·10^6 ceiling at corpus scale, so the ratio runs in
+    DECIMAL(38,0) (``_round6_ratio_dec``). Empty corpus (V = 0) emits
+    the 0.0 sentinel for unseen_share on both engines (never NULL)."""
+    from kairos_spark.operators.text import _round6_ratio_dec, word_tokens
 
     toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
@@ -3680,15 +3690,27 @@ def chao1_richness(
         F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("f1"),
         F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("long").alias("f2"),
     )
-    # bias-corrected form when F2 = 0: F1(F1-1)/2 (Chao 1987)
-    extra = F.when(
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — overflow-proof products
+    # numerator of chao1 == denominator of unseen_share, in DECIMAL(38,0)
+    num = F.when(
         F.col("f2") > 0,
-        F.col("f1").cast("double") * F.col("f1") / (2.0 * F.col("f2")),
-    ).otherwise(F.col("f1").cast("double") * (F.col("f1") - 1) / 2.0)
+        F.lit(2) * dec(F.col("f2")) * F.col("v_obs")
+        + dec(F.col("f1")) * F.col("f1"),
+    ).otherwise(
+        F.lit(2) * dec(F.col("v_obs")) + dec(F.col("f1")) * (F.col("f1") - 1)
+    )
+    den = F.when(F.col("f2") > 0, F.lit(2) * dec(F.col("f2"))).otherwise(
+        F.lit(2).cast("decimal(38,0)")
+    )
+    extra_num = F.when(
+        F.col("f2") > 0, dec(F.col("f1")) * F.col("f1")
+    ).otherwise(dec(F.col("f1")) * (F.col("f1") - 1))
     return agg.select(
         "v_obs",
         "f1",
         "f2",
-        F.round(F.col("v_obs") + extra, 6).alias("chao1"),
-        F.round(extra / (F.col("v_obs") + extra), 6).alias("unseen_share"),
+        _round6_ratio_dec(num, den).alias("chao1"),
+        F.when(
+            num > 0, _round6_ratio_dec(extra_num, num)
+        ).otherwise(F.lit(0.0)).alias("unseen_share"),
     )

@@ -44,16 +44,45 @@ def _round6_ratio(num: Column, den: Column) -> Column:
     are exact rationals that can land EXACTLY on a 7th-decimal midpoint
     (e.g. 41/640 = 0.0640625, or 4 puncts in 512 chars = 0.0078125),
     where Spark's shortest-string round and DuckDB's multiply-round
-    disagree; integer math is engine-identical. Safe while num < 2^33
-    (numerator stays under 2^53) and den ≥ 1 — true for every count
-    ratio here. The float division's error (~1 ulp) is far below the
-    ≥ 1/(2·den) gap to the nearest wrong integer, so the floor is
-    exact. Oracles mirror with
+    disagree; integer math is engine-identical. den ≥ 1 required.
+    Bounds: the floor is mathematically exact while 2·10^6·num + den
+    stays under 2^53 (num ≲ 2^32); between 2^32 and the ANSI BIGINT
+    ceiling (num < (2^63−1)/2·10^6 ≈ 4.6·10^12) cross-engine PARITY
+    still holds — both engines perform the identical int64→double
+    conversion and the identical double division — but the result may
+    differ from true half-up by 1 ulp of the quotient. Past 4.6·10^12
+    the 2·10^6·num product hard-errors under Spark ANSI (and overflows
+    DuckDB BIGINT): route through :func:`_round6_ratio_dec` instead.
+    The float division's error (~1 ulp) is far below the ≥ 1/(2·den)
+    gap to the nearest wrong integer, so the floor is exact in the
+    2^53 regime. Oracles mirror with
     floor((2000000*n + d) / (2.0*d)) / 1000000.0."""
     return (
         F.floor((F.lit(2_000_000) * num + den) / (F.lit(2) * den)).cast("long")
         / F.lit(1_000_000.0)
     )
+
+
+def _round6_ratio_dec(num: Column, den: Column) -> Column:
+    """:func:`_round6_ratio` for numerators that can exceed the BIGINT
+    product ceiling (num ≥ ~4.6·10^12, e.g. pairwise-count products like
+    2·f2·v_obs or micro-unit monetary sums): the same
+    floor((2·10^6·num + den)/(2·den)) computed entirely in
+    DECIMAL(38,0), which holds 38 digits — no ANSI overflow and no
+    double rounding anywhere. The division is made exact by stripping
+    the remainder first (x − pmod(x, y) is an exact multiple of y, so
+    Spark's DECIMAL division returns the integer quotient exactly at
+    any result scale). Requires den ≥ 1 and num/den < ~9·10^12 so the
+    quotient fits BIGINT — every round-6 ratio/estimate here is far
+    below that. Verified engine-identical against DuckDB HUGEINT on
+    midpoint and 10^17-scale fixtures (tests/test_round6_ratio.py).
+    Oracles mirror with
+    CAST((2000000::HUGEINT*n + d) // (2::HUGEINT*d) AS BIGINT)
+    / 1000000.0."""
+    x = num.cast("decimal(38,0)") * F.lit(2_000_000) + den.cast("decimal(38,0)")
+    y = den.cast("decimal(38,0)") * F.lit(2)
+    q = (x - F.pmod(x, y)) / y
+    return q.cast("long") / F.lit(1_000_000.0)
 
 
 def _round6_ratio_signed(num: Column, den: Column) -> Column:

@@ -9783,16 +9783,26 @@ ORACLES["chao1_richness"] = """
              CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
       FROM vocab
     )
+    , rat AS (
+      -- single exact integer ratios in HUGEINT (mirror of
+      -- _round6_ratio_dec; the 2*f2*v_obs product passes the
+      -- BIGINT*2e6 ceiling at corpus scale)
+      SELECT v_obs, f1, f2,
+             CASE WHEN f2 > 0
+                  THEN 2::HUGEINT * f2 * v_obs + f1::HUGEINT * f1
+                  ELSE 2::HUGEINT * v_obs + f1::HUGEINT * (f1 - 1) END AS num,
+             CASE WHEN f2 > 0 THEN 2::HUGEINT * f2 ELSE 2::HUGEINT END AS den,
+             CASE WHEN f2 > 0
+                  THEN f1::HUGEINT * f1
+                  ELSE f1::HUGEINT * (f1 - 1) END AS extra_num
+      FROM agg
+    )
     SELECT v_obs, f1, f2,
-           round(v_obs + CASE WHEN f2 > 0
-                              THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
-                              ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END, 6) AS chao1,
-           round(CASE WHEN f2 > 0
-                      THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
-                      ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END
-                 / (v_obs + CASE WHEN f2 > 0
-                                 THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
-                                 ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END), 6)
-             AS unseen_share
-    FROM agg
+           CAST((2000000::HUGEINT * num + den) // (2::HUGEINT * den) AS BIGINT)
+             / 1000000.0 AS chao1,
+           CASE WHEN num > 0
+                THEN CAST((2000000::HUGEINT * extra_num + num)
+                          // (2::HUGEINT * num) AS BIGINT) / 1000000.0
+                ELSE 0.0 END AS unseen_share
+    FROM rat
 """

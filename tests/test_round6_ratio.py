@@ -95,3 +95,44 @@ def test_null_denominator_propagates(spark):
         .collect()[0]
     )
     assert row["r"] is None
+
+def test_round6_ratio_dec_matches_duckdb_hugeint(spark):
+    """_round6_ratio_dec == the HUGEINT // oracle mirror, including
+    numerators past the BIGINT*2e6 ceiling where _round6_ratio would
+    ANSI-overflow (the chao1 2*f2*v_obs product class)."""
+    from kairos_spark.operators.text import _round6_ratio_dec
+
+    cases = [(n, d) for n, d in _grid() if True] + [
+        (2049 * 2049, 2 * 320),                 # odd f1, f2=320 chao1 midpoint
+        (2 * 320 * 500 + 103 * 103, 2 * 320),   # full chao1 numerator form
+        (123456789012345678, 123456),            # > 4.6e12: BIGINT 2e6*n overflows
+        (10**17 + 7, 10**13 + 1),
+        (999999999999999999, 2 * 10**6),
+    ]
+    sdf = spark.createDataFrame(cases, "n long, d long").select(
+        "n", "d", _round6_ratio_dec(F.col("n"), F.col("d")).alias("r")
+    )
+    got = {(r["n"], r["d"]): r["r"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for n, d in set(cases):
+        want = con.execute(
+            f"""SELECT CAST((2000000::HUGEINT * {n}::HUGEINT + {d}::HUGEINT)
+                        // (2::HUGEINT * {d}::HUGEINT) AS BIGINT) / 1000000.0"""
+        ).fetchone()[0]
+        assert got[(n, d)] == want, (n, d, got[(n, d)], want)
+
+
+def test_round6_ratio_dec_agrees_with_plain_in_bigint_range(spark):
+    """Inside _round6_ratio's exact regime the two helpers agree, so
+    swapping a site to the dec variant never changes green results."""
+    from kairos_spark.operators.text import _round6_ratio, _round6_ratio_dec
+
+    cases = [(n, d) for n, d in _grid() if d <= 12800]
+    sdf = spark.createDataFrame(cases, "n long, d long").select(
+        "n",
+        "d",
+        _round6_ratio(F.col("n"), F.col("d")).alias("a"),
+        _round6_ratio_dec(F.col("n"), F.col("d")).alias("b"),
+    )
+    for r in sdf.collect():
+        assert r["a"] == r["b"], (r["n"], r["d"], r["a"], r["b"])

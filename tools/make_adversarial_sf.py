@@ -227,6 +227,33 @@ def make_documents():
     # space, astral math letters — length/substr are codepoint-based
     # in BOTH engines (probed), this pins it end to end
     add("family 👨‍👩‍👧 flag 🇺🇸 nb sp wide　space 𝕊𝕡𝕒𝕣𝕜", "en", "src9")
+    # --- round 7: chao1 7th-decimal midpoint fixture. Pin corpus-wide
+    # F2 (tokens seen exactly twice) to 2^7·5^k/2 ∈ {320, 1600} with F1
+    # odd, so chao1 = V + F1²/(2·F2) lands EXACTLY on a ...5×10⁻⁷
+    # midpoint (odd² · 10^7/(2·F2) ends in 5) — the
+    # F.round-on-exact-rational class CORRECTNESS_r06 caught in
+    # chao1_richness. Tokenization mirrors text.word_tokens:
+    # agree_lower (İ→i, Σ→σ pre-translate) → collapse [ \t\n\f\r]+ →
+    # trim → split(" ").
+    import re as _re
+    from collections import Counter
+
+    def _toks(s):
+        s = s.translate({0x130: "i", 0x3A3: "σ"}).lower()
+        s = _re.sub("[ \t\n\x0c\r]+", " ", s).strip(" ")
+        return s.split(" ")
+
+    cnt = Counter(t for r in rows for t in _toks(r[1]))
+    f1 = sum(1 for v in cnt.values() if v == 1)
+    f2 = sum(1 for v in cnt.values() if v == 2)
+    target_f2 = 320 if f2 <= 320 else 1600
+    filler = []
+    for i in range(target_f2 - f2):
+        filler.append(f"chao1filler{i:04d}")  # fresh token twice → F2 += 1
+        filler.append(f"chao1filler{i:04d}")
+    if f1 % 2 == 0:
+        filler.append("chao1loner")  # fresh singleton → F1 becomes odd
+    add(" ".join(filler), "en", "src10")
     rows.sort(key=lambda r: r[0])
     return pa.table(
         {
