@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from kairos_spark.operators.text import _round6_ratio
+from kairos_spark.operators.text import _round6_bridge, _round6_ratio
 
 
 def pagerank(
@@ -50,7 +50,16 @@ def pagerank(
     edges (redistributed uniformly, the standard correction). Returns
     (node, rank) with rank rounded to 6 decimals; ranks sum to 1 at
     every step. Unweighted graphs: omit ``weight_col`` (each edge
-    counts 1)."""
+    counts 1).
+
+    Rounding contract (VERDICT r6 sweep): a k-step fixed point is not
+    expressible as one integer ratio, so the final round goes through
+    ``_round6_bridge`` (double → DECIMAL(27,12) → HALF_UP round-6) —
+    engine-identical even when the iterate's shortest rendering is a
+    7-digit midpoint whose nearest double sits below it, the case
+    where bare round(double, 6) splits (41/640; engine-probed in
+    tests/test_round6_ratio.py). The oracle mirrors every update
+    op-for-op so both engines bridge the identical bit pattern."""
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__t"), w.alias("__w"))
     nodes = (
@@ -90,7 +99,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select("node", _round6_bridge(F.col("rank")).alias("rank"))
 
 
 def coactivity_edges(
@@ -307,7 +316,16 @@ def absorption_prob(
     Scale shape: the ONLY fact-scale stage is the lead-window
     transition count (one shuffle on the user key); every iteration
     is a join between state-grain tables (|states|² rows). Per-state
-    sums accumulate in DECIMAL(38,12) — ≤|states| terms, associative."""
+    sums accumulate in DECIMAL(38,12) — ≤|states| terms, associative.
+
+    Rounding contract (VERDICT r6 sweep): p_reach is a sum of products
+    of 1/out-degree probabilities, so with pure 2^a·5^b out-degrees a
+    chain lands exactly on 7-digit midpoints — the adversarial corpus
+    pins (1/2)·(1/2)·(41/160) = 41/640, where bare round(double, 6)
+    provably splits the engines. Like ``pagerank``, the final round
+    goes through ``_round6_bridge`` (double → DECIMAL(27,12) →
+    HALF_UP), which both engines evaluate identically on the
+    op-for-op-mirrored iterate."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(type_col))
@@ -353,7 +371,9 @@ def absorption_prob(
                 .alias("r"),
             )
         )
-    return r.select(F.col("s").alias("state"), F.round("r", 6).alias("p_reach"))
+    return r.select(
+        F.col("s").alias("state"), _round6_bridge(F.col("r")).alias("p_reach")
+    )
 
 
 def bfs_reach(

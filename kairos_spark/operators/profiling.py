@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kairos_spark.operators.dedup import _round6_ratio
-from kairos_spark.operators.text import _round6_ratio_signed
+from kairos_spark.operators.text import (
+    _round6_ratio_dec,
+    _round6_ratio_dec_signed,
+    _round6_ratio_signed,
+)
 
 
 def key_distribution(
@@ -835,19 +839,25 @@ def rfm_segments(
         F.ntile(tiles).over(wf).cast("long").alias("f_tile"),
         F.ntile(tiles).over(wm).cast("long").alias("m_tile"),
     )
-    # integer/DECIMAL sums + ONE double division per metric, so the
-    # segment averages are associativity-proof round-6
+    # integer/DECIMAL sums + ONE exact integer ratio per metric
+    # (VERDICT r6 sweep: avg_monetary = micro-unit sum / (n·10^6) and
+    # avg_recency = µs sum / (n·86400·10^6) are exact rationals —
+    # F.round on their double division straddles 7th-decimal midpoints
+    # across engines; the dec variants survive fact-scale products,
+    # the signed one keeps parity when values go negative).
     return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count("*").cast("long").alias("n_users"),
-        F.round(
-            F.sum("__rec_sec").cast("double") / F.count("*") / 86400e6, 6
+        _round6_ratio_dec(
+            F.sum("__rec_sec").cast("decimal(38,0)"),
+            F.count("*").cast("decimal(38,0)") * F.lit(86_400_000_000),
         ).alias("avg_recency_days"),
         _round6_ratio(F.sum("__freq"), F.count("*")).alias(
             "avg_frequency"
         ),
-        F.round(F.sum("__mon").cast("double") / F.count("*"), 6).alias(
-            "avg_monetary"
-        ),
+        _round6_ratio_dec_signed(
+            (F.sum("__mon") * F.lit(1_000_000)).cast("decimal(38,0)"),
+            F.count("*").cast("decimal(38,0)") * F.lit(1_000_000),
+        ).alias("avg_monetary"),
     )
 
 
@@ -912,20 +922,34 @@ def ks_drift(
         F.sum("__c1").over(tot).alias("__n1"),
         F.sum("__c2").over(tot).alias("__n2"),
     )
+    # KS is an exact rational: max|cum1/n1 − cum2/n2| =
+    # max|cum1·n2 − cum2·n1| / (n1·n2) since n1, n2 are group
+    # constants — take the integer max first, then ONE exact ratio
+    # (_round6_ratio_dec: the cum·n products and n1·n2 pass the
+    # BIGINT·2e6 ceiling at fact scale, so DECIMAL(38,0) throughout).
+    # The old per-step double round straddled midpoints whenever
+    # n1·n2 divides 2·10^7 (VERDICT r6 small-denominator class).
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    gap_num = F.abs(
+        dec(F.col("__cum1")) * F.col("__n2")
+        - dec(F.col("__cum2")) * F.col("__n1")
+    )
     return (
         stepped.where((F.col("__n1") > 0) & (F.col("__n2") > 0))
         .groupBy("name")
         .agg(
-            F.max(
-                F.abs(
-                    F.col("__cum1").cast("double") / F.col("__n1")
-                    - F.col("__cum2").cast("double") / F.col("__n2")
-                )
-            ).alias("__ks"),
+            F.max(gap_num).alias("__gapnum"),
             F.min("__n1").cast("long").alias("n1"),
             F.min("__n2").cast("long").alias("n2"),
         )
-        .select("name", "n1", "n2", F.round("__ks", 6).alias("ks"))
+        .select(
+            "name",
+            "n1",
+            "n2",
+            _round6_ratio_dec(
+                F.col("__gapnum"), dec(F.col("n1")) * F.col("n2")
+            ).alias("ks"),
+        )
     )
 
 
@@ -1401,8 +1425,9 @@ def lift_curve(
     tot_n = F.sum("n").over(wall)
     tot_pos = F.sum("pos").over(wall)
     # lift restructured to ONE exact integer ratio,
-    # (cum_pos·tot_n)/(cum_n·tot_pos), so the half-up round is
-    # engine-exact; magnitudes stay < 2^53 for count data
+    # (cum_pos·tot_n)/(cum_n·tot_pos); the count·count products pass
+    # the BIGINT·2e6 ANSI ceiling at fact scale, so they run in
+    # DECIMAL(38,0) (_round6_ratio_dec)
     return bins.select(
         "bin",
         "n",
@@ -1410,7 +1435,10 @@ def lift_curve(
         cum_n.cast("long").alias("cum_n"),
         cum_pos.cast("long").alias("cum_pos"),
         _round6_ratio(cum_pos, tot_pos).alias("capture"),
-        _round6_ratio(cum_pos * tot_n, cum_n * tot_pos).alias("lift"),
+        _round6_ratio_dec(
+            cum_pos.cast("decimal(38,0)") * tot_n,
+            cum_n.cast("decimal(38,0)") * tot_pos,
+        ).alias("lift"),
     )
 
 
@@ -1720,15 +1748,18 @@ def assoc_rules(
     ca = item_counts.select(F.col("item").alias("item_a"), F.col("__ni").alias("__na"))
     cb = item_counts.select(F.col("item").alias("item_b"), F.col("__ni").alias("__nb"))
     j = pair_counts.join(ca, "item_a").join(cb, "item_b").crossJoin(F.broadcast(tot))
-    # lift restructured to ONE exact integer ratio n_ab·n/(nₐ·n_b)
+    # lift restructured to ONE exact integer ratio n_ab·n/(nₐ·n_b);
+    # the count·count products run in DECIMAL(38,0) so the 2e6 scaling
+    # never overflows BIGINT at fact scale (_round6_ratio_dec)
     return j.select(
         "item_a",
         "item_b",
         "n_ab",
         _round6_ratio(F.col("n_ab"), F.col("__n")).alias("support"),
         _round6_ratio(F.col("n_ab"), F.col("__na")).alias("confidence"),
-        _round6_ratio(
-            F.col("n_ab") * F.col("__n"), F.col("__na") * F.col("__nb")
+        _round6_ratio_dec(
+            F.col("n_ab").cast("decimal(38,0)") * F.col("__n"),
+            F.col("__na").cast("decimal(38,0)") * F.col("__nb"),
         ).alias("lift"),
     )
 
@@ -2972,17 +3003,21 @@ def cohens_kappa(
         .agg(F.sum("prod").cast("decimal(38,0)").alias("sum_prod"))
     )
     # kappa = (po-pe)/(1-pe) restructured to ONE exact signed integer
-    # ratio (agree·n − Σnₐn_b)/(n² − Σnₐn_b); magnitudes stay < 2^53
-    # for document-grain label tables
-    sp = F.col("sum_prod").cast("long")
+    # ratio (agree·n − Σnₐn_b)/(n² − Σnₐn_b); the n² and agree·n
+    # products pass the BIGINT·2e6 ANSI ceiling at fact scale, so the
+    # whole rational runs in DECIMAL(38,0) (_round6_ratio_dec*) — no
+    # long cast of Σnₐn_b anywhere
+    nn = F.col("n").cast("decimal(38,0)") * F.col("n")
     return (
         tot.crossJoin(F.broadcast(cross))
         .select(
             "n",
             _round6_ratio(F.col("agree"), F.col("n")).alias("po"),
-            _round6_ratio(sp, F.col("n") * F.col("n")).alias("pe"),
-            _round6_ratio_signed(
-                F.col("agree") * F.col("n") - sp, F.col("n") * F.col("n") - sp
+            _round6_ratio_dec(F.col("sum_prod"), nn).alias("pe"),
+            _round6_ratio_dec_signed(
+                F.col("agree").cast("decimal(38,0)") * F.col("n")
+                - F.col("sum_prod"),
+                nn - F.col("sum_prod"),
             ).alias("kappa"),
         )
     )
@@ -3681,7 +3716,7 @@ def chao1_richness(
     the BIGINT·2·10^6 ceiling at corpus scale, so the ratio runs in
     DECIMAL(38,0) (``_round6_ratio_dec``). Empty corpus (V = 0) emits
     the 0.0 sentinel for unseen_share on both engines (never NULL)."""
-    from kairos_spark.operators.text import _round6_ratio_dec, word_tokens
+    from kairos_spark.operators.text import word_tokens
 
     toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("n"))

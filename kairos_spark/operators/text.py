@@ -85,6 +85,38 @@ def _round6_ratio_dec(num: Column, den: Column) -> Column:
     return q.cast("long") / F.lit(1_000_000.0)
 
 
+def _round6_bridge(col: Column) -> Column:
+    """Engine-agreeing round-6 for a DOUBLE that is NOT expressible as
+    one integer ratio (iterative fixed points: pagerank, absorption
+    probabilities). Plain round(double, 6) splits when the double's
+    shortest decimal rendering is a 7-digit midpoint whose nearest
+    double sits below it (41/640 → Spark 0.064063 via shortest-string
+    HALF_UP, DuckDB 0.064062 via the multiply; engine-probed). The
+    bridge casts to DECIMAL(27,12) first: both engines' double→decimal
+    conversions land on the IDENTICAL 12-digit decimal (Spark's
+    shortest-string parse and DuckDB's ×10^12 multiply agree — a split
+    would need the double within half an ulp of a 13th-digit midpoint,
+    and for every ≤12-digit-exact value, midpoints included, both are
+    exact), and round(decimal, 6) is plain HALF_UP in both. Engine
+    battery: tests/test_round6_ratio.py::test_round6_bridge_*.
+    Requires |x| < 10^15 (decimal(27,12) integer room) — ranks and
+    probabilities are ≤ 1. Oracles mirror with
+    CAST(round(CAST(x AS DECIMAL(27,12)), 6) AS DOUBLE)."""
+    return F.round(col.cast("decimal(27,12)"), 6).cast("double")
+
+
+def _round6_ratio_dec_signed(num: Column, den: Column) -> Column:
+    """:func:`_round6_ratio_dec` for numerators that can be NEGATIVE
+    (den ≥ 1): round half AWAY FROM ZERO like ``_round6_ratio_signed``.
+    Oracles mirror with
+    CASE WHEN n >= 0 THEN  CAST(( 2000000::HUGEINT*n + d)
+                                // (2::HUGEINT*d) AS BIGINT) / 1000000.0
+         ELSE              -CAST((-2000000::HUGEINT*n + d)
+                                // (2::HUGEINT*d) AS BIGINT) / 1000000.0 END."""
+    mag = _round6_ratio_dec(F.abs(num), den)
+    return F.when(num >= 0, mag).otherwise(-mag)
+
+
 def _round6_ratio_signed(num: Column, den: Column) -> Column:
     """_round6_ratio for a numerator that can be NEGATIVE (den > 0):
     round half AWAY FROM ZERO, matching what both engines' round()

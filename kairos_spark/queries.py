@@ -5054,7 +5054,7 @@ ORACLES["pagerank_transitions"] = """
                   + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS rank
       FROM nodes LEFT JOIN c2 ON nodes.node = c2.t2
     )
-    SELECT node, round(rank, 6) AS rank FROM r2
+    SELECT node, CAST(round(CAST(rank AS DECIMAL(27,12)), 6) AS DOUBLE) AS rank FROM r2
 """
 
 ORACLES["asof_tolerance"] = """
@@ -6488,10 +6488,21 @@ ORACLES["rfm_segments"] = """
            CAST(f_tile AS BIGINT) AS f_tile,
            CAST(m_tile AS BIGINT) AS m_tile,
            CAST(count(*) AS BIGINT) AS n_users,
-           round(CAST(sum(rec_sec) AS DOUBLE) / count(*) / 86400000000.0, 6) AS avg_recency_days,
+           CAST((2000000::HUGEINT * sum(rec_sec)::HUGEINT
+                 + count(*)::HUGEINT * 86400000000)
+                // (2::HUGEINT * count(*)::HUGEINT * 86400000000) AS BIGINT)
+             / 1000000.0 AS avg_recency_days,
            floor((2000000 * sum(freq) + count(*))
                  / (2.0 * count(*))) / 1000000.0 AS avg_frequency,
-           round(CAST(sum(mon) AS DOUBLE) / count(*), 6) AS avg_monetary
+           CASE WHEN sum(mon) >= 0
+                THEN CAST((2000000::HUGEINT * CAST(sum(mon) * 1000000 AS HUGEINT)
+                           + count(*)::HUGEINT * 1000000)
+                          // (2::HUGEINT * count(*)::HUGEINT * 1000000) AS BIGINT)
+                     / 1000000.0
+                ELSE -CAST((-2000000::HUGEINT * CAST(sum(mon) * 1000000 AS HUGEINT)
+                            + count(*)::HUGEINT * 1000000)
+                           // (2::HUGEINT * count(*)::HUGEINT * 1000000) AS BIGINT)
+                     / 1000000.0 END AS avg_monetary
     FROM tiled GROUP BY 1, 2, 3
 """
 
@@ -6516,13 +6527,21 @@ ORACLES["ks_drift"] = """
              sum(c2) OVER (PARTITION BY name) AS n2
       FROM counts
     )
-    SELECT name,
-           CAST(min(n1) AS BIGINT) AS n1,
-           CAST(min(n2) AS BIGINT) AS n2,
-           round(max(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)), 6) AS ks
-    FROM stepped
-    WHERE n1 > 0 AND n2 > 0
-    GROUP BY 1
+    , agg AS (
+      -- integer gap max first, ONE exact ratio after (mirror of
+      -- _round6_ratio_dec in HUGEINT — see operators/profiling.ks_drift)
+      SELECT name,
+             max(abs(cum1::HUGEINT * n2 - cum2::HUGEINT * n1)) AS gapnum,
+             CAST(min(n1) AS BIGINT) AS n1,
+             CAST(min(n2) AS BIGINT) AS n2
+      FROM stepped
+      WHERE n1 > 0 AND n2 > 0
+      GROUP BY 1
+    )
+    SELECT name, n1, n2,
+           CAST((2000000::HUGEINT * gapnum + n1::HUGEINT * n2)
+                // (2::HUGEINT * n1::HUGEINT * n2) AS BIGINT) / 1000000.0 AS ks
+    FROM agg
 """
 
 ORACLES["lateness_audit"] = """
@@ -7151,9 +7170,10 @@ ORACLES["lift_curve"] = """
            CAST(sum(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
            floor((2000000 * sum(pos) OVER wc + sum(pos) OVER wt)
                  / (2.0 * sum(pos) OVER wt)) / 1000000.0 AS capture,
-           floor((2000000 * sum(pos) OVER wc * sum(n) OVER wt
+           CAST((2000000::HUGEINT * sum(pos) OVER wc * sum(n) OVER wt
                   + sum(n) OVER wc * sum(pos) OVER wt)
-                 / (2.0 * sum(n) OVER wc * sum(pos) OVER wt)) / 1000000.0 AS lift
+                // (2::HUGEINT * sum(n) OVER wc * sum(pos) OVER wt)
+                AS BIGINT) / 1000000.0 AS lift
     FROM bins
     WINDOW wc AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING), wt AS ()
 """
@@ -7554,8 +7574,9 @@ ORACLES["assoc_rules"] = """
     SELECT item_a, item_b, n_ab,
            floor((2000000 * n_ab + tot.n) / (2.0 * tot.n)) / 1000000.0 AS support,
            floor((2000000 * n_ab + ca.ni) / (2.0 * ca.ni)) / 1000000.0 AS confidence,
-           floor((2000000 * n_ab * tot.n + ca.ni * cb.ni)
-                 / (2.0 * ca.ni * cb.ni)) / 1000000.0 AS lift
+           CAST((2000000::HUGEINT * n_ab * tot.n + ca.ni::HUGEINT * cb.ni)
+                // (2::HUGEINT * ca.ni::HUGEINT * cb.ni) AS BIGINT)
+             / 1000000.0 AS lift
     FROM pc
     JOIN ic ca ON pc.item_a = ca.item
     JOIN ic cb ON pc.item_b = cb.item, tot
@@ -8988,15 +9009,17 @@ ORACLES["langid_kappa"] = r"""
     )
     SELECT n,
            floor((2000000 * agree + n) / (2.0 * n)) / 1000000.0 AS po,
-           floor((2000000 * CAST(sp AS BIGINT) + n * n)
-                 / (2.0 * n * n)) / 1000000.0 AS pe,
-           CASE WHEN agree * n - CAST(sp AS BIGINT) >= 0
-                THEN  floor(( 2000000 * (agree * n - CAST(sp AS BIGINT))
-                              + (n * n - CAST(sp AS BIGINT)))
-                            / (2.0 * (n * n - CAST(sp AS BIGINT)))) / 1000000.0
-                ELSE -floor((-2000000 * (agree * n - CAST(sp AS BIGINT))
-                              + (n * n - CAST(sp AS BIGINT)))
-                            / (2.0 * (n * n - CAST(sp AS BIGINT)))) / 1000000.0
+           CAST((2000000::HUGEINT * CAST(sp AS HUGEINT) + n::HUGEINT * n)
+                // (2::HUGEINT * n::HUGEINT * n) AS BIGINT) / 1000000.0 AS pe,
+           CASE WHEN agree::HUGEINT * n - CAST(sp AS HUGEINT) >= 0
+                THEN  CAST(( 2000000::HUGEINT * (agree::HUGEINT * n - CAST(sp AS HUGEINT))
+                              + (n::HUGEINT * n - CAST(sp AS HUGEINT)))
+                            // (2::HUGEINT * (n::HUGEINT * n - CAST(sp AS HUGEINT)))
+                           AS BIGINT) / 1000000.0
+                ELSE -CAST((-2000000::HUGEINT * (agree::HUGEINT * n - CAST(sp AS HUGEINT))
+                              + (n::HUGEINT * n - CAST(sp AS HUGEINT)))
+                            // (2::HUGEINT * (n::HUGEINT * n - CAST(sp AS HUGEINT)))
+                           AS BIGINT) / 1000000.0
                 END AS kappa
     FROM tot CROSS JOIN cr
 """
@@ -9169,7 +9192,7 @@ ORACLES["absorption_prob"] = """
     r3 AS (SELECT sts.s, CASE WHEN sts.s = 'purchase' THEN 1.0
                               ELSE COALESCE(acc, 0.0) END AS r
            FROM sts LEFT JOIN a3 ON sts.s = a3.s)
-    SELECT s AS state, round(r, 6) AS p_reach FROM r3
+    SELECT s AS state, CAST(round(CAST(r AS DECIMAL(27,12)), 6) AS DOUBLE) AS p_reach FROM r3
 """
 
 

@@ -136,3 +136,45 @@ def test_round6_ratio_dec_agrees_with_plain_in_bigint_range(spark):
     )
     for r in sdf.collect():
         assert r["a"] == r["b"], (r["n"], r["d"], r["a"], r["b"])
+
+
+def test_round6_bridge_agrees_on_splitting_midpoints(spark):
+    """_round6_bridge == DuckDB's decimal-bridge mirror on exactly the
+    doubles where bare round(double, 6) splits the engines (shortest
+    rendering is a 7-digit midpoint, nearest double below it), plus
+    agreeing midpoints and garden-variety values."""
+    from kairos_spark.operators.text import _round6_bridge
+
+    vals = [
+        41 / 640,    # plain round SPLITS (Spark .064063, DuckDB .064062)
+        323 / 640,   # plain round SPLITS
+        333 / 640,   # plain round SPLITS
+        7 / 640, 177 / 640, 5 / 128, 87 / 128,   # midpoints that agree
+        (1 / 2) * (1 / 2) * (41 / 160),          # the absorption fixture value
+        1 / 3, 2 / 3, 0.1234567891234, 0.9999999999999, 1e-13, 0.0, 1.0,
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        "v", _round6_bridge(F.col("v")).alias("r")
+    )
+    got = {r["v"]: r["r"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            "SELECT CAST(round(CAST(?::DOUBLE AS DECIMAL(27,12)), 6) AS DOUBLE)",
+            [v],
+        ).fetchone()[0]
+        assert got[v] == want, (v, got[v], want)
+    # and the three splitting cases land on the HALF-UP side
+    assert got[41 / 640] == 0.064063
+    assert got[323 / 640] == 0.504688
+    assert got[333 / 640] == 0.520313
+
+
+def test_round6_bridge_vs_plain_round_split_is_real(spark):
+    """Documents WHY the bridge exists: bare F.round and DuckDB round
+    genuinely disagree on 41/640 (guards against 'simplifying' the
+    bridge back to F.round)."""
+    v = 41 / 640
+    plain = spark.range(1).select(F.round(F.lit(v), 6).alias("r")).collect()[0]["r"]
+    duck = duckdb.connect().execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
+    assert plain == 0.064063 and duck == 0.064062  # the split, pinned

@@ -127,6 +127,52 @@ def make_events():
         for j in range(n_in_sess):
             add(us(sess_ts + j * 10), 90, "click", 1.25, "{}")
         sess_ts += n_in_sess * 10 + 3601  # clear gap
+    # --- round 7 fixtures for the exact-rational F.round sweep ---
+    # Not every 7th-decimal midpoint splits the engines: only those
+    # whose nearest DOUBLE sits below the decimal midpoint after the
+    # ×10^6 multiply (engine-probed: of all odd non-multiple-of-5
+    # n/640, exactly n ∈ {41, 323, 333} split; 5/128-style binary
+    # fractions never do). Both fixtures below pin a SPLITTING value.
+    # (a) ks_drift: type 'ksmid' with n1 = 1 event before the global
+    # time midpoint and n2 = 640 after: 323 low values, the half-1
+    # value, then 317 high values → max ECDF gap = 323/640 = 0.5046875
+    # (bare double round: Spark 0.504688, DuckDB 0.504687). Placed
+    # strictly inside the existing [min, max] span so the global
+    # midpoint itself is unchanged.
+    cur_min = min(r[1] for r in rows)
+    cur_max = max(r[1] for r in rows)
+    mid_us = (cur_min + cur_max) // 2
+    add(mid_us - 1_000_000, 99, "ksmid", 500.0, "{}")  # half 1, mid value
+    for i in range(323):  # half 2 low block: values 1..323
+        add(mid_us + (i + 1) * 1_000_000, 99, "ksmid", 1.0 + i, "{}")
+    for i in range(317):  # half 2 high block: values 1000..1316
+        add(mid_us + (324 + i) * 1_000_000, 99, "ksmid", 1000.0 + i, "{}")
+    # (b) absorption_prob midpoint chain: fresh states zab0→zab1→zab2
+    # with out-degrees 2/2/160 and 41 of zab2's 160 transitions hitting
+    # 'purchase' → p_reach(zab0, 3 steps) = (1/2)(1/2)(41/160) = 41/640
+    # = 0.0640625, the canonical splitting midpoint (the computed
+    # double equals float(41/640) exactly: the DECIMAL(38,12) per-step
+    # bridge is exact for 0.25625 and the two halvings are exponent
+    # shifts). zjunk* states are destinations only (terminal, r = 0);
+    # each transition comes from a fresh 2-event user so no other data
+    # pollutes the counts.
+    uid = 200
+    chain_t = cur_min + 3 * 86_400_000_000  # safely inside the span
+
+    def add_pair(s, s2):
+        nonlocal uid
+        add(chain_t + uid * 2_000_000, uid, s, 1.0, "{}")
+        add(chain_t + uid * 2_000_000 + 1_000_000, uid, s2, 1.0, "{}")
+        uid += 1
+
+    add_pair("zab0", "zab1")
+    add_pair("zab0", "zjunk0")
+    add_pair("zab1", "zab2")
+    add_pair("zab1", "zjunk1")
+    for _ in range(41):
+        add_pair("zab2", "purchase")
+    for _ in range(119):
+        add_pair("zab2", "zjunk2")
     rows.sort(key=lambda r: (r[1], r[0]))
     return pa.table(
         {
