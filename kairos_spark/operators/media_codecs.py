@@ -177,10 +177,18 @@ def decode_bmp_gray(payload: bytes) -> np.ndarray:
     if not top_down:
         px = px[::-1]
     if bpp == 8:
-        # palette starts right after the DIB header; entries are BGRX
-        pal = np.frombuffer(
-            payload[14 + hdr_size : 14 + hdr_size + 1024], dtype=np.uint8
-        ).reshape(-1, 4).astype(np.int64)
+        # palette starts right after the DIB header; entries are BGRX.
+        # Honor biClrUsed (bytes 46:50): an 8-bit BMP may declare fewer
+        # than 256 entries, and slicing a fixed 1024 bytes would read
+        # pixel data as palette (ADVICE r6). 0 means "full 256".
+        (clr_used,) = struct.unpack("<I", payload[46:50])
+        n_entries = clr_used if clr_used else 256
+        pal = np.zeros((256, 4), dtype=np.int64)
+        raw = np.frombuffer(
+            payload[14 + hdr_size : 14 + hdr_size + 4 * n_entries],
+            dtype=np.uint8,
+        ).reshape(-1, 4)
+        pal[: raw.shape[0]] = raw  # out-of-palette indexes map to black
         rgb = pal[px.astype(np.int64)][..., [2, 1, 0]]
         return _luma(rgb).ravel()
     if bpp in (24, 32):
@@ -268,10 +276,14 @@ def resize_image(payload: bytes, max_dim: int) -> tuple[bytes, int, int]:
     implementations."""
     if payload.startswith(PNG_MAGIC):
         # decode keeps only the luma plane; recover dims from IHDR
+        w = h = None
         for ctype, body in _png_chunks(payload):
             if ctype == b"IHDR":
                 w, h = struct.unpack(">II", body[:8])
                 break
+        if w is None:
+            # match decode_png_gray's contract instead of a NameError
+            raise NotImplementedError("malformed PNG (missing IHDR)")
         levels = decode_png_gray(payload).reshape(h, w)
     elif payload.startswith(b"BM"):
         width, height = struct.unpack("<ii", payload[18:26])

@@ -1396,8 +1396,10 @@ def q_multimodal_features(spark, sf_dir):
     # the engine-exact integer half-up instead of a double round that
     # splits on 7th-decimal midpoints (e.g. 41/640)
     def _f(i):
-        # n_bytes = 0 → the UDF's count/len is NaN; the oracle's
-        # greatest(n_bytes, 1) denominator yields 0.0 — match it
+        # n_bytes = 0 → _fake_features returns [0.0]*16, so the count
+        # recovers to 0 and the greatest(n_bytes, 1) denominator on
+        # both sides yields 0.0; the coalesce is a belt-and-braces
+        # guard for a NULL features array (never produced today)
         cnt = F.coalesce(
             F.rint(F.col("features")[i] * F.col("n_bytes")).cast("long"), F.lit(0)
         )

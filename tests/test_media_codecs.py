@@ -293,3 +293,60 @@ def test_extract_features_strict_decodes_real_media(spark):
     # and the features differ from the raw-byte fake (decode is real)
     fake = {r.media_id: r for r in multimodal.extract_features(media).collect()}
     assert fake[1].features != out[1].features
+
+
+def encode_bmp8(px_idx: np.ndarray, palette_grays: list[int]) -> bytes:
+    """8-bit palettized BMP declaring EXACTLY len(palette_grays) palette
+    entries via biClrUsed (not the full 256) — pixel data starts right
+    after the short palette."""
+    h, w = px_idx.shape
+    row_bytes = (w + 3) & ~3
+    pal = bytearray()
+    for g in palette_grays:
+        pal += bytes([g, g, g, 0])  # BGRX, gray
+    body = bytearray()
+    for row in px_idx[::-1]:  # bottom-up
+        line = bytearray(int(v) for v in row)
+        line += b"\x00" * (row_bytes - len(line))
+        body += line
+    data_off = 14 + 40 + len(pal)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835,
+            len(palette_grays), 0,
+        )
+    )
+    return hdr + bytes(pal) + bytes(body)
+
+
+def test_bmp8_short_palette_honors_biclrused():
+    """ADVICE r6: an 8-bit BMP declaring fewer than 256 palette entries
+    must not read pixel data as palette — decode through biClrUsed."""
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    grays = [0, 85, 170, 255]
+    payload = encode_bmp8(idx, grays)
+    got = decode_bmp_gray(payload).reshape(2, 4)
+    want = np.array(grays, dtype=np.int64)[idx]
+    assert (got == want).all()
+
+
+def test_bmp8_biclrused_zero_means_full_256():
+    idx = np.array([[0, 255], [128, 7]], dtype=np.uint8)
+    grays = list(range(256))
+    payload = encode_bmp8(idx, grays)
+    # patch biClrUsed to 0 (the "full palette" convention)
+    payload = payload[:46] + struct.pack("<I", 0) + payload[50:]
+    got = decode_bmp_gray(payload).reshape(2, 2)
+    assert (got == idx.astype(np.int64)).all()
+
+
+def test_resize_png_missing_ihdr_raises_not_implemented():
+    """ADVICE r6: resize_image on an IHDR-less PNG chunk stream must
+    raise the module's NotImplementedError contract, not NameError."""
+    from kairos_spark.operators.media_codecs import PNG_MAGIC, resize_image
+
+    bogus = PNG_MAGIC + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        resize_image(bogus, 16)

@@ -308,9 +308,10 @@ CHECKS = {
     # Arrow-batched feature pass; 16 per-dim means broadcast back onto
     # the exploded (media, dim) rows — a hash join, nothing quadratic
     "media_signature_buckets": ["MapInPandas", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
-    # coactivity_kcore: the operator runs eagerly (per-round persist →
-    # collect 2 scalars → unpersist superseded, ADVICE r5) so the
-    # returned trace is a local relation; the per-round plan shape
+    # coactivity_kcore: EXEMPT from plan assertions — the operator runs
+    # eagerly (per-round persist → collect 2 scalars → unpersist
+    # superseded, ADVICE r5) so the returned trace is a local relation
+    # with no plan structure to assert; the per-round plan shape
     # (LeftSemi + HashAggregate, no cartesian) is asserted by
     # tests/test_round6_fixes.py on graph._peel_round.
     # pure per-stratum moment aggregation: no join at all
@@ -365,9 +366,10 @@ CHECKS = {
     "source_similarity": ["HashAggregate", "!CartesianProduct"],
     # fact-scale lead window once; iterations join state-grain tables
     "absorption_prob": ["Window", "HashAggregate", "!CartesianProduct"],
-    # bfs_reach: eager per-hop materialization (same ADVICE-r5 cache
-    # fix as coactivity_kcore) returns a local trace; the per-hop
-    # LeftAnti + HashAggregate shape is asserted by
+    # bfs_reach: EXEMPT from plan assertions — eager per-hop
+    # materialization (same ADVICE-r5 cache fix as coactivity_kcore)
+    # returns a local trace with no plan structure to assert; the
+    # per-hop LeftAnti + HashAggregate shape is asserted by
     # tests/test_round6_fixes.py on graph._bfs_hop.
     # distinct (unit, period) grid self-joined on (unit, period+1)
     "audience_stability": ["HashAggregate", "!CartesianProduct"],
