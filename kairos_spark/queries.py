@@ -3165,67 +3165,14 @@ def q_chao1_richness(spark, sf_dir):
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
 # the tail is cut again.
 QUERIES = {
-    # --- Round-6 rotation (CLAUDE.md rule + VERDICT r5 item 1): ZERO new
-    # queries this round; the 50-slot driver window is filled entirely from
-    # the 106-entry never-driver-checked backlog. Order: (a) the 7 round-4
-    # tail-new entries (two rounds stale, r4 verdict item 1); (b)
-    # multimodal_features (exact byte-featurization oracle since r5, first
-    # driver check); (c) the 16 deferred late-r5 statistical entries; (d) 26
-    # of the 27 earlier-r5 entries (pseudonym_audit spills to position 51).
-    # All are local-mirror green at sf0.01 AND sf0.1. ---
-    "source_scorecard": q_source_scorecard,
-    "langid_metrics": q_langid_metrics,
-    "conversion_latency": q_conversion_latency,
-    "supplier_pareto": q_supplier_pareto,
-    "gini_activity": q_gini_activity,
-    "dedup_recall": q_dedup_recall,
-    "audience_overlap": q_audience_overlap,
-    "multimodal_features": q_multimodal_features,
-    "capture_recapture": q_capture_recapture,
-    "powerlaw_alpha": q_powerlaw_alpha,
-    "scale_drift": q_scale_drift,
-    "rbo_rankings": q_rbo_rankings,
-    "churn_auc": q_churn_auc,
-    "session_gap_sweep": q_session_gap_sweep,
-    "wilson_ci": q_wilson_ci,
-    "mann_kendall": q_mann_kendall,
-    "peak_detection": q_peak_detection,
-    "hashing_trick_audit": q_hashing_trick_audit,
-    "path_conformance": q_path_conformance,
-    "schema_drift": q_schema_drift,
-    "ratio_ci": q_ratio_ci,
-    "logrank_test": q_logrank_test,
-    "qq_shift_fit": q_qq_shift_fit,
+    # --- Round-7 rotation (CLAUDE.md rule + VERDICT r6 items 1-2): ZERO
+    # new queries; chao1_richness leads the window (the one r6 red row,
+    # now restructured to exact integer ratios) followed by the 56-entry
+    # never-driver-checked backlog in its pre-set order — the window
+    # takes chao1 + the first 49; the 7 that spill past position 50 are
+    # the ~r8 remainder. All are local-mirror green at sf0.01, sf0.1 and
+    # the adversarial set. ---
     "chao1_richness": q_chao1_richness,
-    "ks_drift": q_ks_drift,
-    "lateness_audit": q_lateness_audit,
-    "dup_inflation": q_dup_inflation,
-    "norm_outliers": q_norm_outliers,
-    "theilsen_trend": q_theilsen_trend,
-    "session_paths": q_session_paths,
-    "benford_totalprice": q_benford_totalprice,
-    "rfm_segments": q_rfm_segments,
-    "triangle_cooccurrence": q_triangle_cooccurrence,
-    "context_budget": q_context_budget,
-    "bigram_holdout": q_bigram_holdout,
-    "winnow_pairs": q_winnow_pairs,
-    "editdist_pairs": q_editdist_pairs,
-    "hll_distinct": q_hll_distinct,
-    "bpe_pairs": q_bpe_pairs,
-    "spearman_activity": q_spearman_activity,
-    "quality_auc": q_quality_auc,
-    "duplicated_spans": q_duplicated_spans,
-    "domain_cap": q_domain_cap,
-    "ngram_novelty": q_ngram_novelty,
-    "quantize_audit": q_quantize_audit,
-    "kaplan_meier": q_kaplan_meier,
-    "changepoints": q_changepoints,
-    "temperature_mix": q_temperature_mix,
-    "grouped_weighted_sample": q_grouped_weighted_sample,
-    "decayed_topk": q_decayed_topk,
-    # --- positions 51+: the 56-entry never-driver-checked remainder
-    # (pseudonym_audit + the 55 r5 tail-new) queued for the r7 window;
-    # covered by the local mirror (tools/check_correctness.py) until then ---
     "pseudonym_audit": q_pseudonym_audit,
     "autocorr_hourly": q_autocorr_hourly,
     "transition_entropy": q_transition_entropy,
@@ -3275,6 +3222,8 @@ QUERIES = {
     "hierarchical_shares": q_hierarchical_shares,
     "negative_pairs": q_negative_pairs,
     "mrr_sessions": q_mrr_sessions,
+    # --- positions 51+: the 7-entry backlog remainder queued for the
+    # r8 window; covered by the local mirror until then ---
     "crosscorr_types": q_crosscorr_types,
     "delta_attribution": q_delta_attribution,
     "bernoulli_ht_audit": q_bernoulli_ht_audit,
@@ -3282,7 +3231,7 @@ QUERIES = {
     "vocab_drift": q_vocab_drift,
     "bootstrap_ci_mean": q_bootstrap_ci_mean,
     "seasonal_quantile_bands": q_seasonal_quantile_bands,
-    # --- r2-r4 driver-green entries, mirror-covered ---
+    # --- r2-r5 driver-green entries, mirror-covered ---
     "ts_multires_rollup": q_ts_multires_rollup,
     "ts_iterate_full": q_ts_iterate_full,
     "repetition_stats": q_repetition_stats,
@@ -3390,8 +3339,6 @@ QUERIES = {
     "ts_multi_name_merge": q_ts_multi_name_merge,
     "ts_set_cross_series": q_ts_set_cross_series,
     "ts_spine_gapfill": q_ts_spine_gapfill,
-    # --- r5 driver-green window (CORRECTNESS_r05: 50/50 exact), rotated
-    # to the tail per the CLAUDE.md rule; mirror-covered ---
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "semdedup": q_semdedup,
@@ -3442,6 +3389,57 @@ QUERIES = {
     "ts_gauge_join": q_ts_gauge_join,
     "ts_series_condense_order": q_ts_series_condense_order,
     "ts_sliding_hour_15m": q_ts_sliding_hour_15m,
+    # --- r6 driver-green window (CORRECTNESS_r06: 49/50 exact),
+    # rotated to the tail per the CLAUDE.md rule; mirror-covered ---
+    "source_scorecard": q_source_scorecard,
+    "langid_metrics": q_langid_metrics,
+    "conversion_latency": q_conversion_latency,
+    "supplier_pareto": q_supplier_pareto,
+    "gini_activity": q_gini_activity,
+    "dedup_recall": q_dedup_recall,
+    "audience_overlap": q_audience_overlap,
+    "multimodal_features": q_multimodal_features,
+    "capture_recapture": q_capture_recapture,
+    "powerlaw_alpha": q_powerlaw_alpha,
+    "scale_drift": q_scale_drift,
+    "rbo_rankings": q_rbo_rankings,
+    "churn_auc": q_churn_auc,
+    "session_gap_sweep": q_session_gap_sweep,
+    "wilson_ci": q_wilson_ci,
+    "mann_kendall": q_mann_kendall,
+    "peak_detection": q_peak_detection,
+    "hashing_trick_audit": q_hashing_trick_audit,
+    "path_conformance": q_path_conformance,
+    "schema_drift": q_schema_drift,
+    "ratio_ci": q_ratio_ci,
+    "logrank_test": q_logrank_test,
+    "qq_shift_fit": q_qq_shift_fit,
+    "ks_drift": q_ks_drift,
+    "lateness_audit": q_lateness_audit,
+    "dup_inflation": q_dup_inflation,
+    "norm_outliers": q_norm_outliers,
+    "theilsen_trend": q_theilsen_trend,
+    "session_paths": q_session_paths,
+    "benford_totalprice": q_benford_totalprice,
+    "rfm_segments": q_rfm_segments,
+    "triangle_cooccurrence": q_triangle_cooccurrence,
+    "context_budget": q_context_budget,
+    "bigram_holdout": q_bigram_holdout,
+    "winnow_pairs": q_winnow_pairs,
+    "editdist_pairs": q_editdist_pairs,
+    "hll_distinct": q_hll_distinct,
+    "bpe_pairs": q_bpe_pairs,
+    "spearman_activity": q_spearman_activity,
+    "quality_auc": q_quality_auc,
+    "duplicated_spans": q_duplicated_spans,
+    "domain_cap": q_domain_cap,
+    "ngram_novelty": q_ngram_novelty,
+    "quantize_audit": q_quantize_audit,
+    "kaplan_meier": q_kaplan_meier,
+    "changepoints": q_changepoints,
+    "temperature_mix": q_temperature_mix,
+    "grouped_weighted_sample": q_grouped_weighted_sample,
+    "decayed_topk": q_decayed_topk,
 }
 
 ORACLES = dict(_TS_ORACLES)
