@@ -925,13 +925,18 @@ def dup_inflation(
     per_digest = d.groupBy("group", "__digest").agg(
         F.count("*").alias("__n"), F.min("__tok").alias("__t")
     )
+    from kairos_spark.operators.text import _round6_ratio_dec
+
     return per_digest.groupBy("group").agg(
         F.sum("__n").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_unique"),
         F.sum(F.col("__n") * F.col("__t")).cast("long").alias("tokens_total"),
         F.sum("__t").cast("long").alias("tokens_unique"),
-        _round6_ratio(
-            F.sum(F.col("__n") * F.col("__t")), F.sum("__t")
+        # Σn·t reaches corpus token volume (~1e13 at 100 TB): the 2e6
+        # scaling needs the DECIMAL(38,0) path (ADVICE-r6 class)
+        _round6_ratio_dec(
+            F.sum(F.col("__n").cast("decimal(38,0)") * F.col("__t")),
+            F.sum("__t").cast("decimal(38,0)"),
         ).alias("inflation"),
     )
 

@@ -33,7 +33,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from kairos_spark.operators.text import _round6_bridge, _round6_ratio
+from kairos_spark.operators.text import (
+    _round6_bridge,
+    _round6_ratio,
+    _round6_ratio_dec,
+)
 
 
 def pagerank(
@@ -283,12 +287,15 @@ def cooccurrence_triangles(
         deg.join(per_node, "node", "left")
         .withColumn("triangles", F.coalesce("triangles", F.lit(0)).cast("long"))
         .withColumn(
+            # hub degrees past ~2e6 would overflow the BIGINT
+            # degree·(degree−1)·2e6 product — DECIMAL(38,0) ratio
             "clustering",
             F.when(
                 F.col("degree") >= 2,
-                _round6_ratio(
-                    F.lit(2) * F.col("triangles"),
-                    F.col("degree") * (F.col("degree") - 1),
+                _round6_ratio_dec(
+                    F.lit(2) * F.col("triangles").cast("decimal(38,0)"),
+                    F.col("degree").cast("decimal(38,0)")
+                    * (F.col("degree") - 1),
                 ),
             ).otherwise(F.lit(0.0)),
         )

@@ -59,7 +59,12 @@ def key_distribution(
             F.count("*").alias("n_keys"),
             F.max("__c").alias("top_key_n"),
             F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clnc"),
-            F.sum(F.col("__c") * F.col("__c")).alias("__c2"),
+            # Σc² in DECIMAL(38,0): a single hot key past ~3e9 rows
+            # would overflow the BIGINT square, and the HHI ratio's 2e6
+            # scaling needs the decimal path anyway (ADVICE-r6 class)
+            F.sum(
+                F.col("__c").cast("decimal(38,0)") * F.col("__c")
+            ).alias("__c2"),
         )
         .select(
             F.col(group_col).alias("name"),
@@ -69,8 +74,9 @@ def key_distribution(
             F.round(
                 F.log(F.col("n_rows")) - F.col("__clnc") / F.col("n_rows"), 6
             ).alias("entropy"),
-            _round6_ratio(
-                F.col("__c2"), F.col("n_rows") * F.col("n_rows")
+            _round6_ratio_dec(
+                F.col("__c2"),
+                F.col("n_rows").cast("decimal(38,0)") * F.col("n_rows"),
             ).alias("hhi"),
         )
     )
@@ -734,9 +740,14 @@ def rank_auc(
         F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("long").alias("n_neg"),
         F.sum(F.when(F.col("__pos"), F.col("__r2")).otherwise(0)).cast("long").alias("__r2pos"),
     )
-    auc = _round6_ratio(
-        F.col("__r2pos") - F.col("n_pos") * (F.col("n_pos") + 1),
-        F.lit(2) * F.col("n_pos") * F.col("n_neg"),
+    # AUC = (Σ2r_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg) — the rank-sum
+    # and count·count products pass the BIGINT·2e6 ANSI ceiling at fact
+    # scale, so the exact ratio runs in DECIMAL(38,0) (same class as
+    # lift/kappa, ADVICE r6)
+    auc = _round6_ratio_dec(
+        F.col("__r2pos").cast("decimal(38,0)")
+        - F.col("n_pos").cast("decimal(38,0)") * (F.col("n_pos") + 1),
+        F.lit(2) * F.col("n_pos").cast("decimal(38,0)") * F.col("n_neg"),
     )
     return agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
         *gcols, "n_pos", "n_neg", auc.alias("auc")
@@ -1822,9 +1833,16 @@ def dist_overlap(
         .where(F.col("a.grp") < F.col("b.grp"))
         .groupBy(F.col("a.grp").alias("group_a"), F.col("b.grp").alias("group_b"))
         .agg(
-            _round6_ratio(
-                F.sum(F.least(F.col("a.n") * F.col("b.t"), F.col("b.n") * F.col("a.t"))),
-                F.max(F.col("a.t")) * F.max(F.col("b.t")),
+            # n·T products and the T·T denominator pass the BIGINT·2e6
+            # ceiling at fact scale — DECIMAL(38,0) throughout
+            _round6_ratio_dec(
+                F.sum(
+                    F.least(
+                        F.col("a.n").cast("decimal(38,0)") * F.col("b.t"),
+                        F.col("b.n").cast("decimal(38,0)") * F.col("a.t"),
+                    )
+                ),
+                F.max(F.col("a.t")).cast("decimal(38,0)") * F.max(F.col("b.t")),
             ).alias("overlap")
         )
     )

@@ -57,6 +57,11 @@ def _round6_ratio(num: Column, den: Column) -> Column:
     gap to the nearest wrong integer, so the floor is exact in the
     2^53 regime. Oracles mirror with
     floor((2000000*n + d) / (2.0*d)) / 1000000.0."""
+    # force 64-bit arithmetic: length()/regexp_count() return INT, and
+    # 2e6·num in 32-bit hard-errors under ANSI once num > 1073 (hit by
+    # a ~2900-digit adversarial doc; DuckDB auto-widens, Spark doesn't)
+    num = num.cast("long")
+    den = den.cast("long")
     return (
         F.floor((F.lit(2_000_000) * num + den) / (F.lit(2) * den)).cast("long")
         / F.lit(1_000_000.0)
@@ -785,16 +790,25 @@ def source_scorecard(
     j = dg.join(cnts, "__d").join(qual, id_col)
     return j.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        _round6_ratio(F.sum("__nc"), F.count("*")).alias("mean_chars"),
+        # char/µ-unit sums reach ~1e15/1e16 at corpus scale — the 2e6
+        # scaling needs the DECIMAL(38,0) path (ADVICE-r6 class)
+        _round6_ratio_dec(
+            F.sum("__nc").cast("decimal(38,0)"),
+            F.count("*").cast("decimal(38,0)"),
+        ).alias("mean_chars"),
         _round6_ratio(
             F.sum((F.col("__c") > 1).cast("long")), F.count("*")
         ).alias("dup_frac"),
         # quality values are exact 6dp — recover integer micro-units
         # (rint is exact for q < 2^32 µ) so the mean is ONE exact
         # integer ratio Σµ/(n·10^6) and rounds engine-identically
-        _round6_ratio(
-            F.sum(F.rint(F.col("quality") * F.lit(1_000_000.0)).cast("long")),
-            F.count("*") * F.lit(1_000_000),
+        _round6_ratio_dec(
+            F.sum(
+                F.rint(F.col("quality") * F.lit(1_000_000.0)).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.count("*").cast("decimal(38,0)") * F.lit(1_000_000),
         ).alias("mean_quality"),
     )
 
@@ -1325,8 +1339,11 @@ def encoding_audit(
         _round6_ratio(F.col("__rd"), F.col("n_docs")).alias("pct_repl_docs"),
         _round6_ratio(F.col("__cd"), F.col("n_docs")).alias("pct_ctrl_docs"),
         _round6_ratio(F.col("__md"), F.col("n_docs")).alias("pct_mojibake_docs"),
-        _round6_ratio(
-            F.col("__rn") * F.lit(10000), F.greatest(F.col("__chars"), F.lit(1))
+        # __rn·10^4 can pass the BIGINT·2e6 ceiling at corpus scale —
+        # DECIMAL(38,0) ratio (ADVICE-r6 class)
+        _round6_ratio_dec(
+            F.col("__rn").cast("decimal(38,0)") * F.lit(10000),
+            F.greatest(F.col("__chars"), F.lit(1)).cast("decimal(38,0)"),
         ).alias("repl_per_10k_chars"),
     )
 

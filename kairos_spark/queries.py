@@ -4818,8 +4818,9 @@ ORACLES["key_skew_stats"] = """
            floor((2000000 * max(c) + sum(c)) / (2.0 * sum(c))) / 1000000.0
                AS top_share,
            round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
-           floor((2000000 * sum(c * c) + sum(c) * sum(c))
-                 / (2.0 * sum(c) * sum(c))) / 1000000.0 AS hhi
+           CAST((2000000::HUGEINT * sum(c::HUGEINT * c) + sum(c)::HUGEINT * sum(c))
+                // (2::HUGEINT * sum(c)::HUGEINT * sum(c)) AS BIGINT)
+             / 1000000.0 AS hhi
     FROM pk GROUP BY 1
 """
 
@@ -5739,13 +5740,15 @@ ORACLES["source_scorecard"] = r"""
             FROM stats
         )
     SELECT dg.source, count(*) AS n_docs,
-           floor((2000000 * sum(nc) + count(*))
-                 / (2.0 * count(*))) / 1000000.0 AS mean_chars,
+           CAST((2000000::HUGEINT * sum(nc)::HUGEINT + count(*))
+                // (2::HUGEINT * count(*)::HUGEINT) AS BIGINT)
+             / 1000000.0 AS mean_chars,
            floor((2000000 * sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) + count(*))
                  / (2.0 * count(*))) / 1000000.0 AS dup_frac,
-           floor((2000000 * sum(CAST(round(quality * 1000000) AS BIGINT))
-                  + count(*) * 1000000)
-                 / (2.0 * count(*) * 1000000)) / 1000000.0 AS mean_quality
+           CAST((2000000::HUGEINT * sum(CAST(round(quality * 1000000) AS BIGINT))::HUGEINT
+                  + count(*)::HUGEINT * 1000000)
+                // (2::HUGEINT * count(*)::HUGEINT * 1000000) AS BIGINT)
+             / 1000000.0 AS mean_quality
     FROM dg JOIN cnts USING (d) JOIN q USING (doc_id)
     GROUP BY 1
 """
@@ -6288,8 +6291,9 @@ ORACLES["quality_auc"] = """
     SELECT source,
            CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
-           floor((2000000 * (r2pos - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
-                 / (2.0 * 2 * n_pos * n_neg)) / 1000000.0 AS auc
+           CAST((2000000::HUGEINT * (r2pos::HUGEINT - n_pos::HUGEINT * (n_pos + 1))
+                 + 2::HUGEINT * n_pos::HUGEINT * n_neg)
+                // (2::HUGEINT * 2 * n_pos::HUGEINT * n_neg) AS BIGINT) / 1000000.0 AS auc
     FROM a WHERE n_pos > 0 AND n_neg > 0
 """
 
@@ -6329,8 +6333,10 @@ ORACLES["triangle_cooccurrence"] = """
            CAST(degree AS BIGINT) AS degree,
            CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
            CASE WHEN degree >= 2
-                THEN floor((2000000 * 2 * coalesce(triangles, 0) + degree * (degree - 1))
-                           / (2.0 * degree * (degree - 1))) / 1000000.0
+                THEN CAST((2000000::HUGEINT * 2 * coalesce(triangles, 0)
+                           + degree::HUGEINT * (degree - 1))
+                          // (2::HUGEINT * degree::HUGEINT * (degree - 1)) AS BIGINT)
+                     / 1000000.0
                 ELSE 0.0 END AS clustering
     FROM deg LEFT JOIN pn ON deg.node = pn.node
 """
@@ -6576,7 +6582,8 @@ ORACLES["dup_inflation"] = """
            CAST(count(*) AS BIGINT) AS n_unique,
            CAST(sum(n * t) AS BIGINT) AS tokens_total,
            CAST(sum(t) AS BIGINT) AS tokens_unique,
-           floor((2000000 * sum(n * t) + sum(t)) / (2.0 * sum(t))) / 1000000.0 AS inflation
+           CAST((2000000::HUGEINT * sum(n::HUGEINT * t) + sum(t)::HUGEINT)
+                // (2::HUGEINT * sum(t)::HUGEINT) AS BIGINT) / 1000000.0 AS inflation
     FROM per_digest GROUP BY 1
 """
 
@@ -7435,8 +7442,9 @@ ORACLES["encoding_audit"] = """
                  / (2.0 * count(*))) / 1000000.0 AS pct_ctrl_docs,
            floor((2000000 * sum(m) + count(*))
                  / (2.0 * count(*))) / 1000000.0 AS pct_mojibake_docs,
-           floor((2000000 * sum(r) * 10000 + greatest(sum(len), 1))
-                 / (2.0 * greatest(sum(len), 1))) / 1000000.0 AS repl_per_10k_chars
+           CAST((2000000::HUGEINT * sum(r)::HUGEINT * 10000 + greatest(sum(len), 1))
+                // (2::HUGEINT * greatest(sum(len), 1)::HUGEINT) AS BIGINT)
+             / 1000000.0 AS repl_per_10k_chars
     FROM per_doc GROUP BY 1
 """
 
@@ -7651,8 +7659,10 @@ ORACLES["dist_overlap"] = """
       SELECT grp, bin, n, sum(n) OVER (PARTITION BY grp) AS t FROM cells
     )
     SELECT a.grp AS group_a, b.grp AS group_b,
-           floor((2000000 * sum(least(a.n * b.t, b.n * a.t)) + max(a.t) * max(b.t))
-                 / (2.0 * max(a.t) * max(b.t))) / 1000000.0 AS overlap
+           CAST((2000000::HUGEINT * sum(least(a.n::HUGEINT * b.t, b.n::HUGEINT * a.t))
+                  + max(a.t)::HUGEINT * max(b.t))
+                // (2::HUGEINT * max(a.t)::HUGEINT * max(b.t)) AS BIGINT)
+             / 1000000.0 AS overlap
     FROM probs a JOIN probs b ON a.bin = b.bin AND a.grp < b.grp
     GROUP BY 1, 2
 """
@@ -8937,8 +8947,9 @@ ORACLES["churn_auc"] = """
     )
     SELECT CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
-           floor((2000000 * (r2pos - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
-                 / (2.0 * 2 * n_pos * n_neg)) / 1000000.0 AS auc
+           CAST((2000000::HUGEINT * (r2pos::HUGEINT - n_pos::HUGEINT * (n_pos + 1))
+                 + 2::HUGEINT * n_pos::HUGEINT * n_neg)
+                // (2::HUGEINT * 2 * n_pos::HUGEINT * n_neg) AS BIGINT) / 1000000.0 AS auc
     FROM a WHERE n_pos > 0 AND n_neg > 0
 """
 
