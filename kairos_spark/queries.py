@@ -4947,7 +4947,11 @@ ORACLES["salted_join"] = """
 """
 
 ORACLES["unpivot_roundtrip"] = f"""
+    -- the Spark side pivots the DECLARED type list (pivot_counts'
+    -- contract — a fixed column set is what makes pivot scale-sane),
+    -- so the melt only ever yields those five types; mirror the filter
     SELECT name, i_time, n FROM ({_BUCKET_COUNTS_SQL})
+    WHERE name IN ('click', 'error', 'purchase', 'signup', 'view')
 """
 
 ORACLES["cluster_quality"] = """
