@@ -733,7 +733,13 @@ def rank_auc(
     ranked = df.select(
         *gcols,
         lab.alias("__pos"),
-        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("__r2"),
+        # rank() is 32-bit: promote before the doubling so a group past
+        # ~1.07e9 rows cannot overflow INT under ANSI
+        (
+            2 * F.rank().over(wr).cast("long")
+            + F.count("*").over(wt)
+            - 1
+        ).alias("__r2"),
     )
     agg = ranked.groupBy(*gcols).agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("long").alias("n_pos"),

@@ -1028,7 +1028,13 @@ def spearman_correlation(
     ranked = counts.select(
         "name",
         "i_time",
-        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("__r2"),
+        # rank() is 32-bit: promote before the doubling so a group past
+        # ~1.07e9 rows cannot overflow INT under ANSI
+        (
+            2 * F.rank().over(wr).cast("long")
+            + F.count("*").over(wt)
+            - 1
+        ).alias("__r2"),
     )
     a = ranked.select(F.col("i_time"), F.col("name").alias("key_a"), F.col("__r2").alias("__x"))
     b = ranked.select(F.col("i_time"), F.col("name").alias("key_b"), F.col("__r2").alias("__y"))
