@@ -3838,7 +3838,8 @@ ORACLES.update(
         """,
         "frame_sample": """
             SELECT doc_id AS media_id,
-                   CAST(floor(greatest(length(text) - 1, 0) / 256) + 1 AS BIGINT) AS n_frames
+                   CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 256) + 1 AS BIGINT)
+                       AS n_frames
             FROM documents
         """,
         # bucket b of the L1-normalized byte histogram counts bytes with

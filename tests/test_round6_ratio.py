@@ -178,3 +178,46 @@ def test_round6_bridge_vs_plain_round_split_is_real(spark):
     plain = spark.range(1).select(F.round(F.lit(v), 6).alias("r")).collect()[0]["r"]
     duck = duckdb.connect().execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
     assert plain == 0.064063 and duck == 0.064062  # the split, pinned
+
+
+def test_round6_ratio_dec_property_vs_exact_rational(spark):
+    """Property check: _round6_ratio_dec equals the exact
+    Fraction-computed half-up round AND DuckDB's HUGEINT mirror over
+    random (num, den) spanning the full supported range — including
+    numerators far past the BIGINT*2e6 ceiling."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kairos_spark.operators.text import _round6_ratio_dec
+
+    con = duckdb.connect()
+
+    # the helper's contract is num/den < ~9e12 (quotient must fit
+    # BIGINT after the 2e6 scaling) — hypothesis found the boundary at
+    # 9_223_372_036_855/1, so the strategy draws inside the contract
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10**15), st.integers(1, 10**9)).filter(
+                lambda t: t[0] // t[1] <= 9 * 10**12
+            ),
+            min_size=4,
+            max_size=12,
+        )
+    )
+    def run(cases):
+        sdf = spark.createDataFrame(cases, "n long, d long").select(
+            "n", "d", _round6_ratio_dec(F.col("n"), F.col("d")).alias("r")
+        )
+        got = {(r["n"], r["d"]): r["r"] for r in sdf.collect()}
+        for n, d in set(cases):
+            ref = float(Fraction(2_000_000 * n + d, 2 * d).__floor__()) / 1e6
+            want = con.execute(
+                f"""SELECT CAST((2000000::HUGEINT * {n}::HUGEINT + {d}::HUGEINT)
+                            // (2::HUGEINT * {d}::HUGEINT) AS BIGINT) / 1000000.0"""
+            ).fetchone()[0]
+            assert got[(n, d)] == want == ref, (n, d, got[(n, d)], want, ref)
+
+    run()

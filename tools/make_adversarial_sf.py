@@ -273,6 +273,21 @@ def make_documents():
     # space, astral math letters — length/substr are codepoint-based
     # in BOTH engines (probed), this pins it end to end
     add("family 👨‍👩‍👧 flag 🇺🇸 nb sp wide　space 𝕊𝕡𝕒𝕣𝕜", "en", "src9")
+    # --- round 7: 32-bit-width stress doc (~60 KB). ANSI INT overflow
+    # in length()/regexp_count()-fed arithmetic only bites once a
+    # per-doc count clears 2^31/2e6 ≈ 1073 (the text.py ratio-helper
+    # class caught this round) — one large digit- and punct-heavy
+    # document keeps every length-scaled numerator well past that.
+    # High-entropy tokens (own seeded rng) so gram joins stay sparse.
+    brng = random.Random(0x5EED7)
+    big = []
+    for i in range(6000):
+        big.append(str(brng.randrange(10**8)))
+        if i % 7 == 0:
+            big.append("!?;:!?;:!?;:")
+        if i % 11 == 0:
+            big.append(f"wörd{i}µ")
+    add(" ".join(big), "en", "src10")
     # --- round 7: chao1 7th-decimal midpoint fixture. Pin corpus-wide
     # F2 (tokens seen exactly twice) to 2^7·5^k/2 ∈ {320, 1600} with F1
     # odd, so chao1 = V + F1²/(2·F2) lands EXACTLY on a ...5×10⁻⁷
