@@ -203,6 +203,22 @@ def test_resize_and_frames(docs):
     assert len(n0) == (len(text0.encode()) - 1) // 16 + 1
 
 
+def test_frame_sample_frames_bytes_not_codepoints(spark):
+    # 300 two-byte chars = 600 bytes -> 3 frames at 256B; 300 ASCII
+    # chars -> 2. An oracle counting codepoints would say 2 for both
+    # (the frame_sample divergence the r7 adversarial stress doc hit).
+    probe = spark.createDataFrame(
+        [(1, "ö" * 300), (2, "a" * 300)], "doc_id long, text string"
+    )
+    media = multimodal.attach_media(probe)
+    frames = multimodal.frame_sample_stub(media, every_n_bytes=256)
+    got = {
+        r["media_id"]: r["cnt"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {1: 3, 2: 2}
+
+
 def test_connected_components_chain_and_clique(spark):
     from kairos_spark.operators import dedup
 
