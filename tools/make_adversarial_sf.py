@@ -246,6 +246,15 @@ def make_documents():
     add("x", "en", "src8")
     add("!!! ??? ... ;;; :::", "en", "src8")
     add("a     b\t\t\tc\n\n\nd", "en", "src8")
+    # --- round 7b: empty / whitespace-only / frame-boundary docs.
+    # Empty and all-whitespace texts drive every per-doc token/char
+    # denominator to 0 (ANSI div0 guard class) and expose
+    # split-on-empty-string token semantics; the 256/257-byte ASCII
+    # pair pins the exact frame boundary (floor((n-1)/256)+1 flips).
+    add("", "en", "src8")
+    add(" \t\n\x0c\r  ", "en", "src8")
+    add("b" * 256, "en", "src8")
+    add(("c " * 129)[:257], "en", "src8")
     # prefix-boundary twins: identical first 160 chars, divergent tails
     head160 = ("boundary test " * 12)[:160]
     add(head160 + " tail one ends here", "en", "src2")
