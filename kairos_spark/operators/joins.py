@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from kairos_spark.operators.text import _round6_ratio
+from kairos_spark.operators.text import _round6_ratio, _round6_ratio_dec
 
 
 def banded_range_join(
@@ -438,8 +438,16 @@ def reconciliation_audit(
         F.sum("__m").cast("long").alias("n_matched"),
         (F.count("*") - F.sum("__m")).cast("long").alias("n_mismatched"),
         _round6_ratio(F.sum("__m"), F.count("*")).alias("pct_matched"),
-        F.round(F.avg(F.col("__d").cast("double")), 6).alias("mean_abs_diff"),
-        F.round(F.max(F.col("__d").cast("double")), 6).alias("max_abs_diff"),
+        # __d is an exact 8dp DECIMAL: mean = sum(__d·10^8)/(10^8·n) is
+        # ONE exact integer ratio (DECIMAL route — monetary sums pass
+        # the BIGINT·2e6 ceiling); max rounds the DECIMAL itself
+        # (HALF_UP, engine-exact) instead of a double that can sit on
+        # a 7th-decimal midpoint
+        _round6_ratio_dec(
+            (F.sum("__d") * F.lit(100_000_000)).cast("decimal(38,0)"),
+            F.lit(100_000_000).cast("long") * F.count("*"),
+        ).alias("mean_abs_diff"),
+        F.round(F.max("__d"), 6).cast("double").alias("max_abs_diff"),
     )
     return g
 

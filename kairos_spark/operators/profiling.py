@@ -1551,6 +1551,13 @@ def json_schema_profile(
 
     Output: (key, n_present, pct_present, n_null, n_numeric,
     n_distinct) — coverage fractions of total rows, rounded 6.
+
+    Contract: malformed-JSON rows contribute no keys (from_json's NULL
+    map) but still count in the pct_present denominator. Objects with
+    DUPLICATE top-level keys are out of contract (RFC 8259 names
+    SHOULD be unique): from_json keeps the last occurrence while JSON
+    path engines typically read the first, so profiles over such rows
+    are engine-dependent.
     """
     from pyspark.sql.window import Window
 
@@ -1569,8 +1576,19 @@ def json_schema_profile(
             F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_null"),
+            # numeric-ness by an engine-agreed grammar, NOT try_cast:
+            # the engines' string->double casts disagree off it (Spark
+            # accepts Java float suffixes '1d'/'1f', DuckDB accepts
+            # '1_000' separators). from_json normalizes JSON numbers to
+            # the same rendering DuckDB's json_extract_string produces
+            # ('1e2'->'100.0', probed), so the regex sees equal inputs.
             F.sum(
-                F.when(F.col("__v").try_cast("double").isNotNull(), 1).otherwise(0)
+                F.when(
+                    F.col("__v").rlike(
+                        r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+                    ),
+                    1,
+                ).otherwise(0)
             )
             .cast("long")
             .alias("n_numeric"),

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from kairos_spark.operators.text import _round6_ratio, _round6_ratio_signed
+from kairos_spark.operators.text import (
+    _round6_bridge,
+    _round6_ratio,
+    _round6_ratio_signed,
+)
 
 
 def sessionize(
@@ -1827,19 +1831,28 @@ def mrr_sessions(
     return per_sess.agg(
         F.count("*").cast("long").alias("n_sessions"),
         F.count("__first").cast("long").alias("n_with_target"),
-        F.round(
-            (
-                F.sum(
-                    F.coalesce(
-                        (F.lit(1.0) / F.col("__first")).cast("decimal(28,12)"),
-                        F.lit(0).cast("decimal(28,12)"),
-                    )
+        # identical arithmetic path on both engines: exact DECIMAL sum
+        # -> ONE int64-exact double conversion -> double division ->
+        # decimal bridge round (a decimal-division-then-cast path would
+        # produce a different double than the oracle's cast-then-divide)
+        _round6_bridge(
+            F.sum(
+                F.coalesce(
+                    (F.lit(1.0) / F.col("__first")).cast("decimal(28,12)"),
+                    F.lit(0).cast("decimal(28,12)"),
                 )
-                / F.count("*")
-            ).cast("double"),
-            6,
+            ).cast("double")
+            / F.count("*")
         ).alias("mrr"),
-        F.round(F.avg(F.col("__first").cast("double")), 6).alias("mean_first_pos"),
+        # mean position is an exact integer ratio; -1.0 sentinel when no
+        # session contains the target (avg over zero rows is NULL and
+        # Spark None vs DuckDB NaN canonicalize differently)
+        F.when(
+            F.count("__first") > 0,
+            _round6_ratio(F.sum("__first"), F.count("__first")),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("mean_first_pos"),
     )
 
 

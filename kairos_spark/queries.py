@@ -721,8 +721,16 @@ def q_q1_pricing_summary(spark, sf_dir):
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # avg of integer-valued quantities / 2dp discounts are
+            # exact rationals — engine-exact integer half-up instead of
+            # the midpoint-splitting double round (the chao1 class)
+            text._round6_ratio(
+                F.sum(F.col("l_quantity").cast("long")), F.count("*")
+            ).alias("avg_qty"),
+            text._round6_ratio(
+                F.sum(F.rint(F.col("l_discount") * 100).cast("long")),
+                F.lit(100) * F.count("*"),
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -780,15 +788,30 @@ def q_json_props_stats(spark, sf_dir):
     with an explicit schema once the payload stabilizes — single parse,
     columnar after."""
     ev = _tbl(spark, sf_dir, "events")
-    # try_cast: a non-scalar "$.k" (nested object/array) extracts as its
-    # JSON text, which a plain ANSI cast would ERROR on; NULL on both
-    # sides instead (oracle uses TRY_CAST)
-    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    # integer-gate the extract BEFORE casting: the engines' string->int
+    # casts disagree off the strictly-integer grammar (DuckDB TRY_CAST
+    # rounds '1.5'->2, parses '0x10'->16 and '1e2'->100 where Spark
+    # try_cast yields NULL; a JSON number 1e2 extracts as '100.0' on
+    # both sides and would split the same way). The regex is the
+    # engine-agreed definition of "integer k"; it also keeps non-scalar
+    # "$.k" (nested object/array JSON text) NULL on both sides.
+    # the 12-digit cap keeps every group mean inside the DECIMAL
+    # helper's num/den < ~9e12 contract (arbitrary JSON ints would
+    # pass it); larger integers gate to NULL on both sides
+    raw = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(raw.rlike(r"^-?[0-9]{1,12}$"), raw.cast("long"))
     # -1 sentinels: a group whose props all lack "$.k" must not emit
-    # NULL (Spark None vs DuckDB/pandas NaN hash differently)
+    # NULL (Spark None vs DuckDB/pandas NaN hash differently); k_mean
+    # is an exact integer ratio -> engine-exact half-away-from-zero
+    # (DECIMAL route: unbounded JSON ints can pass the BIGINT*2e6
+    # product ceiling)
     return ev.groupBy(F.col("event_type").alias("name")).agg(
         F.count("*").alias("n"),
-        F.coalesce(F.round(F.avg(k), 6), F.lit(-1.0)).alias("k_mean"),
+        F.when(
+            F.count(k) > 0, text._round6_ratio_dec_signed(F.sum(k), F.count(k))
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("k_mean"),
         F.coalesce(F.min(k), F.lit(-1)).alias("k_min"),
         F.coalesce(F.max(k), F.lit(-1)).alias("k_max"),
         F.count_distinct(k).alias("k_distinct"),
@@ -3450,8 +3473,10 @@ ORACLES.update(
                    round(sum(l_quantity), 4) AS sum_qty,
                    round(sum(l_extendedprice), 4) AS sum_base_price,
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   floor((2000000 * sum(CAST(l_quantity AS BIGINT)) + count(*))
+                         / (2.0 * count(*))) / 1000000.0 AS avg_qty,
+                   floor((2000000 * sum(CAST(round(l_discount * 100, 0) AS BIGINT)) + 100 * count(*))
+                         / (2.0 * 100 * count(*))) / 1000000.0 AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -3468,14 +3493,31 @@ ORACLES.update(
             GROUP BY 1
         """,
         "json_props_stats": """
+            WITH ext AS (
+              SELECT event_type,
+                     CASE WHEN json_valid(props)
+                          THEN json_extract_string(props, '$.k') END AS vs
+              FROM events
+            ), kk AS (
+              SELECT event_type,
+                     CASE WHEN regexp_matches(vs, '^-?[0-9]{1,12}$')
+                          THEN CAST(vs AS BIGINT) END AS v
+              FROM ext
+            )
             SELECT event_type AS name,
                    count(*) AS n,
-                   coalesce(round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 6),
-                            -1.0) AS k_mean,
-                   coalesce(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS k_min,
-                   coalesce(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS k_max,
-                   count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
-            FROM events GROUP BY 1
+                   CASE WHEN count(v) = 0 THEN -1.0
+                        WHEN sum(v) >= 0 THEN
+                          CAST((2000000::HUGEINT * sum(v) + count(v))
+                               // (2::HUGEINT * count(v)) AS BIGINT) / 1000000.0
+                        ELSE
+                          -CAST((-2000000::HUGEINT * sum(v) + count(v))
+                                // (2::HUGEINT * count(v)) AS BIGINT) / 1000000.0
+                   END AS k_mean,
+                   coalesce(min(v), -1) AS k_min,
+                   coalesce(max(v), -1) AS k_max,
+                   count(DISTINCT v) AS k_distinct
+            FROM kk GROUP BY 1
         """,
         "value_percentiles": """
             SELECT event_type AS name,
@@ -7302,8 +7344,13 @@ ORACLES["ols2_fit"] = """
 """
 ORACLES["json_schema_profile"] = """
     WITH tot AS (SELECT count(*) AS n FROM events),
+    -- json_valid guard: Spark's from_json returns a NULL map on
+    -- malformed JSON (row silently contributes no keys) while DuckDB's
+    -- json_keys hard-errors; the denominator (tot) stays ALL rows on
+    -- both sides
     pairs AS (
       SELECT unnest(json_keys(props)) AS key, props FROM events
+      WHERE json_valid(props)
     ),
     ext AS (
       SELECT key, json_extract_string(props, '$.' || key) AS v FROM pairs
@@ -7313,8 +7360,9 @@ ORACLES["json_schema_profile"] = """
            floor((2000000 * count(*) + (SELECT n FROM tot))
                  / (2.0 * (SELECT n FROM tot))) / 1000000.0 AS pct_present,
            CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_numeric,
+           CAST(sum(CASE WHEN regexp_matches(v,
+                '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
            CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
     FROM ext GROUP BY 1
 """
@@ -7754,8 +7802,11 @@ ORACLES["reconciliation_audit"] = """
            CAST(sum(CASE WHEN d <= 0.01 THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatched,
            floor((2000000 * sum(CASE WHEN d <= 0.01 THEN 1 ELSE 0 END) + count(*))
                  / (2.0 * count(*))) / 1000000.0 AS pct_matched,
-           round(avg(CAST(d AS DOUBLE)), 6) AS mean_abs_diff,
-           round(max(CAST(d AS DOUBLE)), 6) AS max_abs_diff
+           CAST((2000000::HUGEINT * CAST(sum(d) * 100000000 AS HUGEINT)
+                 + 100000000::HUGEINT * count(*))
+                // (2::HUGEINT * 100000000::HUGEINT * count(*)) AS BIGINT)
+               / 1000000.0 AS mean_abs_diff,
+           CAST(round(max(d), 6) AS DOUBLE) AS max_abs_diff
     FROM j GROUP BY 1
 """
 
@@ -7872,10 +7923,13 @@ ORACLES["mrr_sessions"] = """
     )
     SELECT CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(count(first_pos) AS BIGINT) AS n_with_target,
-           round(CAST(sum(coalesce(CAST(1.0 / first_pos AS DECIMAL(28,12)),
-                                   CAST(0 AS DECIMAL(28,12)))) AS DOUBLE)
-                 / count(*), 6) AS mrr,
-           round(avg(CAST(first_pos AS DOUBLE)), 6) AS mean_first_pos
+           CAST(round(CAST(CAST(sum(coalesce(CAST(1.0 / first_pos AS DECIMAL(28,12)),
+                                             CAST(0 AS DECIMAL(28,12)))) AS DOUBLE)
+                           / count(*) AS DECIMAL(27,12)), 6) AS DOUBLE) AS mrr,
+           CASE WHEN count(first_pos) = 0 THEN -1.0
+                ELSE floor((2000000 * sum(first_pos) + count(first_pos))
+                           / (2.0 * count(first_pos))) / 1000000.0
+           END AS mean_first_pos
     FROM per_sess
 """
 
@@ -9661,7 +9715,11 @@ ORACLES["schema_drift"] = """
              CAST(sum(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2
       FROM base
     ),
-    keys_ AS (SELECT h, unnest(json_keys(j)) AS key FROM base),
+    -- json_valid: DuckDB json_keys hard-errors on malformed JSON where
+    -- Spark json_object_keys returns NULL (row contributes no keys);
+    -- r1/r2 denominators stay ALL rows on both sides
+    keys_ AS (SELECT h, unnest(json_keys(j)) AS key FROM base
+              WHERE json_valid(j)),
     cnt AS (
       SELECT key,
              CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,

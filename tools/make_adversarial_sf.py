@@ -173,6 +173,50 @@ def make_events():
         add_pair("zab2", "purchase")
     for _ in range(119):
         add_pair("zab2", "zjunk2")
+    # --- round 7c: JSON hazard battery. Every case where the engines'
+    # JSON/string-cast semantics diverge off the agreed grammar:
+    # malformed JSON (DuckDB json_* hard-errors, Spark returns NULL —
+    # oracles need json_valid guards), non-object JSON, float/
+    # scientific k (DuckDB TRY_CAST rounds '1.5'->2, parses '1e2';
+    # Spark try_cast NULLs — both now gate on ^-?[0-9]{1,12}$),
+    # Java-suffix '1d' / underscore '1_000' / hex '0x10' strings (the
+    # engines' double casts split three ways — n_numeric now uses an
+    # agreed regex), 16-digit int (past the 12-digit cap), negative k
+    # (signed mean path). ts strictly inside the existing span so the
+    # global min/max midpoint pins are untouched.
+    haz_props = [
+        "not json at all",
+        "",
+        "[1, 2]",
+        "5",
+        '"scalar"',
+        "{}",
+        '{"k": 1.5}',
+        '{"k": 1e2}',
+        '{"k": 1.50}',
+        '{"k": "1d"}',
+        '{"k": "1_000"}',
+        '{"k": "0x10"}',
+        '{"k": "12"}',
+        '{"k": "+5"}',
+        '{"k": -7}',
+        '{"k": 9007199254740993}',
+        '{"k": true}',
+        '{"k": 0.1}',
+        '{"k": "Infinity"}',
+        '{"k": "NaN"}',
+    ]
+    haz_t = cur_min + 4 * 86_400_000_000
+    for i, p in enumerate(haz_props):
+        add(haz_t + i * 1_000_000, 500 + i, "jsonhaz", 1.0, p)
+    # k_mean splitting midpoint: 640 integer ks summing to 41 ->
+    # mean = 41/640 = 0.0640625, the canonical engine-splitting
+    # 7th-decimal midpoint (bare double round: Spark .064063 / DuckDB
+    # .064062); the integer-ratio restructure must agree exactly
+    for i in range(640):
+        kv = 41 if i == 0 else 0
+        add(haz_t + 30_000_000 + i * 1_000_000, 600 + (i % 7), "jsonmid", 0.0,
+            '{"k": %d}' % kv)
     rows.sort(key=lambda r: (r[1], r[0]))
     return pa.table(
         {
