@@ -2130,6 +2130,12 @@ def bootstrap_ci_mean(
         cond = u < F.lit(c)
         w = F.when(cond, F.lit(k)) if w is None else w.when(cond, F.lit(k))
     w = w.otherwise(F.lit(len(POISSON1_CDF)))
+    # plain double sums: the resample means carry ~ulp(|v|)-scale
+    # engine noise from partial-aggregation order, invisible at round-6
+    # for |v| up to ~1e9. (A DECIMAL quantization would NOT help: the
+    # engines' double->decimal casts themselves disagree above ~4.5e3 —
+    # Spark pads the shortest decimal rendering with zeros while DuckDB
+    # expands the binary fraction.)
     per_b = rows.select("b", w.alias("__w"), "__v").groupBy("b").agg(
         (
             F.sum(F.col("__w") * F.col("__v"))
@@ -2137,8 +2143,32 @@ def bootstrap_ci_mean(
         ).alias("__mean_b")
     )
     lo, hi = alpha / 2, 1 - alpha / 2
-    stats = per_b.agg(
-        F.round(F.stddev_samp("__mean_b"), 6).alias("se"),
+    # se via explicit centered sums, NOT the engines' stddev kernels:
+    # one-pass variance implementations diverge at the 6th decimal once
+    # |mean|/sd passes ~1e7 (probed at 1e12-offset inputs — Spark
+    # 0.57865 vs DuckDB 0.57823), and the two kernels also merge in
+    # different orders. Centering on floor(min) BEFORE squaring removes
+    # the cancellation; the remaining sum-order noise is ~1 ulp of the
+    # spread, far below round-6. (Engine agreement bound: the resample
+    # means themselves carry ~ulp(|v|) per-engine noise, so round-6
+    # parity needs ulp(|v|) << 1e-6 — |v| < ~1e9, far above any event
+    # magnitude here.)
+    cmin = per_b.agg(F.floor(F.min("__mean_b")).cast("double").alias("__c"))
+    cen = per_b.crossJoin(F.broadcast(cmin)).select(
+        "__mean_b", (F.col("__mean_b") - F.col("__c")).alias("__d")
+    )
+    nb = F.count("*").cast("double")
+    stats = cen.agg(
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (nb * F.sum(F.col("__d") * F.col("__d")) - F.sum("__d") * F.sum("__d"))
+                    / (nb * (nb - F.lit(1.0))),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("se"),
         F.round(F.percentile(F.col("__mean_b"), F.lit(lo)), 6).alias("ci_lo"),
         F.round(F.percentile(F.col("__mean_b"), F.lit(hi)), 6).alias("ci_hi"),
     )

@@ -8126,11 +8126,18 @@ ORACLES["bootstrap_ci_mean"] = """
     per_b AS (
       SELECT b, sum(w * v) / (sum(w) * 1.0) AS mean_b FROM weighted GROUP BY 1
     ),
+    cen AS (
+      SELECT mean_b,
+             mean_b - (SELECT floor(min(mean_b)) FROM per_b) AS d
+      FROM per_b
+    ),
     stats AS (
-      SELECT round(stddev_samp(mean_b), 6) AS se,
+      SELECT round(sqrt(greatest(
+               (count(*) * sum(d * d) - sum(d) * sum(d))
+                 / (count(*) * (count(*) - 1.0)), 0.0)), 6) AS se,
              round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
              round(quantile_cont(mean_b, 0.975), 6) AS ci_hi
-      FROM per_b
+      FROM cen
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n,
            (SELECT round(avg(CAST(value AS DOUBLE)), 6) FROM events) AS mean,
