@@ -104,8 +104,13 @@ def _round6_bridge(col: Column) -> Column:
     and for every ≤12-digit-exact value, midpoints included, both are
     exact), and round(decimal, 6) is plain HALF_UP in both. Engine
     battery: tests/test_round6_ratio.py::test_round6_bridge_*.
-    Requires |x| < 10^15 (decimal(27,12) integer room) — ranks and
-    probabilities are ≤ 1. Oracles mirror with
+    AGREEMENT BOUND: the two conversions coincide only while the
+    double's binary tail beyond 12 decimals is sub-half-ulp-of-10^-12,
+    i.e. ulp(x) < 10^-12 → |x| < ~4.5·10^3 (probed r7: at 10^12
+    magnitudes Spark zero-pads the shortest rendering while DuckDB
+    expands the binary fraction — they genuinely differ). Every call
+    site here carries probabilities/ratios ≤ 1; keep it that way.
+    Oracles mirror with
     CAST(round(CAST(x AS DECIMAL(27,12)), 6) AS DOUBLE)."""
     return F.round(col.cast("decimal(27,12)"), 6).cast("double")
 
