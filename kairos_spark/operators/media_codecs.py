@@ -182,12 +182,18 @@ def decode_bmp_gray(payload: bytes) -> np.ndarray:
         # than 256 entries, and slicing a fixed 1024 bytes would read
         # pixel data as palette (ADVICE r6). 0 means "full 256".
         (clr_used,) = struct.unpack("<I", payload[46:50])
-        n_entries = clr_used if clr_used else 256
+        # clamp to 256: a malformed header can declare biClrUsed > 256
+        # (or truncate the payload mid-palette) — without the clamp the
+        # reshape/broadcast raises a bare numpy ValueError instead of
+        # the module's NotImplementedError contract (ADVICE r7)
+        n_entries = min(clr_used if clr_used else 256, 256)
         pal = np.zeros((256, 4), dtype=np.int64)
+        raw_bytes = payload[14 + hdr_size : 14 + hdr_size + 4 * n_entries]
         raw = np.frombuffer(
-            payload[14 + hdr_size : 14 + hdr_size + 4 * n_entries],
-            dtype=np.uint8,
+            raw_bytes[: len(raw_bytes) & ~3], dtype=np.uint8
         ).reshape(-1, 4)
+        if raw.shape[0] == 0:
+            raise NotImplementedError("8-bit BMP with empty/truncated palette")
         pal[: raw.shape[0]] = raw  # out-of-palette indexes map to black
         rgb = pal[px.astype(np.int64)][..., [2, 1, 0]]
         return _luma(rgb).ravel()

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from kairos_spark.operators.dedup import _round6_ratio
 from kairos_spark.operators.text import (
+    _round6_bridge,
     _round6_ratio_dec,
     _round6_ratio_dec_signed,
     _round6_ratio_signed,
@@ -2158,23 +2159,35 @@ def bootstrap_ci_mean(
         "__mean_b", (F.col("__mean_b") - F.col("__c")).alias("__d")
     )
     nb = F.count("*").cast("double")
+    # se/ci_lo/ci_hi are genuine doubles (resample means, not one
+    # integer ratio) — round through the probed DECIMAL(27,12) bridge
+    # instead of bare F.round, which splits on 7th-decimal midpoints
+    # (the chao1 class). Values here are at event-value scale (~1e2),
+    # far inside the bridge's |x| < ~4.5e3 agreement bound.
     stats = cen.agg(
-        F.round(
+        _round6_bridge(
             F.sqrt(
                 F.greatest(
                     (nb * F.sum(F.col("__d") * F.col("__d")) - F.sum("__d") * F.sum("__d"))
                     / (nb * (nb - F.lit(1.0))),
                     F.lit(0.0),
                 )
-            ),
-            6,
+            )
         ).alias("se"),
-        F.round(F.percentile(F.col("__mean_b"), F.lit(lo)), 6).alias("ci_lo"),
-        F.round(F.percentile(F.col("__mean_b"), F.lit(hi)), 6).alias("ci_hi"),
+        _round6_bridge(F.percentile(F.col("__mean_b"), F.lit(lo))).alias("ci_lo"),
+        _round6_bridge(F.percentile(F.col("__mean_b"), F.lit(hi))).alias("ci_hi"),
     )
+    # mean: events.value is a 2-decimal fixed value, so avg is an exact
+    # rational (cents / 100·n) — precisely the midpoint class bare
+    # F.round splits on. Exact integer half-up via the DECIMAL route
+    # (micro-unit cent sums can pass the BIGINT·2e6 ceiling at sf >= 1);
+    # signed variant in case regenerated data ships negative values.
     overall = base.agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.avg("__v"), 6).alias("mean"),
+        _round6_ratio_dec_signed(
+            F.sum(F.rint(F.col("__v") * 100).cast("long")),
+            F.lit(100) * F.count("*"),
+        ).alias("mean"),
     )
     return overall.crossJoin(F.broadcast(stats)).select(
         "n", "mean", "se", "ci_lo", "ci_hi"
@@ -3792,10 +3805,18 @@ def chao1_richness(
 
     toks = df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
+    # coalesce the sums: over an EMPTY vocabulary (zero token rows)
+    # F.sum returns NULL where F.count returns 0, and NULL f1/f2 would
+    # cascade into a NULL chao1 — breaking the documented 0.0 sentinel
+    # and the no-NULL invariant (ADVICE r7)
     agg = vocab.agg(
         F.count("*").cast("long").alias("v_obs"),
-        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("f1"),
-        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") == 2, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("f2"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — overflow-proof products
     # numerator of chao1 == denominator of unseen_share, in DECIMAL(38,0)

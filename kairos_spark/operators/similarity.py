@@ -877,6 +877,10 @@ def quantize_audit(
     )
     return err.groupBy(label_col).agg(
         F.count("*").cast("long").alias("n_components"),
+        # F.round(F.avg/F.max) exempt from the exact-rational sweep:
+        # quantization errors are full-precision doubles (embedding
+        # component minus a dequantized level), never fixed-decimal
+        # rationals — midpoint exposure is measure zero (CLAUDE.md)
         F.round(F.sqrt(F.avg(F.col("__e") * F.col("__e"))), 6).alias("rmse"),
         F.round(F.max(F.abs("__e")), 6).alias("max_abs_err"),
         F.round(F.avg(F.abs("__e")), 6).alias("mean_abs_err"),

@@ -1362,6 +1362,10 @@ def q_label_centroids(spark, sf_dir):
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
     return ex.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
+        # F.round(F.avg) exempt from the exact-rational sweep: the
+        # inputs are full-precision doubles (unit-vector components),
+        # not fixed-decimal values — a 7th-decimal midpoint mean has
+        # measure zero, unlike count/cent ratios (CLAUDE.md invariant)
         F.round(F.avg("x"), 6).alias("m"),
         F.count("*").alias("n_vecs"),
     )
@@ -7225,7 +7229,7 @@ ORACLES["lift_curve"] = """
            floor((2000000 * sum(pos) OVER wc + sum(pos) OVER wt)
                  / (2.0 * sum(pos) OVER wt)) / 1000000.0 AS capture,
            CAST((2000000::HUGEINT * sum(pos) OVER wc * sum(n) OVER wt
-                  + sum(n) OVER wc * sum(pos) OVER wt)
+                  + sum(n) OVER wc * (sum(pos) OVER wt)::HUGEINT)
                 // (2::HUGEINT * sum(n) OVER wc * sum(pos) OVER wt)
                 AS BIGINT) / 1000000.0 AS lift
     FROM bins
@@ -8132,17 +8136,31 @@ ORACLES["bootstrap_ci_mean"] = """
       FROM per_b
     ),
     stats AS (
-      SELECT round(sqrt(greatest(
+      SELECT CAST(round(CAST(sqrt(greatest(
                (count(*) * sum(d * d) - sum(d) * sum(d))
-                 / (count(*) * (count(*) - 1.0)), 0.0)), 6) AS se,
-             round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
-             round(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+                 / (count(*) * (count(*) - 1.0)), 0.0)) AS DECIMAL(27,12)), 6)
+             AS DOUBLE) AS se,
+             CAST(round(CAST(quantile_cont(mean_b, 0.025) AS DECIMAL(27,12)), 6)
+             AS DOUBLE) AS ci_lo,
+             CAST(round(CAST(quantile_cont(mean_b, 0.975) AS DECIMAL(27,12)), 6)
+             AS DOUBLE) AS ci_hi
       FROM cen
+    ),
+    overall AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))::HUGEINT AS cents,
+             100::HUGEINT * count(*) AS den
+      FROM events
     )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n,
-           (SELECT round(avg(CAST(value AS DOUBLE)), 6) FROM events) AS mean,
+    SELECT n,
+           CASE WHEN cents >= 0
+                THEN  CAST(( 2000000::HUGEINT * cents + den)
+                           // (2::HUGEINT * den) AS BIGINT) / 1000000.0
+                ELSE -CAST((-2000000::HUGEINT * cents + den)
+                           // (2::HUGEINT * den) AS BIGINT) / 1000000.0
+           END AS mean,
            se, ci_lo, ci_hi
-    FROM stats
+    FROM overall, stats
 """
 
 ORACLES["seasonal_quantile_bands"] = """
@@ -9882,9 +9900,11 @@ ORACLES["chao1_richness"] = """
     ),
     vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
     agg AS (
+      -- coalesce mirrors Spark: over an empty vocabulary sum() is
+      -- NULL; the 0 keeps the documented 0.0 sentinel NULL-free
       SELECT CAST(count(*) AS BIGINT) AS v_obs,
-             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+             CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1,
+             CAST(coalesce(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f2
       FROM vocab
     )
     , rat AS (

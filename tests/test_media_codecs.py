@@ -342,6 +342,32 @@ def test_bmp8_biclrused_zero_means_full_256():
     assert (got == idx.astype(np.int64)).all()
 
 
+def test_bmp8_oversized_biclrused_raises_not_implemented():
+    """ADVICE r7: biClrUsed > 256 (malformed) must hit the documented
+    NotImplementedError contract, not a numpy broadcast ValueError.
+    The clamp decodes the first 256 entries; here the declared count
+    pushes data_off past the payload so the palette read truncates."""
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    payload = encode_bmp8(idx, [0, 255])
+    # patch biClrUsed to a bogus 100000 entries
+    bad = payload[:46] + struct.pack("<I", 100_000) + payload[50:]
+    got = decode_bmp_gray(bad).reshape(2, 2)
+    # clamped decode still honors the 2 real entries (rest map black)
+    want = np.array([0, 255], dtype=np.int64)[idx]
+    assert (got == want).all()
+
+
+def test_bmp8_truncated_palette_raises_not_implemented():
+    """Payload cut inside the declared palette → NotImplementedError
+    (empty palette after truncation to whole 4-byte entries)."""
+    idx = np.array([[0]], dtype=np.uint8)
+    payload = encode_bmp8(idx, [0, 255])
+    # cut the payload right after the DIB header + 2 palette bytes
+    cut = payload[: 14 + 40 + 2]
+    with pytest.raises(NotImplementedError):
+        decode_bmp_gray(cut)
+
+
 def test_resize_png_missing_ihdr_raises_not_implemented():
     """ADVICE r6: resize_image on an IHDR-less PNG chunk stream must
     raise the module's NotImplementedError contract, not NameError."""

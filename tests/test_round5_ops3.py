@@ -1222,3 +1222,12 @@ def test_chao1_no_singletons_means_no_unseen(spark):
     docs = spark.createDataFrame([(0, "a a b b c c")], "doc_id long, text string")
     r = profiling.chao1_richness(docs).collect()[0]
     assert r.f1 == 0 and r.chao1 == float(r.v_obs) and r.unseen_share == 0.0
+
+
+def test_chao1_empty_corpus_emits_sentinel_not_null(spark):
+    # ADVICE r7: zero token rows -> sum() is NULL; the coalesce must
+    # keep the documented 0.0/0 sentinels (no-NULL invariant)
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    r = profiling.chao1_richness(docs).collect()[0]
+    assert (r.v_obs, r.f1, r.f2) == (0, 0, 0)
+    assert r.chao1 == 0.0 and r.unseen_share == 0.0

@@ -217,6 +217,37 @@ def make_events():
         kv = 41 if i == 0 else 0
         add(haz_t + 30_000_000 + i * 1_000_000, 600 + (i % 7), "jsonmid", 0.0,
             '{"k": %d}' % kv)
+    # --- round 8: bootstrap_ci_mean global-mean midpoint (VERDICT r7).
+    # Pad the WHOLE events table so the grand mean of `value` lands
+    # EXACTLY on 41/640 = 0.0640625, the canonical engine-splitting
+    # 7th-decimal midpoint (bare F.round(avg): Spark .064063 / DuckDB
+    # .064062; the exact cents-ratio restructure must agree). Computed
+    # dynamically from whatever the fixtures above summed to, so this
+    # block stays correct when earlier fixtures change: target
+    # n_total = 640·m rows and sum_cents = 4100·m. Padding rows use a
+    # fresh type/users and ts strictly inside the existing span (the
+    # global ts min/max midpoint pins above are untouched).
+    n_cur = len(rows)
+    c_cur = sum(int(round(r[4] * 100)) for r in rows)
+    # padding rows carry |value| <= 500.00 (negative allowed — the
+    # error fixture already ships negatives), so each moves the cent
+    # sum by at most 50000; grow m until the needed correction fits
+    m = (n_cur + 639) // 640 + 1
+    while abs(4100 * m - c_cur) > (640 * m - n_cur) * 50000:
+        m += 1
+    n_pad = 640 * m - n_cur
+    s_pad = 4100 * m - c_cur  # cents still needed (either sign)
+    boot_t = cur_min + 5 * 86_400_000_000
+    for i in range(n_pad):
+        step = max(-50000, min(s_pad, 50000))
+        s_pad -= step
+        add(boot_t + i * 1_000_000, 9000 + (i % 17), "bootmid",
+            step / 100.0, "{}")
+    assert s_pad == 0
+    assert len(rows) % 640 == 0
+    # sum_cents/(100·n) == 41/640  ⇔  640·sum_cents == 4100·n
+    assert sum(int(round(r[4] * 100)) for r in rows) * 640 == \
+        4100 * len(rows)
     rows.sort(key=lambda r: (r[1], r[0]))
     return pa.table(
         {
