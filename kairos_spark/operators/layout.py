@@ -138,3 +138,101 @@ def zonemap_prune_audit(
         )
         rows = agg if rows is None else rows.union(agg)
     return rows
+
+
+def shard_balance(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Hash-shard balance audit: assign every document to
+    md5(id) mod ``n_shards`` — the writer layout a 100-TB corpus ships
+    as — and report how even the shards come out in BOTH grains that
+    matter (documents per shard for task counts, tokens per shard for
+    task runtimes). A skewed shard is the straggler that decides the
+    wall-clock of every downstream full scan.
+
+    Returns ONE row: (n_shards, n_empty_shards, n_docs, n_tokens,
+    max_shard_tokens, min_shard_tokens, doc_chi2, token_chi2,
+    token_imbalance) where chi2 is Pearson's statistic against the
+    uniform layout — exact rational (N*sum(n_i^2) - T^2) / T — and
+    token_imbalance = n_shards * max_shard_tokens / n_tokens (1.0 =
+    perfectly even).
+
+    Exactness: all counts are integers; the chi2 numerators pass the
+    BIGINT*2e6 product ceiling at corpus scale (N * sum(tok_i^2) is
+    count-squared), so both ratios route through the DECIMAL(38,0)
+    helper; min/max include EMPTY shards via a generated shard spine.
+
+    Scale shape: one map-side-combined aggregate to ``n_shards`` rows,
+    then scalar math; the spine is ``n_shards`` literals."""
+    from kairos_spark.operators.text import (
+        _round6_ratio_dec,
+        agree_lower,
+    )
+
+    per_doc = df.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 11), 16, 10
+            ).cast("long")
+            % n_shards
+        ).alias("shard"),
+        F.size(
+            F.regexp_extract_all(agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+        )
+        .cast("long")
+        .alias("__t"),
+    )
+    per_shard = per_doc.groupBy("shard").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("__t").cast("long").alias("nt"),
+    )
+    spine = per_shard.sparkSession.range(n_shards).select(
+        F.col("id").alias("shard")
+    )
+    full = spine.join(per_shard, "shard", "left").select(
+        "shard",
+        F.coalesce(F.col("nd"), F.lit(0)).alias("nd"),
+        F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
+    )
+    agg = full.agg(
+        F.lit(int(n_shards)).cast("long").alias("n_shards"),
+        F.sum(F.when(F.col("nd") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty_shards"),
+        F.sum("nd").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.max("nt").cast("long").alias("max_shard_tokens"),
+        F.min("nt").cast("long").alias("min_shard_tokens"),
+        F.sum(F.col("nd").cast("decimal(38,0)") * F.col("nd")).alias("__snd2"),
+        F.sum(F.col("nt").cast("decimal(38,0)") * F.col("nt")).alias("__snt2"),
+    )
+    # chi2 numerators multiply in DECIMAL(38,0) BEFORE the ratio helper:
+    # N * sum(nt^2) in LONG would ANSI-overflow at corpus scale (the
+    # per-shard sum-of-squares is already count-squared)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return agg.select(
+        "n_shards",
+        "n_empty_shards",
+        "n_docs",
+        "n_tokens",
+        "max_shard_tokens",
+        "min_shard_tokens",
+        _round6_ratio_dec(
+            dec(F.col("n_shards")) * dec(F.col("__snd2"))
+            - dec(F.col("n_docs")) * dec(F.col("n_docs")),
+            F.greatest(F.col("n_docs"), F.lit(1)),
+        ).alias("doc_chi2"),
+        _round6_ratio_dec(
+            dec(F.col("n_shards")) * dec(F.col("__snt2"))
+            - dec(F.col("n_tokens")) * dec(F.col("n_tokens")),
+            F.greatest(F.col("n_tokens"), F.lit(1)),
+        ).alias("token_chi2"),
+        _round6_ratio_dec(
+            dec(F.col("n_shards")) * dec(F.col("max_shard_tokens")),
+            F.greatest(F.col("n_tokens"), F.lit(1)),
+        ).alias("token_imbalance"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from kairos_spark.operators.text import _round6_ratio
+from kairos_spark.operators.text import _round6_ratio, agree_lower
 
 # Bucket granularity for fraction thresholds: fractions are exact to
 # 1e-6, and thresholds stay far below 2^44 so the md5-slice math is
@@ -528,4 +528,267 @@ def weight_diagnostics(
             / (dec(F.col("w")) / F.count("*")),
             6,
         ).alias("weight_cv"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    fit two hashed bag-of-ngrams models — target = rows where
+    ``target_col == target_value``, raw = the whole corpus — and score
+    every document by its log importance weight
+    sum_g log(p_target(bucket(g)) / p_raw(bucket(g))) over its word
+    unigrams + bigrams, Laplace-smoothed. High weights mark documents
+    that look like the target domain; resampling by these weights is
+    the published recipe for targeted data mixing.
+
+    Returns the top ``k`` documents by log weight:
+    (doc_id, grp, n_grams, log_weight), ranked on the ROUNDED weight
+    with doc_id tiebreak so both engines agree at the boundary.
+
+    Determinism: bucket = md5(gram) mod ``buckets`` (seed-free);
+    lambda_b is ONE ln of a ratio of exact integer products, so both
+    engines see the identical double; per-doc sums quantize each
+    m*lambda term to DECIMAL(28,12) (|term| << 4.5e3, inside the probed
+    double->decimal agreement bound) so the sum is associative and the
+    final round-6 is HALF_UP on identical decimals.
+
+    Scale shape: grams explode map-side into (doc, bucket) partial
+    counts — the only corpus-scale shuffle; both bucket tables are
+    ``buckets`` rows and broadcast into the per-doc join; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from kairos_spark.operators.text import word_tokens
+
+    words = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("__grp"),
+        word_tokens(F.col(text_col)).alias("__w"),
+    )
+    grams = words.select(
+        F.col(id_col),
+        "__grp",
+        F.explode(
+            F.concat(
+                F.col("__w"),
+                F.when(
+                    F.size("__w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__w") - 1),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("__g"),
+    )
+    bucketed = grams.select(
+        F.col(id_col),
+        "__grp",
+        (
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 11), 16, 10).cast("long")
+            % buckets
+        ).alias("__b"),
+    )
+    doc_bucket = bucketed.groupBy(id_col, "__grp", "__b").agg(
+        F.count("*").alias("m")
+    )
+    raw = doc_bucket.groupBy("__b").agg(F.sum("m").alias("__cr"))
+    tgt = (
+        doc_bucket.where(F.col("__grp") == target_value)
+        .groupBy("__b")
+        .agg(F.sum("m").alias("__ct"))
+    )
+    raw_tot = raw.agg(F.sum("__cr").alias("__nr"))
+    tgt_tot = tgt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
+    lam_tbl = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "__b",
+            # ONE ln of a ratio of exact integer products: identical
+            # doubles on both engines (ln agreement established by the
+            # entropy/PMI/LM queries)
+            F.log(
+                ((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) * (F.col("__nr") + F.lit(buckets)))
+                / ((F.col("__cr") + F.lit(1.0)) * (F.col("__nt") + F.lit(buckets)))
+            ).alias("__lam"),
+        )
+    )
+    scored = (
+        doc_bucket.join(F.broadcast(lam_tbl), "__b")
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.sum("m").cast("long").alias("n_grams"),
+            F.round(
+                F.sum((F.col("m") * F.col("__lam")).cast("decimal(28,12)")), 6
+            )
+            .cast("double")
+            .alias("log_weight"),
+        )
+    )
+    return (
+        scored.select(
+            F.col(id_col), F.col("__grp").alias("grp"), "n_grams", "log_weight"
+        )
+        .orderBy(F.col("log_weight").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def token_budget_alloc(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_epochs: int = 2,
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Per-source token-budget allocation with epoch caps — the mix
+    table a pretraining run actually ships: give source s a budget
+    proportional to sqrt(available_s) (temperature 0.5, the standard
+    tail-flattening reweight) but never more than ``max_epochs`` passes
+    over its data, redistributing what capped sources can't absorb.
+    The total budget is half the corpus (B = total_tokens div 2), so
+    the allocator always has head-room to redistribute.
+
+    This is exact water-filling, solved in closed form: sort sources by
+    cap_s / w_s ascending; sources cap in that order as the water level
+    rises, and the level after k caps is
+    lambda_k = (B - sum_cap(1..k)) / (W - sum_w(1..k)). The chosen k is
+    the longest prefix whose members cap consistently; uncapped sources
+    get floor(lambda_k * w_s) tokens.
+
+    Returns one row per source (empty sources filtered — their weight
+    is 0 and their epochs undefined): (grp, avail_tokens, cap_tokens,
+    alloc_tokens, capped, epochs, budget_share).
+
+    Determinism: avail/cap/B are exact integers; w = sqrt(avail) is
+    IEEE-exact in both engines and is quantized to DECIMAL(27,12)
+    BEFORE any prefix sum (sqrt(avail) << the 4.5e3 double->decimal
+    agreement bound at oracle scale), so the running weight sums are
+    exact decimals — associative, immune to DuckDB's segment-tree
+    window summation order — and every derived double (water level,
+    cap condition, floor(lambda*w)) is computed from bit-identical
+    inputs on both engines; the two output ratios are exact integer
+    ratios (round-6 half-up).
+
+    Scale shape: everything after the per-source token aggregate runs
+    on the |sources| grain (a window over tens of rows); the corpus
+    only feeds one map-side-combined sum."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(
+            F.regexp_extract_all(
+                agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("__t"),
+    )
+    per_src = (
+        toks.groupBy("grp")
+        .agg(F.sum("__t").alias("avail_tokens"))
+        .where(F.col("avail_tokens") >= 1)
+    )
+    tot = per_src.agg(
+        F.sum("avail_tokens").alias("__tot"),
+        F.expr("sum(avail_tokens) div 2").alias("__B"),
+    )
+    base = per_src.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "avail_tokens",
+        (F.col("avail_tokens") * max_epochs).alias("cap_tokens"),
+        # quantize the IEEE-exact sqrt to DECIMAL(27,12) so every
+        # prefix sum below is exact (DuckDB windows sum via a segment
+        # tree — a DOUBLE running sum is not order-stable there)
+        F.sqrt(F.col("avail_tokens").cast("double"))
+        .cast("decimal(27,12)")
+        .alias("__wq"),
+        "__B",
+    ).withColumn("__wd", F.col("__wq").cast("double"))
+    wo = Window.orderBy(
+        (F.col("cap_tokens") / F.col("__wd")).asc(), F.col("grp").asc()
+    )
+    zero_dec = F.lit(0).cast("decimal(27,12)")
+    pre = base.select(
+        "*",
+        F.row_number().over(wo).alias("__rk"),
+        F.sum("cap_tokens").over(wo.rowsBetween(Window.unboundedPreceding, -1)).alias("__cprev"),
+        F.sum("__wq").over(wo.rowsBetween(Window.unboundedPreceding, -1)).alias("__wprev"),
+        F.sum("cap_tokens").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("__cincl"),
+        F.sum("__wq").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("__wincl"),
+    ).select(
+        "*",
+        F.max("__wincl").over(wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("__W"),
+    )
+    pre = pre.withColumn("__cprev", F.coalesce(F.col("__cprev"), F.lit(0)))
+    pre = pre.withColumn("__wprev", F.coalesce(F.col("__wprev"), zero_dec))
+    # source i caps iff the water level with sources 1..i-1 capped
+    # already reaches its threshold: (B - C_{i-1}) * w_i >= cap_i *
+    # (W - W_{i-1}); cross-multiplied so there is no division at all.
+    # Decimal differences are exact; the compare runs on doubles cast
+    # from identical decimals on both engines.
+    cond = (
+        (F.col("__B") - F.col("__cprev")).cast("double") * F.col("__wd")
+        >= F.col("cap_tokens").cast("double")
+        * (F.col("__W") - F.col("__wprev")).cast("double")
+    )
+    flagged = pre.withColumn("__capfail", F.when(cond, None).otherwise(F.col("__rk")))
+    krow = flagged.agg(
+        F.coalesce(
+            F.min("__capfail") - 1, F.max("__rk")
+        ).alias("__k")
+    )
+    level = (
+        flagged.crossJoin(F.broadcast(krow))
+        .where(
+            (F.col("__rk") == F.col("__k"))
+            | ((F.col("__k") == 0) & (F.col("__rk") == 1))
+        )
+        .select(
+            F.col("__k"),
+            F.when(
+                F.col("__k") == 0,
+                F.col("__B").cast("double") / F.col("__W").cast("double"),
+            )
+            .when(
+                F.col("__W") - F.col("__wincl") > 0,
+                (F.col("__B") - F.col("__cincl")).cast("double")
+                / (F.col("__W") - F.col("__wincl")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__lam"),
+        )
+    )
+    out = pre.crossJoin(F.broadcast(level)).select(
+        "grp",
+        "avail_tokens",
+        "cap_tokens",
+        F.when(F.col("__rk") <= F.col("__k"), F.col("cap_tokens"))
+        .otherwise(
+            F.greatest(
+                F.floor(F.col("__lam") * F.col("__wd")).cast("long"), F.lit(0)
+            )
+        )
+        .alias("alloc_tokens"),
+        F.when(F.col("__rk") <= F.col("__k"), 1).otherwise(0).cast("long").alias("capped"),
+        "__B",
+    )
+    return out.select(
+        "grp",
+        "avail_tokens",
+        "cap_tokens",
+        "alloc_tokens",
+        "capped",
+        _round6_ratio(F.col("alloc_tokens"), F.col("avail_tokens")).alias("epochs"),
+        _round6_ratio(F.col("alloc_tokens"), F.greatest(F.col("__B"), F.lit(1))).alias(
+            "budget_share"
+        ),
     )

@@ -1820,3 +1820,224 @@ def hashing_trick_audit(
             6,
         ).alias("collided_mass_share"),
     )
+
+
+# Gopher/C4-class heuristic rule pack (rule id -> short description).
+# Thresholds follow the published Gopher (Rae et al. 2021, Table A1)
+# and C4 (Raffel et al. 2020) filters, adapted to integer-exact
+# comparisons so both engines evaluate the identical predicate:
+# every rule is of the form  a*x <=> b*y  over exact counts — no
+# float ratio is ever materialized, so no rounding contract applies.
+QUALITY_RULES = {
+    "r01_word_count": "50 <= words <= 100000 (Gopher doc-length band)",
+    "r02_mean_word_len": "3 <= non-space chars per word <= 10",
+    "r03_symbol_ratio": "(# + ellipsis) / words <= 0.1",
+    "r04_bullet_lines": "<= 90% of lines start with a bullet",
+    "r05_ellipsis_lines": "<= 30% of lines end with an ellipsis",
+    "r06_alpha_words": ">= 80% of words contain a letter",
+    "r07_stopword_hits": ">= 2 distinct panel stopwords present",
+    "r08_no_boilerplate": "no 'lorem ipsum' and no '{' (C4)",
+}
+
+# C4/Gopher stopword-presence panel (Gopher uses this exact 8-word set)
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def quality_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4 heuristic quality-rule audit: corpus pass rate per
+    rule, plus the all-rules conjunction — the go/no-go scorecard a
+    training-data pipeline reads before tuning filter thresholds
+    (composable with quality_score, which mixes these signals into one
+    number; this reports each rule separately).
+
+    Returns one row per rule: (rule, n_docs, n_pass, pass_rate).
+
+    Every predicate compares integer counts cross-multiplied by the
+    threshold's numerator/denominator (e.g. mean word length in [3,10]
+    is ``3*words <= nonspace_chars <= 10*words``), so the booleans are
+    exact on both engines; pass_rate is one integer ratio (round-6
+    half-up).
+
+    Scale shape: one map-only projection computes all per-doc counts
+    (translate()-based char classes, one line split, one word split),
+    then a single 1-row aggregate; the rule unpivot explodes 9 rows
+    AFTER aggregation. No shuffle wider than the final scalar agg."""
+    t = F.col(text_col)
+    low = agree_lower(t)
+    n_chars = F.length(t)
+    words = word_count(t)
+    n_spaces = _class_count(t, _SPACES)
+    nonspace = n_chars - n_spaces
+    hash_cnt = _class_count(t, "#")
+    # leftmost non-overlapping '...' count == replace-count in both
+    # engines; '…' is a single codepoint on both (length = codepoints)
+    dots_cnt = (n_chars - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
+    uell_cnt = n_chars - F.length(F.replace(t, F.lit("…")))
+    symbol_cnt = (dots_cnt + uell_cnt).cast("long")
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(lines, lambda x: x.rlike(r"^ *[-*•]")))
+    ell_end_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…) *$"))
+    )
+    word_arr = F.split(F.trim(t), "[ \t\n\x0c\r]+")
+    alpha_words = F.size(F.filter(word_arr, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = None
+    for s in _GOPHER_STOPS:
+        hit = F.when(low.rlike(r"\b" + s + r"\b"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    boiler = low.contains("lorem ipsum") | t.contains("{")
+    flags = {
+        "r01_word_count": (words >= 50) & (words <= 100000),
+        "r02_mean_word_len": (F.lit(3) * words <= nonspace)
+        & (nonspace <= F.lit(10) * words),
+        "r03_symbol_ratio": F.lit(10) * symbol_cnt <= words,
+        "r04_bullet_lines": F.lit(10) * bullet_lines <= F.lit(9) * n_lines,
+        "r05_ellipsis_lines": F.lit(10) * ell_end_lines <= F.lit(3) * n_lines,
+        "r06_alpha_words": F.lit(5) * alpha_words >= F.lit(4) * words,
+        "r07_stopword_hits": stop_hits >= 2,
+        "r08_no_boilerplate": ~boiler,
+    }
+    ints = [F.when(c, 1).otherwise(0).alias(r) for r, c in sorted(flags.items())]
+    all_pass = None
+    for _, c in sorted(flags.items()):
+        all_pass = c if all_pass is None else (all_pass & c)
+    per_doc = df.select(
+        *ints, F.when(all_pass, 1).otherwise(0).alias("all_rules")
+    )
+    agg = per_doc.agg(
+        F.count("*").cast("long").alias("__nd"),
+        *[F.sum(r).cast("long").alias(r) for r in sorted(flags)],
+        F.sum("all_rules").cast("long").alias("all_rules"),
+    )
+    rules = sorted(flags) + ["all_rules"]
+    rows = agg.select(
+        "__nd",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"), F.col(r).alias("n_pass")
+                    )
+                    for r in rules
+                ]
+            )
+        ).alias("__s"),
+    )
+    return rows.select(
+        F.col("__s.rule").alias("rule"),
+        F.col("__nd").alias("n_docs"),
+        F.col("__s.n_pass").alias("n_pass"),
+        _round6_ratio(F.col("__s.n_pass"), F.greatest(F.col("__nd"), F.lit(1))).alias(
+            "pass_rate"
+        ),
+    )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    context_lens: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """Sequence-packing efficiency audit: for each candidate context
+    length L, compare concat-and-chunk packing (documents concatenated
+    in id order, sliced every L tokens — the GPT-style packing that
+    wastes nothing but splits documents across context windows) against
+    naive one-doc-per-sequence padding. The numbers that pick a context
+    length and a packing strategy: fill rate of each, how many
+    documents a chunked packing splits, and how many pad tokens the
+    naive layout burns.
+
+    Returns one row per L: (context_len, n_docs, total_tokens,
+    packed_contexts, packed_fill_rate, docs_split, total_splits,
+    naive_contexts, naive_fill_rate).
+
+    All quantities are exact integers (ceil/floor on integer token
+    prefix sums); the two fill rates are single integer ratios.
+
+    Scale shape: the prefix sum runs TWO-PHASE so no global window ever
+    sees the corpus — per-doc token counts aggregate into id-range
+    buckets (doc_id div 1024), bucket totals prefix-sum on the tiny
+    bucket grain and broadcast back as offsets, and the within-bucket
+    running sum is a window partitioned BY bucket (each partition ~1024
+    scalar rows). The per-L explode multiplies doc-grain scalars, never
+    text. This is the scan shape that survives a 10^9-document corpus;
+    a single un-partitioned ORDER BY doc_id window would not."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(
+            F.regexp_extract_all(agree_lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+        )
+        .cast("long")
+        .alias("__t"),
+        F.expr(f"{id_col} div 1024").alias("__b"),
+    )
+    bucket_tot = toks.groupBy("__b").agg(F.sum("__t").alias("__bt"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "__b", F.coalesce(F.sum("__bt").over(wb), F.lit(0)).alias("__off")
+    )
+    ww = Window.partitionBy("__b").orderBy("__id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ends = (
+        toks.join(F.broadcast(offsets), "__b")
+        .select(
+            "__id",
+            "__t",
+            (F.col("__off") + F.sum("__t").over(ww)).alias("__end"),
+        )
+        .withColumn("__start", F.col("__end") - F.col("__t"))
+    )
+    per_l = ends.select(
+        "__t",
+        "__start",
+        "__end",
+        F.explode(F.array(*[F.lit(int(c)) for c in context_lens])).alias("L"),
+    ).select(
+        "__t",
+        "L",
+        F.when(
+            F.col("__t") > 0,
+            F.expr("(__end - 1) div L") - F.expr("__start div L"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__crossed"),
+        F.when(F.col("__t") > 0, F.expr("(__t + L - 1) div L"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__naive"),
+    )
+    agg = per_l.groupBy("L").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("__crossed") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_split"),
+        F.sum("__crossed").cast("long").alias("total_splits"),
+        F.sum("__naive").cast("long").alias("naive_contexts"),
+    )
+    return agg.select(
+        F.col("L").cast("long").alias("context_len"),
+        "n_docs",
+        "total_tokens",
+        F.expr("(total_tokens + L - 1) div L").cast("long").alias("packed_contexts"),
+        _round6_ratio(
+            F.col("total_tokens"),
+            F.greatest(F.expr("((total_tokens + L - 1) div L) * L"), F.lit(1)),
+        ).alias("packed_fill_rate"),
+        "docs_split",
+        "total_splits",
+        "naive_contexts",
+        _round6_ratio(
+            F.col("total_tokens"),
+            F.greatest(F.col("naive_contexts") * F.col("L"), F.lit(1)),
+        ).alias("naive_fill_rate"),
+    )

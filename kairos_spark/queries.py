@@ -3187,70 +3187,56 @@ def q_chao1_richness(spark, sf_dir):
     return profiling.chao1_richness(docs)
 
 
+def q_quality_rule_pack(spark, sf_dir):
+    """Gopher/C4 heuristic quality-rule audit: corpus pass rate per
+    rule plus the all-rules conjunction."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.quality_rules(docs)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-ngram importance weights toward the 'en' slice:
+    top-100 documents by log importance weight."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return sampling.dsir_weights(docs, target_col="lang", target_value="en")
+
+
+def q_packing_efficiency(spark, sf_dir):
+    """Sequence-packing audit at context lengths 128/512/2048:
+    concat-and-chunk fill rate and split counts vs naive padding."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.packing_efficiency(docs, context_lens=[128, 512, 2048])
+
+
+def q_token_budget_alloc(spark, sf_dir):
+    """Per-source token-budget water-filling (sqrt temperature,
+    2-epoch cap, budget = half the corpus)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return sampling.token_budget_alloc(docs, group_col="source", max_epochs=2)
+
+
+def q_shard_balance_audit(spark, sf_dir):
+    """md5-hash shard balance at 64 shards: doc/token chi2 vs uniform
+    and the max-shard straggler ratio."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return layout.shard_balance(docs, n_shards=64)
+
+
 # Registry order matters: the driver evaluates entries in order under a
 # time budget (r1 cut off at exactly 50 of 61). The 11 entries it never
 # reached are listed FIRST so every query gets a CORRECTNESS row even if
 # the tail is cut again.
 QUERIES = {
-    # --- Round-7 rotation (CLAUDE.md rule + VERDICT r6 items 1-2): ZERO
-    # new queries; chao1_richness leads the window (the one r6 red row,
-    # now restructured to exact integer ratios) followed by the 56-entry
-    # never-driver-checked backlog in its pre-set order — the window
-    # takes chao1 + the first 49; the 7 that spill past position 50 are
-    # the ~r8 remainder. All are local-mirror green at sf0.01, sf0.1 and
-    # the adversarial set. ---
-    "chao1_richness": q_chao1_richness,
-    "pseudonym_audit": q_pseudonym_audit,
-    "autocorr_hourly": q_autocorr_hourly,
-    "transition_entropy": q_transition_entropy,
-    "join_size_est": q_join_size_est,
-    "skyline_docs": q_skyline_docs,
-    "weighted_median_len": q_weighted_median_len,
-    "langid_confusion": q_langid_confusion,
-    "scd2_intervals": q_scd2_intervals,
-    "distinctive_terms": q_distinctive_terms,
-    "categorical_drift": q_categorical_drift,
-    "k_anonymity": q_k_anonymity,
-    "dp_noisy_counts": q_dp_noisy_counts,
-    "calibration_bins": q_calibration_bins,
-    "filter_sweep": q_filter_sweep,
-    "vocab_growth": q_vocab_growth,
-    "burstiness": q_burstiness,
-    "forecast_eval": q_forecast_eval,
-    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
-    "entity_clusters": q_entity_clusters,
-    "incremental_rollup": q_incremental_rollup,
-    "corr_matrix": q_corr_matrix,
-    "mutual_info": q_mutual_info,
-    "lift_curve": q_lift_curve,
-    "topk_churn": q_topk_churn,
-    "embedding_drift": q_embedding_drift,
-    "ols2_fit": q_ols2_fit,
-    "json_schema_profile": q_json_schema_profile,
-    "expectations_audit": q_expectations_audit,
-    "grouped_histogram": q_grouped_histogram,
-    "pit_state_join": q_pit_state_join,
-    "cdc_upsert": q_cdc_upsert,
-    "encoding_audit": q_encoding_audit,
-    "token_fertility": q_token_fertility,
-    "calendar_heatmap": q_calendar_heatmap,
-    "attribution_split": q_attribution_split,
-    "split_leakage_audit": q_split_leakage_audit,
-    "group_quantiles": q_group_quantiles,
-    "assoc_rules": q_assoc_rules,
-    "session_entry_exit": q_session_entry_exit,
-    "dist_overlap": q_dist_overlap,
-    "label_centroid_dists": q_label_centroid_dists,
-    "trimmed_mean": q_trimmed_mean,
-    "hapax_rate": q_hapax_rate,
-    "reconciliation_audit": q_reconciliation_audit,
-    "burst_windows": q_burst_windows,
-    "target_encoding": q_target_encoding,
-    "hierarchical_shares": q_hierarchical_shares,
-    "negative_pairs": q_negative_pairs,
-    "mrr_sessions": q_mrr_sessions,
-    # --- positions 51+: the 7-entry backlog remainder queued for the
-    # r8 window; covered by the local mirror until then ---
+    # --- Round-8 rotation (CLAUDE.md rule + VERDICT r7 items 1-3):
+    # 5 NEW queries lead (never driver-checked), then the 7-entry
+    # backlog remainder from r7 positions 51-57 — driver-green on all
+    # 12 closes the verification program at 268/268 ever-checked. The
+    # 50 r7-green window rows rotate to the tail. ---
+    "quality_rule_pack": q_quality_rule_pack,
+    "dsir_weights": q_dsir_weights,
+    "packing_efficiency": q_packing_efficiency,
+    "token_budget_alloc": q_token_budget_alloc,
+    "shard_balance_audit": q_shard_balance_audit,
     "crosscorr_types": q_crosscorr_types,
     "delta_attribution": q_delta_attribution,
     "bernoulli_ht_audit": q_bernoulli_ht_audit,
@@ -3467,6 +3453,58 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,
     "grouped_weighted_sample": q_grouped_weighted_sample,
     "decayed_topk": q_decayed_topk,
+    # --- r7 driver-green window (CORRECTNESS_r07: 50/50 exact),
+    # rotated to the tail per the CLAUDE.md rule; mirror-covered ---
+    "chao1_richness": q_chao1_richness,
+    "pseudonym_audit": q_pseudonym_audit,
+    "autocorr_hourly": q_autocorr_hourly,
+    "transition_entropy": q_transition_entropy,
+    "join_size_est": q_join_size_est,
+    "skyline_docs": q_skyline_docs,
+    "weighted_median_len": q_weighted_median_len,
+    "langid_confusion": q_langid_confusion,
+    "scd2_intervals": q_scd2_intervals,
+    "distinctive_terms": q_distinctive_terms,
+    "categorical_drift": q_categorical_drift,
+    "k_anonymity": q_k_anonymity,
+    "dp_noisy_counts": q_dp_noisy_counts,
+    "calibration_bins": q_calibration_bins,
+    "filter_sweep": q_filter_sweep,
+    "vocab_growth": q_vocab_growth,
+    "burstiness": q_burstiness,
+    "forecast_eval": q_forecast_eval,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "entity_clusters": q_entity_clusters,
+    "incremental_rollup": q_incremental_rollup,
+    "corr_matrix": q_corr_matrix,
+    "mutual_info": q_mutual_info,
+    "lift_curve": q_lift_curve,
+    "topk_churn": q_topk_churn,
+    "embedding_drift": q_embedding_drift,
+    "ols2_fit": q_ols2_fit,
+    "json_schema_profile": q_json_schema_profile,
+    "expectations_audit": q_expectations_audit,
+    "grouped_histogram": q_grouped_histogram,
+    "pit_state_join": q_pit_state_join,
+    "cdc_upsert": q_cdc_upsert,
+    "encoding_audit": q_encoding_audit,
+    "token_fertility": q_token_fertility,
+    "calendar_heatmap": q_calendar_heatmap,
+    "attribution_split": q_attribution_split,
+    "split_leakage_audit": q_split_leakage_audit,
+    "group_quantiles": q_group_quantiles,
+    "assoc_rules": q_assoc_rules,
+    "session_entry_exit": q_session_entry_exit,
+    "dist_overlap": q_dist_overlap,
+    "label_centroid_dists": q_label_centroid_dists,
+    "trimmed_mean": q_trimmed_mean,
+    "hapax_rate": q_hapax_rate,
+    "reconciliation_audit": q_reconciliation_audit,
+    "burst_windows": q_burst_windows,
+    "target_encoding": q_target_encoding,
+    "hierarchical_shares": q_hierarchical_shares,
+    "negative_pairs": q_negative_pairs,
+    "mrr_sessions": q_mrr_sessions,
 }
 
 ORACLES = dict(_TS_ORACLES)
@@ -9929,4 +9967,263 @@ ORACLES["chao1_richness"] = """
                           // (2::HUGEINT * num) AS BIGINT) / 1000000.0
                 ELSE 0.0 END AS unseen_share
     FROM rat
+"""
+
+ORACLES["quality_rule_pack"] = r"""
+    WITH per_doc AS (
+      SELECT
+        len(regexp_split_to_array(trim(text), '\s+')) AS w,
+        length(text)
+          - length(regexp_replace(text, '\s', '', 'g')) AS sp,
+        length(text) AS nc,
+        (length(text) - length(replace(text, '...', ''))) // 3
+          + (length(text) - length(replace(text, '…', ''))) AS sym,
+        len(string_split(text, chr(10))) AS nl,
+        len(list_filter(string_split(text, chr(10)),
+                        x -> regexp_matches(x, '^ *[-*•]'))) AS bl,
+        len(list_filter(string_split(text, chr(10)),
+                        x -> regexp_matches(x, '(\.\.\.|…) *$'))) AS el,
+        len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
+        (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+        ) AS sh,
+        (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS boiler
+      FROM documents
+    ),
+    flags AS (
+      SELECT
+        CASE WHEN w >= 50 AND w <= 100000 THEN 1 ELSE 0 END AS r01,
+        CASE WHEN 3 * w <= nc - sp AND nc - sp <= 10 * w THEN 1 ELSE 0 END AS r02,
+        CASE WHEN 10 * sym <= w THEN 1 ELSE 0 END AS r03,
+        CASE WHEN 10 * bl <= 9 * nl THEN 1 ELSE 0 END AS r04,
+        CASE WHEN 10 * el <= 3 * nl THEN 1 ELSE 0 END AS r05,
+        CASE WHEN 5 * aw >= 4 * w THEN 1 ELSE 0 END AS r06,
+        CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS r07,
+        CASE WHEN boiler THEN 0 ELSE 1 END AS r08
+      FROM per_doc
+    ),
+    agg AS (
+      SELECT count(*) AS nd,
+             sum(r01) AS r01, sum(r02) AS r02, sum(r03) AS r03,
+             sum(r04) AS r04, sum(r05) AS r05, sum(r06) AS r06,
+             sum(r07) AS r07, sum(r08) AS r08,
+             sum(r01 * r02 * r03 * r04 * r05 * r06 * r07 * r08) AS allp
+      FROM flags
+    ),
+    rows_out AS (
+      SELECT 'r01_word_count' AS rule, nd, r01 AS np FROM agg
+      UNION ALL SELECT 'r02_mean_word_len', nd, r02 FROM agg
+      UNION ALL SELECT 'r03_symbol_ratio', nd, r03 FROM agg
+      UNION ALL SELECT 'r04_bullet_lines', nd, r04 FROM agg
+      UNION ALL SELECT 'r05_ellipsis_lines', nd, r05 FROM agg
+      UNION ALL SELECT 'r06_alpha_words', nd, r06 FROM agg
+      UNION ALL SELECT 'r07_stopword_hits', nd, r07 FROM agg
+      UNION ALL SELECT 'r08_no_boilerplate', nd, r08 FROM agg
+      UNION ALL SELECT 'all_rules', nd, allp FROM agg
+    )
+    SELECT rule,
+           CAST(nd AS BIGINT) AS n_docs,
+           CAST(np AS BIGINT) AS n_pass,
+           floor((2000000 * np + greatest(nd, 1)) / (2.0 * greatest(nd, 1)))
+             / 1000000.0 AS pass_rate
+    FROM rows_out
+"""
+
+ORACLES["dsir_weights"] = r"""
+    WITH words AS (
+      SELECT doc_id, lang AS grp,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, grp, unnest(w) AS g FROM words),
+    bi AS (
+      SELECT doc_id, grp, w[i] || ' ' || w[i + 1] AS g
+      FROM (SELECT doc_id, grp, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words WHERE len(w) >= 2)
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    db AS (
+      SELECT doc_id, grp,
+             ('0x' || substr(md5(g), 1, 11))::BIGINT % 256 AS b,
+             count(*) AS m
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT b, sum(m) AS cr FROM db GROUP BY 1),
+    tgt AS (SELECT b, sum(m) AS ct FROM db WHERE grp = 'en' GROUP BY 1),
+    rt AS (SELECT sum(cr) AS nr FROM raw),
+    tt AS (SELECT coalesce(sum(ct), 0) AS nt FROM tgt),
+    lam AS (
+      SELECT raw.b,
+             ln(((coalesce(ct, 0) + 1.0) * (nr + 256))
+                / ((cr + 1.0) * (nt + 256))) AS lam
+      FROM raw LEFT JOIN tgt USING (b), rt, tt
+    ),
+    scored AS (
+      SELECT doc_id, grp, CAST(sum(m) AS BIGINT) AS n_grams,
+             CAST(round(sum(CAST(m * lam AS DECIMAL(28,12))), 6) AS DOUBLE)
+               AS log_weight
+      FROM db JOIN lam USING (b) GROUP BY 1, 2
+    )
+    SELECT doc_id, grp, n_grams, log_weight
+    FROM scored ORDER BY log_weight DESC, doc_id LIMIT 100
+"""
+
+ORACLES["packing_efficiency"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS t
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, t,
+             sum(t) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      FROM toks
+    ),
+    ls AS (SELECT unnest([128, 512, 2048]) AS L),
+    per AS (
+      SELECT L, t,
+             CASE WHEN t > 0 THEN (e - 1) // L - (e - t) // L ELSE 0 END AS crossed,
+             CASE WHEN t > 0 THEN (t + L - 1) // L ELSE 0 END AS naive
+      FROM cum CROSS JOIN ls
+    ),
+    agg AS (
+      SELECT L, count(*) AS nd, sum(t) AS tt,
+             sum(CASE WHEN crossed >= 1 THEN 1 ELSE 0 END) AS ds,
+             sum(crossed) AS tsplits, sum(naive) AS nc
+      FROM per GROUP BY 1
+    )
+    SELECT CAST(L AS BIGINT) AS context_len,
+           CAST(nd AS BIGINT) AS n_docs,
+           CAST(tt AS BIGINT) AS total_tokens,
+           CAST((tt + L - 1) // L AS BIGINT) AS packed_contexts,
+           floor((2000000 * tt + greatest(((tt + L - 1) // L) * L, 1))
+                 / (2.0 * greatest(((tt + L - 1) // L) * L, 1))) / 1000000.0
+             AS packed_fill_rate,
+           CAST(ds AS BIGINT) AS docs_split,
+           CAST(tsplits AS BIGINT) AS total_splits,
+           CAST(nc AS BIGINT) AS naive_contexts,
+           floor((2000000 * tt + greatest(nc * L, 1))
+                 / (2.0 * greatest(nc * L, 1))) / 1000000.0 AS naive_fill_rate
+    FROM agg
+"""
+
+ORACLES["token_budget_alloc"] = r"""
+    WITH toks AS (
+      SELECT source AS grp,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS t
+      FROM documents
+    ),
+    per_src AS (
+      SELECT grp, CAST(sum(t) AS BIGINT) AS avail_tokens
+      FROM toks GROUP BY 1 HAVING sum(t) >= 1
+    ),
+    tot AS (SELECT sum(avail_tokens) // 2 AS B FROM per_src),
+    base AS (
+      SELECT grp, avail_tokens,
+             avail_tokens * 2 AS cap_tokens,
+             CAST(sqrt(avail_tokens * 1.0) AS DECIMAL(27,12)) AS wq,
+             CAST(CAST(sqrt(avail_tokens * 1.0) AS DECIMAL(27,12)) AS DOUBLE) AS wd,
+             B
+      FROM per_src, tot
+    ),
+    pre0 AS (
+      SELECT *,
+             row_number() OVER wo AS rk,
+             coalesce(sum(cap_tokens) OVER
+               (wo ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev,
+             coalesce(sum(wq) OVER
+               (wo ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(27,12))) AS wprev,
+             sum(cap_tokens) OVER
+               (wo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cincl,
+             sum(wq) OVER
+               (wo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wincl
+      FROM base
+      WINDOW wo AS (ORDER BY cap_tokens / wd, grp)
+    ),
+    pre AS (SELECT *, max(wincl) OVER () AS W FROM pre0),
+    flagged AS (
+      SELECT *,
+             CASE WHEN CAST(B - cprev AS DOUBLE) * wd
+                       >= CAST(cap_tokens AS DOUBLE) * CAST(W - wprev AS DOUBLE)
+                  THEN NULL ELSE rk END AS capfail
+      FROM pre
+    ),
+    krow AS (
+      SELECT coalesce(min(capfail) - 1, max(rk)) AS k FROM flagged
+    ),
+    level AS (
+      SELECT k,
+             CASE WHEN k = 0 THEN CAST(B AS DOUBLE) / CAST(W AS DOUBLE)
+                  WHEN W - wincl > 0
+                    THEN CAST(B - cincl AS DOUBLE) / CAST(W - wincl AS DOUBLE)
+                  ELSE 0.0 END AS lam
+      FROM flagged, krow
+      WHERE rk = k OR (k = 0 AND rk = 1)
+    ),
+    out AS (
+      SELECT grp, avail_tokens, cap_tokens,
+             CASE WHEN rk <= k THEN cap_tokens
+                  ELSE greatest(CAST(floor(lam * wd) AS BIGINT), 0) END AS alloc_tokens,
+             CAST(CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT) AS capped,
+             B
+      FROM flagged, level
+    )
+    SELECT grp, avail_tokens, cap_tokens, alloc_tokens, capped,
+           floor((2000000 * alloc_tokens + avail_tokens)
+                 / (2.0 * avail_tokens)) / 1000000.0 AS epochs,
+           floor((2000000 * alloc_tokens + greatest(B, 1))
+                 / (2.0 * greatest(B, 1))) / 1000000.0 AS budget_share
+    FROM out
+"""
+
+ORACLES["shard_balance_audit"] = r"""
+    WITH per_doc AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11))::BIGINT % 64
+               AS shard,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS t
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard, count(*) AS nd, sum(t) AS nt FROM per_doc GROUP BY 1
+    ),
+    spine AS (SELECT unnest(generate_series(0, 63)) AS shard),
+    full_s AS (
+      SELECT spine.shard, coalesce(nd, 0) AS nd, coalesce(nt, 0) AS nt
+      FROM spine LEFT JOIN per_shard USING (shard)
+    ),
+    agg AS (
+      SELECT 64::BIGINT AS n_shards,
+             CAST(sum(CASE WHEN nd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_shards,
+             CAST(sum(nd) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(max(nt) AS BIGINT) AS max_shard_tokens,
+             CAST(min(nt) AS BIGINT) AS min_shard_tokens,
+             sum(nd::HUGEINT * nd) AS snd2,
+             sum(nt::HUGEINT * nt) AS snt2
+      FROM full_s
+    )
+    SELECT n_shards, n_empty_shards, n_docs, n_tokens,
+           max_shard_tokens, min_shard_tokens,
+           CAST((2000000::HUGEINT * (64::HUGEINT * snd2 - n_docs::HUGEINT * n_docs)
+                 + greatest(n_docs, 1))
+                // (2::HUGEINT * greatest(n_docs, 1)) AS BIGINT) / 1000000.0
+             AS doc_chi2,
+           CAST((2000000::HUGEINT * (64::HUGEINT * snt2 - n_tokens::HUGEINT * n_tokens)
+                 + greatest(n_tokens, 1))
+                // (2::HUGEINT * greatest(n_tokens, 1)) AS BIGINT) / 1000000.0
+             AS token_chi2,
+           CAST((2000000::HUGEINT * (64::HUGEINT * max_shard_tokens)
+                 + greatest(n_tokens, 1))
+                // (2::HUGEINT * greatest(n_tokens, 1)) AS BIGINT) / 1000000.0
+             AS token_imbalance
+    FROM agg
 """

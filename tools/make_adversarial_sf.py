@@ -357,6 +357,27 @@ def make_documents():
     # space, astral math letters — length/substr are codepoint-based
     # in BOTH engines (probed), this pins it end to end
     add("family 👨‍👩‍👧 flag 🇺🇸 nb sp wide　space 𝕊𝕡𝕒𝕣𝕜", "en", "src9")
+    # --- round 8: quality-rule-pack hazards. Multi-line docs exercise
+    # the bullet/ellipsis LINE rules (driver docs are single-line, so
+    # without these r04/r05 never see a non-trivial line split);
+    # '…' is a single codepoint in both engines' length(); the
+    # 10-words/one-'...' doc lands EXACTLY on the 10*sym == words rule
+    # boundary (integer equality — must pass on both engines).
+    add("- bullet one\n- bullet two\n• bullet three\n* bullet four\nplain", "en", "src11")
+    add("- every\n- line\n- is\n- a\n- bullet", "en", "src11")  # fails r04
+    add("trailing ellipsis…\nanother one...\nand more... \nplain\nlast…", "en", "src11")
+    add("lorem ipsum dolor sit amet { not json } end", "en", "src11")
+    add("#### hash #tags ### everywhere # yes ## tag", "en", "src11")
+    add("…ellipsis … start … and … middle …", "en", "src11")
+    add("alpha beta gamma delta epsilon zeta eta theta iota kappa...", "en", "src11")
+    # exactly 50 words (r01 lower bound) with 3-letter words (r02 lower
+    # bound: 3*words == nonspace chars, both equalities at once)
+    add(" ".join("abc" for _ in range(50)), "en", "src11")
+    # a source with ZERO [a-z]+ tokens in every doc: token_budget_alloc
+    # must drop it via the avail >= 1 guard on BOTH engines (its sqrt
+    # weight would be 0 and its epochs undefined)
+    add("123 456 789 000", "en", "src12digits")
+    add("42 7 1000000 5", "en", "src12digits")
     # --- round 7: 32-bit-width stress doc (~60 KB). ANSI INT overflow
     # in length()/regexp_count()-fed arithmetic only bites once a
     # per-doc count clears 2^31/2e6 ≈ 1073 (the text.py ratio-helper
@@ -399,6 +420,24 @@ def make_documents():
     if f1 % 2 == 0:
         filler.append("chao1loner")  # fresh singleton → F1 becomes odd
     add(" ".join(filler), "en", "src10")
+    # --- round 8: packing_efficiency exact-boundary pin. Append a doc
+    # whose [a-z]+ token count pads the corpus cumulative total to an
+    # exact multiple of 128, then a 1-token doc that STARTS exactly on
+    # that context boundary — the (end-1) div L off-by-one only shows
+    # when a document edge coincides with a boundary. Tokens are 'the'
+    # (already high-frequency) so the chao1 F1/F2 pin above is
+    # untouched. Token count mirrors the operator: agree_lower →
+    # regexp [a-z]+ (digits SPLIT letter runs, unlike word_tokens).
+    def _atoks(s):
+        s = s.translate({0x130: "i", 0x3A3: "σ"}).lower()
+        return len(_re.findall("[a-z]+", s))
+
+    total_az = sum(_atoks(r[1]) for r in rows)
+    pad = 128 - (total_az % 128)
+    if pad < 2:
+        pad += 128
+    add(" ".join("the" for _ in range(pad)), "en", "src11")
+    add("the", "en", "src11")
     rows.sort(key=lambda r: r[0])
     return pa.table(
         {

@@ -21,6 +21,11 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "quality_rule_pack",
+    "dsir_weights",
+    "packing_efficiency",
+    "token_budget_alloc",
+    "shard_balance_audit",
     "bm25_topk",
     "rrf_fusion",
     "semdedup",
@@ -287,6 +292,23 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # one map-only projection -> 1-row aggregate -> 9-row rule explode;
+    # the corpus text never shuffles and nothing joins
+    "quality_rule_pack": ["HashAggregate", "Generate", "!Join"],
+    # gram explode -> (doc,bucket) partial-agg; the 256-row lambda
+    # table and both scalar totals broadcast; top-k is a heap, not a
+    # global sort
+    "dsir_weights": ["BroadcastHashJoin", "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
+    # two-phase prefix sum: bucket offsets broadcast back, the running
+    # window is PARTITIONED by bucket (never one global sort), per-L
+    # explode multiplies doc-grain scalars only
+    "packing_efficiency": ["Window", "BroadcastHashJoin", "Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # everything after the per-source token sum runs on the |sources|
+    # grain; scalar budget and water-level ride 1-row broadcasts
+    "token_budget_alloc": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # 64-row shard spine broadcast against the per-shard aggregate;
+    # one corpus-scale map-side-combined agg, then scalar math
+    "shard_balance_audit": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
     # query vocabulary + per-term stats broadcast; only postings of
     # query terms shuffle — the corpus text must never hit a sort-merge
     "bm25_topk": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
