@@ -227,6 +227,8 @@ def distribution_drift(
         ((F.col("__q2") - F.col("__q1")) * F.log(F.col("__q2") / F.col("__q1"))).alias("__term"),
     )
     return per_bin.groupBy("name", "n_first", "n_second").agg(
+        # F.round(F.sum) exempt: (q2-q1)*ln(q2/q1) terms are
+        # full-precision doubles — midpoint measure zero (CLAUDE.md)
         F.round(F.sum("__term"), 6).alias("psi")
     )
 
@@ -1127,6 +1129,8 @@ def categorical_drift(
         "c1",
         "c2",
         "contrib",
+        # F.round(F.sum) exempt: squared-deviation/expected terms are
+        # full-precision doubles — midpoint measure zero (CLAUDE.md)
         F.round(F.sum("__dc").over(all_w).cast("double"), 6).alias("chi2"),
     )
 
@@ -1402,6 +1406,8 @@ def mutual_info(
         y_name,
         "n",
         "pmi",
+        # F.round(F.sum) exempt: p*log(p-ratio) terms are full-precision
+        # doubles — midpoint measure zero (CLAUDE.md)
         F.round(F.sum("__term").over(wall).cast("double"), 6).alias("mi"),
     )
 

@@ -472,6 +472,10 @@ def merged_activity_intervals(
     )
     return merged.groupBy(key_col).agg(
         F.count("*").alias("n_intervals"),
+        # F.round(F.sum) exempt from the exact-rational sweep: interval
+        # lengths are microsecond-exact epoch diffs (6dp-exact doubles,
+        # sums stay exact below 2^53 us) — round-6 is the identity, no
+        # 7th-decimal midpoint exists (CLAUDE.md)
         F.round(F.sum(F.col("__ie") - F.col("__is")), 6).alias("covered_sec"),
         F.round(F.max(F.col("__ie") - F.col("__is")), 6).alias("longest_sec"),
     )
@@ -993,6 +997,8 @@ def decayed_topk(
         ).alias("__s"),
     )
     agg = scored.groupBy(key_col).agg(
+        # F.round(F.sum) exempt: exp() decay terms are full-precision
+        # doubles — a 7th-decimal midpoint has measure zero (CLAUDE.md)
         F.round(F.sum("__s"), 6).alias("decayed_score"),
         F.count("*").cast("long").alias("n_events"),
     )
@@ -1292,6 +1298,8 @@ def transition_entropy(
         .groupBy("from_type")
         .agg(
             F.min("__n").cast("long").alias("n_transitions"),
+            # F.round(F.sum) exempt: -p*log2(p) terms are full-precision
+            # doubles — midpoint exposure is measure zero (CLAUDE.md)
             F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
             F.min_by("__to", F.struct((-F.col("__c")).alias("c"), F.col("__to"))).alias(
                 "top_next"
@@ -1666,6 +1674,9 @@ def attribution_split(
         F.count("*").cast("long").alias("n_touches"),
         F.sum("__f").cast("long").alias("conv_first"),
         F.sum("__l").cast("long").alias("conv_last"),
+        # F.round(F.sum) exempt: linear-decay credit shares are
+        # full-precision doubles (divisions by per-session path length)
+        # — midpoint exposure is measure zero (CLAUDE.md)
         F.round(F.sum("__lin").cast("double"), 6).alias("credit_linear"),
     )
 

@@ -152,7 +152,16 @@ def q_ts_series_transforms_hour(spark, sf_dir):
     ops = type_ops("series")
     ex = ops.transform_exprs(F.lit(HOUR))
     return long_df.groupBy("i_time").agg(
-        F.round(ex["mean"], 6).alias("mean_v"),
+        # mean of a 2-decimal fixed value is an exact rational
+        # (cents / 100·n) — the F.round-on-exact-rational midpoint
+        # class (CLAUDE.md): route through the signed DECIMAL integer
+        # half-up ratio instead of bare F.round(avg). min/max/sum of
+        # 2dp-exact values have zero 3rd..7th decimals — no midpoint
+        # exists, bare round-6 is the identity and stays.
+        text._round6_ratio_dec_signed(
+            F.sum(F.rint(F.col("value") * 100).cast("long")),
+            F.lit(100) * F.count("value"),
+        ).alias("mean_v"),
         ex["count"].alias("count_v"),
         F.round(ex["min"], 6).alias("min_v"),
         F.round(ex["max"], 6).alias("max_v"),
@@ -360,7 +369,12 @@ def q_ts_histogram_transforms(spark, sf_dir):
     long_df = _events_long(spark, sf_dir, "daily", value=F.col("user_id") % 10)
     ex = type_ops("histogram").transform_exprs(F.lit(86400))
     return long_df.groupBy("i_time").agg(
-        F.round(ex["mean"], 6).alias("wmean"),
+        # weighted mean collapses to avg over raw integer keys — an
+        # exact integer ratio, so round through the integer half-up
+        # helper, never bare F.round(avg) (CLAUDE.md midpoint class)
+        text._round6_ratio(
+            F.sum(F.col("value").cast("long")), F.count("value")
+        ).alias("wmean"),
         ex["count"].alias("total_n"),
         ex["min"].alias("min_k"),
         ex["max"].alias("max_k"),
@@ -475,13 +489,25 @@ _TS_ORACLES = {
         GROUP BY 1, 2
     """,
     "ts_series_transforms_hour": """
-        SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
-               round(avg(value), 6) AS mean_v,
-               count(value) AS count_v,
-               round(min(value), 6) AS min_v,
-               round(max(value), 6) AS max_v,
-               round(sum(value), 6) AS sum_v
-        FROM events WHERE event_type = 'click' GROUP BY 1
+        WITH g AS (
+          SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
+                 sum(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))::HUGEINT AS cents,
+                 100::HUGEINT * count(value) AS den,
+                 count(value) AS count_v,
+                 round(min(value), 6) AS min_v,
+                 round(max(value), 6) AS max_v,
+                 round(sum(value), 6) AS sum_v
+          FROM events WHERE event_type = 'click' GROUP BY 1
+        )
+        SELECT i_time,
+               CASE WHEN cents >= 0
+                    THEN  CAST(( 2000000::HUGEINT * cents + den)
+                               // (2::HUGEINT * den) AS BIGINT) / 1000000.0
+                    ELSE -CAST((-2000000::HUGEINT * cents + den)
+                               // (2::HUGEINT * den) AS BIGINT) / 1000000.0
+               END AS mean_v,
+               count_v, min_v, max_v, sum_v
+        FROM g
     """,
     "ts_fine_hour_minute": """
         SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS i_time,
@@ -630,7 +656,8 @@ _TS_ORACLES = {
     """,
     "ts_histogram_transforms": """
         SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS i_time,
-               round(avg(user_id % 10), 6) AS wmean,
+               floor((2000000 * sum(user_id % 10) + count(*))
+                     / (2.0 * count(*))) / 1000000.0 AS wmean,
                count(*) AS total_n,
                min(user_id % 10) AS min_k,
                max(user_id % 10) AS max_k,

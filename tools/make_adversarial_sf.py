@@ -217,6 +217,22 @@ def make_events():
         kv = 41 if i == 0 else 0
         add(haz_t + 30_000_000 + i * 1_000_000, 600 + (i % 7), "jsonmid", 0.0,
             '{"k": %d}' % kv)
+    # --- round 8: ts_series_transforms_hour per-hour mean midpoint.
+    # One hour of exactly 32 'click' events whose cent sum is 205 →
+    # mean_v = 205/3200 = 41/640 = 0.0640625, the canonical
+    # engine-splitting 7th-decimal midpoint (bare F.round(avg):
+    # Spark .064063 / DuckDB .064062). Pins the exact cents-ratio
+    # restructure of the per-hour series mean. Hour-aligned and
+    # strictly inside the span; precedes the grand-mean padding below,
+    # which recomputes over ALL rows including these.
+    hour_us = 3_600_000_000
+    # cur_min + ~8 days: clear of the funnel clicks (+6d region) and
+    # the user-90 session clicks (+15d region) — the hour must hold
+    # ONLY these 32 events or the pinned mean dissolves
+    click_t = (cur_min // hour_us + 192) * hour_us
+    for i in range(32):
+        add(click_t + i * 1_000_000, 700 + (i % 5), "click",
+            0.19 if i == 0 else 0.06, '{"k": %d}' % (i % 3))
     # --- round 8: bootstrap_ci_mean global-mean midpoint (VERDICT r7).
     # Pad the WHOLE events table so the grand mean of `value` lands
     # EXACTLY on 41/640 = 0.0640625, the canonical engine-splitting
