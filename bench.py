@@ -129,6 +129,12 @@ PIPELINE = {
         n_seeds=3,
         hops=3,
     ),
+    # round-8 addition — the heaviest of the r8 operators (unigram +
+    # bigram explode over the corpus); BASELINE.md's pipeline table
+    # records its round-8 number as its own baseline per the freeze
+    # rule. The other four r8 queries are scalar-aggregate-bound and
+    # not bench-worthy.
+    "dsir_weights": q.q_dsir_weights,
 }
 
 

@@ -1591,8 +1591,10 @@ def json_schema_profile(
             # ('1e2'->'100.0', probed), so the regex sees equal inputs.
             F.sum(
                 F.when(
+                    # \z not $: Java's $ also matches before a
+                    # trailing \n/\r (RE2's does not) — see CLAUDE.md
                     F.col("__v").rlike(
-                        r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+                        r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?\z"
                     ),
                     1,
                 ).otherwise(0)

@@ -1880,7 +1880,11 @@ def quality_rules(
     n_lines = F.size(lines)
     bullet_lines = F.size(F.filter(lines, lambda x: x.rlike(r"^ *[-*•]")))
     ell_end_lines = F.size(
-        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…) *$"))
+        # \z, not $: Java's $ (no MULTILINE) also matches BEFORE a final
+        # line terminator, so a CRLF corpus line "foo...\r" would pass
+        # on Spark and fail on RE2 ($ there is end-of-text). \z is
+        # end-of-input in both engines.
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…) *\z"))
     )
     word_arr = F.split(F.trim(t), "[ \t\n\x0c\r]+")
     alpha_words = F.size(F.filter(word_arr, lambda x: x.rlike("[A-Za-z]")))

@@ -826,7 +826,10 @@ def q_json_props_stats(spark, sf_dir):
     # helper's num/den < ~9e12 contract (arbitrary JSON ints would
     # pass it); larger integers gate to NULL on both sides
     raw = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(raw.rlike(r"^-?[0-9]{1,12}$"), raw.cast("long"))
+    # \z, not $: Java's $ also matches before a trailing \n/\r, so a
+    # JSON value "12\n" would cast on Spark but fail the RE2 oracle
+    # gate; \z is strict end-of-input in both engines
+    k = F.when(raw.rlike(r"^-?[0-9]{1,12}\z"), raw.cast("long"))
     # -1 sentinels: a group whose props all lack "$.k" must not emit
     # NULL (Spark None vs DuckDB/pandas NaN hash differently); k_mean
     # is an exact integer ratio -> engine-exact half-away-from-zero

@@ -267,3 +267,46 @@ def test_shard_balance_uniform_zero_chi2(spark):
     assert r.doc_chi2 == 0.0 and r.token_chi2 == 0.0
     assert r.token_imbalance == round(1.0, 6)
     assert r.n_empty_shards == 0
+
+
+# --- the \z anchor invariant (Java $ vs RE2 $, CLAUDE.md) ---
+
+
+def test_dollar_anchor_divergence_basis(spark):
+    """Documents WHY Spark-side gates must anchor with \\z: Java's $
+    (no MULTILINE) also matches before a final \\n or \\r, RE2's (the
+    oracle engine) does not. If this probe ever changes, the \\z
+    invariant can be revisited."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(v="12\n"), Row(v="12\r"), Row(v="12"), Row(v="1\n2")]
+    )
+    got = df.select(
+        "v",
+        F.col("v").rlike(r"^[0-9]+$").alias("dollar"),
+        F.col("v").rlike(r"^[0-9]+\z").alias("z"),
+    ).collect()
+    by_v = {r.v: (r.dollar, r.z) for r in got}
+    assert by_v["12"] == (True, True)
+    assert by_v["12\n"] == (True, False)  # the Java-$ quirk
+    assert by_v["12\r"] == (True, False)
+    assert by_v["1\n2"] == (False, False)
+    import duckdb
+
+    # RE2 $ is already strict end-of-input: matches '12', not '12\n'
+    r = duckdb.sql(
+        "select regexp_matches('12', '^[0-9]+$'),"
+        "       regexp_matches('12' || chr(10), '^[0-9]+$')"
+    ).fetchall()[0]
+    assert r == (True, False)
+
+
+def test_quality_rules_crlf_ellipsis_not_counted(spark):
+    # CRLF doc: lines end with \r after the \n split; the ellipsis-end
+    # rule must NOT match "dots...\r" (\z anchor) — matching it on
+    # Spark only was the engine-splitting bug this test pins
+    doc = "dots...\r\n" + "x...\r\n" * 8 + "plain"
+    got = _rules(spark, [Row(doc_id=1, text=doc)])
+    # 9 of 10 lines LOOK ellipsis-terminated but carry \r — none count
+    assert got["r05_ellipsis_lines"].n_pass == 1

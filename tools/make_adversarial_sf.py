@@ -205,6 +205,12 @@ def make_events():
         '{"k": 0.1}',
         '{"k": "Infinity"}',
         '{"k": "NaN"}',
+        # trailing line terminators inside the JSON string: Java's $
+        # (no MULTILINE) matches BEFORE a final \n/\r, RE2's does not —
+        # the integer-k gate must use \z or these cast on Spark only
+        '{"k": "12\\n"}',
+        '{"k": "12\\r"}',
+        '{"k": "3.5\\n"}',
     ]
     haz_t = cur_min + 4 * 86_400_000_000
     for i, p in enumerate(haz_props):
@@ -382,6 +388,10 @@ def make_documents():
     add("- bullet one\n- bullet two\n• bullet three\n* bullet four\nplain", "en", "src11")
     add("- every\n- line\n- is\n- a\n- bullet", "en", "src11")  # fails r04
     add("trailing ellipsis…\nanother one...\nand more... \nplain\nlast…", "en", "src11")
+    # CRLF document: split on \n leaves a trailing \r on every line —
+    # Java's $ would match "dots...\r" where RE2's $ refuses (the \z
+    # anchor class); also pins CRLF word/char counting
+    add("ends with dots...\r\nplain line here\r\n- bullet\r\nlast...", "en", "src11")
     add("lorem ipsum dolor sit amet { not json } end", "en", "src11")
     add("#### hash #tags ### everywhere # yes ## tag", "en", "src11")
     add("…ellipsis … start … and … middle …", "en", "src11")
