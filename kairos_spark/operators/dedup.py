@@ -933,11 +933,19 @@ def dup_inflation(
         F.sum(F.col("__n") * F.col("__t")).cast("long").alias("tokens_total"),
         F.sum("__t").cast("long").alias("tokens_unique"),
         # Σn·t reaches corpus token volume (~1e13 at 100 TB): the 2e6
-        # scaling needs the DECIMAL(38,0) path (ADVICE-r6 class)
-        _round6_ratio_dec(
-            F.sum(F.col("__n").cast("decimal(38,0)") * F.col("__t")),
-            F.sum("__t").cast("decimal(38,0)"),
-        ).alias("inflation"),
+        # scaling needs the DECIMAL(38,0) path (ADVICE-r6 class).
+        # A group whose every doc has ZERO tokens (digit-only source,
+        # adversarial r8) has tokens_unique = 0 — inflation is
+        # undefined there; 0.0 sentinel on BOTH sides (never NULL,
+        # never a bare /0: Spark ANSI errors where DuckDB NULLs)
+        F.when(F.sum("__t") == 0, F.lit(0.0))
+        .otherwise(
+            _round6_ratio_dec(
+                F.sum(F.col("__n").cast("decimal(38,0)") * F.col("__t")),
+                F.sum("__t").cast("decimal(38,0)"),
+            )
+        )
+        .alias("inflation"),
     )
 
 

@@ -2880,22 +2880,28 @@ def post_stratified_mean(
         .agg(
             F.count("*").cast("long").alias("n_h"),
             F.sum(F.col("v").cast("decimal(38,12)")).alias("s_h"),
+            # exact cent sums: raw_mean over a 2-decimal fixed value is
+            # an exact rational (cents / 100·n) — the grand events mean
+            # lands EXACTLY on 41/640 in the adversarial set, where
+            # bare F.round splits the engines (caught live in r8)
+            F.sum(F.rint(F.col("v") * 100).cast("long")).alias("c_h"),
         )
     )
     return per.agg(
         F.sum("n_h").cast("long").alias("n"),
         F.count("*").cast("long").alias("n_strata"),
-        F.round(
-            F.sum("s_h").cast("double") / F.sum("n_h"), 6
+        _round6_ratio_dec_signed(
+            F.sum("c_h"), F.lit(100) * F.sum("n_h")
         ).alias("raw_mean"),
-        F.round(
-            # per-stratum means re-cast to DECIMAL before the cross-
-            # stratum sum so the reduction stays associative
+        # per-stratum means re-cast to DECIMAL before the cross-stratum
+        # sum so the reduction stays associative; the H-division output
+        # goes through the probed DECIMAL(27,12) bridge (values at
+        # event scale << 4.5e3), not bare F.round
+        _round6_bridge(
             F.sum(
                 (F.col("s_h").cast("double") / F.col("n_h")).cast("decimal(38,12)")
             ).cast("double")
-            / F.count("*"),
-            6,
+            / F.count("*")
         ).alias("post_mean"),
         _round6_ratio(F.max("n_h"), F.sum("n_h")).alias(
             "max_stratum_share"

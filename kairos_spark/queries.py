@@ -3274,6 +3274,10 @@ QUERIES = {
     "vocab_drift": q_vocab_drift,
     "bootstrap_ci_mean": q_bootstrap_ci_mean,
     "seasonal_quantile_bands": q_seasonal_quantile_bands,
+    # r8 expression changes (exact-rational raw_mean, zero-token
+    # inflation sentinel) — promoted for driver re-check
+    "post_stratified_mean": q_post_stratified_mean,
+    "dup_inflation": q_dup_inflation,
     # --- r2-r5 driver-green entries, mirror-covered ---
     "ts_multires_rollup": q_ts_multires_rollup,
     "ts_iterate_full": q_ts_iterate_full,
@@ -3402,7 +3406,6 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "ab_lift": q_ab_lift,
     "simpson_check": q_simpson_check,
-    "post_stratified_mean": q_post_stratified_mean,
     "langid_kappa": q_langid_kappa,
     "event_study": q_event_study,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
@@ -3459,7 +3462,6 @@ QUERIES = {
     "qq_shift_fit": q_qq_shift_fit,
     "ks_drift": q_ks_drift,
     "lateness_audit": q_lateness_audit,
-    "dup_inflation": q_dup_inflation,
     "norm_outliers": q_norm_outliers,
     "theilsen_trend": q_theilsen_trend,
     "session_paths": q_session_paths,
@@ -6701,8 +6703,10 @@ ORACLES["dup_inflation"] = """
            CAST(count(*) AS BIGINT) AS n_unique,
            CAST(sum(n * t) AS BIGINT) AS tokens_total,
            CAST(sum(t) AS BIGINT) AS tokens_unique,
-           CAST((2000000::HUGEINT * sum(n::HUGEINT * t) + sum(t)::HUGEINT)
-                // (2::HUGEINT * sum(t)::HUGEINT) AS BIGINT) / 1000000.0 AS inflation
+           CASE WHEN sum(t) = 0 THEN 0.0
+                ELSE CAST((2000000::HUGEINT * sum(n::HUGEINT * t) + sum(t)::HUGEINT)
+                          // (2::HUGEINT * sum(t)::HUGEINT) AS BIGINT) / 1000000.0
+           END AS inflation
     FROM per_digest GROUP BY 1
 """
 
@@ -8941,17 +8945,31 @@ ORACLES["post_stratified_mean"] = """
     WITH per AS (
       SELECT event_type AS h,
              CAST(count(*) AS BIGINT) AS n_h,
-             sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS s_h
+             sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,12))) AS s_h,
+             sum(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT)) AS c_h
       FROM events GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(sum(n_h) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_strata,
+             sum(c_h)::HUGEINT AS cents,
+             100::HUGEINT * sum(n_h) AS den,
+             CAST(round(CAST(
+               CAST(sum(CAST(CAST(s_h AS DOUBLE) / n_h AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*) AS DECIMAL(27,12)), 6) AS DOUBLE) AS post_mean,
+             floor((2000000 * max(n_h) + sum(n_h))
+                   / (2.0 * sum(n_h))) / 1000000.0 AS max_stratum_share
+      FROM per
     )
-    SELECT CAST(sum(n_h) AS BIGINT) AS n,
-           CAST(count(*) AS BIGINT) AS n_strata,
-           round(CAST(sum(s_h) AS DOUBLE) / sum(n_h), 6) AS raw_mean,
-           round(CAST(sum(CAST(CAST(s_h AS DOUBLE) / n_h AS DECIMAL(38,12))) AS DOUBLE)
-                 / count(*), 6) AS post_mean,
-           floor((2000000 * max(n_h) + sum(n_h))
-                 / (2.0 * sum(n_h))) / 1000000.0 AS max_stratum_share
-    FROM per
+    SELECT n, n_strata,
+           CASE WHEN cents >= 0
+                THEN  CAST(( 2000000::HUGEINT * cents + den)
+                           // (2::HUGEINT * den) AS BIGINT) / 1000000.0
+                ELSE -CAST((-2000000::HUGEINT * cents + den)
+                           // (2::HUGEINT * den) AS BIGINT) / 1000000.0
+           END AS raw_mean,
+           post_mean, max_stratum_share
+    FROM agg
 """
 
 

@@ -310,3 +310,37 @@ def test_quality_rules_crlf_ellipsis_not_counted(spark):
     got = _rules(spark, [Row(doc_id=1, text=doc)])
     # 9 of 10 lines LOOK ellipsis-terminated but carry \r — none count
     assert got["r05_ellipsis_lines"].n_pass == 1
+
+
+# --- r8 adversarial-gate regressions (full-registry rerun finds) ---
+
+
+def test_dup_inflation_zero_token_group_sentinel(spark):
+    from kairos_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, source="digits", text="123 456"),
+            Row(doc_id=1, source="digits", text="789"),
+            Row(doc_id=2, source="words", text="alpha beta"),
+            Row(doc_id=3, source="words", text="alpha beta"),
+        ]
+    )
+    got = {r.group: r for r in dedup.dup_inflation(df).collect()}
+    # zero [a-z] tokens: inflation undefined -> 0.0 sentinel, no ANSI error
+    assert got["digits"].tokens_unique == 0
+    assert got["digits"].inflation == 0.0
+    assert got["words"].inflation == 2.0  # exact dup doubles the tokens
+
+
+def test_post_stratified_raw_mean_exact_midpoint(spark):
+    from kairos_spark.operators import profiling
+
+    # grand mean = 205 cents / (100*32) = 41/640 = 0.0640625 — the
+    # engine-splitting midpoint; integer half-up must give .064063
+    rows = [Row(h="a", v=0.19)] + [Row(h="a" if i % 2 else "b", v=0.06) for i in range(31)]
+    out = profiling.post_stratified_mean(
+        spark.createDataFrame(rows), "h", "v"
+    ).collect()[0]
+    assert out.n == 32
+    assert out.raw_mean == 0.064063
