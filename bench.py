@@ -138,6 +138,48 @@ PIPELINE = {
 }
 
 
+def pipeline_stats(spark, sf_dir):
+    """Data-volume counters for the two loop-shaped pipeline entries
+    (VERDICT r8 #1): `dedup_clusters_lsh` and `bfs_reach_minute` are
+    multi-round jobs whose wall time scales with candidate/edge/frontier
+    volume, so a regenerated corpus can move their bench number with no
+    code change. Recording the volumes alongside the timings makes
+    data-volume effects separable from box drift. NOT timed — runs
+    after the timed pass; costs one extra pass over each pipeline."""
+    from kairos_spark.operators import dedup, graph
+
+    d = q._tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(
+        d, n=8, num_hashes=32, bands=16, threshold=0.2
+    )
+    n_cand = pairs.count()
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    n_edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .count()
+    )
+    coact = graph.coactivity_edges(
+        q._tbl(spark, sf_dir, "events"), step_sec=60, min_shared=2,
+        max_bucket_nodes=200,
+    ).localCheckpoint(eager=True)
+    n_coact = coact.count()
+    frontier = {
+        f"seed{r['seed']}_hop{r['hop']}": int(r["n_reached"])
+        for r in graph.bfs_reach(coact, n_seeds=3, hops=3).collect()
+    }
+    return {
+        # candidate pairs surviving the est-Jaccard gate (CC input)
+        "lsh_candidate_pairs": int(n_cand),
+        # deduplicated DIRECTED edge count — the number the 2M
+        # union-find gate in connected_components compares against
+        "cc_dedup_edges": int(n_edges),
+        "cc_local_finish_fired": bool(n_edges <= 2_000_000),
+        "bfs_coactivity_edges": int(n_coact),
+        "bfs_cumulative_reach": frontier,
+    }
+
+
 def main():
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -192,6 +234,12 @@ def main():
             out.collect()
         pipe_timings[name] = round(time.time() - t0, 3)
 
+    try:
+        stats = pipeline_stats(spark, SF_DIR)
+    except Exception as e:  # stats must never fail the bench
+        print(f"pipeline_stats failed: {e}", file=sys.stderr)
+        stats = {}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -202,6 +250,7 @@ def main():
                 "queries": timings,
                 "pipeline": pipe_timings,
                 "pipeline_total": round(sum(pipe_timings.values()), 3),
+                "pipeline_stats": stats,
                 "sf": float(sf),
             }
         )

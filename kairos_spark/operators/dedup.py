@@ -1165,3 +1165,240 @@ def jaccard_threshold_sweep(
         )
         rows = one if rows is None else rows.union(one)
     return rows
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Paragraph-grain exact dedup with document reconstruction stats —
+    the Dolma/CCNet paragraph dedupe (newline-delimited paragraphs,
+    digest-exact match), reported at document grain so a pipeline can
+    see what a paragraph-grain pass would do to each document BEFORE
+    running it. The reference deduplicates nothing (kairos stores
+    opaque values); this is the training-data layer's finer-grain
+    sibling of ``exact_dedup``.
+
+    A paragraph is a newline-delimited segment, trimmed of
+    space/tab/CR (CRLF corpora must digest like their LF twins),
+    empties dropped; it is DUPLICATED when its md5 appears in at least
+    ``min_docs`` distinct documents. Per document:
+    (doc_id, n_paras, n_dup_paras, dup_para_frac, dup_char_frac) —
+    the char fraction is the share of kept text a paragraph-grain
+    dedupe would remove (codepoint-weighted, engine-identical).
+    Documents with no non-empty paragraph yield no row (nothing to
+    reconstruct) — consistent on both engines.
+
+    Scale shape: split/trim/filter is map-only; the only corpus
+    shuffle groups short digests (count_distinct doc per digest); the
+    flagged set joins back ON THE DIGEST KEY (plain hash join — in a
+    dup-heavy crawl the flagged set is NOT broadcast-sized, unlike
+    boilerplate_chunks' corpus-repeated chunk set). Raw text never
+    shuffles — only digests and integer lengths do."""
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\n", -1)).alias("__p0"),
+        )
+        .select(F.col(id_col), F.expr("btrim(__p0, ' \t\r')").alias("__p"))
+        .where(F.length("__p") > 0)
+    )
+    pg = paras.select(
+        F.col(id_col),
+        F.length("__p").alias("__len"),
+        F.md5("__p").alias("__dg"),
+    )
+    dup = (
+        pg.groupBy("__dg")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__dg", F.lit(1).alias("__dup"))
+    )
+    marked = pg.join(dup, "__dg", "left")
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("n_dup_paras"),
+        _round6_ratio(
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))), F.count("*")
+        ).alias("dup_para_frac"),
+        _round6_ratio(
+            F.sum(F.when(F.col("__dup").isNotNull(), F.col("__len")).otherwise(0)),
+            F.greatest(F.sum("__len"), F.lit(1)),
+        ).alias("dup_char_frac"),
+    )
+
+
+def crossdoc_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide exact duplicated-SPAN statistics at span grain —
+    the suffix-array-free form of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): a token position is
+    duplicated when its k-token gram occurs >= ``min_count`` times
+    CORPUS-WIDE (any documents, within-doc repeats included — the
+    suffix-array criterion), and overlapping/adjacent duplicated
+    windows merge into maximal covered spans. Generalizes
+    ``duplicated_spans`` (pair grain, per-alignment) to the per-doc
+    totals a dedup pass actually removes.
+
+    Returns (doc_id, n_tokens, n_spans, dup_tokens, dup_token_frac)
+    for every document; dup_tokens counts UNIQUE covered tokens (an
+    interval union, not a per-window sum — two flagged starts closer
+    than k don't double-count their overlap).
+
+    Scale shape: NO pair join anywhere (the point of going past the
+    pair grain): grams aggregate corpus-wide on the md5 gram key with
+    map-side combine, hot grams join back by the same key, and span
+    merging is one per-document window over FLAGGED positions only
+    (bounded by document length). Doc-grain output; raw text never
+    shuffles."""
+    from pyspark.sql.window import Window
+
+    from kairos_spark.operators.text import word_tokens
+
+    base = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__w")
+    ).select(F.col(id_col), F.size("__w").alias("__nt"), "__w")
+    idx = F.when(
+        F.col("__nt") >= k, F.sequence(F.lit(1), F.col("__nt") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__w"), i, k)))
+            )
+        ).alias("__p0", "__g"),
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("__p"), "__g")
+    hot = (
+        grams.groupBy("__g")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__g")
+    )
+    flagged = grams.join(hot, "__g")
+    w = Window.partitionBy(id_col).orderBy("__p")
+    lagp = F.lag("__p").over(w)
+    # islands of OVERLAPPING/ADJACENT windows: a new span starts when
+    # the gap to the previous flagged start exceeds k (start p covers
+    # [p, p+k-1]; p - prev == k is contiguous coverage)
+    runs = flagged.withColumn(
+        "__new", F.when(lagp.isNull() | (F.col("__p") - lagp > k), 1).otherwise(0)
+    ).withColumn(
+        "__isl", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = runs.groupBy(id_col, "__isl").agg(
+        (F.max("__p") - F.min("__p") + k).alias("__cov")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("__cov").cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select(F.col(id_col), F.col("__nt").cast("long").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            _round6_ratio(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)),
+                F.greatest(F.col("n_tokens"), F.lit(1)),
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Keep-best representative per duplicate cluster: given cluster
+    labels (``connected_components`` output: node -> cluster_id) and a
+    per-document score, pick each cluster's argmax-score member
+    (score ties break on the smaller id) — the Dolma/RefinedWeb keep
+    policy, vs ``exact_dedup``'s keep-lowest-id. Returns
+    (cluster_id, n_members, keep_doc_id, keep_score).
+
+    Both engines rank the same ALREADY-ROUNDED 6dp score with the id
+    tiebreak, so the pick is engine-exact at score boundaries (the
+    top-k ranking invariant).
+
+    Scale shape: one hash join labels⋈scores on the doc id, then one
+    per-cluster window over cluster members only (cluster sizes are
+    dedup-group sizes — AQE handles the skewed mega-cluster). No
+    corpus-wide sort; text never enters."""
+    from pyspark.sql.window import Window
+
+    j = clusters.select(
+        F.col("node").alias(id_col), "cluster_id"
+    ).join(scored.select(F.col(id_col), F.col(score_col).alias("__q")), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q").desc(), F.col(id_col)
+    )
+    sz = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(sz).cast("long"))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col(id_col).alias("keep_doc_id"),
+            F.col("__q").alias("keep_score"),
+        )
+    )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication flow: for every unordered source pair
+    (src_a <= src_b), how many exact-digest groups have members in
+    both sources — the "who mirrors whom" matrix a data-acquisition
+    team reads before paying twice for the same content. The diagonal
+    (src_a == src_b) counts digests duplicated WITHIN the source
+    (>= 2 copies). Returns
+    (src_a, src_b, n_shared_digests, n_docs_involved).
+
+    Scale shape: docs collapse to (digest, source, count) first — the
+    only corpus-scale shuffle, on the digest key with map-side
+    combine; the digest-grain self-join then touches |distinct
+    digests| rows and the source-pair aggregate is |sources|² rows.
+    Payload text never shuffles."""
+    ds = (
+        df.select(
+            F.md5(F.col(text_col)).alias("__dg"),
+            F.col(source_col).alias("__s"),
+        )
+        .groupBy("__dg", "__s")
+        .agg(F.count("*").alias("__c"))
+    )
+    a = ds.select("__dg", F.col("__s").alias("src_a"), F.col("__c").alias("__ca"))
+    b = ds.select("__dg", F.col("__s").alias("src_b"), F.col("__c").alias("__cb"))
+    pairs = a.join(b, "__dg").where(
+        (F.col("src_a") < F.col("src_b"))
+        | ((F.col("src_a") == F.col("src_b")) & (F.col("__ca") >= 2))
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_shared_digests"),
+        F.sum(
+            F.when(F.col("src_a") == F.col("src_b"), F.col("__ca")).otherwise(
+                F.col("__ca") + F.col("__cb")
+            )
+        )
+        .cast("long")
+        .alias("n_docs_involved"),
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from kairos_spark.operators.dedup import _round6_ratio
 from kairos_spark.operators.text import (
+    _cents,
     _round6_bridge,
     _round6_ratio_dec,
     _round6_ratio_dec_signed,
@@ -513,12 +514,16 @@ def winsorize_stats(
         F.sum((F.col("__v") > F.col("__hi")).cast("long")).alias("n_clipped_hi"),
         # cast the DECIMAL sum to double BEFORE dividing — decimal/long
         # division has its own scale rules that need not match the
-        # oracle's double division
-        F.round(
-            F.sum(F.col("__v").cast(dec)).cast("double") / F.count("*"), 6
+        # oracle's double division. The quotient is a mean of event
+        # values (|x| << 4.5e3, inside the probed bridge bound) and CAN
+        # land on a 7th-decimal midpoint — route through the
+        # DECIMAL(27,12) bridge, never bare F.round (midpoint class,
+        # caught by the r9 multi-line round_lint upgrade)
+        _round6_bridge(
+            F.sum(F.col("__v").cast(dec)).cast("double") / F.count("*")
         ).alias("mean_raw"),
-        F.round(
-            F.sum(clipped.cast(dec)).cast("double") / F.count("*"), 6
+        _round6_bridge(
+            F.sum(clipped.cast(dec)).cast("double") / F.count("*")
         ).alias("mean_winsorized"),
     )
 
@@ -552,8 +557,11 @@ def impute_group_median(
         F.count("*").alias("n"),
         F.sum(F.col("__v").isNull().cast("long")).alias("n_imputed"),
         F.round(F.first("__med"), 6).alias("median_used"),
-        F.round(
-            F.sum(filled.cast("decimal(28,10)")).cast("double") / F.count("*"), 6
+        # mean of event values (|x| << 4.5e3): bridge, never bare
+        # F.round on the double quotient (midpoint class, caught by the
+        # r9 round_lint tightening)
+        _round6_bridge(
+            F.sum(filled.cast("decimal(28,10)")).cast("double") / F.count("*")
         ).alias("mean_after"),
     )
 
@@ -2193,7 +2201,7 @@ def bootstrap_ci_mean(
     overall = base.agg(
         F.count("*").cast("long").alias("n"),
         _round6_ratio_dec_signed(
-            F.sum(F.rint(F.col("__v") * 100).cast("long")),
+            F.sum(_cents(F.col("__v"))),
             F.lit(100) * F.count("*"),
         ).alias("mean"),
     )
@@ -2275,16 +2283,20 @@ def conformal_coverage(
         .agg(
             F.max("n_cal").alias("n_cal"),
             F.count("*").cast("long").alias("n_test"),
-            F.round(F.max("pred"), 6).alias("pred"),
+            # pred is a mean of event values — same midpoint exposure
+            # as raw_mean (41/640 class): bridge it on both sides
+            _round6_bridge(F.max("pred")).alias("pred"),
             F.max("qhat").alias("qhat"),
-            F.round(
+            # hits/n is an integer/integer ratio: exact integer
+            # half-up (midpoint class, caught by the r9 multi-line
+            # round_lint upgrade)
+            _round6_ratio(
                 F.sum(
                     F.when(
                         F.round(F.abs(F.col("v") - F.col("pred")), 6) <= F.col("qhat"), 1
                     ).otherwise(0)
-                )
-                / F.count("*"),
-                6,
+                ),
+                F.count("*"),
             ).alias("coverage"),
         )
     )
@@ -2731,11 +2743,13 @@ def policy_replay(
             # with CASE).
             F.when(
                 F.sum("m") > 0,
-                F.round(
+                # mean of event values (|x| << 4.5e3): bridge, never
+                # bare F.round on the double quotient (midpoint class,
+                # caught by the r9 round_lint tightening)
+                _round6_bridge(
                     F.sum(F.when(F.col("m") == 1, F.col("r")).otherwise(F.lit(0.0)).cast("decimal(38,12)"))
                     .cast("double")
-                    / F.sum("m"),
-                    6,
+                    / F.sum("m")
                 ),
             )
             .otherwise(F.lit(-1.0))
@@ -2884,7 +2898,7 @@ def post_stratified_mean(
             # an exact rational (cents / 100·n) — the grand events mean
             # lands EXACTLY on 41/640 in the adversarial set, where
             # bare F.round splits the engines (caught live in r8)
-            F.sum(F.rint(F.col("v") * 100).cast("long")).alias("c_h"),
+            F.sum(_cents(F.col("v"))).alias("c_h"),
         )
     )
     return per.agg(
@@ -2983,6 +2997,9 @@ def powerlaw_alpha(
     return df.agg(
         F.sum(tail).cast("long").alias("n_tail"),
         F.lit(int(xmin)).cast("long").alias("xmin"),
+        # exempt: alpha's denominator is a sum of ln() terms — a
+        # full-precision transcendental double, not an exact rational,
+        # so 7th-decimal round-6 midpoints are measure-zero here
         F.round(
             1.0
             + F.sum(tail).cast("double")
@@ -2993,11 +3010,16 @@ def powerlaw_alpha(
             ).cast("double"),
             6,
         ).alias("alpha"),
-        F.round(
-            F.sum(F.when(x >= float(xmin), x).otherwise(0.0).cast("decimal(38,12)"))
-            .cast("double")
-            / F.sum(x.cast("decimal(38,12)")).cast("double"),
-            6,
+        # tail mass over INTEGER counts is an exact integer ratio —
+        # DECIMAL route (token-count sums pass the BIGINT·2e6 ceiling
+        # at corpus scale); midpoint class, caught by the r9 lint
+        _round6_ratio_dec(
+            F.sum(
+                F.when(x >= float(xmin), F.col(count_col).cast("long")).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.sum(F.col(count_col).cast("long")),
         ).alias("tail_mass_share"),
     )
 
@@ -3345,9 +3367,12 @@ def wasserstein_drift(
         )
         .groupBy("name")
         .agg(
+            # round the exact DECIMAL sum FIRST, cast to double after
+            # (CLAUDE.md invariant): rounding the post-cast double
+            # reopens the shortest-rendering midpoint split
             F.round(
-                F.sum((gap * F.col("__dv")).cast("decimal(38,12)")).cast("double"), 6
-            ).alias("w1"),
+                F.sum((gap * F.col("__dv")).cast("decimal(38,12)")), 6
+            ).cast("double").alias("w1"),
             F.min("__n1").cast("long").alias("n1"),
             F.min("__n2").cast("long").alias("n2"),
         )

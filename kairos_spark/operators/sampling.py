@@ -615,11 +615,19 @@ def dsir_weights(
             "__b",
             # ONE ln of a ratio of exact integer products: identical
             # doubles on both engines (ln agreement established by the
-            # entropy/PMI/LM queries)
+            # entropy/PMI/LM queries). Quantize ONCE here at the bucket
+            # grain: |lam| <= ~20, well inside the probed |x| < 4.5e3
+            # double->decimal agreement bound — whereas quantizing the
+            # m*lam PRODUCT per doc-bucket term would leave the bound
+            # at the mercy of an unbounded per-doc gram count m
+            # (ADVICE r8). The per-term product below is then exact
+            # integer-times-decimal arithmetic on both engines.
             F.log(
                 ((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) * (F.col("__nr") + F.lit(buckets)))
                 / ((F.col("__cr") + F.lit(1.0)) * (F.col("__nt") + F.lit(buckets)))
-            ).alias("__lam"),
+            )
+            .cast("decimal(28,12)")
+            .alias("__lam"),
         )
     )
     scored = (
@@ -627,8 +635,11 @@ def dsir_weights(
         .groupBy(id_col, "__grp")
         .agg(
             F.sum("m").cast("long").alias("n_grams"),
+            # m < 1e9 by construction (docs are <= 64KB -> ~1e5 grams):
+            # DECIMAL(9,0) x DECIMAL(28,12) -> DECIMAL(38,12), exact in
+            # both engines, no scale reduction, associative sum
             F.round(
-                F.sum((F.col("m") * F.col("__lam")).cast("decimal(28,12)")), 6
+                F.sum(F.col("m").cast("decimal(9,0)") * F.col("__lam")), 6
             )
             .cast("double")
             .alias("log_weight"),

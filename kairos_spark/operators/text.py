@@ -137,6 +137,27 @@ def _round6_ratio_signed(num: Column, den: Column) -> Column:
     mag = _round6_ratio(F.abs(num), den)
     return F.when(num >= 0, mag).otherwise(-mag)
 
+
+def _cents(col: Column) -> Column:
+    """Exact integer hundredths of a (nominally 2-decimal-fixed) value
+    with an ENGINE-MIRRORED tie rule. ``F.rint`` is round-half-to-even
+    while DuckDB's ``round(x, 0)`` is half-away-from-zero: under the
+    2dp contract x·100 never lands on .5 so they agree, but the
+    contract is unasserted and testdata encodings change between
+    rounds (ADVICE r8) — a 3-decimal value like 0.125 would split the
+    engines. Both sides therefore compute the identical
+    sign(x)·floor(|x·100| + 0.5): floor on the same IEEE double is
+    engine-exact. Oracles mirror with
+    CASE WHEN CAST(v AS DOUBLE) >= 0
+         THEN  CAST(floor( CAST(v AS DOUBLE)*100 + 0.5) AS BIGINT)
+         ELSE -CAST(floor(-CAST(v AS DOUBLE)*100 + 0.5) AS BIGINT) END."""
+    x = col.cast("double") * F.lit(100)
+    return (
+        F.when(x >= 0, F.floor(x + F.lit(0.5)))
+        .otherwise(-F.floor(-x + F.lit(0.5)))
+        .cast("long")
+    )
+
 # Tiny per-language stopword panels for the n-gram/stopword heuristic.
 # Deliberately small and fixed so language_id is deterministic and
 # SQL-expressible (each panel becomes one regexp count).
@@ -666,8 +687,11 @@ def boilerplate_chunks(
     return marked.groupBy(id_col).agg(
         F.count("*").alias("n_chunks"),
         F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_boiler"),
-        F.round(
-            F.sum(F.coalesce(F.col("__b"), F.lit(0))) / F.count("*"), 6
+        # integer/integer ratio: the round-6 midpoint class — exact
+        # integer half-up, never bare F.round (caught by the r9
+        # multi-line round_lint upgrade)
+        _round6_ratio(
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))), F.count("*")
         ).alias("boiler_frac"),
     )
 
@@ -759,8 +783,10 @@ def frequency_spectrum(
     return spec.select(
         "freq",
         "n_tokens",
-        F.round(
-            F.sum(mass).over(w) / F.sum(mass).over(total), 6
+        # integer/integer ratio of window sums: same midpoint class —
+        # exact integer half-up on the cumulative and total token mass
+        _round6_ratio(
+            F.sum(mass).over(w), F.sum(mass).over(total)
         ).alias("cum_mass_share"),
     )
 
@@ -1583,9 +1609,12 @@ def bm25_topk(
         contrib.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(
+            # round the exact DECIMAL sum FIRST, cast to double after
+            # (CLAUDE.md invariant): rounding the post-cast double
+            # reopens the shortest-rendering midpoint split
             F.round(
-                F.sum(F.col("w").cast("decimal(38,12)")).cast("double"), 6
-            ).alias("score")
+                F.sum(F.col("w").cast("decimal(38,12)")), 6
+            ).cast("double").alias("score")
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
@@ -1809,15 +1838,14 @@ def hashing_trick_audit(
         F.lit(int(bits)).cast("long").alias("bits"),
         F.sum("k").cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_buckets_used"),
-        F.round(
-            F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(0))
-            / F.sum("k").cast("double"),
-            6,
+        # integer/integer ratios: exact integer half-up (midpoint class)
+        _round6_ratio(
+            F.sum(F.when(F.col("k") > 1, F.col("k")).otherwise(0)),
+            F.sum("k"),
         ).alias("collision_rate"),
-        F.round(
-            F.sum(F.when(F.col("k") > 1, F.col("mass")).otherwise(0))
-            / F.sum("mass").cast("double"),
-            6,
+        _round6_ratio(
+            F.sum(F.when(F.col("k") > 1, F.col("mass")).otherwise(0)),
+            F.sum("mass"),
         ).alias("collided_mass_share"),
     )
 
@@ -1875,7 +1903,7 @@ def quality_rules(
     # engines; '…' is a single codepoint on both (length = codepoints)
     dots_cnt = (n_chars - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
     uell_cnt = n_chars - F.length(F.replace(t, F.lit("…")))
-    symbol_cnt = (dots_cnt + uell_cnt).cast("long")
+    symbol_cnt = (dots_cnt + uell_cnt + hash_cnt).cast("long")
     lines = F.split(t, "\n", -1)
     n_lines = F.size(lines)
     bullet_lines = F.size(F.filter(lines, lambda x: x.rlike(r"^ *[-*•]")))
@@ -2044,4 +2072,190 @@ def packing_efficiency(
             F.col("total_tokens"),
             F.greatest(F.col("naive_contexts") * F.col("L"), F.lit(1)),
         ).alias("naive_fill_rate"),
+    )
+
+
+def ppl_bucket_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity-bucket mix audit (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): score every document with the corpus-fit bigram LM
+    (``bigram_lm_score`` — the perplexity proxy), split each group
+    into ``buckets`` equal-count tiers by score (CCNet's head/middle/
+    tail terciles, per language), and report the mix — the table that
+    decides which tail tiers to drop and whether a source's "head" is
+    actually mid-quality by corpus standards.
+
+    Returns per (group, bucket): (grp, bucket, n_docs, n_bigrams,
+    doc_share, mass_share, score_lo, score_hi). bucket 1 = highest
+    scores (head). Bucketing is NTILE over the ROUNDED 6dp score with
+    id tiebreak, so tier boundaries are engine-exact; shares are exact
+    integer ratios.
+
+    Scale shape: scoring is the bigram_lm_score plan (pre-aggregated
+    joins, broadcast vocab scalar); the ntile window partitions BY
+    GROUP over doc-grain rows (one row per document, never corpus
+    token volume); the final aggregate is |groups|·|buckets| rows."""
+    from pyspark.sql.window import Window
+
+    scored = bigram_lm_score(df, text_col, id_col).join(
+        df.select(F.col(id_col), F.col(group_col).alias("grp")), id_col
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("lm_score").desc(), F.col(id_col)
+    )
+    tiered = scored.withColumn(
+        "bucket", F.ntile(buckets).over(w).cast("long")
+    )
+    per = tiered.groupBy("grp", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.min("lm_score").alias("score_lo"),
+        F.max("lm_score").alias("score_hi"),
+    )
+    tot = Window.partitionBy("grp")
+    return per.select(
+        "grp",
+        "bucket",
+        "n_docs",
+        "n_bigrams",
+        _round6_ratio(F.col("n_docs"), F.sum("n_docs").over(tot)).alias(
+            "doc_share"
+        ),
+        _round6_ratio(
+            F.col("n_bigrams"), F.greatest(F.sum("n_bigrams").over(tot), F.lit(1))
+        ).alias("mass_share"),
+        "score_lo",
+        "score_hi",
+    )
+
+
+def tokenizer_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-compression drift between sources: per group, the
+    chars-per-token compression of the engine's BPE-ish token model,
+    and its signed deviation from the corpus-wide baseline — the
+    number that catches a feed whose content tokenizes 1.5x worse
+    than the rest of the corpus (code, mojibake, exotic scripts)
+    before it silently eats the token budget. The per-source sibling
+    of ``token_fertility`` (which is per language, vs its own words).
+
+    drift = chars_g/tokens_g − chars_all/tokens_all as ONE exact
+    signed integer ratio (chars_g·tokens_all − chars_all·tokens_g) /
+    (tokens_g·tokens_all) — the restructure-to-one-ratio rule; the
+    count·count products pass the BIGINT·2e6 ceiling at corpus scale,
+    hence the DECIMAL route.
+
+    Returns (grp, n_docs, tokens, chars, chars_per_token, drift).
+
+    Scale shape: one map-only projection (regexp token count + length)
+    → one group-grain aggregate; the corpus totals broadcast back as a
+    1-row scalar. No text shuffles."""
+    per = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            token_count(F.col(text_col)).alias("__t"),
+            F.length(F.col(text_col)).alias("__c"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("tokens"),
+            F.sum("__c").cast("long").alias("chars"),
+        )
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("long").alias("__ta"),
+        F.sum("chars").cast("long").alias("__ca"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n_docs",
+        "tokens",
+        "chars",
+        _round6_ratio(F.col("chars"), F.greatest(F.col("tokens"), F.lit(1))).alias(
+            "chars_per_token"
+        ),
+        _round6_ratio_dec_signed(
+            F.col("chars") * F.col("__ta") - F.col("__ca") * F.col("tokens"),
+            F.greatest(F.col("tokens") * F.col("__ta"), F.lit(1)),
+        ).alias("drift"),
+    )
+
+
+def contamination_by_benchmark(
+    df: DataFrame,
+    bench_df: DataFrame,
+    bench_col: str = "benchmark",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination at EVAL-SUITE grain: the per-benchmark
+    breakdown of ``contamination_overlap`` (which reports per document
+    against one pooled set). For each benchmark in ``bench_df``:
+    how many corpus documents share at least one distinct word n-gram
+    with it, the hit rate, and the total (doc, gram) overlap volume —
+    the per-suite scorecard that says WHICH eval is compromised, not
+    just that something is (the GPT-3/PaLM appendix-style
+    per-benchmark contamination table).
+
+    Returns (benchmark, n_bench_grams, n_docs_hit, hit_rate,
+    total_overlap); hit_rate = docs hit / corpus docs, exact integer
+    ratio. Benchmarks with zero hits still appear (left join against
+    the benchmark gram table's grain).
+
+    Scale shape: benchmark gram sets are tiny vs the corpus and
+    BROADCAST; the probe is a map-side hash join over exploded
+    distinct corpus grams, so only matching (benchmark, doc, gram)
+    rows reach the aggregates. Corpus text never shuffles."""
+
+    def grams(frame, keep):
+        return frame.select(
+            *keep,
+            F.explode(
+                F.array_distinct(word_ngrams(word_tokens(F.col(text_col)), n))
+            ).alias("__g"),
+        )
+
+    bench = (
+        grams(bench_df, [F.col(bench_col).alias("benchmark")])
+        .distinct()
+    )
+    bench_sizes = bench.groupBy("benchmark").agg(
+        F.count("*").cast("long").alias("n_bench_grams")
+    )
+    ndocs = df.agg(F.count("*").alias("__nd"))
+    hits = (
+        grams(df, [F.col(id_col)])
+        .join(F.broadcast(bench), "__g")
+        .groupBy("benchmark")
+        .agg(
+            F.count_distinct(id_col).cast("long").alias("n_docs_hit"),
+            F.count("*").cast("long").alias("total_overlap"),
+        )
+    )
+    return (
+        bench_sizes.join(hits, "benchmark", "left")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "benchmark",
+            "n_bench_grams",
+            F.coalesce(F.col("n_docs_hit"), F.lit(0)).cast("long").alias("n_docs_hit"),
+            _round6_ratio(
+                F.coalesce(F.col("n_docs_hit"), F.lit(0)),
+                F.greatest(F.col("__nd"), F.lit(1)),
+            ).alias("hit_rate"),
+            F.coalesce(F.col("total_overlap"), F.lit(0))
+            .cast("long")
+            .alias("total_overlap"),
+        )
     )

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 from kairos_spark.operators.text import (
     _round6_bridge,
     _round6_ratio,
+    _round6_ratio_dec,
     _round6_ratio_signed,
 )
 
@@ -750,32 +751,35 @@ def conversion_latency(
     reviews run on; pairs with ``funnel`` (which counts stages but
     not durations).
 
-    Mean latency accumulates in DECIMAL(28,6); percentiles are exact
-    interpolated. Two per-user min-aggregates and one scalar summary —
-    raw events shuffle once per aggregate on the user key."""
-    secs = F.col(ts_col).cast("double")
+    Latencies are exact integer MICROSECONDS end to end (unix_micros /
+    epoch_us on both engines), so mean_sec is one exact integer ratio
+    (Σlat_us / 10^6·n, DECIMAL route — a micro-unit sum passes the
+    BIGINT·2e6 ceiling) and never a bare round over a double quotient
+    (midpoint class, caught by the r9 round_lint tightening);
+    percentiles interpolate over the identical lat_us/1e6 doubles.
+    Two per-user min-aggregates and one scalar summary — raw events
+    shuffle once per aggregate on the user key."""
+    us = F.unix_micros(F.col(ts_col))
     first_a = (
         df.where(F.col(type_col) == from_type)
         .groupBy(user_col)
-        .agg(F.min(secs).alias("__ta"))
+        .agg(F.min(us).alias("__ta"))
     )
     joined = (
         df.where(F.col(type_col) == to_type)
-        .select(F.col(user_col), secs.alias("__tb"))
+        .select(F.col(user_col), us.alias("__tb"))
         .join(first_a, user_col)
         .where(F.col("__tb") > F.col("__ta"))
         .groupBy(user_col)
-        .agg((F.min("__tb") - F.first("__ta")).alias("__lat"))
+        .agg((F.min("__tb") - F.first("__ta")).alias("__lat_us"))
     )
     n_started = first_a.agg(F.count("*").alias("n_started"))
     conv = joined.agg(
         F.count("*").alias("n_converted"),
-        F.round(F.expr("percentile(__lat, 0.5)"), 6).alias("p50_sec"),
-        F.round(F.expr("percentile(__lat, 0.9)"), 6).alias("p90_sec"),
-        F.round(
-            F.sum(F.col("__lat").cast("decimal(28,6)")).cast("double")
-            / F.count("*"),
-            6,
+        F.round(F.expr("percentile(__lat_us / 1e6, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(__lat_us / 1e6, 0.9)"), 6).alias("p90_sec"),
+        _round6_ratio_dec(
+            F.sum("__lat_us"), F.lit(1_000_000) * F.count("*")
         ).alias("mean_sec"),
     )
     return n_started.crossJoin(F.broadcast(conv)).select(
@@ -2055,9 +2059,12 @@ def interval_allocate(
         )
         .groupBy("bucket_start")
         .agg(
+            # round the exact DECIMAL sum FIRST, cast to double after
+            # (CLAUDE.md invariant): rounding the post-cast double
+            # reopens the shortest-rendering midpoint split
             F.round(
-                F.sum(F.col("__alloc").cast("decimal(38,12)")).cast("double"), 6
-            ).alias("allocated"),
+                F.sum(F.col("__alloc").cast("decimal(38,12)")), 6
+            ).cast("double").alias("allocated"),
             F.count("*").cast("long").alias("n_intervals"),
         )
     )
@@ -2261,9 +2268,12 @@ def event_study(
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.countDistinct("__u").cast("long").alias("n_users"),
-            F.round(
-                F.sum(F.col("__v").cast("decimal(38,12)")).cast("double") / F.count("*"),
-                6,
+            # mean of event values (|x| << 4.5e3): bridge, never bare
+            # F.round on the double quotient (midpoint class, caught
+            # by the r9 round_lint tightening)
+            _round6_bridge(
+                F.sum(F.col("__v").cast("decimal(38,12)")).cast("double")
+                / F.count("*")
             ).alias("mean_value"),
         )
     )

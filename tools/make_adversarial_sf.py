@@ -57,6 +57,17 @@ def us(sec: float) -> int:
     return int(round(sec * 1_000_000))
 
 
+def cents(v: float) -> int:
+    """Mirror of the engines' cents extraction (operators/text._cents):
+    signed floor(|v·100| + 0.5). Python's round() is half-EVEN and
+    would mis-account the half-cent tie fixtures (0.125 → 12 vs the
+    engines' 13), silently dissolving the 41/640 grand-mean pin."""
+    import math
+
+    mag = int(math.floor(abs(v) * 100 + 0.5))
+    return mag if v >= 0 else -mag
+
+
 def make_events():
     rows = []
     eid = 0
@@ -239,6 +250,16 @@ def make_events():
     for i in range(32):
         add(click_t + i * 1_000_000, 700 + (i % 5), "click",
             0.19 if i == 0 else 0.06, '{"k": %d}' % (i % 3))
+    # --- round 9: cents-extraction tie rule (ADVICE r8). Dyadic
+    # 3-decimal values land EXACTLY on half-cents in binary (0.125*100
+    # = 12.5): F.rint (half-even -> 12) vs DuckDB round(x,0)
+    # (half-away -> 13) would split every cents-ratio query reading
+    # `value`; both sides now compute signed floor(|x·100| + 0.5).
+    # Values are dyadic so x*100 is exactly half-integral, negatives
+    # exercise the signed branch.
+    tie_t = cur_min + 4 * 86_400_000_000
+    for i, v in enumerate([0.125, -0.375, 2.625, -0.125, 5.875]):
+        add(tie_t + i * 1_000_000, 9500 + i, "centtie", v, "{}")
     # --- round 8: bootstrap_ci_mean global-mean midpoint (VERDICT r7).
     # Pad the WHOLE events table so the grand mean of `value` lands
     # EXACTLY on 41/640 = 0.0640625, the canonical engine-splitting
@@ -250,7 +271,7 @@ def make_events():
     # fresh type/users and ts strictly inside the existing span (the
     # global ts min/max midpoint pins above are untouched).
     n_cur = len(rows)
-    c_cur = sum(int(round(r[4] * 100)) for r in rows)
+    c_cur = sum(cents(r[4]) for r in rows)
     # padding rows carry |value| <= 500.00 (negative allowed — the
     # error fixture already ships negatives), so each moves the cent
     # sum by at most 50000; grow m until the needed correction fits
@@ -268,8 +289,7 @@ def make_events():
     assert s_pad == 0
     assert len(rows) % 640 == 0
     # sum_cents/(100·n) == 41/640  ⇔  640·sum_cents == 4100·n
-    assert sum(int(round(r[4] * 100)) for r in rows) * 640 == \
-        4100 * len(rows)
+    assert sum(cents(r[4]) for r in rows) * 640 == 4100 * len(rows)
     rows.sort(key=lambda r: (r[1], r[0]))
     return pa.table(
         {

@@ -21,6 +21,13 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "paragraph_dedup",
+    "crossdoc_spans",
+    "ppl_bucket_mix",
+    "tokenizer_drift",
+    "eval_contamination",
+    "cluster_keep_best",
+    "cross_source_dup",
     "quality_rule_pack",
     "dsir_weights",
     "packing_efficiency",
@@ -292,6 +299,30 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # paragraph explode is a Generate; digests aggregate on the short
+    # key and the flagged set joins back ON the digest — any hash
+    # flavor, never quadratic
+    "paragraph_dedup": ["Generate", "HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # gram posexplode -> corpus gram agg -> flagged join-back; span
+    # merge is a PER-DOC window over flagged rows only — no pair join
+    # anywhere in the plan
+    "crossdoc_spans": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
+    # the bigram_lm_score plan (pre-aggregated joins, broadcast vocab
+    # scalar) + one per-group ntile window over doc-grain rows
+    "ppl_bucket_mix": ["Window", "HashAggregate", "!CartesianProduct"],
+    # one map-only projection -> group-grain agg; corpus totals ride a
+    # 1-row broadcast — nothing shuffles twice, nothing sorts
+    "tokenizer_drift": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # benchmark gram sets broadcast; the probe is a map-side hash join
+    # over exploded distinct corpus grams
+    "eval_contamination": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+    # labels (post-convergence CC output) ⋈ quality on the doc id,
+    # then one per-cluster window — the CC loop itself is exempt like
+    # dedup_clusters (per-iteration plans carry the structure)
+    "cluster_keep_best": ["Window", "!CartesianProduct"],
+    # digest-grain self-join on the digest key after the corpus
+    # collapses to (digest, source, count) — hash join, never quadratic
+    "cross_source_dup": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # one map-only projection -> 1-row aggregate -> 9-row rule explode;
     # the corpus text never shuffles and nothing joins
     "quality_rule_pack": ["HashAggregate", "Generate", "!Join"],

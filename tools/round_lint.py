@@ -32,35 +32,66 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent / "kairos_spark"
 
-# F.round(F.avg(...) or F.round(F.sum(...) — capture through the end of
-# the line; the scale literal (if on this line) is the last ", N)"
+# F.round(F.avg(...) or F.round(F.sum(...) — matched against the WHOLE
+# file text so the call style where the aggregate sits on the line after
+# F.round( (exactly the multi-line shape the old post_stratified_mean
+# bug had) is not silently skipped (ADVICE r8). \s spans newlines.
 PATTERN = re.compile(r"F\.round\(\s*F\.(avg|sum)\(")
-SCALE = re.compile(r",\s*([0-9]+)\s*\)")
+SCALE = re.compile(r",\s*([0-9]+)\s*\)\s*$")
 
 
-def line_scale(text: str) -> int | None:
-    """Best-effort scale literal from the matched line (None if the
-    call spans lines — treated as scale 6, the conservative default)."""
-    hits = SCALE.findall(text)
-    return int(hits[-1]) if hits else None
+def call_extent(text: str, start: int) -> str:
+    """The full F.round(...) call from `start`: balance parens from the
+    first '(' (string literals with parens don't occur at these sites;
+    on imbalance, fall back to the rest of the file — conservative)."""
+    i = text.index("(", start)
+    depth = 0
+    for j in range(i, len(text)):
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start : j + 1]
+    return text[start:]
+
+
+def call_scale(call: str) -> int | None:
+    """Scale literal of the round call: the trailing ', N)' of the
+    balanced extent (None when the scale is omitted or non-literal —
+    treated as scale 6, the conservative default)."""
+    hit = SCALE.search(call)
+    return int(hit.group(1)) if hit else None
 
 
 def main() -> int:
     findings = []
     for path in sorted(ROOT.rglob("*.py")):
-        lines = path.read_text().splitlines()
-        for i, line in enumerate(lines):
-            if line.lstrip().startswith("#") or not PATTERN.search(line):
+        text = path.read_text()
+        lines = text.splitlines()
+        for m in PATTERN.finditer(text):
+            lineno = text.count("\n", 0, m.start()) + 1
+            if lines[lineno - 1].lstrip().startswith("#"):
                 continue
-            scale = line_scale(line)
+            call = call_extent(text, m.start())
+            scale = call_scale(call)
             if scale is not None and scale < 6:
                 continue
-            if "decimal(" in line.lower():
+            # DECIMAL-routed is only safe when the ROUNDED expression is
+            # still a decimal: round(sum(decimal), 6) is HALF_UP on
+            # identical decimals in both engines. If the call also casts
+            # to double (sum(decimal)->double / n — a derived MEAN), the
+            # round is back on a double quotient, the exact midpoint
+            # class impute_median/winsorize carried latently until r9.
+            if "decimal(" in call.lower() and "double" not in call.lower():
                 continue
-            ctx = " ".join(lines[max(0, i - 6) : i]).lower()
+            ctx = " ".join(lines[max(0, lineno - 7) : lineno - 1]).lower()
             if "exempt" in ctx:
                 continue
-            findings.append(f"{path.relative_to(ROOT.parent)}:{i + 1}: {line.strip()}")
+            findings.append(
+                f"{path.relative_to(ROOT.parent)}:{lineno}: "
+                f"{lines[lineno - 1].strip()}"
+            )
     if findings:
         print("round_lint: UNEXPLAINED F.round-over-aggregate sites "
               "(route exact rationals through _round6_ratio*, or add an "
