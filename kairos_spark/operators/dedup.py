@@ -1402,3 +1402,59 @@ def cross_source_duplication(
         .cast("long")
         .alias("n_docs_involved"),
     )
+
+
+def dup_cluster_sizes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate cluster-size spectrum with dedup ROI: group
+    documents by text digest and report, per cluster SIZE s, how many
+    clusters have exactly s members, the docs and removable docs
+    (s-1 per cluster) at that size, and the removable character mass —
+    the count-of-counts view (``freq_spectrum`` for dup clusters) that
+    says whether duplication is a few mega-clusters or a long tail,
+    which decides the dedup strategy before any pass runs.
+
+    Returns (group_size, n_groups, n_docs, n_docs_removable,
+    chars_removable, doc_share) sorted by nothing (driver sorts);
+    doc_share = docs at this size / corpus docs, exact integer ratio.
+    Exact duplicates share byte-identical text, so every member has
+    the same length and the removable mass is (s-1)·len per cluster.
+
+    Scale shape: one digest groupBy (short-key shuffle, map-side
+    combine) → one |distinct sizes|-row spectrum aggregate; the corpus
+    total rides a window over spectrum rows (thousands at most).
+    Payload text never shuffles — only digests and integer lengths."""
+    from pyspark.sql.window import Window
+
+    groups = (
+        df.select(
+            F.md5(F.col(text_col)).alias("__dg"),
+            F.length(F.col(text_col)).alias("__len"),
+        )
+        .groupBy("__dg")
+        .agg(F.count("*").alias("__s"), F.min("__len").alias("__len"))
+    )
+    spec = groups.groupBy(F.col("__s").alias("group_size")).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("__s").cast("long").alias("n_docs"),
+        F.sum(F.col("__s") - 1).cast("long").alias("n_docs_removable"),
+        F.sum((F.col("__s") - 1) * F.col("__len")).cast("long").alias(
+            "chars_removable"
+        ),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return spec.select(
+        F.col("group_size").cast("long").alias("group_size"),
+        "n_groups",
+        "n_docs",
+        "n_docs_removable",
+        "chars_removable",
+        _round6_ratio(F.col("n_docs"), F.sum("n_docs").over(tot)).alias(
+            "doc_share"
+        ),
+    )

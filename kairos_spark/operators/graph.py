@@ -409,19 +409,26 @@ def bfs_reach(
     and nothing stays cached after return (ADVICE r5). The returned
     trace is a small local DataFrame; the joins run distributed during
     the eager pass."""
-    nodes = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
-        .distinct()
+    # Persist the undirected edge list ONCE: every hop joins against
+    # it, and callers routinely hand in an EXPENSIVE lazy plan (e.g.
+    # coactivity_edges: events scan -> cell groupBy -> per-cell pairs).
+    # Without the persist each of the `hops` eager rounds — plus the
+    # seed scan — re-executes that whole upstream plan, multiplying
+    # its cost ~(hops+1)x (measured r9: the bfs_reach_minute bench
+    # entry was ~10-13 s on a graph of 244 edges, all of it repeated
+    # edge construction). Unpersisted in the same finally as the hop
+    # state, so nothing stays cached after return.
+    und = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
     )
+    nodes = und.select(F.col("u").alias("node")).distinct()
     seeds = (
         nodes.select("node", F.md5(F.col("node").cast("string")).alias("__h"))
         .orderBy("__h")
         .limit(n_seeds)
         .select(F.col("node").alias("seed"))
-    )
-    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     visited = seeds.select("seed", F.col("seed").alias("node"))
     frontier = visited
@@ -453,6 +460,7 @@ def bfs_reach(
     finally:
         for df in cached:
             df.unpersist()
+        und.unpersist()
     return spark.createDataFrame(rows, schema)
 
 

@@ -2259,3 +2259,53 @@ def contamination_by_benchmark(
             .alias("total_overlap"),
         )
     )
+
+
+def template_prefix_share(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 8,
+) -> DataFrame:
+    """Templated-prefix detection per source: digest the first ``k``
+    word tokens of every document and report each source's most common
+    prefix — a source whose docs overwhelmingly open with the same k
+    tokens is shipping templated pages (navigation headers, legal
+    banners, mirror frontmatter), the boilerplate that survives
+    doc-grain exact dedup because the tails differ. Pairs with
+    ``boilerplate_chunks`` (which finds repeated chunks anywhere);
+    this is the cheap source-grain tripwire.
+
+    Returns (grp, n_docs, n_prefixes, top_count, top_share):
+    top = the (count desc, digest) argmax so the pick is
+    engine-deterministic; shares are exact integer ratios.
+
+    Scale shape: the prefix digest is map-only (slice + md5); one
+    (source, prefix) count with map-side combine; the argmax window
+    runs over source-grain aggregated rows (bounded by distinct
+    prefixes, never corpus volume)."""
+    from pyspark.sql.window import Window
+
+    pref = df.select(
+        F.col(group_col).alias("grp"),
+        F.md5(
+            F.concat_ws(" ", F.slice(word_tokens(F.col(text_col)), 1, k))
+        ).alias("__pf"),
+    )
+    counts = pref.groupBy("grp", "__pf").agg(F.count("*").alias("__c"))
+    w = Window.partitionBy("grp").orderBy(F.col("__c").desc(), F.col("__pf"))
+    per = counts.withColumn("__rn", F.row_number().over(w))
+    agg = counts.groupBy("grp").agg(
+        F.sum("__c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_prefixes"),
+    )
+    top = per.where(F.col("__rn") == 1).select(
+        "grp", F.col("__c").cast("long").alias("top_count")
+    )
+    return agg.join(top, "grp").select(
+        "grp",
+        "n_docs",
+        "n_prefixes",
+        "top_count",
+        _round6_ratio(F.col("top_count"), F.col("n_docs")).alias("top_share"),
+    )

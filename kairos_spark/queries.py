@@ -3330,6 +3330,30 @@ def q_cross_source_dup(spark, sf_dir):
     return dedup.cross_source_duplication(docs.unionByName(mirrored))
 
 
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Exact-dup cluster-size spectrum + removable doc/char mass — the
+    count-of-counts view that picks a dedup strategy. Injected copies
+    (every 5th doc once more, every 15th twice more) guarantee a
+    non-trivial size spectrum even when the generated corpus has no
+    organic exact dups (training_data_prep-style injection)."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    dup1 = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    dup2 = d.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 15_000_000).alias("doc_id"), "text"
+    )
+    return dedup.dup_cluster_sizes(d.unionByName(dup1).unionByName(dup2))
+
+
+def q_template_prefix(spark, sf_dir):
+    """Templated-prefix detection per source: share of docs opening
+    with the source's most common 8-token prefix."""
+    return text.template_prefix_share(
+        _tbl(spark, sf_dir, "documents"), group_col="source", k=8
+    )
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3343,6 +3367,8 @@ QUERIES = {
     "eval_contamination": q_eval_contamination,
     "cluster_keep_best": q_cluster_keep_best,
     "cross_source_dup": q_cross_source_dup,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "template_prefix": q_template_prefix,
     # --- Round-8 rotation (CLAUDE.md rule + VERDICT r7 items 1-3):
     # 5 NEW queries lead (never driver-checked), then the 7-entry
     # backlog remainder from r7 positions 51-57 — driver-green on all
@@ -3645,6 +3671,8 @@ _R9_WINDOW = [
     "eval_contamination",
     "cluster_keep_best",
     "cross_source_dup",
+    "dup_cluster_sizes",
+    "template_prefix",
     # (2) r9 expression changes, promoted for driver re-check
     "quality_rule_pack",
     "dsir_weights",
@@ -3688,8 +3716,6 @@ _R9_WINDOW = [
     "sample_split",
     "stratified_sample",
     "session_transitions",
-    "doc_chunks",
-    "inverted_index",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 QUERIES = {
@@ -10729,4 +10755,56 @@ ORACLES["cross_source_dup"] = """
            CAST(sum(CASE WHEN src_a = src_b THEN ca ELSE ca + cb END) AS BIGINT)
              AS n_docs_involved
     FROM pairs GROUP BY 1, 2
+"""
+
+ORACLES["dup_cluster_sizes"] = """
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 15000000, text FROM documents WHERE doc_id % 15 = 0
+    ),
+    g AS (
+      SELECT md5(text) AS dg, count(*) AS s, min(length(text)) AS len
+      FROM u GROUP BY 1
+    ),
+    spec AS (
+      SELECT s AS group_size,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(s) AS BIGINT) AS n_docs,
+             CAST(sum(s - 1) AS BIGINT) AS n_docs_removable,
+             CAST(sum((s - 1) * len) AS BIGINT) AS chars_removable
+      FROM g GROUP BY 1
+    )
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           n_groups, n_docs, n_docs_removable, chars_removable,
+           floor((2000000 * n_docs + sum(n_docs) OVER ())
+                 / (2.0 * sum(n_docs) OVER ())) / 1000000.0 AS doc_share
+    FROM spec
+"""
+
+ORACLES["template_prefix"] = r"""
+    WITH pref AS (
+      SELECT source AS grp,
+             md5(array_to_string(
+               (string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))[1:8],
+               ' ')) AS pf
+      FROM documents
+    ),
+    counts AS (SELECT grp, pf, count(*) AS c FROM pref GROUP BY 1, 2),
+    rk AS (
+      SELECT grp, c,
+             row_number() OVER (PARTITION BY grp ORDER BY c DESC, pf) AS rn
+      FROM counts
+    ),
+    agg AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_prefixes
+      FROM counts GROUP BY 1
+    )
+    SELECT a.grp, n_docs, n_prefixes, CAST(c AS BIGINT) AS top_count,
+           floor((2000000 * c + n_docs) / (2.0 * n_docs)) / 1000000.0
+             AS top_share
+    FROM agg a JOIN rk ON a.grp = rk.grp AND rk.rn = 1
 """

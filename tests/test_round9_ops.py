@@ -320,3 +320,63 @@ def test_quality_rules_hash_counts_in_symbol_ratio(spark):
 
     assert r03(one_hash) == 1
     assert r03(two_hash) == 0
+
+
+# --- dup_cluster_sizes ---
+
+
+def test_dup_cluster_sizes_spectrum(spark):
+    rows = [
+        Row(doc_id=1, text="aaaa"),      # triple, len 4
+        Row(doc_id=2, text="aaaa"),
+        Row(doc_id=3, text="aaaa"),
+        Row(doc_id=4, text="bb"),        # pair, len 2
+        Row(doc_id=5, text="bb"),
+        Row(doc_id=6, text="unique"),
+    ]
+    out = {
+        r.group_size: r
+        for r in dedup.dup_cluster_sizes(spark.createDataFrame(rows)).collect()
+    }
+    assert out[3].n_groups == 1 and out[3].n_docs == 3
+    assert out[3].n_docs_removable == 2 and out[3].chars_removable == 8
+    assert out[2].n_docs_removable == 1 and out[2].chars_removable == 2
+    assert out[1].n_groups == 1 and out[1].n_docs_removable == 0
+    assert out[3].doc_share == 0.5
+    assert sum(r.n_docs for r in out.values()) == 6
+
+
+# --- template_prefix_share ---
+
+
+def test_template_prefix_share(spark):
+    tmpl = "terms of service apply to all pages here"  # 8-token prefix
+    rows = [
+        Row(doc_id=1, source="a", text=tmpl + " one"),
+        Row(doc_id=2, source="a", text=tmpl + " two"),
+        Row(doc_id=3, source="a", text=tmpl + " three"),
+        Row(doc_id=4, source="a", text="organic page content differs here a lot truly"),
+        Row(doc_id=5, source="b", text="each doc is different in source b"),
+        Row(doc_id=6, source="b", text="no shared template in this feed"),
+    ]
+    out = {
+        r.grp: r
+        for r in text.template_prefix_share(
+            spark.createDataFrame(rows), group_col="source", k=8
+        ).collect()
+    }
+    assert out["a"].n_docs == 4 and out["a"].top_count == 3
+    assert out["a"].top_share == 0.75 and out["a"].n_prefixes == 2
+    assert out["b"].top_count == 1 and out["b"].n_prefixes == 2
+
+
+def test_template_prefix_short_docs(spark):
+    # docs shorter than k tokens digest their full token list
+    rows = [
+        Row(doc_id=1, source="a", text="tiny doc"),
+        Row(doc_id=2, source="a", text="tiny doc"),
+    ]
+    out = text.template_prefix_share(
+        spark.createDataFrame(rows), group_col="source", k=8
+    ).collect()
+    assert out[0].top_count == 2 and out[0].top_share == 1.0

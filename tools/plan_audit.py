@@ -28,6 +28,8 @@ AUDITED = [
     "eval_contamination",
     "cluster_keep_best",
     "cross_source_dup",
+    "dup_cluster_sizes",
+    "template_prefix",
     "quality_rule_pack",
     "dsir_weights",
     "packing_efficiency",
@@ -323,6 +325,12 @@ CHECKS = {
     # digest-grain self-join on the digest key after the corpus
     # collapses to (digest, source, count) — hash join, never quadratic
     "cross_source_dup": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # digest groupBy -> |distinct sizes|-row spectrum; the corpus total
+    # is a window over spectrum rows only — no join at all
+    "dup_cluster_sizes": ["HashAggregate", "Window", "!Join"],
+    # map-only prefix digest -> (source, prefix) count -> argmax window
+    # over aggregated rows; the top join-back is source-grain
+    "template_prefix": ["HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"],
     # one map-only projection -> 1-row aggregate -> 9-row rule explode;
     # the corpus text never shuffles and nothing joins
     "quality_rule_pack": ["HashAggregate", "Generate", "!Join"],
