@@ -135,6 +135,13 @@ PIPELINE = {
     # rule. The other four r8 queries are scalar-aggregate-bound and
     # not bench-worthy.
     "dsir_weights": q.q_dsir_weights,
+    # round-9 additions — the two corpus-gram-scale r9 operators
+    # (8-token gram explode over the corpus / full bigram LM + ntile);
+    # BASELINE.md's pipeline table records their round-9 numbers as
+    # their own baselines per the freeze rule. The other seven r9
+    # queries are digest- or group-grain (< 1 s class), not benched.
+    "crossdoc_spans": q.q_crossdoc_spans,
+    "ppl_bucket_mix": q.q_ppl_bucket_mix,
 }
 
 
