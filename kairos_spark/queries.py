@@ -3693,6 +3693,9 @@ _R9_WINDOW = [
     "conversion_latency",
     "interval_proration",
     "event_study",
+    # wilson_ci oracle gained the signed-zero `+ 0.0` normalization
+    # (the r9 zero_audit finding) — promoted for driver re-check
+    "wilson_ci",
     # (3) rotation re-checks (last driver-checked r7)
     "training_data_prep",
     "minhash_first_hashes",
@@ -3715,7 +3718,6 @@ _R9_WINDOW = [
     "frame_sample",
     "sample_split",
     "stratified_sample",
-    "session_transitions",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 QUERIES = {
@@ -9885,7 +9887,7 @@ ORACLES["wilson_ci"] = """
                  - 1.959964
                    * sqrt(k / CAST(n AS DOUBLE) * (1.0 - k / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
                           + 1.959964 * 1.959964 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-                   / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)), 6) AS ci_lo,
+                   / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)), 6) + 0.0 AS ci_lo,
            round((k / CAST(n AS DOUBLE) + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE)))
                    / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))
                  + 1.959964
