@@ -296,6 +296,13 @@ def schema_profile(
     decide join strategies, bucketing keys, and whether a column can
     partition.
 
+    Cross-engine note (probed r9): Java renders doubles in E-notation
+    outside [1e-3, 1e7) ('1.0E-4', '1.0E7') where DuckDB stays plain
+    far longer ('0.0001', '10000000.0') — keep double/timestamp
+    columns out of any min/max string that an oracle must reproduce
+    (q_schema_profile profiles int/string columns only for exactly
+    this reason).
+
     Scale shape: all per-column aggregates evaluate in ONE aggregate
     pass over the data (no per-column scans); the count_distinct terms
     make it a multi-distinct Expand plan — at 100 TB swap those for
