@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from kairos_spark.operators.text import _round6_ratio
+from kairos_spark.operators.text import (
+    _round6_ratio,
+    _round6_ratio_dec,
+    _round6_ratio_dec_signed,
+)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1083,4 +1087,61 @@ def label_centroid_dists(
             .otherwise(F.lit(-1.0))
             .alias("cos"),
         )
+    )
+
+
+def embedding_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension first and second moments of an embedding column:
+    (dim, n, mean_v, var_v) with POPULATION variance — the whitening /
+    index-health audit run before building an ANN index. A healthy
+    well-spread embedding space has near-zero per-dim means and
+    roughly uniform per-dim variances; strong anisotropy (a few
+    dominant variances) is the standard signal to whiten or rotate
+    before IVF/LSH bucketing, and a near-zero-variance dimension is
+    dead weight in every distance computation.
+
+    Determinism: each float component is widened to double and
+    quantized on the exact 1e-12 decimal grid (double→DECIMAL cast,
+    engine-agreed while |x| < ~4.5e3 — unit-norm components are ≪ 1),
+    after which mean and variance are EXACT integer rationals:
+    mean = q1/(1e12·n), var = (n·q2 − q1²)/(1e24·n²), both rounded
+    half-up via the DECIMAL(38,0) ratio helpers. No float summation
+    order anywhere — the result is bit-identical on any partitioning
+    and any engine. Bounds: q ≤ 1e12 ⇒ n·q2 ≤ n²·1e24 ≤ ~4e30 and
+    2·10⁶·num ≤ ~8e36 < 10³⁸, inside the DECIMAL(38,0) contract.
+
+    Scale shape: posexplode is map-side dim fan-out inside the task;
+    the ONLY shuffle carries (dim, partial count/Σq/Σq²) combiner
+    rows — bounded by dim × partitions, independent of corpus size.
+    No joins, no windows; vectors never move."""
+    q = (F.col("__v").cast("decimal(14,12)") * F.lit(1_000_000_000_000)).cast(
+        "decimal(13,0)"
+    )
+    comp = (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v0"))
+        .select("dim", F.col("__v0").cast("double").alias("__v"))
+        .select("dim", q.alias("__q"))
+    )
+    agg = comp.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__q").alias("__q1"),
+        F.sum(F.col("__q") * F.col("__q")).alias("__q2"),
+    )
+    e24 = F.lit("1000000000000000000000000").cast("decimal(38,0)")
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        _round6_ratio_dec_signed(
+            F.col("__q1"), F.lit(1_000_000_000_000) * F.col("n")
+        ).alias("mean_v"),
+        # population variance is a non-negative exact rational, so the
+        # unsigned DECIMAL ratio applies
+        _round6_ratio_dec(
+            F.col("n").cast("decimal(38,0)") * F.col("__q2")
+            - F.col("__q1") * F.col("__q1"),
+            e24 * (F.col("n") * F.col("n")).cast("decimal(38,0)"),
+        ).alias("var_v"),
     )

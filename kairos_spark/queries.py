@@ -2475,6 +2475,14 @@ def q_embedding_drift(spark, sf_dir):
     return similarity.embedding_drift(emb)
 
 
+def q_embedding_moments(spark, sf_dir):
+    """Per-dimension mean/variance of the embedding table (whitening /
+    ANN-index-health audit) — exact 1e-12-quantized integer rationals,
+    bit-identical on any partitioning."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.embedding_moments(emb)
+
+
 def q_ols2_fit(spark, sf_dir):
     """Per-returnflag two-feature OLS: extendedprice on quantity and
     discount, closed-form normal equations over DECIMAL-exact sums."""
@@ -3625,6 +3633,7 @@ QUERIES = {
     "lift_curve": q_lift_curve,
     "topk_churn": q_topk_churn,
     "embedding_drift": q_embedding_drift,
+    "embedding_moments": q_embedding_moments,
     "ols2_fit": q_ols2_fit,
     "json_schema_profile": q_json_schema_profile,
     "expectations_audit": q_expectations_audit,
@@ -3664,6 +3673,7 @@ QUERIES = {
 # local full-registry mirror.
 _R9_WINDOW = [
     # (1) new r9
+    "embedding_moments",
     "paragraph_dedup",
     "crossdoc_spans",
     "ppl_bucket_mix",
@@ -3717,7 +3727,6 @@ _R9_WINDOW = [
     "ann_lsh_topk",
     "frame_sample",
     "sample_split",
-    "stratified_sample",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 QUERIES = {
@@ -7526,6 +7535,32 @@ ORACLES["topk_churn"] = """
                 ELSE 'exited' END AS status
     FROM ranked
     WHERE (r1 <= 20 AND n_1 > 0) OR (r2 <= 20 AND n_2 > 0)
+"""
+
+ORACLES["embedding_moments"] = """
+    WITH comp AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(14,12))
+                  * 1000000000000 AS HUGEINT) AS q
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             sum(q)::HUGEINT AS q1, sum(q*q)::HUGEINT AS q2
+      FROM comp GROUP BY 1
+    )
+    SELECT CAST(dim AS INT) AS dim, n,
+      CASE WHEN q1 >= 0
+        THEN  CAST(( 2000000::HUGEINT*q1 + 1000000000000::HUGEINT*n)
+                   // (2::HUGEINT*1000000000000::HUGEINT*n) AS BIGINT) / 1000000.0
+        ELSE -CAST((-2000000::HUGEINT*q1 + 1000000000000::HUGEINT*n)
+                   // (2::HUGEINT*1000000000000::HUGEINT*n) AS BIGINT) / 1000000.0
+      END AS mean_v,
+      CAST((2000000::HUGEINT*(n*q2 - q1*q1)
+            + 1000000000000000000000000::HUGEINT*n*n)
+           // (2::HUGEINT*1000000000000000000000000::HUGEINT*n*n) AS BIGINT)
+      / 1000000.0 AS var_v
+    FROM agg
 """
 
 ORACLES["embedding_drift"] = """

@@ -380,3 +380,56 @@ def test_template_prefix_short_docs(spark):
         spark.createDataFrame(rows), group_col="source", k=8
     ).collect()
     assert out[0].top_count == 2 and out[0].top_share == 1.0
+
+
+# --- embedding_moments ---
+
+
+def test_embedding_moments_exact_values(spark):
+    from kairos_spark.operators import similarity
+
+    rows = [
+        Row(vec_id=1, embedding=[0.5, -0.25]),
+        Row(vec_id=2, embedding=[0.5, 0.25]),
+        Row(vec_id=3, embedding=[-1.0, 0.25]),
+    ]
+    out = {
+        r.dim: r
+        for r in similarity.embedding_moments(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    # dim 0: mean 0/3 = 0, var_pop = (0.25+0.25+1)/3 - 0 = 0.5
+    assert out[0].n == 3
+    assert out[0].mean_v == 0.0
+    assert out[0].var_v == 0.5
+    # dim 1: mean 0.25/3 = 0.083333 (half-up), var = (3*0.1875-0.0625)/9
+    assert out[1].mean_v == 0.083333
+    assert out[1].var_v == 0.055556
+
+
+def test_embedding_moments_constant_dim_zero_var(spark):
+    from kairos_spark.operators import similarity
+
+    rows = [Row(vec_id=i, embedding=[0.125, float(i)/10]) for i in range(4)]
+    out = {
+        r.dim: r
+        for r in similarity.embedding_moments(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    assert out[0].var_v == 0.0 and out[0].mean_v == 0.125
+
+
+def test_embedding_moments_partition_invariant(spark):
+    # the exact-decimal route must be bit-identical on any partitioning
+    from kairos_spark.operators import similarity
+
+    rows = [
+        Row(vec_id=i, embedding=[((i * 37) % 100) / 99.0 - 0.5])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    a = similarity.embedding_moments(df.repartition(1)).collect()
+    b = similarity.embedding_moments(df.repartition(13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

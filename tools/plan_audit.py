@@ -219,6 +219,7 @@ AUDITED = [
     "lift_curve",
     "topk_churn",
     "embedding_drift",
+    "embedding_moments",
     "ols2_fit",
     "json_schema_profile",
     "expectations_audit",
@@ -817,6 +818,9 @@ CHECKS = {
     # map-side posexplode; (label, dim) then label-grain aggregates;
     # the counts join is label-grain — no pairwise vector compare
     "embedding_drift": ["Generate", "HashAggregate", "Join", "!CartesianProduct", "!NestedLoop"],
+    # map-side posexplode; ONE dim-grain partial+final aggregate; the
+    # exact-decimal moments are scalar projection — no join, no window
+    "embedding_moments": ["Generate", "HashAggregate", "!Join", "!Window", "!CartesianProduct"],
     # ONE sufficient-statistics aggregate per group; Cramer algebra is
     # scalar projection over group-grain rows — no join, no window
     "ols2_fit": ["HashAggregate", "!Join", "!Window", "!CartesianProduct"],
