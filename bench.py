@@ -138,8 +138,9 @@ PIPELINE = {
     # round-9 additions — the two corpus-gram-scale r9 operators
     # (8-token gram explode over the corpus / full bigram LM + ntile);
     # BASELINE.md's pipeline table records their round-9 numbers as
-    # their own baselines per the freeze rule. The other seven r9
-    # queries are digest- or group-grain (< 1 s class), not benched.
+    # their own baselines per the freeze rule. The other eight r9
+    # queries are digest-, group- or dim-grain (< 1 s class), not
+    # benched.
     "crossdoc_spans": q.q_crossdoc_spans,
     "ppl_bucket_mix": q.q_ppl_bucket_mix,
 }
