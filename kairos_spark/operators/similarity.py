@@ -1104,9 +1104,16 @@ def embedding_moments(
     dead weight in every distance computation.
 
     Determinism: each float component is widened to double and
-    quantized on the exact 1e-12 decimal grid (double→DECIMAL cast,
-    engine-agreed while |x| < ~4.5e3 — unit-norm components are ≪ 1),
-    after which mean and variance are EXACT integer rationals:
+    quantized on the exact 1e-12 grid with the ``_cents`` tie rule
+    generalized — sign·floor(|v|·1e12 + 0.5). The double→DECIMAL cast
+    is NOT used here: engine-probed (r9), Spark's cast rounds a
+    scale-12 midpoint half-AWAY (1/8192 → …312.5 → 313) while
+    DuckDB's rounds half-EVEN (→ 312), and dyadic-coarse components
+    (LSB ≥ 2^-13) land exactly on those ties. The floor form is
+    engine-identical for every double with |v|·1e12 < 2^53: both
+    engines compute the same correctly-rounded product and the same
+    floor. After quantization, mean and variance are EXACT integer
+    rationals:
     mean = q1/(1e12·n), var = (n·q2 − q1²)/(1e24·n²), both rounded
     half-up via the DECIMAL(38,0) ratio helpers. No float summation
     order anywhere — the result is bit-identical on any partitioning
@@ -1117,8 +1124,11 @@ def embedding_moments(
     the ONLY shuffle carries (dim, partial count/Σq/Σq²) combiner
     rows — bounded by dim × partitions, independent of corpus size.
     No joins, no windows; vectors never move."""
-    q = (F.col("__v").cast("decimal(14,12)") * F.lit(1_000_000_000_000)).cast(
-        "decimal(13,0)"
+    mag = F.floor(F.abs(F.col("__v")) * F.lit(1_000_000_000_000.0) + F.lit(0.5))
+    q = (
+        F.when(F.col("__v") >= 0, mag).otherwise(-mag)
+        .cast("long")
+        .cast("decimal(13,0)")
     )
     comp = (
         df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v0"))

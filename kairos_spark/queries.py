@@ -7538,11 +7538,18 @@ ORACLES["topk_churn"] = """
 """
 
 ORACLES["embedding_moments"] = """
-    WITH comp AS (
+    WITH vals AS (
       SELECT unnest(range(len(embedding))) AS dim,
-             CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(14,12))
-                  * 1000000000000 AS HUGEINT) AS q
+             CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings
+    ),
+    comp AS (
+      SELECT dim,
+             CASE WHEN v >= 0
+               THEN  CAST(floor( v * 1000000000000.0 + 0.5) AS HUGEINT)
+               ELSE -CAST(floor(-v * 1000000000000.0 + 0.5) AS HUGEINT)
+             END AS q
+      FROM vals
     ),
     agg AS (
       SELECT dim, CAST(count(*) AS BIGINT) AS n,

@@ -433,3 +433,55 @@ def test_embedding_moments_partition_invariant(spark):
     a = similarity.embedding_moments(df.repartition(1)).collect()
     b = similarity.embedding_moments(df.repartition(13)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_decimal_cast_tie_rule_diverges_and_floor_agrees(spark):
+    """Engine fact (r9): Spark's double→DECIMAL(14,12) cast rounds a
+    scale-12 midpoint half-AWAY while DuckDB's rounds half-EVEN —
+    1/8192·1e12 = 122070312.5 exactly. embedding_moments therefore
+    quantizes with sign·floor(|v|·1e12 + 0.5), identical in both
+    engines. If the divergence assertion starts failing, an engine
+    changed its cast tie rule — re-audit every scale-12 cast site."""
+    import duckdb
+
+    x = 1 / 8192
+    (sp_cast,) = spark.range(1).select(
+        (F.lit(x).cast("decimal(14,12)") * F.lit(1_000_000_000_000))
+        .cast("decimal(13,0)")
+        .cast("long")
+    ).collect()[0]
+    con = duckdb.connect()
+    (dk_cast,) = con.execute(
+        "SELECT CAST(CAST(?::DOUBLE AS DECIMAL(14,12)) * 1000000000000 AS HUGEINT)",
+        [x],
+    ).fetchone()
+    assert sp_cast == 122070313 and dk_cast == 122070312  # the split
+    (sp_floor,) = spark.range(1).select(
+        F.floor(F.abs(F.lit(x)) * F.lit(1_000_000_000_000.0) + F.lit(0.5)).cast("long")
+    ).collect()[0]
+    (dk_floor,) = con.execute(
+        "SELECT CAST(floor(?::DOUBLE * 1000000000000.0 + 0.5) AS BIGINT)", [x]
+    ).fetchone()
+    assert sp_floor == dk_floor == 122070313
+
+
+def test_embedding_moments_tie_components(spark):
+    # dyadic-coarse components landing exactly on 1e-12-grid ties must
+    # quantize identically regardless of sign
+    from kairos_spark.operators import similarity
+
+    rows = [
+        Row(vec_id=1, embedding=[1 / 8192, -1 / 8192]),
+        Row(vec_id=2, embedding=[3 / 8192, -3 / 8192]),
+    ]
+    out = {
+        r.dim: r
+        for r in similarity.embedding_moments(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    # quanta: 122070313 and 366210938 (half-up) -> mean = half-up of
+    # 488281251/(2e12) = 0.000244140625500 -> 0.000244
+    assert out[0].mean_v == 0.000244
+    assert out[1].mean_v == -0.000244
+    assert out[0].var_v == out[1].var_v  # symmetric spread

@@ -536,6 +536,19 @@ def make_embeddings():
         labels.append(i % 10)
     vecs.append(vecs[-1][:])  # duplicate of the last dense vector
     labels.append(9)
+    # round 9: 1e-12-grid quantization TIES. m/8192 (odd m) is exactly
+    # float32-representable and v·1e12 lands exactly on k+0.5, where
+    # Spark's double→DECIMAL cast rounds half-AWAY and DuckDB's rounds
+    # half-EVEN (engine-probed). embedding_moments therefore quantizes
+    # with sign·floor(|v|·1e12 + 0.5) — these vectors keep the tie rule
+    # pinned through every embedding-reading query.
+    for m in (1, 3, 5, -1, -3):
+        v = [0.0] * dim
+        v[0] = m / 8192.0
+        v[1] = -m / 8192.0
+        v[2] = m / 4096.0  # non-tie dyadic control
+        vecs.append(v)
+        labels.append(abs(m) % 10)
     return pa.table(
         {
             "vec_id": pa.array(range(len(vecs)), pa.int64()),
