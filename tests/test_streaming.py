@@ -532,3 +532,83 @@ def test_streaming_fingerprint_matches_batch(spark, input_dir):
         ).collect()
     }
     assert got == batch and got  # non-empty agreement
+
+
+def test_stream_source_quota_admission(spark, tmp_path):
+    from kairos_spark.streaming.quota import stream_source_quota
+
+    # source A: 3 docs of 40 tokens into a 100-token window -> third
+    # rejected; a later 15-token doc still fits (no high-water block).
+    # source B: everything fits.
+    rows = [
+        ("A", 1, BASE + 0, 40), ("A", 2, BASE + 10, 40),
+        ("A", 3, BASE + 20, 40), ("A", 4, BASE + 30, 15),
+        ("B", 5, BASE + 5, 90),
+    ]
+    df = spark.createDataFrame(
+        [(s, i, float(t), n) for s, i, t, n in rows],
+        "source string, doc_id long, ts_sec double, n_tokens long",
+    ).select("source", "doc_id", F.timestamp_seconds("ts_sec").alias("ts"), "n_tokens")
+    src = str(tmp_path / "quota_in")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "source string, doc_id long, ts timestamp, n_tokens long"
+    ).parquet(src)
+    out = stream_source_quota(stream, max_tokens=100, window_sec=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_sink")
+        .option("checkpointLocation", str(tmp_path / "quota_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["admitted"], r["used_after"])
+        for r in spark.sql("SELECT * FROM quota_sink").collect()
+    }
+    assert got[1] == (True, 40) and got[2] == (True, 80)
+    assert got[3] == (False, 80)       # does not fit, does not consume
+    assert got[4] == (True, 95)        # later smaller doc still admitted
+    assert got[5] == (True, 90)        # source B independent
+    # every input doc decided exactly once
+    assert len(got) == 5
+
+
+def test_stream_source_quota_state_spans_batches(spark, tmp_path):
+    from kairos_spark.streaming.quota import stream_source_quota
+
+    src = str(tmp_path / "quota2_in")
+    schema = "source string, doc_id long, ts timestamp, n_tokens long"
+
+    def write(rows):
+        spark.createDataFrame(
+            [(s, i, float(t), n) for s, i, t, n in rows],
+            "source string, doc_id long, ts_sec double, n_tokens long",
+        ).select(
+            "source", "doc_id", F.timestamp_seconds("ts_sec").alias("ts"), "n_tokens"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([("A", 1, BASE + 0, 60)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_source_quota(stream, max_tokens=100, window_sec=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota2_sink")
+        .option("checkpointLocation", str(tmp_path / "quota2_chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second micro-batch: the window counter must persist (60 used),
+    # so a 50-token doc in the SAME window is rejected
+    write([("A", 2, BASE + 100, 50), ("A", 3, BASE + 200, 40)])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (r["admitted"], r["used_after"])
+        for r in spark.sql("SELECT * FROM quota2_sink").collect()
+    }
+    assert got[1] == (True, 60)
+    assert got[2] == (False, 60)
+    assert got[3] == (True, 100)
