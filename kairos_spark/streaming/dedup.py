@@ -29,7 +29,7 @@ def stream_exact_dedup(
     df: DataFrame,
     text_col: str = "text",
     ts_col: str = "ts",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Drop rows whose ``text_col`` digest was already seen within the
@@ -37,12 +37,16 @@ def stream_exact_dedup(
     falls back to plain digest dropDuplicates semantics).
 
     ``extra_keys`` widens the dedup key (e.g. ``["source"]`` to dedup
-    per-crawler rather than globally).
+    per-crawler rather than globally). ``watermark=None`` means the
+    input stream is ALREADY watermarked upstream — Spark disallows
+    redefining it, and a multi-stateful pipeline (quality gate →
+    dedup → quota) must define the watermark exactly once.
     """
     keys = ["__digest"] + list(extra_keys or [])
     out = df.withColumn("__digest", F.md5(F.col(text_col).cast("string")))
     if out.isStreaming:
-        out = out.withWatermark(ts_col, watermark)
+        if watermark is not None:
+            out = out.withWatermark(ts_col, watermark)
         out = out.dropDuplicatesWithinWatermark(keys)
     else:
         out = out.dropDuplicates(keys)

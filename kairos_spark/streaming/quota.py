@@ -56,14 +56,16 @@ def stream_source_quota(
     id_col: str = "doc_id",
     ts_col: str = "ts",
     tokens_col: str = "n_tokens",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
 ) -> DataFrame:
     """Admission-control stream: every input doc comes back out as
     (source, w_start, doc_id, n_tokens, admitted, used_after), where
     ``admitted`` says whether it fit the (source, window) budget and
     ``used_after`` is the window's consumed-token counter after the
     decision (unchanged for rejects). Filter ``admitted`` downstream
-    to split accept/reject sinks."""
+    to split accept/reject sinks. ``watermark=None`` means the input
+    is already watermarked upstream (multi-stateful pipelines define
+    the watermark exactly once — redefining it is disallowed)."""
     src_field = stream_df.schema[source_col]
     out_schema = StructType(
         [
@@ -117,9 +119,13 @@ def stream_source_quota(
     w_start = F.timestamp_seconds(
         (F.unix_timestamp(F.col(ts_col)) / wsec).cast("long") * wsec
     )
-    return (
+    marked = (
         stream_df.withWatermark(ts_col, watermark)
-        .withColumn("__w", w_start)
+        if watermark is not None
+        else stream_df
+    )
+    return (
+        marked.withColumn("__w", w_start)
         .groupBy(source_col, "__w")
         .applyInPandasWithState(
             fn,

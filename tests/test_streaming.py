@@ -612,3 +612,49 @@ def test_stream_source_quota_state_spans_batches(spark, tmp_path):
     assert got[1] == (True, 60)
     assert got[2] == (False, 60)
     assert got[3] == (True, 100)
+
+
+def test_streaming_ingest_pipeline_composes(spark, tmp_path):
+    """Quality gate → watermark-bounded exact dedup → per-source quota
+    admission, ALL in one streaming query (two stateful operators).
+    Spark allows multiple stateful ops but the watermark must be
+    defined exactly once — the watermark=None passthrough on the
+    operators exists for exactly this composition."""
+    from kairos_spark.streaming import stream_exact_dedup, stream_source_quota
+
+    rows = [
+        ("webA", 1, BASE + 0, "good doc one with plenty of words", 200),
+        ("webA", 2, BASE + 10, "good doc one with plenty of words", 200),  # dup
+        ("webA", 3, BASE + 20, "x", 1),                                    # gated
+        ("webA", 4, BASE + 30, "another solid document body here", 900),   # over quota
+        ("webB", 5, BASE + 40, "unique b text", 100),
+    ]
+    df = spark.createDataFrame(
+        [(s, i, float(t), x, n) for s, i, t, x, n in rows],
+        "source string, doc_id long, ts_sec double, text string, n_tokens long",
+    ).select(
+        "source", "doc_id", F.timestamp_seconds("ts_sec").alias("ts"),
+        "text", "n_tokens",
+    )
+    src = str(tmp_path / "pipe_in")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "source string, doc_id long, ts timestamp, text string, n_tokens long"
+    ).parquet(src)
+    gated = stream.withWatermark("ts", "1 hour").where(F.length("text") >= 5)
+    deduped = stream_exact_dedup(gated, text_col="text", ts_col="ts", watermark=None)
+    out = stream_source_quota(deduped, max_tokens=1000, window_sec=3600, watermark=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pipe_sink")
+        .option("checkpointLocation", str(tmp_path / "pipe_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = sorted(
+        (r["doc_id"], r["admitted"])
+        for r in spark.sql("SELECT doc_id, admitted FROM pipe_sink").collect()
+    )
+    assert res == [(1, True), (4, False), (5, True)]
