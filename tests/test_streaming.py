@@ -658,3 +658,70 @@ def test_streaming_ingest_pipeline_composes(spark, tmp_path):
         for r in spark.sql("SELECT doc_id, admitted FROM pipe_sink").collect()
     )
     assert res == [(1, True), (4, False), (5, True)]
+
+
+def test_stream_anomaly_alerts_spike(spark, tmp_path):
+    from kairos_spark.streaming import stream_anomaly_alerts
+
+    # steady 10±1 pattern, then a 100 spike after warm-up -> exactly
+    # one alert, and the alert's baseline is the pre-spike EWMA
+    vals = [10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0, 100.0, 10.0]
+    rows = [("api", float(BASE + i * 10), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_sec double, value double"
+    ).select("event_type", F.timestamp_seconds("ts_sec").alias("ts"), "value")
+    src = str(tmp_path / "anom_in")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).parquet(src)
+    out = stream_anomaly_alerts(stream, alpha=0.1, threshold=4.0, min_n=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_sink")
+        .option("checkpointLocation", str(tmp_path / "anom_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    alerts = spark.sql("SELECT * FROM anom_sink").collect()
+    assert len(alerts) == 1
+    r = alerts[0]
+    assert r["value"] == 100.0 and r["event_type"] == "api"
+    assert 9.0 < r["baseline"] < 11.0 and r["z"] > 4.0
+
+
+def test_stream_anomaly_baseline_spans_batches(spark, tmp_path):
+    from kairos_spark.streaming import stream_anomaly_alerts
+
+    src = str(tmp_path / "anom2_in")
+
+    def write(vals, t0):
+        spark.createDataFrame(
+            [("api", float(t0 + i * 10), v) for i, v in enumerate(vals)],
+            "event_type string, ts_sec double, value double",
+        ).select(
+            "event_type", F.timestamp_seconds("ts_sec").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1 builds the baseline only; the spike arrives in batch 2
+    # and must alert against the PERSISTED state
+    write([10.0, 11.0, 9.0, 10.0, 11.0, 9.0], BASE)
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).parquet(src)
+    out = stream_anomaly_alerts(stream, alpha=0.1, threshold=4.0, min_n=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom2_sink")
+        .option("checkpointLocation", str(tmp_path / "anom2_chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT count(*) c FROM anom2_sink").collect()[0]["c"] == 0
+    write([100.0], BASE + 100)
+    q.processAllAvailable()
+    q.stop()
+    alerts = spark.sql("SELECT * FROM anom2_sink").collect()
+    assert len(alerts) == 1 and alerts[0]["value"] == 100.0
