@@ -1144,8 +1144,13 @@ def embedding_moments(
     return agg.select(
         F.col("dim").cast("int").alias("dim"),
         "n",
+        # the 1e12·n denominator is formed in DECIMAL(38,0): a BIGINT
+        # product would ANSI-overflow once a dimension has n ≥ ~9.2e6
+        # vectors (ADVICE r9), defeating the exact-DECIMAL design.
         _round6_ratio_dec_signed(
-            F.col("__q1"), F.lit(1_000_000_000_000) * F.col("n")
+            F.col("__q1"),
+            F.lit(1_000_000_000_000).cast("decimal(38,0)")
+            * F.col("n").cast("decimal(38,0)"),
         ).alias("mean_v"),
         # population variance is a non-negative exact rational, so the
         # unsigned DECIMAL ratio applies

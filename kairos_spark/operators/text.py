@@ -2184,9 +2184,18 @@ def tokenizer_drift(
         _round6_ratio(F.col("chars"), F.greatest(F.col("tokens"), F.lit(1))).alias(
             "chars_per_token"
         ),
+        # the count·count cross products are formed in DECIMAL(38,0):
+        # under ANSI a long*long product hard-errors past ~9.2e18, and
+        # chars_g·tokens_all crosses that exactly at the corpus scale
+        # this operator exists for (ADVICE r9) — the oracle's HUGEINT
+        # products never errored, so the overflow would be one-sided.
         _round6_ratio_dec_signed(
-            F.col("chars") * F.col("__ta") - F.col("__ca") * F.col("tokens"),
-            F.greatest(F.col("tokens") * F.col("__ta"), F.lit(1)),
+            F.col("chars").cast("decimal(38,0)") * F.col("__ta").cast("decimal(38,0)")
+            - F.col("__ca").cast("decimal(38,0)") * F.col("tokens").cast("decimal(38,0)"),
+            F.greatest(
+                F.col("tokens").cast("decimal(38,0)") * F.col("__ta").cast("decimal(38,0)"),
+                F.lit(1).cast("decimal(38,0)"),
+            ),
         ).alias("drift"),
     )
 

@@ -755,10 +755,25 @@ def conversion_latency(
     epoch_us on both engines), so mean_sec is one exact integer ratio
     (Σlat_us / 10^6·n, DECIMAL route — a micro-unit sum passes the
     BIGINT·2e6 ceiling) and never a bare round over a double quotient
-    (midpoint class, caught by the r9 round_lint tightening);
-    percentiles interpolate over the identical lat_us/1e6 doubles.
-    Two per-user min-aggregates and one scalar summary — raw events
-    shuffle once per aggregate on the user key."""
+    (midpoint class, caught by the r9 round_lint tightening).
+    Percentiles are the SAME class (ADVICE r10): the linear
+    interpolation lower + frac·(upper−lower) over exact-rational
+    seconds lands exactly on 7th-decimal midpoints (p50 with an even
+    count is (a+b)/2), so they are computed as ONE exact integer ratio
+    too — for p = a/b over n sorted integer-microsecond values,
+    idx·b = a·(n−1) splits into lo = idx_b div b, k = idx_b mod b,
+    and percentile_sec = (b·v_lo + k·(v_hi−v_lo)) / (b·10^6), routed
+    through the DECIMAL ratio helper (b·v can pass the BIGINT·2e6
+    ceiling at real time spans). Never a bare F.round over
+    percentile() doubles.
+
+    Scale shape: two per-user min-aggregates (raw events shuffle once
+    per aggregate on the user key); the percentile rank extraction is
+    one global sort window over the CONVERTER-grain rows — the same
+    all-values-in-one-buffer cost class as percentile() itself, on a
+    scalar-summary output."""
+    from pyspark.sql.window import Window
+
     us = F.unix_micros(F.col(ts_col))
     first_a = (
         df.where(F.col(type_col) == from_type)
@@ -774,12 +789,45 @@ def conversion_latency(
         .agg((F.min("__tb") - F.first("__ta")).alias("__lat_us"))
     )
     n_started = first_a.agg(F.count("*").alias("n_started"))
-    conv = joined.agg(
+
+    # exact-integer percentile rank extraction: rank each latency,
+    # then pull v_lo / v_hi for p50 (a/b = 1/2) and p90 (a/b = 9/10)
+    # and interpolate entirely in integer microseconds.
+    w = Window.orderBy("__lat_us", user_col)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        joined.select(user_col, "__lat_us")
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wall))
+    )
+    idx50 = F.col("__n") - 1  # p50: a/b = 1/2, idx_b = 1·(n−1)
+    idx90 = (F.col("__n") - 1) * 9  # p90: a/b = 9/10, idx_b = 9·(n−1)
+    lo50 = ((idx50 - F.pmod(idx50, F.lit(2))) / F.lit(2)).cast("long") + 1
+    lo90 = ((idx90 - F.pmod(idx90, F.lit(10))) / F.lit(10)).cast("long") + 1
+    picked = ranked.agg(
         F.count("*").alias("n_converted"),
-        F.round(F.expr("percentile(__lat_us / 1e6, 0.5)"), 6).alias("p50_sec"),
-        F.round(F.expr("percentile(__lat_us / 1e6, 0.9)"), 6).alias("p90_sec"),
+        F.sum("__lat_us").alias("__sum_us"),
+        F.max(F.when(F.col("__r") == lo50, F.col("__lat_us"))).alias("__v50lo"),
+        F.max(F.when(F.col("__r") == lo50 + 1, F.col("__lat_us"))).alias("__v50hi"),
+        F.max(F.pmod(idx50, F.lit(2))).alias("__k50"),
+        F.max(F.when(F.col("__r") == lo90, F.col("__lat_us"))).alias("__v90lo"),
+        F.max(F.when(F.col("__r") == lo90 + 1, F.col("__lat_us"))).alias("__v90hi"),
+        F.max(F.pmod(idx90, F.lit(10))).alias("__k90"),
+    )
+    d50 = F.coalesce(F.col("__v50hi"), F.col("__v50lo")) - F.col("__v50lo")
+    d90 = F.coalesce(F.col("__v90hi"), F.col("__v90lo")) - F.col("__v90lo")
+    conv = picked.select(
+        "n_converted",
         _round6_ratio_dec(
-            F.sum("__lat_us"), F.lit(1_000_000) * F.count("*")
+            F.lit(2) * F.col("__v50lo") + F.col("__k50") * d50,
+            F.lit(2_000_000),
+        ).alias("p50_sec"),
+        _round6_ratio_dec(
+            F.lit(10) * F.col("__v90lo") + F.col("__k90") * d90,
+            F.lit(10_000_000),
+        ).alias("p90_sec"),
+        _round6_ratio_dec(
+            F.col("__sum_us"), F.lit(1_000_000) * F.col("n_converted")
         ).alias("mean_sec"),
     )
     return n_started.crossJoin(F.broadcast(conv)).select(

@@ -6135,15 +6135,40 @@ ORACLES["conversion_latency"] = """
       GROUP BY 1
     ),
     ns AS (SELECT count(*) AS n_started FROM first_a),
-    c AS (
-      SELECT count(*) AS n_converted,
-             round(quantile_cont(l_us / 1e6, 0.5), 6) AS p50_sec,
-             round(quantile_cont(l_us / 1e6, 0.9), 6) AS p90_sec,
-             CAST((2000000::HUGEINT * sum(l_us)::HUGEINT
-                   + 1000000::HUGEINT * count(*))
-                  // (2::HUGEINT * 1000000::HUGEINT * count(*)) AS BIGINT)
-               / 1000000.0 AS mean_sec
+    rk AS (
+      SELECT l_us,
+             row_number() OVER (ORDER BY l_us, user_id) AS r,
+             count(*) OVER () AS n
       FROM lat
+    ),
+    pick AS (
+      SELECT count(*) AS n_converted,
+             sum(l_us) AS sum_us,
+             max(CASE WHEN r = (n-1)//2 + 1 THEN l_us END) AS v50lo,
+             max(CASE WHEN r = (n-1)//2 + 2 THEN l_us END) AS v50hi,
+             max((n-1) % 2) AS k50,
+             max(CASE WHEN r = (9*(n-1))//10 + 1 THEN l_us END) AS v90lo,
+             max(CASE WHEN r = (9*(n-1))//10 + 2 THEN l_us END) AS v90hi,
+             max((9*(n-1)) % 10) AS k90
+      FROM rk
+    ),
+    c AS (
+      SELECT n_converted,
+             CAST((2000000::HUGEINT
+                     * (2*v50lo + k50*(coalesce(v50hi, v50lo) - v50lo))::HUGEINT
+                   + 2000000::HUGEINT)
+                  // (2::HUGEINT * 2000000::HUGEINT) AS BIGINT)
+               / 1000000.0 AS p50_sec,
+             CAST((2000000::HUGEINT
+                     * (10*v90lo + k90*(coalesce(v90hi, v90lo) - v90lo))::HUGEINT
+                   + 10000000::HUGEINT)
+                  // (2::HUGEINT * 10000000::HUGEINT) AS BIGINT)
+               / 1000000.0 AS p90_sec,
+             CAST((2000000::HUGEINT * sum_us::HUGEINT
+                   + 1000000::HUGEINT * n_converted)
+                  // (2::HUGEINT * 1000000::HUGEINT * n_converted) AS BIGINT)
+               / 1000000.0 AS mean_sec
+      FROM pick
     )
     SELECT n_started, n_converted,
            floor((2000000 * n_converted + n_started)

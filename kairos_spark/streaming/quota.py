@@ -9,10 +9,14 @@ is flagged and routed to a reject sink instead of silently skewing
 the mix every downstream mix audit assumes.
 
 Semantics: within each (source, window) the arriving docs are
-admitted in (ts, doc id) order while ``used + n_tokens <= budget``;
-a doc that does not fit is rejected and does NOT consume budget (a
-later smaller doc may still fit — deterministic given the input,
-no high-water blocking). Every input doc is emitted exactly once
+admitted in (ts, doc id) order WITHIN each micro-batch while
+``used + n_tokens <= budget``; a doc that does not fit is rejected
+and does NOT consume budget (a later smaller doc may still fit — no
+high-water blocking). Determinism is per-micro-batch: admission
+order is (ts, id)-sorted only inside a batch, so different
+micro-batch boundaries can admit a different doc set for the same
+input (ADVICE r9 — the earlier "deterministic given the input"
+claim overstated this). Every input doc is emitted exactly once
 with its admission decision, so the stream splits into accept/reject
 branches with two filters downstream.
 
@@ -83,7 +87,12 @@ def stream_source_quota(
     def fn(
         key: Tuple[Any, Any], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        source, w_start = key
+        # the window key is epoch SECONDS (long), not a naive datetime:
+        # naive-datetime .timestamp() round-trips through the worker's
+        # OS-local timezone and can shift the event-time timeout by an
+        # hour across a DST fold (ADVICE r9). Epoch math is tz-free.
+        source, w_epoch = key
+        w_epoch = int(w_epoch)
         if state.hasTimedOut:
             state.remove()
             return
@@ -103,12 +112,13 @@ def stream_source_quota(
             used_after.append(used)
         state.update((int(used),))
         # drop the counter once the watermark passes the window end
-        w_end_ms = int((w_start.timestamp() + wsec) * 1000)
+        w_end_ms = (w_epoch + wsec) * 1000
         state.setTimeoutTimestamp(w_end_ms + 1)
         yield pd.DataFrame(
             {
                 source_col: pdf[source_col].to_numpy(),
-                "w_start": w_start,
+                # naive UTC; Arrow localizes to the session tz (UTC)
+                "w_start": pd.Timestamp(w_epoch, unit="s"),
                 id_col: pdf[id_col].to_numpy(),
                 tokens_col: pdf[tokens_col].astype("int64").to_numpy(),
                 "admitted": admitted,
@@ -116,16 +126,14 @@ def stream_source_quota(
             }
         )
 
-    w_start = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / wsec).cast("long") * wsec
-    )
+    w_epoch_col = (F.unix_timestamp(F.col(ts_col)) / wsec).cast("long") * wsec
     marked = (
         stream_df.withWatermark(ts_col, watermark)
         if watermark is not None
         else stream_df
     )
     return (
-        marked.withColumn("__w", w_start)
+        marked.withColumn("__w", w_epoch_col)
         .groupBy(source_col, "__w")
         .applyInPandasWithState(
             fn,
