@@ -147,13 +147,15 @@ PIPELINE = {
 
 
 def pipeline_stats(spark, sf_dir):
-    """Data-volume counters for the two loop-shaped pipeline entries
-    (VERDICT r8 #1): `dedup_clusters_lsh` and `bfs_reach_minute` are
-    multi-round jobs whose wall time scales with candidate/edge/frontier
-    volume, so a regenerated corpus can move their bench number with no
-    code change. Recording the volumes alongside the timings makes
-    data-volume effects separable from box drift. NOT timed — runs
-    after the timed pass; costs one extra pass over each pipeline."""
+    """Data-volume counters for the volume-sensitive pipeline entries
+    (VERDICT r8 #1, extended r10 per VERDICT r9 #1): these are jobs
+    whose wall time scales with candidate/edge/frontier volume, so a
+    regenerated corpus can move their bench number with no code change.
+    Recording the volumes alongside the timings makes data-volume
+    effects separable from box drift — every pipeline entry's
+    data-vs-box question should be decidable from the bench JSON alone.
+    NOT timed — runs after the timed pass; costs one extra pass over
+    each pipeline."""
     from kairos_spark.operators import dedup, graph
 
     d = q._tbl(spark, sf_dir, "documents").select("doc_id", "text")
@@ -176,7 +178,48 @@ def pipeline_stats(spark, sf_dir):
         f"seed{r['seed']}_hop{r['hop']}": int(r["n_reached"])
         for r in graph.bfs_reach(coact, n_seeds=3, hops=3).collect()
     }
+    # knn_join volumes (VERDICT r9 #1): the operator is a broadcast
+    # crossJoin scored map-side + two-phase salted top-k, so its cost
+    # is fully determined by Q and C — scored rows = Q·(C−1)
+    # (self-excluded) and the phase-2 merge input is ≤ Q·n_salt·k
+    # slice structs. If these match the prior round, a slower bench
+    # number is box drift, not data.
+    emb = q._tbl(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    n_queries = emb.where(F.col("vec_id") % 100 == 0).count()
+    # winnow_pairs volumes: fingerprints after winnowing, kept after
+    # the max_occ stop-fingerprint gate, candidate pairs entering the
+    # min_shared filter, and surviving scored pairs — the four stage
+    # volumes that drive its wall time.
+    docs = q._tbl(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs, k=8, w=4).localCheckpoint(eager=True)
+    n_fp = fps.count()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__occ"))
+        .where(F.col("__occ") <= 50)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp").localCheckpoint(eager=True)
+    n_kept = kept.count()
+    cand = (
+        kept.select(F.col("doc_id").alias("id_a"), "fp")
+        .join(kept.select(F.col("doc_id").alias("id_b"), "fp"), "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .count()
+    ).localCheckpoint(eager=True)
+    n_cand_pairs = cand.count()
+    n_final_pairs = cand.where(F.col("count") >= 3).count()
     return {
+        "knn_queries": int(n_queries),
+        "knn_corpus_vectors": int(n_corpus),
+        "knn_scored_rows": int(n_queries * (n_corpus - 1)),
+        "knn_merge_rows_max": int(n_queries * 16 * 10),
+        "winnow_fingerprints": int(n_fp),
+        "winnow_kept_after_max_occ": int(n_kept),
+        "winnow_candidate_pairs": int(n_cand_pairs),
+        "winnow_pairs_min_shared3": int(n_final_pairs),
         # candidate pairs surviving the est-Jaccard gate (CC input)
         "lsh_candidate_pairs": int(n_cand),
         # deduplicated DIRECTED edge count — the number the 2M
