@@ -3315,9 +3315,27 @@ def q_eval_contamination(spark, sf_dir):
 def q_cluster_keep_best(spark, sf_dir):
     """Keep-best representative per near-dup cluster: exact-Jaccard
     pair edges → connected components → argmax quality_score per
-    cluster (id tiebreak) — the Dolma/RefinedWeb keep policy."""
+    cluster (id tiebreak) — the Dolma/RefinedWeb keep policy.
+    VERIFICATION path: the exact all-pairs edge input is quadratic in
+    dup-group size; the 100 TB composition is q_cluster_keep_best_lsh."""
     d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = dedup.ngram_jaccard_pairs(d, n=8, threshold=0.25)
+    clusters = dedup.connected_components(pairs)
+    scored = text.quality_score(_tbl(spark, sf_dir, "documents"))
+    return dedup.cluster_representatives(clusters, scored)
+
+
+def q_cluster_keep_best_lsh(spark, sf_dir):
+    """Keep-best representative per near-dup cluster at corpus scale
+    (VERDICT r9 #3): MinHash signatures → banded LSH candidates →
+    connected components → argmax quality_score per cluster — the
+    same keep policy as q_cluster_keep_best but with every stage
+    shuffle-safe (banded candidates, never all-pairs; the
+    dedup_clusters vs dedup_clusters_lsh precedent applied to the
+    keep stage). Same LSH parameters as q_dedup_clusters_lsh so the
+    candidate volume counters in bench.py speak for this path too."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(d, n=8, num_hashes=32, bands=16, threshold=0.2)
     clusters = dedup.connected_components(pairs)
     scored = text.quality_score(_tbl(spark, sf_dir, "documents"))
     return dedup.cluster_representatives(clusters, scored)
@@ -3374,6 +3392,7 @@ QUERIES = {
     "tokenizer_drift": q_tokenizer_drift,
     "eval_contamination": q_eval_contamination,
     "cluster_keep_best": q_cluster_keep_best,
+    "cluster_keep_best_lsh": q_cluster_keep_best_lsh,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -10877,3 +10896,19 @@ ORACLES["template_prefix"] = r"""
              AS top_share
     FROM agg a JOIN rk ON a.grp = rk.grp AND rk.rn = 1
 """
+
+# cluster_keep_best_lsh (VERDICT r9 #3): the scale-path composition —
+# the dedup_clusters_lsh oracle (minhash → banding → candidate pairs →
+# recursive reach) with its final cluster select swapped for the
+# cluster_keep_best oracle's keep-best tail (quality CTEs + per-cluster
+# argmax window). Built by string surgery so the three oracles can
+# never drift apart expression-wise.
+_KEEP_BEST_TAIL = ORACLES["cluster_keep_best"].split(
+    "cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),",
+    1,
+)[1]
+ORACLES["cluster_keep_best_lsh"] = ORACLES["dedup_clusters_lsh"].replace(
+    "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1",
+    ", cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),"
+    + _KEEP_BEST_TAIL,
+)

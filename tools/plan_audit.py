@@ -27,6 +27,7 @@ AUDITED = [
     "tokenizer_drift",
     "eval_contamination",
     "cluster_keep_best",
+    "cluster_keep_best_lsh",
     "cross_source_dup",
     "dup_cluster_sizes",
     "template_prefix",
@@ -323,6 +324,10 @@ CHECKS = {
     # then one per-cluster window — the CC loop itself is exempt like
     # dedup_clusters (per-iteration plans carry the structure)
     "cluster_keep_best": ["Window", "!CartesianProduct"],
+    # scale path: same labels-join + per-cluster window over the LSH
+    # CC output — the banded-candidate loop is exempt like
+    # dedup_clusters_lsh (per-iteration plans carry the structure)
+    "cluster_keep_best_lsh": ["Window", "!CartesianProduct"],
     # digest-grain self-join on the digest key after the corpus
     # collapses to (digest, source, count) — hash join, never quadratic
     "cross_source_dup": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
