@@ -1458,3 +1458,168 @@ def dup_cluster_sizes(
             "doc_share"
         ),
     )
+
+
+def contamination_span_stats(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    pad: int = 20,
+) -> DataFrame:
+    """Sliding n-gram benchmark-contamination spans per document — the
+    Brown et al. 2020 (GPT-3 appendix C) decontamination rule at span
+    grain: a corpus token position is contaminated when ANY sliding
+    k-token gram through it also occurs in the held-out benchmark
+    text, and the removal span extends ``pad`` tokens each side of
+    the matched window (GPT-3 removed a window around each collision
+    rather than the whole document). Overlapping/adjacent padded
+    windows merge into maximal spans (interval union — the
+    ``crossdoc_span_stats`` machinery pointed at an external gram
+    set instead of corpus-hot grams).
+
+    Returns per document: n_tokens, n_hits (contaminated gram
+    positions), n_spans (merged removal spans), rm_tokens (unique
+    tokens covered by padded spans, clamped to the document), and
+    rm_token_frac — all docs reported, zeros for clean ones.
+
+    Scale shape: the benchmark gram set is distinct-hashed and
+    BROADCAST (eval suites are tiny next to the corpus); corpus grams
+    stream map-side through the hash join, and span merging is one
+    per-document window over FLAGGED positions only. Raw text never
+    shuffles; no corpus-side pair join."""
+    from pyspark.sql.window import Window
+
+    from kairos_spark.operators.text import word_tokens
+
+    base = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__w")
+    ).select(F.col(id_col), F.size("__w").alias("__nt"), "__w")
+    idx = F.when(
+        F.col("__nt") >= k, F.sequence(F.lit(1), F.col("__nt") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.col("__nt"),
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__w"), i, k)))
+            )
+        ).alias("__p0", "__g"),
+    ).select(F.col(id_col), F.col("__nt"), (F.col("__p0") + 1).alias("__p"), "__g")
+    bw = bench_df.select(word_tokens(F.col(text_col)).alias("__w")).select(
+        F.size("__w").alias("__nt"), "__w"
+    )
+    bidx = F.when(
+        F.col("__nt") >= k, F.sequence(F.lit(1), F.col("__nt") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bgrams = (
+        bw.select(
+            F.explode(
+                F.transform(
+                    bidx,
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__w"), i, k))),
+                )
+            ).alias("__g")
+        )
+        .distinct()
+    )
+    flagged = grams.join(F.broadcast(bgrams), "__g")
+    w = Window.partitionBy(id_col).orderBy("__p")
+    lagp = F.lag("__p").over(w)
+    # padded window at start p covers [p-pad, p+k-1+pad]; the next
+    # window is contiguous/overlapping while next - prev <= k + 2*pad
+    runs = flagged.withColumn(
+        "__new",
+        F.when(lagp.isNull() | (F.col("__p") - lagp > k + 2 * pad), 1).otherwise(0),
+    ).withColumn(
+        "__isl", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = runs.groupBy(id_col, "__isl").agg(
+        F.count("*").alias("__nh"),
+        (
+            F.least(F.max("__p") + F.lit(k - 1 + pad), F.first("__nt"))
+            - F.greatest(F.min("__p") - F.lit(pad), F.lit(1))
+            + 1
+        ).alias("__cov"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("__nh").cast("long").alias("n_hits"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("__cov").cast("long").alias("rm_tokens"),
+    )
+    return (
+        base.select(F.col(id_col), F.col("__nt").cast("long").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("rm_tokens"), F.lit(0)).cast("long").alias("rm_tokens"),
+            _round6_ratio(
+                F.coalesce(F.col("rm_tokens"), F.lit(0)),
+                F.greatest(F.col("n_tokens"), F.lit(1)),
+            ).alias("rm_token_frac"),
+        )
+    )
+
+
+def boundary_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_occ: int = 50,
+) -> DataFrame:
+    """Document-boundary overlap pairs: doc A's LAST k word tokens
+    exactly equal doc B's FIRST k word tokens — the split-document
+    signature (a source document sharded mid-stream, a crawler that
+    paginated one page into two records, a log rotated mid-entry).
+    Neither exact dedup (different digests) nor near-dup scoring
+    (overall Jaccard can be tiny) catches a chain like this; the
+    boundary gram does, and chains reassemble by following the pairs.
+
+    Returns (id_a, id_b, n_tokens_a, n_tokens_b) where id_a's tail
+    matches id_b's head; a doc can appear on both sides (chain
+    interior). Self-pairs are excluded. Docs with < k tokens emit no
+    boundary grams.
+
+    Scale shape: each doc contributes ONE head digest and ONE tail
+    digest (no k× amplification); ``max_occ`` drops boundary digests
+    appearing in more than that many heads or tails BEFORE the
+    equi-join (the stop-gram guard — a boilerplate opening shared by
+    millions of docs would otherwise form a quadratic join bucket)."""
+    from kairos_spark.operators.text import word_tokens
+
+    base = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__w")
+    ).select(F.col(id_col), F.size("__w").alias("__nt"), "__w")
+    eligible = base.where(F.col("__nt") >= k)
+    heads = eligible.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__nt").cast("long").alias("n_tokens_b"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("__w"), 1, k))).alias("__g"),
+    )
+    tails = eligible.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__nt").cast("long").alias("n_tokens_a"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("__w"), F.col("__nt") - k + 1, k))
+        ).alias("__g"),
+    )
+    occ = (
+        heads.select("__g")
+        .union(tails.select("__g"))
+        .groupBy("__g")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") <= max_occ)
+        .select("__g")
+    )
+    return (
+        tails.join(occ, "__g")
+        .join(heads, "__g")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "n_tokens_a", "n_tokens_b")
+    )

@@ -803,3 +803,106 @@ def token_budget_alloc(
             "budget_share"
         ),
     )
+
+
+def pipeline_roi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    quality_threshold: float = 0.5,
+) -> DataFrame:
+    """Fused pipeline ROI audit at SOURCE grain: the one table a
+    corpus-pipeline owner reads to see what each cleaning stage costs
+    per feed — raw volume, what the quality gate removes, what exact
+    dedup then removes among the survivors, and the sqrt-temperature
+    mix weight the SURVIVING token mass earns (so a big-but-dirty
+    source's post-cleaning influence is visible next to its raw
+    size). Composes the already-verified stages (quality_score gate →
+    corpus-wide exact dedup keep-lowest-id → sqrt mix) into one plan,
+    per VERDICT r9 #4(b).
+
+    Exactness: stage counts are integers; removal fractions are exact
+    integer ratios; the mix weight quantizes sqrt(tokens_kept) onto
+    the 1e6 grid FIRST (IEEE sqrt and the ×1e6 product are
+    correctly-rounded and engine-identical, floor is exact) so the
+    weight is one exact integer ratio too — no float summation over
+    sources anywhere.
+
+    Scale shape: one map-only projection (digest + token count),
+    quality_score's map-only stats joined on the id, ONE digest-grain
+    aggregate for the dedup keep (short keys; text never shuffles),
+    and a |sources|-row aggregate; the corpus sqrt total rides a
+    1-row broadcast."""
+    from kairos_spark.operators.text import (
+        _round6_ratio_dec,
+        quality_score,
+        token_count,
+    )
+
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("__d"),
+        token_count(F.col(text_col)).cast("long").alias("__t"),
+    )
+    scored = quality_score(df, text_col, id_col).select(
+        F.col(id_col), F.col("quality").alias("__q")
+    )
+    j = base.join(scored, id_col)
+    passed = j.where(F.col("__q") >= F.lit(quality_threshold))
+    keep_ids = passed.groupBy("__d").agg(F.min(F.col(id_col)).alias(id_col))
+    kept = passed.join(keep_ids, [id_col, "__d"])
+    raw = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum("__t").cast("long").alias("tokens_raw"),
+    )
+    qual = passed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_quality"),
+        F.sum("__t").cast("long").alias("tokens_quality"),
+    )
+    fin = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("__t").cast("long").alias("tokens_kept"),
+    )
+    per = (
+        raw.join(qual, "source", "left")
+        .join(fin, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            "tokens_raw",
+            F.coalesce(F.col("n_quality"), F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce(F.col("tokens_quality"), F.lit(0))
+            .cast("long")
+            .alias("tokens_quality"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+    qs = F.floor(
+        F.sqrt(F.col("tokens_kept").cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    with_qs = per.withColumn("__qs", qs)
+    tot = with_qs.agg(F.sum("__qs").cast("long").alias("__qt"))
+    return with_qs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_raw",
+        "tokens_raw",
+        "n_quality",
+        "tokens_quality",
+        "n_kept",
+        "tokens_kept",
+        _round6_ratio(
+            F.col("n_raw") - F.col("n_quality"), F.greatest(F.col("n_raw"), F.lit(1))
+        ).alias("quality_rm_frac"),
+        _round6_ratio(
+            F.col("n_quality") - F.col("n_kept"),
+            F.greatest(F.col("n_quality"), F.lit(1)),
+        ).alias("dup_rm_frac"),
+        _round6_ratio_dec(
+            F.col("__qs"), F.greatest(F.col("__qt"), F.lit(1))
+        ).alias("mix_weight"),
+    )

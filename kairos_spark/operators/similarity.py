@@ -1160,3 +1160,86 @@ def embedding_moments(
             e24 * (F.col("n") * F.col("n")).cast("decimal(38,0)"),
         ).alias("var_v"),
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    per_cluster: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced selection over the deterministic k-means
+    partition — SemDeDup's companion SELECTION step (Abbas et al.
+    2023 pair pruning keeps diversity by working within clusters;
+    the same clustering then SAMPLES evenly across clusters so no
+    dense region dominates the kept set). Each of the ``k`` clusters
+    contributes its ``per_cluster`` members with the smallest
+    md5(id) draw — seed-free, so an independent engine reproduces
+    the exact pick.
+
+    Returns (cluster_id, n_in_cluster, pick_rank, vec_id) — one row
+    per selected vector, rank 1..per_cluster within its cluster
+    (fewer when the cluster is smaller).
+
+    Scale shape: assignment is the shared ``_kmeans_final_assign``
+    loop (broadcast centroids, corpus never shuffles); the pick is
+    one per-cluster window over (cluster, id, hash) short rows —
+    vectors don't enter the window."""
+    final = _kmeans_final_assign(df, k, iters, id_col, vec_col)
+    pri = final.select(
+        F.col("cid"),
+        F.col("__id"),
+        F.md5(F.col("__id").cast("string")).alias("__h"),
+    )
+    w = Window.partitionBy("cid").orderBy("__h", "__id")
+    sz = Window.partitionBy("cid")
+    return (
+        pri.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__nc", F.count("*").over(sz))
+        .where(F.col("__rn") <= per_cluster)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("__nc").cast("long").alias("n_in_cluster"),
+            F.col("__rn").cast("long").alias("pick_rank"),
+            F.col("__id").alias(id_col),
+        )
+    )
+
+
+def ivf_list_balance(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF inverted-list balance audit: per k-means list, its size,
+    corpus share, and load factor (size · k / N — 1.0 = perfectly
+    balanced). The index-health companion to ``embedding_moments``:
+    an IVF index's probe cost follows the sizes of the lists a query
+    touches, so one hot list (load factor ≫ 1) silently erases the
+    k× speedup the index exists for — the standard signal to re-train
+    centroids, split the hot list, or whiten first (the
+    ``embedding_moments`` anisotropy case).
+
+    Shares and load factors are exact integer count ratios (k·size
+    and size over N — the midpoint-class rule).
+
+    Scale shape: the shared broadcast-centroid assignment, then ONE
+    k-row aggregate; the corpus total rides a 1-row broadcast join.
+    Vectors never shuffle."""
+    final = _kmeans_final_assign(df, k, iters, id_col, vec_col)
+    sizes = final.groupBy("cid").agg(F.count("*").cast("long").alias("n_vecs"))
+    tot = sizes.agg(F.sum("n_vecs").cast("long").alias("__n"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").alias("list_id"),
+        "n_vecs",
+        _round6_ratio(F.col("n_vecs"), F.greatest(F.col("__n"), F.lit(1))).alias(
+            "share"
+        ),
+        _round6_ratio(
+            F.col("n_vecs") * F.lit(k), F.greatest(F.col("__n"), F.lit(1))
+        ).alias("load_factor"),
+    )

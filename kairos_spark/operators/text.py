@@ -2318,3 +2318,211 @@ def template_prefix_share(
         "top_count",
         _round6_ratio(F.col("top_count"), F.col("n_docs")).alias("top_share"),
     )
+
+
+def dup_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document duplicate-LINE statistics — the Gopher
+    repetition rules at LINE grain (Rae et al. 2021 Table A1:
+    "duplicate line fraction" and "duplicate line character
+    fraction"), the complement of ``repetition_stats`` (word n-gram
+    grain) and ``paragraph_dedup_stats`` (cross-doc paragraph grain).
+    A doc whose lines repeat internally (scraped menus, chat logs,
+    SEO keyword walls) passes word-level filters while being mostly
+    redundant; these two fractions are the standard gate.
+
+    Per document over its non-empty lines (split on \\n, a line with
+    only spaces is empty): n_lines, n_distinct_lines,
+    dup_line_frac = (n_lines − n_distinct)/n_lines (occurrences
+    beyond each line's first), and dup_char_frac = chars in those
+    repeat occurrences / chars in all lines. Zero-line docs report
+    0-sentinels, never NULL. Both fractions are exact integer count
+    ratios (the midpoint-class rule).
+
+    Scale shape: lines hash to (doc, md5, len) BEFORE the per-(doc,
+    line) aggregate, so raw line text never shuffles; two bounded
+    aggregates (doc×distinct-line, then doc). No joins, no windows."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__l"),
+    ).where(F.length(F.trim(F.col("__l"))) > 0)
+    hashed = lines.select(
+        F.col(id_col),
+        F.md5(F.col("__l")).alias("__h"),
+        F.length("__l").alias("__len"),
+    )
+    per_line = hashed.groupBy(id_col, "__h").agg(
+        F.count("*").alias("__c"), F.first("__len").alias("__len")
+    )
+    agg = per_line.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_lines"),
+        F.count("*").cast("long").alias("n_distinct_lines"),
+        F.sum(F.col("__c") * F.col("__len")).cast("long").alias("__chars"),
+        F.sum((F.col("__c") - 1) * F.col("__len")).cast("long").alias("__dup_chars"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_distinct_lines"), F.lit(0))
+            .cast("long")
+            .alias("n_distinct_lines"),
+            _round6_ratio(
+                F.coalesce(F.col("n_lines") - F.col("n_distinct_lines"), F.lit(0)),
+                F.greatest(F.coalesce(F.col("n_lines"), F.lit(0)), F.lit(1)),
+            ).alias("dup_line_frac"),
+            _round6_ratio(
+                F.coalesce(F.col("__dup_chars"), F.lit(0)),
+                F.greatest(F.coalesce(F.col("__chars"), F.lit(0)), F.lit(1)),
+            ).alias("dup_char_frac"),
+        )
+    )
+
+
+def quality_threshold_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    steps: int = 9,
+) -> DataFrame:
+    """Quality-filter threshold sweep: for each candidate cutoff
+    t ∈ {1/10 … steps/10}, how many documents and how many tokens the
+    filter ``quality >= t`` keeps, and the kept shares — the one table
+    read before committing a quality threshold for a corpus build
+    (the C4/Gopher "where do we draw the line" calibration; pairs
+    with ``quality_rule_pack``, which audits FIXED rules).
+
+    Both engines compare the identical 6dp-rounded quality double to
+    the identical i/10.0 double (IEEE division is exact-rounded, so
+    the literals agree bit-for-bit). Shares are exact integer count
+    ratios; the token share takes the DECIMAL route (a corpus token
+    total crosses the BIGINT·2e6 ceiling at 100 TB).
+
+    Scale shape: quality_score is map-only over the corpus; the
+    sweep is ONE aggregate over doc-grain rows with `steps`
+    conditional sums (no crossJoin amplification of the corpus), then
+    an explode of the `steps`-row result."""
+    scored = quality_score(df, text_col, id_col)
+    toks = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("__t")
+    )
+    base = scored.join(toks, id_col)
+    aggs = []
+    for i in range(1, steps + 1):
+        t = F.lit(i) / F.lit(10.0)
+        keep = F.col("quality") >= t
+        aggs.append(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"__n{i}")
+        )
+        aggs.append(
+            F.sum(F.when(keep, F.col("__t")).otherwise(0))
+            .cast("long")
+            .alias(f"__tk{i}")
+        )
+    tot = base.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__t").cast("long").alias("__tk"),
+        *aggs,
+    )
+    rows = tot.select(
+        F.col("__n"),
+        F.col("__tk"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.lit(i) / F.lit(10.0)).alias("threshold"),
+                        F.col(f"__n{i}").alias("n_docs_kept"),
+                        F.col(f"__tk{i}").alias("tokens_kept"),
+                    )
+                    for i in range(1, steps + 1)
+                ]
+            )
+        ).alias("__s"),
+    )
+    return rows.select(
+        F.col("__s.threshold").alias("threshold"),
+        F.col("__s.n_docs_kept").alias("n_docs_kept"),
+        F.col("__s.tokens_kept").alias("tokens_kept"),
+        _round6_ratio(
+            F.col("__s.n_docs_kept"), F.greatest(F.col("__n"), F.lit(1))
+        ).alias("doc_share"),
+        _round6_ratio_dec(
+            F.col("__s.tokens_kept"), F.greatest(F.col("__tk"), F.lit(1))
+        ).alias("token_share"),
+    )
+
+
+# C4-style boilerplate/blocklist phrases (Raffel et al. 2020 §2.2's
+# spirit: "lorem ipsum", the curly brace code signal, policy/nav
+# boilerplate). ASCII literals only, so Java and RE2 match
+# identically after the shared agree_lower/lower normalization.
+BLOCKLIST_PHRASES = (
+    "lorem ipsum",
+    "terms of use",
+    "privacy policy",
+    "all rights reserved",
+    "click here",
+    "cookie",
+    "{",
+)
+
+
+def blocklist_audit(
+    df: DataFrame,
+    phrases: tuple = BLOCKLIST_PHRASES,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Boilerplate-blocklist audit per source: for each blocklist
+    phrase, how many of the source's documents contain it, the hit
+    rate, and the total occurrence count — the C4-style pre-filter
+    scorecard (which feeds a drop-the-page rule) at the grain a crawl
+    owner acts on. Every (source, phrase) pair is reported, zeros
+    included, so a clean source is visible as a row of zeros rather
+    than absent.
+
+    Occurrences count non-overlapping literal matches over the
+    lowercased text (regexp_count with the escaped literal — plain
+    ASCII literals match identically under Java and RE2).
+
+    Scale shape: one map-only projection computes all |phrases|
+    counts per doc (no corpus amplification), one aggregate per
+    (source, phrase) after a bounded |phrases|-wide explode of the
+    per-doc count vector."""
+    import re as _re
+
+    low = agree_lower(F.col(text_col))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("phrase"),
+                    F.regexp_count(low, F.lit(_re.escape(p))).alias("occ"),
+                )
+                for p in phrases
+            ]
+        ).alias("__v"),
+    ).select("source", F.explode("__v").alias("__s"))
+    flat = per_doc.select(
+        "source",
+        F.col("__s.phrase").alias("phrase"),
+        F.col("__s.occ").cast("long").alias("__occ"),
+    )
+    return flat.groupBy("source", "phrase").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__occ") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_hit"),
+        F.sum("__occ").cast("long").alias("n_occurrences"),
+        _round6_ratio(
+            F.sum(F.when(F.col("__occ") > 0, 1).otherwise(0)),
+            F.greatest(F.count("*"), F.lit(1)),
+        ).alias("hit_rate"),
+    )

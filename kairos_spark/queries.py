@@ -3380,11 +3380,123 @@ def q_template_prefix(spark, sf_dir):
     )
 
 
+# --- Round-10 additions ---
+
+
+def q_dup_line_stats(spark, sf_dir):
+    """Gopher duplicate-line fraction / duplicate-line char fraction
+    within each document. Every 9th doc gets its first line re-appended
+    twice (joined with newlines) so internal line repetition is
+    exercised even when the generated corpus has none."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    first_line = F.element_at(F.split(F.col("text"), "\n"), 1)
+    decorated = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat_ws("\n", F.col("text"), first_line, first_line),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.dup_line_stats(decorated)
+
+
+def q_quality_threshold_sweep(spark, sf_dir):
+    """Quality-filter calibration sweep: docs/tokens kept per cutoff
+    t in {0.1 .. 0.9}."""
+    return text.quality_threshold_sweep(_tbl(spark, sf_dir, "documents"))
+
+
+def q_blocklist_audit(spark, sf_dir):
+    """C4-style blocklist phrase audit per source: hit docs, hit rate,
+    occurrence counts per phrase. Every 13th doc gets a synthetic
+    boilerplate footer so the phrase rows are non-degenerate even when
+    the generated corpus is clean."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    decorated = d.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" All Rights Reserved. See our Privacy Policy, click here {"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return text.blocklist_audit(decorated)
+
+
+def q_contamination_spans(spark, sf_dir):
+    """GPT-3-style sliding 13-gram decontamination at span grain: docs
+    0-8 stand in for the held-out benchmark; padded collision windows
+    merge into removal spans per corpus doc."""
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 9).select("text")
+    return dedup.contamination_span_stats(docs, bench, k=13, pad=20)
+
+
+def q_boundary_overlap(spark, sf_dir):
+    """Split-document boundary pairs: doc A's last 8 word tokens equal
+    doc B's first 8. Every 11th doc gets a synthetic continuation doc
+    (its tail 8 tokens + fresh text) so real chains exist in the
+    corpus under test."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = text.word_tokens(F.col("text"))
+    synth = d.where((F.col("doc_id") % 11 == 0) & (F.size(toks) >= 8)).select(
+        (F.col("doc_id") + 11_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.slice(toks, F.size(toks) - 7, 8)),
+            F.lit("continuation shard of the preceding record body"),
+        ).alias("text"),
+    )
+    return dedup.boundary_overlap_pairs(d.unionByName(synth), k=8, max_occ=50)
+
+
+def q_pipeline_roi(spark, sf_dir):
+    """Fused quality-gate -> exact-dedup -> sqrt-mix ROI audit at
+    source grain. Every 6th doc is re-emitted under its own source
+    (id-shifted) so the dedup stage removes real mass."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dup = d.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"), "text", "source"
+    )
+    return sampling.pipeline_roi(d.unionByName(dup))
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """SemDeDup-companion cluster-balanced selection: 10 md5-smallest
+    members per deterministic k-means cluster (k=8, 2 iters)."""
+    return similarity.cluster_balanced_sample(
+        _tbl(spark, sf_dir, "embeddings"), k=8, iters=2, per_cluster=10
+    )
+
+
+def q_ivf_list_balance(spark, sf_dir):
+    """IVF inverted-list balance audit over the deterministic k-means
+    partition: per-list size, share, load factor."""
+    return similarity.ivf_list_balance(
+        _tbl(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
     # round-9 window order is _R9_WINDOW after this dict (the dict is
     # rebuilt from it) — edit THAT list for future rotations.
+    # --- Round-10 additions (never driver-checked) ---
+    "dup_line_stats": q_dup_line_stats,
+    "quality_threshold_sweep": q_quality_threshold_sweep,
+    "blocklist_audit": q_blocklist_audit,
+    "contamination_spans": q_contamination_spans,
+    "boundary_overlap": q_boundary_overlap,
+    "pipeline_roi": q_pipeline_roi,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "ivf_list_balance": q_ivf_list_balance,
     # --- Round-9 additions (never driver-checked) ---
     "paragraph_dedup": q_paragraph_dedup,
     "crossdoc_spans": q_crossdoc_spans,
@@ -10912,3 +11024,322 @@ ORACLES["cluster_keep_best_lsh"] = ORACLES["dedup_clusters_lsh"].replace(
     ", cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),"
     + _KEEP_BEST_TAIL,
 )
+
+
+# --- round-10 oracles ---
+
+# shared per-doc quality mirror (identical to the cluster_keep_best
+# oracle's stats/q CTEs), parameterized on the source relation so the
+# injected-union queries can reuse it verbatim
+def _quality_cte_sql(rel: str) -> str:
+    return """
+    stats AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+               floor((2000000 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) + greatest(length(text), 1))
+                     / (2.0 * greatest(length(text), 1))) / 1000000.0 AS punct_ratio,
+               floor((2000000 * len(regexp_extract_all(text, '[0-9]')) + greatest(length(text), 1))
+                     / (2.0 * greatest(length(text), 1))) / 1000000.0 AS digit_ratio,
+               floor((2000000 * len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with)\\b')) + greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+                     / (2.0 * greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))) / 1000000.0
+                     AS stopword_ratio
+        FROM """ + rel + """
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(round(CAST(0.4 * least(n_words / 100.0, 1.0)
+                   + 0.3 * least(stopword_ratio * 3, 1.0)
+                   + 0.2 * (1.0 - least(punct_ratio * 4, 1.0))
+                   + 0.1 * (1.0 - least(digit_ratio * 5, 1.0))
+                   AS DECIMAL(18,7)), 6) AS DOUBLE) AS quality
+        FROM stats
+    )"""
+
+
+ORACLES["dup_line_stats"] = """
+    WITH deco AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || chr(10) || string_split(text, chr(10))[1]
+                            || chr(10) || string_split(text, chr(10))[1]
+                  ELSE text END AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM deco
+    ),
+    ne AS (SELECT doc_id, l FROM lines WHERE length(trim(l)) > 0),
+    pl AS (
+      SELECT doc_id, md5(l) AS h, count(*) AS c, min(length(l)) AS len
+      FROM ne GROUP BY 1, 2
+    ),
+    ag AS (
+      SELECT doc_id, sum(c) AS nl, count(*) AS nd,
+             sum(c * len) AS chars, sum((c - 1) * len) AS dupchars
+      FROM pl GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(nl, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_distinct_lines,
+           floor((2000000 * coalesce(nl - nd, 0) + greatest(coalesce(nl, 0), 1))
+                 / (2.0 * greatest(coalesce(nl, 0), 1))) / 1000000.0 AS dup_line_frac,
+           floor((2000000 * coalesce(dupchars, 0) + greatest(coalesce(chars, 0), 1))
+                 / (2.0 * greatest(coalesce(chars, 0), 1))) / 1000000.0 AS dup_char_frac
+    FROM deco d LEFT JOIN ag ON d.doc_id = ag.doc_id
+"""
+
+ORACLES["quality_threshold_sweep"] = ("""
+    WITH""" + _quality_cte_sql("documents") + """,
+    tok AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS t
+      FROM documents
+    ),
+    b AS (SELECT q.doc_id, quality, t FROM q JOIN tok USING (doc_id)),
+    tots AS (SELECT count(*) AS n, sum(t) AS tk FROM b),
+    th AS (SELECT unnest(generate_series(1, 9)) AS i),
+    sw AS (
+      SELECT i,
+             sum(CASE WHEN quality >= i / 10.0 THEN 1 ELSE 0 END) AS nk,
+             sum(CASE WHEN quality >= i / 10.0 THEN t ELSE 0 END) AS tkk
+      FROM b CROSS JOIN th GROUP BY 1
+    )
+    SELECT i / 10.0 AS threshold,
+           CAST(nk AS BIGINT) AS n_docs_kept,
+           CAST(tkk AS BIGINT) AS tokens_kept,
+           floor((2000000 * nk + greatest(n, 1)) / (2.0 * greatest(n, 1)))
+             / 1000000.0 AS doc_share,
+           CAST((2000000::HUGEINT * tkk::HUGEINT + greatest(tk, 1)::HUGEINT)
+                // (2::HUGEINT * greatest(tk, 1)::HUGEINT) AS BIGINT)
+             / 1000000.0 AS token_share
+    FROM sw, tots
+""")
+
+ORACLES["contamination_spans"] = """
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    base AS (SELECT doc_id, len(w) AS nt, w FROM words),
+    idx AS (
+      SELECT doc_id, nt, w, unnest(generate_series(1, nt - 12)) AS p
+      FROM base WHERE nt >= 13
+    ),
+    grams AS (
+      SELECT doc_id, nt, p, md5(array_to_string(w[p:p+12], ' ')) AS g FROM idx
+    ),
+    bidx AS (
+      SELECT w, unnest(generate_series(1, nt - 12)) AS p
+      FROM base WHERE doc_id < 9 AND nt >= 13
+    ),
+    bg AS (
+      SELECT DISTINCT md5(array_to_string(w[p:p+12], ' ')) AS g FROM bidx
+    ),
+    fl AS (SELECT doc_id, nt, p FROM grams WHERE g IN (SELECT g FROM bg)),
+    runs AS (
+      SELECT doc_id, nt, p,
+             CASE WHEN lag(p) OVER win IS NULL OR p - lag(p) OVER win > 53
+                  THEN 1 ELSE 0 END AS nw
+      FROM fl WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    isl AS (
+      SELECT doc_id, nt, p,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+      FROM runs
+    ),
+    spans AS (
+      SELECT doc_id, i, count(*) AS nh,
+             least(max(p) + 32, min(nt)) - greatest(min(p) - 20, 1) + 1 AS cov
+      FROM isl GROUP BY 1, 2
+    ),
+    pd AS (
+      SELECT doc_id, sum(nh) AS hits, count(*) AS ns, sum(cov) AS rt
+      FROM spans GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(coalesce(hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(ns, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(rt, 0) AS BIGINT) AS rm_tokens,
+           floor((2000000 * coalesce(rt, 0) + greatest(nt, 1))
+                 / (2.0 * greatest(nt, 1))) / 1000000.0 AS rm_token_frac
+    FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+"""
+
+ORACLES["boundary_overlap"] = """
+    WITH src AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 11000000,
+             array_to_string(w[len(w)-7:len(w)], ' ')
+               || ' continuation shard of the preceding record body'
+      FROM src WHERE doc_id % 11 = 0 AND len(w) >= 8
+    ),
+    words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM u
+    ),
+    base AS (SELECT doc_id, len(w) AS nt, w FROM words WHERE len(w) >= 8),
+    heads AS (
+      SELECT doc_id AS id_b, CAST(nt AS BIGINT) AS n_tokens_b,
+             md5(array_to_string(w[1:8], ' ')) AS g
+      FROM base
+    ),
+    tails AS (
+      SELECT doc_id AS id_a, CAST(nt AS BIGINT) AS n_tokens_a,
+             md5(array_to_string(w[nt-7:nt], ' ')) AS g
+      FROM base
+    ),
+    occ AS (
+      SELECT g FROM (
+        SELECT g, count(*) AS c FROM (
+          SELECT g FROM heads UNION ALL SELECT g FROM tails
+        ) GROUP BY 1
+      ) WHERE c <= 50
+    )
+    SELECT id_a, id_b, n_tokens_a, n_tokens_b
+    FROM tails JOIN occ USING (g) JOIN heads USING (g)
+    WHERE id_a <> id_b
+"""
+
+ORACLES["pipeline_roi"] = ("""
+    WITH u AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 6000000, text, source FROM documents WHERE doc_id % 6 = 0
+    ),""" + _quality_cte_sql("u") + """,
+    tok AS (
+      SELECT doc_id, source, md5(text) AS d,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS t
+      FROM u
+    ),
+    j AS (SELECT tok.*, q.quality FROM tok JOIN q USING (doc_id)),
+    passed AS (SELECT * FROM j WHERE quality >= 0.5),
+    keep AS (SELECT d, min(doc_id) AS doc_id FROM passed GROUP BY 1),
+    kept AS (
+      SELECT p.* FROM passed p JOIN keep k ON p.doc_id = k.doc_id AND p.d = k.d
+    ),
+    raw AS (
+      SELECT source, count(*) AS n_raw, sum(t) AS tokens_raw FROM j GROUP BY 1
+    ),
+    qual AS (
+      SELECT source, count(*) AS n_q, sum(t) AS tk_q FROM passed GROUP BY 1
+    ),
+    fin AS (
+      SELECT source, count(*) AS n_k, sum(t) AS tk_k FROM kept GROUP BY 1
+    ),
+    per AS (
+      SELECT r.source,
+             CAST(n_raw AS BIGINT) AS n_raw,
+             CAST(tokens_raw AS BIGINT) AS tokens_raw,
+             CAST(coalesce(n_q, 0) AS BIGINT) AS n_quality,
+             CAST(coalesce(tk_q, 0) AS BIGINT) AS tokens_quality,
+             CAST(coalesce(n_k, 0) AS BIGINT) AS n_kept,
+             CAST(coalesce(tk_k, 0) AS BIGINT) AS tokens_kept
+      FROM raw r
+      LEFT JOIN qual ON r.source = qual.source
+      LEFT JOIN fin ON r.source = fin.source
+    ),
+    qs AS (
+      SELECT *,
+             CAST(floor(sqrt(CAST(tokens_kept AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS qsv
+      FROM per
+    ),
+    tot AS (SELECT sum(qsv) AS qt FROM qs)
+    SELECT source, n_raw, tokens_raw, n_quality, tokens_quality, n_kept,
+           tokens_kept,
+           floor((2000000 * (n_raw - n_quality) + greatest(n_raw, 1))
+                 / (2.0 * greatest(n_raw, 1))) / 1000000.0 AS quality_rm_frac,
+           floor((2000000 * (n_quality - n_kept) + greatest(n_quality, 1))
+                 / (2.0 * greatest(n_quality, 1))) / 1000000.0 AS dup_rm_frac,
+           CAST((2000000::HUGEINT * qsv::HUGEINT + greatest(qt, 1)::HUGEINT)
+                // (2::HUGEINT * greatest(qt, 1)::HUGEINT) AS BIGINT)
+             / 1000000.0 AS mix_weight
+    FROM qs, tot
+""")
+
+# blocklist phrases: the DuckDB patterns are generated with the SAME
+# re.escape the Spark side uses, so the two engines always receive
+# byte-identical regexes
+import re as _re_bl  # noqa: E402
+
+from kairos_spark.operators.text import BLOCKLIST_PHRASES as _BL  # noqa: E402
+
+# DuckDB single-quoted strings are literal (no backslash processing),
+# so the escaped pattern is embedded as-is — the regex engine receives
+# exactly what Spark's F.lit(re.escape(p)) carries
+_BL_VALUES = ",\n           ".join(
+    "('" + p.replace("'", "''") + "', '"
+    + _re_bl.escape(p).replace("'", "''") + "')"
+    for p in _BL
+)
+ORACLES["blocklist_audit"] = ("""
+    WITH deco AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 0
+                  THEN text || ' All Rights Reserved. See our Privacy Policy, click here {'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    ph(phrase, pat) AS (
+      VALUES """ + _BL_VALUES + """
+    ),
+    per AS (
+      SELECT source, phrase,
+             len(regexp_extract_all(lower(t), pat)) AS occ
+      FROM deco CROSS JOIN ph
+    )
+    SELECT source, phrase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+           CAST(sum(occ) AS BIGINT) AS n_occurrences,
+           floor((2000000 * sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END)
+                  + greatest(count(*), 1))
+                 / (2.0 * greatest(count(*), 1))) / 1000000.0 AS hit_rate
+    FROM per GROUP BY 1, 2
+""")
+
+# k-means surgery twins: reuse the proven assignment CTE chain
+# (seeds -> 2 Lloyd updates -> final assignment a3) and swap only the
+# reporting tail, so the three kmeans-family oracles cannot drift.
+_KM_ASSIGN_PREFIX = ORACLES["kmeans_clusters"].split("SELECT cid AS cluster_id", 1)[0]
+
+ORACLES["cluster_balanced_sample"] = _KM_ASSIGN_PREFIX + """, rk AS (
+      SELECT cid, id, md5(CAST(id AS VARCHAR)) AS h FROM a3
+    ),
+    pick AS (
+      SELECT cid, id,
+             row_number() OVER (PARTITION BY cid ORDER BY h, id) AS rn,
+             count(*) OVER (PARTITION BY cid) AS nc
+      FROM rk
+    )
+    SELECT cid AS cluster_id,
+           CAST(nc AS BIGINT) AS n_in_cluster,
+           CAST(rn AS BIGINT) AS pick_rank,
+           id AS vec_id
+    FROM pick WHERE rn <= 10
+"""
+
+ORACLES["ivf_list_balance"] = _KM_ASSIGN_PREFIX + """, sizes AS (
+      SELECT cid, count(*) AS n_vecs FROM a3 GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_vecs) AS n FROM sizes)
+    SELECT cid AS list_id,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           floor((2000000 * n_vecs + greatest(n, 1)) / (2.0 * greatest(n, 1)))
+             / 1000000.0 AS share,
+           floor((2000000 * n_vecs * 8 + greatest(n, 1)) / (2.0 * greatest(n, 1)))
+             / 1000000.0 AS load_factor
+    FROM sizes, tot
+"""

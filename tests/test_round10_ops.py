@@ -6,7 +6,7 @@ Covers the r10 additions: the LSH-path keep-best composition
 
 from pyspark.sql import Row, functions as F
 
-from kairos_spark.operators import dedup, text
+from kairos_spark.operators import dedup, sampling, similarity, text
 
 
 # --- cluster_keep_best LSH path (VERDICT r9 #3) ---
@@ -78,3 +78,195 @@ def test_cluster_keep_best_lsh_oracle_registered():
     assert "band" in sql or "bnd" in sql
     assert "keep_doc_id" in sql and "quality" in sql
     assert "reach" in sql
+
+
+# --- dup_line_stats ---
+
+
+def test_dup_line_stats_gopher_fractions(spark):
+    rows = [
+        # 4 lines, "aa" twice: dup_line_frac = 1/4; chars 2+2+3+4=11,
+        # dup chars = 2 (the repeat "aa") -> 2/11
+        Row(doc_id=1, text="aa\naa\nbbb\ncccc"),
+        # all distinct
+        Row(doc_id=2, text="x\ny"),
+        # empty + whitespace-only lines are dropped entirely
+        Row(doc_id=3, text="\n   \n"),
+    ]
+    out = {r.doc_id: r for r in text.dup_line_stats(spark.createDataFrame(rows)).collect()}
+    assert out[1].n_lines == 4 and out[1].n_distinct_lines == 3
+    assert out[1].dup_line_frac == 0.25
+    assert out[1].dup_char_frac == round(2 / 11, 6)
+    assert out[2].dup_line_frac == 0.0 and out[2].dup_char_frac == 0.0
+    assert out[3].n_lines == 0 and out[3].dup_line_frac == 0.0
+
+
+# --- quality_threshold_sweep ---
+
+
+def test_quality_threshold_sweep_monotone(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=("the and of to in is that for with word " * (i + 1)))
+         for i in range(6)]
+    )
+    out = sorted(
+        text.quality_threshold_sweep(docs).collect(), key=lambda r: r.threshold
+    )
+    assert [r.threshold for r in out] == [round(0.1 * i, 1) for i in range(1, 10)]
+    kept = [r.n_docs_kept for r in out]
+    toks = [r.tokens_kept for r in out]
+    # monotone non-increasing in the threshold
+    assert kept == sorted(kept, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert out[0].doc_share <= 1.0 and out[-1].token_share >= 0.0
+
+
+# --- blocklist_audit ---
+
+
+def test_blocklist_audit_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Lorem Ipsum dolor { lorem ipsum", source="a"),
+            Row(doc_id=2, text="clean prose only", source="a"),
+            Row(doc_id=3, text="see our Privacy Policy", source="b"),
+        ]
+    )
+    out = {
+        (r.source, r.phrase): r for r in text.blocklist_audit(docs).collect()
+    }
+    # every (source, phrase) pair reported, zeros included
+    assert len(out) == 2 * len(text.BLOCKLIST_PHRASES)
+    assert out[("a", "lorem ipsum")].n_docs_hit == 1
+    assert out[("a", "lorem ipsum")].n_occurrences == 2
+    assert out[("a", "{")].n_occurrences == 1
+    assert out[("a", "lorem ipsum")].hit_rate == 0.5
+    assert out[("b", "privacy policy")].n_docs_hit == 1
+    assert out[("b", "lorem ipsum")].n_docs_hit == 0
+
+
+# --- contamination_span_stats ---
+
+
+def test_contamination_spans_pad_and_union(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+                 "lam mu nu"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            # contaminated: the 13 bench tokens sit in the middle
+            Row(doc_id=1, text=filler + " " + bench_text + " " + filler),
+            Row(doc_id=2, text=filler),
+        ]
+    )
+    bench = spark.createDataFrame([Row(text=bench_text)])
+    out = {
+        r.doc_id: r
+        for r in dedup.contamination_span_stats(docs, bench, k=13, pad=20).collect()
+    }
+    assert out[1].n_hits == 1 and out[1].n_spans == 1
+    # window [61, 73] padded by 20 each side -> [41, 93] -> 53 tokens
+    assert out[1].rm_tokens == 53
+    assert out[1].n_tokens == 133
+    assert out[2].n_hits == 0 and out[2].rm_tokens == 0
+
+
+def test_contamination_spans_clamped_at_doc_edge(spark):
+    bench_text = "a b c d e f g h i j k l m"
+    docs = spark.createDataFrame([Row(doc_id=1, text=bench_text)])
+    bench = spark.createDataFrame([Row(text=bench_text)])
+    out = dedup.contamination_span_stats(docs, bench, k=13, pad=20).collect()[0]
+    # the whole 13-token doc is covered; padding clamps to the doc
+    assert out.rm_tokens == 13 and out.rm_token_frac == 1.0
+
+
+# --- boundary_overlap_pairs ---
+
+
+def test_boundary_overlap_detects_chain(spark):
+    a = "one two three four five six seven eight nine ten"
+    # b starts with a's last 8 tokens
+    b = "three four five six seven eight nine ten more words follow here"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b),
+         Row(doc_id=3, text="totally unrelated content with many extra tokens")]
+    )
+    out = dedup.boundary_overlap_pairs(docs, k=8).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].n_tokens_a == 10 and out[0].n_tokens_b == 12
+
+
+def test_boundary_overlap_max_occ_guard(spark):
+    # 60 docs all sharing the same head AND tail gram: every boundary
+    # digest occurs 120 times > max_occ -> no pairs survive the guard
+    t = "same eight tokens here again and again okay"
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i in range(60)])
+    assert dedup.boundary_overlap_pairs(docs, k=8, max_occ=50).count() == 0
+
+
+# --- pipeline_roi ---
+
+
+def test_pipeline_roi_stage_accounting(spark):
+    good = "the and of to in is that for with word " * 10
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good, source="s1"),
+            Row(doc_id=2, text=good, source="s1"),          # exact dup of 1
+            Row(doc_id=3, text="1 2 3 4 5", source="s1"),   # fails quality
+            Row(doc_id=4, text=good + "unique tail", source="s2"),
+        ]
+    )
+    out = {r.source: r for r in sampling.pipeline_roi(docs).collect()}
+    s1 = out["s1"]
+    assert s1.n_raw == 3 and s1.n_quality == 2 and s1.n_kept == 1
+    assert s1.quality_rm_frac == round(1 / 3, 6)
+    assert s1.dup_rm_frac == 0.5
+    s2 = out["s2"]
+    assert s2.n_raw == s2.n_quality == s2.n_kept == 1
+    # mix weights are an exact partition of ~1
+    assert abs(s1.mix_weight + s2.mix_weight - 1.0) < 2e-6
+
+
+# --- cluster_balanced_sample / ivf_list_balance ---
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows)
+    out = similarity.cluster_balanced_sample(emb, k=4, iters=1, per_cluster=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.cluster_id, []).append(r)
+    for cid, members in per.items():
+        assert len(members) <= 3
+        ranks = sorted(m.pick_rank for m in members)
+        assert ranks == list(range(1, len(members) + 1))
+        # n_in_cluster consistent within the cluster
+        assert len({m.n_in_cluster for m in members}) == 1
+    # deterministic: second run identical
+    out2 = similarity.cluster_balanced_sample(emb, k=4, iters=1, per_cluster=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ivf_list_balance_shares_sum(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(50)
+    ]
+    out = similarity.ivf_list_balance(
+        spark.createDataFrame(rows), k=4, iters=1
+    ).collect()
+    assert sum(r.n_vecs for r in out) == 50
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-5
+    for r in out:
+        assert r.load_factor == round(r.n_vecs * 4 / 50, 6)

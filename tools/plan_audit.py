@@ -21,6 +21,14 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "dup_line_stats",
+    "quality_threshold_sweep",
+    "blocklist_audit",
+    "contamination_spans",
+    "boundary_overlap",
+    "pipeline_roi",
+    "cluster_balanced_sample",
+    "ivf_list_balance",
     "paragraph_dedup",
     "crossdoc_spans",
     "ppl_bucket_mix",
@@ -303,6 +311,34 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # line explode is a Generate; lines hash to (doc, md5, len) before
+    # the per-(doc, line) aggregate — raw line text never shuffles,
+    # and the all-docs left join is a hash/merge join, never quadratic
+    "dup_line_stats": ["Generate", "HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # ONE corpus aggregate computes all 9 conditional sums; the sweep
+    # rows come from an explode of the 1-row result, never a corpus
+    # crossJoin amplification
+    "quality_threshold_sweep": ["Generate", "HashAggregate", "!CartesianProduct"],
+    # map-only per-doc phrase counts -> bounded |phrases| explode ->
+    # (source, phrase) aggregate; no join anywhere
+    "blocklist_audit": ["Generate", "HashAggregate", "!Join", "!CartesianProduct"],
+    # benchmark gram set BROADCASTS against streaming corpus grams;
+    # span merge is a per-doc window over flagged rows only
+    "contamination_spans": ["Generate", "BroadcastHashJoin", "Window", "HashAggregate", "!CartesianProduct"],
+    # one head + one tail digest per doc, stop-gram occ filter before
+    # the equi-join — hash-partitioned by digest, never all-pairs
+    "boundary_overlap": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # digest-grain dedup keep + source-grain aggregates; the corpus
+    # sqrt total rides a 1-row broadcast. Doc-grain score/keep joins
+    # may plan as sort-merge — that is the scale-correct shape for two
+    # fact-sized sides; only quadratic shapes are forbidden
+    "pipeline_roi": ["HashAggregate", "!CartesianProduct"],
+    # broadcast-centroid assignment (no corpus shuffle), then one
+    # per-cluster window over short (cluster, id, hash) rows
+    "cluster_balanced_sample": ["Window", "HashAggregate", "!CartesianProduct"],
+    # assignment + ONE k-row aggregate; corpus total on a 1-row
+    # broadcast
+    "ivf_list_balance": ["HashAggregate", "!CartesianProduct"],
     # paragraph explode is a Generate; digests aggregate on the short
     # key and the flagged set joins back ON the digest — any hash
     # flavor, never quadratic
