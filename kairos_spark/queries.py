@@ -3860,9 +3860,76 @@ _R9_WINDOW = [
     "sample_split",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+
+# --- Round-10 driver window (CLAUDE.md rotation rule). Layout:
+# (1) the 9 NEW r10 queries (never driver-checked); (2) the 3 queries
+# whose Spark/oracle expressions CHANGED this round (ADVICE r9 fixes:
+# conversion_latency's exact-integer percentiles changed BOTH sides;
+# tokenizer_drift and embedding_moments moved their overflow-prone
+# products into DECIMAL) — green locally at sf0.01/sf0.1/adversarial,
+# promoted for driver re-check; (3) 38 rotation re-checks continuing
+# the tail cycle from stratified_sample onward (the entries CLAUDE.md
+# queued after the late-r9 additions bumped them). CORRECTNESS_r09
+# came back 50/50, so nothing is red and no slot is owed to a repair.
+_R10_WINDOW = [
+    # (1) new r10
+    "dup_line_stats",
+    "quality_threshold_sweep",
+    "blocklist_audit",
+    "contamination_spans",
+    "boundary_overlap",
+    "pipeline_roi",
+    "cluster_balanced_sample",
+    "ivf_list_balance",
+    "cluster_keep_best_lsh",
+    # (2) r10 expression changes, promoted for driver re-check
+    "conversion_latency",
+    "tokenizer_drift",
+    "embedding_moments",
+    # (3) rotation re-checks (tail cycle)
+    "stratified_sample",
+    "session_transitions",
+    "doc_chunks",
+    "inverted_index",
+    "heavy_hitters",
+    "bloom_filter_join",
+    "salted_join",
+    "unpivot_roundtrip",
+    "cluster_quality",
+    "pagerank_transitions",
+    "asof_tolerance",
+    "pmi_pairs",
+    "value_drift",
+    "period_delta",
+    "zorder_layout",
+    "minhash_calibration",
+    "cube_revenue",
+    "mad_outliers",
+    "schema_profile",
+    "fk_conformance",
+    "snapshot_diff",
+    "knn_join",
+    "lsh_recall",
+    "trend_slope",
+    "fd_check",
+    "event_debounce",
+    "count_correlation",
+    "revenue_deciles",
+    "fuzzy_match",
+    "interarrival",
+    "label_agreement",
+    "interval_coverage",
+    "seasonal_baseline",
+    "key_skew_stats",
+    "event_pivot",
+    "ts_count_series_hour",
+    "ts_count_rate_minute",
+    "ts_fine_hour_minute",
+]
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R9_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)},
+    **{k: QUERIES[k] for k in _R10_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)},
 }
 
 ORACLES = dict(_TS_ORACLES)
