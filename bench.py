@@ -143,6 +143,14 @@ PIPELINE = {
     # benched.
     "crossdoc_spans": q.q_crossdoc_spans,
     "ppl_bucket_mix": q.q_ppl_bucket_mix,
+    # round-10 additions — the two corpus-scale r10 operators (banded
+    # LSH -> CC -> keep-best window; sliding 13-gram explode with span
+    # union); BASELINE.md's pipeline table records their round-10
+    # numbers as their own baselines per the freeze rule. The other
+    # seven r10 queries are group-/list-/doc-grain light scans, not
+    # benched.
+    "cluster_keep_best_lsh": q.q_cluster_keep_best_lsh,
+    "contamination_spans": q.q_contamination_spans,
 }
 
 
