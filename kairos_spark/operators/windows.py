@@ -26,8 +26,37 @@ from kairos_spark.operators.text import (
     _round6_bridge,
     _round6_ratio,
     _round6_ratio_dec,
+    _round6_ratio_dec_signed,
     _round6_ratio_signed,
 )
+
+
+def _pct_pick(val_col: str, a: int, b: int, tag: str) -> list:
+    """Conditional-aggregate terms for the EXACT a/b percentile of an
+    integer column, over rows already carrying ``__r`` (1-based
+    row_number in value order within the group) and ``__n`` (group
+    count): for idx_b = a·(n−1), lo = idx_b div b and k = idx_b mod b,
+    emit [v_lo, v_hi, k] as three agg expressions tagged ``tag``. The
+    caller combines them with :func:`_pct_num` into the exact integer
+    numerator b·v_lo + k·(v_hi − v_lo), avoiding the float-interpolated
+    percentile() whose exact-rational result lands on 7th-decimal
+    midpoints (the round-6 engine-split class; ADVICE r9 /
+    conversion_latency r10)."""
+    idx = (F.col("__n") - 1) * a
+    lo = ((idx - F.pmod(idx, F.lit(b))) / F.lit(b)).cast("long") + 1
+    return [
+        F.max(F.when(F.col("__r") == lo, F.col(val_col))).alias(f"__{tag}lo"),
+        F.max(F.when(F.col("__r") == lo + 1, F.col(val_col))).alias(f"__{tag}hi"),
+        F.max(F.pmod(idx, F.lit(b))).alias(f"__{tag}k"),
+    ]
+
+
+def _pct_num(tag: str, b: int):
+    """Exact integer percentile numerator from :func:`_pct_pick` terms:
+    b·v_lo + k·(v_hi − v_lo); divide by b·denominator via the DECIMAL
+    ratio helpers."""
+    d = F.coalesce(F.col(f"__{tag}hi"), F.col(f"__{tag}lo")) - F.col(f"__{tag}lo")
+    return F.lit(b) * F.col(f"__{tag}lo") + F.col(f"__{tag}k") * d
 
 
 def sessionize(
@@ -564,20 +593,36 @@ def interarrival_stats(
     bot detection (unnaturally regular medians), and churn risk
     (stretching gaps).
 
-    Exact interpolated percentiles (engine-reproducible); swap for
-    percentile_approx at 100 TB. One key shuffle for the lag window;
-    the percentile aggregate reuses the same partitioning."""
+    Gaps are exact integer MICROSECONDS and the percentiles are exact
+    integer rank interpolations (the ``_pct_pick`` machinery) divided
+    on the DECIMAL route — a float-interpolated percentile of 6dp
+    gap-seconds is an exact rational that lands on 7th-decimal
+    midpoints (the round-6 engine-split class, swept r10 after ADVICE
+    r9 flagged conversion_latency). Swap for percentile_approx at
+    100 TB. One key shuffle for the lag window; the rank window and
+    the aggregate reuse the same partitioning."""
     order = [ts_col] + ([order_col] if order_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
-    secs = F.col(ts_col).cast("double")
+    us_ = F.unix_micros(F.col(ts_col))
     gaps = df.select(
-        F.col(key_col), (secs - F.lag(secs).over(w)).alias("__gap")
-    ).where(F.col("__gap").isNotNull())
-    return gaps.groupBy(F.col(key_col)).agg(
+        F.col(key_col), (us_ - F.lag(us_).over(w)).alias("__g")
+    ).where(F.col("__g").isNotNull())
+    wr = Window.partitionBy(key_col).orderBy("__g")
+    ranked = gaps.withColumn("__r", F.row_number().over(wr)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(key_col))
+    )
+    agg = ranked.groupBy(F.col(key_col)).agg(
         F.count("*").alias("n_gaps"),
-        F.round(F.expr("percentile(__gap, 0.5)"), 6).alias("median_gap"),
-        F.round(F.expr("percentile(__gap, 0.9)"), 6).alias("p90_gap"),
-        F.round(F.max("__gap"), 6).alias("max_gap"),
+        F.max("__g").alias("__mx"),
+        *_pct_pick("__g", 1, 2, "m"),
+        *_pct_pick("__g", 9, 10, "p"),
+    )
+    return agg.select(
+        F.col(key_col),
+        "n_gaps",
+        _round6_ratio_dec(_pct_num("m", 2), F.lit(2_000_000)).alias("median_gap"),
+        _round6_ratio_dec(_pct_num("p", 10), F.lit(10_000_000)).alias("p90_gap"),
+        _round6_ratio_dec(F.col("__mx"), F.lit(1_000_000)).alias("max_gap"),
     )
 
 
@@ -800,32 +845,16 @@ def conversion_latency(
         .withColumn("__r", F.row_number().over(w))
         .withColumn("__n", F.count("*").over(wall))
     )
-    idx50 = F.col("__n") - 1  # p50: a/b = 1/2, idx_b = 1·(n−1)
-    idx90 = (F.col("__n") - 1) * 9  # p90: a/b = 9/10, idx_b = 9·(n−1)
-    lo50 = ((idx50 - F.pmod(idx50, F.lit(2))) / F.lit(2)).cast("long") + 1
-    lo90 = ((idx90 - F.pmod(idx90, F.lit(10))) / F.lit(10)).cast("long") + 1
     picked = ranked.agg(
         F.count("*").alias("n_converted"),
         F.sum("__lat_us").alias("__sum_us"),
-        F.max(F.when(F.col("__r") == lo50, F.col("__lat_us"))).alias("__v50lo"),
-        F.max(F.when(F.col("__r") == lo50 + 1, F.col("__lat_us"))).alias("__v50hi"),
-        F.max(F.pmod(idx50, F.lit(2))).alias("__k50"),
-        F.max(F.when(F.col("__r") == lo90, F.col("__lat_us"))).alias("__v90lo"),
-        F.max(F.when(F.col("__r") == lo90 + 1, F.col("__lat_us"))).alias("__v90hi"),
-        F.max(F.pmod(idx90, F.lit(10))).alias("__k90"),
+        *_pct_pick("__lat_us", 1, 2, "m"),
+        *_pct_pick("__lat_us", 9, 10, "p"),
     )
-    d50 = F.coalesce(F.col("__v50hi"), F.col("__v50lo")) - F.col("__v50lo")
-    d90 = F.coalesce(F.col("__v90hi"), F.col("__v90lo")) - F.col("__v90lo")
     conv = picked.select(
         "n_converted",
-        _round6_ratio_dec(
-            F.lit(2) * F.col("__v50lo") + F.col("__k50") * d50,
-            F.lit(2_000_000),
-        ).alias("p50_sec"),
-        _round6_ratio_dec(
-            F.lit(10) * F.col("__v90lo") + F.col("__k90") * d90,
-            F.lit(10_000_000),
-        ).alias("p90_sec"),
+        _round6_ratio_dec(_pct_num("m", 2), F.lit(2_000_000)).alias("p50_sec"),
+        _round6_ratio_dec(_pct_num("p", 10), F.lit(10_000_000)).alias("p90_sec"),
         _round6_ratio_dec(
             F.col("__sum_us"), F.lit(1_000_000) * F.col("n_converted")
         ).alias("mean_sec"),
@@ -1135,10 +1164,18 @@ def theilsen_trend(
     arbitrarily by one spike. Returns (name, n_buckets, n_pairs,
     slope_per_hour).
 
-    Exactness: each pairwise slope is one double division of exact
-    int64 differences, so both engines materialize the identical slope
-    multiset; the exact median (linear interpolation at even counts)
-    then agrees bit-for-bit.
+    Exactness: each pairwise slope is an exact int64 RATIONAL
+    (Δn, Δt); the double quotient is used only for RANKING (identical
+    on both engines, with the (Δn, Δt) pair as the deterministic
+    tiebreak for double-equal rationals), and the median itself is
+    computed in exact integer arithmetic — for an odd pair count
+    3600·Δn_m/Δt_m, for an even count 1800·(Δn_lo·Δt_hi +
+    Δn_hi·Δt_lo)/(Δt_lo·Δt_hi) — through the signed DECIMAL ratio
+    helper. A float-interpolated median ×3600 of exact slope rationals
+    lands on 7th-decimal midpoints (the round-6 engine-split class,
+    swept r10 after ADVICE r9 flagged conversion_latency); the
+    cross products are formed in DECIMAL(38,0) so ANSI cannot
+    hard-error on long·long at wide time ranges.
 
     Scale shape: events collapse to per-(key, bucket) counts FIRST, so
     the quadratic pair join is over B = time-range/step rows per key —
@@ -1149,13 +1186,36 @@ def theilsen_trend(
     a = counts.select(F.col("name"), F.col("i_time").alias("__ta"), F.col("n").alias("__na"))
     b = counts.select(F.col("name"), F.col("i_time").alias("__tb"), F.col("n").alias("__nb"))
     pairs = a.join(b, "name").where(F.col("__ta") < F.col("__tb"))
-    slope = (F.col("__nb") - F.col("__na")).cast("double") / (
-        F.col("__tb") - F.col("__ta")
-    ).cast("double")
-    sizes = counts.groupBy("name").agg(F.count("*").cast("long").alias("n_buckets"))
-    med = pairs.groupBy("name").agg(
+    num = (F.col("__nb") - F.col("__na")).cast("long")
+    den = (F.col("__tb") - F.col("__ta")).cast("long")
+    pr = pairs.select(
+        "name",
+        num.alias("__sn"),
+        den.alias("__sd"),
+        (num.cast("double") / den.cast("double")).alias("__s"),
+    )
+    wr = Window.partitionBy("name").orderBy("__s", "__sn", "__sd")
+    ranked = pr.withColumn("__r", F.row_number().over(wr)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy("name"))
+    )
+    picked = ranked.groupBy("name").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.round(F.percentile(slope, F.lit(0.5)) * 3600.0, 6).alias("slope_per_hour"),
+        *_pct_pick("__sn", 1, 2, "n"),
+        *_pct_pick("__sd", 1, 2, "d"),
+    )
+    dec = "decimal(38,0)"
+    nlo, dlo = F.col("__nlo").cast(dec), F.col("__dlo").cast(dec)
+    nhi = F.coalesce(F.col("__nhi"), F.col("__nlo")).cast(dec)
+    dhi = F.coalesce(F.col("__dhi"), F.col("__dlo")).cast(dec)
+    med_num = F.when(
+        F.col("__nk") == 0, F.lit(3600).cast(dec) * nlo
+    ).otherwise(F.lit(1800).cast(dec) * (nlo * dhi + nhi * dlo))
+    med_den = F.when(F.col("__nk") == 0, dlo).otherwise(dlo * dhi)
+    sizes = counts.groupBy("name").agg(F.count("*").cast("long").alias("n_buckets"))
+    med = picked.select(
+        "name",
+        "n_pairs",
+        _round6_ratio_dec_signed(med_num, med_den).alias("slope_per_hour"),
     )
     return sizes.join(med, "name").select(
         "name", "n_buckets", "n_pairs", "slope_per_hour"
@@ -1224,10 +1284,11 @@ def lateness_audit(
     each key's stream sorts within its partition, the same per-key
     discipline as sessionization (a production audit runs it per
     shard/partition, which is what a real watermark tracks anyway);
-    lateness percentiles are exact per-key percentiles over the derived
-    lateness column. Exactness: lateness is integer microseconds;
-    percentile interpolation and the /1e6 rescale are single double
-    ops, identical across engines."""
+    lateness percentiles are EXACT integer rank interpolations over the
+    integer-microsecond lateness column, divided on the DECIMAL route —
+    a float-interpolated percentile of 6dp seconds is an exact rational
+    on 7th-decimal midpoints (the round-6 engine-split class, swept r10
+    after ADVICE r9 flagged conversion_latency)."""
     us = F.unix_micros(F.col(ts_col))
     w = (
         Window.partitionBy(key_col)
@@ -1238,17 +1299,28 @@ def lateness_audit(
         F.col(key_col).alias("name"),
         (F.max(us).over(w) - us).alias("__late_us"),
     )
-    sec = F.col("__late_us") / 1e6
-    return late.groupBy("name").agg(
+    wr = Window.partitionBy("name").orderBy("__late_us")
+    ranked = late.withColumn("__r", F.row_number().over(wr)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy("name"))
+    )
+    agg = ranked.groupBy("name").agg(
         F.count("*").cast("long").alias("n_events"),
         F.sum(F.when(F.col("__late_us") > 0, 1).otherwise(0))
         .cast("long")
         .alias("n_late"),
-        F.round(F.max(sec), 6).alias("max_late_sec"),
-        F.round(F.percentile(F.col("__late_us"), F.lit(0.95)) / 1e6, 6).alias(
+        F.max("__late_us").alias("__mx"),
+        *_pct_pick("__late_us", 19, 20, "a"),
+        *_pct_pick("__late_us", 99, 100, "b"),
+    )
+    return agg.select(
+        "name",
+        "n_events",
+        "n_late",
+        _round6_ratio_dec(F.col("__mx"), F.lit(1_000_000)).alias("max_late_sec"),
+        _round6_ratio_dec(_pct_num("a", 20), F.lit(20_000_000)).alias(
             "p95_late_sec"
         ),
-        F.round(F.percentile(F.col("__late_us"), F.lit(0.99)) / 1e6, 6).alias(
+        _round6_ratio_dec(_pct_num("b", 100), F.lit(100_000_000)).alias(
             "p99_late_sec"
         ),
     )

@@ -860,6 +860,13 @@ def q_value_percentiles(spark, sf_dir):
     (t-digest-style sketch, mergeable, bounded memory) — same query
     shape, documented accuracy trade."""
     ev = _tbl(spark, sf_dir, "events")
+    # Event values are 2dp cents rationals (adversarial accounting) or
+    # full-precision doubles (driver data). For cents the p50/p95/p99
+    # interpolations (fracs k/2, k/20, k/100) have denominators
+    # dividing 10^4 — they TERMINATE by the 4th decimal and cannot
+    # reach a 7th-decimal midpoint; full-precision doubles have no
+    # midpoint concentration (the diffuse class).
+    # round-lint: exempt (all three percentile lines below)
     return ev.groupBy(F.col("event_type").alias("name")).agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
@@ -3883,9 +3890,16 @@ _R10_WINDOW = [
     "ivf_list_balance",
     "cluster_keep_best_lsh",
     # (2) r10 expression changes, promoted for driver re-check
+    # (conversion_latency/tokenizer_drift/embedding_moments: ADVICE r9;
+    # lateness_audit/theilsen_trend + the already-tail-listed
+    # interarrival: the r10 percentile-midpoint sweep — the last two
+    # displaced ts_count_rate_minute / ts_fine_hour_minute, which now
+    # lead the r11 tail cycle)
     "conversion_latency",
     "tokenizer_drift",
     "embedding_moments",
+    "lateness_audit",
+    "theilsen_trend",
     # (3) rotation re-checks (tail cycle)
     "stratified_sample",
     "session_transitions",
@@ -3923,8 +3937,6 @@ _R10_WINDOW = [
     "key_skew_stats",
     "event_pivot",
     "ts_count_series_hour",
-    "ts_count_rate_minute",
-    "ts_fine_hour_minute",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {
@@ -5954,15 +5966,41 @@ ORACLES["fuzzy_match"] = """
 ORACLES["interarrival"] = """
     WITH gaps AS (
       SELECT user_id,
-             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
-                                              ORDER BY ts, event_id) AS g
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS g
       FROM events
+    ),
+    rk AS (
+      SELECT user_id, g,
+             row_number() OVER (PARTITION BY user_id ORDER BY g) AS r,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM gaps WHERE g IS NOT NULL
+    ),
+    pick AS (
+      SELECT user_id, count(*) AS n_gaps, max(g) AS mx,
+             max(CASE WHEN r = (n-1)//2 + 1 THEN g END) AS v50lo,
+             max(CASE WHEN r = (n-1)//2 + 2 THEN g END) AS v50hi,
+             max((n-1) % 2) AS k50,
+             max(CASE WHEN r = (9*(n-1))//10 + 1 THEN g END) AS v90lo,
+             max(CASE WHEN r = (9*(n-1))//10 + 2 THEN g END) AS v90hi,
+             max((9*(n-1)) % 10) AS k90
+      FROM rk GROUP BY 1
     )
-    SELECT user_id, count(*) AS n_gaps,
-           round(quantile_cont(g, 0.5), 6) AS median_gap,
-           round(quantile_cont(g, 0.9), 6) AS p90_gap,
-           round(max(g), 6) AS max_gap
-    FROM gaps WHERE g IS NOT NULL GROUP BY 1
+    SELECT user_id, n_gaps,
+           CAST((2000000::HUGEINT
+                   * (2*v50lo + k50*(coalesce(v50hi, v50lo) - v50lo))::HUGEINT
+                 + 2000000::HUGEINT)
+                // (2::HUGEINT * 2000000::HUGEINT) AS BIGINT)
+             / 1000000.0 AS median_gap,
+           CAST((2000000::HUGEINT
+                   * (10*v90lo + k90*(coalesce(v90hi, v90lo) - v90lo))::HUGEINT
+                 + 10000000::HUGEINT)
+                // (2::HUGEINT * 10000000::HUGEINT) AS BIGINT)
+             / 1000000.0 AS p90_gap,
+           CAST((2000000::HUGEINT * mx::HUGEINT + 1000000::HUGEINT)
+                // (2::HUGEINT * 1000000::HUGEINT) AS BIGINT)
+             / 1000000.0 AS max_gap
+    FROM pick
 """
 
 ORACLES["label_agreement"] = """
@@ -6962,17 +7000,46 @@ ORACLES["theilsen_trend"] = """
     ),
     pairs AS (
       SELECT a.name,
+             CAST(b.n - a.n AS BIGINT) AS sn,
+             CAST(b.i_time - a.i_time AS BIGINT) AS sd,
              CAST(b.n - a.n AS DOUBLE) / CAST(b.i_time - a.i_time AS DOUBLE) AS s
       FROM counts a JOIN counts b
         ON a.name = b.name AND a.i_time < b.i_time
     ),
-    sz AS (SELECT name, CAST(count(*) AS BIGINT) AS n_buckets FROM counts GROUP BY 1),
+    rk AS (
+      SELECT name, sn, sd,
+             row_number() OVER (PARTITION BY name ORDER BY s, sn, sd) AS r,
+             count(*) OVER (PARTITION BY name) AS n
+      FROM pairs
+    ),
+    pick AS (
+      SELECT name, count(*) AS n_pairs,
+             max(CASE WHEN r = (n-1)//2 + 1 THEN sn END) AS nlo,
+             max(CASE WHEN r = (n-1)//2 + 1 THEN sd END) AS dlo,
+             max(CASE WHEN r = (n-1)//2 + 2 THEN sn END) AS nhi,
+             max(CASE WHEN r = (n-1)//2 + 2 THEN sd END) AS dhi,
+             max((n-1) % 2) AS k
+      FROM rk GROUP BY 1
+    ),
     med AS (
-      SELECT name, CAST(count(*) AS BIGINT) AS n_pairs,
-             quantile_cont(s, 0.5) AS m
-      FROM pairs GROUP BY 1
-    )
-    SELECT sz.name, n_buckets, n_pairs, round(m * 3600.0, 6) AS slope_per_hour
+      SELECT name, CAST(n_pairs AS BIGINT) AS n_pairs,
+             CASE WHEN k = 0 THEN 3600::HUGEINT * nlo::HUGEINT
+                  ELSE 1800::HUGEINT * (nlo::HUGEINT * coalesce(dhi, dlo)::HUGEINT
+                                        + coalesce(nhi, nlo)::HUGEINT * dlo::HUGEINT)
+             END AS mnum,
+             CASE WHEN k = 0 THEN dlo::HUGEINT
+                  ELSE dlo::HUGEINT * coalesce(dhi, dlo)::HUGEINT
+             END AS mden
+      FROM pick
+    ),
+    sz AS (SELECT name, CAST(count(*) AS BIGINT) AS n_buckets FROM counts GROUP BY 1)
+    SELECT sz.name, n_buckets, n_pairs,
+           CASE WHEN mnum >= 0
+                THEN  CAST(( 2000000::HUGEINT * mnum + mden)
+                           // (2::HUGEINT * mden) AS BIGINT) / 1000000.0
+                ELSE -CAST((-2000000::HUGEINT * mnum + mden)
+                           // (2::HUGEINT * mden) AS BIGINT) / 1000000.0
+           END AS slope_per_hour
     FROM sz JOIN med USING (name)
 """
 
@@ -7102,14 +7169,43 @@ ORACLES["lateness_audit"] = """
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  - epoch_us(ts) AS late_us
       FROM events
+    ),
+    rk AS (
+      SELECT name, late_us,
+             row_number() OVER (PARTITION BY name ORDER BY late_us) AS r,
+             count(*) OVER (PARTITION BY name) AS n
+      FROM late
+    ),
+    pick AS (
+      SELECT name,
+             count(*) AS n_events,
+             sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,
+             max(late_us) AS mx,
+             max(CASE WHEN r = (19*(n-1))//20 + 1 THEN late_us END) AS alo,
+             max(CASE WHEN r = (19*(n-1))//20 + 2 THEN late_us END) AS ahi,
+             max((19*(n-1)) % 20) AS ak,
+             max(CASE WHEN r = (99*(n-1))//100 + 1 THEN late_us END) AS blo,
+             max(CASE WHEN r = (99*(n-1))//100 + 2 THEN late_us END) AS bhi,
+             max((99*(n-1)) % 100) AS bk
+      FROM rk GROUP BY 1
     )
     SELECT name,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-           round(max(late_us / 1e6), 6) AS max_late_sec,
-           round(quantile_cont(late_us, 0.95) / 1e6, 6) AS p95_late_sec,
-           round(quantile_cont(late_us, 0.99) / 1e6, 6) AS p99_late_sec
-    FROM late GROUP BY 1
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_late AS BIGINT) AS n_late,
+           CAST((2000000::HUGEINT * mx::HUGEINT + 1000000::HUGEINT)
+                // (2::HUGEINT * 1000000::HUGEINT) AS BIGINT)
+             / 1000000.0 AS max_late_sec,
+           CAST((2000000::HUGEINT
+                   * (20*alo + ak*(coalesce(ahi, alo) - alo))::HUGEINT
+                 + 20000000::HUGEINT)
+                // (2::HUGEINT * 20000000::HUGEINT) AS BIGINT)
+             / 1000000.0 AS p95_late_sec,
+           CAST((2000000::HUGEINT
+                   * (100*blo + bk*(coalesce(bhi, blo) - blo))::HUGEINT
+                 + 100000000::HUGEINT)
+                // (2::HUGEINT * 100000000::HUGEINT) AS BIGINT)
+             / 1000000.0 AS p99_late_sec
+    FROM pick
 """
 
 ORACLES["dup_inflation"] = """

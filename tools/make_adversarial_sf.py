@@ -424,6 +424,26 @@ def make_documents():
     # weight would be 0 and its epochs undefined)
     add("123 456 789 000", "en", "src12digits")
     add("42 7 1000000 5", "en", "src12digits")
+    # --- round 10: line-grain and boundary-gram hazards.
+    # dup_line_stats: duplicate lines with a CRLF line (the \r stays on
+    # the line in BOTH engines' split-on-\n), a whitespace-only line
+    # (dropped by the trim guard on both), and a digit-heavy repeated
+    # line driving the char fraction; plus an all-one-line doc
+    # (dup_line_frac -> (n-1)/n).
+    add("alpha line\r\nalpha line\r\n   \nbeta 12345 xx\nbeta 12345 xx\nbeta 12345 xx", "en", "src13")
+    add("\n".join(["same line every time"] * 7), "en", "src13")
+    # boundary_overlap: a tail->head chain whose shared 8-token gram
+    # carries the İ/Σ case hazards — the gram digest must agree across
+    # engines only because tokenization runs through agree_lower
+    chain_gram = "İstanbul ΣΟΦΙΑ gamma delta epsilon zeta eta theta"
+    add("chain starts here with filler words then " + chain_gram, "el", "src13")
+    add(chain_gram + " continues the split record body afterwards", "el", "src13")
+    # blocklist_audit: mixed-case and dotted-İ phrase forms — 'Lorem
+    # İpsum' must lowercase to 'lorem ipsum' IDENTICALLY (agree_lower's
+    # İ→i pre-translate vs DuckDB's simple mapping); a newline inside
+    # the phrase must NOT match on either engine (the escaped literal
+    # space matches only U+0020)
+    add("Lorem İpsum dolor TERMS OF USE and Lorem\nIpsum broken", "tr", "src13")
     # --- round 7: 32-bit-width stress doc (~60 KB). ANSI INT overflow
     # in length()/regexp_count()-fed arithmetic only bites once a
     # per-doc count clears 2^31/2e6 ≈ 1073 (the text.py ratio-helper

@@ -37,6 +37,14 @@ ROOT = Path(__file__).resolve().parent.parent / "kairos_spark"
 # F.round( (exactly the multi-line shape the old post_stratified_mean
 # bug had) is not silently skipped (ADVICE r8). \s spans newlines.
 PATTERN = re.compile(r"F\.round\(\s*F\.(avg|sum)\(")
+# ADVICE r9 closed a second hole: bare F.round over percentile() — the
+# interpolated percentile of exact-rational inputs (integer-µs
+# latencies/gaps, exact slope rationals) is itself an exact rational
+# and lands on 7th-decimal midpoints exactly like a count ratio
+# (conversion_latency's p50 carried this latently until r10). Every
+# F.round whose balanced extent contains percentile( is now a finding
+# under the same exemption rules.
+PCT = re.compile(r"F\.round\(")
 SCALE = re.compile(r",\s*([0-9]+)\s*\)\s*$")
 
 
@@ -69,7 +77,14 @@ def main() -> int:
     for path in sorted(ROOT.rglob("*.py")):
         text = path.read_text()
         lines = text.splitlines()
-        for m in PATTERN.finditer(text):
+        hits = {m.start(): m for m in PATTERN.finditer(text)}
+        for m in PCT.finditer(text):
+            if m.start() in hits:
+                continue
+            if "percentile" in call_extent(text, m.start()):
+                hits[m.start()] = m
+        for start in sorted(hits):
+            m = hits[start]
             lineno = text.count("\n", 0, m.start()) + 1
             if lines[lineno - 1].lstrip().startswith("#"):
                 continue
