@@ -186,3 +186,94 @@ def test_cents_and_quantizer_random_parity(spark, con):
     for c in ("c", "q"):
         bad = int((out[c].to_numpy() != dk[c].to_numpy()).sum())
         assert bad == 0, (c, bad)
+
+
+def test_pct_pick_exact_percentiles_random_parity(spark, con):
+    """The r10 exact-rank percentile machinery (_pct_pick/_pct_num over
+    the DECIMAL ratio route) vs (1) exact Fraction arithmetic and
+    (2) the documented DuckDB oracle mirror, over random groups with
+    tie-heavy and single-row families mixed in. The true percentile of
+    integer microseconds at p = a/b is the exact rational
+    (b·v_lo + k·Δ)/(b·10⁶) with idx_b = a·(n−1) — a midpoint-capable
+    class a float-interpolated percentile would round differently."""
+    from fractions import Fraction
+
+    from pyspark.sql.window import Window
+
+    from kairos_spark.operators.windows import _pct_num, _pct_pick
+
+    rng = np.random.default_rng(SEED + 10)
+    groups = []
+    gid = 0
+    for sz in rng.integers(1, 50, 400):
+        vals = _int_pool(rng, 1, 10_000_000_000_000, int(sz))
+        if gid % 3 == 0:
+            vals[: max(1, sz // 2)] = vals[0]  # heavy ties
+        if gid % 7 == 0:
+            vals = (vals // 1_000_000) * 1_000_000  # exact-second grid
+        groups.append(pd.DataFrame({"g": gid, "v": vals.astype("int64")}))
+        gid += 1
+    pdf = pd.concat(groups, ignore_index=True)
+
+    sdf = spark.createDataFrame(pdf)
+    wr = Window.partitionBy("g").orderBy("v")
+    ranked = sdf.withColumn("__r", F.row_number().over(wr)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy("g"))
+    )
+    cases = [(1, 2, "m"), (9, 10, "p"), (19, 20, "a"), (99, 100, "b")]
+    picks = []
+    for a, b, t in cases:
+        picks.extend(_pct_pick("v", a, b, t))
+    agg = ranked.groupBy("g").agg(*picks)
+    out = agg.select(
+        "g",
+        *[
+            _round6_ratio_dec(_pct_num(t, b), F.lit(b * 1_000_000)).alias(t)
+            for a, b, t in cases
+        ],
+    ).toPandas().set_index("g").sort_index()
+
+    def ref(vals, a, b):
+        s = sorted(vals)
+        n = len(s)
+        idx = a * (n - 1)
+        lo, k = divmod(idx, b)
+        hi = min(lo + 1, n - 1)
+        num = b * s[lo] + k * (s[hi] - s[lo])
+        den = b * 10**6
+        # round half-up to 6 decimals, exactly
+        q = Fraction(num, den)
+        scaled = q * 10**6
+        r = (scaled.numerator * 2 + scaled.denominator) // (2 * scaled.denominator)
+        return r / 1e6
+
+    for g, grp in pdf.groupby("g"):
+        vals = grp["v"].tolist()
+        for a, b, t in cases:
+            assert out.loc[g, t] == ref(vals, a, b), (g, t, vals)
+
+    # oracle-mirror parity: the documented row_number/HUGEINT formula
+    con.register("pct_fuzz", pdf)
+    sql = """
+    WITH rk AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM pct_fuzz
+    ),
+    pick AS (
+      SELECT g,
+             max(CASE WHEN r = (9*(n-1))//10 + 1 THEN v END) AS vlo,
+             max(CASE WHEN r = (9*(n-1))//10 + 2 THEN v END) AS vhi,
+             max((9*(n-1)) % 10) AS k
+      FROM rk GROUP BY 1
+    )
+    SELECT g,
+           CAST((2000000::HUGEINT
+                   * (10*vlo + k*(coalesce(vhi, vlo) - vlo))::HUGEINT
+                 + 10000000::HUGEINT)
+                // (2::HUGEINT * 10000000::HUGEINT) AS BIGINT)
+             / 1000000.0 AS p
+    FROM pick ORDER BY g
+    """
+    odf = con.execute(sql).df().set_index("g").sort_index()
+    assert (odf["p"] == out["p"]).all()
