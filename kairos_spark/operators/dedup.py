@@ -1623,3 +1623,100 @@ def boundary_overlap_pairs(
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", "n_tokens_a", "n_tokens_b")
     )
+
+
+def dup_quality_bias(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size_cap: int = 4,
+) -> DataFrame:
+    """Duplication-quality bias table: per exact-dup group-size bucket
+    (1, 2, …, ``size_cap``+, capped so the bucket set is closed), how
+    many groups and docs land there, the mean quality over ALL member
+    docs, and the mean quality of the KEPT keep-lowest-id
+    representatives. The one table that answers "are duplicated docs
+    systematically worse?" — if mean_quality_all drops with group size
+    (boilerplate farms), dedup is also a quality filter; if kept ≈ all,
+    the keep policy is quality-neutral on this corpus. Pairs with
+    ``dup_cluster_sizes`` (volume ROI) and ``cluster_representatives``
+    (the keep policy itself).
+
+    Quality values are exact 6dp → recovered as integer micro-units
+    (rint, exact for q < 2^32 µ) so both means are ONE exact integer
+    ratio Σµ/(n·10^6) each (the source_scorecard convention — never a
+    float mean of 6dp rationals, the midpoint class).
+
+    Scale shape: digests aggregate on the short key; quality is the
+    map-only quality_score projection joined on the doc id; the
+    bucket table is a ≤ size_cap-row aggregate. Text never shuffles
+    twice."""
+    from kairos_spark.operators.text import _round6_ratio_dec, quality_score
+
+    dg = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__d"))
+    sizes = dg.groupBy("__d").agg(
+        F.count("*").alias("__s"), F.min(F.col(id_col)).alias("__keep")
+    )
+    qual = quality_score(df, text_col, id_col).select(
+        F.col(id_col),
+        F.rint(F.col("quality") * F.lit(1_000_000.0))
+        .cast("decimal(38,0)")
+        .alias("__qu"),
+    )
+    j = dg.join(sizes, "__d").join(qual, id_col)
+    bucket = F.least(F.col("__s"), F.lit(size_cap)).cast("long")
+    per = j.select(
+        bucket.alias("group_size_bucket"),
+        F.col("__d"),
+        F.col("__qu"),
+        (F.col(id_col) == F.col("__keep")).alias("__is_keep"),
+    )
+    return per.groupBy("group_size_bucket").agg(
+        F.countDistinct("__d").cast("long").alias("n_groups"),
+        F.count("*").cast("long").alias("n_docs"),
+        _round6_ratio_dec(
+            F.sum("__qu"),
+            F.count("*").cast("decimal(38,0)") * F.lit(1_000_000),
+        ).alias("mean_quality_all"),
+        _round6_ratio_dec(
+            F.sum(F.when(F.col("__is_keep"), F.col("__qu")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )),
+            F.greatest(
+                F.sum(F.when(F.col("__is_keep"), 1).otherwise(0)), F.lit(1)
+            ).cast("decimal(38,0)")
+            * F.lit(1_000_000),
+        ).alias("mean_quality_kept"),
+    )
+
+
+def cluster_source_purity(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Near-dup cluster source-purity histogram: given cluster labels
+    (``connected_components`` output) and the doc→source mapping, per
+    DISTINCT-SOURCE-COUNT bucket report how many clusters span exactly
+    that many sources and how many docs they hold. The near-dup-grain
+    sibling of ``cross_source_duplication`` (exact digests): a tall
+    n_sources=1 bar means near-dups are intra-feed (dedup per source
+    would suffice); mass at n_sources ≥ 2 is syndication/mirroring —
+    cross-source dedup is load-bearing and per-source pipelines would
+    silently keep every copy.
+
+    Scale shape: one hash join labels⋈sources on the doc id, one
+    cluster-grain aggregate (distinct sources per cluster — bounded by
+    cluster size), one histogram aggregate over cluster-grain rows."""
+    j = clusters.select(F.col("node").alias(id_col), "cluster_id").join(
+        docs.select(F.col(id_col), F.col(source_col).alias("__src")), id_col
+    )
+    per = j.groupBy("cluster_id").agg(
+        F.countDistinct("__src").cast("long").alias("__ns"),
+        F.count("*").cast("long").alias("__nd"),
+    )
+    return per.groupBy(F.col("__ns").alias("n_sources")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("__nd").cast("long").alias("n_docs"),
+    )

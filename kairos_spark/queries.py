@@ -3490,6 +3490,36 @@ def q_ivf_list_balance(spark, sf_dir):
     )
 
 
+def q_dup_quality_bias(spark, sf_dir):
+    """Duplication-quality bias: mean quality per exact-dup group-size
+    bucket, all members vs kept representatives. Same injected copies
+    as dup_cluster_sizes so the buckets are non-degenerate."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    dup1 = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    dup2 = d.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 15_000_000).alias("doc_id"), "text"
+    )
+    return dedup.dup_quality_bias(d.unionByName(dup1).unionByName(dup2))
+
+
+def q_cluster_source_purity(spark, sf_dir):
+    """Near-dup cluster source-purity histogram over the banded LSH
+    clustering (same parameters as dedup_clusters_lsh)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(d, n=8, num_hashes=32, bands=16, threshold=0.2)
+    clusters = dedup.connected_components(pairs)
+    return dedup.cluster_source_purity(clusters, docs)
+
+
+def q_bigram_entropy_rate(spark, sf_dir):
+    """Per-source word-stream entropy rate H(w2|w1) = H2 - H1 in
+    bits/word — the corpus-redundancy signal."""
+    return text.bigram_entropy_rate(_tbl(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3512,6 +3542,12 @@ QUERIES = {
     "eval_contamination": q_eval_contamination,
     "cluster_keep_best": q_cluster_keep_best,
     "cluster_keep_best_lsh": q_cluster_keep_best_lsh,
+    # --- Late round-10 additions: registered BEHIND the full r10
+    # window (mirror-covered this round); they lead the r11 rotation
+    # per the CLAUDE.md rule for never-driver-checked entries ---
+    "dup_quality_bias": q_dup_quality_bias,
+    "cluster_source_purity": q_cluster_source_purity,
+    "bigram_entropy_rate": q_bigram_entropy_rate,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -11505,4 +11541,91 @@ ORACLES["ivf_list_balance"] = _KM_ASSIGN_PREFIX + """, sizes AS (
            floor((2000000 * n_vecs * 8 + greatest(n, 1)) / (2.0 * greatest(n, 1)))
              / 1000000.0 AS load_factor
     FROM sizes, tot
+"""
+
+
+# --- late round-10 oracles ---
+
+ORACLES["dup_quality_bias"] = ("""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 15000000, text FROM documents WHERE doc_id % 15 = 0
+    ),""" + _quality_cte_sql("u") + """,
+    dg AS (SELECT doc_id, md5(text) AS d FROM u),
+    sz AS (SELECT d, count(*) AS s, min(doc_id) AS keep FROM dg GROUP BY 1),
+    j AS (
+      SELECT least(s, 4) AS b, dg.d,
+             CAST(round(quality * 1000000) AS BIGINT) AS qu,
+             (dg.doc_id = keep) AS is_keep
+      FROM dg JOIN sz USING (d) JOIN q USING (doc_id)
+    )
+    SELECT CAST(b AS BIGINT) AS group_size_bucket,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_groups,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((2000000::HUGEINT * sum(qu)::HUGEINT
+                 + count(*)::HUGEINT * 1000000)
+                // (2::HUGEINT * count(*)::HUGEINT * 1000000) AS BIGINT)
+             / 1000000.0 AS mean_quality_all,
+           CAST((2000000::HUGEINT
+                   * sum(CASE WHEN is_keep THEN qu ELSE 0 END)::HUGEINT
+                 + greatest(sum(CASE WHEN is_keep THEN 1 ELSE 0 END), 1)::HUGEINT
+                   * 1000000)
+                // (2::HUGEINT
+                    * greatest(sum(CASE WHEN is_keep THEN 1 ELSE 0 END), 1)::HUGEINT
+                    * 1000000) AS BIGINT)
+             / 1000000.0 AS mean_quality_kept
+    FROM j GROUP BY 1
+""")
+
+# near-dup source purity: the dedup_clusters_lsh oracle's cluster
+# labels joined to sources, histogrammed — same surgery convention as
+# cluster_keep_best_lsh so the LSH stages can never drift
+ORACLES["cluster_source_purity"] = ORACLES["dedup_clusters_lsh"].replace(
+    "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1",
+    """, cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+    per AS (
+      SELECT cluster_id, count(DISTINCT d.source) AS ns, count(*) AS nd
+      FROM cl JOIN documents d USING (doc_id) GROUP BY 1
+    )
+    SELECT CAST(ns AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(nd) AS BIGINT) AS n_docs
+    FROM per GROUP BY 1""",
+)
+
+ORACLES["bigram_entropy_rate"] = """
+    WITH words AS (
+      SELECT source AS grp,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    uc AS (
+      SELECT grp, unnest(w) AS t FROM words
+    ),
+    ucc AS (SELECT grp, t, count(*) AS c FROM uc GROUP BY 1, 2),
+    h1 AS (
+      SELECT grp, sum(c) AS n,
+             log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+      FROM ucc GROUP BY 1
+    ),
+    bidx AS (
+      SELECT grp, w, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM words WHERE len(w) >= 2
+    ),
+    bcc AS (
+      SELECT grp, w[i] || ' ' || w[i+1] AS t, count(*) AS c
+      FROM bidx GROUP BY 1, 2
+    ),
+    h2 AS (
+      SELECT grp, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+      FROM bcc GROUP BY 1
+    )
+    SELECT h1.grp, CAST(n AS BIGINT) AS n_tokens,
+           round(h1.h, 6) AS h_unigram,
+           round(h2.h, 6) AS h_bigram,
+           round(h2.h - h1.h, 6) AS h_rate
+    FROM h1 JOIN h2 ON h1.grp = h2.grp
 """

@@ -270,3 +270,91 @@ def test_ivf_list_balance_shares_sum(spark):
     assert abs(sum(r.share for r in out) - 1.0) < 1e-5
     for r in out:
         assert r.load_factor == round(r.n_vecs * 4 / 50, 6)
+
+
+# --- dup_quality_bias ---
+
+
+def test_dup_quality_bias_buckets_and_means(spark):
+    good = "the and of to in is that for with word " * 10
+    bad = "1 2 3"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),        # group of 2: ids 1, 2
+            Row(doc_id=2, text=good),
+            Row(doc_id=3, text=bad),         # singleton
+            Row(doc_id=4, text=good + "x"),  # singleton
+        ]
+    )
+    out = {r.group_size_bucket: r for r in dedup.dup_quality_bias(docs).collect()}
+    assert out[2].n_groups == 1 and out[2].n_docs == 2
+    assert out[1].n_groups == 2 and out[1].n_docs == 2
+    # identical texts -> identical quality: all == kept in the size-2
+    # bucket (the keep policy is quality-neutral on exact dups)
+    assert out[2].mean_quality_all == out[2].mean_quality_kept
+    # singletons: every doc is its own keep
+    assert out[1].mean_quality_all == out[1].mean_quality_kept
+
+
+def test_dup_quality_bias_size_cap(spark):
+    t = "capped bucket text sample with several words here"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i in range(6)]  # one group of 6
+    )
+    out = dedup.dup_quality_bias(docs, size_cap=4).collect()
+    assert len(out) == 1 and out[0].group_size_bucket == 4
+    assert out[0].n_docs == 6 and out[0].n_groups == 1
+
+
+# --- cluster_source_purity ---
+
+
+def test_cluster_source_purity_histogram(spark):
+    clusters = spark.createDataFrame(
+        [
+            Row(node=1, cluster_id=1),
+            Row(node=2, cluster_id=1),   # cluster 1 spans a, b
+            Row(node=3, cluster_id=3),
+            Row(node=4, cluster_id=3),   # cluster 3 pure in a
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a"),
+            Row(doc_id=2, source="b"),
+            Row(doc_id=3, source="a"),
+            Row(doc_id=4, source="a"),
+        ]
+    )
+    out = {
+        r.n_sources: r for r in dedup.cluster_source_purity(clusters, docs).collect()
+    }
+    assert out[1].n_clusters == 1 and out[1].n_docs == 2
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+
+
+# --- bigram_entropy_rate ---
+
+
+def test_bigram_entropy_rate_degenerate_vs_diverse(spark):
+    import math
+
+    # template farm: one repeated bigram pattern -> H(w2|w1) ~ 0
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b a b a b", source="template"),
+            Row(doc_id=2, text="q w e r t y u i o p", source="diverse"),
+        ]
+    )
+    out = {r.grp: r for r in text.bigram_entropy_rate(docs).collect()}
+    t = out["template"]
+    assert t.n_tokens == 10
+    # unigram entropy of {a:5, b:5} = 1 bit; bigrams: {a b:5, b a:4}
+    assert t.h_unigram == 1.0
+    h2 = round(math.log2(9) - (5 * math.log2(5) + 4 * math.log2(4)) / 9, 6)
+    assert t.h_bigram == h2
+    assert t.h_rate == round(h2 - 1.0, 6)
+    d = out["diverse"]
+    # all-distinct tokens: H1 = log2(10); all-distinct bigrams: H2 = log2(9)
+    assert d.h_unigram == round(math.log2(10), 6)
+    assert d.h_bigram == round(math.log2(9), 6)

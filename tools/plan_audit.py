@@ -21,6 +21,9 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "dup_quality_bias",
+    "cluster_source_purity",
+    "bigram_entropy_rate",
     "dup_line_stats",
     "quality_threshold_sweep",
     "blocklist_audit",
@@ -311,6 +314,16 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # digest-grain sizes + map-only quality joined on the doc id, then
+    # one <=size_cap-row bucket aggregate; doc-grain joins may SMJ
+    "dup_quality_bias": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # labels (post-convergence CC output) join sources on the doc id;
+    # cluster-grain then histogram aggregates — the LSH/CC loop itself
+    # is exempt like dedup_clusters_lsh
+    "cluster_source_purity": ["HashAggregate", "!CartesianProduct"],
+    # token/bigram explodes are Generates; two (group, term) aggregates
+    # with map-side combine; |sources|-row join at the end
+    "bigram_entropy_rate": ["Generate", "HashAggregate", "!CartesianProduct"],
     # line explode is a Generate; lines hash to (doc, md5, len) before
     # the per-(doc, line) aggregate — raw line text never shuffles,
     # and the all-docs left join is a hash/merge join, never quadratic
