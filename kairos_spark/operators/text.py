@@ -2583,3 +2583,82 @@ def bigram_entropy_rate(
         F.round(F.col("__h2"), 6).alias("h_bigram"),
         F.round(F.col("__h2") - F.col("__h1"), 6).alias("h_rate"),
     )
+
+
+# Unicode script/class composition: codepoint ranges expressed with
+# \x{...} escapes, the syntax Java regex and DuckDB's RE2 share
+# (engine-probed: counts identical on Latin/Cyrillic/Greek/CJK/Arabic/
+# digit text, astral-plane emoji, and every whitespace control — the
+# explicit [ \t\n\r\f] class sidesteps the documented Java-vs-RE2 \s
+# vertical-tab divergence). Classes are pairwise disjoint so "other"
+# is an exact subtraction from the codepoint total.
+SCRIPT_CLASSES = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\x{0370}-\\x{03FF}]"),
+    ("cjk", "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}]"),
+    ("digit", "[0-9]"),
+    ("whitespace", "[ \\t\\n\\r\\f]"),
+]
+
+
+def script_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group Unicode script/class composition of the codepoint
+    stream: fractions of Latin letters, Cyrillic, Greek, CJK
+    (Han + Kana + Hangul), Arabic, ASCII digits, whitespace, and the
+    "other" remainder — the script-grain complement to ``lang_id``
+    (which classifies whole documents). A feed whose declared language
+    is stable while its script mix drifts (digits exploding, CJK
+    bleeding into a Latin source) is the classic silent-scraper-break
+    signal, and digit/other-heavy sources are the first candidates for
+    a tokenizer-fertility audit (``token_fertility``).
+
+    Determinism: every class count and the codepoint total are exact
+    BIGINTs (Spark's length() and DuckDB's length() both count
+    codepoints, astral planes included — engine-probed); each fraction
+    is ONE exact integer ratio Σclass/Σlen routed through
+    :func:`_round6_ratio_dec` (corpus codepoint totals exceed the
+    BIGINT product ceiling long before 100 TB). All-empty groups
+    sentinel every fraction to 0.0 on both engines.
+
+    Scale shape: the counts are a map-only regexp projection; the ONLY
+    shuffle carries |groups| × 10 combiner rows. No joins, no windows,
+    no explode — raw text never shuffles."""
+    cnt = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"__{name}")
+        for name, pat in SCRIPT_CLASSES
+    ]
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        F.length(F.col(text_col)).cast("long").alias("__len"),
+        *cnt,
+    )
+    sums = per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__len").cast("long").alias("n_chars"),
+        *[F.sum(f"__{name}").cast("long").alias(f"__s_{name}") for name, _ in SCRIPT_CLASSES],
+    )
+    other = F.col("n_chars") - sum(
+        (F.col(f"__s_{name}") for name, _ in SCRIPT_CLASSES), F.lit(0).cast("long")
+    )
+
+    def frac(num):
+        return F.when(
+            F.col("n_chars") > 0, _round6_ratio_dec(num, F.col("n_chars"))
+        ).otherwise(F.lit(0.0))
+
+    return sums.select(
+        "grp",
+        "n_docs",
+        "n_chars",
+        *[
+            frac(F.col(f"__s_{name}")).alias(f"frac_{name}")
+            for name, _ in SCRIPT_CLASSES
+        ],
+        frac(other).alias("frac_other"),
+    )

@@ -3520,6 +3520,13 @@ def q_bigram_entropy_rate(spark, sf_dir):
     return text.bigram_entropy_rate(_tbl(spark, sf_dir, "documents"))
 
 
+def q_script_mix(spark, sf_dir):
+    """Per-source Unicode script/class composition of the codepoint
+    stream (Latin/Cyrillic/Greek/CJK/Arabic/digit/whitespace/other
+    fractions) — the scraper-break / tokenizer-risk drift signal."""
+    return text.script_mix(_tbl(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3548,6 +3555,7 @@ QUERIES = {
     "dup_quality_bias": q_dup_quality_bias,
     "cluster_source_purity": q_cluster_source_purity,
     "bigram_entropy_rate": q_bigram_entropy_rate,
+    "script_mix": q_script_mix,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -11629,3 +11637,28 @@ ORACLES["bigram_entropy_rate"] = """
            round(h2.h - h1.h, 6) AS h_rate
     FROM h1 JOIN h2 ON h1.grp = h2.grp
 """
+
+
+# script_mix: generated from the operator's SCRIPT_CLASSES table so the
+# class regexes can never drift between engines (the \x{...} range
+# syntax is shared by Java regex and RE2 — engine-probed)
+ORACLES["script_mix"] = (
+    "WITH c AS (SELECT source AS grp, length(text) AS len, "
+    + ", ".join(
+        f"length(regexp_extract_all(text, '{pat}')) AS c_{name}"
+        for name, pat in text.SCRIPT_CLASSES
+    )
+    + " FROM documents) SELECT grp, CAST(count(*) AS BIGINT) AS n_docs, "
+    + "CAST(sum(len) AS BIGINT) AS n_chars, "
+    + ", ".join(
+        "CASE WHEN sum(len) > 0 THEN CAST((2000000::HUGEINT*sum(c_{n})::HUGEINT"
+        " + sum(len)::HUGEINT) // (2::HUGEINT*sum(len)::HUGEINT) AS BIGINT)"
+        "/1000000.0 ELSE 0.0 END AS frac_{n}".format(n=name)
+        for name, _ in text.SCRIPT_CLASSES
+    )
+    + ", CASE WHEN sum(len) > 0 THEN CAST((2000000::HUGEINT*(sum(len) - ("
+    + " + ".join(f"sum(c_{name})" for name, _ in text.SCRIPT_CLASSES)
+    + "))::HUGEINT + sum(len)::HUGEINT) // (2::HUGEINT*sum(len)::HUGEINT)"
+    " AS BIGINT)/1000000.0 ELSE 0.0 END AS frac_other"
+    " FROM c GROUP BY grp"
+)

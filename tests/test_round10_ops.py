@@ -358,3 +358,45 @@ def test_bigram_entropy_rate_degenerate_vs_diverse(spark):
     # all-distinct tokens: H1 = log2(10); all-distinct bigrams: H2 = log2(9)
     assert d.h_unigram == round(math.log2(10), 6)
     assert d.h_bigram == round(math.log2(9), 6)
+
+
+# --- script_mix ---
+
+
+def test_script_mix_known_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Ж a 你 9 😀", source="mix"),
+            Row(doc_id=2, text="", source="empty"),
+        ]
+    )
+    out = {r.grp: r for r in text.script_mix(docs).collect()}
+    m = out["mix"]
+    # 5 chars + 4 spaces = 9 codepoints (astral emoji counts as ONE)
+    assert m.n_chars == 9 and m.n_docs == 1
+    assert m.frac_latin == round(1 / 9, 6)
+    assert m.frac_cyrillic == round(1 / 9, 6)
+    assert m.frac_cjk == round(1 / 9, 6)
+    assert m.frac_digit == round(1 / 9, 6)
+    assert m.frac_whitespace == round(4 / 9, 6)
+    assert m.frac_other == round(1 / 9, 6)  # the emoji
+    assert m.frac_greek == 0.0 and m.frac_arabic == 0.0
+    e = out["empty"]
+    # all-empty group: every fraction sentinels to 0.0 (no NULL, no x/0)
+    assert e.n_chars == 0 and e.frac_latin == 0.0 and e.frac_other == 0.0
+
+
+def test_script_mix_fractions_sum_to_one(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="привет мир 42", source="s"),
+            Row(doc_id=2, text="ελληνικά και مرحبا", source="s"),
+        ]
+    )
+    (r,) = text.script_mix(docs).collect()
+    total = (
+        r.frac_latin + r.frac_cyrillic + r.frac_greek + r.frac_cjk
+        + r.frac_arabic + r.frac_digit + r.frac_whitespace + r.frac_other
+    )
+    # eight round-6 ratios of one denominator: off by at most 8 half-ulps
+    assert abs(total - 1.0) < 5e-6

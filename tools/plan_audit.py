@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "script_mix",
     "dup_quality_bias",
     "cluster_source_purity",
     "bigram_entropy_rate",
@@ -314,6 +315,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # map-only regexp-count projection + ONE |sources|-row aggregate:
+    # no joins, no windows, no explode — raw text never shuffles
+    "script_mix": ["HashAggregate", "!CartesianProduct", "!Generate", "!SortMergeJoin", "!BroadcastHashJoin"],
     # digest-grain sizes + map-only quality joined on the doc id, then
     # one <=size_cap-row bucket aggregate; doc-grain joins may SMJ
     "dup_quality_bias": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
