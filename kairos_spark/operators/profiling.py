@@ -3892,3 +3892,81 @@ def chao1_richness(
             num > 0, _round6_ratio_dec(extra_num, num)
         ).otherwise(F.lit(0.0)).alias("unseen_share"),
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Association strength between two categorical columns as a
+    one-row (n, n_rows, n_cols, chi2, cramers_v) table — the
+    bias/coupling audit a pipeline owner runs before treating two
+    stratification keys as independent (source × language, shard ×
+    label): V ≈ 0 means stratifying by one balances the other for
+    free; V → 1 means the keys are aliases and stratified sampling on
+    both double-counts.
+
+    Determinism contract: chi² is the QUANTIZED definition
+    n·(Σ⌊O²·10¹²/(r·c)⌋ − 10¹²)/10¹² — every per-cell term is an exact
+    integer floor computed in DECIMAL(38,0) (O² ≤ r·c keeps each term
+    ≤ 10¹²; O²·10¹² ≤ 10³⁶ stays inside DECIMAL(38,0) up to the
+    10-TB-of-rows scale O ≤ 10¹²), so both engines sum IDENTICAL
+    integers in any order — no float summation anywhere. The per-cell
+    floor under-counts chi² by < n·cells/10¹² (≪ round-6 at profile
+    grain); that bias is part of this operator's definition, mirrored
+    exactly by the oracle. V = √(D/(10¹²·k)) with k = min(r−1, c−1)
+    divides two exactly-representable integers (exact while
+    D, 10¹²·k < 2⁵³, i.e. k ≤ ~9000 categories) — sqrt is the one
+    IEEE-mandated bit-exact transcendental — and rounds through
+    :func:`_round6_bridge` (V ≤ 1, inside the bridge bound).
+    Degenerate tables (a single row or column category, k = 0)
+    sentinel chi2 and V to 0.0 on both engines; no NULL, no x/0.
+
+    Scale shape: ONE corpus shuffle (the (a, b) cell aggregate with
+    map-side combine); marginals are cell-grain re-aggregates
+    broadcast back onto cells; the finale is a single global combiner
+    row. Raw rows never shuffle twice, nothing quadratic anywhere."""
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count("*").alias("__o"))
+    r = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
+    c = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
+    j = cells.join(F.broadcast(r), "__a").join(F.broadcast(c), "__b")
+    e12 = F.lit(1_000_000_000_000).cast("decimal(38,0)")
+    x = F.col("__o").cast("decimal(38,0)") * F.col("__o").cast("decimal(38,0)") * e12
+    y = F.col("__r").cast("decimal(38,0)") * F.col("__c").cast("decimal(38,0)")
+    term = ((x - F.pmod(x, y)) / y).cast("decimal(38,0)")
+    agg = j.agg(
+        F.sum("__o").cast("long").alias("n"),
+        F.countDistinct("__a").cast("long").alias("n_rows"),
+        F.countDistinct("__b").cast("long").alias("n_cols"),
+        F.sum(term).alias("__s"),
+    )
+    k = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    d = F.greatest(
+        F.col("__s") - F.lit(1_000_000_000_000).cast("decimal(38,0)"),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        F.when(
+            k > 0,
+            _round6_ratio_dec(F.col("n").cast("decimal(38,0)") * d, e12),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chi2"),
+        F.when(
+            k > 0,
+            _round6_bridge(
+                F.sqrt(
+                    d.cast("double")
+                    / (F.lit(1_000_000_000_000) * k).cast("double")
+                )
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cramers_v"),
+    )

@@ -3527,6 +3527,14 @@ def q_script_mix(spark, sf_dir):
     return text.script_mix(_tbl(spark, sf_dir, "documents"))
 
 
+def q_cramers_v(spark, sf_dir):
+    """Source × language association (quantized-exact chi² and
+    Cramér's V) — are the two stratification keys independent?"""
+    return profiling.cramers_v(
+        _tbl(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3556,6 +3564,7 @@ QUERIES = {
     "cluster_source_purity": q_cluster_source_purity,
     "bigram_entropy_rate": q_bigram_entropy_rate,
     "script_mix": q_script_mix,
+    "cramers_v": q_cramers_v,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -11662,3 +11671,41 @@ ORACLES["script_mix"] = (
     " AS BIGINT)/1000000.0 ELSE 0.0 END AS frac_other"
     " FROM c GROUP BY grp"
 )
+
+
+ORACLES["cramers_v"] = """
+    WITH cells AS (
+      SELECT source AS a, lang AS b, count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    r AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+    c AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+    t AS (
+      SELECT o,
+             (o::HUGEINT * o::HUGEINT * 1000000000000::HUGEINT)
+               // (rt::HUGEINT * ct::HUGEINT) AS term
+      FROM cells JOIN r USING (a) JOIN c USING (b)
+    ),
+    agg AS (
+      SELECT sum(o)::HUGEINT AS n,
+             (SELECT count(*) FROM r) AS n_rows,
+             (SELECT count(*) FROM c) AS n_cols,
+             greatest(sum(term) - 1000000000000::HUGEINT, 0::HUGEINT) AS d
+      FROM t
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_cols AS BIGINT) AS n_cols,
+           CASE WHEN least(n_rows - 1, n_cols - 1) > 0 THEN
+             CAST((2000000::HUGEINT * (n * d) + 1000000000000::HUGEINT)
+                  // (2::HUGEINT * 1000000000000::HUGEINT) AS BIGINT)
+               / 1000000.0
+           ELSE 0.0 END AS chi2,
+           CASE WHEN least(n_rows - 1, n_cols - 1) > 0 THEN
+             CAST(round(CAST(sqrt(CAST(d AS DOUBLE)
+                    / CAST(1000000000000::BIGINT
+                           * least(n_rows - 1, n_cols - 1) AS DOUBLE))
+                  AS DECIMAL(27,12)), 6) AS DOUBLE)
+           ELSE 0.0 END AS cramers_v
+    FROM agg
+"""

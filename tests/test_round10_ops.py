@@ -400,3 +400,42 @@ def test_script_mix_fractions_sum_to_one(spark):
     )
     # eight round-6 ratios of one denominator: off by at most 8 half-ulps
     assert abs(total - 1.0) < 5e-6
+
+
+# --- cramers_v ---
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from kairos_spark.operators import profiling
+
+    # perfect association: a == b -> V = 1, chi2 = n
+    perfect = spark.createDataFrame(
+        [Row(a="x", b="x")] * 4 + [Row(a="y", b="y")] * 6
+    )
+    (r,) = profiling.cramers_v(perfect, "a", "b").collect()
+    assert r.n == 10 and r.n_rows == 2 and r.n_cols == 2
+    assert r.cramers_v == 1.0 and r.chi2 == 10.0
+    # exact independence: complete uniform cross -> V = 0, chi2 = 0
+    indep = spark.createDataFrame(
+        [Row(a=a, b=b) for a in "xy" for b in "uv" for _ in range(3)]
+    )
+    (r,) = profiling.cramers_v(indep, "a", "b").collect()
+    assert r.cramers_v == 0.0 and r.chi2 == 0.0
+
+
+def test_cramers_v_hand_computed_and_degenerate(spark):
+    from kairos_spark.operators import profiling
+
+    # O = [[2,1],[1,2]]: chi2 = n(SUM O^2/(r c) - 1) = 6(10/9 - 1) = 2/3,
+    # V = sqrt(chi2/(n k)) = sqrt(1/9) = 1/3 (quantized floor shaves
+    # < 1e-11 -- invisible at round-6)
+    rows = (
+        [Row(a="a1", b="b1")] * 2 + [Row(a="a1", b="b2")]
+        + [Row(a="a2", b="b1")] + [Row(a="a2", b="b2")] * 2
+    )
+    (r,) = profiling.cramers_v(spark.createDataFrame(rows), "a", "b").collect()
+    assert r.chi2 == 0.666667 and r.cramers_v == 0.333333
+    # degenerate: one column category -> k = 0 -> both sentinel 0.0
+    deg = spark.createDataFrame([Row(a="a1", b="only"), Row(a="a2", b="only")])
+    (r,) = profiling.cramers_v(deg, "a", "b").collect()
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0 and r.n_cols == 1

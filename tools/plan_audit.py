@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "cramers_v",
     "dup_quality_bias",
     "cluster_source_purity",
     "bigram_entropy_rate",
@@ -315,6 +316,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # ONE corpus shuffle (the (a,b) cell aggregate); marginals broadcast
+    # back onto cell-grain rows; single global combiner row at the end
+    "cramers_v": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
     # map-only regexp-count projection + ONE |sources|-row aggregate:
     # no joins, no windows, no explode — raw text never shuffles
     "script_mix": ["HashAggregate", "!CartesianProduct", "!Generate", "!SortMergeJoin", "!BroadcastHashJoin"],
