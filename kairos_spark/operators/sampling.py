@@ -906,3 +906,90 @@ def pipeline_roi(
             F.col("__qs"), F.greatest(F.col("__qt"), F.lit(1))
         ).alias("mix_weight"),
     )
+
+
+def fim_split_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    fim_rate: float = 0.5,
+    min_middle: int = 16,
+) -> DataFrame:
+    """Fill-in-the-middle data-prep audit (Bavarian et al. 2022, public
+    arXiv:2207.14255): FIM training transforms a deterministic fraction
+    of documents by cutting them at two uniform positions into
+    (prefix, middle, suffix). This audit reports, per group, what that
+    transform will actually produce on this corpus BEFORE the prep job
+    burns a cluster-day: how many docs get the transform
+    (``fim_docs``), the char-budget split between the three spans
+    (Σprefix/ΣL etc. — the budget-weighted view, which is what the
+    token accountant cares about, not a per-doc mean), and the rate of
+    degenerate short middles (< ``min_middle`` codepoints) the loader
+    will drop or pad.
+
+    Determinism: the FIM coin and both cut points are md5-derived pure
+    functions of the doc id (seed-free, corpus-growth-stable — the
+    hash_split convention): cut = md5-slice % (L+1), so every engine
+    and every rerun produces byte-identical splits. All outputs are
+    exact integer ratios of BIGINT char sums (DECIMAL-routed — corpus
+    char totals pass the product ceiling); all-empty or FIM-empty
+    groups sentinel their ratios to 0.0 on both engines.
+
+    Scale shape: a map-only projection (hash, two mods, three spans)
+    followed by ONE |groups|-row combiner aggregate. No joins, no
+    windows; text never shuffles."""
+    from kairos_spark.operators.text import _round6_ratio_dec
+
+    ln = F.length(F.col(text_col)).cast("long")
+    idc = F.col(id_col).cast("string")
+    sel = hash_bucket(F.concat(F.lit("fimsel:"), idc)) < int(round(fim_rate * BUCKETS))
+
+    def cut(tag):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag), idc)), 1, 11), 16, 10
+        ).cast("long")
+        return h % (ln + 1)
+
+    u1, u2 = cut("fimcut1:"), cut("fimcut2:")
+    c1, c2 = F.least(u1, u2), F.greatest(u1, u2)
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        ln.alias("__len"),
+        sel.alias("__fim"),
+        F.when(sel, c1).otherwise(F.lit(0)).alias("__pre"),
+        F.when(sel, c2 - c1).otherwise(F.lit(0)).alias("__mid"),
+        F.when(sel, ln - c2).otherwise(F.lit(0)).alias("__suf"),
+    )
+    agg = per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__fim"), 1).otherwise(0)).cast("long").alias("fim_docs"),
+        F.sum(F.when(F.col("__fim"), F.col("__len")).otherwise(0)).alias("__l"),
+        F.sum("__pre").alias("__p"),
+        F.sum("__mid").alias("__m"),
+        F.sum("__suf").alias("__s"),
+        F.sum(
+            F.when(F.col("__fim") & (F.col("__mid") < min_middle), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("__short"),
+    )
+
+    def frac(num):
+        return F.when(
+            F.col("__l") > 0, _round6_ratio_dec(num, F.col("__l"))
+        ).otherwise(F.lit(0.0))
+
+    return agg.select(
+        "grp",
+        "n_docs",
+        "fim_docs",
+        frac(F.col("__p")).alias("prefix_frac"),
+        frac(F.col("__m")).alias("middle_frac"),
+        frac(F.col("__s")).alias("suffix_frac"),
+        F.when(
+            F.col("fim_docs") > 0, _round6_ratio(F.col("__short"), F.col("fim_docs"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("short_middle_rate"),
+    )

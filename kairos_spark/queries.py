@@ -3535,6 +3535,12 @@ def q_cramers_v(spark, sf_dir):
     )
 
 
+def q_fim_split_audit(spark, sf_dir):
+    """FIM data-prep audit: per source, deterministic fill-in-the-
+    middle transform coverage, char-budget split, short-middle rate."""
+    return sampling.fim_split_audit(_tbl(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3565,6 +3571,7 @@ QUERIES = {
     "bigram_entropy_rate": q_bigram_entropy_rate,
     "script_mix": q_script_mix,
     "cramers_v": q_cramers_v,
+    "fim_split_audit": q_fim_split_audit,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -11707,5 +11714,55 @@ ORACLES["cramers_v"] = """
                            * least(n_rows - 1, n_cols - 1) AS DOUBLE))
                   AS DECIMAL(27,12)), 6) AS DOUBLE)
            ELSE 0.0 END AS cramers_v
+    FROM agg
+"""
+
+
+ORACLES["fim_split_audit"] = """
+    WITH per AS (
+      SELECT source AS grp,
+             length(text)::BIGINT AS len,
+             (('0x' || substr(md5('fimsel:' || doc_id), 1, 11))::BIGINT
+              % 1000000) < 500000 AS fim,
+             ('0x' || substr(md5('fimcut1:' || doc_id), 1, 11))::BIGINT
+               % (length(text)::BIGINT + 1) AS u1,
+             ('0x' || substr(md5('fimcut2:' || doc_id), 1, 11))::BIGINT
+               % (length(text)::BIGINT + 1) AS u2
+      FROM documents
+    ),
+    spans AS (
+      SELECT grp, len, fim,
+             CASE WHEN fim THEN least(u1, u2) ELSE 0 END AS pre,
+             CASE WHEN fim THEN greatest(u1, u2) - least(u1, u2) ELSE 0 END AS mid,
+             CASE WHEN fim THEN len - greatest(u1, u2) ELSE 0 END AS suf
+      FROM per
+    ),
+    agg AS (
+      SELECT grp,
+             count(*) AS n_docs,
+             sum(CASE WHEN fim THEN 1 ELSE 0 END) AS fim_docs,
+             sum(CASE WHEN fim THEN len ELSE 0 END) AS l,
+             sum(pre) AS p, sum(mid) AS m, sum(suf) AS s,
+             sum(CASE WHEN fim AND mid < 16 THEN 1 ELSE 0 END) AS short
+      FROM spans GROUP BY 1
+    )
+    SELECT grp,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(fim_docs AS BIGINT) AS fim_docs,
+           CASE WHEN l > 0 THEN
+             CAST((2000000::HUGEINT * p::HUGEINT + l::HUGEINT)
+                  // (2::HUGEINT * l::HUGEINT) AS BIGINT) / 1000000.0
+           ELSE 0.0 END AS prefix_frac,
+           CASE WHEN l > 0 THEN
+             CAST((2000000::HUGEINT * m::HUGEINT + l::HUGEINT)
+                  // (2::HUGEINT * l::HUGEINT) AS BIGINT) / 1000000.0
+           ELSE 0.0 END AS middle_frac,
+           CASE WHEN l > 0 THEN
+             CAST((2000000::HUGEINT * s::HUGEINT + l::HUGEINT)
+                  // (2::HUGEINT * l::HUGEINT) AS BIGINT) / 1000000.0
+           ELSE 0.0 END AS suffix_frac,
+           CASE WHEN fim_docs > 0 THEN
+             floor((2000000 * short + fim_docs) / (2.0 * fim_docs)) / 1000000.0
+           ELSE 0.0 END AS short_middle_rate
     FROM agg
 """

@@ -439,3 +439,34 @@ def test_cramers_v_hand_computed_and_degenerate(spark):
     deg = spark.createDataFrame([Row(a="a1", b="only"), Row(a="a2", b="only")])
     (r,) = profiling.cramers_v(deg, "a", "b").collect()
     assert r.chi2 == 0.0 and r.cramers_v == 0.0 and r.n_cols == 1
+
+
+# --- fim_split_audit ---
+
+
+def test_fim_split_audit_spans_partition_doc(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x" * (10 + i), source="s") for i in range(20)]
+    )
+    (r,) = sampling.fim_split_audit(docs, min_middle=4).collect()
+    assert r.n_docs == 20 and 0 < r.fim_docs < 20
+    # the three span budgets partition the FIM char budget exactly
+    total = r.prefix_frac + r.middle_frac + r.suffix_frac
+    assert abs(total - 1.0) < 3e-6  # three half-ulps of round-6
+    assert 0.0 <= r.short_middle_rate <= 1.0
+
+
+def test_fim_split_audit_determinism_and_empty(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="", source="empty"),
+         Row(doc_id=2, text="", source="empty")]
+    )
+    (r,) = sampling.fim_split_audit(docs).collect()
+    # empty docs: cut points are both 0, spans all empty -> sentinels
+    assert r.prefix_frac == 0.0 and r.middle_frac == 0.0 and r.suffix_frac == 0.0
+    # any selected empty doc has middle 0 < min_middle -> rate 1.0 (or
+    # no doc selected -> 0.0); both are valid deterministic outcomes
+    assert r.short_middle_rate in (0.0, 1.0)
+    # pure function of ids: a rerun is byte-identical
+    (r2,) = sampling.fim_split_audit(docs).collect()
+    assert r == r2

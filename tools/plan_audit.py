@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "fim_split_audit",
     "cramers_v",
     "dup_quality_bias",
     "cluster_source_purity",
@@ -316,6 +317,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # map-only hash/cut projection + ONE |sources|-row aggregate:
+    # no joins, no windows, no explode — text never shuffles
+    "fim_split_audit": ["HashAggregate", "!CartesianProduct", "!Generate", "!SortMergeJoin", "!BroadcastHashJoin"],
     # ONE corpus shuffle (the (a,b) cell aggregate); marginals broadcast
     # back onto cell-grain rows; single global combiner row at the end
     "cramers_v": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
