@@ -1243,3 +1243,69 @@ def ivf_list_balance(
             F.col("n_vecs") * F.lit(k), F.greatest(F.col("__n"), F.lit(1))
         ).alias("load_factor"),
     )
+
+
+def rp_distortion(
+    df: DataFrame,
+    dim: int,
+    planes: int = 16,
+    max_id: int = 192,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-projection fidelity audit: on a bounded id-capped vector
+    sample, compare every pair's SRP signature hamming distance against
+    its true cosine — per hamming bucket (0…``planes``), the pair count
+    and the mean/min/max true cosine. The Johnson–Lindenstrauss-style
+    sanity check run BEFORE committing a corpus-scale index to
+    ``planes`` bits: healthy hyperplanes give a mean cosine that
+    decreases monotonically in hamming distance with tight min/max
+    bands; flat or inverted buckets mean the planes are too few (or the
+    space too anisotropic — see ``embedding_moments``) and the banded
+    recall of ``srp_near_pairs``/``lsh_topk`` will disappoint at any
+    setting. Uses the SAME deterministic md5 hyperplanes as the
+    production SRP operators, so this audits the actual index family,
+    not a synthetic one.
+
+    Determinism: per-pair cosine is a sequential in-row fold (no
+    cross-row float sums anywhere); each cosine is quantized to integer
+    micro-units with the engine-identical sign·floor(|c|·10⁶ + 0.5)
+    rule (the embedding_moments quantizer), so the bucket means are
+    exact integer rationals Σq/(n·10⁶) and min/max are exact integer
+    picks. Zero-norm vectors carry the library's −1.0 cosine sentinel.
+
+    Scale shape: the sample is id-capped (default 192 vectors →
+    ≤ 18,336 pairs, constant in corpus size), so the pair step is a
+    broadcast nested-loop on a bounded block — the documented
+    bounded-audit pattern (embed_near_pairs precedent); everything
+    downstream is a ≤ (planes+1)-row aggregate. The production paths
+    this audits stay banded end to end."""
+    base = df.where(F.col(id_col) < max_id)
+    vec = F.col(vec_col).cast("array<double>")
+    n = add_lsh_bucket(base, dim, planes, vec_col).select(
+        F.col(id_col), vec.alias("v"), norm(vec).alias("nrm"), "lsh_bucket"
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.when(
+        F.col("a.nrm") * F.col("b.nrm") > 0,
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+    ).otherwise(F.lit(-1.0))
+    mag = F.floor(F.abs(cos) * F.lit(1_000_000.0) + F.lit(0.5))
+    q = F.when(cos >= 0, mag).otherwise(-mag).cast("long")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.bit_count(
+            F.col("a.lsh_bucket").bitwiseXOR(F.col("b.lsh_bucket"))
+        ).cast("long").alias("hamming"),
+        q.alias("__q"),
+    )
+    from kairos_spark.operators.text import _round6_ratio_dec_signed
+
+    return pairs.groupBy("hamming").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        _round6_ratio_dec_signed(
+            F.sum("__q"),
+            F.count("*").cast("decimal(38,0)") * F.lit(1_000_000),
+        ).alias("mean_cosine"),
+        (F.min("__q") / F.lit(1_000_000.0)).alias("min_cosine"),
+        (F.max("__q") / F.lit(1_000_000.0)).alias("max_cosine"),
+    )

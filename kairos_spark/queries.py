@@ -3541,6 +3541,14 @@ def q_fim_split_audit(spark, sf_dir):
     return sampling.fim_split_audit(_tbl(spark, sf_dir, "documents"))
 
 
+def q_rp_distortion(spark, sf_dir):
+    """SRP signature fidelity: mean/min/max true cosine per hamming
+    bucket on a bounded pair sample — the pre-index JL sanity check."""
+    return similarity.rp_distortion(
+        _tbl(spark, sf_dir, "embeddings"), dim=64, planes=16, max_id=192
+    )
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3572,6 +3580,7 @@ QUERIES = {
     "script_mix": q_script_mix,
     "cramers_v": q_cramers_v,
     "fim_split_audit": q_fim_split_audit,
+    "rp_distortion": q_rp_distortion,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -11765,4 +11774,59 @@ ORACLES["fim_split_audit"] = """
              floor((2000000 * short + fim_docs) / (2.0 * fim_docs)) / 1000000.0
            ELSE 0.0 END AS short_middle_rate
     FROM agg
+"""
+
+
+ORACLES["rp_distortion"] = """
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+    hs AS (SELECT unnest(generate_series(0, 15)) AS h),
+    planes AS (
+      SELECT hs.h, dims.d,
+             (('0x' || substr(md5('plane' || hs.h || ':' || dims.d), 1, 8))::BIGINT
+              / 4294967296.0) * 2.0 - 1.0 AS c
+      FROM hs, dims
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 192
+    ),
+    comp AS (SELECT vec_id, dims.d, v[dims.d + 1] AS x FROM e, dims),
+    dots AS (
+      SELECT comp.vec_id, p.h, sum(comp.x * p.c) AS dp
+      FROM comp JOIN planes p ON p.d = comp.d
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id, sum(CASE WHEN dp >= 0 THEN 1 << h ELSE 0 END) AS b
+      FROM dots GROUP BY 1
+    ),
+    pairs AS (
+      SELECT bit_count(xor(CAST(ba.b AS BIGINT), CAST(bb.b AS BIGINT)))::BIGINT AS hamming,
+             CASE WHEN list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v) > 0
+                  THEN list_dot_product(ea.v, eb.v)
+                       / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+                  ELSE -1.0 END AS cos
+      FROM buckets ba JOIN buckets bb ON ba.vec_id < bb.vec_id
+      JOIN e ea ON ea.vec_id = ba.vec_id
+      JOIN e eb ON eb.vec_id = bb.vec_id
+    ),
+    qd AS (
+      SELECT hamming,
+             CASE WHEN cos >= 0
+               THEN  CAST(floor( cos * 1000000.0 + 0.5) AS HUGEINT)
+               ELSE -CAST(floor(-cos * 1000000.0 + 0.5) AS HUGEINT)
+             END AS q
+      FROM pairs
+    )
+    SELECT hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CASE WHEN sum(q) >= 0
+             THEN  CAST(( 2000000::HUGEINT*sum(q) + count(*)::HUGEINT*1000000)
+                        // (2::HUGEINT*count(*)::HUGEINT*1000000) AS BIGINT) / 1000000.0
+             ELSE -CAST((-2000000::HUGEINT*sum(q) + count(*)::HUGEINT*1000000)
+                        // (2::HUGEINT*count(*)::HUGEINT*1000000) AS BIGINT) / 1000000.0
+           END AS mean_cosine,
+           min(q)::BIGINT / 1000000.0 AS min_cosine,
+           max(q)::BIGINT / 1000000.0 AS max_cosine
+    FROM qd GROUP BY 1
 """

@@ -470,3 +470,31 @@ def test_fim_split_audit_determinism_and_empty(spark):
     # pure function of ids: a rerun is byte-identical
     (r2,) = sampling.fim_split_audit(docs).collect()
     assert r == r2
+
+
+# --- rp_distortion ---
+
+
+def test_rp_distortion_identical_and_opposite(spark):
+    # identical vectors -> hamming 0, cosine exactly 1; opposite
+    # vectors -> all plane signs flip -> hamming = planes, cosine -1
+    v = [1.0, 2.0, -3.0, 0.5]
+    docs = spark.createDataFrame(
+        [Row(vec_id=0, embedding=v),
+         Row(vec_id=1, embedding=v),
+         Row(vec_id=2, embedding=[-x for x in v])]
+    )
+    out = {r.hamming: r for r in
+           similarity.rp_distortion(docs, dim=4, planes=8, max_id=10).collect()}
+    assert out[0].mean_cosine == 1.0 and out[0].n_pairs == 1
+    assert out[8].mean_cosine == -1.0 and out[8].n_pairs == 2
+    assert out[8].min_cosine == -1.0 and out[8].max_cosine == -1.0
+
+
+def test_rp_distortion_zero_norm_sentinel(spark):
+    docs = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.0, 0.0]),
+         Row(vec_id=1, embedding=[1.0, 1.0])]
+    )
+    rows = similarity.rp_distortion(docs, dim=2, planes=4, max_id=10).collect()
+    assert len(rows) == 1 and rows[0].mean_cosine == -1.0

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "rp_distortion",
     "fim_split_audit",
     "cramers_v",
     "dup_quality_bias",
@@ -317,6 +318,10 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # bounded id-capped pair sample rides a broadcast nested-loop (the
+    # documented bounded-audit pattern, embed_near_pairs precedent); a
+    # data-sized cartesian is forbidden; tail is a <=17-row aggregate
+    "rp_distortion": ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
     # map-only hash/cut projection + ONE |sources|-row aggregate:
     # no joins, no windows, no explode — text never shuffles
     "fim_split_audit": ["HashAggregate", "!CartesianProduct", "!Generate", "!SortMergeJoin", "!BroadcastHashJoin"],
