@@ -1309,3 +1309,125 @@ def rp_distortion(
         (F.min("__q") / F.lit(1_000_000.0)).alias("min_cosine"),
         (F.max("__q") / F.lit(1_000_000.0)).alias("max_cosine"),
     )
+
+
+def ivf_probe_sweep(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF tuning sweep: for each candidate ``nprobe``, the exact
+    recall@k AND the fraction of the corpus an nprobe-probe scan would
+    touch — the two numbers whose trade-off picks the index config
+    before a corpus-scale build (``lsh_recall``'s sibling for the IVF
+    family; same centroids/assignment as ``ivf_topk``, so it audits
+    the production index, not a synthetic one).
+
+    The trick that keeps it cheap: recall@k needs NO per-probe
+    rescoring. A true neighbor is found at ``nprobe`` = p iff the list
+    it is ASSIGNED to ranks ≤ p among the query's centroid
+    preferences, so one exact top-k (the audited ground truth) joined
+    to the assignment and the Q×nlist list-rank table answers every p
+    at once; the scanned fraction is a rank-conditioned sum over list
+    sizes. Both outputs are exact integer ratios (hit counts over
+    exact-neighbor counts; probed-list size sums over Q·N, DECIMAL-
+    routed at corpus scale).
+
+    Scale shape: assignment is the ivf_topk broadcast argmin
+    (map-only, corpus never shuffles on id); list sizes are one
+    combiner aggregate; the exact top-k is knn_join's broadcast-query
+    salted merge; everything after runs on Q·k + Q·nlist audit rows.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    small = corpus.orderBy(id_col).limit(nlist).select(
+        F.col(id_col).alias("__cid"), vec.alias("cvec")
+    )
+    centroids = small.select(
+        (F.row_number().over(Window.orderBy("__cid")) - 1).alias("list_id"), "cvec"
+    )
+    packed = centroids.select(
+        F.struct(
+            F.col("list_id"), F.col("cvec"), norm(F.col("cvec")).alias("cnorm")
+        ).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("__cents"))
+    vnorm = norm(vec)
+    best = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.when(
+                    vnorm * c["cnorm"] > 0,
+                    -(dot(vec, c["cvec"]) / (vnorm * c["cnorm"])),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("dist"),
+                c["list_id"].alias("list_id"),
+            ),
+        )
+    )
+    assigned = corpus.join(F.broadcast(packed)).select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(best["list_id"], F.lit(-1)).alias("list_id"),
+    )
+    sizes = assigned.groupBy("list_id").agg(F.count("*").cast("long").alias("__sz"))
+    qdf = queries.select(F.col(q_id_col).alias("__q"), vec.alias("__qv"))
+    qrank = (
+        qdf.crossJoin(F.broadcast(centroids))
+        .select(
+            "__q",
+            "list_id",
+            cosine(F.col("cvec"), F.col("__qv")).alias("__qc"),
+        )
+        .select(
+            "__q",
+            "list_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("__q").orderBy(
+                    F.col("__qc").desc(), F.col("list_id")
+                )
+            )
+            .cast("long")
+            .alias("__r"),
+        )
+    )
+    exact = knn_join(
+        queries, corpus, k=k, q_id_col=q_id_col, id_col=id_col, vec_col=vec_col
+    ).select(F.col("q_id").alias("__q"), F.col(id_col).alias("__id"))
+    hitr = (
+        exact.join(assigned, "__id")
+        .join(F.broadcast(qrank), ["__q", "list_id"])
+        .select("__r")
+    )
+    pcol = F.explode(F.array(*[F.lit(int(p)) for p in probes])).alias("nprobe")
+    rec = (
+        hitr.select("__r", pcol)
+        .groupBy("nprobe")
+        .agg(
+            F.sum(F.when(F.col("__r") <= F.col("nprobe"), 1).otherwise(0)).alias("__h"),
+            F.count("*").alias("__t"),
+        )
+    )
+    from kairos_spark.operators.text import _round6_ratio_dec
+
+    sc = (
+        qrank.join(sizes, "list_id")
+        .select("__r", "__sz", pcol)
+        .groupBy("nprobe")
+        .agg(
+            F.sum(
+                F.when(F.col("__r") <= F.col("nprobe"), F.col("__sz")).otherwise(0)
+            ).alias("__num"),
+            F.sum("__sz").alias("__den"),
+        )
+    )
+    return rec.join(sc, "nprobe").select(
+        F.col("nprobe").cast("long").alias("nprobe"),
+        _round6_ratio(F.col("__h"), F.col("__t")).alias("recall"),
+        _round6_ratio_dec(F.col("__num"), F.col("__den")).alias("scanned_frac"),
+    )

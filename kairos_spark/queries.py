@@ -3549,6 +3549,16 @@ def q_rp_distortion(spark, sf_dir):
     )
 
 
+def q_ivf_probe_sweep(spark, sf_dir):
+    """IVF tuning sweep: exact recall@10 and corpus scanned-fraction
+    per nprobe in {1,2,4,8} over the production centroid assignment."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 211 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_probe_sweep(qs, emb, k=10, nlist=16)
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3581,6 +3591,7 @@ QUERIES = {
     "cramers_v": q_cramers_v,
     "fim_split_audit": q_fim_split_audit,
     "rp_distortion": q_rp_distortion,
+    "ivf_probe_sweep": q_ivf_probe_sweep,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -11829,4 +11840,76 @@ ORACLES["rp_distortion"] = """
            min(q)::BIGINT / 1000000.0 AS min_cosine,
            max(q)::BIGINT / 1000000.0 AS max_cosine
     FROM qd GROUP BY 1
+"""
+
+
+ORACLES["ivf_probe_sweep"] = """
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 211 = 0
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS (
+      SELECT e.vec_id, c.list_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[]))
+                               * list_dot_product(c.cvec, c.cvec) > 0
+                         THEN -list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                         ELSE 1.0 END,
+                        c.list_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    alist AS (SELECT vec_id, list_id FROM assigned WHERE rn = 1),
+    sizes AS (SELECT list_id, count(*) AS sz FROM alist GROUP BY 1),
+    qrank AS (
+      SELECT q.q_id, c.list_id,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY CASE WHEN list_dot_product(c.cvec, c.cvec)
+                               * list_dot_product(q.qv, q.qv) > 0
+                         THEN list_cosine_similarity(c.cvec, q.qv)
+                         ELSE -1.0 END DESC,
+                        c.list_id
+             ) AS r
+      FROM q CROSS JOIN cent c
+    ),
+    scored AS (
+      SELECT q_id, vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS cosine
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    hitr AS (
+      SELECT qr.r FROM exact e
+      JOIN alist a ON a.vec_id = e.vec_id
+      JOIN qrank qr ON qr.q_id = e.q_id AND qr.list_id = a.list_id
+    ),
+    probes(p) AS (VALUES (1), (2), (4), (8)),
+    rec AS (
+      SELECT p, sum(CASE WHEN r <= p THEN 1 ELSE 0 END) AS h, count(*) AS t
+      FROM hitr, probes GROUP BY 1
+    ),
+    qsz AS (SELECT qr.r, s.sz FROM qrank qr JOIN sizes s USING (list_id)),
+    sc AS (
+      SELECT p, sum(CASE WHEN r <= p THEN sz ELSE 0 END) AS num, sum(sz) AS den
+      FROM qsz, probes GROUP BY 1
+    )
+    SELECT CAST(p AS BIGINT) AS nprobe,
+           floor((2000000 * h + t) / (2.0 * t)) / 1000000.0 AS recall,
+           CAST((2000000::HUGEINT * num::HUGEINT + den::HUGEINT)
+                // (2::HUGEINT * den::HUGEINT) AS BIGINT) / 1000000.0 AS scanned_frac
+    FROM rec JOIN sc USING (p)
 """

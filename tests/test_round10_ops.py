@@ -498,3 +498,32 @@ def test_rp_distortion_zero_norm_sentinel(spark):
     )
     rows = similarity.rp_distortion(docs, dim=2, planes=4, max_id=10).collect()
     assert len(rows) == 1 and rows[0].mean_cosine == -1.0
+
+
+# --- ivf_probe_sweep ---
+
+
+def test_ivf_probe_sweep_monotone_and_full_probe(spark):
+    import math
+
+    # 40 vectors on a circle: 16 centroid seeds, queries from the set
+    vecs = [
+        Row(vec_id=i, embedding=[math.cos(i / 7.0), math.sin(i / 7.0)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs)
+    qs = emb.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = {r.nprobe: r for r in
+           similarity.ivf_probe_sweep(qs, emb, k=5, nlist=8,
+                                      probes=(1, 2, 4, 8)).collect()}
+    assert set(out) == {1, 2, 4, 8}
+    # recall and scanned fraction are monotone non-decreasing in nprobe
+    for lo, hi in [(1, 2), (2, 4), (4, 8)]:
+        assert out[lo].recall <= out[hi].recall
+        assert out[lo].scanned_frac <= out[hi].scanned_frac
+    # probing every list (nprobe = nlist = 8) is exhaustive
+    assert out[8].recall == 1.0 and out[8].scanned_frac == 1.0
+    for r in out.values():
+        assert 0.0 <= r.recall <= 1.0 and 0.0 < r.scanned_frac <= 1.0

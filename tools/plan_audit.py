@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "ivf_probe_sweep",
     "rp_distortion",
     "fim_split_audit",
     "cramers_v",
@@ -318,6 +319,10 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # assignment is the ivf_topk broadcast argmin (corpus never
+    # shuffles on id); exact ground truth broadcasts the query block;
+    # every join after runs on Q*k / Q*nlist audit rows — broadcast
+    "ivf_probe_sweep": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
     # bounded id-capped pair sample rides a broadcast nested-loop (the
     # documented bounded-audit pattern, embed_near_pairs precedent); a
     # data-sized cartesian is forbidden; tail is a <=17-row aggregate
