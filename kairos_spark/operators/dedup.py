@@ -1720,3 +1720,78 @@ def cluster_source_purity(
         F.count("*").cast("long").alias("n_clusters"),
         F.sum("__nd").cast("long").alias("n_docs"),
     )
+
+
+def shard_dup_locality(
+    df: DataFrame,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Would per-shard dedup catch the corpus's duplicates? Assign every
+    doc to the writer layout's shard (md5(id) mod ``n_shards`` — the
+    SAME expression as ``shard_balance``) and split each exact-dup
+    group's pairs into intra-shard (visible to a shard-local dedup
+    pass) vs cross-shard (only a global digest shuffle finds them).
+    Returns ONE row: (n_shards, n_dup_groups, n_dup_docs, intra_pairs,
+    cross_pairs, locality). Under id-hash sharding locality ≈
+    1/n_shards — this audit is the number that justifies the global
+    dedup shuffle to whoever is paying for it; a HIGH locality instead
+    means duplicates arrive id-clustered and a cheap shard-local pass
+    already removes most mass.
+
+    Exactness: pair counts are m(m−1)/2 integers summed in
+    DECIMAL(38,0) (a single hot digest at corpus scale can carry ~1e9
+    copies → ~5e17 pairs, past the safe BIGINT-sum comfort zone);
+    locality is one exact integer ratio with an empty-corpus 0.0
+    sentinel on both engines.
+
+    Scale shape: only (digest, shard) short keys shuffle — text never
+    moves; two chained hash aggregates (digest×shard cells → digest
+    groups) then a one-row combiner. No joins, no windows."""
+    from kairos_spark.operators.text import _round6_ratio_dec
+
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 11), 16, 10
+        ).cast("long")
+        % n_shards
+    )
+    cells = (
+        df.select(F.md5(F.col(text_col)).alias("__d"), shard.alias("__sh"))
+        .groupBy("__d", "__sh")
+        .agg(F.count("*").alias("__m"))
+    )
+    intra = (
+        F.col("__m").cast("decimal(38,0)")
+        * (F.col("__m") - 1).cast("decimal(38,0)")
+        / F.lit(2)
+    ).cast("decimal(38,0)")
+    grp = cells.groupBy("__d").agg(
+        F.sum("__m").cast("long").alias("__n"),
+        F.sum(intra).alias("__i"),
+    )
+    dup = grp.where(F.col("__n") >= 2)
+    total = (
+        F.col("__n").cast("decimal(38,0)")
+        * (F.col("__n") - 1).cast("decimal(38,0)")
+        / F.lit(2)
+    ).cast("decimal(38,0)")
+    agg = dup.agg(
+        F.count("*").cast("long").alias("n_dup_groups"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_dup_docs"),
+        F.coalesce(F.sum("__i"), F.lit(0).cast("decimal(38,0)")).alias("__ip"),
+        F.coalesce(F.sum(total), F.lit(0).cast("decimal(38,0)")).alias("__tp"),
+    )
+    return agg.select(
+        F.lit(int(n_shards)).cast("long").alias("n_shards"),
+        "n_dup_groups",
+        "n_dup_docs",
+        F.col("__ip").cast("long").alias("intra_pairs"),
+        (F.col("__tp") - F.col("__ip")).cast("long").alias("cross_pairs"),
+        F.when(
+            F.col("__tp") > 0, _round6_ratio_dec(F.col("__ip"), F.col("__tp"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("locality"),
+    )

@@ -3559,6 +3559,22 @@ def q_ivf_probe_sweep(spark, sf_dir):
     return similarity.ivf_probe_sweep(qs, emb, k=10, nlist=16)
 
 
+def q_shard_dup_locality(spark, sf_dir):
+    """Shard-local vs global dedup visibility: intra/cross-shard split
+    of exact-dup pairs under the writer's md5 shard layout. Same
+    injected copies as dup_cluster_sizes so groups are non-degenerate."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    dup1 = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    dup2 = d.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 15_000_000).alias("doc_id"), "text"
+    )
+    return dedup.shard_dup_locality(
+        d.unionByName(dup1).unionByName(dup2), n_shards=64
+    )
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3592,6 +3608,7 @@ QUERIES = {
     "fim_split_audit": q_fim_split_audit,
     "rp_distortion": q_rp_distortion,
     "ivf_probe_sweep": q_ivf_probe_sweep,
+    "shard_dup_locality": q_shard_dup_locality,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -11912,4 +11929,44 @@ ORACLES["ivf_probe_sweep"] = """
            CAST((2000000::HUGEINT * num::HUGEINT + den::HUGEINT)
                 // (2::HUGEINT * den::HUGEINT) AS BIGINT) / 1000000.0 AS scanned_frac
     FROM rec JOIN sc USING (p)
+"""
+
+
+ORACLES["shard_dup_locality"] = """
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 15000000, text FROM documents WHERE doc_id % 15 = 0
+    ),
+    cells AS (
+      SELECT md5(text) AS d,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 11))::BIGINT % 64 AS sh,
+             count(*) AS m
+      FROM u GROUP BY 1, 2
+    ),
+    grp AS (
+      SELECT d, sum(m) AS n,
+             sum(m::HUGEINT * (m - 1)::HUGEINT // 2) AS i
+      FROM cells GROUP BY 1
+    ),
+    dup AS (SELECT * FROM grp WHERE n >= 2),
+    agg AS (
+      SELECT count(*) AS n_dup_groups,
+             coalesce(sum(n), 0) AS n_dup_docs,
+             coalesce(sum(i), 0::HUGEINT) AS ip,
+             coalesce(sum(n::HUGEINT * (n - 1)::HUGEINT // 2), 0::HUGEINT) AS tp
+      FROM dup
+    )
+    SELECT CAST(64 AS BIGINT) AS n_shards,
+           CAST(n_dup_groups AS BIGINT) AS n_dup_groups,
+           CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+           CAST(ip AS BIGINT) AS intra_pairs,
+           CAST(tp - ip AS BIGINT) AS cross_pairs,
+           CASE WHEN tp > 0 THEN
+             CAST((2000000::HUGEINT * ip + tp) // (2::HUGEINT * tp) AS BIGINT)
+               / 1000000.0
+           ELSE 0.0 END AS locality
+    FROM agg
 """

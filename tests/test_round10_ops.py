@@ -527,3 +527,35 @@ def test_ivf_probe_sweep_monotone_and_full_probe(spark):
     assert out[8].recall == 1.0 and out[8].scanned_frac == 1.0
     for r in out.values():
         assert 0.0 <= r.recall <= 1.0 and 0.0 < r.scanned_frac <= 1.0
+
+
+# --- shard_dup_locality ---
+
+
+def test_shard_dup_locality_pair_accounting(spark):
+    # one group of 4 copies (ids spread over shards), one group of 2,
+    # two singletons (excluded)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="copy A") for i in range(4)]
+        + [Row(doc_id=10, text="copy B"), Row(doc_id=11, text="copy B")]
+        + [Row(doc_id=20, text="solo x"), Row(doc_id=21, text="solo y")]
+    )
+    (r,) = dedup.shard_dup_locality(docs, n_shards=8).collect()
+    assert r.n_shards == 8
+    assert r.n_dup_groups == 2 and r.n_dup_docs == 6
+    # total pairs = C(4,2) + C(2,2) = 6 + 1 = 7; intra + cross = total
+    assert r.intra_pairs + r.cross_pairs == 7
+    assert r.locality == round(r.intra_pairs / 7, 6)
+
+
+def test_shard_dup_locality_single_shard_and_empty(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="t"), Row(doc_id=2, text="t")]
+    )
+    # n_shards=1: every pair is intra-shard
+    (r,) = dedup.shard_dup_locality(docs, n_shards=1).collect()
+    assert r.locality == 1.0 and r.cross_pairs == 0 and r.intra_pairs == 1
+    # no duplicates at all: zero counts, 0.0 sentinel, no NULL
+    solo = spark.createDataFrame([Row(doc_id=1, text="a"), Row(doc_id=2, text="b")])
+    (r,) = dedup.shard_dup_locality(solo).collect()
+    assert r.n_dup_groups == 0 and r.intra_pairs == 0 and r.locality == 0.0

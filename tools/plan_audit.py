@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "shard_dup_locality",
     "ivf_probe_sweep",
     "rp_distortion",
     "fim_split_audit",
@@ -319,6 +320,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # only (digest, shard) short keys shuffle; two chained hash
+    # aggregates then a one-row combiner — no joins, text never moves
+    "shard_dup_locality": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Generate"],
     # assignment is the ivf_topk broadcast argmin (corpus never
     # shuffles on id); exact ground truth broadcasts the query block;
     # every join after runs on Q*k / Q*nlist audit rows — broadcast
