@@ -1431,3 +1431,74 @@ def ivf_probe_sweep(
         _round6_ratio(F.col("__h"), F.col("__t")).alias("recall"),
         _round6_ratio_dec(F.col("__num"), F.col("__den")).alias("scanned_frac"),
     )
+
+
+def quant_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    levels: int = 255,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieval-grade quantization audit: exact top-k recall of the
+    int8-style quantize→dequantize corpus (``quantize_audit``'s grid —
+    per-dim uniform levels over the corpus [min, max], floor(x·L+0.5)
+    level rule) against the full-precision top-k, per query —
+    (q_id, recall). RMSE (``quantize_audit``) says how far vectors
+    move; THIS says whether the move changes what retrieval returns,
+    which is the number that actually gates shipping a quantized
+    index. Asymmetric serving mode: queries stay full-precision,
+    corpus is dequantized.
+
+    Determinism: per-dim (lo, hi) ride ONE packed broadcast row
+    (array_sort'd structs — the ivf_topk centroid pattern, no driver
+    collect); dequantization is an in-row F.transform with the
+    engine-identical floor level rule and literal association
+    lo + q·w/L, so both engines build bit-identical dequantized
+    vectors; both rankings run through knn_join's rounded-cosine +
+    id tie-break, and recall is an exact hit/k integer ratio.
+
+    Scale shape: the range pass is a posexplode → |dims|-row combiner
+    aggregate; dequantization is map-only under a 1-row broadcast;
+    both top-k passes are knn_join's broadcast-query salted merges
+    (corpus never shuffles); the recall join runs on Q·k audit rows."""
+    vec = F.col(vec_col).cast("array<double>")
+    rng = (
+        corpus.select(F.posexplode(vec).alias("__d", "__v"))
+        .groupBy("__d")
+        .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    )
+    packed = rng.select(
+        F.struct(F.col("__d"), F.col("__lo"), F.col("__hi")).alias("r")
+    ).agg(F.array_sort(F.collect_list("r")).alias("__rng"))
+    lo = lambda i: F.element_at(F.col("__rng"), i + 1)["__lo"]  # noqa: E731
+    hi = lambda i: F.element_at(F.col("__rng"), i + 1)["__hi"]  # noqa: E731
+
+    def deq(x, i):
+        w = hi(i) - lo(i)
+        q = F.floor(((x - lo(i)) / w) * levels + F.lit(0.5))
+        return F.when(w == 0, lo(i)).otherwise(lo(i) + q * w / levels)
+
+    corpus_deq = corpus.join(F.broadcast(packed)).select(
+        F.col(id_col), F.transform(vec, deq).alias(vec_col)
+    )
+    exact = knn_join(
+        queries, corpus, k=k, q_id_col=q_id_col, id_col=id_col, vec_col=vec_col
+    ).select(F.col("q_id").alias("__q"), F.col(id_col).alias("__id"))
+    approx = knn_join(
+        queries, corpus_deq, k=k, q_id_col=q_id_col, id_col=id_col, vec_col=vec_col
+    ).select(F.col("q_id").alias("__q"), F.col(id_col).alias("__id"))
+    # both ranking outputs are k x |queries| audit frames — broadcast
+    # the exact side so no sort-merge exchange appears for 50-row frames
+    hits = approx.join(F.broadcast(exact), ["__q", "__id"]).groupBy("__q").agg(
+        F.count("*").alias("__h")
+    )
+    allq = exact.groupBy("__q").agg(F.count("*").alias("__t"))
+    return allq.join(F.broadcast(hits), "__q", "left").select(
+        F.col("__q").alias("q_id"),
+        _round6_ratio(
+            F.coalesce(F.col("__h"), F.lit(0)), F.greatest(F.col("__t"), F.lit(1))
+        ).alias("recall"),
+    )

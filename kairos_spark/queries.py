@@ -3575,6 +3575,16 @@ def q_shard_dup_locality(spark, sf_dir):
     )
 
 
+def q_quant_recall(spark, sf_dir):
+    """Retrieval-grade quantization audit: per-query exact-top-10
+    recall of the int8-style dequantized corpus (asymmetric serving)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.quant_recall(qs, emb, k=10, levels=255)
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3609,6 +3619,7 @@ QUERIES = {
     "rp_distortion": q_rp_distortion,
     "ivf_probe_sweep": q_ivf_probe_sweep,
     "shard_dup_locality": q_shard_dup_locality,
+    "quant_recall": q_quant_recall,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -11969,4 +11980,56 @@ ORACLES["shard_dup_locality"] = """
                / 1000000.0
            ELSE 0.0 END AS locality
     FROM agg
+"""
+
+
+ORACLES["quant_recall"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 101 = 0
+    ),
+    comp AS (
+      SELECT generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e
+    ),
+    rng AS (SELECT d, min(x) AS lo, max(x) AS hi FROM comp GROUP BY 1),
+    packed AS (
+      SELECT list(lo ORDER BY d) AS lo_a, list(hi ORDER BY d) AS hi_a FROM rng
+    ),
+    deq AS (
+      SELECT vec_id,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN hi_a[i] - lo_a[i] = 0 THEN lo_a[i]
+                    ELSE lo_a[i]
+                         + floor(((v[i] - lo_a[i]) / (hi_a[i] - lo_a[i])) * 255 + 0.5)
+                           * (hi_a[i] - lo_a[i]) / 255
+               END) AS dv
+      FROM e, packed
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id) AS rn
+        FROM q CROSS JOIN e WHERE vec_id <> q_id
+      ) WHERE rn <= 10
+    ),
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, deq.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(dv, qv), 6) DESC, deq.vec_id) AS rn
+        FROM q CROSS JOIN deq WHERE deq.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT a.q_id, count(*) AS h
+      FROM approx a JOIN exact x ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY 1
+    ),
+    allq AS (SELECT q_id, count(*) AS t FROM exact GROUP BY 1)
+    SELECT allq.q_id,
+           floor((2000000 * coalesce(h, 0) + greatest(t, 1))
+                 / (2.0 * greatest(t, 1))) / 1000000.0 AS recall
+    FROM allq LEFT JOIN hits USING (q_id)
 """

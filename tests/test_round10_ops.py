@@ -559,3 +559,40 @@ def test_shard_dup_locality_single_shard_and_empty(spark):
     solo = spark.createDataFrame([Row(doc_id=1, text="a"), Row(doc_id=2, text="b")])
     (r,) = dedup.shard_dup_locality(solo).collect()
     assert r.n_dup_groups == 0 and r.intra_pairs == 0 and r.locality == 0.0
+
+
+# --- quant_recall ---
+
+
+def test_quant_recall_identity_when_lossless(spark):
+    # vectors already ON the quantization grid (lo + j*(hi-lo)/levels
+    # for levels=4): dequantization is the identity -> recall 1.0
+    vals = [0.0, 0.25, 0.5, 0.75, 1.0]
+    docs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[vals[i % 5], vals[(i + 2) % 5]])
+         for i in range(12)]
+    )
+    qs = docs.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.quant_recall(qs, docs, k=3, levels=4).collect()
+    assert len(out) == 2
+    assert all(r.recall == 1.0 for r in out)
+
+
+def test_quant_recall_coarse_grid_degrades(spark):
+    import math
+
+    # 30 vectors on a tight arc: a 1-level grid collapses geometry, so
+    # at least one query must lose a true neighbor (recall < 1), while
+    # every recall stays a valid ratio
+    docs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[math.cos(0.01 * i), math.sin(0.01 * i)])
+         for i in range(30)]
+    )
+    qs = docs.where(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.quant_recall(qs, docs, k=5, levels=1).collect()
+    assert all(0.0 <= r.recall <= 1.0 for r in out)
+    assert any(r.recall < 1.0 for r in out)

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "quant_recall",
     "shard_dup_locality",
     "ivf_probe_sweep",
     "rp_distortion",
@@ -320,6 +321,10 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # range pass is a |dims|-row combiner; dequantization is map-only
+    # under a 1-row broadcast; both top-k passes broadcast the query
+    # block (knn_join salted merges) — corpus vectors never shuffle
+    "quant_recall": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
     # only (digest, shard) short keys shuffle; two chained hash
     # aggregates then a one-row combiner — no joins, text never moves
     "shard_dup_locality": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Generate"],
