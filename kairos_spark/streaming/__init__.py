@@ -6,6 +6,7 @@ from kairos_spark.streaming.ingest import (
     windowed_rollup,
 )
 from kairos_spark.streaming.joins import interval_attribution_join
+from kairos_spark.streaming.leaderboard import stream_decayed_scores
 from kairos_spark.streaming.monitor import stream_anomaly_alerts
 from kairos_spark.streaming.quota import stream_source_quota
 from kairos_spark.streaming.sessions import stateful_sessionize
@@ -20,4 +21,5 @@ __all__ = [
     "interval_attribution_join",
     "stream_source_quota",
     "stream_anomaly_alerts",
+    "stream_decayed_scores",
 ]

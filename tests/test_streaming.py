@@ -725,3 +725,80 @@ def test_stream_anomaly_baseline_spans_batches(spark, tmp_path):
     q.stop()
     alerts = spark.sql("SELECT * FROM anom2_sink").collect()
     assert len(alerts) == 1 and alerts[0]["value"] == 100.0
+
+
+def test_stream_decayed_scores_matches_batch_twin(spark, tmp_path):
+    import math
+
+    from kairos_spark.streaming import stream_decayed_scores
+    from kairos_spark.operators.windows import decayed_topk
+
+    hl = 3600.0
+    rows = [
+        ("a", float(BASE + i * 600)) for i in range(8)
+    ] + [("b", float(BASE + i * 900)) for i in range(4)]
+    df = spark.createDataFrame(rows, "user_id string, ts_sec double").select(
+        "user_id", F.timestamp_seconds("ts_sec").alias("ts")
+    )
+    src = str(tmp_path / "lead_in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(src)
+    out = stream_decayed_scores(stream, half_life_sec=hl)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lead_sink")
+        .option("checkpointLocation", str(tmp_path / "lead_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.sql(
+        "SELECT * FROM lead_sink ORDER BY anchor"
+    ).collect()
+    last = {r.user_id: r for r in snaps}  # latest snapshot per key
+    batch = {r.user_id: r for r in decayed_topk(df, half_life_sec=hl, k=10).collect()}
+    end_us = max(int(r.anchor.timestamp() * 1_000_000) for r in last.values())
+    for k, r in last.items():
+        # re-anchor the stream score to the global horizon; must match
+        # the batch twin's decayed sum to round-6 float tolerance
+        a_us = int(r.anchor.timestamp() * 1_000_000)
+        reanchored = r.decayed_score * math.pow(2.0, (a_us - end_us) / (hl * 1e6))
+        assert abs(reanchored - batch[k].decayed_score) < 2e-6
+        assert r.n_events == batch[k].n_events
+
+
+def test_stream_decayed_scores_state_spans_batches_and_late_data(spark, tmp_path):
+    import math
+
+    from kairos_spark.streaming import stream_decayed_scores
+
+    hl = 3600.0
+    src = str(tmp_path / "lead2_in")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id string, ts_sec double").select(
+            "user_id", F.timestamp_seconds("ts_sec").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([("u", float(BASE)), ("u", float(BASE + 1800))])
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(src)
+    out = stream_decayed_scores(stream, half_life_sec=hl, watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lead2_sink")
+        .option("checkpointLocation", str(tmp_path / "lead2_chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: one newer event AND one late (out-of-order) event —
+    # the score must accumulate against the PERSISTED state
+    write([("u", float(BASE + 3600)), ("u", float(BASE + 900))])
+    q.processAllAvailable()
+    q.stop()
+    snaps = spark.sql("SELECT * FROM lead2_sink ORDER BY n_events").collect()
+    final = snaps[-1]
+    assert final.n_events == 4
+    # exact expected: anchor at BASE+3600, contributions at 0, -1800,
+    # -2700, -3600 seconds from the anchor
+    exp = sum(math.pow(2.0, -d / hl) for d in (0.0, 1800.0, 2700.0, 3600.0))
+    assert abs(final.decayed_score - exp) < 1e-9
