@@ -317,3 +317,61 @@ def signature_buckets(df: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_media"),
         F.min("media_id").cast("long").alias("min_media_id"),
     )
+
+
+def frame_dup_rate(df: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """Cross-media duplicate-frame audit: slice every payload into
+    fixed-size frames (the ``frame_sample_stub`` windowing), digest
+    each frame, and per media report how many of its frames also occur
+    in at least one OTHER media — (media_id, n_frames, dup_frames,
+    dup_frame_rate). The intro/outro/boilerplate detector for
+    video-style corpora: a media whose frames are mostly cross-media
+    duplicates is a re-upload or a template even when its container
+    digest is unique. Pairs with ``media_signature_buckets`` (whole-
+    payload grain) the way ``paragraph_dedup`` pairs with exact doc
+    dedup.
+
+    Engine contract: the frame digest is md5 over the frame's UPPERCASE
+    hex rendering — DuckDB's md5 only accepts VARCHAR and both engines'
+    hex() agree byte-for-byte, so digests are reproducible without a
+    binary-md5 seam; framing is byte-denominated (the r7
+    byte-vs-codepoint lesson: any byte-denominated oracle must slice
+    hex(payload), never text). dup_frame_rate is one exact integer
+    ratio with the 1-frame floor shared by frame_sample's convention.
+
+    Scale shape: frames digest map-side and only (digest, media_id)
+    short keys shuffle — payload bytes never move; the flagged-digest
+    set joins back on the digest key (correctly NOT broadcast —
+    template-heavy corpora make it large); per-media rollup is the
+    final combiner aggregate."""
+    from kairos_spark.operators.text import _round6_ratio
+
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_bytes") - 1, F.lit(0)),
+        F.lit(int(frame_bytes)),
+    )
+    frames = df.select(
+        "media_id",
+        F.hex(F.col("payload")).alias("__h"),
+        F.explode(offsets).alias("__off"),
+    ).select(
+        "media_id",
+        F.md5(
+            F.substring(F.col("__h"), F.col("__off") * 2 + 1, frame_bytes * 2)
+        ).alias("__d"),
+    )
+    flagged = (
+        frames.groupBy("__d")
+        .agg(F.countDistinct("media_id").alias("__nm"))
+        .where(F.col("__nm") >= 2)
+        .select("__d")
+    )
+    marked = frames.join(flagged.withColumn("__dup", F.lit(1)), "__d", "left")
+    return marked.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("dup_frames"),
+        _round6_ratio(
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))), F.count("*")
+        ).alias("dup_frame_rate"),
+    )

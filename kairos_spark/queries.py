@@ -3585,6 +3585,18 @@ def q_quant_recall(spark, sf_dir):
     return similarity.quant_recall(qs, emb, k=10, levels=255)
 
 
+def q_frame_dup_rate(spark, sf_dir):
+    """Cross-media duplicate-frame audit at 256-byte frame grain. Same
+    injected copies as the dup queries so re-uploads exist: a copied
+    media's frames are all cross-media duplicates."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+    )
+    media = multimodal.attach_media(d.unionByName(dup))
+    return multimodal.frame_dup_rate(media, frame_bytes=256)
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3620,6 +3632,7 @@ QUERIES = {
     "ivf_probe_sweep": q_ivf_probe_sweep,
     "shard_dup_locality": q_shard_dup_locality,
     "quant_recall": q_quant_recall,
+    "frame_dup_rate": q_frame_dup_rate,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12032,4 +12045,35 @@ ORACLES["quant_recall"] = """
            floor((2000000 * coalesce(h, 0) + greatest(t, 1))
                  / (2.0 * greatest(t, 1))) / 1000000.0 AS recall
     FROM allq LEFT JOIN hits USING (q_id)
+"""
+
+
+ORACLES["frame_dup_rate"] = """
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 7000000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
+      FROM u
+    ),
+    fr AS (
+      SELECT media_id,
+             md5(substr(h, off * 2 + 1, 512)) AS d
+      FROM m,
+      LATERAL unnest(generate_series(0, greatest(nb - 1, 0), 256)) AS t(off)
+    ),
+    flagged AS (
+      SELECT d FROM fr GROUP BY d HAVING count(DISTINCT media_id) >= 2
+    )
+    SELECT fr.media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN flagged.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_frames,
+           floor((2000000 * sum(CASE WHEN flagged.d IS NOT NULL THEN 1 ELSE 0 END)
+                  + count(*)) / (2.0 * count(*))) / 1000000.0 AS dup_frame_rate
+    FROM fr LEFT JOIN flagged ON fr.d = flagged.d
+    GROUP BY 1
 """

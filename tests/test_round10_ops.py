@@ -596,3 +596,46 @@ def test_quant_recall_coarse_grid_degrades(spark):
     out = similarity.quant_recall(qs, docs, k=5, levels=1).collect()
     assert all(0.0 <= r.recall <= 1.0 for r in out)
     assert any(r.recall < 1.0 for r in out)
+
+
+# --- frame_dup_rate ---
+
+
+def test_frame_dup_rate_reupload_detection(spark):
+    from kairos_spark.operators import multimodal
+
+    base = "A" * 600          # 3 frames at 256 bytes
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),              # original
+            Row(doc_id=2, text=base),              # exact re-upload
+            Row(doc_id=3, text="B" * 300),         # unique (2 frames)
+            Row(doc_id=4, text=base + "tail" * 80),  # shares frames 1-2
+        ]
+    )
+    media = multimodal.attach_media(docs)
+    out = {r.media_id: r for r in
+           multimodal.frame_dup_rate(media, frame_bytes=256).collect()}
+    # re-upload pair: every frame duplicated
+    assert out[1].n_frames == 3 and out[1].dup_frame_rate == 1.0
+    assert out[2].dup_frame_rate == 1.0
+    # unique media: nothing shared
+    assert out[3].dup_frames == 0 and out[3].dup_frame_rate == 0.0
+    # partial overlap: the first two 256-byte frames match the base,
+    # the third differs ('AAAA…' + 'tail' tail vs pure 'A's)
+    assert out[4].n_frames == 4 and out[4].dup_frames == 2
+    assert out[4].dup_frame_rate == 0.5
+
+
+def test_frame_dup_rate_empty_payload_floor(spark):
+    from kairos_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text=""), Row(doc_id=3, text="x")]
+    )
+    out = {r.media_id: r for r in
+           multimodal.frame_dup_rate(multimodal.attach_media(docs)).collect()}
+    # empty payloads still contribute one (empty) frame — the
+    # frame_sample floor — and two empties duplicate each other
+    assert out[1].n_frames == 1 and out[1].dup_frame_rate == 1.0
+    assert out[3].n_frames == 1 and out[3].dup_frame_rate == 0.0

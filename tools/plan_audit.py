@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "frame_dup_rate",
     "quant_recall",
     "shard_dup_locality",
     "ivf_probe_sweep",
@@ -321,6 +322,10 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # frames digest map-side (Generate); only (digest, media) short
+    # keys shuffle; flagged digests join BACK on the digest key (hash/
+    # SMJ fine, correctly NOT broadcast); payload bytes never move
+    "frame_dup_rate": ["Generate", "HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # range pass is a |dims|-row combiner; dequantization is map-only
     # under a 1-row broadcast; both top-k passes broadcast the query
     # block (knn_join salted merges) — corpus vectors never shuffle
