@@ -4000,7 +4000,9 @@ assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 # queued after the late-r9 additions bumped them). CORRECTNESS_r09
 # came back 50/50, so nothing is red and no slot is owed to a repair.
 _R10_WINDOW = [
-    # (1) new r10
+    # (1) new r10 — none of these have ever been driver-checked (the
+    # r10 driver run happens at round end); late additions included so
+    # the whole batch gets checked this round
     "dup_line_stats",
     "quality_threshold_sweep",
     "blocklist_audit",
@@ -4010,6 +4012,17 @@ _R10_WINDOW = [
     "cluster_balanced_sample",
     "ivf_list_balance",
     "cluster_keep_best_lsh",
+    "dup_quality_bias",
+    "cluster_source_purity",
+    "bigram_entropy_rate",
+    "script_mix",
+    "cramers_v",
+    "fim_split_audit",
+    "rp_distortion",
+    "ivf_probe_sweep",
+    "shard_dup_locality",
+    "quant_recall",
+    "frame_dup_rate",
     # (2) r10 expression changes, promoted for driver re-check
     # (conversion_latency/tokenizer_drift/embedding_moments: ADVICE r9;
     # lateness_audit/theilsen_trend + the already-tail-listed
@@ -4046,18 +4059,7 @@ _R10_WINDOW = [
     "knn_join",
     "lsh_recall",
     "trend_slope",
-    "fd_check",
-    "event_debounce",
-    "count_correlation",
-    "revenue_deciles",
-    "fuzzy_match",
     "interarrival",
-    "label_agreement",
-    "interval_coverage",
-    "seasonal_baseline",
-    "key_skew_stats",
-    "event_pivot",
-    "ts_count_series_hour",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {
