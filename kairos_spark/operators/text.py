@@ -2662,3 +2662,63 @@ def script_mix(
         ],
         frac(other).alias("frac_other"),
     )
+
+
+def byte_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group Shannon entropy of the BYTE distribution (bits/byte) —
+    the compression-ratio proxy and binary-garbage tripwire that runs
+    before any tokenizer sees the feed: clean English sits ~4.1–4.6
+    bits/byte, tight templates lower, encrypted/compressed/binary
+    junk pushes toward 8.0 while still being valid UTF-8 escapes in a
+    text column. The byte-grain sibling of ``word_entropy`` (per-doc
+    words) and ``bigram_entropy_rate`` (per-source word stream);
+    ``encoding_audit`` finds malformed sequences, THIS finds
+    well-formed noise. Also reports the ASCII-printable byte fraction
+    (0x20–0x7E) as one exact integer ratio.
+
+    Byte grain is denominated on the UTF-8 payload (octet_length /
+    hex-pair slicing — the r7 byte-vs-codepoint lesson), and bytes are
+    read as hex pairs from the payload's uppercase hex rendering, the
+    engine-shared representation (frame_dup_rate precedent). Entropy
+    is the documented bounded transcendental class (word_entropy
+    precedent); counts and the printable ratio are exact integers.
+
+    Scale shape: the byte explode is map-side (Generate); the ONLY
+    shuffle carries (group, byte-value) combiner rows — ≤ 256·|groups|
+    after map-side combine, independent of corpus size; the final row
+    set is |groups|."""
+    h = F.hex(F.encode(F.col(text_col), "utf-8"))
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        h.alias("__h"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.length(h) / F.lit(2)).cast("long") - 1, F.lit(0)
+                ),
+            )
+        ).alias("__i"),
+    ).where(F.length("__h") > 0)
+    bytes_ = per.select(
+        "grp", F.substring(F.col("__h"), F.col("__i") * 2 + 1, 2).alias("__b")
+    )
+    counted = bytes_.groupBy("grp", "__b").agg(F.count("*").alias("__c"))
+    printable = (F.col("__b") >= "20") & (F.col("__b") <= "7E")
+    return counted.groupBy("grp").agg(
+        F.sum("__c").cast("long").alias("n_bytes"),
+        F.countDistinct("__b").cast("long").alias("n_distinct_bytes"),
+        F.round(
+            F.log2(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c"),
+            6,
+        ).alias("h_byte"),
+        _round6_ratio_dec(
+            F.sum(F.when(printable, F.col("__c")).otherwise(0)),
+            F.sum("__c"),
+        ).alias("printable_frac"),
+    )

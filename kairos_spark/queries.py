@@ -3597,6 +3597,12 @@ def q_frame_dup_rate(spark, sf_dir):
     return multimodal.frame_dup_rate(media, frame_bytes=256)
 
 
+def q_byte_entropy(spark, sf_dir):
+    """Per-source byte-distribution entropy (bits/byte) + printable
+    fraction — the compression-proxy / binary-garbage tripwire."""
+    return text.byte_entropy(_tbl(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3633,6 +3639,7 @@ QUERIES = {
     "shard_dup_locality": q_shard_dup_locality,
     "quant_recall": q_quant_recall,
     "frame_dup_rate": q_frame_dup_rate,
+    "byte_entropy": q_byte_entropy,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4023,6 +4030,7 @@ _R10_WINDOW = [
     "shard_dup_locality",
     "quant_recall",
     "frame_dup_rate",
+    "byte_entropy",
     # (2) r10 expression changes, promoted for driver re-check
     # (conversion_latency/tokenizer_drift/embedding_moments: ADVICE r9;
     # lateness_audit/theilsen_trend + the already-tail-listed
@@ -4058,7 +4066,6 @@ _R10_WINDOW = [
     "snapshot_diff",
     "knn_join",
     "lsh_recall",
-    "trend_slope",
     "interarrival",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
@@ -12078,4 +12085,27 @@ ORACLES["frame_dup_rate"] = """
                   + count(*)) / (2.0 * count(*))) / 1000000.0 AS dup_frame_rate
     FROM fr LEFT JOIN flagged ON fr.d = flagged.d
     GROUP BY 1
+"""
+
+
+ORACLES["byte_entropy"] = """
+    WITH m AS (
+      SELECT source AS grp, hex(encode(text)) AS h
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    b AS (
+      SELECT grp, substr(h, i * 2 + 1, 2) AS bv
+      FROM m, LATERAL unnest(generate_series(0, length(h) // 2 - 1)) AS t(i)
+    ),
+    counted AS (SELECT grp, bv, count(*) AS c FROM b GROUP BY 1, 2)
+    SELECT grp,
+           CAST(sum(c) AS BIGINT) AS n_bytes,
+           CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS h_byte,
+           CAST((2000000::HUGEINT
+                   * sum(CASE WHEN bv BETWEEN '20' AND '7E' THEN c ELSE 0 END)::HUGEINT
+                 + sum(c)::HUGEINT)
+                // (2::HUGEINT * sum(c)::HUGEINT) AS BIGINT) / 1000000.0
+             AS printable_frac
+    FROM counted GROUP BY 1
 """

@@ -639,3 +639,36 @@ def test_frame_dup_rate_empty_payload_floor(spark):
     # frame_sample floor — and two empties duplicate each other
     assert out[1].n_frames == 1 and out[1].dup_frame_rate == 1.0
     assert out[3].n_frames == 1 and out[3].dup_frame_rate == 0.0
+
+
+# --- byte_entropy ---
+
+
+def test_byte_entropy_known_distributions(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaa", source="flat"),      # one byte value
+            Row(doc_id=2, text="ab", source="coin"),        # two, 50/50
+            Row(doc_id=3, text="", source="emptyonly"),     # filtered out
+            Row(doc_id=4, text="h\x01i", source="ctrl"),    # control byte
+        ]
+    )
+    out = {r.grp: r for r in text.byte_entropy(docs).collect()}
+    assert out["flat"].h_byte == 0.0 and out["flat"].n_distinct_bytes == 1
+    assert out["flat"].printable_frac == 1.0
+    assert out["coin"].h_byte == 1.0  # exactly 1 bit
+    # a group whose every payload is empty has no byte stream at all
+    assert "emptyonly" not in out
+    c = out["ctrl"]
+    assert c.n_bytes == 3 and c.printable_frac == round(2 / 3, 6)
+    assert c.h_byte == round(math.log2(3), 6)
+
+
+def test_byte_entropy_multibyte_utf8_counts_bytes(spark):
+    # '你' is 3 UTF-8 bytes: byte grain, never codepoint grain
+    docs = spark.createDataFrame([Row(doc_id=1, text="你", source="cjk")])
+    (r,) = text.byte_entropy(docs).collect()
+    assert r.n_bytes == 3 and r.n_distinct_bytes == 3
+    assert r.printable_frac == 0.0  # all three bytes are >= 0x80

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "byte_entropy",
     "frame_dup_rate",
     "quant_recall",
     "shard_dup_locality",
@@ -322,6 +323,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # byte explode is map-side (Generate); the only shuffle carries
+    # <=256*|groups| combiner rows; final row set is |groups|
+    "byte_entropy": ["Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
     # frames digest map-side (Generate); only (digest, media) short
     # keys shuffle; flagged digests join BACK on the digest key (hash/
     # SMJ fine, correctly NOT broadcast); payload bytes never move
