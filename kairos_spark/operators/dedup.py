@@ -1795,3 +1795,69 @@ def shard_dup_locality(
         .otherwise(F.lit(0.0))
         .alias("locality"),
     )
+
+
+def cluster_quality_bias(
+    clusters: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size_cap: int = 4,
+) -> DataFrame:
+    """NEAR-dup-grain quality-bias table: per LSH cluster-size bucket
+    (2…``size_cap``+; clusters are ≥ 2 by construction), how many
+    clusters/docs land there, mean quality over ALL members, and mean
+    quality of the keep-lowest-id representatives. The sibling of
+    ``dup_quality_bias`` (exact digests) at the grain RefinedWeb-style
+    pipelines argue actually matters: near-duplicate families are
+    where boilerplate farms and template spam live, and the spread
+    between mean_quality_all and mean_quality_kept is the measured
+    value of the keep policy on near-dups — on exact dups it is zero
+    by identity, HERE members genuinely differ.
+
+    Quality values are exact 6dp recovered as integer micro-units so
+    both means are ONE exact integer ratio each (the dup_quality_bias
+    convention). Scale shape: cluster labels (short keys) aggregate to
+    sizes; quality is the map-only projection joined on the doc id;
+    the bucket table is ≤ size_cap−1 rows. The LSH/CC construction
+    upstream is the banded scale path — this audit adds one hash join
+    and two combiner aggregates on top."""
+    from kairos_spark.operators.text import _round6_ratio_dec, quality_score
+
+    lab = clusters.select(F.col("node").alias(id_col), "cluster_id")
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count("*").alias("__s"), F.min(F.col(id_col)).alias("__keep")
+    )
+    qual = quality_score(docs, text_col, id_col).select(
+        F.col(id_col),
+        F.rint(F.col("quality") * F.lit(1_000_000.0))
+        .cast("decimal(38,0)")
+        .alias("__qu"),
+    )
+    j = lab.join(sizes, "cluster_id").join(qual, id_col)
+    bucket = F.least(F.col("__s"), F.lit(size_cap)).cast("long")
+    per = j.select(
+        bucket.alias("cluster_size_bucket"),
+        F.col("cluster_id"),
+        F.col("__qu"),
+        (F.col(id_col) == F.col("__keep")).alias("__is_keep"),
+    )
+    return per.groupBy("cluster_size_bucket").agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count("*").cast("long").alias("n_docs"),
+        _round6_ratio_dec(
+            F.sum("__qu"),
+            F.count("*").cast("decimal(38,0)") * F.lit(1_000_000),
+        ).alias("mean_quality_all"),
+        _round6_ratio_dec(
+            F.sum(
+                F.when(F.col("__is_keep"), F.col("__qu")).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ),
+            F.greatest(
+                F.sum(F.when(F.col("__is_keep"), 1).otherwise(0)), F.lit(1)
+            ).cast("decimal(38,0)")
+            * F.lit(1_000_000),
+        ).alias("mean_quality_kept"),
+    )

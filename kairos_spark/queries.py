@@ -3603,6 +3603,16 @@ def q_byte_entropy(spark, sf_dir):
     return text.byte_entropy(_tbl(spark, sf_dir, "documents"))
 
 
+def q_cluster_quality_bias(spark, sf_dir):
+    """Near-dup-grain quality bias over the banded LSH clustering
+    (same parameters as dedup_clusters_lsh / cluster_source_purity)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(d, n=8, num_hashes=32, bands=16, threshold=0.2)
+    clusters = dedup.connected_components(pairs)
+    return dedup.cluster_quality_bias(clusters, docs)
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3640,6 +3650,7 @@ QUERIES = {
     "quant_recall": q_quant_recall,
     "frame_dup_rate": q_frame_dup_rate,
     "byte_entropy": q_byte_entropy,
+    "cluster_quality_bias": q_cluster_quality_bias,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4031,6 +4042,7 @@ _R10_WINDOW = [
     "quant_recall",
     "frame_dup_rate",
     "byte_entropy",
+    "cluster_quality_bias",
     # (2) r10 expression changes, promoted for driver re-check
     # (conversion_latency/tokenizer_drift/embedding_moments: ADVICE r9;
     # lateness_audit/theilsen_trend + the already-tail-listed
@@ -4063,7 +4075,6 @@ _R10_WINDOW = [
     "mad_outliers",
     "schema_profile",
     "fk_conformance",
-    "snapshot_diff",
     "knn_join",
     "lsh_recall",
     "interarrival",
@@ -12109,3 +12120,43 @@ ORACLES["byte_entropy"] = """
              AS printable_frac
     FROM counted GROUP BY 1
 """
+
+
+# near-dup quality bias: the dedup_clusters_lsh closure's labels joined
+# to the quality CTE — same surgery convention as cluster_source_purity
+# so the LSH stages can never drift
+ORACLES["cluster_quality_bias"] = ORACLES["dedup_clusters_lsh"].replace(
+    "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1",
+    # cl is referenced twice (sz and jj): MATERIALIZED, or DuckDB
+    # inlines it and re-executes the whole recursive closure per use
+    ", cl AS MATERIALIZED (SELECT node AS doc_id, min(r) AS cluster_id"
+    " FROM reach GROUP BY 1),"
+    + _quality_cte_sql("documents")
+    + """,
+    sz AS (
+      SELECT cluster_id, count(*) AS s, min(doc_id) AS keep
+      FROM cl GROUP BY 1
+    ),
+    jj AS (
+      SELECT least(s, 4) AS b, cl.cluster_id,
+             CAST(round(quality * 1000000) AS BIGINT) AS qu,
+             (cl.doc_id = keep) AS is_keep
+      FROM cl JOIN sz USING (cluster_id) JOIN q USING (doc_id)
+    )
+    SELECT CAST(b AS BIGINT) AS cluster_size_bucket,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((2000000::HUGEINT * sum(qu)::HUGEINT
+                 + count(*)::HUGEINT * 1000000)
+                // (2::HUGEINT * count(*)::HUGEINT * 1000000) AS BIGINT)
+             / 1000000.0 AS mean_quality_all,
+           CAST((2000000::HUGEINT
+                   * sum(CASE WHEN is_keep THEN qu ELSE 0 END)::HUGEINT
+                 + greatest(sum(CASE WHEN is_keep THEN 1 ELSE 0 END), 1)::HUGEINT
+                   * 1000000)
+                // (2::HUGEINT
+                    * greatest(sum(CASE WHEN is_keep THEN 1 ELSE 0 END), 1)::HUGEINT
+                    * 1000000) AS BIGINT)
+             / 1000000.0 AS mean_quality_kept
+    FROM jj GROUP BY 1""",
+)

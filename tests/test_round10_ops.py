@@ -672,3 +672,42 @@ def test_byte_entropy_multibyte_utf8_counts_bytes(spark):
     (r,) = text.byte_entropy(docs).collect()
     assert r.n_bytes == 3 and r.n_distinct_bytes == 3
     assert r.printable_frac == 0.0  # all three bytes are >= 0x80
+
+
+# --- cluster_quality_bias ---
+
+
+def test_cluster_quality_bias_kept_vs_all(spark):
+    good = "the and of to in is that for with word " * 10
+    bad = "1 2 3 4"
+    # cluster 1 = {1, 2}: keep id 1 (good), member 2 is bad -> kept
+    # mean must exceed all-member mean in the size-2 bucket
+    clusters = spark.createDataFrame(
+        [Row(node=1, cluster_id=1), Row(node=2, cluster_id=1),
+         Row(node=5, cluster_id=5), Row(node=6, cluster_id=5),
+         Row(node=7, cluster_id=5)]
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=good), Row(doc_id=2, text=bad),
+         Row(doc_id=5, text=good), Row(doc_id=6, text=good),
+         Row(doc_id=7, text=good)]
+    )
+    out = {r.cluster_size_bucket: r
+           for r in dedup.cluster_quality_bias(clusters, docs).collect()}
+    b2 = out[2]
+    assert b2.n_clusters == 1 and b2.n_docs == 2
+    assert b2.mean_quality_kept > b2.mean_quality_all
+    b3 = out[3]
+    # identical members: keep policy is quality-neutral
+    assert b3.n_docs == 3 and b3.mean_quality_all == b3.mean_quality_kept
+
+
+def test_cluster_quality_bias_size_cap(spark):
+    t = "capped bucket text sample with several words here"
+    clusters = spark.createDataFrame(
+        [Row(node=i, cluster_id=0) for i in range(6)]
+    )
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i in range(6)])
+    out = dedup.cluster_quality_bias(clusters, docs, size_cap=4).collect()
+    assert len(out) == 1 and out[0].cluster_size_bucket == 4
+    assert out[0].n_docs == 6 and out[0].n_clusters == 1

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "cluster_quality_bias",
     "byte_entropy",
     "frame_dup_rate",
     "quant_recall",
@@ -323,6 +324,10 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # labels (post-convergence CC output) join quality on the doc id;
+    # size + bucket combiner aggregates — the LSH/CC loop itself is
+    # exempt like dedup_clusters_lsh / cluster_source_purity
+    "cluster_quality_bias": ["HashAggregate", "!CartesianProduct"],
     # byte explode is map-side (Generate); the only shuffle carries
     # <=256*|groups| combiner rows; final row set is |groups|
     "byte_entropy": ["Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
