@@ -151,6 +151,16 @@ PIPELINE = {
     # benched.
     "cluster_keep_best_lsh": q.q_cluster_keep_best_lsh,
     "contamination_spans": q.q_contamination_spans,
+    # continuation-session r10 additions — the three corpus-scale
+    # shapes not already represented (two kNN passes over the corpus;
+    # 256-byte frame explode + digest agg; byte-grain explode).
+    # BASELINE.md records their first numbers as their own baselines
+    # per the freeze rule. cluster_quality_bias/cluster_source_purity
+    # repeat cluster_keep_best_lsh's LSH->CC construction and are not
+    # double-timed; the other session queries are group-/audit-grain.
+    "quant_recall": q.q_quant_recall,
+    "frame_dup_rate": q.q_frame_dup_rate,
+    "byte_entropy": q.q_byte_entropy,
 }
 
 
