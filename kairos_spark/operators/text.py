@@ -1871,28 +1871,13 @@ QUALITY_RULES = {
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def quality_rules(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Gopher/C4 heuristic quality-rule audit: corpus pass rate per
-    rule, plus the all-rules conjunction — the go/no-go scorecard a
-    training-data pipeline reads before tuning filter thresholds
-    (composable with quality_score, which mixes these signals into one
-    number; this reports each rule separately).
-
-    Returns one row per rule: (rule, n_docs, n_pass, pass_rate).
-
-    Every predicate compares integer counts cross-multiplied by the
-    threshold's numerator/denominator (e.g. mean word length in [3,10]
-    is ``3*words <= nonspace_chars <= 10*words``), so the booleans are
-    exact on both engines; pass_rate is one integer ratio (round-6
-    half-up).
-
-    Scale shape: one map-only projection computes all per-doc counts
-    (translate()-based char classes, one line split, one word split),
-    then a single 1-row aggregate; the rule unpivot explodes 9 rows
-    AFTER aggregation. No shuffle wider than the final scalar agg."""
-    t = F.col(text_col)
+def _rule_flag_exprs(t: Column) -> dict:
+    """The QUALITY_RULES predicates as boolean Columns over a text
+    column — shared by quality_rules (per-rule pass rates) and
+    rule_disagreement (pairwise McNemar matrix) so the two audits can
+    never evaluate different rule semantics. Every predicate is an
+    integer-exact cross-multiplied comparison (no float ratio is ever
+    materialized)."""
     low = agree_lower(t)
     n_chars = F.length(t)
     words = word_count(t)
@@ -1921,7 +1906,7 @@ def quality_rules(
         hit = F.when(low.rlike(r"\b" + s + r"\b"), 1).otherwise(0)
         stop_hits = hit if stop_hits is None else stop_hits + hit
     boiler = low.contains("lorem ipsum") | t.contains("{")
-    flags = {
+    return {
         "r01_word_count": (words >= 50) & (words <= 100000),
         "r02_mean_word_len": (F.lit(3) * words <= nonspace)
         & (nonspace <= F.lit(10) * words),
@@ -1932,6 +1917,30 @@ def quality_rules(
         "r07_stopword_hits": stop_hits >= 2,
         "r08_no_boilerplate": ~boiler,
     }
+
+
+def quality_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4 heuristic quality-rule audit: corpus pass rate per
+    rule, plus the all-rules conjunction — the go/no-go scorecard a
+    training-data pipeline reads before tuning filter thresholds
+    (composable with quality_score, which mixes these signals into one
+    number; this reports each rule separately).
+
+    Returns one row per rule: (rule, n_docs, n_pass, pass_rate).
+
+    Every predicate compares integer counts cross-multiplied by the
+    threshold's numerator/denominator (e.g. mean word length in [3,10]
+    is ``3*words <= nonspace_chars <= 10*words``), so the booleans are
+    exact on both engines; pass_rate is one integer ratio (round-6
+    half-up).
+
+    Scale shape: one map-only projection computes all per-doc counts
+    (translate()-based char classes, one line split, one word split),
+    then a single 1-row aggregate; the rule unpivot explodes 9 rows
+    AFTER aggregation. No shuffle wider than the final scalar agg."""
+    flags = _rule_flag_exprs(F.col(text_col))
     ints = [F.when(c, 1).otherwise(0).alias(r) for r, c in sorted(flags.items())]
     all_pass = None
     for _, c in sorted(flags.items()):
@@ -2721,4 +2730,72 @@ def byte_entropy(
             F.sum(F.when(printable, F.col("__c")).otherwise(0)),
             F.sum("__c"),
         ).alias("printable_frac"),
+    )
+
+
+def rule_disagreement(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pairwise filter-redundancy matrix over the QUALITY_RULES pack:
+    for every rule pair (a < b), the doc counts that disagree in each
+    direction, the disagreement rate, and McNemar's statistic
+    (b−c)²/(b+c) on the discordant counts — the audit that decides
+    which of two correlated filters to DROP before a 100-TB pass
+    (near-zero disagreement = the rules are aliases, keep the cheap
+    one; a large one-sided b vs c = one rule strictly dominates; a
+    small symmetric disagreement with low McNemar = genuine but
+    unbiased noise). Uses the SAME predicate expressions as
+    ``quality_rules`` via the shared flag helper, so the matrix can
+    never drift from the scorecard.
+
+    Exactness: flags are integer-exact predicates; all pair counts
+    derive from Σa, Σb, Σ(a·b) in one combiner row (b_ab = Σa − Σab);
+    McNemar's (b−c)² can reach n² so its ratio routes through
+    DECIMAL(38,0); zero-discordance pairs sentinel the statistic to
+    0.0 on both engines.
+
+    Scale shape: ONE map-only projection (all 8 flags per doc), ONE
+    global combiner aggregate (1 + 8 + 28 longs), then a 28-row
+    explode AFTER aggregation. No joins, no second pass."""
+    flags = _rule_flag_exprs(F.col(text_col))
+    names = sorted(flags)
+    per = df.select(
+        *[F.when(flags[r], 1).otherwise(0).alias(r) for r in names]
+    )
+    aggs = [F.count("*").cast("long").alias("__n")]
+    aggs += [F.sum(r).cast("long").alias(f"s_{r}") for r in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).cast("long").alias(f"p_{a}__{b}")
+            )
+    g = per.agg(*aggs)
+    structs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            both = F.col(f"p_{a}__{b}")
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("ra"),
+                    F.lit(b).alias("rb"),
+                    (F.col(f"s_{a}") - both).alias("bb"),
+                    (F.col(f"s_{b}") - both).alias("cc"),
+                )
+            )
+    rows = g.select("__n", F.explode(F.array(*structs)).alias("__s"))
+    b, c = F.col("__s.bb"), F.col("__s.cc")
+    disc = (b + c).cast("long")
+    return rows.select(
+        F.col("__s.ra").alias("rule_a"),
+        F.col("__s.rb").alias("rule_b"),
+        F.col("__n").alias("n_docs"),
+        b.cast("long").alias("a_only"),
+        c.cast("long").alias("b_only"),
+        _round6_ratio(disc, F.greatest(F.col("__n"), F.lit(1))).alias(
+            "disagree_rate"
+        ),
+        F.when(
+            disc > 0,
+            _round6_ratio_dec((b - c).cast("decimal(38,0)") * (b - c).cast("decimal(38,0)"), disc),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mcnemar_chi2"),
     )

@@ -3613,6 +3613,12 @@ def q_cluster_quality_bias(spark, sf_dir):
     return dedup.cluster_quality_bias(clusters, docs)
 
 
+def q_rule_disagreement(spark, sf_dir):
+    """Pairwise quality-filter redundancy matrix (disagreement counts
+    + McNemar's statistic per rule pair) over the Gopher/C4 pack."""
+    return text.rule_disagreement(_tbl(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3651,6 +3657,7 @@ QUERIES = {
     "frame_dup_rate": q_frame_dup_rate,
     "byte_entropy": q_byte_entropy,
     "cluster_quality_bias": q_cluster_quality_bias,
+    "rule_disagreement": q_rule_disagreement,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4043,6 +4050,7 @@ _R10_WINDOW = [
     "frame_dup_rate",
     "byte_entropy",
     "cluster_quality_bias",
+    "rule_disagreement",
     # (2) r10 expression changes, promoted for driver re-check
     # (conversion_latency/tokenizer_drift/embedding_moments: ADVICE r9;
     # lateness_audit/theilsen_trend + the already-tail-listed
@@ -4074,7 +4082,6 @@ _R10_WINDOW = [
     "cube_revenue",
     "mad_outliers",
     "schema_profile",
-    "fk_conformance",
     "knn_join",
     "lsh_recall",
     "interarrival",
@@ -12159,4 +12166,44 @@ ORACLES["cluster_quality_bias"] = ORACLES["dedup_clusters_lsh"].replace(
                     * 1000000) AS BIGINT)
              / 1000000.0 AS mean_quality_kept
     FROM jj GROUP BY 1""",
+)
+
+
+# rule_disagreement: reuses quality_rule_pack's per_doc+flags CTE
+# prefix verbatim (split at its agg) and generates the 28 pair
+# aggregates — one predicate definition per engine, never two
+_QR_NAMES = sorted(text.QUALITY_RULES)
+_QR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_QR_NAMES)
+    for b in _QR_NAMES[i + 1:]
+]
+ORACLES["rule_disagreement"] = (
+    ORACLES["quality_rule_pack"].split("agg AS", 1)[0]
+    + "agg AS (\n      SELECT count(*) AS n, "
+    + ", ".join(f"sum({r[:3]}) AS s_{r[:3]}" for r in _QR_NAMES)
+    + ", "
+    + ", ".join(
+        f"sum({a[:3]} * {b[:3]}) AS p_{a[:3]}_{b[:3]}" for a, b in _QR_PAIRS
+    )
+    + " FROM flags\n    ),\n    pr AS (\n      "
+    + "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS rule_a, '{b}' AS rule_b, n,"
+        f" s_{a[:3]} - p_{a[:3]}_{b[:3]} AS bb,"
+        f" s_{b[:3]} - p_{a[:3]}_{b[:3]} AS cc FROM agg"
+        for a, b in _QR_PAIRS
+    )
+    + """
+    )
+    SELECT rule_a, rule_b, CAST(n AS BIGINT) AS n_docs,
+           CAST(bb AS BIGINT) AS a_only, CAST(cc AS BIGINT) AS b_only,
+           floor((2000000 * (bb + cc) + greatest(n, 1))
+                 / (2.0 * greatest(n, 1))) / 1000000.0 AS disagree_rate,
+           CASE WHEN bb + cc > 0 THEN
+             CAST((2000000::HUGEINT * ((bb - cc)::HUGEINT * (bb - cc)::HUGEINT)
+                   + (bb + cc)::HUGEINT)
+                  // (2::HUGEINT * (bb + cc)::HUGEINT) AS BIGINT) / 1000000.0
+           ELSE 0.0 END AS mcnemar_chi2
+    FROM pr
+"""
 )

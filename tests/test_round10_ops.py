@@ -711,3 +711,38 @@ def test_cluster_quality_bias_size_cap(spark):
     out = dedup.cluster_quality_bias(clusters, docs, size_cap=4).collect()
     assert len(out) == 1 and out[0].cluster_size_bucket == 4
     assert out[0].n_docs == 6 and out[0].n_clusters == 1
+
+
+# --- rule_disagreement ---
+
+
+def test_rule_disagreement_counts_and_mcnemar(spark):
+    # engineer docs with known flag patterns for r01 (>=50 words) and
+    # r08 (no '{' boilerplate): 3 pass both, 2 pass r01 only (brace),
+    # 1 passes r08 only (short), 1 fails both
+    long_ok = "word " * 60
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=long_ok + "the be to of and that have with") for i in range(3)]
+        + [Row(doc_id=10 + i, text=long_ok + "{x}") for i in range(2)]
+        + [Row(doc_id=20, text="short text only")]
+        + [Row(doc_id=21, text="tiny {")]
+    )
+    out = {(r.rule_a, r.rule_b): r for r in text.rule_disagreement(docs).collect()}
+    assert len(out) == 28  # C(8,2) pairs
+    r = out[("r01_word_count", "r08_no_boilerplate")]
+    assert r.n_docs == 7 and r.a_only == 2 and r.b_only == 1
+    assert r.disagree_rate == round(3 / 7, 6)
+    # McNemar (b-c)^2/(b+c) = 1/3
+    assert r.mcnemar_chi2 == round(1 / 3, 6)
+
+
+def test_rule_disagreement_identical_rules_sentinel(spark):
+    # every doc passes r04/r05 trivially (single line, no bullets): a
+    # fully concordant pair has zero discordance -> 0.0 sentinel
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="plain line of text " * 10) for i in range(4)]
+    )
+    out = {(r.rule_a, r.rule_b): r for r in text.rule_disagreement(docs).collect()}
+    r = out[("r04_bullet_lines", "r05_ellipsis_lines")]
+    assert r.a_only == 0 and r.b_only == 0
+    assert r.disagree_rate == 0.0 and r.mcnemar_chi2 == 0.0

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "rule_disagreement",
     "cluster_quality_bias",
     "byte_entropy",
     "frame_dup_rate",
@@ -324,6 +325,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # one map-only 8-flag projection, ONE global combiner row, then a
+    # 28-row explode AFTER aggregation — no joins, no second pass
+    "rule_disagreement": ["HashAggregate", "Generate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
     # labels (post-convergence CC output) join quality on the doc id;
     # size + bucket combiner aggregates — the LSH/CC loop itself is
     # exempt like dedup_clusters_lsh / cluster_source_purity
