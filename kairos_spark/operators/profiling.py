@@ -3970,3 +3970,84 @@ def cramers_v(
         .otherwise(F.lit(0.0))
         .alias("cramers_v"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    type_a: str = "click",
+    type_b: str = "view",
+) -> DataFrame:
+    """Kendall's τ-b between two event types' hourly volumes, per day —
+    the rank-concordance complement to ``spearman_activity`` (rank
+    correlation) and ``count_correlation`` (Pearson): τ counts
+    concordant vs discordant hour pairs directly, so it is robust to
+    any monotone volume transform and reads as a probability
+    (P(concordant) − P(discordant)). The pairing audit for "do these
+    two funnels move together hour by hour?".
+
+    Exactness: C, D, and the tie counts are exact integers over
+    BOUNDED per-day pair sets (≤ C(24,2) = 276 pairs/day); τ-b =
+    (C−D)/√((n₀−t_x)(n₀−t_y)) divides an exact integer by the
+    bit-exact sqrt of an exact integer product and rounds through the
+    decimal bridge (|τ| ≤ 1). Days where either variable is constant
+    across hours sentinel to 0.0 on both engines. Hours with no
+    events of EITHER type carry no rank and are excluded by
+    construction (no zero-spine — the oracle mirrors the same rule).
+
+    Scale shape: ONE corpus aggregate to (day, hour) cells with
+    conditional sums (map-side combined); the pair join runs on
+    cell-grain rows (≤ 24/day) with day equality + hour inequality —
+    bounded blocks, never corpus-quadratic; the finale is a
+    |days|-row aggregate."""
+    # epoch-derived day/hour (the ts_* oracle convention): exact
+    # integer indexes, robust to the testdata's ts encoding changes
+    us = F.unix_micros(F.col(ts_col))
+    day = F.floor(us / F.lit(86_400_000_000.0)).cast("long")
+    hour = F.floor(us / F.lit(3_600_000_000.0)).cast("long")
+    cells = (
+        df.where(F.col(type_col).isin([type_a, type_b]))
+        .groupBy(day.alias("day"), hour.alias("__h"))
+        .agg(
+            F.sum(F.when(F.col(type_col) == type_a, 1).otherwise(0)).alias("__x"),
+            F.sum(F.when(F.col(type_col) == type_b, 1).otherwise(0)).alias("__y"),
+        )
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dx = F.col("b.__x") - F.col("a.__x")
+    dy = F.col("b.__y") - F.col("a.__y")
+    pairs = a.join(
+        b, (F.col("a.day") == F.col("b.day")) & (F.col("a.__h") < F.col("b.__h"))
+    ).select(
+        F.col("a.day").alias("day"),
+        (dx * dy > 0).cast("int").alias("__c"),
+        (dx * dy < 0).cast("int").alias("__d"),
+        (dx == 0).cast("int").alias("__tx"),
+        (dy == 0).cast("int").alias("__ty"),
+    )
+    g = pairs.groupBy("day").agg(
+        F.count("*").cast("long").alias("__n0"),
+        F.sum("__c").cast("long").alias("concordant"),
+        F.sum("__d").cast("long").alias("discordant"),
+        F.sum("__tx").cast("long").alias("__t1"),
+        F.sum("__ty").cast("long").alias("__t2"),
+    )
+    nh = cells.groupBy("day").agg(F.count("*").cast("long").alias("n_hours"))
+    px = F.col("__n0") - F.col("__t1")
+    py = F.col("__n0") - F.col("__t2")
+    return nh.join(g, "day").select(
+        "day",
+        "n_hours",
+        "concordant",
+        "discordant",
+        F.when(
+            (px > 0) & (py > 0),
+            _round6_bridge(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt((px * py).cast("double"))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tau_b"),
+    )

@@ -3619,6 +3619,12 @@ def q_rule_disagreement(spark, sf_dir):
     return text.rule_disagreement(_tbl(spark, sf_dir, "documents"))
 
 
+def q_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b between click and view hourly volumes per day
+    — exact concordance counts, bridge-rounded statistic."""
+    return profiling.kendall_tau(_tbl(spark, sf_dir, "events"))
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3658,6 +3664,7 @@ QUERIES = {
     "byte_entropy": q_byte_entropy,
     "cluster_quality_bias": q_cluster_quality_bias,
     "rule_disagreement": q_rule_disagreement,
+    "kendall_tau": q_kendall_tau,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4051,6 +4058,7 @@ _R10_WINDOW = [
     "byte_entropy",
     "cluster_quality_bias",
     "rule_disagreement",
+    "kendall_tau",
     # (2) r10 expression changes, promoted for driver re-check
     # (conversion_latency/tokenizer_drift/embedding_moments: ADVICE r9;
     # lateness_audit/theilsen_trend + the already-tail-listed
@@ -4081,7 +4089,6 @@ _R10_WINDOW = [
     "minhash_calibration",
     "cube_revenue",
     "mad_outliers",
-    "schema_profile",
     "knn_join",
     "lsh_recall",
     "interarrival",
@@ -12207,3 +12214,39 @@ ORACLES["rule_disagreement"] = (
     FROM pr
 """
 )
+
+
+ORACLES["kendall_tau"] = """
+    WITH cells AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.day,
+             CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS c,
+             CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS d,
+             CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+      FROM cells a JOIN cells b ON a.day = b.day AND a.h < b.h
+    ),
+    g AS (
+      SELECT day, count(*) AS n0, sum(c) AS concordant, sum(d) AS discordant,
+             sum(tx) AS t1, sum(ty) AS t2
+      FROM p GROUP BY 1
+    ),
+    nh AS (SELECT day, count(*) AS n_hours FROM cells GROUP BY 1)
+    SELECT nh.day,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CASE WHEN n0 - t1 > 0 AND n0 - t2 > 0 THEN
+             CAST(round(CAST((concordant - discordant)
+                    / sqrt(CAST((n0 - t1) * (n0 - t2) AS DOUBLE))
+                  AS DECIMAL(27,12)), 6) AS DOUBLE)
+           ELSE 0.0 END AS tau_b
+    FROM nh JOIN g USING (day)
+"""

@@ -746,3 +746,41 @@ def test_rule_disagreement_identical_rules_sentinel(spark):
     r = out[("r04_bullet_lines", "r05_ellipsis_lines")]
     assert r.a_only == 0 and r.b_only == 0
     assert r.disagree_rate == 0.0 and r.mcnemar_chi2 == 0.0
+
+
+# --- kendall_tau ---
+
+
+def test_kendall_tau_perfect_and_inverted(spark):
+    from kairos_spark.operators import profiling
+
+    # day 0: x and y rise together hour by hour -> tau = 1
+    # day 1: x rises while y falls -> tau = -1
+    rows = []
+    for h in range(4):
+        for day, ydir in [(0, h), (1, 3 - h)]:
+            base = day * 86400 + h * 3600
+            rows += [("click", float(base + i)) for i in range(h + 1)]
+            rows += [("view", float(base + 10 + i)) for i in range(ydir + 1)]
+    df = spark.createDataFrame(rows, "event_type string, ts_sec double").select(
+        "event_type", F.timestamp_seconds("ts_sec").alias("ts")
+    )
+    out = {r.day: r for r in profiling.kendall_tau(df).collect()}
+    assert out[0].tau_b == 1.0 and out[0].n_hours == 4
+    assert out[0].concordant == 6 and out[0].discordant == 0
+    assert out[1].tau_b == -1.0 and out[1].discordant == 6
+
+
+def test_kendall_tau_constant_variable_sentinel(spark):
+    from kairos_spark.operators import profiling
+
+    # x constant across hours (every pair tied on x) -> denominator 0
+    rows = []
+    for h in range(3):
+        rows += [("click", float(h * 3600))]
+        rows += [("view", float(h * 3600 + 5 + i)) for i in range(h + 1)]
+    df = spark.createDataFrame(rows, "event_type string, ts_sec double").select(
+        "event_type", F.timestamp_seconds("ts_sec").alias("ts")
+    )
+    (r,) = profiling.kendall_tau(df).collect()
+    assert r.tau_b == 0.0 and r.concordant == 0 and r.discordant == 0

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "kendall_tau",
     "rule_disagreement",
     "cluster_quality_bias",
     "byte_entropy",
@@ -325,6 +326,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # one corpus aggregate to (day, hour) cells; the pair join runs on
+    # cell-grain rows (day equality + hour inequality, bounded blocks)
+    "kendall_tau": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # one map-only 8-flag projection, ONE global combiner row, then a
     # 28-row explode AFTER aggregation — no joins, no second pass
     "rule_disagreement": ["HashAggregate", "Generate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
