@@ -784,3 +784,17 @@ def test_kendall_tau_constant_variable_sentinel(spark):
     )
     (r,) = profiling.kendall_tau(df).collect()
     assert r.tau_b == 0.0 and r.concordant == 0 and r.discordant == 0
+
+
+def test_quant_recall_constant_dimension_identity(spark):
+    # dim 1 is constant across the corpus (lo == hi): dequantization
+    # must hit the width==0 branch and reproduce the constant exactly,
+    # so rankings are unchanged -> recall 1.0
+    docs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 5), 7.0]) for i in range(10)]
+    )
+    qs = docs.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.quant_recall(qs, docs, k=3, levels=255).collect()
+    assert len(out) == 2 and all(r.recall == 1.0 for r in out)
