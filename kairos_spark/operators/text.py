@@ -2799,3 +2799,64 @@ def rule_disagreement(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("mcnemar_chi2"),
     )
+
+
+def source_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence (bits) of the unigram word distribution
+    from the corpus mixture: D(P_s ‖ P_corpus) — the one scalar that
+    ranks how far each feed's vocabulary sits from the blend it feeds
+    (the mix-health dashboard number behind DSIR-style importance
+    weighting: a near-zero source is redundant with the mixture, a
+    high-KL source is what diversity-weighted sampling upsamples).
+    Term grain lives in ``distinctive_terms``; this is the scalar.
+
+    Decomposition keeps it one pass: D = (Σ_t c·log2(c/C_t))/N_s
+    + log2(N) − log2(N_s) — the term sum needs only the source's own
+    counts joined to corpus term totals; the corpus scalar N rides a
+    1-row broadcast. Counts are exact integers; the log2 sums are the
+    documented bounded transcendental class (word_entropy precedent).
+    P_s is absolutely continuous w.r.t. the corpus by construction
+    (every source term IS a corpus term), so no smoothing and no
+    log-of-zero exists.
+
+    Scale shape: two-stage (group, term) aggregate with map-side
+    combine; term totals re-aggregate from those combiner rows and
+    join back on the term key (correctly NOT broadcast — corpus
+    vocabularies are large); final row set is |sources|."""
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(word_tokens(F.col(text_col))).alias("__t"),
+        )
+        .where(F.col("__t") != "")
+        .groupBy("grp", "__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    tot_t = counts.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    per = (
+        counts.join(tot_t, "__t")
+        .groupBy("grp")
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(
+                F.col("__c") * (F.log2("__c") - F.log2("__ct"))
+            ).alias("__s"),
+        )
+    )
+    n_all = per.agg(F.sum("n_tokens").alias("__n"))
+    return per.crossJoin(F.broadcast(n_all)).select(
+        "grp",
+        "n_tokens",
+        "n_terms",
+        F.round(
+            F.col("__s") / F.col("n_tokens")
+            + F.log2("__n")
+            - F.log2("n_tokens"),
+            6,
+        ).alias("kl_bits"),
+    )

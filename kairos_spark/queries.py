@@ -3625,6 +3625,12 @@ def q_kendall_tau(spark, sf_dir):
     return profiling.kendall_tau(_tbl(spark, sf_dir, "events"))
 
 
+def q_source_kl(spark, sf_dir):
+    """Per-source unigram KL divergence from the corpus mixture —
+    the mix-health scalar behind importance-weighted sampling."""
+    return text.source_kl(_tbl(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3665,6 +3671,7 @@ QUERIES = {
     "cluster_quality_bias": q_cluster_quality_bias,
     "rule_disagreement": q_rule_disagreement,
     "kendall_tau": q_kendall_tau,
+    "source_kl": q_source_kl,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4059,6 +4066,7 @@ _R10_WINDOW = [
     "cluster_quality_bias",
     "rule_disagreement",
     "kendall_tau",
+    "source_kl",
     # (2) r10 expression changes, promoted for driver re-check
     # (conversion_latency/tokenizer_drift/embedding_moments: ADVICE r9;
     # lateness_audit/theilsen_trend + the already-tail-listed
@@ -4088,7 +4096,6 @@ _R10_WINDOW = [
     "zorder_layout",
     "minhash_calibration",
     "cube_revenue",
-    "mad_outliers",
     "knn_join",
     "lsh_recall",
     "interarrival",
@@ -12249,4 +12256,28 @@ ORACLES["kendall_tau"] = """
                   AS DECIMAL(27,12)), 6) AS DOUBLE)
            ELSE 0.0 END AS tau_b
     FROM nh JOIN g USING (day)
+"""
+
+
+ORACLES["source_kl"] = """
+    WITH toks AS (
+      SELECT source AS grp,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ),
+    counts AS (
+      SELECT grp, t, count(*) AS c FROM toks WHERE t <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT t, sum(c) AS ct FROM counts GROUP BY 1),
+    per AS (
+      SELECT grp, sum(c) AS n_tokens, count(*) AS n_terms,
+             sum(c * (log2(c) - log2(ct))) AS s
+      FROM counts JOIN tot USING (t) GROUP BY 1
+    ),
+    alln AS (SELECT sum(n_tokens) AS n FROM per)
+    SELECT grp,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           round(s / n_tokens + log2(n) - log2(n_tokens), 6) AS kl_bits
+    FROM per, alln
 """

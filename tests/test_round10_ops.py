@@ -798,3 +798,39 @@ def test_quant_recall_constant_dimension_identity(spark):
     )
     out = similarity.quant_recall(qs, docs, k=3, levels=255).collect()
     assert len(out) == 2 and all(r.recall == 1.0 for r in out)
+
+
+# --- source_kl ---
+
+
+def test_source_kl_identical_source_is_zero(spark):
+    # a source whose distribution equals the mixture has D = 0; here
+    # both sources share one identical distribution
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b", source="s1"),
+         Row(doc_id=2, text="a b a b", source="s2")]
+    )
+    out = {r.grp: r for r in text.source_kl(docs).collect()}
+    assert out["s1"].kl_bits == 0.0 and out["s2"].kl_bits == 0.0
+    assert out["s1"].n_tokens == 4 and out["s1"].n_terms == 2
+
+
+def test_source_kl_disjoint_vocabulary(spark):
+    import math
+
+    # two equal-size sources with DISJOINT vocabularies: each term has
+    # C_t = c, so D = log2(N / N_s) = 1 bit exactly
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z w", source="s1"),
+         Row(doc_id=2, text="p q r t", source="s2")]
+    )
+    out = {r.grp: r for r in text.source_kl(docs).collect()}
+    assert out["s1"].kl_bits == 1.0 and out["s2"].kl_bits == 1.0
+    # skew the sizes: D_s = log2(N/N_s) when vocab stays disjoint
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z w q1 q2", source="big"),
+         Row(doc_id=2, text="p r", source="small")]
+    )
+    out2 = {r.grp: r for r in text.source_kl(docs2).collect()}
+    assert out2["small"].kl_bits == round(math.log2(8 / 2), 6)
+    assert out2["big"].kl_bits == round(math.log2(8 / 6), 6)

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "source_kl",
     "kendall_tau",
     "rule_disagreement",
     "cluster_quality_bias",
@@ -326,6 +327,10 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # (group, term) combiner aggregate; term totals re-aggregate and
+    # join BACK on the term key (correctly NOT broadcast); the corpus
+    # total N rides a 1-row broadcast (BNLJ by design); |sources| out
+    "source_kl": ["Generate", "HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # one corpus aggregate to (day, hour) cells; the pair join runs on
     # cell-grain rows (day equality + hour inequality, bounded blocks)
     "kendall_tau": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
