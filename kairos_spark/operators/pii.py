@@ -211,3 +211,53 @@ def dp_noisy_counts(
         "n",
         F.round(F.greatest(F.col("n") + noise, F.lit(0.0)), 6).alias("noisy_n"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_thresholds: list[int] = (2, 3),
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's mandatory companion
+    (Machanavajjhala et al. 2007): a class can satisfy k-anonymity and
+    still leak the SENSITIVE attribute outright if every member shares
+    one value (the homogeneity attack). One row per quasi-identifier
+    equivalence class with its size and distinct-sensitive-value count
+    l, plus corpus exposure scalars: the minimum l and, per threshold,
+    the fraction of RECORDS in classes with l below it (the population
+    whose sensitive value an attacker narrows to < l candidates).
+
+    Output: quasi_cols..., class_size, l_distinct, min_l,
+    pct_lt_<l> per threshold (record-weighted, exact integer ratios).
+
+    Scale shape: ONE hash aggregation on the quasi-identifier key
+    (count + distinct-sensitive per class, map-side partials), then
+    corpus scalars ride an empty-key window over class-grain rows —
+    the k_anonymity shape with one extra distinct aggregate."""
+    from pyspark.sql.window import Window
+
+    from kairos_spark.operators.text import _round6_ratio_dec
+
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct(sensitive_col).cast("long").alias("l_distinct"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("class_size").over(w)
+    out = classes.select(
+        *quasi_cols,
+        "class_size",
+        "l_distinct",
+        F.min("l_distinct").over(w).alias("min_l"),
+        *[
+            _round6_ratio_dec(
+                F.sum(
+                    F.when(F.col("l_distinct") < int(l), F.col("class_size")).otherwise(0)
+                ).over(w),
+                total,
+            ).alias(f"pct_lt_{int(l)}")
+            for l in l_thresholds
+        ],
+    )
+    return out

@@ -3631,6 +3631,21 @@ def q_source_kl(spark, sf_dir):
     return text.source_kl(_tbl(spark, sf_dir, "documents"))
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit of (mktsegment, nationkey) quasi-identifiers
+    with acctbal sign-bucket as the sensitive attribute — k_anonymity's
+    homogeneity-attack companion."""
+    c = _tbl(spark, sf_dir, "customer").withColumn(
+        "balance_band",
+        F.when(F.col("c_acctbal") < 0, F.lit("debt"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high")),
+    )
+    return pii.l_diversity(
+        c, ["c_mktsegment", "c_nationkey"], "balance_band", [2, 3]
+    )
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3672,6 +3687,7 @@ QUERIES = {
     "rule_disagreement": q_rule_disagreement,
     "kendall_tau": q_kendall_tau,
     "source_kl": q_source_kl,
+    "l_diversity": q_l_diversity,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4067,6 +4083,7 @@ _R10_WINDOW = [
     "rule_disagreement",
     "kendall_tau",
     "source_kl",
+    "l_diversity",
     # (2) r10 expression changes, promoted for driver re-check
     # (conversion_latency/tokenizer_drift/embedding_moments: ADVICE r9;
     # lateness_audit/theilsen_trend + the already-tail-listed
@@ -4095,7 +4112,6 @@ _R10_WINDOW = [
     "period_delta",
     "zorder_layout",
     "minhash_calibration",
-    "cube_revenue",
     "knn_join",
     "lsh_recall",
     "interarrival",
@@ -12280,4 +12296,37 @@ ORACLES["source_kl"] = """
            CAST(n_terms AS BIGINT) AS n_terms,
            round(s / n_tokens + log2(n) - log2(n_tokens), 6) AS kl_bits
     FROM per, alln
+"""
+
+
+ORACLES["l_diversity"] = """
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS balance_band
+      FROM customer
+    ),
+    classes AS (
+      SELECT c_mktsegment, c_nationkey,
+             count(*) AS class_size,
+             count(DISTINCT balance_band) AS l_distinct
+      FROM c GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT sum(class_size) AS t,
+             min(l_distinct) AS min_l,
+             sum(CASE WHEN l_distinct < 2 THEN class_size ELSE 0 END) AS lt2,
+             sum(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END) AS lt3
+      FROM classes
+    )
+    SELECT c_mktsegment, c_nationkey,
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST(l_distinct AS BIGINT) AS l_distinct,
+           CAST(min_l AS BIGINT) AS min_l,
+           CAST((2000000::HUGEINT * lt2::HUGEINT + t::HUGEINT)
+                // (2::HUGEINT * t::HUGEINT) AS BIGINT) / 1000000.0 AS pct_lt_2,
+           CAST((2000000::HUGEINT * lt3::HUGEINT + t::HUGEINT)
+                // (2::HUGEINT * t::HUGEINT) AS BIGINT) / 1000000.0 AS pct_lt_3
+    FROM classes, tot
 """

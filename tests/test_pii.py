@@ -73,3 +73,38 @@ def test_keep_columns_pass_through(docs):
     assert "source" in out.columns
     agg = out.groupBy("source").agg(F.sum("n_pii").alias("n")).collect()
     assert {r["source"]: r["n"] for r in agg} == {"a": 1, "b": 5, "c": 4}
+
+
+def test_l_diversity_homogeneous_class_detected(spark):
+    from pyspark.sql import Row
+
+    from kairos_spark.operators.pii import l_diversity
+
+    rows = (
+        # class (A, 1): 3 records, all sensitive 's1' -> l = 1
+        [Row(seg="A", nat=1, sens="s1")] * 3
+        # class (B, 2): 4 records, two values -> l = 2
+        + [Row(seg="B", nat=2, sens="s1")] * 2
+        + [Row(seg="B", nat=2, sens="s2")] * 2
+    )
+    df = spark.createDataFrame(rows)
+    out = {(r.seg, r.nat): r for r in
+           l_diversity(df, ["seg", "nat"], "sens", [2, 3]).collect()}
+    a = out[("A", 1)]
+    assert a.l_distinct == 1 and a.class_size == 3 and a.min_l == 1
+    # 3 of 7 records sit in classes with l < 2; all 7 have l < 3
+    assert a.pct_lt_2 == round(3 / 7, 6) and a.pct_lt_3 == 1.0
+    b = out[("B", 2)]
+    assert b.l_distinct == 2 and b.min_l == 1
+
+
+def test_l_diversity_fully_diverse(spark):
+    from pyspark.sql import Row
+
+    from kairos_spark.operators.pii import l_diversity
+
+    rows = [Row(seg="A", nat=1, sens=f"v{i}") for i in range(4)]
+    (r,) = l_diversity(
+        spark.createDataFrame(rows), ["seg", "nat"], "sens", [2]
+    ).collect()
+    assert r.l_distinct == 4 and r.min_l == 4 and r.pct_lt_2 == 0.0

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "l_diversity",
     "source_kl",
     "kendall_tau",
     "rule_disagreement",
@@ -327,6 +328,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # one hash aggregation on the quasi-key (count + distinct), corpus
+    # scalars on an empty-key window over class-grain rows
+    "l_diversity": ["HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"],
     # (group, term) combiner aggregate; term totals re-aggregate and
     # join BACK on the term key (correctly NOT broadcast); the corpus
     # total N rides a 1-row broadcast (BNLJ by design); |sources| out
