@@ -834,3 +834,99 @@ def test_source_kl_disjoint_vocabulary(spark):
     out2 = {r.grp: r for r in text.source_kl(docs2).collect()}
     assert out2["small"].kl_bits == round(math.log2(8 / 2), 6)
     assert out2["big"].kl_bits == round(math.log2(8 / 6), 6)
+
+
+# --- formula fuzz: cramers_v and kendall_tau vs exact references ---
+
+
+def test_cramers_v_matches_exact_reference_fuzz(spark):
+    import math
+    import random
+    from fractions import Fraction
+
+    from kairos_spark.operators import profiling
+
+    rng = random.Random(20260815)
+    for trial in range(6):
+        n_a, n_b = rng.randint(2, 4), rng.randint(2, 4)
+        rows = []
+        table = {}
+        for i in range(n_a):
+            for j in range(n_b):
+                c = rng.randint(0, 9)
+                table[(i, j)] = c
+                rows += [(f"a{i}", f"b{j}")] * c
+        if sum(table.values()) == 0 or not rows:
+            continue
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "a string, b string")
+        (got,) = profiling.cramers_v(df, "a", "b").collect()
+        # exact quantized reference
+        r = {i: sum(table[(i, j)] for j in range(n_b)) for i in range(n_a)}
+        cc = {j: sum(table[(i, j)] for i in range(n_a)) for j in range(n_b)}
+        n = sum(table.values())
+        s = sum(
+            (table[(i, j)] ** 2 * 10**12) // (r[i] * cc[j])
+            for i in range(n_a)
+            for j in range(n_b)
+            if r[i] and cc[j] and table[(i, j)]
+        )
+        d = max(s - 10**12, 0)
+        rows_used = sum(1 for i in r.values() if i)
+        cols_used = sum(1 for j in cc.values() if j)
+        k = min(rows_used - 1, cols_used - 1)
+        assert got.n == n and got.n_rows == rows_used and got.n_cols == cols_used
+        if k == 0:
+            assert got.chi2 == 0.0 and got.cramers_v == 0.0
+            continue
+        # helper's round-half-up mirrored exactly in integers
+        exp_chi2 = float((2 * 10**6 * n * d + 10**12) // (2 * 10**12)) / 1e6
+        assert got.chi2 == exp_chi2, (trial, table)
+        assert Fraction(n * d, 10**12) >= 0  # chi2 clamp held
+        v = math.sqrt(d / (10**12 * k))
+        assert abs(got.cramers_v - v) < 1.1e-6, (trial, table)
+
+
+def test_kendall_tau_matches_exact_reference_fuzz(spark):
+    import itertools
+    import math
+    import random
+
+    from kairos_spark.operators import profiling
+
+    rng = random.Random(20260815)
+    rows, expected = [], {}
+    for day in range(5):
+        nh = rng.randint(2, 8)
+        xs = [rng.randint(0, 4) for _ in range(nh)]
+        ys = [rng.randint(0, 4) for _ in range(nh)]
+        hours = sorted(rng.sample(range(24), nh))
+        kept = [h for i, h in enumerate(hours) if xs[i] + ys[i] > 0]
+        kx = [xs[i] for i, h in enumerate(hours) if xs[i] + ys[i] > 0]
+        ky = [ys[i] for i, h in enumerate(hours) if xs[i] + ys[i] > 0]
+        for i, h in enumerate(kept):
+            base = day * 86400 + h * 3600
+            rows += [("click", float(base + t)) for t in range(kx[i])]
+            rows += [("view", float(base + 100 + t)) for t in range(ky[i])]
+        C = D = tx = ty = 0
+        for i, j in itertools.combinations(range(len(kept)), 2):
+            dx, dy = kx[j] - kx[i], ky[j] - ky[i]
+            C += dx * dy > 0
+            D += dx * dy < 0
+            tx += dx == 0
+            ty += dy == 0
+        n0 = len(kept) * (len(kept) - 1) // 2
+        if len(kept) >= 2:
+            expected[day] = (len(kept), C, D, n0 - tx, n0 - ty)
+    df = spark.createDataFrame(rows, "event_type string, ts_sec double").select(
+        "event_type", F.timestamp_seconds("ts_sec").alias("ts")
+    )
+    out = {r.day: r for r in profiling.kendall_tau(df).collect()}
+    assert set(out) == set(expected)
+    for day, (nh, C, D, px, py) in expected.items():
+        r = out[day]
+        assert (r.n_hours, r.concordant, r.discordant) == (nh, C, D), day
+        if px > 0 and py > 0:
+            assert abs(r.tau_b - (C - D) / math.sqrt(px * py)) < 1.1e-6, day
+        else:
+            assert r.tau_b == 0.0
