@@ -1502,3 +1502,95 @@ def quant_recall(
             F.coalesce(F.col("__h"), F.lit(0)), F.greatest(F.col("__t"), F.lit(1))
         ).alias("recall"),
     )
+
+
+def embedding_anisotropy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Cross-dimension anisotropy audit: the covariance matrix's top
+    eigenvalue (3-step power iteration from the all-ones start) and its
+    share of total variance — the whitening signal
+    ``embedding_moments``' per-dim (diagonal) view cannot see: a space
+    can have perfectly uniform per-dim variances and still collapse
+    onto one direction (common-token drift in contrastive embeddings),
+    which wrecks IVF/LSH bucket balance. λ₁/trace ≈ 1/dim is isotropic;
+    a large share says rotate/whiten before building the index.
+
+    Output: one row (n, dim, trace_var, top_eigenvalue, top_share).
+
+    Determinism: the covariance accumulates per (d1, d2) from a
+    map-side pair fan-out (no vector joins); the iteration is a fixed
+    unrolled plan; Spark's group sums vs DuckDB's differ only in float
+    association (the label_centroid_dists precedent — the diffuse
+    bounded class, and power iteration is contractive so noise does
+    not amplify), with outputs bridge-rounded. The deterministic
+    all-ones start makes the whole construction oracle-reproducible;
+    sqrt is IEEE bit-exact.
+
+    Scale shape: the pair fan-out is in-task (dim² rows per vector)
+    with map-side combine bounding the shuffle at dim² × partitions;
+    every iteration runs on the dim²-row covariance table joined to a
+    dim-row vector (broadcast); only dim-grain rows move after the
+    first aggregate."""
+    vec = F.col(vec_col).cast("array<double>")
+    pairs = (
+        df.select(vec.alias("__v"), F.posexplode(vec).alias("__d1", "__x1"))
+        .select("__d1", "__x1", F.posexplode("__v").alias("__d2", "__x2"))
+    )
+    stats = pairs.groupBy("__d1", "__d2").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("__x1") * F.col("__x2")).alias("__sxy"),
+        F.sum("__x1").alias("__sx"),
+        F.sum("__x2").alias("__sy"),
+    )
+    n = F.col("__n").cast("double")
+    cov = stats.select(
+        "__d1",
+        "__d2",
+        F.col("__n"),
+        (F.col("__sxy") / n - (F.col("__sx") / n) * (F.col("__sy") / n)).alias("__c"),
+    )
+    w = cov.where(F.col("__d1") == F.col("__d2")).select(
+        F.col("__d1").alias("__d"), F.lit(1.0).alias("__w")
+    )
+    for _ in range(int(iters)):
+        y = (
+            cov.join(F.broadcast(w), cov["__d2"] == w["__d"])
+            .groupBy("__d1")
+            .agg(F.sum(F.col("__c") * F.col("__w")).alias("__y"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("__y") * F.col("__y"))).alias("__nn"))
+        w = y.crossJoin(F.broadcast(nrm)).select(
+            F.col("__d1").alias("__d"),
+            F.when(F.col("__nn") > 0, F.col("__y") / F.col("__nn"))
+            .otherwise(F.lit(0.0))
+            .alias("__w"),
+        )
+    # Rayleigh quotient wᵀCw with the final unit vector (wᵀw = 1)
+    wa = w.select(F.col("__d").alias("__da"), F.col("__w").alias("__wa"))
+    wb = w.select(F.col("__d").alias("__db"), F.col("__w").alias("__wb"))
+    lam = (
+        cov.join(F.broadcast(wa), cov["__d1"] == wa["__da"])
+        .join(F.broadcast(wb), cov["__d2"] == wb["__db"])
+        .agg(F.sum(F.col("__wa") * F.col("__c") * F.col("__wb")).alias("__lam"))
+    )
+    tr = cov.where(F.col("__d1") == F.col("__d2")).agg(
+        F.sum("__c").alias("__tr"),
+        F.max("__n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("dim"),
+    )
+    from kairos_spark.operators.text import _round6_bridge
+
+    return tr.crossJoin(F.broadcast(lam)).select(
+        "n",
+        "dim",
+        _round6_bridge(F.col("__tr")).alias("trace_var"),
+        _round6_bridge(F.col("__lam")).alias("top_eigenvalue"),
+        F.when(
+            F.col("__tr") > 0, _round6_bridge(F.col("__lam") / F.col("__tr"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_share"),
+    )

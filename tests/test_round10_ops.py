@@ -930,3 +930,36 @@ def test_kendall_tau_matches_exact_reference_fuzz(spark):
             assert abs(r.tau_b - (C - D) / math.sqrt(px * py)) < 1.1e-6, day
         else:
             assert r.tau_b == 0.0
+
+
+# --- embedding_anisotropy ---
+
+
+def test_embedding_anisotropy_collapsed_direction(spark):
+    import random
+
+    rng = random.Random(7)
+    # all variance on one axis: top eigenvalue ~= trace, share ~= 1
+    docs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[rng.uniform(-5, 5), 0.0, 0.0])
+         for i in range(60)]
+    )
+    (r,) = similarity.embedding_anisotropy(docs).collect()
+    assert r.n == 60 and r.dim == 3
+    assert r.top_share > 0.999
+    assert abs(r.top_eigenvalue - r.trace_var) < 1e-4
+
+
+def test_embedding_anisotropy_isotropic_share(spark):
+    import itertools
+
+    # symmetric +-1 cube corners: covariance = identity -> every
+    # eigenvalue equals 1, trace = dim, share = 1/dim
+    pts = list(itertools.product([-1.0, 1.0], repeat=3))
+    docs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=list(p)) for i, p in enumerate(pts)]
+    )
+    (r,) = similarity.embedding_anisotropy(docs).collect()
+    assert r.trace_var == 3.0
+    assert abs(r.top_eigenvalue - 1.0) < 1e-9
+    assert abs(r.top_share - 1 / 3) < 1e-6

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "embedding_anisotropy",
     "l_diversity",
     "source_kl",
     "kendall_tau",
@@ -328,6 +329,10 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # dim^2 pair fan-out is in-task (Generate) with map-side combine;
+    # every iteration joins the dim^2 cov table to a broadcast dim-row
+    # vector; only dim-grain rows move after the first aggregate
+    "embedding_anisotropy": ["Generate", "HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
     # one hash aggregation on the quasi-key (count + distinct), corpus
     # scalars on an empty-key window over class-grain rows
     "l_diversity": ["HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"],
