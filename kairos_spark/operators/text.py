@@ -2860,3 +2860,57 @@ def source_kl(
             6,
         ).alias("kl_bits"),
     )
+
+
+def doc_gini(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source Gini coefficient of TOKEN MASS across documents — is
+    a source's budget a broad base or three giant docs? The doc-grain
+    sibling of ``gini_concentration`` (per-key event counts): sampling
+    plans that draw documents uniformly implicitly assume low Gini;
+    a high-Gini source needs token-weighted draws (``weighted_sample``)
+    or length capping before its mix share means anything.
+
+    Same sorted-rank identity as gini_concentration —
+    G = 2·Σ(i·t_i)/(n·Σt) − (n+1)/n with token counts ascending, ties
+    broken by doc id — every sum exact int64 (DECIMAL-routed products:
+    rank·tokens sums pass the BIGINT comfort zone at corpus scale),
+    final G one double expression over exact integers, bridge-rounded
+    (|G| < 1). Zero-token sources sentinel to 0.0.
+
+    Scale shape: one map-only token count, a per-source rank window
+    over DOC-grain rows (docs ≪ tokens), one combiner aggregate."""
+    from pyspark.sql.window import Window
+
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("__id"),
+        F.size(
+            F.filter(word_tokens(F.col(text_col)), lambda x: x != "")
+        ).cast("long").alias("__t"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("__t").asc(), F.col("__id").asc())
+    ranked = per_doc.withColumn("__i", F.row_number().over(w).cast("long"))
+    s = ranked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("n_tokens"),
+        F.sum(F.col("__i").cast("decimal(38,0)") * F.col("__t").cast("decimal(38,0)"))
+        .alias("__sit"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("__sit").cast("double")
+        / (F.col("n_docs").cast("decimal(38,0)") * F.col("n_tokens").cast("decimal(38,0)")).cast("double")
+        - (F.col("n_docs") + 1).cast("double") / F.col("n_docs").cast("double")
+    )
+    return s.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, _round6_bridge(gini))
+        .otherwise(F.lit(0.0))
+        .alias("gini_tokens"),
+    )

@@ -3654,6 +3654,12 @@ def q_embedding_anisotropy(spark, sf_dir):
     )
 
 
+def q_doc_gini(spark, sf_dir):
+    """Per-source Gini of token mass across documents — broad base or
+    three giant docs?"""
+    return text.doc_gini(_tbl(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3699,6 +3705,7 @@ QUERIES = {
     # late continuation additions: registered BEHIND the full window
     # (per-query mirror-verified ×3 scales); they lead the r11 rotation
     "embedding_anisotropy": q_embedding_anisotropy,
+    "doc_gini": q_doc_gini,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12398,4 +12405,35 @@ ORACLES["embedding_anisotropy"] = """
              CAST(round(CAST(lam / tr AS DECIMAL(27,12)), 6) AS DOUBLE)
            ELSE 0.0 END AS top_share
     FROM tr, lam
+"""
+
+
+ORACLES["doc_gini"] = """
+    WITH per AS (
+      SELECT source AS grp, doc_id AS id,
+             len(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS t
+      FROM documents
+    ),
+    r AS (
+      SELECT grp, t,
+             row_number() OVER (PARTITION BY grp ORDER BY t, id) AS i
+      FROM per
+    ),
+    s AS (
+      SELECT grp, count(*) AS n, sum(t) AS st,
+             sum(i::HUGEINT * t::HUGEINT) AS sit
+      FROM r GROUP BY 1
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(st AS BIGINT) AS n_tokens,
+           CASE WHEN st > 0 THEN
+             CAST(round(CAST(
+               2.0 * CAST(sit AS DOUBLE) / CAST(n::HUGEINT * st::HUGEINT AS DOUBLE)
+               - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+             AS DECIMAL(27,12)), 6) AS DOUBLE)
+           ELSE 0.0 END AS gini_tokens
+    FROM s
 """

@@ -963,3 +963,32 @@ def test_embedding_anisotropy_isotropic_share(spark):
     assert r.trace_var == 3.0
     assert abs(r.top_eigenvalue - 1.0) < 1e-9
     assert abs(r.top_share - 1 / 3) < 1e-6
+
+
+# --- doc_gini ---
+
+
+def test_doc_gini_equal_and_concentrated(spark):
+    # equal token masses -> G = 0
+    eq = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d", source="eq") for i in range(5)]
+    )
+    (r,) = text.doc_gini(eq).collect()
+    assert r.gini_tokens == 0.0 and r.n_docs == 5 and r.n_tokens == 20
+    # one doc owns nearly everything: G = 2*(1*0+...+0+n*T)/(n*T)-(n+1)/n
+    # with masses (0,0,0,0,T): G = 2*5/5 - 6/5 = 0.8
+    conc = spark.createDataFrame(
+        [Row(doc_id=i, text="", source="c") for i in range(4)]
+        + [Row(doc_id=9, text="w " * 100, source="c")]
+    )
+    (r,) = text.doc_gini(conc).collect()
+    assert r.gini_tokens == 0.8 and r.n_tokens == 100
+
+
+def test_doc_gini_zero_token_source_sentinel(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="", source="empty"),
+         Row(doc_id=2, text="  ", source="empty")]
+    )
+    (r,) = text.doc_gini(docs).collect()
+    assert r.n_tokens == 0 and r.gini_tokens == 0.0

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "script_mix",
+    "doc_gini",
     "embedding_anisotropy",
     "l_diversity",
     "source_kl",
@@ -329,6 +330,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # map-only token count; rank window over DOC-grain rows; one
+    # combiner aggregate — no joins
+    "doc_gini": ["Window", "HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
     # dim^2 pair fan-out is in-task (Generate) with map-side combine;
     # every iteration joins the dim^2 cov table to a broadcast dim-row
     # vector; only dim-grain rows move after the first aggregate
