@@ -2914,3 +2914,74 @@ def doc_gini(
         .otherwise(F.lit(0.0))
         .alias("gini_tokens"),
     )
+
+
+def source_effect_size(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cohen's d of TOKEN LENGTH per source vs the rest of the corpus
+    — the standardized mean difference (Cohen 1988) that turns "source
+    A's docs are longer" into a unit-free magnitude comparable across
+    metrics and corpus sizes (|d| ≥ 0.8 = the source is structurally
+    different material, not a sampling wobble; |d| < 0.2 = ignore).
+    The length-mix companion to ``source_kl`` (vocabulary) and
+    ``doc_gini`` (concentration): together they answer whether a feed
+    can be blended at its raw mix share or needs length-aware caps.
+
+    d = (μ_s − μ_rest) / s_pooled with the unbiased pooled variance
+    s² = (Q − T_s²/n_s − T_r²/n_r) / (N − 2) from EXACT integer moment
+    sums (T = Στ as int64, Q = Στ² as DECIMAL(38,0) — past 2^53 both
+    engines' decimal→double casts round-to-nearest identically). All
+    double arithmetic after the casts is the same IEEE expression on
+    both engines (±, ×, / correctly rounded; sqrt bit-exact), then
+    ``_round6_bridge`` — |d| is clamped to ±1000 on BOTH sides first
+    (degenerate near-constant corpora can blow d past the bridge's
+    ~4.5e3 agreement bound; a clamped audit value is still "off the
+    chart" to the reader). Undefined cases (singleton rest, N < 3,
+    zero pooled variance) sentinel to 0.0 on both sides.
+
+    Scale shape: one map-only token count, one per-source combiner
+    aggregate, corpus totals re-aggregated from the |sources| rows and
+    re-joined via a 1-row broadcast. Raw text never shuffles."""
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(
+            F.filter(word_tokens(F.col(text_col)), lambda x: x != "")
+        ).cast("long").alias("__t"),
+    )
+    s = per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("__ts"),
+        F.sum(F.col("__t").cast("decimal(38,0)") * F.col("__t").cast("decimal(38,0)"))
+        .alias("__qs"),
+    )
+    tot = s.agg(
+        F.sum("n_docs").cast("long").alias("__nn"),
+        F.sum("__ts").cast("long").alias("__tt"),
+        F.sum("__qs").alias("__qq"),
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    ns_d = F.col("n_docs").cast("double")
+    nr = F.col("__nn") - F.col("n_docs")
+    nr_d = nr.cast("double")
+    ts_d = F.col("__ts").cast("double")
+    tr_d = (F.col("__tt") - F.col("__ts")).cast("double")
+    var_p = (
+        F.col("__qq").cast("double") - ts_d * ts_d / ns_d - tr_d * tr_d / nr_d
+    ) / (F.col("__nn") - 2).cast("double")
+    d = (ts_d / ns_d - tr_d / nr_d) / F.sqrt(var_p)
+    return j.select(
+        "grp",
+        "n_docs",
+        _round6_ratio(F.col("__ts"), F.col("n_docs")).alias("mean_tokens"),
+        F.when(
+            (nr >= 1) & (F.col("__nn") >= 3) & (var_p > 0),
+            _round6_bridge(
+                F.greatest(F.least(d, F.lit(1000.0)), F.lit(-1000.0))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cohens_d"),
+    )

@@ -3660,6 +3660,13 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_cohens_d(spark, sf_dir):
+    """Cohen's d of token length per source vs the rest of the corpus
+    — standardized length-mix difference (exact moment sums, IEEE-sqrt,
+    bridge-rounded)."""
+    return text.source_effect_size(_tbl(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -3706,6 +3713,7 @@ QUERIES = {
     # (per-query mirror-verified ×3 scales); they lead the r11 rotation
     "embedding_anisotropy": q_embedding_anisotropy,
     "doc_gini": q_doc_gini,
+    "cohens_d": q_cohens_d,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12436,4 +12444,40 @@ ORACLES["doc_gini"] = """
              AS DECIMAL(27,12)), 6) AS DOUBLE)
            ELSE 0.0 END AS gini_tokens
     FROM s
+"""
+
+ORACLES["cohens_d"] = """
+    WITH per AS (
+      SELECT source AS grp,
+             len(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT grp, count(*) AS n, sum(t) AS st,
+             sum(t::HUGEINT * t::HUGEINT) AS qt
+      FROM per GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nn, sum(st) AS tt, sum(qt) AS qq FROM s)
+    SELECT grp,
+           CAST(n AS BIGINT) AS n_docs,
+           floor((2000000*st + n) / (2.0*n)) / 1000000.0 AS mean_tokens,
+           CASE WHEN (nn - n) >= 1 AND nn >= 3 AND
+                     (CAST(qq AS DOUBLE)
+                      - CAST(st AS DOUBLE)*CAST(st AS DOUBLE)/CAST(n AS DOUBLE)
+                      - CAST(tt - st AS DOUBLE)*CAST(tt - st AS DOUBLE)/CAST(nn - n AS DOUBLE))
+                     / CAST(nn - 2 AS DOUBLE) > 0
+           THEN CAST(round(CAST(
+                  greatest(least(
+                    (CAST(st AS DOUBLE)/CAST(n AS DOUBLE)
+                     - CAST(tt - st AS DOUBLE)/CAST(nn - n AS DOUBLE))
+                    / sqrt((CAST(qq AS DOUBLE)
+                            - CAST(st AS DOUBLE)*CAST(st AS DOUBLE)/CAST(n AS DOUBLE)
+                            - CAST(tt - st AS DOUBLE)*CAST(tt - st AS DOUBLE)/CAST(nn - n AS DOUBLE))
+                           / CAST(nn - 2 AS DOUBLE))
+                  , 1000.0), -1000.0)
+                AS DECIMAL(27,12)), 6) AS DOUBLE)
+           ELSE 0.0 END AS cohens_d
+    FROM s, tot
 """

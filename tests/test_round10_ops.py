@@ -992,3 +992,54 @@ def test_doc_gini_zero_token_source_sentinel(spark):
     )
     (r,) = text.doc_gini(docs).collect()
     assert r.n_tokens == 0 and r.gini_tokens == 0.0
+
+
+# --- source_effect_size (Cohen's d of token length per source) ---
+
+
+def test_source_effect_size_known_value(spark):
+    # A: lengths (2, 4), rest: (6, 8). means 3 vs 7; pooled
+    # SS = 120 - 36/2 - 196/2 = 4, var = 4/(4-2) = 2,
+    # d = -4/sqrt(2) = -2.8284271... -> -2.828427
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", source="A"),
+         Row(doc_id=2, text="a b c d", source="A"),
+         Row(doc_id=3, text="a b c d e f", source="B"),
+         Row(doc_id=4, text="a b c d e f g h", source="B")]
+    )
+    out = {r.grp: r for r in text.source_effect_size(docs).collect()}
+    assert out["A"].cohens_d == -2.828427
+    assert out["B"].cohens_d == 2.828427
+    assert out["A"].mean_tokens == 3.0 and out["B"].mean_tokens == 7.0
+    assert out["A"].n_docs == 2
+
+
+def test_source_effect_size_sentinels(spark):
+    # single source: no "rest" to compare against -> 0.0
+    one = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", source="only"),
+         Row(doc_id=2, text="a b c", source="only"),
+         Row(doc_id=3, text="a", source="only")]
+    )
+    (r,) = text.source_effect_size(one).collect()
+    assert r.cohens_d == 0.0
+    # zero pooled variance (all docs the same length) -> 0.0
+    flat = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", source="A"),
+         Row(doc_id=2, text="c d", source="A"),
+         Row(doc_id=3, text="e f", source="B"),
+         Row(doc_id=4, text="g h", source="B")]
+    )
+    for r in text.source_effect_size(flat).collect():
+        assert r.cohens_d == 0.0
+
+
+def test_source_effect_size_clamps_degenerate_blowup(spark):
+    # near-constant lengths vs a far-off singleton: |d| blows past the
+    # bridge's agreement bound and must clamp to exactly +/-1000.0
+    rows = [Row(doc_id=i, text="w " * 10000, source="A") for i in range(2)]
+    rows.append(Row(doc_id=9, text="w " * 10001, source="A"))
+    rows.append(Row(doc_id=10, text="w", source="B"))
+    out = {r.grp: r for r in text.source_effect_size(spark.createDataFrame(rows)).collect()}
+    assert out["A"].cohens_d == 1000.0
+    assert out["B"].cohens_d == -1000.0

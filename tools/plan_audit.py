@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "cohens_d",
     "script_mix",
     "doc_gini",
     "embedding_anisotropy",
@@ -330,6 +331,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # map-only token count; per-source combiner aggregate; corpus
+    # totals ride a 1-row broadcast (BNLJ by design) — no shuffle join
+    "cohens_d": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
     # map-only token count; rank window over DOC-grain rows; one
     # combiner aggregate — no joins
     "doc_gini": ["Window", "HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
