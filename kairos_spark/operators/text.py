@@ -2985,3 +2985,80 @@ def source_effect_size(
         .otherwise(F.lit(0.0))
         .alias("cohens_d"),
     )
+
+
+def code_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source code-likeness audit — the structural heuristics a
+    code/prose router runs before tokenizer and mix decisions (the
+    public The Stack / StarCoder-style preprocessing gate: prose
+    tokenizers and quality rules misfire on code, so a corpus feed
+    needs its code share measured before blending). A doc scores one
+    point per structural signal and is flagged code at >= 3 of 5:
+
+    - >= 15% of lines indented (4 spaces or a tab),
+    - >= 20% of lines ending in ';' '{' '}' ')' (after space rtrim),
+    - >= 5% of characters in the ASCII code-symbol class [](){};=<>,
+    - >= 2 distinct code keywords present, and >= 4 for the 5th point
+      ('def ', 'return', 'import ', '#include', 'function', 'public ',
+      'void ', '=>', '==' — case-sensitive, so no casing hazards).
+
+    Every signal is an INTEGER cross-multiplied threshold (100·k >=
+    p·n) — no division, no floats, no ANSI hazards; line splitting is
+    a literal '\\n' after '\\r' removal (CRLF-safe) and the symbol
+    class is a pure-ASCII regex (codepoint-counted on both engines).
+    Output ratios are exact count ratios via ``_round6_ratio``.
+
+    Scale shape: one map-only projection (all signals per doc in one
+    pass over the text), one per-source combiner aggregate. Raw text
+    never shuffles; no joins, no windows."""
+    body = F.regexp_replace(F.col(text_col), "\r", "")
+    lines = F.split(body, "\n")
+    n_lines = F.size(lines).cast("long")
+    indent = F.size(
+        F.filter(lines, lambda x: x.startswith("    ") | x.startswith("\t"))
+    ).cast("long")
+    punct = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.rtrim(x), -1, 1).isin(";", "{", "}", ")"),
+        )
+    ).cast("long")
+    chars = F.length(body).cast("long")
+    syms = (
+        chars - F.length(F.regexp_replace(body, "[\\[\\]{}();=<>]", ""))
+    ).cast("long")
+    kws = [
+        "def ", "return", "import ", "#include", "function",
+        "public ", "void ", "=>", "==",
+    ]
+    kw_hits = sum(
+        F.when(F.instr(body, kw) > 0, 1).otherwise(0) for kw in kws
+    ).cast("long")
+    score = (
+        (100 * indent >= 15 * n_lines).cast("long")
+        + (100 * punct >= 20 * n_lines).cast("long")
+        + ((chars > 0) & (100 * syms >= 5 * chars)).cast("long")
+        + (kw_hits >= 2).cast("long")
+        + (kw_hits >= 4).cast("long")
+    )
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        score.alias("__s"),
+        (score >= 3).cast("long").alias("__c"),
+    )
+    g = per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__c").cast("long").alias("code_docs"),
+        F.sum("__s").cast("long").alias("__ss"),
+    )
+    return g.select(
+        "grp",
+        "n_docs",
+        "code_docs",
+        _round6_ratio(F.col("code_docs"), F.col("n_docs")).alias("code_frac"),
+        _round6_ratio(F.col("__ss"), F.col("n_docs")).alias("mean_score"),
+    )

@@ -3660,6 +3660,13 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_code_detect(spark, sf_dir):
+    """Per-source code-likeness audit: 5 integer structural signals
+    per doc (indent/line-punct/symbol-density/keywords), code at >= 3,
+    exact count ratios per source."""
+    return text.code_detect(_tbl(spark, sf_dir, "documents"))
+
+
 def q_cohens_d(spark, sf_dir):
     """Cohen's d of token length per source vs the rest of the corpus
     — standardized length-mix difference (exact moment sums, IEEE-sqrt,
@@ -3714,6 +3721,7 @@ QUERIES = {
     "embedding_anisotropy": q_embedding_anisotropy,
     "doc_gini": q_doc_gini,
     "cohens_d": q_cohens_d,
+    "code_detect": q_code_detect,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12480,4 +12488,53 @@ ORACLES["cohens_d"] = """
                 AS DECIMAL(27,12)), 6) AS DOUBLE)
            ELSE 0.0 END AS cohens_d
     FROM s, tot
+"""
+
+ORACLES["code_detect"] = """
+    WITH per AS (
+      SELECT source AS grp, replace(text, chr(13), '') AS body
+      FROM documents
+    ),
+    sig AS (
+      SELECT grp,
+        len(string_split(body, chr(10))) AS nl,
+        len(list_filter(string_split(body, chr(10)),
+            x -> left(x, 4) = '    ' OR left(x, 1) = chr(9))) AS ind,
+        len(list_filter(string_split(body, chr(10)),
+            x -> right(rtrim(x), 1) IN (';', '{', '}', ')'))) AS pnc,
+        length(body) AS ch,
+        length(body)
+          - length(regexp_replace(body, '[\\[\\]{}();=<>]', '', 'g')) AS sy,
+        (CASE WHEN contains(body, 'def ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'return') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'import ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, '#include') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'function') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'public ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'void ') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, '=>') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, '==') THEN 1 ELSE 0 END) AS kw
+      FROM per
+    ),
+    sc AS (
+      SELECT grp,
+        (CASE WHEN 100*ind >= 15*nl THEN 1 ELSE 0 END
+         + CASE WHEN 100*pnc >= 20*nl THEN 1 ELSE 0 END
+         + CASE WHEN ch > 0 AND 100*sy >= 5*ch THEN 1 ELSE 0 END
+         + CASE WHEN kw >= 2 THEN 1 ELSE 0 END
+         + CASE WHEN kw >= 4 THEN 1 ELSE 0 END) AS s
+      FROM sig
+    ),
+    g AS (
+      SELECT grp, count(*) AS n,
+             sum(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS cd,
+             sum(s) AS ss
+      FROM sc GROUP BY 1
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(cd AS BIGINT) AS code_docs,
+           floor((2000000*cd + n) / (2.0*n)) / 1000000.0 AS code_frac,
+           floor((2000000*ss + n) / (2.0*n)) / 1000000.0 AS mean_score
+    FROM g
 """

@@ -1043,3 +1043,49 @@ def test_source_effect_size_clamps_degenerate_blowup(spark):
     out = {r.grp: r for r in text.source_effect_size(spark.createDataFrame(rows)).collect()}
     assert out["A"].cohens_d == 1000.0
     assert out["B"].cohens_d == -1000.0
+
+
+# --- code_detect (structural code-likeness router) ---
+
+
+def test_code_detect_flags_code_and_not_prose(spark):
+    code = (
+        "def add(a, b):\n"
+        "    return a == b\n"
+        "\n"
+        "import os\n"
+        "def main():\n"
+        "    x = add(1, 2);\n"
+        "    return x\n"
+    )
+    prose = (
+        "The quick brown fox jumps over the lazy dog. It was a bright "
+        "cold day in April and the clocks were striking thirteen."
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=code, source="repo"),
+         Row(doc_id=2, text=code, source="repo"),
+         Row(doc_id=3, text=prose, source="web"),
+         Row(doc_id=4, text=prose, source="web")]
+    )
+    out = {r.grp: r for r in text.code_detect(docs).collect()}
+    assert out["repo"].code_docs == 2 and out["repo"].code_frac == 1.0
+    assert out["web"].code_docs == 0 and out["web"].code_frac == 0.0
+    assert out["repo"].mean_score >= 3.0 and out["web"].mean_score <= 1.0
+
+
+def test_code_detect_crlf_and_tab_indent(spark):
+    # CRLF line endings must not break the line-ending punct rule, and
+    # tab indentation counts as indent
+    code = "void f() {\r\n\tx = 1;\r\n\treturn;\r\n}\r\n"
+    docs = spark.createDataFrame([Row(doc_id=1, text=code, source="s")])
+    (r,) = text.code_detect(docs).collect()
+    assert r.code_docs == 1
+
+
+def test_code_detect_empty_doc_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="", source="s"), Row(doc_id=2, text="hello", source="s")]
+    )
+    (r,) = text.code_detect(docs).collect()
+    assert r.code_docs == 0 and r.n_docs == 2

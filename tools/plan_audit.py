@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "code_detect",
     "cohens_d",
     "script_mix",
     "doc_gini",
@@ -331,6 +332,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # one map-only all-signals projection per doc, one per-source
+    # combiner aggregate — no joins, no windows, text never shuffles
+    "code_detect": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
     # map-only token count; per-source combiner aggregate; corpus
     # totals ride a 1-row broadcast (BNLJ by design) — no shuffle join
     "cohens_d": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
