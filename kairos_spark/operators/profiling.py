@@ -4051,3 +4051,100 @@ def kendall_tau(
         .otherwise(F.lit(0.0))
         .alias("tau_b"),
     )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): per-user PRE-period spend as the control covariate for
+    the POST-period metric — the standard variance-reduction trick
+    that makes an A/B readout significant weeks earlier at the same
+    traffic. Pre/post split at the midpoint of the observed time range
+    (exact integer µs); variant = md5 bucket of the user id (the
+    repo's seed-free assignment, ``sampling.hash_bucket``); θ =
+    cov(X,Y)/var(X) POOLED across variants (the published estimator —
+    per-variant θ reintroduces bias); adjusted mean per variant is
+    Ȳ_v − θ·(X̄_v − X̄).
+
+    Exactness: values quantize to integer cents (``_cents``); every
+    moment is an exact integer sum (cross products cast to
+    DECIMAL(38,0) BEFORE multiplying — the ANSI long·long ceiling);
+    raw means are exact cents ratios; θ and the adjusted means are
+    single mirrored IEEE double expressions over exact-integer casts,
+    output-rounded with the engine-identical sign·floor(|x|·10⁶+0.5)
+    quantizer (safe at any magnitude, unlike the DECIMAL bridge).
+    Degenerate var(X) = 0 sentinels θ to 0.0 — CUPED collapses to the
+    raw readout on both engines.
+
+    Scale shape: one fact-scale aggregate to USER grain (map-side
+    combine; the 1-row min/max broadcast rides a BNLJ), then a 2-row
+    variant aggregate and a 1-row global moment aggregate re-joined by
+    broadcast. Raw events never shuffle twice; user-grain rows are the
+    only shuffle payload."""
+    from kairos_spark.operators.sampling import hash_bucket
+
+    us = F.unix_micros(F.col(ts_col))
+    minmax = df.agg(
+        F.min(us).alias("__lo"), F.max(us).alias("__hi")
+    )
+    bound = F.expr("__lo + (__hi - __lo) div 2")
+    c = _cents(F.col(value_col))
+    per = (
+        df.crossJoin(F.broadcast(minmax))
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.coalesce(F.sum(F.when(us < bound, c)), F.lit(0)).cast("long").alias("__x"),
+            F.coalesce(F.sum(F.when(us >= bound, c)), F.lit(0)).cast("long").alias("__y"),
+        )
+        .withColumn("variant", hash_bucket(F.col("__u"), 2))
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    glob = per.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(dec("__x") * dec("__y")).alias("__sxy"),
+        F.sum(dec("__x") * dec("__x")).alias("__sxx"),
+        F.sum(dec("__y") * dec("__y")).alias("__syy"),
+    )
+    pv = per.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("__x").cast("long").alias("__svx"),
+        F.sum("__y").cast("long").alias("__svy"),
+    )
+    j = pv.crossJoin(F.broadcast(glob))
+    num = dec("__n") * F.col("__sxy") - dec("__sx") * dec("__sy")
+    den_x = dec("__n") * F.col("__sxx") - dec("__sx") * dec("__sx")
+    den_y = dec("__n") * F.col("__syy") - dec("__sy") * dec("__sy")
+    theta = F.when(
+        den_x.cast("double") > 0, num.cast("double") / den_x.cast("double")
+    ).otherwise(F.lit(0.0))
+    xbar_v = F.col("__svx").cast("double") / (100 * F.col("n_users")).cast("double")
+    ybar_v = F.col("__svy").cast("double") / (100 * F.col("n_users")).cast("double")
+    xbar = F.col("__sx").cast("double") / (100 * F.col("__n")).cast("double")
+    adj = ybar_v - theta * (xbar_v - xbar)
+    rho2 = F.when(
+        (den_x.cast("double") > 0) & (den_y.cast("double") > 0),
+        num.cast("double") * num.cast("double")
+        / (den_x.cast("double") * den_y.cast("double")),
+    ).otherwise(F.lit(0.0))
+
+    def q6(col):
+        mag = F.floor(F.abs(col) * F.lit(1_000_000.0) + F.lit(0.5))
+        return (
+            F.when(col >= 0, mag).otherwise(-mag).cast("long")
+            / F.lit(1_000_000.0)
+        )
+
+    return j.select(
+        "variant",
+        "n_users",
+        _round6_ratio_signed(F.col("__svy"), 100 * F.col("n_users")).alias("raw_mean"),
+        q6(adj).alias("adj_mean"),
+        q6(theta).alias("theta"),
+        _round6_bridge(rho2).alias("rho2"),
+    ).orderBy("variant")

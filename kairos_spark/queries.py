@@ -3660,6 +3660,13 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED variance-reduced A/B readout: pre-period per-user spend as
+    control covariate, md5-bucket variants, pooled theta, exact cents
+    moments."""
+    return profiling.cuped_adjustment(_tbl(spark, sf_dir, "events"))
+
+
 def q_code_detect(spark, sf_dir):
     """Per-source code-likeness audit: 5 integer structural signals
     per doc (indent/line-punct/symbol-density/keywords), code at >= 3,
@@ -3722,6 +3729,7 @@ QUERIES = {
     "doc_gini": q_doc_gini,
     "cohens_d": q_cohens_d,
     "code_detect": q_code_detect,
+    "cuped_adjustment": q_cuped_adjustment,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12537,4 +12545,80 @@ ORACLES["code_detect"] = """
            floor((2000000*cd + n) / (2.0*n)) / 1000000.0 AS code_frac,
            floor((2000000*ss + n) / (2.0*n)) / 1000000.0 AS mean_score
     FROM g
+"""
+
+ORACLES["cuped_adjustment"] = """
+    WITH mm AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    per AS (
+      SELECT user_id AS u,
+        coalesce(sum(CASE WHEN epoch_us(ts) < lo + (hi - lo) // 2 THEN
+          CASE WHEN CAST(value AS DOUBLE) >= 0
+               THEN  CAST(floor( CAST(value AS DOUBLE)*100 + 0.5) AS BIGINT)
+               ELSE -CAST(floor(-CAST(value AS DOUBLE)*100 + 0.5) AS BIGINT) END
+        END), 0) AS x,
+        coalesce(sum(CASE WHEN epoch_us(ts) >= lo + (hi - lo) // 2 THEN
+          CASE WHEN CAST(value AS DOUBLE) >= 0
+               THEN  CAST(floor( CAST(value AS DOUBLE)*100 + 0.5) AS BIGINT)
+               ELSE -CAST(floor(-CAST(value AS DOUBLE)*100 + 0.5) AS BIGINT) END
+        END), 0) AS y
+      FROM events, mm
+      GROUP BY 1
+    ),
+    pu AS (
+      SELECT u, x, y,
+             ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 11))::BIGINT % 2 AS variant
+      FROM per
+    ),
+    gtot AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x::HUGEINT * y::HUGEINT) AS sxy,
+             sum(x::HUGEINT * x::HUGEINT) AS sxx,
+             sum(y::HUGEINT * y::HUGEINT) AS syy
+      FROM pu
+    ),
+    pv AS (
+      SELECT variant, count(*) AS n_users, sum(x) AS svx, sum(y) AS svy
+      FROM pu GROUP BY 1
+    ),
+    calc AS (
+      SELECT variant, n_users, svx, svy, n, sx,
+             n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT AS num,
+             n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT AS dx,
+             n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT AS dy
+      FROM pv, gtot
+    ),
+    expr AS (
+      SELECT variant, n_users, svy,
+        CASE WHEN CAST(dx AS DOUBLE) > 0
+             THEN CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) ELSE 0.0 END AS theta,
+        CAST(svy AS DOUBLE) / CAST(100*n_users AS DOUBLE)
+          - (CASE WHEN CAST(dx AS DOUBLE) > 0
+                  THEN CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) ELSE 0.0 END)
+            * (CAST(svx AS DOUBLE) / CAST(100*n_users AS DOUBLE)
+               - CAST(sx AS DOUBLE) / CAST(100*n AS DOUBLE)) AS adj,
+        CASE WHEN CAST(dx AS DOUBLE) > 0 AND CAST(dy AS DOUBLE) > 0
+             THEN CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                  / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+             ELSE 0.0 END AS r2
+      FROM calc
+    )
+    SELECT variant,
+           CAST(n_users AS BIGINT) AS n_users,
+           CASE WHEN svy >= 0
+                THEN  floor(( 2000000*svy + 100*n_users) / (2.0*100*n_users)) / 1000000.0
+                ELSE -floor((-2000000*svy + 100*n_users) / (2.0*100*n_users)) / 1000000.0
+           END AS raw_mean,
+           (CASE WHEN adj >= 0
+                 THEN  CAST(floor(abs(adj)*1000000.0 + 0.5) AS BIGINT)
+                 ELSE -CAST(floor(abs(adj)*1000000.0 + 0.5) AS BIGINT) END
+           ) / 1000000.0 AS adj_mean,
+           (CASE WHEN theta >= 0
+                 THEN  CAST(floor(abs(theta)*1000000.0 + 0.5) AS BIGINT)
+                 ELSE -CAST(floor(abs(theta)*1000000.0 + 0.5) AS BIGINT) END
+           ) / 1000000.0 AS theta,
+           CAST(round(CAST(r2 AS DECIMAL(27,12)), 6) AS DOUBLE) AS rho2
+    FROM expr
+    ORDER BY variant
 """

@@ -1089,3 +1089,45 @@ def test_code_detect_empty_doc_scores_zero(spark):
     )
     (r,) = text.code_detect(docs).collect()
     assert r.code_docs == 0 and r.n_docs == 2
+
+
+# --- cuped_adjustment (CUPED variance reduction, Deng et al. 2013) ---
+
+
+def _cuped_events(spark, pre_vals, post_vals):
+    # one pre event (t=0s) and one post event (t=100s) per user; the
+    # midpoint boundary lands at 50s
+    import datetime as dt
+
+    rows = []
+    for u, (xv, yv) in enumerate(zip(pre_vals, post_vals), start=1):
+        rows.append(Row(ts=dt.datetime(2024, 1, 1, 0, 0, 0), user_id=u, value=float(xv)))
+        rows.append(Row(ts=dt.datetime(2024, 1, 1, 0, 1, 40), user_id=u, value=float(yv)))
+    return spark.createDataFrame(rows)
+
+
+def test_cuped_perfect_covariate_collapses_to_global_mean(spark):
+    from kairos_spark.operators import profiling
+
+    # Y identical to X per user: theta = 1, rho2 = 1, and every
+    # variant's adjusted mean equals the GLOBAL post mean
+    vals = [float(v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 11, 12, 13, 14, 15, 16, 17, 18)]
+    ev = _cuped_events(spark, vals, vals)
+    out = profiling.cuped_adjustment(ev).collect()
+    assert len(out) >= 1
+    g = round(sum(vals) / len(vals), 6)
+    for r in out:
+        assert r.theta == 1.0 and r.rho2 == 1.0
+        assert abs(r.adj_mean - g) < 5e-7
+
+
+def test_cuped_zero_covariate_variance_is_raw_readout(spark):
+    from kairos_spark.operators import profiling
+
+    # constant pre-period spend: var(X) = 0 -> theta 0, adj == raw
+    pre = [5.0] * 12
+    post = [float(v) for v in range(1, 13)]
+    out = profiling.cuped_adjustment(_cuped_events(spark, pre, post)).collect()
+    for r in out:
+        assert r.theta == 0.0 and r.rho2 == 0.0
+        assert r.adj_mean == r.raw_mean

@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "cuped_adjustment",
     "code_detect",
     "cohens_d",
     "script_mix",
@@ -335,6 +336,10 @@ CHECKS = {
     # one map-only all-signals projection per doc, one per-source
     # combiner aggregate — no joins, no windows, text never shuffles
     "code_detect": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
+    # fact-scale aggregate to USER grain once (min/max rides a 1-row
+    # broadcast BNLJ); variant/global moment joins are broadcast over
+    # 2-row / 1-row sides — no shuffle join, no window
+    "cuped_adjustment": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin", "!Window"],
     # map-only token count; per-source combiner aggregate; corpus
     # totals ride a 1-row broadcast (BNLJ by design) — no shuffle join
     "cohens_d": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
