@@ -39,7 +39,10 @@ def _md5_long(col: Column, skip: int = 0) -> Column:
 
 # re-export: lives in text.py (dedup already imports text, so the
 # integer-ratio helper sits below both in the import graph)
-from kairos_spark.operators.text import _round6_ratio  # noqa: E402,F401
+from kairos_spark.operators.text import (  # noqa: E402,F401
+    _round6_ratio,
+    _round6_ratio_dec,
+)
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -1860,4 +1863,129 @@ def cluster_quality_bias(
             ).cast("decimal(38,0)")
             * F.lit(1_000_000),
         ).alias("mean_quality_kept"),
+    )
+
+
+def cluster_diameter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.2,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    max_cluster_size: int = 64,
+) -> DataFrame:
+    """Transitive-chaining audit over the LSH dedup clusters — the
+    known failure mode of connected-component near-dup clustering
+    (A~B and B~C force A with C even when A and C share nothing; at
+    corpus scale one promiscuous template chains thousands of
+    unrelated docs into a single "duplicate" cluster that a keep-one
+    policy would then decimate). For every LSH cluster up to
+    ``max_cluster_size`` members, computes the EXACT n-gram Jaccard of
+    ALL member pairs — including pairs the LSH never proposed — and
+    reports, per cluster SIZE band: cluster/pair counts, how many
+    member pairs fall below the clustering threshold ("chained": the
+    pair is together only by transitivity), the minimum pairwise
+    similarity (the diameter, in similarity space) and the mean.
+
+    Exactness: intersections/unions are exact integer counts off the
+    distinct-shingle sets; "chained" compares the raw rational
+    (``threshold_den``·|∩| < ``threshold_num``·|∪|, default 1/5 =
+    the 0.2 LSH threshold) — no floats anywhere in the predicate;
+    per-pair similarity is the ``_round6_ratio`` integer µ-value, so
+    the size-band min and mean are exact integer folds
+    (mean = Σµ / (10⁶·pairs) via the DECIMAL ratio).
+
+    Scale shape: the candidate/CC stages are the shuffle-safe LSH
+    pipeline; the all-pairs stage is quadratic ONLY within a cluster
+    and is capped at ``max_cluster_size`` (Σ|c|² bounded, the semdedup
+    precedent) — oversized clusters are by definition chained and are
+    excluded from the pair fan-out rather than allowed to explode it.
+    Shingles join back on (cluster, shingle); raw text never pairs."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    cc = connected_components(pairs)
+    csize = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    kept = cc.join(
+        csize.where(F.col("size") <= max_cluster_size), "cluster_id"
+    )
+    sh = doc_shingles(df, text_col, id_col, n)
+    sz = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("__sz"))
+    msh = kept.join(sh, kept.node == sh[id_col]).select(
+        "cluster_id", F.col("node").alias("__m"), "shingle"
+    )
+    inter = (
+        msh.alias("x")
+        .join(
+            msh.alias("y"),
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.__m") < F.col("y.__m")),
+        )
+        .groupBy(
+            F.col("x.__m").alias("__ia"), F.col("y.__m").alias("__ib")
+        )
+        .agg(F.count("*").cast("long").alias("__it"))
+    )
+    mp = (
+        kept.alias("p")
+        .join(
+            kept.alias("q"),
+            (F.col("p.cluster_id") == F.col("q.cluster_id"))
+            & (F.col("p.node") < F.col("q.node")),
+        )
+        .select(
+            F.col("p.cluster_id").alias("cluster_id"),
+            F.col("p.size").alias("size"),
+            F.col("p.node").alias("__ia"),
+            F.col("q.node").alias("__ib"),
+        )
+    )
+    pj = (
+        mp.join(inter, ["__ia", "__ib"], "left")
+        .join(sz.select(F.col(id_col).alias("__ia"), F.col("__sz").alias("__sa")), "__ia")
+        .join(sz.select(F.col(id_col).alias("__ib"), F.col("__sz").alias("__sb")), "__ib")
+        .select(
+            "cluster_id",
+            "size",
+            F.coalesce(F.col("__it"), F.lit(0)).cast("long").alias("__i"),
+            (F.col("__sa") + F.col("__sb") - F.coalesce(F.col("__it"), F.lit(0)))
+            .cast("long")
+            .alias("__u"),
+        )
+    )
+    per_pair = pj.select(
+        "cluster_id",
+        "size",
+        F.floor(
+            (F.lit(2_000_000) * F.col("__i") + F.col("__u"))
+            / (F.lit(2) * F.col("__u"))
+        ).cast("long").alias("__jmu"),
+        (F.lit(threshold_den) * F.col("__i") < F.lit(threshold_num) * F.col("__u"))
+        .cast("long")
+        .alias("__ch"),
+    )
+    per_cluster = per_pair.groupBy("cluster_id", "size").agg(
+        F.count("*").cast("long").alias("__np"),
+        F.sum("__ch").cast("long").alias("__nc"),
+        F.min("__jmu").cast("long").alias("__minj"),
+        F.sum("__jmu").cast("long").alias("__sumj"),
+    )
+    return per_cluster.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("__np").cast("long").alias("n_pairs"),
+        F.sum("__nc").cast("long").alias("chained_pairs"),
+        _round6_ratio(F.sum("__nc"), F.sum("__np")).alias("chained_frac"),
+        (F.min("__minj") / F.lit(1_000_000.0)).alias("min_sim"),
+        _round6_ratio_dec(
+            F.sum("__sumj").cast("decimal(38,0)"),
+            F.lit(1_000_000).cast("decimal(38,0)") * F.sum("__np").cast("decimal(38,0)"),
+        ).alias("mean_sim"),
     )

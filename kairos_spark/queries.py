@@ -3660,6 +3660,16 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_cluster_diameter(spark, sf_dir):
+    """Transitive-chaining audit of the LSH dedup clusters: exact
+    pairwise Jaccard of ALL member pairs per cluster (size-capped),
+    reported per cluster-size band."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.cluster_diameter(
+        d, n=8, num_hashes=32, bands=16, threshold=0.2
+    )
+
+
 def q_cuped_adjustment(spark, sf_dir):
     """CUPED variance-reduced A/B readout: pre-period per-user spend as
     control covariate, md5-bucket variants, pooled theta, exact cents
@@ -3730,6 +3740,7 @@ QUERIES = {
     "cohens_d": q_cohens_d,
     "code_detect": q_code_detect,
     "cuped_adjustment": q_cuped_adjustment,
+    "cluster_diameter": q_cluster_diameter,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12622,3 +12633,80 @@ ORACLES["cuped_adjustment"] = """
     FROM expr
     ORDER BY variant
 """
+
+# Chaining audit = the LSH pair pipeline + transitive closure + an
+# exact all-member-pairs Jaccard pass within each (size-capped)
+# cluster. Reuses the minhash_lsh_pairs SQL verbatim; MATERIALIZED
+# hints stop DuckDB re-inlining the shingle/cluster CTEs that the
+# diameter suffix reads several times (the k-core lesson: 113s -> 0.1s).
+ORACLES["cluster_diameter"] = (
+    ORACLES["minhash_lsh_pairs"]
+    .replace("WITH ", "WITH RECURSIVE ", 1)
+    .replace("sh AS (SELECT DISTINCT", "sh AS MATERIALIZED (SELECT DISTINCT")
+    .replace("sig AS (", "sig AS MATERIALIZED (")
+    .replace(
+        "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2",
+        """, p AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.2),
+    edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    ),
+    cl0 AS MATERIALIZED (
+        SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1
+    ),
+    csz AS (SELECT cluster_id, count(*) AS csize FROM cl0 GROUP BY 1),
+    cl AS MATERIALIZED (
+        SELECT cl0.node, cl0.cluster_id, csz.csize
+        FROM cl0 JOIN csz USING (cluster_id) WHERE csz.csize <= 64
+    ),
+    szs AS MATERIALIZED (SELECT doc_id, count(*) AS szv FROM sh GROUP BY 1),
+    msh AS MATERIALIZED (
+        SELECT cl.cluster_id, cl.node AS m, sh.s
+        FROM cl JOIN sh ON sh.doc_id = cl.node
+    ),
+    inter AS MATERIALIZED (
+        SELECT x.m AS ia, y.m AS ib, count(*) AS it
+        FROM msh x JOIN msh y
+          ON x.cluster_id = y.cluster_id AND x.s = y.s AND x.m < y.m
+        GROUP BY 1, 2
+    ),
+    mp AS (
+        SELECT p2.cluster_id, p2.csize, p2.node AS ia, q2.node AS ib
+        FROM cl p2 JOIN cl q2
+          ON p2.cluster_id = q2.cluster_id AND p2.node < q2.node
+    ),
+    pj AS (
+        SELECT mp.cluster_id, mp.csize, coalesce(i.it, 0) AS it,
+               sa.szv + sb.szv - coalesce(i.it, 0) AS un
+        FROM mp LEFT JOIN inter i ON i.ia = mp.ia AND i.ib = mp.ib
+        JOIN szs sa ON sa.doc_id = mp.ia
+        JOIN szs sb ON sb.doc_id = mp.ib
+    ),
+    pp AS (
+        SELECT cluster_id, csize,
+               CAST(floor((2000000*it + un) / (2.0*un)) AS BIGINT) AS jmu,
+               CASE WHEN 5*it < 1*un THEN 1 ELSE 0 END AS ch
+        FROM pj
+    ),
+    pc AS (
+        SELECT cluster_id, csize, count(*) AS np, sum(ch) AS nc,
+               min(jmu) AS minj, sum(jmu) AS sumj
+        FROM pp GROUP BY 1, 2
+    )
+    SELECT CAST(csize AS BIGINT) AS size,
+           count(*)::BIGINT AS n_clusters,
+           sum(np)::BIGINT AS n_pairs,
+           sum(nc)::BIGINT AS chained_pairs,
+           floor((2000000*sum(nc) + sum(np)) / (2.0*sum(np))) / 1000000.0 AS chained_frac,
+           min(minj) / 1000000.0 AS min_sim,
+           CAST((2000000::HUGEINT*sum(sumj) + 1000000::HUGEINT*sum(np))
+                // (2::HUGEINT*1000000::HUGEINT*sum(np)) AS BIGINT) / 1000000.0 AS mean_sim
+    FROM pc GROUP BY csize""",
+    )
+)

@@ -1131,3 +1131,43 @@ def test_cuped_zero_covariate_variance_is_raw_readout(spark):
     for r in out:
         assert r.theta == 0.0 and r.rho2 == 0.0
         assert r.adj_mean == r.raw_mean
+
+
+# --- cluster_diameter (transitive-chaining audit) ---
+
+
+def test_cluster_diameter_detects_chaining(spark):
+    import random
+
+    # B overlaps A (first half) and C (second half); A and C share
+    # nothing -> the CC cluster {A,B,C} holds one transitively-chained
+    # pair whose exact Jaccard sits below the 0.2 LSH threshold
+    random.seed(7)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+             "november", "oscar", "papa", "quebec", "romeo", "sierra",
+             "tango"]
+    s1 = " ".join(random.choice(words) for _ in range(60))
+    s2 = " ".join(random.choice(words) for _ in range(60))
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text=s1),
+         Row(doc_id=2, text=s1 + " " + s2),
+         Row(doc_id=3, text=s2),
+         Row(doc_id=10, text="unrelated " * 30)]
+    )
+    (r,) = dedup.cluster_diameter(d, n=8, num_hashes=32, bands=16,
+                                  threshold=0.2).collect()
+    assert r.size == 3 and r.n_clusters == 1 and r.n_pairs == 3
+    assert r.chained_pairs == 1 and r.chained_frac == 0.333333
+    assert r.min_sim < 0.2 <= r.mean_sim
+
+
+def test_cluster_diameter_exact_dups_not_chained(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i in range(1, 4)]
+        + [Row(doc_id=9, text="completely different standalone text here")]
+    )
+    (r,) = dedup.cluster_diameter(d).collect()
+    assert r.size == 3 and r.n_pairs == 3 and r.chained_pairs == 0
+    assert r.min_sim == 1.0 and r.mean_sim == 1.0 and r.chained_frac == 0.0

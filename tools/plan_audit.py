@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "cluster_diameter",
     "cuped_adjustment",
     "code_detect",
     "cohens_d",
@@ -340,6 +341,10 @@ CHECKS = {
     # broadcast BNLJ); variant/global moment joins are broadcast over
     # 2-row / 1-row sides — no shuffle join, no window
     "cuped_adjustment": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin", "!Window"],
+    # LSH pipeline + CC feed a size-capped within-cluster pair stage:
+    # equi-joins on (cluster, shingle) / cluster keys only — never a
+    # cartesian; CC is loop-shaped so only the negatives are asserted
+    "cluster_diameter": ["HashAggregate", "!CartesianProduct"],
     # map-only token count; per-source combiner aggregate; corpus
     # totals ride a 1-row broadcast (BNLJ by design) — no shuffle join
     "cohens_d": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
