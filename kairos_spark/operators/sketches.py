@@ -362,3 +362,108 @@ def join_size_estimate(
         inner.crossJoin(F.broadcast(exact))
         .withColumn("overcount", (F.col("est_size") - F.col("exact_size")).cast("long"))
     )
+
+
+def hll_union_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Pairwise overlap estimates from MERGED HyperLogLog sketches —
+    the sketch-algebra pattern that matters at 100 TB: registers are
+    built once per group (bounded ≤ 2^p state, map-side max), and any
+    group-pair's union cardinality comes from an elementwise register
+    max WITHOUT rescanning raw data; the intersection follows by
+    inclusion-exclusion |A∩B| ≈ E(A) + E(B) − E(A∪B) (Flajolet et al.
+    2007 — HLL has no native intersection, this is the standard and
+    only mergeable route). The exact overlap is computed alongside as
+    ground truth (the audit column a production rollup would skip).
+
+    Determinism: identical md5 registers on both engines
+    (``hll_registers``); every 2^(−rho) partial sum is exact in a
+    53-bit mantissa (the ``hll_distinct`` argument), so the estimates
+    — including the inclusion-exclusion residual — reproduce exactly;
+    the ln() small-range branch is the documented bounded
+    transcendental class. overlap_est can be a tiny NEGATIVE residual:
+    ``+ 0.0`` after the round normalizes the −0.0 Spark/DuckDB split
+    on both sides.
+
+    Scale shape: register build is one map-side-max aggregate; unions
+    pair |G|·2^p register rows (group grain, tiny); the exact overlap
+    joins DISTINCT (group, value) pairs on the value key — the only
+    fact-scale stage, and droppable in production."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, [group_col], value_col, p)
+
+    def estimate():
+        zeros = F.lit(m) - F.col("present")
+        raw = F.lit(alpha * m * m) / (F.col("s") + zeros)
+        return F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(m) * F.log(F.lit(m) / zeros),
+        ).otherwise(raw)
+
+    g1 = regs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+    ).select(F.col(group_col).alias("__g"), estimate().alias("__est"))
+
+    gps = regs.select(F.col(group_col).alias("__g")).distinct()
+    prs = (
+        gps.alias("a")
+        .join(gps.alias("b"), F.col("a.__g") < F.col("b.__g"))
+        .select(F.col("a.__g").alias("ga"), F.col("b.__g").alias("gb"))
+    )
+    m1 = prs.join(regs, F.col(group_col) == F.col("ga")).select(
+        "ga", "gb", "reg", "rho"
+    )
+    m2 = prs.join(regs, F.col(group_col) == F.col("gb")).select(
+        "ga", "gb", "reg", "rho"
+    )
+    uagg = (
+        m1.unionByName(m2)
+        .groupBy("ga", "gb", "reg")
+        .agg(F.max("rho").alias("__r"))
+        .groupBy("ga", "gb")
+        .agg(
+            F.count("*").cast("long").alias("present"),
+            F.sum(F.pow(F.lit(2.0), -F.col("__r"))).alias("s"),
+        )
+        .select("ga", "gb", estimate().alias("__estu"))
+    )
+    dx = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).distinct()
+    exact = (
+        dx.alias("x")
+        .join(
+            dx.alias("y"),
+            (F.col("x.__v") == F.col("y.__v"))
+            & (F.col("x.__g") < F.col("y.__g")),
+        )
+        .groupBy(
+            F.col("x.__g").alias("ga"), F.col("y.__g").alias("gb")
+        )
+        .agg(F.count("*").cast("long").alias("__ex"))
+    )
+    ea = g1.select(F.col("__g").alias("ga"), F.col("__est").alias("__ea"))
+    eb = g1.select(F.col("__g").alias("gb"), F.col("__est").alias("__eb"))
+    return (
+        uagg.join(ea, "ga")
+        .join(eb, "gb")
+        .join(exact, ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            F.round(F.col("__ea"), 6).alias("est_a"),
+            F.round(F.col("__eb"), 6).alias("est_b"),
+            F.round(F.col("__estu"), 6).alias("est_union"),
+            (
+                F.round(F.col("__ea") + F.col("__eb") - F.col("__estu"), 6)
+                + F.lit(0.0)
+            ).alias("overlap_est"),
+            F.coalesce(F.col("__ex"), F.lit(0)).cast("long").alias("exact_overlap"),
+        )
+    )

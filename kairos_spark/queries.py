@@ -3660,6 +3660,14 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_hll_union_overlap(spark, sf_dir):
+    """Pairwise user-overlap estimates across event types from MERGED
+    HLL registers (inclusion-exclusion), audited against the exact
+    overlap."""
+    ev = _tbl(spark, sf_dir, "events")
+    return sketches.hll_union_overlap(ev, "event_type", "user_id", p=8)
+
+
 def q_cluster_diameter(spark, sf_dir):
     """Transitive-chaining audit of the LSH dedup clusters: exact
     pairwise Jaccard of ALL member pairs per cluster (size-capped),
@@ -3741,6 +3749,7 @@ QUERIES = {
     "code_detect": q_code_detect,
     "cuped_adjustment": q_cuped_adjustment,
     "cluster_diameter": q_cluster_diameter,
+    "hll_union_overlap": q_hll_union_overlap,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12710,3 +12719,70 @@ ORACLES["cluster_diameter"] = (
     FROM pc GROUP BY csize""",
     )
 )
+
+ORACLES["hll_union_overlap"] = """
+    WITH h AS (
+      SELECT event_type, md5(user_id::VARCHAR) AS m FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             ('0x' || substr(m, 1, 2))::BIGINT AS reg,
+             ('0x' || substr(m, 3, 10))::BIGINT AS v
+      FROM h
+    ),
+    regs AS MATERIALIZED (
+      SELECT event_type, reg,
+             max(CASE WHEN v = 0 THEN 41 ELSE 41 - length(bin(v)) END) AS rho
+      FROM r GROUP BY 1, 2
+    ),
+    est1 AS MATERIALIZED (
+      SELECT event_type,
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       / (sum(pow(2.0, -rho)) + (256.0 - count(*))) <= 2.5 * 256.0
+                   AND 256.0 - count(*) > 0
+                  THEN 256.0 * ln(256.0 / (256.0 - count(*)))
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       / (sum(pow(2.0, -rho)) + (256.0 - count(*)))
+             END AS est
+      FROM regs GROUP BY 1
+    ),
+    gps AS (SELECT DISTINCT event_type FROM regs),
+    prs AS (
+      SELECT a.event_type AS ga, b.event_type AS gb
+      FROM gps a JOIN gps b ON a.event_type < b.event_type
+    ),
+    uni AS (
+      SELECT pr.ga, pr.gb, s.reg, max(s.rho) AS rho
+      FROM prs pr JOIN regs s
+        ON s.event_type = pr.ga OR s.event_type = pr.gb
+      GROUP BY 1, 2, 3
+    ),
+    uest AS (
+      SELECT ga, gb,
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       / (sum(pow(2.0, -rho)) + (256.0 - count(*))) <= 2.5 * 256.0
+                   AND 256.0 - count(*) > 0
+                  THEN 256.0 * ln(256.0 / (256.0 - count(*)))
+                  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       / (sum(pow(2.0, -rho)) + (256.0 - count(*)))
+             END AS estu
+      FROM uni GROUP BY 1, 2
+    ),
+    dx AS MATERIALIZED (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (
+      SELECT x.event_type AS ga, y.event_type AS gb, count(*) AS exo
+      FROM dx x JOIN dx y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT u.ga, u.gb,
+           round(ea.est, 6) AS est_a,
+           round(eb.est, 6) AS est_b,
+           round(u.estu, 6) AS est_union,
+           round(ea.est + eb.est - u.estu, 6) + 0.0 AS overlap_est,
+           CAST(coalesce(ex.exo, 0) AS BIGINT) AS exact_overlap
+    FROM uest u
+    JOIN est1 ea ON ea.event_type = u.ga
+    JOIN est1 eb ON eb.event_type = u.gb
+    LEFT JOIN ex ON ex.ga = u.ga AND ex.gb = u.gb
+"""

@@ -1171,3 +1171,41 @@ def test_cluster_diameter_exact_dups_not_chained(spark):
     (r,) = dedup.cluster_diameter(d).collect()
     assert r.size == 3 and r.n_pairs == 3 and r.chained_pairs == 0
     assert r.min_sim == 1.0 and r.mean_sim == 1.0 and r.chained_frac == 0.0
+
+
+# --- hll_union_overlap (mergeable-sketch inclusion-exclusion) ---
+
+
+def test_hll_union_overlap_exact_and_estimates(spark):
+    from kairos_spark.operators import sketches
+
+    # groups A and B share users 100..149; A has 100..199, B has 50..149
+    rows = [Row(g="A", v=u) for u in range(100, 200)]
+    rows += [Row(g="B", v=u) for u in range(50, 150)]
+    out = sketches.hll_union_overlap(
+        spark.createDataFrame(rows), "g", "v", p=8
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.ga, r.gb) == ("A", "B")
+    assert r.exact_overlap == 50
+    # p=8 at n=100 is in the small-range-corrected regime: estimates
+    # land within ~15% of truth, and inclusion-exclusion is consistent
+    assert abs(r.est_a - 100) < 15 and abs(r.est_b - 100) < 15
+    assert abs(r.overlap_est - 50) < 25
+    assert round(r.est_a + r.est_b - r.est_union - r.overlap_est, 4) == 0.0
+
+
+def test_hll_union_overlap_disjoint_groups_zero_exact(spark):
+    from kairos_spark.operators import sketches
+
+    rows = [Row(g="A", v=u) for u in range(0, 80)]
+    rows += [Row(g="B", v=u) for u in range(1000, 1080)]
+    (r,) = sketches.hll_union_overlap(
+        spark.createDataFrame(rows), "g", "v", p=8
+    ).collect()
+    assert r.exact_overlap == 0
+    # the union of disjoint sketches estimates ~160; the residual is a
+    # small number near zero (can be negative) — never -0.0 rendered
+    assert abs(r.overlap_est) < 30
+    assert str(r.overlap_est) != "-0.0"

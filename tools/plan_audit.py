@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "hll_union_overlap",
     "cluster_diameter",
     "cuped_adjustment",
     "code_detect",
@@ -345,6 +346,10 @@ CHECKS = {
     # equi-joins on (cluster, shingle) / cluster keys only — never a
     # cartesian; CC is loop-shaped so only the negatives are asserted
     "cluster_diameter": ["HashAggregate", "!CartesianProduct"],
+    # register build is one map-side-max aggregate; pair/union stages
+    # run at group grain (≤ |G|·2^p rows); exact-overlap joins distinct
+    # (group, value) on the value key — no cartesian on fact rows
+    "hll_union_overlap": ["HashAggregate", "!CartesianProduct"],
     # map-only token count; per-source combiner aggregate; corpus
     # totals ride a 1-row broadcast (BNLJ by design) — no shuffle join
     "cohens_d": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
