@@ -503,3 +503,36 @@ def incremental_join_audit(
     ):
         out = out.union(piece(name, l, r))
     return out
+
+
+def count_histogram_left(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    count_col: str,
+    right_filter=None,
+) -> DataFrame:
+    """Count-of-counts over a LEFT join — the TPC-H Q13 plan shape
+    (customer distribution by order count, ZEROS INCLUDED): left rows
+    with no qualifying right rows must appear in the 0-bucket, which a
+    plain inner-join+groupBy silently drops. That zero class is the
+    payload at 100 TB (e.g. "how many users/customers/docs have NO
+    matching activity") and is exactly what dashboards get wrong.
+
+    Exact integer counts end to end. Scale shape: filter pushes into
+    the right scan BEFORE the join; the join is a shuffle hash/merge
+    on the key (both sides fact-scale — broadcast would be wrong
+    here); count(right_key) ignores the NULLs a left join makes, so no
+    post-join filter re-scan. Two chained aggregates, map-side
+    combined; output is |distinct counts| rows."""
+    r = right if right_filter is None else right.where(right_filter)
+    per = (
+        left.select(F.col(left_key).alias("__k"))
+        .join(r.select(F.col(right_key).alias("__k"), F.col(right_key).alias("__rk")), "__k", "left")
+        .groupBy("__k")
+        .agg(F.count("__rk").cast("long").alias(count_col))
+    )
+    return per.groupBy(count_col).agg(
+        F.count("*").cast("long").alias("custdist")
+    )

@@ -3660,6 +3660,18 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_order_count_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: customer distribution by order count with the
+    zero class included (left join + count-of-counts), LOW-priority
+    orders excluded before the join."""
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    return joins.count_histogram_left(
+        cust, orders, "c_custkey", "o_custkey", "c_count",
+        right_filter=~F.col("o_orderpriority").like("%LOW%"),
+    )
+
+
 def q_hll_union_overlap(spark, sf_dir):
     """Pairwise user-overlap estimates across event types from MERGED
     HLL registers (inclusion-exclusion), audited against the exact
@@ -3750,6 +3762,7 @@ QUERIES = {
     "cuped_adjustment": q_cuped_adjustment,
     "cluster_diameter": q_cluster_diameter,
     "hll_union_overlap": q_hll_union_overlap,
+    "order_count_histogram": q_order_count_histogram,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12785,4 +12798,18 @@ ORACLES["hll_union_overlap"] = """
     JOIN est1 ea ON ea.event_type = u.ga
     JOIN est1 eb ON eb.event_type = u.gb
     LEFT JOIN ex ON ex.ga = u.ga AND ex.gb = u.gb
+"""
+
+ORACLES["order_count_histogram"] = """
+    WITH per AS (
+      SELECT c.c_custkey, count(o.o_custkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority NOT LIKE '%LOW%'
+      GROUP BY 1
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           count(*)::BIGINT AS custdist
+    FROM per GROUP BY 1
 """

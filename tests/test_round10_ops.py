@@ -1209,3 +1209,25 @@ def test_hll_union_overlap_disjoint_groups_zero_exact(spark):
     # small number near zero (can be negative) — never -0.0 rendered
     assert abs(r.overlap_est) < 30
     assert str(r.overlap_est) != "-0.0"
+
+
+# --- count_histogram_left (TPC-H Q13 shape) ---
+
+
+def test_count_histogram_left_includes_zero_class(spark):
+    from kairos_spark.operators import joins
+
+    cust = spark.createDataFrame(
+        [Row(k=1), Row(k=2), Row(k=3), Row(k=4)]
+    )
+    orders = spark.createDataFrame(
+        [Row(ck=1, pri="HIGH"), Row(ck=1, pri="HIGH"), Row(ck=2, pri="LOW"),
+         Row(ck=3, pri="HIGH"), Row(ck=9, pri="HIGH")]
+    )
+    out = {r.c_count: r.custdist for r in joins.count_histogram_left(
+        cust, orders, "k", "ck", "c_count",
+        right_filter=~F.col("pri").like("%LOW%"),
+    ).collect()}
+    # cust 1 -> 2 orders; cust 3 -> 1; cust 2 (filtered) and 4 -> 0;
+    # order for unknown cust 9 must not create a row
+    assert out == {2: 1, 1: 1, 0: 2}

@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "order_count_histogram",
     "hll_union_overlap",
     "cluster_diameter",
     "cuped_adjustment",
@@ -350,6 +351,11 @@ CHECKS = {
     # run at group grain (≤ |G|·2^p rows); exact-overlap joins distinct
     # (group, value) on the value key — no cartesian on fact rows
     "hll_union_overlap": ["HashAggregate", "!CartesianProduct"],
+    # Q13 shape: the priority filter must push into the orders scan
+    # (PushedFilters shows Not(StringContains)… via like), the left
+    # join shuffles on the key (both sides fact-scale — broadcast would
+    # be wrong), two chained combiner aggregates after
+    "order_count_histogram": ["HashAggregate", "PushedFilters", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # map-only token count; per-source combiner aggregate; corpus
     # totals ride a 1-row broadcast (BNLJ by design) — no shuffle join
     "cohens_d": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
