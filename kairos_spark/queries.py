@@ -3660,6 +3660,12 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_qte_deciles(spark, sf_dir):
+    """Quantile treatment effects at every decile between md5-bucket
+    variants — exact integer-rank percentiles, signed cents ratios."""
+    return profiling.qte_deciles(_tbl(spark, sf_dir, "events"))
+
+
 def q_order_count_histogram(spark, sf_dir):
     """TPC-H Q13 shape: customer distribution by order count with the
     zero class included (left join + count-of-counts), LOW-priority
@@ -3763,6 +3769,7 @@ QUERIES = {
     "cluster_diameter": q_cluster_diameter,
     "hll_union_overlap": q_hll_union_overlap,
     "order_count_histogram": q_order_count_histogram,
+    "qte_deciles": q_qte_deciles,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12813,3 +12820,64 @@ ORACLES["order_count_histogram"] = """
            count(*)::BIGINT AS custdist
     FROM per GROUP BY 1
 """
+
+
+def _qte_oracle() -> str:
+    """Mirror of qte_deciles: decile picks a=1..9 over b=10 with the
+    exact integer-rank formula, signed DECIMAL round-6 ratios."""
+    cents = (
+        "CASE WHEN CAST(value AS DOUBLE) >= 0"
+        " THEN  CAST(floor( CAST(value AS DOUBLE)*100 + 0.5) AS BIGINT)"
+        " ELSE -CAST(floor(-CAST(value AS DOUBLE)*100 + 0.5) AS BIGINT) END"
+    )
+    picks = []
+    for a in range(1, 10):
+        picks.append(
+            f"max(CASE WHEN r = ({a}*(n-1))//10 + 1 THEN v END) AS d{a}lo,\n"
+            f"             max(CASE WHEN r = ({a}*(n-1))//10 + 2 THEN v END) AS d{a}hi,\n"
+            f"             max(({a}*(n-1)) % 10) AS d{a}k"
+        )
+
+    def sr(num):
+        return (
+            f"CASE WHEN ({num}) >= 0 THEN CAST((2000000::HUGEINT*({num}) + 1000)"
+            f" // (2::HUGEINT*1000) AS BIGINT) / 1000000.0"
+            f" ELSE -CAST((-2000000::HUGEINT*({num}) + 1000)"
+            f" // (2::HUGEINT*1000) AS BIGINT) / 1000000.0 END"
+        )
+
+    rows = []
+    for a in range(1, 10):
+        nc = f"10*c.d{a}lo + c.d{a}k*(coalesce(c.d{a}hi, c.d{a}lo) - c.d{a}lo)"
+        nt = f"10*t.d{a}lo + t.d{a}k*(coalesce(t.d{a}hi, t.d{a}lo) - t.d{a}lo)"
+        rows.append(
+            f"SELECT {a}::BIGINT AS decile, c.n_events AS n_control,"
+            f" t.n_events AS n_treat, {sr(nc)} AS q_control,"
+            f" {sr(nt)} AS q_treat, {sr(f'({nt}) - ({nc})')} AS qte"
+            f" FROM c, t"
+        )
+    return f"""
+    WITH base AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 11))::BIGINT % 2 AS variant,
+             {cents} AS v,
+             event_id AS o
+      FROM events
+    ),
+    rk AS (
+      SELECT variant, v,
+             row_number() OVER (PARTITION BY variant ORDER BY v, o) AS r,
+             count(*) OVER (PARTITION BY variant) AS n
+      FROM base
+    ),
+    agg AS MATERIALIZED (
+      SELECT variant, count(*)::BIGINT AS n_events,
+             {",".join(picks)}
+      FROM rk GROUP BY 1
+    ),
+    c AS (SELECT * FROM agg WHERE variant = 0),
+    t AS (SELECT * FROM agg WHERE variant = 1)
+    {" UNION ALL ".join(rows)}
+"""
+
+
+ORACLES["qte_deciles"] = _qte_oracle()

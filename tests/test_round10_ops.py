@@ -1231,3 +1231,69 @@ def test_count_histogram_left_includes_zero_class(spark):
     # cust 1 -> 2 orders; cust 3 -> 1; cust 2 (filtered) and 4 -> 0;
     # order for unknown cust 9 must not create a row
     assert out == {2: 1, 1: 1, 0: 2}
+
+
+# --- qte_deciles (quantile treatment effects) ---
+
+
+def _md5_variant(u):
+    import hashlib
+
+    return int(hashlib.md5(str(u).encode()).hexdigest()[:11], 16) % 2
+
+
+def test_qte_deciles_matches_exact_reference(spark):
+    import datetime as dt
+    from fractions import Fraction
+
+    from kairos_spark.operators import profiling
+
+    # 40 users, one event each, value = u * 0.25 (dyadic cents-exact)
+    rows = [
+        Row(event_id=u, ts=dt.datetime(2024, 1, 1), user_id=u,
+            value=u * 0.25)
+        for u in range(1, 41)
+    ]
+    out = {r.decile: r for r in profiling.qte_deciles(
+        spark.createDataFrame(rows)).collect()}
+    by_variant = {0: [], 1: []}
+    for u in range(1, 41):
+        by_variant[_md5_variant(u)].append(u * 25)  # cents
+    for v in by_variant.values():
+        v.sort()
+
+    def dec_q(vals, a):
+        n = len(vals)
+        idx = (n - 1) * a
+        lo, k = divmod(idx, 10)
+        hi = vals[lo + 1] if lo + 1 < n else vals[lo]
+        num = 10 * vals[lo] + k * (hi - vals[lo])
+        q = Fraction(num, 1000)
+        # round-half-away-from-zero at 6 decimals
+        scaled = q * 10**6
+        r = (scaled.numerator * 2 + scaled.denominator) // (2 * scaled.denominator)
+        return r / 10**6
+
+    for a in range(1, 10):
+        r = out[a]
+        assert r.q_control == dec_q(by_variant[0], a)
+        assert r.q_treat == dec_q(by_variant[1], a)
+        assert r.n_control == len(by_variant[0])
+        assert r.n_treat == len(by_variant[1])
+
+
+def test_qte_deciles_negative_values_signed(spark):
+    import datetime as dt
+
+    from kairos_spark.operators import profiling
+
+    rows = [
+        Row(event_id=u, ts=dt.datetime(2024, 1, 1), user_id=u,
+            value=-10.0 if u % 2 else 10.0)
+        for u in range(1, 21)
+    ]
+    out = profiling.qte_deciles(spark.createDataFrame(rows)).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r.q_control in (-10.0, 10.0) or -10.0 < r.q_control < 10.0
+        assert str(r.qte) != "-0.0" and str(r.q_treat) != "-0.0"

@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "qte_deciles",
     "order_count_histogram",
     "hll_union_overlap",
     "cluster_diameter",
@@ -351,6 +352,9 @@ CHECKS = {
     # run at group grain (≤ |G|·2^p rows); exact-overlap joins distinct
     # (group, value) on the value key — no cartesian on fact rows
     "hll_union_overlap": ["HashAggregate", "!CartesianProduct"],
+    # one rank window per variant, one combiner aggregate, 2-row
+    # broadcast join, 9-row explode AFTER aggregation — no shuffle join
+    "qte_deciles": ["Window", "HashAggregate", "Generate", "!CartesianProduct", "!SortMergeJoin"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
