@@ -4233,3 +4233,70 @@ def qte_deciles(
         F.col("__s.q_treat").alias("q_treat"),
         F.col("__s.qte").alias("qte"),
     )
+
+
+def partial_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r(X,Y | Z) per group — the
+    confound check behind every "quality correlates with dedup count"
+    style claim: is the X–Y association real, or is Z (usually
+    length) driving both? r_xy.z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)) (the standard recursion, e.g. Kendall &
+    Stuart). Inputs must be INTEGER-valued columns.
+
+    Exactness: every pairwise correlation is built from exact
+    DECIMAL(38,0) moment sums (products cast to decimal BEFORE
+    multiplying — the ANSI ceiling); the r's and the partial are one
+    mirrored IEEE expression over the exact casts (√ is bit-exact),
+    bridge-rounded (|r| ≤ 1 modulo last-ulp wobble). Degenerate
+    variance (any denominator ≤ 0, or a |r_·z| = 1 confound that
+    zeroes the partial's denominator) sentinels to 0.0 on both sides.
+
+    Scale shape: ONE map-side-combined aggregate per group carrying 10
+    moment sums; everything after is group-grain arithmetic. No joins,
+    no windows."""
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(x_col).cast("long")).cast("long").alias("__sx"),
+        F.sum(F.col(y_col).cast("long")).cast("long").alias("__sy"),
+        F.sum(F.col(z_col).cast("long")).cast("long").alias("__sz"),
+        F.sum(F.col(x_col).cast("decimal(38,0)") * F.col(y_col).cast("decimal(38,0)")).alias("__sxy"),
+        F.sum(F.col(x_col).cast("decimal(38,0)") * F.col(z_col).cast("decimal(38,0)")).alias("__sxz"),
+        F.sum(F.col(y_col).cast("decimal(38,0)") * F.col(z_col).cast("decimal(38,0)")).alias("__syz"),
+        F.sum(F.col(x_col).cast("decimal(38,0)") * F.col(x_col).cast("decimal(38,0)")).alias("__sxx"),
+        F.sum(F.col(y_col).cast("decimal(38,0)") * F.col(y_col).cast("decimal(38,0)")).alias("__syy"),
+        F.sum(F.col(z_col).cast("decimal(38,0)") * F.col(z_col).cast("decimal(38,0)")).alias("__szz"),
+    )
+    n = dec("n_docs")
+    cxy = (n * F.col("__sxy") - dec("__sx") * dec("__sy")).cast("double")
+    cxz = (n * F.col("__sxz") - dec("__sx") * dec("__sz")).cast("double")
+    cyz = (n * F.col("__syz") - dec("__sy") * dec("__sz")).cast("double")
+    vx = (n * F.col("__sxx") - dec("__sx") * dec("__sx")).cast("double")
+    vy = (n * F.col("__syy") - dec("__sy") * dec("__sy")).cast("double")
+    vz = (n * F.col("__szz") - dec("__sz") * dec("__sz")).cast("double")
+    # ANSI: even double division raises on /0, and a division buried in
+    # a WHEN *condition* is evaluated unconditionally — so every r is a
+    # sentineled column FIRST (the when-branch division only runs on
+    # rows where ok holds), and pden is built from the sentineled r's.
+    ok = (vx > 0) & (vy > 0) & (vz > 0)
+    r_xy = F.when(ok, cxy / F.sqrt(vx * vy)).otherwise(F.lit(0.0))
+    r_xz = F.when(ok, cxz / F.sqrt(vx * vz)).otherwise(F.lit(0.0))
+    r_yz = F.when(ok, cyz / F.sqrt(vy * vz)).otherwise(F.lit(0.0))
+    pden = (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    partial = F.when(
+        ok & (pden > 0), (r_xy - r_xz * r_yz) / F.sqrt(pden)
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "grp",
+        "n_docs",
+        _round6_bridge(r_xy).alias("r_xy"),
+        _round6_bridge(r_xz).alias("r_xz"),
+        _round6_bridge(r_yz).alias("r_yz"),
+        _round6_bridge(partial).alias("partial_xy_z"),
+    )

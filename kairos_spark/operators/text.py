@@ -2968,22 +2968,26 @@ def source_effect_size(
     nr_d = nr.cast("double")
     ts_d = F.col("__ts").cast("double")
     tr_d = (F.col("__tt") - F.col("__ts")).cast("double")
-    var_p = (
-        F.col("__qq").cast("double") - ts_d * ts_d / ns_d - tr_d * tr_d / nr_d
-    ) / (F.col("__nn") - 2).cast("double")
-    d = (ts_d / ns_d - tr_d / nr_d) / F.sqrt(var_p)
+    # ANSI: double division raises on /0 and optimizer predicate order
+    # is not contractual — sentinel var_p BEFORE it appears in any
+    # condition so nr = 0 (single-source corpus) can never divide
+    ok0 = (nr >= 1) & (F.col("__nn") >= 3)
+    var_p = F.when(
+        ok0,
+        (
+            F.col("__qq").cast("double") - ts_d * ts_d / ns_d - tr_d * tr_d / nr_d
+        ) / (F.col("__nn") - 2).cast("double"),
+    ).otherwise(F.lit(0.0))
+    d = F.when(
+        ok0 & (var_p > 0), (ts_d / ns_d - tr_d / nr_d) / F.sqrt(var_p)
+    ).otherwise(F.lit(0.0))
     return j.select(
         "grp",
         "n_docs",
         _round6_ratio(F.col("__ts"), F.col("n_docs")).alias("mean_tokens"),
-        F.when(
-            (nr >= 1) & (F.col("__nn") >= 3) & (var_p > 0),
-            _round6_bridge(
-                F.greatest(F.least(d, F.lit(1000.0)), F.lit(-1000.0))
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("cohens_d"),
+        _round6_bridge(
+            F.greatest(F.least(d, F.lit(1000.0)), F.lit(-1000.0))
+        ).alias("cohens_d"),
     )
 
 

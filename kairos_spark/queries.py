@@ -3660,6 +3660,21 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_vocab_partial_corr(spark, sf_dir):
+    """Per-source partial correlation of tokens vs distinct tokens
+    controlling for char length — is vocabulary growth real or a
+    length artifact?"""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = F.filter(text.word_tokens(F.col("text")), lambda x: x != "")
+    per = docs.select(
+        F.col("source"),
+        F.size(toks).cast("long").alias("__x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__y"),
+        F.length(F.col("text")).cast("long").alias("__z"),
+    )
+    return profiling.partial_corr(per, "source", "__x", "__y", "__z")
+
+
 def q_qte_deciles(spark, sf_dir):
     """Quantile treatment effects at every decile between md5-bucket
     variants — exact integer-rank percentiles, signed cents ratios."""
@@ -3770,6 +3785,7 @@ QUERIES = {
     "hll_union_overlap": q_hll_union_overlap,
     "order_count_histogram": q_order_count_histogram,
     "qte_deciles": q_qte_deciles,
+    "vocab_partial_corr": q_vocab_partial_corr,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12881,3 +12897,64 @@ def _qte_oracle() -> str:
 
 
 ORACLES["qte_deciles"] = _qte_oracle()
+
+ORACLES["vocab_partial_corr"] = """
+    WITH per AS (
+      SELECT source AS grp,
+             len(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '')) AS x,
+             len(list_distinct(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> ''))) AS y,
+             length(text) AS z
+      FROM documents
+    ),
+    g AS (
+      SELECT grp, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(x::HUGEINT * y::HUGEINT) AS sxy,
+             sum(x::HUGEINT * z::HUGEINT) AS sxz,
+             sum(y::HUGEINT * z::HUGEINT) AS syz,
+             sum(x::HUGEINT * x::HUGEINT) AS sxx,
+             sum(y::HUGEINT * y::HUGEINT) AS syy,
+             sum(z::HUGEINT * z::HUGEINT) AS szz
+      FROM per GROUP BY 1
+    ),
+    mo AS (
+      SELECT grp, n,
+             CAST(n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT AS DOUBLE) AS cxy,
+             CAST(n::HUGEINT * sxz - sx::HUGEINT * sz::HUGEINT AS DOUBLE) AS cxz,
+             CAST(n::HUGEINT * syz - sy::HUGEINT * sz::HUGEINT AS DOUBLE) AS cyz,
+             CAST(n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT AS DOUBLE) AS vx,
+             CAST(n::HUGEINT * syy - sy::HUGEINT * sy::HUGEINT AS DOUBLE) AS vy,
+             CAST(n::HUGEINT * szz - sz::HUGEINT * sz::HUGEINT AS DOUBLE) AS vz
+      FROM g
+    ),
+    rr AS (
+      SELECT grp, n, vx, vy, vz,
+             cxy / sqrt(vx * vy) AS rxy,
+             cxz / sqrt(vx * vz) AS rxz,
+             cyz / sqrt(vy * vz) AS ryz
+      FROM mo
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN vx > 0 AND vy > 0 AND vz > 0
+                THEN CAST(round(CAST(rxy AS DECIMAL(27,12)), 6) AS DOUBLE)
+                ELSE 0.0 END AS r_xy,
+           CASE WHEN vx > 0 AND vy > 0 AND vz > 0
+                THEN CAST(round(CAST(rxz AS DECIMAL(27,12)), 6) AS DOUBLE)
+                ELSE 0.0 END AS r_xz,
+           CASE WHEN vx > 0 AND vy > 0 AND vz > 0
+                THEN CAST(round(CAST(ryz AS DECIMAL(27,12)), 6) AS DOUBLE)
+                ELSE 0.0 END AS r_yz,
+           CASE WHEN vx > 0 AND vy > 0 AND vz > 0
+                 AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+                THEN CAST(round(CAST(
+                       (rxy - rxz * ryz)
+                       / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                     AS DECIMAL(27,12)), 6) AS DOUBLE)
+                ELSE 0.0 END AS partial_xy_z
+    FROM rr
+"""

@@ -1297,3 +1297,53 @@ def test_qte_deciles_negative_values_signed(spark):
     for r in out:
         assert r.q_control in (-10.0, 10.0) or -10.0 < r.q_control < 10.0
         assert str(r.qte) != "-0.0" and str(r.q_treat) != "-0.0"
+
+
+# --- partial_corr (first-order partial correlation) ---
+
+
+def test_partial_corr_matches_exact_reference_fuzz(spark):
+    import math
+    import random
+
+    from kairos_spark.operators import profiling
+
+    random.seed(13)
+    rows = []
+    ref = []
+    for i in range(40):
+        z = random.randint(1, 50)
+        x = 2 * z + random.randint(0, 10)
+        y = z + random.randint(0, 20)
+        rows.append(Row(g="s", x=x, y=y, z=z))
+        ref.append((x, y, z))
+    (r,) = profiling.partial_corr(
+        spark.createDataFrame(rows), "g", "x", "y", "z"
+    ).collect()
+
+    def corr(ax, ay):
+        n = len(ax)
+        sx, sy = sum(ax), sum(ay)
+        sxy = sum(a * b for a, b in zip(ax, ay))
+        sxx = sum(a * a for a in ax)
+        syy = sum(b * b for b in ay)
+        return (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    xs = [t[0] for t in ref]; ys = [t[1] for t in ref]; zs = [t[2] for t in ref]
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    want = (rxy - rxz * ryz) / math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    assert abs(r.partial_xy_z - want) < 2e-6
+    assert abs(r.r_xy - rxy) < 2e-6
+
+
+def test_partial_corr_perfect_confound_sentinels(spark):
+    from kairos_spark.operators import profiling
+
+    # x == z exactly: r_xz = 1, the partial's denominator is 0 -> 0.0
+    rows = [Row(g="s", x=i, y=i % 3, z=i) for i in range(1, 21)]
+    (r,) = profiling.partial_corr(
+        spark.createDataFrame(rows), "g", "x", "y", "z"
+    ).collect()
+    assert r.r_xz == 1.0 and r.partial_xy_z == 0.0

@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "vocab_partial_corr",
     "qte_deciles",
     "order_count_histogram",
     "hll_union_overlap",
@@ -355,6 +356,9 @@ CHECKS = {
     # one rank window per variant, one combiner aggregate, 2-row
     # broadcast join, 9-row explode AFTER aggregation — no shuffle join
     "qte_deciles": ["Window", "HashAggregate", "Generate", "!CartesianProduct", "!SortMergeJoin"],
+    # ONE map-side-combined aggregate carrying 10 moment sums; all
+    # arithmetic at group grain — no joins, no windows
+    "vocab_partial_corr": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
