@@ -261,3 +261,110 @@ def l_diversity(
         ],
     )
     return out
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    rank_col: str,
+    m: int,
+    thresholds: list[tuple[int, int]] = ((1, 5),),
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third privacy lens after k-anonymity and l-diversity: a class can
+    be k-anonymous AND l-diverse while its sensitive DISTRIBUTION
+    still screams (19 of 20 members in 'debt' vs 5% globally — the
+    skewness attack). Per quasi-identifier class, the Earth Mover's
+    Distance between the class's distribution over an ORDERED
+    sensitive attribute and the corpus distribution, with unit ground
+    distance: EMD = (1/(m−1))·Σ_{i<m} |CumP_i − CumQ_i|.
+
+    ``rank_col`` must hold integer ranks 1..m (the caller maps the
+    ordinal attribute; keeping the mapping outside makes the metric
+    reusable). EMD is computed as ONE exact integer ratio:
+    Σ|CumA_i·N − CumB_i·n_c| over (n_c·N·(m−1)) via the DECIMAL
+    route; threshold exposure fractions compare the raw rationals by
+    integer cross-multiplication (never the rounded double). Corpus
+    scalars (max_t, record-weighted pct above each threshold) ride an
+    empty-key window over class-grain rows — the l_diversity shape.
+
+    Scale shape: one hash aggregation to (class, rank) counts, a tiny
+    class×m grid fill (m is 3-10, classes are bounded by the quasi
+    key's cardinality), two rank-ordered windows over class-grain
+    rows, one class-grain rollup. Raw records shuffle once."""
+    from pyspark.sql.window import Window
+
+    from kairos_spark.operators.text import _round6_ratio_dec
+
+    cnt = df.groupBy(*quasi_cols, F.col(rank_col).alias("__i")).agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    classes = cnt.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("long").alias("class_size")
+    )
+    grid = classes.select(
+        *quasi_cols,
+        "class_size",
+        F.explode(F.sequence(F.lit(1), F.lit(int(m)))).alias("__i"),
+    )
+    filled = grid.join(cnt, [*quasi_cols, "__i"], "left").withColumn(
+        "__c", F.coalesce(F.col("__c"), F.lit(0)).cast("long")
+    )
+    wc = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = filled.withColumn("__cuma", F.sum("__c").over(wc))
+    gl = (
+        filled.groupBy("__i")
+        .agg(F.sum("__c").cast("long").alias("__g"))
+        .withColumn(
+            "__cumb",
+            F.sum("__g").over(
+                Window.orderBy("__i").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    tot = filled.groupBy().agg(F.sum("__c").cast("long").alias("__nn"))
+    j = (
+        filled.where(F.col("__i") < int(m))
+        .join(F.broadcast(gl.select("__i", "__cumb")), "__i")
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    per = j.groupBy(*quasi_cols, "class_size", "__nn").agg(
+        F.sum(
+            F.abs(
+                dec(F.col("__cuma")) * dec(F.col("__nn"))
+                - dec(F.col("__cumb")) * dec(F.col("class_size"))
+            )
+        ).alias("__num")
+    )
+    den = dec(F.col("class_size")) * dec(F.col("__nn")) * F.lit(int(m) - 1)
+    w = Window.partitionBy()
+    t_col = _round6_ratio_dec(F.col("__num"), den)
+    out = per.withColumn("t_emd", t_col).withColumn(
+        "max_t", F.max("t_emd").over(w)
+    )
+    for tn, td in thresholds:
+        label = f"pct_gt_{tn}_{td}"
+        above = F.when(
+            dec(F.lit(int(td))) * F.col("__num") > dec(F.lit(int(tn))) * den,
+            F.col("class_size"),
+        ).otherwise(F.lit(0))
+        out = out.withColumn(
+            label,
+            _round6_ratio_dec(
+                F.sum(above).over(w), F.max("__nn").over(w)
+            ),
+        )
+    return out.select(
+        *quasi_cols,
+        "class_size",
+        "t_emd",
+        "max_t",
+        *[f"pct_gt_{tn}_{td}" for tn, td in thresholds],
+    )

@@ -3660,6 +3660,23 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit of (mktsegment, nationkey) quasi-identifiers:
+    EMD between each class's ordered balance-band distribution and the
+    corpus distribution — the skewness-attack lens after k_anonymity /
+    l_diversity."""
+    c = _tbl(spark, sf_dir, "customer").withColumn(
+        "balance_rank",
+        F.when(F.col("c_acctbal") < 0, F.lit(1))
+        .when(F.col("c_acctbal") < 5000, F.lit(2))
+        .otherwise(F.lit(3)),
+    )
+    return pii.t_closeness(
+        c, ["c_mktsegment", "c_nationkey"], "balance_rank", 3,
+        thresholds=[(1, 10), (1, 5)],
+    )
+
+
 def q_vocab_partial_corr(spark, sf_dir):
     """Per-source partial correlation of tokens vs distinct tokens
     controlling for char length — is vocabulary growth real or a
@@ -3786,6 +3803,7 @@ QUERIES = {
     "order_count_histogram": q_order_count_histogram,
     "qte_deciles": q_qte_deciles,
     "vocab_partial_corr": q_vocab_partial_corr,
+    "t_closeness": q_t_closeness,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -12957,4 +12975,59 @@ ORACLES["vocab_partial_corr"] = """
                      AS DECIMAL(27,12)), 6) AS DOUBLE)
                 ELSE 0.0 END AS partial_xy_z
     FROM rr
+"""
+
+ORACLES["t_closeness"] = """
+    WITH cnt AS (
+      SELECT c_mktsegment AS q1, c_nationkey AS q2,
+             CASE WHEN c_acctbal < 0 THEN 1
+                  WHEN c_acctbal < 5000 THEN 2
+                  ELSE 3 END AS i,
+             count(*) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    classes AS (SELECT q1, q2, sum(c) AS class_size FROM cnt GROUP BY 1, 2),
+    grid AS (
+      SELECT q1, q2, class_size, unnest(generate_series(1, 3)) AS i
+      FROM classes
+    ),
+    filled AS MATERIALIZED (
+      SELECT g.q1, g.q2, g.class_size, g.i, coalesce(cnt.c, 0) AS c
+      FROM grid g
+      LEFT JOIN cnt ON cnt.q1 = g.q1 AND cnt.q2 = g.q2 AND cnt.i = g.i
+    ),
+    cum AS (
+      SELECT q1, q2, class_size, i, c,
+             sum(c) OVER (PARTITION BY q1, q2 ORDER BY i) AS cuma
+      FROM filled
+    ),
+    glc AS (
+      SELECT i, sum(gc) OVER (ORDER BY i) AS cumb
+      FROM (SELECT i, sum(c) AS gc FROM filled GROUP BY 1)
+    ),
+    tot AS (SELECT sum(c) AS nn FROM filled),
+    per AS MATERIALIZED (
+      SELECT q1, q2, class_size, nn,
+             sum(abs(cuma::HUGEINT * nn::HUGEINT
+                     - cumb::HUGEINT * class_size::HUGEINT)) AS num,
+             class_size::HUGEINT * nn::HUGEINT * 2 AS den
+      FROM cum JOIN glc USING (i), tot
+      WHERE i < 3
+      GROUP BY 1, 2, 3, 4, 6
+    )
+    SELECT q1 AS c_mktsegment, q2 AS c_nationkey,
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST((2000000::HUGEINT*num + den) // (2::HUGEINT*den) AS BIGINT)
+             / 1000000.0 AS t_emd,
+           max(CAST((2000000::HUGEINT*num + den) // (2::HUGEINT*den) AS BIGINT)
+               / 1000000.0) OVER () AS max_t,
+           CAST((2000000::HUGEINT
+                   * sum(CASE WHEN 10*num > 1*den THEN class_size ELSE 0 END) OVER ()
+                 + max(nn) OVER ())
+                // (2::HUGEINT * max(nn) OVER ()) AS BIGINT) / 1000000.0 AS pct_gt_1_10,
+           CAST((2000000::HUGEINT
+                   * sum(CASE WHEN 5*num > 1*den THEN class_size ELSE 0 END) OVER ()
+                 + max(nn) OVER ())
+                // (2::HUGEINT * max(nn) OVER ()) AS BIGINT) / 1000000.0 AS pct_gt_1_5
+    FROM per
 """

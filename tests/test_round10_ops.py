@@ -1347,3 +1347,41 @@ def test_partial_corr_perfect_confound_sentinels(spark):
         spark.createDataFrame(rows), "g", "x", "y", "z"
     ).collect()
     assert r.r_xz == 1.0 and r.partial_xy_z == 0.0
+
+
+# --- t_closeness (EMD skewness-attack audit) ---
+
+
+def test_t_closeness_known_emd(spark):
+    from fractions import Fraction
+
+    from kairos_spark.operators import pii
+
+    # class A: ranks (1,1,2,2); class B: ranks (3,3,3,3).
+    # global cum fractions at i=1: 2/8, i=2: 4/8.
+    # A cums: 2/4, 4/4 -> |2/4-2/8| + |4/4-4/8| = 1/4 + 1/2 = 3/4; /2 -> 3/8
+    # B cums: 0, 0 -> 1/4 + 1/2 = 3/4; /2 -> 3/8
+    rows = [Row(q="A", r=1), Row(q="A", r=1), Row(q="A", r=2), Row(q="A", r=2),
+            Row(q="B", r=3), Row(q="B", r=3), Row(q="B", r=3), Row(q="B", r=3)]
+    out = {r.q: r for r in pii.t_closeness(
+        spark.createDataFrame(rows), ["q"], "r", 3,
+        thresholds=[(1, 5)]).collect()}
+    want = round(float(Fraction(3, 8)), 6)
+    assert out["A"].t_emd == want and out["B"].t_emd == want
+    assert out["A"].max_t == want
+    # every record sits in a class with t > 1/5
+    assert out["A"].pct_gt_1_5 == 1.0
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    from kairos_spark.operators import pii
+
+    # both classes mirror the corpus distribution exactly -> t = 0
+    rows = []
+    for q in ("A", "B"):
+        rows += [Row(q=q, r=1), Row(q=q, r=2), Row(q=q, r=2), Row(q=q, r=3)]
+    out = pii.t_closeness(
+        spark.createDataFrame(rows), ["q"], "r", 3, thresholds=[(1, 5)]
+    ).collect()
+    for r in out:
+        assert r.t_emd == 0.0 and r.max_t == 0.0 and r.pct_gt_1_5 == 0.0

@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "t_closeness",
     "vocab_partial_corr",
     "qte_deciles",
     "order_count_histogram",
@@ -359,6 +360,9 @@ CHECKS = {
     # ONE map-side-combined aggregate carrying 10 moment sums; all
     # arithmetic at group grain — no joins, no windows
     "vocab_partial_corr": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
+    # one record-scale aggregate to (class, rank); grid fill + cum
+    # windows + scalars all run at class grain; rank totals broadcast
+    "t_closeness": ["HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
