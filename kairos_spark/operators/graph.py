@@ -476,3 +476,60 @@ def _bfs_hop(frontier: DataFrame, und: DataFrame, visited: DataFrame) -> DataFra
         .distinct()
         .join(visited, ["seed", "node"], "left_anti")
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    edge list (a < b, deduplicated): do high-degree nodes attach to
+    high-degree nodes (social cores, r > 0) or to low-degree ones
+    (hub-and-spoke bot/broadcast shapes, r < 0)? The one-number
+    structure audit that separates an organic co-activity graph from a
+    scripted one BEFORE any iterative algorithm is worth running.
+
+    Exact closed form over edge-endpoint degrees — no iteration:
+    r = (4M·Σjk − S1²) / (2M·S2 − S1²) with S1 = Σ(j+k),
+    S2 = Σ(j²+k²), all exact integer sums (DECIMAL-routed products),
+    one mirrored double division, bridge-rounded. Regular graphs
+    (every degree equal) make the denominator 0 → sentinel 0.0.
+
+    Scale shape: one degree aggregate, two hash joins to decorate edge
+    endpoints, ONE combiner aggregate to a single row. Only
+    (node, degree) and edge keys shuffle."""
+    from kairos_spark.operators.text import _round6_bridge, _round6_ratio
+
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__ja"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__jb"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    g = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(dec(F.col("__ja")) * dec(F.col("__jb"))).alias("__sjk"),
+            F.sum(F.col("__ja") + F.col("__jb")).cast("long").alias("__s1"),
+            F.sum(
+                dec(F.col("__ja")) * dec(F.col("__ja"))
+                + dec(F.col("__jb")) * dec(F.col("__jb"))
+            ).alias("__s2"),
+        )
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    j = g.crossJoin(F.broadcast(nn))
+    m = dec(F.col("n_edges"))
+    num = (F.lit(4) * m * F.col("__sjk") - dec(F.col("__s1")) * dec(F.col("__s1"))).cast("double")
+    den = (F.lit(2) * m * F.col("__s2") - dec(F.col("__s1")) * dec(F.col("__s1"))).cast("double")
+    r = F.when(den > 0, _round6_bridge(num / den)).otherwise(F.lit(0.0))
+    return j.select(
+        "n_nodes",
+        "n_edges",
+        _round6_ratio(
+            F.lit(2) * F.col("n_edges"), F.greatest(F.col("n_nodes"), F.lit(1))
+        ).alias("mean_degree"),
+        r.alias("assortativity"),
+    )

@@ -3660,6 +3660,17 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_degree_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the user co-activity graph —
+    exact closed form, no iteration; the organic-vs-scripted structure
+    audit."""
+    ev = _tbl(spark, sf_dir, "events")
+    edges = graph.coactivity_edges(
+        ev, step_sec=3600, min_shared=2, max_bucket_nodes=200
+    )
+    return graph.degree_assortativity(edges)
+
+
 def q_t_closeness(spark, sf_dir):
     """t-closeness audit of (mktsegment, nationkey) quasi-identifiers:
     EMD between each class's ordered balance-band distribution and the
@@ -3804,6 +3815,7 @@ QUERIES = {
     "qte_deciles": q_qte_deciles,
     "vocab_partial_corr": q_vocab_partial_corr,
     "t_closeness": q_t_closeness,
+    "degree_assortativity": q_degree_assortativity,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13030,4 +13042,48 @@ ORACLES["t_closeness"] = """
                  + max(nn) OVER ())
                 // (2::HUGEINT * max(nn) OVER ()) AS BIGINT) / 1000000.0 AS pct_gt_1_5
     FROM per
+"""
+
+ORACLES["degree_assortativity"] = """
+    WITH occ AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u,
+             event_type || ':' ||
+                 CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) AS VARCHAR) AS cell
+      FROM events
+    ),
+    small AS (SELECT cell FROM occ GROUP BY cell HAVING count(*) <= 200),
+    edges AS MATERIALIZED (
+      SELECT a.u AS a, b.u AS b
+      FROM (SELECT occ.* FROM occ JOIN small USING (cell)) a
+      JOIN (SELECT occ.* FROM occ JOIN small USING (cell)) b
+        ON a.cell = b.cell AND a.u < b.u
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY 1
+    ),
+    g AS (
+      SELECT count(*) AS m,
+             sum(da.d::HUGEINT * db.d::HUGEINT) AS sjk,
+             sum(da.d + db.d) AS s1,
+             sum(da.d::HUGEINT * da.d::HUGEINT
+                 + db.d::HUGEINT * db.d::HUGEINT) AS s2
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ),
+    nn AS (SELECT count(*) AS n_nodes FROM deg)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(m AS BIGINT) AS n_edges,
+           floor((2000000*(2*m) + greatest(n_nodes, 1))
+                 / (2.0*greatest(n_nodes, 1))) / 1000000.0 AS mean_degree,
+           CASE WHEN CAST(2::HUGEINT*m::HUGEINT*s2 - s1::HUGEINT*s1::HUGEINT AS DOUBLE) > 0
+                THEN CAST(round(CAST(
+                       CAST(4::HUGEINT*m::HUGEINT*sjk - s1::HUGEINT*s1::HUGEINT AS DOUBLE)
+                       / CAST(2::HUGEINT*m::HUGEINT*s2 - s1::HUGEINT*s1::HUGEINT AS DOUBLE)
+                     AS DECIMAL(27,12)), 6) AS DOUBLE)
+                ELSE 0.0 END AS assortativity
+    FROM g, nn
 """

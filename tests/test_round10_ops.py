@@ -1385,3 +1385,28 @@ def test_t_closeness_identical_distribution_is_zero(spark):
     ).collect()
     for r in out:
         assert r.t_emd == 0.0 and r.max_t == 0.0 and r.pct_gt_1_5 == 0.0
+
+
+# --- degree_assortativity (Newman r, exact closed form) ---
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from kairos_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=1, b=3), Row(a=1, b=4)]
+    )
+    (r,) = graph.degree_assortativity(edges).collect()
+    assert r.assortativity == -1.0
+    assert r.n_nodes == 4 and r.n_edges == 3 and r.mean_degree == 1.5
+
+
+def test_assortativity_regular_graph_sentinels(spark):
+    from kairos_spark.operators import graph
+
+    # 4-cycle: every degree 2 -> zero stub-degree variance -> 0.0
+    edges = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=3, b=4), Row(a=1, b=4)]
+    )
+    (r,) = graph.degree_assortativity(edges).collect()
+    assert r.assortativity == 0.0 and r.n_edges == 4

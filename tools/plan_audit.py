@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "degree_assortativity",
     "t_closeness",
     "vocab_partial_corr",
     "qte_deciles",
@@ -363,6 +364,9 @@ CHECKS = {
     # one record-scale aggregate to (class, rank); grid fill + cum
     # windows + scalars all run at class grain; rank totals broadcast
     "t_closeness": ["HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"],
+    # edge build is the shared stop-bucket-capped co-activity join;
+    # degrees decorate endpoints via hash joins; ONE combiner row out
+    "degree_assortativity": ["HashAggregate", "!CartesianProduct", "!Window"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
