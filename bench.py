@@ -161,6 +161,14 @@ PIPELINE = {
     "quant_recall": q.q_quant_recall,
     "frame_dup_rate": q.q_frame_dup_rate,
     "byte_entropy": q.q_byte_entropy,
+    # second-continuation r10 addition — the one new corpus-scale
+    # shape: the LSH->CC construction (already timed via
+    # cluster_keep_best_lsh) PLUS a size-capped within-cluster
+    # all-member-pairs exact-Jaccard stage (Σ|c|² fan-out + shingle
+    # join-back). BASELINE.md records its first number as its own
+    # baseline. The other nine second-continuation queries are
+    # group-/class-/moment-grain (< 1.5 s class), not benched.
+    "cluster_diameter": q.q_cluster_diameter,
 }
 
 
