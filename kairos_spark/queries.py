@@ -3660,6 +3660,16 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_chunk_overlap(spark, sf_dir):
+    """Partial-overlap doc-pair histogram at 32-token chunk grain —
+    the syndication/boilerplate detector between paragraph dedup and
+    whole-doc MinHash. Integer-exact, stop-digest capped."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.chunk_overlap_profile(
+        d, chunk_tokens=32, max_occ=50, min_shared=2
+    )
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Newman degree assortativity of the user co-activity graph —
     exact closed form, no iteration; the organic-vs-scripted structure
@@ -3816,6 +3826,7 @@ QUERIES = {
     "vocab_partial_corr": q_vocab_partial_corr,
     "t_closeness": q_t_closeness,
     "degree_assortativity": q_degree_assortativity,
+    "chunk_overlap": q_chunk_overlap,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13086,4 +13097,48 @@ ORACLES["degree_assortativity"] = """
                      AS DECIMAL(27,12)), 6) AS DOUBLE)
                 ELSE 0.0 END AS assortativity
     FROM g, nn
+"""
+
+ORACLES["chunk_overlap"] = """
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS t
+      FROM documents
+    ),
+    nz AS (SELECT id, t FROM base WHERE len(t) > 0),
+    chunks AS MATERIALIZED (
+      SELECT DISTINCT id,
+             md5(array_to_string(list_slice(t, i*32 + 1, i*32 + 32), ' ')) AS d
+      FROM (SELECT id, t,
+                   unnest(generate_series(0,
+                     CAST(floor((len(t) - 1) / 32) AS BIGINT))) AS i
+            FROM nz)
+    ),
+    occ AS (SELECT d FROM chunks GROUP BY d HAVING count(*) <= 50),
+    kept AS MATERIALIZED (SELECT chunks.* FROM chunks JOIN occ USING (d)),
+    sizes AS MATERIALIZED (SELECT id, count(*) AS m FROM chunks GROUP BY 1),
+    shared AS (
+      SELECT x.id AS a, y.id AS b, count(*) AS s
+      FROM kept x JOIN kept y ON x.d = y.d AND x.id < y.id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a, b, s, (10 * s) // least(ma.m, mb.m) AS bucket
+      FROM shared
+      JOIN sizes ma ON ma.id = a
+      JOIN sizes mb ON mb.id = b
+    ),
+    pb AS (SELECT bucket, count(*) AS n_pairs, sum(s) AS sc FROM pairs GROUP BY 1),
+    dd AS (
+      SELECT bucket, count(*) AS nd
+      FROM (SELECT DISTINCT bucket, unnest([a, b]) AS doc FROM pairs)
+      GROUP BY 1
+    )
+    SELECT CAST(pb.bucket AS BIGINT) AS bucket,
+           CAST(pb.n_pairs AS BIGINT) AS n_pairs,
+           CAST(pb.sc AS BIGINT) AS shared_chunks,
+           CAST(dd.nd AS BIGINT) AS n_docs
+    FROM pb JOIN dd USING (bucket)
 """

@@ -1410,3 +1410,37 @@ def test_assortativity_regular_graph_sentinels(spark):
     )
     (r,) = graph.degree_assortativity(edges).collect()
     assert r.assortativity == 0.0 and r.n_edges == 4
+
+
+# --- chunk_overlap_profile (partial-dup pair histogram) ---
+
+
+def test_chunk_overlap_partial_and_full_containment(spark):
+    # 8-token chunks. doc1 = A+B (2 chunks), doc2 = A+C (2 chunks),
+    # doc3 = A exactly (1 chunk, fully contained in both)
+    A = " ".join(f"a{i}" for i in range(8))
+    B = " ".join(f"b{i}" for i in range(8))
+    C = " ".join(f"c{i}" for i in range(8))
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text=A + " " + B),
+         Row(doc_id=2, text=A + " " + C),
+         Row(doc_id=3, text=A)]
+    )
+    out = {r.bucket: r for r in dedup.chunk_overlap_profile(
+        d, chunk_tokens=8, max_occ=50, min_shared=1).collect()}
+    # (1,2): 1 shared of min(2,2) -> bucket 5; (1,3) and (2,3): 1 of
+    # min(2,1) -> bucket 10 (full containment of doc3)
+    assert out[5].n_pairs == 1 and out[10].n_pairs == 2
+    assert out[10].n_docs == 3  # docs 1, 2, 3 all touch bucket 10
+
+
+def test_chunk_overlap_stop_digest_cap(spark):
+    # a chunk shared by MORE than max_occ docs is stop-listed -> no pairs
+    A = " ".join(f"a{i}" for i in range(8))
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=A) for i in range(1, 6)]
+    )
+    out = dedup.chunk_overlap_profile(
+        d, chunk_tokens=8, max_occ=4, min_shared=1
+    ).collect()
+    assert out == []

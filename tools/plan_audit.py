@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "chunk_overlap",
     "degree_assortativity",
     "t_closeness",
     "vocab_partial_corr",
@@ -367,6 +368,9 @@ CHECKS = {
     # edge build is the shared stop-bucket-capped co-activity join;
     # degrees decorate endpoints via hash joins; ONE combiner row out
     "degree_assortativity": ["HashAggregate", "!CartesianProduct", "!Window"],
+    # map-only chunk explode + digest; stop-digest cap BEFORE the
+    # digest-key pair join; only digests and counts shuffle
+    "chunk_overlap": ["HashAggregate", "Generate", "!CartesianProduct", "!Window"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
