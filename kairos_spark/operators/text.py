@@ -3066,3 +3066,67 @@ def code_detect(
         _round6_ratio(F.col("code_docs"), F.col("n_docs")).alias("code_frac"),
         _round6_ratio(F.col("__ss"), F.col("n_docs")).alias("mean_score"),
     )
+
+
+def link_density(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source link/domain audit — the RefinedWeb-style signal that
+    separates prose from link farms and navigation boilerplate before
+    mix decisions: URL count, linking-doc share, distinct domains, and
+    links per kilochar. Extraction regex ``https?://[A-Za-z0-9.-]+``
+    stays inside the engine-agreed Java/RE2 subset (pure ASCII class,
+    no \\s, no anchors); domains lowercase via plain lower() — safe
+    because the match class excludes every SpecialCasing hazard.
+
+    All outputs exact integer counts / count ratios. Scale shape: one
+    map-only extract per doc, one per-source combiner aggregate plus a
+    (source, domain)-grain distinct for the domain count. Raw text
+    never shuffles."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit("https?://[A-Za-z0-9.-]+"), 0
+    )
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(urls).cast("long").alias("__l"),
+        F.length(F.col(text_col)).cast("long").alias("__c"),
+        urls.alias("__u"),
+    )
+    g = per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("__l") > 0).cast("long")).cast("long").alias("link_docs"),
+        F.sum("__l").cast("long").alias("n_links"),
+        F.sum("__c").cast("long").alias("__chars"),
+    )
+    doms = (
+        per.select(
+            "grp",
+            F.explode("__u").alias("__url"),
+        )
+        .select(
+            "grp",
+            F.lower(
+                F.regexp_replace(F.col("__url"), "^https?://", "")
+            ).alias("__d"),
+        )
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("n_domains"))
+    )
+    return (
+        g.join(doms, "grp", "left")
+        .select(
+            "grp",
+            "n_docs",
+            "link_docs",
+            "n_links",
+            F.coalesce(F.col("n_domains"), F.lit(0)).cast("long").alias("n_domains"),
+            _round6_ratio(F.col("link_docs"), F.col("n_docs")).alias("link_doc_frac"),
+            _round6_ratio(
+                F.lit(1000) * F.col("n_links"),
+                F.greatest(F.col("__chars"), F.lit(1)),
+            ).alias("links_per_kchar"),
+        )
+    )

@@ -3660,6 +3660,37 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_link_density(spark, sf_dir):
+    """Per-source URL/domain audit over deterministically link-decorated
+    docs (the pii_scrub decoration precedent: the synthetic corpus has
+    no URLs, so a pure function of doc_id plants them identically on
+    both engines)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    deco = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" see https://example"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".com/page"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" and http://mirror"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".org/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text.link_density(deco)
+
+
 def q_chunk_overlap(spark, sf_dir):
     """Partial-overlap doc-pair histogram at 32-token chunk grain —
     the syndication/boilerplate detector between paragraph dedup and
@@ -3827,6 +3858,7 @@ QUERIES = {
     "t_closeness": q_t_closeness,
     "degree_assortativity": q_degree_assortativity,
     "chunk_overlap": q_chunk_overlap,
+    "link_density": q_link_density,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13141,4 +13173,47 @@ ORACLES["chunk_overlap"] = """
            CAST(pb.sc AS BIGINT) AS shared_chunks,
            CAST(dd.nd AS BIGINT) AS n_docs
     FROM pb JOIN dd USING (bucket)
+"""
+
+ORACLES["link_density"] = """
+    WITH deco AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' see https://example' || (doc_id % 50)::VARCHAR || '.com/page'
+                  ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                  THEN ' and http://mirror' || (doc_id % 20)::VARCHAR || '.org/x'
+                  ELSE '' END AS t
+      FROM documents
+    ),
+    per AS MATERIALIZED (
+      SELECT source AS grp,
+             len(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+')) AS l,
+             length(t) AS c,
+             regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+') AS u
+      FROM deco
+    ),
+    g AS (
+      SELECT grp, count(*) AS n,
+             sum(CASE WHEN l > 0 THEN 1 ELSE 0 END) AS ld,
+             sum(l) AS nl, sum(c) AS ch
+      FROM per GROUP BY 1
+    ),
+    doms AS (
+      SELECT grp, count(*) AS nd FROM (
+        SELECT DISTINCT grp,
+               lower(regexp_replace(unnest(u), '^https?://', '')) AS d
+        FROM per
+      ) GROUP BY 1
+    )
+    SELECT g.grp,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(ld AS BIGINT) AS link_docs,
+           CAST(nl AS BIGINT) AS n_links,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_domains,
+           floor((2000000*ld + n) / (2.0*n)) / 1000000.0 AS link_doc_frac,
+           floor((2000000*(1000*nl) + greatest(ch, 1))
+                 / (2.0*greatest(ch, 1))) / 1000000.0 AS links_per_kchar
+    FROM g LEFT JOIN doms ON doms.grp = g.grp
 """

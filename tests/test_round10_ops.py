@@ -1444,3 +1444,27 @@ def test_chunk_overlap_stop_digest_cap(spark):
         d, chunk_tokens=8, max_occ=4, min_shared=1
     ).collect()
     assert out == []
+
+
+# --- link_density (URL/domain extraction audit) ---
+
+
+def test_link_density_counts_and_domains(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=1, source="s",
+             text="see https://a.com/x and https://a.com/y plus http://b.org"),
+         Row(doc_id=2, source="s", text="no links at all here"),
+         Row(doc_id=3, source="s", text="HTTPS://C.NET stays unmatched ftp://d")]
+    )
+    (r,) = text.link_density(d).collect()
+    # doc 1: 2 links (a.com twice -> 1 domain) + b.org; doc 3: scheme
+    # is case-sensitive in the pattern, ftp excluded
+    assert r.n_links == 3 and r.link_docs == 1 and r.n_docs == 3
+    assert r.n_domains == 2
+    assert r.link_doc_frac == round(1 / 3, 6)
+
+
+def test_link_density_no_links_source(spark):
+    d = spark.createDataFrame([Row(doc_id=1, source="s", text="plain")])
+    (r,) = text.link_density(d).collect()
+    assert r.n_links == 0 and r.n_domains == 0 and r.links_per_kchar == 0.0

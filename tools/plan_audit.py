@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "link_density",
     "chunk_overlap",
     "degree_assortativity",
     "t_closeness",
@@ -371,6 +372,9 @@ CHECKS = {
     # map-only chunk explode + digest; stop-digest cap BEFORE the
     # digest-key pair join; only digests and counts shuffle
     "chunk_overlap": ["HashAggregate", "Generate", "!CartesianProduct", "!Window"],
+    # one map-only extract per doc; source-grain combiner aggregate +
+    # a (source, domain) distinct — no shuffle joins on fact rows
+    "link_density": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!Window"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
