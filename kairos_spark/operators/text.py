@@ -3130,3 +3130,83 @@ def link_density(
             ).alias("links_per_kchar"),
         )
     )
+
+
+def markup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source markdown/markup structure audit — the router signal
+    that decides whether a feed needs markup STRIPPING before quality
+    scoring (headings, list bullets, tables and blockquotes wreck
+    punctuation/stopword heuristics tuned for prose, and fenced code
+    blocks should route to the code pipeline instead): counts of
+    heading / list / table / blockquote lines, fenced-code-block
+    pairs, and the share of docs carrying any markup.
+
+    Every signal is a literal-prefix or anchored-ASCII-regex line
+    test over the '\\r'-stripped '\\n' split (CRLF-safe; `^[0-9]+[.] `
+    behaves identically in Java and RE2 — no \\s, no $). All outputs
+    exact integer counts and count ratios.
+
+    Scale shape: one map-only per-doc projection, one per-source
+    combiner aggregate. No joins, no windows; text never shuffles."""
+    body = F.regexp_replace(F.col(text_col), "\r", "")
+    lines = F.split(body, "\n")
+    n_lines = F.size(lines).cast("long")
+
+    def nlines(pred):
+        return F.size(F.filter(lines, pred)).cast("long")
+
+    heads = nlines(lambda x: x.startswith("#"))
+    lists = nlines(
+        lambda x: x.startswith("- ")
+        | x.startswith("* ")
+        | x.rlike("^[0-9]+[.] ")
+    )
+    tables = nlines(lambda x: x.startswith("|"))
+    quotes = nlines(lambda x: x.startswith("> "))
+    fences = (
+        (F.length(body) - F.length(F.regexp_replace(body, "```", "")))
+        / F.lit(3)
+    ).cast("long")
+    fence_pairs = F.floor(fences / F.lit(2)).cast("long")
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        n_lines.alias("__n"),
+        heads.alias("__h"),
+        lists.alias("__l"),
+        tables.alias("__t"),
+        quotes.alias("__q"),
+        fence_pairs.alias("__f"),
+        ((heads + lists + tables + quotes > 0) | (fences >= 2))
+        .cast("long")
+        .alias("__any"),
+    )
+    g = per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__any").cast("long").alias("markup_docs"),
+        F.sum("__h").cast("long").alias("heading_lines"),
+        F.sum("__l").cast("long").alias("list_lines"),
+        F.sum("__t").cast("long").alias("table_lines"),
+        F.sum("__q").cast("long").alias("quote_lines"),
+        F.sum("__f").cast("long").alias("code_fences"),
+        F.sum("__n").cast("long").alias("__lines"),
+    )
+    return g.select(
+        "grp",
+        "n_docs",
+        "markup_docs",
+        "heading_lines",
+        "list_lines",
+        "table_lines",
+        "quote_lines",
+        "code_fences",
+        _round6_ratio(F.col("markup_docs"), F.col("n_docs")).alias("markup_frac"),
+        _round6_ratio(
+            F.col("heading_lines") + F.col("list_lines") + F.col("table_lines")
+            + F.col("quote_lines"),
+            F.greatest(F.col("__lines"), F.lit(1)),
+        ).alias("markup_line_frac"),
+    )

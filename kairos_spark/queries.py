@@ -3660,6 +3660,27 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_markup_stats(spark, sf_dir):
+    """Per-source markdown-structure audit over deterministically
+    markup-decorated docs (doc_id % 5 gets a heading/list/fence/table
+    block — the pii_scrub decoration precedent)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    deco = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(
+                    "\n# Title\n- item one\n- item two\n```\ncode\n```\n"
+                    "| a | b |\n> quoted\n"
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text.markup_stats(deco)
+
+
 def q_link_density(spark, sf_dir):
     """Per-source URL/domain audit over deterministically link-decorated
     docs (the pii_scrub decoration precedent: the synthetic corpus has
@@ -3859,6 +3880,7 @@ QUERIES = {
     "degree_assortativity": q_degree_assortativity,
     "chunk_overlap": q_chunk_overlap,
     "link_density": q_link_density,
+    "markup_stats": q_markup_stats,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13216,4 +13238,55 @@ ORACLES["link_density"] = """
            floor((2000000*(1000*nl) + greatest(ch, 1))
                  / (2.0*greatest(ch, 1))) / 1000000.0 AS links_per_kchar
     FROM g LEFT JOIN doms ON doms.grp = g.grp
+"""
+
+ORACLES["markup_stats"] = """
+    WITH deco AS (
+      SELECT source,
+             replace(text
+               || CASE WHEN doc_id % 5 = 0
+                    THEN chr(10) || '# Title' || chr(10) || '- item one'
+                         || chr(10) || '- item two' || chr(10) || '```'
+                         || chr(10) || 'code' || chr(10) || '```'
+                         || chr(10) || '| a | b |' || chr(10) || '> quoted'
+                         || chr(10)
+                    ELSE '' END,
+               chr(13), '') AS b
+      FROM documents
+    ),
+    per AS (
+      SELECT source AS grp,
+             len(string_split(b, chr(10))) AS n,
+             len(list_filter(string_split(b, chr(10)),
+                 x -> left(x, 1) = '#')) AS h,
+             len(list_filter(string_split(b, chr(10)),
+                 x -> left(x, 2) = '- ' OR left(x, 2) = '* '
+                      OR regexp_matches(x, '^[0-9]+[.] '))) AS l,
+             len(list_filter(string_split(b, chr(10)),
+                 x -> left(x, 1) = '|')) AS t,
+             len(list_filter(string_split(b, chr(10)),
+                 x -> left(x, 2) = '> ')) AS q,
+             (length(b) - length(replace(b, '```', ''))) / 3 AS fc
+      FROM deco
+    ),
+    g AS (
+      SELECT grp, count(*) AS n_docs,
+             sum(CASE WHEN h + l + t + q > 0 OR fc >= 2 THEN 1 ELSE 0 END) AS md,
+             sum(h) AS sh, sum(l) AS sl, sum(t) AS st, sum(q) AS sq,
+             sum(CAST(floor(fc / 2) AS BIGINT)) AS sf,
+             sum(n) AS sn
+      FROM per GROUP BY 1
+    )
+    SELECT grp,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(md AS BIGINT) AS markup_docs,
+           CAST(sh AS BIGINT) AS heading_lines,
+           CAST(sl AS BIGINT) AS list_lines,
+           CAST(st AS BIGINT) AS table_lines,
+           CAST(sq AS BIGINT) AS quote_lines,
+           CAST(sf AS BIGINT) AS code_fences,
+           floor((2000000*md + n_docs) / (2.0*n_docs)) / 1000000.0 AS markup_frac,
+           floor((2000000*(sh + sl + st + sq) + greatest(sn, 1))
+                 / (2.0*greatest(sn, 1))) / 1000000.0 AS markup_line_frac
+    FROM g
 """

@@ -1468,3 +1468,36 @@ def test_link_density_no_links_source(spark):
     d = spark.createDataFrame([Row(doc_id=1, source="s", text="plain")])
     (r,) = text.link_density(d).collect()
     assert r.n_links == 0 and r.n_domains == 0 and r.links_per_kchar == 0.0
+
+
+# --- markup_stats (markdown structure audit) ---
+
+
+def test_markup_stats_counts_signals(spark):
+    md = (
+        "# Heading\n"
+        "plain prose line\n"
+        "- bullet\n"
+        "* star bullet\n"
+        "3. numbered\n"
+        "| a | b |\n"
+        "> quote\n"
+        "```\ncode here\n```\n"
+    )
+    d = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text=md),
+         Row(doc_id=2, source="s", text="just prose, no markup at all")]
+    )
+    (r,) = text.markup_stats(d).collect()
+    assert r.heading_lines == 1 and r.list_lines == 3
+    assert r.table_lines == 1 and r.quote_lines == 1
+    assert r.code_fences == 1
+    assert r.markup_docs == 1 and r.n_docs == 2 and r.markup_frac == 0.5
+
+
+def test_markup_stats_single_fence_not_counted_as_pair(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text="opening ``` but never closed")]
+    )
+    (r,) = text.markup_stats(d).collect()
+    assert r.code_fences == 0 and r.markup_docs == 0

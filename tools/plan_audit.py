@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "markup_stats",
     "link_density",
     "chunk_overlap",
     "degree_assortativity",
@@ -375,6 +376,9 @@ CHECKS = {
     # one map-only extract per doc; source-grain combiner aggregate +
     # a (source, domain) distinct — no shuffle joins on fact rows
     "link_density": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!Window"],
+    # one map-only line-signal projection, one per-source combiner
+    # aggregate — no joins, no windows, text never shuffles
+    "markup_stats": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
