@@ -2083,3 +2083,29 @@ def chunk_overlap_profile(
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
     return per_bucket.join(docs, "bucket")
+
+
+def dup_degree_spectrum(pairs: DataFrame) -> DataFrame:
+    """Degree count-of-counts of the near-dup CANDIDATE graph — the
+    pre-clustering hub detector: a healthy crawl's dup graph has a
+    fast-decaying degree spectrum (most docs pair with 1-3 near-dups);
+    a fat tail or a high-degree spike is a template/boilerplate hub
+    that will chain clusters (see ``cluster_diameter``) and deserves a
+    stop-list BEFORE transitive closure is ever run. Complements
+    ``dup_cluster_sizes`` (post-closure) by reading the raw pair
+    graph, where the fix is still cheap.
+
+    Input: an (id_a, id_b) pair list (a < b, deduplicated). Output
+    (degree, n_nodes) — all exact integers, no rounding surface.
+
+    Scale shape: one union projection, two chained combiner
+    aggregates ((node) then (degree)); only ids and counts shuffle."""
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionAll(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )

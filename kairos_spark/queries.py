@@ -3660,6 +3660,17 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_dup_degree_spectrum(spark, sf_dir):
+    """Degree spectrum of the LSH near-dup candidate graph — the
+    pre-closure template-hub detector (same LSH parameters as
+    dedup_clusters_lsh, so the candidate counters speak for it)."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(
+        d, n=8, num_hashes=32, bands=16, threshold=0.2
+    )
+    return dedup.dup_degree_spectrum(pairs)
+
+
 def q_markup_stats(spark, sf_dir):
     """Per-source markdown-structure audit over deterministically
     markup-decorated docs (doc_id % 5 gets a heading/list/fence/table
@@ -3881,6 +3892,7 @@ QUERIES = {
     "chunk_overlap": q_chunk_overlap,
     "link_density": q_link_density,
     "markup_stats": q_markup_stats,
+    "dup_degree_spectrum": q_dup_degree_spectrum,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13290,3 +13302,17 @@ ORACLES["markup_stats"] = """
                  / (2.0*greatest(sn, 1))) / 1000000.0 AS markup_line_frac
     FROM g
 """
+
+# Degree spectrum = the LSH pair pipeline + a two-stage degree
+# count-of-counts; reuses the minhash_lsh_pairs SQL verbatim.
+ORACLES["dup_degree_spectrum"] = ORACLES["minhash_lsh_pairs"].replace(
+    "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2",
+    """, p AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.2),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT id_a AS node FROM p UNION ALL SELECT id_b FROM p
+      ) GROUP BY 1
+    )
+    SELECT CAST(d AS BIGINT) AS degree, count(*)::BIGINT AS n_nodes
+    FROM deg GROUP BY 1""",
+)

@@ -1501,3 +1501,17 @@ def test_markup_stats_single_fence_not_counted_as_pair(spark):
     )
     (r,) = text.markup_stats(d).collect()
     assert r.code_fences == 0 and r.markup_docs == 0
+
+
+# --- dup_degree_spectrum (candidate-graph hub detector) ---
+
+
+def test_dup_degree_spectrum_counts(spark):
+    # star: node 1 pairs with 2,3,4 -> one degree-3 node, three
+    # degree-1 nodes; plus an isolated pair 10-11 -> two more degree-1
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=1, id_b=3), Row(id_a=1, id_b=4),
+         Row(id_a=10, id_b=11)]
+    )
+    out = {r.degree: r.n_nodes for r in dedup.dup_degree_spectrum(pairs).collect()}
+    assert out == {3: 1, 1: 5}

@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "dup_degree_spectrum",
     "markup_stats",
     "link_density",
     "chunk_overlap",
@@ -379,6 +380,9 @@ CHECKS = {
     # one map-only line-signal projection, one per-source combiner
     # aggregate — no joins, no windows, text never shuffles
     "markup_stats": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
+    # LSH banding feeds two chained combiner aggregates; no closure,
+    # no windows — only ids and counts shuffle after banding
+    "dup_degree_spectrum": ["HashAggregate", "!CartesianProduct", "!Window"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
