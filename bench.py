@@ -237,6 +237,27 @@ def pipeline_stats(spark, sf_dir):
     ).localCheckpoint(eager=True)
     n_cand_pairs = cand.count()
     n_final_pairs = cand.where(F.col("count") >= 3).count()
+    # cluster_diameter volumes: its wall time is the LSH pipeline
+    # (covered by lsh_candidate_pairs/cc_dedup_edges above) plus the
+    # size-capped within-cluster all-pairs stage — counters below make
+    # that second stage's volume explicit: clusters kept under the
+    # 64-member cap and the Σ s(s−1)/2 member pairs actually audited.
+    csz = (
+        dedup.connected_components(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    n_clusters_all = csz.count()
+    kept_csz = csz.where(F.col("__s") <= 64)
+    n_clusters_kept = kept_csz.count()
+    n_diam_pairs = int(
+        kept_csz.agg(
+            F.coalesce(
+                F.sum(F.col("__s") * (F.col("__s") - 1) / F.lit(2)), F.lit(0.0)
+            )
+        ).collect()[0][0]
+    )
     return {
         "knn_queries": int(n_queries),
         "knn_corpus_vectors": int(n_corpus),
@@ -252,6 +273,9 @@ def pipeline_stats(spark, sf_dir):
         # union-find gate in connected_components compares against
         "cc_dedup_edges": int(n_edges),
         "cc_local_finish_fired": bool(n_edges <= 2_000_000),
+        "diameter_clusters_total": int(n_clusters_all),
+        "diameter_clusters_kept": int(n_clusters_kept),
+        "diameter_pairs_audited": int(n_diam_pairs),
         "bfs_coactivity_edges": int(n_coact),
         "bfs_cumulative_reach": frontier,
     }
