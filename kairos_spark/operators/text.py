@@ -3210,3 +3210,71 @@ def markup_stats(
             F.greatest(F.col("__lines"), F.lit(1)),
         ).alias("markup_line_frac"),
     )
+
+
+def language_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_words: int = 5,
+) -> DataFrame:
+    """Mixed-language document detector — the segment-grain
+    disagreement audit behind every "docs are 98% en" claim: a crawl
+    page with an English banner over German body text gets ONE
+    doc-grain label, and the wrong half silently poisons a
+    monolingual corpus. Runs the repo's stopword-panel heuristic
+    (``language_id``, same panels, same tie rule) on every LINE with
+    at least ``min_words`` words and reports, per source: docs with
+    ≥2 eligible segments, docs whose segments disagree on a non-'und'
+    language, and the mixed-doc fraction.
+
+    Exactness: panel hit counts and word counts are exact integers;
+    the per-segment argmax compares exact-integer-derived doubles
+    with the lexicographic tie rule mirrored; all outputs are counts
+    and exact count ratios.
+
+    Scale shape: one map-only line explode + per-line scoring (no
+    regex leaves codegen), a (doc)-grain combiner aggregate, a
+    source-grain rollup left-joined back to the full doc count (docs
+    with no eligible segment stay in the denominator)."""
+    body = F.regexp_replace(F.col(text_col), "\r", "")
+    segs = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(body, "\n")).alias("__p"),
+    ).where(word_count(F.col("__p")) >= min_words)
+    t = agree_lower(F.col("__p"))
+    words = F.greatest(word_count(F.col("__p")), F.lit(1))
+    scores = [
+        (lang, _count_matches(t, _word_pattern(panel)) / words)
+        for lang, panel in sorted(STOPWORDS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang, s in scores:
+        pred = pred.when(s == best, F.lit(lang))
+    per_doc = segs.select("grp", "__id", pred.alias("__pred")).groupBy(
+        "grp", "__id"
+    ).agg(
+        F.count("*").cast("long").alias("__nseg"),
+        F.countDistinct(
+            F.when(F.col("__pred") != "und", F.col("__pred"))
+        ).cast("long").alias("__nlang"),
+    )
+    rolled = per_doc.groupBy("grp").agg(
+        F.sum((F.col("__nseg") >= 2).cast("long")).cast("long").alias("multi_seg_docs"),
+        F.sum((F.col("__nlang") >= 2).cast("long")).cast("long").alias("mixed_docs"),
+    )
+    alldocs = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return alldocs.join(rolled, "grp", "left").select(
+        "grp",
+        "n_docs",
+        F.coalesce(F.col("multi_seg_docs"), F.lit(0)).cast("long").alias("multi_seg_docs"),
+        F.coalesce(F.col("mixed_docs"), F.lit(0)).cast("long").alias("mixed_docs"),
+        _round6_ratio(
+            F.coalesce(F.col("mixed_docs"), F.lit(0)), F.col("n_docs")
+        ).alias("mixed_frac"),
+    )

@@ -3660,6 +3660,24 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_language_mix(spark, sf_dir):
+    """Mixed-language doc detector: stopword-panel langid per line,
+    per-source disagreement fractions. doc_id % 7 gets a German banner
+    line (deterministic decoration — the pii_scrub precedent)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    deco = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nder und die das ist nicht mit ein banner zeile"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text.language_mix(deco)
+
+
 def q_dup_degree_spectrum(spark, sf_dir):
     """Degree spectrum of the LSH near-dup candidate graph — the
     pre-closure template-hub detector (same LSH parameters as
@@ -3893,6 +3911,7 @@ QUERIES = {
     "link_density": q_link_density,
     "markup_stats": q_markup_stats,
     "dup_degree_spectrum": q_dup_degree_spectrum,
+    "language_mix": q_language_mix,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13316,3 +13335,60 @@ ORACLES["dup_degree_spectrum"] = ORACLES["minhash_lsh_pairs"].replace(
     SELECT CAST(d AS BIGINT) AS degree, count(*)::BIGINT AS n_nodes
     FROM deg GROUP BY 1""",
 )
+
+ORACLES["language_mix"] = """
+    WITH deco AS (
+      SELECT doc_id, source,
+             text || CASE WHEN doc_id % 7 = 0
+                       THEN chr(10) || 'der und die das ist nicht mit ein banner zeile'
+                       ELSE '' END AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT grp, id, p FROM (
+        SELECT source AS grp, doc_id AS id,
+               unnest(string_split(replace(t, chr(13), ''), chr(10))) AS p
+        FROM deco
+      )
+      WHERE len(regexp_split_to_array(trim(p), '[ \\t\\n\\f\\r]+')) >= 5
+    ),
+    sc AS (
+      SELECT grp, id,
+        len(regexp_extract_all(lower(p), '\\b(der|die|und|das|ist|nicht|mit|ein)\\b')) * 1.0
+          / greatest(len(regexp_split_to_array(trim(p), '[ \\t\\n\\f\\r]+')), 1) AS s_de,
+        len(regexp_extract_all(lower(p), '\\b(the|and|of|to|in|is|that|for|with)\\b')) * 1.0
+          / greatest(len(regexp_split_to_array(trim(p), '[ \\t\\n\\f\\r]+')), 1) AS s_en,
+        len(regexp_extract_all(lower(p), '\\b(el|la|los|que|es|para|con|una)\\b')) * 1.0
+          / greatest(len(regexp_split_to_array(trim(p), '[ \\t\\n\\f\\r]+')), 1) AS s_es,
+        len(regexp_extract_all(lower(p), '\\b(le|la|les|et|est|que|pour|dans)\\b')) * 1.0
+          / greatest(len(regexp_split_to_array(trim(p), '[ \\t\\n\\f\\r]+')), 1) AS s_fr
+      FROM segs
+    ),
+    pred AS (
+      SELECT grp, id,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pr
+      FROM sc
+    ),
+    per_doc AS (
+      SELECT grp, id, count(*) AS nseg,
+             count(DISTINCT CASE WHEN pr <> 'und' THEN pr END) AS nlang
+      FROM pred GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT grp,
+             sum(CASE WHEN nseg >= 2 THEN 1 ELSE 0 END) AS msd,
+             sum(CASE WHEN nlang >= 2 THEN 1 ELSE 0 END) AS mxd
+      FROM per_doc GROUP BY 1
+    ),
+    ad AS (SELECT source AS grp, count(*) AS n FROM documents GROUP BY 1)
+    SELECT ad.grp,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(coalesce(msd, 0) AS BIGINT) AS multi_seg_docs,
+           CAST(coalesce(mxd, 0) AS BIGINT) AS mixed_docs,
+           floor((2000000*coalesce(mxd, 0) + n) / (2.0*n)) / 1000000.0 AS mixed_frac
+    FROM ad LEFT JOIN rolled ON rolled.grp = ad.grp
+"""

@@ -1515,3 +1515,30 @@ def test_dup_degree_spectrum_counts(spark):
     )
     out = {r.degree: r.n_nodes for r in dedup.dup_degree_spectrum(pairs).collect()}
     assert out == {3: 1, 1: 5}
+
+
+# --- language_mix (mixed-language doc detector) ---
+
+
+def test_language_mix_detects_banner_over_foreign_body(spark):
+    en = "the quick brown fox and the lazy dog that is for with us"
+    de = "der hund und die katze das ist nicht mit ein problem hier"
+    d = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text=en + "\n" + de),
+         Row(doc_id=2, source="s", text=en + "\n" + en),
+         Row(doc_id=3, source="s", text="short")]
+    )
+    (r,) = text.language_mix(d).collect()
+    assert r.n_docs == 3 and r.multi_seg_docs == 2
+    assert r.mixed_docs == 1
+    assert r.mixed_frac == round(1 / 3, 6)
+
+
+def test_language_mix_und_segments_not_mixed(spark):
+    # numeric/jargon lines predict 'und' and must not count as a language
+    d = spark.createDataFrame(
+        [Row(doc_id=1, source="s",
+             text="the cat and the dog is here\n111 222 333 444 555 666")]
+    )
+    (r,) = text.language_mix(d).collect()
+    assert r.mixed_docs == 0 and r.multi_seg_docs == 1

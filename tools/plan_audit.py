@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "language_mix",
     "dup_degree_spectrum",
     "markup_stats",
     "link_density",
@@ -383,6 +384,9 @@ CHECKS = {
     # LSH banding feeds two chained combiner aggregates; no closure,
     # no windows — only ids and counts shuffle after banding
     "dup_degree_spectrum": ["HashAggregate", "!CartesianProduct", "!Window"],
+    # map-only line explode + per-line panel scoring; doc-grain then
+    # source-grain combiner aggregates; full-doc denominator re-joined
+    "language_mix": ["HashAggregate", "Generate", "!CartesianProduct", "!Window"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
