@@ -4300,3 +4300,91 @@ def partial_corr(
         _round6_bridge(r_yz).alias("r_yz"),
         _round6_bridge(partial).alias("partial_xy_z"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    cents_col: str,
+    label_col: str,
+    scale: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score —
+    Brier = Reliability − Resolution + Uncertainty — the one table
+    that says WHY a probability score is bad: badly calibrated values
+    (high REL: fixable by recalibration, keep the model) vs no
+    discriminative power (low RES: the score is noise, replace it).
+    The decomposition companion to ``calibration_bins`` (ECE) and
+    ``rank_auc``.
+
+    ``cents_col`` must hold the score as an exact INTEGER in
+    [0, scale] (score = cents/scale) — the same integer-score
+    contract as the repo's cents machinery. Brier and Uncertainty are
+    then single exact integer ratios; Reliability and Resolution sum
+    per-bin squared deviations whose exact values have UNEQUAL
+    denominators (n_k), so each bin term is quantized to an exact
+    integer at 10^12 (REL) / 10^6 (RES) grain by exact DECIMAL floor
+    division (the pmod-strip trick — engine-identical, ≤1e-12/1e-6
+    absolute error per bin, deterministic on both engines), then
+    summed exactly and rounded once via the DECIMAL ratio. No bare
+    float summation anywhere — partition-order-proof by construction.
+
+    Scale shape: one map-only projection, one n_bins-row combiner
+    aggregate + a 1-row broadcast of corpus totals; everything after
+    is bin-grain integer arithmetic."""
+    c = F.col(cents_col).cast("long")
+    y = F.col(label_col).cast("long")
+    base = df.select(
+        c.alias("__c"),
+        y.alias("__y"),
+        F.least(
+            F.expr(f"({n_bins} * CAST({cents_col} AS BIGINT)) div {scale}"),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("__b"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")
+    bins = base.groupBy("__b").agg(
+        F.count("*").cast("long").alias("__nk"),
+        F.sum("__c").cast("long").alias("__sc"),
+        F.sum("__y").cast("long").alias("__yk"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__yy"),
+        F.sum(
+            dec(F.col("__c") - F.lit(scale) * F.col("__y"))
+            * dec(F.col("__c") - F.lit(scale) * F.col("__y"))
+        ).alias("__sq"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+
+    def floordiv(x, yv):
+        return (x - F.pmod(x, yv)) / yv
+
+    d_k = dec(F.col("__sc") - F.lit(scale) * F.col("__yk"))
+    rel_term = floordiv(d_k * d_k * F.lit(1_000_000_000_000), dec(F.col("__nk")))
+    e_k = dec(
+        F.col("__n") * F.col("__yk") - F.col("__nk") * F.col("__yy")
+    )
+    res_term = floordiv(e_k * e_k * F.lit(1_000_000), dec(F.col("__nk")))
+    agg = j.groupBy("__n", "__yy", "__sq").agg(
+        F.sum(rel_term).alias("__rel"),
+        F.sum(res_term).alias("__res"),
+    )
+    nn = dec(F.col("__n"))
+    return agg.select(
+        F.col("__n").alias("n"),
+        _round6_ratio_dec(
+            F.col("__sq"), F.lit(scale * scale) * nn
+        ).alias("brier"),
+        _round6_ratio_dec(
+            F.col("__rel"),
+            F.lit(1_000_000_000_000) * F.lit(scale * scale) * nn,
+        ).alias("reliability"),
+        _round6_ratio_dec(
+            F.col("__res"), F.lit(1_000_000) * nn * nn * nn
+        ).alias("resolution"),
+        _round6_ratio_dec(
+            dec(F.col("__yy")) * dec(F.col("__n") - F.col("__yy")), nn * nn
+        ).alias("uncertainty"),
+    )

@@ -3660,6 +3660,22 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score for the length-based
+    score vs the English label (same score contract as
+    calibration_bins; integer 0..550 scale)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.least(
+            F.greatest(F.col("n_chars") - 50, F.lit(0)), F.lit(550)
+        ).cast("long").alias("score_cents"),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+    )
+    return profiling.brier_decomposition(
+        scored, "score_cents", "is_en", scale=550, n_bins=10
+    )
+
+
 def q_language_mix(spark, sf_dir):
     """Mixed-language doc detector: stopword-panel langid per line,
     per-source disagreement fractions. doc_id % 7 gets a German banner
@@ -3912,6 +3928,7 @@ QUERIES = {
     "markup_stats": q_markup_stats,
     "dup_degree_spectrum": q_dup_degree_spectrum,
     "language_mix": q_language_mix,
+    "brier_decomposition": q_brier_decomposition,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13391,4 +13408,49 @@ ORACLES["language_mix"] = """
            CAST(coalesce(mxd, 0) AS BIGINT) AS mixed_docs,
            floor((2000000*coalesce(mxd, 0) + n) / (2.0*n)) / 1000000.0 AS mixed_frac
     FROM ad LEFT JOIN rolled ON rolled.grp = ad.grp
+"""
+
+ORACLES["brier_decomposition"] = """
+    WITH base AS (
+      SELECT least(greatest(n_chars - 50, 0), 550)::BIGINT AS c,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+             least((10 * least(greatest(n_chars - 50, 0), 550)::BIGINT) // 550,
+                   9) AS b
+      FROM documents
+    ),
+    bins AS (
+      SELECT b, count(*) AS nk, sum(c) AS sc, sum(y) AS yk
+      FROM base GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(y) AS yy,
+             sum((c - 550*y)::HUGEINT * (c - 550*y)::HUGEINT) AS sq
+      FROM base
+    ),
+    terms AS (
+      SELECT n, yy, sq,
+             sum(((sc - 550*yk)::HUGEINT * (sc - 550*yk)::HUGEINT
+                  * 1000000000000::HUGEINT) // nk::HUGEINT) AS rel,
+             sum(((n::HUGEINT*yk::HUGEINT - nk::HUGEINT*yy::HUGEINT)
+                  * (n::HUGEINT*yk::HUGEINT - nk::HUGEINT*yy::HUGEINT)
+                  * 1000000::HUGEINT) // nk::HUGEINT) AS res
+      FROM bins, tot
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((2000000::HUGEINT*sq + 302500::HUGEINT*n)
+                // (2::HUGEINT*302500::HUGEINT*n) AS BIGINT) / 1000000.0 AS brier,
+           CAST((2000000::HUGEINT*rel
+                 + 1000000000000::HUGEINT*302500::HUGEINT*n)
+                // (2::HUGEINT*1000000000000::HUGEINT*302500::HUGEINT*n)
+                AS BIGINT) / 1000000.0 AS reliability,
+           CAST((2000000::HUGEINT*res
+                 + 1000000::HUGEINT*n::HUGEINT*n::HUGEINT*n::HUGEINT)
+                // (2::HUGEINT*1000000::HUGEINT*n::HUGEINT*n::HUGEINT*n::HUGEINT)
+                AS BIGINT) / 1000000.0 AS resolution,
+           CAST((2000000::HUGEINT*(yy::HUGEINT*(n - yy)::HUGEINT)
+                 + n::HUGEINT*n::HUGEINT)
+                // (2::HUGEINT*n::HUGEINT*n::HUGEINT) AS BIGINT)
+             / 1000000.0 AS uncertainty
+    FROM terms
 """

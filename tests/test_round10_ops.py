@@ -1542,3 +1542,36 @@ def test_language_mix_und_segments_not_mixed(spark):
     )
     (r,) = text.language_mix(d).collect()
     assert r.mixed_docs == 0 and r.multi_seg_docs == 1
+
+
+# --- brier_decomposition (Murphy 1973) ---
+
+
+def test_brier_decomposition_identity_and_perfect_score(spark):
+    from kairos_spark.operators import profiling
+
+    # perfectly calibrated, perfectly sharp: score 0 for negatives,
+    # scale for positives -> brier 0, REL 0, RES == UNC
+    rows = [Row(score_cents=0, is_en=0)] * 30 + [Row(score_cents=100, is_en=1)] * 10
+    (r,) = profiling.brier_decomposition(
+        spark.createDataFrame(rows), "score_cents", "is_en", scale=100, n_bins=10
+    ).collect()
+    assert r.brier == 0.0 and r.reliability == 0.0
+    assert r.uncertainty == round(0.25 * 0.75, 6)
+    assert r.resolution == r.uncertainty
+    # Murphy identity holds on the rounded components (quantized terms
+    # agree to 6dp here)
+    assert round(r.reliability - r.resolution + r.uncertainty, 6) == r.brier
+
+
+def test_brier_decomposition_uninformative_score(spark):
+    from kairos_spark.operators import profiling
+
+    # constant score in one bin: RES = 0, REL = (p - o)^2
+    rows = [Row(score_cents=50, is_en=1)] * 25 + [Row(score_cents=50, is_en=0)] * 75
+    (r,) = profiling.brier_decomposition(
+        spark.createDataFrame(rows), "score_cents", "is_en", scale=100, n_bins=10
+    ).collect()
+    assert r.resolution == 0.0
+    assert r.reliability == round((0.5 - 0.25) ** 2, 6)
+    assert r.uncertainty == round(0.25 * 0.75, 6)

@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "brier_decomposition",
     "language_mix",
     "dup_degree_spectrum",
     "markup_stats",
@@ -387,6 +388,9 @@ CHECKS = {
     # map-only line explode + per-line panel scoring; doc-grain then
     # source-grain combiner aggregates; full-doc denominator re-joined
     "language_mix": ["HashAggregate", "Generate", "!CartesianProduct", "!Window"],
+    # one map-only projection, n_bins-row combiner aggregate + 1-row
+    # totals broadcast (BNLJ by design); bin-grain integer math after
+    "brier_decomposition": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin", "!Window"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
