@@ -2655,3 +2655,73 @@ def logrank_test(
             6,
         ).alias("chi2"),
     )
+
+
+def forecast_mase(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    season_lag: int = 24,
+) -> DataFrame:
+    """MASE (Hyndman & Koehler 2006) of the seasonal-naive forecaster
+    scaled by the one-step persistence baseline, per group — the M4
+    standard that makes forecast error comparable ACROSS series of
+    different volumes (MAE/RMSE can't rank a 10-event/hour series
+    against a 10k-event/hour one; MASE < 1 means the seasonal
+    forecaster beats persistence on this series, the actionable bit).
+
+    Same observed-hourly-grid and lag conventions as
+    ``forecast_eval``. MASE = (Σ|e_s|/n_s) / (Σ|e_1|/n_1) — a ratio
+    of two exact integer ratios, restructured to the ONE exact integer
+    ratio Σ|e_s|·n_1 / (Σ|e_1|·n_s) through the DECIMAL route (the
+    documented two-stage-rational rule). Degenerate groups (no
+    evaluable lags, or a perfectly persistent series with zero
+    baseline error) sentinel to -1.0 on both sides.
+
+    Scale shape: identical to forecast_eval — one map-side-combined
+    (group, hour) aggregate, per-group lag windows over hour-grain
+    rows, one combiner rollup."""
+    from pyspark.sql.window import Window
+
+    from kairos_spark.operators.text import _round6_ratio_dec
+
+    hourly = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .groupBy("grp", "hour")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w = Window.partitionBy("grp").orderBy("hour")
+    with_lags = hourly.select(
+        "grp",
+        "y",
+        F.lag("y", 1).over(w).alias("p1"),
+        F.lag("y", season_lag).over(w).alias("ps"),
+    )
+    e1 = (F.col("y") - F.col("p1")).cast("long")
+    es = (F.col("y") - F.col("ps")).cast("long")
+    agg = with_lags.groupBy("grp").agg(
+        F.count("p1").cast("long").alias("n_naive"),
+        F.sum(F.abs(e1)).cast("long").alias("__ae1"),
+        F.count("ps").cast("long").alias("n_seasonal"),
+        F.sum(F.abs(es)).cast("long").alias("__aes"),
+    )
+    ok = (F.col("n_naive") > 0) & (F.col("n_seasonal") > 0) & (F.col("__ae1") > 0)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_naive",
+        "n_seasonal",
+        F.when(
+            ok,
+            _round6_ratio_dec(
+                F.col("__aes").cast("decimal(38,0)")
+                * F.col("n_naive").cast("decimal(38,0)"),
+                F.col("__ae1").cast("decimal(38,0)")
+                * F.col("n_seasonal").cast("decimal(38,0)"),
+            ),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("mase"),
+    )

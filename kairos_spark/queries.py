@@ -3660,6 +3660,15 @@ def q_doc_gini(spark, sf_dir):
     return text.doc_gini(_tbl(spark, sf_dir, "documents"))
 
 
+def q_forecast_mase(spark, sf_dir):
+    """MASE of the seasonal-naive hourly-count forecaster vs the
+    persistence baseline per event type — one exact integer ratio."""
+    ev = _tbl(spark, sf_dir, "events")
+    return windows.forecast_mase(
+        ev, ts_col="ts", group_col="event_type", season_lag=24
+    )
+
+
 def q_brier_decomposition(spark, sf_dir):
     """Murphy decomposition of the Brier score for the length-based
     score vs the English label (same score contract as
@@ -3929,6 +3938,7 @@ QUERIES = {
     "dup_degree_spectrum": q_dup_degree_spectrum,
     "language_mix": q_language_mix,
     "brier_decomposition": q_brier_decomposition,
+    "forecast_mase": q_forecast_mase,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13453,4 +13463,36 @@ ORACLES["brier_decomposition"] = """
                 // (2::HUGEINT*n::HUGEINT*n::HUGEINT) AS BIGINT)
              / 1000000.0 AS uncertainty
     FROM terms
+"""
+
+ORACLES["forecast_mase"] = """
+    WITH hourly AS (
+      SELECT event_type AS grp, date_trunc('hour', ts) AS hour,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (
+      SELECT grp, y,
+             lag(y, 1) OVER (PARTITION BY grp ORDER BY hour) AS p1,
+             lag(y, 24) OVER (PARTITION BY grp ORDER BY hour) AS ps
+      FROM hourly
+    ),
+    agg AS (
+      SELECT grp,
+             count(p1) AS n1,
+             sum(abs(y - p1)) AS ae1,
+             count(ps) AS ns,
+             sum(abs(y - ps)) AS aes
+      FROM lags GROUP BY 1
+    )
+    SELECT grp AS event_type,
+           CAST(n1 AS BIGINT) AS n_naive,
+           CAST(ns AS BIGINT) AS n_seasonal,
+           CASE WHEN n1 > 0 AND ns > 0 AND ae1 > 0
+                THEN CAST((2000000::HUGEINT * (aes::HUGEINT * n1::HUGEINT)
+                           + ae1::HUGEINT * ns::HUGEINT)
+                          // (2::HUGEINT * ae1::HUGEINT * ns::HUGEINT)
+                          AS BIGINT) / 1000000.0
+                ELSE -1.0 END AS mase
+    FROM agg
 """

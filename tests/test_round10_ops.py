@@ -1575,3 +1575,40 @@ def test_brier_decomposition_uninformative_score(spark):
     assert r.resolution == 0.0
     assert r.reliability == round((0.5 - 0.25) ** 2, 6)
     assert r.uncertainty == round(0.25 * 0.75, 6)
+
+
+# --- forecast_mase (scaled forecast error) ---
+
+
+def test_forecast_mase_known_ratio(spark):
+    import datetime as dt
+
+    from kairos_spark.operators import windows
+
+    # hourly counts over 3 days with period-24 pattern plus one bump:
+    # seasonal-naive nails the repeats, persistence pays the diurnal
+    # swings -> MASE well below 1
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for h in range(72):
+        n = 3 if (h % 24) < 12 else 1
+        if h == 50:
+            n = 5
+        for i in range(n):
+            rows.append(Row(ts=base + dt.timedelta(hours=h, minutes=i),
+                            user_id=1, event_type="a"))
+    (r,) = windows.forecast_mase(spark.createDataFrame(rows)).collect()
+    assert r.n_naive == 71 and r.n_seasonal == 48
+    assert 0.0 < r.mase < 1.0
+
+
+def test_forecast_mase_perfect_persistence_sentinels(spark):
+    import datetime as dt
+
+    from kairos_spark.operators import windows
+
+    # constant series: the persistence baseline has zero error -> -1.0
+    rows = [Row(ts=dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+                user_id=1, event_type="a") for h in range(30)]
+    (r,) = windows.forecast_mase(spark.createDataFrame(rows)).collect()
+    assert r.mase == -1.0

@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "forecast_mase",
     "brier_decomposition",
     "language_mix",
     "dup_degree_spectrum",
@@ -391,6 +392,9 @@ CHECKS = {
     # one map-only projection, n_bins-row combiner aggregate + 1-row
     # totals broadcast (BNLJ by design); bin-grain integer math after
     "brier_decomposition": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin", "!Window"],
+    # (group, hour) combiner aggregate; lag windows run over the
+    # AGGREGATE (hour-grain rows); one combiner rollup — no joins
+    "forecast_mase": ["HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
     # Q13 shape: the priority filter must push into the orders scan
     # (PushedFilters shows Not(StringContains)… via like), the left
     # join shuffles on the key (both sides fact-scale — broadcast would
