@@ -1612,3 +1612,37 @@ def test_forecast_mase_perfect_persistence_sentinels(spark):
                 user_id=1, event_type="a") for h in range(30)]
     (r,) = windows.forecast_mase(spark.createDataFrame(rows)).collect()
     assert r.mase == -1.0
+
+
+# --- engine-parity fuzz: exact DECIMAL floor division (pmod strip) ---
+
+
+def test_decimal_floordiv_parity_fuzz(spark):
+    """The brier_decomposition bin terms rely on Spark's
+    (x - pmod(x, y)) / y over DECIMAL(38,0) equaling DuckDB's HUGEINT
+    x // y for non-negative x. Fuzz the two engines head to head at
+    the magnitudes the operator produces (d^2 * 1e12 up to ~1e27)."""
+    import random
+
+    import duckdb
+
+    random.seed(41)
+    cases = [(random.randint(0, 3 * 10**7) ** 2 * 10**12,
+              random.randint(1, 10**6)) for _ in range(60)]
+    cases += [(0, 5), (10**27, 1), (7, 3), (10**27 + 1, 10**6)]
+    rows = [Row(i=i, x=str(x), y=str(y)) for i, (x, y) in enumerate(cases)]
+    sdf = spark.createDataFrame(rows).select(
+        "i",
+        (
+            (F.col("x").cast("decimal(38,0)")
+             - F.pmod(F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)")))
+            / F.col("y").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").cast("string").alias("q"),
+    )
+    got = {r.i: int(r.q) for r in sdf.collect()}
+    con = duckdb.connect()
+    for i, (x, y) in enumerate(cases):
+        (want,) = con.execute(
+            f"SELECT {x}::HUGEINT // {y}::HUGEINT"
+        ).fetchone()
+        assert got[i] == int(want) == x // y, (i, x, y, got[i], want)
