@@ -1874,7 +1874,7 @@ def cluster_diameter(
     n: int = 8,
     num_hashes: int = 32,
     bands: int = 16,
-    threshold: float = 0.2,
+    threshold: float | None = None,
     threshold_num: int = 1,
     threshold_den: int = 5,
     max_cluster_size: int = 64,
@@ -1906,6 +1906,18 @@ def cluster_diameter(
     precedent) — oversized clusters are by definition chained and are
     excluded from the pair fan-out rather than allowed to explode it.
     Shingles join back on (cluster, shingle); raw text never pairs."""
+    # The float threshold (LSH candidate filter) and the exact rational
+    # (chained-pair predicate) encode ONE value: derive the float from
+    # the rational by default, and refuse a contradictory explicit pair
+    # (ADVICE r10 — a silent mismatch would make chained_frac
+    # inconsistent with the clustering it audits).
+    if threshold is None:
+        threshold = threshold_num / threshold_den
+    else:
+        assert abs(threshold - threshold_num / threshold_den) < 1e-12, (
+            f"threshold {threshold} != threshold_num/threshold_den "
+            f"{threshold_num}/{threshold_den}"
+        )
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands,
         threshold=threshold,

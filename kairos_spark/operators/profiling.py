@@ -4329,6 +4329,15 @@ def brier_decomposition(
     summed exactly and rounded once via the DECIMAL ratio. No bare
     float summation anywhere — partition-order-proof by construction.
 
+    SCALE BOUND (DECIMAL(38,0) contract, like _round6_ratio_dec's):
+    the RES path squares e_k = n·y_k − n_k·y (|e_k| ≤ N²), so the
+    final 2·10^6 · Σ(e_k²·10^6 div n_k) product is ≤ ~2·10^12·N⁴ and
+    must stay under 10^38 → N ≲ 8·10^6 rows per call (hard ANSI error
+    past it, DuckDB HUGEINT hits its ceiling similarly — fails loudly,
+    never silently). Driver scales are ≤ 10^5; for a corpus-scale run
+    drop the RES quantization grain from 10^6 to 10^3 (buys ~3 orders
+    of magnitude) or pre-aggregate to bin grain upstream.
+
     Scale shape: one map-only projection, one n_bins-row combiner
     aggregate + a 1-row broadcast of corpus totals; everything after
     is bin-grain integer arithmetic."""

@@ -385,9 +385,11 @@ def hll_union_overlap(
     53-bit mantissa (the ``hll_distinct`` argument), so the estimates
     — including the inclusion-exclusion residual — reproduce exactly;
     the ln() small-range branch is the documented bounded
-    transcendental class. overlap_est can be a tiny NEGATIVE residual:
-    ``+ 0.0`` after the round normalizes the −0.0 Spark/DuckDB split
-    on both sides.
+    transcendental class. All four estimate outputs are rounded with
+    the engine-identical sign·floor(|x|·10^6 + 0.5) quantizer (see
+    q6 below) rather than bare round(,6); the quantizer's integer
+    negation also normalizes the tiny-negative-residual overlap_est
+    zero to +0.0 on both engines.
 
     Scale shape: register build is one map-side-max aggregate; unions
     pair |G|·2^p register rows (group grain, tiny); the exact overlap
@@ -450,6 +452,24 @@ def hll_union_overlap(
     )
     ea = g1.select(F.col("__g").alias("ga"), F.col("__est").alias("__ea"))
     eb = g1.select(F.col("__g").alias("gb"), F.col("__est").alias("__eb"))
+
+    # Engine-identical round-6: sign·floor(|x|·10^6 + 0.5) on the SAME
+    # IEEE double both engines computed (estimates are deterministic
+    # doubles, see above). A bare round(double, 6) can split on a
+    # 7-digit-midpoint shortest rendering (Spark shortest-string
+    # HALF_UP vs DuckDB multiply-round, ADVICE r10); the quantizer is
+    # floor on the identical double — exact while |x|·10^6 < 2^53,
+    # i.e. |x| < ~9·10^9, far above any p=8 HLL estimate here. The
+    # integer negation (−0 → 0) also makes a negative-residual zero
+    # +0.0 on both engines. Oracle mirror: CASE-signed
+    # CAST(floor(±x·1000000.0 + 0.5) AS BIGINT)/1000000.0.
+    def q6(col):
+        mag = F.floor(F.abs(col) * F.lit(1_000_000.0) + F.lit(0.5))
+        return (
+            F.when(col >= 0, mag).otherwise(-mag).cast("long")
+            / F.lit(1_000_000.0)
+        )
+
     return (
         uagg.join(ea, "ga")
         .join(eb, "gb")
@@ -457,13 +477,12 @@ def hll_union_overlap(
         .select(
             "ga",
             "gb",
-            F.round(F.col("__ea"), 6).alias("est_a"),
-            F.round(F.col("__eb"), 6).alias("est_b"),
-            F.round(F.col("__estu"), 6).alias("est_union"),
-            (
-                F.round(F.col("__ea") + F.col("__eb") - F.col("__estu"), 6)
-                + F.lit(0.0)
-            ).alias("overlap_est"),
+            q6(F.col("__ea")).alias("est_a"),
+            q6(F.col("__eb")).alias("est_b"),
+            q6(F.col("__estu")).alias("est_union"),
+            q6(F.col("__ea") + F.col("__eb") - F.col("__estu")).alias(
+                "overlap_est"
+            ),
             F.coalesce(F.col("__ex"), F.lit(0)).cast("long").alias("exact_overlap"),
         )
     )

@@ -122,9 +122,14 @@ def _round6_ratio_dec_signed(num: Column, den: Column) -> Column:
     CASE WHEN n >= 0 THEN  CAST(( 2000000::HUGEINT*n + d)
                                 // (2::HUGEINT*d) AS BIGINT) / 1000000.0
          ELSE              -CAST((-2000000::HUGEINT*n + d)
-                                // (2::HUGEINT*d) AS BIGINT) / 1000000.0 END."""
+                                // (2::HUGEINT*d) AS BIGINT) / 1000000.0 END.
+    The `+ 0.0` normalizes the signed zero the `-mag` branch produces
+    when a negative numerator rounds to zero (|num|/den < 5e-7): Spark
+    would emit -0.0 while the oracle's negated-BIGINT zero is +0.0,
+    and the driver value-hash renders them differently (ADVICE r10).
+    IEEE -0.0 + 0.0 = +0.0, identity elsewhere."""
     mag = _round6_ratio_dec(F.abs(num), den)
-    return F.when(num >= 0, mag).otherwise(-mag)
+    return F.when(num >= 0, mag).otherwise(-mag) + F.lit(0.0)
 
 
 def _round6_ratio_signed(num: Column, den: Column) -> Column:
@@ -133,9 +138,14 @@ def _round6_ratio_signed(num: Column, den: Column) -> Column:
     does on negative doubles — sign(num) · half-up(|num|/den). Oracles
     mirror with
     CASE WHEN n >= 0 THEN  floor(( 2000000*n + d) / (2.0*d)) / 1000000.0
-         ELSE              -floor((-2000000*n + d) / (2.0*d)) / 1000000.0 END."""
+         ELSE              -floor((-2000000*n + d) / (2.0*d)) / 1000000.0 END.
+    The `+ 0.0` normalizes the signed zero the `-mag` branch produces
+    when a negative numerator rounds to zero (|num|/den < 5e-7): Spark
+    would emit -0.0 while the oracle's negated floor-zero is +0.0, and
+    the driver value-hash renders them differently (ADVICE r10). IEEE
+    -0.0 + 0.0 = +0.0, identity elsewhere."""
     mag = _round6_ratio(F.abs(num), den)
-    return F.when(num >= 0, mag).otherwise(-mag)
+    return F.when(num >= 0, mag).otherwise(-mag) + F.lit(0.0)
 
 
 def _cents(col: Column) -> Column:

@@ -5297,13 +5297,22 @@ ORACLES["ann_lsh_topk"] = """
     SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
+def _sql_surgery(base: str, old: str, new: str, count: int = -1) -> str:
+    """Anchored .replace for derived oracles: asserts the anchor text
+    still exists so an edit to the base SQL fails LOUDLY at import
+    time instead of silently no-opping the surgery and degenerating
+    the derived oracle into the base query (ADVICE r10)."""
+    assert old in base, f"oracle surgery anchor missing: {old[:80]!r}"
+    return base.replace(old, new, count)
+
+
 # Scale-path dup clustering = the LSH pair pipeline above + transitive
 # closure. The oracle reuses the minhash_lsh_pairs SQL verbatim,
 # swapping its final SELECT for a recursive reachability CTE.
-ORACLES["dedup_clusters_lsh"] = (
-    ORACLES["minhash_lsh_pairs"]
-    .replace("WITH ", "WITH RECURSIVE ", 1)
-    .replace(
+ORACLES["dedup_clusters_lsh"] = _sql_surgery(
+    _sql_surgery(
+        ORACLES["minhash_lsh_pairs"], "WITH ", "WITH RECURSIVE ", 1
+    ),
         "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2",
         """, p AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.2),
     edges AS (
@@ -5317,7 +5326,6 @@ ORACLES["dedup_clusters_lsh"] = (
         SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
     )
     SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""",
-    )
 )
 
 # PII scrub: the decoration (a pure function of doc_id), the four
@@ -6124,7 +6132,7 @@ ORACLES["period_delta"] = """
                 THEN  floor(( 2000000 * (n - prev_n) + prev_n)
                             / (2.0 * prev_n)) / 1000000.0
                 ELSE -floor((-2000000 * (n - prev_n) + prev_n)
-                            / (2.0 * prev_n)) / 1000000.0 END AS pct_change
+                            / (2.0 * prev_n)) / 1000000.0 END + 0.0 AS pct_change
     FROM d WHERE prev_n IS NOT NULL
 """
 
@@ -11607,11 +11615,14 @@ ORACLES["template_prefix"] = r"""
 # cluster_keep_best oracle's keep-best tail (quality CTEs + per-cluster
 # argmax window). Built by string surgery so the three oracles can
 # never drift apart expression-wise.
-_KEEP_BEST_TAIL = ORACLES["cluster_keep_best"].split(
+_KEEP_BEST_SPLIT = ORACLES["cluster_keep_best"].split(
     "cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),",
     1,
-)[1]
-ORACLES["cluster_keep_best_lsh"] = ORACLES["dedup_clusters_lsh"].replace(
+)
+assert len(_KEEP_BEST_SPLIT) == 2, "cluster_keep_best split anchor missing"
+_KEEP_BEST_TAIL = _KEEP_BEST_SPLIT[1]
+ORACLES["cluster_keep_best_lsh"] = _sql_surgery(
+    ORACLES["dedup_clusters_lsh"],
     "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1",
     ", cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),"
     + _KEEP_BEST_TAIL,
@@ -11976,7 +11987,8 @@ ORACLES["dup_quality_bias"] = ("""
 # near-dup source purity: the dedup_clusters_lsh oracle's cluster
 # labels joined to sources, histogrammed — same surgery convention as
 # cluster_keep_best_lsh so the LSH stages can never drift
-ORACLES["cluster_source_purity"] = ORACLES["dedup_clusters_lsh"].replace(
+ORACLES["cluster_source_purity"] = _sql_surgery(
+    ORACLES["dedup_clusters_lsh"],
     "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1",
     """, cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
     per AS (
@@ -12413,7 +12425,8 @@ ORACLES["byte_entropy"] = """
 # near-dup quality bias: the dedup_clusters_lsh closure's labels joined
 # to the quality CTE — same surgery convention as cluster_source_purity
 # so the LSH stages can never drift
-ORACLES["cluster_quality_bias"] = ORACLES["dedup_clusters_lsh"].replace(
+ORACLES["cluster_quality_bias"] = _sql_surgery(
+    ORACLES["dedup_clusters_lsh"],
     "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1",
     # cl is referenced twice (sz and jj): MATERIALIZED, or DuckDB
     # inlines it and re-executes the whole recursive closure per use
@@ -12818,7 +12831,7 @@ ORACLES["cuped_adjustment"] = """
            CASE WHEN svy >= 0
                 THEN  floor(( 2000000*svy + 100*n_users) / (2.0*100*n_users)) / 1000000.0
                 ELSE -floor((-2000000*svy + 100*n_users) / (2.0*100*n_users)) / 1000000.0
-           END AS raw_mean,
+           END + 0.0 AS raw_mean,
            (CASE WHEN adj >= 0
                  THEN  CAST(floor(abs(adj)*1000000.0 + 0.5) AS BIGINT)
                  ELSE -CAST(floor(abs(adj)*1000000.0 + 0.5) AS BIGINT) END
@@ -12837,12 +12850,18 @@ ORACLES["cuped_adjustment"] = """
 # cluster. Reuses the minhash_lsh_pairs SQL verbatim; MATERIALIZED
 # hints stop DuckDB re-inlining the shingle/cluster CTEs that the
 # diameter suffix reads several times (the k-core lesson: 113s -> 0.1s).
-ORACLES["cluster_diameter"] = (
-    ORACLES["minhash_lsh_pairs"]
-    .replace("WITH ", "WITH RECURSIVE ", 1)
-    .replace("sh AS (SELECT DISTINCT", "sh AS MATERIALIZED (SELECT DISTINCT")
-    .replace("sig AS (", "sig AS MATERIALIZED (")
-    .replace(
+ORACLES["cluster_diameter"] = _sql_surgery(
+    _sql_surgery(
+        _sql_surgery(
+            _sql_surgery(
+                ORACLES["minhash_lsh_pairs"], "WITH ", "WITH RECURSIVE ", 1
+            ),
+            "sh AS (SELECT DISTINCT",
+            "sh AS MATERIALIZED (SELECT DISTINCT",
+        ),
+        "sig AS (",
+        "sig AS MATERIALIZED (",
+    ),
         "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2",
         """, p AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.2),
     edges AS MATERIALIZED (
@@ -12906,7 +12925,6 @@ ORACLES["cluster_diameter"] = (
            CAST((2000000::HUGEINT*sum(sumj) + 1000000::HUGEINT*sum(np))
                 // (2::HUGEINT*1000000::HUGEINT*sum(np)) AS BIGINT) / 1000000.0 AS mean_sim
     FROM pc GROUP BY csize""",
-    )
 )
 
 ORACLES["hll_union_overlap"] = """
@@ -12965,10 +12983,14 @@ ORACLES["hll_union_overlap"] = """
       GROUP BY 1, 2
     )
     SELECT u.ga, u.gb,
-           round(ea.est, 6) AS est_a,
-           round(eb.est, 6) AS est_b,
-           round(u.estu, 6) AS est_union,
-           round(ea.est + eb.est - u.estu, 6) + 0.0 AS overlap_est,
+           CAST(floor(ea.est*1000000.0 + 0.5) AS BIGINT)/1000000.0 AS est_a,
+           CAST(floor(eb.est*1000000.0 + 0.5) AS BIGINT)/1000000.0 AS est_b,
+           CAST(floor(u.estu*1000000.0 + 0.5) AS BIGINT)/1000000.0 AS est_union,
+           (CASE WHEN ea.est + eb.est - u.estu >= 0
+                 THEN  CAST(floor( (ea.est + eb.est - u.estu)*1000000.0 + 0.5)
+                            AS BIGINT)
+                 ELSE -CAST(floor(-(ea.est + eb.est - u.estu)*1000000.0 + 0.5)
+                            AS BIGINT) END) / 1000000.0 AS overlap_est,
            CAST(coalesce(ex.exo, 0) AS BIGINT) AS exact_overlap
     FROM uest u
     JOIN est1 ea ON ea.event_type = u.ga
@@ -13351,7 +13373,8 @@ ORACLES["markup_stats"] = """
 
 # Degree spectrum = the LSH pair pipeline + a two-stage degree
 # count-of-counts; reuses the minhash_lsh_pairs SQL verbatim.
-ORACLES["dup_degree_spectrum"] = ORACLES["minhash_lsh_pairs"].replace(
+ORACLES["dup_degree_spectrum"] = _sql_surgery(
+    ORACLES["minhash_lsh_pairs"],
     "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2",
     """, p AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.2),
     deg AS (
