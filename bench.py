@@ -70,6 +70,63 @@ HEADLINE = {
     "ann_cosine_topk": q.q_ann_cosine_topk,
 }
 
+# Shared LSH->CC cluster assignment (VERDICT r10 #3): three pipeline
+# entries (dedup_clusters_lsh, cluster_keep_best_lsh, cluster_diameter)
+# audit the SAME clustering, and a real pipeline materializes the
+# assignment once — so the bench builds it once per sf_dir too.
+# `dedup_clusters_lsh` (first in the dict) is the entry whose timing IS
+# the construction (signatures -> banded candidates -> CC, materialized
+# via eager localCheckpoint); the two audits then time only their own
+# tails against the checkpointed assignment. pipeline_total is thereby
+# decomposable into unique work; the per-entry tail definitions are
+# re-baselined in BASELINE.md r11.
+_SHARED_CC: dict = {}
+
+
+def _lsh_cc(spark, sf_dir):
+    if sf_dir not in _SHARED_CC:
+        from kairos_spark.operators import dedup
+
+        d = q._tbl(spark, sf_dir, "documents").select("doc_id", "text")
+        pairs = dedup.minhash_lsh_pairs(
+            d, n=8, num_hashes=32, bands=16, threshold=0.2
+        )
+        _SHARED_CC[sf_dir] = dedup.connected_components(pairs).localCheckpoint(
+            eager=True
+        )
+    return _SHARED_CC[sf_dir]
+
+
+def bench_dedup_clusters_lsh(spark, sf_dir):
+    """Times the full LSH->CC construction (the q_dedup_clusters_lsh
+    plan) INCLUDING materialization; the audits below reuse the
+    checkpointed assignment."""
+    _SHARED_CC.pop(sf_dir, None)  # never time a warm cache
+    return _lsh_cc(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+def bench_cluster_keep_best_tail(spark, sf_dir):
+    """cluster_keep_best_lsh's own tail: quality_score + per-cluster
+    argmax over the shared assignment (construction timed once above)."""
+    from kairos_spark.operators import dedup, text
+
+    scored = text.quality_score(q._tbl(spark, sf_dir, "documents"))
+    return dedup.cluster_representatives(_lsh_cc(spark, sf_dir), scored)
+
+
+def bench_cluster_diameter_tail(spark, sf_dir):
+    """cluster_diameter's own tail: size-capped within-cluster exact
+    all-member-pairs Jaccard over the shared assignment."""
+    from kairos_spark.operators import dedup
+
+    d = q._tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.cluster_diameter(
+        d, n=8, num_hashes=32, bands=16, clusters=_lsh_cc(spark, sf_dir)
+    )
+
+
 # Pipeline-scale section (added round 5): the heavy training-data
 # operators, benched SEPARATELY so scale regressions in the pipeline
 # layer are visible round-over-round. The 23-query HEADLINE set above
@@ -77,7 +134,7 @@ HEADLINE = {
 # this section; BASELINE.md records the round-5 numbers as this
 # section's own baseline.
 PIPELINE = {
-    "dedup_clusters_lsh": q.q_dedup_clusters_lsh,
+    "dedup_clusters_lsh": bench_dedup_clusters_lsh,
     "knn_join": q.q_knn_join,
     "tfidf_top_terms": q.q_tfidf_top_terms,
     "duplicated_spans": q.q_duplicated_spans,
@@ -149,7 +206,9 @@ PIPELINE = {
     # numbers as their own baselines per the freeze rule. The other
     # seven r10 queries are group-/list-/doc-grain light scans, not
     # benched.
-    "cluster_keep_best_lsh": q.q_cluster_keep_best_lsh,
+    # r11: timed as the TAIL over the shared assignment (see above) —
+    # re-baselined in BASELINE.md r11
+    "cluster_keep_best_lsh": bench_cluster_keep_best_tail,
     "contamination_spans": q.q_contamination_spans,
     # continuation-session r10 additions — the three corpus-scale
     # shapes not already represented (two kNN passes over the corpus;
@@ -168,7 +227,9 @@ PIPELINE = {
     # join-back). BASELINE.md records its first number as its own
     # baseline. The other nine second-continuation queries are
     # group-/class-/moment-grain (< 1.5 s class), not benched.
-    "cluster_diameter": q.q_cluster_diameter,
+    # r11: timed as the TAIL over the shared assignment (see above) —
+    # re-baselined in BASELINE.md r11
+    "cluster_diameter": bench_cluster_diameter_tail,
 }
 
 
@@ -182,7 +243,7 @@ def pipeline_stats(spark, sf_dir):
     data-vs-box question should be decidable from the bench JSON alone.
     NOT timed — runs after the timed pass; costs one extra pass over
     each pipeline."""
-    from kairos_spark.operators import dedup, graph
+    from kairos_spark.operators import dedup, graph, similarity, text
 
     d = q._tbl(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = dedup.minhash_lsh_pairs(
@@ -258,7 +319,52 @@ def pipeline_stats(spark, sf_dir):
             )
         ).collect()[0][0]
     )
+    # bm25_topk volumes (VERDICT r10 #2): wall time is driven by the
+    # posting rows that survive the query-vocab broadcast semi-join
+    # and the candidate docs the per-query top-k window ranks — both
+    # functions of query-term document frequency in the (regenerated)
+    # corpus, so they move round to round with no code change.
+    toks = docs.select(
+        "doc_id", F.explode(text.word_tokens(F.col("text"))).alias("term")
+    )
+    vocab = spark.createDataFrame(
+        sorted({t for _, terms in q._BM25_QUERIES for t in terms}),
+        "string",
+    ).toDF("term")
+    postings = toks.join(F.broadcast(vocab), "term").localCheckpoint(eager=True)
+    n_postings = postings.count()
+    n_bm25_cand_docs = postings.select("doc_id").distinct().count()
+    # prefix_jaccard_sample volumes: candidate pairs entering the
+    # verify join and output pairs — the same 1-in-5 doc sample the
+    # bench entry runs on; built from the operator's own candidate
+    # stage so the counter can't drift from the plan.
+    sample = docs.where(F.col("doc_id") % 5 == 0)
+    _, pj_cand = dedup._prefix_jaccard_candidates(
+        sample, "text", "doc_id", 0.95, "[a-z]+"
+    )
+    n_pj_cand = pj_cand.count()
+    n_pj_out = dedup.prefix_jaccard_pairs(sample, threshold=0.95).count()
+    # semdedup_k32 volumes: the pair fan-out is Σ|cluster|·(|cluster|−1)/2
+    # over the deterministic k-means assignment — the exact candidate
+    # count its within-cluster self-join scores.
+    sd_sizes = (
+        similarity._kmeans_final_assign(emb, 32, 2, "vec_id", "embedding")
+        .groupBy("cid")
+        .agg(F.count("*").cast("long").alias("__s"))
+    )
+    sd = sd_sizes.agg(
+        F.count("*").alias("nc"),
+        F.coalesce(
+            F.sum(F.col("__s") * (F.col("__s") - 1) / F.lit(2)), F.lit(0.0)
+        ).alias("np"),
+    ).collect()[0]
     return {
+        "bm25_posting_rows": int(n_postings),
+        "bm25_candidate_docs": int(n_bm25_cand_docs),
+        "prefix_jaccard_candidate_pairs": int(n_pj_cand),
+        "prefix_jaccard_output_pairs": int(n_pj_out),
+        "semdedup_k32_clusters": int(sd["nc"]),
+        "semdedup_k32_candidate_pairs": int(sd["np"]),
         "knn_queries": int(n_queries),
         "knn_corpus_vectors": int(n_corpus),
         "knn_scored_rows": int(n_queries * (n_corpus - 1)),

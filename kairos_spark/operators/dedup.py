@@ -953,50 +953,19 @@ def dup_inflation(
     )
 
 
-def prefix_jaccard_pairs(
+def _prefix_jaccard_candidates(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.95,
-    pattern: str = "[a-z]+",
-) -> DataFrame:
-    """EXACT Jaccard similarity self-join with prefix filtering — the
-    AllPairs/ppjoin family (Bayardo et al. WWW'07, Xiao et al.
-    WWW'08), the third point in this engine's near-dup design space:
-    MinHash-LSH is probabilistic-recall/cheap, the all-pairs shingle
-    join is exact/quadratic (quarantined as oracle), and prefix
-    filtering is EXACT with subquadratic candidates — the right tool
-    when the threshold is high and misses are unacceptable (e.g.
-    eval-set decontamination at 0.9+).
-
-    Why it is lossless: J(x,y) >= t implies overlap >= ceil(t·|x|)
-    (since |y| >= o: o >= t(|x|+|y|-o) >= t|x|), and two sets with
-    overlap >= o_min must share an element among the first
-    |x| - o_min + 1 elements of any COMMON total order — so docs are
-    sorted by ascending document frequency (rarest token first,
-    breaking ties lexically) and only prefix tokens generate
-    candidates. The df-ascending order is what makes prefixes
-    selective: rare tokens index few documents. A conservative 1e-9
-    epsilon inside the ceil only ever LENGTHENS the prefix, so float
-    rounding can add candidates but never lose a true pair.
-
-    Candidates also pass the length filter min >= t·max before the
-    verify join; survivors get their TRUE overlap counted and the
-    exact Jaccard test applied — output contains no approximation.
-
-    Output: (id_a, id_b, size_a, size_b, overlap, jaccard) with
-    id_a < id_b, jaccard rounded 6 (filter on the raw value).
-
-    Scale shape (100 TB): token df is one aggregate; the per-doc
-    sorted token array is a groupBy collect over doc-grain state
-    (bounded by doc length); candidates come from equality joins on
-    PREFIX tokens only (≈ (1-t)·|d| + 1 per doc — at t=0.95 that is
-    ~5% of the explode volume); the verify join runs only over
-    candidate pairs. No all-pairs stage exists in the plan
-    (plan-asserted !CartesianProduct/!NestedLoop); hot prefix tokens
-    are rare BY CONSTRUCTION (df-ascending order puts common tokens
-    last, outside prefixes).
-    """
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    pattern: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The token stream and the length-filtered candidate pair set of
+    :func:`prefix_jaccard_pairs` (everything before the verify join) —
+    split out so bench.py can count the candidate volume (VERDICT r10
+    #2) with the exact production stages rather than a re-derivation.
+    Returns (toks, cand): toks is (__id, token) distinct doc-token
+    rows; cand is (id_a, id_b, size_a, size_b) with id_a < id_b."""
     toks = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -1046,6 +1015,56 @@ def prefix_jaccard_pairs(
             F.col("b.__sz").alias("size_b"),
         )
         .distinct()
+    )
+    return toks, cand
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+    pattern: str = "[a-z]+",
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join with prefix filtering — the
+    AllPairs/ppjoin family (Bayardo et al. WWW'07, Xiao et al.
+    WWW'08), the third point in this engine's near-dup design space:
+    MinHash-LSH is probabilistic-recall/cheap, the all-pairs shingle
+    join is exact/quadratic (quarantined as oracle), and prefix
+    filtering is EXACT with subquadratic candidates — the right tool
+    when the threshold is high and misses are unacceptable (e.g.
+    eval-set decontamination at 0.9+).
+
+    Why it is lossless: J(x,y) >= t implies overlap >= ceil(t·|x|)
+    (since |y| >= o: o >= t(|x|+|y|-o) >= t|x|), and two sets with
+    overlap >= o_min must share an element among the first
+    |x| - o_min + 1 elements of any COMMON total order — so docs are
+    sorted by ascending document frequency (rarest token first,
+    breaking ties lexically) and only prefix tokens generate
+    candidates. The df-ascending order is what makes prefixes
+    selective: rare tokens index few documents. A conservative 1e-9
+    epsilon inside the ceil only ever LENGTHENS the prefix, so float
+    rounding can add candidates but never lose a true pair.
+
+    Candidates also pass the length filter min >= t·max before the
+    verify join; survivors get their TRUE overlap counted and the
+    exact Jaccard test applied — output contains no approximation.
+
+    Output: (id_a, id_b, size_a, size_b, overlap, jaccard) with
+    id_a < id_b, jaccard rounded 6 (filter on the raw value).
+
+    Scale shape (100 TB): token df is one aggregate; the per-doc
+    sorted token array is a groupBy collect over doc-grain state
+    (bounded by doc length); candidates come from equality joins on
+    PREFIX tokens only (≈ (1-t)·|d| + 1 per doc — at t=0.95 that is
+    ~5% of the explode volume); the verify join runs only over
+    candidate pairs. No all-pairs stage exists in the plan
+    (plan-asserted !CartesianProduct/!NestedLoop); hot prefix tokens
+    are rare BY CONSTRUCTION (df-ascending order puts common tokens
+    last, outside prefixes).
+    """
+    toks, cand = _prefix_jaccard_candidates(
+        df, text_col, id_col, threshold, pattern
     )
     ta = toks.select(F.col("__id").alias("id_a"), "token")
     tb = toks.select(F.col("__id").alias("id_b"), "token")
@@ -1878,6 +1897,7 @@ def cluster_diameter(
     threshold_num: int = 1,
     threshold_den: int = 5,
     max_cluster_size: int = 64,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Transitive-chaining audit over the LSH dedup clusters — the
     known failure mode of connected-component near-dup clustering
@@ -1905,7 +1925,15 @@ def cluster_diameter(
     and is capped at ``max_cluster_size`` (Σ|c|² bounded, the semdedup
     precedent) — oversized clusters are by definition chained and are
     excluded from the pair fan-out rather than allowed to explode it.
-    Shingles join back on (cluster, shingle); raw text never pairs."""
+    Shingles join back on (cluster, shingle); raw text never pairs.
+
+    ``clusters`` (optional): a precomputed (node, cluster_id)
+    assignment from the SAME LSH parameters — a production pipeline
+    materializes the cluster assignment once and every audit reads it,
+    instead of re-running candidates+CC per audit (VERDICT r10 #3;
+    bench.py shares one construction this way). When provided, the
+    LSH/CC stages are skipped and only the within-cluster audit
+    runs."""
     # The float threshold (LSH candidate filter) and the exact rational
     # (chained-pair predicate) encode ONE value: derive the float from
     # the rational by default, and refuse a contradictory explicit pair
@@ -1918,11 +1946,14 @@ def cluster_diameter(
             f"threshold {threshold} != threshold_num/threshold_den "
             f"{threshold_num}/{threshold_den}"
         )
-    pairs = minhash_lsh_pairs(
-        df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands,
-        threshold=threshold,
-    )
-    cc = connected_components(pairs)
+    if clusters is None:
+        pairs = minhash_lsh_pairs(
+            df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold,
+        )
+        cc = connected_components(pairs)
+    else:
+        cc = clusters
     csize = cc.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("size")
     )

@@ -402,13 +402,18 @@ def bfs_reach(
     set — all equality hash joins; frontier size is bounded by the
     reachable set. Seeds are a broadcast-sized dimension carried as a
     column, so all seeds expand in the SAME joins (one pass per hop,
-    not per seed). Each hop is materialized EAGERLY: the hop's
-    (seed, n_reached) rows — at most ``n_seeds`` of them — are
-    collected and the superseded hop's visited/frontier caches dropped
-    immediately, so at most two hops' state is cached at any moment
-    and nothing stays cached after return (ADVICE r5). The returned
-    trace is a small local DataFrame; the joins run distributed during
-    the eager pass."""
+    not per seed). All hops' (seed, hop, n_reached) counts — at most
+    ``n_seeds``·``hops`` rows — are unioned and collected in ONE job
+    (VERDICT r10 #4: the old one-collect-per-hop loop paid hops+1
+    scheduler barriers, which driver-box contention amplified 2×;
+    every hop's frontier/visited stays persisted until that single
+    collect — the persisted blocks are computed once inside the job
+    and reused across the hop branches — and everything is unpersisted
+    in the same ``finally``, so nothing stays cached after return
+    (ADVICE r5). Cached state is bounded by hops·|reachable| node
+    rows, fine for the trace grain this runs at. The returned trace is
+    a small local DataFrame; the joins run distributed during the
+    collect."""
     # Persist the undirected edge list ONCE: every hop joins against
     # it, and callers routinely hand in an EXPENSIVE lazy plan (e.g.
     # coactivity_edges: events scan -> cell groupBy -> per-cell pairs).
@@ -433,14 +438,14 @@ def bfs_reach(
     visited = seeds.select("seed", F.col("seed").alias("node"))
     frontier = visited
     spark = edges.sparkSession
-    rows = []
-    schema = None
     cached = []
+    per_hop = []
     try:
         for hop in range(1, hops + 1):
             nxt = _bfs_hop(frontier, und, visited).persist()
             new_visited = visited.union(nxt).persist()
-            hop_counts = (
+            cached.extend((nxt, new_visited))
+            per_hop.append(
                 new_visited.where(F.col("node") != F.col("seed"))
                 .groupBy("seed")
                 .agg(F.count("*").cast("long").alias("n_reached"))
@@ -448,15 +453,13 @@ def bfs_reach(
                     "seed", F.lit(hop).cast("long").alias("hop"), "n_reached"
                 )
             )
-            schema = hop_counts.schema
-            rows.extend(hop_counts.collect())
-            # new_visited (and nxt inside it) are materialized now;
-            # the superseded hop's caches can go.
-            for df in cached:
-                df.unpersist()
-            cached = [nxt, new_visited]
             visited = new_visited
             frontier = nxt
+        trace = per_hop[0]
+        for h in per_hop[1:]:
+            trace = trace.unionByName(h)
+        schema = trace.schema
+        rows = trace.collect()  # the ONE scheduler barrier
     finally:
         for df in cached:
             df.unpersist()
