@@ -2152,3 +2152,137 @@ def dup_degree_spectrum(pairs: DataFrame) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+def url_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    pattern: str = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/-]*)?",
+) -> DataFrame:
+    """RefinedWeb-style URL-grain deduplication audit (Penedo et al.
+    2023, arXiv:2306.01116 §3.2: URL dedup runs FIRST, before any
+    content processing, because re-crawls and aggregator mirrors are
+    the cheapest duplicates to kill). Each document's canonical URL is
+    its first extracted link, NORMALIZED (scheme stripped, lowercased,
+    trailing slashes removed); the keep rule is global min-id per
+    normalized URL (the crawl-order "first fetch wins"). Per group:
+    total docs, docs carrying a URL, distinct normalized URLs, docs a
+    URL-grain dedup would DROP (non-keepers), and the dropped
+    fraction — the number that says how much of a source is re-crawl
+    echo before any expensive content dedup runs.
+
+    Engine notes: the URL charset ``[A-Za-z0-9.-/_]`` is pure ASCII by
+    construction, so plain lower() is safe (the İ/Σ SpecialCasing
+    hazard needs non-ASCII input); the trailing-slash strip anchors
+    with ``\\z`` on the Spark side (Java ``$`` also matches before a
+    final newline — r8 lesson) and ``$`` in RE2 oracles. dup_frac is
+    an exact integer ratio; groups join a broadcast spine so no group
+    row is ever NULL.
+
+    Scale shape: extraction is map-side; the first-fetch aggregate and
+    its join-back shuffle NORMALIZED-URL-grain rows (short strings,
+    combiner-friendly); group stats are a |groups|-row aggregate. Raw
+    text never shuffles."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("grp"),
+        F.regexp_extract(F.col(text_col), pattern, 0).alias("__u0"),
+    )
+    urls = base.where(F.col("__u0") != "").select(
+        "__id",
+        "grp",
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("__u0")), "^https?://", ""),
+            r"/+\z",
+            "",
+        ).alias("__url"),
+    )
+    first = urls.groupBy("__url").agg(F.min("__id").alias("__keep"))
+    j = urls.join(first, "__url")
+    per = j.groupBy("grp").agg(
+        F.count("*").cast("long").alias("__ud"),
+        F.count_distinct(F.col("__url")).cast("long").alias("__uu"),
+        F.sum(F.when(F.col("__id") != F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("__dd"),
+    )
+    ad = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return ad.join(F.broadcast(per), "grp", "left").select(
+        "grp",
+        "n_docs",
+        F.coalesce(F.col("__ud"), F.lit(0)).cast("long").alias("url_docs"),
+        F.coalesce(F.col("__uu"), F.lit(0)).cast("long").alias("uniq_urls"),
+        F.coalesce(F.col("__dd"), F.lit(0)).cast("long").alias("dup_docs"),
+        _round6_ratio(
+            F.coalesce(F.col("__dd"), F.lit(0)), F.col("n_docs")
+        ).alias("dup_frac"),
+    )
+
+
+def doc_disposition(
+    df: DataFrame,
+    quality_threshold: float = 0.5,
+    blocked_phrases: tuple = ("All Rights Reserved", "Privacy Policy"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Dolma-style fused pipeline audit (Soldaini et al. 2024,
+    arXiv:2402.00159: taggers + dedup + mixer resolved into ONE
+    per-document disposition): every doc gets exactly one label in
+    pipeline priority order — ``dup`` (not the min-id keeper of its
+    exact content digest), else ``low_quality`` (composite quality
+    below ``quality_threshold``), else ``blocked`` (carries a
+    C4-blocklist phrase), else ``keep`` — and the output is the
+    (group, disposition) histogram with exact per-group fractions.
+    This is the one table a pipeline owner reads before shipping a
+    mix: how much of each source dies, and to WHICH stage (the same
+    doc dying to dedup vs toxicity implies opposite fixes).
+
+    Composes the already-verified stages (``exact_dedup``'s digest
+    keep rule, ``text.quality_score``, the blocklist contains-scan) in
+    one DataFrame plan — Catalyst fuses the map-side flags and prunes
+    text after the digest/stats projections. quality compares on the
+    ROUND-6 score (engine-identical by quality_score's contract).
+
+    Scale shape: digest keeper = one digest-grain aggregate + a
+    digest-grain join-back (the exact_dedup shape); quality joins at
+    doc grain; the histogram is |groups|·4 rows. Raw text shuffles
+    only as 32-char digests."""
+    from kairos_spark.operators.text import quality_score
+
+    blk = F.lit(False)
+    for p in blocked_phrases:
+        blk = blk | F.col("__t").contains(p)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("grp"),
+        F.col(text_col).alias("__t"),
+    ).select("__id", "grp", F.md5("__t").alias("__d"), blk.alias("__blk"))
+    keep = base.groupBy("__d").agg(F.min("__id").alias("__keep"))
+    qs = quality_score(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("__id"), "quality"
+    )
+    j = base.join(keep, "__d").join(qs, "__id")
+    disp = (
+        F.when(F.col("__id") != F.col("__keep"), F.lit("dup"))
+        .when(F.col("quality") < F.lit(quality_threshold), F.lit("low_quality"))
+        .when(F.col("__blk"), F.lit("blocked"))
+        .otherwise(F.lit("keep"))
+    )
+    per = j.groupBy("grp", disp.alias("disposition")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    return per.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "disposition",
+        "n_docs",
+        _round6_ratio(F.col("n_docs"), F.col("__n")).alias("frac"),
+    )

@@ -3288,3 +3288,82 @@ def language_mix(
             F.coalesce(F.col("mixed_docs"), F.lit(0)), F.col("n_docs")
         ).alias("mixed_frac"),
     )
+
+
+def char_rep_rate(
+    df: DataFrame,
+    k: int = 10,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Gopher-style repeated-substring rate at CHARACTER grain (Rae et
+    al. 2021, arXiv:2112.11446 §A1.1 "fraction of characters in
+    duplicate n-grams", the dup-10-gram rule): per group, the fraction
+    of sampled k-char windows whose k-gram occurs ≥ 2 times WITHIN its
+    document — the repetition signal that catches looping generations,
+    boilerplate stutter and scraper echo that WORD-gram repetition
+    (``repetition_stats``) misses when the repeat crosses token
+    boundaries (e.g. digit runs, markup). Suffix-automaton-free: the
+    strided window sample is the published rule's practical form.
+
+    ``stride`` is the scale knob: positions 1, 1+stride, … — stride=1
+    is the exact Gopher statistic at a k× char blowup, stride=k is
+    non-overlapping coverage at ~1× (what a 100 TB run uses; the
+    default 4 keeps the sample dense at 2.5× for the audit grain this
+    runs at). Both engines window by CODE POINTS (Spark substring and
+    DuckDB substr are both codepoint-addressed — the byte-vs-codepoint
+    hazard only bites byte-denominated oracles, r7 lesson).
+
+    Output per group: n_docs (docs with ≥ 1 window, i.e. length ≥ k),
+    n_grams (sampled windows), dup_grams (windows whose gram repeats
+    in-doc), rep_rate = dup_grams/n_grams (exact integer ratio;
+    -1.0 sentinel for groups with no eligible doc — never NULL).
+
+    Scale shape: the window explode is map-side (Generate, ~len/stride
+    rows per doc); the first shuffle groups (doc, gram) with map-side
+    combine, the second is |groups|-sized. No joins over raw text; the
+    all-groups spine join is a broadcast."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("grp"),
+        F.col(text_col).alias("__t"),
+    )
+    pos = (
+        base.where(F.length("__t") >= k)
+        .select(
+            "__id",
+            "grp",
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("__t") - F.lit(k - 1), F.lit(stride)
+                )
+            ).alias("__p"),
+        )
+        .select("__id", "grp", F.expr(f"substring(__t, __p, {k})").alias("__g"))
+    )
+    pg = pos.groupBy("__id", "grp", "__g").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    per = pg.groupBy("grp").agg(
+        F.count_distinct(F.col("__id")).cast("long").alias("__nd"),
+        F.sum("__c").cast("long").alias("__np"),
+        F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__dup"),
+    )
+    allg = df.select(F.col(group_col).alias("grp")).distinct()
+    return allg.join(F.broadcast(per), "grp", "left").select(
+        "grp",
+        F.coalesce(F.col("__nd"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("__np"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("dup_grams"),
+        F.when(
+            F.col("__np").isNotNull(),
+            _round6_ratio(F.coalesce(F.col("__dup"), F.lit(0)), F.col("__np")),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("rep_rate"),
+    )

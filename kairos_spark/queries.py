@@ -3669,6 +3669,70 @@ def q_forecast_mase(spark, sf_dir):
     )
 
 
+def q_char_rep_rate(spark, sf_dir):
+    """Gopher dup-10-gram repetition rate at char grain per source
+    (stride-4 window sample; exact integer ratios; -1.0 sentinel for
+    sources with no ≥10-char doc)."""
+    return text.char_rep_rate(
+        _tbl(spark, sf_dir, "documents"), k=10, stride=4
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """RefinedWeb URL-grain dedup audit: deterministically
+    link-decorated docs (the link_density decoration — doc_id % 50 /
+    % 20 hosts make REAL cross-doc URL collisions), first-URL
+    canonicalization, global first-fetch-wins keep rule, per-source
+    drop stats."""
+    docs = _tbl(spark, sf_dir, "documents")
+    deco = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" see https://example"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".com/page"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" and http://mirror"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".org/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return dedup.url_dedup(deco)
+
+
+def q_doc_disposition(spark, sf_dir):
+    """Dolma-style fused pipeline audit: one disposition per doc
+    (dup > low_quality > blocked > keep, pipeline priority order) over
+    blocklist-decorated docs (the blocklist_audit %13 footer keeps the
+    blocked class non-degenerate), histogrammed per source with exact
+    fractions."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    decorated = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" All Rights Reserved. See our Privacy Policy, click here {"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return dedup.doc_disposition(decorated)
+
+
 def q_brier_decomposition(spark, sf_dir):
     """Murphy decomposition of the Brier score for the length-based
     score vs the English label (same score contract as
@@ -3939,6 +4003,9 @@ QUERIES = {
     "language_mix": q_language_mix,
     "brier_decomposition": q_brier_decomposition,
     "forecast_mase": q_forecast_mase,
+    "char_rep_rate": q_char_rep_rate,
+    "url_dedup": q_url_dedup,
+    "doc_disposition": q_doc_disposition,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13518,4 +13585,109 @@ ORACLES["forecast_mase"] = """
                           AS BIGINT) / 1000000.0
                 ELSE -1.0 END AS mase
     FROM agg
+"""
+
+ORACLES["char_rep_rate"] = """
+    WITH el AS (
+      SELECT doc_id, source, text FROM documents WHERE length(text) >= 10
+    ),
+    pos AS (
+      SELECT doc_id, source,
+             substr(text, CAST(i AS INTEGER), 10) AS g
+      FROM el, LATERAL unnest(
+        generate_series(1, length(text) - 9, 4)
+      ) AS t(i)
+    ),
+    pg AS (
+      SELECT doc_id, source, g, count(*) AS c FROM pos GROUP BY 1, 2, 3
+    ),
+    per AS (
+      SELECT source AS grp,
+             count(DISTINCT doc_id) AS nd,
+             sum(c) AS np,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+      FROM pg GROUP BY 1
+    ),
+    allg AS (SELECT DISTINCT source AS grp FROM documents)
+    SELECT allg.grp,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(np, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(dup, 0) AS BIGINT) AS dup_grams,
+           CASE WHEN np IS NULL THEN -1.0
+                ELSE floor((2000000*coalesce(dup, 0) + np) / (2.0*np))
+                     / 1000000.0 END AS rep_rate
+    FROM allg LEFT JOIN per ON per.grp = allg.grp
+"""
+
+ORACLES["url_dedup"] = """
+    WITH deco AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' see https://example' || (doc_id % 50)::VARCHAR || '.com/page'
+                  ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                  THEN ' and http://mirror' || (doc_id % 20)::VARCHAR || '.org/x'
+                  ELSE '' END AS t
+      FROM documents
+    ),
+    ext AS (
+      SELECT doc_id, source,
+             regexp_extract(t, 'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/-]*)?') AS u0
+      FROM deco
+    ),
+    urls AS MATERIALIZED (
+      SELECT doc_id, source,
+             regexp_replace(regexp_replace(lower(u0), '^https?://', ''),
+                            '/+$', '') AS url
+      FROM ext WHERE u0 <> ''
+    ),
+    first AS (SELECT url, min(doc_id) AS keep FROM urls GROUP BY 1),
+    j AS (
+      SELECT u.source, u.url, u.doc_id, f.keep
+      FROM urls u JOIN first f USING (url)
+    ),
+    per AS (
+      SELECT source AS grp, count(*) AS ud, count(DISTINCT url) AS uu,
+             sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END) AS dd
+      FROM j GROUP BY 1
+    ),
+    ad AS (SELECT source AS grp, count(*) AS n FROM documents GROUP BY 1)
+    SELECT ad.grp,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(coalesce(ud, 0) AS BIGINT) AS url_docs,
+           CAST(coalesce(uu, 0) AS BIGINT) AS uniq_urls,
+           CAST(coalesce(dd, 0) AS BIGINT) AS dup_docs,
+           floor((2000000*coalesce(dd, 0) + n) / (2.0*n)) / 1000000.0 AS dup_frac
+    FROM ad LEFT JOIN per ON per.grp = ad.grp
+"""
+
+ORACLES["doc_disposition"] = """
+    WITH deco AS MATERIALIZED (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 0
+                  THEN text || ' All Rights Reserved. See our Privacy Policy, click here {'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    d0 AS (
+      SELECT doc_id, source, md5(text) AS dg,
+             (text LIKE '%All Rights Reserved%'
+              OR text LIKE '%Privacy Policy%') AS blk
+      FROM deco
+    ),
+    keep AS (SELECT dg, min(doc_id) AS k FROM d0 GROUP BY 1),""" + _quality_cte_sql("deco") + """,
+    j AS (
+      SELECT d0.source AS grp,
+             CASE WHEN d0.doc_id <> keep.k THEN 'dup'
+                  WHEN q.quality < 0.5 THEN 'low_quality'
+                  WHEN d0.blk THEN 'blocked'
+                  ELSE 'keep' END AS disposition
+      FROM d0 JOIN keep USING (dg) JOIN q ON q.doc_id = d0.doc_id
+    ),
+    tot AS (SELECT source AS grp, count(*) AS n FROM deco GROUP BY 1)
+    SELECT j.grp, disposition, count(*)::BIGINT AS n_docs,
+           floor((2000000*count(*) + n) / (2.0*n)) / 1000000.0 AS frac
+    FROM j JOIN tot ON tot.grp = j.grp
+    GROUP BY 1, 2, n
 """

@@ -21,6 +21,9 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "char_rep_rate",
+    "url_dedup",
+    "doc_disposition",
     "forecast_mase",
     "brier_decomposition",
     "language_mix",
@@ -347,6 +350,15 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # r11: strided window explode is map-side Generate; both shuffles
+    # are hash aggregates; group spine joins by broadcast — no NLJ/SMJ
+    "char_rep_rate": ["Generate", "HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # r11: URL extraction map-side; first-fetch aggregate + url-grain
+    # hash join-back; group spine broadcast — no NLJ
+    "url_dedup": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # r11: digest keeper aggregate + digest/doc-grain hash joins; the
+    # |groups|-row totals broadcast — no NLJ/cartesian
+    "doc_disposition": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # one map-only all-signals projection per doc, one per-source
     # combiner aggregate — no joins, no windows, text never shuffles
     "code_detect": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
