@@ -2286,3 +2286,51 @@ def doc_disposition(
         "n_docs",
         _round6_ratio(F.col("n_docs"), F.col("__n")).alias("frac"),
     )
+
+
+def cross_shard_novelty(
+    df: DataFrame,
+    shard_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest novelty curve: shard the corpus by id order
+    (``shard = id div shard_size`` — the crawl-batch stand-in), digest
+    every doc, and report per shard how much of it is content already
+    seen in ANY earlier shard. This is the number that decides whether
+    an incremental pipeline needs cross-batch dedup state at all (the
+    ``dedup_incremental`` anti-join's value measured before building
+    it) and how fast a feed goes stale: a healthy crawl holds
+    stale_frac low and flat; a feed that re-serves its archive shows
+    it climbing toward 1. Within-shard duplicates deliberately do NOT
+    count as stale — they are the local exact-dedup's job; stale means
+    the digest's FIRST shard is strictly earlier.
+
+    Per shard: n_docs, stale_docs (first-seen earlier), novel_digests
+    (digests debuting here), stale_frac (exact integer ratio).
+
+    Scale shape: one digest-grain first-occurrence aggregate (min
+    shard) + a digest-grain join-back — the exact_dedup shape; the
+    shard histogram is |shards| rows. Raw text never shuffles."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"CAST({id_col} AS BIGINT) div {shard_size}").alias("__sh"),
+        F.md5(F.col(text_col)).alias("__d"),
+    )
+    firsts = base.groupBy("__d").agg(F.min("__sh").alias("__fs"))
+    j = base.join(firsts, "__d")
+    return j.groupBy(F.col("__sh").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__fs") < F.col("__sh"), 1).otherwise(0))
+        .cast("long")
+        .alias("stale_docs"),
+        F.count_distinct(
+            F.when(F.col("__fs") == F.col("__sh"), F.col("__d"))
+        )
+        .cast("long")
+        .alias("novel_digests"),
+        _round6_ratio(
+            F.sum(F.when(F.col("__fs") < F.col("__sh"), 1).otherwise(0)),
+            F.count("*"),
+        ).alias("stale_frac"),
+    )

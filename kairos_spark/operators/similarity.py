@@ -1594,3 +1594,89 @@ def embedding_anisotropy(
         .otherwise(F.lit(0.0))
         .alias("top_share"),
     )
+
+
+def knn_stability(
+    df: DataFrame,
+    dim: int,
+    planes: int = 16,
+    k: int = 10,
+    max_id: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-neighborhood stability audit: on a bounded id-capped
+    sample, each vector's EXACT top-``k`` cosine neighbors are computed
+    twice — in the full ``dim``-d space and in a ``planes``-d
+    REAL-VALUED random projection (the same deterministic md5
+    hyperplanes as the SRP index family, kept as real dot products
+    instead of sign bits) — and the per-query neighbor-set overlap is
+    histogrammed. This is the Johnson–Lindenstrauss check at the grain
+    that actually matters for retrieval: ``rp_distortion`` audits
+    pairwise DISTANCES, this audits who-your-neighbors-ARE (the thing
+    k-NN graph builds, semantic dedup and UMAP-style maps consume). A
+    healthy projection concentrates mass at overlap ≈ k; a flat or
+    low histogram means ``planes`` dims lose the neighborhood and any
+    index built on them will too. Returns (overlap, n_queries),
+    overlap ∈ [0, k].
+
+    Determinism: projection components, norms and cosines are all
+    sequential in-row folds (``dot``/``norm``), bit-identical to the
+    oracle's ordered list_dot_product; cosines quantize to integer
+    µ-units with the sign·floor rule BEFORE ranking; both rankings
+    break ties on neighbor id (the top-k invariant). Zero-norm vectors
+    score the library's −1.0 sentinel in both spaces.
+
+    Scale shape: the sample is id-capped (default 128 → 16,256 scored
+    pairs, constant in corpus size) — the documented bounded-audit
+    pattern (rp_distortion precedent). A corpus-scale neighbor graph
+    would come from ``knn_join``; this audits the projection BEFORE
+    that spend."""
+    from pyspark.sql.window import Window
+
+    base = df.where(F.col(id_col) < max_id)
+    vec = F.col(vec_col).cast("array<double>")
+    n0 = base.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        F.array(*[dot(vec, _hyperplane(h, dim)) for h in range(planes)]).alias(
+            "pv"
+        ),
+    )
+    n = n0.select("id", "v", "pv", norm(F.col("v")).alias("nf"),
+                  norm(F.col("pv")).alias("np"))
+
+    def q6(cos):
+        mag = F.floor(F.abs(cos) * F.lit(1_000_000.0) + F.lit(0.5))
+        return F.when(cos >= 0, mag).otherwise(-mag).cast("long")
+
+    a, b = n.alias("a"), n.alias("b")
+    cf = F.when(
+        F.col("a.nf") * F.col("b.nf") > 0,
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nf") * F.col("b.nf")),
+    ).otherwise(F.lit(-1.0))
+    cp = F.when(
+        F.col("a.np") * F.col("b.np") > 0,
+        dot(F.col("a.pv"), F.col("b.pv")) / (F.col("a.np") * F.col("b.np")),
+    ).otherwise(F.lit(-1.0))
+    pairs = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("qa"),
+        F.col("b.id").alias("nb"),
+        q6(cf).alias("qf"),
+        q6(cp).alias("qp"),
+    )
+    wf = Window.partitionBy("qa").orderBy(F.col("qf").desc(), F.col("nb"))
+    wp = Window.partitionBy("qa").orderBy(F.col("qp").desc(), F.col("nb"))
+    r = pairs.select(
+        "qa",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    ov = r.groupBy("qa").agg(
+        F.sum(
+            F.when((F.col("rf") <= k) & (F.col("rp") <= k), 1).otherwise(0)
+        ).cast("long").alias("overlap")
+    )
+    return ov.groupBy("overlap").agg(
+        F.count("*").cast("long").alias("n_queries")
+    )

@@ -486,3 +486,85 @@ def hll_union_overlap(
             F.coalesce(F.col("__ex"), F.lit(0)).cast("long").alias("exact_overlap"),
         )
     )
+
+
+def bloom_fpr_audit(
+    df: DataFrame,
+    m: int = 4096,
+    j: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter sizing audit for digest-grain dedup (Bloom 1970;
+    the Broder-Mitzenmacher survey's standard m/k trade): before a
+    pipeline commits to an ``m``-bit / ``j``-hash filter as its
+    cross-shard "seen this content?" membership test, measure — on
+    the corpus itself, not the asymptotic formula — how full the
+    filter gets and how many REAL digests would already collide into
+    a false positive. A digest is FP-PRONE when every one of its ``j``
+    bit positions is also set by at least one OTHER digest: that is
+    exactly the membership test a filter built from the rest of the
+    corpus would wrongly pass, i.e. a novel document a Bloom-gated
+    dedup would silently DROP. One row out: digest count, set bits,
+    load fraction, FP-prone count and rate — all exact integer ratios.
+
+    Hashing is the repo's seed-free md5 rule (``md5(digest ':' i)``
+    hex-prefix mod m), reproducible in ANSI SQL. Self-collisions (two
+    of a digest's hashes on one bit) are handled at the distinct
+    (digest, pos) grain; "set by another" is then distinct-digest
+    count ≥ 2 at the position.
+
+    Scale shape: digests are one map-side projection + distinct;
+    positions explode ``j``-wide at digest grain; the per-position
+    distinct-count aggregate is bounded by m rows; the join-back is
+    position-grain. Raw text never shuffles — only 32-char digests
+    and integer positions."""
+    dg = df.select(F.md5(F.col(text_col)).alias("__d")).distinct()
+    pos = dg.select(
+        "__d",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col("__d"), F.lit(f":{i}")
+                                    )
+                                ),
+                                1,
+                                11,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % m
+                    )
+                    for i in range(j)
+                ]
+            )
+        ).alias("__p"),
+    ).distinct()
+    per_pos = pos.groupBy("__p").agg(
+        F.count_distinct(F.col("__d")).cast("long").alias("__c")
+    )
+    back = pos.join(per_pos, "__p")
+    per_dg = back.groupBy("__d").agg(
+        F.min(F.when(F.col("__c") >= 2, 1).otherwise(0)).alias("__fp")
+    )
+    from kairos_spark.operators.text import _round6_ratio
+
+    agg = per_dg.agg(
+        F.count("*").cast("long").alias("n_digests"),
+        F.sum("__fp").cast("long").alias("fp_prone"),
+    )
+    bits = per_pos.agg(F.count("*").cast("long").alias("n_set_bits"))
+    return agg.crossJoin(F.broadcast(bits)).select(
+        F.lit(m).cast("long").alias("m_bits"),
+        F.lit(j).cast("long").alias("j_hashes"),
+        "n_digests",
+        "n_set_bits",
+        _round6_ratio(F.col("n_set_bits"), F.lit(m)).alias("load_frac"),
+        "fp_prone",
+        _round6_ratio(F.col("fp_prone"), F.col("n_digests")).alias("fp_rate"),
+    )

@@ -3733,6 +3733,33 @@ def q_doc_disposition(spark, sf_dir):
     return dedup.doc_disposition(decorated)
 
 
+def q_knn_stability(spark, sf_dir):
+    """kNN-overlap stability of a 16-d real random projection vs the
+    full 64-d space on a bounded sample: (overlap@10, n_queries)
+    histogram — the JL check at retrieval grain."""
+    return similarity.knn_stability(
+        _tbl(spark, sf_dir, "embeddings"), dim=64, planes=16, k=10, max_id=128
+    )
+
+
+def q_bloom_fpr_audit(spark, sf_dir):
+    """Bloom-filter dedup sizing audit: corpus-measured load factor and
+    FP-prone digest rate for a 4096-bit / 3-hash filter over content
+    digests."""
+    return sketches.bloom_fpr_audit(
+        _tbl(spark, sf_dir, "documents"), m=4096, j=3
+    )
+
+
+def q_cross_shard_novelty(spark, sf_dir):
+    """Incremental-ingest novelty curve: per id-order shard of 100
+    docs, how much content is already seen in earlier shards (digest
+    first-occurrence grain; within-shard dups excluded by design)."""
+    return dedup.cross_shard_novelty(
+        _tbl(spark, sf_dir, "documents"), shard_size=100
+    )
+
+
 def q_brier_decomposition(spark, sf_dir):
     """Murphy decomposition of the Brier score for the length-based
     score vs the English label (same score contract as
@@ -4006,6 +4033,9 @@ QUERIES = {
     "char_rep_rate": q_char_rep_rate,
     "url_dedup": q_url_dedup,
     "doc_disposition": q_doc_disposition,
+    "knn_stability": q_knn_stability,
+    "bloom_fpr_audit": q_bloom_fpr_audit,
+    "cross_shard_novelty": q_cross_shard_novelty,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13690,4 +13720,106 @@ ORACLES["doc_disposition"] = """
            floor((2000000*count(*) + n) / (2.0*n)) / 1000000.0 AS frac
     FROM j JOIN tot ON tot.grp = j.grp
     GROUP BY 1, 2, n
+"""
+
+ORACLES["knn_stability"] = """
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+    hs AS (SELECT unnest(generate_series(0, 15)) AS h),
+    planes_t AS (
+      SELECT hs.h, dims.d,
+             (('0x' || substr(md5('plane' || hs.h || ':' || dims.d), 1, 8))::BIGINT
+              / 4294967296.0) * 2.0 - 1.0 AS c
+      FROM hs, dims
+    ),
+    pl AS MATERIALIZED (
+      SELECT h, list(c ORDER BY d) AS plv FROM planes_t GROUP BY 1
+    ),
+    e AS MATERIALIZED (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 128
+    ),
+    pvt AS (
+      SELECT e.id, pl.h, list_dot_product(e.v, pl.plv) AS dp FROM e, pl
+    ),
+    pe AS MATERIALIZED (
+      SELECT id, list(dp ORDER BY h) AS pv FROM pvt GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.id AS qa, b.id AS nb,
+        CASE WHEN list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v) > 0
+             THEN list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             ELSE -1.0 END AS cf,
+        CASE WHEN list_dot_product(pa.pv, pa.pv) * list_dot_product(pb.pv, pb.pv) > 0
+             THEN list_dot_product(pa.pv, pb.pv)
+                  / (sqrt(list_dot_product(pa.pv, pa.pv)) * sqrt(list_dot_product(pb.pv, pb.pv)))
+             ELSE -1.0 END AS cp
+      FROM e a JOIN e b ON a.id <> b.id
+      JOIN pe pa ON pa.id = a.id
+      JOIN pe pb ON pb.id = b.id
+    ),
+    q AS (
+      SELECT qa, nb,
+        CASE WHEN cf >= 0 THEN  CAST(floor( cf*1000000.0 + 0.5) AS BIGINT)
+                          ELSE -CAST(floor(-cf*1000000.0 + 0.5) AS BIGINT) END AS qf,
+        CASE WHEN cp >= 0 THEN  CAST(floor( cp*1000000.0 + 0.5) AS BIGINT)
+                          ELSE -CAST(floor(-cp*1000000.0 + 0.5) AS BIGINT) END AS qp
+      FROM pairs
+    ),
+    r AS (
+      SELECT qa,
+             row_number() OVER (PARTITION BY qa ORDER BY qf DESC, nb) AS rf,
+             row_number() OVER (PARTITION BY qa ORDER BY qp DESC, nb) AS rp
+      FROM q
+    ),
+    ov AS (
+      SELECT qa,
+             sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS o
+      FROM r GROUP BY 1
+    )
+    SELECT CAST(o AS BIGINT) AS overlap, count(*)::BIGINT AS n_queries
+    FROM ov GROUP BY 1
+"""
+
+ORACLES["bloom_fpr_audit"] = """
+    WITH dg AS MATERIALIZED (SELECT DISTINCT md5(text) AS d FROM documents),
+    pos AS MATERIALIZED (
+      SELECT DISTINCT d,
+             ('0x' || substr(md5(d || ':' || i), 1, 11))::BIGINT % 4096 AS p
+      FROM dg, LATERAL unnest(generate_series(0, 2)) AS t(i)
+    ),
+    per_pos AS MATERIALIZED (
+      SELECT p, count(DISTINCT d) AS c FROM pos GROUP BY 1
+    ),
+    per_dg AS (
+      SELECT d, min(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS fp
+      FROM pos JOIN per_pos USING (p) GROUP BY 1
+    ),
+    agg AS (SELECT count(*) AS n, sum(fp) AS fpp FROM per_dg),
+    bits AS (SELECT count(*) AS nb FROM per_pos)
+    SELECT CAST(4096 AS BIGINT) AS m_bits,
+           CAST(3 AS BIGINT) AS j_hashes,
+           CAST(n AS BIGINT) AS n_digests,
+           CAST(nb AS BIGINT) AS n_set_bits,
+           floor((2000000*nb + 4096) / (2.0*4096)) / 1000000.0 AS load_frac,
+           CAST(fpp AS BIGINT) AS fp_prone,
+           floor((2000000*fpp + n) / (2.0*n)) / 1000000.0 AS fp_rate
+    FROM agg, bits
+"""
+
+ORACLES["cross_shard_novelty"] = """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, CAST(doc_id AS BIGINT) // 100 AS sh, md5(text) AS d
+      FROM documents
+    ),
+    firsts AS (SELECT d, min(sh) AS fs FROM base GROUP BY 1)
+    SELECT CAST(sh AS BIGINT) AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN fs < sh THEN 1 ELSE 0 END)::BIGINT AS stale_docs,
+           count(DISTINCT CASE WHEN fs = sh THEN base.d END)::BIGINT
+             AS novel_digests,
+           floor((2000000*sum(CASE WHEN fs < sh THEN 1 ELSE 0 END) + count(*))
+                 / (2.0*count(*))) / 1000000.0 AS stale_frac
+    FROM base JOIN firsts USING (d)
+    GROUP BY 1
 """

@@ -140,3 +140,105 @@ def test_doc_disposition_dup_beats_blocked(spark):
     }
     # doc 2 is an exact dup AND blocked AND low-quality: dup wins
     assert out["dup"] == 1 and "keep" not in out
+
+
+# ------------------------------------------------------------- knn_stability
+
+def test_knn_stability_identical_spaces_full_overlap(spark):
+    # planes == dim with an identity-like projection is not available,
+    # but a RANK-PRESERVING scalar multiple is: projecting 2-d vectors
+    # with the SAME hyperplanes both ways must give overlap == k for
+    # every query when the projection IS the full space (planes large
+    # enough to preserve 2-d geometry almost surely). Instead pin the
+    # structural contract: overlaps sum to the query count and stay in
+    # [0, k].
+    from kairos_spark.operators import similarity
+    from pyspark.sql import Row
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + j * 3) % 11) for j in range(8)])
+        for i in range(24)
+    ]
+    d = spark.createDataFrame(rows)
+    out = similarity.knn_stability(d, dim=8, planes=16, k=5, max_id=24).collect()
+    assert sum(r.n_queries for r in out) == 24
+    assert all(0 <= r.overlap <= 5 for r in out)
+
+
+def test_knn_stability_duplicate_vectors_rank_deterministically(spark):
+    # identical vectors → cosine ties everywhere; ranking must still be
+    # total (id tiebreak), so every query sees the same k neighbors in
+    # both spaces → overlap == k
+    from kairos_spark.operators import similarity
+    from pyspark.sql import Row
+
+    d = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 2.0, 3.0, 4.0]) for i in range(12)]
+    )
+    out = similarity.knn_stability(d, dim=4, planes=8, k=3, max_id=12).collect()
+    assert len(out) == 1 and out[0].overlap == 3 and out[0].n_queries == 12
+
+
+# ------------------------------------------------------------ bloom_fpr_audit
+
+def test_bloom_fpr_saturated_filter_flags_everything(spark):
+    from kairos_spark.operators import sketches
+    from pyspark.sql import Row
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc number {i}") for i in range(64)]
+    )
+    # m=4 bits, j=2: with 64 digests every bit is set many times over →
+    # every digest FP-prone
+    (r,) = sketches.bloom_fpr_audit(d, m=4, j=2).collect()
+    assert r.n_digests == 64 and r.fp_prone == 64 and r.fp_rate == 1.0
+    assert r.n_set_bits <= 4 and r.load_frac == r.n_set_bits / 4
+
+
+def test_bloom_fpr_huge_filter_flags_nothing(spark):
+    from kairos_spark.operators import sketches
+    from pyspark.sql import Row
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=f"unique text {i}") for i in range(5)]
+    )
+    (r,) = sketches.bloom_fpr_audit(d, m=1 << 20, j=3).collect()
+    assert r.n_digests == 5 and r.fp_prone == 0 and r.fp_rate == 0.0
+
+
+def test_bloom_fpr_duplicate_texts_collapse(spark):
+    from kairos_spark.operators import sketches
+    from pyspark.sql import Row
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text="same payload") for i in range(10)]
+    )
+    (r,) = sketches.bloom_fpr_audit(d, m=64, j=3).collect()
+    assert r.n_digests == 1 and r.fp_prone == 0
+
+
+# -------------------------------------------------------- cross_shard_novelty
+
+def test_cross_shard_novelty_stale_and_local_dups(spark):
+    from pyspark.sql import Row
+
+    rows = (
+        [Row(doc_id=i, text=f"novel {i}") for i in range(4)]
+        # shard 1: two docs re-serving shard 0 content, one novel,
+        # one WITHIN-shard dup pair (not stale)
+        + [
+            Row(doc_id=10, text="novel 0"),
+            Row(doc_id=11, text="novel 1"),
+            Row(doc_id=12, text="fresh a"),
+            Row(doc_id=13, text="local dup"),
+            Row(doc_id=14, text="local dup"),
+        ]
+    )
+    d = spark.createDataFrame(rows)
+    out = {r.shard: r for r in dedup.cross_shard_novelty(d, shard_size=10).collect()}
+    s0, s1 = out[0], out[1]
+    assert s0.n_docs == 4 and s0.stale_docs == 0 and s0.novel_digests == 4
+    assert s1.n_docs == 5 and s1.stale_docs == 2
+    # fresh a + local dup debut here (local dup counts ONCE)
+    assert s1.novel_digests == 2
+    assert s1.stale_frac == 0.4

@@ -21,6 +21,9 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "knn_stability",
+    "bloom_fpr_audit",
+    "cross_shard_novelty",
     "char_rep_rate",
     "url_dedup",
     "doc_disposition",
@@ -350,6 +353,16 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # r11: bounded id-capped sample (128 vectors) — the pair join is a
+    # documented bounded-audit BNLJ; ranking windows over sample pairs
+    "knn_stability": ["PushedFilters", "Window", "HashAggregate", "!CartesianProduct"],
+    # r11: digest projection + distinct; per-position aggregate bounded
+    # by m; position-grain hash join-back — no NLJ (the 1-row bits
+    # crossJoin broadcasts)
+    "bloom_fpr_audit": ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
+    # r11: digest-grain first-occurrence aggregate + join-back; shard
+    # histogram — no NLJ/cartesian
+    "cross_shard_novelty": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # r11: strided window explode is map-side Generate; both shuffles
     # are hash aggregates; group spine joins by broadcast — no NLJ/SMJ
     "char_rep_rate": ["Generate", "HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
