@@ -4465,9 +4465,89 @@ _R10_WINDOW = [
     "interarrival",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+
+# --- Round-11 driver window (CLAUDE.md rotation rule). Layout:
+# (1) the 6 NEW r11 queries (never driver-checked); (2) the 19
+# late-r10 entries that have never been in a driver window (VERDICT
+# r10 #1 — the only registry entries whose driver-green status is
+# inherited from the mirror rather than observed; restores "every
+# registered query driver-checked at least once" when green);
+# (3) the 2 r10-checked entries whose expressions CHANGED this round
+# (ADVICE r10 signed-zero fixes: period_delta's oracle gained the
+# `+ 0.0` CASE normalization and its Spark side changed through
+# _round6_ratio_signed; theilsen_trend's slope routes through the
+# changed _round6_ratio_dec_signed) — mirror-green ×3, promoted for
+# driver re-check per the r8/r10 precedent. cuped_adjustment /
+# hll_union_overlap / cluster_diameter / dup_degree_spectrum also
+# changed this round but already sit in group (2). The OTHER formal
+# helper-change owners (rfm_segments, bootstrap_ci_mean,
+# post_stratified_mean, langid_kappa, embedding_moments,
+# rp_distortion, ts_series_transforms_hour, json_props_stats) are
+# identity-changed off the zero window, re-verified by the full
+# mirror, and stay in the tail cycle; (4) 23 rotation re-checks
+# continuing the tail cycle exactly as CLAUDE.md queued it (the 17
+# displaced re-checks, the 2 earlier-displaced ts_* rows, then the
+# oldest-driver-checked block).
+_R11_WINDOW = [
+    # (1) new r11
+    "char_rep_rate",
+    "url_dedup",
+    "doc_disposition",
+    "knn_stability",
+    "bloom_fpr_audit",
+    "cross_shard_novelty",
+    # (2) never-driver-checked late-r10 entries
+    "embedding_anisotropy",
+    "doc_gini",
+    "cohens_d",
+    "code_detect",
+    "cuped_adjustment",
+    "cluster_diameter",
+    "hll_union_overlap",
+    "order_count_histogram",
+    "qte_deciles",
+    "vocab_partial_corr",
+    "t_closeness",
+    "degree_assortativity",
+    "chunk_overlap",
+    "link_density",
+    "markup_stats",
+    "dup_degree_spectrum",
+    "language_mix",
+    "brier_decomposition",
+    "forecast_mase",
+    # (3) r11 expression-changed promotions
+    "period_delta",
+    "theilsen_trend",
+    # (4) rotation re-checks (tail cycle)
+    "cube_revenue",
+    "mad_outliers",
+    "schema_profile",
+    "fk_conformance",
+    "snapshot_diff",
+    "trend_slope",
+    "fd_check",
+    "event_debounce",
+    "count_correlation",
+    "revenue_deciles",
+    "fuzzy_match",
+    "label_agreement",
+    "interval_coverage",
+    "seasonal_baseline",
+    "key_skew_stats",
+    "event_pivot",
+    "ts_count_series_hour",
+    "ts_count_rate_minute",
+    "ts_fine_hour_minute",
+    "packing_efficiency",
+    "token_budget_alloc",
+    "shard_balance_audit",
+    "crosscorr_types",
+]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R10_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)},
+    **{k: QUERIES[k] for k in _R11_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
 }
 
 ORACLES = dict(_TS_ORACLES)
