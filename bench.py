@@ -230,6 +230,14 @@ PIPELINE = {
     # r11: timed as the TAIL over the shared assignment (see above) —
     # re-baselined in BASELINE.md r11
     "cluster_diameter": bench_cluster_diameter_tail,
+    # round-11 additions — the two corpus-scale r11 shapes (strided
+    # char-window explode over the whole corpus; digest+quality+
+    # blocklist fused disposition over the whole corpus). BASELINE.md
+    # records their first numbers as their own baselines per the
+    # freeze rule. The other four r11 queries are bounded-sample or
+    # digest-/shard-grain (< 1.5 s class), not benched.
+    "char_rep_rate": q.q_char_rep_rate,
+    "doc_disposition": q.q_doc_disposition,
 }
 
 
@@ -358,7 +366,20 @@ def pipeline_stats(spark, sf_dir):
             F.sum(F.col("__s") * (F.col("__s") - 1) / F.lit(2)), F.lit(0.0)
         ).alias("np"),
     ).collect()[0]
+    # char_rep_rate / doc_disposition volumes: both entries' wall time
+    # is proportional to their own output aggregates — sampled windows
+    # for the char explode, corpus rows for the disposition — so the
+    # counters come straight from the operators' outputs.
+    crr = q.q_char_rep_rate(spark, sf_dir).agg(
+        F.sum("n_grams").alias("g"), F.sum("dup_grams").alias("d")
+    ).collect()[0]
+    disp = q.q_doc_disposition(spark, sf_dir).agg(
+        F.sum("n_docs").alias("n")
+    ).collect()[0]
     return {
+        "char_rep_windows": int(crr["g"]),
+        "char_rep_dup_windows": int(crr["d"]),
+        "disposition_docs": int(disp["n"]),
         "bm25_posting_rows": int(n_postings),
         "bm25_candidate_docs": int(n_bm25_cand_docs),
         "prefix_jaccard_candidate_pairs": int(n_pj_cand),

@@ -6,6 +6,7 @@ from kairos_spark.streaming.ingest import (
     windowed_rollup,
 )
 from kairos_spark.streaming.joins import interval_attribution_join
+from kairos_spark.streaming.novelty import novelty_rate, stream_novelty_tag
 from kairos_spark.streaming.leaderboard import stream_decayed_scores
 from kairos_spark.streaming.monitor import stream_anomaly_alerts
 from kairos_spark.streaming.quota import stream_source_quota
@@ -22,4 +23,6 @@ __all__ = [
     "stream_source_quota",
     "stream_anomaly_alerts",
     "stream_decayed_scores",
+    "stream_novelty_tag",
+    "novelty_rate",
 ]

@@ -802,3 +802,96 @@ def test_stream_decayed_scores_state_spans_batches_and_late_data(spark, tmp_path
     # -2700, -3600 seconds from the anchor
     exp = sum(math.pow(2.0, -d / hl) for d in (0.0, 1800.0, 2700.0, 3600.0))
     assert abs(final.decayed_score - exp) < 1e-9
+
+
+def test_stream_novelty_tag_matches_batch_twin(spark, tmp_path):
+    """First occurrence per digest is novel, every replay stale — and
+    the windowed rate agrees with a batch first-occurrence compute on
+    the same feed."""
+    from kairos_spark.streaming.novelty import novelty_rate, stream_novelty_tag
+
+    rows = [
+        (1, BASE + 0, "alpha"), (2, BASE + 10, "beta"),
+        (3, BASE + 20, "alpha"),          # replay of doc 1 content
+        (4, BASE + 3700, "gamma"),        # next window, novel
+        (5, BASE + 3710, "beta"),         # next window, stale
+    ]
+    df = spark.createDataFrame(
+        [(i, float(t), x) for i, t, x in rows],
+        "doc_id long, ts_sec double, text string",
+    ).select("doc_id", F.timestamp_seconds("ts_sec").alias("ts"), "text")
+    src = str(tmp_path / "nov_in")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+    tagged = stream_novelty_tag(stream, horizon_sec=86_400)
+    # the tag op emits rows in-batch with their original ts (never
+    # late), so the conservative chained-stateful-op check is safe to
+    # disable for this composition — see novelty_rate's chaining note
+    chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    old = spark.conf.get(chk, "true")
+    spark.conf.set(chk, "false")
+    try:
+        q = (
+            # update mode: append would hold every window until the
+            # watermark passes its end (nothing emits on a bounded
+            # replay); update emits the running counts per batch
+            novelty_rate(tagged, window_sec=3600)
+            .writeStream.format("memory")
+            .queryName("nov_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "nov_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(chk, old)
+    got = {
+        r["w_start"]: (r["n_docs"], r["novel_docs"], r["stale_docs"])
+        for r in spark.sql("SELECT * FROM nov_sink").collect()
+    }
+    # batch twin: first occurrence per digest in (ts, id) order
+    import datetime as _dt
+
+    w0 = _dt.datetime.utcfromtimestamp(BASE // 3600 * 3600)
+    w1 = _dt.datetime.utcfromtimestamp((BASE + 3700) // 3600 * 3600)
+    assert got[w0] == (3, 2, 1)
+    assert got[w1] == (2, 1, 1)
+
+
+def test_stream_novelty_state_spans_batches(spark, tmp_path):
+    from kairos_spark.streaming.novelty import stream_novelty_tag
+
+    src = str(tmp_path / "nov2_in")
+    schema = "doc_id long, ts timestamp, text string"
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, float(t), x) for i, t, x in rows],
+            "doc_id long, ts_sec double, text string",
+        ).select(
+            "doc_id", F.timestamp_seconds("ts_sec").alias("ts"), "text"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, BASE + 0, "payload x")])
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_novelty_tag(stream, horizon_sec=86_400)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nov2_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nov2_chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second micro-batch: the digest's state must persist, so the
+    # replay is stale even across the batch boundary
+    write([(2, BASE + 100, "payload x"), (3, BASE + 200, "payload y")])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: r["is_novel"]
+        for r in spark.sql("SELECT * FROM nov2_sink").collect()
+    }
+    assert got == {1: True, 2: False, 3: True}
