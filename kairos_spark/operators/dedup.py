@@ -2334,3 +2334,73 @@ def cross_shard_novelty(
             F.count("*"),
         ).alias("stale_frac"),
     )
+
+
+def near_dup_family_agreement(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.2,
+    max_hamming: int = 3,
+    bits: int = 60,
+    blocks: int = 4,
+) -> DataFrame:
+    """Cross-family near-dup agreement audit: the pair sets proposed by
+    the corpus's two cheap near-dup detectors — MinHash-LSH (set-
+    resemblance family: Broder 1997) and SimHash (random-projection
+    family: Charikar 2002, the Manku-Jain-Sarma web-dedup setup) — are
+    full-outer joined and summarized as both / minhash-only /
+    simhash-only counts plus their set-Jaccard agreement. The two
+    families fail differently (LSH misses short docs where shingle
+    sets are tiny; SimHash misses reorderings that preserve term bags
+    but break shingles), so LOW agreement on a corpus is the signal to
+    run both (or to distrust a single-family dedup pass), and a DROP
+    in agreement between crawls is a content-shift alarm no
+    single-family metric shows. Composes the production operators
+    verbatim — same parameters, same md5 hash families — so it audits
+    the detectors actually deployed, not reimplementations.
+
+    Output (one row): both_pairs, minhash_only, simhash_only,
+    agreement = both/(both + only_a + only_b) as an exact integer
+    ratio (-1.0 sentinel when NO pair is proposed by either family).
+
+    Scale shape: both inputs are the banded/blocked candidate
+    pipelines (never all-pairs); the audit adds one pair-grain
+    full-outer hash join + a 1-row aggregate."""
+    mh = minhash_lsh_pairs(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    ).select("id_a", "id_b", F.lit(True).alias("__mh"))
+    sh = simhash_near_pairs(
+        df, text_col, id_col, max_hamming=max_hamming, bits=bits,
+        blocks=blocks,
+    ).select("id_a", "id_b", F.lit(True).alias("__sh"))
+    u = mh.join(sh, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("__mh"), F.lit(False)).alias("__mh"),
+        F.coalesce(F.col("__sh"), F.lit(False)).alias("__sh"),
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("__mh") & F.col("__sh"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_pairs"),
+        F.sum(F.when(F.col("__mh") & ~F.col("__sh"), 1).otherwise(0))
+        .cast("long")
+        .alias("minhash_only"),
+        F.sum(F.when(~F.col("__mh") & F.col("__sh"), 1).otherwise(0))
+        .cast("long")
+        .alias("simhash_only"),
+    )
+    den = (
+        F.col("both_pairs") + F.col("minhash_only") + F.col("simhash_only")
+    )
+    return agg.select(
+        F.coalesce(F.col("both_pairs"), F.lit(0)).cast("long").alias("both_pairs"),
+        F.coalesce(F.col("minhash_only"), F.lit(0)).cast("long").alias("minhash_only"),
+        F.coalesce(F.col("simhash_only"), F.lit(0)).cast("long").alias("simhash_only"),
+        F.when(den > 0, _round6_ratio(F.col("both_pairs"), den))
+        .otherwise(F.lit(-1.0))
+        .alias("agreement"),
+    )

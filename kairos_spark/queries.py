@@ -3760,6 +3760,18 @@ def q_cross_shard_novelty(spark, sf_dir):
     )
 
 
+def q_near_dup_family_agreement(spark, sf_dir):
+    """Cross-family near-dup agreement: MinHash-LSH (same params as
+    dedup_clusters_lsh) vs SimHash (same params as simhash_near_pairs)
+    pair sets, full-outer joined into both/only/only counts + set
+    Jaccard."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.near_dup_family_agreement(
+        d, n=8, num_hashes=32, bands=16, threshold=0.2,
+        max_hamming=3, bits=60, blocks=4,
+    )
+
+
 def q_brier_decomposition(spark, sf_dir):
     """Murphy decomposition of the Brier score for the length-based
     score vs the English label (same score contract as
@@ -4036,6 +4048,7 @@ QUERIES = {
     "knn_stability": q_knn_stability,
     "bloom_fpr_audit": q_bloom_fpr_audit,
     "cross_shard_novelty": q_cross_shard_novelty,
+    "near_dup_family_agreement": q_near_dup_family_agreement,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4467,7 +4480,7 @@ _R10_WINDOW = [
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 
 # --- Round-11 driver window (CLAUDE.md rotation rule). Layout:
-# (1) the 6 NEW r11 queries (never driver-checked); (2) the 19
+# (1) the 7 NEW r11 queries (never driver-checked); (2) the 19
 # late-r10 entries that have never been in a driver window (VERDICT
 # r10 #1 — the only registry entries whose driver-green status is
 # inherited from the mirror rather than observed; restores "every
@@ -4484,10 +4497,11 @@ assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 # post_stratified_mean, langid_kappa, embedding_moments,
 # rp_distortion, ts_series_transforms_hour, json_props_stats) are
 # identity-changed off the zero window, re-verified by the full
-# mirror, and stay in the tail cycle; (4) 23 rotation re-checks
+# mirror, and stay in the tail cycle; (4) 22 rotation re-checks
 # continuing the tail cycle exactly as CLAUDE.md queued it (the 17
 # displaced re-checks, the 2 earlier-displaced ts_* rows, then the
-# oldest-driver-checked block).
+# oldest-driver-checked block; crosscorr_types rolled to r12 when
+# near_dup_family_agreement joined group 1).
 _R11_WINDOW = [
     # (1) new r11
     "char_rep_rate",
@@ -4496,6 +4510,7 @@ _R11_WINDOW = [
     "knn_stability",
     "bloom_fpr_audit",
     "cross_shard_novelty",
+    "near_dup_family_agreement",
     # (2) never-driver-checked late-r10 entries
     "embedding_anisotropy",
     "doc_gini",
@@ -4542,7 +4557,6 @@ _R11_WINDOW = [
     "packing_efficiency",
     "token_budget_alloc",
     "shard_balance_audit",
-    "crosscorr_types",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
@@ -13903,3 +13917,59 @@ ORACLES["cross_shard_novelty"] = """
     FROM base JOIN firsts USING (d)
     GROUP BY 1
 """
+
+# Cross-family agreement = the minhash_lsh_pairs SQL verbatim (its est
+# CTE kept via surgery) + the simhash fingerprint CTEs (the
+# simhash_near_pairs oracle's construction with its `h` CTE renamed to
+# avoid the minhash `h`), full-outer joined at pair grain.
+ORACLES["near_dup_family_agreement"] = _sql_surgery(
+    ORACLES["minhash_lsh_pairs"],
+    "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2",
+    """, mh AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.2),
+    tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS t
+        FROM documents
+    ),
+    s2h AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 11))::BIGINT AS hh FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, j.j,
+               sum(CASE WHEN ((hh >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS sb
+        FROM s2h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+        GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN sb > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1
+    ),
+    simp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    u AS (
+        SELECT (m.id_a IS NOT NULL) AS in_mh, (s.id_a IS NOT NULL) AS in_sh
+        FROM mh m FULL OUTER JOIN simp s
+          ON m.id_a = s.id_a AND m.id_b = s.id_b
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS bp,
+               sum(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END) AS mo,
+               sum(CASE WHEN NOT in_mh AND in_sh THEN 1 ELSE 0 END) AS so
+        FROM u
+    )
+    SELECT CAST(coalesce(bp, 0) AS BIGINT) AS both_pairs,
+           CAST(coalesce(mo, 0) AS BIGINT) AS minhash_only,
+           CAST(coalesce(so, 0) AS BIGINT) AS simhash_only,
+           CASE WHEN coalesce(bp, 0) + coalesce(mo, 0) + coalesce(so, 0) > 0
+                THEN floor((2000000*coalesce(bp, 0)
+                            + (coalesce(bp,0)+coalesce(mo,0)+coalesce(so,0)))
+                           / (2.0*(coalesce(bp,0)+coalesce(mo,0)+coalesce(so,0))))
+                     / 1000000.0
+                ELSE -1.0 END AS agreement
+    FROM agg""",
+)

@@ -242,3 +242,28 @@ def test_cross_shard_novelty_stale_and_local_dups(spark):
     # fresh a + local dup debut here (local dup counts ONCE)
     assert s1.novel_digests == 2
     assert s1.stale_frac == 0.4
+
+
+# --------------------------------------------------- near_dup_family_agreement
+
+def test_near_dup_family_agreement_identical_docs_agree(spark):
+    # exact copies are near-dups under BOTH families → both_pairs > 0,
+    # agreement 1.0 when no other candidates exist
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text=t), Row(doc_id=2, text=t),
+         Row(doc_id=9, text="a completely different standalone body of words here")]
+    )
+    (r,) = dedup.near_dup_family_agreement(d).collect()
+    assert r.both_pairs >= 1 and r.agreement == 1.0
+    assert r.minhash_only == 0 and r.simhash_only == 0
+
+
+def test_near_dup_family_agreement_empty_sentinel(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta"),
+         Row(doc_id=2, text="one two three four five six seven eight")]
+    )
+    (r,) = dedup.near_dup_family_agreement(d).collect()
+    assert (r.both_pairs, r.minhash_only, r.simhash_only) == (0, 0, 0)
+    assert r.agreement == -1.0

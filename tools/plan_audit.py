@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "near_dup_family_agreement",
     "knn_stability",
     "bloom_fpr_audit",
     "cross_shard_novelty",
@@ -353,6 +354,9 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # r11: both candidate pipelines are banded/blocked hash joins; the
+    # audit adds a pair-grain full-outer hash join — no cartesian
+    "near_dup_family_agreement": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # r11: bounded id-capped sample (128 vectors) — the pair join is a
     # documented bounded-audit BNLJ; ranking windows over sample pairs
     "knn_stability": ["PushedFilters", "Window", "HashAggregate", "!CartesianProduct"],
