@@ -277,3 +277,53 @@ def test_pct_pick_exact_percentiles_random_parity(spark, con):
     """
     odf = con.execute(sql).df().set_index("g").sort_index()
     assert (odf["p"] == out["p"]).all()
+
+
+def test_signed_ratio_zero_window_sign_parity(spark, con):
+    """The signed helpers' ZERO-SIGN contract (ADVICE r10): any
+    numerator with |num|/den < 5e-7 rounds to a zero that must be
+    +0.0 on the Spark side AND on the canonical oracle mirrors (the
+    `-CAST(... AS BIGINT)` integer-negation form, and the
+    `-floor(...)` double form with its `+ 0.0`). The main parity fuzz
+    compares with `==`, which is sign-blind on zeros — this one
+    checks np.signbit explicitly across the whole window."""
+    rng = np.random.default_rng(SEED + 7)
+    n_ex = 5_000
+    d = _int_pool(rng, 2_000_001, 4_000_000_000, n_ex)
+    # |num| in [0, floor(5e-7·den)] — everything in the round-to-zero
+    # window, both signs, zero included
+    cap = np.maximum((d * 5e-7).astype("int64") - 1, 0)
+    num = (rng.uniform(0, 1, n_ex) * (cap + 1)).astype("int64")
+    sign = rng.choice([-1, 1], n_ex)
+    pdf = pd.DataFrame({"d": d, "sn": num * sign})
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            _round6_ratio_signed(F.col("sn"), F.col("d")).alias("rs"),
+            _round6_ratio_dec_signed(F.col("sn"), F.col("d")).alias("rds"),
+        )
+        .toPandas()
+    )
+    for c in ("rs", "rds"):
+        v = out[c].to_numpy()
+        assert (v == 0.0).all(), c
+        assert not np.signbit(v).any(), f"{c}: Spark emitted -0.0"
+    con.register("pool_zw", pdf)
+    dk = con.execute(
+        """
+        SELECT (CASE WHEN sn >= 0
+                 THEN  floor(( 2000000*sn + d) / (2.0*d)) / 1000000.0
+                 ELSE -floor((-2000000*sn + d) / (2.0*d)) / 1000000.0
+                END) + 0.0 AS rs,
+               CASE WHEN sn >= 0
+                 THEN  CAST(( 2000000::HUGEINT*sn + d)
+                            // (2::HUGEINT*d) AS BIGINT) / 1000000.0
+                 ELSE -CAST((-2000000::HUGEINT*sn + d)
+                            // (2::HUGEINT*d) AS BIGINT) / 1000000.0 END AS rds
+        FROM pool_zw
+        """
+    ).df()
+    for c in ("rs", "rds"):
+        v = dk[c].to_numpy()
+        assert (v == 0.0).all(), c
+        assert not np.signbit(v).any(), f"{c}: DuckDB mirror emitted -0.0"
