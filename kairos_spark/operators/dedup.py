@@ -2404,3 +2404,124 @@ def near_dup_family_agreement(
         .otherwise(F.lit(-1.0))
         .alias("agreement"),
     )
+
+
+def source_containment(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source n-gram containment matrix — the "which feed
+    scraped which" detector. For every unordered source pair sharing
+    ≥ 1 char-``n``-gram: the shared-gram count and the containment
+    coefficient |A∩B| / min(|A|,|B|) (Broder's containment — the right
+    asymmetric-size measure: a small feed fully copied from a big one
+    scores ~1 where Jaccard would hide it). Complements
+    ``cross_source_dup`` (EXACT digest flow — misses edited mirrors)
+    and ``source_similarity`` (TF-IDF term profiles — fires on
+    same-topic sources with zero copying); containment at gram grain
+    is the near-dup provenance signal between them. Same shingle
+    construction as the MinHash family (``doc_shingles``).
+
+    Output: (grp_a, grp_b, n_shared, size_a, size_b, containment),
+    grp_a < grp_b, zero-overlap pairs omitted on both engines.
+
+    Scale shape: (source, gram) distinct is gram-grain with map-side
+    combine; the pair step joins ON THE GRAM KEY (fan-out per gram
+    bounded by |sources|², a constant), never all-pairs over docs;
+    sizes join back at |sources| grain via broadcast."""
+    sh = doc_shingles(df, text_col, id_col, n)
+    src = df.select(F.col(id_col), F.col(group_col).alias("grp"))
+    sg = sh.join(src, id_col).select("grp", "shingle").distinct()
+    sz = sg.groupBy("grp").agg(F.count("*").cast("long").alias("__z"))
+    a, b = sg.alias("a"), sg.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    za = sz.select(F.col("grp").alias("grp_a"), F.col("__z").alias("size_a"))
+    zb = sz.select(F.col("grp").alias("grp_b"), F.col("__z").alias("size_b"))
+    return (
+        inter.join(F.broadcast(za), "grp_a")
+        .join(F.broadcast(zb), "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_shared",
+            "size_a",
+            "size_b",
+            _round6_ratio(
+                F.col("n_shared"), F.least(F.col("size_a"), F.col("size_b"))
+            ).alias("containment"),
+        )
+    )
+
+
+def dup_run_lengths(
+    df: DataFrame,
+    shard_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous-duplicate run detector — the batch-replay signature.
+    A feed that re-serves an archive or double-flushes an upload
+    produces RUNS of identical content at ADJACENT ids; scattered
+    organic duplicates do not. Histogram of run lengths (runs ≥ 2)
+    over id order: a heavy tail here says the dedup problem is
+    ingestion plumbing, not crawl overlap — the opposite fix from
+    what ``cross_shard_novelty``'s diffuse staleness implies.
+
+    Runs are detected WITHIN id-order shards of ``shard_size`` (the
+    ordering window partitions by ``id div shard_size``, never
+    globally): a run crossing a shard boundary counts as two runs —
+    the documented precision trade that keeps the window state
+    bounded at shard size instead of corpus size (the corpus-row-grain
+    single-partition window is this repo's named anti-pattern).
+
+    Output: (run_len, n_runs), run_len ≥ 2.
+
+    Scale shape: one digest projection, one shard-partitioned window
+    pass, one histogram aggregate; text never shuffles (digests do)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"CAST({id_col} AS BIGINT) div {shard_size}").alias("__sh"),
+        F.md5(F.col(text_col)).alias("__d"),
+    )
+    w = Window.partitionBy("__sh").orderBy("__id")
+    runs = base.select(
+        "__sh",
+        "__id",
+        "__d",
+        F.when(
+            F.lag("__d").over(w).isNull()
+            | (F.lag("__d").over(w) != F.col("__d")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new"),
+    ).select(
+        "__sh",
+        "__d",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__run"),
+    )
+    lens = runs.groupBy("__sh", "__run").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    return (
+        lens.where(F.col("run_len") >= 2)
+        .groupBy("run_len")
+        .agg(F.count("*").cast("long").alias("n_runs"))
+    )

@@ -3772,6 +3772,33 @@ def q_near_dup_family_agreement(spark, sf_dir):
     )
 
 
+def q_source_containment(spark, sf_dir):
+    """Cross-source 8-gram containment matrix: shared grams and
+    |A∩B|/min(|A|,|B|) per source pair — the scraped-from-whom
+    provenance detector between exact digest flow and TF-IDF topic
+    similarity."""
+    return dedup.source_containment(_tbl(spark, sf_dir, "documents"), n=8)
+
+
+def q_dup_run_lengths(spark, sf_dir):
+    """Batch-replay detector: histogram of contiguous-duplicate run
+    lengths in id order (shard-bounded windows). Docs are re-emitted
+    at adjacent synthetic ids (every 37th doubled, every 111th
+    tripled) so runs exist even when the corpus has no organic
+    adjacent dups — the cross_source_dup injection precedent."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select((F.col("doc_id") * 4).alias("doc_id"), "text")
+    rep1 = d.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") * 4 + 1).alias("doc_id"), "text"
+    )
+    rep2 = d.where(F.col("doc_id") % 111 == 0).select(
+        (F.col("doc_id") * 4 + 2).alias("doc_id"), "text"
+    )
+    return dedup.dup_run_lengths(
+        base.unionByName(rep1).unionByName(rep2), shard_size=1000
+    )
+
+
 def q_brier_decomposition(spark, sf_dir):
     """Murphy decomposition of the Brier score for the length-based
     score vs the English label (same score contract as
@@ -4049,6 +4076,8 @@ QUERIES = {
     "bloom_fpr_audit": q_bloom_fpr_audit,
     "cross_shard_novelty": q_cross_shard_novelty,
     "near_dup_family_agreement": q_near_dup_family_agreement,
+    "source_containment": q_source_containment,
+    "dup_run_lengths": q_dup_run_lengths,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -13973,3 +14002,57 @@ ORACLES["near_dup_family_agreement"] = _sql_surgery(
                 ELSE -1.0 END AS agreement
     FROM agg""",
 )
+
+ORACLES["source_containment"] = """
+    WITH """ + _SHINGLE_CTE + """,
+    sg AS MATERIALIZED (
+      SELECT DISTINCT d.source AS grp, sh.s
+      FROM sh JOIN documents d USING (doc_id)
+    ),
+    sz AS MATERIALIZED (SELECT grp, count(*) AS z FROM sg GROUP BY 1),
+    inter AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS ns
+      FROM sg a JOIN sg b ON a.s = b.s AND a.grp < b.grp
+      GROUP BY 1, 2
+    )
+    SELECT grp_a, grp_b,
+           CAST(ns AS BIGINT) AS n_shared,
+           CAST(za.z AS BIGINT) AS size_a,
+           CAST(zb.z AS BIGINT) AS size_b,
+           floor((2000000*ns + least(za.z, zb.z)) / (2.0*least(za.z, zb.z)))
+             / 1000000.0 AS containment
+    FROM inter
+    JOIN sz za ON za.grp = grp_a
+    JOIN sz zb ON zb.grp = grp_b
+"""
+
+ORACLES["dup_run_lengths"] = """
+    WITH u AS (
+      SELECT doc_id * 4 AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id * 4 + 1, text FROM documents WHERE doc_id % 37 = 0
+      UNION ALL
+      SELECT doc_id * 4 + 2, text FROM documents WHERE doc_id % 111 = 0
+    ),
+    base AS (
+      SELECT id, CAST(id AS BIGINT) // 1000 AS sh, md5(text) AS d FROM u
+    ),
+    flagged AS (
+      SELECT sh, id, d,
+             CASE WHEN lag(d) OVER w IS NULL OR lag(d) OVER w <> d
+                  THEN 1 ELSE 0 END AS nw
+      FROM base WINDOW w AS (PARTITION BY sh ORDER BY id)
+    ),
+    runs AS (
+      SELECT sh, d,
+             sum(nw) OVER (PARTITION BY sh ORDER BY id
+                           ROWS UNBOUNDED PRECEDING) AS run
+      FROM flagged
+    ),
+    lens AS (
+      SELECT sh, run, count(*) AS run_len FROM runs GROUP BY 1, 2
+    )
+    SELECT CAST(run_len AS BIGINT) AS run_len,
+           count(*)::BIGINT AS n_runs
+    FROM lens WHERE run_len >= 2 GROUP BY 1
+"""

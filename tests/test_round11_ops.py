@@ -267,3 +267,60 @@ def test_near_dup_family_agreement_empty_sentinel(spark):
     (r,) = dedup.near_dup_family_agreement(d).collect()
     assert (r.both_pairs, r.minhash_only, r.simhash_only) == (0, 0, 0)
     assert r.agreement == -1.0
+
+
+# ---------------------------------------------------------- source_containment
+
+def test_source_containment_full_copy_scores_one(spark):
+    # source b is a strict subset of source a's content → containment 1.0
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text=t1, source="a"),
+         Row(doc_id=2, text=t2, source="a"),
+         Row(doc_id=3, text=t1, source="b")]
+    )
+    (r,) = dedup.source_containment(d, n=8).collect()
+    assert (r.grp_a, r.grp_b) == ("a", "b")
+    assert r.containment == 1.0 and r.size_b == r.n_shared
+    assert r.size_a > r.size_b
+
+
+def test_source_containment_disjoint_pairs_omitted(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="aaaaaaaaaaaaaaaa", source="a"),
+         Row(doc_id=2, text="bbbbbbbbbbbbbbbb", source="b")]
+    )
+    assert dedup.source_containment(d, n=8).count() == 0
+
+
+# ------------------------------------------------------------ dup_run_lengths
+
+def test_dup_run_lengths_detects_contiguous_runs(spark):
+    rows = (
+        [Row(doc_id=i, text=f"unique {i}") for i in range(5)]
+        + [Row(doc_id=10 + j, text="replayed batch") for j in range(4)]  # run of 4
+        + [Row(doc_id=20, text="pair"), Row(doc_id=21, text="pair")]     # run of 2
+        + [Row(doc_id=30, text="scattered"), Row(doc_id=40, text="unique 2")]
+    )
+    d = spark.createDataFrame(rows)
+    out = {r.run_len: r.n_runs for r in dedup.dup_run_lengths(d).collect()}
+    assert out == {4: 1, 2: 1}
+
+
+def test_dup_run_lengths_same_content_nonadjacent_not_a_run(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="x"), Row(doc_id=2, text="gap"),
+         Row(doc_id=3, text="x")]
+    )
+    assert dedup.dup_run_lengths(d).count() == 0
+
+
+def test_dup_run_lengths_shard_boundary_splits(spark):
+    # a run straddling the shard edge counts as two runs (documented)
+    d = spark.createDataFrame(
+        [Row(doc_id=998, text="s"), Row(doc_id=999, text="s"),
+         Row(doc_id=1000, text="s"), Row(doc_id=1001, text="s")]
+    )
+    out = {r.run_len: r.n_runs for r in dedup.dup_run_lengths(d, shard_size=1000).collect()}
+    assert out == {2: 2}

@@ -21,6 +21,8 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "source_containment",
+    "dup_run_lengths",
     "near_dup_family_agreement",
     "knn_stability",
     "bloom_fpr_audit",
@@ -354,6 +356,12 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # r11 late: gram-key equi-join (fan-out bounded by |sources|² per
+    # gram), sizes broadcast back — no cartesian/NLJ over docs
+    "source_containment": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # r11 late: shard-partitioned window (never a global single
+    # partition), digest-grain shuffle only
+    "dup_run_lengths": ["Window", "HashAggregate", "!CartesianProduct", "!Join"],
     # r11: both candidate pipelines are banded/blocked hash joins; the
     # audit adds a pair-grain full-outer hash join — no cartesian
     "near_dup_family_agreement": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
