@@ -48,7 +48,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+# single long = max event-time (epoch ms) seen for this digest; its
+# presence doubles as the "seen" marker. Storing the max — not just
+# marking existence — is what keeps the eviction horizon anchored to
+# the TRUE latest occurrence (see the timeout note in the function).
+_STATE_SCHEMA = StructType([StructField("last_ms", LongType())])
 
 
 def stream_novelty_tag(
@@ -91,10 +95,17 @@ def stream_novelty_tag(
         for _ in range(len(pdf)):
             flags.append(not seen)
             seen = True
-        state.update((1,))
         # evict once the watermark passes last-seen + horizon (epoch
-        # ms — tz-free, the quota operator's DST lesson)
-        last_ms = int(pdf[ts_col].max().value // 1_000_000)
+        # ms — tz-free, the quota operator's DST lesson). "last seen"
+        # is the MAX event time across ALL batches for this digest
+        # (kept in state): a later micro-batch carrying only
+        # late-but-in-watermark rows must not overwrite the timeout
+        # with an earlier timestamp and shrink the horizon below
+        # last-seen + horizon of the true latest event (ADVICE r11).
+        batch_ms = int(pdf[ts_col].max().value // 1_000_000)
+        prev_ms = int(state.get[0]) if state.exists else 0
+        last_ms = max(prev_ms, batch_ms)
+        state.update((last_ms,))
         state.setTimeoutTimestamp(last_ms + horizon_ms)
         yield pd.DataFrame(
             {
@@ -145,11 +156,16 @@ def novelty_rate(
     op COULD hold rows and emit them late). ``stream_novelty_tag``
     provably does not — every row is emitted in the micro-batch it
     arrives with its original ts, so nothing is ever later than the
-    upstream watermark allows — making the check conservative here;
-    chain in one query with
-    ``spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
-    false`` (the documented escape hatch), or run this aggregate as
-    its own query over the tagged sink table."""
+    upstream watermark allows — making the check conservative here.
+    PREFERRED composition: run this aggregate as its OWN query over
+    the tagged sink table (two-query pattern — no config change, each
+    query keeps its own watermark). Chaining both in one query
+    requires ``spark.sql.streaming.statefulOperator.
+    checkCorrectness.enabled=false``, which disables the late-data
+    correctness check for EVERY stateful operator in that session —
+    not just this provably-safe one — so reach for it only when the
+    single-query latency actually matters and every other stateful
+    op in the session is audited (ADVICE r11)."""
     return (
         tagged.withWatermark(ts_col, watermark)
         .groupBy(
