@@ -2525,3 +2525,121 @@ def dup_run_lengths(
         .groupBy("run_len")
         .agg(F.count("*").cast("long").alias("n_runs"))
     )
+
+
+def minhash_scurve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 32,
+    configs: tuple = ((32, 1), (16, 2), (8, 4), (4, 8)),
+    sample_docs: int = 64,
+) -> DataFrame:
+    """Empirical MinHash banding S-curve — the (bands, rows) tuning
+    companion to ``minhash_calibration`` (which audits the ESTIMATOR;
+    this audits the CANDIDATE GATE). For every factorization b·r =
+    num_hashes, measure P(pair becomes an LSH candidate | exact
+    Jaccard bin) over a bounded all-pairs doc sample: the measured
+    version of the 1−(1−J^r)^b curve (Leskovec/Rajaraman/Ullman, MMDS
+    ch. 3), on the corpus's real shingle distribution instead of the
+    independence idealization. Read it to pick the (b, r) whose
+    empirical knee sits at the dedup threshold — the table that says
+    "16×2 fires on 0.3-Jaccard pairs but 4×8 misses 0.7s" BEFORE a
+    full LSH run commits to a config.
+
+    A pair is a candidate under (b, r) iff some band of r consecutive
+    signature components agrees completely — exactly the collision
+    rule of ``minhash_lsh_pairs``'s banded buckets, evaluated here
+    directly on the signature arrays so every config reuses ONE
+    signature pass. j_bin = floor(10·J) clamped to 9, from the exact
+    integer shingle ratio (10·|∩| div |∪| — integer division, no
+    float boundary).
+
+    Output: (bands, rows_per_band, j_bin, n_pairs, n_cand, cand_rate),
+    cand_rate an exact integer ratio.
+
+    Scale shape: a constant-cost bounded audit (the knn_stability
+    id-cap pattern): the ``sample_docs`` lowest-id documents (one
+    top-k), their signatures (map-only), one all-pairs join bounded at
+    sample_docs²/2 rows, and the exact-Jaccard check over the same
+    capped set. Never run it uncapped — P(candidate | J) estimates
+    need ~10³ pairs, not a corpus quadratic."""
+    capped = (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(id_col)
+        .limit(int(sample_docs))
+    )
+    sig = minhash_signatures(capped, text_col, id_col, n, num_hashes)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.zip_with("a.sig", "b.sig", lambda x, y: x == y).alias("__eq"),
+    )
+    # exact Jaccard bin over the same capped set (both docs always
+    # have >= 1 shingle — empty text yields the '' shingle — so the
+    # union denominator is never 0 in either engine)
+    sh = doc_shingles(capped, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    shared = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("__shn"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__za"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__zb"))
+    binned = (
+        pairs.join(shared, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "__eq",
+            F.coalesce(F.col("__shn"), F.lit(0)).alias("__shn"),
+            (F.col("__za") + F.col("__zb") - F.coalesce(F.col("__shn"), F.lit(0))).alias("__uni"),
+        )
+        .withColumn(
+            # integer division keeps the bin boundary off the float
+            # grid entirely (the midpoint-class rule applied to bins)
+            "j_bin",
+            F.least(F.expr("(10 * __shn) div __uni"), F.lit(9)).cast("long"),
+        )
+    )
+    per_cfg = []
+    for bands, rows in configs:
+        assert bands * rows == num_hashes, (bands, rows, num_hashes)
+        cand = F.exists(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda j: F.forall(
+                F.slice(F.col("__eq"), j * F.lit(rows) + F.lit(1), F.lit(rows)),
+                lambda v: v,
+            ),
+        )
+        per_cfg.append(
+            binned.select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                "j_bin",
+                F.when(cand, 1).otherwise(0).alias("__c"),
+            )
+        )
+    allc = per_cfg[0]
+    for frame in per_cfg[1:]:
+        allc = allc.unionByName(frame)
+    return allc.groupBy("bands", "rows_per_band", "j_bin").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__c").cast("long").alias("n_cand"),
+        _round6_ratio(F.sum("__c"), F.count("*")).alias("cand_rate"),
+    )

@@ -1680,3 +1680,95 @@ def knn_stability(
     return ov.groupBy("overlap").agg(
         F.count("*").cast("long").alias("n_queries")
     )
+
+
+def quant_bits_sweep(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    levels_list: tuple = (15, 63, 255),
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-bit quantization recall sweep — ``quant_recall``'s levels
+    axis: the int4 / int6 / int8 recall curve (levels = 2^bits − 1)
+    that decides how far an embedding index can be compressed before
+    retrieval degrades (the PQ/SQ bits-vs-recall tables in Johnson et
+    al. 2019 / the FAISS wiki, reduced to scalar quantization). One
+    row per level with MICRO-averaged recall — total exact-top-k hits
+    over total exact-top-k slots as ONE exact integer ratio (a mean of
+    per-query rounded ratios would be a midpoint-class hazard; the
+    restructure-to-one-ratio rule).
+
+    Output: (q_levels, bits, n_queries, n_exact, n_hits, recall).
+
+    Scale shape: the exact full-precision top-k is computed ONCE and
+    reused across levels; each level adds one map-only dequantized
+    corpus (1-row broadcast of the per-dim grid) and one knn_join pass
+    (broadcast queries, salted two-phase merge — corpus never
+    shuffles); hit counting joins Q·k audit rows per level. Cost is
+    |levels| + 1 retrieval passes, each the proven knn_join shape."""
+    vec = F.col(vec_col).cast("array<double>")
+    rng = (
+        corpus.select(F.posexplode(vec).alias("__d", "__v"))
+        .groupBy("__d")
+        .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    )
+    packed = rng.select(
+        F.struct(F.col("__d"), F.col("__lo"), F.col("__hi")).alias("r")
+    ).agg(F.array_sort(F.collect_list("r")).alias("__rng"))
+    lo = lambda i: F.element_at(F.col("__rng"), i + 1)["__lo"]  # noqa: E731
+    hi = lambda i: F.element_at(F.col("__rng"), i + 1)["__hi"]  # noqa: E731
+
+    exact = knn_join(
+        queries, corpus, k=k, q_id_col=q_id_col, id_col=id_col, vec_col=vec_col
+    ).select(F.col("q_id").alias("__q"), F.col(id_col).alias("__id"))
+    exact = exact.localCheckpoint(eager=False)
+    totals = exact.agg(
+        F.count_distinct("__q").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+
+    # closure factory, not a default arg: PySpark derives the lambda's
+    # arity from its parameter COUNT (defaults included), and transform
+    # only accepts 1- or 2-arg callables
+    def _deq_fn(L):
+        def deq(x, i):
+            w = hi(i) - lo(i)
+            q = F.floor(((x - lo(i)) / w) * L + F.lit(0.5))
+            return F.when(w == 0, lo(i)).otherwise(lo(i) + q * w / L)
+
+        return deq
+
+    per_level = []
+    for levels in levels_list:
+        levels = int(levels)
+        corpus_deq = corpus.join(F.broadcast(packed)).select(
+            F.col(id_col), F.transform(vec, _deq_fn(levels)).alias(vec_col)
+        )
+        approx = knn_join(
+            queries, corpus_deq, k=k, q_id_col=q_id_col, id_col=id_col,
+            vec_col=vec_col,
+        ).select(F.col("q_id").alias("__q"), F.col(id_col).alias("__id"))
+        hits = approx.join(F.broadcast(exact), ["__q", "__id"]).agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        per_level.append(
+            totals.crossJoin(F.broadcast(hits)).select(
+                F.lit(levels).cast("long").alias("q_levels"),
+                F.lit(int((levels + 1).bit_length() - 1))
+                .cast("long")
+                .alias("bits"),
+                "n_queries",
+                "n_exact",
+                "n_hits",
+                _round6_ratio(
+                    F.col("n_hits"), F.greatest(F.col("n_exact"), F.lit(1))
+                ).alias("recall"),
+            )
+        )
+    out = per_level[0]
+    for frame in per_level[1:]:
+        out = out.unionByName(frame)
+    return out

@@ -3367,3 +3367,247 @@ def char_rep_rate(
         .otherwise(F.lit(-1.0))
         .alias("rep_rate"),
     )
+
+
+def boilerplate_roi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Boilerplate-line removal ROI per source — the CCNet/RefinedWeb
+    line-grain dedup simulation (Wenzek et al. 2020 strip lines seen
+    in many documents; Penedo et al. 2023 §3.2 line-wise filters).
+    A line is boilerplate when it appears in >= ``min_docs`` DISTINCT
+    documents (cookie banners, nav menus, license footers); this
+    reports, per source, how many line instances and characters a
+    strip pass would remove and how many documents it would touch —
+    the table that decides whether line-dedup is worth a pipeline
+    stage for a given feed, BEFORE running it. Line grain complements
+    ``dup_line_stats`` (within-doc runs) and ``paragraph_dedup_stats``
+    (paragraph grain).
+
+    Lines split on \\n; a line of only spaces is empty and ignored
+    (the dup_line_stats convention). Output per source: (grp, n_lines,
+    bp_lines, line_share, n_chars, bp_chars, char_share,
+    docs_affected); sources with no non-empty lines report 0
+    sentinels. Shares are exact integer count ratios.
+
+    Scale shape: lines hash to (doc, digest, len) map-side so raw line
+    text never shuffles; document frequency is one digest-key
+    aggregate; the boilerplate set joins back by digest (hash join on
+    a 32-byte key). No windows, no quadratics; the ROI table is
+    |sources| rows."""
+    lines = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__l"),
+    ).where(F.length(F.trim(F.col("__l"))) > 0)
+    hashed = lines.select(
+        "grp",
+        F.col(id_col),
+        F.md5(F.col("__l")).alias("__h"),
+        F.length("__l").alias("__len"),
+    )
+    bp = (
+        hashed.select(F.col(id_col), "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") >= int(min_docs))
+        .select("__h", F.lit(True).alias("__bp"))
+    )
+    marked = hashed.join(bp, "__h", "left").withColumn(
+        "__isbp", F.coalesce(F.col("__bp"), F.lit(False))
+    )
+    agg = marked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__isbp"), 1).otherwise(0)).cast("long").alias("bp_lines"),
+        F.sum("__len").cast("long").alias("n_chars"),
+        F.sum(F.when(F.col("__isbp"), F.col("__len")).otherwise(0))
+        .cast("long")
+        .alias("bp_chars"),
+        F.count_distinct(F.when(F.col("__isbp"), F.col(id_col)))
+        .cast("long")
+        .alias("docs_affected"),
+    )
+    srcs = df.select(F.col(group_col).alias("grp")).distinct()
+    return srcs.join(agg, "grp", "left").select(
+        "grp",
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.col("bp_lines"), F.lit(0)).cast("long").alias("bp_lines"),
+        _round6_ratio(
+            F.coalesce(F.col("bp_lines"), F.lit(0)),
+            F.greatest(F.coalesce(F.col("n_lines"), F.lit(0)), F.lit(1)),
+        ).alias("line_share"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.col("bp_chars"), F.lit(0)).cast("long").alias("bp_chars"),
+        _round6_ratio(
+            F.coalesce(F.col("bp_chars"), F.lit(0)),
+            F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1)),
+        ).alias("char_share"),
+        F.coalesce(F.col("docs_affected"), F.lit(0))
+        .cast("long")
+        .alias("docs_affected"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Per-source OOV / byte-fallback rate under a FIXED top-V vocab —
+    the SentencePiece/BPE coverage audit (Kudo & Richardson 2018's
+    character-coverage knob, measured instead of assumed): fit the
+    vocabulary as the corpus's ``vocab_size`` most frequent tokens
+    (the engine's BPE-ish token model), then per source report how
+    many token occurrences fall outside it and what byte-fallback
+    encoding (every OOV token re-emitted as its UTF-8 bytes, one
+    token per byte — the Llama/GPT-NeoX fallback rule) does to the
+    source's token budget. A source with 2x inflation is exotic
+    script/code/mojibake that will silently eat the context window —
+    the per-source sibling of ``token_fertility`` (per language, vs
+    words) and ``tokenizer_drift`` (chars/token, vocab-free).
+
+    Vocabulary ties at the cut rank break on (count DESC, md5(token))
+    — md5 keys, not raw strings, because Spark orders strings by
+    UTF-16 code unit and DuckDB by UTF-8 byte, and the two DISAGREE
+    when supplementary-plane tokens (emoji) meet U+E000..U+FFFF
+    tokens (U+FFFD!) at the same count; md5 hex is engine-identical.
+
+    Output per source: (grp, n_tokens, oov_tokens, oov_rate,
+    fallback_tokens, inflation); fallback_tokens = in-vocab
+    occurrences + UTF-8 bytes of OOV occurrences; rates are exact
+    integer ratios with 0.0 sentinels for token-free sources.
+
+    Scale shape: tokenization is map-only; token counts aggregate
+    with map-side combine; the vocab rank window runs at VOCAB grain
+    (distinct tokens, never corpus volume — the vocab_coverage
+    precedent) and the resulting V-row vocab BROADCASTS into the
+    per-source probe join. Only (source, token-digest) aggregates
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(
+                agree_lower(F.col(text_col)), F.lit(TOKEN_REGEX), F.lit(0)
+            )
+        ).alias("__t"),
+    )
+    counts = toks.groupBy("__t").agg(F.count("*").alias("__n"))
+    w = Window.orderBy(F.col("__n").desc(), F.md5(F.col("__t")))
+    vocab = (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(vocab_size))
+        .select("__t", F.lit(True).alias("__inv"))
+    )
+    probed = toks.join(F.broadcast(vocab), "__t", "left").select(
+        "grp",
+        F.coalesce(F.col("__inv"), F.lit(False)).alias("__inv"),
+        F.octet_length("__t").alias("__bytes"),
+    )
+    agg = probed.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__inv"), 0).otherwise(1)).cast("long").alias("oov_tokens"),
+        F.sum(F.when(F.col("__inv"), F.lit(1)).otherwise(F.col("__bytes")))
+        .cast("long")
+        .alias("fallback_tokens"),
+    )
+    srcs = df.select(F.col(group_col).alias("grp")).distinct()
+    return srcs.join(agg, "grp", "left").select(
+        "grp",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("oov_tokens"), F.lit(0)).cast("long").alias("oov_tokens"),
+        _round6_ratio(
+            F.coalesce(F.col("oov_tokens"), F.lit(0)),
+            F.greatest(F.coalesce(F.col("n_tokens"), F.lit(0)), F.lit(1)),
+        ).alias("oov_rate"),
+        F.coalesce(F.col("fallback_tokens"), F.lit(0))
+        .cast("long")
+        .alias("fallback_tokens"),
+        _round6_ratio(
+            F.coalesce(F.col("fallback_tokens"), F.lit(0)),
+            F.greatest(F.coalesce(F.col("n_tokens"), F.lit(0)), F.lit(1)),
+        ).alias("inflation"),
+    )
+
+
+def contamination_matrix(
+    df: DataFrame,
+    bench_df: DataFrame,
+    bench_col: str = "benchmark",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-PAIR contamination overlap matrix — which eval suites
+    share contaminated training documents. ``contamination_by_
+    benchmark`` says each suite's hit count; this says whether two
+    suites' hits are the SAME documents (one shared crawl of an eval
+    hub — fix the source) or disjoint sets (independent leaks — fix
+    each). The pairwise composition of the GPT-3/PaLM per-benchmark
+    contamination tables.
+
+    For every unordered benchmark pair: the two per-suite contaminated
+    doc counts, the count contaminated by BOTH, and the Jaccard of the
+    two doc sets. Zero-overlap pairs still appear (0 / 0.0 sentinels;
+    jaccard is 0.0 when both sets are empty — the union denominator
+    sentinel rule).
+
+    Scale shape: benchmark gram sets broadcast (tiny vs corpus); the
+    probe is the contamination_by_benchmark map-side hash join; after
+    it only (benchmark, doc_id) DISTINCT hit rows exist — |suites|·
+    |hit docs| grain — and the pair overlap is a self-join on doc_id
+    over that hit table. Corpus text never shuffles."""
+
+    def grams(frame, keep):
+        return frame.select(
+            *keep,
+            F.explode(
+                F.array_distinct(word_ngrams(word_tokens(F.col(text_col)), n))
+            ).alias("__g"),
+        )
+
+    bench = grams(bench_df, [F.col(bench_col).alias("__b")]).distinct()
+    hits = (
+        grams(df, [F.col(id_col)])
+        .join(F.broadcast(bench), "__g")
+        .select("__b", F.col(id_col))
+        .distinct()
+    )
+    sizes = hits.groupBy("__b").agg(F.count("*").cast("long").alias("__sz"))
+    universe = bench_df.select(F.col(bench_col).alias("__b")).distinct()
+    ua = universe.select(F.col("__b").alias("bench_a"))
+    ub = universe.select(F.col("__b").alias("bench_b"))
+    pairs = ua.join(ub, F.col("bench_a") < F.col("bench_b"))
+    both = (
+        hits.select(F.col("__b").alias("bench_a"), F.col(id_col))
+        .join(hits.select(F.col("__b").alias("bench_b"), F.col(id_col)), id_col)
+        .where(F.col("bench_a") < F.col("bench_b"))
+        .groupBy("bench_a", "bench_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    za = sizes.select(F.col("__b").alias("bench_a"), F.col("__sz").alias("n_a"))
+    zb = sizes.select(F.col("__b").alias("bench_b"), F.col("__sz").alias("n_b"))
+    out = (
+        pairs.join(both, ["bench_a", "bench_b"], "left")
+        .join(za, "bench_a", "left")
+        .join(zb, "bench_b", "left")
+        .select(
+            "bench_a",
+            "bench_b",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce(F.col("n_both"), F.lit(0)).cast("long").alias("n_both"),
+        )
+    )
+    uni = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return out.withColumn(
+        "jaccard",
+        F.when(uni > 0, _round6_ratio(F.col("n_both"), uni)).otherwise(F.lit(0.0)),
+    )

@@ -4006,6 +4006,57 @@ def q_cohens_d(spark, sf_dir):
     return text.source_effect_size(_tbl(spark, sf_dir, "documents"))
 
 
+# --- Round-12 queries ---
+
+
+def q_minhash_scurve(spark, sf_dir):
+    """Empirical MinHash banding S-curve: P(LSH candidate | exact
+    Jaccard bin) for every (bands, rows) factorization of a 32-hash
+    signature, over the 64 lowest-id docs (bounded all-pairs audit —
+    the knn_stability id-cap pattern)."""
+    return dedup.minhash_scurve(_tbl(spark, sf_dir, "documents"))
+
+
+def q_boilerplate_roi(spark, sf_dir):
+    """Boilerplate-line removal ROI per source: line instances, chars,
+    and docs a strip of lines appearing in >= 3 distinct docs would
+    remove (CCNet line-dedup simulated before running it)."""
+    return text.boilerplate_roi(_tbl(spark, sf_dir, "documents"))
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-source OOV / byte-fallback audit under the corpus's top-256
+    token vocabulary: OOV occurrence rate and the token-budget
+    inflation byte-fallback encoding would cause."""
+    return text.oov_rate(_tbl(spark, sf_dir, "documents"))
+
+
+def q_contamination_matrix(spark, sf_dir):
+    """Benchmark-pair contamination overlap matrix over the same three
+    synthetic eval suites as eval_contamination (docs 0-8, doc_id % 3):
+    per suite pair, docs contaminated by both and the Jaccard of the
+    two contaminated-doc sets."""
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 9).select(
+        F.concat(F.lit("b"), (F.col("doc_id") % 3).cast("string")).alias(
+            "benchmark"
+        ),
+        "text",
+    )
+    return text.contamination_matrix(docs, bench, n=3)
+
+
+def q_quant_bits_sweep(spark, sf_dir):
+    """int4/int6/int8 scalar-quantization recall sweep (quant_recall's
+    levels axis): micro-averaged exact-top-10 recall per bit width,
+    same query set as quant_recall."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.quant_bits_sweep(qs, emb, k=10)
+
+
 QUERIES = {
     # NOTE: the driver's CORRECTNESS run evaluates the FIRST 50 entries.
     # The literal below keeps historical grouping; the AUTHORITATIVE
@@ -4078,6 +4129,12 @@ QUERIES = {
     "near_dup_family_agreement": q_near_dup_family_agreement,
     "source_containment": q_source_containment,
     "dup_run_lengths": q_dup_run_lengths,
+    # round-12 additions
+    "minhash_scurve": q_minhash_scurve,
+    "boilerplate_roi": q_boilerplate_roi,
+    "oov_rate": q_oov_rate,
+    "contamination_matrix": q_contamination_matrix,
+    "quant_bits_sweep": q_quant_bits_sweep,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -14056,3 +14113,292 @@ ORACLES["dup_run_lengths"] = """
            count(*)::BIGINT AS n_runs
     FROM lens WHERE run_len >= 2 GROUP BY 1
 """
+
+ORACLES["minhash_scurve"] = """
+    WITH ids AS MATERIALIZED (
+        SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64
+    ),
+    norm AS (
+        SELECT d.doc_id, regexp_replace(lower(d.text), '\\s+', ' ', 'g') AS n
+        FROM documents d JOIN ids USING (doc_id)
+    ),
+    idx AS (
+        SELECT doc_id, n,
+               unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+        FROM norm
+    ),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(n, i, 8) AS s FROM idx),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 11))::BIGINT AS a,
+               ('0x' || substr(md5(s), 12, 11))::BIGINT AS b
+        FROM sh
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id, i.i AS i, min((a + i.i * b) % 17592186044399) AS hv
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+        GROUP BY 1, 2
+    ),
+    prs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+    ),
+    eqs AS MATERIALIZED (
+        SELECT p.id_a, p.id_b, sa.i AS i, (sa.hv = sb.hv) AS eq
+        FROM prs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+    ),
+    cfg AS (SELECT * FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8)) AS t(b, r)),
+    bnd AS (
+        SELECT c.b, c.r, e.id_a, e.id_b, e.i // c.r AS band,
+               bool_and(e.eq) AS hit
+        FROM eqs e CROSS JOIN cfg c
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    cand AS (
+        SELECT b, r, id_a, id_b,
+               max(CASE WHEN hit THEN 1 ELSE 0 END) AS is_cand
+        FROM bnd GROUP BY 1, 2, 3, 4
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shn
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jb AS MATERIALIZED (
+        -- integer division: the bin boundary never touches the float
+        -- grid (mirrors the Spark side's `div`)
+        SELECT p.id_a, p.id_b,
+               least((10 * coalesce(shn, 0))
+                     // (sa.sz + sb.sz - coalesce(shn, 0)), 9) AS j_bin
+        FROM prs p
+        LEFT JOIN shared s ON s.id_a = p.id_a AND s.id_b = p.id_b
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+    )
+    SELECT CAST(c.b AS BIGINT) AS bands,
+           CAST(c.r AS BIGINT) AS rows_per_band,
+           CAST(j.j_bin AS BIGINT) AS j_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_cand) AS BIGINT) AS n_cand,
+           floor((2000000 * sum(is_cand) + count(*)) / (2.0 * count(*)))
+             / 1000000.0 AS cand_rate
+    FROM cand c JOIN jb j USING (id_a, id_b)
+    GROUP BY 1, 2, 3
+"""
+
+ORACLES["boilerplate_roi"] = """
+    WITH l AS (
+        SELECT source AS grp, doc_id,
+               unnest(string_split(text, chr(10))) AS line
+        FROM documents
+    ),
+    ne AS (SELECT grp, doc_id, line FROM l WHERE length(trim(line)) > 0),
+    h AS (
+        SELECT grp, doc_id, md5(line) AS hh, length(line) AS len FROM ne
+    ),
+    bp AS (
+        SELECT hh FROM (
+            SELECT hh, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1
+        ) WHERE nd >= 3
+    ),
+    m AS (
+        SELECT h.grp, h.doc_id, h.len, (bp.hh IS NOT NULL) AS isbp
+        FROM h LEFT JOIN bp USING (hh)
+    ),
+    agg AS (
+        SELECT grp,
+               count(*) AS nl,
+               sum(CASE WHEN isbp THEN 1 ELSE 0 END) AS bl,
+               sum(len) AS nc,
+               sum(CASE WHEN isbp THEN len ELSE 0 END) AS bc,
+               count(DISTINCT CASE WHEN isbp THEN doc_id END) AS da
+        FROM m GROUP BY 1
+    ),
+    srcs AS (SELECT DISTINCT source AS grp FROM documents)
+    SELECT s.grp,
+           CAST(coalesce(nl, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(bl, 0) AS BIGINT) AS bp_lines,
+           floor((2000000 * coalesce(bl, 0) + greatest(coalesce(nl, 0), 1))
+                 / (2.0 * greatest(coalesce(nl, 0), 1))) / 1000000.0
+             AS line_share,
+           CAST(coalesce(nc, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(bc, 0) AS BIGINT) AS bp_chars,
+           floor((2000000 * coalesce(bc, 0) + greatest(coalesce(nc, 0), 1))
+                 / (2.0 * greatest(coalesce(nc, 0), 1))) / 1000000.0
+             AS char_share,
+           CAST(coalesce(da, 0) AS BIGINT) AS docs_affected
+    FROM srcs s LEFT JOIN agg USING (grp)
+"""
+
+ORACLES["oov_rate"] = """
+    WITH toks AS (
+        SELECT source AS grp,
+               unnest(regexp_extract_all(lower(text),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS t
+        FROM documents
+    ),
+    cnt AS (SELECT t, count(*) AS n FROM toks GROUP BY 1),
+    vocab AS MATERIALIZED (
+        -- md5 tie-break, NOT the raw string: Spark orders strings by
+        -- UTF-16 code unit, DuckDB by UTF-8 byte, and they disagree
+        -- when supplementary-plane tokens meet U+E000..U+FFFF tokens
+        SELECT t FROM (
+            SELECT t, row_number() OVER (ORDER BY n DESC, md5(t)) AS rk
+            FROM cnt
+        ) WHERE rk <= 256
+    ),
+    m AS (
+        SELECT grp, (vocab.t IS NOT NULL) AS inv,
+               octet_length(encode(toks.t)) AS nb
+        FROM toks LEFT JOIN vocab USING (t)
+    ),
+    agg AS (
+        SELECT grp, count(*) AS nt,
+               sum(CASE WHEN inv THEN 0 ELSE 1 END) AS ov,
+               sum(CASE WHEN inv THEN 1 ELSE nb END) AS fb
+        FROM m GROUP BY 1
+    ),
+    srcs AS (SELECT DISTINCT source AS grp FROM documents)
+    SELECT s.grp,
+           CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(ov, 0) AS BIGINT) AS oov_tokens,
+           floor((2000000 * coalesce(ov, 0) + greatest(coalesce(nt, 0), 1))
+                 / (2.0 * greatest(coalesce(nt, 0), 1))) / 1000000.0
+             AS oov_rate,
+           CAST(coalesce(fb, 0) AS BIGINT) AS fallback_tokens,
+           floor((2000000 * coalesce(fb, 0) + greatest(coalesce(nt, 0), 1))
+                 / (2.0 * greatest(coalesce(nt, 0), 1))) / 1000000.0
+             AS inflation
+    FROM srcs s LEFT JOIN agg USING (grp)
+"""
+
+ORACLES["contamination_matrix"] = r"""
+    WITH bdocs AS (
+        SELECT 'b' || CAST(doc_id % 3 AS VARCHAR) AS benchmark, text
+        FROM documents WHERE doc_id < 9
+    ),
+    bw AS (
+        SELECT benchmark,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        FROM bdocs
+    ),
+    bg AS (
+        SELECT DISTINCT benchmark, array_to_string(ws[i:i+2], ' ') AS g
+        FROM bw, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS t(i)
+    ),
+    cw AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        FROM documents
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+        FROM cw, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS t(i)
+    ),
+    hits AS MATERIALIZED (
+        SELECT DISTINCT benchmark, doc_id FROM cg JOIN bg USING (g)
+    ),
+    sizes AS (
+        SELECT benchmark, CAST(count(*) AS BIGINT) AS sz FROM hits GROUP BY 1
+    ),
+    u AS (SELECT DISTINCT benchmark FROM bdocs),
+    prs AS (
+        SELECT a.benchmark AS bench_a, b.benchmark AS bench_b
+        FROM u a JOIN u b ON a.benchmark < b.benchmark
+    ),
+    ovl AS (
+        SELECT ha.benchmark AS bench_a, hb.benchmark AS bench_b,
+               CAST(count(*) AS BIGINT) AS nb2
+        FROM hits ha
+        JOIN hits hb ON ha.doc_id = hb.doc_id AND ha.benchmark < hb.benchmark
+        GROUP BY 1, 2
+    )
+    SELECT p.bench_a, p.bench_b,
+           coalesce(za.sz, 0) AS n_a,
+           coalesce(zb.sz, 0) AS n_b,
+           coalesce(nb2, 0) AS n_both,
+           CASE WHEN coalesce(za.sz, 0) + coalesce(zb.sz, 0)
+                     - coalesce(nb2, 0) > 0
+                THEN floor((2000000 * coalesce(nb2, 0)
+                            + (coalesce(za.sz, 0) + coalesce(zb.sz, 0)
+                               - coalesce(nb2, 0)))
+                           / (2.0 * (coalesce(za.sz, 0) + coalesce(zb.sz, 0)
+                                     - coalesce(nb2, 0))))
+                     / 1000000.0
+                ELSE 0.0 END AS jaccard
+    FROM prs p
+    LEFT JOIN ovl USING (bench_a, bench_b)
+    LEFT JOIN sizes za ON za.benchmark = p.bench_a
+    LEFT JOIN sizes zb ON zb.benchmark = p.bench_b
+"""
+
+# quant_bits_sweep: the quant_recall oracle's deq/approx stages stamped
+# per level (15/63/255), sharing one exact full-precision top-k; recall
+# is micro-averaged as ONE integer ratio (total hits / total slots)
+_QBS_LEVEL_SQL = """
+    deq{L} AS (
+      SELECT vec_id,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN hi_a[i] - lo_a[i] = 0 THEN lo_a[i]
+                    ELSE lo_a[i]
+                         + floor(((v[i] - lo_a[i]) / (hi_a[i] - lo_a[i])) * {L} + 0.5)
+                           * (hi_a[i] - lo_a[i]) / {L}
+               END) AS dv
+      FROM e, packed
+    ),
+    a{L} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, deq{L}.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(dv, qv), 6) DESC,
+                          deq{L}.vec_id) AS rn
+        FROM q CROSS JOIN deq{L} WHERE deq{L}.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ),
+    h{L} AS (
+      SELECT CAST(count(*) AS BIGINT) AS h
+      FROM a{L} JOIN exact USING (q_id, vec_id)
+    )"""
+
+_QBS_ROW_SQL = """
+    SELECT CAST({L} AS BIGINT) AS q_levels, CAST({B} AS BIGINT) AS bits,
+           nq AS n_queries, ne AS n_exact, h AS n_hits,
+           floor((2000000 * h + greatest(ne, 1)) / (2.0 * greatest(ne, 1)))
+             / 1000000.0 AS recall
+    FROM tot, h{L}"""
+
+ORACLES["quant_bits_sweep"] = (
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 101 = 0
+    ),
+    comp AS (
+      SELECT generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e
+    ),
+    rng AS (SELECT d, min(x) AS lo, max(x) AS hi FROM comp GROUP BY 1),
+    packed AS MATERIALIZED (
+      SELECT list(lo ORDER BY d) AS lo_a, list(hi ORDER BY d) AS hi_a FROM rng
+    ),
+    exact AS MATERIALIZED (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id) AS rn
+        FROM q CROSS JOIN e WHERE vec_id <> q_id
+      ) WHERE rn <= 10
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS nq,
+             CAST(count(*) AS BIGINT) AS ne
+      FROM exact
+    ),"""
+    + ",".join(_QBS_LEVEL_SQL.format(L=L) for L in (15, 63, 255))
+    + "\n    UNION ALL".join(
+        _QBS_ROW_SQL.format(L=L, B=B) for L, B in ((15, 4), (63, 6), (255, 8))
+    )
+)

@@ -21,6 +21,11 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "minhash_scurve",
+    "boilerplate_roi",
+    "oov_rate",
+    "contamination_matrix",
+    "quant_bits_sweep",
     "source_containment",
     "dup_run_lengths",
     "near_dup_family_agreement",
@@ -356,6 +361,24 @@ AUDITED = [
 ]
 
 CHECKS = {
+    # r12: bounded id-capped sample (64 docs via one top-k) — the
+    # signature pair join is a documented bounded-audit non-equi join;
+    # signature build is partial+final HashAggregate
+    "minhash_scurve": ["TakeOrderedAndProject", "HashAggregate", "!CartesianProduct"],
+    # r12: line explode is map-side Generate; document frequency and
+    # source rollup are hash aggregates; the boilerplate join-back is
+    # a digest-key equi-join — no cartesian/NLJ over lines
+    "boilerplate_roi": ["Generate", "HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # r12: token explode map-side; vocab rank window at vocab grain;
+    # the V-row vocab BROADCASTS into the probe join — no NLJ
+    "oov_rate": ["Generate", "Window", "BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # r12: benchmark gram sets broadcast into the probe; the pair
+    # frame is |suites|² (3×3) — the only non-equi join is that
+    # bounded universe pair join, never over docs
+    "contamination_matrix": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+    # r12: quant_recall's shape per level — broadcast query/grid
+    # sides, salted two-phase top-k, no shuffle joins of the corpus
+    "quant_bits_sweep": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
     # r11 late: gram-key equi-join (fan-out bounded by |sources|² per
     # gram), sizes broadcast back — no cartesian/NLJ over docs
     "source_containment": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
