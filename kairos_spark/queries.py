@@ -4645,9 +4645,83 @@ _R11_WINDOW = [
     "shard_balance_audit",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+
+# --- Round-12 driver window (CLAUDE.md rotation rule; _R11_WINDOW
+# above is historical record). Layout:
+# (1) the 5 NEW r12 queries (never driver-checked);
+# (2) the 2 late-r11 entries registered BEHIND the r11 window —
+#     the only registry entries never driver-checked (VERDICT r11 #3);
+# (3) the 8 r11 formal helper-change owners that skipped promotion
+#     (VERDICT r11 "What's missing" #4): their Spark expressions
+#     gained the signed-zero `+ F.lit(0.0)` normalization inside
+#     _round6_ratio_signed/_round6_ratio_dec_signed in r11 — identity
+#     off the zero window and mirror-re-verified + fuzz-pinned, but
+#     the rotation rule says expression-changed entries get a driver
+#     re-check;
+# (4) 35 tail re-checks continuing the oldest-driver-checked r8 block
+#     from crosscorr_types onward in registry order (bootstrap_ci_mean
+#     / post_stratified_mean / json_props_stats fall inside that block
+#     and already sit in group 3, so the block extends past them).
+_R12_WINDOW = [
+    # (1) new r12
+    "minhash_scurve",
+    "boilerplate_roi",
+    "oov_rate",
+    "contamination_matrix",
+    "quant_bits_sweep",
+    # (2) never-driver-checked late-r11
+    "source_containment",
+    "dup_run_lengths",
+    # (3) r11 signed-zero helper-change owners (driver re-check)
+    "rfm_segments",
+    "bootstrap_ci_mean",
+    "post_stratified_mean",
+    "langid_kappa",
+    "embedding_moments",
+    "rp_distortion",
+    "ts_series_transforms_hour",
+    "json_props_stats",
+    # (4) rotation re-checks (tail cycle from crosscorr_types)
+    "crosscorr_types",
+    "delta_attribution",
+    "bernoulli_ht_audit",
+    "markov_accuracy",
+    "vocab_drift",
+    "seasonal_quantile_bands",
+    "dup_inflation",
+    "ts_multires_rollup",
+    "ts_iterate_full",
+    "repetition_stats",
+    "word_entropy",
+    "contamination",
+    "dedup_incremental",
+    "token_topk_by_lang",
+    "cohort_retention",
+    "embed_near_pairs_lsh",
+    "shard_packing",
+    "sketch_distinct",
+    "kmeans_clusters",
+    "tfidf_top_terms",
+    "bigram_lm_score",
+    "normalize_dedup",
+    "containment_pairs",
+    "anomaly_zscore",
+    "ewma_smooth",
+    "rolling_distinct_users",
+    "funnel_conversion",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "window_top_orders",
+    "value_percentiles",
+    "range_join_user_events",
+    "rollup_revenue_region",
+    "semi_join_urgent_custs",
+    "anti_join_quiet_custs",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R11_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
+    **{k: QUERIES[k] for k in _R12_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
 }
 
 ORACLES = dict(_TS_ORACLES)
