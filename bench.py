@@ -248,6 +248,15 @@ PIPELINE = {
     # digest-/shard-grain (< 1.5 s class), not benched.
     "char_rep_rate": q.q_char_rep_rate,
     "doc_disposition": q.q_doc_disposition,
+    # round-12 additions — the two corpus-scale r12 shapes (line
+    # explode + line-df join-back over the whole corpus; token explode
+    # + broadcast vocab probe over the whole corpus). BASELINE.md
+    # records their first numbers as their own baselines per the
+    # freeze rule. The other four r12 queries are bounded-sample
+    # audits or repeat already-timed shapes (quant_bits_sweep repeats
+    # quant_recall's knn passes and is not double-timed).
+    "boilerplate_roi": q.q_boilerplate_roi,
+    "oov_rate": q.q_oov_rate,
 }
 
 
@@ -415,7 +424,22 @@ def pipeline_stats(spark, sf_dir):
         .agg(F.countDistinct("__t").alias("v"))
         .collect()[0]
     )
+    # boilerplate_roi / oov_rate volumes: both entries' wall time is
+    # their own explode volume — line instances (and how many are
+    # boilerplate) for the line-df join, token occurrences (and how
+    # many are OOV) for the vocab probe — readable straight off the
+    # operators' per-source outputs.
+    roi = q.q_boilerplate_roi(spark, sf_dir).agg(
+        F.sum("n_lines").alias("l"), F.sum("bp_lines").alias("b")
+    ).collect()[0]
+    oov = q.q_oov_rate(spark, sf_dir).agg(
+        F.sum("n_tokens").alias("t"), F.sum("oov_tokens").alias("o")
+    ).collect()[0]
     return {
+        "boilerplate_lines": int(roi["l"]),
+        "boilerplate_bp_lines": int(roi["b"]),
+        "oov_token_occurrences": int(oov["t"]),
+        "oov_oov_occurrences": int(oov["o"]),
         "char_rep_windows": int(crr["g"]),
         "char_rep_dup_windows": int(crr["d"]),
         "disposition_docs": int(disp["n"]),

@@ -2643,3 +2643,142 @@ def minhash_scurve(
         F.sum("__c").cast("long").alias("n_cand"),
         _round6_ratio(F.sum("__c"), F.count("*")).alias("cand_rate"),
     )
+
+
+def sig_size_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    sizes: tuple = (16, 32, 64),
+    sample_docs: int = 64,
+) -> DataFrame:
+    """MinHash estimator accuracy vs SIGNATURE SIZE — the num_hashes
+    tuning axis, completing the three-way calibration family:
+    ``minhash_calibration`` audits one fixed estimator,
+    ``minhash_scurve`` sweeps the banding (b, r) axis, and this sweeps
+    H ∈ ``sizes`` — the empirical version of the Var ≈ J(1−J)/H
+    binomial bound (MMDS ch. 3) on the corpus's real shingle
+    distribution. Per (sig_size, exact-Jaccard bin): pair count, mean
+    absolute error, signed bias, and worst-case error of the
+    H-component estimate vs the exact shingle Jaccard — the table
+    that says whether 16 hashes already suffice at the corpus's dup
+    profile or 64 are still underpowered near the threshold.
+
+    One 64-component signature is computed once; the H-sized
+    estimator is its first-H prefix (the (a + i·b) family nests by
+    construction), so the sweep costs ONE signature pass.
+
+    Exactness: each pair's error (m·u − s·H)/(H·u) is an exact
+    rational evaluated as one int64-exact double division, then
+    quantized on the 1e-12 grid with sign·floor(|x|·10¹² + 0.5) (the
+    embedding_moments quantizer — engine-identical while |x|·10¹² <
+    2⁵³; |err| ≤ 1). The per-bin aggregates are then exact integer
+    ratios over the quantized longs via the DECIMAL(38,0) helpers
+    (Σ|q| reaches ~2·10¹⁵ — past the BIGINT·2e6 ceiling).
+
+    Output: (sig_size, j_bin, n_pairs, mae, bias, max_abs_err).
+
+    Scale shape: identical constant-cost bounded audit as
+    minhash_scurve (sample_docs lowest ids via one top-k; all-pairs
+    bounded at sample_docs²/2; one signature aggregate; one shingle
+    self-join over the capped set)."""
+    max_h = max(int(h) for h in sizes)
+    capped = (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(id_col)
+        .limit(int(sample_docs))
+    )
+    sig = minhash_signatures(capped, text_col, id_col, n, max_h)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.zip_with("a.sig", "b.sig", lambda x, y: x == y).alias("__eq"),
+    )
+    sh = doc_shingles(capped, text_col, id_col, n)
+    shsizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    shared = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("__shn"))
+    )
+    za = shsizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__za"))
+    zb = shsizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__zb"))
+    base = (
+        pairs.join(shared, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "__eq",
+            F.coalesce(F.col("__shn"), F.lit(0)).alias("__shn"),
+            (
+                F.col("__za") + F.col("__zb") - F.coalesce(F.col("__shn"), F.lit(0))
+            ).alias("__uni"),
+        )
+        .withColumn(
+            "j_bin",
+            F.least(F.expr("(10 * __shn) div __uni"), F.lit(9)).cast("long"),
+        )
+    )
+    per_h = []
+    for h in sizes:
+        h = int(h)
+        m = F.size(F.filter(F.slice(F.col("__eq"), 1, h), lambda v: v))
+        num = (m.cast("long") * F.col("__uni") - F.col("__shn") * F.lit(h)).alias(
+            "__num"
+        )
+        den = (F.lit(h) * F.col("__uni")).alias("__den")
+        per_h.append(
+            base.select(
+                F.lit(h).cast("long").alias("sig_size"), "j_bin", num, den
+            ).select(
+                "sig_size",
+                "j_bin",
+                # sign·floor(|num/den|·10^12 + 0.5): num/den is one
+                # int64-exact double division — bit-identical in both
+                # engines; the floor form is the engine-agreed tie rule
+                F.when(
+                    F.col("__num") >= 0,
+                    F.floor(
+                        (F.col("__num") / F.col("__den"))
+                        * F.lit(1_000_000_000_000.0)
+                        + F.lit(0.5)
+                    ),
+                )
+                .otherwise(
+                    -F.floor(
+                        (-F.col("__num") / F.col("__den"))
+                        * F.lit(1_000_000_000_000.0)
+                        + F.lit(0.5)
+                    )
+                )
+                .cast("long")
+                .alias("__q"),
+            )
+        )
+    allq = per_h[0]
+    for frame in per_h[1:]:
+        allq = allq.unionByName(frame)
+    from kairos_spark.operators.text import (
+        _round6_ratio_dec as _rdec,
+        _round6_ratio_dec_signed as _rdecs,
+    )
+
+    grid = F.lit(1_000_000_000_000)
+    return allq.groupBy("sig_size", "j_bin").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        _rdec(F.sum(F.abs(F.col("__q"))), F.count("*") * grid).alias("mae"),
+        _rdecs(F.sum("__q"), F.count("*") * grid).alias("bias"),
+        _rdec(F.max(F.abs(F.col("__q"))), grid).alias("max_abs_err"),
+    )

@@ -4046,6 +4046,13 @@ def q_contamination_matrix(spark, sf_dir):
     return text.contamination_matrix(docs, bench, n=3)
 
 
+def q_sig_size_sweep(spark, sf_dir):
+    """MinHash estimator error vs signature size (16/32/64 nested
+    prefixes of one 64-hash signature) per exact-Jaccard bin, over the
+    same bounded 64-doc sample as minhash_scurve."""
+    return dedup.sig_size_sweep(_tbl(spark, sf_dir, "documents"))
+
+
 def q_quant_bits_sweep(spark, sf_dir):
     """int4/int6/int8 scalar-quantization recall sweep (quant_recall's
     levels axis): micro-averaged exact-top-10 recall per bit width,
@@ -4135,6 +4142,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "contamination_matrix": q_contamination_matrix,
     "quant_bits_sweep": q_quant_bits_sweep,
+    "sig_size_sweep": q_sig_size_sweep,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4648,7 +4656,7 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 
 # --- Round-12 driver window (CLAUDE.md rotation rule; _R11_WINDOW
 # above is historical record). Layout:
-# (1) the 5 NEW r12 queries (never driver-checked);
+# (1) the 6 NEW r12 queries (never driver-checked);
 # (2) the 2 late-r11 entries registered BEHIND the r11 window —
 #     the only registry entries never driver-checked (VERDICT r11 #3);
 # (3) the 8 r11 formal helper-change owners that skipped promotion
@@ -4658,7 +4666,7 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 #     off the zero window and mirror-re-verified + fuzz-pinned, but
 #     the rotation rule says expression-changed entries get a driver
 #     re-check;
-# (4) 35 tail re-checks continuing the oldest-driver-checked r8 block
+# (4) 34 tail re-checks continuing the oldest-driver-checked r8 block
 #     from crosscorr_types onward in registry order (bootstrap_ci_mean
 #     / post_stratified_mean / json_props_stats fall inside that block
 #     and already sit in group 3, so the block extends past them).
@@ -4669,6 +4677,7 @@ _R12_WINDOW = [
     "oov_rate",
     "contamination_matrix",
     "quant_bits_sweep",
+    "sig_size_sweep",
     # (2) never-driver-checked late-r11
     "source_containment",
     "dup_run_lengths",
@@ -4716,7 +4725,6 @@ _R12_WINDOW = [
     "range_join_user_events",
     "rollup_revenue_region",
     "semi_join_urgent_custs",
-    "anti_join_quiet_custs",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {
@@ -14476,3 +14484,100 @@ ORACLES["quant_bits_sweep"] = (
         _QBS_ROW_SQL.format(L=L, B=B) for L, B in ((15, 4), (63, 6), (255, 8))
     )
 )
+
+ORACLES["sig_size_sweep"] = """
+    WITH ids AS MATERIALIZED (
+        SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64
+    ),
+    norm AS (
+        SELECT d.doc_id, regexp_replace(lower(d.text), '\\s+', ' ', 'g') AS n
+        FROM documents d JOIN ids USING (doc_id)
+    ),
+    idx AS (
+        SELECT doc_id, n,
+               unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+        FROM norm
+    ),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(n, i, 8) AS s FROM idx),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 11))::BIGINT AS a,
+               ('0x' || substr(md5(s), 12, 11))::BIGINT AS b
+        FROM sh
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id, i.i AS i, min((a + i.i * b) % 17592186044399) AS hv
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+        GROUP BY 1, 2
+    ),
+    prs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+    ),
+    eqs AS MATERIALIZED (
+        SELECT p.id_a, p.id_b, sa.i AS i, (sa.hv = sb.hv) AS eq
+        FROM prs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+    ),
+    mm AS (
+        SELECT c.h, e.id_a, e.id_b,
+               sum(CASE WHEN e.eq AND e.i < c.h THEN 1 ELSE 0 END) AS m
+        FROM eqs e CROSS JOIN (VALUES (16), (32), (64)) AS c(h)
+        GROUP BY 1, 2, 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shn
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    base AS MATERIALIZED (
+        SELECT p.id_a, p.id_b,
+               coalesce(shn, 0) AS shn,
+               sa.sz + sb.sz - coalesce(shn, 0) AS uni,
+               least((10 * coalesce(shn, 0))
+                     // (sa.sz + sb.sz - coalesce(shn, 0)), 9) AS j_bin
+        FROM prs p
+        LEFT JOIN shared s ON s.id_a = p.id_a AND s.id_b = p.id_b
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+    ),
+    errs AS (
+        SELECT mm.h, b.j_bin,
+               (mm.m * b.uni - b.shn * mm.h) AS num,
+               (mm.h * b.uni) AS den
+        FROM mm JOIN base b USING (id_a, id_b)
+    ),
+    qs AS (
+        -- sign*floor(|num/den|*1e12 + 0.5): one int64-exact double
+        -- division, bit-identical in both engines (mirrors Spark)
+        SELECT h, j_bin,
+               CASE WHEN num >= 0
+                    THEN CAST(floor(num / den * 1000000000000.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor((-num) / den * 1000000000000.0 + 0.5) AS BIGINT)
+               END AS q
+        FROM errs
+    )
+    SELECT CAST(h AS BIGINT) AS sig_size,
+           CAST(j_bin AS BIGINT) AS j_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((2000000::HUGEINT * sum(abs(q))::HUGEINT
+                 + count(*)::HUGEINT * 1000000000000)
+                // (2::HUGEINT * count(*)::HUGEINT * 1000000000000)
+                AS BIGINT) / 1000000.0 AS mae,
+           CASE WHEN sum(q) >= 0
+                THEN CAST((2000000::HUGEINT * sum(q)::HUGEINT
+                           + count(*)::HUGEINT * 1000000000000)
+                          // (2::HUGEINT * count(*)::HUGEINT * 1000000000000)
+                          AS BIGINT) / 1000000.0
+                ELSE -CAST((-2000000::HUGEINT * sum(q)::HUGEINT
+                            + count(*)::HUGEINT * 1000000000000)
+                           // (2::HUGEINT * count(*)::HUGEINT * 1000000000000)
+                           AS BIGINT) / 1000000.0
+           END AS bias,
+           CAST((2000000::HUGEINT * max(abs(q))::HUGEINT + 1000000000000)
+                // (2::HUGEINT * 1000000000000)
+                AS BIGINT) / 1000000.0 AS max_abs_err
+    FROM qs GROUP BY 1, 2
+"""

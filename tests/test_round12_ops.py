@@ -220,3 +220,51 @@ def test_quant_bits_sweep_exact_reuse_is_full_precision(spark):
             similarity.quant_bits_sweep(qs, emb, k=2).collect()}
     for r in rows.values():
         assert r.recall == 1.0
+
+
+# ------------------------------------------------------------- sig_size_sweep
+
+def test_sig_size_sweep_identical_docs_zero_error(spark):
+    # identical pair: m = H exactly, est = 1.0 = exact J → error 0 at
+    # every signature size
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text=t), Row(doc_id=2, text=t)]
+    )
+    rows = dedup.sig_size_sweep(d, sample_docs=4).collect()
+    assert {r.sig_size for r in rows} == {16, 32, 64}
+    for r in rows:
+        assert r.j_bin == 9 and r.n_pairs == 1
+        assert r.mae == 0.0 and r.bias == 0.0 and r.max_abs_err == 0.0
+
+
+def test_sig_size_sweep_error_bounds_and_grain(spark):
+    docs = [
+        Row(doc_id=i, text=f"common shared base text {i % 2} " * 3 + str(i))
+        for i in range(10)
+    ]
+    d = spark.createDataFrame(docs)
+    rows = dedup.sig_size_sweep(d, sample_docs=10).collect()
+    per_h = {}
+    for r in rows:
+        assert 0.0 <= r.mae <= 1.0 and 0.0 <= r.max_abs_err <= 1.0
+        assert abs(r.bias) <= r.mae + 1e-6 and r.max_abs_err >= r.mae - 1e-6
+        per_h.setdefault(r.sig_size, 0)
+        per_h[r.sig_size] += r.n_pairs
+    # every size sees the same 45 pairs
+    assert per_h == {16: 45, 32: 45, 64: 45}
+
+
+def test_sig_size_sweep_prefix_nesting(spark):
+    # the H=64 estimator uses the first-64 prefix of the same family;
+    # a disjoint pair has exact J=0 so mae == mean est — and the est
+    # can only be nonzero via hash collisions (rare): assert small
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha bravo charlie delta echo foxtrot"),
+            Row(doc_id=2, text="zulu yankee xray whiskey victor uniform"),
+        ]
+    )
+    rows = {r.sig_size: r for r in dedup.sig_size_sweep(d, sample_docs=2).collect()}
+    for r in rows.values():
+        assert r.j_bin == 0 and r.mae <= 0.2

@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "sig_size_sweep",
     "minhash_scurve",
     "boilerplate_roi",
     "oov_rate",
@@ -365,6 +366,9 @@ CHECKS = {
     # signature pair join is a documented bounded-audit non-equi join;
     # signature build is partial+final HashAggregate
     "minhash_scurve": ["TakeOrderedAndProject", "HashAggregate", "!CartesianProduct"],
+    # r12: same bounded-audit shape — one 64-hash signature aggregate,
+    # capped all-pairs, shingle equi-join for the exact side
+    "sig_size_sweep": ["TakeOrderedAndProject", "HashAggregate", "!CartesianProduct"],
     # r12: line explode is map-side Generate; document frequency and
     # source rollup are hash aggregates; the boilerplate join-back is
     # a digest-key equi-join — no cartesian/NLJ over lines
