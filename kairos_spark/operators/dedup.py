@@ -2782,3 +2782,57 @@ def sig_size_sweep(
         _rdecs(F.sum("__q"), F.count("*") * grid).alias("bias"),
         _rdec(F.max(F.abs(F.col("__q"))), grid).alias("max_abs_err"),
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    pattern: str = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/-]*)?",
+) -> DataFrame:
+    """Per-source top-level-domain mix from each document's first
+    extracted URL — the provenance table next to ``url_dedup`` (which
+    asks "how much is re-crawl echo"; this asks "WHERE does a source's
+    content come from"). A 'web' feed whose links concentrate on one
+    TLD is a mislabeled single-site dump; a TLD mix shift between
+    snapshots is a crawl-frontier change — both caught here before
+    content-level stats move (the Common Crawl / C4 host-distribution
+    tables reduced to TLD grain).
+
+    Per (source, tld): docs whose first URL has that TLD, distinct
+    hosts behind it, and the share of the source's URL-carrying docs —
+    an exact integer ratio; the denominator is > 0 by construction
+    (rows exist only where URLs do).
+
+    Engine notes: the URL/host charset is pure ASCII by construction
+    so plain lower() is safe; the TLD is everything after the host's
+    last '.' (substring_index Spark-side, a `[^.]*$`-style RE2 tail
+    extract in the oracle — `$` is \\z-strict in RE2).
+
+    Scale shape: extraction is map-side; one (source, tld, host)
+    aggregate with combiner; source totals are a |sources|-row
+    broadcast join-back. Raw text never shuffles."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.regexp_extract(F.col(text_col), pattern, 0).alias("__u0"),
+    )
+    hosts = base.where(F.col("__u0") != "").select(
+        "grp",
+        F.lower(
+            F.regexp_extract(F.col("__u0"), r"https?://([A-Za-z0-9.-]+)", 1)
+        ).alias("__host"),
+    )
+    tld = hosts.withColumn("tld", F.substring_index(F.col("__host"), ".", -1))
+    per = tld.groupBy("grp", "tld").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct(F.col("__host")).cast("long").alias("n_hosts"),
+    )
+    tot = per.groupBy("grp").agg(F.sum("n_docs").alias("__tot"))
+    return per.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "tld",
+        "n_docs",
+        "n_hosts",
+        _round6_ratio(F.col("n_docs"), F.col("__tot")).alias("share"),
+    )

@@ -3611,3 +3611,82 @@ def contamination_matrix(
         "jaccard",
         F.when(uni > 0, _round6_ratio(F.col("n_both"), uni)).otherwise(F.lit(0.0)),
     )
+
+
+def instruction_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source instruction/chat-format detection — ``code_detect``'s
+    sibling for the other special modality a pretraining mix must
+    route: docs already shaped as instruction/dialogue data (forum
+    Q&A dumps, leaked chat templates, self-instruct artifacts) skew
+    instruction-following evals if they leak into the base mix
+    unlabeled, and are exactly what a curation pass wants to FIND for
+    the SFT mix. A doc scores one point per structural signal and is
+    flagged at >= 3 of 5:
+
+    - >= 2 distinct template markers present, and >= 4 for the 2nd
+      point ('### Instruction', '### Response', 'User:', 'Assistant:',
+      'Human:', 'Q:', 'A:', '[INST]', '<|im_start|>' — case-sensitive
+      literals, no casing hazards),
+    - >= 4 turn lines (lines starting with a role prefix 'Q:' 'A:'
+      'User:' 'Assistant:' 'Human:'),
+    - turn lines >= 15% of lines,
+    - '?' density >= 1% of characters.
+
+    Every signal is an integer cross-multiplied threshold (no
+    division, no floats); lines split on literal \\n after \\r
+    removal (CRLF-safe, the code_detect convention); '?' counts via
+    translate() (single table-lookup pass). Output ratios are exact
+    count ratios via ``_round6_ratio``.
+
+    Scale shape: one map-only projection (all signals per doc in one
+    pass), one per-source combiner aggregate. Raw text never
+    shuffles; no joins, no windows."""
+    body = F.regexp_replace(F.col(text_col), "\r", "")
+    lines = F.split(body, "\n")
+    n_lines = F.size(lines).cast("long")
+    markers = [
+        "### Instruction", "### Response", "User:", "Assistant:",
+        "Human:", "Q:", "A:", "[INST]", "<|im_start|>",
+    ]
+    kw_hits = sum(
+        F.when(F.instr(body, kw) > 0, 1).otherwise(0) for kw in markers
+    ).cast("long")
+    role_prefixes = ("Q:", "A:", "User:", "Assistant:", "Human:")
+    is_turn = lambda x: (  # noqa: E731
+        x.startswith("Q:")
+        | x.startswith("A:")
+        | x.startswith("User:")
+        | x.startswith("Assistant:")
+        | x.startswith("Human:")
+    )
+    turns = F.size(F.filter(lines, is_turn)).cast("long")
+    chars = F.length(body).cast("long")
+    qmarks = (chars - F.length(F.translate(body, "?", ""))).cast("long")
+    score = (
+        (kw_hits >= 2).cast("long")
+        + (kw_hits >= 4).cast("long")
+        + (turns >= 4).cast("long")
+        + ((n_lines > 0) & (100 * turns >= 15 * n_lines)).cast("long")
+        + ((chars > 0) & (100 * qmarks >= chars)).cast("long")
+    )
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        score.alias("__s"),
+        (score >= 3).cast("long").alias("__c"),
+    )
+    g = per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__c").cast("long").alias("inst_docs"),
+        F.sum("__s").cast("long").alias("__ss"),
+    )
+    return g.select(
+        "grp",
+        "n_docs",
+        "inst_docs",
+        _round6_ratio(F.col("inst_docs"), F.col("n_docs")).alias("inst_frac"),
+        _round6_ratio(F.col("__ss"), F.col("n_docs")).alias("mean_score"),
+    )

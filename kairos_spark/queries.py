@@ -4020,15 +4020,42 @@ def q_minhash_scurve(spark, sf_dir):
 def q_boilerplate_roi(spark, sf_dir):
     """Boilerplate-line removal ROI per source: line instances, chars,
     and docs a strip of lines appearing in >= 3 distinct docs would
-    remove (CCNet line-dedup simulated before running it)."""
-    return text.boilerplate_roi(_tbl(spark, sf_dir, "documents"))
+    remove (CCNet line-dedup simulated before running it). Docs are
+    deterministically banner-decorated (every 3rd doc gets a shared
+    cookie banner, every 7th a per-source copyright footer) so real
+    cross-doc line duplication exists on this corpus — the synthetic
+    docs are single-line and the audit would otherwise be trivially
+    zero (the url_dedup decoration precedent)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    deco = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("COOKIE NOTICE: we use cookies\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit("\nCopyright "),
+                    F.col("source"),
+                    F.lit(" all rights reserved"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text.boilerplate_roi(deco)
 
 
 def q_oov_rate(spark, sf_dir):
-    """Per-source OOV / byte-fallback audit under the corpus's top-256
+    """Per-source OOV / byte-fallback audit under the corpus's top-24
     token vocabulary: OOV occurrence rate and the token-budget
-    inflation byte-fallback encoding would cause."""
-    return text.oov_rate(_tbl(spark, sf_dir, "documents"))
+    inflation byte-fallback encoding would cause. The cut sits BELOW
+    the synthetic corpus's distinct-token count so real OOV mass
+    exists on this data (at 256 the driver check would be trivially
+    all-in-vocab)."""
+    return text.oov_rate(_tbl(spark, sf_dir, "documents"), vocab_size=24)
 
 
 def q_contamination_matrix(spark, sf_dir):
@@ -4051,6 +4078,63 @@ def q_sig_size_sweep(spark, sf_dir):
     prefixes of one 64-hash signature) per exact-Jaccard bin, over the
     same bounded 64-doc sample as minhash_scurve."""
     return dedup.sig_size_sweep(_tbl(spark, sf_dir, "documents"))
+
+
+def q_instruction_detect(spark, sf_dir):
+    """Per-source instruction/chat-format detection over
+    deterministically template-decorated docs (every 5th doc gets a
+    User:/Assistant: turn block, every 15th additionally the
+    ### Instruction/[INST] template — decoration precedent: url_dedup's
+    link injection)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    turn_block = (
+        "User: how does this work?\nAssistant: like this.\n"
+        "User: and that?\nAssistant: also.\n"
+    )
+    tmpl_block = "### Instruction\ndo the thing\n### Response\n[INST] done [/INST]\n"
+    deco = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit(turn_block)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 15 == 0, F.lit(tmpl_block)).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+        ),
+    )
+    return text.instruction_detect(deco)
+
+
+def q_domain_mix(spark, sf_dir):
+    """Per-source TLD mix of each doc's first URL over the same
+    link-decorated corpus as url_dedup (doc_id % 50 .com hosts,
+    % 20 .org hosts, plus any organic links)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    deco = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" see https://example"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".com/page"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" and http://mirror"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".org/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return dedup.domain_mix(deco)
 
 
 def q_quant_bits_sweep(spark, sf_dir):
@@ -4143,6 +4227,8 @@ QUERIES = {
     "contamination_matrix": q_contamination_matrix,
     "quant_bits_sweep": q_quant_bits_sweep,
     "sig_size_sweep": q_sig_size_sweep,
+    "instruction_detect": q_instruction_detect,
+    "domain_mix": q_domain_mix,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4656,7 +4742,7 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 
 # --- Round-12 driver window (CLAUDE.md rotation rule; _R11_WINDOW
 # above is historical record). Layout:
-# (1) the 6 NEW r12 queries (never driver-checked);
+# (1) the 8 NEW r12 queries (never driver-checked);
 # (2) the 2 late-r11 entries registered BEHIND the r11 window —
 #     the only registry entries never driver-checked (VERDICT r11 #3);
 # (3) the 8 r11 formal helper-change owners that skipped promotion
@@ -4666,7 +4752,7 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 #     off the zero window and mirror-re-verified + fuzz-pinned, but
 #     the rotation rule says expression-changed entries get a driver
 #     re-check;
-# (4) 34 tail re-checks continuing the oldest-driver-checked r8 block
+# (4) 32 tail re-checks continuing the oldest-driver-checked r8 block
 #     from crosscorr_types onward in registry order (bootstrap_ci_mean
 #     / post_stratified_mean / json_props_stats fall inside that block
 #     and already sit in group 3, so the block extends past them).
@@ -4678,6 +4764,8 @@ _R12_WINDOW = [
     "contamination_matrix",
     "quant_bits_sweep",
     "sig_size_sweep",
+    "instruction_detect",
+    "domain_mix",
     # (2) never-driver-checked late-r11
     "source_containment",
     "dup_run_lengths",
@@ -4723,8 +4811,6 @@ _R12_WINDOW = [
     "window_top_orders",
     "value_percentiles",
     "range_join_user_events",
-    "rollup_revenue_region",
-    "semi_join_urgent_custs",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {
@@ -14272,10 +14358,22 @@ ORACLES["minhash_scurve"] = """
 """
 
 ORACLES["boilerplate_roi"] = """
-    WITH l AS (
+    WITH deco AS (
+      SELECT source, doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'COOKIE NOTICE: we use cookies' || chr(10)
+                  ELSE '' END
+             || text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN chr(10) || 'Copyright ' || source
+                       || ' all rights reserved'
+                  ELSE '' END AS text
+      FROM documents
+    ),
+    l AS (
         SELECT source AS grp, doc_id,
                unnest(string_split(text, chr(10))) AS line
-        FROM documents
+        FROM deco
     ),
     ne AS (SELECT grp, doc_id, line FROM l WHERE length(trim(line)) > 0),
     h AS (
@@ -14330,7 +14428,7 @@ ORACLES["oov_rate"] = """
         SELECT t FROM (
             SELECT t, row_number() OVER (ORDER BY n DESC, md5(t)) AS rk
             FROM cnt
-        ) WHERE rk <= 256
+        ) WHERE rk <= 24
     ),
     m AS (
         SELECT grp, (vocab.t IS NOT NULL) AS inv,
@@ -14580,4 +14678,102 @@ ORACLES["sig_size_sweep"] = """
                 // (2::HUGEINT * 1000000000000)
                 AS BIGINT) / 1000000.0 AS max_abs_err
     FROM qs GROUP BY 1, 2
+"""
+
+ORACLES["instruction_detect"] = """
+    WITH deco AS (
+      SELECT source,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'User: how does this work?' || chr(10)
+                       || 'Assistant: like this.' || chr(10)
+                       || 'User: and that?' || chr(10)
+                       || 'Assistant: also.' || chr(10)
+                  ELSE '' END
+             || CASE WHEN doc_id % 15 = 0
+                  THEN '### Instruction' || chr(10) || 'do the thing' || chr(10)
+                       || '### Response' || chr(10)
+                       || '[INST] done [/INST]' || chr(10)
+                  ELSE '' END
+             || text AS raw
+      FROM documents
+    ),
+    per AS (SELECT source AS grp, replace(raw, chr(13), '') AS body FROM deco),
+    sig AS (
+      SELECT grp,
+        len(string_split(body, chr(10))) AS nl,
+        len(list_filter(string_split(body, chr(10)),
+            x -> left(x, 2) = 'Q:' OR left(x, 2) = 'A:'
+                 OR left(x, 5) = 'User:' OR left(x, 10) = 'Assistant:'
+                 OR left(x, 6) = 'Human:')) AS tn,
+        length(body) AS ch,
+        length(body) - length(replace(body, '?', '')) AS qm,
+        (CASE WHEN contains(body, '### Instruction') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, '### Response') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'User:') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'Assistant:') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'Human:') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'Q:') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, 'A:') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, '[INST]') THEN 1 ELSE 0 END
+         + CASE WHEN contains(body, '<|im_start|>') THEN 1 ELSE 0 END) AS kw
+      FROM per
+    ),
+    sc AS (
+      SELECT grp,
+        (CASE WHEN kw >= 2 THEN 1 ELSE 0 END
+         + CASE WHEN kw >= 4 THEN 1 ELSE 0 END
+         + CASE WHEN tn >= 4 THEN 1 ELSE 0 END
+         + CASE WHEN nl > 0 AND 100*tn >= 15*nl THEN 1 ELSE 0 END
+         + CASE WHEN ch > 0 AND 100*qm >= ch THEN 1 ELSE 0 END) AS s
+      FROM sig
+    ),
+    g AS (
+      SELECT grp, count(*) AS n,
+             sum(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS idc,
+             sum(s) AS ss
+      FROM sc GROUP BY 1
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(idc AS BIGINT) AS inst_docs,
+           floor((2000000*idc + n) / (2.0*n)) / 1000000.0 AS inst_frac,
+           floor((2000000*ss + n) / (2.0*n)) / 1000000.0 AS mean_score
+    FROM g
+"""
+
+ORACLES["domain_mix"] = """
+    WITH deco AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' see https://example' || (doc_id % 50)::VARCHAR || '.com/page'
+                  ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                  THEN ' and http://mirror' || (doc_id % 20)::VARCHAR || '.org/x'
+                  ELSE '' END AS t
+      FROM documents
+    ),
+    ext AS (
+      SELECT source,
+             regexp_extract(t, 'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/-]*)?') AS u0
+      FROM deco
+    ),
+    hosts AS (
+      SELECT source AS grp,
+             lower(regexp_extract(u0, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+      FROM ext WHERE u0 <> ''
+    ),
+    tl AS (
+      SELECT grp, host, regexp_extract(host, '[^.]*$') AS tld FROM hosts
+    ),
+    per AS (
+      SELECT grp, tld, count(*) AS nd, count(DISTINCT host) AS nh
+      FROM tl GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, sum(nd) AS tt FROM per GROUP BY 1)
+    SELECT per.grp, per.tld,
+           CAST(nd AS BIGINT) AS n_docs,
+           CAST(nh AS BIGINT) AS n_hosts,
+           floor((2000000*nd + tt) / (2.0*tt)) / 1000000.0 AS share
+    FROM per JOIN tot USING (grp)
 """

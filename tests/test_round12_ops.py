@@ -1,6 +1,8 @@
 """Round-12 training-data operators: MinHash banding S-curve sweep,
 boilerplate-line removal ROI, fixed-vocab OOV/byte-fallback rate,
-benchmark-pair contamination matrix, multi-bit quantization sweep."""
+benchmark-pair contamination matrix, multi-bit quantization sweep,
+MinHash signature-size accuracy sweep, instruction/chat-format
+detection, and per-source TLD mix."""
 
 from __future__ import annotations
 
@@ -268,3 +270,63 @@ def test_sig_size_sweep_prefix_nesting(spark):
     rows = {r.sig_size: r for r in dedup.sig_size_sweep(d, sample_docs=2).collect()}
     for r in rows.values():
         assert r.j_bin == 0 and r.mae <= 0.2
+
+
+# --------------------------------------------------------- instruction_detect
+
+def test_instruction_detect_template_doc_flagged(spark):
+    chat = (
+        "User: what is this?\nAssistant: a test.\n"
+        "User: really?\nAssistant: yes.\n"
+        "### Instruction\nexplain\n### Response\nfine"
+    )
+    prose = "Just an ordinary paragraph of text with nothing special in it."
+    d = spark.createDataFrame(
+        [Row(doc_id=1, source="chat", text=chat), Row(doc_id=2, source="web", text=prose)]
+    )
+    out = {r.grp: r for r in text.instruction_detect(d).collect()}
+    # chat doc: kw>=4 (User:, Assistant:, ### Instruction, ### Response)
+    # → 2 pts; 4 turn lines → 1 pt; 4/7 lines >= 15% → 1 pt; '?' density
+    # 2/len — scores at least 4 → flagged
+    assert out["chat"].inst_docs == 1 and out["chat"].mean_score >= 4.0
+    assert out["web"].inst_docs == 0 and out["web"].mean_score == 0.0
+
+
+def test_instruction_detect_crlf_and_exact_ratio(spark):
+    # CRLF turn lines still match after \r removal
+    chat = "Q: one?\r\nA: yes.\r\nQ: two?\r\nA: no.\r\n"
+    d = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text=chat), Row(doc_id=2, source="s", text="plain")]
+    )
+    (r,) = text.instruction_detect(d).collect()
+    assert r.n_docs == 2 and r.inst_docs == 1 and r.inst_frac == 0.5
+
+
+# ----------------------------------------------------------------- domain_mix
+
+def test_domain_mix_tld_grain_and_shares(spark):
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="x https://one.example.com/p y"),
+            Row(doc_id=2, source="a", text="x http://two.example.com/q y"),
+            Row(doc_id=3, source="a", text="x https://site.org/r y"),
+            Row(doc_id=4, source="a", text="no links"),
+            Row(doc_id=5, source="b", text="x https://only.net/z y"),
+        ]
+    )
+    out = {(r.grp, r.tld): r for r in dedup.domain_mix(d).collect()}
+    assert out[("a", "com")].n_docs == 2 and out[("a", "com")].n_hosts == 2
+    assert out[("a", "com")].share == 0.666667  # 2/3 of a's URL docs
+    assert out[("a", "org")].n_docs == 1 and out[("a", "org")].share == 0.333333
+    assert out[("b", "net")].share == 1.0
+    # doc 4 (no URL) is excluded from the denominators entirely
+    assert ("a", "") not in out
+
+
+def test_domain_mix_first_url_only_and_case(spark):
+    # only the FIRST URL counts; host lowercases (ASCII-safe)
+    d = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text="see https://First.COM/a then https://second.org/b")]
+    )
+    (r,) = dedup.domain_mix(d).collect()
+    assert r.tld == "com" and r.n_hosts == 1 and r.share == 1.0

@@ -21,6 +21,8 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "instruction_detect",
+    "domain_mix",
     "sig_size_sweep",
     "minhash_scurve",
     "boilerplate_roi",
@@ -369,6 +371,12 @@ CHECKS = {
     # r12: same bounded-audit shape — one 64-hash signature aggregate,
     # capped all-pairs, shingle equi-join for the exact side
     "sig_size_sweep": ["TakeOrderedAndProject", "HashAggregate", "!CartesianProduct"],
+    # r12: one map-only all-signals projection per doc + per-source
+    # combiner aggregate — code_detect's shape (no joins, no windows)
+    "instruction_detect": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
+    # r12: map-side URL/host extraction; (source, tld) combiner
+    # aggregate; |sources|-row totals broadcast back — no NLJ/SMJ
+    "domain_mix": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin", "!BroadcastNestedLoopJoin"],
     # r12: line explode is map-side Generate; document frequency and
     # source rollup are hash aggregates; the boilerplate join-back is
     # a digest-key equi-join — no cartesian/NLJ over lines
