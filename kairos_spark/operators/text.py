@@ -3472,11 +3472,14 @@ def oov_rate(
     the per-source sibling of ``token_fertility`` (per language, vs
     words) and ``tokenizer_drift`` (chars/token, vocab-free).
 
-    Vocabulary ties at the cut rank break on (count DESC, md5(token))
-    — md5 keys, not raw strings, because Spark orders strings by
-    UTF-16 code unit and DuckDB by UTF-8 byte, and the two DISAGREE
-    when supplementary-plane tokens (emoji) meet U+E000..U+FFFF
-    tokens (U+FFFD!) at the same count; md5 hex is engine-identical.
+    Vocabulary ties at the cut rank break on (count DESC, md5(token)).
+    md5 hex order is engine-identical UNCONDITIONALLY; raw-string
+    order also agrees today (engine-probed r12: Spark's default
+    UTF8_BINARY collation compares UTF-8 BYTES, same as DuckDB —
+    NOT Java's UTF-16 code-unit order, which would flip
+    supplementary-plane tokens against U+E000..U+FFFF ones;
+    tests/test_string_order_probe.py pins the fact), but md5 keeps
+    the tie-break independent of any future collation default.
 
     Output per source: (grp, n_tokens, oov_tokens, oov_rate,
     fallback_tokens, inflation); fallback_tokens = in-vocab

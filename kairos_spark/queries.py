@@ -14422,9 +14422,10 @@ ORACLES["oov_rate"] = """
     ),
     cnt AS (SELECT t, count(*) AS n FROM toks GROUP BY 1),
     vocab AS MATERIALIZED (
-        -- md5 tie-break, NOT the raw string: Spark orders strings by
-        -- UTF-16 code unit, DuckDB by UTF-8 byte, and they disagree
-        -- when supplementary-plane tokens meet U+E000..U+FFFF tokens
+        -- md5 tie-break: engine-identical unconditionally (raw-string
+        -- order also agrees — both engines compare UTF-8 bytes, see
+        -- tests/test_string_order_probe.py — md5 just makes the
+        -- tie-break collation-proof)
         SELECT t FROM (
             SELECT t, row_number() OVER (ORDER BY n DESC, md5(t)) AS rk
             FROM cnt
