@@ -3693,3 +3693,142 @@ def instruction_detect(
         _round6_ratio(F.col("inst_docs"), F.col("n_docs")).alias("inst_frac"),
         _round6_ratio(F.col("__ss"), F.col("n_docs")).alias("mean_score"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """First-iteration BPE merge candidates — the tokenizer-TRAINING
+    side of the token-model family (everything else here APPLIES a
+    token model; this is step 1 of fitting one): the corpus's most
+    frequent adjacent character pairs inside words, weighted by word
+    frequency — exactly the pair counts the first BPE merge ranks
+    (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    with Subword Units", alg. 1). Read it to see what the first
+    merges WOULD be — a corpus whose top pairs are digit-digit or
+    mojibake byte pairs is telling you its token model will waste
+    merges on noise.
+
+    Returns the top ``k``: (rank, pair, pair_count). Ranking ties
+    break on the raw pair string — safe across engines (UTF8_BINARY
+    == DuckDB byte order, pinned in tests/test_string_order_probe.py).
+
+    Scale shape: word counts aggregate map-side; pairs explode from
+    DISTINCT words only (vocab grain, not corpus volume) with the
+    count as multiplicity weight; the final top-k is one
+    TakeOrdered over pair-grain aggregates. Raw text never shuffles."""
+    words = df.select(
+        F.explode(word_tokens(F.col(text_col))).alias("__w")
+    ).where(F.length("__w") > 0)
+    wcounts = words.groupBy("__w").agg(F.count("*").alias("__n"))
+    pairs = wcounts.select(
+        "__n",
+        F.explode(
+            F.when(
+                F.length("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__w") - 1),
+                    lambda i: F.col("__w").substr(i, F.lit(2)),
+                ),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("__n").cast("long").alias("pair_count")
+    )
+    top = agg.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(int(k))
+    from pyspark.sql.window import Window
+
+    # rank over the k-row top slice only (bounded window, never corpus)
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "pair",
+        "pair_count",
+    )
+
+
+def facility_select(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    sample_docs: int = 64,
+) -> DataFrame:
+    """Greedy max-coverage document selection — the facility-location
+    subset-selection audit (Nemhauser et al. 1978 greedy, the
+    submodular-coreset recipe of data-selection literature): from a
+    bounded doc sample, pick ``k`` documents one at a time, each
+    maximizing the count of corpus word n-grams not yet covered by
+    the picks so far. The output trace (pick order, marginal gain,
+    cumulative coverage) is the diminishing-returns curve that says
+    how much lexical diversity a k-doc subset can hold — flat early
+    gains mean the sample is redundant; the 1−1/e guarantee makes the
+    greedy trace the standard reference curve.
+
+    Ties break on min doc_id; zero-gain steps still pick (the trace
+    stays k rows — deterministic on any input). Returns
+    (step, doc_id, gain, covered) with covered = cumulative distinct
+    grams.
+
+    Scale shape: a bounded audit (the minhash_scurve id-cap pattern):
+    ``sample_docs`` lowest ids via one top-k, gram sets at (doc,
+    gram-digest) grain, then ``k`` driver steps, each one anti-join +
+    argmax over the bounded gram table (collecting ONE scalar row per
+    step — the bfs_reach single-scalar precedent, never data-scale
+    collect)."""
+    capped = (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(id_col)
+        .limit(int(sample_docs))
+    )
+    grams = capped.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(word_tokens(F.col(text_col)), n))
+        ).alias("__g"),
+    ).select(F.col(id_col), F.md5(F.col("__g")).alias("__g"))
+    grams = grams.localCheckpoint(eager=True)
+    selected: list = []
+    covered = None  # DataFrame of covered gram digests
+    rows = []
+    total = 0
+    for step in range(1, int(k) + 1):
+        cand = grams
+        if selected:
+            cand = cand.where(~F.col(id_col).isin(selected))
+        if covered is not None:
+            cand = cand.join(covered, "__g", "left_anti")
+        gains = cand.groupBy(id_col).agg(F.count("*").alias("__gain"))
+        # zero-gain docs drop out of `gains`; re-add unselected docs so
+        # the trace always has k rows
+        spine = capped.select(F.col(id_col)).where(
+            ~F.col(id_col).isin(selected) if selected else F.lit(True)
+        )
+        pick = (
+            spine.join(gains, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__gain"), F.lit(0)).alias("__gain"),
+            )
+            .orderBy(F.col("__gain").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not pick:  # fewer than k docs in the sample
+            break
+        doc, gain = int(pick[0][0]), int(pick[0][1])
+        selected.append(doc)
+        total += gain
+        rows.append((step, doc, gain, total))
+        newly = grams.where(F.col(id_col) == doc).select("__g")
+        covered = (
+            newly if covered is None else covered.union(newly).distinct()
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "step long, doc_id long, gain long, covered long"
+    )

@@ -4137,6 +4137,22 @@ def q_domain_mix(spark, sf_dir):
     return dedup.domain_mix(deco)
 
 
+def q_bpe_merge_candidates(spark, sf_dir):
+    """Top-20 first-iteration BPE merge candidates (adjacent char-pair
+    frequencies inside words, weighted by word frequency) — the
+    tokenizer-training-side audit."""
+    return text.bpe_merge_candidates(_tbl(spark, sf_dir, "documents"), k=20)
+
+
+def q_facility_select(spark, sf_dir):
+    """Greedy max-coverage selection of 8 docs from the 64 lowest-id
+    sample (facility-location/submodular curation trace: pick order,
+    marginal gain, cumulative distinct word-3-grams covered)."""
+    return text.facility_select(
+        _tbl(spark, sf_dir, "documents"), n=3, k=8, sample_docs=64
+    )
+
+
 def q_quant_bits_sweep(spark, sf_dir):
     """int4/int6/int8 scalar-quantization recall sweep (quant_recall's
     levels axis): micro-averaged exact-top-10 recall per bit width,
@@ -4229,6 +4245,8 @@ QUERIES = {
     "sig_size_sweep": q_sig_size_sweep,
     "instruction_detect": q_instruction_detect,
     "domain_mix": q_domain_mix,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "facility_select": q_facility_select,
     "cross_source_dup": q_cross_source_dup,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "template_prefix": q_template_prefix,
@@ -4742,7 +4760,7 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 
 # --- Round-12 driver window (CLAUDE.md rotation rule; _R11_WINDOW
 # above is historical record). Layout:
-# (1) the 8 NEW r12 queries (never driver-checked);
+# (1) the 10 NEW r12 queries (never driver-checked);
 # (2) the 2 late-r11 entries registered BEHIND the r11 window —
 #     the only registry entries never driver-checked (VERDICT r11 #3);
 # (3) the 8 r11 formal helper-change owners that skipped promotion
@@ -4752,7 +4770,7 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 #     off the zero window and mirror-re-verified + fuzz-pinned, but
 #     the rotation rule says expression-changed entries get a driver
 #     re-check;
-# (4) 32 tail re-checks continuing the oldest-driver-checked r8 block
+# (4) 30 tail re-checks continuing the oldest-driver-checked r8 block
 #     from crosscorr_types onward in registry order (bootstrap_ci_mean
 #     / post_stratified_mean / json_props_stats fall inside that block
 #     and already sit in group 3, so the block extends past them).
@@ -4766,6 +4784,8 @@ _R12_WINDOW = [
     "sig_size_sweep",
     "instruction_detect",
     "domain_mix",
+    "bpe_merge_candidates",
+    "facility_select",
     # (2) never-driver-checked late-r11
     "source_containment",
     "dup_run_lengths",
@@ -4809,8 +4829,6 @@ _R12_WINDOW = [
     "q1_pricing_summary",
     "revenue_by_nation",
     "window_top_orders",
-    "value_percentiles",
-    "range_join_user_events",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {
@@ -14778,3 +14796,87 @@ ORACLES["domain_mix"] = """
            floor((2000000*nd + tt) / (2.0*tt)) / 1000000.0 AS share
     FROM per JOIN tot USING (grp)
 """
+
+ORACLES["bpe_merge_candidates"] = r"""
+    WITH words AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT w, count(*) AS n FROM words WHERE length(w) > 0 GROUP BY 1
+    ),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair, n
+        FROM (SELECT * FROM wc WHERE length(w) >= 2) c,
+        UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+    ),
+    agg AS (
+        SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY 1
+    ),
+    top AS (
+        SELECT pair, pair_count,
+               row_number() OVER (ORDER BY pair_count DESC, pair) AS rk
+        FROM agg
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, pair, pair_count
+    FROM top WHERE rk <= 20
+"""
+
+
+def _facility_oracle(k: int = 8, sample_docs: int = 64) -> str:
+    """k chained greedy steps as MATERIALIZED CTEs (the iterative-CTE
+    rule: every reused CTE is MATERIALIZED or DuckDB re-executes the
+    whole prefix per reference)."""
+    parts = [
+        f"""
+    WITH ids AS MATERIALIZED (
+        SELECT doc_id FROM documents ORDER BY doc_id LIMIT {sample_docs}
+    ),
+    cw AS (
+        SELECT d.doc_id,
+               string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ') AS ws
+        FROM documents d JOIN ids USING (doc_id)
+    ),
+    g AS MATERIALIZED (
+        SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS gg
+        FROM cw, UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS t(i)
+    )"""
+    ]
+    for i in range(1, k + 1):
+        not_sel = (
+            f"doc_id NOT IN (SELECT doc_id FROM sel{i - 1})" if i > 1 else "TRUE"
+        )
+        not_cov = (
+            f"gg NOT IN (SELECT gg FROM c{i - 1})" if i > 1 else "TRUE"
+        )
+        parts.append(
+            f""",
+    p{i} AS MATERIALIZED (
+        SELECT doc_id, gain FROM (
+            SELECT s.doc_id, coalesce(q.cnt, 0) AS gain
+            FROM (SELECT doc_id FROM ids WHERE {not_sel}) s
+            LEFT JOIN (
+                SELECT doc_id, count(*) AS cnt FROM g
+                WHERE {not_cov} AND {not_sel}
+                GROUP BY 1
+            ) q USING (doc_id)
+        ) ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (
+        {"SELECT doc_id FROM sel" + str(i - 1) + " UNION " if i > 1 else ""}SELECT doc_id FROM p{i}
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT DISTINCT gg FROM g WHERE doc_id IN (SELECT doc_id FROM sel{i})
+    )"""
+        )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, CAST(doc_id AS BIGINT) AS doc_id,"
+        f" CAST(gain AS BIGINT) AS gain,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM c{i}) AS covered FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + rows
+
+
+ORACLES["facility_select"] = _facility_oracle(8, 64)

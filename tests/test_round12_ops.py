@@ -2,7 +2,8 @@
 boilerplate-line removal ROI, fixed-vocab OOV/byte-fallback rate,
 benchmark-pair contamination matrix, multi-bit quantization sweep,
 MinHash signature-size accuracy sweep, instruction/chat-format
-detection, and per-source TLD mix."""
+detection, per-source TLD mix, first-iteration BPE merge candidates,
+and greedy facility-location selection."""
 
 from __future__ import annotations
 
@@ -330,3 +331,61 @@ def test_domain_mix_first_url_only_and_case(spark):
     )
     (r,) = dedup.domain_mix(d).collect()
     assert r.tld == "com" and r.n_hosts == 1 and r.share == 1.0
+
+
+# -------------------------------------------------------- bpe_merge_candidates
+
+def test_bpe_merge_candidates_weighted_pairs(spark):
+    # "ab" appears in 3 word occurrences ("ab" x2 + "abc"), "bc" in 1
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="ab ab abc"), Row(doc_id=2, text="x")]
+    )
+    rows = {r.pair: r for r in text.bpe_merge_candidates(d, k=10).collect()}
+    assert rows["ab"].pair_count == 3 and rows["ab"].rank == 1
+    assert rows["bc"].pair_count == 1
+    # 1-char words contribute no pairs
+    assert "x" not in rows
+
+
+def test_bpe_merge_candidates_rank_ties_on_pair(spark):
+    d = spark.createDataFrame([Row(doc_id=1, text="zz aa")])
+    rows = sorted(text.bpe_merge_candidates(d, k=10).collect(),
+                  key=lambda r: r.rank)
+    assert [r.pair for r in rows] == ["aa", "zz"]  # tie -> pair asc
+
+
+# ------------------------------------------------------------- facility_select
+
+def test_facility_select_greedy_order_and_coverage(spark):
+    # doc 1 covers {g1..g4}, doc 2 {g1, g2}, doc 3 {g5}: greedy picks
+    # 1 (gain 4), then 3 (gain 1), then 2 (gain 0)
+    t1 = "a b c d e f"            # grams: abc bcd cde def (4)
+    t2 = "a b c d"                # grams: abc bcd (2, all covered by t1)
+    t3 = "x y z"                  # gram: xyz (1)
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text=t1), Row(doc_id=2, text=t2), Row(doc_id=3, text=t3)]
+    )
+    rows = {r.step: r for r in
+            text.facility_select(d, n=3, k=3, sample_docs=8).collect()}
+    assert rows[1].doc_id == 1 and rows[1].gain == 4 and rows[1].covered == 4
+    assert rows[2].doc_id == 3 and rows[2].gain == 1 and rows[2].covered == 5
+    assert rows[3].doc_id == 2 and rows[3].gain == 0 and rows[3].covered == 5
+
+
+def test_facility_select_diminishing_gains(spark):
+    docs = [Row(doc_id=i, text=f"w{i} common base text tail {i % 2}")
+            for i in range(10)]
+    d = spark.createDataFrame(docs)
+    rows = sorted(text.facility_select(d, n=3, k=5, sample_docs=10).collect(),
+                  key=lambda r: r.step)
+    gains = [r.gain for r in rows]
+    # greedy marginal gains are non-increasing (submodularity)
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    assert rows[-1].covered == sum(gains)
+
+
+def test_facility_select_fewer_docs_than_k(spark):
+    d = spark.createDataFrame([Row(doc_id=1, text="only one doc here")])
+    rows = text.facility_select(d, n=3, k=4, sample_docs=8).collect()
+    # trace stops when the sample is exhausted
+    assert len(rows) == 1 and rows[0].doc_id == 1

@@ -21,6 +21,8 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "bpe_merge_candidates",
+    "facility_select",
     "instruction_detect",
     "domain_mix",
     "sig_size_sweep",
@@ -374,6 +376,13 @@ CHECKS = {
     # r12: one map-only all-signals projection per doc + per-source
     # combiner aggregate — code_detect's shape (no joins, no windows)
     "instruction_detect": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
+    # r12: pairs explode from DISTINCT words (vocab grain); the final
+    # top-k is one TakeOrdered over pair-grain aggregates — no joins
+    "bpe_merge_candidates": ["TakeOrderedAndProject", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # r12: bounded greedy audit — the plan checked is the FIRST step's
+    # (argmax over the capped gram table); later steps add anti-joins
+    # over the same bounded table
+    "facility_select": ["!CartesianProduct"],
     # r12: map-side URL/host extraction; (source, tld) combiner
     # aggregate; |sources|-row totals broadcast back — no NLJ/SMJ
     "domain_mix": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin", "!BroadcastNestedLoopJoin"],
