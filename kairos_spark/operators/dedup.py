@@ -2619,7 +2619,14 @@ def minhash_scurve(
     )
     per_cfg = []
     for bands, rows in configs:
-        assert bands * rows == num_hashes, (bands, rows, num_hashes)
+        if bands * rows != num_hashes:
+            # hard error, not assert: under `python -O` an assert is
+            # stripped and a non-factorizing config would silently
+            # slice past the signature array (ADVICE r12)
+            raise ValueError(
+                f"(bands={bands}, rows={rows}) does not factorize "
+                f"num_hashes={num_hashes}"
+            )
         cand = F.exists(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda j: F.forall(

@@ -3750,6 +3750,68 @@ def bpe_merge_candidates(
     )
 
 
+def _facility_gram_table(df, text_col, id_col, n, sample_docs):
+    """Bounded (doc, gram-digest) table for the greedy coverage loop:
+    ``sample_docs`` lowest ids via one top-k, distinct word n-grams
+    per doc, digest grain (raw grams never shuffle past this map)."""
+    capped = (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(id_col)
+        .limit(int(sample_docs))
+    )
+    grams = capped.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(word_tokens(F.col(text_col)), n))
+        ).alias("__g"),
+    ).select(F.col(id_col), F.md5(F.col("__g")).alias("__g"))
+    return capped, grams
+
+
+def _facility_step(capped, grams, selected, covered, id_col) -> DataFrame:
+    """One greedy argmax step as a 1-row DataFrame (uncollected):
+    anti-join away covered grams, count gains per unselected doc,
+    re-add zero-gain docs via the doc spine, take the (gain desc,
+    id asc) top-1. Exposed un-looped so plan_audit can audit the
+    actual per-step plan (ADVICE r12 — the looped query's output is a
+    LocalTableScan by construction)."""
+    cand = grams
+    if selected:
+        cand = cand.where(~F.col(id_col).isin(selected))
+    if covered is not None:
+        cand = cand.join(covered, "__g", "left_anti")
+    gains = cand.groupBy(id_col).agg(F.count("*").alias("__gain"))
+    # zero-gain docs drop out of `gains`; re-add unselected docs so
+    # the trace always has min(k, n_docs) rows
+    spine = capped.select(F.col(id_col)).where(
+        ~F.col(id_col).isin(selected) if selected else F.lit(True)
+    )
+    return (
+        spine.join(gains, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__gain"), F.lit(0)).alias("__gain"),
+        )
+        .orderBy(F.col("__gain").desc(), F.col(id_col))
+        .limit(1)
+    )
+
+
+def facility_first_step(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sample_docs: int = 64,
+) -> DataFrame:
+    """The FIRST greedy step of :func:`facility_select` as an
+    uncollected 1-row DataFrame — the plan-audit surface: later steps
+    run the same shape plus a bounded left-anti join on covered
+    digests, so this plan is the one that must stay cartesian-free."""
+    capped, grams = _facility_gram_table(df, text_col, id_col, n, sample_docs)
+    return _facility_step(capped, grams, [], None, id_col)
+
+
 def facility_select(
     df: DataFrame,
     text_col: str = "text",
@@ -3769,10 +3831,11 @@ def facility_select(
     gains mean the sample is redundant; the 1−1/e guarantee makes the
     greedy trace the standard reference curve.
 
-    Ties break on min doc_id; zero-gain steps still pick (the trace
-    stays k rows — deterministic on any input). Returns
-    (step, doc_id, gain, covered) with covered = cumulative distinct
-    grams.
+    Ties break on min doc_id; zero-gain steps still pick, so the
+    trace stays min(k, n_docs) rows (k when the sample has at least k
+    docs; one row per doc otherwise — deterministic on any input).
+    Returns (step, doc_id, gain, covered) with covered = cumulative
+    distinct grams.
 
     Scale shape: a bounded audit (the minhash_scurve id-cap pattern):
     ``sample_docs`` lowest ids via one top-k, gram sets at (doc,
@@ -3780,44 +3843,14 @@ def facility_select(
     argmax over the bounded gram table (collecting ONE scalar row per
     step — the bfs_reach single-scalar precedent, never data-scale
     collect)."""
-    capped = (
-        df.select(F.col(id_col), F.col(text_col))
-        .orderBy(id_col)
-        .limit(int(sample_docs))
-    )
-    grams = capped.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_ngrams(word_tokens(F.col(text_col)), n))
-        ).alias("__g"),
-    ).select(F.col(id_col), F.md5(F.col("__g")).alias("__g"))
+    capped, grams = _facility_gram_table(df, text_col, id_col, n, sample_docs)
     grams = grams.localCheckpoint(eager=True)
     selected: list = []
     covered = None  # DataFrame of covered gram digests
     rows = []
     total = 0
     for step in range(1, int(k) + 1):
-        cand = grams
-        if selected:
-            cand = cand.where(~F.col(id_col).isin(selected))
-        if covered is not None:
-            cand = cand.join(covered, "__g", "left_anti")
-        gains = cand.groupBy(id_col).agg(F.count("*").alias("__gain"))
-        # zero-gain docs drop out of `gains`; re-add unselected docs so
-        # the trace always has k rows
-        spine = capped.select(F.col(id_col)).where(
-            ~F.col(id_col).isin(selected) if selected else F.lit(True)
-        )
-        pick = (
-            spine.join(gains, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.coalesce(F.col("__gain"), F.lit(0)).alias("__gain"),
-            )
-            .orderBy(F.col("__gain").desc(), F.col(id_col))
-            .limit(1)
-            .collect()
-        )
+        pick = _facility_step(capped, grams, selected, covered, id_col).collect()
         if not pick:  # fewer than k docs in the sample
             break
         doc, gain = int(pick[0][0]), int(pick[0][1])

@@ -379,10 +379,12 @@ CHECKS = {
     # r12: pairs explode from DISTINCT words (vocab grain); the final
     # top-k is one TakeOrdered over pair-grain aggregates — no joins
     "bpe_merge_candidates": ["TakeOrderedAndProject", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
-    # r12: bounded greedy audit — the plan checked is the FIRST step's
-    # (argmax over the capped gram table); later steps add anti-joins
-    # over the same bounded table
-    "facility_select": ["!CartesianProduct"],
+    # r12 (re-pointed r13, ADVICE r12): the looped query's OUTPUT is a
+    # LocalTableScan by construction, so the audited frame is the
+    # first greedy step itself (text.facility_first_step — gains
+    # aggregate + ≤64-row spine join + top-1); later steps add a
+    # bounded left-anti join on covered digests to the same shape
+    "facility_select": ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
     # r12: map-side URL/host extraction; (source, tld) combiner
     # aggregate; |sources|-row totals broadcast back — no NLJ/SMJ
     "domain_mix": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin", "!BroadcastNestedLoopJoin"],
@@ -1309,10 +1311,22 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Queries whose registered output frame is a LocalTableScan by
+    # construction (driver-side greedy loops): audit the real per-step
+    # plan surface instead (ADVICE r12).
+    from kairos_spark.operators import text as _text
+
+    overrides = {
+        "facility_select": lambda sp, sf: _text.facility_first_step(
+            q._tbl(sp, sf, "documents"), n=3, sample_docs=64
+        ),
+    }
+
     sections = []
     ok = True
     for name in AUDITED:
-        text = plan_text(q.QUERIES[name](spark, SF_DIR))
+        build = overrides.get(name, q.QUERIES[name])
+        text = plan_text(build(spark, SF_DIR))
         for needle in CHECKS.get(name, []):
             if needle.startswith("!"):
                 if needle[1:] in text:
