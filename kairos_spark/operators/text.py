@@ -3865,3 +3865,106 @@ def facility_select(
     return spark.createDataFrame(
         rows, "step long, doc_id long, gain long, covered long"
     )
+
+
+def vocab_size_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    sizes=(4, 12, 24),
+) -> DataFrame:
+    """Corpus-level OOV / byte-fallback curve across NESTED top-V
+    vocabulary cuts — the tokenizer vocab-size sizing audit
+    (Kudo & Richardson 2018's coverage knob swept instead of fixed;
+    the V axis of :func:`oov_rate` the way ``sig_size_sweep`` is the
+    signature-size axis of ``minhash_calibration``): one token
+    frequency pass fits every vocabulary at once (a top-V cut is a
+    rank filter, so V₁ < V₂ ⇒ vocab(V₁) ⊂ vocab(V₂)), then each cut
+    reports what byte-fallback encoding of its OOV mass does to the
+    corpus token budget. Read the curve to pick V: the knee where
+    inflation stops falling is the vocab size the corpus actually
+    needs.
+
+    Vocabulary ties at each cut rank break on (count DESC,
+    md5(token)) — identical to ``oov_rate`` (md5 keeps the tie-break
+    collation-proof).
+
+    Output per V (one row per size, ascending): (vocab_size,
+    vocab_types, n_tokens, oov_tokens, oov_rate, fallback_tokens,
+    inflation); vocab_types = min(V, distinct tokens);
+    fallback_tokens = in-vocab occurrences + UTF-8 bytes of OOV
+    occurrences; rates are exact integer ratios with 1-denominators
+    guarding the empty corpus.
+
+    Scale shape: tokenization is map-only; instance counts aggregate
+    with map-side combine to TOKEN grain (distinct tokens, never
+    corpus volume), carrying (n_instances, bytes_per_instance); the
+    rank window and the |sizes|-way fan-out both run at that vocab
+    grain, so the sweep costs ONE corpus pass regardless of how many
+    sizes it reports."""
+    from pyspark.sql.window import Window
+
+    sizes = sorted(int(v) for v in sizes)
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                agree_lower(F.col(text_col)), F.lit(TOKEN_REGEX), F.lit(0)
+            )
+        ).alias("__t")
+    )
+    counts = toks.groupBy("__t").agg(F.count("*").alias("__n"))
+    w = Window.orderBy(F.col("__n").desc(), F.md5(F.col("__t")))
+    ranked = counts.select(
+        F.row_number().over(w).alias("__rk"),
+        "__n",
+        F.octet_length("__t").alias("__bytes"),
+    )
+    fanned = ranked.select(
+        F.explode(F.array(*[F.lit(v) for v in sizes])).alias("vocab_size"),
+        "__rk",
+        "__n",
+        "__bytes",
+    )
+    agg = fanned.groupBy("vocab_size").agg(
+        F.sum(F.when(F.col("__rk") <= F.col("vocab_size"), 1).otherwise(0))
+        .cast("long")
+        .alias("vocab_types"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__rk") <= F.col("vocab_size"), 0).otherwise(F.col("__n"))
+        )
+        .cast("long")
+        .alias("oov_tokens"),
+        F.sum(
+            F.when(F.col("__rk") <= F.col("vocab_size"), F.col("__n")).otherwise(
+                F.col("__n") * F.col("__bytes")
+            )
+        )
+        .cast("long")
+        .alias("fallback_tokens"),
+    )
+    # |sizes|-row spine: a token-free corpus still yields one row per
+    # size (all-zero counters), never an empty / NULL-bearing frame
+    spine = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in sizes])).alias("vocab_size")
+    )
+    return (
+        spine.join(agg, "vocab_size", "left")
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.coalesce(F.col("vocab_types"), F.lit(0)).cast("long").alias("vocab_types"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("oov_tokens"), F.lit(0)).cast("long").alias("oov_tokens"),
+            _round6_ratio(
+                F.coalesce(F.col("oov_tokens"), F.lit(0)),
+                F.greatest(F.coalesce(F.col("n_tokens"), F.lit(0)), F.lit(1)),
+            ).alias("oov_rate"),
+            F.coalesce(F.col("fallback_tokens"), F.lit(0))
+            .cast("long")
+            .alias("fallback_tokens"),
+            _round6_ratio(
+                F.coalesce(F.col("fallback_tokens"), F.lit(0)),
+                F.greatest(F.coalesce(F.col("n_tokens"), F.lit(0)), F.lit(1)),
+            ).alias("inflation"),
+        )
+        .orderBy("vocab_size")
+    )

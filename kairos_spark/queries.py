@@ -4048,6 +4048,16 @@ def q_boilerplate_roi(spark, sf_dir):
     return text.boilerplate_roi(deco)
 
 
+def q_vocab_size_sweep(spark, sf_dir):
+    """Corpus OOV / byte-fallback curve across nested top-V vocab cuts
+    (V in 4/12/24 — all below the synthetic corpus's distinct-token
+    count, so every cut carries real OOV mass; 24 matches oov_rate's
+    registered cut). One frequency pass fits all three vocabularies."""
+    return text.vocab_size_sweep(
+        _tbl(spark, sf_dir, "documents"), sizes=(4, 12, 24)
+    )
+
+
 def q_oov_rate(spark, sf_dir):
     """Per-source OOV / byte-fallback audit under the corpus's top-24
     token vocabulary: OOV occurrence rate and the token-budget
@@ -4237,6 +4247,9 @@ QUERIES = {
     "source_containment": q_source_containment,
     "dup_run_lengths": q_dup_run_lengths,
     # round-12 additions
+    # --- Round-13 additions ---
+    "vocab_size_sweep": q_vocab_size_sweep,
+    # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
     "oov_rate": q_oov_rate,
@@ -14880,3 +14893,38 @@ def _facility_oracle(k: int = 8, sample_docs: int = 64) -> str:
 
 
 ORACLES["facility_select"] = _facility_oracle(8, 64)
+
+ORACLES["vocab_size_sweep"] = """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text),
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS t
+        FROM documents
+    ),
+    cnt AS (SELECT t, count(*) AS n FROM toks GROUP BY 1),
+    rk AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY n DESC, md5(t)) AS rk, n,
+               octet_length(encode(t)) AS nb
+        FROM cnt
+    ),
+    vs AS (SELECT * FROM (VALUES (4), (12), (24)) AS v(vocab_size)),
+    agg AS (
+        SELECT vocab_size,
+               sum(CASE WHEN rk <= vocab_size THEN 1 ELSE 0 END) AS vt,
+               sum(n) AS nt,
+               sum(CASE WHEN rk <= vocab_size THEN 0 ELSE n END) AS ov,
+               sum(CASE WHEN rk <= vocab_size THEN n ELSE n * nb END) AS fb
+        FROM vs CROSS JOIN rk GROUP BY 1
+    )
+    SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+           CAST(coalesce(vt, 0) AS BIGINT) AS vocab_types,
+           CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(ov, 0) AS BIGINT) AS oov_tokens,
+           floor((2000000 * coalesce(ov, 0) + greatest(coalesce(nt, 0), 1))
+                 / (2.0 * greatest(coalesce(nt, 0), 1))) / 1000000.0
+             AS oov_rate,
+           CAST(coalesce(fb, 0) AS BIGINT) AS fallback_tokens,
+           floor((2000000 * coalesce(fb, 0) + greatest(coalesce(nt, 0), 1))
+                 / (2.0 * greatest(coalesce(nt, 0), 1))) / 1000000.0
+             AS inflation
+    FROM vs v LEFT JOIN agg USING (vocab_size)
+"""

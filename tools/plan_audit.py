@@ -21,6 +21,7 @@ from kairos_spark import queries as q
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
+    "vocab_size_sweep",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -395,6 +396,10 @@ CHECKS = {
     # r12: token explode map-side; vocab rank window at vocab grain;
     # the V-row vocab BROADCASTS into the probe join — no NLJ
     "oov_rate": ["Generate", "Window", "BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # r13: token explode + |sizes| fan-out are map-side Generates; the
+    # rank window and sweep aggregate run at VOCAB grain; the only
+    # join is the |sizes|-row spine — never a shuffle join on tokens
+    "vocab_size_sweep": ["Generate", "Window", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
