@@ -2843,3 +2843,91 @@ def domain_mix(
         "n_hosts",
         _round6_ratio(F.col("n_docs"), F.col("__tot")).alias("share"),
     )
+
+
+def dump_overlap(
+    df: DataFrame,
+    n_dumps: int = 4,
+    block: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-snapshot pair overlap matrix — the cross-dump dedup
+    measurement of RefinedWeb (Penedo et al. 2023 §3.3 measured URL
+    and content overlap ACROSS CommonCrawl dumps before deciding to
+    dedup globally rather than per-dump): partition the corpus into
+    ``n_dumps`` id-order snapshots (block-interleaved so every dump
+    spans the whole id range — ``dump = (id div block) % n_dumps``,
+    the crawl-batch stand-in), digest every doc, and report for each
+    dump PAIR how much content they share. ``cross_shard_novelty`` is
+    the time-ordered CURVE (how fast a feed goes stale); this is the
+    pairwise MATRIX (WHICH snapshots re-serve each other) — the
+    number that decides per-dump vs global dedup state.
+
+    Output one row per unordered pair (dump_a < dump_b): (dump_a,
+    dump_b, n_a, n_b, shared, jaccard) with n_* = distinct digests
+    per dump, shared = digests present in both, jaccard the exact
+    integer ratio shared/(n_a+n_b-shared); all pairs present (zeros,
+    never missing rows), 0.0 jaccard sentinel for empty unions.
+
+    Scale shape: one distinct to (dump, digest) grain, then a
+    digest-key equi-join whose per-digest fan-out is bounded by
+    n_dumps (each digest appears at most once per dump); sizes
+    broadcast back onto the |pairs|-row spine. Raw text never
+    shuffles; no cartesian anywhere."""
+    if n_dumps < 2:
+        raise ValueError(f"n_dumps must be >= 2, got {n_dumps}")
+    base = (
+        df.select(
+            F.expr(
+                f"(CAST({id_col} AS BIGINT) div {int(block)}) % {int(n_dumps)}"
+            ).alias("__dp"),
+            F.md5(F.col(text_col)).alias("__d"),
+        )
+        .distinct()
+    )
+    sizes = base.groupBy("__dp").agg(F.count("*").alias("__n"))
+    a = base.select(F.col("__dp").alias("dump_a"), "__d")
+    b = base.select(F.col("__dp").alias("dump_b"), "__d")
+    shared = (
+        a.join(b, "__d")
+        .where(F.col("dump_a") < F.col("dump_b"))
+        .groupBy("dump_a", "dump_b")
+        .agg(F.count("*").alias("__sh"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(x, y) for x in range(n_dumps) for y in range(x + 1, n_dumps)],
+        "dump_a long, dump_b long",
+    )
+    out = (
+        spine.join(shared, ["dump_a", "dump_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("__dp").alias("dump_a"), F.col("__n").alias("__na"))),
+            "dump_a",
+            "left",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__dp").alias("dump_b"), F.col("__n").alias("__nb"))),
+            "dump_b",
+            "left",
+        )
+        .select(
+            "dump_a",
+            "dump_b",
+            F.coalesce(F.col("__na"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce(F.col("__sh"), F.lit(0)).cast("long").alias("shared"),
+        )
+    )
+    uni = F.col("n_a") + F.col("n_b") - F.col("shared")
+    return out.select(
+        "dump_a",
+        "dump_b",
+        "n_a",
+        "n_b",
+        "shared",
+        _round6_ratio(F.col("shared"), F.greatest(uni, F.lit(1))).alias(
+            "jaccard"
+        ),
+    ).orderBy("dump_a", "dump_b")

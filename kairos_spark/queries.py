@@ -4058,6 +4058,20 @@ def q_vocab_size_sweep(spark, sf_dir):
     )
 
 
+def q_dump_overlap(spark, sf_dir):
+    """Crawl-dump pair overlap matrix over 3 block-interleaved id-order
+    snapshots (block 25) of the dup-decorated corpus (the corpus has no
+    exact dups; the +1e6 shifted copy plants the cross-dump duplicates
+    the matrix must find — the dedup_exact_groups fixture). n_dumps is
+    3, NOT 4: 1e6 div 25 = 40000 is 0 mod 4, so at 4 dumps every
+    planted dup lands in its original's own dump and the matrix is
+    vacuously zero (caught by the workflow 3b volume check); 40000 is
+    1 mod 3, putting each dup one dump over."""
+    return dedup.dump_overlap(
+        _docs_with_dups(spark, sf_dir), n_dumps=3, block=25
+    )
+
+
 def q_oov_rate(spark, sf_dir):
     """Per-source OOV / byte-fallback audit under the corpus's top-24
     token vocabulary: OOV occurrence rate and the token-budget
@@ -4249,6 +4263,7 @@ QUERIES = {
     # round-12 additions
     # --- Round-13 additions ---
     "vocab_size_sweep": q_vocab_size_sweep,
+    "dump_overlap": q_dump_overlap,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -14927,4 +14942,40 @@ ORACLES["vocab_size_sweep"] = """
                  / (2.0 * greatest(coalesce(nt, 0), 1))) / 1000000.0
              AS inflation
     FROM vs v LEFT JOIN agg USING (vocab_size)
+"""
+
+ORACLES["dump_overlap"] = """
+    WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE (doc_id + 1000000) % 5 = 0
+    ),
+    base AS MATERIALIZED (
+        SELECT DISTINCT (doc_id // 25) % 3 AS dp, md5(text) AS d FROM docs
+    ),
+    sizes AS (SELECT dp, count(*) AS n FROM base GROUP BY 1),
+    sh AS (
+        SELECT a.dp AS dump_a, b.dp AS dump_b, count(*) AS s
+        FROM base a JOIN base b USING (d)
+        WHERE a.dp < b.dp GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT x.dump_a, y.dump_b
+        FROM (SELECT unnest(range(3)) AS dump_a) x,
+             (SELECT unnest(range(3)) AS dump_b) y
+        WHERE x.dump_a < y.dump_b
+    )
+    SELECT CAST(p.dump_a AS BIGINT) AS dump_a,
+           CAST(p.dump_b AS BIGINT) AS dump_b,
+           CAST(coalesce(na.n, 0) AS BIGINT) AS n_a,
+           CAST(coalesce(nb.n, 0) AS BIGINT) AS n_b,
+           CAST(coalesce(sh.s, 0) AS BIGINT) AS shared,
+           floor((2000000 * coalesce(sh.s, 0)
+                  + greatest(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(sh.s, 0), 1))
+                 / (2.0 * greatest(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(sh.s, 0), 1)))
+             / 1000000.0 AS jaccard
+    FROM spine p
+    LEFT JOIN sh ON sh.dump_a = p.dump_a AND sh.dump_b = p.dump_b
+    LEFT JOIN sizes na ON na.dp = p.dump_a
+    LEFT JOIN sizes nb ON nb.dp = p.dump_b
 """

@@ -54,3 +54,45 @@ def test_vocab_size_sweep_multibyte_fallback_bytes(spark):
     r = out[1]
     assert r.n_tokens == 3 and r.oov_tokens == 1
     assert r.fallback_tokens == 2 + 3  # two in-vocab + 3 bytes
+
+
+# -------------------------------------------------------------- dump_overlap
+
+def test_dump_overlap_planted_cross_dump_dups(spark):
+    from kairos_spark.operators import dedup
+
+    # block=1, 3 dumps: ids 0,3 -> dump 0; 1,4 -> dump 1; 2,5 -> dump 2.
+    # texts: "a" in dumps 0 and 1; "b" only in dump 2.
+    d = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "b")],
+        "doc_id long, text string",
+    )
+    out = {(r.dump_a, r.dump_b): r for r in
+           dedup.dump_overlap(d, n_dumps=3, block=1).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    r01 = out[(0, 1)]
+    assert r01.shared == 1 and r01.n_a == 2 and r01.n_b == 2
+    assert r01.jaccard == round(1 / 3, 6)
+    # "b" appears twice WITHIN dump 2 (ids 2 and 5): distinct first,
+    # so it cannot inflate any pair
+    assert out[(0, 2)].shared == 0 and out[(1, 2)].shared == 0
+    assert out[(0, 2)].n_b == 1  # dump 2 holds one distinct digest
+
+
+def test_dump_overlap_all_pairs_present_with_zeros(spark):
+    from kairos_spark.operators import dedup
+
+    d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    out = dedup.dump_overlap(d, n_dumps=4, block=1).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.shared == 0 and r.jaccard == 0.0
+
+
+def test_dump_overlap_rejects_single_dump(spark):
+    from kairos_spark.operators import dedup
+    import pytest
+
+    d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.dump_overlap(d, n_dumps=1)

@@ -22,6 +22,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 AUDITED = [
     "vocab_size_sweep",
+    "dump_overlap",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -400,6 +401,10 @@ CHECKS = {
     # rank window and sweep aggregate run at VOCAB grain; the only
     # join is the |sizes|-row spine — never a shuffle join on tokens
     "vocab_size_sweep": ["Generate", "Window", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # r13: distinct to (dump, digest) grain; digest-key equi-join with
+    # per-digest fan-out bounded by n_dumps; sizes broadcast onto the
+    # |pairs|-row spine — no cartesian/NLJ anywhere
+    "dump_overlap": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
