@@ -3968,3 +3968,81 @@ def vocab_size_sweep(
         )
         .orderBy("vocab_size")
     )
+
+
+def license_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source license / opt-out signal panel — The Stack's
+    license-filter measurement (Kocetkov et al. 2022 filtered by
+    detected license; the BigCode/StarCoder opt-out mechanism made
+    "did the author say no" a first-class pipeline column): detect,
+    per doc, (a) an SPDX-License-Identifier tag, (b) a copyright
+    notice, (c) permissive-license phrases (MIT/Apache/BSD/CC/public
+    domain), (d) restrictive phrases (all rights reserved /
+    proprietary / confidential), (e) AI-training opt-out phrases
+    (do not train / noai). Per source: doc counts carrying each
+    signal + shares. The restrictive/opt-out shares are the mass a
+    compliance-filtered training set loses per source; a source with
+    high copyright but zero SPDX is licensed-but-unparseable.
+
+    Detection is LOWERCASED SUBSTRING ONLY (agree_lower on the Spark
+    side; plain lower in oracles) — no regex, so there is no
+    Java-vs-RE2 dialect surface at all.
+
+    Output per source: (grp, n_docs, n_spdx, n_copyright,
+    n_permissive, n_restrictive, n_optout, restrictive_share,
+    optout_share) with exact integer ratios.
+
+    Scale shape: one map-only panel projection per doc, one
+    per-source combiner aggregate (code_detect's shape) — no joins,
+    no windows; text never shuffles."""
+    low = agree_lower(F.col(text_col))
+
+    def has(*needles):
+        cond = F.lit(False)
+        for n in needles:
+            cond = cond | F.contains(low, F.lit(n))
+        return F.when(cond, 1).otherwise(0)
+
+    panel = df.select(
+        F.col(group_col).alias("grp"),
+        has("spdx-license-identifier:").alias("__spdx"),
+        has("copyright", "©").alias("__cr"),
+        has(
+            "mit license",
+            "apache license",
+            "bsd license",
+            "creative commons",
+            "public domain",
+        ).alias("__perm"),
+        has("all rights reserved", "proprietary", "confidential").alias(
+            "__restr"
+        ),
+        has("do not train", "noai").alias("__opt"),
+    )
+    agg = panel.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__spdx").cast("long").alias("n_spdx"),
+        F.sum("__cr").cast("long").alias("n_copyright"),
+        F.sum("__perm").cast("long").alias("n_permissive"),
+        F.sum("__restr").cast("long").alias("n_restrictive"),
+        F.sum("__opt").cast("long").alias("n_optout"),
+    )
+    return agg.select(
+        "grp",
+        "n_docs",
+        "n_spdx",
+        "n_copyright",
+        "n_permissive",
+        "n_restrictive",
+        "n_optout",
+        _round6_ratio(F.col("n_restrictive"), F.col("n_docs")).alias(
+            "restrictive_share"
+        ),
+        _round6_ratio(F.col("n_optout"), F.col("n_docs")).alias(
+            "optout_share"
+        ),
+    )

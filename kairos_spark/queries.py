@@ -4072,6 +4072,40 @@ def q_dump_overlap(spark, sf_dir):
     )
 
 
+def q_license_audit(spark, sf_dir):
+    """Per-source license / opt-out signal panel (SPDX tag, copyright,
+    permissive / restrictive phrases, AI-training opt-out). Docs are
+    deterministically decorated (every 4th gets an SPDX MIT header,
+    every 6th a copyright-all-rights-reserved footer, every 9th an
+    opt-out notice — overlaps at 12/18/36 exercise multi-signal docs)
+    so real signal mass exists on this corpus; the synthetic text
+    carries none (the boilerplate_roi decoration precedent)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    deco = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("SPDX-License-Identifier: MIT\nMIT License\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit("\nCopyright 2024 "),
+                    F.col("source"),
+                    F.lit(". All rights reserved."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit("\nAI policy: do not train. noai"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text.license_audit(deco)
+
+
 def q_oov_rate(spark, sf_dir):
     """Per-source OOV / byte-fallback audit under the corpus's top-24
     token vocabulary: OOV occurrence rate and the token-budget
@@ -4264,6 +4298,7 @@ QUERIES = {
     # --- Round-13 additions ---
     "vocab_size_sweep": q_vocab_size_sweep,
     "dump_overlap": q_dump_overlap,
+    "license_audit": q_license_audit,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -14978,4 +15013,47 @@ ORACLES["dump_overlap"] = """
     LEFT JOIN sh ON sh.dump_a = p.dump_a AND sh.dump_b = p.dump_b
     LEFT JOIN sizes na ON na.dp = p.dump_a
     LEFT JOIN sizes nb ON nb.dp = p.dump_b
+"""
+
+ORACLES["license_audit"] = """
+    WITH deco AS (
+        SELECT source AS grp,
+               lower(
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'SPDX-License-Identifier: MIT' || chr(10) || 'MIT License' || chr(10)
+                        ELSE '' END
+                   || text
+                   || CASE WHEN doc_id % 6 = 0
+                           THEN chr(10) || 'Copyright 2024 ' || source || '. All rights reserved.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 9 = 0
+                           THEN chr(10) || 'AI policy: do not train. noai'
+                           ELSE '' END
+               ) AS low
+        FROM documents
+    ),
+    panel AS (
+        SELECT grp,
+               CASE WHEN contains(low, 'spdx-license-identifier:') THEN 1 ELSE 0 END AS spdx,
+               CASE WHEN contains(low, 'copyright') OR contains(low, '©') THEN 1 ELSE 0 END AS cr,
+               CASE WHEN contains(low, 'mit license') OR contains(low, 'apache license')
+                    OR contains(low, 'bsd license') OR contains(low, 'creative commons')
+                    OR contains(low, 'public domain') THEN 1 ELSE 0 END AS perm,
+               CASE WHEN contains(low, 'all rights reserved') OR contains(low, 'proprietary')
+                    OR contains(low, 'confidential') THEN 1 ELSE 0 END AS restr,
+               CASE WHEN contains(low, 'do not train') OR contains(low, 'noai') THEN 1 ELSE 0 END AS opt
+        FROM deco
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(spdx) AS BIGINT) AS n_spdx,
+           CAST(sum(cr) AS BIGINT) AS n_copyright,
+           CAST(sum(perm) AS BIGINT) AS n_permissive,
+           CAST(sum(restr) AS BIGINT) AS n_restrictive,
+           CAST(sum(opt) AS BIGINT) AS n_optout,
+           floor((2000000 * sum(restr) + count(*)) / (2.0 * count(*))) / 1000000.0
+             AS restrictive_share,
+           floor((2000000 * sum(opt) + count(*)) / (2.0 * count(*))) / 1000000.0
+             AS optout_share
+    FROM panel GROUP BY 1
 """

@@ -96,3 +96,37 @@ def test_dump_overlap_rejects_single_dump(spark):
     d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup.dump_overlap(d, n_dumps=1)
+
+
+# ------------------------------------------------------------- license_audit
+
+def test_license_audit_panel_detection(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "s", "code here\nSPDX-License-Identifier: Apache-2.0"),
+            (2, "s", "Copyright 2020 Acme. All rights reserved."),
+            (3, "s", "released into the PUBLIC DOMAIN for all"),
+            (4, "s", "robots: noai; please Do Not Train on this"),
+            (5, "s", "plain text with none of the signals"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    r = text.license_audit(d).collect()[0]
+    assert r.n_docs == 5
+    assert r.n_spdx == 1
+    assert r.n_copyright == 1
+    assert r.n_permissive == 1  # public domain (case-insensitive)
+    assert r.n_restrictive == 1  # all rights reserved
+    assert r.n_optout == 1
+    assert r.restrictive_share == 0.2 and r.optout_share == 0.2
+
+
+def test_license_audit_multi_signal_doc_counts_once_per_signal(spark):
+    d = spark.createDataFrame(
+        [(1, "s", "MIT License. Copyright X. All rights reserved. noai")],
+        "doc_id long, source string, text string",
+    )
+    r = text.license_audit(d).collect()[0]
+    assert (r.n_permissive, r.n_copyright, r.n_restrictive, r.n_optout) == (
+        1, 1, 1, 1,
+    )

@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 AUDITED = [
     "vocab_size_sweep",
     "dump_overlap",
+    "license_audit",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -405,6 +406,9 @@ CHECKS = {
     # per-digest fan-out bounded by n_dumps; sizes broadcast onto the
     # |pairs|-row spine — no cartesian/NLJ anywhere
     "dump_overlap": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # r13: one map-only substring panel per doc + per-source combiner
+    # aggregate — code_detect's shape (no joins, no windows)
+    "license_audit": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
