@@ -993,3 +993,110 @@ def fim_split_audit(
         .otherwise(F.lit(0.0))
         .alias("short_middle_rate"),
     )
+
+
+def unimax_alloc(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_epochs: int = 3,
+    budget_factor: int = 2,
+) -> DataFrame:
+    """UniMax language-budget allocation — the epoch-capped UNIFORM
+    allocator of Chung et al. 2023 ("UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split the token budget EQUALLY across languages,
+    but never give a language more than ``max_epochs`` passes over
+    its data; what capped languages can't absorb redistributes
+    equally among the rest. The uniform-weight counterpart of
+    ``token_budget_alloc`` (temperature 0.5 per source): temperature
+    mixes still over-sample heads; UniMax's answer is a hard epoch
+    cap with uniform fill. Budget B = ``budget_factor`` x total
+    corpus tokens (an over-epoched run, so the caps actually bite).
+
+    ALL-INTEGER water-filling, so the oracle mirrors it exactly with
+    no float machinery at all: sort languages by capacity ascending
+    (cap = max_epochs x avail; ties on name); language i is capped
+    iff cap_i * (L - i + 1) <= B - prefix_cap_{i-1} (giving every
+    remaining language cap_i would still fit — prefix-closed under
+    the ascending sort, so the per-row test IS the waterline);
+    uncapped languages split R = B - sum(capped caps) as
+    base = R div k with the R mod k remainder going one token each
+    to the first uncapped languages in sort order — alloc sums to
+    EXACTLY B whenever the corpus can absorb it.
+
+    Returns one row per non-empty language: (grp, avail_tokens,
+    cap_tokens, alloc_tokens, capped, epochs) — capped a 0/1 int,
+    epochs the exact alloc/avail integer ratio.
+
+    Scale shape: the corpus feeds ONE map-side-combined token sum;
+    everything after runs on the |languages| grain (windows over
+    tens of rows, a 1-row broadcast for totals)."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(
+            F.regexp_extract_all(
+                agree_lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("__t"),
+    )
+    per = (
+        toks.groupBy("grp")
+        .agg(F.sum("__t").alias("avail_tokens"))
+        .where(F.col("avail_tokens") >= 1)
+    )
+    tot = per.agg(
+        (F.sum("avail_tokens") * int(budget_factor)).alias("__B"),
+        F.count("*").alias("__L"),
+    )
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "avail_tokens",
+        (F.col("avail_tokens") * int(max_epochs)).alias("cap_tokens"),
+        "__B",
+        "__L",
+    )
+    wo = Window.orderBy(F.col("cap_tokens").asc(), F.col("grp").asc())
+    pre = base.select(
+        "*",
+        F.row_number().over(wo).alias("__rk"),
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__cprev"),
+    ).withColumn(
+        "__capped",
+        F.when(
+            F.col("cap_tokens") * (F.col("__L") - F.col("__rk") + 1)
+            <= F.col("__B") - F.col("__cprev"),
+            1,
+        ).otherwise(0),
+    )
+    wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = pre.select(
+        "*",
+        F.sum("__capped").over(wall).alias("__t_capped"),
+        F.sum(F.when(F.col("__capped") == 1, F.col("cap_tokens")).otherwise(0))
+        .over(wall)
+        .alias("__csum"),
+    )
+    k = F.col("__L") - F.col("__t_capped")
+    # base share and remainder, both guarded for the all-capped case
+    share = F.when(k > 0, F.expr("(__B - __csum) div (__L - __t_capped)")).otherwise(F.lit(0))
+    rem = F.when(k > 0, (F.col("__B") - F.col("__csum")) % (F.col("__L") - F.col("__t_capped"))).otherwise(F.lit(0))
+    urank = F.col("__rk") - F.col("__t_capped")
+    alloc = F.when(F.col("__capped") == 1, F.col("cap_tokens")).otherwise(
+        share + F.when(urank <= rem, 1).otherwise(0)
+    )
+    return pre.select(
+        "grp",
+        "avail_tokens",
+        "cap_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.col("__capped").cast("long").alias("capped"),
+        _round6_ratio(alloc, F.col("avail_tokens")).alias("epochs"),
+    )

@@ -4072,6 +4072,19 @@ def q_dump_overlap(spark, sf_dir):
     )
 
 
+def q_unimax_alloc(spark, sf_dir):
+    """UniMax epoch-capped uniform token-budget allocation per language
+    (budget = 2x corpus tokens, cap 3 epochs): on this corpus the
+    smallest language caps at 3 epochs and the other four split the
+    remainder uniformly, so BOTH branches of the water-filling are
+    exercised (checked non-vacuous per workflow 3b; at budget_factor 2
+    with cap 2 every language caps exactly and the allocator would be
+    degenerate — sum(caps) == B identically)."""
+    return sampling.unimax_alloc(
+        _tbl(spark, sf_dir, "documents"), max_epochs=3, budget_factor=2
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4299,6 +4312,7 @@ QUERIES = {
     "vocab_size_sweep": q_vocab_size_sweep,
     "dump_overlap": q_dump_overlap,
     "license_audit": q_license_audit,
+    "unimax_alloc": q_unimax_alloc,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -15056,4 +15070,53 @@ ORACLES["license_audit"] = """
            floor((2000000 * sum(opt) + count(*)) / (2.0 * count(*))) / 1000000.0
              AS optout_share
     FROM panel GROUP BY 1
+"""
+
+ORACLES["unimax_alloc"] = """
+    WITH toks AS (
+        SELECT lang AS grp,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        FROM documents
+    ),
+    per AS (
+        SELECT grp, sum(t) AS avail_tokens FROM toks GROUP BY 1
+        HAVING sum(t) >= 1
+    ),
+    tot AS (SELECT 2 * sum(avail_tokens) AS B, count(*) AS L FROM per),
+    base AS (
+        SELECT grp, avail_tokens, 3 * avail_tokens AS cap_tokens, B, L
+        FROM per CROSS JOIN tot
+    ),
+    pre AS MATERIALIZED (
+        SELECT *,
+               row_number() OVER w AS rk,
+               coalesce(sum(cap_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+        FROM base
+        WINDOW w AS (ORDER BY cap_tokens ASC, grp ASC)
+    ),
+    flagged AS MATERIALIZED (
+        SELECT *,
+               CASE WHEN cap_tokens * (L - rk + 1) <= B - cprev THEN 1 ELSE 0 END AS capped
+        FROM pre
+    ),
+    totals AS (
+        SELECT sum(capped) AS t_capped,
+               sum(CASE WHEN capped = 1 THEN cap_tokens ELSE 0 END) AS csum
+        FROM flagged
+    )
+    SELECT grp,
+           CAST(avail_tokens AS BIGINT) AS avail_tokens,
+           CAST(cap_tokens AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN capped = 1 THEN cap_tokens
+                     ELSE (B - csum) // (L - t_capped)
+                          + CASE WHEN rk - t_capped <= (B - csum) % (L - t_capped)
+                                 THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc_tokens,
+           CAST(capped AS BIGINT) AS capped,
+           floor((2000000 * (CASE WHEN capped = 1 THEN cap_tokens
+                     ELSE (B - csum) // (L - t_capped)
+                          + CASE WHEN rk - t_capped <= (B - csum) % (L - t_capped)
+                                 THEN 1 ELSE 0 END
+                END) + avail_tokens) / (2.0 * avail_tokens)) / 1000000.0 AS epochs
+    FROM flagged CROSS JOIN totals
 """

@@ -130,3 +130,65 @@ def test_license_audit_multi_signal_doc_counts_once_per_signal(spark):
     assert (r.n_permissive, r.n_copyright, r.n_restrictive, r.n_optout) == (
         1, 1, 1, 1,
     )
+
+
+# -------------------------------------------------------------- unimax_alloc
+
+def test_unimax_alloc_waterfilling_exact(spark):
+    from kairos_spark.operators import sampling
+
+    # langs with 2/4/10 tokens; budget = 2*16 = 32; caps = 3x avail.
+    # sorted by cap: a(6), b(12), c(30).
+    #   a: 6*3 = 18 <= 32           -> capped, alloc 6
+    #   b: 12*2 = 24 <= 32 - 6 = 26 -> capped, alloc 12
+    #   c: 30*1 = 30 >  26 - 12 = 14 -> uncapped, alloc 14
+    d = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "b", "x y z w"),
+         (3, "c", "a b c d e f g h i j")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.grp: r for r in
+           sampling.unimax_alloc(d, max_epochs=3, budget_factor=2).collect()}
+    assert out["a"].capped == 1 and out["a"].alloc_tokens == 6
+    assert out["b"].capped == 1 and out["b"].alloc_tokens == 12
+    assert out["c"].capped == 0 and out["c"].alloc_tokens == 14
+    # allocations sum exactly to B
+    assert sum(r.alloc_tokens for r in out.values()) == 32
+    assert out["a"].epochs == 3.0
+    assert out["c"].epochs == 1.4
+
+
+def test_unimax_alloc_remainder_distribution(spark):
+    from kairos_spark.operators import sampling
+
+    # 3 equal langs of 3 tokens, budget 1x total = 9 < caps: nobody
+    # caps; base = 3, rem = 0 -> 3/3/3
+    d = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "x y z"), (3, "c", "x y z"),
+         (4, "d", "x")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.grp: r for r in
+           sampling.unimax_alloc(d, max_epochs=2, budget_factor=1).collect()}
+    # B = 10, caps: d=2 (capped: 2*4=8<=10), a/b/c base=(10-2)/3=2 rem 2
+    # -> a,b get 3; c gets 2
+    assert out["d"].alloc_tokens == 2 and out["d"].capped == 1
+    assert out["a"].alloc_tokens == 3 and out["b"].alloc_tokens == 3
+    assert out["c"].alloc_tokens == 2
+    assert sum(r.alloc_tokens for r in out.values()) == 10
+
+
+def test_unimax_alloc_all_capped_leaves_budget(spark):
+    from kairos_spark.operators import sampling
+
+    # budget 4x total but caps at 2 epochs: everyone caps, allocation
+    # = caps, leftover budget legitimately unassigned (k=0 guard)
+    d = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "b", "p q")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.grp: r for r in
+           sampling.unimax_alloc(d, max_epochs=2, budget_factor=4).collect()}
+    assert all(r.capped == 1 for r in out.values())
+    assert all(r.alloc_tokens == r.cap_tokens for r in out.values())
+    assert all(r.epochs == 2.0 for r in out.values())

@@ -24,6 +24,7 @@ AUDITED = [
     "vocab_size_sweep",
     "dump_overlap",
     "license_audit",
+    "unimax_alloc",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -409,6 +410,10 @@ CHECKS = {
     # r13: one map-only substring panel per doc + per-source combiner
     # aggregate — code_detect's shape (no joins, no windows)
     "license_audit": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin", "!Window"],
+    # r13: corpus feeds ONE map-side-combined sum; the water-filling
+    # runs at |languages| grain (windows over a handful of rows; the
+    # 1-row totals ride broadcast NLJ crossJoins by construction)
+    "unimax_alloc": ["HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
