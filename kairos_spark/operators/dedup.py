@@ -2931,3 +2931,96 @@ def dump_overlap(
             "jaccard"
         ),
     ).orderBy("dump_a", "dump_b")
+
+
+def simhash_radius_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 5,
+    bits: int = 60,
+    blocks: int = 6,
+) -> DataFrame:
+    """SimHash Hamming-radius calibration sweep — the threshold axis
+    of :func:`simhash_near_pairs` the way ``minhash_scurve`` is the
+    banding axis of MinHash-LSH (Manku et al. 2007 §3 picked k=3 for
+    64-bit web SimHash from exactly this curve): per radius
+    r in [0, max_hamming], how many candidate pairs sit at Hamming
+    distance exactly r and cumulatively at <= r. Read it to pick the
+    dedup threshold: the radius where cum_pairs inflects from
+    near-dup mass into the random-pair background is the cut; a
+    corpus whose curve explodes at r=2 needs a tighter fingerprint,
+    not a looser threshold.
+
+    The block trick stays EXACT (max_hamming < blocks enforced —
+    a pair within Hamming r < blocks must agree exactly on >= 1 of
+    the ``blocks`` fingerprint segments), so the oracle brute-forces
+    all pairs and must agree bit-for-bit.
+
+    Output one row per radius (zeros kept): (radius, n_pairs,
+    cum_pairs).
+
+    Scale shape: fingerprints are one map-side pass + per-doc
+    aggregate; candidates come from segment-value groupBys (never an
+    all-pairs join); the histogram is a |radii|-row aggregate and the
+    cumulative window runs over those few rows only."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"block trick exact only for max_hamming < blocks "
+            f"(got {max_hamming} >= {blocks})"
+        )
+    if bits % blocks != 0:
+        raise ValueError(f"blocks={blocks} must divide bits={bits}")
+    seg_bits = bits // blocks
+    sh = simhash(df, text_col, id_col, bits)
+    segments = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.shiftright(F.col("simhash"), b * seg_bits)
+                .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                .cast("string"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    banded = sh.select(F.col(id_col), "simhash", F.explode(segments).alias("seg"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hist = (
+        cands.select(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("radius")
+        )
+        .where(F.col("radius") <= int(max_hamming))
+        .groupBy("radius")
+        .agg(F.count("*").alias("__n"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(r,) for r in range(int(max_hamming) + 1)], "radius long"
+    )
+    from pyspark.sql.window import Window
+
+    wo = Window.orderBy("radius").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(hist, "radius", "left")
+        .select(
+            "radius",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .withColumn("cum_pairs", F.sum("n_pairs").over(wo).cast("long"))
+        .orderBy("radius")
+    )

@@ -4085,6 +4085,19 @@ def q_unimax_alloc(spark, sf_dir):
     )
 
 
+def q_simhash_radius_sweep(spark, sf_dir):
+    """SimHash Hamming-radius sweep (radii 0-5, 60-bit fingerprints,
+    6 blocks so the block trick stays exact through radius 5): exact
+    and cumulative candidate-pair counts per radius — the threshold
+    curve behind simhash_near_pairs' fixed Hamming<=3 cut. Non-vacuous
+    at every radius on this corpus (2/7/16/45/168/463 exact pairs at
+    sf0.01, probed per workflow 3b)."""
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_radius_sweep(
+        d, max_hamming=5, bits=60, blocks=6
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4313,6 +4326,7 @@ QUERIES = {
     "dump_overlap": q_dump_overlap,
     "license_audit": q_license_audit,
     "unimax_alloc": q_unimax_alloc,
+    "simhash_radius_sweep": q_simhash_radius_sweep,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -15119,4 +15133,39 @@ ORACLES["unimax_alloc"] = """
                                  THEN 1 ELSE 0 END
                 END) + avail_tokens) / (2.0 * avail_tokens)) / 1000000.0 AS epochs
     FROM flagged CROSS JOIN totals
+"""
+
+ORACLES["simhash_radius_sweep"] = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 11))::BIGINT AS h FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, j.j,
+               sum(CASE WHEN ((h >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) j
+        GROUP BY 1, 2
+    ),
+    fp AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1
+    ),
+    ham AS (
+        SELECT bit_count(xor(a.simhash, b.simhash)) AS radius
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+    ),
+    hist AS (SELECT radius, count(*) AS n FROM ham GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(0, 5)) AS radius)
+    SELECT CAST(s.radius AS BIGINT) AS radius,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_pairs,
+           CAST(sum(coalesce(h.n, 0)) OVER (ORDER BY s.radius
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs
+    FROM spine s LEFT JOIN hist h ON h.radius = s.radius
 """

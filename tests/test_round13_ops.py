@@ -192,3 +192,35 @@ def test_unimax_alloc_all_capped_leaves_budget(spark):
     assert all(r.capped == 1 for r in out.values())
     assert all(r.alloc_tokens == r.cap_tokens for r in out.values())
     assert all(r.epochs == 2.0 for r in out.values())
+
+
+# ------------------------------------------------------- simhash_radius_sweep
+
+def test_simhash_radius_sweep_identical_docs_radius_zero(spark):
+    from kairos_spark.operators import dedup
+
+    t = "the quick brown fox jumps over the lazy dog"
+    u = "completely different words entirely unrelated content here!"
+    d = spark.createDataFrame(
+        [(1, t), (2, t), (3, u)], "doc_id long, text string"
+    )
+    out = {r.radius: r for r in
+           dedup.simhash_radius_sweep(d, max_hamming=3, blocks=4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    # the identical pair sits at radius 0
+    assert out[0].n_pairs == 1
+    # cumulative is monotone and ends >= n at every radius
+    cums = [out[r].cum_pairs for r in sorted(out)]
+    assert cums == sorted(cums)
+    assert out[3].cum_pairs == sum(out[r].n_pairs for r in out)
+
+
+def test_simhash_radius_sweep_guards(spark):
+    from kairos_spark.operators import dedup
+    import pytest
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.simhash_radius_sweep(d, max_hamming=4, blocks=4)
+    with pytest.raises(ValueError):
+        dedup.simhash_radius_sweep(d, max_hamming=3, bits=60, blocks=7)

@@ -25,6 +25,7 @@ AUDITED = [
     "dump_overlap",
     "license_audit",
     "unimax_alloc",
+    "simhash_radius_sweep",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -414,6 +415,10 @@ CHECKS = {
     # runs at |languages| grain (windows over a handful of rows; the
     # 1-row totals ride broadcast NLJ crossJoins by construction)
     "unimax_alloc": ["HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"],
+    # r13: segment-value equi-join generates candidates (the
+    # simhash_near_pairs block trick — never all-pairs); histogram is
+    # a |radii|-row aggregate, cum window over those rows only
+    "simhash_radius_sweep": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
