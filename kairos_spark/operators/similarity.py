@@ -1772,3 +1772,126 @@ def quant_bits_sweep(
     for frame in per_level[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def pq_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m_list: tuple = (2, 4, 8),
+    n_codes: int = 16,
+    dim: int = 64,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization recall sweep — ``quant_bits_sweep``'s PQ
+    sibling (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): split each vector into ``m`` subspaces, encode
+    every subvector as its nearest of ``n_codes`` codebook entries,
+    and measure what retrieval against the RECONSTRUCTED corpus still
+    recalls of the exact top-k. One row per m — the
+    compression-vs-recall curve that sizes a PQ index (code bytes per
+    vector = m·log2(n_codes)/8).
+
+    Codebooks are DETERMINISTIC — the ``n_codes`` lowest-id corpus
+    vectors' subvectors (code order = id order). A production index
+    would train them with k-means; the audit framework (encode →
+    reconstruct → re-rank → micro-averaged recall) is identical and
+    stays oracle-reproducible. Encoding and ranking both use the
+    ROUNDED cosine (the attested engine-parity surface:
+    round(list_cosine_similarity,6) == F.round(cosine(),6)) — max
+    rounded similarity, ties to the lowest code — i.e. spherical PQ,
+    the inner-product/cosine-metric variant (ScaNN's regime), NOT L2:
+    a raw L2 argmin would hang a DISCRETE code choice on an
+    unattested float-association surface, which is exactly the
+    near-tie hazard the rounding convention exists to kill.
+
+    Output: (m_subspaces, code_bits, n_queries, n_exact, n_hits,
+    recall) with micro-averaged recall as ONE exact integer ratio
+    (total hits / total exact slots — the quant_bits_sweep rule).
+
+    Scale shape: the codebook is a bounded top-``n_codes`` packed
+    into ONE broadcast row (the quant_recall grid pattern — no driver
+    collect); encoding is a map-only projection per vector (m ·
+    n_codes in-row cosine folds); the exact top-k is computed ONCE
+    and reused; each m adds one knn_join pass (broadcast queries,
+    salted merge — corpus never shuffles)."""
+    for m in m_list:
+        if dim % int(m) != 0:
+            raise ValueError(f"m={m} must divide dim={dim}")
+    vec = F.col(vec_col).cast("array<double>")
+    cb = (
+        corpus.select(F.col(id_col), vec.alias("__cv"))
+        .orderBy(id_col)
+        .limit(int(n_codes))
+        .select(F.struct(F.col(id_col).alias("cid"), F.col("__cv").alias("cv")).alias("c"))
+        .agg(F.array_sort(F.collect_list("c")).alias("__cb"))
+    )
+
+    exact = knn_join(
+        queries, corpus, k=k, q_id_col=q_id_col, id_col=id_col, vec_col=vec_col
+    ).select(F.col("q_id").alias("__q"), F.col(id_col).alias("__id"))
+    exact = exact.localCheckpoint(eager=False)
+    totals = exact.agg(
+        F.count_distinct("__q").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+
+    import math
+
+    per_m = []
+    for m in m_list:
+        m = int(m)
+        sub = dim // m
+        # closure factory, not a default arg: PySpark derives a
+        # transform lambda's arity from its parameter COUNT (defaults
+        # included) — a `_lo=lo_` default would receive the array
+        # INDEX as its second argument (the quant_bits_sweep _deq_fn
+        # precedent)
+        def _sim_fn(lo_):
+            def sim(c):
+                return F.round(
+                    cosine(
+                        F.slice(vec, lo_, sub), F.slice(c["cv"], lo_, sub)
+                    ),
+                    6,
+                )
+
+            return sim
+
+        recon_parts = []
+        for j in range(m):
+            lo_ = j * sub + 1
+            sims = F.transform(F.col("__cb"), _sim_fn(lo_))
+            # first max = lowest code on rounded ties (engine-exact)
+            code = F.array_position(sims, F.array_max(sims))
+            recon_parts.append(
+                F.slice(F.element_at(F.col("__cb"), code.cast("int"))["cv"], lo_, sub)
+            )
+        corpus_pq = corpus.join(F.broadcast(cb)).select(
+            F.col(id_col), F.concat(*recon_parts).alias(vec_col)
+        )
+        approx = knn_join(
+            queries, corpus_pq, k=k, q_id_col=q_id_col, id_col=id_col,
+            vec_col=vec_col,
+        ).select(F.col("q_id").alias("__q"), F.col(id_col).alias("__id"))
+        hits = approx.join(F.broadcast(exact), ["__q", "__id"]).agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        per_m.append(
+            totals.crossJoin(F.broadcast(hits)).select(
+                F.lit(m).cast("long").alias("m_subspaces"),
+                F.lit(m * int(math.log2(n_codes))).cast("long").alias("code_bits"),
+                "n_queries",
+                "n_exact",
+                "n_hits",
+                _round6_ratio(
+                    F.col("n_hits"), F.greatest(F.col("n_exact"), F.lit(1))
+                ).alias("recall"),
+            )
+        )
+    out = per_m[0]
+    for frame in per_m[1:]:
+        out = out.unionByName(frame)
+    return out

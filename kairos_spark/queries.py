@@ -4098,6 +4098,18 @@ def q_simhash_radius_sweep(spark, sf_dir):
     )
 
 
+def q_pq_recall(spark, sf_dir):
+    """Product-quantization recall sweep (m in 2/4/8 subspaces, 16
+    deterministic codes, spherical/cosine encoding): micro-averaged
+    exact-top-10 recall per m, same query set as quant_recall /
+    quant_bits_sweep."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.pq_recall(qs, emb, k=10, m_list=(2, 4, 8))
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4327,6 +4339,7 @@ QUERIES = {
     "license_audit": q_license_audit,
     "unimax_alloc": q_unimax_alloc,
     "simhash_radius_sweep": q_simhash_radius_sweep,
+    "pq_recall": q_pq_recall,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -15169,3 +15182,84 @@ ORACLES["simhash_radius_sweep"] = r"""
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs
     FROM spine s LEFT JOIN hist h ON h.radius = s.radius
 """
+
+
+def _pq_oracle(m_list=(2, 4, 8), n_codes=16, dim=64, k=10) -> str:
+    """PQ recall oracle: per m, encode each vector per subspace as the
+    max-rounded-cosine code (ties to lowest code — mirrors Spark's
+    first-max array_position), reconstruct, re-rank, micro-average."""
+    import math
+
+    head = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 101 = 0
+    ),
+    cb AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS code, v AS cv
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings ORDER BY vec_id LIMIT {nc})
+    ),
+    exact AS MATERIALIZED (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id) AS rn
+        FROM q CROSS JOIN e WHERE vec_id <> q_id
+      ) WHERE rn <= {k}
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS nq,
+             CAST(count(*) AS BIGINT) AS ne
+      FROM exact
+    )""".format(nc=n_codes, k=k)
+    blocks = []
+    rows = []
+    for m in m_list:
+        sub = dim // m
+        blocks.append("""
+    enc{m} AS MATERIALIZED (
+      SELECT vec_id, j, code FROM (
+        SELECT e.vec_id, j.j AS j, cb.code,
+               row_number() OVER (PARTITION BY e.vec_id, j.j
+                 ORDER BY round(list_cosine_similarity(
+                     e.v[j.j*{sub}+1 : (j.j+1)*{sub}],
+                     cb.cv[j.j*{sub}+1 : (j.j+1)*{sub}]), 6) DESC,
+                 cb.code ASC) AS rn
+        FROM e
+        CROSS JOIN (SELECT unnest(generate_series(0, {mm})) AS j) j
+        CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    recon{m} AS MATERIALIZED (
+      SELECT enc.vec_id,
+             flatten(list(cb.cv[enc.j*{sub}+1 : (enc.j+1)*{sub}] ORDER BY enc.j)) AS rv
+      FROM enc{m} enc JOIN cb USING (code)
+      GROUP BY 1
+    ),
+    approx{m} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, r.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(r.rv, q.qv), 6) DESC,
+                 r.vec_id) AS rn
+        FROM q CROSS JOIN recon{m} r WHERE r.vec_id <> q.q_id
+      ) WHERE rn <= {k}
+    ),
+    hit{m} AS (
+      SELECT CAST(count(*) AS BIGINT) AS h
+      FROM approx{m} JOIN exact USING (q_id, vec_id)
+    )""".format(m=m, sub=sub, mm=m - 1, k=k))
+        rows.append(
+            "SELECT CAST({m} AS BIGINT) AS m_subspaces,"
+            " CAST({bits} AS BIGINT) AS code_bits,"
+            " nq AS n_queries, ne AS n_exact, h AS n_hits,"
+            " floor((2000000 * h + greatest(ne, 1)) / (2.0 * greatest(ne, 1)))"
+            " / 1000000.0 AS recall"
+            " FROM tot, hit{m}".format(m=m, bits=m * int(math.log2(n_codes)))
+        )
+    return head + "," + ",".join(blocks) + "\n    " + "\n    UNION ALL ".join(rows)
+
+
+ORACLES["pq_recall"] = _pq_oracle((2, 4, 8), 16, 64, 10)

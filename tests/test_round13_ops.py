@@ -224,3 +224,47 @@ def test_simhash_radius_sweep_guards(spark):
         dedup.simhash_radius_sweep(d, max_hamming=4, blocks=4)
     with pytest.raises(ValueError):
         dedup.simhash_radius_sweep(d, max_hamming=3, bits=60, blocks=7)
+
+
+# ------------------------------------------------------------------ pq_recall
+
+def _unit_vecs(spark, rows, dim=8):
+    return spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
+
+
+def test_pq_recall_perfect_when_corpus_is_codebook(spark):
+    from kairos_spark.operators import similarity
+
+    # corpus = 4 one-hot-ish vectors; codebook = those same 4 vectors
+    # (n_codes=4 lowest ids = whole corpus) -> reconstruction is exact
+    # in every subspace -> recall 1.0 at every m
+    import itertools
+    rows = []
+    for i in range(4):
+        v = [0.0] * 8
+        v[i] = 1.0
+        v[i + 4] = 1.0
+        rows.append((i, v))
+    corpus = _unit_vecs(spark, rows)
+    qs = corpus.selectExpr("vec_id as q_id", "embedding")
+    out = similarity.pq_recall(
+        qs, corpus, k=2, m_list=(1, 2), n_codes=4, dim=8
+    ).collect()
+    assert {r.m_subspaces for r in out} == {1, 2}
+    for r in out:
+        assert r.recall == 1.0 and r.n_hits == r.n_exact
+        assert r.n_queries == 4 and r.n_exact == 8  # k=2 each
+
+
+def test_pq_recall_code_bits_and_guard(spark):
+    from kairos_spark.operators import similarity
+    import pytest
+
+    rows = [(i, [float(i), 1.0, 0.5, 2.0]) for i in range(4)]
+    corpus = _unit_vecs(spark, rows, 4)
+    qs = corpus.selectExpr("vec_id as q_id", "embedding")
+    out = {r.m_subspaces: r for r in similarity.pq_recall(
+        qs, corpus, k=1, m_list=(2,), n_codes=4, dim=4).collect()}
+    assert out[2].code_bits == 2 * 2  # log2(4) bits per subspace
+    with pytest.raises(ValueError):
+        similarity.pq_recall(qs, corpus, m_list=(3,), dim=4)

@@ -26,6 +26,7 @@ AUDITED = [
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
+    "pq_recall",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -419,6 +420,11 @@ CHECKS = {
     # simhash_near_pairs block trick — never all-pairs); histogram is
     # a |radii|-row aggregate, cum window over those rows only
     "simhash_radius_sweep": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    # r13: quant_bits_sweep's shape per m — 1-row codebook broadcast,
+    # map-only encode/reconstruct, salted two-phase top-k; broadcast
+    # query/audit sides ride BNLJ crossJoins by construction, so only
+    # cartesian and shuffle joins are forbidden
+    "pq_recall": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
