@@ -4046,3 +4046,145 @@ def license_audit(
             "optout_share"
         ),
     )
+
+
+def bpe_merge_chain(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+) -> DataFrame:
+    """Chained BPE merge iterations — the actual tokenizer-trainer
+    loop (Sennrich et al. 2016 alg. 1, run ``iters`` rounds):
+    ``bpe_merge_candidates`` ranks what the FIRST merge would be;
+    this one APPLIES the winning merge to the vocabulary, re-counts
+    adjacent symbol pairs (which now include the merged symbol), and
+    repeats. The output trace (step, left_sym, right_sym, merged,
+    pair_count) is the head of the merge table a BPE tokenizer ships;
+    reading it tells you whether early merges spend on real morphemes
+    or on noise (digit runs, mojibake) — per step, not just at t=0.
+
+    Symbol representation: each word is encoded as
+    ``\\x01 sym \\x02`` wrapped symbols concatenated (control chars
+    stripped from words first, so symbol boundaries are unambiguous);
+    applying merge (a, b) is then ONE literal string replace of
+    ``\\x01a\\x02\\x01b\\x02`` with ``\\x01ab\\x02``. Because wrappers
+    are disjoint, left-to-right non-overlapping replace gives the BPE
+    convention exactly: "aaaa" under merge (a,a) → [aa][aa],
+    "aaa" → [aa][a] — and replace() semantics are engine-identical
+    (probed, incl. astral code points through the (.) encoder — see
+    tests/test_round13_ops.py).
+
+    Argmax ties break on (count DESC, left_sym, right_sym) — raw-
+    string byte order, engine-agreed (test_string_order_probe).
+
+    Scale shape: word counts aggregate map-side ONCE; every iteration
+    runs at VOCAB grain (distinct words), with pair counts weighted
+    by word frequency; each step collects ONE argmax row (the
+    facility_select driver-step precedent) and re-encodes via a
+    map-only replace over the checkpointed vocab table. Raw text
+    never shuffles; corpus volume is touched exactly once."""
+    S1, S2 = "\x01", "\x02"
+    words = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("__w"))
+        .select(F.translate(F.col("__w"), S1 + S2, "").alias("__w"))
+        .where(F.length("__w") > 0)
+    )
+    wc = words.groupBy("__w").agg(F.count("*").alias("__n"))
+    enc = wc.select(
+        F.regexp_replace(F.col("__w"), "(.)", S1 + "$1" + S2).alias("__e"),
+        "__n",
+    ).localCheckpoint(eager=True)
+    rows = []
+    for step in range(1, int(iters) + 1):
+        syms = F.transform(
+            F.filter(F.split(F.col("__e"), S2), lambda x: x != ""),
+            lambda x: F.replace(x, F.lit(S1), F.lit("")),
+        )
+        framed = enc.select(syms.alias("__s"), "__n")
+        pairs = framed.select(
+            "__n",
+            F.explode(
+                F.when(
+                    F.size("__s") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("__s", i).alias("a"),
+                            F.element_at("__s", i + 1).alias("b"),
+                        ),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        agg = pairs.groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b")).agg(
+            F.sum("__n").cast("long").alias("__c")
+        )
+        best = (
+            agg.orderBy(F.col("__c").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged / single-symbol words only
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["__c"])
+        rows.append((step, a, b, a + b, c))
+        enc = enc.select(
+            F.replace(
+                F.col("__e"),
+                F.lit(S1 + a + S2 + S1 + b + S2),
+                F.lit(S1 + a + b + S2),
+            ).alias("__e"),
+            "__n",
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "step long, left_sym string, right_sym string, merged string, pair_count long",
+    )
+
+
+def bpe_chain_first_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The FIRST iteration's pair-count frame of
+    :func:`bpe_merge_chain`, uncollected — the plan-audit surface
+    (the facility_first_step precedent: the looped query's output is
+    a LocalTableScan by construction; later iterations run this same
+    shape on the re-encoded vocab)."""
+    S1, S2 = "\x01", "\x02"
+    words = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("__w"))
+        .select(F.translate(F.col("__w"), S1 + S2, "").alias("__w"))
+        .where(F.length("__w") > 0)
+    )
+    wc = words.groupBy("__w").agg(F.count("*").alias("__n"))
+    enc = wc.select(
+        F.regexp_replace(F.col("__w"), "(.)", S1 + "$1" + S2).alias("__e"),
+        "__n",
+    )
+    syms = F.transform(
+        F.filter(F.split(F.col("__e"), S2), lambda x: x != ""),
+        lambda x: F.replace(x, F.lit(S1), F.lit("")),
+    )
+    pairs = enc.select(syms.alias("__s"), "__n").select(
+        "__n",
+        F.explode(
+            F.when(
+                F.size("__s") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__s") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__s", i).alias("a"),
+                        F.element_at("__s", i + 1).alias("b"),
+                    ),
+                ),
+            )
+        ).alias("__p"),
+    )
+    return (
+        pairs.groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .agg(F.sum("__n").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("a"), F.col("b"))
+        .limit(1)
+    )

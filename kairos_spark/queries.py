@@ -4110,6 +4110,15 @@ def q_pq_recall(spark, sf_dir):
     return similarity.pq_recall(qs, emb, k=10, m_list=(2, 4, 8))
 
 
+def q_bpe_merge_chain(spark, sf_dir):
+    """Three chained BPE merge iterations over the corpus vocabulary:
+    apply each winning merge, re-count symbol pairs, repeat — the
+    trainer loop bpe_merge_candidates only previews (k driver argmax
+    steps, the facility_select precedent; oracle is a chained
+    MATERIALIZED-CTE ladder)."""
+    return text.bpe_merge_chain(_tbl(spark, sf_dir, "documents"), iters=3)
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4340,6 +4349,7 @@ QUERIES = {
     "unimax_alloc": q_unimax_alloc,
     "simhash_radius_sweep": q_simhash_radius_sweep,
     "pq_recall": q_pq_recall,
+    "bpe_merge_chain": q_bpe_merge_chain,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -15263,3 +15273,51 @@ def _pq_oracle(m_list=(2, 4, 8), n_codes=16, dim=64, k=10) -> str:
 
 
 ORACLES["pq_recall"] = _pq_oracle((2, 4, 8), 16, 64, 10)
+
+
+def _bpe_chain_oracle(iters: int = 3) -> str:
+    """Chained-merge BPE oracle: enc{i} -> pair counts -> 1-row best
+    -> literal-replace re-encode, every reused CTE MATERIALIZED (the
+    iterative-CTE rule). An empty best{i} empties every later enc via
+    its CROSS JOIN, mirroring the Spark loop's break."""
+    head = r"""
+    WITH words AS (
+        SELECT replace(replace(unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')),
+                       chr(1), ''), chr(2), '') AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS n FROM words WHERE length(w) > 0 GROUP BY 1),
+    enc1 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS e, n FROM wc
+    )"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(""",
+    pr{i} AS MATERIALIZED (
+        SELECT s[j] AS a, s[j + 1] AS b, sum(n) AS c
+        FROM (
+            SELECT list_transform(
+                       list_filter(string_split(e, chr(2)), x -> x <> ''),
+                       x -> replace(x, chr(1), '')) AS s,
+                   n
+            FROM enc{i}
+        ), UNNEST(generate_series(1, len(s) - 1)) AS t(j)
+        GROUP BY 1, 2
+    ),
+    best{i} AS MATERIALIZED (
+        SELECT a, b, c FROM pr{i} ORDER BY c DESC, a, b LIMIT 1
+    ),
+    enc{j} AS MATERIALIZED (
+        SELECT replace(e, chr(1) || bb.a || chr(2) || chr(1) || bb.b || chr(2),
+                       chr(1) || bb.a || bb.b || chr(2)) AS e, n
+        FROM enc{i} CROSS JOIN best{i} bb
+    )""".format(i=i, j=i + 1))
+    rows = "\n    UNION ALL ".join(
+        "SELECT CAST({i} AS BIGINT) AS step, a AS left_sym, b AS right_sym,"
+        " a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM best{i}".format(i=i)
+        for i in range(1, iters + 1)
+    )
+    return "".join(parts) + "\n    " + rows
+
+
+ORACLES["bpe_merge_chain"] = _bpe_chain_oracle(3)

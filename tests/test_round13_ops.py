@@ -268,3 +268,51 @@ def test_pq_recall_code_bits_and_guard(spark):
     assert out[2].code_bits == 2 * 2  # log2(4) bits per subspace
     with pytest.raises(ValueError):
         similarity.pq_recall(qs, corpus, m_list=(3,), dim=4)
+
+
+# ------------------------------------------------------------ bpe_merge_chain
+
+def test_bpe_merge_chain_recounts_after_merge(spark):
+    # vocabulary: "abab" x3. step 1 pairs: (a,b)x2, (b,a)x1 per word
+    # -> merge (a,b). After re-encoding the word is [ab][ab], so step
+    # 2's winning pair MUST be (ab, ab) — the signature that pair
+    # counts really re-run on merged symbols, not on raw chars.
+    d = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab")], "doc_id long, text string"
+    )
+    rows = text.bpe_merge_chain(d, iters=2).collect()
+    assert [(r.step, r.left_sym, r.right_sym, r.merged) for r in rows] == [
+        (1, "a", "b", "ab"),
+        (2, "ab", "ab", "abab"),
+    ]
+    assert rows[0].pair_count == 6  # 2 per word x 3 words
+    assert rows[1].pair_count == 3
+
+
+def test_bpe_merge_chain_overlap_left_to_right(spark):
+    # "aaa": step 1 merge (a,a) counts 2 per word but merges
+    # left-to-right non-overlapping -> [aa][a]
+    d = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    rows = text.bpe_merge_chain(d, iters=2).collect()
+    assert (rows[0].left_sym, rows[0].right_sym) == ("a", "a")
+    # step 2 then merges [aa][a]
+    assert (rows[1].left_sym, rows[1].right_sym, rows[1].merged) == (
+        "aa", "a", "aaa",
+    )
+
+
+def test_bpe_merge_chain_stops_when_dry(spark):
+    # single-char words only: no pairs at all -> empty trace
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert text.bpe_merge_chain(d, iters=3).count() == 0
+
+
+def test_bpe_chain_first_pairs_matches_loop_step1(spark):
+    d = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab")], "doc_id long, text string"
+    )
+    first = text.bpe_chain_first_pairs(d).collect()[0]
+    loop = text.bpe_merge_chain(d, iters=1).collect()[0]
+    assert (first.a, first.b, first.pair_count) == (
+        loop.left_sym, loop.right_sym, loop.pair_count,
+    )

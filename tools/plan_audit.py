@@ -27,6 +27,7 @@ AUDITED = [
     "unimax_alloc",
     "simhash_radius_sweep",
     "pq_recall",
+    "bpe_merge_chain",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -425,6 +426,11 @@ CHECKS = {
     # query/audit sides ride BNLJ crossJoins by construction, so only
     # cartesian and shuffle joins are forbidden
     "pq_recall": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # r13 (override surface — the looped query's output is a
+    # LocalTableScan): first iteration's pair-count argmax — word
+    # counts aggregate map-side, pairs explode at VOCAB grain, one
+    # TakeOrdered; later iterations re-run this shape re-encoded
+    "bpe_merge_chain": ["Generate", "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
@@ -1349,6 +1355,9 @@ def main():
     overrides = {
         "facility_select": lambda sp, sf: _text.facility_first_step(
             q._tbl(sp, sf, "documents"), n=3, sample_docs=64
+        ),
+        "bpe_merge_chain": lambda sp, sf: _text.bpe_chain_first_pairs(
+            q._tbl(sp, sf, "documents")
         ),
     }
 
