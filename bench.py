@@ -257,6 +257,15 @@ PIPELINE = {
     # quant_recall's knn passes and is not double-timed).
     "boilerplate_roi": q.q_boilerplate_roi,
     "oov_rate": q.q_oov_rate,
+    # round-13 additions — the two genuinely new corpus-scale r13
+    # shapes (digest-grain dump self-join; corpus simhash + segment
+    # candidate join). BASELINE.md records their first numbers as
+    # their own baselines per the freeze rule. The other five r13
+    # queries are vocab/language-grain audits or repeat already-timed
+    # shapes (pq_recall repeats quant_recall's knn passes,
+    # vocab_size_sweep repeats oov_rate's probe — not double-timed).
+    "dump_overlap": q.q_dump_overlap,
+    "simhash_radius_sweep": q.q_simhash_radius_sweep,
 }
 
 
@@ -435,7 +444,20 @@ def pipeline_stats(spark, sf_dir):
     oov = q.q_oov_rate(spark, sf_dir).agg(
         F.sum("n_tokens").alias("t"), F.sum("oov_tokens").alias("o")
     ).collect()[0]
+    # dump_overlap / simhash_radius_sweep volumes (r13): the dump
+    # join's cost rides on distinct digests and shared mass; the
+    # radius sweep's on candidate pairs surviving the segment join —
+    # both readable straight off the operators' outputs.
+    dov = q.q_dump_overlap(spark, sf_dir).agg(
+        F.sum("n_a").alias("na"), F.sum("shared").alias("sh")
+    ).collect()[0]
+    srs = q.q_simhash_radius_sweep(spark, sf_dir).agg(
+        F.max("cum_pairs").alias("cp")
+    ).collect()[0]
     return {
+        "dump_digest_slots": int(dov["na"]),
+        "dump_shared_total": int(dov["sh"]),
+        "simhash_pairs_within_r5": int(srs["cp"]),
         "boilerplate_lines": int(roi["l"]),
         "boilerplate_bp_lines": int(roi["b"]),
         "oov_token_occurrences": int(oov["t"]),

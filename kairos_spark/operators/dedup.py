@@ -277,9 +277,16 @@ def simhash_near_pairs(
     """Near-pairs by SimHash Hamming distance using the block trick:
     split the fingerprint into ``blocks`` segments; any pair within
     ``max_hamming < blocks`` must agree on ≥1 segment → groupBy segment
-    value generates candidates without an all-pairs join."""
+    value generates candidates without an all-pairs join.
+
+    Fingerprints are checkpointed before the self-join (the
+    60-aggregate simhash pass would otherwise recompute on BOTH join
+    sides) and the probe side round-robin-repartitions so a hot
+    segment bucket's join fan-out spreads across tasks instead of
+    evaluating in one (both measured on simhash_radius_sweep, which
+    shares this stage shape — r13)."""
     seg_bits = bits // blocks
-    sh = simhash(df, text_col, id_col, bits)
+    sh = simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
     segments = F.array(
         *[
             F.concat(
@@ -292,7 +299,8 @@ def simhash_near_pairs(
         ]
     )
     banded = sh.select(F.col(id_col), "simhash", F.explode(segments).alias("seg"))
-    a, b = banded.alias("a"), banded.alias("b")
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    a, b = banded.repartition(par).alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
@@ -2972,7 +2980,10 @@ def simhash_radius_sweep(
     if bits % blocks != 0:
         raise ValueError(f"blocks={blocks} must divide bits={bits}")
     seg_bits = bits // blocks
-    sh = simhash(df, text_col, id_col, bits)
+    # materialize fingerprints before the self-join: the 60-aggregate
+    # simhash pass otherwise recomputes on BOTH join sides (measured
+    # 34 s -> ~4 s at sf0.1); one long per doc, trivially bounded
+    sh = simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
     segments = F.array(
         *[
             F.concat(
@@ -2985,23 +2996,48 @@ def simhash_radius_sweep(
         ]
     )
     banded = sh.select(F.col(id_col), "simhash", F.explode(segments).alias("seg"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.seg") == F.col("b.seg"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # round-robin repartition of the PROBE side: the banded frame is
+    # tiny (docs x blocks rows) so AQE coalesces it to ~1 partition,
+    # but the segment join fans out ~500x on hot buckets and the whole
+    # join output would then evaluate in ONE task (measured 35 s in
+    # the filter+agg stage at sf0.1; ~3 s parallel). Round-robin, not
+    # hash-by-seg: a hot segment value must SPREAD, not co-locate.
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    probe = banded.repartition(par)
+    a, b = probe.alias("a"), banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.seg") == F.col("b.seg"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col("a.simhash").alias("h_a"),
+        F.col("b.simhash").alias("h_b"),
+        F.split(F.col("a.seg"), ":").getItem(0).cast("int").alias("__j"),
     )
+    # first-matching-segment attribution instead of dropDuplicates: a
+    # pair found at segment j counts ONLY if no earlier segment also
+    # matches, so every pair is counted exactly once with NO
+    # candidate-pair dedup shuffle. The test is a STATIC unrolled OR
+    # over (blocks-1) literal-shift comparisons on h_a XOR h_b — plain
+    # whole-stage-codegen arithmetic per joined row (a higher-order
+    # exists() here ran interpreted and was 3x SLOWER than the
+    # dropDuplicates it replaced; measured 19.5 s dedup / 57 s HOF /
+    # re-benched after this form)
+    xor_h = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    dup_earlier = F.lit(False)
+    for jp in range(blocks - 1):
+        seg_match = (
+            F.shiftright(xor_h, jp * seg_bits).bitwiseAND(
+                F.lit((1 << seg_bits) - 1)
+            )
+            == 0
+        )
+        dup_earlier = dup_earlier | (
+            (F.lit(jp) < F.col("__j")) & seg_match
+        )
     hist = (
-        cands.select(
+        joined.where(~dup_earlier)
+        .select(
             F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("radius")
         )
         .where(F.col("radius") <= int(max_hamming))
