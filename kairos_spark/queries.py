@@ -4945,9 +4945,87 @@ _R12_WINDOW = [
     "window_top_orders",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+
+# --- Round-13 driver window (CLAUDE.md rotation rule; _R12_WINDOW
+# above is historical record). FIRST round whose promotion set is
+# GENERATED by tools/impact_map.py (VERDICT r12 #2) — see
+# PROMOTION_r13.md for the full report. Layout:
+# (1) the 7 NEW r13 queries (never driver-checked);
+# (2) the 3 entries whose expressions changed THIS round
+#     (facility_select / minhash_scurve: the ADVICE-r12 refactors;
+#     simhash_near_pairs: the checkpoint + probe-repartition scale
+#     fix) — freshest changes are the least verified;
+# (3) 40 of the 53-entry expression-changed BACKLOG impact_map found
+#     on its first run (entries whose Spark closure or oracle source
+#     changed AFTER their last green driver check — the hand-rotation
+#     let these through across r5-r10; all have stayed green on the
+#     3-scale mirror battery every round since), ordered oldest
+#     last-green first. The 13 remaining backlog entries
+#     (split_leakage_audit, transition_entropy, dedup_clusters_lsh,
+#     value_percentiles, cluster_keep_best, quality_rule_pack,
+#     cluster_keep_best_lsh, cluster_quality_bias,
+#     cluster_source_purity, tokenizer_drift,
+#     near_dup_family_agreement, prefix_jaccard_pairs) lead the r14
+#     rotation's group (3).
+_R13_WINDOW = [
+    # (1) new r13
+    "bpe_merge_chain",
+    "dump_overlap",
+    "license_audit",
+    "pq_recall",
+    "simhash_radius_sweep",
+    "unimax_alloc",
+    "vocab_size_sweep",
+    # (2) expressions changed this round
+    "facility_select",
+    "minhash_scurve",
+    "simhash_near_pairs",
+    # (3) impact_map backlog, oldest last-green first
+    "ab_lift",
+    "absorption_prob",
+    "bfs_reach",
+    "coactivity_kcore",
+    "dedup_threshold_sweep",
+    "did_estimate",
+    "drift_fdr",
+    "max_drawdown",
+    "media_signature_buckets",
+    "rrf_fusion",
+    "semdedup",
+    "source_similarity",
+    "ts_histogram_transforms",
+    "vocab_coverage",
+    "zonemap_prune",
+    "churn_auc",
+    "context_budget",
+    "decayed_topk",
+    "dedup_recall",
+    "editdist_pairs",
+    "ks_drift",
+    "langid_metrics",
+    "multimodal_features",
+    "ngram_novelty",
+    "path_conformance",
+    "quality_auc",
+    "quantize_audit",
+    "schema_drift",
+    "session_gap_sweep",
+    "source_scorecard",
+    "spearman_activity",
+    "temperature_mix",
+    "triangle_cooccurrence",
+    "winnow_pairs",
+    "attribution_split",
+    "categorical_drift",
+    "chao1_richness",
+    "json_schema_profile",
+    "lift_curve",
+    "mutual_info",
+]
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R12_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
+    **{k: QUERIES[k] for k in _R13_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
 }
 
 ORACLES = dict(_TS_ORACLES)
