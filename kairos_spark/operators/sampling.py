@@ -1100,3 +1100,49 @@ def unimax_alloc(
         F.col("__capped").cast("long").alias("capped"),
         _round6_ratio(alloc, F.col("avail_tokens")).alias("epochs"),
     )
+
+
+def temperature_sweep(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha_pcts: tuple = (0, 50, 100),
+    budget: int = 1000,
+) -> DataFrame:
+    """Temperature-mix sampling plans at several temperatures at once —
+    the alpha axis of :func:`temperature_mix` (the uniform / sqrt /
+    natural triptych every multilingual data recipe tabulates before
+    picking its alpha; XLM/mT5's rebalance knob swept instead of
+    fixed). One row per (alpha, group): read DOWN a column to see how
+    hard each temperature squeezes the head into the tail, and where
+    feasible_n starts clipping (a tail language whose uniform target
+    exceeds its supply is the signal alpha alone cannot fix).
+
+    Alphas are restricted to {0, 50, 100} percent by default —
+    pow(share, 0) == 1, sqrt, and identity are all IEEE-exact in both
+    engines, so the sweep adds NO transcendental-parity surface
+    (arbitrary alphas would ride pow()'s last-ulp class into the
+    largest-remainder ranking).
+
+    Scale shape: |alphas| reruns of the group-grain plan (one corpus
+    aggregate is shared per run by Catalyst scan reuse; everything
+    downstream runs on |groups| rows)."""
+    frames = []
+    for pct in alpha_pcts:
+        pct = int(pct)
+        if pct not in (0, 50, 100):
+            raise ValueError(
+                f"alpha_pct {pct} not in (0, 50, 100): other alphas ride "
+                "pow()'s last-ulp class into the integer apportionment"
+            )
+        plan = temperature_mix(
+            df, group_col=group_col, alpha=pct / 100.0, budget=budget
+        )
+        frames.append(
+            plan.select(
+                F.lit(pct).cast("long").alias("alpha_pct"), "*"
+            )
+        )
+    out = frames[0]
+    for frame in frames[1:]:
+        out = out.unionByName(frame)
+    return out

@@ -4188,3 +4188,60 @@ def bpe_chain_first_pairs(
         .orderBy(F.col("pair_count").desc(), F.col("a"), F.col("b"))
         .limit(1)
     )
+
+
+def contamination_ngram_sweep(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple = (2, 3, 4),
+) -> DataFrame:
+    """Decontamination n-gram-length sweep — the n axis of
+    :func:`contamination_overlap` (GPT-3 appendix C used 13-gram
+    collisions, The Pile 13, PaLM 8; every report tabulates how the
+    flagged share moves with n before picking the cut): per n, how
+    many docs share >= 1 distinct word n-gram with the benchmark and
+    how much gram mass overlaps. Short n over-flags (common phrases);
+    long n under-flags (only verbatim copies); the knee is the
+    defensible cut for THIS corpus.
+
+    Output one row per n: (ngram_n, n_docs, contaminated_docs,
+    contaminated_share, overlap_grams) — exact integer ratio, zeros
+    kept when an n flags nothing.
+
+    Scale shape: per n, one benchmark gram set broadcast into a
+    map-side probe of the exploded corpus grams (the
+    contamination_overlap shape), then a 1-row rollup; the |ns|-row
+    spine unions literals. Gram sets differ per n so the sweep costs
+    |ns| corpus passes — each pass the proven broadcast-probe shape,
+    never a shuffle join."""
+    total = df.agg(F.count("*").alias("n_docs"))
+    frames = []
+    for n in ns:
+        n = int(n)
+        ov = contamination_overlap(
+            df, bench_df, text_col=text_col, id_col=id_col, n=n
+        )
+        roll = ov.agg(
+            F.count("*").cast("long").alias("contaminated_docs"),
+            F.coalesce(F.sum("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("overlap_grams"),
+        )
+        frames.append(
+            total.crossJoin(F.broadcast(roll)).select(
+                F.lit(n).cast("long").alias("ngram_n"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                "contaminated_docs",
+                _round6_ratio(
+                    F.col("contaminated_docs"),
+                    F.greatest(F.col("n_docs"), F.lit(1)),
+                ).alias("contaminated_share"),
+                "overlap_grams",
+            )
+        )
+    out = frames[0]
+    for frame in frames[1:]:
+        out = out.unionByName(frame)
+    return out

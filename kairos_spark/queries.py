@@ -4119,6 +4119,29 @@ def q_bpe_merge_chain(spark, sf_dir):
     return text.bpe_merge_chain(_tbl(spark, sf_dir, "documents"), iters=3)
 
 
+def q_temperature_sweep(spark, sf_dir):
+    """Temperature-mix plans at alpha = 0 / 0.5 / 1.0 (uniform, sqrt,
+    natural) over the language mix — temperature_mix's alpha axis.
+    Restricted to the three IEEE-exact alphas so the sweep adds no
+    pow() parity surface (late-r13: registered behind the window,
+    leads the r14 rotation)."""
+    return sampling.temperature_sweep(
+        _tbl(spark, sf_dir, "documents"), group_col="lang",
+        alpha_pcts=(0, 50, 100), budget=1000,
+    )
+
+
+def q_contamination_ngram_sweep(spark, sf_dir):
+    """Decontamination n-gram-length sweep (n = 2/3/4) against the
+    docs 0-2 benchmark: contaminated-doc share and overlap mass per n
+    — q_contamination's n axis (its comment records why n=5 is
+    vacuous on this vocab; the sweep shows the knee instead of
+    asserting it). Late-r13: registered behind the window."""
+    docs = _tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 3)
+    return text.contamination_ngram_sweep(docs, bench, ns=(2, 3, 4))
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4350,6 +4373,9 @@ QUERIES = {
     "simhash_radius_sweep": q_simhash_radius_sweep,
     "pq_recall": q_pq_recall,
     "bpe_merge_chain": q_bpe_merge_chain,
+    # late-r13 (behind the window; lead the r14 rotation)
+    "temperature_sweep": q_temperature_sweep,
+    "contamination_ngram_sweep": q_contamination_ngram_sweep,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -15399,3 +15425,99 @@ def _bpe_chain_oracle(iters: int = 3) -> str:
 
 
 ORACLES["bpe_merge_chain"] = _bpe_chain_oracle(3)
+
+
+def _temp_sweep_oracle(budget: int = 1000) -> str:
+    """Per-alpha instantiation of the temperature_mix oracle; w is
+    1.0 / sqrt(share) / share for alpha 0 / 0.5 / 1 (all IEEE-exact)."""
+    block = """
+    w{pct} AS (
+      SELECT name, n,
+             floor((2000000 * n + total) / (2.0 * total)) / 1000000.0 AS share,
+             {wexpr} AS w
+      FROM counts, tot
+    ),
+    ws{pct} AS (SELECT sum(w) AS ws FROM w{pct}),
+    pl{pct} AS (
+      SELECT name, n, share,
+             round(w / ws, 6) AS p_target,
+             round({budget} * w / ws, 6) AS raw
+      FROM w{pct}, ws{pct}
+    ),
+    ba{pct} AS (
+      SELECT name, n, share, p_target,
+             CAST(floor(raw) AS BIGINT) AS b,
+             raw - floor(raw) AS frac
+      FROM pl{pct}
+    ),
+    sh{pct} AS (SELECT {budget} - sum(b) AS s FROM ba{pct}),
+    rk{pct} AS (
+      SELECT ba{pct}.*, s,
+             row_number() OVER (ORDER BY frac DESC, name) AS rk
+      FROM ba{pct}, sh{pct}
+    )"""
+    rows = """SELECT CAST({pct} AS BIGINT) AS alpha_pct, name,
+           CAST(n AS BIGINT) AS n, share, p_target,
+           CAST(b + CASE WHEN rk <= s THEN 1 ELSE 0 END AS BIGINT) AS target_n,
+           CAST(least(b + CASE WHEN rk <= s THEN 1 ELSE 0 END, n) AS BIGINT) AS feasible_n,
+           floor((2000000 * least(b + CASE WHEN rk <= s THEN 1 ELSE 0 END, n) + n)
+                 / (2.0 * n)) / 1000000.0 AS sample_rate
+    FROM rk{pct}"""
+    wexprs = {0: "1.0", 50: "sqrt(n * 1.0 / total)", 100: "n * 1.0 / total"}
+    head = """
+    WITH counts AS (
+      SELECT lang AS name, count(*) AS n FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts)"""
+    return (
+        head
+        + ","
+        + ",".join(block.format(pct=p, wexpr=w, budget=budget) for p, w in wexprs.items())
+        + "\n    "
+        + "\n    UNION ALL ".join(rows.format(pct=p) for p in wexprs)
+    )
+
+
+ORACLES["temperature_sweep"] = _temp_sweep_oracle(1000)
+
+
+def _contam_sweep_oracle(ns=(2, 3, 4)) -> str:
+    block = r"""
+    g{n} AS (
+        SELECT doc_id, unnest(gs) AS g FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(ws) - {n1}, 1)),
+                       i -> array_to_string(ws[i:i+{n1}], ' '))) AS gs
+            FROM cw
+        )
+    ),
+    bg{n} AS MATERIALIZED (SELECT DISTINCT g FROM g{n} WHERE doc_id < 3),
+    ov{n} AS (
+        SELECT count(DISTINCT doc_id) AS cd, count(*) AS og
+        FROM g{n} JOIN bg{n} USING (g)
+    )"""
+    rows = """SELECT CAST({n} AS BIGINT) AS ngram_n,
+           CAST(nd AS BIGINT) AS n_docs,
+           CAST(cd AS BIGINT) AS contaminated_docs,
+           floor((2000000 * cd + greatest(nd, 1)) / (2.0 * greatest(nd, 1)))
+             / 1000000.0 AS contaminated_share,
+           CAST(og AS BIGINT) AS overlap_grams
+    FROM tot, ov{n}"""
+    head = r"""
+    WITH cw AS MATERIALIZED (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS nd FROM documents)"""
+    return (
+        head
+        + ","
+        + ",".join(block.format(n=n, n1=n - 1) for n in ns)
+        + "\n    "
+        + "\n    UNION ALL ".join(rows.format(n=n) for n in ns)
+    )
+
+
+ORACLES["contamination_ngram_sweep"] = _contam_sweep_oracle((2, 3, 4))

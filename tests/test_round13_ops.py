@@ -316,3 +316,68 @@ def test_bpe_chain_first_pairs_matches_loop_step1(spark):
     assert (first.a, first.b, first.pair_count) == (
         loop.left_sym, loop.right_sym, loop.pair_count,
     )
+
+
+# --------------------------------------------------------- temperature_sweep
+
+def test_temperature_sweep_alpha_extremes(spark):
+    from kairos_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = {(r.alpha_pct, r.name): r for r in sampling.temperature_sweep(
+        d, group_col="lang", alpha_pcts=(0, 100), budget=10).collect()}
+    # alpha=0: uniform split regardless of supply
+    assert out[(0, "big")].target_n == 5 and out[(0, "small")].target_n == 5
+    # alpha=1: natural proportions
+    assert out[(100, "big")].target_n == 9 and out[(100, "small")].target_n == 1
+    # targets sum to budget at every alpha
+    for pct in (0, 100):
+        assert sum(r.target_n for (a, _), r in out.items() if a == pct) == 10
+    # feasible clips at supply
+    assert out[(0, "small")].feasible_n == 5  # 10 available >= 5
+
+
+def test_temperature_sweep_rejects_pow_alphas(spark):
+    from kairos_spark.operators import sampling
+    import pytest
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        sampling.temperature_sweep(d, alpha_pcts=(30,))
+
+
+# ------------------------------------------------- contamination_ngram_sweep
+
+def test_contamination_ngram_sweep_knee(spark):
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),   # verbatim: hits every n
+            (1, "alpha beta unrelated x"),   # shares the 2-gram only
+            (2, "nothing in common here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.ngram_n: r for r in
+           text.contamination_ngram_sweep(docs, bench, ns=(2, 4)).collect()}
+    assert out[2].n_docs == 3 and out[4].n_docs == 3
+    assert out[2].contaminated_docs == 2   # docs 0 and 1
+    assert out[4].contaminated_docs == 1   # only the verbatim copy
+    # monotone: longer n can only flag fewer docs
+    assert out[4].contaminated_docs <= out[2].contaminated_docs
+    assert out[2].contaminated_share == round(2 / 3, 6)
+
+
+def test_contamination_ngram_sweep_zero_rows_kept(spark):
+    bench = spark.createDataFrame([(0, "zzz qqq www")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "aaa bbb ccc")], "doc_id long, text string")
+    out = {r.ngram_n: r for r in
+           text.contamination_ngram_sweep(docs, bench, ns=(2, 3)).collect()}
+    assert set(out) == {2, 3}
+    for r in out.values():
+        assert r.contaminated_docs == 0 and r.contaminated_share == 0.0

@@ -28,6 +28,8 @@ AUDITED = [
     "simhash_radius_sweep",
     "pq_recall",
     "bpe_merge_chain",
+    "temperature_sweep",
+    "contamination_ngram_sweep",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -431,6 +433,14 @@ CHECKS = {
     # counts aggregate map-side, pairs explode at VOCAB grain, one
     # TakeOrdered; later iterations re-run this shape re-encoded
     "bpe_merge_chain": ["Generate", "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: |alphas| reruns of the group-grain plan — corpus feeds
+    # the one count aggregate; scalars ride 1-row broadcasts (BNLJ by
+    # construction); windows over |groups| rows only
+    "temperature_sweep": ["HashAggregate", "Window", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: per n one broadcast gram probe (map-side hash join of
+    # the exploded corpus against the tiny benchmark set) + 1-row
+    # rollup — no shuffle joins on grams
+    "contamination_ngram_sweep": ["Generate", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
