@@ -1895,3 +1895,74 @@ def pq_recall(
     for frame in per_m[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def prototypicality(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster prototypicality profile — the D4 / SSL-Prototypes
+    view of the embedding space (Tirumala et al. 2023, arXiv:
+    2308.12284; Sorscher et al. 2022): after SemDeDup's clustering,
+    rank every vector by its distance to its cluster centroid. The
+    closest points are the cluster's PROTOTYPES (too-easy, what
+    SSL-prototype pruning drops); the farthest are its outliers. Per
+    cluster this emits the distance profile that drives that cut:
+    (cluster_id, n_vecs, mean_dist, p20_dist, min_dist, max_dist)
+    with p20_dist the distance at rank max(1, n div 5) — the
+    waterline a drop-the-closest-20% policy would use. A cluster
+    whose p20 ≈ max is templated/redundant; a long min→max tail says
+    the cluster absorbed outliers and pruning by distance is unsafe.
+
+    Shares ``_kmeans_final_assign`` with kmeans/semdedup (identical
+    seeding/tie rules by construction). Distances are squared L2 to
+    the final centroid, rounded to 6 decimals before ranking (the knn
+    rounded-score convention); mean_dist is the EXACT integer ratio
+    of 1e6-quantized distances (sign-free floor(x*1e6 + 0.5) — the
+    embedding_moments quantizer), routed through the DECIMAL ratio
+    helper since the sum can pass the BIGINT product ceiling.
+
+    Scale shape: clustering is the broadcast-centroid map-only loop;
+    the ranking window is PARTITIONED by cluster (per-cluster sort,
+    never a global order); everything after runs at cluster grain."""
+    a = _kmeans_final_assign(df, k, iters, id_col, vec_col)
+    d6 = F.round(F.col("dist"), 6)
+    base = a.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("__id").alias("id"),
+        d6.alias("__d6"),
+        F.floor(d6 * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("__m6"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__d6").asc(), F.col("id").asc()
+    )
+    cnt = F.count("*").over(Window.partitionBy("cluster_id"))
+    ranked = base.select(
+        "*", F.row_number().over(w).alias("__rk"), cnt.alias("__n")
+    )
+    p20 = ranked.where(
+        F.col("__rk") == F.greatest(F.lit(1), F.expr("__n div 5"))
+    ).select("cluster_id", F.col("__d6").alias("p20_dist"))
+    agg = base.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("__m6").alias("__msum"),
+        F.min("__d6").alias("min_dist"),
+        F.max("__d6").alias("max_dist"),
+    )
+    return (
+        agg.join(F.broadcast(p20), "cluster_id")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            _round6_ratio_dec(
+                F.col("__msum"), F.col("n_vecs") * F.lit(1_000_000)
+            ).alias("mean_dist"),
+            "p20_dist",
+            "min_dist",
+            "max_dist",
+        )
+        .orderBy("cluster_id")
+    )

@@ -4142,6 +4142,16 @@ def q_contamination_ngram_sweep(spark, sf_dir):
     return text.contamination_ngram_sweep(docs, bench, ns=(2, 3, 4))
 
 
+def q_prototypicality(spark, sf_dir):
+    """D4/SSL-prototypes distance profile per k-means cluster (k=8,
+    2 iters — semdedup's exact clustering): mean/p20/min/max squared
+    L2 to the final centroid; p20 is the drop-the-closest-20%
+    waterline. Late-r13: registered behind the window."""
+    return similarity.prototypicality(
+        _tbl(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4376,6 +4386,7 @@ QUERIES = {
     # late-r13 (behind the window; lead the r14 rotation)
     "temperature_sweep": q_temperature_sweep,
     "contamination_ngram_sweep": q_contamination_ngram_sweep,
+    "prototypicality": q_prototypicality,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -15521,3 +15532,88 @@ def _contam_sweep_oracle(ns=(2, 3, 4)) -> str:
 
 
 ORACLES["contamination_ngram_sweep"] = _contam_sweep_oracle((2, 3, 4))
+
+ORACLES["prototypicality"] = f"""
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT id, v, md5(CAST(id AS VARCHAR)) AS h
+      FROM base ORDER BY h LIMIT 8
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS cvec FROM seeds
+    ),
+    d1 AS (
+      SELECT b.id, b.v, c.cid, {_KM_DIST} AS dist
+      FROM base b CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    u1 AS (
+      SELECT cid, pos,
+             CAST(sum(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+      FROM a1 CROSS JOIN range(1, 65) t(pos)
+      GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM u1 GROUP BY 1),
+    d2 AS (
+      SELECT b.id, b.v, c.cid, {_KM_DIST} AS dist
+      FROM base b CROSS JOIN c1 c
+    ),
+    a2 AS (
+      SELECT id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    u2 AS (
+      SELECT cid, pos,
+             CAST(sum(CAST(v[pos] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+      FROM a2 CROSS JOIN range(1, 65) t(pos)
+      GROUP BY 1, 2
+    ),
+    c2 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM u2 GROUP BY 1),
+    d3 AS (
+      SELECT b.id, b.v, c.cid, {_KM_DIST} AS dist
+      FROM base b CROSS JOIN c2 c
+    ),
+    a3 AS MATERIALIZED (
+      SELECT id, cid, round(dist, 6) AS d6 FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        FROM d3
+      ) WHERE rn = 1
+    ),
+    q6 AS (
+      SELECT cid AS cluster_id, id, d6,
+             CAST(floor(d6 * 1000000.0 + 0.5) AS BIGINT) AS m6,
+             row_number() OVER (PARTITION BY cid ORDER BY d6, id) AS rk,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM a3
+    ),
+    p20 AS (
+      SELECT cluster_id, d6 AS p20_dist FROM q6
+      WHERE rk = greatest(1, n // 5)
+    ),
+    agg AS (
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             sum(m6) AS msum,
+             min(d6) AS min_dist,
+             max(d6) AS max_dist
+      FROM q6 GROUP BY 1
+    )
+    SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           n_vecs,
+           CAST((2000000::HUGEINT * msum + n_vecs * 1000000)
+                // (2::HUGEINT * n_vecs * 1000000) AS BIGINT) / 1000000.0
+             AS mean_dist,
+           p20_dist,
+           min_dist,
+           max_dist
+    FROM agg a JOIN p20 USING (cluster_id)
+"""

@@ -381,3 +381,34 @@ def test_contamination_ngram_sweep_zero_rows_kept(spark):
     assert set(out) == {2, 3}
     for r in out.values():
         assert r.contaminated_docs == 0 and r.contaminated_share == 0.0
+
+
+# ------------------------------------------------------------ prototypicality
+
+def test_prototypicality_profile_shape(spark):
+    from kairos_spark.operators import similarity
+
+    # 10 vectors, k=2: per cluster the profile must satisfy
+    # min <= p20 <= max and mean within [min, max]; n_vecs sums to 10
+    rows = [(i, [float((i * 7 + j * 3) % 5), float(i % 3), 1.0, 0.0])
+            for i in range(10) for j in [0]]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.prototypicality(d, k=2, iters=1).collect()
+    assert sum(r.n_vecs for r in out) == 10
+    for r in out:
+        assert r.min_dist <= r.p20_dist <= r.max_dist
+        assert r.min_dist <= r.mean_dist <= r.max_dist
+
+
+def test_prototypicality_identical_vectors_zero_distances(spark):
+    from kairos_spark.operators import similarity
+
+    d = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.prototypicality(d, k=1, iters=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_vecs == 6
+    assert r.mean_dist == 0.0 and r.min_dist == 0.0 and r.max_dist == 0.0

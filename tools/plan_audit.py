@@ -30,6 +30,7 @@ AUDITED = [
     "bpe_merge_chain",
     "temperature_sweep",
     "contamination_ngram_sweep",
+    "prototypicality",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -441,6 +442,10 @@ CHECKS = {
     # the exploded corpus against the tiny benchmark set) + 1-row
     # rollup — no shuffle joins on grams
     "contamination_ngram_sweep": ["Generate", "BroadcastHashJoin", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: kmeans' broadcast-centroid map-only loop; the ranking
+    # window is PARTITIONED by cluster (never a global order); the
+    # |k|-row p20 side broadcasts back — no shuffle joins
+    "prototypicality": ["HashAggregate", "Window", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
