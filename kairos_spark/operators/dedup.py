@@ -1949,8 +1949,11 @@ def cluster_diameter(
     # inconsistent with the clustering it audits).
     if threshold is None:
         threshold = threshold_num / threshold_den
-    else:
-        assert abs(threshold - threshold_num / threshold_den) < 1e-12, (
+    elif abs(threshold - threshold_num / threshold_den) >= 1e-12:
+        # hard error, not assert: stripped under `python -O` this
+        # would silently run the audit against a clustering built at
+        # a DIFFERENT threshold (the minhash_scurve ADVICE-r12 class)
+        raise ValueError(
             f"threshold {threshold} != threshold_num/threshold_den "
             f"{threshold_num}/{threshold_den}"
         )

@@ -5993,8 +5993,11 @@ def _sql_surgery(base: str, old: str, new: str, count: int = -1) -> str:
     """Anchored .replace for derived oracles: asserts the anchor text
     still exists so an edit to the base SQL fails LOUDLY at import
     time instead of silently no-opping the surgery and degenerating
-    the derived oracle into the base query (ADVICE r10)."""
-    assert old in base, f"oracle surgery anchor missing: {old[:80]!r}"
+    the derived oracle into the base query (ADVICE r10). ValueError,
+    not assert: `python -O` strips asserts and the no-op would be
+    silent again (the minhash_scurve ADVICE-r12 class)."""
+    if old not in base:
+        raise ValueError(f"oracle surgery anchor missing: {old[:80]!r}")
     return base.replace(old, new, count)
 
 
