@@ -449,6 +449,17 @@ def main(argv):
         print(f"  {qname}  (last green r{base})")
         for r in reasons:
             print(f"      - {r}")
+    # entries that are green AND unchanged — the tail-recheck pool,
+    # oldest first, so a window's group (4) is also tool-derivable
+    stale = sorted(
+        (last[qname], qname)
+        for qname in entries
+        if qname in last and qname not in promote
+    )
+    print()
+    print(f"## green and unchanged — tail-recheck pool, oldest first ({len(stale)})")
+    for base, qname in stale:
+        print(f"  {qname}  (last green r{base})")
     return 0
 
 
