@@ -3063,3 +3063,116 @@ def simhash_radius_sweep(
         .withColumn("cum_pairs", F.sum("n_pairs").over(wo).cast("long"))
         .orderBy("radius")
     )
+
+
+def minhash_len_bias(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 32,
+    bucket_width: int = 32,
+    max_bucket: int = 7,
+    sample_docs: int = 64,
+) -> DataFrame:
+    """MinHash estimator error vs DOCUMENT LENGTH — the fourth axis of
+    the calibration family (estimator: ``minhash_calibration``;
+    banding gate: ``minhash_scurve``; signature size:
+    ``sig_size_sweep``; THIS: the length confounder). The binomial
+    error bound Var ≈ J(1−J)/H is length-blind, but short documents
+    carry few shingles, so their exact Jaccard is itself coarse and
+    collisions are structural — dedup thresholds tuned on long-doc
+    calibration silently over- or under-fire on titles/snippets. Per
+    length bucket (floor(min-shingle-count / ``bucket_width``),
+    capped at ``max_bucket``, the MIN side of each pair — the noisier
+    side dominates): pair count, MAE, signed bias, and worst-case
+    error of the H-hash estimate vs exact shingle Jaccard.
+
+    Exactness: identical machinery to ``sig_size_sweep`` — each
+    pair's error (m·u − s·H)/(H·u) is one int64-exact double
+    division quantized on the 1e-12 grid, aggregated as
+    DECIMAL(38,0) exact ratios.
+
+    Output: (len_bin, n_pairs, mae, bias, max_abs_err).
+
+    Scale shape: the same constant-cost bounded audit as its three
+    siblings (``sample_docs`` lowest ids, all-pairs bounded at
+    sample_docs²/2, one signature aggregate, one shingle self-join) —
+    never run uncapped at corpus scale."""
+    capped = (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(id_col)
+        .limit(int(sample_docs))
+    )
+    h = int(num_hashes)
+    sig = minhash_signatures(capped, text_col, id_col, n, h)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.size(
+            F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v)
+        ).alias("__m"),
+    )
+    sh = doc_shingles(capped, text_col, id_col, n)
+    shsizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    shared = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("__shn"))
+    )
+    za = shsizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__za"))
+    zb = shsizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__zb"))
+    base = (
+        pairs.join(shared, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "__m",
+            F.coalesce(F.col("__shn"), F.lit(0)).alias("__shn"),
+            (
+                F.col("__za") + F.col("__zb") - F.coalesce(F.col("__shn"), F.lit(0))
+            ).alias("__uni"),
+            F.least(
+                F.expr(f"least(__za, __zb) div {int(bucket_width)}"),
+                F.lit(int(max_bucket)),
+            )
+            .cast("long")
+            .alias("len_bin"),
+        )
+    )
+    num = (F.col("__m").cast("long") * F.col("__uni") - F.col("__shn") * F.lit(h))
+    den = F.lit(h) * F.col("__uni")
+    q = (
+        F.when(
+            num >= 0,
+            F.floor((num / den) * F.lit(1_000_000_000_000.0) + F.lit(0.5)),
+        )
+        .otherwise(
+            -F.floor((-num / den) * F.lit(1_000_000_000_000.0) + F.lit(0.5))
+        )
+        .cast("long")
+    )
+    quantized = base.select("len_bin", q.alias("__q"))
+    from kairos_spark.operators.text import (
+        _round6_ratio_dec as _rdec,
+        _round6_ratio_dec_signed as _rdecs,
+    )
+
+    grid = F.lit(1_000_000_000_000)
+    return quantized.groupBy("len_bin").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        _rdec(F.sum(F.abs(F.col("__q"))), F.count("*") * grid).alias("mae"),
+        _rdecs(F.sum("__q"), F.count("*") * grid).alias("bias"),
+        _rdec(F.max(F.abs(F.col("__q"))), grid).alias("max_abs_err"),
+    )

@@ -4152,6 +4152,17 @@ def q_prototypicality(spark, sf_dir):
     )
 
 
+def q_minhash_len_bias(spark, sf_dir):
+    """MinHash estimator error vs document length (32-hash estimator,
+    min-side shingle-count buckets of width 32, capped at bin 7) over
+    the bounded 64-doc pair sample — the length-confounder axis of
+    the calibration family. Late-r13: registered behind the window."""
+    return dedup.minhash_len_bias(
+        _tbl(spark, sf_dir, "documents"), n=8, num_hashes=32,
+        bucket_width=32, max_bucket=7, sample_docs=64,
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4387,6 +4398,7 @@ QUERIES = {
     "temperature_sweep": q_temperature_sweep,
     "contamination_ngram_sweep": q_contamination_ngram_sweep,
     "prototypicality": q_prototypicality,
+    "minhash_len_bias": q_minhash_len_bias,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -15619,4 +15631,93 @@ ORACLES["prototypicality"] = f"""
            min_dist,
            max_dist
     FROM agg a JOIN p20 USING (cluster_id)
+"""
+
+ORACLES["minhash_len_bias"] = """
+    WITH ids AS MATERIALIZED (
+        SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64
+    ),
+    norm AS (
+        SELECT d.doc_id, regexp_replace(lower(d.text), '\\s+', ' ', 'g') AS n
+        FROM documents d JOIN ids USING (doc_id)
+    ),
+    idx AS (
+        SELECT doc_id, n,
+               unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+        FROM norm
+    ),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(n, i, 8) AS s FROM idx),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 11))::BIGINT AS a,
+               ('0x' || substr(md5(s), 12, 11))::BIGINT AS b
+        FROM sh
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id, i.i AS i, min((a + i.i * b) % 17592186044399) AS hv
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+        GROUP BY 1, 2
+    ),
+    prs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+    ),
+    mm AS (
+        SELECT p.id_a, p.id_b,
+               sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) AS m
+        FROM prs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shn
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    base AS MATERIALIZED (
+        SELECT p.id_a, p.id_b,
+               coalesce(shn, 0) AS shn,
+               sa.sz + sb.sz - coalesce(shn, 0) AS uni,
+               least(least(sa.sz, sb.sz) // 32, 7) AS len_bin
+        FROM prs p
+        LEFT JOIN shared s ON s.id_a = p.id_a AND s.id_b = p.id_b
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+    ),
+    errs AS (
+        SELECT b.len_bin,
+               (mm.m * b.uni - b.shn * 32) AS num,
+               (32 * b.uni) AS den
+        FROM mm JOIN base b USING (id_a, id_b)
+    ),
+    qs AS (
+        SELECT len_bin,
+               CASE WHEN num >= 0
+                    THEN CAST(floor(num / den * 1000000000000.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor((-num) / den * 1000000000000.0 + 0.5) AS BIGINT)
+               END AS q
+        FROM errs
+    )
+    SELECT CAST(len_bin AS BIGINT) AS len_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((2000000::HUGEINT * sum(abs(q))::HUGEINT
+                 + count(*)::HUGEINT * 1000000000000)
+                // (2::HUGEINT * count(*)::HUGEINT * 1000000000000)
+                AS BIGINT) / 1000000.0 AS mae,
+           CASE WHEN sum(q) >= 0
+                THEN CAST((2000000::HUGEINT * sum(q)::HUGEINT
+                           + count(*)::HUGEINT * 1000000000000)
+                          // (2::HUGEINT * count(*)::HUGEINT * 1000000000000)
+                          AS BIGINT) / 1000000.0
+                ELSE -CAST((-2000000::HUGEINT * sum(q)::HUGEINT
+                            + count(*)::HUGEINT * 1000000000000)
+                           // (2::HUGEINT * count(*)::HUGEINT * 1000000000000)
+                           AS BIGINT) / 1000000.0
+           END AS bias,
+           CAST((2000000::HUGEINT * max(abs(q))::HUGEINT + 1000000000000)
+                // (2::HUGEINT * 1000000000000)
+                AS BIGINT) / 1000000.0 AS max_abs_err
+    FROM qs GROUP BY 1
 """

@@ -412,3 +412,35 @@ def test_prototypicality_identical_vectors_zero_distances(spark):
     r = out[0]
     assert r.n_vecs == 6
     assert r.mean_dist == 0.0 and r.min_dist == 0.0 and r.max_dist == 0.0
+
+
+# ----------------------------------------------------------- minhash_len_bias
+
+def test_minhash_len_bias_identical_docs_zero_error(spark):
+    from kairos_spark.operators import dedup
+
+    # two identical docs: exact J = 1 and every hash agrees -> error 0;
+    # the pair lands in a bin determined by its shingle count
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = dedup.minhash_len_bias(d, bucket_width=8, max_bucket=7).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 1
+    assert r.mae == 0.0 and r.bias == 0.0 and r.max_abs_err == 0.0
+
+
+def test_minhash_len_bias_bin_assignment_min_side(spark):
+    from kairos_spark.operators import dedup
+
+    # one short doc (few shingles) paired with one long doc: the bin
+    # must come from the SHORT side (min shingle count)
+    short = "tiny text"                      # ~2 shingles
+    long_ = "x" * 300
+    d = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    out = dedup.minhash_len_bias(d, bucket_width=8, max_bucket=7).collect()
+    assert len(out) == 1 and out[0].len_bin == 0  # min side < 8 shingles

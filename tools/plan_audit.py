@@ -31,6 +31,7 @@ AUDITED = [
     "temperature_sweep",
     "contamination_ngram_sweep",
     "prototypicality",
+    "minhash_len_bias",
     "bpe_merge_candidates",
     "facility_select",
     "instruction_detect",
@@ -446,6 +447,10 @@ CHECKS = {
     # window is PARTITIONED by cluster (never a global order); the
     # |k|-row p20 side broadcasts back — no shuffle joins
     "prototypicality": ["HashAggregate", "Window", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: the sig_size_sweep bounded-audit shape — 64-doc
+    # sample, documented bounded all-pairs BNLJ, shingle equi-join,
+    # bin-grain aggregates (only the bounded audit joins appear)
+    "minhash_len_bias": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
