@@ -5009,13 +5009,15 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     changed AFTER their last green driver check — the hand-rotation
 #     let these through across r5-r10; all have stayed green on the
 #     3-scale mirror battery every round since), ordered oldest
-#     last-green first. The 13 remaining backlog entries
+#     last-green first. The 17 remaining backlog entries
 #     (split_leakage_audit, transition_entropy, dedup_clusters_lsh,
 #     value_percentiles, cluster_keep_best, quality_rule_pack,
 #     cluster_keep_best_lsh, cluster_quality_bias,
 #     cluster_source_purity, tokenizer_drift,
-#     near_dup_family_agreement, prefix_jaccard_pairs) lead the r14
-#     rotation's group (3).
+#     near_dup_family_agreement, prefix_jaccard_pairs, plus
+#     chao1_richness, json_schema_profile, lift_curve, mutual_info —
+#     displaced when the 4 late-r13 queries rotated into group 1b)
+#     lead the r14 rotation's group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5025,6 +5027,12 @@ _R13_WINDOW = [
     "simhash_radius_sweep",
     "unimax_alloc",
     "vocab_size_sweep",
+    # (1b) late r13 additions, never driver-checked — rotated in over
+    #      the 4 youngest backlog entries (those join the r14 queue)
+    "temperature_sweep",
+    "contamination_ngram_sweep",
+    "prototypicality",
+    "minhash_len_bias",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5066,10 +5074,6 @@ _R13_WINDOW = [
     "winnow_pairs",
     "attribution_split",
     "categorical_drift",
-    "chao1_richness",
-    "json_schema_profile",
-    "lift_curve",
-    "mutual_info",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
