@@ -3176,3 +3176,186 @@ def minhash_len_bias(
         _rdecs(F.sum("__q"), F.count("*") * grid).alias("bias"),
         _rdec(F.max(F.abs(F.col("__q"))), grid).alias("max_abs_err"),
     )
+
+
+def lsh_br_planner(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 32,
+    configs: tuple = ((32, 1), (16, 2), (8, 4), (4, 8)),
+    threshold_pct: int = 10,
+    sample_docs: int = 64,
+) -> DataFrame:
+    """LSH banding (b, r) PLANNER — the decision step the calibration
+    family feeds (estimator: ``minhash_calibration``; empirical gate:
+    ``minhash_scurve``; signature size: ``sig_size_sweep``; length
+    confounder: ``minhash_len_bias``; THIS: which config to pick).
+    For each factorization b·r = num_hashes, evaluate the theoretical
+    S-curve P(candidate) = 1 − (1 − J^r)^b (Leskovec/Rajaraman/Ullman,
+    MMDS ch. 3) on the corpus's EXACT pair-Jaccard distribution and
+    score it against a target dedup threshold t: expected
+    false-positive mass (mean P over pairs below t — wasted verify
+    work), false-negative mass (mean 1−P over pairs at/above t —
+    missed duplicates), the combined miss mass over all pairs, and the
+    config's crossover point t* = (1/b)^(1/r). Read it to pick the
+    (b, r) whose fn_mass is acceptable at the smallest fp_mass —
+    BEFORE a full LSH run commits to a config; ``minhash_scurve`` then
+    validates the pick empirically.
+
+    Cross-engine exactness: J = |∩|/|∪| is ONE int64→double division;
+    J^r and (1−J^r)^b are SQUARING CHAINS (b, r must be powers of
+    two) — every step a single IEEE multiply both engines perform
+    identically, no libm pow() anywhere; P is quantized on the 1e-12
+    grid (floor(p·1e12 + 0.5), exact while p·1e12 < 2^53) and
+    aggregated as exact DECIMAL(38,0) ratios. t* is a sqrt chain over
+    the exact double 1/b (IEEE mandates exact sqrt), quantized at 1e6
+    the same way on both engines. The threshold test is pure integer
+    math (100·|∩| ≥ pct·|∪|) — no float boundary. Degenerate inputs
+    (no positives / no negatives in the sample) sentinel the
+    undefined mass to 0.0 on both engines rather than dividing by
+    zero (ANSI) or emitting NULL.
+
+    Output: (bands, rows_per_band, t_star, n_pos, n_neg, fp_mass,
+    fn_mass, miss_mass), one row per config.
+
+    Scale shape: the same constant-cost bounded audit as its four
+    siblings — ``sample_docs`` lowest ids (one top-k), one shingle
+    self-join and one all-pairs frame bounded at sample_docs²/2; it
+    never touches signatures at all (the curve is analytic). Never
+    run it uncapped; the decision needs ~10³ pairs, not a corpus
+    quadratic."""
+    import math
+
+    if not (0 < int(threshold_pct) < 100):
+        raise ValueError(f"threshold_pct must be in (0, 100), got {threshold_pct}")
+    for bands, rows in configs:
+        if bands * rows != num_hashes:
+            raise ValueError(
+                f"(bands={bands}, rows={rows}) does not factorize "
+                f"num_hashes={num_hashes}"
+            )
+        if bands & (bands - 1) or rows & (rows - 1):
+            # the exact squaring chain needs power-of-two exponents;
+            # ValueError not assert (assert strips under python -O)
+            raise ValueError(
+                f"(bands={bands}, rows={rows}) must be powers of two "
+                "for the IEEE-exact squaring chain"
+            )
+    capped = (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(id_col)
+        .limit(int(sample_docs))
+    )
+    sh = doc_shingles(capped, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    shared = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("__shn"))
+    )
+    ids = capped.select(F.col(id_col))
+    ia = ids.alias("ia")
+    ib = ids.alias("ib")
+    prs = ia.join(ib, F.col(f"ia.{id_col}") < F.col(f"ib.{id_col}")).select(
+        F.col(f"ia.{id_col}").alias("id_a"),
+        F.col(f"ib.{id_col}").alias("id_b"),
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__za"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__zb"))
+    base = (
+        prs.join(shared, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            F.coalesce(F.col("__shn"), F.lit(0)).cast("long").alias("__shn"),
+            (
+                F.col("__za") + F.col("__zb") - F.coalesce(F.col("__shn"), F.lit(0))
+            )
+            .cast("long")
+            .alias("__uni"),
+        )
+    )
+    grid = 1_000_000_000_000
+    pos = (
+        F.lit(100) * F.col("__shn") >= F.lit(int(threshold_pct)) * F.col("__uni")
+    )
+    per_cfg = []
+    for bands, rows in configs:
+        # t* = (1/b)^(1/r) via an exact sqrt chain (both engines' sqrt
+        # is IEEE-bit-exact), then the engine-identical 1e6 quantizer
+        t = 1.0 / bands
+        for _ in range(int(math.log2(rows))):
+            t = math.sqrt(t)
+        t_star = math.floor(t * 1_000_000 + 0.5) / 1_000_000.0
+        s = F.col("__shn") / F.col("__uni")
+        sr = s
+        for _ in range(int(math.log2(rows))):
+            sr = sr * sr
+        u = F.lit(1.0) - sr
+        ub = u
+        for _ in range(int(math.log2(bands))):
+            ub = ub * ub
+        p = F.lit(1.0) - ub
+        q = F.floor(p * F.lit(1_000_000_000_000.0) + F.lit(0.5)).cast("long")
+        per_cfg.append(
+            base.select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                F.lit(t_star).alias("t_star"),
+                F.when(pos, 1).otherwise(0).cast("long").alias("__pos"),
+                q.alias("__q"),
+            )
+        )
+    allc = per_cfg[0]
+    for frame in per_cfg[1:]:
+        allc = allc.unionByName(frame)
+    from kairos_spark.operators.text import _round6_ratio_dec as _rdec
+
+    agg = allc.groupBy("bands", "rows_per_band", "t_star").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("__pos") == 1, F.col("__q")).otherwise(0)).alias(
+            "__q_pos"
+        ),
+        F.sum(F.when(F.col("__pos") == 0, F.col("__q")).otherwise(0)).alias(
+            "__q_neg"
+        ),
+    )
+    n_neg = F.col("__n") - F.col("n_pos")
+    g = F.lit(grid)
+    return (
+        agg.select(
+            "bands",
+            "rows_per_band",
+            "t_star",
+            "n_pos",
+            n_neg.cast("long").alias("n_neg"),
+            F.when(
+                n_neg > 0, _rdec(F.col("__q_neg"), n_neg * g)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fp_mass"),
+            F.when(
+                F.col("n_pos") > 0,
+                _rdec(F.col("n_pos") * g - F.col("__q_pos"), F.col("n_pos") * g),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fn_mass"),
+            _rdec(
+                F.col("__q_neg") + F.col("n_pos") * g - F.col("__q_pos"),
+                F.col("__n") * g,
+            ).alias("miss_mass"),
+        )
+        .orderBy("bands")
+    )

@@ -4163,6 +4163,20 @@ def q_minhash_len_bias(spark, sf_dir):
     )
 
 
+def q_lsh_br_planner(spark, sf_dir):
+    """LSH banding (b, r) planner: theoretical S-curve FP/FN/miss mass
+    per b·r = 32 factorization against the t = 0.1 dedup threshold
+    (where this corpus's exact-Jaccard pair mass actually splits — 7
+    pairs at/above, ~2k below on the 64-doc sample, so both masses are
+    non-vacuous), plus each config's crossover t* = (1/b)^(1/r). The
+    decision step of the MinHash calibration family."""
+    return dedup.lsh_br_planner(
+        _tbl(spark, sf_dir, "documents"), n=8, num_hashes=32,
+        configs=((32, 1), (16, 2), (8, 4), (4, 8)),
+        threshold_pct=10, sample_docs=64,
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4399,6 +4413,7 @@ QUERIES = {
     "contamination_ngram_sweep": q_contamination_ngram_sweep,
     "prototypicality": q_prototypicality,
     "minhash_len_bias": q_minhash_len_bias,
+    "lsh_br_planner": q_lsh_br_planner,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5015,9 +5030,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     cluster_keep_best_lsh, cluster_quality_bias,
 #     cluster_source_purity, tokenizer_drift,
 #     near_dup_family_agreement, prefix_jaccard_pairs, plus
-#     chao1_richness, json_schema_profile, lift_curve, mutual_info —
-#     displaced when the 4 late-r13 queries rotated into group 1b)
-#     lead the r14 rotation's group (3).
+#     chao1_richness, json_schema_profile, lift_curve, mutual_info,
+#     categorical_drift — displaced when the 5 late-r13 queries
+#     rotated into group 1b) lead the r14 rotation's group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5033,6 +5048,7 @@ _R13_WINDOW = [
     "contamination_ngram_sweep",
     "prototypicality",
     "minhash_len_bias",
+    "lsh_br_planner",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5073,7 +5089,6 @@ _R13_WINDOW = [
     "triangle_cooccurrence",
     "winnow_pairs",
     "attribution_split",
-    "categorical_drift",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -15725,3 +15740,105 @@ ORACLES["minhash_len_bias"] = """
                 AS BIGINT) / 1000000.0 AS max_abs_err
     FROM qs GROUP BY 1
 """
+
+ORACLES["lsh_br_planner"] = """
+    WITH ids AS MATERIALIZED (
+        SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64
+    ),
+    norm AS (
+        SELECT d.doc_id, regexp_replace(lower(d.text), '\\s+', ' ', 'g') AS n
+        FROM documents d JOIN ids USING (doc_id)
+    ),
+    idx AS (
+        SELECT doc_id, n,
+               unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+        FROM norm
+    ),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(n, i, 8) AS s FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shn
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+    ),
+    base AS MATERIALIZED (
+        SELECT coalesce(shn, 0) AS shn,
+               sa.sz + sb.sz - coalesce(shn, 0) AS uni
+        FROM prs p
+        LEFT JOIN shared s ON s.id_a = p.id_a AND s.id_b = p.id_b
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+    ),
+    allq AS (
+        SELECT 32 AS bands, 1 AS rows_per_band,
+               floor((1.0 / 32) * 1000000 + 0.5) / 1000000.0 AS t_star,
+               CASE WHEN 100 * shn >= 10 * uni THEN 1 ELSE 0 END AS pos,
+               shn / uni AS s1, 1.0 - s1 AS u1, u1 * u1 AS u2,
+               u2 * u2 AS u4, u4 * u4 AS u8, u8 * u8 AS u16,
+               u16 * u16 AS u32, 1.0 - u32 AS p,
+               CAST(floor(p * 1000000000000.0 + 0.5) AS BIGINT) AS q
+        FROM base
+        UNION ALL
+        SELECT 16, 2,
+               floor(sqrt(1.0 / 16) * 1000000 + 0.5) / 1000000.0,
+               CASE WHEN 100 * shn >= 10 * uni THEN 1 ELSE 0 END,
+               shn / uni AS s1, s1 * s1 AS s2, 1.0 - s2 AS u1,
+               u1 * u1 AS u2, u2 * u2 AS u4, u4 * u4 AS u8,
+               u8 * u8 AS u16, 1.0 - u16 AS p,
+               CAST(floor(p * 1000000000000.0 + 0.5) AS BIGINT)
+        FROM base
+        UNION ALL
+        SELECT 8, 4,
+               floor(sqrt(sqrt(1.0 / 8)) * 1000000 + 0.5) / 1000000.0,
+               CASE WHEN 100 * shn >= 10 * uni THEN 1 ELSE 0 END,
+               shn / uni AS s1, s1 * s1 AS s2, s2 * s2 AS s4,
+               1.0 - s4 AS u1, u1 * u1 AS u2, u2 * u2 AS u4,
+               u4 * u4 AS u8, 1.0 - u8 AS p,
+               CAST(floor(p * 1000000000000.0 + 0.5) AS BIGINT)
+        FROM base
+        UNION ALL
+        SELECT 4, 8,
+               floor(sqrt(sqrt(sqrt(1.0 / 4))) * 1000000 + 0.5) / 1000000.0,
+               CASE WHEN 100 * shn >= 10 * uni THEN 1 ELSE 0 END,
+               shn / uni AS s1, s1 * s1 AS s2, s2 * s2 AS s4,
+               s4 * s4 AS s8, 1.0 - s8 AS u1, u1 * u1 AS u2,
+               u2 * u2 AS u4, 1.0 - u4 AS p,
+               CAST(floor(p * 1000000000000.0 + 0.5) AS BIGINT)
+        FROM base
+    ),
+    agg AS (
+        SELECT bands, rows_per_band, t_star,
+               count(*) AS nn,
+               sum(pos) AS n_pos,
+               sum(CASE WHEN pos = 1 THEN q ELSE 0 END) AS q_pos,
+               sum(CASE WHEN pos = 0 THEN q ELSE 0 END) AS q_neg
+        FROM allq GROUP BY 1, 2, 3
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           t_star,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(nn - n_pos AS BIGINT) AS n_neg,
+           CASE WHEN nn - n_pos > 0
+                THEN CAST((2000000::HUGEINT * q_neg
+                           + (nn - n_pos) * 1000000000000)
+                          // (2::HUGEINT * ((nn - n_pos) * 1000000000000))
+                          AS BIGINT) / 1000000.0
+                ELSE 0.0 END AS fp_mass,
+           CASE WHEN n_pos > 0
+                THEN CAST((2000000::HUGEINT * (n_pos * 1000000000000 - q_pos)
+                           + n_pos * 1000000000000)
+                          // (2::HUGEINT * (n_pos * 1000000000000))
+                          AS BIGINT) / 1000000.0
+                ELSE 0.0 END AS fn_mass,
+           CAST((2000000::HUGEINT * (q_neg + n_pos * 1000000000000 - q_pos)
+                 + nn * 1000000000000)
+                // (2::HUGEINT * (nn * 1000000000000))
+                AS BIGINT) / 1000000.0 AS miss_mass
+    FROM agg
+"""
+

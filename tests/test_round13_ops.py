@@ -444,3 +444,71 @@ def test_minhash_len_bias_bin_assignment_min_side(spark):
     )
     out = dedup.minhash_len_bias(d, bucket_width=8, max_bucket=7).collect()
     assert len(out) == 1 and out[0].len_bin == 0  # min side < 8 shingles
+
+
+# ------------------------------------------------------------- lsh_br_planner
+
+def test_lsh_br_planner_extreme_jaccards_exact(spark):
+    """J=1 pair → P(candidate)=1 under every config (fn_mass 0);
+    J=0 pairs → P=0 (fp_mass 0); miss_mass 0 everywhere."""
+    from kairos_spark.operators import dedup
+
+    t = "the quick brown fox jumps over the lazy dog"
+    u = "completely different words entirely unrelated content here!"
+    d = spark.createDataFrame(
+        [(1, t), (2, t), (3, u)], "doc_id long, text string"
+    )
+    out = {(r.bands, r.rows_per_band): r for r in dedup.lsh_br_planner(
+        d, threshold_pct=50).collect()}
+    assert sorted(out) == [(4, 8), (8, 4), (16, 2), (32, 1)]
+    for r in out.values():
+        assert r.n_pos == 1 and r.n_neg == 2
+        assert r.fp_mass == 0.0 and r.fn_mass == 0.0 and r.miss_mass == 0.0
+
+
+def test_lsh_br_planner_t_star_values(spark):
+    """t* = (1/b)^(1/r) quantized half-up at 1e-6 — the sqrt chain."""
+    from kairos_spark.operators import dedup
+
+    d = spark.createDataFrame([(1, "ab"), (2, "abc")], "doc_id long, text string")
+    got = {(r.bands, r.rows_per_band): r.t_star
+           for r in dedup.lsh_br_planner(d).collect()}
+    assert got[(32, 1)] == 0.03125
+    assert got[(16, 2)] == 0.25
+    assert got[(8, 4)] == 0.594604
+    assert got[(4, 8)] == 0.840896
+
+
+def test_lsh_br_planner_dyadic_midcurve_and_no_neg_sentinel(spark):
+    """One pair at exactly J=1/2 with 2-char shingles: under (2,2) the
+    curve value is the dyadic 1−(1−0.25)² = 0.4375 EXACTLY; with no
+    negative pairs in the sample fp_mass takes the 0.0 sentinel."""
+    from kairos_spark.operators import dedup
+
+    d = spark.createDataFrame([(1, "ab"), (2, "abc")], "doc_id long, text string")
+    out = {(r.bands, r.rows_per_band): r for r in dedup.lsh_br_planner(
+        d, n=2, num_hashes=4, configs=((4, 1), (2, 2), (1, 4)),
+        threshold_pct=50).collect()}
+    r22 = out[(2, 2)]
+    assert r22.n_pos == 1 and r22.n_neg == 0
+    assert r22.fp_mass == 0.0  # sentinel: no negatives exist
+    assert r22.fn_mass == 0.5625 and r22.miss_mass == 0.5625
+    # b=1 → the chain is a single band of 4 rows: p = J^4 = 0.0625
+    r14 = out[(1, 4)]
+    assert r14.t_star == 1.0
+    assert r14.fn_mass == 0.9375
+
+
+def test_lsh_br_planner_guards(spark):
+    from kairos_spark.operators import dedup
+    import pytest
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.lsh_br_planner(d, num_hashes=32, configs=((8, 3),))
+    with pytest.raises(ValueError):
+        dedup.lsh_br_planner(d, num_hashes=36, configs=((6, 6),))
+    with pytest.raises(ValueError):
+        dedup.lsh_br_planner(d, threshold_pct=0)
+    with pytest.raises(ValueError):
+        dedup.lsh_br_planner(d, threshold_pct=100)

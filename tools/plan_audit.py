@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 AUDITED = [
     "vocab_size_sweep",
     "dump_overlap",
+    "lsh_br_planner",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -451,6 +452,11 @@ CHECKS = {
     # sample, documented bounded all-pairs BNLJ, shingle equi-join,
     # bin-grain aggregates (only the bounded audit joins appear)
     "minhash_len_bias": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: the analytic (b,r) planner — the same bounded 64-doc
+    # audit shape but NO signature pass at all (shingle equi-join +
+    # the documented bounded all-pairs id join, config fan-out is a
+    # 4-way union over the tiny pair frame, then one aggregate)
+    "lsh_br_planner": ["HashAggregate", "Union", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
