@@ -4245,3 +4245,89 @@ def contamination_ngram_sweep(
     for frame in frames[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group readability panel — Flesch Reading Ease and
+    Flesch-Kincaid grade (Kincaid et al. 1975, the classic
+    surface-form quality signals corpus filters bucket on) plus the
+    Automated Readability Index (Senter & Smith 1967, the
+    syllable-free variant). Counts per document over the canonical
+    normalized form: words (whitespace tokens), sentence runs
+    ([.!?]+, clamped to ≥ 1 — a terminator-free doc is one sentence),
+    syllable proxy (vowel-run count [aeiouy]+ — digit-only words
+    contribute 0, the standard orthographic heuristic), alnum chars.
+    Zero-word documents are dropped on both engines (a readability
+    score of nothing is undefined); n_docs counts what was scored.
+
+    Each score is ONE exact signed integer rational per group over
+    the SUMMED counts (never a mean of per-doc floats — that would be
+    the midpoint class): with W words, S sentences, Y vowel runs, C
+    alnum chars,
+        flesch_re = (206835·S·W − 1015·W² − 84600·S·Y) / (1000·S·W)
+        fk_grade  = (39·W² + 1180·S·Y − 1559·S·W)       / (100·S·W)
+        ari       = (471·C·S + 50·W² − 2143·W·S)        / (100·W·S)
+    routed through the signed DECIMAL(38,0) ratio (count products
+    like 206835·S·W pass the BIGINT ceiling at corpus scale).
+
+    Output: (group, n_docs, words, sentences, syll_runs, alnum_chars,
+    wps, spw, flesch_re, fk_grade, ari) — wps/spw are the exact
+    round-6 length ratios the scores are built from.
+
+    Scale shape: map-only per-doc counting (regexp over each doc
+    once), then one partial+final hash aggregate on the group key —
+    no joins, no windows; the 100 TB plan is a single shuffle of
+    5-long-column partial sums at group grain."""
+    norm = F.trim(normalize_ws(F.col(text_col)))
+    per_doc = df.select(
+        F.col(group_col).alias("group"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("__w"),
+        F.greatest(F.regexp_count(norm, F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("__s"),
+        F.regexp_count(norm, F.lit("[aeiouy]+")).cast("long").alias("__y"),
+        F.length(F.regexp_replace(norm, "[^a-z0-9]", "")).cast("long").alias("__c"),
+    ).where(F.col("__w") >= 1)
+    agg = per_doc.groupBy("group").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("words"),
+        F.sum("__s").cast("long").alias("sentences"),
+        F.sum("__y").cast("long").alias("syll_runs"),
+        F.sum("__c").cast("long").alias("alnum_chars"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    W, S, Y, C = (
+        d(F.col("words")),
+        d(F.col("sentences")),
+        d(F.col("syll_runs")),
+        d(F.col("alnum_chars")),
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "words",
+        "sentences",
+        "syll_runs",
+        "alnum_chars",
+        _round6_ratio(F.col("words"), F.col("sentences")).alias("wps"),
+        _round6_ratio(F.col("syll_runs"), F.col("words")).alias("spw"),
+        _round6_ratio_dec_signed(
+            F.lit(206835) * S * W - F.lit(1015) * W * W - F.lit(84600) * S * Y,
+            F.lit(1000) * S * W,
+        ).alias("flesch_re"),
+        _round6_ratio_dec_signed(
+            F.lit(39) * W * W + F.lit(1180) * S * Y - F.lit(1559) * S * W,
+            F.lit(100) * S * W,
+        ).alias("fk_grade"),
+        _round6_ratio_dec_signed(
+            F.lit(471) * C * S + F.lit(50) * W * W - F.lit(2143) * W * S,
+            F.lit(100) * W * S,
+        ).alias("ari"),
+    ).orderBy("group")

@@ -4177,6 +4177,17 @@ def q_lsh_br_planner(spark, sf_dir):
     )
 
 
+def q_readability_scores(spark, sf_dir):
+    """Per-source readability panel: Flesch Reading Ease, FK grade and
+    ARI as ONE exact signed rational each over per-source SUMMED
+    counts (never a mean of per-doc floats), plus the wps/spw ratios
+    they're built from. Surface-form quality signals corpus filters
+    bucket on (Kincaid et al. 1975)."""
+    return text.readability_scores(
+        _tbl(spark, sf_dir, "documents"), text_col="text", group_col="source"
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4414,6 +4425,7 @@ QUERIES = {
     "prototypicality": q_prototypicality,
     "minhash_len_bias": q_minhash_len_bias,
     "lsh_br_planner": q_lsh_br_planner,
+    "readability_scores": q_readability_scores,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5031,8 +5043,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     cluster_source_purity, tokenizer_drift,
 #     near_dup_family_agreement, prefix_jaccard_pairs, plus
 #     chao1_richness, json_schema_profile, lift_curve, mutual_info,
-#     categorical_drift — displaced when the 5 late-r13 queries
-#     rotated into group 1b) lead the r14 rotation's group (3).
+#     categorical_drift, attribution_split — displaced when the 6
+#     late-r13 queries rotated into group 1b) lead the r14 rotation's
+#     group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5049,6 +5062,7 @@ _R13_WINDOW = [
     "prototypicality",
     "minhash_len_bias",
     "lsh_br_planner",
+    "readability_scores",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5088,7 +5102,6 @@ _R13_WINDOW = [
     "temperature_mix",
     "triangle_cooccurrence",
     "winnow_pairs",
-    "attribution_split",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -15841,4 +15854,70 @@ ORACLES["lsh_br_planner"] = """
                 AS BIGINT) / 1000000.0 AS miss_mass
     FROM agg
 """
+
+ORACLES["readability_scores"] = """
+    WITH norm AS (
+        SELECT source,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source,
+               CASE WHEN n = '' THEN 0
+                    ELSE len(string_split(n, ' ')) END AS w,
+               greatest(len(regexp_extract_all(n, '[.!?]+')), 1) AS s,
+               len(regexp_extract_all(n, '[aeiouy]+')) AS y,
+               length(regexp_replace(n, '[^a-z0-9]', '', 'g')) AS c
+        FROM norm
+    ),
+    agg AS (
+        SELECT source AS g, count(*) AS n_docs,
+               sum(w)::BIGINT AS words, sum(s)::BIGINT AS sentences,
+               sum(y)::BIGINT AS syll_runs, sum(c)::BIGINT AS alnum_chars
+        FROM cnt WHERE w >= 1 GROUP BY 1
+    ),
+    scored AS (
+        SELECT g, n_docs, words, sentences, syll_runs, alnum_chars,
+               206835::HUGEINT * sentences * words
+                 - 1015::HUGEINT * words * words
+                 - 84600::HUGEINT * sentences * syll_runs AS fnum,
+               1000::HUGEINT * sentences * words AS fden,
+               39::HUGEINT * words * words
+                 + 1180::HUGEINT * sentences * syll_runs
+                 - 1559::HUGEINT * sentences * words AS knum,
+               100::HUGEINT * sentences * words AS kden,
+               471::HUGEINT * alnum_chars * sentences
+                 + 50::HUGEINT * words * words
+                 - 2143::HUGEINT * words * sentences AS anum,
+               100::HUGEINT * words * sentences AS aden
+        FROM agg
+    )
+    SELECT g AS "group",
+           CAST(n_docs AS BIGINT) AS n_docs,
+           words, sentences, syll_runs, alnum_chars,
+           floor((2000000 * words + sentences) / (2.0 * sentences))
+               / 1000000.0 AS wps,
+           floor((2000000 * syll_runs + words) / (2.0 * words))
+               / 1000000.0 AS spw,
+           CASE WHEN fnum >= 0
+                THEN CAST((2000000::HUGEINT * fnum + fden)
+                          // (2::HUGEINT * fden) AS BIGINT) / 1000000.0
+                ELSE -CAST((2000000::HUGEINT * (-fnum) + fden)
+                           // (2::HUGEINT * fden) AS BIGINT) / 1000000.0
+           END AS flesch_re,
+           CASE WHEN knum >= 0
+                THEN CAST((2000000::HUGEINT * knum + kden)
+                          // (2::HUGEINT * kden) AS BIGINT) / 1000000.0
+                ELSE -CAST((2000000::HUGEINT * (-knum) + kden)
+                           // (2::HUGEINT * kden) AS BIGINT) / 1000000.0
+           END AS fk_grade,
+           CASE WHEN anum >= 0
+                THEN CAST((2000000::HUGEINT * anum + aden)
+                          // (2::HUGEINT * aden) AS BIGINT) / 1000000.0
+                ELSE -CAST((2000000::HUGEINT * (-anum) + aden)
+                           // (2::HUGEINT * aden) AS BIGINT) / 1000000.0
+           END AS ari
+    FROM scored
+"""
+
 

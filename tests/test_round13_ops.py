@@ -512,3 +512,49 @@ def test_lsh_br_planner_guards(spark):
         dedup.lsh_br_planner(d, threshold_pct=0)
     with pytest.raises(ValueError):
         dedup.lsh_br_planner(d, threshold_pct=100)
+
+
+# --------------------------------------------------------- readability_scores
+
+def test_readability_known_text_exact(spark):
+    """Hand-computed panel: 'the cat sat. the dog ran!' → W=6, S=2,
+    Y=6 vowel runs, C=18 alnum chars; every score is the exact
+    rational of those counts."""
+    from kairos_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!", "s1")],
+        "doc_id long, text string, source string",
+    )
+    r = T.readability_scores(d).collect()[0]
+    assert (r.words, r.sentences, r.syll_runs, r.alnum_chars) == (6, 2, 6, 18)
+    assert r.wps == 3.0 and r.spw == 1.0
+    # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert r.flesch_re == 119.19
+    # fk = 0.39*3 + 11.8*1 - 15.59 = -2.62 (negative branch exercised)
+    assert r.fk_grade == -2.62
+    # ari = 4.71*(18/6) + 0.5*3 - 21.43 = -5.8
+    assert r.ari == -5.8
+
+
+def test_readability_clamps_and_drops(spark):
+    """Terminator-free doc counts as ONE sentence; a zero-word doc is
+    dropped from scoring (n_docs counts only what was scored)."""
+    from kairos_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [(1, "no terminator here", "s"), (2, "   ", "s"), (3, "", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = T.readability_scores(d).collect()[0]
+    assert r.n_docs == 1 and r.sentences == 1 and r.words == 3
+
+
+def test_readability_digit_only_words_zero_syllables(spark):
+    from kairos_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [(1, "1234 5678", "s")], "doc_id long, text string, source string"
+    )
+    r = T.readability_scores(d).collect()[0]
+    assert r.syll_runs == 0 and r.words == 2 and r.alnum_chars == 8

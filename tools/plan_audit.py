@@ -24,6 +24,7 @@ AUDITED = [
     "vocab_size_sweep",
     "dump_overlap",
     "lsh_br_planner",
+    "readability_scores",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -457,6 +458,10 @@ CHECKS = {
     # the documented bounded all-pairs id join, config fan-out is a
     # 4-way union over the tiny pair frame, then one aggregate)
     "lsh_br_planner": ["HashAggregate", "Union", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: pure map-side per-doc regexp counting + one
+    # partial+final hash aggregate at source grain — NO joins of any
+    # kind; the 100 TB plan shuffles five long partial sums per group
+    "readability_scores": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
