@@ -1966,3 +1966,152 @@ def prototypicality(
         )
         .orderBy("cluster_id")
     )
+
+
+def _sqdist_cols(a: Column, b: Column) -> Column:
+    """Squared L2 as the canonical left-to-right fold (oracle mirror:
+    list_reduce over list_prepend(0.0, list_transform(list_zip(...))))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    sample_vecs: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Gonzalez farthest-point k-center selection trace — the
+    coverage-first coreset recipe (Gonzalez 1985's 2-approximation;
+    the k-center seeding of D4-style diversity selection, where
+    ``prototypicality`` is the density view and ``facility_select``
+    the lexical-coverage view): from a bounded vector sample, seed at
+    the lowest id, then repeatedly pick the vector FARTHEST from the
+    selected set (max over candidates of min squared L2 to any pick).
+    The emitted radius curve is the covering-radius guarantee after
+    each pick — a steep drop says a few exemplars cover the space; a
+    flat tail says the sample is genuinely diverse and small coresets
+    under-cover it. A final sentinel row (vec_id = −1) carries the
+    covering radius AFTER all k picks — the actual k-center objective
+    achieved.
+
+    Determinism / parity: distances fold left-to-right over
+    float32→double-exact components (both engines produce the
+    IDENTICAL double), min/argmax compare those raw doubles, and the
+    emitted radius is quantized sign-free at 1e-6
+    (floor(d·1e6 + 0.5) — the embedding_moments quantizer, NOT bare
+    round(d, 6), so no shortest-string-vs-multiply midpoint surface).
+    Argmax ties break on min id. The seed row carries radius 0.0; an
+    exhausted sample (fewer vectors than k) just ends the trace
+    early, and the sentinel row's radius coalesces to 0.0 when no
+    candidates remain — no NULL anywhere.
+
+    Output: (step, vec_id, radius); steps 1..min(k, n) picks plus the
+    min(k, n)+1 sentinel row.
+
+    Scale shape: the facility_select bounded-audit pattern —
+    ``sample_vecs`` lowest ids via one top-k, then k driver steps,
+    each one broadcast join of the ≤k selected vectors against the
+    bounded candidate set collecting ONE scalar row (the bfs_reach
+    single-scalar precedent). Never run uncapped: k-center is
+    inherently sequential; at corpus scale use the IVF/LSH families
+    for coverage and this audit on a sample to SIZE them."""
+    capped = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("id")
+        .limit(int(sample_vecs))
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    seed = capped.orderBy("id").limit(1).select("id").collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], "step long, vec_id long, radius double"
+        )
+    selected = [int(seed[0][0])]
+    rows = [(1, selected[0], 0.0)]
+
+    def _dmin_frame():
+        sel = F.broadcast(
+            capped.where(F.col("id").isin(selected)).select(
+                F.col("id").alias("sid"), F.col("v").alias("sv")
+            )
+        )
+        cand = capped.where(~F.col("id").isin(selected))
+        return (
+            cand.crossJoin(sel)
+            .select("id", _sqdist_cols(F.col("v"), F.col("sv")).alias("d"))
+            .groupBy("id")
+            .agg(
+                F.floor(F.min("d") * F.lit(1_000_000.0) + F.lit(0.5))
+                .cast("long")
+                .alias("m6")
+            )
+        )
+
+    for step in range(2, int(k) + 1):
+        pick = (
+            _dmin_frame()
+            .orderBy(F.col("m6").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        pid, m6 = int(pick[0][0]), int(pick[0][1])
+        selected.append(pid)
+        rows.append((step, pid, m6 / 1_000_000.0))
+    fin = _dmin_frame().agg(F.coalesce(F.max("m6"), F.lit(0))).collect()
+    rows.append((len(rows) + 1, -1, int(fin[0][0]) / 1_000_000.0))
+    return spark.createDataFrame(
+        rows, "step long, vec_id long, radius double"
+    )
+
+
+def kcenter_first_step(
+    df: DataFrame,
+    sample_vecs: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The per-step distance/argmax frame of :func:`kcenter_coreset`
+    with the seed as the selected set — exposed so plan auditing can
+    assert the REAL step plan (broadcast of the ≤k selected vectors
+    into the bounded candidate set + one hash aggregate) instead of
+    the trace's LocalTableScan-by-construction (the
+    facility_first_step precedent, ADVICE r12)."""
+    capped = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("id")
+        .limit(int(sample_vecs))
+    )
+    sel = F.broadcast(
+        capped.orderBy("id")
+        .limit(1)
+        .select(F.col("id").alias("sid"), F.col("v").alias("sv"))
+    )
+    cand = capped.join(
+        sel.select(F.col("sid").alias("id")), "id", "left_anti"
+    )
+    return (
+        cand.crossJoin(sel)
+        .select("id", _sqdist_cols(F.col("v"), F.col("sv")).alias("d"))
+        .groupBy("id")
+        .agg(
+            F.floor(F.min("d") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("m6")
+        )
+        .orderBy(F.col("m6").desc(), F.col("id").asc())
+        .limit(1)
+    )

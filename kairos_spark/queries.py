@@ -4188,6 +4188,17 @@ def q_readability_scores(spark, sf_dir):
     )
 
 
+def q_kcenter_coreset(spark, sf_dir):
+    """Gonzalez farthest-point k-center trace (k=8 over the 64
+    lowest-id embedding vectors): pick order + covering-radius curve,
+    with the final sentinel row (vec_id=-1) carrying the achieved
+    k-center objective. The coverage view of coreset selection
+    (prototypicality = density view, facility_select = lexical view)."""
+    return similarity.kcenter_coreset(
+        _tbl(spark, sf_dir, "embeddings"), k=8, sample_vecs=64
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4426,6 +4437,7 @@ QUERIES = {
     "minhash_len_bias": q_minhash_len_bias,
     "lsh_br_planner": q_lsh_br_planner,
     "readability_scores": q_readability_scores,
+    "kcenter_coreset": q_kcenter_coreset,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5043,9 +5055,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     cluster_source_purity, tokenizer_drift,
 #     near_dup_family_agreement, prefix_jaccard_pairs, plus
 #     chao1_richness, json_schema_profile, lift_curve, mutual_info,
-#     categorical_drift, attribution_split — displaced when the 6
-#     late-r13 queries rotated into group 1b) lead the r14 rotation's
-#     group (3).
+#     categorical_drift, attribution_split, winnow_pairs — displaced
+#     when the 7 late-r13 queries rotated into group 1b) lead the r14
+#     rotation's group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5063,6 +5075,7 @@ _R13_WINDOW = [
     "minhash_len_bias",
     "lsh_br_planner",
     "readability_scores",
+    "kcenter_coreset",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5101,7 +5114,6 @@ _R13_WINDOW = [
     "spearman_activity",
     "temperature_mix",
     "triangle_cooccurrence",
-    "winnow_pairs",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -15919,5 +15931,134 @@ ORACLES["readability_scores"] = """
            END AS ari
     FROM scored
 """
+
+ORACLES["kcenter_coreset"] = """
+    WITH base AS MATERIALIZED (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings ORDER BY vec_id LIMIT 64
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT id, v FROM base WHERE id = (SELECT min(id) FROM base)
+    ),
+    d2 AS MATERIALIZED (
+        SELECT b.id,
+               CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.v, s.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)) * 1000000.0 + 0.5) AS BIGINT) AS m6
+        FROM base b CROSS JOIN sel1 s
+        WHERE b.id NOT IN (SELECT id FROM sel1)
+        GROUP BY b.id
+    ),
+    p2 AS MATERIALIZED (SELECT id, m6 FROM d2 ORDER BY m6 DESC, id LIMIT 1),
+    sel2 AS MATERIALIZED (
+        SELECT * FROM sel1
+        UNION ALL SELECT b.id, b.v FROM base b JOIN p2 USING (id)
+    ),
+    d3 AS MATERIALIZED (
+        SELECT b.id,
+               CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.v, s.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)) * 1000000.0 + 0.5) AS BIGINT) AS m6
+        FROM base b CROSS JOIN sel2 s
+        WHERE b.id NOT IN (SELECT id FROM sel2)
+        GROUP BY b.id
+    ),
+    p3 AS MATERIALIZED (SELECT id, m6 FROM d3 ORDER BY m6 DESC, id LIMIT 1),
+    sel3 AS MATERIALIZED (
+        SELECT * FROM sel2
+        UNION ALL SELECT b.id, b.v FROM base b JOIN p3 USING (id)
+    ),
+    d4 AS MATERIALIZED (
+        SELECT b.id,
+               CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.v, s.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)) * 1000000.0 + 0.5) AS BIGINT) AS m6
+        FROM base b CROSS JOIN sel3 s
+        WHERE b.id NOT IN (SELECT id FROM sel3)
+        GROUP BY b.id
+    ),
+    p4 AS MATERIALIZED (SELECT id, m6 FROM d4 ORDER BY m6 DESC, id LIMIT 1),
+    sel4 AS MATERIALIZED (
+        SELECT * FROM sel3
+        UNION ALL SELECT b.id, b.v FROM base b JOIN p4 USING (id)
+    ),
+    d5 AS MATERIALIZED (
+        SELECT b.id,
+               CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.v, s.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)) * 1000000.0 + 0.5) AS BIGINT) AS m6
+        FROM base b CROSS JOIN sel4 s
+        WHERE b.id NOT IN (SELECT id FROM sel4)
+        GROUP BY b.id
+    ),
+    p5 AS MATERIALIZED (SELECT id, m6 FROM d5 ORDER BY m6 DESC, id LIMIT 1),
+    sel5 AS MATERIALIZED (
+        SELECT * FROM sel4
+        UNION ALL SELECT b.id, b.v FROM base b JOIN p5 USING (id)
+    ),
+    d6 AS MATERIALIZED (
+        SELECT b.id,
+               CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.v, s.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)) * 1000000.0 + 0.5) AS BIGINT) AS m6
+        FROM base b CROSS JOIN sel5 s
+        WHERE b.id NOT IN (SELECT id FROM sel5)
+        GROUP BY b.id
+    ),
+    p6 AS MATERIALIZED (SELECT id, m6 FROM d6 ORDER BY m6 DESC, id LIMIT 1),
+    sel6 AS MATERIALIZED (
+        SELECT * FROM sel5
+        UNION ALL SELECT b.id, b.v FROM base b JOIN p6 USING (id)
+    ),
+    d7 AS MATERIALIZED (
+        SELECT b.id,
+               CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.v, s.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)) * 1000000.0 + 0.5) AS BIGINT) AS m6
+        FROM base b CROSS JOIN sel6 s
+        WHERE b.id NOT IN (SELECT id FROM sel6)
+        GROUP BY b.id
+    ),
+    p7 AS MATERIALIZED (SELECT id, m6 FROM d7 ORDER BY m6 DESC, id LIMIT 1),
+    sel7 AS MATERIALIZED (
+        SELECT * FROM sel6
+        UNION ALL SELECT b.id, b.v FROM base b JOIN p7 USING (id)
+    ),
+    d8 AS MATERIALIZED (
+        SELECT b.id,
+               CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.v, s.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)) * 1000000.0 + 0.5) AS BIGINT) AS m6
+        FROM base b CROSS JOIN sel7 s
+        WHERE b.id NOT IN (SELECT id FROM sel7)
+        GROUP BY b.id
+    ),
+    p8 AS MATERIALIZED (SELECT id, m6 FROM d8 ORDER BY m6 DESC, id LIMIT 1),
+    sel8 AS MATERIALIZED (
+        SELECT * FROM sel7
+        UNION ALL SELECT b.id, b.v FROM base b JOIN p8 USING (id)
+    ),
+    dfin AS (
+        SELECT b.id,
+               CAST(floor(min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(b.v, s.v), z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)) * 1000000.0 + 0.5) AS BIGINT) AS m6
+        FROM base b CROSS JOIN sel8 s
+        WHERE b.id NOT IN (SELECT id FROM sel8)
+        GROUP BY b.id
+    ),
+    trace AS (
+        SELECT 1 AS step, id AS vec_id, 0.0 AS radius FROM sel1
+        UNION ALL
+        SELECT 2 AS step, id AS vec_id, m6 / 1000000.0 AS radius FROM p2
+        UNION ALL
+        SELECT 3 AS step, id AS vec_id, m6 / 1000000.0 AS radius FROM p3
+        UNION ALL
+        SELECT 4 AS step, id AS vec_id, m6 / 1000000.0 AS radius FROM p4
+        UNION ALL
+        SELECT 5 AS step, id AS vec_id, m6 / 1000000.0 AS radius FROM p5
+        UNION ALL
+        SELECT 6 AS step, id AS vec_id, m6 / 1000000.0 AS radius FROM p6
+        UNION ALL
+        SELECT 7 AS step, id AS vec_id, m6 / 1000000.0 AS radius FROM p7
+        UNION ALL
+        SELECT 8 AS step, id AS vec_id, m6 / 1000000.0 AS radius FROM p8
+        UNION ALL
+        SELECT (SELECT count(*) FROM sel8) + 1 AS step,
+               -1 AS vec_id,
+               coalesce(max(m6), 0) / 1000000.0 AS radius
+        FROM dfin
+        HAVING (SELECT count(*) FROM base) > 0
+    )
+    SELECT CAST(step AS BIGINT) AS step,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(radius AS DOUBLE) AS radius
+    FROM trace ORDER BY step
+"""
+
 
 

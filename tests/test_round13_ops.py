@@ -558,3 +558,43 @@ def test_readability_digit_only_words_zero_syllables(spark):
     )
     r = T.readability_scores(d).collect()[0]
     assert r.syll_runs == 0 and r.words == 2 and r.alnum_chars == 8
+
+
+# ----------------------------------------------------------- kcenter_coreset
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kcenter_hand_trace(spark):
+    """4 planar points: seed id1 (0,0); farthest (0,4) d=16; then
+    (3,0) d=9; sentinel carries the remaining point's dmin=2."""
+    from kairos_spark.operators import similarity as S
+
+    d = _vecs(spark, [(1, [0.0, 0.0]), (2, [3.0, 0.0]),
+                      (3, [0.0, 4.0]), (4, [1.0, 1.0])])
+    got = [(r.step, r.vec_id, r.radius)
+           for r in S.kcenter_coreset(d, k=3).collect()]
+    assert got == [(1, 1, 0.0), (2, 3, 16.0), (3, 2, 9.0), (4, -1, 2.0)]
+
+
+def test_kcenter_exhaustion_and_ties(spark):
+    from kairos_spark.operators import similarity as S
+
+    # fewer vectors than k: trace ends early, sentinel radius 0.0
+    d = _vecs(spark, [(7, [1.0]), (9, [5.0])])
+    got = [(r.step, r.vec_id, r.radius)
+           for r in S.kcenter_coreset(d, k=5).collect()]
+    assert got == [(1, 7, 0.0), (2, 9, 16.0), (3, -1, 0.0)]
+    # identical vectors: zero radii, id-ascending picks
+    d2 = _vecs(spark, [(3, [2.0]), (1, [2.0]), (2, [2.0])])
+    got2 = [(r.step, r.vec_id, r.radius)
+            for r in S.kcenter_coreset(d2, k=3).collect()]
+    assert got2 == [(1, 1, 0.0), (2, 2, 0.0), (3, 3, 0.0), (4, -1, 0.0)]
+
+
+def test_kcenter_empty_frame(spark):
+    from kairos_spark.operators import similarity as S
+
+    d = _vecs(spark, [])
+    assert S.kcenter_coreset(d, k=4).count() == 0

@@ -25,6 +25,7 @@ AUDITED = [
     "dump_overlap",
     "lsh_br_planner",
     "readability_scores",
+    "kcenter_coreset",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -462,6 +463,11 @@ CHECKS = {
     # partial+final hash aggregate at source grain — NO joins of any
     # kind; the 100 TB plan shuffles five long partial sums per group
     "readability_scores": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
+    # late-r13: kcenter step frame (via the kcenter_first_step
+    # override) — broadcast of the <=k selected vectors into the
+    # bounded 64-vec candidate set (the documented bounded BNLJ) +
+    # one hash aggregate + top-1; the trace itself is a driver loop
+    "kcenter_coreset": ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
@@ -1390,6 +1396,9 @@ def main():
         "bpe_merge_chain": lambda sp, sf: _text.bpe_chain_first_pairs(
             q._tbl(sp, sf, "documents")
         ),
+        "kcenter_coreset": lambda sp, sf: __import__(
+            "kairos_spark.operators.similarity", fromlist=["similarity"]
+        ).kcenter_first_step(q._tbl(sp, sf, "embeddings")),
     }
 
     sections = []
