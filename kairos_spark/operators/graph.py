@@ -536,3 +536,86 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         ).alias("mean_degree"),
         r.alias("assortativity"),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) after
+    ``iters`` synchronous update rounds on a weighted directed graph:
+    auth'(v) = Σ_{u→v} hub(u)·w(u,v), then hub'(u) = Σ_{u→v}
+    auth'(v)·w(u,v) — the classic in-order update — each vector
+    L1-normalized after its update (the norm choice only rescales;
+    L1 keeps every iterate in [0, 1], inside the ``_round6_bridge``
+    agreement bound, and needs no sqrt). Complements ``pagerank``'s
+    single random-surfer score with the mutually-reinforcing pair:
+    hubs point AT good content, authorities ARE it.
+
+    Nodes without in-edges carry authority 0.0 and nodes without
+    out-edges hub 0.0 (explicit coalesce — never NULL). With ≥ 1 edge
+    the L1 totals are strictly positive (initial hub mass 1/N sits on
+    every node, and positive mass provably survives each alternation),
+    but both engines still guard the division (CASE on total > 0 → 0.0)
+    so degenerate adversarial graphs sentinel instead of raising under
+    ANSI. Final scores bridge-rounded (iterative fixed points are not
+    one integer ratio — the pagerank contract).
+
+    Output: (node, authority, hub).
+
+    Scale shape: identical to ``pagerank`` — each round is two
+    edge-grain joins against the current score vectors plus node-grain
+    aggregates; the score totals broadcast. At transition-graph grain
+    (|event types|² edges) everything broadcasts; at web scale the
+    joins shuffle on node id exactly like the PageRank literature's
+    Pregel formulation."""
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__t"), w.alias("__w")
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__t").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count("*").alias("__N"))
+    init = nodes.crossJoin(F.broadcast(n_df))
+    auth = init.select("node", (F.lit(1.0) / F.col("__N")).alias("a"))
+    hub = init.select("node", (F.lit(1.0) / F.col("__N")).alias("h"))
+
+    def _step(score, score_col, edge_key, out_key, out_col):
+        raw = (
+            e.join(score.withColumnRenamed("node", edge_key), edge_key)
+            .groupBy(out_key)
+            .agg(F.sum(F.col(score_col) * F.col("__w")).alias("__v"))
+        )
+        tot = raw.agg(F.coalesce(F.sum("__v"), F.lit(0.0)).alias("__tot"))
+        return (
+            nodes.join(raw.withColumnRenamed(out_key, "node"), "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(
+                    F.col("__tot") > 0,
+                    F.coalesce(F.col("__v"), F.lit(0.0)) / F.col("__tot"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(out_col),
+            )
+        )
+
+    for _ in range(int(iters)):
+        auth = _step(hub, "h", "__s", "__t", "a")
+        hub = _step(auth, "a", "__t", "__s", "h")
+    return (
+        auth.join(hub, "node")
+        .select(
+            "node",
+            _round6_bridge(F.col("a")).alias("authority"),
+            _round6_bridge(F.col("h")).alias("hub"),
+        )
+        .orderBy("node")
+    )

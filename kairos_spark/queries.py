@@ -4199,6 +4199,21 @@ def q_kcenter_coreset(spark, sf_dir):
     )
 
 
+def q_hits_scores(spark, sf_dir):
+    """2-iteration HITS hubs/authorities over the session transition
+    graph — the mutually-reinforcing complement of
+    q_pagerank_transitions on the identical edge list."""
+    ev = _tbl(spark, sf_dir, "events")
+    trans = windows.session_transitions(
+        ev, gap_sec=1800.0, order_col="event_id"
+    ).select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n_transitions").alias("w"),
+    )
+    return graph.hits_scores(trans, "src", "dst", "w", iters=2)
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4438,6 +4453,7 @@ QUERIES = {
     "lsh_br_planner": q_lsh_br_planner,
     "readability_scores": q_readability_scores,
     "kcenter_coreset": q_kcenter_coreset,
+    "hits_scores": q_hits_scores,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5055,9 +5071,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     cluster_source_purity, tokenizer_drift,
 #     near_dup_family_agreement, prefix_jaccard_pairs, plus
 #     chao1_richness, json_schema_profile, lift_curve, mutual_info,
-#     categorical_drift, attribution_split, winnow_pairs — displaced
-#     when the 7 late-r13 queries rotated into group 1b) lead the r14
-#     rotation's group (3).
+#     categorical_drift, attribution_split, winnow_pairs,
+#     triangle_cooccurrence — displaced when the 8 late-r13 queries
+#     rotated into group 1b) lead the r14 rotation's group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5076,6 +5092,7 @@ _R13_WINDOW = [
     "lsh_br_planner",
     "readability_scores",
     "kcenter_coreset",
+    "hits_scores",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5113,7 +5130,6 @@ _R13_WINDOW = [
     "source_scorecard",
     "spearman_activity",
     "temperature_mix",
-    "triangle_cooccurrence",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -16059,6 +16075,93 @@ ORACLES["kcenter_coreset"] = """
            CAST(radius AS DOUBLE) AS radius
     FROM trace ORDER BY step
 """
+
+ORACLES["hits_scores"] = """
+    WITH
+    ordered AS (
+      SELECT user_id, event_id, event_type, epoch(ts) AS t,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                    OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, t,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    ),
+    prs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id, session_id
+                                    ORDER BY t, event_id) AS to_type
+      FROM sess
+    ),
+    edges AS MATERIALIZED (
+      SELECT from_type AS s, to_type AS t2, count(*) AS w
+      FROM prs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (SELECT s AS node FROM edges UNION SELECT t2 FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    h0 AS MATERIALIZED (
+      SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS h FROM nodes
+    ),
+    ar1 AS (
+      SELECT t2, sum(h.h * w) AS v
+      FROM edges JOIN h0 h ON edges.s = h.node GROUP BY 1
+    ),
+    at1 AS (SELECT coalesce(sum(v), CAST(0 AS DOUBLE)) AS tt FROM ar1),
+    a1 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN (SELECT tt FROM at1) > 0
+                  THEN coalesce(v, CAST(0 AS DOUBLE)) / (SELECT tt FROM at1)
+                  ELSE CAST(0 AS DOUBLE) END AS a
+      FROM nodes LEFT JOIN ar1 ON nodes.node = ar1.t2
+    ),
+    hr1 AS (
+      SELECT s, sum(a.a * w) AS v
+      FROM edges JOIN a1 a ON edges.t2 = a.node GROUP BY 1
+    ),
+    ht1 AS (SELECT coalesce(sum(v), CAST(0 AS DOUBLE)) AS tt FROM hr1),
+    h1 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN (SELECT tt FROM ht1) > 0
+                  THEN coalesce(v, CAST(0 AS DOUBLE)) / (SELECT tt FROM ht1)
+                  ELSE CAST(0 AS DOUBLE) END AS h
+      FROM nodes LEFT JOIN hr1 ON nodes.node = hr1.s
+    ),
+    ar2 AS (
+      SELECT t2, sum(h.h * w) AS v
+      FROM edges JOIN h1 h ON edges.s = h.node GROUP BY 1
+    ),
+    at2 AS (SELECT coalesce(sum(v), CAST(0 AS DOUBLE)) AS tt FROM ar2),
+    a2 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN (SELECT tt FROM at2) > 0
+                  THEN coalesce(v, CAST(0 AS DOUBLE)) / (SELECT tt FROM at2)
+                  ELSE CAST(0 AS DOUBLE) END AS a
+      FROM nodes LEFT JOIN ar2 ON nodes.node = ar2.t2
+    ),
+    hr2 AS (
+      SELECT s, sum(a.a * w) AS v
+      FROM edges JOIN a2 a ON edges.t2 = a.node GROUP BY 1
+    ),
+    ht2 AS (SELECT coalesce(sum(v), CAST(0 AS DOUBLE)) AS tt FROM hr2),
+    h2 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN (SELECT tt FROM ht2) > 0
+                  THEN coalesce(v, CAST(0 AS DOUBLE)) / (SELECT tt FROM ht2)
+                  ELSE CAST(0 AS DOUBLE) END AS h
+      FROM nodes LEFT JOIN hr2 ON nodes.node = hr2.s
+    )
+    SELECT a2.node AS node,
+           CAST(round(CAST(a AS DECIMAL(27,12)), 6) AS DOUBLE) AS authority,
+           CAST(round(CAST(h AS DECIMAL(27,12)), 6) AS DOUBLE) AS hub
+    FROM a2 JOIN h2 ON a2.node = h2.node
+"""
+
 
 
 

@@ -598,3 +598,47 @@ def test_kcenter_empty_frame(spark):
 
     d = _vecs(spark, [])
     assert S.kcenter_coreset(d, k=4).count() == 0
+
+
+# --------------------------------------------------------------- hits_scores
+
+def test_hits_single_edge_polarizes(spark):
+    """a->b: after one alternation authority concentrates on b and
+    hub on a — and it is already the fixed point."""
+    from kairos_spark.operators import graph as G
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r.node: r for r in G.hits_scores(e, iters=2).collect()}
+    assert got["a"].authority == 0.0 and got["a"].hub == 1.0
+    assert got["b"].authority == 1.0 and got["b"].hub == 0.0
+
+
+def test_hits_chain_values(spark):
+    """a->b->c, 1 iteration by hand: auth (0, 1/2, 1/2),
+    hub (1/2, 1/2, 0)."""
+    from kairos_spark.operators import graph as G
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r.node: r for r in G.hits_scores(e, iters=1).collect()}
+    assert got["a"].authority == 0.0 and got["c"].hub == 0.0
+    assert got["b"].authority == 0.5 and got["c"].authority == 0.5
+    assert got["a"].hub == 0.5 and got["b"].hub == 0.5
+
+
+def test_hits_weights_shift_mass(spark):
+    """Same topology, heavier edge wins more authority."""
+    from kairos_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, w long"
+    )
+    got = {r.node: r for r in G.hits_scores(e, "src", "dst", "w", iters=2).collect()}
+    assert got["b"].authority > got["c"].authority > 0.0
+    assert got["a"].hub == 1.0
+
+
+def test_hits_empty_edges(spark):
+    from kairos_spark.operators import graph as G
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert G.hits_scores(e, iters=2).count() == 0

@@ -26,6 +26,7 @@ AUDITED = [
     "lsh_br_planner",
     "readability_scores",
     "kcenter_coreset",
+    "hits_scores",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -468,6 +469,10 @@ CHECKS = {
     # bounded 64-vec candidate set (the documented bounded BNLJ) +
     # one hash aggregate + top-1; the trace itself is a driver loop
     "kcenter_coreset": ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: HITS — the pagerank plan family (edge-grain joins
+    # against score vectors, broadcast totals via BNLJ crossJoin of
+    # 1-row aggregates, never a CartesianProduct)
+    "hits_scores": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
