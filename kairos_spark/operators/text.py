@@ -4331,3 +4331,95 @@ def readability_scores(
             F.lit(100) * W * S,
         ).alias("ari"),
     ).orderBy("group")
+
+
+def mattr_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    seg_len: int = 25,
+) -> DataFrame:
+    """Mean Segmental Type-Token Ratio per group — the
+    length-controlled lexical-diversity measure (MSTTR, Johnson 1944;
+    the fixed-window ancestor of Covington & McFall 2010's MATTR):
+    raw corpus TTR shrinks mechanically as token volume grows (Heaps'
+    law), so cross-source TTR comparisons confound diversity with
+    size. MSTTR restores comparability by scoring only COMPLETE
+    ``seg_len``-token segments per document (the ragged tail is
+    dropped, the MSTTR convention) and averaging distinct-counts over
+    them. Emitted next to the raw per-source TTR, the gap IS the
+    size confound: a source whose ttr ≪ msttr is big, not repetitive.
+
+    msttr = Σ_segments distinct(seg) / (n_segs·seg_len) — ONE exact
+    integer ratio (never a mean of per-segment floats); ttr =
+    types/tokens likewise. Documents shorter than ``seg_len`` tokens
+    contribute volume to ttr but no segments; groups with zero
+    complete segments are dropped on both engines (an MSTTR of
+    nothing is undefined). Empty/whitespace-only docs contribute
+    nothing anywhere.
+
+    Output: (group, n_docs, n_tokens, n_types, ttr, n_segs,
+    seg_distinct_sum, msttr).
+
+    Scale shape: segmenting is map-only (slice the per-doc token
+    array; no shuffle sees raw text); the distinct-type count
+    aggregates at (group, token) grain with map-side combine; the
+    segment sum is a 2-long-column partial aggregate. One corpus
+    pass, two group-grain shuffles, no joins wider than |groups|."""
+    if int(seg_len) < 1:
+        raise ValueError(f"seg_len must be >= 1, got {seg_len}")
+    L = int(seg_len)
+    norm = F.trim(normalize_ws(F.col(text_col)))
+    toks = df.select(
+        F.col(group_col).alias("group"), norm.alias("__n")
+    ).where(F.col("__n") != "").select(
+        "group", F.split(F.col("__n"), " ").alias("__tk")
+    )
+    n_full = F.expr(f"size(__tk) div {L}").cast("long")
+    segs = toks.select(
+        "group",
+        F.explode(
+            F.when(
+                n_full >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_full),
+                    lambda i: F.size(
+                        F.array_distinct(
+                            F.slice(F.col("__tk"), (i - F.lit(1)) * F.lit(L) + F.lit(1), F.lit(L))
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__d"),
+    )
+    seg_agg = segs.groupBy("group").agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum("__d").cast("long").alias("seg_distinct_sum"),
+    )
+    tok_counts = toks.select("group", F.explode("__tk").alias("__t"))
+    vol = toks.groupBy("group").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("__tk")).cast("long").alias("n_tokens"),
+    )
+    types = (
+        tok_counts.distinct()
+        .groupBy("group")
+        .agg(F.count("*").cast("long").alias("n_types"))
+    )
+    return (
+        vol.join(types, "group")
+        .join(seg_agg, "group")
+        .select(
+            "group",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            _round6_ratio(F.col("n_types"), F.col("n_tokens")).alias("ttr"),
+            "n_segs",
+            "seg_distinct_sum",
+            _round6_ratio(
+                F.col("seg_distinct_sum"), F.col("n_segs") * F.lit(L)
+            ).alias("msttr"),
+        )
+        .orderBy("group")
+    )

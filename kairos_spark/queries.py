@@ -4214,6 +4214,16 @@ def q_hits_scores(spark, sf_dir):
     return graph.hits_scores(trans, "src", "dst", "w", iters=2)
 
 
+def q_mattr_diversity(spark, sf_dir):
+    """Mean Segmental TTR (25-token segments) vs raw TTR per source —
+    the length-controlled lexical-diversity panel; the msttr-ttr gap
+    isolates the Heaps'-law size confound."""
+    return text.mattr_diversity(
+        _tbl(spark, sf_dir, "documents"), text_col="text",
+        group_col="source", seg_len=25,
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4454,6 +4464,7 @@ QUERIES = {
     "readability_scores": q_readability_scores,
     "kcenter_coreset": q_kcenter_coreset,
     "hits_scores": q_hits_scores,
+    "mattr_diversity": q_mattr_diversity,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5072,8 +5083,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     near_dup_family_agreement, prefix_jaccard_pairs, plus
 #     chao1_richness, json_schema_profile, lift_curve, mutual_info,
 #     categorical_drift, attribution_split, winnow_pairs,
-#     triangle_cooccurrence — displaced when the 8 late-r13 queries
-#     rotated into group 1b) lead the r14 rotation's group (3).
+#     triangle_cooccurrence, temperature_mix — displaced when the 9
+#     late-r13 queries rotated into group 1b) lead the r14 rotation's
+#     group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5093,6 +5105,7 @@ _R13_WINDOW = [
     "readability_scores",
     "kcenter_coreset",
     "hits_scores",
+    "mattr_diversity",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5129,7 +5142,6 @@ _R13_WINDOW = [
     "session_gap_sweep",
     "source_scorecard",
     "spearman_activity",
-    "temperature_mix",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -16161,6 +16173,50 @@ ORACLES["hits_scores"] = """
            CAST(round(CAST(h AS DECIMAL(27,12)), 6) AS DOUBLE) AS hub
     FROM a2 JOIN h2 ON a2.node = h2.node
 """
+
+ORACLES["mattr_diversity"] = """
+    WITH norm AS (
+        SELECT source,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents
+    ),
+    toks AS MATERIALIZED (
+        SELECT source AS g, string_split(n, ' ') AS tk
+        FROM norm WHERE n <> ''
+    ),
+    segs AS (
+        SELECT g,
+               len(list_distinct(list_slice(tk, (i - 1) * 25 + 1, i * 25))) AS d
+        FROM toks,
+             unnest(generate_series(1, len(tk) // 25)) AS u(i)
+    ),
+    seg_agg AS (
+        SELECT g, count(*) AS n_segs, sum(d)::BIGINT AS seg_distinct_sum
+        FROM segs GROUP BY 1
+    ),
+    vol AS (
+        SELECT g, count(*) AS n_docs, sum(len(tk))::BIGINT AS n_tokens
+        FROM toks GROUP BY 1
+    ),
+    types AS (
+        SELECT g, count(DISTINCT t) AS n_types
+        FROM (SELECT g, unnest(tk) AS t FROM toks) GROUP BY 1
+    )
+    SELECT v.g AS "group",
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           floor((2000000 * n_types + n_tokens) / (2.0 * n_tokens))
+               / 1000000.0 AS ttr,
+           CAST(n_segs AS BIGINT) AS n_segs,
+           seg_distinct_sum,
+           floor((2000000 * seg_distinct_sum + n_segs * 25)
+                 / (2.0 * (n_segs * 25))) / 1000000.0 AS msttr
+    FROM vol v
+    JOIN types ty ON ty.g = v.g
+    JOIN seg_agg s ON s.g = v.g
+"""
+
 
 
 

@@ -642,3 +642,47 @@ def test_hits_empty_edges(spark):
 
     e = spark.createDataFrame([], "src string, dst string")
     assert G.hits_scores(e, iters=2).count() == 0
+
+
+# ------------------------------------------------------------ mattr_diversity
+
+def test_mattr_hand_segments(spark):
+    """10 tokens at seg_len=4: two complete segments (distinct 4 and
+    2), ragged tail dropped; ttr over ALL 10 tokens."""
+    from kairos_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [(1, "a b c d x x x x y z", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = T.mattr_diversity(d, seg_len=4).collect()[0]
+    assert r.n_segs == 2 and r.seg_distinct_sum == 5
+    assert r.msttr == 0.625  # 5 / 8
+    assert r.n_tokens == 10 and r.n_types == 7 and r.ttr == 0.7
+
+
+def test_mattr_short_docs_drop_from_segments_only(spark):
+    """A 2-token doc adds volume to ttr but no segments; a group with
+    zero complete segments vanishes from the output."""
+    from kairos_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [(1, "a b c d", "big"), (2, "e f", "big"), (3, "x y", "tiny")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.group: r for r in T.mattr_diversity(d, seg_len=4).collect()}
+    assert set(out) == {"big"}
+    assert out["big"].n_tokens == 6 and out["big"].n_segs == 1
+    assert out["big"].msttr == 1.0
+
+
+def test_mattr_guard_and_empty_docs(spark):
+    from kairos_spark.operators import text as T
+    import pytest
+
+    d = spark.createDataFrame(
+        [(1, "  ", "s"), (2, "", "s")], "doc_id long, text string, source string"
+    )
+    assert T.mattr_diversity(d, seg_len=2).count() == 0
+    with pytest.raises(ValueError):
+        T.mattr_diversity(d, seg_len=0)

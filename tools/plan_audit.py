@@ -27,6 +27,7 @@ AUDITED = [
     "readability_scores",
     "kcenter_coreset",
     "hits_scores",
+    "mattr_diversity",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -473,6 +474,10 @@ CHECKS = {
     # against score vectors, broadcast totals via BNLJ crossJoin of
     # 1-row aggregates, never a CartesianProduct)
     "hits_scores": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # late-r13: map-only segment slicing (Generate over the per-doc
+    # token array), (group, token)-grain distinct + group-grain sums,
+    # joins only at |groups| grain — no shuffle joins of corpus rows
+    "mattr_diversity": ["Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
