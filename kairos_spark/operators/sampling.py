@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from kairos_spark.operators.text import _round6_ratio, agree_lower
+from kairos_spark.operators.text import _round6_ratio, agree_lower, normalize_ws
 
 # Bucket granularity for fraction thresholds: fractions are exact to
 # 1e-6, and thresholds stay far below 2^44 so the md5-slice math is
@@ -1146,3 +1146,83 @@ def temperature_sweep(
     for frame in frames[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def data_constrained_epochs(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    mults=(1, 4, 16),
+    r_star_pct: int = 1539,
+) -> DataFrame:
+    """Repeated-epoch VALUE audit under the data-constrained scaling
+    law (Muennighoff et al. 2023, NeurIPS — "Scaling Data-Constrained
+    Language Models"): effective data of training a source for R
+    repetitions beyond its unique tokens U is
+    D' = U + U·R*·(1 − e^(−R/R*)) with the paper's fitted decay
+    R* ≈ 15.39 — the 4-epochs-are-nearly-free / 40-epochs-are-worthless
+    curve. For each budget multiple m, every group gets the UNIFORM
+    slice B = (m·T) div n_groups of the corpus token total T (the
+    UniMax-style allocation where small sources repeat hard), and the
+    audit prices that repetition: epochs B/U, effective tokens D',
+    and value_ratio D'/B — the fraction of the budget that still buys
+    learning. Read it to see WHICH sources a uniform budget burns on
+    dead epochs before committing a mix.
+
+    Parity: U, T, B are exact integers; R/R* is ONE int64→double
+    division ((B−U)·100 / (U·r_star_pct)); exp() is the documented
+    1-ulp transcendental class (bare round-6 on both engines, the
+    word_entropy convention — never bridged). Under-filled groups
+    (B ≤ U) take the exact no-repetition branch D' = B. Groups whose
+    normalized text is empty are dropped (U ≥ 1 on both engines);
+    B = 0 sentinels value_ratio to 0.0.
+
+    Output: (mult, group, u_tokens, budget, epochs, eff_tokens,
+    value_ratio), one row per (mult, group).
+
+    Scale shape: one map-only token count + one group-grain
+    aggregate; the corpus total broadcasts; the |mults| fan-out runs
+    at |groups| grain. One corpus pass regardless of sweep size."""
+    norm = F.trim(normalize_ws(F.col(text_col)))
+    toks = df.select(
+        F.col(group_col).alias("group"), norm.alias("__n")
+    ).where(F.col("__n") != "")
+    per = toks.groupBy("group").agg(
+        F.sum(F.size(F.split(F.col("__n"), " "))).cast("long").alias("u")
+    ).where(F.col("u") >= 1)
+    tot = per.agg(
+        F.sum("u").cast("long").alias("__T"),
+        F.count("*").cast("long").alias("__ng"),
+    )
+    base = per.crossJoin(F.broadcast(tot))
+    rs = float(int(r_star_pct)) / 100.0
+    per_mult = []
+    for m in mults:
+        b = F.expr(f"(__T * {int(m)}) div __ng").cast("long")
+        x = ((F.col("__b") - F.col("u")) * F.lit(100)) / (
+            F.col("u") * F.lit(int(r_star_pct))
+        )
+        eff = F.when(
+            F.col("__b") > F.col("u"),
+            F.col("u")
+            + F.col("u") * F.lit(rs) * (F.lit(1.0) - F.exp(-x)),
+        ).otherwise(F.col("__b").cast("double"))
+        per_mult.append(
+            base.withColumn("__b", b).select(
+                F.lit(int(m)).cast("long").alias("mult"),
+                "group",
+                F.col("u").alias("u_tokens"),
+                F.col("__b").alias("budget"),
+                _round6_ratio(F.col("__b"), F.col("u")).alias("epochs"),
+                F.round(eff, 6).alias("eff_tokens"),
+                F.when(
+                    F.col("__b") >= 1, F.round(eff / F.col("__b"), 6)
+                )
+                .otherwise(F.lit(0.0))
+                .alias("value_ratio"),
+            )
+        )
+    out = per_mult[0]
+    for frame in per_mult[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("mult", "group")

@@ -4224,6 +4224,17 @@ def q_mattr_diversity(spark, sf_dir):
     )
 
 
+def q_data_constrained_epochs(spark, sf_dir):
+    """Muennighoff 2023 repeated-epoch value audit: uniform per-source
+    budget at 1x/4x/16x the corpus total, priced with
+    D' = U + U*R*(1-exp(-R/R*)), R* = 15.39 — which sources a uniform
+    budget burns on dead epochs."""
+    return sampling.data_constrained_epochs(
+        _tbl(spark, sf_dir, "documents"), text_col="text",
+        group_col="source", mults=(1, 4, 16),
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4465,6 +4476,7 @@ QUERIES = {
     "kcenter_coreset": q_kcenter_coreset,
     "hits_scores": q_hits_scores,
     "mattr_diversity": q_mattr_diversity,
+    "data_constrained_epochs": q_data_constrained_epochs,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5083,9 +5095,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     near_dup_family_agreement, prefix_jaccard_pairs, plus
 #     chao1_richness, json_schema_profile, lift_curve, mutual_info,
 #     categorical_drift, attribution_split, winnow_pairs,
-#     triangle_cooccurrence, temperature_mix — displaced when the 9
-#     late-r13 queries rotated into group 1b) lead the r14 rotation's
-#     group (3).
+#     triangle_cooccurrence, temperature_mix, spearman_activity —
+#     displaced when the 10 late-r13 queries rotated into group 1b)
+#     lead the r14 rotation's group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5106,6 +5118,7 @@ _R13_WINDOW = [
     "kcenter_coreset",
     "hits_scores",
     "mattr_diversity",
+    "data_constrained_epochs",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5141,7 +5154,6 @@ _R13_WINDOW = [
     "schema_drift",
     "session_gap_sweep",
     "source_scorecard",
-    "spearman_activity",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -16216,6 +16228,50 @@ ORACLES["mattr_diversity"] = """
     JOIN types ty ON ty.g = v.g
     JOIN seg_agg s ON s.g = v.g
 """
+
+ORACLES["data_constrained_epochs"] = """
+    WITH norm AS (
+        SELECT source,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents
+    ),
+    per AS MATERIALIZED (
+        SELECT source AS g, sum(len(string_split(n, ' ')))::BIGINT AS u
+        FROM norm WHERE n <> '' GROUP BY 1
+        HAVING sum(len(string_split(n, ' '))) >= 1
+    ),
+    tot AS (SELECT sum(u)::BIGINT AS tt, count(*)::BIGINT AS ng FROM per),
+    alloc AS (
+        SELECT 1 AS mult, g, u,
+               (tt * 1) // ng AS b
+        FROM per CROSS JOIN tot
+        UNION ALL
+        SELECT 4 AS mult, g, u,
+               (tt * 4) // ng AS b
+        FROM per CROSS JOIN tot
+        UNION ALL
+        SELECT 16 AS mult, g, u,
+               (tt * 16) // ng AS b
+        FROM per CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT mult, g, u, b,
+               CASE WHEN b > u
+                    THEN u + (u * CAST(15.39 AS DOUBLE))
+                         * (1.0 - exp(-(((b - u) * 100) / (u * 1539))))
+                    ELSE CAST(b AS DOUBLE) END AS eff
+        FROM alloc
+    )
+    SELECT CAST(mult AS BIGINT) AS mult,
+           g AS "group",
+           u AS u_tokens,
+           b AS budget,
+           floor((2000000 * b + u) / (2.0 * u)) / 1000000.0 AS epochs,
+           round(eff, 6) AS eff_tokens,
+           CASE WHEN b >= 1 THEN round(eff / b, 6) ELSE 0.0 END AS value_ratio
+    FROM scored
+"""
+
 
 
 

@@ -686,3 +686,51 @@ def test_mattr_guard_and_empty_docs(spark):
     assert T.mattr_diversity(d, seg_len=2).count() == 0
     with pytest.raises(ValueError):
         T.mattr_diversity(d, seg_len=0)
+
+
+# ---------------------------------------------------- data_constrained_epochs
+
+def test_epochs_no_repetition_branch_exact(spark):
+    """mult=1 with one source: B = U exactly — the no-repetition
+    branch gives eff == budget and value_ratio == 1.0."""
+    from kairos_spark.operators import sampling as S
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e", "s")], "doc_id long, text string, source string"
+    )
+    r = S.data_constrained_epochs(d, mults=(1,)).collect()[0]
+    assert r.u_tokens == 5 and r.budget == 5
+    assert r.epochs == 1.0 and r.eff_tokens == 5.0 and r.value_ratio == 1.0
+
+
+def test_epochs_value_decays_with_mult(spark):
+    """Muennighoff decay: value_ratio strictly falls as the budget
+    multiple grows; epochs stays the exact integer ratio."""
+    from kairos_spark.operators import sampling as S
+
+    d = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100)), "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.mult: r for r in S.data_constrained_epochs(d, mults=(1, 4, 16)).collect()}
+    assert out[4].epochs == 4.0 and out[16].epochs == 16.0
+    assert 1.0 == out[1].value_ratio > out[4].value_ratio > out[16].value_ratio > 0
+    # effective tokens still grow in absolute terms (value is positive)
+    assert out[16].eff_tokens > out[4].eff_tokens > out[1].eff_tokens
+
+
+def test_epochs_uniform_budget_small_source_burns(spark):
+    """Two sources, one 10x bigger: the uniform slice gives the small
+    one many epochs and a lower value_ratio."""
+    from kairos_spark.operators import sampling as S
+
+    big = " ".join(f"w{i}" for i in range(200))
+    small = " ".join(f"v{i}" for i in range(20))
+    d = spark.createDataFrame(
+        [(1, big, "big"), (2, small, "small"), (3, "", "empty")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.group: r for r in S.data_constrained_epochs(d, mults=(4,)).collect()}
+    assert set(out) == {"big", "small"}  # empty source dropped
+    assert out["small"].epochs > out["big"].epochs
+    assert out["small"].value_ratio < out["big"].value_ratio

@@ -28,6 +28,7 @@ AUDITED = [
     "kcenter_coreset",
     "hits_scores",
     "mattr_diversity",
+    "data_constrained_epochs",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -478,6 +479,10 @@ CHECKS = {
     # token array), (group, token)-grain distinct + group-grain sums,
     # joins only at |groups| grain — no shuffle joins of corpus rows
     "mattr_diversity": ["Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: one map-only token count + group-grain aggregate; the
+    # 1-row corpus total broadcasts into the |groups| frame (BNLJ by
+    # construction); the mult fan-out is a union at group grain
+    "data_constrained_epochs": ["HashAggregate", "Union", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
