@@ -2725,3 +2725,133 @@ def forecast_mase(
         .otherwise(F.lit(-1.0))
         .alias("mase"),
     )
+
+
+#: 1 / log2(i + 1) for rank i = 1..10, precomputed HOST-SIDE and
+#: injected as shortest-repr literals into BOTH engines' plans — the
+#: engines' own log2() implementations differ by up to 2 ulp (the
+#: documented transcendental class), so nDCG discounts are never
+#: computed engine-side at all.
+NDCG_DISCOUNTS_10 = (
+    1.0,
+    0.6309297535714575,
+    0.5,
+    0.43067655807339306,
+    0.38685280723454163,
+    0.3562071871080222,
+    0.3333333333333333,
+    0.31546487678572877,
+    0.3010299956639812,
+    0.2890648263178879,
+)
+
+
+def ndcg_sessions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    grades: dict | None = None,
+    gap_sec: float = 1800.0,
+    k: int = 10,
+) -> DataFrame:
+    """Graded nDCG@k of gap-based sessions — the graded-relevance
+    companion to :func:`mrr_sessions` (Järvelin & Kekäläinen 2002,
+    TOIS): each session is scored as a ranked list whose item gains
+    are engagement grades (default purchase=3, signup=2, click=1,
+    else 0), DCG@k = Σ rel_i/log2(i+1) against the session's own
+    ideal ordering. Grouped by session ENTRY event type, the panel
+    says which entry points lead sessions that surface value early
+    vs bury it.
+
+    Parity design: the rank discounts are host-precomputed literals
+    (``NDCG_DISCOUNTS_10`` — no engine-side log2, see its note); per
+    session DCG and IDCG are LEFT-TO-RIGHT folds over rank-ordered
+    arrays (zip_with against the discount literal array, NULL-padded
+    ranks coalesce to 0.0), so both engines execute the identical
+    IEEE sequence; per-session nDCG quantizes on the 1e-12 grid and
+    aggregates as exact DECIMAL ratios. All-zero-grade sessions score
+    0.0 (sentinel, counted in ``n_norel`` — the built-in non-vacuity
+    counter).
+
+    Output per entry type: (entry_type, n_sessions, n_norel,
+    mean_ndcg).
+
+    Scale shape: ONE per-user sort shared by sessionization and
+    ranking; per-session state is a ≤k-element array (never raw
+    events); the final aggregate is |entry types| rows."""
+    if int(k) != len(NDCG_DISCOUNTS_10):
+        raise ValueError(f"k={k} not supported; discounts precomputed for k=10")
+    g = grades or {"purchase": 3, "signup": 2, "click": 1}
+    rel = F.lit(0)
+    for t, v in sorted(g.items()):
+        rel = F.when(F.col("__t") == t, F.lit(int(v))).otherwise(rel)
+    base = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(seq_col).alias("__seq"),
+    )
+    w = Window.partitionBy("__u").orderBy("__us", "__seq")
+    new_sess = F.when(
+        F.lag("__us").over(w).isNull()
+        | ((F.col("__us") - F.lag("__us").over(w)) > int(gap_sec * 1000000)),
+        1,
+    ).otherwise(0)
+    sess = base.withColumn("__sid", F.sum(new_sess).over(w))
+    ws = Window.partitionBy("__u", "__sid").orderBy("__us", "__seq")
+    pos = sess.select(
+        "__u", "__sid", rel.alias("__r"), F.col("__t"),
+        F.row_number().over(ws).alias("__pos"),
+    )
+    per_sess = pos.groupBy("__u", "__sid").agg(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("__r").alias("r")))
+                ),
+                lambda s: s.r,
+            ),
+            1,
+            int(k),
+        ).alias("__byrank"),
+        F.slice(F.sort_array(F.collect_list("__r"), asc=False), 1, int(k)).alias(
+            "__ideal"
+        ),
+        F.max("__r").alias("__maxr"),
+        F.min(F.when(F.col("__pos") == 1, F.col("__t"))).alias("entry_type"),
+    )
+    disc = F.array(*[F.lit(d) for d in NDCG_DISCOUNTS_10])
+
+    def _fold(arr):
+        return F.aggregate(
+            F.zip_with(arr, disc, lambda r, d: F.coalesce(r * d, F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = per_sess.select(
+        "entry_type",
+        F.when(F.col("__maxr") == 0, F.lit(0)).otherwise(
+            F.floor(
+                (_fold(F.col("__byrank")) / _fold(F.col("__ideal")))
+                * F.lit(1_000_000_000_000.0)
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("__q"),
+        F.when(F.col("__maxr") == 0, 1).otherwise(0).alias("__norel"),
+    )
+    return (
+        scored.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("__norel").cast("long").alias("n_norel"),
+            _round6_ratio_dec(
+                F.sum("__q"), F.count("*") * F.lit(1_000_000_000_000)
+            ).alias("mean_ndcg"),
+        )
+        .orderBy("entry_type")
+    )

@@ -4235,6 +4235,14 @@ def q_data_constrained_epochs(spark, sf_dir):
     )
 
 
+def q_ndcg_sessions(spark, sf_dir):
+    """Graded nDCG@10 of 30-minute-gap sessions by entry event type
+    (purchase=3, signup=2, click=1) — mrr_sessions' graded-relevance
+    companion; rank discounts are host-precomputed literals so no
+    engine-side log2 exists anywhere in the plan."""
+    return windows.ndcg_sessions(_tbl(spark, sf_dir, "events"), gap_sec=1800.0)
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4477,6 +4485,7 @@ QUERIES = {
     "hits_scores": q_hits_scores,
     "mattr_diversity": q_mattr_diversity,
     "data_constrained_epochs": q_data_constrained_epochs,
+    "ndcg_sessions": q_ndcg_sessions,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5095,9 +5104,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     near_dup_family_agreement, prefix_jaccard_pairs, plus
 #     chao1_richness, json_schema_profile, lift_curve, mutual_info,
 #     categorical_drift, attribution_split, winnow_pairs,
-#     triangle_cooccurrence, temperature_mix, spearman_activity —
-#     displaced when the 10 late-r13 queries rotated into group 1b)
-#     lead the r14 rotation's group (3).
+#     triangle_cooccurrence, temperature_mix, spearman_activity,
+#     source_scorecard — displaced when the 11 late-r13 queries
+#     rotated into group 1b) lead the r14 rotation's group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5119,6 +5128,7 @@ _R13_WINDOW = [
     "hits_scores",
     "mattr_diversity",
     "data_constrained_epochs",
+    "ndcg_sessions",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5153,7 +5163,6 @@ _R13_WINDOW = [
     "quantize_audit",
     "schema_drift",
     "session_gap_sweep",
-    "source_scorecard",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -16271,6 +16280,63 @@ ORACLES["data_constrained_epochs"] = """
            CASE WHEN b >= 1 THEN round(eff / b, 6) ELSE 0.0 END AS value_ratio
     FROM scored
 """
+
+ORACLES["ndcg_sessions"] = """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    posd AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY us, event_id) AS pos,
+             CASE WHEN event_type = 'click' THEN 1
+                  WHEN event_type = 'purchase' THEN 3
+                  WHEN event_type = 'signup' THEN 2
+                  ELSE 0 END AS rel
+      FROM sess
+    ),
+    per_sess AS MATERIALIZED (
+      SELECT user_id, sid,
+             list_slice(list(rel ORDER BY us, event_id), 1, 10) AS byrank,
+             list_slice(list_sort(list(rel ORDER BY us, event_id), 'DESC'),
+                        1, 10) AS ideal,
+             max(rel) AS maxr,
+             min(CASE WHEN pos = 1 THEN event_type END) AS entry_type
+      FROM posd GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT entry_type,
+             CASE WHEN maxr = 0 THEN 0
+                  ELSE CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(byrank, [CAST(1.0 AS DOUBLE), CAST(0.6309297535714575 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.43067655807339306 AS DOUBLE), CAST(0.38685280723454163 AS DOUBLE), CAST(0.3562071871080222 AS DOUBLE), CAST(0.3333333333333333 AS DOUBLE), CAST(0.31546487678572877 AS DOUBLE), CAST(0.3010299956639812 AS DOUBLE), CAST(0.2890648263178879 AS DOUBLE)]), z -> coalesce(z[1] * z[2], CAST(0.0 AS DOUBLE)))), (x, y) -> x + y)
+                                   / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(ideal, [CAST(1.0 AS DOUBLE), CAST(0.6309297535714575 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.43067655807339306 AS DOUBLE), CAST(0.38685280723454163 AS DOUBLE), CAST(0.3562071871080222 AS DOUBLE), CAST(0.3333333333333333 AS DOUBLE), CAST(0.31546487678572877 AS DOUBLE), CAST(0.3010299956639812 AS DOUBLE), CAST(0.2890648263178879 AS DOUBLE)]), z -> coalesce(z[1] * z[2], CAST(0.0 AS DOUBLE)))), (x, y) -> x + y))
+                                  * 1000000000000.0 + 0.5) AS BIGINT)
+             END AS q,
+             CASE WHEN maxr = 0 THEN 1 ELSE 0 END AS norel
+      FROM per_sess
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(norel) AS BIGINT) AS n_norel,
+           CAST((2000000::HUGEINT * sum(q)::HUGEINT
+                 + count(*)::HUGEINT * 1000000000000)
+                // (2::HUGEINT * count(*)::HUGEINT * 1000000000000)
+                AS BIGINT) / 1000000.0 AS mean_ndcg
+    FROM scored GROUP BY 1
+"""
+
 
 
 

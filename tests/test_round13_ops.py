@@ -734,3 +734,56 @@ def test_epochs_uniform_budget_small_source_burns(spark):
     assert set(out) == {"big", "small"}  # empty source dropped
     assert out["small"].epochs > out["big"].epochs
     assert out["small"].value_ratio < out["big"].value_ratio
+
+
+# -------------------------------------------------------------- ndcg_sessions
+
+def test_ndcg_hand_session(spark):
+    """view,click,purchase in one session: DCG = 1*d2 + 3*d3,
+    IDCG = 3*d1 + 1*d2 — quantized at 1e-12 then round-6."""
+    from kairos_spark.operators import windows as W
+    import math
+
+    B = 1_800_000_000_000  # anchor us
+    rows = [(1, "view", B, 1), (1, "click", B + 1_000_000, 2),
+            (1, "purchase", B + 2_000_000, 3)]
+    d = spark.createDataFrame(
+        [(u, t, us, e) for (u, t, us, e) in rows],
+        "user_id long, event_type string, us long, event_id long",
+    ).selectExpr("user_id", "event_type",
+                 "timestamp_micros(us) AS ts", "event_id")
+    out = W.ndcg_sessions(d).collect()
+    assert len(out) == 1 and out[0].entry_type == "view"
+    d2, d3 = W.NDCG_DISCOUNTS_10[1], W.NDCG_DISCOUNTS_10[2]
+    nd = (1 * d2 + 3 * d3) / (3 * 1.0 + 1 * d2)
+    q = math.floor(nd * 1e12 + 0.5)
+    exp = math.floor((2_000_000 * q + 1e12) / (2 * 1e12)) / 1e6
+    assert out[0].mean_ndcg == exp and out[0].n_norel == 0
+
+
+def test_ndcg_norel_and_gap_split(spark):
+    """Zero-grade session scores 0.0 and counts in n_norel; a >gap
+    pause splits sessions (second session scores 1.0)."""
+    from kairos_spark.operators import windows as W
+
+    B = 1_800_000_000_000
+    rows = [(1, "view", B, 1), (1, "error", B + 1_000_000, 2),
+            (1, "purchase", B + 4_000_000_000, 3)]
+    d = spark.createDataFrame(
+        rows, "user_id long, event_type string, us long, event_id long"
+    ).selectExpr("user_id", "event_type",
+                 "timestamp_micros(us) AS ts", "event_id")
+    out = {r.entry_type: r for r in W.ndcg_sessions(d, gap_sec=1800.0).collect()}
+    assert out["view"].n_norel == 1 and out["view"].mean_ndcg == 0.0
+    assert out["purchase"].mean_ndcg == 1.0 and out["purchase"].n_norel == 0
+
+
+def test_ndcg_k_guard(spark):
+    from kairos_spark.operators import windows as W
+    import pytest
+
+    d = spark.createDataFrame(
+        [(1, "view", 0, 1)], "user_id long, event_type string, us long, event_id long"
+    ).selectExpr("user_id", "event_type", "timestamp_micros(us) AS ts", "event_id")
+    with pytest.raises(ValueError):
+        W.ndcg_sessions(d, k=5)

@@ -29,6 +29,7 @@ AUDITED = [
     "hits_scores",
     "mattr_diversity",
     "data_constrained_epochs",
+    "ndcg_sessions",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -483,6 +484,10 @@ CHECKS = {
     # 1-row corpus total broadcasts into the |groups| frame (BNLJ by
     # construction); the mult fan-out is a union at group grain
     "data_constrained_epochs": ["HashAggregate", "Union", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: one per-user sort (Window) shared by sessionization +
+    # ranking, session-grain array state, |entry types| final rows —
+    # no joins at all
+    "ndcg_sessions": ["Window", "HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
