@@ -4397,3 +4397,90 @@ def brier_decomposition(
             dec(F.col("__yy")) * dec(F.col("__n") - F.col("__yy")), nn * nn
         ).alias("uncertainty"),
     )
+
+
+def value_precision_audit(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Rounding-artifact / price-point profile of a nominally
+    2-decimal monetary column — the data-entry forensics panel
+    (trailing-digit analysis, the same instrument as Benford-style
+    digit tests but aimed at the LAST digits, where hand-entry,
+    binning and charm pricing leave fingerprints): per group, the
+    share of whole-unit values (cents ≡ 0 mod 100), dime-grid values
+    (≡ 0 mod 10), .99 charm endings, and the modal final cent digit
+    with its share. A share_int near 1 says the column was binned
+    upstream; a top-digit share ≫ 1/10 says values are synthetic or
+    templated — either way percentile/drift audits downstream are
+    reading artifacts, not signal.
+
+    Exactness: cents via the engine-mirrored ``text._cents``
+    (sign·floor(|x·100|+0.5)); every share is ONE exact integer
+    ratio; the modal digit breaks count ties on the SMALLER digit
+    (deterministic on uniform adversarial grids). NULL values are
+    dropped on both engines (n counts scored rows only).
+
+    Output: (group, n, share_int, share_dime, share_99, top_digit,
+    top_digit_share).
+
+    Scale shape: map-only cents extraction, one (group, digit)-grain
+    aggregate (≤ 10 rows per group) and one group-grain rollup — the
+    modal pick is a tiny per-group sort, never a corpus window."""
+    from kairos_spark.operators.text import _cents
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("group"),
+        _cents(F.col(value_col)).alias("__c"),
+    )
+    # pmod: cents can be negative; both engines' % differ on negatives
+    # (Spark % keeps sign) — pmod/((x % m) + m) % m agree instead
+    digit = F.pmod(F.col("__c"), F.lit(10))
+    mod100 = F.pmod(F.col("__c"), F.lit(100))
+    per_digit = (
+        base.select(
+            "group",
+            digit.alias("__d"),
+            F.when(mod100 == 0, 1).otherwise(0).alias("__int"),
+            F.when(F.pmod(F.col("__c"), F.lit(10)) == 0, 1)
+            .otherwise(0)
+            .alias("__dime"),
+            F.when(mod100 == 99, 1).otherwise(0).alias("__n99"),
+        )
+        .groupBy("group", "__d")
+        .agg(
+            F.count("*").cast("long").alias("__nd"),
+            F.sum("__int").cast("long").alias("__ni"),
+            F.sum("__dime").cast("long").alias("__ndime"),
+            F.sum("__n99").cast("long").alias("__n99s"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wtop = Window.partitionBy("group").orderBy(
+        F.col("__nd").desc(), F.col("__d").asc()
+    )
+    ranked = per_digit.withColumn("__rk", F.row_number().over(wtop))
+    agg = per_digit.groupBy("group").agg(
+        F.sum("__nd").cast("long").alias("n"),
+        F.sum("__ni").cast("long").alias("__int_n"),
+        F.sum("__ndime").cast("long").alias("__dime_n"),
+        F.sum("__n99s").cast("long").alias("__99_n"),
+    )
+    top = ranked.where(F.col("__rk") == 1).select(
+        "group", F.col("__d").alias("top_digit"), F.col("__nd").alias("__top_n")
+    )
+    return (
+        agg.join(F.broadcast(top), "group")
+        .select(
+            "group",
+            "n",
+            _round6_ratio(F.col("__int_n"), F.col("n")).alias("share_int"),
+            _round6_ratio(F.col("__dime_n"), F.col("n")).alias("share_dime"),
+            _round6_ratio(F.col("__99_n"), F.col("n")).alias("share_99"),
+            F.col("top_digit").cast("long").alias("top_digit"),
+            _round6_ratio(F.col("__top_n"), F.col("n")).alias("top_digit_share"),
+        )
+        .orderBy("group")
+    )

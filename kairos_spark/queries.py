@@ -4243,6 +4243,16 @@ def q_ndcg_sessions(spark, sf_dir):
     return windows.ndcg_sessions(_tbl(spark, sf_dir, "events"), gap_sec=1800.0)
 
 
+def q_value_precision_audit(spark, sf_dir):
+    """Trailing-digit forensics of event values per type: whole-unit /
+    dime-grid / .99 charm-pricing shares and the modal final cent
+    digit — the last-digit artifact panel (Benford's complement)."""
+    return profiling.value_precision_audit(
+        _tbl(spark, sf_dir, "events"), value_col="value",
+        group_col="event_type",
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4486,6 +4496,7 @@ QUERIES = {
     "mattr_diversity": q_mattr_diversity,
     "data_constrained_epochs": q_data_constrained_epochs,
     "ndcg_sessions": q_ndcg_sessions,
+    "value_precision_audit": q_value_precision_audit,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5105,8 +5116,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     chao1_richness, json_schema_profile, lift_curve, mutual_info,
 #     categorical_drift, attribution_split, winnow_pairs,
 #     triangle_cooccurrence, temperature_mix, spearman_activity,
-#     source_scorecard — displaced when the 11 late-r13 queries
-#     rotated into group 1b) lead the r14 rotation's group (3).
+#     source_scorecard, session_gap_sweep — displaced when the 12
+#     late-r13 queries rotated into group 1b) lead the r14 rotation's
+#     group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5129,6 +5141,7 @@ _R13_WINDOW = [
     "mattr_diversity",
     "data_constrained_epochs",
     "ndcg_sessions",
+    "value_precision_audit",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5162,7 +5175,6 @@ _R13_WINDOW = [
     "quality_auc",
     "quantize_audit",
     "schema_drift",
-    "session_gap_sweep",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -16336,6 +16348,50 @@ ORACLES["ndcg_sessions"] = """
                 AS BIGINT) / 1000000.0 AS mean_ndcg
     FROM scored GROUP BY 1
 """
+
+ORACLES["value_precision_audit"] = """
+    WITH base AS (
+        SELECT event_type AS g,
+               CASE WHEN CAST(value AS DOUBLE) >= 0
+                    THEN  CAST(floor( CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor(-CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               END AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    flags AS (
+        SELECT g,
+               ((c % 10) + 10) % 10 AS d,
+               CASE WHEN ((c % 100) + 100) % 100 = 0 THEN 1 ELSE 0 END AS i100,
+               CASE WHEN ((c % 10) + 10) % 10 = 0 THEN 1 ELSE 0 END AS i10,
+               CASE WHEN ((c % 100) + 100) % 100 = 99 THEN 1 ELSE 0 END AS i99
+        FROM base
+    ),
+    per_digit AS (
+        SELECT g, d, count(*) AS nd,
+               sum(i100)::BIGINT AS ni, sum(i10)::BIGINT AS ndime,
+               sum(i99)::BIGINT AS n99
+        FROM flags GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY g ORDER BY nd DESC, d ASC) AS rk
+        FROM per_digit
+    ),
+    agg AS (
+        SELECT g, sum(nd)::BIGINT AS n, sum(ni)::BIGINT AS int_n,
+               sum(ndime)::BIGINT AS dime_n, sum(n99)::BIGINT AS c99_n
+        FROM per_digit GROUP BY 1
+    ),
+    top AS (SELECT g, d AS top_digit, nd AS top_n FROM ranked WHERE rk = 1)
+    SELECT a.g AS "group",
+           n,
+           floor((2000000 * int_n + n) / (2.0 * n)) / 1000000.0 AS share_int,
+           floor((2000000 * dime_n + n) / (2.0 * n)) / 1000000.0 AS share_dime,
+           floor((2000000 * c99_n + n) / (2.0 * n)) / 1000000.0 AS share_99,
+           CAST(top_digit AS BIGINT) AS top_digit,
+           floor((2000000 * top_n + n) / (2.0 * n)) / 1000000.0 AS top_digit_share
+    FROM agg a JOIN top t ON t.g = a.g
+"""
+
 
 
 

@@ -787,3 +787,35 @@ def test_ndcg_k_guard(spark):
     ).selectExpr("user_id", "event_type", "timestamp_micros(us) AS ts", "event_id")
     with pytest.raises(ValueError):
         W.ndcg_sessions(d, k=5)
+
+
+# ------------------------------------------------------ value_precision_audit
+
+def test_value_precision_hand_panel(spark):
+    """6 values incl. a negative: 2 whole-unit, 3 dime-grid, 1 charm
+    .99; negative cents take the pmod path (-3.50 -> digit 0)."""
+    from kairos_spark.operators import profiling as P
+
+    d = spark.createDataFrame(
+        [(1, "a", 2.00), (2, "a", 5.00), (3, "a", -3.50),
+         (4, "a", 1.99), (5, "a", 0.07), (6, "a", 0.13)],
+        "event_id long, event_type string, value double",
+    )
+    r = P.value_precision_audit(d).collect()[0]
+    assert r.n == 6
+    assert r.share_int == 0.333333      # 2/6
+    assert r.share_dime == 0.5          # 2.00, 5.00, -3.50
+    assert r.share_99 == 0.166667       # 1.99
+    # digits: 0,0,0,9,7,3 -> modal 0 (count 3)
+    assert r.top_digit == 0 and r.top_digit_share == 0.5
+
+
+def test_value_precision_modal_tie_breaks_low_and_nulls_drop(spark):
+    from kairos_spark.operators import profiling as P
+
+    d = spark.createDataFrame(
+        [(1, "a", 0.01), (2, "a", 0.02), (3, "a", None)],
+        "event_id long, event_type string, value double",
+    )
+    r = P.value_precision_audit(d).collect()[0]
+    assert r.n == 2 and r.top_digit == 1 and r.top_digit_share == 0.5

@@ -30,6 +30,7 @@ AUDITED = [
     "mattr_diversity",
     "data_constrained_epochs",
     "ndcg_sessions",
+    "value_precision_audit",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -488,6 +489,10 @@ CHECKS = {
     # ranking, session-grain array state, |entry types| final rows —
     # no joins at all
     "ndcg_sessions": ["Window", "HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
+    # late-r13: map-only cents extraction, (group, digit)-grain
+    # aggregate (<=10 rows/group), broadcast modal-pick join back —
+    # no shuffle joins, no corpus windows
+    "value_precision_audit": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
