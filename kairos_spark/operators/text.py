@@ -4423,3 +4423,100 @@ def mattr_diversity(
         )
         .orderBy("group")
     )
+
+
+def good_turing_mass(
+    df: DataFrame,
+    text_col: str = "text",
+    gram_n: int = 3,
+    max_r: int = 5,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies panel (Good 1953,
+    Biometrika 40; the smoothing table of Katz backoff and the
+    unseen-species estimate of Gale & Sampson 1995's SGT), computed
+    at word ``gram_n``-gram grain — the grain Katz backoff actually
+    discounts at, and the one where a bounded-vocabulary corpus still
+    has a live low-r tail (at unigram grain a 31-type synthetic vocab
+    has NO rare strata and the table is vacuous — probed): over the
+    corpus gram counts, for each observed frequency r ≤ ``max_r``
+    emit n_r (types seen exactly r times), that stratum's share of
+    token mass r·n_r/N, and the GT adjusted count
+    r* = (r+1)·n_{r+1}/n_r — how much probability mass the estimator
+    moves DOWN from each stratum. The r = 0 row carries THE
+    Good-Turing number: p0 = n_1/N, the total probability of tokens
+    never seen in this corpus — the principled answer to "how much of
+    the next shard's vocabulary will be new", which raw counts put at
+    an impossible 0. A heavy low-r table says the vocabulary is still
+    growing (expect OOV downstream); r* ≪ r at r = 1-2 flags
+    undertrained token statistics.
+
+    Exactness: every emitted number is ONE exact integer ratio
+    (r·n_r, (r+1)·n_{r+1}, n_1 over N or n_r — the count-ratio
+    helpers); missing n_{r+1} strata contribute r* via n_{r+1} = 0
+    (the estimator's own "discount to nothing" answer), and rows
+    appear only for strata with n_r ≥ 1 — identically on both
+    engines. Empty corpora emit nothing.
+
+    Output: (r, n_r, mass_share, r_star); r = 0 is the unseen row
+    (n_r = 0, mass_share = p0, r_star = 0.0).
+
+    Scale shape: token counting aggregates at token grain with
+    map-side combine; the freq-of-freq table is ≤ |distinct counts|
+    rows — everything after the first aggregate is broadcast-size.
+    One corpus pass."""
+    norm = F.trim(normalize_ws(F.col(text_col)))
+    toks = (
+        df.select(norm.alias("__n"))
+        .where(F.col("__n") != "")
+        .select(F.split(F.col("__n"), " ").alias("__tk"))
+        .select(
+            # ALL gram instances (no per-doc distinct): GT smooths
+            # instance counts; short docs yield their single partial
+            # gram (the word_ngrams convention)
+            F.explode(word_ngrams(F.col("__tk"), int(gram_n))).alias("__t")
+        )
+    )
+    counts = toks.groupBy("__t").agg(F.count("*").alias("__c"))
+    ff = counts.groupBy("__c").agg(F.count("*").cast("long").alias("__nr"))
+    tot = counts.agg(
+        F.sum("__c").cast("long").alias("__N"),
+        F.count("*").cast("long").alias("__V"),
+    )
+    nxt = ff.select(
+        (F.col("__c") - F.lit(1)).alias("__c"), F.col("__nr").alias("__nnext")
+    )
+    body = (
+        ff.where(F.col("__c") <= int(max_r))
+        .join(nxt, "__c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__c").cast("long").alias("r"),
+            F.col("__nr").alias("n_r"),
+            _round6_ratio(F.col("__c") * F.col("__nr"), F.col("__N")).alias(
+                "mass_share"
+            ),
+            _round6_ratio(
+                (F.col("__c") + F.lit(1))
+                * F.coalesce(F.col("__nnext"), F.lit(0)),
+                F.col("__nr"),
+            ).alias("r_star"),
+        )
+    )
+    # 1-row aggregate (not a filter): a hapax-free corpus must still
+    # emit the unseen row with p0 = 0, not lose it to an empty join
+    n1 = ff.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__c") == 1, F.col("__nr"))), F.lit(0)
+        ).alias("__n1")
+    )
+    unseen = (
+        tot.where(F.col("__N") >= 1)
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("n_r"),
+            _round6_ratio(F.col("__n1"), F.col("__N")).alias("mass_share"),
+            F.lit(0.0).alias("r_star"),
+        )
+    )
+    return unseen.unionByName(body).orderBy("r")

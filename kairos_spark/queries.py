@@ -4253,6 +4253,16 @@ def q_value_precision_audit(spark, sf_dir):
     )
 
 
+def q_good_turing_mass(spark, sf_dir):
+    """Good-Turing freq-of-frequencies panel over corpus word
+    TRIGRAMS (the Katz-backoff grain — unigram grain is vacuous on
+    this bounded vocab): n_r, stratum mass shares and GT adjusted
+    counts r* for r<=5, plus the r=0 unseen-mass row p0 = n_1/N."""
+    return text.good_turing_mass(
+        _tbl(spark, sf_dir, "documents"), gram_n=3, max_r=5
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4497,6 +4507,7 @@ QUERIES = {
     "data_constrained_epochs": q_data_constrained_epochs,
     "ndcg_sessions": q_ndcg_sessions,
     "value_precision_audit": q_value_precision_audit,
+    "good_turing_mass": q_good_turing_mass,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5116,9 +5127,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     chao1_richness, json_schema_profile, lift_curve, mutual_info,
 #     categorical_drift, attribution_split, winnow_pairs,
 #     triangle_cooccurrence, temperature_mix, spearman_activity,
-#     source_scorecard, session_gap_sweep — displaced when the 12
-#     late-r13 queries rotated into group 1b) lead the r14 rotation's
-#     group (3).
+#     source_scorecard, session_gap_sweep, schema_drift — displaced
+#     when the 13 late-r13 queries rotated into group 1b) lead the
+#     r14 rotation's group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5142,6 +5153,7 @@ _R13_WINDOW = [
     "data_constrained_epochs",
     "ndcg_sessions",
     "value_precision_audit",
+    "good_turing_mass",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5174,7 +5186,6 @@ _R13_WINDOW = [
     "path_conformance",
     "quality_auc",
     "quantize_audit",
-    "schema_drift",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -16391,6 +16402,50 @@ ORACLES["value_precision_audit"] = """
            floor((2000000 * top_n + n) / (2.0 * n)) / 1000000.0 AS top_digit_share
     FROM agg a JOIN top t ON t.g = a.g
 """
+
+ORACLES["good_turing_mass"] = """
+    WITH norm AS (
+        SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+        FROM documents
+    ),
+    toks AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS t
+        FROM (SELECT string_split(n, ' ') AS ws FROM norm WHERE n <> '')
+    ),
+    counts AS MATERIALIZED (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+    ff AS MATERIALIZED (SELECT c, count(*)::BIGINT AS nr FROM counts GROUP BY 1),
+    tot AS (SELECT sum(c)::BIGINT AS nn, count(*)::BIGINT AS v FROM counts),
+    n1 AS (
+        SELECT coalesce(sum(CASE WHEN c = 1 THEN nr END), 0)::BIGINT AS h
+        FROM ff
+    ),
+    body AS (
+        SELECT CAST(f.c AS BIGINT) AS r,
+               f.nr AS n_r,
+               floor((2000000 * (f.c * f.nr) + t.nn) / (2.0 * t.nn))
+                   / 1000000.0 AS mass_share,
+               floor((2000000 * ((f.c + 1) * coalesce(f2.nr, 0)) + f.nr)
+                     / (2.0 * f.nr)) / 1000000.0 AS r_star
+        FROM ff f
+        LEFT JOIN ff f2 ON f2.c = f.c + 1
+        CROSS JOIN tot t
+        WHERE f.c <= 5
+    ),
+    unseen AS (
+        SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+               floor((2000000 * n1.h + t.nn) / (2.0 * t.nn)) / 1000000.0
+                   AS mass_share,
+               0.0 AS r_star
+        FROM tot t CROSS JOIN n1
+        WHERE t.nn >= 1
+    )
+    SELECT r, n_r, mass_share, CAST(r_star AS DOUBLE) AS r_star FROM unseen
+    UNION ALL
+    SELECT r, n_r, mass_share, r_star FROM body
+"""
+
 
 
 

@@ -819,3 +819,36 @@ def test_value_precision_modal_tie_breaks_low_and_nulls_drop(spark):
     )
     r = P.value_precision_audit(d).collect()[0]
     assert r.n == 2 and r.top_digit == 1 and r.top_digit_share == 0.5
+
+
+# ----------------------------------------------------------- good_turing_mass
+
+def test_good_turing_hand_table(spark):
+    """'a a a b b c' at unigram grain: n1=n2=n3=1, N=6 — every cell
+    hand-checked, incl. the r=3 discount-to-zero (no n_4 stratum)."""
+    from kairos_spark.operators import text as T
+
+    d = spark.createDataFrame([(1, "a a a b b c")], "doc_id long, text string")
+    out = {r.r: r for r in T.good_turing_mass(d, gram_n=1, max_r=5).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0].n_r == 0 and out[0].mass_share == 0.166667  # p0 = 1/6
+    assert out[1].r_star == 2.0 and out[1].mass_share == 0.166667
+    assert out[2].r_star == 3.0 and out[2].mass_share == 0.333333
+    assert out[3].r_star == 0.0 and out[3].mass_share == 0.5
+
+
+def test_good_turing_hapax_free_keeps_unseen_row(spark):
+    from kairos_spark.operators import text as T
+
+    d = spark.createDataFrame([(1, "a a b b")], "doc_id long, text string")
+    out = {r.r: r for r in T.good_turing_mass(d, gram_n=1).collect()}
+    assert 0 in out and out[0].mass_share == 0.0  # p0 = 0, row kept
+
+
+def test_good_turing_partial_gram_convention(spark):
+    """A 2-word doc at trigram grain yields ONE partial gram."""
+    from kairos_spark.operators import text as T
+
+    d = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    out = {r.r: r for r in T.good_turing_mass(d, gram_n=3).collect()}
+    assert out[1].n_r == 1 and out[0].mass_share == 1.0

@@ -31,6 +31,7 @@ AUDITED = [
     "data_constrained_epochs",
     "ndcg_sessions",
     "value_precision_audit",
+    "good_turing_mass",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -493,6 +494,10 @@ CHECKS = {
     # aggregate (<=10 rows/group), broadcast modal-pick join back —
     # no shuffle joins, no corpus windows
     "value_precision_audit": ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: gram explode (Generate) -> gram-grain count with
+    # map-side combine -> broadcast-size freq-of-freq table; the
+    # n_{r+1} lookup and totals join at <=|distinct counts| rows
+    "good_turing_mass": ["Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
