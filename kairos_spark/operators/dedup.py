@@ -3359,3 +3359,126 @@ def lsh_br_planner(
         )
         .orderBy("bands")
     )
+
+
+def cluster_stability_ari(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    t_lo: float = 0.15,
+    t_hi: float = 0.35,
+    sample_docs: int = 64,
+) -> DataFrame:
+    """Dedup-cluster STABILITY between two Jaccard thresholds — the
+    partition-agreement audit (Rand 1971's index and Hubert & Arabie
+    1985's adjusted form) the threshold sweep can't see:
+    ``dedup_threshold_sweep`` counts clusters per cutoff, but two
+    cutoffs can keep the count while reshuffling the membership. Over
+    the bounded doc sample, build the exact-Jaccard connected
+    components at ``t_lo`` and ``t_hi`` and score pair agreement:
+    together-in-both / lo-only / hi-only / neither, the Rand index
+    (a+d)/C, and the chance-corrected ARI. A high Rand with low ARI
+    says the agreement is just both-mostly-singletons; an ARI near 1
+    says the dedup decision is threshold-robust in [t_lo, t_hi] — the
+    number that justifies shipping one global cutoff.
+
+    Since the hi-graph's edges are a subset of the lo-graph's, the hi
+    partition refines the lo partition (together_hi_only = 0 by
+    construction — emitted anyway as a structural self-check column).
+    ARI from the pair counts: with Σ₁ = a+b (together at lo),
+    Σ₂ = a+c (together at hi), ARI = (C·a − Σ₁Σ₂) /
+    (C·(Σ₁+Σ₂)/2 − Σ₁Σ₂) — every term an exact integer
+    (den ≥ 0 provably; den = 0 means both partitions are trivially
+    identical → ARI sentinels to 1.0). Singleton docs keep their own
+    id as label on both engines.
+
+    Output (one row): (n_docs, n_clusters_lo, n_clusters_hi,
+    together_both, together_lo_only, together_hi_only,
+    together_neither, rand_index, ari).
+
+    Scale shape: the bounded-audit pattern (sample top-k, shingle
+    self-join, all-pairs ≤ sample²/2); components reuse
+    ``connected_components`` (size-gated local union-find on this
+    scale). Never run uncapped — at corpus scale compare cluster
+    COUNTS with dedup_threshold_sweep and run this on a sample."""
+    capped = (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(id_col)
+        .limit(int(sample_docs))
+        .localCheckpoint(eager=True)
+    )
+    ids = capped.select(F.col(id_col).alias("id"))
+    labs = {}
+    for key, t in (("lo", float(t_lo)), ("hi", float(t_hi))):
+        prs = ngram_jaccard_pairs(capped, text_col, id_col, n, t).select(
+            "id_a", "id_b"
+        )
+        cc = connected_components(prs)
+        labs[key] = ids.join(
+            cc.withColumnRenamed("node", "id"), "id", "left"
+        ).select(
+            "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias(f"l_{key}")
+        )
+    ia = ids.alias("ia")
+    ib = ids.alias("ib")
+    allp = ia.join(ib, F.col("ia.id") < F.col("ib.id")).select(
+        F.col("ia.id").alias("id_a"), F.col("ib.id").alias("id_b")
+    )
+    def _side(key, side):
+        return labs[key].select(
+            F.col("id").alias(f"id_{side}"),
+            F.col(f"l_{key}").alias(f"__{key}_{side}"),
+        )
+    j = (
+        allp.join(_side("lo", "a"), "id_a")
+        .join(_side("lo", "b"), "id_b")
+        .join(_side("hi", "a"), "id_a")
+        .join(_side("hi", "b"), "id_b")
+        .select(
+            F.when(F.col("__lo_a") == F.col("__lo_b"), 1).otherwise(0).alias("__tl"),
+            F.when(F.col("__hi_a") == F.col("__hi_b"), 1).otherwise(0).alias("__th"),
+        )
+    )
+    cnt = j.agg(
+        F.count("*").cast("long").alias("__C"),
+        F.sum(F.col("__tl") * F.col("__th")).cast("long").alias("a"),
+        F.sum(F.col("__tl") * (1 - F.col("__th"))).cast("long").alias("b"),
+        F.sum((1 - F.col("__tl")) * F.col("__th")).cast("long").alias("c"),
+    )
+    ncl = (
+        labs["lo"].agg(F.countDistinct("l_lo").cast("long").alias("n_clusters_lo"))
+        .crossJoin(
+            labs["hi"].agg(
+                F.countDistinct("l_hi").cast("long").alias("n_clusters_hi")
+            )
+        )
+    )
+    nd = capped.agg(F.count("*").cast("long").alias("n_docs"))
+    s1 = F.col("a") + F.col("b")
+    s2 = F.col("a") + F.col("c")
+    num = F.lit(2) * F.col("__C") * F.col("a") - F.lit(2) * s1 * s2
+    den = F.col("__C") * (F.lit(2) * F.col("a") + F.col("b") + F.col("c")) - F.lit(2) * s1 * s2
+    from kairos_spark.operators.text import _round6_ratio_signed
+
+    return (
+        nd.crossJoin(F.broadcast(ncl))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "n_docs",
+            "n_clusters_lo",
+            "n_clusters_hi",
+            F.col("a").alias("together_both"),
+            F.col("b").alias("together_lo_only"),
+            F.col("c").alias("together_hi_only"),
+            (F.col("__C") - F.col("a") - F.col("b") - F.col("c")).alias(
+                "together_neither"
+            ),
+            _round6_ratio(
+                F.col("__C") - F.col("b") - F.col("c"), F.col("__C")
+            ).alias("rand_index"),
+            F.when(den > 0, _round6_ratio_signed(num, den))
+            .otherwise(F.lit(1.0))
+            .alias("ari"),
+        )
+    )

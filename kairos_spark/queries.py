@@ -4263,6 +4263,20 @@ def q_good_turing_mass(spark, sf_dir):
     )
 
 
+def q_cluster_stability_ari(spark, sf_dir):
+    """Rand + adjusted Rand agreement between the exact-Jaccard dedup
+    clusterings at t=0.06 and t=0.10 over the bounded 64-doc sample —
+    is the dedup decision threshold-robust, or does the sweep's stable
+    cluster COUNT hide membership churn? (Thresholds sit where this
+    corpus's pair mass actually splits — probed: ~350 sample pairs at
+    J>=0.06 vs 7 at J>=0.10, so the two partitions genuinely differ;
+    at 0.15/0.35 both were all-singletons and the audit was vacuous.)"""
+    return dedup.cluster_stability_ari(
+        _tbl(spark, sf_dir, "documents"), n=8, t_lo=0.06, t_hi=0.10,
+        sample_docs=64,
+    )
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4508,6 +4522,7 @@ QUERIES = {
     "ndcg_sessions": q_ndcg_sessions,
     "value_precision_audit": q_value_precision_audit,
     "good_turing_mass": q_good_turing_mass,
+    "cluster_stability_ari": q_cluster_stability_ari,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5127,9 +5142,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     chao1_richness, json_schema_profile, lift_curve, mutual_info,
 #     categorical_drift, attribution_split, winnow_pairs,
 #     triangle_cooccurrence, temperature_mix, spearman_activity,
-#     source_scorecard, session_gap_sweep, schema_drift — displaced
-#     when the 13 late-r13 queries rotated into group 1b) lead the
-#     r14 rotation's group (3).
+#     source_scorecard, session_gap_sweep, schema_drift,
+#     quantize_audit — displaced when the 14 late-r13 queries rotated
+#     into group 1b) lead the r14 rotation's group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5154,6 +5169,7 @@ _R13_WINDOW = [
     "ndcg_sessions",
     "value_precision_audit",
     "good_turing_mass",
+    "cluster_stability_ari",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5185,7 +5201,6 @@ _R13_WINDOW = [
     "ngram_novelty",
     "path_conformance",
     "quality_auc",
-    "quantize_audit",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -16445,6 +16460,123 @@ ORACLES["good_turing_mass"] = """
     UNION ALL
     SELECT r, n_r, mass_share, r_star FROM body
 """
+
+ORACLES["cluster_stability_ari"] = """
+    WITH RECURSIVE
+    ids AS MATERIALIZED (
+        SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 64
+    ),
+    norm AS (
+        SELECT d.doc_id, regexp_replace(lower(d.text), '\\s+', ' ', 'g') AS n
+        FROM documents d JOIN ids ON ids.id = d.doc_id
+    ),
+    idx AS (
+        SELECT doc_id, n,
+               unnest(generate_series(1, greatest(length(n) - 7, 1))) AS i
+        FROM norm
+    ),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(n, i, 8) AS s FROM idx),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shared AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    plo AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE floor((2000000 * shared + (sa.sz + sb.sz - shared))
+                    / (2.0 * (sa.sz + sb.sz - shared))) / 1000000.0 >= 0.06
+    ),
+    elo AS (
+        SELECT id_a AS a, id_b AS b FROM plo
+        UNION
+        SELECT id_b, id_a FROM plo
+    ),
+    reachlo(node, r) AS (
+        SELECT a, a FROM elo
+        UNION
+        SELECT e.a, rr.r FROM elo e JOIN reachlo rr ON e.b = rr.node
+    ),
+    lablo AS MATERIALIZED (
+        SELECT i.id, coalesce(m.lbl, i.id) AS l
+        FROM ids i
+        LEFT JOIN (SELECT node, min(r) AS lbl FROM reachlo GROUP BY 1) m
+               ON m.node = i.id
+    ),
+    phi AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE floor((2000000 * shared + (sa.sz + sb.sz - shared))
+                    / (2.0 * (sa.sz + sb.sz - shared))) / 1000000.0 >= 0.1
+    ),
+    ehi AS (
+        SELECT id_a AS a, id_b AS b FROM phi
+        UNION
+        SELECT id_b, id_a FROM phi
+    ),
+    reachhi(node, r) AS (
+        SELECT a, a FROM ehi
+        UNION
+        SELECT e.a, rr.r FROM ehi e JOIN reachhi rr ON e.b = rr.node
+    ),
+    labhi AS MATERIALIZED (
+        SELECT i.id, coalesce(m.lbl, i.id) AS l
+        FROM ids i
+        LEFT JOIN (SELECT node, min(r) AS lbl FROM reachhi GROUP BY 1) m
+               ON m.node = i.id
+    ),
+    allp AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ids a JOIN ids b ON a.id < b.id
+    ),
+    flags AS (
+        SELECT CASE WHEN la.l = lb.l THEN 1 ELSE 0 END AS tl,
+               CASE WHEN ha.l = hb.l THEN 1 ELSE 0 END AS th
+        FROM allp p
+        JOIN lablo la ON la.id = p.id_a
+        JOIN lablo lb ON lb.id = p.id_b
+        JOIN labhi ha ON ha.id = p.id_a
+        JOIN labhi hb ON hb.id = p.id_b
+    ),
+    cnt AS (
+        SELECT count(*)::BIGINT AS cc,
+               sum(tl * th)::BIGINT AS a,
+               sum(tl * (1 - th))::BIGINT AS b,
+               sum((1 - tl) * th)::BIGINT AS c
+        FROM flags
+    ),
+    ncl AS (
+        SELECT (SELECT count(DISTINCT l) FROM lablo)::BIGINT AS n_clusters_lo,
+               (SELECT count(DISTINCT l) FROM labhi)::BIGINT AS n_clusters_hi
+    ),
+    nd AS (SELECT count(*)::BIGINT AS n_docs FROM ids)
+    SELECT n_docs, n_clusters_lo, n_clusters_hi,
+           a AS together_both,
+           b AS together_lo_only,
+           c AS together_hi_only,
+           cc - a - b - c AS together_neither,
+           floor((2000000 * (cc - b - c) + cc) / (2.0 * cc)) / 1000000.0
+               AS rand_index,
+           CASE WHEN cc * (2 * a + b + c) - 2 * (a + b) * (a + c) > 0
+                THEN CASE WHEN 2 * cc * a - 2 * (a + b) * (a + c) >= 0
+                     THEN floor((2000000 * (2 * cc * a - 2 * (a + b) * (a + c))
+                                 + (cc * (2 * a + b + c) - 2 * (a + b) * (a + c)))
+                                / (2.0 * (cc * (2 * a + b + c)
+                                          - 2 * (a + b) * (a + c))))
+                          / 1000000.0
+                     ELSE -floor((2000000 * (-(2 * cc * a - 2 * (a + b) * (a + c)))
+                                  + (cc * (2 * a + b + c) - 2 * (a + b) * (a + c)))
+                                 / (2.0 * (cc * (2 * a + b + c)
+                                           - 2 * (a + b) * (a + c))))
+                          / 1000000.0 + 0.0
+                     END
+                ELSE 1.0 END AS ari
+    FROM nd CROSS JOIN ncl CROSS JOIN cnt
+"""
+
 
 
 

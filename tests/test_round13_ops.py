@@ -852,3 +852,43 @@ def test_good_turing_partial_gram_convention(spark):
     d = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
     out = {r.r: r for r in T.good_turing_mass(d, gram_n=3).collect()}
     assert out[1].n_r == 1 and out[0].mass_share == 1.0
+
+
+# ------------------------------------------------------ cluster_stability_ari
+
+def test_ari_chance_level_agreement(spark):
+    """d1==d2, d3 weakly similar: lo merges all three, hi keeps only
+    the identical pair -> a=1,b=2,d=0: Rand 1/3, ARI exactly 0."""
+    from kairos_spark.operators import dedup as D
+
+    d = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcd"), (3, "abxy")], "doc_id long, text string"
+    )
+    r = D.cluster_stability_ari(d, n=2, t_lo=0.1, t_hi=0.5).collect()[0]
+    assert (r.together_both, r.together_lo_only, r.together_hi_only,
+            r.together_neither) == (1, 2, 0, 0)
+    assert r.n_clusters_lo == 1 and r.n_clusters_hi == 2
+    assert r.rand_index == 0.333333 and r.ari == 0.0
+
+
+def test_ari_identical_partitions(spark):
+    from kairos_spark.operators import dedup as D
+
+    d = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcd"), (3, "zzzz")], "doc_id long, text string"
+    )
+    r = D.cluster_stability_ari(d, n=2, t_lo=0.4, t_hi=0.6).collect()[0]
+    assert r.rand_index == 1.0 and r.ari == 1.0
+    assert r.together_lo_only == 0 and r.together_hi_only == 0
+
+
+def test_ari_trivial_singletons_sentinel(spark):
+    """All-distinct docs: both partitions all-singletons, den=0 ->
+    ARI sentinels to 1.0 (identical trivial partitions)."""
+    from kairos_spark.operators import dedup as D
+
+    d = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bbbb"), (3, "cccc")], "doc_id long, text string"
+    )
+    r = D.cluster_stability_ari(d, n=2, t_lo=0.3, t_hi=0.7).collect()[0]
+    assert r.together_both == 0 and r.rand_index == 1.0 and r.ari == 1.0

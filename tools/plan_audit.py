@@ -32,6 +32,7 @@ AUDITED = [
     "ndcg_sessions",
     "value_precision_audit",
     "good_turing_mass",
+    "cluster_stability_ari",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -498,6 +499,11 @@ CHECKS = {
     # map-side combine -> broadcast-size freq-of-freq table; the
     # n_{r+1} lookup and totals join at <=|distinct counts| rows
     "good_turing_mass": ["Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: bounded-audit shape (64-doc sample, shingle equi-join,
+    # documented bounded all-pairs BNLJ); the CC labels come from the
+    # size-gated local union-find so the output frame folds broadcast
+    # 1-row aggregates — never a CartesianProduct
+    "cluster_stability_ari": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
