@@ -3416,7 +3416,7 @@ def cluster_stability_ari(
         )
         cc = connected_components(prs)
         labs[key] = ids.join(
-            cc.withColumnRenamed("node", "id"), "id", "left"
+            F.broadcast(cc.withColumnRenamed("node", "id")), "id", "left"
         ).select(
             "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias(f"l_{key}")
         )
@@ -3426,9 +3426,13 @@ def cluster_stability_ari(
         F.col("ia.id").alias("id_a"), F.col("ib.id").alias("id_b")
     )
     def _side(key, side):
-        return labs[key].select(
-            F.col("id").alias(f"id_{side}"),
-            F.col(f"l_{key}").alias(f"__{key}_{side}"),
+        # <= sample_docs rows; broadcast so the 4-way label join never
+        # degenerates into a SortMergeJoin over the tiny pair frame
+        return F.broadcast(
+            labs[key].select(
+                F.col("id").alias(f"id_{side}"),
+                F.col(f"l_{key}").alias(f"__{key}_{side}"),
+            )
         )
     j = (
         allp.join(_side("lo", "a"), "id_a")
