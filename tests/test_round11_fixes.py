@@ -243,7 +243,9 @@ def test_sql_surgery_asserts_on_missing_anchor():
     from kairos_spark.queries import _sql_surgery
 
     assert _sql_surgery("abc", "b", "X") == "aXc"
-    with pytest.raises(AssertionError):
+    # ValueError since the -O hardening (assert would strip under
+    # python -O and the no-op would be silent again)
+    with pytest.raises(ValueError):
         _sql_surgery("abc", "zzz", "X")
 
 
@@ -253,5 +255,5 @@ def test_cluster_diameter_threshold_mismatch_refused(spark):
     from kairos_spark.operators import dedup
 
     d = spark.createDataFrame([Row(doc_id=1, text="a b c d e f g h i")])
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         dedup.cluster_diameter(d, threshold=0.3, threshold_num=1, threshold_den=5)
