@@ -266,6 +266,16 @@ PIPELINE = {
     # vocab_size_sweep repeats oov_rate's probe — not double-timed).
     "dump_overlap": q.q_dump_overlap,
     "simhash_radius_sweep": q.q_simhash_radius_sweep,
+    # r13 continuation additions — the two genuinely new corpus-scale
+    # shapes of the late batch (per-doc multi-regexp counting panel;
+    # token-array segment slicing + (group, token)-grain distinct).
+    # BASELINE.md records their first numbers as their own baselines
+    # per the freeze rule. The other nine late-r13 queries are
+    # bounded-sample audits, tiny-graph/vocab-grain jobs, or repeat
+    # already-timed shapes (good_turing_mass repeats the gram-explode
+    # family; ndcg_sessions the session-window family).
+    "readability_scores": q.q_readability_scores,
+    "mattr_diversity": q.q_mattr_diversity,
 }
 
 
@@ -454,7 +464,19 @@ def pipeline_stats(spark, sf_dir):
     srs = q.q_simhash_radius_sweep(spark, sf_dir).agg(
         F.max("cum_pairs").alias("cp")
     ).collect()[0]
+    # readability / mattr volumes (late r13): both jobs' wall time
+    # rides on corpus token volume; the panel outputs carry it.
+    rdb = q.q_readability_scores(spark, sf_dir).agg(
+        F.sum("words").alias("w"), F.sum("sentences").alias("s")
+    ).collect()[0]
+    mtd = q.q_mattr_diversity(spark, sf_dir).agg(
+        F.sum("n_segs").alias("g"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
     return {
+        "readability_words": int(rdb["w"]),
+        "readability_sentences": int(rdb["s"]),
+        "mattr_segments": int(mtd["g"]),
+        "mattr_tokens": int(mtd["t"]),
         "dump_digest_slots": int(dov["na"]),
         "dump_shared_total": int(dov["sh"]),
         "simhash_pairs_within_r5": int(srs["cp"]),
