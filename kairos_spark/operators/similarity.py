@@ -2115,3 +2115,92 @@ def kcenter_first_step(
         .orderBy(F.col("m6").desc(), F.col("id").asc())
         .limit(1)
     )
+
+
+def participation_ratio(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Effective dimensionality of the embedding space as the
+    PARTICIPATION RATIO of the (uncentered) second-moment matrix
+    S_ij = Σ_n x_i·x_j: PR = (Σ_i S_ii)² / Σ_ij S_ij² =
+    (Σλ)²/Σλ² over S's eigenvalues — the spectrum-flatness number
+    (1 = all variance on one axis, d = perfectly isotropic) used
+    across representation analysis (the PR of Gao et al. 2017's
+    neural-dimensionality literature; the whitening-need diagnostic
+    of the anisotropy line, Ethayarajh 2019). Complements
+    ``embedding_anisotropy``: that reports the TOP eigenvalue's
+    share via power iteration; PR summarizes the whole spectrum
+    WITHOUT any iteration — and because (Σλ)² and Σλ² are both
+    polynomial in the moment sums, it is computed here EXACTLY.
+    Uncentered by design (the mean direction is part of what
+    retrieval sees; anisotropy isolates it).
+
+    Exactness: each per-row product x_i·x_j is one IEEE multiply of
+    float32→double-exact components (engine-identical), quantized
+    sign-free at 1e-6; S_ij are exact integer sums; trace² and
+    ΣS_ij² are DECIMAL(38,0)/HUGEINT polynomials of those integers;
+    PR and PR/d are exact DECIMAL round-6 ratios. An all-zero (or
+    empty) matrix sentinels PR to 0.0; an empty input emits nothing.
+
+    Output (one row): (n_vecs, dims, pr, pr_norm).
+
+    Scale shape: the d² dim-pair products are generated MAP-ONLY
+    (nested array transform + one explode per row — no join), then
+    one (i, j)-grain aggregate of d² = 4096 cells with map-side
+    combine; everything after is a 1-row fold. One corpus pass; the
+    shuffle carries d² longs per partition, independent of n."""
+    v = F.col(vec_col).cast("array<double>")
+    pairs = df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    v,
+                    lambda x, i: F.transform(
+                        v, lambda y, j: F.struct(
+                            i.alias("i"), j.alias("j"), (x * y).alias("p")
+                        )
+                    ),
+                )
+            )
+        ).alias("s")
+    ).select(F.col("s.i").alias("i"), F.col("s.j").alias("j"), F.col("s.p").alias("p"))
+    q = (
+        F.when(F.col("p") >= 0, F.floor(F.col("p") * F.lit(1_000_000.0) + F.lit(0.5)))
+        .otherwise(-F.floor(-F.col("p") * F.lit(1_000_000.0) + F.lit(0.5)))
+        .cast("long")
+    )
+    cells = pairs.select("i", "j", q.alias("q")).groupBy("i", "j").agg(
+        F.sum("q").alias("s")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    meta = df.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.max(F.size(v)).cast("long").alias("dims"),
+    )
+    agg = cells.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("s")).otherwise(0)).alias(
+            "__tr"
+        ),
+        F.sum(d(F.col("s")) * d(F.col("s"))).alias("__fro2"),
+    )
+    num = d(F.col("__tr")) * d(F.col("__tr"))
+    return (
+        meta.where(F.col("n_vecs") >= 1)
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_vecs",
+            "dims",
+            F.when(
+                F.col("__fro2") > 0, _round6_ratio_dec(num, F.col("__fro2"))
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+            F.when(
+                F.col("__fro2") > 0,
+                _round6_ratio_dec(num, F.col("__fro2") * d(F.col("dims"))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr_norm"),
+        )
+    )

@@ -4277,6 +4277,14 @@ def q_cluster_stability_ari(spark, sf_dir):
     )
 
 
+def q_participation_ratio(spark, sf_dir):
+    """Participation ratio (ΣλΣλ / Σλ² of the uncentered second-moment
+    matrix) of the embedding space — the whole-spectrum effective
+    dimensionality, computed exactly from quantized integer moment
+    sums; anisotropy's complement (top eigenvalue vs spectrum shape)."""
+    return similarity.participation_ratio(_tbl(spark, sf_dir, "embeddings"))
+
+
 def q_license_audit(spark, sf_dir):
     """Per-source license / opt-out signal panel (SPDX tag, copyright,
     permissive / restrictive phrases, AI-training opt-out). Docs are
@@ -4523,6 +4531,7 @@ QUERIES = {
     "value_precision_audit": q_value_precision_audit,
     "good_turing_mass": q_good_turing_mass,
     "cluster_stability_ari": q_cluster_stability_ari,
+    "participation_ratio": q_participation_ratio,
     # --- Round-12 additions ---
     "minhash_scurve": q_minhash_scurve,
     "boilerplate_roi": q_boilerplate_roi,
@@ -5143,8 +5152,9 @@ assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 #     categorical_drift, attribution_split, winnow_pairs,
 #     triangle_cooccurrence, temperature_mix, spearman_activity,
 #     source_scorecard, session_gap_sweep, schema_drift,
-#     quantize_audit — displaced when the 14 late-r13 queries rotated
-#     into group 1b) lead the r14 rotation's group (3).
+#     quantize_audit, quality_auc — displaced when the 15 late-r13
+#     queries rotated into group 1b) lead the r14 rotation's
+#     group (3).
 _R13_WINDOW = [
     # (1) new r13
     "bpe_merge_chain",
@@ -5170,6 +5180,7 @@ _R13_WINDOW = [
     "value_precision_audit",
     "good_turing_mass",
     "cluster_stability_ari",
+    "participation_ratio",
     # (2) expressions changed this round
     "facility_select",
     "minhash_scurve",
@@ -5200,7 +5211,6 @@ _R13_WINDOW = [
     "multimodal_features",
     "ngram_novelty",
     "path_conformance",
-    "quality_auc",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 QUERIES = {
@@ -16576,6 +16586,44 @@ ORACLES["cluster_stability_ari"] = """
                 ELSE 1.0 END AS ari
     FROM nd CROSS JOIN ncl CROSS JOIN cnt
 """
+
+ORACLES["participation_ratio"] = """
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+        SELECT i.i, j.j, v.v[i.i] * v.v[j.j] AS p
+        FROM v,
+             unnest(generate_series(1, len(v.v))) AS i(i),
+             unnest(generate_series(1, len(v.v))) AS j(j)
+    ),
+    cells AS (
+        SELECT i, j,
+               sum(CASE WHEN p >= 0
+                        THEN  CAST(floor( p * 1000000.0 + 0.5) AS BIGINT)
+                        ELSE -CAST(floor(-p * 1000000.0 + 0.5) AS BIGINT)
+                   END) AS s
+        FROM pairs GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN i = j THEN s ELSE 0 END)::HUGEINT AS tr,
+               sum(s::HUGEINT * s::HUGEINT) AS fro2
+        FROM cells
+    ),
+    meta AS (
+        SELECT count(*)::BIGINT AS n_vecs, max(len(v))::BIGINT AS dims FROM v
+    )
+    SELECT n_vecs, dims,
+           CASE WHEN fro2 > 0
+                THEN CAST((2000000::HUGEINT * (tr * tr) + fro2)
+                          // (2::HUGEINT * fro2) AS BIGINT) / 1000000.0
+                ELSE 0.0 END AS pr,
+           CASE WHEN fro2 > 0
+                THEN CAST((2000000::HUGEINT * (tr * tr) + fro2 * dims)
+                          // (2::HUGEINT * (fro2 * dims)) AS BIGINT) / 1000000.0
+                ELSE 0.0 END AS pr_norm
+    FROM meta CROSS JOIN agg
+    WHERE n_vecs >= 1
+"""
+
 
 
 

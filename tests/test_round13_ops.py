@@ -892,3 +892,25 @@ def test_ari_trivial_singletons_sentinel(spark):
     )
     r = D.cluster_stability_ari(d, n=2, t_lo=0.3, t_hi=0.7).collect()[0]
     assert r.together_both == 0 and r.rand_index == 1.0 and r.ari == 1.0
+
+
+# -------------------------------------------------------- participation_ratio
+
+def test_participation_ratio_hand_spectrum(spark):
+    """Axis-aligned vectors give S = diag(2,1): PR = 9/5 = 1.8."""
+    from kairos_spark.operators import similarity as S
+
+    d = _vecs(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])])
+    r = S.participation_ratio(d).collect()[0]
+    assert r.n_vecs == 3 and r.dims == 2
+    assert r.pr == 1.8 and r.pr_norm == 0.9
+
+
+def test_participation_ratio_rank_one_and_zero(spark):
+    from kairos_spark.operators import similarity as S
+
+    r = S.participation_ratio(_vecs(spark, [(1, [2.0, 0.0])])).collect()[0]
+    assert r.pr == 1.0  # a single direction has effective dim 1
+    z = S.participation_ratio(_vecs(spark, [(1, [0.0, 0.0])])).collect()[0]
+    assert z.pr == 0.0 and z.pr_norm == 0.0  # all-zero sentinel
+    assert S.participation_ratio(_vecs(spark, [])).count() == 0

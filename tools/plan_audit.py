@@ -33,6 +33,7 @@ AUDITED = [
     "value_precision_audit",
     "good_turing_mass",
     "cluster_stability_ari",
+    "participation_ratio",
     "license_audit",
     "unimax_alloc",
     "simhash_radius_sweep",
@@ -504,6 +505,10 @@ CHECKS = {
     # size-gated local union-find so the output frame folds broadcast
     # 1-row aggregates — never a CartesianProduct
     "cluster_stability_ari": ["HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # late-r13: MAP-ONLY d^2 outer-product generation (Generate over
+    # the nested transform — no join anywhere), (i,j)-grain aggregate
+    # with map-side combine, 1-row folds after
+    "participation_ratio": ["Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin", "!BroadcastHashJoin"],
     # r12: benchmark gram sets broadcast into the probe; the pair
     # frame is |suites|² (3×3) — the only non-equi join is that
     # bounded universe pair join, never over docs
