@@ -195,13 +195,30 @@ def minhash_lsh_pairs(
     band bucket (shuffle on short digests) → within-bucket candidate
     pairs → estimated Jaccard = fraction of agreeing signature
     components ≥ threshold. With b=16, r=4 the S-curve midpoint is
-    (1/16)^(1/4) ≈ 0.5."""
+    (1/16)^(1/4) ≈ 0.5.
+
+    Two measured plan fixes (r13 optimization round, guide §2):
+    - the PROBE side of the bucket self-join round-robin-repartitions
+      to the core count: the banded frame's shuffle input is tiny
+      (docs × bands short rows), so AQE coalesces it to ~1 partition
+      and the join's ~500× within-bucket fan-out would evaluate in ONE
+      task (measured: the whole-join stage ran (0+1)/1 and the entry
+      took 4.0 s; spread, 2.0 s). Round-robin, not hash-by-bucket — a
+      hot bucket must SPREAD, not co-locate (the simhash_near_pairs
+      precedent).
+    - first-matching-band attribution instead of dropDuplicates: a
+      pair found at band j counts ONLY if no earlier band also
+      matches — an unrolled OR over (bands-1) static slice-equality
+      tests on the sig arrays both sides already carry — so every
+      pair survives exactly once with NO candidate-pair dedup shuffle
+      (the simhash_radius_sweep precedent; at scale the removed
+      exchange is the whole candidate set)."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     banded = sig.select(
         F.col(id_col),
         F.col("sig"),
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.md5(
@@ -212,9 +229,10 @@ def minhash_lsh_pairs(
                     )
                 ),
             )
-        ).alias("bucket"),
+        ).alias("__band", "bucket"),
     )
-    a = banded.alias("a")
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    a = banded.repartition(par).alias("a")
     b = banded.alias("b")
     cands = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -223,15 +241,25 @@ def minhash_lsh_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
+            F.col("a.__band").alias("__band"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    dup_earlier = F.lit(False)
+    for jp in range(bands - 1):
+        band_match = (
+            F.slice(F.col("sig_a"), jp * rows + 1, rows)
+            == F.slice(F.col("sig_b"), jp * rows + 1, rows)
+        )
+        dup_earlier = dup_earlier | ((F.lit(jp) < F.col("__band")) & band_match)
     est = _round6_ratio(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)),
         F.lit(int(num_hashes)),
     )
-    return cands.withColumn("est_jaccard", est).where(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", "est_jaccard"
+    return (
+        cands.where(~dup_earlier)
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
     )
 
 

@@ -414,37 +414,44 @@ def bfs_reach(
     rows, fine for the trace grain this runs at. The returned trace is
     a small local DataFrame; the joins run distributed during the
     collect."""
-    # Persist the undirected edge list ONCE: every hop joins against
-    # it, and callers routinely hand in an EXPENSIVE lazy plan (e.g.
-    # coactivity_edges: events scan -> cell groupBy -> per-cell pairs).
-    # Without the persist each of the `hops` eager rounds — plus the
-    # seed scan — re-executes that whole upstream plan, multiplying
-    # its cost ~(hops+1)x (measured r9: the bfs_reach_minute bench
-    # entry was ~10-13 s on a graph of 244 edges, all of it repeated
-    # edge construction). Unpersisted in the same finally as the hop
-    # state, so nothing stays cached after return.
-    und = (
-        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .persist()
-    )
-    nodes = und.select(F.col("u").alias("node")).distinct()
-    seeds = (
-        nodes.select("node", F.md5(F.col("node").cast("string")).alias("__h"))
-        .orderBy("__h")
-        .limit(n_seeds)
-        .select(F.col("node").alias("seed"))
-    )
-    visited = seeds.select("seed", F.col("seed").alias("node"))
-    frontier = visited
+    # Materialize the undirected edge list ONCE with an EAGER local
+    # checkpoint: every hop joins against it, and callers routinely
+    # hand in an EXPENSIVE lazy plan (e.g. coactivity_edges: events
+    # scan -> cell groupBy -> per-cell pairs). A lazy .persist() here
+    # is NOT enough (measured r13-opt: 5.1 s lazy-persist vs 1.8 s
+    # eager-checkpoint at sf0.1): the single trace collect evaluates
+    # all hop branches in one job, and cached-but-not-yet-computed
+    # partitions are recomputed CONCURRENTLY by parallel branch tasks
+    # (the block manager dedups storage, not in-flight computation) —
+    # and every action re-runs Catalyst over the per-hop-DOUBLING lazy
+    # tree, so even persist+eager-count stayed 2.5× slower (4.5 s).
+    # The checkpoint truncates the logical plan per round, the
+    # connected_components pattern. Checkpoint state is bounded by
+    # hops·|reachable| node rows + the edge list and is explicitly
+    # unpersisted in the finally below, so nothing stays cached after
+    # return (ADVICE r5 contract, kept).
     spark = edges.sparkSession
-    cached = []
+    jsc = spark.sparkContext._jsc
+    before_ids = set(jsc.getPersistentRDDs().keySet())
     per_hop = []
     try:
+        und = (
+            edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .localCheckpoint(eager=True)
+        )
+        nodes = und.select(F.col("u").alias("node")).distinct()
+        seeds = (
+            nodes.select("node", F.md5(F.col("node").cast("string")).alias("__h"))
+            .orderBy("__h")
+            .limit(n_seeds)
+            .select(F.col("node").alias("seed"))
+        )
+        visited = seeds.select("seed", F.col("seed").alias("node"))
+        frontier = visited
         for hop in range(1, hops + 1):
-            nxt = _bfs_hop(frontier, und, visited).persist()
-            new_visited = visited.union(nxt).persist()
-            cached.extend((nxt, new_visited))
+            nxt = _bfs_hop(frontier, und, visited).localCheckpoint(eager=True)
+            new_visited = visited.union(nxt).localCheckpoint(eager=True)
             per_hop.append(
                 new_visited.where(F.col("node") != F.col("seed"))
                 .groupBy("seed")
@@ -461,9 +468,11 @@ def bfs_reach(
         schema = trace.schema
         rows = trace.collect()  # the ONE scheduler barrier
     finally:
-        for df in cached:
-            df.unpersist()
-        und.unpersist()
+        # checkpointed RDDs are not reachable through DataFrame.unpersist;
+        # free exactly the blocks this call registered via the JVM map
+        jmap = jsc.getPersistentRDDs()
+        for rid in set(jmap.keySet()) - before_ids:
+            jmap.get(rid).unpersist()
     return spark.createDataFrame(rows, schema)
 
 

@@ -357,6 +357,16 @@ def _kmeans_final_assign(
             )
             .select("cid", F.transform("__pm", lambda x: x["m"]).alias("cvec"))
         )
+        # Materialize each round's k centroid rows (r13 optimization
+        # round, guide §2.4/§5): iteration i's assignment references the
+        # corpus AND iteration i-1's centroids, which reference the
+        # corpus again — the lazy lineage doubles per round, and every
+        # downstream reference to the final assignment re-executes the
+        # whole tree (semdedup's plan scanned the corpus parquet 29×;
+        # with the k-row checkpoint, ~4×, measured -30% wall). Exactly
+        # the connected_components/pagerank iterative-fixed-point
+        # pattern; k×dim doubles, negligible memory, values unchanged.
+        cents = cents.localCheckpoint(eager=True)
 
     return assign(cents)
 

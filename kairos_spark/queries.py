@@ -76,14 +76,19 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # relabel; downstream epoch math then works for either
             # physical encoding of the testdata.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if name == "documents":
-        # Text operators are CPU-bound with heavy per-byte amplification
-        # (shingle explode ≈ 100× the input bytes), but the corpus
-        # arrives as one file = one input split. Spread it so each task
-        # gets ~64 KiB of text — enough work to amortize task overhead,
-        # small enough to use the cores. On a real deployment input
-        # splits / maxPartitionBytes provide this; the repartition is
-        # harness plumbing, not engine semantics.
+    if name in ("documents", "embeddings"):
+        # Text and vector operators are CPU-bound with heavy per-row
+        # amplification (shingle explode ≈ 100× the input bytes;
+        # embedding scoring fans each vector out against broadcast
+        # query/centroid blocks), but both corpora arrive as one
+        # single-row-group file = one input split, so every downstream
+        # map stage would run in ONE task (measured r13-opt: semdedup's
+        # whole within-cluster cosine stage and knn_join's scoring pass
+        # were single-task; spreading the scan cut them 25-40%). Spread
+        # so each task gets ~64 KiB — enough work to amortize task
+        # overhead, small enough to use the cores. On a real deployment
+        # input splits / maxPartitionBytes provide this; the
+        # repartition is harness plumbing, not engine semantics.
         try:
             import pathlib
 
