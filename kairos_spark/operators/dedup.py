@@ -312,36 +312,70 @@ def simhash_near_pairs(
     sides) and the probe side round-robin-repartitions so a hot
     segment bucket's join fan-out spreads across tasks instead of
     evaluating in one (both measured on simhash_radius_sweep, which
-    shares this stage shape — r13)."""
+    shares this stage shape — r13). r13 optimization round, measured
+    on the same shared stage shape (3.3 s → 1.9 s at sf0.1):
+    - segment keys are LONGS (block index in the high bits) instead of
+      "b:val" strings — narrower shuffle rows, long equality instead
+      of string compare on the ~10⁷-row fan-out, and bucket equality
+      becomes EXACTLY slice equality (no digest step at all);
+    - the build side is explicitly broadcast when the banded frame is
+      bounded (≤ 5M rows — docs × blocks longs): the checkpointed
+      frame carries no stats, so the planner otherwise alternates
+      between broadcast (fast) and sort-merge — and a sort-merge here
+      concentrates the degenerate hot segment (every doc agrees on
+      the all-zero high-bit segments when the token hash is narrower
+      than ``bits``) into ONE task (measured 10-30 s runs). Broadcast
+      keeps the probe's round-robin spread, so the hot bucket's
+      fan-out distributes by probe row. Above the gate the shuffle
+      path stands (at that scale the caller shards by segment anyway);
+    - first-matching-segment attribution instead of dropDuplicates
+      (the simhash_radius_sweep/minhash_lsh_pairs pattern): with raw
+      slice keys the earlier-segment test is exact by construction,
+      and the candidate-pair dedup shuffle disappears."""
     seg_bits = bits // blocks
     sh = simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
     segments = F.array(
         *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.shiftright(F.col("simhash"), b * seg_bits)
-                .bitwiseAND(F.lit((1 << seg_bits) - 1))
-                .cast("string"),
+            (
+                F.lit(b).cast("long") * F.lit(1 << seg_bits).cast("long")
+                + F.shiftright(F.col("simhash"), b * seg_bits).bitwiseAND(
+                    F.lit((1 << seg_bits) - 1)
+                )
             )
             for b in range(blocks)
         ]
     )
-    banded = sh.select(F.col(id_col), "simhash", F.explode(segments).alias("seg"))
+    banded = sh.select(
+        F.col(id_col), "simhash", F.posexplode(segments).alias("__j", "seg")
+    )
     par = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    a, b = banded.repartition(par).alias("a"), banded.alias("b")
+    a = banded.repartition(par).alias("a")
+    build = banded.alias("b")
+    if sh.count() * blocks <= 5_000_000:
+        build = F.broadcast(build)
     cands = (
-        a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(build, (F.col("a.seg") == F.col("b.seg")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.simhash").alias("h_a"),
             F.col("b.simhash").alias("h_b"),
+            F.col("a.__j").alias("__j"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cands.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    xor_h = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    dup_earlier = F.lit(False)
+    for jp in range(blocks - 1):
+        seg_match = (
+            F.shiftright(xor_h, jp * seg_bits).bitwiseAND(F.lit((1 << seg_bits) - 1))
+            == 0
+        )
+        dup_earlier = dup_earlier | ((F.lit(jp) < F.col("__j")) & seg_match)
+    return (
+        cands.where(~dup_earlier)
+        .withColumn("hamming", F.bit_count(xor_h))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -3015,18 +3049,30 @@ def simhash_radius_sweep(
     # simhash pass otherwise recomputes on BOTH join sides (measured
     # 34 s -> ~4 s at sf0.1); one long per doc, trivially bounded
     sh = simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
+    # LONG segment keys (block index in the high bits) instead of
+    # "b:val" strings, and an explicitly BROADCAST build side under the
+    # bounded-frame gate — the r13-optimization fixes shared with
+    # simhash_near_pairs (see its docstring): the checkpointed banded
+    # frame carries no stats, so the planner otherwise alternates
+    # between broadcast (fast) and sort-merge, and sort-merge
+    # concentrates the degenerate all-zero high-bit segment (every
+    # pair, when the token hash is narrower than ``bits``) into ONE
+    # task — the bench entry read 3-17 s run-to-run; broadcast pins
+    # the fast plan (measured 3.3 s → 1.9 s steady at sf0.1).
     segments = F.array(
         *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.shiftright(F.col("simhash"), b * seg_bits)
-                .bitwiseAND(F.lit((1 << seg_bits) - 1))
-                .cast("string"),
+            (
+                F.lit(b).cast("long") * F.lit(1 << seg_bits).cast("long")
+                + F.shiftright(F.col("simhash"), b * seg_bits).bitwiseAND(
+                    F.lit((1 << seg_bits) - 1)
+                )
             )
             for b in range(blocks)
         ]
     )
-    banded = sh.select(F.col(id_col), "simhash", F.explode(segments).alias("seg"))
+    banded = sh.select(
+        F.col(id_col), "simhash", F.posexplode(segments).alias("__j", "seg")
+    )
     # round-robin repartition of the PROBE side: the banded frame is
     # tiny (docs x blocks rows) so AQE coalesces it to ~1 partition,
     # but the segment join fans out ~500x on hot buckets and the whole
@@ -3036,6 +3082,8 @@ def simhash_radius_sweep(
     par = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     probe = banded.repartition(par)
     a, b = probe.alias("a"), banded.alias("b")
+    if sh.count() * blocks <= 5_000_000:
+        b = F.broadcast(b)
     joined = a.join(
         b,
         (F.col("a.seg") == F.col("b.seg"))
@@ -3043,7 +3091,7 @@ def simhash_radius_sweep(
     ).select(
         F.col("a.simhash").alias("h_a"),
         F.col("b.simhash").alias("h_b"),
-        F.split(F.col("a.seg"), ":").getItem(0).cast("int").alias("__j"),
+        F.col("a.__j").alias("__j"),
     )
     # first-matching-segment attribution instead of dropDuplicates: a
     # pair found at segment j counts ONLY if no earlier segment also
