@@ -1160,8 +1160,13 @@ CHECKS = {
     # fp self-join must be an equality join — never nested loop/cartesian
     "winnow_pairs": ["Window", "Join", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
     # candidates from the simhash segment equality join; the O(prefix²)
-    # levenshtein runs on candidate rows only — no all-pairs operator
-    "editdist_pairs": ["Join", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # levenshtein runs on candidate rows only — no all-pairs operator.
+    # r13-opt: the fingerprint aggregate sits behind the operator's
+    # localCheckpoint (invisible here) and the candidate dedup shuffle
+    # was replaced by first-matching-segment attribution, so the
+    # visible plan asserts the pinned broadcast-hash candidate join
+    # instead of a HashAggregate.
+    "editdist_pairs": ["BroadcastHashJoin", "!NestedLoop", "!CartesianProduct"],
     # registers collapse with map-side partial max (≤ groups × 2^p rows
     # before the shuffle); the exact side joins on the group key only
     "hll_distinct": ["HashAggregate", "!NestedLoop", "!CartesianProduct"],
@@ -1352,7 +1357,12 @@ CHECKS = {
     "training_data_prep": ["LeftSemi", "Union", "HashAggregate", "!CartesianProduct"],
     "minhash_lsh_pairs": ["Generate", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
     "simhash_sample": ["Generate", "HashAggregate", "!Join"],
-    "simhash_near_pairs": ["Generate", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # r13-opt: fingerprint HashAggregate sits behind the operator's
+    # localCheckpoint; the visible plan is the posexplode (Generate) +
+    # the PINNED broadcast-hash segment join (the bounded-frame gate),
+    # with the dropDuplicates shuffle replaced by first-matching-
+    # segment attribution.
+    "simhash_near_pairs": ["Generate", "BroadcastHashJoin", "!NestedLoop", "!CartesianProduct"],
     # per-doc stat projections are map-only: no join, no hash shuffle
     # (the only allowed exchange is _tbl's roundrobin corpus split)
     "text_stats": ["!Join", "!Exchange hashpartitioning"],
