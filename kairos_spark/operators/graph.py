@@ -180,6 +180,15 @@ def kcore_peel(
     spark = edges.sparkSession
     trace = []
     cur = edges.select("a", "b").persist()
+    # Materialize the input edge list BEFORE the first peel round (r13
+    # optimization round): _peel_round references `cur` three ways
+    # (degree aggregate + two semi-joins), and a lazily-persisted
+    # upstream plan (e.g. the coactivity construction) gets recomputed
+    # CONCURRENTLY by the branches of round 1's first action — the
+    # block manager dedups storage, not in-flight computation (the
+    # bfs_reach lesson). Later rounds are safe: each nxt is counted
+    # (materialized) before becoming cur.
+    cur.count()
     try:
         for rnd in range(1, rounds + 1):
             nxt = _peel_round(cur, k).persist()
