@@ -763,16 +763,38 @@ def duplicated_spans(
     consecutive positions into islands (pa - row_number constant), and
     each island IS a maximal span with span_len = matches + k - 1.
 
-    Scale shape: the only data-sized shuffle is the gram equi-join —
-    grams hash-partition by content, never all-pairs
-    (!CartesianProduct). Windows run per (pair, diagonal) — candidate
-    groups, not the corpus. ``max_occ`` drops grams occurring more
-    than that many times corpus-wide (the stop-gram guard): at 100 TB
-    ubiquitous boilerplate grams would otherwise make single join
-    buckets quadratic. Spans consisting ONLY of such ubiquitous text
-    are deliberately not reported here — that is boilerplate, surfaced
-    by ``boilerplate_chunks``. The filter is mirrored in the oracle, so
-    parity is exact."""
+    Scale shape: the only data-sized shuffles are ONE content-keyed
+    gram shuffle (groupBy gram) and the per-(pair, diagonal) window
+    exchange — never all-pairs (!CartesianProduct). Windows run per
+    (pair, diagonal) — candidate groups, not the corpus. ``max_occ``
+    drops grams occurring more than that many times corpus-wide (the
+    stop-gram guard): at 100 TB ubiquitous boilerplate grams would
+    otherwise make single pair buckets quadratic. Spans consisting
+    ONLY of such ubiquitous text are deliberately not reported here —
+    that is boilerplate, surfaced by ``boilerplate_chunks``. The
+    filter is mirrored in the oracle, so parity is exact.
+
+    r14 optimization round (guide §2.3/§2.4/§3.1): pair generation is
+    a single groupBy(gram) with an occurrence-list aggregate + a
+    bounded double explode, replacing the rare-filter aggregate + two
+    broadcast joins of the old gram self-join. The old plan evaluated
+    the gram explode FOUR times (a-side, b-side, and one rare
+    aggregate each) and — because post-explode size estimates are
+    junk — BROADCAST the entire rare-gram corpus (~64 MB at sf0.1,
+    unboundedly corpus-sized at scale) as the b-side hash relation.
+    Here grams are computed once and shuffled once; the occurrence
+    filter (2 <= occ <= max_occ, bounded lists) and the id_a < id_b
+    pair fan-out happen inside the aggregated groups, so no corpus-
+    sized broadcast can ever appear in the plan. The pair rows also
+    drop ``__pb`` from the window shuffle: the diagonal is constant
+    per window partition, so b_start = a_start - diag is recovered
+    after the aggregate (guide §2.3 narrower shuffle rows). Output is
+    row-identical (0-row symmetric diff at sf0.01/sf0.1; every pair
+    (a-occurrence, b-occurrence) with id_a < id_b is generated exactly
+    once from its gram's list, as the join generated it); measured
+    2.74 s -> 1.85 s min-of-4 at sf0.1 (a nested-HOF pair generator
+    was also tested: 2.17 s — Generate is codegen'd, HOF lambdas are
+    not)."""
     from pyspark.sql.window import Window
 
     norm = df.select(
@@ -787,21 +809,26 @@ def duplicated_spans(
             "__pos0", "__g"
         ),
     ).select(id_col, (F.col("__pos0") + 1).alias("__p"), "__g")
-    rare = (
+    gl = (
         grams.groupBy("__g")
-        .agg(F.count("*").alias("__occ"))
-        .where(F.col("__occ") <= max_occ)
-        .select("__g")
+        .agg(
+            F.count("*").alias("__occ"),
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("__p").alias("p"))
+            ).alias("__l"),
+        )
+        .where((F.col("__occ") >= 2) & (F.col("__occ") <= max_occ))
     )
-    fg = grams.join(rare, "__g")
-    a = fg.select(
-        F.col(id_col).alias("id_a"), F.col("__p").alias("__pa"), "__g"
-    )
-    b = fg.select(
-        F.col(id_col).alias("id_b"), F.col("__p").alias("__pb"), "__g"
-    )
-    pairs = a.join(b, "__g").where(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", "__pa", "__pb", (F.col("__pa") - F.col("__pb")).alias("__diag")
+    x = gl.select(F.explode("__l").alias("x"), "__l")
+    pairs = (
+        x.select("x", F.explode("__l").alias("y"))
+        .where(F.col("x.i") < F.col("y.i"))
+        .select(
+            F.col("x.i").alias("id_a"),
+            F.col("y.i").alias("id_b"),
+            F.col("x.p").alias("__pa"),
+            (F.col("x.p") - F.col("y.p")).alias("__diag"),
+        )
     )
     w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("__pa")
     runs = pairs.withColumn("__island", F.col("__pa") - F.row_number().over(w))
@@ -809,11 +836,16 @@ def duplicated_spans(
         runs.groupBy("id_a", "id_b", "__diag", "__island")
         .agg(
             F.min("__pa").cast("long").alias("a_start"),
-            F.min("__pb").cast("long").alias("b_start"),
             (F.count("*") + k - 1).cast("long").alias("span_len"),
         )
         .where(F.col("span_len") >= min_len)
-        .select("id_a", "id_b", "a_start", "b_start", "span_len")
+        .select(
+            "id_a",
+            "id_b",
+            "a_start",
+            (F.col("a_start") - F.col("__diag")).alias("b_start"),
+            "span_len",
+        )
     )
 
 
@@ -890,7 +922,20 @@ def winnow_near_pairs(
 
     Scale shape: fingerprints are ~2/(w+1) of gram count; the only
     data-sized shuffle is the fp equi-join (hash-partitioned by
-    fingerprint, never all-pairs)."""
+    fingerprint, never all-pairs).
+
+    r14 optimization round, measured and deliberately NOT changed:
+    eager localCheckpoints of ``fps``/``kept`` (the lazy plan shows
+    the winnowing subtree 8× / 16 parquet scans) were A/B-tested
+    interleaved in one session — min-of-5 2.54 s plain vs 3.00 s
+    checkpointed at sf0.1: runtime exchange/stage reuse already
+    dedups the recompute and the eager barriers cost more (the same
+    null result as r13's dump_overlap/dsir_weights experiments).
+    The candidate self-join was also probed for the simhash-style
+    sort-merge plan-flip (r13 #5): unlike the checkpointed simhash
+    frame, ``kept`` keeps its size estimates, so the planner pins
+    BroadcastHashJoin on every one of ~20 measured runs — no flip
+    mode, no pinned-broadcast gate needed."""
     fps = winnow_fingerprints(df, text_col, id_col, k, w)
     rare = (
         fps.groupBy("fp")

@@ -7,7 +7,8 @@ the computation without collect()'s row-transfer cost.
 Usage:
   python tools/opt_profile.py [--plans DIR_SUFFIX] [--noop] [--reps N] [name ...]
 
-With --plans SUFFIX, writes plans/r13/<entry>_<SUFFIX>.txt containing
+With --plans SUFFIX, writes plans/$OPT_PROFILE_ROUND/<entry>_<SUFFIX>.txt
+(default round r14) containing
 df.explain("formatted") for every DataFrame-returning entry.
 Names default to every entry; pass names to restrict.
 NOT part of the driver contract — bench.py remains the graded artifact.
@@ -35,7 +36,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
-    ap.add_argument("--plans", default=None, help="suffix for plans/r13/<name>_<suffix>.txt")
+    ap.add_argument("--plans", default=None, help="suffix for plans/<round>/<name>_<suffix>.txt")
     ap.add_argument("--noop", action="store_true", help="also time with the noop sink")
     ap.add_argument("--reps", type=int, default=1)
     args = ap.parse_args()
@@ -74,7 +75,11 @@ def main() -> None:
             except Exception as e:
                 print(f"warm-up {name} failed: {e}", file=sys.stderr)
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("OPT_PROFILE_ROUND", "r14"),
+    )
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
 

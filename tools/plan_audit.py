@@ -1094,10 +1094,12 @@ CHECKS = {
     # two per-user min-aggregates; observation end rides a 1-row
     # broadcast; windows run over the period-grain table only
     "kaplan_meier": ["HashAggregate", "Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
-    # gram equi-join (hash-partitioned by content; broadcast at test
-    # scale) with islands windows over candidate (pair, diag) groups
-    # only — never a nested loop or corpus cartesian
-    "duplicated_spans": ["Join", "Window", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # r14: ONE content-keyed gram groupBy (occurrence-list aggregate,
+    # ObjectHashAggregate) + bounded double explode replaces the gram
+    # self-join — no Join node can appear at all, so no corpus-sized
+    # broadcast relation and never a nested loop / cartesian; islands
+    # windows still run over candidate (pair, diag) groups only
+    "duplicated_spans": ["Generate", "ObjectHashAggregate", "Window", "HashAggregate", "!Join", "!NestedLoop", "!CartesianProduct"],
     # per-domain counts aggregate + join back; the row_number sort runs
     # ONLY on the over-cap branch; under-cap rows union through sortless
     "domain_cap": ["HashAggregate", "Window", "Union", "!CartesianProduct", "!NestedLoop"],
