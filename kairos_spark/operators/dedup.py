@@ -351,6 +351,13 @@ def simhash_near_pairs(
     par = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     a = banded.repartition(par).alias("a")
     build = banded.alias("b")
+    # Broadcast gate (ADVICE r13): row-counted, not byte-estimated — at
+    # the 5M ceiling the banded build side is ~150-250 MB ((2 longs +
+    # id) x rows), inside this bench's 16g driver but close to the
+    # default spark.driver.maxResultSize (1g) and too big for small
+    # executors; deployments below 16g should lower the ceiling or
+    # raise maxResultSize. Above the gate the shuffled-hash/sort-merge
+    # fallback keeps the path safe at any scale.
     if sh.count() * blocks <= 5_000_000:
         build = F.broadcast(build)
     cands = (

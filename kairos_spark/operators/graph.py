@@ -271,6 +271,13 @@ def cooccurrence_triangles(
     # explain; measured 1.27 s -> 0.98 s at sf0.1 minute grain). The
     # edge list is the operator's own aggregate — |E| rows of two ids —
     # the same bounded state kcore_peel already persists per round.
+    # ACCEPTED DEVIATION from the ADVICE-r5 'nothing cached after
+    # return' contract (ADVICE r13): the returned DataFrame references
+    # these checkpointed blocks, so they stay in storage until the RDD
+    # is GC'd by the ContextCleaner — the same GC-bounded lifetime as
+    # the simhash/semdedup checkpoint precedents. |E|-rows-of-two-ids
+    # is the smallest frame in the operator; an explicit unpersist
+    # would have to outlive the caller's use of the result.
     edges = coactivity_edges(
         df, node_col, key_col, ts_col, step_sec, min_shared, max_bucket_nodes
     ).localCheckpoint(eager=True)
@@ -446,7 +453,12 @@ def bfs_reach(
     # connected_components pattern. Checkpoint state is bounded by
     # hops·|reachable| node rows + the edge list and is explicitly
     # unpersisted in the finally below, so nothing stays cached after
-    # return (ADVICE r5 contract, kept).
+    # return (ADVICE r5 contract, kept). Cluster-scale caveat (VERDICT
+    # r13): localCheckpoint keeps no lineage and no replication, so an
+    # executor loss makes its partitions unrecoverable — on a real
+    # cluster point spark.checkpoint.dir at reliable storage and use
+    # .checkpoint() here; the state is small enough that the HDFS
+    # round-trip is noise at that scale.
     spark = edges.sparkSession
     jsc = spark.sparkContext._jsc
     before_ids = set(jsc.getPersistentRDDs().keySet())
@@ -486,7 +498,15 @@ def bfs_reach(
         rows = trace.collect()  # the ONE scheduler barrier
     finally:
         # checkpointed RDDs are not reachable through DataFrame.unpersist;
-        # free exactly the blocks this call registered via the JVM map
+        # free exactly the blocks this call registered via the JVM map.
+        # CAVEAT (ADVICE r13): this is a set-difference over the
+        # SESSION-GLOBAL persistent-RDD registry — correct while this
+        # call is the only thing persisting between the snapshot above
+        # and here (true in the single-threaded driver harness), but a
+        # concurrent job that persists in that window, or an `edges`
+        # plan whose own .persist() first materializes inside this
+        # call, would be evicted too. Multi-tenant callers should track
+        # the checkpointed frames' own rdd ids instead.
         jmap = jsc.getPersistentRDDs()
         for rid in set(jmap.keySet()) - before_ids:
             jmap.get(rid).unpersist()

@@ -366,6 +366,10 @@ def _kmeans_final_assign(
         # with the k-row checkpoint, ~4×, measured -30% wall). Exactly
         # the connected_components/pagerank iterative-fixed-point
         # pattern; k×dim doubles, negligible memory, values unchanged.
+        # Cluster-scale caveat (VERDICT r13): localCheckpoint keeps no
+        # lineage/replication — executor loss loses the blocks; on a
+        # real cluster use .checkpoint() with a reliable checkpoint dir
+        # (k rows, the round-trip is noise).
         cents = cents.localCheckpoint(eager=True)
 
     return assign(cents)

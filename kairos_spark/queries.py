@@ -5223,6 +5223,89 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
 }
 
+# --- Round-14 driver window (CLAUDE.md rotation rule; _R13_WINDOW
+# above is historical record). CORRECTNESS_r13 came back 50/50, no
+# new queries this round (optimization round 2/2), so the window is
+# pure promotion backlog from `tools/impact_map.py promote`
+# (report regenerated post-r14-changes; the r13-opt `_tbl` change
+# flags all 319 non-new entries via queries._tbl — per the CLAUDE.md
+# r13 addendum those are NOT promoted on that signal alone, since
+# plan-only equivalence was verified at 3 scales in r13). Layout:
+# (2a) the 6 queries whose OPERATOR code changed THIS round
+#      (duplicated_spans: grouped pair generation; semdedup:
+#      final-assignment checkpoint; winnow_pairs / simhash_near_pairs
+#      / editdist_pairs / bfs_reach: docstring-adjacent operator
+#      edits) — freshest changes are the least verified;
+# (2b) the remaining 32 entries impact_map flags with a non-_tbl
+#      changed def since their last green driver check (the r13-opt
+#      operator rewrites: minhash_lsh_pairs / simhash family /
+#      _kmeans_final_assign / cooccurrence_triangles consumers, plus
+#      the never-rotated r6-r9 helper-churn backlog), ordered oldest
+#      last-green first;
+# (3)  backlog: the 2 displaced-in-r13 entries not already in (2)
+#      (lift_curve, schema_drift), the 8 reference-parity ts_* rows
+#      last checked in r4, and the 2 oldest r5 entries.
+_R14_WINDOW = [
+    # (2a) operator code changed in r14
+    "duplicated_spans",
+    "semdedup",
+    "winnow_pairs",
+    "simhash_near_pairs",
+    "editdist_pairs",
+    "bfs_reach",
+    # (2b) non-_tbl expression changes, oldest last-green first
+    "quality_auc",
+    "quantize_audit",
+    "session_gap_sweep",
+    "source_scorecard",
+    "spearman_activity",
+    "temperature_mix",
+    "triangle_cooccurrence",
+    "attribution_split",
+    "categorical_drift",
+    "chao1_richness",
+    "json_schema_profile",
+    "mutual_info",
+    "prefix_jaccard_pairs",
+    "split_leakage_audit",
+    "transition_entropy",
+    "dedup_clusters_lsh",
+    "value_percentiles",
+    "cluster_keep_best",
+    "minhash_lsh_pairs",
+    "quality_rule_pack",
+    "cluster_balanced_sample",
+    "cluster_keep_best_lsh",
+    "cluster_quality_bias",
+    "cluster_source_purity",
+    "ivf_list_balance",
+    "minhash_calibration",
+    "tokenizer_drift",
+    "cluster_diameter",
+    "dup_degree_spectrum",
+    "near_dup_family_agreement",
+    "kmeans_clusters",
+    "prototypicality",
+    # (3) backlog: displaced r13 leftovers, r4 ts_* parity rows, r5
+    "lift_curve",
+    "schema_drift",
+    "ts_collapse_range",
+    "ts_condense_hour",
+    "ts_gauge_last_hour",
+    "ts_histogram_daily",
+    "ts_multi_name_merge",
+    "ts_set_cross_series",
+    "ts_set_hour",
+    "ts_spine_gapfill",
+    "audience_stability",
+    "cvm_drift",
+]
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _R14_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)},
+}
+
 ORACLES = dict(_TS_ORACLES)
 ORACLES.update(
     {

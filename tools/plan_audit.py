@@ -750,10 +750,15 @@ CHECKS = {
     # 4-row query side broadcasts against the map-only scored scan; the
     # candidate fusion join is bounded by 2·top_n rows per query
     "rrf_fusion": ["BroadcastNestedLoopJoin", "!CartesianProduct"],
-    # clustering is the broadcast-centroid kmeans loop (corpus never
-    # shuffles for assignment); pair scoring joins ON cid — hash, never
-    # cartesian: candidate pairs bounded by Σ|cluster|²
-    "semdedup": ["BroadcastNestedLoopJoin", "!CartesianProduct", "HashAggregate"],
+    # r14: the final assignment is localCheckpointed (ExistingRDD in
+    # the visible plan), so the broadcast-centroid Lloyd subtree — the
+    # old BroadcastNestedLoopJoin assertion — no longer appears here
+    # (it is still pinned by the kmeans_clusters/cluster_quality
+    # entries, which share _kmeans_final_assign uncheckpointed). The
+    # visible contract TIGHTENS: pair scoring must join ON cid as a
+    # broadcast hash join — never nested-loop, never cartesian:
+    # candidate pairs bounded by Σ|cluster|²
+    "semdedup": ["BroadcastHashJoin", "!BroadcastNestedLoopJoin", "!CartesianProduct", "HashAggregate"],
     # sessionize windows share one exchange; bucket explode is a
     # Generate feeding one hash agg — no join anywhere
     "interval_proration": ["Generate", "HashAggregate", "Window", "!Join"],
