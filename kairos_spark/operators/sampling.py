@@ -562,8 +562,10 @@ def dsir_weights(
     final round-6 is HALF_UP on identical decimals.
 
     Scale shape: grams explode map-side into (doc, bucket) partial
-    counts — the only corpus-scale shuffle; both bucket tables are
-    ``buckets`` rows and broadcast into the per-doc join; top-k is
+    counts — the only corpus-scale shuffle, and the explode runs ONCE
+    (raw and target bucket counts come from one conditional-sum
+    aggregation over the shared doc-bucket exchange); the lambda table
+    is ``buckets`` rows and broadcasts into the per-doc join; top-k is
     TakeOrderedAndProject, never a global sort."""
     from kairos_spark.operators.text import word_tokens
 
@@ -596,42 +598,62 @@ def dsir_weights(
             % buckets
         ).alias("__b"),
     )
-    doc_bucket = bucketed.groupBy(id_col, "__grp", "__b").agg(
-        F.count("*").alias("m")
+    # reuse pin (r14 opt): __b is never null (md5 of a non-null gram),
+    # but the scored<-lam join pushes isnotnull(__b) into ONE side of
+    # the plan; declaring it here puts the identical filter in every
+    # branch so the gram-explode exchange stays byte-identical and
+    # exchange reuse fires instead of re-running the explode.
+    doc_bucket = (
+        bucketed.where(F.col("__b").isNotNull())
+        .groupBy(id_col, "__grp", "__b")
+        .agg(F.count("*").alias("m"))
     )
-    raw = doc_bucket.groupBy("__b").agg(F.sum("m").alias("__cr"))
-    tgt = (
-        doc_bucket.where(F.col("__grp") == target_value)
-        .groupBy("__b")
-        .agg(F.sum("m").alias("__ct"))
+    # ONE bucket-grain aggregation produces the raw and target counts
+    # together (conditional sum) — r14 opt, guide §2.4: the previous
+    # separate `tgt` aggregate (`doc_bucket.where(__grp == target)`)
+    # had its filter pushed below the gram explode, so the corpus
+    # tokenize+explode+md5 ran a SECOND time over the target slice
+    # (~40% of the corpus) instead of reusing the doc_bucket exchange;
+    # the conditional sum keeps one explode, one exchange, and drops
+    # the raw<-tgt join outright. Values are identical: the same exact
+    # integer counts feed the same lambda formula (absent target
+    # buckets were coalesce(NULL, 0) before, sum(otherwise 0) = 0 now).
+    bucket_tbl = doc_bucket.groupBy("__b").agg(
+        F.sum("m").alias("__cr"),
+        F.sum(
+            F.when(F.col("__grp") == target_value, F.col("m")).otherwise(F.lit(0))
+        ).alias("__ct"),
     )
-    raw_tot = raw.agg(F.sum("__cr").alias("__nr"))
-    tgt_tot = tgt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
-    lam_tbl = (
-        raw.join(tgt, "__b", "left")
-        .crossJoin(F.broadcast(raw_tot))
-        .crossJoin(F.broadcast(tgt_tot))
-        .select(
-            "__b",
-            # ONE ln of a ratio of exact integer products: identical
-            # doubles on both engines (ln agreement established by the
-            # entropy/PMI/LM queries). Quantize ONCE here at the bucket
-            # grain: |lam| <= ~20, well inside the probed |x| < 4.5e3
-            # double->decimal agreement bound — whereas quantizing the
-            # m*lam PRODUCT per doc-bucket term would leave the bound
-            # at the mercy of an unbounded per-doc gram count m
-            # (ADVICE r8). The per-term product below is then exact
-            # integer-times-decimal arithmetic on both engines.
-            F.log(
-                ((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) * (F.col("__nr") + F.lit(buckets)))
-                / ((F.col("__cr") + F.lit(1.0)) * (F.col("__nt") + F.lit(buckets)))
-            )
-            .cast("decimal(28,12)")
-            .alias("__lam"),
+    tots = bucket_tbl.agg(
+        F.sum("__cr").alias("__nr"),
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"),
+    )
+    lam_tbl = bucket_tbl.crossJoin(F.broadcast(tots)).select(
+        "__b",
+        # ONE ln of a ratio of exact integer products: identical
+        # doubles on both engines (ln agreement established by the
+        # entropy/PMI/LM queries). Quantize ONCE here at the bucket
+        # grain: |lam| <= ~20, well inside the probed |x| < 4.5e3
+        # double->decimal agreement bound — whereas quantizing the
+        # m*lam PRODUCT per doc-bucket term would leave the bound
+        # at the mercy of an unbounded per-doc gram count m
+        # (ADVICE r8). The per-term product below is then exact
+        # integer-times-decimal arithmetic on both engines.
+        F.log(
+            ((F.col("__ct") + F.lit(1.0)) * (F.col("__nr") + F.lit(buckets)))
+            / ((F.col("__cr") + F.lit(1.0)) * (F.col("__nt") + F.lit(buckets)))
         )
+        .cast("decimal(28,12)")
+        .alias("__lam"),
     )
+    # LEFT join (r14 opt): inner pushes isnotnull(__b) into the
+    # doc_bucket side only, splitting the gram-explode subtrees and
+    # re-running the explode; left pushes nothing into the preserved
+    # side so exchange reuse fires. left == inner here: __b is never
+    # null (md5 of a non-null gram) and every doc_bucket __b exists in
+    # bucket_tbl by construction (it aggregates the same rows).
     scored = (
-        doc_bucket.join(F.broadcast(lam_tbl), "__b")
+        doc_bucket.join(F.broadcast(lam_tbl), "__b", "left")
         .groupBy(id_col, "__grp")
         .agg(
             F.sum("m").cast("long").alias("n_grams"),

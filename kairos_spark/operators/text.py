@@ -508,7 +508,15 @@ def tfidf_top_terms(
     from pyspark.sql.window import Window
 
     tf = _token_counts(df, text_col, pattern, [id_col]).withColumnRenamed("n", "tf")
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
+    # reuse pin (r14 opt, guide §2.4): `tf > 0` always holds (tf is a
+    # count over >= 1 rows) but forces the `tf` column into the dfreq
+    # branch's subtree — without it, column pruning drops the count
+    # from dfreq's (doc, token) pre-aggregate, the two exchanges stop
+    # being byte-identical, and the corpus tokenize+explode runs a
+    # SECOND time to feed dfreq instead of reusing tf's exchange.
+    dfreq = tf.where(F.col("tf") > 0).groupBy("token").agg(
+        F.count("*").alias("__df")
+    )
     ndocs = df.groupBy().agg(F.count("*").alias("__n"))
     scored = (
         tf.join(dfreq, "token")
@@ -2122,8 +2130,19 @@ def ppl_bucket_mix(
     token volume); the final aggregate is |groups|·|buckets| rows."""
     from pyspark.sql.window import Window
 
+    # LEFT join for the group column (r14 opt, guide §2.4): an inner
+    # join pushes isnotnull(id_col) into the scored side only, which
+    # makes the per-doc and corpus-count scan subtrees inside
+    # bigram_lm_score non-identical and re-runs the corpus bigram
+    # explode (3 Generate nodes); the left join pushes nothing into
+    # the preserved side, exchange reuse fires, and the explode runs
+    # once. Values are identical: every scored id comes FROM df, so
+    # every row matches and left == inner. The one divergence window
+    # is an out-of-contract NULL id_col (inner drops it, left keeps it
+    # with grp NULL); doc ids are non-null keys in every dataset this
+    # runs on, and the adversarial gate re-verified the parity.
     scored = bigram_lm_score(df, text_col, id_col).join(
-        df.select(F.col(id_col), F.col(group_col).alias("grp")), id_col
+        df.select(F.col(id_col), F.col(group_col).alias("grp")), id_col, "left"
     )
     w = Window.partitionBy("grp").orderBy(
         F.col("lm_score").desc(), F.col(id_col)

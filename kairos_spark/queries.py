@@ -5253,6 +5253,13 @@ _R14_WINDOW = [
     "simhash_near_pairs",
     "editdist_pairs",
     "bfs_reach",
+    # (2a2) r14 second-batch expression rewrites (duplicated-explode
+    # removal: conditional-sum fuse / reuse pins / left grp join) —
+    # value-identical, oracle-proven at sf0.01+sf0.1, but these are
+    # the exact expressions a driver re-check most wants fresh
+    "dsir_weights",
+    "tfidf_top_terms",
+    "ppl_bucket_mix",
     # (2b) non-_tbl expression changes, oldest last-green first
     "quality_auc",
     "quantize_audit",
@@ -5296,9 +5303,9 @@ _R14_WINDOW = [
     "ts_multi_name_merge",
     "ts_set_cross_series",
     "ts_set_hour",
-    "ts_spine_gapfill",
-    "audience_stability",
-    "cvm_drift",
+    # ts_spine_gapfill, audience_stability, cvm_drift displaced to the
+    # tail by the three (2a2) promotions — mirror-covered like the
+    # rest of the registry
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {

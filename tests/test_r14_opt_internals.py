@@ -18,6 +18,19 @@ preserve on inputs where the old join's semantics are subtle:
 semdedup's final-assignment checkpoint is value-invisible by
 construction (materialization of computed rows); its output is pinned
 against the uncheckpointed composition here.
+
+The second r14 batch removed duplicated corpus explodes in three
+aggregate pipelines (exchange-reuse restructures, guide §2.4):
+dsir_weights fused its raw/target bucket aggregates into ONE
+conditional-sum aggregation (the pushed-down target filter used to
+re-run the gram explode) plus isnotnull/left-join reuse pins;
+tfidf_top_terms pinned its dfreq branch onto the tf exchange
+(`tf > 0`); ppl_bucket_mix left-joins the group column so
+isnotnull(doc_id) stops splitting the bigram-LM subtrees. All three
+must be value-invisible: each is pinned against the pre-rewrite
+composition, inlined verbatim below, on data that exercises the
+subtle paths (zero-target-mass buckets, repeated tokens, per-group
+tier boundaries).
 """
 
 from __future__ import annotations
@@ -169,3 +182,147 @@ def test_semdedup_checkpoint_invisible(spark):
         .collect()
     }
     assert out == ref
+
+
+_DOCS = [
+    # two langs; doc 4's grams are unique (buckets with zero target
+    # mass exercise dsir's absent-target coalesce path); repeated
+    # tokens in doc 1 exercise tf > 1; doc 5 has a single word (no
+    # bigrams -> NULL-explode drop in the LM path)
+    (1, "en", "alpha beta alpha beta gamma alpha"),
+    (2, "en", "beta gamma delta beta gamma"),
+    (3, "de", "alpha delta epsilon alpha"),
+    (4, "de", "zeta eta theta iota kappa"),
+    (5, "en", "solo"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, lang string, text string")
+
+
+def test_dsir_weights_matches_pre_rewrite_composition(spark):
+    from kairos_spark.operators import sampling
+    from kairos_spark.operators.text import word_tokens
+
+    def dsir_old(df, target_value="en", buckets=256, k=100):
+        words = df.select(
+            F.col("doc_id"), F.col("lang").alias("__grp"),
+            word_tokens(F.col("text")).alias("__w"),
+        )
+        grams = words.select(
+            F.col("doc_id"), "__grp",
+            F.explode(F.concat(
+                F.col("__w"),
+                F.when(F.size("__w") >= 2, F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+                )).otherwise(F.array().cast("array<string>")),
+            )).alias("__g"),
+        )
+        bucketed = grams.select(
+            F.col("doc_id"), "__grp",
+            (F.conv(F.substring(F.md5(F.col("__g")), 1, 11), 16, 10)
+             .cast("long") % buckets).alias("__b"),
+        )
+        doc_bucket = bucketed.groupBy("doc_id", "__grp", "__b").agg(
+            F.count("*").alias("m"))
+        raw = doc_bucket.groupBy("__b").agg(F.sum("m").alias("__cr"))
+        tgt = (doc_bucket.where(F.col("__grp") == target_value)
+               .groupBy("__b").agg(F.sum("m").alias("__ct")))
+        raw_tot = raw.agg(F.sum("__cr").alias("__nr"))
+        tgt_tot = tgt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
+        lam_tbl = (
+            raw.join(tgt, "__b", "left")
+            .crossJoin(F.broadcast(raw_tot))
+            .crossJoin(F.broadcast(tgt_tot))
+            .select("__b", F.log(
+                ((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
+                 * (F.col("__nr") + F.lit(buckets)))
+                / ((F.col("__cr") + F.lit(1.0))
+                   * (F.col("__nt") + F.lit(buckets)))
+            ).cast("decimal(28,12)").alias("__lam"))
+        )
+        scored = (
+            doc_bucket.join(F.broadcast(lam_tbl), "__b")
+            .groupBy("doc_id", "__grp")
+            .agg(
+                F.sum("m").cast("long").alias("n_grams"),
+                F.round(F.sum(F.col("m").cast("decimal(9,0)") * F.col("__lam")), 6)
+                .cast("double").alias("log_weight"),
+            )
+        )
+        return (scored.select(F.col("doc_id"), F.col("__grp").alias("grp"),
+                              "n_grams", "log_weight")
+                .orderBy(F.col("log_weight").desc(), F.col("doc_id")).limit(k))
+
+    df = _docs_df(spark)
+    got = [tuple(r) for r in sampling.dsir_weights(df).collect()]
+    ref = [tuple(r) for r in dsir_old(df).collect()]
+    assert got == ref  # ordered: same top-k, same ranking
+    assert got, "vacuous: no weighted docs produced"
+
+
+def test_tfidf_matches_pre_rewrite_composition(spark):
+    from pyspark.sql.window import Window
+
+    from kairos_spark.operators import text
+    from kairos_spark.operators.text import _token_counts
+
+    def tfidf_old(df, k=3, pattern="[a-z]+"):
+        tf = _token_counts(df, "text", pattern, ["doc_id"]).withColumnRenamed(
+            "n", "tf")
+        dfreq = tf.groupBy("token").agg(F.count("*").alias("__df"))
+        ndocs = df.groupBy().agg(F.count("*").alias("__n"))
+        scored = (tf.join(dfreq, "token").crossJoin(F.broadcast(ndocs))
+                  .withColumn("score",
+                              F.col("tf") * F.log(F.col("__n") / F.col("__df"))))
+        w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+        return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= k)
+                .select("doc_id", "rank", "token", "tf",
+                        F.round("score", 6).alias("score")))
+
+    df = _docs_df(spark)
+    got = sorted(tuple(r) for r in text.tfidf_top_terms(df, k=3).collect())
+    ref = sorted(tuple(r) for r in tfidf_old(df, k=3).collect())
+    assert got == ref
+    assert got, "vacuous: no tf-idf rows produced"
+
+
+def test_ppl_bucket_mix_matches_pre_rewrite_composition(spark):
+    from pyspark.sql.window import Window
+
+    from kairos_spark.operators import text
+    from kairos_spark.operators.text import _round6_ratio, bigram_lm_score
+
+    def ppl_old(df, buckets=3):
+        scored = bigram_lm_score(df, "text", "doc_id").join(
+            df.select(F.col("doc_id"), F.col("lang").alias("grp")), "doc_id")
+        w = Window.partitionBy("grp").orderBy(
+            F.col("lm_score").desc(), F.col("doc_id"))
+        tiered = scored.withColumn(
+            "bucket", F.ntile(buckets).over(w).cast("long"))
+        per = tiered.groupBy("grp", "bucket").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.min("lm_score").alias("score_lo"),
+            F.max("lm_score").alias("score_hi"),
+        )
+        tot = Window.partitionBy("grp")
+        return per.select(
+            "grp", "bucket", "n_docs", "n_bigrams",
+            _round6_ratio(F.col("n_docs"),
+                          F.sum("n_docs").over(tot)).alias("doc_share"),
+            _round6_ratio(
+                F.col("n_bigrams"),
+                F.greatest(F.sum("n_bigrams").over(tot), F.lit(1)),
+            ).alias("mass_share"),
+            "score_lo", "score_hi",
+        )
+
+    df = _docs_df(spark)
+    got = sorted(tuple(r) for r in text.ppl_bucket_mix(df).collect())
+    ref = sorted(tuple(r) for r in ppl_old(df).collect())
+    assert got == ref
+    assert got, "vacuous: no tier rows produced"
