@@ -942,20 +942,40 @@ def winnow_near_pairs(
     sort-merge plan-flip (r13 #5): unlike the checkpointed simhash
     frame, ``kept`` keeps its size estimates, so the planner pins
     BroadcastHashJoin on every one of ~20 measured runs — no flip
-    mode, no pinned-broadcast gate needed."""
+    mode, no pinned-broadcast gate needed.
+
+    r14 continuation (guide §2.3/§2.4 — the duplicated_spans
+    pattern): candidate generation is ONE groupBy(fp) with an
+    occurrence-list aggregate + a bounded double explode, replacing
+    the rare-filter aggregate, the fps⋈rare join, and the kept⋈kept
+    fp self-join. The winnowing window subtree is now evaluated once
+    instead of four times (final plan: Window nodes 8 → 2, Join
+    6 → 2, scans 2 → 1); fingerprint rows are distinct (id, fp), so
+    per-fp cross pairs with id_a < id_b reproduce the self-join's
+    rows exactly — 0-row symmetric diff at sf0.01 (72,424 pairs) and
+    sf0.1 (6,405 = the frozen bench counter); interleaved min-of-6
+    3.30 → 2.60 s (1.27×), faster on every paired rep. Same
+    aggregation-buffer trade as duplicated_spans: a hotter-than-
+    max_occ fingerprint materializes its list before the filter
+    drops it (ObjectHashAggregate spills; the filter is mirrored in
+    the oracle)."""
     fps = winnow_fingerprints(df, text_col, id_col, k, w)
-    rare = (
+    gl = (
         fps.groupBy("fp")
-        .agg(F.count("*").alias("__occ"))
+        .agg(F.count("*").alias("__occ"), F.collect_list(id_col).alias("__l"))
         .where(F.col("__occ") <= max_occ)
-        .select("fp")
     )
-    kept = fps.join(rare, "fp")
-    sizes = kept.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = kept.select(F.col(id_col).alias("id_a"), "fp")
-    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    # sizes counts KEPT fingerprints per doc — occ == 1 groups count
+    # toward set sizes even though they can't produce pairs, exactly
+    # as the old kept-join did (the oracle mirrors this)
+    sizes = (
+        gl.select(F.explode("__l").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("sz"))
+    )
+    x = gl.where(F.col("__occ") >= 2).select(F.explode("__l").alias("id_a"), "__l")
     shared = (
-        a.join(b, "fp")
+        x.select("id_a", F.explode("__l").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_shared"))

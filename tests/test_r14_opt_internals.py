@@ -326,3 +326,73 @@ def test_ppl_bucket_mix_matches_pre_rewrite_composition(spark):
     ref = sorted(tuple(r) for r in ppl_old(df).collect())
     assert got == ref
     assert got, "vacuous: no tier rows produced"
+
+
+def test_winnow_pairs_matches_pre_rewrite_composition(spark):
+    """winnow_near_pairs' grouped occurrence-list pair generation must
+    reproduce the old rare-filter + fp self-join exactly, including:
+    occ == 1 fingerprints counting toward set sizes (Jaccard
+    denominators) while producing no pairs, and the max_occ stop gate
+    (exercised with max_occ=2 so the shared 'common' fingerprint
+    window is dropped)."""
+    from kairos_spark.operators.dedup import (
+        _round6_ratio, winnow_fingerprints, winnow_near_pairs,
+    )
+
+    def winnow_old(df, k=8, w=4, max_occ=50, min_shared=3, min_score=0.0):
+        fps = winnow_fingerprints(df, "text", "doc_id", k, w)
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__occ"))
+            .where(F.col("__occ") <= max_occ)
+            .select("fp")
+        )
+        kept = fps.join(rare, "fp")
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+        b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+        shared = (
+            a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+        )
+        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("__sa"))
+        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("__sb"))
+        return (
+            shared.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "score",
+                _round6_ratio(
+                    F.col("n_shared"),
+                    F.col("__sa") + F.col("__sb") - F.col("n_shared"),
+                ),
+            )
+            .where(F.col("score") >= min_score)
+            .select("id_a", "id_b", "n_shared", "score")
+        )
+
+    shared_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "en", shared_text + " first trailing tail"),
+        (2, "en", shared_text + " second trailing tail"),
+        (3, "de", shared_text + " third different tail"),
+        (4, "de", "a completely unrelated document body with its own words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for max_occ, min_shared in ((50, 3), (2, 1)):
+        got = sorted(
+            tuple(r)
+            for r in winnow_near_pairs(
+                df, max_occ=max_occ, min_shared=min_shared
+            ).collect()
+        )
+        ref = sorted(
+            tuple(r)
+            for r in winnow_old(df, max_occ=max_occ, min_shared=min_shared).collect()
+        )
+        assert got == ref, (max_occ, min_shared)
+    # non-vacuity: the default config must actually find the near-pairs
+    assert winnow_near_pairs(df).count() > 0

@@ -1165,7 +1165,11 @@ CHECKS = {
     "bigram_holdout": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # winnowing: per-doc sliding-min window over exploded gram hashes,
     # fp self-join must be an equality join — never nested loop/cartesian
-    "winnow_pairs": ["Window", "Join", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
+    # r14 continuation: grouped occurrence-list pair generation — the
+    # collect_list aggregate (ObjectHashAggregate) + bounded explode
+    # (Generate) replace the fp self-join; the remaining Joins are the
+    # two size lookups
+    "winnow_pairs": ["Window", "Join", "Generate", "ObjectHashAggregate", "HashAggregate", "!NestedLoop", "!CartesianProduct"],
     # candidates from the simhash segment equality join; the O(prefix²)
     # levenshtein runs on candidate rows only — no all-pairs operator.
     # r13-opt: the fingerprint aggregate sits behind the operator's
