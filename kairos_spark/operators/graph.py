@@ -121,24 +121,36 @@ def coactivity_edges(
     ``cooccurrence_triangles`` and ``kcore_peel`` — factored out so
     every graph operator sees the identical graph. Pair generation is
     bounded by the ``max_bucket_nodes`` stop-bucket guard (a viral cell
-    would otherwise create a quadratic join bucket)."""
+    would otherwise create a quadratic join bucket).
+
+    r14 continuation (guide §2.3/§2.4 — the duplicated_spans/winnow
+    pattern): cell-bounded pair generation is ONE groupBy(cell) with a
+    node-list aggregate + a bounded double explode, replacing the
+    stop-bucket count aggregate, the occ⋈small join (which evaluated
+    the distinct-occurrence subtree twice), and the occ⋈occ cell
+    self-join. Node rows are distinct (node, cell), so per-cell cross
+    pairs with a < b reproduce the self-join's rows exactly — 0-row
+    symmetric diff at sf0.01/sf0.1 at BOTH minute and hourly grain
+    (384,150 hourly edges at sf0.1); interleaved min-of-6 noop timing
+    0.759 → 0.654 s (and visibly tighter variance). Same
+    aggregation-buffer trade as those operators: a hotter-than-cap
+    cell materializes its list before the filter drops it
+    (ObjectHashAggregate spills); the `__n >= 2` conjunct is pure
+    optimization (singleton cells cannot produce pairs)."""
     cell = F.concat_ws(
         ":",
         F.col(key_col),
         (F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec)).cast("long").cast("string"),
     )
     occ = df.select(F.col(node_col).alias("__u"), cell.alias("__cell")).distinct()
-    small = (
+    gl = (
         occ.groupBy("__cell")
-        .agg(F.count("*").alias("__n"))
-        .where(F.col("__n") <= max_bucket_nodes)
-        .select("__cell")
+        .agg(F.count("*").alias("__n"), F.collect_list("__u").alias("__l"))
+        .where((F.col("__n") >= 2) & (F.col("__n") <= max_bucket_nodes))
     )
-    occ = occ.join(small, "__cell")
-    a = occ.select(F.col("__u").alias("a"), "__cell")
-    b = occ.select(F.col("__u").alias("b"), "__cell")
+    x = gl.select(F.explode("__l").alias("a"), "__l")
     return (
-        a.join(b, "__cell")
+        x.select("a", F.explode("__l").alias("b"))
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("__w"))

@@ -5260,6 +5260,11 @@ _R14_WINDOW = [
     "dsir_weights",
     "tfidf_top_terms",
     "ppl_bucket_mix",
+    # (2a3) r14 coactivity grouped pair generation — value-identical,
+    # oracle-proven at sf0.01+sf0.1; bfs_reach/triangle_cooccurrence
+    # already lead the window, these are the other two owners
+    "coactivity_kcore",
+    "degree_assortativity",
     # (2b) non-_tbl expression changes, oldest last-green first
     "quality_auc",
     "quantize_audit",
@@ -5301,11 +5306,10 @@ _R14_WINDOW = [
     "ts_gauge_last_hour",
     "ts_histogram_daily",
     "ts_multi_name_merge",
-    "ts_set_cross_series",
-    "ts_set_hour",
-    # ts_spine_gapfill, audience_stability, cvm_drift displaced to the
-    # tail by the three (2a2) promotions — mirror-covered like the
-    # rest of the registry
+    # ts_set_cross_series, ts_set_hour, ts_spine_gapfill,
+    # audience_stability, cvm_drift displaced to the tail by the
+    # (2a2)/(2a3) promotions — mirror-covered like the rest of the
+    # registry
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {

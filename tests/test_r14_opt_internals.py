@@ -396,3 +396,69 @@ def test_winnow_pairs_matches_pre_rewrite_composition(spark):
         assert got == ref, (max_occ, min_shared)
     # non-vacuity: the default config must actually find the near-pairs
     assert winnow_near_pairs(df).count() > 0
+
+
+def test_coactivity_edges_matches_pre_rewrite_composition(spark):
+    """coactivity_edges' grouped cell pair generation must reproduce
+    the old stop-bucket + cell self-join exactly, including the
+    max_bucket_nodes cap dropping a hot cell (exercised with cap=2)
+    and min_shared filtering."""
+    from kairos_spark.operators.graph import coactivity_edges
+
+    def coact_old(df, step_sec=3600, min_shared=2, max_bucket_nodes=200):
+        cell = F.concat_ws(
+            ":",
+            F.col("event_type"),
+            (F.floor(F.unix_timestamp(F.col("ts")) / step_sec))
+            .cast("long").cast("string"),
+        )
+        occ = df.select(F.col("user_id").alias("__u"), cell.alias("__cell")).distinct()
+        small = (
+            occ.groupBy("__cell")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") <= max_bucket_nodes)
+            .select("__cell")
+        )
+        occ = occ.join(small, "__cell")
+        a = occ.select(F.col("__u").alias("a"), "__cell")
+        b = occ.select(F.col("__u").alias("b"), "__cell")
+        return (
+            a.join(b, "__cell")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("__w"))
+            .where(F.col("__w") >= min_shared)
+            .select("a", "b")
+        )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    # hot cell: users 1..4 share (click, hour 0) — dropped at cap=2;
+    # users 1,2 also share (view, hours 1 and 2) — two shared cells
+    for u in (1, 2, 3, 4):
+        rows.append((u, "click", t0))
+    for h in (1, 2):
+        for u in (1, 2):
+            rows.append((u, "view", t0 + dt.timedelta(hours=h)))
+    # duplicate event (distinct() path) and a singleton cell
+    rows.append((1, "view", t0 + dt.timedelta(hours=1)))
+    rows.append((5, "solo", t0 + dt.timedelta(hours=3)))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    for cap, ms in ((200, 2), (2, 1)):
+        got = sorted(
+            tuple(r)
+            for r in coactivity_edges(
+                df, min_shared=ms, max_bucket_nodes=cap
+            ).collect()
+        )
+        ref = sorted(
+            tuple(r)
+            for r in coact_old(df, min_shared=ms, max_bucket_nodes=cap).collect()
+        )
+        assert got == ref, (cap, ms)
+    # non-vacuity + the hot-cell drop: at cap=2 the click clique is
+    # gone, only (1,2) survives via the two view cells
+    assert [tuple(r) for r in coactivity_edges(
+        df, min_shared=2, max_bucket_nodes=2).collect()] == [(1, 2)]
